@@ -1,0 +1,318 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import graft.functions.{CanonicalRowHash, PyFormat}
+import graft.sources.Side
+import graft.types.TypeRender
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-table comparison rules (reference: lotad/config.py:60-163). */
+final case class TableRules(
+    ignoreColumns: Set[String] = Set.empty,
+    customQuery: Option[String] = None)
+
+/** Diff run configuration (reference: lotad/config.py:166-188). */
+final case class DiffConfig(
+    targetTables: Seq[String] = Seq.empty,
+    ignoreTables: Seq[String] = Seq.empty,
+    ignoreDates: Boolean = false,
+    tableRules: Map[String, TableRules] = Map.empty) {
+
+  private def anchored(p: String, s: String): Boolean =
+    Pattern.compile(p, Pattern.CASE_INSENSITIVE).matcher(s).lookingAt()
+
+  /** Regex include/exclude of table names, case-insensitive, anchored at
+    * the start like Python `re.match` (reference: lotad/db_compare.py:196-202).
+    */
+  def tableSelected(name: String): Boolean = {
+    if (ignoreTables.exists(anchored(_, name))) return false
+    if (targetTables.nonEmpty) targetTables.exists(anchored(_, name)) else true
+  }
+
+  def rules(table: String): TableRules =
+    tableRules.getOrElse(table, TableRules())
+}
+
+final case class SchemaDriftRow(
+    tableName: String, columnName: String,
+    db1: String, db1ColumnType: Option[String],
+    db2: String, db2ColumnType: Option[String])
+
+final case class MissingTableRow(tableName: String, observedIn: String, missingIn: String)
+
+final case class DataDriftSummaryRow(
+    tableName: String, db1: String, rowsOnlyInDb1: Long, db2: String, rowsOnlyInDb2: Long)
+
+/** Results of a full comparison run. */
+final case class DriftResult(
+    schemaDrift: Seq[SchemaDriftRow],
+    missingTables: Seq[MissingTableRow],
+    dataDrift: Map[String, DataFrame],
+    summary: Seq[DataDriftSummaryRow])
+
+/** The drift comparator: schema drift, missing-table drift, and hash-based
+  * row-level data drift between two sides.
+  *
+  * Spark-first design notes (vs the reference's per-table DuckDB sessions,
+  * reference: lotad/db_compare.py:305-377):
+  *  - the symmetric hash diff runs as ONE shuffle per table: both tagged
+  *    sides are unioned and partitioned by `hashed_row`, side-presence is
+  *    decided with a window min/max — instead of two anti-joins that would
+  *    each shuffle both inputs. At 100 TB that halves shuffle volume and
+  *    removes the need to cache the hashed sides.
+  *  - projections are declared on the DataFrame, so Catalyst pushes column
+  *    pruning into the Parquet scan (only intersection columns are read).
+  *  - set semantics are preserved exactly: presence is per-hash, and the
+  *    output drops duplicate rows like the reference's UNION
+  *    (reference: lotad/queries/duckdb/db_compare_create_tmp_table_merge.sql:28-45).
+  */
+final class DriftCompare(
+    spark: SparkSession,
+    side1: Side,
+    side2: Side,
+    config: DiffConfig = DiffConfig()) {
+
+  require(side1.id != side2.id, "sides must have distinct ids")
+
+  import spark.implicits._
+
+  def sharedTables(): Seq[String] = {
+    val t1 = side1.listTables().toSet
+    val t2 = side2.listTables().toSet
+    t1.intersect(t2).toSeq.sorted.filter(config.tableSelected)
+  }
+
+  /** Tables present on exactly one side (reference: lotad/db_compare.py:118-147). */
+  def missingTableDrift(): Seq[MissingTableRow] = {
+    val t1 = side1.listTables().filter(config.tableSelected).toSet
+    val t2 = side2.listTables().filter(config.tableSelected).toSet
+    val only1 = (t1 -- t2).toSeq.sorted.map(MissingTableRow(_, side1.id, side2.id))
+    val only2 = (t2 -- t1).toSeq.sorted.map(MissingTableRow(_, side2.id, side1.id))
+    only1 ++ only2
+  }
+
+  private def effectiveSchema(side: Side, table: String): Seq[StructField] = {
+    val ignores = config.rules(table).ignoreColumns.map(_.toLowerCase)
+    side.schema(table).fields.toSeq
+      .filterNot(f => ignores.contains(f.name.toLowerCase))
+      .filterNot(f => config.ignoreDates && TypeRender.isDateLike(f.dataType))
+  }
+
+  /** Column-level drift for one shared table: columns missing on one side
+    * or type-inequivalent after generic-type normalization
+    * (reference: lotad/db_compare.py:35-116).
+    */
+  def schemaDrift(table: String): Seq[SchemaDriftRow] = {
+    val s1 = effectiveSchema(side1, table).map(f => f.name -> TypeRender.render(f.dataType)).toMap
+    val s2 = effectiveSchema(side2, table).map(f => f.name -> TypeRender.render(f.dataType)).toMap
+    val missing2 = (s1.keySet -- s2.keySet).toSeq.sorted.map { c =>
+      SchemaDriftRow(table, c, side1.id, Some(s1(c)), side2.id, None)
+    }
+    val missing1 = (s2.keySet -- s1.keySet).toSeq.sorted.map { c =>
+      SchemaDriftRow(table, c, side1.id, None, side2.id, Some(s2(c)))
+    }
+    val mismatched = s1.keySet.intersect(s2.keySet).toSeq.sorted.flatMap { c =>
+      if (!TypeRender.equivalent(s1(c), s2(c)))
+        Some(SchemaDriftRow(table, c, side1.id, Some(s1(c)), side2.id, Some(s2(c))))
+      else None
+    }
+    missing2 ++ missing1 ++ mismatched
+  }
+
+  /** Normalized projection: intersection columns only, sorted, nested
+    * types as JSON text, cross-side type mismatches cast to string
+    * (reference: lotad/db_compare.py:267-302).
+    */
+  private def normalizedProjection(df1: DataFrame, df2: DataFrame): (DataFrame, DataFrame) = {
+    val f1 = df1.schema.fields.map(f => f.name -> f.dataType).toMap
+    val f2 = df2.schema.fields.map(f => f.name -> f.dataType).toMap
+    val shared = f1.keySet.intersect(f2.keySet).toSeq
+      .sortWith(PyFormat.cpCompare(_, _) < 0)
+    def proj(df: DataFrame, mine: Map[String, DataType], other: Map[String, DataType]) =
+      df.select(shared.map { c =>
+        val dt = mine(c)
+        if (TypeRender.isNested(dt)) to_json(col(s"`$c`")).as(c)
+        else if (TypeRender.render(dt) != TypeRender.render(other(c))) col(s"`$c`").cast("string").as(c)
+        else col(s"`$c`")
+      }: _*)
+    (proj(df1, f1, f2), proj(df2, f2, f1))
+  }
+
+  private def dropIgnored(df: DataFrame, table: String): DataFrame = {
+    val ignores = config.rules(table).ignoreColumns.map(_.toLowerCase)
+    val keep = df.schema.fields
+      .filterNot(f => ignores.contains(f.name.toLowerCase))
+      .filterNot(f => config.ignoreDates && TypeRender.isDateLike(f.dataType))
+    df.select(keep.map(f => col(s"`${f.name}`")): _*)
+  }
+
+  private def sideInput(side: Side, table: String): DataFrame =
+    config.rules(table).customQuery match {
+      case Some(q) => runCustomQuery(side, q)
+      case None => side.table(table)
+    }
+
+  /** Run a user query against one side: every table of the side is exposed
+    * as a temp view, then plain `spark.sql` — no string rewriting, unlike
+    * the reference's regex-qualified attach aliases
+    * (reference: lotad/db_compare.py:223-264). CTEs are consequently legal.
+    */
+  def runCustomQuery(side: Side, query: String): DataFrame = synchronized {
+    val names = side.listTables()
+    try {
+      names.foreach(n => side.table(n).createOrReplaceTempView(n))
+      spark.sql(query) // analyzed eagerly; safe to drop the views after
+    } finally {
+      names.foreach(n => spark.catalog.dropTempView(n))
+    }
+  }
+
+  /** Row-level drift for one shared table: rows (by canonical hash) present
+    * on exactly one side. Output columns: intersection columns (sorted) +
+    * `observed_in` + `hashed_row`
+    * (reference: lotad/queries/duckdb/db_compare_create_tmp_table_merge.sql).
+    * Returns None when the sides share no columns
+    * (reference: lotad/db_compare.py:337-339).
+    */
+  def dataDrift(table: String): Option[DataFrame] = {
+    val in1 = dropIgnored(sideInput(side1, table), table)
+    val in2 = dropIgnored(sideInput(side2, table), table)
+    val (p1, p2) = normalizedProjection(in1, in2)
+    if (p1.schema.isEmpty) return None
+    val cols = p1.columns
+    def tag(df: DataFrame, id: String) = df
+      .withColumn("observed_in", lit(id))
+      .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+    val tagged = tag(p1, side1.id).unionByName(tag(p2, side2.id))
+    val w = Window.partitionBy("hashed_row")
+    val drift = tagged
+      .withColumn("_smin", min("observed_in").over(w))
+      .withColumn("_smax", max("observed_in").over(w))
+      .filter($"_smin" === $"_smax")
+      .drop("_smin", "_smax")
+      .dropDuplicates()
+    Some(drift)
+  }
+
+  /** Per-table drift counts by side (reference:
+    * lotad/queries/duckdb/drift_analysis_extend_data_drift_summary.sql).
+    */
+  def summarize(table: String, drift: DataFrame): DataDriftSummaryRow = {
+    val counts = drift.groupBy("observed_in").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DataDriftSummaryRow(table, side1.id, counts.getOrElse(side1.id, 0L),
+      side2.id, counts.getOrElse(side2.id, 0L))
+  }
+
+  /** Full comparison across the catalog. Per-table diffs are independent
+    * Spark jobs and run concurrently (reference fans out one OS process
+    * per table, lotad/db_compare.py:192-217; we submit concurrent jobs in
+    * one session instead).
+    */
+  def compareAll(parallelism: Int = Runtime.getRuntime.availableProcessors().min(8)): DriftResult = {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val shared = sharedTables()
+    val schema = shared.flatMap(schemaDrift)
+    val missing = missingTableDrift()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(parallelism, 1)))
+    val futs = shared.map { t =>
+      Future {
+        dataDrift(t).map { df =>
+          val cached = df.persist()
+          val s = summarize(t, cached)
+          (t, cached, s)
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 24.hours).flatten
+    val withRows = results.filter { case (_, _, s) => s.rowsOnlyInDb1 + s.rowsOnlyInDb2 > 0 }
+    DriftResult(
+      schemaDrift = schema,
+      missingTables = missing,
+      dataDrift = withRows.map { case (t, df, _) => t -> df }.toMap,
+      summary = withRows.map(_._3))
+  }
+}
+
+/** Writers + report for drift results (reference: lotad/data_analysis.py). */
+object DriftOutput {
+
+  /** The reference wraps summary values in literal double quotes
+    * (reference: lotad/data_analysis.py:106-141); reproduced for parity.
+    */
+  private def q(s: String): String = "\"" + s + "\""
+
+  def schemaDriftDf(spark: SparkSession, rows: Seq[SchemaDriftRow]): DataFrame = {
+    val data = rows.map(r => Row(q(r.tableName), q(r.columnName), q(r.db1),
+      q(r.db1ColumnType.map(_.replace("'", "")).getOrElse("None")),
+      q(r.db2), q(r.db2ColumnType.map(_.replace("'", "")).getOrElse("None"))))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), StructType(Seq(
+      StructField("table_name", StringType), StructField("column_name", StringType),
+      StructField("db1", StringType), StructField("db1_column_type", StringType),
+      StructField("db2", StringType), StructField("db2_column_type", StringType))))
+  }
+
+  def missingTablesDf(spark: SparkSession, rows: Seq[MissingTableRow]): DataFrame = {
+    val data = rows.map(r => Row(q(r.tableName), q(r.observedIn), q(r.missingIn)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), StructType(Seq(
+      StructField("table_name", StringType), StructField("observed_in", StringType),
+      StructField("missing_in", StringType))))
+  }
+
+  def summaryDf(spark: SparkSession, rows: Seq[DataDriftSummaryRow]): DataFrame = {
+    val data = rows.map(r => Row(r.tableName, r.db1, r.rowsOnlyInDb1.toInt, r.db2, r.rowsOnlyInDb2.toInt))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), StructType(Seq(
+      StructField("table_name", StringType), StructField("db1", StringType),
+      StructField("rows_only_in_db1", IntegerType), StructField("db2", StringType),
+      StructField("rows_only_in_db2", IntegerType))))
+  }
+
+  /** Write the whole result as a directory of Parquet tables: one per
+    * drifted table plus the three summary tables — the Spark analog of the
+    * reference's result DuckDB file (reference: lotad/data_analysis.py:143-168).
+    */
+  def write(spark: SparkSession, result: DriftResult, outDir: String): Unit = {
+    result.dataDrift.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$t")
+    }
+    schemaDriftDf(spark, result.schemaDrift).write.mode("overwrite")
+      .parquet(s"$outDir/lotad_table_schema_drift")
+    missingTablesDf(spark, result.missingTables).write.mode("overwrite")
+      .parquet(s"$outDir/lotad_missing_table_drift")
+    summaryDf(spark, result.summary).write.mode("overwrite")
+      .parquet(s"$outDir/lotad_db_data_drift_summary")
+  }
+
+  /** Text report (reference: lotad/reports/db_comparison_report.j2). */
+  def report(result: DriftResult, db1: String, db2: String): String = {
+    val sb = new StringBuilder
+    sb.append("Lotad Drift Report\n==================\n\n")
+    sb.append(s"db1: $db1\ndb2: $db2\n\n")
+    sb.append("Missing tables\n--------------\n")
+    if (result.missingTables.isEmpty) sb.append("  (none)\n")
+    else result.missingTables.foreach { r =>
+      sb.append(s"  ${r.tableName}: observed in ${r.observedIn}, missing in ${r.missingIn}\n")
+    }
+    sb.append("\nSchema drift\n------------\n")
+    if (result.schemaDrift.isEmpty) sb.append("  (none)\n")
+    else result.schemaDrift.foreach { r =>
+      sb.append(s"  ${r.tableName}.${r.columnName}: " +
+        s"${r.db1}=${r.db1ColumnType.getOrElse("missing")} " +
+        s"${r.db2}=${r.db2ColumnType.getOrElse("missing")}\n")
+    }
+    sb.append("\nData drift\n----------\n")
+    if (result.summary.isEmpty) sb.append("  (none)\n")
+    else result.summary.sortBy(_.tableName).foreach { r =>
+      sb.append(s"  ${r.tableName}: ${r.rowsOnlyInDb1} rows only in ${r.db1}, " +
+        s"${r.rowsOnlyInDb2} rows only in ${r.db2}\n")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators._
+import graft.sources.MemorySide
+import graft.types.TypeRender
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's mutation-based test matrix
+  * (reference: test/data_drift_test.py, test/db_schema_drift_test.py,
+  * test/db_table_drift_test.py): db2 is the source of truth, db1 gets one
+  * mutation, and we assert the exact drift artifacts.
+  */
+class DriftCompareSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def base(): DataFrame = Seq(
+    (1L, "alice", 10.5, """{"k": 1, "j": 2}""", Seq(1, 2, 3)),
+    (2L, "bob", 20.0, """{"k": 2, "j": 3}""", Seq(4, 5, 6)),
+    (3L, "carol", 30.25, """{"k": 3, "j": 4}""", Seq(7, 8, 9))
+  ).toDF("id", "name", "score", "props", "tags")
+
+  private def cmp(db1: DataFrame, db2: DataFrame, config: DiffConfig = DiffConfig()) =
+    new DriftCompare(spark, MemorySide("db1", Map("t" -> db1)),
+      MemorySide("db2", Map("t" -> db2)), config)
+
+  private def driftCounts(c: DriftCompare): (Long, Long) = {
+    val d = c.dataDrift("t").get
+    val m = d.groupBy("observed_in").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m.getOrElse("db1", 0L), m.getOrElse("db2", 0L))
+  }
+
+  test("no mutation: no drift of any kind") {
+    val c = cmp(base(), base())
+    assert(c.schemaDrift("t").isEmpty)
+    assert(c.missingTableDrift().isEmpty)
+    assert(driftCounts(c) == ((0L, 0L)))
+  }
+
+  test("dropped column: schema drift only, no data drift") {
+    val c = cmp(base().drop("score"), base())
+    val sd = c.schemaDrift("t")
+    assert(sd == Seq(SchemaDriftRow("t", "score", "db1", None, "db2", Some("DOUBLE"))))
+    assert(driftCounts(c) == ((0L, 0L))) // intersection columns only
+  }
+
+  test("retyped column: schema drift row, but NO data drift (type-insensitive hash)") {
+    val c = cmp(base().withColumn("id", col("id").cast("string")), base())
+    val sd = c.schemaDrift("t")
+    assert(sd == Seq(SchemaDriftRow("t", "id", "db1", Some("VARCHAR"), "db2", Some("BIGINT"))))
+    assert(driftCounts(c) == ((0L, 0L)))
+  }
+
+  test("equivalent types (INTEGER vs BIGINT) produce no schema drift") {
+    val c = cmp(base().withColumn("id", col("id").cast("int")), base())
+    assert(c.schemaDrift("t").isEmpty)
+  }
+
+  test("deleted row: drift only on the surviving side") {
+    val c = cmp(base().filter($"id" =!= 2), base())
+    assert(driftCounts(c) == ((0L, 1L)))
+    val d = c.dataDrift("t").get
+    assert(d.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(d.columns.sorted.toSeq ==
+      Seq("hashed_row", "id", "name", "observed_in", "props", "score", "tags"))
+  }
+
+  test("updated value: both versions appear in drift") {
+    val mut = base().withColumn("score", when($"id" === 2, lit(99.9)).otherwise($"score"))
+    val c = cmp(mut, base())
+    assert(driftCounts(c) == ((1L, 1L)))
+  }
+
+  test("JSON key order and array order are NOT drift") {
+    val mut = base()
+      .withColumn("props", regexp_replace($"props", """\{"k": (\d), "j": (\d)\}""", """{"j": $2, "k": $1}"""))
+      .withColumn("tags", reverse($"tags"))
+    val c = cmp(mut, base())
+    assert(driftCounts(c) == ((0L, 0L)))
+  }
+
+  test("ignored column suppresses drift") {
+    val mut = base().withColumn("name", concat($"name", lit("_x")))
+    val cfg = DiffConfig(tableRules = Map("t" -> TableRules(ignoreColumns = Set("name"))))
+    assert(driftCounts(cmp(mut, base(), cfg)) == ((0L, 0L)))
+    assert(driftCounts(cmp(mut, base())) == ((3L, 3L)))
+  }
+
+  test("ignore_dates suppresses date/timestamp drift and schema presence") {
+    val withTs = base().withColumn("updated_at",
+      to_timestamp(lit("2024-01-01 00:00:00")))
+    val mut = withTs.withColumn("updated_at",
+      when($"id" === 1, to_timestamp(lit("2025-06-06 06:06:06"))).otherwise($"updated_at"))
+    val cfg = DiffConfig(ignoreDates = true)
+    assert(driftCounts(cmp(mut, withTs, cfg)) == ((0L, 0L)))
+    assert(driftCounts(cmp(mut, withTs)) == ((1L, 1L)))
+  }
+
+  test("missing table drift") {
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> base(), "extra1" -> base())),
+      MemorySide("db2", Map("t" -> base(), "extra2" -> base())))
+    assert(c.missingTableDrift() == Seq(
+      MissingTableRow("extra1", "db1", "db2"),
+      MissingTableRow("extra2", "db2", "db1")))
+    assert(c.sharedTables() == Seq("t"))
+  }
+
+  test("table include/exclude regex, case-insensitive, anchored") {
+    val cfg = DiffConfig(ignoreTables = Seq("EXTRA"))
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> base(), "extra1" -> base())),
+      MemorySide("db2", Map("t" -> base())), cfg)
+    assert(c.missingTableDrift().isEmpty)
+    val cfg2 = DiffConfig(targetTables = Seq("nope"))
+    val c2 = new DriftCompare(spark, MemorySide("db1", Map("t" -> base())),
+      MemorySide("db2", Map("t" -> base())), cfg2)
+    assert(c2.sharedTables().isEmpty)
+  }
+
+  test("custom query replaces the table scan, CTEs allowed") {
+    val mut = base().withColumn("score", when($"id" === 2, lit(99.9)).otherwise($"score"))
+    val cfg = DiffConfig(tableRules = Map("t" -> TableRules(
+      customQuery = Some("WITH x AS (SELECT id, name FROM t) SELECT * FROM x"))))
+    val c = cmp(mut, base(), cfg)
+    val d = c.dataDrift("t").get
+    assert(d.columns.sorted.toSeq == Seq("hashed_row", "id", "name", "observed_in"))
+    assert(d.count() == 0) // score excluded by the query -> no drift
+  }
+
+  test("within-side duplicates collapse (set semantics)") {
+    val dup = base().union(base()) // every row twice on db1
+    val c = cmp(dup, base())
+    assert(driftCounts(c) == ((0L, 0L)))
+  }
+
+  test("compareAll end-to-end with report") {
+    val mut = base().filter($"id" =!= 3).drop("tags")
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> mut, "only1" -> base())),
+      MemorySide("db2", Map("t" -> base())))
+    val r = c.compareAll(parallelism = 2)
+    assert(r.missingTables.map(_.tableName) == Seq("only1"))
+    assert(r.schemaDrift.map(_.columnName) == Seq("tags"))
+    assert(r.summary == Seq(DataDriftSummaryRow("t", "db1", 0L, "db2", 1L)))
+    val rep = DriftOutput.report(r, "db1", "db2")
+    assert(rep.contains("only1") && rep.contains("tags") && rep.contains("1 rows only in db2"))
+  }
+}
+
+class TypeRenderSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.types._
+  test("rendering matches DuckDB-style names") {
+    assert(TypeRender.render(LongType) == "BIGINT")
+    assert(TypeRender.render(StringType) == "VARCHAR")
+    assert(TypeRender.render(ArrayType(FloatType)) == "FLOAT[]")
+    assert(TypeRender.render(TimestampNTZType) == "TIMESTAMP")
+  }
+  test("generic equivalence: least precise common type") {
+    assert(TypeRender.equivalent("BIGINT", "INTEGER"))
+    assert(TypeRender.equivalent("VARCHAR", "TEXT"))
+    assert(TypeRender.equivalent("DOUBLE", "DECIMAL(18,2)"))
+    assert(TypeRender.equivalent("STRUCT(\"a\" BIGINT)", "JSON"))
+    assert(!TypeRender.equivalent("BIGINT", "VARCHAR"))
+    assert(!TypeRender.equivalent("DATE", "TIMESTAMP"))
+  }
+}
