@@ -40,7 +40,8 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- A1/A-class aggregation (TPC-H Q1 shape); map-side partial aggs,
     //      one shuffle on the two grouping keys ----
     "q1_pricing_summary" -> ((s, dir) => {
@@ -186,6 +187,96 @@ object SparkEntry {
         cfg)
       c.dataDrift("orders").get.drop("hashed_row")
     })
+  ) ++ pipelineQueries
+
+  /** Training-data pipeline operators (dedup, similarity, text analysis,
+    * multimodal, event streams) — first-class alongside the diff surface.
+    */
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- token counting (whitespace + BPE-ish regex) ----
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    // ---- quality scoring (length/punct/stopword heuristics) ----
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("punct_ratio"), col("stop_ratio"), col("mean_token_len"),
+          col("quality_score"))
+    }),
+
+    // ---- language ID (stopword-marker heuristic) ----
+    "q_text_langid" -> ((s, dir) => {
+      TextAnalysis.langId(t(s, dir, "documents"), "text")
+        .select(col("doc_id") +: col("pred_lang") +:
+          TextAnalysis.langMarkers.map { case (l, _) => col(s"c_$l").cast("long") }: _*)
+    }),
+
+    // ---- document fingerprint (normalized-content digest) ----
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- exact dedup: digest groupBy, min-id representative ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- n-gram (token-set) Jaccard near-dup pairs, lang-blocked ----
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        Seq("lang"), 0.9)),
+
+    // ---- MinHash+LSH near-dup pairs (rows-only: hash-sketch dependent;
+    //      candidates verified with exact Jaccard so no false positives) ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", 0.5)
+        .orderBy("id1", "id2")),
+
+    // ---- SimHash near-dup pairs (rows-only) ----
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("id1", "id2")),
+
+    // ---- embedding near-dup pairs within cluster blocks (IVF-style) ----
+    "q_embed_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "label", 0.3)),
+
+    // ---- brute-force cosine ANN top-k (broadcast query set) ----
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- hyperplane-LSH ANN (rows-only: recall depends on buckets) ----
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), 64, 5, 8)
+        .withColumn("rank", col("rank").cast("long")).orderBy("query_id", "rank")),
+
+    // ---- multimodal: binary payload + stubbed decode via mapPartitions ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(
+        Multimodal.withPayload(t(s, dir, "documents"), "text"))),
+
+    // ---- event stream: hourly tumbling-window aggregation ----
+    "q_events_window" -> ((s, dir) => {
+      graft.streaming.EventsOps.hourlyCounts(Tables.events(s, dir))
+        .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- event stream: gap-based sessionization via window functions ----
+    "q_events_sessions" -> ((s, dir) => {
+      graft.streaming.EventsOps.sessionize(Tables.events(s, dir), 30)
+        .select(col("user_id"), col("session_id").cast("long"),
+          col("session_start").cast("timestamp_ntz"),
+          col("session_end").cast("timestamp_ntz"), col("n_events"))
+        .orderBy("user_id", "session_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -295,5 +386,120 @@ object SparkEntry {
         |  d2 AS (SELECT * FROM q2 EXCEPT SELECT * FROM q1)
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2""".stripMargin
+  ) ++ pipelineOracles
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val stopSql = TextAnalysis.stopwordList.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val cosSql =
+    "list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
+
+  private def pipelineOracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH f AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |  m AS (SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stop_ratio,
+        |    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len
+        |  FROM f)
+        |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+        |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 4 ELSE 0 END +
+        |        CASE WHEN punct_ratio <= 0.2 THEN 2 ELSE 0 END +
+        |        CASE WHEN stop_ratio >= 0.05 THEN 2 ELSE 0 END +
+        |        CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 2 ELSE 0 END)
+        |    AS DOUBLE) / CAST(10 AS DOUBLE) AS quality_score
+        |FROM m""".stripMargin,
+
+    "q_text_langid" -> {
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val counts = TextAnalysis.langMarkers.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+      }.mkString(",\n|    ")
+      val cases = langs.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN c_$l > 0 AND $ge THEN '$l'"
+      }.mkString("\n|    ")
+      s"""WITH c AS (SELECT doc_id,
+        |    $counts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE $cases
+        |    ELSE 'und' END AS pred_lang,
+        |  ${langs.map(l => s"c_$l").mkString(", ")}
+        |FROM c""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, lang, list_distinct($toksSql) AS t FROM documents),
+        |  pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) AS jaccard
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.9""".stripMargin,
+
+    "q_embed_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |  p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cosine
+        |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |  q AS (SELECT * FROM v WHERE vec_id < 10),
+        |  scored AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cosine
+        |    FROM q a JOIN v b ON b.vec_id <> a.vec_id),
+        |  ranked AS (SELECT id1 AS query_id, id2 AS neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", neighbor_id, cosine FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  hex(encode(substr(text, 1, 4))) AS header_hex,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  l AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |  f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |         ELSE 0 END AS ns FROM l),
+        |  s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

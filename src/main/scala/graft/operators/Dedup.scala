@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.{MinHashSignature, SimHash64}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, token-set
+  * Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison.
+  * Exact dedup is a hash groupBy (one shuffle on the digest). Jaccard uses
+  * equality blocking. MinHash/LSH shuffles only (band, bandHash) keys, so
+  * the candidate join touches candidate buckets, not the corpus square.
+  */
+object Dedup {
+
+  /** Exact dedup on a content digest: one representative row (lowest `idCol`)
+    * per distinct digest. Single shuffle on the digest — the canonical
+    * 100 TB-safe formulation (min-by aggregation, no window over skewed
+    * groups, map-side partial aggregation applies).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+  }
+
+  /** Word 3-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) - 1)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Token-set Jaccard near-dup pairs under equality blocking.
+    * `blockCols` bounds the candidate space (documented recall tradeoff);
+    * at scale choose blocks so each block fits a partition.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val toks = df.select(Seq(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks")) ++
+      blockCols.map(col): _*)
+    val l = toks.select(Seq(col("id").as("id1"), col("toks").as("t1")) ++
+      blockCols.map(col): _*)
+    val r = toks.select(Seq(col("id").as("id2"), col("toks").as("t2")) ++
+      blockCols.map(col): _*)
+    l.join(r, blockCols)
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard", jaccard(col("t1"), col("t2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle -> one-pass signature ->
+    * band buckets -> bucket self-join for candidates -> exact Jaccard
+    * verification (Broder'97; banding per Leskovec et al., MMDS ch.3).
+    *
+    * numPerm = bands * rowsPerBand. Only (band, bandHash) is shuffled;
+    * candidate pairs are verified against exact shingle Jaccard so the
+    * output has no false positives.
+    */
+  def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, numPerm: Int = 128,
+                      bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol))).as("sh"))
+      .withColumn("sig", MinHashSignature(col("sh"), numPerm))
+    val banded = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2").dropDuplicates("id1", "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, exact-match buckets on
+    * 16-bit quarters. By pigeonhole, any pair within Hamming distance <= 3
+    * shares at least one exact quarter, so recall is total for
+    * maxHamming <= 3; candidates are verified with an exact popcount.
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      SimHash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    // block on 16-bit quarters: any pair within Hamming<=3 shares >=1 exact quarter
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
+    val l = blocked.select(col("q"), col("qkey"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = blocked.select(col("q"), col("qkey"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("q", "qkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as partition-local batch transforms.
+  *
+  * The actual media decoding (image/audio/video libraries) is STUBBED with
+  * a deterministic fake — this container has no codec libraries — but the
+  * Spark-side shape is real: binary columns survive Parquet round-trips,
+  * the decode runs via `mapPartitions` so per-partition decoder state
+  * (a real pipeline's codec context / model session) is initialized once
+  * per task, and output schemas are fixed `StructType`s.
+  */
+object Multimodal {
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("header_hex", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Attach a binary payload column derived from text (stand-in for real
+    * media bytes in the driver-provided corpus).
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** STUB media decode: deterministic pseudo-metadata from the payload
+    * bytes. A real implementation replaces `decodeOne` with a codec call;
+    * everything around it (batching, schema, null-safety) stays.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = input.queryExecution.toRdd.mapPartitions { it =>
+      // per-partition decoder init would go here (codec context, model...)
+      it.map { ir =>
+        val id = ir.getLong(0)
+        val bytes = ir.getBinary(1)
+        decodeOne(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd.map(t => Row(t._1, t._2, t._3, t._4, t._5, t._6)),
+      imageMetaSchema)
+  }
+
+  /** The stubbed decoder: header hex + deterministic fake dimensions. */
+  private def decodeOne(id: Long, bytes: Array[Byte]): (Long, Int, String, Int, Int, Int) = {
+    val n = bytes.length
+    val header = bytes.take(4).map(b => f"$b%02X").mkString
+    (id, n, header, n % 640, (n * 7) % 480, n % 16 + 1)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism note: dot products fold left-to-right in DOUBLE via the
+  * `aggregate` higher-order function, which is bit-identical to DuckDB's
+  * `list_dot_product` on DOUBLE[] — verified by the oracle harness.
+  *
+  * Scale design: brute force is the correctness baseline (fine for a
+  * broadcastable query set); the scale paths bound the candidate space —
+  * cluster blocking (IVF with a precomputed assignment) and random-
+  * hyperplane LSH. Both shuffle only bucket keys, never the pair square.
+  */
+object Similarity {
+
+  /** Cast a float array to double for deterministic arithmetic. */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. The query set is broadcast; the corpus streams —
+    * one pass, no corpus shuffle until the per-query top-k aggregation.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Near-duplicate pairs by cosine within equality blocks (IVF-style:
+    * `blockCol` is a precomputed cluster/partition assignment). Only
+    * within-block pairs are materialized.
+    */
+  def cosinePairsBlocked(df: DataFrame, blockCol: String, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val l = v.select(col("block"), col("id").as("id1"), col("v").as("v1"))
+    val r = v.select(col("block"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("block"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
+    * against deterministic (seeded) unit-free hyperplanes. Vectors in the
+    * same bucket are ANN candidates (Charikar, STOC'02).
+    */
+  def hyperplaneKey(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = (0 until nBits).map { b =>
+      val plane = array(planes(b).map(lit(_)): _*)
+      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane-LSH bucketing, verified with exact cosine, with
+    * per-query top-k. Recall depends on nBits; the corpus shuffles once on
+    * the bucket key.
+    */
+  def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneKey(col("v"), dim, nBits))
+    val l = keyed.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val r = keyed.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val cand = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

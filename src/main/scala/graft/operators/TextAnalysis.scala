@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. All are narrow (per-row) transformations —
+  * no shuffle, fully codegen'd built-in expressions — so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens (ASCII word chars; deterministic and
+    * mirrorable in any RE2-style engine).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => t =!= ""))
+
+  /** BPE-ish subword unit count: letter runs, single digits, punctuation
+    * runs — a cheap, deterministic proxy for tokenizer cost.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+
+  /** SQL fragment mirror of [[bpeishTokenCount]] for oracles. */
+  val bpeishPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "for", "on", "with", "as", "at", "by")
+
+  /** Stopword-hit count (English function words). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  val stopwordList: Seq[String] = stopwords
+
+  /** Heuristic quality features + a composite score in [0,1]:
+    * length, punctuation ratio, stopword ratio, mean token length.
+    * Thresholds follow common LLM-corpus filters (Gopher-style rules).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_chars_calc", length(text))
+      .withColumn("n_tokens", size(tokens(text)))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double") /
+          greatest(length(text), lit(1)))
+      .withColumn("stop_ratio",
+        stopwordCount(text).cast("double") / greatest(size(tokens(text)), lit(1)))
+      .withColumn("mean_token_len",
+        (length(text).cast("double") / greatest(size(tokens(text)), lit(1))))
+      .withColumn("quality_score",
+        // integer points summed exactly, one final double division —
+        // bit-identical across engines (no float accumulation)
+        (when(col("n_tokens") >= 10 && col("n_tokens") <= 100000, lit(4)).otherwise(lit(0)) +
+         when(col("punct_ratio") <= 0.2, lit(2)).otherwise(lit(0)) +
+         when(col("stop_ratio") >= 0.05, lit(2)).otherwise(lit(0)) +
+         when(col("mean_token_len") >= 3 && col("mean_token_len") <= 12, lit(2))
+           .otherwise(lit(0))).cast("double") / lit(10.0))
+  }
+
+  /** Language-ID stopword regexes per language (RE2-compatible, usable
+    * verbatim in DuckDB oracles).
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for|with|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\\b",
+    "es" -> "\\b(el|la|los|las|es|una|que|por|para|como)\\b",
+    "fr" -> "\\b(le|les|des|est|une|dans|pour|que|sur|avec)\\b",
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]")
+
+  /** N-gram/stopword heuristic language ID: per-language marker hit counts
+    * and an argmax with a deterministic precedence order.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val withCounts = langMarkers.foldLeft(df) { case (d, (lang, re)) =>
+      d.withColumn(s"c_$lang", size(regexp_extract_all(lowered, lit(re), lit(0))))
+    }
+    val langs = langMarkers.map(_._1)
+    // ordered CASE chain: first listed language with count >= all others
+    // wins (mirrorable 1:1 as SQL CASE in oracles)
+    val pred = langs.foldRight(lit("und")) { case (lang, rest) =>
+      val c = col(s"c_$lang")
+      val ge = langs.filter(_ != lang).map(o => c >= col(s"c_$o")).reduce(_ && _)
+      when(c > 0 && ge, lit(lang)).otherwise(rest)
+    }
+    withCounts.withColumn("pred_lang", pred)
+  }
+
+  /** Content fingerprint: md5 of whitespace-collapsed lowercase text —
+    * the exact-dedup key for near-identical formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling-hash fingerprint: k-gram hashes, window
+    * minima, distinct sorted — robust to local edits
+    * (Schleimer et al., SIGMOD'03). Hash-dependent, so tested by spec
+    * rather than SQL oracle.
+    */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
+    val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))
+    val windows = sequence(lit(0), greatest(size(hashes) - w, lit(0)) - 1)
+    array_sort(array_distinct(transform(windows, i => array_min(slice(hashes, i + 1, lit(w))))))
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated string talking about minhash lsh banding theory")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts") {
+    val d = Dedup.exactDedup(docs, "text", "doc_id").collect()
+    assert(d.length == 4)
+    val dup = d.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // keeper is min id
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+  }
+
+  test("jaccard is 1.0 for identical sets and order-insensitive") {
+    val j = docs.select(Dedup.jaccard(
+      split(lit("a b c"), " "), split(lit("c b a"), " ")).as("j"))
+      .limit(1).as[Double].collect()(0)
+    assert(j == 1.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)), // near 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical ~1, orthogonal 0, opposite -1") {
+    val r = vecs.filter($"vec_id" === 0).crossJoin(
+        vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .select($"id2", Similarity.cosine(
+        Similarity.asDouble($"embedding"), Similarity.asDouble($"e2")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) == 1.0)
+    assert(math.abs(r(1L) - 1.0) < 1e-3)
+    assert(r(2L) == 0.0)
+    assert(r(3L) == -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(top.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH buckets colocate a vector with its near-duplicate") {
+    val top = Similarity.lshTopK(vecs, 4, 1, 4)
+      .filter($"query_id" === 0).select("neighbor_id").as[Long].collect()
+    assert(top.headOption.contains(1L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq(("Hello, world! 42 times.")).toDF("text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text").as("ws"),
+      TextAnalysis.bpeishTokenCount($"text").as("bpe"),
+      size(TextAnalysis.tokens($"text")).as("toks")).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(2) == 4) // hello, world, 42, times
+  }
+
+  test("langId picks the language with most stopword markers") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the house of friends"),
+      (2L, "der Hund und die Katze sind nicht in der Schule"),
+      (3L, "el perro y la casa es una maravilla que parece"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(df, "text").select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "de")
+    assert(r(3L) == "es")
+    assert(r(4L) == "und")
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq(("  The   Quick\tFox  ", "the quick fox")).toDF("a", "b")
+    val r = df.select((TextAnalysis.fingerprint($"a") === TextAnalysis.fingerprint($"b")).as("eq"))
+      .as[Boolean].collect()(0)
+    assert(r)
+  }
+
+  test("winnowing fingerprints overlap heavily for locally-edited text") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      size(array_intersect(TextAnalysis.winnowingFingerprint($"a"),
+        TextAnalysis.winnowingFingerprint($"b"))).as("common"),
+      size(TextAnalysis.winnowingFingerprint($"a")).as("total")).collect()(0)
+    assert(r.getInt(0) > r.getInt(1) / 2)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("binary payload plumbing + stub decode schema and determinism") {
+    val df = Seq((7L, "abcdef")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImageMeta(Multimodal.withPayload(df, "text")).collect()(0)
+    assert(out.getLong(0) == 7L)
+    assert(out.getInt(1) == 6)
+    assert(out.getString(2) == "61626364") // 'abcd'
+    assert(out.getInt(3) == 6 && out.getInt(4) == 42 && out.getInt(5) == 7)
+  }
+
+  test("binary column round-trips through parquet") {
+    val df = Multimodal.withPayload(Seq((1L, "xyz")).toDF("doc_id", "text"), "text")
+    val path = java.nio.file.Files.createTempDirectory("mm").toString + "/t.parquet"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.schema("payload").dataType.typeName == "binary")
+    assert(new String(back.select("payload").collect()(0).getAs[Array[Byte]](0)) == "xyz")
+  }
+}
+
+class StreamingSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("streaming hourly counts with watermark match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.EventsOps.streamingHourlyCounts(events, "1 hour")
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 10:55:00"), "click", 2.5),
+        (ts("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hourly ORDER BY hour_start, event_type")
+        .select($"event_type", $"n_events", $"sum_value").as[(String, Long, Double)].collect()
+      assert(rows.toSeq == Seq(("click", 2L, 4.0), ("view", 1L, 4.0)))
+      // batch parity
+      val batch = graft.streaming.EventsOps.hourlyCounts(
+        Seq((ts("2024-01-01 10:05:00"), "click", 1.5),
+          (ts("2024-01-01 10:55:00"), "click", 2.5),
+          (ts("2024-01-01 11:05:00"), "view", 4.0)).toDF("ts", "event_type", "value"))
+        .select($"event_type", $"n_events", $"sum_value")
+        .orderBy("event_type").as[(String, Long, Double)].collect()
+      assert(batch.toSeq == Seq(("click", 2L, 4.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
