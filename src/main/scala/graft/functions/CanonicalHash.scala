@@ -44,8 +44,10 @@ object CanonicalHash {
   private val HEX = "0123456789abcdef".toCharArray
 
   /** xxh64 (seed 0) hexdigest, matching `xxhash.xxh64(..).hexdigest()`. */
-  def xxh64Hex(bytes: Array[Byte]): String = {
-    val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 0L)
+  def xxh64Hex(bytes: Array[Byte]): String = xxh64Hex(bytes, bytes.length)
+
+  def xxh64Hex(bytes: Array[Byte], len: Int): String = {
+    val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 0L)
     val out = new Array[Char](16)
     var i = 0
     while (i < 16) {
@@ -53,6 +55,59 @@ object CanonicalHash {
       i += 1
     }
     new String(out)
+  }
+
+  /** Growable byte buffer for zero-Formatter, single-copy JSON assembly. */
+  private final class ByteBuf(init: Int) {
+    var arr = new Array[Byte](init)
+    var len = 0
+    def reset(): Unit = len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + n))
+    def add(b: Int): Unit = { ensure(1); arr(len) = b.toByte; len += 1 }
+    def addBytes(src: Array[Byte]): Unit = {
+      ensure(src.length); System.arraycopy(src, 0, arr, len, src.length); len += src.length
+    }
+    /** Append `s` with orjson-compatible JSON string escaping, UTF-8 encoded. */
+    def addEscaped(s: String): Unit = {
+      ensure(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x80) {
+          if (c == '"') { add('\\'); add('"') }
+          else if (c == '\\') { add('\\'); add('\\') }
+          else if (c >= ' ') add(c)
+          else c match {
+            case '\b' => add('\\'); add('b')
+            case '\t' => add('\\'); add('t')
+            case '\n' => add('\\'); add('n')
+            case '\f' => add('\\'); add('f')
+            case '\r' => add('\\'); add('r')
+            case _ =>
+              add('\\'); add('u'); add('0'); add('0')
+              add(HEX((c >> 4) & 0xf)); add(HEX(c & 0xf))
+          }
+          i += 1
+        } else {
+          val cp = s.codePointAt(i)
+          if (cp < 0x800) {
+            add(0xc0 | (cp >> 6)); add(0x80 | (cp & 0x3f))
+          } else if (cp < 0x10000) {
+            add(0xe0 | (cp >> 12))
+            add(0x80 | ((cp >> 6) & 0x3f))
+            add(0x80 | (cp & 0x3f))
+          } else {
+            add(0xf0 | (cp >> 18))
+            add(0x80 | ((cp >> 12) & 0x3f))
+            add(0x80 | ((cp >> 6) & 0x3f))
+            add(0x80 | (cp & 0x3f))
+          }
+          i += Character.charCount(cp)
+        }
+      }
+    }
   }
 
   /** Append `s` as a JSON string literal (orjson-compatible escaping:
@@ -153,59 +208,118 @@ object CanonicalHash {
     case _ => node.asText()
   }
 
+  private def pad(sb: java.lang.StringBuilder, v: Int, width: Int): Unit = {
+    var div = 1
+    var i = 1
+    while (i < width) { div *= 10; i += 1 }
+    while (div > 1 && v < div) { sb.append('0'); div /= 10 }
+    if (v > 0 || div == 1) sb.append(v)
+  }
+
   private def tsString(micros: Long): String = {
-    val inst = java.time.Instant.ofEpochSecond(
-      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
-    val ldt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
-    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
-      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-    val us = ldt.getNano / 1000
-    if (us == 0) base else f"$base.$us%06d"
+    val days = Math.floorDiv(micros, 86400000000L)
+    val rem = Math.floorMod(micros, 86400000000L)
+    val ld = java.time.LocalDate.ofEpochDay(days)
+    val secOfDay = (rem / 1000000L).toInt
+    val us = (rem % 1000000L).toInt
+    val sb = new java.lang.StringBuilder(26)
+    pad(sb, ld.getYear, 4); sb.append('-')
+    pad(sb, ld.getMonthValue, 2); sb.append('-')
+    pad(sb, ld.getDayOfMonth, 2); sb.append(' ')
+    pad(sb, secOfDay / 3600, 2); sb.append(':')
+    pad(sb, (secOfDay / 60) % 60, 2); sb.append(':')
+    pad(sb, secOfDay % 60, 2)
+    if (us != 0) { sb.append('.'); pad(sb, us, 6) }
+    sb.toString
   }
 
   private def dateString(days: Int): String =
     java.time.LocalDate.ofEpochDay(days.toLong).toString
 
-  /** Canonical string of a Spark internal value of the given type. */
-  def canonicalSpark(value: Any, dt: DataType): String = {
-    if (value == null) return "None"
-    dt match {
-      case StringType => canonicalString(value.asInstanceOf[UTF8String].toString)
-      case BooleanType => if (value.asInstanceOf[Boolean]) "True" else "False"
-      case ByteType | ShortType | IntegerType | LongType => value.toString
-      case FloatType => PyFormat.pyDouble(value.asInstanceOf[Float].toDouble)
-      case DoubleType => PyFormat.pyDouble(value.asInstanceOf[Double])
-      case _: DecimalType => PyFormat.pyDouble(value.asInstanceOf[Decimal].toDouble)
-      case DateType => dateString(value.asInstanceOf[Int])
-      case TimestampType | TimestampNTZType => tsString(value.asInstanceOf[Long])
-      case BinaryType =>
-        java.util.Base64.getEncoder.encodeToString(value.asInstanceOf[Array[Byte]])
-      case st: StructType =>
-        val row = value.asInstanceOf[InternalRow]
-        val pairs = st.fields.zipWithIndex.map { case (f, i) =>
-          f.name -> canonicalSpark(row.get(i, f.dataType), f.dataType)
+  /** Canonical string of a Spark internal value of the given type
+    * (convenience wrapper; hot paths use [[compile]]).
+    */
+  def canonicalSpark(value: Any, dt: DataType): String = compile(dt)(value)
+
+  type Canon = Any => String
+
+  /** Compile a per-DataType canonicalizer once, so the per-row hot path is
+    * free of type dispatch: struct field order is pre-sorted, field-name
+    * JSON fragments are pre-escaped, and scalar paths are direct closures.
+    */
+  def compile(dt: DataType): Canon = {
+    val c = compileNonNull(dt)
+    v => if (v == null) "None" else c(v)
+  }
+
+  private def compileNonNull(dt: DataType): Canon = dt match {
+    case StringType => v => canonicalString(v.asInstanceOf[UTF8String].toString)
+    case BooleanType => v => if (v.asInstanceOf[Boolean]) "True" else "False"
+    case ByteType | ShortType | IntegerType | LongType => v => v.toString
+    case FloatType => v => PyFormat.pyDouble(v.asInstanceOf[Float].toDouble)
+    case DoubleType => v => PyFormat.pyDouble(v.asInstanceOf[Double])
+    case _: DecimalType => v => PyFormat.pyDouble(v.asInstanceOf[Decimal].toDouble)
+    case DateType => v => dateString(v.asInstanceOf[Int])
+    case TimestampType | TimestampNTZType => v => tsString(v.asInstanceOf[Long])
+    case BinaryType =>
+      v => java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+    case st: StructType =>
+      // pre-sort fields; pre-render `,"name":"` fragments as UTF-8 bytes;
+      // assemble the row JSON in a reused thread-local byte buffer — no
+      // StringBuilder, no String, no second UTF-8 encode per row
+      val fields = st.fields.zipWithIndex
+        .map { case (f, i) => (f.name, i, compile(f.dataType), f.dataType) }
+        .sortWith((a, b) => PyFormat.cpCompare(a._1, b._1) < 0)
+      val keyFrags = fields.zipWithIndex.map { case ((name, _, _, _), i) =>
+        val sb = new StringBuilder
+        if (i > 0) sb.append(',')
+        appendJsonString(sb, name)
+        sb.append(':').append('"')
+        sb.toString.getBytes(StandardCharsets.UTF_8)
+      }
+      val local = ThreadLocal.withInitial[ByteBuf](() => new ByteBuf(256))
+      v => {
+        val row = v.asInstanceOf[InternalRow]
+        val buf = local.get()
+        buf.reset()
+        buf.add('{')
+        var i = 0
+        while (i < fields.length) {
+          buf.addBytes(keyFrags(i))
+          val (_, ord, canon, fdt) = fields(i)
+          buf.addEscaped(canon(row.get(ord, fdt)))
+          buf.add('"')
+          i += 1
         }
-        hashObject(pairs.sortWith((a, b) => PyFormat.cpCompare(a._1, b._1) < 0).toSeq)
-      case at: ArrayType =>
-        val arr = value.asInstanceOf[ArrayData]
+        buf.add('}')
+        xxh64Hex(buf.arr, buf.len)
+      }
+    case at: ArrayType =>
+      val elemCanon = compile(at.elementType)
+      val et = at.elementType
+      v => {
+        val arr = v.asInstanceOf[ArrayData]
         val out = new Array[String](arr.numElements())
         var i = 0
         while (i < out.length) {
-          out(i) = canonicalSpark(arr.get(i, at.elementType), at.elementType)
+          out(i) = elemCanon(arr.get(i, et))
           i += 1
         }
         hashList(out)
-      case mt: MapType =>
-        val m = value.asInstanceOf[MapData]
+      }
+    case mt: MapType =>
+      val kCanon = compile(mt.keyType)
+      val vCanon = compile(mt.valueType)
+      v => {
+        val m = v.asInstanceOf[MapData]
         val ks = m.keyArray()
         val vs = m.valueArray()
         val pairs = (0 until m.numElements()).map { i =>
-          canonicalSpark(ks.get(i, mt.keyType), mt.keyType) ->
-            canonicalSpark(vs.get(i, mt.valueType), mt.valueType)
+          kCanon(ks.get(i, mt.keyType)) -> vCanon(vs.get(i, mt.valueType))
         }
         hashObject(pairs.sortWith((a, b) => PyFormat.cpCompare(a._1, b._1) < 0))
-      case _ => value.toString
-    }
+      }
+    case _ => v => v.toString
   }
 }
 
@@ -220,9 +334,11 @@ case class CanonicalRowHash(child: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
+  @transient private lazy val canon = CanonicalHash.compile(child.dataType)
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    UTF8String.fromString(CanonicalHash.canonicalSpark(v, child.dataType))
+    UTF8String.fromString(canon(v))
   }
 
   override def prettyName: String = "get_row_hash"

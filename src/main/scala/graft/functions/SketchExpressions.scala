@@ -44,10 +44,10 @@ case class MinHashSignature(child: Expression, numPerm: Int)
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i).toString
+          val s = arr.getUTF8String(i)
           var p = 0
           while (p < numPerm) {
-            val h = SketchUtil.hash(s, p.toLong)
+            val h = XXH64.hashUTF8String(s, p.toLong)
             if (h < sig(p)) sig(p) = h
             p += 1
           }
@@ -83,7 +83,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val h = SketchUtil.hash(arr.getUTF8String(i).toString, 0L)
+          val h = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{MinHashSignature, SimHash64, SortedJaccardSim, TokenArray, TokenSet, WordShingles}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -34,12 +34,10 @@ object Dedup {
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Exact Jaccard similarity of two string-array columns (as sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two string-array columns (as sets) —
+    * native single-pass kernel (see [[graft.functions.ArrayJaccardSim]]).
+    */
+  def jaccard(a: Column, b: Column): Column = graft.functions.ArrayJaccardSim(a, b)
 
   /** Token-set Jaccard near-dup pairs under equality blocking.
     * `blockCols` bounds the candidate space (documented recall tradeoff);
@@ -48,7 +46,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
     val toks = df.select(Seq(col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks")) ++
+      TokenSet(col(textCol)).as("toks")) ++
       blockCols.map(col): _*)
     val l = toks.select(Seq(col("id").as("id1"), col("toks").as("t1")) ++
       blockCols.map(col): _*)
@@ -56,7 +54,12 @@ object Dedup {
       blockCols.map(col): _*)
     l.join(r, blockCols)
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard", jaccard(col("t1"), col("t2")))
+      // lossless size-ratio prefilter: jaccard >= t implies
+      // t*|B| <= |A| and t*|A| <= |B| — prunes most pairs with two
+      // integer-sized comparisons before the merge-scan kernel runs
+      .filter(size(col("t1")).cast("double") >= lit(threshold) * size(col("t2")) &&
+              size(col("t2")).cast("double") >= lit(threshold) * size(col("t1")))
+      .withColumn("jaccard", SortedJaccardSim(col("t1"), col("t2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -75,7 +78,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol))).as("sh"))
+      WordShingles(col(textCol), 3).as("sh"))
       .withColumn("sig", MinHashSignature(col("sh"), numPerm))
     val banded = base.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -86,7 +89,7 @@ object Dedup {
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "sh1", "sh2").dropDuplicates("id1", "id2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jaccard", SortedJaccardSim(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -99,7 +102,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
-      SimHash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+      SimHash64(TokenArray(col(textCol))).as("sig"))
     // block on 16-bit quarters: any pair within Hamming<=3 shares >=1 exact quarter
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(q =>

@@ -188,15 +188,18 @@ final class DriftCompare(
     def tag(df: DataFrame, id: String) = df
       .withColumn("observed_in", lit(id))
       .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
-    val tagged = tag(p1, side1.id).unionByName(tag(p2, side2.id))
-    val w = Window.partitionBy("hashed_row")
-    val drift = tagged
-      .withColumn("_smin", min("observed_in").over(w))
-      .withColumn("_smax", max("observed_in").over(w))
-      .filter($"_smin" === $"_smax")
-      .drop("_smin", "_smax")
-      .dropDuplicates()
-    Some(drift)
+    val h1 = tag(p1, side1.id)
+    val h2 = tag(p2, side2.id)
+    // Dual hash anti-join. Each side shuffles its full rows once (as the
+    // join's left) and only the 16-byte hash column once (as the right) —
+    // cheaper than any formulation that groups by hashed_row, because
+    // hashes are near-unique: a window or groupBy over them degenerates
+    // into millions of one-row groups (buffer-allocation churn), while
+    // the anti-join streams. Catalyst/AQE pick broadcast vs shuffled hash
+    // vs sort-merge per side size.
+    val only1 = h1.join(h2.select("hashed_row"), Seq("hashed_row"), "left_anti")
+    val only2 = h2.join(h1.select("hashed_row"), Seq("hashed_row"), "left_anti")
+    Some(only1.unionByName(only2).dropDuplicates())
   }
 
   /** Per-table drift counts by side (reference:
