@@ -60,11 +60,9 @@ final case class DriftResult(
   *
   * Spark-first design notes (vs the reference's per-table DuckDB sessions,
   * reference: lotad/db_compare.py:305-377):
-  *  - the symmetric hash diff runs as ONE shuffle per table: both tagged
-  *    sides are unioned and partitioned by `hashed_row`, side-presence is
-  *    decided with a window min/max — instead of two anti-joins that would
-  *    each shuffle both inputs. At 100 TB that halves shuffle volume and
-  *    removes the need to cache the hashed sides.
+  *  - the symmetric hash diff is a dual hash anti-join (see [[dataDrift]]):
+  *    each side's full rows shuffle once and its 16-byte hash column once;
+  *    AQE picks broadcast/shuffled-hash/sort-merge per side, handles skew.
   *  - projections are declared on the DataFrame, so Catalyst pushes column
   *    pruning into the Parquet scan (only intersection columns are read).
   *  - set semantics are preserved exactly: presence is per-hash, and the
@@ -223,18 +221,21 @@ final class DriftCompare(
     val shared = sharedTables()
     val schema = shared.flatMap(schemaDrift)
     val missing = missingTableDrift()
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(parallelism, 1)))
-    val futs = shared.map { t =>
-      Future {
-        dataDrift(t).map { df =>
-          val cached = df.persist()
-          val s = summarize(t, cached)
-          (t, cached, s)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(parallelism, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try {
+        val futs = shared.map { t =>
+          Future {
+            dataDrift(t).map { df =>
+              val cached = df.persist()
+              val s = summarize(t, cached)
+              (t, cached, s)
+            }
+          }
         }
-      }
-    }
-    val results = Await.result(Future.sequence(futs), 24.hours).flatten
+        Await.result(Future.sequence(futs), 24.hours).flatten
+      } finally pool.shutdown()
     val withRows = results.filter { case (_, _, s) => s.rowsOnlyInDb1 + s.rowsOnlyInDb2 > 0 }
     DriftResult(
       schemaDrift = schema,
