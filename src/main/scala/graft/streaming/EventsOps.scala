@@ -51,3 +51,65 @@ object EventsOps {
         count(lit(1)).as("n_events"))
   }
 }
+
+/** Closed session emitted by the stateful streaming sessionizer. */
+final case class SessionOut(
+    user_id: Long, session_id: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long)
+
+private[streaming] final case class SessionState(
+    sessionId: Long, startMs: Long, lastMs: Long, count: Long)
+
+/** Stateful gap sessionization on a stream via
+  * `flatMapGroupsWithState`: per-user state tracks the open session; a
+  * new event past the gap closes and emits the previous session; an
+  * event-time timeout (watermark-driven) closes idle sessions. The batch
+  * equivalent is [[EventsOps.sessionize]].
+  */
+object StreamingSessionize {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame, gapMinutes: Int = 30,
+            lateness: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, st.sessionId,
+        new java.sql.Timestamp(st.startMs), new java.sql.Timestamp(st.lastMs), st.count)
+
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) => {
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the idle horizon: close the open session
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              if (st.lastMs < 0) st = SessionState(st.sessionId + 1, t, t, 1L)
+              else if (t - st.lastMs > gapMs) {
+                closed += flush(userId, st)
+                st = SessionState(st.sessionId + 1, t, t, 1L)
+              } else st = st.copy(lastMs = t, count = st.count + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            closed.result().iterator
+          }
+        })
+  }
+}

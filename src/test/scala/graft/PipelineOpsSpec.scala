@@ -177,3 +177,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingSessionizeSpec extends SparkSpecBase {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("stateful streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.StreamingSessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: two events 10 min apart (one session), then one 2h later
+      // (closes session 1); user 2: single event then long silence
+      mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:10:00"), 1L))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sessions").as[graft.streaming.SessionOut].collect()
+      assert(closed.length == 1)
+      val s = closed(0)
+      assert(s.user_id == 1L && s.session_id == 1L && s.n_events == 2L)
+      assert(s.session_start == ts("2024-01-01 10:00:00") && s.session_end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}
