@@ -71,6 +71,7 @@ object GraftApp {
           val comparator = new DriftCompare(spark, s1, s2, config.diffConfig)
           val result = comparator.compareAll()
           DriftOutput.write(spark, result, config.outputPath)
+          comparator.cleanup()
           println(DriftOutput.report(result, config.db1Details.path, config.db2Details.path))
           println(f"completed in ${(System.nanoTime() - t0) / 1e9}%.1f sec; " +
             s"results in ${config.outputPath}")

@@ -177,15 +177,39 @@ final class DriftCompare(
     * Returns None when the sides share no columns
     * (reference: lotad/db_compare.py:337-339).
     */
-  def dataDrift(table: String): Option[DataFrame] = {
+  /** Hashed sides persisted by `dataDrift(cacheInputs = true)`, released
+    * by [[cleanup]] once results are consumed.
+    */
+  private val cachedInputs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def cleanup(): Unit = synchronized {
+    cachedInputs.foreach(_.unpersist(blocking = false))
+    cachedInputs.clear()
+  }
+
+  def dataDrift(table: String): Option[DataFrame] = dataDrift(table, cacheInputs = false)
+
+  /** With `cacheInputs = true` the hashed sides are persisted
+    * (MEMORY_AND_DISK) so each side is scanned and hashed once instead of
+    * twice (each side feeds one anti-join as the full left and the other
+    * as the hash-only build). Call [[cleanup]] after consuming results.
+    */
+  def dataDrift(table: String, cacheInputs: Boolean): Option[DataFrame] = {
     val in1 = dropIgnored(sideInput(side1, table), table)
     val in2 = dropIgnored(sideInput(side2, table), table)
     val (p1, p2) = normalizedProjection(in1, in2)
     if (p1.schema.isEmpty) return None
     val cols = p1.columns
-    def tag(df: DataFrame, id: String) = df
-      .withColumn("observed_in", lit(id))
-      .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+    def tag(df: DataFrame, id: String) = {
+      val tagged = df
+        .withColumn("observed_in", lit(id))
+        .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+      if (cacheInputs) {
+        val cached = tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized { cachedInputs += cached }
+        cached
+      } else tagged
+    }
     val h1 = tag(p1, side1.id)
     val h2 = tag(p2, side2.id)
     // Dual hash anti-join. Each side shuffles its full rows once (as the
@@ -227,7 +251,7 @@ final class DriftCompare(
       try {
         val futs = shared.map { t =>
           Future {
-            dataDrift(t).map { df =>
+            dataDrift(t, cacheInputs = true).map { df =>
               val cached = df.persist()
               val s = summarize(t, cached)
               (t, cached, s)
