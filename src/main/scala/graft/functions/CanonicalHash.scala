@@ -110,6 +110,100 @@ object CanonicalHash {
     }
   }
 
+  /** Direct byte writer for a field value inside the row-JSON assembly:
+    * scalars emit their canonical bytes with no intermediate String where
+    * practical; nested/JSON-ish values fall back to the generic canon.
+    */
+  private type CanonW = (Any, ByteBuf) => Unit
+
+  private def addAscii(buf: ByteBuf, s: String): Unit = {
+    var i = 0
+    while (i < s.length) { buf.add(s.charAt(i)); i += 1 }
+  }
+
+  private def addPad(buf: ByteBuf, v: Int, width: Int): Unit = {
+    var div = 1
+    var i = 1
+    while (i < width) { div *= 10; i += 1 }
+    if (v >= div * 10) { addAscii(buf, v.toString); return } // wider than field
+    while (div > 0) {
+      buf.add('0' + (v / div) % 10)
+      div /= 10
+    }
+  }
+
+  private def writerFor(dt: DataType): CanonW = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else addAscii(buf, v.toString)
+    case BooleanType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else addAscii(buf, if (v.asInstanceOf[Boolean]) "True" else "False")
+    case DoubleType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else addAscii(buf, PyFormat.pyDouble(v.asInstanceOf[Double]))
+    case FloatType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else addAscii(buf, PyFormat.pyDouble(v.asInstanceOf[Float].toDouble))
+    case TimestampType | TimestampNTZType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else {
+          val micros = v.asInstanceOf[Long]
+          val days = Math.floorDiv(micros, 86400000000L)
+          val rem = Math.floorMod(micros, 86400000000L)
+          val ld = java.time.LocalDate.ofEpochDay(days)
+          val secOfDay = (rem / 1000000L).toInt
+          val us = (rem % 1000000L).toInt
+          addPad(buf, ld.getYear, 4); buf.add('-')
+          addPad(buf, ld.getMonthValue, 2); buf.add('-')
+          addPad(buf, ld.getDayOfMonth, 2); buf.add(' ')
+          addPad(buf, secOfDay / 3600, 2); buf.add(':')
+          addPad(buf, (secOfDay / 60) % 60, 2); buf.add(':')
+          addPad(buf, secOfDay % 60, 2)
+          if (us != 0) { buf.add('.'); addPad(buf, us, 6) }
+        }
+    case StringType =>
+      (v, buf) =>
+        if (v == null) addAscii(buf, "None")
+        else {
+          val u = v.asInstanceOf[UTF8String]
+          val n = u.numBytes()
+          val b0 = if (n > 0) u.getByte(0) else 0
+          if (b0 == '{' || b0 == '[' || b0 == '%')
+            buf.addEscaped(canonicalString(u.toString)) // may parse as JSON
+          else {
+            // fast path: escape-scan the raw UTF-8 bytes (multi-byte
+            // sequences have the high bit set and pass through untouched)
+            var i = 0
+            while (i < n) {
+              val b = u.getByte(i)
+              if (b < 0 || (b >= 0x20 && b != '"' && b != '\\')) buf.add(b)
+              else if (b == '"') { buf.add('\\'); buf.add('"') }
+              else if (b == '\\') { buf.add('\\'); buf.add('\\') }
+              else b match {
+                case 0x08 => buf.add('\\'); buf.add('b')
+                case 0x09 => buf.add('\\'); buf.add('t')
+                case 0x0a => buf.add('\\'); buf.add('n')
+                case 0x0c => buf.add('\\'); buf.add('f')
+                case 0x0d => buf.add('\\'); buf.add('r')
+                case _ =>
+                  buf.add('\\'); buf.add('u'); buf.add('0'); buf.add('0')
+                  buf.add(HEX((b >> 4) & 0xf)); buf.add(HEX(b & 0xf))
+              }
+              i += 1
+            }
+          }
+        }
+    case other =>
+      val c = compile(other)
+      (v, buf) => buf.addEscaped(c(v))
+  }
+
   /** Append `s` as a JSON string literal (orjson-compatible escaping:
     * minimal ASCII escapes, raw UTF-8 for non-ASCII).
     */
@@ -266,9 +360,10 @@ object CanonicalHash {
     case st: StructType =>
       // pre-sort fields; pre-render `,"name":"` fragments as UTF-8 bytes;
       // assemble the row JSON in a reused thread-local byte buffer — no
-      // StringBuilder, no String, no second UTF-8 encode per row
+      // StringBuilder, no String, no second UTF-8 encode per row. Scalar
+      // field values write their bytes directly (see writerFor).
       val fields = st.fields.zipWithIndex
-        .map { case (f, i) => (f.name, i, compile(f.dataType), f.dataType) }
+        .map { case (f, i) => (f.name, i, writerFor(f.dataType), f.dataType) }
         .sortWith((a, b) => PyFormat.cpCompare(a._1, b._1) < 0)
       val keyFrags = fields.zipWithIndex.map { case ((name, _, _, _), i) =>
         val sb = new StringBuilder
@@ -286,8 +381,8 @@ object CanonicalHash {
         var i = 0
         while (i < fields.length) {
           buf.addBytes(keyFrags(i))
-          val (_, ord, canon, fdt) = fields(i)
-          buf.addEscaped(canon(row.get(ord, fdt)))
+          val (_, ord, writer, fdt) = fields(i)
+          writer(row.get(ord, fdt), buf)
           buf.add('"')
           i += 1
         }
