@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{DriftCompare, DriftOutput}
+import graft.sources.ParquetSide
+import org.apache.spark.sql.functions._
+
+/** End-to-end over real Parquet directories (the CLI's layout). */
+class ParquetSideSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val (dir1, dir2) = {
+    val base = java.nio.file.Files.createTempDirectory("sides").toString
+    val t = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "x")
+    t.coalesce(1).write.parquet(s"$base/s2/t.parquet")
+    t.filter($"id" =!= 2).coalesce(1).write.parquet(s"$base/s1/t.parquet")
+    t.coalesce(1).write.parquet(s"$base/s2/extra.parquet")
+    (s"$base/s1", s"$base/s2")
+  }
+
+  test("ParquetSide lists tables and serves DataFrames") {
+    val side = ParquetSide(spark, dir2, "db2")
+    assert(side.listTables() == Seq("extra", "t"))
+    assert(side.table("t").count() == 3)
+    assert(side.schema("t").fieldNames.toSeq == Seq("id", "name", "x"))
+  }
+
+  test("compareAll over parquet dirs + write round-trip") {
+    val c = new DriftCompare(spark,
+      ParquetSide(spark, dir1, "db1"), ParquetSide(spark, dir2, "db2"))
+    val r = c.compareAll(parallelism = 2)
+    assert(r.missingTables.map(_.tableName) == Seq("extra"))
+    assert(r.summary.map(s => (s.tableName, s.rowsOnlyInDb1, s.rowsOnlyInDb2)) ==
+      Seq(("t", 0L, 1L)))
+    val out = java.nio.file.Files.createTempDirectory("driftout").toString
+    DriftOutput.write(spark, r, out)
+    c.cleanup()
+    val drift = spark.read.parquet(s"$out/t")
+    assert(drift.count() == 1 && drift.select("id").as[Long].collect()(0) == 2L)
+    val summary = spark.read.parquet(s"$out/lotad_db_data_drift_summary")
+    assert(summary.count() == 1)
+    val missing = spark.read.parquet(s"$out/lotad_missing_table_drift")
+    assert(missing.select("table_name").as[String].collect()(0) == "\"extra\"")
+  }
+}
