@@ -269,6 +269,39 @@ object SparkEntry {
         .orderBy("hour_start", "event_type")
     }),
 
+    // ---- as-of join (union-tag-window; Spark lacks the operator) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      AsOfJoin.asOf(ev, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz"),
+          col("value"), col("asof_ts").cast("timestamp_ntz").as("click_ts"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- rollup (multi-level aggregation with grouping ids) ----
+    "q_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- INTERSECT / EXCEPT set operations ----
+    "q_set_ops" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter("o_orderkey % 3 = 0")
+        .select("o_orderkey", "o_orderstatus")
+      val b = t(s, dir, "orders").filter("o_orderkey % 5 = 0")
+        .select("o_orderkey", "o_orderstatus")
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+    }),
+
     // ---- event stream: gap-based sessionization via window functions ----
     "q_events_sessions" -> ((s, dir) => {
       graft.streaming.EventsOps.sessionize(Tables.events(s, dir), 30)
@@ -486,6 +519,31 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |  clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.value,
+        |  c.ts AS click_ts, c.click_value
+        |FROM ev e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |  b AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT *, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT *, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
 
     "q_events_sessions" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -204,3 +204,22 @@ class StreamingSessionizeSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("as-of join picks latest right row at-or-before left time, per key") {
+    val trades = Seq(("A", 10, "t1"), ("A", 25, "t2"), ("B", 5, "t3"), ("A", 3, "t0"))
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq(("A", 5, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 9, 50.0))
+      .toDF("sym", "t", "px")
+    val out = operators.AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t")
+      .select($"trade_id", $"asof_t", $"px").collect()
+      .map(r => r.getString(0) -> ((if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+    assert(out("t1") == ((10, 101.0)))  // equal time matches (inclusive)
+    assert(out("t2") == ((20, 102.0)))  // latest at-or-before 25
+    assert(out("t3") == ((-1, -1.0)))   // B@5: no quote at-or-before -> nulls
+    assert(out("t0") == ((-1, -1.0)))   // A@3: before first quote
+  }
+}
