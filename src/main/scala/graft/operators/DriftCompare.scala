@@ -60,9 +60,11 @@ final case class DriftResult(
   *
   * Spark-first design notes (vs the reference's per-table DuckDB sessions,
   * reference: lotad/db_compare.py:305-377):
-  *  - the symmetric hash diff is a dual hash anti-join (see [[dataDrift]]):
-  *    each side's full rows shuffle once and its 16-byte hash column once;
-  *    AQE picks broadcast/shuffled-hash/sort-merge per side, handles skew.
+  *  - the symmetric hash diff is a single-pass run-scan (see
+  *    [[HashRunScan]]): each side is scanned and hashed once, the union
+  *    shuffles once on `hashed_row`, and single-side runs stream out with
+  *    inline dedup — half the IO of a dual anti-join and no trailing
+  *    distinct shuffle.
   *  - projections are declared on the DataFrame, so Catalyst pushes column
   *    pruning into the Parquet scan (only intersection columns are read).
   *  - set semantics are preserved exactly: presence is per-hash, and the
@@ -177,51 +179,25 @@ final class DriftCompare(
     * Returns None when the sides share no columns
     * (reference: lotad/db_compare.py:337-339).
     */
-  /** Hashed sides persisted by `dataDrift(cacheInputs = true)`, released
-    * by [[cleanup]] once results are consumed.
-    */
-  private val cachedInputs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Kept for API compatibility; the run-scan diff holds no session state. */
+  def cleanup(): Unit = ()
 
-  def cleanup(): Unit = synchronized {
-    cachedInputs.foreach(_.unpersist(blocking = false))
-    cachedInputs.clear()
-  }
-
-  def dataDrift(table: String): Option[DataFrame] = dataDrift(table, cacheInputs = false)
-
-  /** With `cacheInputs = true` the hashed sides are persisted
-    * (MEMORY_AND_DISK) so each side is scanned and hashed once instead of
-    * twice (each side feeds one anti-join as the full left and the other
-    * as the hash-only build). Call [[cleanup]] after consuming results.
-    */
-  def dataDrift(table: String, cacheInputs: Boolean): Option[DataFrame] = {
+  def dataDrift(table: String): Option[DataFrame] = {
     val in1 = dropIgnored(sideInput(side1, table), table)
     val in2 = dropIgnored(sideInput(side2, table), table)
     val (p1, p2) = normalizedProjection(in1, in2)
     if (p1.schema.isEmpty) return None
     val cols = p1.columns
-    def tag(df: DataFrame, id: String) = {
-      val tagged = df
-        .withColumn("observed_in", lit(id))
-        .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
-      if (cacheInputs) {
-        val cached = tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        synchronized { cachedInputs += cached }
-        cached
-      } else tagged
-    }
-    val h1 = tag(p1, side1.id)
-    val h2 = tag(p2, side2.id)
-    // Dual hash anti-join. Each side shuffles its full rows once (as the
-    // join's left) and only the 16-byte hash column once (as the right) —
-    // cheaper than any formulation that groups by hashed_row, because
-    // hashes are near-unique: a window or groupBy over them degenerates
-    // into millions of one-row groups (buffer-allocation churn), while
-    // the anti-join streams. Catalyst/AQE pick broadcast vs shuffled hash
-    // vs sort-merge per side size.
-    val only1 = h1.join(h2.select("hashed_row"), Seq("hashed_row"), "left_anti")
-    val only2 = h2.join(h1.select("hashed_row"), Seq("hashed_row"), "left_anti")
-    Some(only1.unionByName(only2).dropDuplicates())
+    def tag(df: DataFrame, id: String) = df
+      .withColumn("observed_in", lit(id))
+      .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+    // Single-pass plan: each side is scanned and hashed exactly once, the
+    // union shuffles once on hashed_row, and a streaming run-scan emits
+    // single-side runs. This beats the dual anti-join formulation (which
+    // reads and hashes every side twice — once as full left, once as the
+    // hash-only build) and needs no trailing dropDuplicates shuffle: the
+    // run-scan dedups as it goes.
+    Some(HashRunScan(tag(p1, side1.id).unionByName(tag(p2, side2.id))))
   }
 
   /** Per-table drift counts by side (reference:
@@ -251,7 +227,7 @@ final class DriftCompare(
       try {
         val futs = shared.map { t =>
           Future {
-            dataDrift(t, cacheInputs = true).map { df =>
+            dataDrift(t).map { df =>
               val cached = df.persist()
               val s = summarize(t, cached)
               (t, cached, s)
