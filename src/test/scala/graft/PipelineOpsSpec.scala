@@ -223,3 +223,38 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out("t0") == ((-1, -1.0)))   // A@3: before first quote
   }
 }
+
+class GraftFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("all graft functions are callable from SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT
+        get_row_hash(named_struct('a', 1)) AS h,
+        cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp,
+        array_jaccard_sim(array('a','b'), array('b','c')) AS j,
+        sorted_jaccard_sim(array('a','b'), array('b','c')) AS sj,
+        token_set('B a a c') AS ts,
+        token_array('B a a c') AS ta,
+        word_shingles('one two three four', 3) AS ws,
+        size(minhash_signature(array('x','y'), 16)) AS mh,
+        simhash64(array('x','y')) AS sh
+      """).collect()(0)
+    assert(r.getString(0).length == 16)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 23.0)
+    assert(r.getDouble(3) == 1.0 / 3.0 && r.getDouble(4) == 1.0 / 3.0)
+    assert(r.getSeq[String](5) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](6) == Seq("b", "a", "a", "c"))
+    assert(r.getSeq[String](7) == Seq("one two three", "two three four"))
+    assert(r.getInt(8) == 16)
+  }
+
+  test("GraftExtensions registers every function builder") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions {}
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+    assert(graft.functions.GraftFunctions.all.map(_._1).distinct.size == 10)
+  }
+}
