@@ -262,6 +262,11 @@ object SparkEntry {
       Multimodal.decodeImageMeta(
         Multimodal.withPayload(t(s, dir, "documents"), "text"))),
 
+    // ---- multimodal: per-frame sampling (explode shape + digests) ----
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSamples(t(s, dir, "documents"), 4)
+        .withColumn("frame_idx", col("frame_idx").cast("long"))),
+
     // ---- event stream: hourly tumbling-window aggregation ----
     "q_events_window" -> ((s, dir) => {
       graft.streaming.EventsOps.hourlyCounts(Tables.events(s, dir))
@@ -513,6 +518,13 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    greatest(CAST(floor(length(text) / 4) AS INTEGER), 1) AS w FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, 1 + i * w, w)) AS frame_md5
+        |FROM f, generate_series(0, 3) AS t(i)""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -56,4 +56,30 @@ object Multimodal {
     val header = bytes.take(4).map(b => f"$b%02X").mkString
     (id, n, header, n % 640, (n * 7) % 480, n % 16 + 1)
   }
+
+  /** STUB resize: deterministic target-box scaling metadata (a real
+    * implementation would transform pixels; the fit math is real).
+    */
+  def resizeStub(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    meta.withColumn("scale",
+        least(lit(maxW) / greatest(col("width"), lit(1)),
+          lit(maxH) / greatest(col("height"), lit(1)), lit(1.0)))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+
+  /** STUB frame sampling: one row per sampled "frame" with a content
+    * digest of its byte slice — the Spark plumbing (explode shape, per-
+    * frame keys) is real; a codec would replace the digest with pixels.
+    */
+  def frameSamples(df: DataFrame, nFrames: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val len = length(col(textCol))
+    val width = greatest(floor(len / nFrames).cast("int"), lit(1))
+    df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(nFrames - 1)),
+        i => md5(col(textCol).substr(lit(1) + i * width, width)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_md5")
+      .filter(col("frame_md5").isNotNull)
+  }
 }
