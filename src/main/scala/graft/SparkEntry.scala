@@ -108,6 +108,7 @@ object SparkEntry {
     "q_diff_rows" -> ((s, dir) => {
       val (s1, s2) = lineitemSides(s, dir)
       new DriftCompare(s, s1, s2).dataDrift("lineitem").get.drop("hashed_row")
+        .orderBy("l_orderkey", "l_linenumber", "observed_in")
     }),
 
     // ---- A1/J2: per-table drift counts by side ----
@@ -136,7 +137,7 @@ object SparkEntry {
       val c = new DriftCompare(s,
         MemorySide("db1", all.filter(keep1).map(n => n -> t(s, dir, n)).toMap),
         MemorySide("db2", all.filter(keep2).map(n => n -> t(s, dir, n)).toMap))
-      DriftOutput.missingTablesDf(s, c.missingTableDrift())
+      DriftOutput.missingTablesDf(s, c.missingTableDrift()).orderBy("table_name")
     }),
 
     // ---- S1/P2: catalog scan with regex exclusion ----
@@ -186,6 +187,7 @@ object SparkEntry {
         MemorySide("db2", Map("orders" -> ord.filter("o_orderkey % 89 != 0"), "customer" -> cust)),
         cfg)
       c.dataDrift("orders").get.drop("hashed_row")
+        .orderBy("o_orderkey", "observed_in")
     })
   ) ++ pipelineQueries
 
@@ -198,6 +200,7 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     // ---- quality scoring (length/punct/stopword heuristics) ----
@@ -206,6 +209,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("long"),
           col("punct_ratio"), col("stop_ratio"), col("mean_token_len"),
           col("quality_score"))
+        .orderBy("doc_id")
     }),
 
     // ---- language ID (stopword-marker heuristic) ----
@@ -213,22 +217,23 @@ object SparkEntry {
       TextAnalysis.langId(t(s, dir, "documents"), "text")
         .select(col("doc_id") +: col("pred_lang") +:
           TextAnalysis.langMarkers.map { case (l, _) => col(s"c_$l").cast("long") }: _*)
+        .orderBy("doc_id")
     }),
 
     // ---- document fingerprint (normalized-content digest) ----
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")
     }),
 
     // ---- exact dedup: digest groupBy, min-id representative ----
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id").orderBy("text_hash")),
 
     // ---- n-gram (token-set) Jaccard near-dup pairs, lang-blocked ----
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        Seq("lang"), 0.9)),
+        Seq("lang"), 0.9).orderBy("id1", "id2")),
 
     // ---- MinHash+LSH near-dup pairs (rows-only: hash-sketch dependent;
     //      candidates verified with exact Jaccard so no false positives) ----
@@ -243,13 +248,15 @@ object SparkEntry {
 
     // ---- embedding near-dup pairs within cluster blocks (IVF-style) ----
     "q_embed_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "label", 0.3)),
+      Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "label", 0.3)
+        .orderBy("id1", "id2")),
 
     // ---- brute-force cosine ANN top-k (broadcast query set) ----
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- hyperplane-LSH ANN (rows-only: recall depends on buckets) ----
@@ -260,12 +267,13 @@ object SparkEntry {
     // ---- multimodal: binary payload + stubbed decode via mapPartitions ----
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeImageMeta(
-        Multimodal.withPayload(t(s, dir, "documents"), "text"))),
+        Multimodal.withPayload(t(s, dir, "documents"), "text")).orderBy("doc_id")),
 
     // ---- multimodal: per-frame sampling (explode shape + digests) ----
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSamples(t(s, dir, "documents"), 4)
-        .withColumn("frame_idx", col("frame_idx").cast("long"))),
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
+        .orderBy("doc_id", "frame_idx")),
 
     // ---- event stream: hourly tumbling-window aggregation ----
     "q_events_window" -> ((s, dir) => {
@@ -305,6 +313,7 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus")
       a.intersect(b).withColumn("op", lit("intersect"))
         .unionByName(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "o_orderkey")
     }),
 
     // ---- event stream: gap-based sessionization via window functions ----
@@ -358,7 +367,8 @@ object SparkEntry {
     "q_diff_rows" ->
       s"""WITH $lineitemSidesSql
         |SELECT *, 'db1' AS observed_in FROM d1
-        |UNION ALL SELECT *, 'db2' AS observed_in FROM d2""".stripMargin,
+        |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
+        |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin,
 
     "q_diff_summary" ->
       s"""WITH $lineitemSidesSql
@@ -379,7 +389,7 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('"lineitem"', '"db1"', '"db2"'),
         |  ('"nation"', '"db2"', '"db1"'))
-        |AS t(table_name, observed_in, missing_in)""".stripMargin,
+        |AS t(table_name, observed_in, missing_in) ORDER BY table_name""".stripMargin,
 
     "q_list_tables" ->
       """SELECT * FROM (VALUES ('customer'), ('documents'), ('events'),
@@ -423,7 +433,8 @@ object SparkEntry {
         |  d1 AS (SELECT * FROM q1 EXCEPT SELECT * FROM q2),
         |  d2 AS (SELECT * FROM q2 EXCEPT SELECT * FROM q1)
         |SELECT *, 'db1' AS observed_in FROM d1
-        |UNION ALL SELECT *, 'db2' AS observed_in FROM d2""".stripMargin
+        |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
+        |ORDER BY o_orderkey, observed_in""".stripMargin
   ) ++ pipelineOracles
 
   private val toksSql =
@@ -437,7 +448,7 @@ object SparkEntry {
       s"""SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH f AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -455,7 +466,7 @@ object SparkEntry {
         |        CASE WHEN stop_ratio >= 0.05 THEN 2 ELSE 0 END +
         |        CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 2 ELSE 0 END)
         |    AS DOUBLE) / CAST(10 AS DOUBLE) AS quality_score
-        |FROM m""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langMarkers.map(_._1)
@@ -473,18 +484,18 @@ object SparkEntry {
         |  CASE $cases
         |    ELSE 'und' END AS pred_lang,
         |  ${langs.map(l => s"c_$l").mkString(", ")}
-        |FROM c""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin
     },
 
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, list_distinct($toksSql) AS t FROM documents),
@@ -492,13 +503,13 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) AS jaccard
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.9""".stripMargin,
+        |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.9 ORDER BY id1, id2""".stripMargin,
 
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
         |  p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cosine
         |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.3 ORDER BY id1, id2""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -508,7 +519,8 @@ object SparkEntry {
         |  ranked AS (SELECT id1 AS query_id, id2 AS neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS "rank"
         |  FROM scored)
-        |SELECT query_id, "rank", neighbor_id, cosine FROM ranked WHERE "rank" <= 5""".stripMargin,
+        |SELECT query_id, "rank", neighbor_id, cosine FROM ranked WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -517,14 +529,14 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |    greatest(CAST(floor(length(text) / 4) AS INTEGER), 1) AS w FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(substr(text, 1 + i * w, w)) AS frame_md5
-        |FROM f, generate_series(0, 3) AS t(i)""".stripMargin,
+        |FROM f, generate_series(0, 3) AS t(i) ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
@@ -553,9 +565,11 @@ object SparkEntry {
     "q_set_ops" ->
       """WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
         |  b AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT * FROM (
         |SELECT *, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
         |UNION ALL
-        |SELECT *, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
+        |SELECT *, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |ORDER BY op, o_orderkey""".stripMargin,
 
     "q_events_sessions" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
