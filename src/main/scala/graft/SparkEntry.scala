@@ -275,6 +275,22 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- skew: two-phase salted aggregation (== plain aggregate) ----
+    "q_salted_agg" -> ((s, dir) => {
+      Skew.saltedSumCount(Tables.events(s, dir), Seq("event_type"), "value", 16)
+        .orderBy("event_type")
+    }),
+
+    // ---- skew: salted equi-join (== plain join output) ----
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val dim = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      Skew.saltedJoin(ev, dim, Seq("user_id"), 8)
+        .select("event_id", "user_id", "value", "user_events")
+        .orderBy("event_id")
+    }),
+
     // ---- event stream: hourly tumbling-window aggregation ----
     "q_events_window" -> ((s, dir) => {
       graft.streaming.EventsOps.hourlyCounts(Tables.events(s, dir))
@@ -530,6 +546,18 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value, d.user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
