@@ -21,6 +21,7 @@ final case class SideDetails(
 
   def toSide(spark: SparkSession, id: String): Side = databaseType.toLowerCase match {
     case "parquet" | "duckdb" => ParquetSide(spark, path, id)
+    case f @ ("csv" | "json" | "orc") => graft.sources.FormatSide(spark, path, f, id)
     case "jdbc" | "postgresql" =>
       val props = new java.util.Properties()
       if (user.nonEmpty) props.setProperty("user", user)

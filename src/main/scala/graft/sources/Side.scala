@@ -22,8 +22,14 @@ trait Side {
   def schema(name: String): StructType = table(name).schema
 }
 
-/** A directory holding one `<table>.parquet` per table. */
-final case class ParquetSide(spark: SparkSession, dir: String, id: String) extends Side {
+/** A directory holding one `<table>.<format>` file/dir per table, for any
+  * Spark batch source format (`parquet`, `orc`, `json`, `csv`, ...).
+  * CSV/JSON get header + schema inference so dynamic introspection works
+  * like the reference's information_schema scans.
+  */
+case class FormatSide(spark: SparkSession, dir: String, format: String, id: String)
+    extends Side {
+  private val ext = s".$format"
   override def listTables(): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -31,12 +37,26 @@ final case class ParquetSide(spark: SparkSession, dir: String, id: String) exten
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet"))
+      .filter(_.endsWith(ext))
+      .map(_.stripSuffix(ext))
       .sorted
   }
-  override def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  override def table(name: String): DataFrame = {
+    val reader = spark.read.format(format)
+    val tuned = format match {
+      case "csv" => reader.option("header", "true").option("inferSchema", "true")
+      case "json" => reader // schema inferred by the source
+      case _ => reader
+    }
+    tuned.load(s"$dir/$name$ext")
+  }
+}
+
+/** A directory holding one `<table>.parquet` per table. */
+final case class ParquetSide(spark: SparkSession, dir: String, id: String) extends Side {
+  private val inner = FormatSide(spark, dir, "parquet", id)
+  override def listTables(): Seq[String] = inner.listTables()
+  override def table(name: String): DataFrame = inner.table(name)
 }
 
 /** In-memory side for tests and programmatic use. */

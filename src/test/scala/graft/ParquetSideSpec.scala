@@ -42,3 +42,37 @@ class ParquetSideSpec extends SparkSpecBase {
     assert(missing.select("table_name").as[String].collect()(0) == "\"extra\"")
   }
 }
+
+/** Cross-format comparison: the Spark analog of the reference's
+  * heterogeneous-backend matrix (DuckDB vs Postgres vs SQLite) — a CSV
+  * side's inferred types differ from parquet's, and the type-insensitive
+  * hash + string-cast normalization must still find no drift
+  * (reference: test/data_drift_test.py:40 backend parametrization).
+  */
+class CrossFormatSpec extends SparkSpecBase {
+  import graft.sources.FormatSide
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("parquet side vs csv side of the same data shows no data drift") {
+    val base = java.nio.file.Files.createTempDirectory("xfmt").toString
+    val t = Seq((1L, "alice", 10.5), (2L, "bob", 20.0), (3L, "carol", 30.25))
+      .toDF("id", "name", "score")
+    t.coalesce(1).write.parquet(s"$base/p/t.parquet")
+    t.coalesce(1).write.option("header", "true").csv(s"$base/c/t.csv")
+    val c = new operators.DriftCompare(spark,
+      FormatSide(spark, s"$base/p", "parquet", "db1"),
+      FormatSide(spark, s"$base/c", "csv", "db2"))
+    // schemas differ (csv infers narrower types) but generic equivalence
+    // and the type-insensitive hash mean no spurious drift
+    val drift = c.dataDrift("t").get
+    assert(drift.count() == 0)
+    // a real value change IS still caught across formats
+    val t2 = t.withColumn("score", when($"id" === 2, lit(99.9)).otherwise($"score"))
+    t2.coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$base/c2/t.csv")
+    val c2 = new operators.DriftCompare(spark,
+      FormatSide(spark, s"$base/p", "parquet", "db1"),
+      FormatSide(spark, s"$base/c2", "csv", "db2"))
+    assert(c2.dataDrift("t").get.count() == 2)
+  }
+}
