@@ -241,6 +241,12 @@ object SparkEntry {
       Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("id1", "id2")),
 
+    // ---- corpus-level dedup: LSH pairs -> connected components -> one
+    //      representative per cluster (rows-only: sketch-dependent) ----
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id", 0.5)
+        .select("doc_id", "component").orderBy("doc_id")),
+
     // ---- SimHash near-dup pairs (rows-only) ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", 3)

@@ -117,4 +117,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Connected components over near-dup pairs via iterative min-label
+    * propagation: each node adopts the smallest label among itself and its
+    * neighbors until fixpoint. O(component diameter) rounds, each one
+    * shuffle (join + min-aggregate) — near-dup components are shallow
+    * (duplicates of duplicates), so this converges in a handful of rounds
+    * even at corpus scale. Returns (id, component) with component = min id
+    * in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "n_comp"), Seq("dst"))
+        .select(col("src").as("id"), col("n_comp").as("component"))
+      val updated = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Corpus-level near-duplicate removal: cluster MinHash+LSH pairs into
+    * components and keep the lowest-id document of each component (plus
+    * every unpaired document). The end-to-end dedup a training-data
+    * pipeline actually runs.
+    */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                  threshold: Double): DataFrame = {
+    val pairs = minHashLshPairs(df, textCol, idCol, threshold)
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("_keep", col(idCol) === col("component"))
+      .filter(col("_keep")).drop("_keep")
+  }
 }

@@ -258,3 +258,26 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(graft.functions.GraftFunctions.all.map(_._1).distinct.size == 10)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("min-label propagation finds components across chained pairs") {
+    val pairs = Seq((2L, 4L), (1L, 2L), (7L, 9L), (9L, 8L)).toDF("id1", "id2")
+    val comps = operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupCorpus keeps one doc per near-dup cluster plus singletons") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "something entirely different about catalyst expression codegen paths")
+    ).toDF("doc_id", "text")
+    val kept = operators.Dedup.dedupCorpus(docs, "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+}
