@@ -126,7 +126,14 @@ object Dedup {
     * even at corpus scale. Returns (id, component) with component = min id
     * in the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          smallGraphEdges: Long = 5000000L): DataFrame = {
+    // near-dup candidate graphs are a tiny fraction of the corpus; below
+    // the threshold a driver-side union-find beats O(diameter) shuffle
+    // rounds by orders of magnitude (same hybrid as broadcast-vs-shuffle
+    // joins). The iterative path remains for genuinely huge pair sets.
+    if (pairs.limit((smallGraphEdges + 1).toInt).count() <= smallGraphEdges)
+      return unionFindComponents(pairs)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -154,6 +161,33 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list, emitted back as a
+    * (id, component) DataFrame with component = min id per component.
+    */
+  private def unionFindComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = parent.keys.toSeq.map(id => (id, find(id)))
+    rows.toDF("id", "component")
   }
 
   /** Corpus-level near-duplicate removal: cluster MinHash+LSH pairs into

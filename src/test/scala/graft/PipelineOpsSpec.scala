@@ -262,11 +262,15 @@ class GraftFunctionsSpec extends SparkSpecBase {
 class ConnectedComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("min-label propagation finds components across chained pairs") {
+  test("components via driver union-find (small graph) and iterative propagation agree") {
     val pairs = Seq((2L, 4L), (1L, 2L), (7L, 9L), (9L, 8L)).toDF("id1", "id2")
-    val comps = operators.Dedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    val viaUnionFind = operators.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val viaPropagation = operators.Dedup.connectedComponents(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaUnionFind == expected)
+    assert(viaPropagation == expected)
   }
 
   test("dedupCorpus keeps one doc per near-dup cluster plus singletons") {
