@@ -118,6 +118,17 @@ object SparkEntry {
       DriftOutput.summaryDf(s, Seq(c.summarize("lineitem", c.dataDrift("lineitem").get)))
     }),
 
+    // ---- bag-semantics diff extension: multiplicity-aware drift that the
+    //      set-based reference cannot see (within-side duplicates) ----
+    "q_diff_bag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val c = new DriftCompare(s,
+        MemorySide("db1", Map("lineitem" -> li.unionByName(li.filter("l_orderkey % 7 = 0")))),
+        MemorySide("db2", Map("lineitem" -> li)))
+      c.dataDriftBag("lineitem").get.drop("hashed_row")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- SET1/T1: column-level schema drift with type normalization ----
     "q_schema_drift" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -398,6 +409,17 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM d1) AS INTEGER) AS rows_only_in_db1,
         |  'db2' AS db2,
         |  CAST((SELECT count(*) FROM d2) AS INTEGER) AS rows_only_in_db2""".stripMargin,
+
+    "q_diff_bag" ->
+      """WITH u AS (
+        |  SELECT *, 'db1' AS observed_in FROM lineitem
+        |  UNION ALL SELECT *, 'db1' FROM lineitem WHERE l_orderkey % 7 = 0
+        |  UNION ALL SELECT *, 'db2' FROM lineitem)
+        |SELECT * EXCLUDE (observed_in), count(*) FILTER (observed_in = 'db1') AS n_db1,
+        |  count(*) FILTER (observed_in = 'db2') AS n_db2
+        |FROM u GROUP BY ALL
+        |HAVING n_db1 <> n_db2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_schema_drift" ->
       """SELECT * FROM (VALUES

@@ -200,6 +200,30 @@ final class DriftCompare(
     Some(HashRunScan(tag(p1, side1.id).unionByName(tag(p2, side2.id))))
   }
 
+  /** Bag-semantics extension (not in the reference, which is strictly
+    * set-based — see SURVEY §2 fine print): rows whose per-side
+    * MULTIPLICITY differs. A row occurring twice on one side and once on
+    * the other is invisible to [[dataDrift]] but reported here with its
+    * per-side counts. One hash-aggregate shuffle; grouping includes the
+    * raw columns so hash collisions cannot merge distinct rows.
+    */
+  def dataDriftBag(table: String): Option[DataFrame] = {
+    val in1 = dropIgnored(sideInput(side1, table), table)
+    val in2 = dropIgnored(sideInput(side2, table), table)
+    val (p1, p2) = normalizedProjection(in1, in2)
+    if (p1.schema.isEmpty) return None
+    val cols = p1.columns
+    def tag(df: DataFrame, id: String) = df.withColumn("observed_in", lit(id))
+    val u = tag(p1, side1.id).unionByName(tag(p2, side2.id))
+      .withColumn("hashed_row", CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+    Some(u
+      .groupBy((cols.map(c => col(s"`$c`")) :+ col("hashed_row")): _*)
+      .agg(
+        count(when(col("observed_in") === side1.id, 1)).as("n_db1"),
+        count(when(col("observed_in") === side2.id, 1)).as("n_db2"))
+      .filter(col("n_db1") =!= col("n_db2")))
+  }
+
   /** Per-table drift counts by side (reference:
     * lotad/queries/duckdb/drift_analysis_extend_data_drift_summary.sql).
     */

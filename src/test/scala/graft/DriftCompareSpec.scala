@@ -135,6 +135,17 @@ class DriftCompareSpec extends SparkSpecBase {
     assert(driftCounts(c) == ((0L, 0L)))
   }
 
+  test("bag-semantics extension sees multiplicity drift the set diff cannot") {
+    val dup = base().union(base().filter($"id" === 2))
+    val c = cmp(dup, base())
+    assert(driftCounts(c) == ((0L, 0L))) // set view: no drift
+    val bag = c.dataDriftBag("t").get.collect()
+    assert(bag.length == 1)
+    val r = bag(0)
+    assert(r.getAs[Long]("id") == 2L &&
+      r.getAs[Long]("n_db1") == 2L && r.getAs[Long]("n_db2") == 1L)
+  }
+
   test("compareAll end-to-end with report") {
     val mut = base().filter($"id" =!= 3).drop("tags")
     val c = new DriftCompare(spark,
