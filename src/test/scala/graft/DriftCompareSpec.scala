@@ -177,3 +177,54 @@ class TypeRenderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!TypeRender.equivalent("DATE", "TIMESTAMP"))
   }
 }
+
+/** Nested columns ride through the diff as JSON text (P1 projection), so
+  * structural reordering must not read as drift while value changes must
+  * (reference: test/data_drift_test.py:307-437 nested/JSON cases).
+  */
+class NestedTypesDriftSpec extends SparkSpecBase {
+  import graft.sources.MemorySide
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def nested() = Seq(1L, 2L).toDF("id")
+    .withColumn("owner", struct(lit("ann").as("name"), lit(30).as("age")))
+    .withColumn("jobs", array(
+      struct(lit("eng").as("role"), lit(100).as("pay")),
+      struct(lit("mgr").as("role"), lit(200).as("pay"))))
+    .withColumn("attrs", map(lit("x"), lit(1), lit("y"), lit(2)))
+
+  test("nested struct/array/map columns: no drift for identical values") {
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> nested())),
+      MemorySide("db2", Map("t" -> nested())))
+    val d = c.dataDrift("t").get
+    assert(d.count() == 0)
+  }
+
+  test("map key order is not drift; array-of-struct order IS order-insensitive via hash") {
+    val reordered = Seq(1L, 2L).toDF("id")
+      .withColumn("owner", struct(lit("ann").as("name"), lit(30).as("age")))
+      .withColumn("jobs", array(
+        struct(lit("mgr").as("role"), lit(200).as("pay")),
+        struct(lit("eng").as("role"), lit(100).as("pay"))))
+      .withColumn("attrs", map(lit("y"), lit(2), lit("x"), lit(1)))
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> reordered)),
+      MemorySide("db2", Map("t" -> nested())))
+    assert(c.dataDrift("t").get.count() == 0)
+  }
+
+  test("nested value change IS drift; drift table holds JSON text columns") {
+    val mut = nested().withColumn("owner",
+      when($"id" === 2, struct(lit("bob").as("name"), lit(31).as("age")))
+        .otherwise(struct(lit("ann").as("name"), lit(30).as("age"))))
+    val c = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> mut)),
+      MemorySide("db2", Map("t" -> nested())))
+    val d = c.dataDrift("t").get
+    assert(d.count() == 2) // both versions of id=2
+    assert(d.schema("owner").dataType.typeName == "string") // JSON-folded
+    assert(d.filter($"owner".contains("bob")).count() == 1)
+  }
+}
