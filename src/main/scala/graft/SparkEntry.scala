@@ -292,6 +292,16 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- JSON extraction over a string column (semi-structured path) ----
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(pmod(col("k_val"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
+        .orderBy("k_mod")
+    }),
+
     // ---- skew: two-phase salted aggregation (== plain aggregate) ----
     "q_salted_agg" -> ((s, dir) => {
       Skew.saltedSumCount(Tables.events(s, dir), Seq("event_type"), "value", 16)
@@ -574,6 +584,12 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events)
+        |SELECT k_val % 10 AS k_mod, count(*) AS n, CAST(sum(k_val) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,
