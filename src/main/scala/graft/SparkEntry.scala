@@ -292,6 +292,34 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- pivot: event counts per user across a fixed category list ----
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // ---- cube: all grouping-set combinations with grouping ids ----
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          dsum("o_totalprice").as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- unpivot/melt: wide measures to long form ----
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("stack(2, 'p_size', CAST(p_size AS DOUBLE), 'p_retailprice', p_retailprice) AS (measure, value)"))
+        .orderBy("p_partkey", "measure")
+    }),
+
     // ---- JSON extraction over a string column (semi-structured path) ----
     "q_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -584,6 +612,30 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin,
 
     "q_json_extract" ->
       """WITH e AS (SELECT event_id,
