@@ -26,15 +26,17 @@ object Bench {
     // uncounted warmup: JIT/codegen + parquet footer reads, not query work
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    // best of 2 runs per query: this host's timing variance is +/-2-3x,
-    // the min is the stable estimate of the query's actual cost
+    // median of 3 runs per query: this host's timing variance is +/-2-3x
+    // run-to-run, so a single contended window can inflate one run 10x;
+    // the median absorbs one outlier per query
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -197,8 +197,13 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double): DataFrame = {
+    // persist: connectedComponents consumes the pairs twice (size probe +
+    // edge collect); without it the full shingle -> signature -> band-join
+    // pipeline evaluates twice
     val pairs = minHashLshPairs(df, textCol, idCol, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = connectedComponents(pairs)
+    pairs.unpersist(blocking = false)
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("_keep", col(idCol) === col("component"))

@@ -30,6 +30,9 @@ trait Side {
 case class FormatSide(spark: SparkSession, dir: String, format: String, id: String)
     extends Side {
   private val ext = s".$format"
+  // schema-inferring formats (csv/json) scan the file at load() time; cache
+  // the resolved DataFrame per table so repeated table() calls don't re-infer
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   override def listTables(): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -41,15 +44,16 @@ case class FormatSide(spark: SparkSession, dir: String, format: String, id: Stri
       .map(_.stripSuffix(ext))
       .sorted
   }
-  override def table(name: String): DataFrame = {
-    val reader = spark.read.format(format)
-    val tuned = format match {
-      case "csv" => reader.option("header", "true").option("inferSchema", "true")
-      case "json" => reader // schema inferred by the source
-      case _ => reader
-    }
-    tuned.load(s"$dir/$name$ext")
-  }
+  override def table(name: String): DataFrame =
+    tableCache.computeIfAbsent(name, { n =>
+      val reader = spark.read.format(format)
+      val tuned = format match {
+        case "csv" => reader.option("header", "true").option("inferSchema", "true")
+        case "json" => reader // schema inferred by the source
+        case _ => reader
+      }
+      tuned.load(s"$dir/$n$ext")
+    })
 }
 
 /** A directory holding one `<table>.parquet` per table. */
