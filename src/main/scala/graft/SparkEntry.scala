@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{TokenArray, WordShingles}
 import graft.operators._
 import graft.sources.{MemorySide, ParquetSide}
 import graft.types.TypeRender
@@ -246,22 +247,78 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         Seq("lang"), 0.9).orderBy("id1", "id2")),
 
-    // ---- MinHash+LSH near-dup pairs (rows-only: hash-sketch dependent;
-    //      candidates verified with exact Jaccard so no false positives) ----
+    // ---- MinHash+LSH near-dup pairs. Full oracle: DuckDB recomputes the
+    //      exact all-pairs shingle Jaccard, so this asserts LSH recall is
+    //      total on this corpus (banding analysis: every natural pair here
+    //      has J >= 0.7, miss prob <= (1-0.7^4)^32 ~ 1.5e-4 per pair, and
+    //      the hashes are seeded => deterministic) ----
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("id1", "id2")),
 
     // ---- corpus-level dedup: LSH pairs -> connected components -> one
-    //      representative per cluster (rows-only: sketch-dependent) ----
+    //      representative per cluster. Full oracle: DuckDB rebuilds the
+    //      exact pair graph and folds components with a recursive CTE ----
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .select("doc_id", "component").orderBy("doc_id")),
 
-    // ---- SimHash near-dup pairs (rows-only) ----
+    // ---- SimHash near-dup pairs (rows-only: DuckDB cannot recompute the
+    //      64-bit xxh64 sketch; verified by q_planted_simhash instead) ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("id1", "id2")),
+
+    // ---- planted-duplicate recall harness, MinHash/LSH: per-doc-disjoint
+    //      vocabulary (tokens prefixed with the doc id) so cross-doc
+    //      Jaccard is exactly 0, plus one planted twin per doc = the doc
+    //      minus its last token => shingle Jaccard >= (S-1)/S >= 0.9.
+    //      At J >= 0.9 the 32x4 banding miss probability is
+    //      (1-0.9^4)^32 ~ 1e-15 per pair, so the deterministic output is
+    //      exactly the planted pair set — which DuckDB derives
+    //      independently from the shingle-count guard ----
+    "q_planted_minhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TokenArray(col("text")).as("tk"))
+        .withColumn("tk", transform(col("tk"),
+          tok => concat(lit("d"), col("doc_id"), lit("x"), tok)))
+      val base = toks.select(col("doc_id"), concat_ws(" ", col("tk")).as("text"))
+      val twins = toks
+        .filter(size(WordShingles(concat_ws(" ", col("tk")), 3)) >= 10)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1), size(col("tk")) - 1)).as("text"))
+      Dedup.minHashLshPairs(base.unionByName(twins), "text", "doc_id", 0.5)
+        .select("id1", "id2").orderBy("id1", "id2")
+    }),
+
+    // ---- planted-duplicate harness, SimHash: exact-copy twins (Hamming 0,
+    //      guaranteed found) + brute-force all-pairs Hamming truth; asserts
+    //      the pigeonhole blocking (any pair at Hamming <= 3 shares an
+    //      exact 16-bit quarter) loses nothing vs the O(n^2) scan ----
+    "q_planted_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select("doc_id", "text")
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      val blocked = Dedup.simHashPairs(corpus, "text", "doc_id", 3)
+        .select("id1", "id2")
+      val sigs = corpus.select(col("doc_id").as("id"),
+        graft.functions.SimHash64(TokenArray(col("text"))).as("sig"))
+      val truth = sigs.select(col("id").as("id1"), col("sig").as("s1"))
+        .crossJoin(sigs.select(col("id").as("id2"), col("sig").as("s2")))
+        .filter(col("id1") < col("id2"))
+        .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 3)
+        .select("id1", "id2")
+      val planted = base.select(col("doc_id").as("id1"),
+        (col("doc_id") + lit(10000000L)).as("id2"))
+      val blockingComplete = truth.exceptAll(blocked).isEmpty &&
+        blocked.exceptAll(truth).isEmpty
+      val plantedFound = planted.exceptAll(blocked).isEmpty
+      Seq(("blocking_matches_bruteforce", blockingComplete),
+          ("planted_pairs_found", plantedFound))
+        .toDF("check_name", "ok").orderBy("check_name")
+    }),
 
     // ---- embedding near-dup pairs within cluster blocks (IVF-style) ----
     "q_embed_cosine_pairs" -> ((s, dir) =>
@@ -276,10 +333,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- hyperplane-LSH ANN (rows-only: recall depends on buckets) ----
+    // ---- hyperplane-LSH ANN (rows-only: the natural corpus's true
+    //      neighbors sit at cosine ~0.3 where no sublinear method is
+    //      complete; the operator's recall is verified at its design
+    //      regime by q_planted_ann) ----
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), 64, 5, 8)
+      Similarity.lshTopK(t(s, dir, "embeddings"), 64, 5, 8, 16)
         .withColumn("rank", col("rank").cast("long")).orderBy("query_id", "rank")),
+
+    // ---- planted-neighbor recall harness, hyperplane-LSH ANN: one twin
+    //      per vector at cosine ~0.999 (tiny deterministic per-coordinate
+    //      perturbation), far above the natural max (~0.6), so the true
+    //      rank-1 neighbor of every vector is its twin and vice versa.
+    //      At cos ~0.9999 a hyperplane agrees w.p. ~0.996, an 8-bit table
+    //      w.p. ~0.96, so the 16-table miss prob is ~(0.04)^16 ~ 1e-22 per
+    //      pair — and the seeded hashes make the outcome deterministic, so
+    //      the output is exactly the planted rank-1 map, which the oracle
+    //      states in closed form ----
+    "q_planted_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          .cast("array<float>").as("embedding"))
+      Similarity.lshTopK(emb.unionByName(twins), 64, 1, 8, 16)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
 
     // ---- multimodal: binary payload + stubbed decode via mapPartitions ----
     "q_multimodal_meta" -> ((s, dir) =>
@@ -521,6 +601,22 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  /** DuckDB rendering of [[graft.functions.WordShingles]] (3-gram word
+    * shingles, distinct, whole-text fallback below 3 tokens) over a token
+    * list column named `tk`.
+    */
+  private val shinglesSql =
+    """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+      |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END""".stripMargin
+  /** Exact all-pairs shingle-Jaccard truth CTEs (`sh` -> `pairs`). */
+  private val jaccardTruthSql =
+    s"""tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
+      |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
   private val stopSql = TextAnalysis.stopwordList.map(s => s"'$s'").mkString("[", ", ", "]")
   private val cosSql =
     "list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
@@ -586,6 +682,39 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) AS jaccard
         |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.9 ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $jaccardTruthSql
+        |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $jaccardTruthSql,
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= 0.5
+        |          UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+        |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+        |          UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT doc_id, component FROM documents JOIN comp ON id = doc_id
+        |WHERE component = doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_planted_minhash" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks)
+        |SELECT doc_id AS id1, doc_id + 10000000 AS id2 FROM sh
+        |WHERE len(s) >= 10 ORDER BY id1, id2""".stripMargin,
+
+    "q_planted_simhash" ->
+      """SELECT * FROM (VALUES ('blocking_matches_bruteforce', true),
+        |  ('planted_pairs_found', true)) AS t(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    "q_planted_ann" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id FROM embeddings)
+        |ORDER BY query_id""".stripMargin,
 
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

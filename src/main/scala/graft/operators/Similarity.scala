@@ -82,19 +82,32 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN via hyperplane-LSH bucketing, verified with exact cosine, with
-    * per-query top-k. Recall depends on nBits; the corpus shuffles once on
-    * the bucket key.
+  /** ANN via multi-table hyperplane-LSH, verified with exact cosine, with
+    * per-query top-k. `nTables` independent hash tables of `nBits` each:
+    * a neighbor at angular similarity p collides in one table with
+    * probability p^nBits, and in >=1 of L tables with 1-(1-p^nBits)^L —
+    * the standard recall amplification (Indyk-Motwani; Charikar STOC'02).
+    *
+    * Scale design: the corpus shuffles L times on (table, bucket) — linear
+    * in n*L, never the pair square. Cosine is computed BEFORE the
+    * candidate-pair dedup so the dedup shuffle carries only
+    * (query, neighbor, score), not the vectors; the duplicate kernel
+    * evaluations (<= L per true pair) are cheaper than shuffling vectors.
     */
-  def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8,
+  def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8, nTables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneKey(col("v"), dim, nBits))
-    val l = keyed.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val r = keyed.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val cand = l.join(r, Seq("bucket"))
+    val tableKeys = array((0 until nTables).map(t =>
+      hyperplaneKey(col("v"), dim, nBits, seed = 42L + 7919L * t)): _*)
+    val exploded = keyed.select(col("id"), col("v"), posexplode(tableKeys))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val l = exploded.select(col("t"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val r = exploded.select(col("t"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val cand = l.join(r, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -285,3 +285,62 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 4L))
   }
 }
+
+/** Planted-duplicate recall harnesses: inject near-dups with controlled
+  * similarity and assert the sketch operators recover them (the analytic
+  * miss probabilities at these operating points are < 1e-12, and the
+  * seeded hashes make each outcome deterministic).
+  */
+class PlantedRecallSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7L)
+  private def word(i: Int, j: Int) = s"w${i}x$j"
+
+  // 120 docs of 30 doc-unique tokens: cross-doc shingle Jaccard is 0.
+  private lazy val planted = {
+    val base = (0 until 120).map(i => (i.toLong, (0 until 30).map(j => word(i, j)).mkString(" ")))
+    // twin = doc minus its last token => shingle J = (S-1)/S = 27/28 ~ 0.96
+    val twins = base.map { case (id, text) =>
+      (id + 1000L, text.split(" ").dropRight(1).mkString(" "))
+    }
+    (base ++ twins).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH planted recall at J~0.96 is total, with zero false pairs") {
+    val pairs = operators.Dedup.minHashLshPairs(planted, "text", "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (0 until 120).map(i => (i.toLong, i + 1000L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("simhash quarter blocking equals the brute-force Hamming<=3 scan") {
+    val sigs = planted.select($"doc_id",
+      functions.SimHash64(functions.TokenArray($"text")).as("sig"))
+    val l = sigs.select($"doc_id".as("id1"), $"sig".as("s1"))
+    val r = sigs.select($"doc_id".as("id2"), $"sig".as("s2"))
+    val truth = l.crossJoin(r).filter($"id1" < $"id2")
+      .filter(bit_count($"s1".bitwiseXOR($"s2")) <= 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val blocked = operators.Dedup.simHashPairs(planted, "text", "doc_id", 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(blocked == truth)
+  }
+
+  test("multi-table LSH ANN: planted high-cosine twin is every vector's rank-1") {
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, j) =>
+        (x * (1.0 + 0.02 * math.sin(j + id))).toFloat })
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val top1 = operators.Similarity.lshTopK(df, 64, 1, 8, 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      assert(top1(i.toLong) == i + 1000L, s"query $i")
+      assert(top1(i + 1000L) == i.toLong, s"twin of $i")
+    }
+  }
+}
