@@ -278,7 +278,7 @@ object SparkEntry {
     //      exactly the planted pair set — which DuckDB derives
     //      independently from the shingle-count guard ----
     "q_planted_minhash" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val toks = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), TokenArray(col("text")).as("tk"))
         .withColumn("tk", transform(col("tk"),
           tok => concat(lit("d"), col("doc_id"), lit("x"), tok)))
@@ -351,7 +351,8 @@ object SparkEntry {
     //      the output is exactly the planted rank-1 map, which the oracle
     //      states in closed form ----
     "q_planted_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
       val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
@@ -699,7 +700,8 @@ object SparkEntry {
         |WHERE component = doc_id ORDER BY doc_id""".stripMargin,
 
     "q_planted_minhash" ->
-      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents
+        |  WHERE doc_id % 5 = 0),
         |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks)
         |SELECT doc_id AS id1, doc_id + 10000000 AS id2 FROM sh
         |WHERE len(s) >= 10 ORDER BY id1, id2""".stripMargin,
@@ -711,9 +713,10 @@ object SparkEntry {
 
     "q_planted_ann" ->
       """SELECT query_id, neighbor_id FROM (
-        |  SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id FROM embeddings
+        |  SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id
+        |  FROM embeddings WHERE vec_id % 4 = 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000, vec_id FROM embeddings)
+        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 4 = 0)
         |ORDER BY query_id""".stripMargin,
 
     "q_embed_cosine_pairs" ->

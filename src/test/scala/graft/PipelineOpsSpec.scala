@@ -344,3 +344,48 @@ class PlantedRecallSpec extends SparkSpecBase {
     }
   }
 }
+
+class PpjoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // one shared block; several planted near-dup pairs among unrelated docs
+  private lazy val corpus = {
+    val uniq = (0 until 150).map(i =>
+      (i.toLong, "en", (0 until 20).map(j => s"u${i}w$j").mkString(" ")))
+    val dups = (0 until 10).flatMap { i =>
+      val text = (0 until 20).map(j => s"d${i}w$j").mkString(" ")
+      Seq((1000L + i, "en", text), (2000L + i, "en", text + " extra"))
+    }
+    (uniq ++ dups).toDF("doc_id", "lang", "text")
+  }
+
+  private def naivePairs = {
+    val toks = corpus.select($"doc_id", $"lang", functions.TokenSet($"text").as("t"))
+    toks.select($"doc_id".as("id1"), $"lang", $"t".as("t1"))
+      .join(toks.select($"doc_id".as("id2"), $"lang", $"t".as("t2")), Seq("lang"))
+      .filter($"id1" < $"id2")
+      .withColumn("jaccard", functions.SortedJaccardSim($"t1", $"t2"))
+      .filter($"jaccard" >= 0.9)
+      .select("id1", "id2", "jaccard")
+  }
+
+  test("ppjoin jaccardPairs output equals the naive all-pairs formulation") {
+    val pp = operators.Dedup.jaccardPairs(corpus, "text", "doc_id", Seq("lang"), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val naive = naivePairs.as[(Long, Long, Double)].collect().toSet
+    assert(pp == naive)
+    assert(pp.size == 10) // exactly the planted pairs
+  }
+
+  test("prefix filtering generates far fewer candidates than block-square") {
+    val nDocs = corpus.count()
+    val blockSquare = nDocs * (nDocs - 1) / 2 // one shared block
+    val candidates = operators.Dedup
+      .ppjoinCandidates(corpus, "text", "doc_id", Seq("lang"), 0.9)
+      .select("id1", "id2").distinct().count()
+    assert(candidates < blockSquare / 10,
+      s"candidates=$candidates vs blockSquare=$blockSquare")
+    // and the candidate set still covers every true pair
+    assert(candidates >= 10)
+  }
+}
