@@ -9,7 +9,6 @@ import com.fasterxml.jackson.databind.node.JsonNodeType
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -132,6 +131,85 @@ object CanonicalHash {
     }
   }
 
+  /** Python `str(float)` written directly into the buffer: same rendering
+    * as [[PyFormat.pyDouble]] (a property spec asserts equality) but with
+    * zero allocation beyond the JDK's `Double.toString` — no substring /
+    * StringBuilder / re-encode per value, which matters when hashing
+    * billions of double fields.
+    */
+  private[functions] def addPyDouble(buf: ByteBuf, d: Double): Unit = {
+    if (java.lang.Double.isNaN(d)) { addAscii(buf, "nan"); return }
+    if (d == Double.PositiveInfinity) { addAscii(buf, "inf"); return }
+    if (d == Double.NegativeInfinity) { addAscii(buf, "-inf"); return }
+    if (d == 0.0) { addAscii(buf, if (1.0 / d < 0) "-0.0" else "0.0"); return }
+    if (d < 0) buf.add('-')
+    val s = java.lang.Double.toString(math.abs(d))
+    val eIdx = s.indexOf('E')
+    // significant-digit range [dStart, dEnd) within s (may contain one
+    // '.', skipped on emission) and the decimal exponent of the leading digit
+    var dStart = 0
+    var dEnd = 0
+    var fde = 0
+    if (eIdx >= 0) {
+      fde = java.lang.Integer.parseInt(s, eIdx + 1, s.length, 10)
+      dEnd = eIdx
+    } else {
+      val dot = s.indexOf('.')
+      if (s.charAt(0) != '0') { dEnd = s.length; fde = dot - 1 }
+      else {
+        var i = dot + 1
+        while (i < s.length && s.charAt(i) == '0') i += 1
+        dStart = i; dEnd = s.length; fde = -(i - dot)
+      }
+    }
+    // trim trailing zeros of the significant digits (crossing the '.' when
+    // everything after it is zero); the leading digit always survives
+    var e = dEnd
+    var trimming = true
+    while (trimming && e > dStart + 1) {
+      val c = s.charAt(e - 1)
+      if (c == '0' || c == '.') e -= 1 else trimming = false
+    }
+    var n = 0
+    var di = dStart
+    while (di < e) { if (s.charAt(di) != '.') n += 1; di += 1 }
+    // emit `cnt` digits starting at `from`, skipping '.', return next pos
+    def emitDigits(from: Int, cnt: Int): Int = {
+      var i = from
+      var c = cnt
+      while (c > 0) {
+        val ch = s.charAt(i)
+        if (ch != '.') { buf.add(ch); c -= 1 }
+        i += 1
+      }
+      i
+    }
+    if (fde >= 16 || fde < -4) { // scientific d.dddde[+-]XX
+      val i = emitDigits(dStart, 1)
+      if (n > 1) { buf.add('.'); emitDigits(i, n - 1) }
+      buf.add('e')
+      if (fde >= 0) buf.add('+') else buf.add('-')
+      val ae = math.abs(fde)
+      if (ae < 100) addPad(buf, ae, 2) else addAscii(buf, ae.toString)
+    } else if (fde >= 0) { // fixed, >= 1
+      if (n > fde + 1) {
+        val i = emitDigits(dStart, fde + 1)
+        buf.add('.')
+        emitDigits(i, n - fde - 1)
+      } else {
+        emitDigits(dStart, n)
+        var i = n
+        while (i <= fde) { buf.add('0'); i += 1 }
+        addAscii(buf, ".0")
+      }
+    } else { // fixed, < 1: 0.00ddd
+      addAscii(buf, "0.")
+      var i = -1
+      while (i > fde) { buf.add('0'); i -= 1 }
+      emitDigits(dStart, n)
+    }
+  }
+
   private def writerFor(dt: DataType): CanonW = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       (v, buf) =>
@@ -144,11 +222,11 @@ object CanonicalHash {
     case DoubleType =>
       (v, buf) =>
         if (v == null) addAscii(buf, "None")
-        else addAscii(buf, PyFormat.pyDouble(v.asInstanceOf[Double]))
+        else addPyDouble(buf, v.asInstanceOf[Double])
     case FloatType =>
       (v, buf) =>
         if (v == null) addAscii(buf, "None")
-        else addAscii(buf, PyFormat.pyDouble(v.asInstanceOf[Float].toDouble))
+        else addPyDouble(buf, v.asInstanceOf[Float].toDouble)
     case TimestampType | TimestampNTZType =>
       (v, buf) =>
         if (v == null) addAscii(buf, "None")
@@ -420,20 +498,42 @@ object CanonicalHash {
 
 /** `get_row_hash` as a Catalyst expression. Input may be any type; a
   * struct input yields the row hash the reference produces for
-  * `get_row_hash(to_json(row))`. CodegenFallback keeps the surrounding
-  * plan in whole-stage codegen with only this expression interpreted.
+  * `get_row_hash(to_json(row))`.
+  *
+  * `doGenCode` (rather than CodegenFallback) keeps the CHILD inside
+  * whole-stage codegen too: the struct is materialized by generated code
+  * and handed to the compiled canonicalizer in one virtual call per row,
+  * instead of CodegenFallback's interpreted re-evaluation of the whole
+  * subtree (boxed per-field InternalRow access).
   */
-case class CanonicalRowHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CanonicalRowHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
   @transient private lazy val canon = CanonicalHash.compile(child.dataType)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    UTF8String.fromString(canon(v))
+  /** Called from both interpreted eval and generated code. */
+  def hash(v: Any): UTF8String = UTF8String.fromString(canon(v))
+
+  override def eval(input: InternalRow): Any = hash(child.eval(input))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    // reference the expression itself: serializable, and `canon` is
+    // @transient lazy so the thread-local buffers are rebuilt per executor
+    val self = ctx.addReferenceObj("rowHash", this, classOf[CanonicalRowHash].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |UTF8String ${ev.value} = $self.hash(${childGen.isNull} ? null : (Object) ${childGen.value});
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override def prettyName: String = "get_row_hash"

@@ -81,3 +81,53 @@ class HashPropertiesSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The zero-allocation double writer must render byte-identically to
+  * PyFormat.pyDouble for every double (verified over uniform bit patterns,
+  * magnitudes across the exponent range, and the known edge cases).
+  */
+class PyDoubleWriterSpec extends AnyFunSuite {
+
+  private def viaBuffer(d: Double): String = {
+    // drive the buffer path through the public hash: hash a 1-field struct
+    // both ways and compare full hashes (covers escaping + assembly too)
+    graft.functions.CanonicalHash.canonicalSpark(
+      org.apache.spark.sql.catalyst.InternalRow(d),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  private def viaString(d: Double): String =
+    graft.functions.CanonicalHash.xxh64Hex(
+      s"""{"a":"${graft.functions.PyFormat.pyDouble(d)}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val rnd = new scala.util.Random(11L)
+
+  test("buffer double writer matches pyDouble on random bit patterns") {
+    (0 until 20000).foreach { _ =>
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN || true) assert(viaBuffer(d) == viaString(d), s"bits of $d")
+    }
+  }
+
+  test("buffer double writer matches pyDouble across magnitudes") {
+    (-320 to 320).foreach { e =>
+      val base = math.pow(10.0, e)
+      Seq(1.0, 1.5, 2.25, 9.999999, 1.0000001, 7.3).foreach { m =>
+        val d = m * base
+        assert(viaBuffer(d) == viaString(d), s"$m * 10^$e")
+        assert(viaBuffer(-d) == viaString(-d), s"-$m * 10^$e")
+      }
+    }
+  }
+
+  test("buffer double writer edge cases") {
+    Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+      1e16, 1e15, 9.999999999999998e15, 1e-4, 1e-5, 0.1, 100.0, 123456789.123,
+      1.0, -1.0, 2.5e-10, 3.14159e300).foreach { d =>
+      assert(viaBuffer(d) == viaString(d), s"edge $d")
+    }
+  }
+}
