@@ -17,16 +17,20 @@ final case class SideDetails(
     path: String = "",
     user: String = "",
     password: String = "",
-    schema: String = "public") {
+    schema: String = "") {
 
   def toSide(spark: SparkSession, id: String): Side = databaseType.toLowerCase match {
     case "parquet" | "duckdb" => ParquetSide(spark, path, id)
     case f @ ("csv" | "json" | "orc") => graft.sources.FormatSide(spark, path, f, id)
-    case "jdbc" | "postgresql" =>
+    case t @ ("jdbc" | "postgresql" | "sqlite" | "derby") =>
       val props = new java.util.Properties()
       if (user.nonEmpty) props.setProperty("user", user)
       if (password.nonEmpty) props.setProperty("password", password)
-      JdbcSide(spark, path, props, schema, id)
+      // postgres organizes user tables under a schema (default public);
+      // sqlite/derby-style embedded DBs use no schema filter by default
+      val effectiveSchema =
+        if (schema.isEmpty && t == "postgresql") "public" else schema
+      JdbcSide(spark, path, props, effectiveSchema, id)
     case other => throw new IllegalArgumentException(s"unsupported database_type: $other")
   }
 }

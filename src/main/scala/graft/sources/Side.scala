@@ -69,17 +69,43 @@ final case class MemorySide(id: String, tables: Map[String, DataFrame]) extends 
   override def table(name: String): DataFrame = tables(name)
 }
 
-/** A live JDBC database as a side (Postgres & friends — the reference
-  * reaches them via DuckDB scanner extensions; we read them directly).
-  * Requires the JDBC driver on the classpath.
+/** A live JDBC database as a side (the reference reaches Postgres/SQLite
+  * via DuckDB scanner extensions, lotad/connection.py:287-312; we read
+  * them directly with Spark's JDBC source). Requires the JDBC driver on
+  * the classpath.
+  *
+  * Table discovery goes through `java.sql.DatabaseMetaData.getTables`,
+  * which is portable across backends — unlike `information_schema`, which
+  * SQLite/Derby don't expose — and involves no SQL string interpolation.
+  * Identifiers are double-quote-escaped in `table()` for the same reason.
+  * An empty `schemaName` means "no schema filter" (SQLite has none).
   */
 final case class JdbcSide(spark: SparkSession, url: String, props: java.util.Properties,
                           schemaName: String, id: String) extends Side {
-  override def listTables(): Seq[String] = {
-    val q = s"""(SELECT table_name FROM information_schema.tables
-                WHERE table_schema = '$schemaName') AS t"""
-    spark.read.jdbc(url, q, props).collect().map(_.getString(0)).toSeq.sorted
+
+  private def withConnection[T](f: java.sql.Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
   }
-  override def table(name: String): DataFrame =
-    spark.read.jdbc(url, s"$schemaName.$name", props)
+
+  override def listTables(): Seq[String] = withConnection { conn =>
+    val rs = conn.getMetaData.getTables(
+      null, if (schemaName.isEmpty) null else schemaName, "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    try while (rs.next()) out += rs.getString("TABLE_NAME")
+    finally rs.close()
+    out.toSeq.sorted
+  }
+
+  private def quoted(ident: String): String = {
+    require(!ident.contains("\""), s"illegal identifier: $ident")
+    "\"" + ident + "\""
+  }
+
+  override def table(name: String): DataFrame = {
+    val dbtable =
+      if (schemaName.isEmpty) quoted(name)
+      else s"${quoted(schemaName)}.${quoted(name)}"
+    spark.read.jdbc(url, dbtable, props)
+  }
 }
