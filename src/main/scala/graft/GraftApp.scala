@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions.col
   */
 object GraftApp {
 
+  private val flagArgs = Set("--ignore-dates", "--apply")
+
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
         k.stripPrefix("--") -> v
-    }.toMap ++ args.filter(a => a == "--ignore-dates").map(_ => "ignore-dates" -> "true").toMap
+    }.toMap ++ args.filter(flagArgs).map(a => a.stripPrefix("--") -> "true").toMap
 
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,6 +43,23 @@ object GraftApp {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("run")
     val opts = parseArgs(args.drop(1))
+    if (cmd == "setup") {
+      // the config may not exist yet — the wizard's create flow handles it
+      val path = opts.getOrElse("config", sys.error("setup requires --config <path>"))
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val io = new graft.config.ConsoleIO
+        val cfg = graft.config.ConfigWizard.loadOrCreate(io, path)
+        val wizard = new graft.config.ConfigWizard(spark, io, path, cfg)
+        if (opts.contains("apply")) {
+          wizard.generateIgnoredColumns()
+          GraftConfig.write(wizard.current, path)
+          println(s"config updated: $path")
+        } else wizard.run()
+      } finally spark.stop()
+      return
+    }
     val config: GraftConfig = opts.get("config") match {
       case Some(path) =>
         val base = GraftConfig.load(path)
@@ -78,19 +97,28 @@ object GraftApp {
         case "suggest-ignores" =>
           suggestIgnores(spark, s1, s2, config).foreach(println)
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup)")
       }
     } finally spark.stop()
   }
 
-  /** Wizard analog (reference: lotad/config_wizard.py:33-147): for each
-    * shared column of each shared table, sample up to 10k distinct values
-    * on db1 and count matches on db2; zero overlap on a non-empty sample
-    * means the column never agrees across sides (UUID PKs, run ids...) and
-    * is suggested as an `ignore_column` rule. Emits YAML fragments.
+  /** Wizard analog (reference: lotad/config_wizard.py:33-147): per shared
+    * table, find the shared columns where a sample of up to 10k distinct
+    * db1 values has ZERO matches on db2 — those columns never agree across
+    * sides (UUID PKs, run ids...) and become `ignore_column` suggestions.
+    *
+    * ONE Spark job per table (vs 2 per column): all columns are stacked to
+    * long form `(col_name, value-as-string)`, the per-column sample is a
+    * deterministic row_number cap, and a single left-join + aggregate
+    * yields every column's overlap count at once. String-cast equality is
+    * deliberate: both sides cast the same way, and the wizard only needs
+    * match/no-match, not type-exact joins.
     */
-  def suggestIgnores(spark: SparkSession, s1: graft.sources.Side,
-                     s2: graft.sources.Side, config: GraftConfig): Seq[String] = {
+  def suggestIgnoreColumns(spark: SparkSession, s1: graft.sources.Side,
+                           s2: graft.sources.Side,
+                           config: GraftConfig): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, lit, row_number}
     val comparator = new DriftCompare(spark, s1, s2, config.diffConfig)
     comparator.sharedTables().flatMap { table =>
       val t1 = s1.table(table)
@@ -98,16 +126,37 @@ object GraftApp {
       val sharedCols = t1.schema.fields.filter { f =>
         t2.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType)
       }
-      val ignorable = sharedCols.flatMap { f =>
-        val c = f.name
-        val sample = t1.select(col(s"`$c`")).filter(col(s"`$c`").isNotNull)
-          .distinct().limit(10000)
-        val overlap = t2.join(sample, Seq(c), "left_semi").limit(1).count()
-        if (overlap == 0 && !sample.isEmpty) Some(c) else None
+      if (sharedCols.isEmpty) None
+      else {
+        val stackArgs = sharedCols.map { f =>
+          val quoted = f.name.replace("`", "``")
+          s"'${f.name.replace("'", "''")}', CAST(`$quoted` AS STRING)"
+        }.mkString(", ")
+        def longForm(df: org.apache.spark.sql.DataFrame) = df
+          .selectExpr(s"stack(${sharedCols.length}, $stackArgs) AS (col_name, val)")
+          .filter(col("val").isNotNull)
+          .distinct()
+        val w = Window.partitionBy("col_name").orderBy("val")
+        val sample = longForm(t1)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10000).drop("rn")
+        val counts = sample
+          .join(longForm(t2).withColumn("m", lit(1)), Seq("col_name", "val"), "left")
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n_sample"), count(col("m")).as("n_overlap"))
+          .collect()
+        val ignorable = counts.filter(r => r.getLong(2) == 0L && r.getLong(1) > 0L)
+          .map(_.getString(0)).toSeq.sorted
+        if (ignorable.isEmpty) None else Some(table -> ignorable)
       }
-      if (ignorable.isEmpty) Nil
-      else Seq(s"- table_name: $table\n  rules:" +
-        ignorable.sorted.map(c => s"\n    - {rule_type: ignore_column, rule_value: $c}").mkString)
-    }
+    }.toMap
   }
+
+  /** YAML-fragment rendering of [[suggestIgnoreColumns]] (CLI output). */
+  def suggestIgnores(spark: SparkSession, s1: graft.sources.Side,
+                     s2: graft.sources.Side, config: GraftConfig): Seq[String] =
+    suggestIgnoreColumns(spark, s1, s2, config).toSeq.sortBy(_._1).map {
+      case (table, cols) =>
+        s"- table_name: $table\n  rules:" +
+          cols.map(c => s"\n    - {rule_type: ignore_column, rule_value: $c}").mkString
+    }
 }

@@ -66,10 +66,153 @@ final case class GraftConfig(
     DiffConfig(targetTables, ignoreTables, ignoreDates, tableConfigs)
 }
 
+/** Early validation of per-table custom queries (reference:
+  * lotad/config.py:141-163 rejects malformed SQL at config time; the CTE
+  * ban there is deliberately NOT carried over — temp-view execution makes
+  * CTEs legal here, see DriftCompare.runCustomQuery).
+  */
+object QueryValidation {
+  /** Normalize (strip blank/padded lines, like the reference) and parse-
+    * check a custom query; fails fast naming the table.
+    */
+  def normalize(table: String, query: String): String = {
+    val cleaned = query.split("\n").map(_.trim).filter(_.nonEmpty).mkString("\n")
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(cleaned)
+      cleaned
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"table $table: unable to parse custom query: ${e.getMessage}")
+    }
+  }
+}
+
 object GraftConfig {
 
-  def load(path: String): GraftConfig =
-    parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  def load(path: String): GraftConfig = {
+    val cfg = parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    applyEnvPasswords(cfg, path)
+  }
+
+  // ---- secrets side-channel: passwords live in a .env next to the config,
+  //      keyed by config-path md5 so multiple configs in one directory
+  //      cannot collide (reference: lotad/config.py:208-233) ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private[graft] def envPrefix(configPath: String): String = s"graft_${md5Hex(configPath)}"
+
+  private def envPath(configPath: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(configPath).toAbsolutePath.getParent
+    p.resolve(".env")
+  }
+
+  private def parseEnvFile(p: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).toArray.toSeq.map(_.toString)
+      .filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+
+  /** Overlay passwords from the config's .env side-channel, if present. */
+  private[graft] def applyEnvPasswords(cfg: GraftConfig, configPath: String): GraftConfig = {
+    val env = parseEnvFile(envPath(configPath))
+    val prefix = envPrefix(configPath)
+    def overlay(d: SideDetails, which: String): SideDetails =
+      env.get(s"${prefix}_password_$which").map(p => d.copy(password = p)).getOrElse(d)
+    cfg.copy(db1Details = overlay(cfg.db1Details, "db1"),
+      db2Details = overlay(cfg.db2Details, "db2"))
+  }
+
+  /** Upsert `key=value` in an env file (reference: lotad/config.py:28-57). */
+  private[graft] def addToEnv(key: String, value: String, p: java.nio.file.Path): Unit = {
+    val existing =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p)
+      else ""
+    val lines = existing.split("\n", -1).toBuffer
+    val idx = lines.indexWhere(_.startsWith(s"$key="))
+    if (idx >= 0) lines(idx) = s"$key=$value"
+    else {
+      while (lines.nonEmpty && lines.last.isEmpty) lines.remove(lines.length - 1)
+      lines += s"$key=$value"
+    }
+    val out = lines.mkString("\n")
+    java.nio.file.Files.writeString(p, if (out.endsWith("\n")) out else out + "\n")
+  }
+
+  /** Persist the config as YAML at `path` (reference: lotad/config.py:278-287):
+    * passwords are never written to the YAML — they go to the `.env`
+    * side-channel; keys render alphabetically (PyYAML sort_keys) and
+    * falsy values are dropped, matching the reference's `dict()`.
+    */
+  def write(cfg: GraftConfig, path: String): Unit = {
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), render(cfg))
+    val prefix = envPrefix(path)
+    if (cfg.db1Details.password.nonEmpty)
+      addToEnv(s"${prefix}_password_db1", cfg.db1Details.password, envPath(path))
+    if (cfg.db2Details.password.nonEmpty)
+      addToEnv(s"${prefix}_password_db2", cfg.db2Details.password, envPath(path))
+  }
+
+  private def yamlScalar(s: String): String =
+    if (s.isEmpty) "''"
+    else if (s.matches("[A-Za-z0-9_./*+-]+") &&
+             !Set("true", "false", "null", "yes", "no").contains(s.toLowerCase)) s
+    else "'" + s.replace("'", "''") + "'"
+
+  /** Render as YAML (keys alphabetical, 2-space indent, `|` blocks for
+    * multiline strings — the shape PyYAML's dump produces for the
+    * reference's config dict).
+    */
+  def render(cfg: GraftConfig): String = {
+    val sb = new StringBuilder
+    def sideBlock(key: String, d: SideDetails): Unit = {
+      sb.append(key).append(":\n")
+      sb.append("  database_type: ").append(yamlScalar(d.databaseType)).append('\n')
+      if (d.path.nonEmpty) sb.append("  path: ").append(yamlScalar(d.path)).append('\n')
+      if (d.schema.nonEmpty) sb.append("  schema: ").append(yamlScalar(d.schema)).append('\n')
+      if (d.user.nonEmpty) sb.append("  user: ").append(yamlScalar(d.user)).append('\n')
+    }
+    sideBlock("db1_details", cfg.db1Details)
+    sideBlock("db2_details", cfg.db2Details)
+    if (cfg.ignoreDates) sb.append("ignore_dates: true\n")
+    if (cfg.ignoreTables.nonEmpty) {
+      sb.append("ignore_tables:\n")
+      cfg.ignoreTables.sorted.foreach(t => sb.append("- ").append(yamlScalar(t)).append('\n'))
+    }
+    if (cfg.outputPath.nonEmpty)
+      sb.append("output_path: ").append(yamlScalar(cfg.outputPath)).append('\n')
+    if (cfg.tableConfigs.nonEmpty) {
+      sb.append("table_configs:\n")
+      cfg.tableConfigs.toSeq.sortBy(_._1).foreach { case (table, rules) =>
+        var lead = "- "
+        def item(line: String): Unit = { sb.append(lead).append(line).append('\n'); lead = "  " }
+        rules.customQuery.foreach { q =>
+          if (q.contains("\n")) {
+            item("query: |-")
+            q.split("\n").foreach(l => sb.append("    ").append(l).append('\n'))
+          } else item(s"query: ${yamlScalar(q)}")
+        }
+        if (rules.ignoreColumns.nonEmpty) {
+          item("rules:")
+          rules.ignoreColumns.toSeq.sorted.foreach { c =>
+            sb.append(lead).append("- rule_type: ignore_column\n")
+            sb.append(lead).append("  rule_value: ").append(yamlScalar(c)).append('\n')
+          }
+        }
+        item(s"table_name: ${yamlScalar(table)}")
+      }
+    }
+    if (cfg.targetTables.nonEmpty) {
+      sb.append("target_tables:\n")
+      cfg.targetTables.sorted.foreach(t => sb.append("- ").append(yamlScalar(t)).append('\n'))
+    }
+    sb.toString
+  }
 
   def parse(yaml: String): GraftConfig = {
     val mapper = new ObjectMapper(new YAMLFactory())
@@ -85,7 +228,7 @@ object GraftConfig {
       case m: java.util.Map[_, _] =>
         val mm = m.asInstanceOf[java.util.Map[String, Object]]
         SideDetails(str(mm, "database_type", "parquet"), str(mm, "path"),
-          str(mm, "user"), str(mm, "password"), str(mm, "schema", "public"))
+          str(mm, "user"), str(mm, "password"), str(mm, "schema"))
       case _ => throw new IllegalArgumentException(s"missing $k")
     }
     val tableConfigs: Map[String, TableRules] = root.get("table_configs") match {
@@ -103,6 +246,7 @@ object GraftConfig {
             case _ => Set.empty
           }
           val query = Option(m.get("query")).map(_.toString).filter(_.nonEmpty)
+            .map(QueryValidation.normalize(name, _)) // fail fast on bad SQL
           name -> TableRules(ignores, query)
         }.toMap
       case _ => Map.empty

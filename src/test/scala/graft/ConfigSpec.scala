@@ -61,3 +61,146 @@ class ConfigSpec extends SparkSpecBase {
     assert(!out.head.contains("rule_value: id") && !out.head.contains("rule_value: name"))
   }
 }
+
+class ConfigWriteSpec extends SparkSpecBase {
+  import graft.config.{ConfigWizard, GraftConfig, ScriptedIO, SideDetails}
+  import graft.operators.TableRules
+
+  private def tmpDir = java.nio.file.Files.createTempDirectory("graft-cfg")
+
+  private val full = GraftConfig(
+    db1Details = SideDetails("parquet", "/data/side1"),
+    db2Details = SideDetails("postgresql", "jdbc:postgresql://h/db", "u", "sekret", "public"),
+    outputPath = "./out",
+    targetTables = Seq("a.*", "orders.*"), // pre-sorted: write() sorts like the reference
+    ignoreTables = Seq("tmp_.*"),
+    ignoreDates = true,
+    tableConfigs = Map(
+      "orders" -> TableRules(Set("updated_at", "run_id"),
+        Some("SELECT *\nFROM orders\nWHERE id > 5"))))
+
+  test("config round-trips load -> write -> load") {
+    val dir = tmpDir
+    val p = dir.resolve("cfg.yaml").toString
+    GraftConfig.write(full, p)
+    val back = GraftConfig.load(p)
+    assert(back == full) // password restored from .env
+  }
+
+  test("passwords go to .env, never the yaml") {
+    val dir = tmpDir
+    val p = dir.resolve("cfg.yaml").toString
+    GraftConfig.write(full, p)
+    val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(!yaml.contains("sekret") && !yaml.contains("password"))
+    val env = java.nio.file.Files.readString(dir.resolve(".env"))
+    assert(env.contains("_password_db2=sekret"))
+    assert(env.contains(GraftConfig.envPrefix(p)))
+  }
+
+  test("env upsert replaces existing keys and keeps others") {
+    val dir = tmpDir
+    val envp = dir.resolve(".env")
+    GraftConfig.addToEnv("a", "1", envp)
+    GraftConfig.addToEnv("b", "2", envp)
+    GraftConfig.addToEnv("a", "3", envp)
+    assert(java.nio.file.Files.readString(envp) == "a=3\nb=2\n")
+  }
+
+  test("falsy values are dropped from the yaml like the reference dict()") {
+    val dir = tmpDir
+    val p = dir.resolve("cfg.yaml").toString
+    GraftConfig.write(GraftConfig(
+      db1Details = SideDetails("parquet", "/a"),
+      db2Details = SideDetails("parquet", "/b")), p)
+    val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(!yaml.contains("ignore_dates") && !yaml.contains("target_tables") &&
+      !yaml.contains("table_configs") && !yaml.contains("ignore_tables"))
+  }
+
+  test("malformed custom query is rejected at config parse, naming the table") {
+    val bad =
+      """db1_details: {database_type: parquet, path: /a}
+        |db2_details: {database_type: parquet, path: /b}
+        |table_configs:
+        |  - table_name: orders
+        |    query: "SELEKT * FROM orders"
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfig.parse(bad))
+    assert(e.getMessage.contains("orders"))
+  }
+
+  test("CTE custom queries stay legal (deliberate deviation)") {
+    val cfg = GraftConfig.parse(
+      """db1_details: {database_type: parquet, path: /a}
+        |db2_details: {database_type: parquet, path: /b}
+        |table_configs:
+        |  - table_name: orders
+        |    query: "WITH x AS (SELECT 1 AS a) SELECT * FROM x"
+        |""".stripMargin)
+    assert(cfg.tableConfigs("orders").customQuery.get.startsWith("WITH"))
+  }
+
+  test("wizard menu loop mutates and persists config like the reference") {
+    import graft.sources.MemorySide
+    import spark.implicits._
+    val dir = tmpDir
+    val p = dir.resolve("cfg.yaml").toString
+    GraftConfig.write(GraftConfig(
+      db1Details = SideDetails("parquet", "/a"),
+      db2Details = SideDetails("parquet", "/b")), p)
+    val a = Seq((1L, "u1", "x"), (2L, "u2", "y")).toDF("id", "run_id", "name")
+    val b = Seq((1L, "v9", "x"), (2L, "v8", "y")).toDF("id", "run_id", "name")
+    val sides = (MemorySide("db1", Map("t" -> a)), MemorySide("db2", Map("t" -> b)))
+    val io = new ScriptedIO(Seq(
+      "Set the list of ignored tables.", "scratch.*, tmp_.*",
+      "Set ignore date behavior for config.", "yes",
+      "Set a custom query for a table.", "t", "SELECT id, name FROM t",
+      "Generate ignored columns for tables.", "yes",
+      "Done."))
+    val wizard = new ConfigWizard(spark, io, p, GraftConfig.load(p), Some(sides))
+    val out = wizard.run()
+    assert(out.ignoreTables == Seq("scratch.*", "tmp_.*"))
+    assert(out.ignoreDates)
+    assert(out.tableConfigs("t").customQuery.contains("SELECT id, name FROM t"))
+    assert(out.tableConfigs("t").ignoreColumns == Set("run_id"))
+    // persisted: reload agrees
+    assert(GraftConfig.load(p) == out)
+    assert(io.echoed.toString.contains("Config updated successfully."))
+  }
+
+  test("wizard create flow writes a fresh config") {
+    val dir = tmpDir
+    val p = dir.resolve("new.yaml").toString
+    val io = new ScriptedIO(Seq("parquet", "/data/x", "parquet", "/data/y", "no"))
+    val cfg = ConfigWizard.loadOrCreate(io, p)
+    assert(cfg.db1Details == SideDetails("parquet", "/data/x"))
+    assert(!cfg.ignoreDates)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
+
+  test("batched suggestIgnoreColumns runs O(1) jobs per table, not per column") {
+    import graft.sources.MemorySide
+    import spark.implicits._
+    // 8 columns; 2 never overlap
+    val a = (1 to 50).map(i => (i.toLong, s"a$i", s"b$i", s"c$i", i * 2, i * 3, s"r1_$i", s"s1_$i"))
+      .toDF("id", "c1", "c2", "c3", "n1", "n2", "run_id", "sess_id")
+    val b = (1 to 50).map(i => (i.toLong, s"a$i", s"b$i", s"c$i", i * 2, i * 3, s"r2_$i", s"s2_$i"))
+      .toDF("id", "c1", "c2", "c3", "n1", "n2", "run_id", "sess_id")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = GraftApp.suggestIgnoreColumns(spark,
+        MemorySide("db1", Map("t" -> a)), MemorySide("db2", Map("t" -> b)),
+        GraftConfig(SideDetails("parquet", "/a"), SideDetails("parquet", "/b")))
+      Thread.sleep(300) // let queued listener events drain
+      assert(out == Map("t" -> Seq("run_id", "sess_id")))
+      // old implementation: 2 jobs x 8 columns = 16; batched: a handful
+      assert(jobs.get() <= 6, s"jobs=${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
