@@ -318,28 +318,44 @@ object DriftOutput {
       .parquet(s"$outDir/lotad_db_data_drift_summary")
   }
 
-  /** Text report (reference: lotad/reports/db_comparison_report.j2). */
-  def report(result: DriftResult, db1: String, db2: String): String = {
+  /** Text report, byte-identical to the reference's Jinja rendering
+    * (reference: lotad/reports/db_comparison_report.j2 +
+    * data_analysis.py:202-211): empty sections are omitted entirely,
+    * missing-table and schema-drift values carry the stored literal
+    * quote-wrapping, the data-drift summary does not, rows sort like the
+    * reference's ORDER BY clauses, and the output has no trailing newline.
+    * The `db1`/`db2` arguments are accepted for call-site compatibility
+    * but the rendered identifiers come from the result rows, as in the
+    * reference (it renders the stored db ids).
+    */
+  def report(result: DriftResult, db1: String = "", db2: String = ""): String = {
     val sb = new StringBuilder
-    sb.append("Lotad Drift Report\n==================\n\n")
-    sb.append(s"db1: $db1\ndb2: $db2\n\n")
-    sb.append("Missing tables\n--------------\n")
-    if (result.missingTables.isEmpty) sb.append("  (none)\n")
-    else result.missingTables.foreach { r =>
-      sb.append(s"  ${r.tableName}: observed in ${r.observedIn}, missing in ${r.missingIn}\n")
+    sb.append("Database Comparison Report")
+    if (result.missingTables.nonEmpty) {
+      sb.append("\n\nMissing Table Summary")
+      result.missingTables.sortBy(_.tableName).foreach { r =>
+        sb.append(s"\n${q(r.tableName)} not found in ${q(r.missingIn)}")
+      }
     }
-    sb.append("\nSchema drift\n------------\n")
-    if (result.schemaDrift.isEmpty) sb.append("  (none)\n")
-    else result.schemaDrift.foreach { r =>
-      sb.append(s"  ${r.tableName}.${r.columnName}: " +
-        s"${r.db1}=${r.db1ColumnType.getOrElse("missing")} " +
-        s"${r.db2}=${r.db2ColumnType.getOrElse("missing")}\n")
+    if (result.schemaDrift.nonEmpty) {
+      sb.append("\n\nSchema Drift Summary")
+      result.schemaDrift.sortBy(r => (r.tableName, r.columnName)).foreach { r =>
+        sb.append(s"\n\n${q(r.tableName)}.${q(r.columnName)}")
+        sb.append(s"\n    ${q(r.db1)} ${q(r.db1ColumnType.map(_.replace("'", "")).getOrElse("None"))}")
+        sb.append(s"\n    ${q(r.db2)} ${q(r.db2ColumnType.map(_.replace("'", "")).getOrElse("None"))}")
+      }
     }
-    sb.append("\nData drift\n----------\n")
-    if (result.summary.isEmpty) sb.append("  (none)\n")
-    else result.summary.sortBy(_.tableName).foreach { r =>
-      sb.append(s"  ${r.tableName}: ${r.rowsOnlyInDb1} rows only in ${r.db1}, " +
-        s"${r.rowsOnlyInDb2} rows only in ${r.db2}\n")
+    if (result.summary.nonEmpty) {
+      sb.append("\n\nData Drift Summary")
+      sb.append("\nFormat:")
+      sb.append("\n    my_table")
+      sb.append("\n        db1 - records only in db1")
+      sb.append("\n        db2 - records only in db2")
+      result.summary.sortBy(_.tableName).foreach { r =>
+        sb.append(s"\n\n${r.tableName}")
+        sb.append(s"\n    ${r.db1} - ${r.rowsOnlyInDb1}")
+        sb.append(s"\n    ${r.db2} - ${r.rowsOnlyInDb2}")
+      }
     }
     sb.toString
   }

@@ -155,8 +155,9 @@ class DriftCompareSpec extends SparkSpecBase {
     assert(r.missingTables.map(_.tableName) == Seq("only1"))
     assert(r.schemaDrift.map(_.columnName) == Seq("tags"))
     assert(r.summary == Seq(DataDriftSummaryRow("t", "db1", 0L, "db2", 1L)))
-    val rep = DriftOutput.report(r, "db1", "db2")
-    assert(rep.contains("only1") && rep.contains("tags") && rep.contains("1 rows only in db2"))
+    val rep = DriftOutput.report(r)
+    assert(rep.contains("\"only1\" not found in \"db2\"") && rep.contains("\"tags\"")
+      && rep.contains("db2 - 1"))
   }
 }
 
@@ -226,5 +227,44 @@ class NestedTypesDriftSpec extends SparkSpecBase {
     assert(d.count() == 2) // both versions of id=2
     assert(d.schema("owner").dataType.typeName == "string") // JSON-folded
     assert(d.filter($"owner".contains("bob")).count() == 1)
+  }
+}
+
+/** Golden-string parity with the reference's Jinja rendering: the expected
+  * strings below were produced by rendering
+  * lotad/reports/db_comparison_report.j2 with Jinja2 over the same rows.
+  */
+class ReportParitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators._
+
+  private val full = DriftResult(
+    schemaDrift = Seq(
+      SchemaDriftRow("customer", "extra", "db1", None, "db2", Some("DOUBLE")),
+      SchemaDriftRow("customer", "name", "db1", Some("VARCHAR"), "db2", Some("INTEGER"))),
+    missingTables = Seq(MissingTableRow("only_db1", "db1", "db2")),
+    dataDrift = Map.empty,
+    summary = Seq(DataDriftSummaryRow("orders", "db1", 1L, "db2", 2L)))
+
+  test("full report matches the Jinja rendering byte for byte") {
+    val expected =
+      "Database Comparison Report\n\nMissing Table Summary\n\"only_db1\" not found in \"db2\"\n\n" +
+      "Schema Drift Summary\n\n\"customer\".\"extra\"\n    \"db1\" \"None\"\n    \"db2\" \"DOUBLE\"\n\n" +
+      "\"customer\".\"name\"\n    \"db1\" \"VARCHAR\"\n    \"db2\" \"INTEGER\"\n\n" +
+      "Data Drift Summary\nFormat:\n    my_table\n        db1 - records only in db1\n" +
+      "        db2 - records only in db2\n\norders\n    db1 - 1\n    db2 - 2"
+    assert(DriftOutput.report(full) == expected)
+  }
+
+  test("empty result renders only the header, no trailing newline") {
+    assert(DriftOutput.report(DriftResult(Nil, Nil, Map.empty, Nil)) ==
+      "Database Comparison Report")
+  }
+
+  test("data-drift-only report omits the other sections") {
+    val r = full.copy(schemaDrift = Nil, missingTables = Nil)
+    assert(DriftOutput.report(r) ==
+      "Database Comparison Report\n\nData Drift Summary\nFormat:\n    my_table\n" +
+      "        db1 - records only in db1\n        db2 - records only in db2\n\n" +
+      "orders\n    db1 - 1\n    db2 - 2")
   }
 }
