@@ -94,6 +94,108 @@ object Similarity {
     * (query, neighbor, score), not the vectors; the duplicate kernel
     * evaluations (<= L per true pair) are cheaper than shuffling vectors.
     */
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer + nprobe ----
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Driver-side Lloyd's iterations (spherical k-means: unit centroids,
+    * assignment by max dot = max cosine). Deterministic: init is the first
+    * `k` sample vectors, ties in assignment go to the lowest cell, empty
+    * cells keep their previous centroid.
+    */
+  private[graft] def kmeansFit(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    var centroids = sample.take(k).map(normalized)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else normalized(sums(c).map(_ / counts(c)))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Fit the IVF coarse quantizer on a deterministic corpus sample (the
+    * `sampleN` lowest-id vectors — a global top-k by id, one pass).
+    *
+    * Scale design: the quantizer NEVER sees the full corpus — a few
+    * thousand sample vectors collected to the driver bound the fit cost
+    * regardless of corpus size, and the resulting k x dim centroid matrix
+    * (k=16, dim=64 -> 8 KB) broadcasts to every task as plan literals.
+    */
+  def ivfFit(df: DataFrame, nCells: Int, sampleN: Int = 2048, iters: Int = 10,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    kmeansFit(sample, nCells, iters)
+  }
+
+  /** Per-row probe list: the `nProbe` cell ids nearest (by cosine) to the
+    * vector, best first. Element 1 is the vector's own IVF cell. Ties
+    * break to the lowest cell id — fully deterministic.
+    */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val scores = array(centroids.map(c =>
+      cosine(vec, array(c.map(lit(_)): _*))): _*)
+    val ranked = array_sort(transform(sequence(lit(0), lit(centroids.length - 1)),
+      i => struct((-element_at(scores, i + 1)).as("neg"), i.as("cell"))))
+    transform(slice(ranked, 1, nProbe), s => s.getField("cell"))
+  }
+
+  /** ANN via IVF: corpus vectors are inverted-listed under their nearest
+    * centroid; each query probes its `nProbe` nearest cells and scores only
+    * those lists (Jegou et al., PAMI'11 coarse-quantizer stage).
+    *
+    * Scale design: one equi-join on the cell key — the corpus shuffles
+    * once by cell, queries explode x nProbe, and the scored candidate set
+    * is (nProbe / nCells) of the corpus per query instead of all of it.
+    * Cells are balanced by the k-means fit, so no bucket square blows up;
+    * skewed cells would show in the fit sample and more cells (or a salted
+    * refinement) bound them. No vector ever reaches the driver except the
+    * fit sample.
+    */
+  def ivfTopK(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              sampleN: Int = 2048, iters: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfFit(df, nCells, sampleN, iters, idCol, vecCol)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("probes", probeCells(col("v"), centroids, nProbe))
+    val corpus = base.select(element_at(col("probes"), 1).as("cell"),
+      col("id").as("neighbor_id"), col("v").as("cv"))
+    val queries = base.select(col("id").as("query_id"), col("v").as("qv"),
+      explode(col("probes")).as("cell"))
+    val cand = queries.join(corpus, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8, nTables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -99,6 +99,66 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Word bigrams of the token array (empty below 2 tokens). */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+
+  /** Gopher-style repetition features: duplicate-token fraction,
+    * duplicate-bigram fraction, and the character share of the single most
+    * frequent bigram (Rae et al. 2021 "repetitious documents" filters,
+    * adapted to space-joined corpora without line structure).
+    *
+    * Scale design: the duplicate fractions are narrow per-row expressions;
+    * only the top-bigram search shuffles — one explode + two hash
+    * aggregations keyed by (doc, bigram) then doc, both linear in total
+    * token count with map-side partial aggregation. The deterministic
+    * tie-break (count desc, bigram desc) makes output reproducible and
+    * oracle-able.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), col(textCol).as("_text"))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("dup_token_frac",
+        when(size(toks) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)))
+      .withColumn("_bgs", bigrams(toks))
+      .withColumn("dup_bigram_frac",
+        when(size(col("_bgs")) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("_bgs"))).cast("double") / size(col("_bgs"))))
+    val top = base.select(col(idCol), explode(col("_bgs")).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(struct(col("c"), col("bg"))).as("m"))
+      .select(col(idCol), col("m.bg").as("top_bigram"), col("m.c").as("top_bigram_n"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top_bigram", coalesce(col("top_bigram"), lit("")))
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") * length(col("top_bigram")) /
+          greatest(length(col("_text")), lit(1)))
+      .drop("_text", "_bgs")
+  }
+
+  /** Deterministic content-addressed split bucket in [0, 100): the first
+    * 32 bits of md5 of the key's string form, mod 100. Stable across
+    * engines, runs, and cluster layouts — the property a train/val/test
+    * split must have so re-runs never leak rows across splits. (A plain
+    * `rand()` split has none of these properties; `id % 100` is stable but
+    * correlates with insertion order.)
+    */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+
+  /** Named split from a hash bucket: train < trainPct <= val < valPct+trainPct <= test. */
+  def hashSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint: k-gram hashes, window
     * minima, distinct sorted — robust to local edits
     * (Schleimer et al., SIGMOD'03). Hash-dependent, so tested by spec

@@ -32,6 +32,56 @@ object EventsOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Click-to-purchase attribution via a time-interval join: each purchase
+    * is paired with the same user's clicks in the preceding
+    * `horizonMinutes`, aggregated to (n_prior_clicks, last_click_value).
+    *
+    * The SAME expression runs batch (parquet in, DuckDB-oracled) and as a
+    * Structured Streaming stream-stream join: with `withWatermark` on both
+    * inputs, the equality key plus the two-sided time-range predicate is
+    * exactly the form Spark requires to bound stream-stream join state —
+    * click state older than the horizon + lateness is evicted, so state
+    * stays O(horizon x click rate) regardless of stream length.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+                          horizonMinutes: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "inner")
+      .groupBy("event_id", "p_user", "p_ts", "p_value")
+      .agg(count(lit(1)).as("n_prior_clicks"),
+        max(struct(col("c_ts"), col("c_value"))).getField("c_value").as("last_click_value"))
+      .withColumnRenamed("p_user", "user_id")
+  }
+
+  /** Watermarked streaming twin of [[purchaseAttribution]]'s join stage. */
+  def streamingPurchaseAttribution(events: DataFrame, horizonMinutes: Int = 30,
+                                   lateness: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", lateness)
+    purchaseAttribution(purchases, clicks, horizonMinutes)
+  }
+
+  /** Streaming exact dedup: keep the first arrival per key, dropping
+    * duplicates that arrive within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes, so state is bounded by (key rate x lateness)
+    * instead of growing with the stream. The batch twin is
+    * `dropDuplicates(keys)`.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Gap-based sessionization (batch): a new session starts when the gap
     * since the user's previous event exceeds `gapMinutes`. Emits one row
     * per session with bounds and counts. Single shuffle on user_id.
