@@ -475,6 +475,102 @@ object SparkEntry {
           col("session_start").cast("timestamp_ntz"),
           col("session_end").cast("timestamp_ntz"), col("n_events"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // ---- range join via bin blocking: point-in-interval as an equi-join
+    //      (vs DuckDB's native IEJoin nested-range oracle) ----
+    "q_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val iv = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+      RangeJoin.pointInRange(pts, "c_acctbal", iv, "lo", "hi", 100.0)
+        .select("c_custkey", "s_suppkey", "c_acctbal")
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
+    // ---- interval-overlap join via bin blocking + stateless bin dedup ----
+    "q_interval_overlap" -> ((s, dir) => {
+      val l = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("s_lo"), (col("s_acctbal") + 50).as("s_hi"))
+      val r = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_acctbal") - 25).as("c_lo"), (col("c_acctbal") + 25).as("c_hi"))
+      RangeJoin.intervalOverlap(l, "s_lo", "s_hi", r, "c_lo", "c_hi", 100.0)
+        .select("s_suppkey", "c_custkey").orderBy("s_suppkey", "c_custkey")
+    }),
+
+    // ---- bag diff, hash-keyed shuffle variant (same answer as q_diff_bag
+    //      with ~row-width-times less shuffle volume on wide tables) ----
+    "q_diff_bag_hashed" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val c = new DriftCompare(s,
+        MemorySide("db1", Map("lineitem" -> li.unionByName(li.filter("l_orderkey % 7 = 0")))),
+        MemorySide("db2", Map("lineitem" -> li)))
+      c.dataDriftBagHashed("lineitem").get.drop("hashed_row")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- Gopher-style repetition features (dup token/bigram fractions,
+    //      top-bigram character share) ----
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("dup_token_frac"), col("dup_bigram_frac"),
+          col("top_bigram"), col("top_bigram_n"), col("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    // ---- deterministic content-addressed train/val/test split ----
+    "q_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.hashBucket(col("doc_id")).as("bucket"),
+        TextAnalysis.hashSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+
+    // ---- click-to-purchase attribution: time-interval join + per-purchase
+    //      aggregation (the batch side of the stream-stream join twin) ----
+    "q_purchase_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventsOps.purchaseAttribution(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), 180)
+        .select(col("event_id"), col("user_id"),
+          col("p_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("p_value").as("purchase_value"),
+          col("n_prior_clicks"), col("last_click_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- planted-neighbor recall harness, IVF ANN: same twin construction
+    //      as q_planted_ann (cosine ~0.999 far above the natural ~0.6 max).
+    //      The twin's IVF cell is the query's own probe #1 (near-identical
+    //      vectors assign to the same centroid; nProbe=4 covers boundary
+    //      straddles), so rank-1 is exactly the planted map — stated in
+    //      closed form by the oracle ----
+    "q_planted_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          .cast("array<float>").as("embedding"))
+      Similarity.ivfTopK(emb.unionByName(twins), 1, nCells = 16, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
+    // ---- natural-corpus IVF recall measurement vs brute force (the
+    //      "measure, don't guess" check the LSH path got via planting;
+    //      deterministic: seeded fit sample + Lloyd's ties to lowest cell) ----
+    "q_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val truth = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, 5)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.ivfTopK(e, 5, nCells = 16, nProbe = 4)
+        .filter(col("query_id") < 50).select("query_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = truth.count()
+      Seq(("ivf_recall_at_5_ge_half", hits.toDouble / total >= 0.5))
+        .toDF("check_name", "ok")
     })
   )
 
@@ -826,6 +922,87 @@ object SparkEntry {
         |UNION ALL
         |SELECT *, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
         |ORDER BY op, o_orderkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_interval_overlap" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM supplier JOIN customer
+        |  ON s_acctbal - 50 <= c_acctbal + 25 AND c_acctbal - 25 <= s_acctbal + 50
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q_diff_bag_hashed" ->
+      """WITH u AS (
+        |  SELECT *, 'db1' AS observed_in FROM lineitem
+        |  UNION ALL SELECT *, 'db1' FROM lineitem WHERE l_orderkey % 7 = 0
+        |  UNION ALL SELECT *, 'db2' FROM lineitem)
+        |SELECT * EXCLUDE (observed_in), count(*) FILTER (observed_in = 'db1') AS n_db1,
+        |  count(*) FILTER (observed_in = 'db2') AS n_db2
+        |FROM u GROUP BY ALL
+        |HAVING n_db1 <> n_db2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        |  g AS (SELECT doc_id, text, tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bgs FROM b),
+        |  f AS (SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS dup_token_frac,
+        |    CASE WHEN len(bgs) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END AS dup_bigram_frac,
+        |    bgs FROM g),
+        |  e AS (SELECT doc_id, unnest(bgs) AS bg FROM f),
+        |  c AS (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY doc_id, bg),
+        |  top AS (SELECT doc_id, bg, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn FROM c)
+        |SELECT f.doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+        |  coalesce(t.bg, '') AS top_bigram,
+        |  coalesce(t.c, 0) AS top_bigram_n,
+        |  CAST(coalesce(t.c, 0) AS DOUBLE) * length(coalesce(t.bg, ''))
+        |    / greatest(n_chars, 1) AS top_bigram_frac
+        |FROM f LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_purchase_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    event_type FROM events),
+        |  p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+        |  count(*) AS n_prior_clicks,
+        |  (max(ROW(c.ts, c.value)))[2] AS last_click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 180 MINUTE
+        |GROUP BY p.event_id, p.user_id, p.ts, p.value
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_planted_ivf" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id
+        |  FROM embeddings WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 4 = 0)
+        |ORDER BY query_id""".stripMargin,
+
+    "q_ivf_recall" ->
+      """SELECT * FROM (VALUES ('ivf_recall_at_5_ge_half', true))
+        |AS t(check_name, ok)""".stripMargin,
 
     "q_events_sessions" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -238,6 +238,12 @@ final class DriftCompare(
     * point; parquet scans parallelize freely, shuffles do not). Correctness
     * rests on the canonical hash being collision-free across the table's
     * distinct rows (128-bit md5: p ~ n^2 / 2^129).
+    *
+    * The differing-hash set is joined back WITHOUT a broadcast hint: its
+    * size is data-dependent (two heavily-diverged sides approach full
+    * distinct-row cardinality, past any broadcast/driver limit), so the
+    * strategy is left to AQE, which broadcasts exactly when the measured
+    * build side is small and falls back to a shuffled hash join otherwise.
     */
   def dataDriftBagHashed(table: String): Option[DataFrame] = {
     val in1 = dropIgnored(sideInput(side1, table), table)
@@ -255,9 +261,11 @@ final class DriftCompare(
         count(when(col("observed_in") === side1.id, 1)).as("n_db1"),
         count(when(col("observed_in") === side2.id, 1)).as("n_db2"))
       .filter(col("n_db1") =!= col("n_db2"))
-    // attach row values: rescan, keep only differing hashes (broadcast
-    // hash-join — no shuffle of the table), collapse duplicates per hash
-    val rep = u.join(broadcast(counts), "hashed_row")
+    // attach row values: rescan, keep only differing hashes (AQE picks
+    // broadcast when the differing set is small — the common case — and
+    // degrades to a shuffled join when sides diverge heavily), collapse
+    // the identical copies per hash
+    val rep = u.join(counts, "hashed_row")
       .groupBy("hashed_row")
       .agg(first(col(s"`${cols.head}`")).as(cols.head),
         (cols.tail.map(c => first(col(s"`$c`")).as(c)) ++

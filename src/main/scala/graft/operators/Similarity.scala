@@ -137,8 +137,12 @@ object Similarity {
     centroids
   }
 
-  /** Fit the IVF coarse quantizer on a deterministic corpus sample (the
-    * `sampleN` lowest-id vectors — a global top-k by id, one pass).
+  /** Fit the IVF coarse quantizer on a deterministic corpus sample: the
+    * `sampleN` vectors with the lowest `xxhash64(id)` — a global top-k by
+    * a content-free pseudo-random key, one pass. Hash ordering decorrelates
+    * the sample from ingest order (lowest RAW ids would over-represent
+    * whatever was loaded first and skew the centroids), while staying
+    * fully reproducible across runs and cluster layouts.
     *
     * Scale design: the quantizer NEVER sees the full corpus — a few
     * thousand sample vectors collected to the driver bound the fit cost
@@ -147,7 +151,7 @@ object Similarity {
     */
   def ivfFit(df: DataFrame, nCells: Int, sampleN: Int = 2048, iters: Int = 10,
              idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    val sample = df.orderBy(col(idCol)).limit(sampleN)
+    val sample = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).toArray)
     kmeansFit(sample, nCells, iters)

@@ -116,18 +116,24 @@ object TextAnalysis {
     * token count with map-side partial aggregation. The deterministic
     * tie-break (count desc, bigram desc) makes output reproducible and
     * oracle-able.
+    *
+    * Input columns are preserved (like [[qualityFeatures]]); null/empty
+    * text yields all-zero features, never null — `size(NULL)` is NULL in
+    * Spark 3+, which would otherwise slip past the `=== 0` guards.
     */
   def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val base = df.select(col(idCol), col(textCol).as("_text"))
-      .withColumn("n_tokens", size(toks))
-      .withColumn("dup_token_frac",
+    val base = df
+      .withColumn("n_tokens", coalesce(size(toks), lit(0)))
+      .withColumn("dup_token_frac", coalesce(
         when(size(toks) === 0, lit(0.0)).otherwise(
-          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)))
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)),
+        lit(0.0)))
       .withColumn("_bgs", bigrams(toks))
-      .withColumn("dup_bigram_frac",
+      .withColumn("dup_bigram_frac", coalesce(
         when(size(col("_bgs")) === 0, lit(0.0)).otherwise(
-          lit(1.0) - size(array_distinct(col("_bgs"))).cast("double") / size(col("_bgs"))))
+          lit(1.0) - size(array_distinct(col("_bgs"))).cast("double") / size(col("_bgs"))),
+        lit(0.0)))
     val top = base.select(col(idCol), explode(col("_bgs")).as("bg"))
       .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(max(struct(col("c"), col("bg"))).as("m"))
@@ -137,8 +143,8 @@ object TextAnalysis {
       .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
       .withColumn("top_bigram_frac",
         col("top_bigram_n").cast("double") * length(col("top_bigram")) /
-          greatest(length(col("_text")), lit(1)))
-      .drop("_text", "_bgs")
+          greatest(length(col(textCol)), lit(1)))
+      .drop("_bgs")
   }
 
   /** Deterministic content-addressed split bucket in [0, 100): the first

@@ -60,7 +60,15 @@ object EventsOps {
       .withColumnRenamed("p_user", "user_id")
   }
 
-  /** Watermarked streaming twin of [[purchaseAttribution]]'s join stage. */
+  /** Watermarked streaming twin of the FULL [[purchaseAttribution]]
+    * pipeline — the stream-stream interval join AND the per-purchase
+    * aggregation, i.e. two chained stateful operators. Spark supports
+    * this chaining in APPEND output mode only (3.4+): the join emits a
+    * purchase's matches once its watermark passes, and the downstream
+    * aggregation finalizes the group then. State held: click rows for
+    * horizon+lateness (join) plus open purchase groups until finalized
+    * (agg) — both watermark-bounded.
+    */
   def streamingPurchaseAttribution(events: DataFrame, horizonMinutes: Int = 30,
                                    lateness: String = "10 minutes"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")

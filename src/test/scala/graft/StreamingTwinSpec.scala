@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the batch event operators: watermarked exact dedup
+  * and the chained stream-stream join + aggregation attribution pipeline.
+  */
+class StreamingDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamingDedup keeps first arrival per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "k", "v")
+    val q = graft.streaming.EventsOps.streamingDedup(events, Seq("k"), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "a", 1.0),
+        (ts("2024-01-01 10:05:00"), "a", 2.0), // dup within watermark -> dropped
+        (ts("2024-01-01 10:10:00"), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM dedup ORDER BY k")
+        .as[(String, Double)].collect().toSeq
+      assert(rows == Seq(("a", 1.0), ("b", 3.0)))
+      // batch twin: dropDuplicates over the same data
+      val batch = Seq(
+        (ts("2024-01-01 10:00:00"), "a", 1.0),
+        (ts("2024-01-01 10:05:00"), "a", 2.0),
+        (ts("2024-01-01 10:10:00"), "b", 3.0)).toDF("ts", "k", "v")
+        .orderBy("ts").dropDuplicates("k")
+        .select("k", "v").orderBy("k").as[(String, Double)].collect().toSeq
+      assert(batch == rows)
+    } finally q.stop()
+  }
+}
+
+class StreamingAttributionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming attribution (join + agg chain, append mode) matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val real = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, 1L, ts("2024-01-01 10:20:00"), "click", 2.0),
+      (100L, 1L, ts("2024-01-01 10:30:00"), "purchase", 50.0),
+      (3L, 2L, ts("2024-01-01 09:00:00"), "click", 3.0),
+      (200L, 2L, ts("2024-01-01 10:00:00"), "purchase", 60.0)) // click 60m old > horizon
+
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = graft.streaming.EventsOps
+      .streamingPurchaseAttribution(events, horizonMinutes = 30, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      // two sentinel batches push the watermark past the real data so the
+      // join results flow into the aggregation and the group finalizes
+      // (wm used by batch N = max event time through batch N-1 - lateness)
+      mem.addData((900L, 98L, ts("2024-01-02 10:00:00"), "click", 0.0),
+        (901L, 99L, ts("2024-01-02 10:00:00"), "purchase", 0.0))
+      q.processAllAvailable()
+      mem.addData((902L, 98L, ts("2024-01-02 12:00:00"), "click", 0.0),
+        (903L, 99L, ts("2024-01-02 12:00:00"), "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, user_id, n_prior_clicks, last_click_value FROM attr ORDER BY event_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq((100L, 1L, 2L, 2.0)), got.toString)
+
+      val batchDf = real.toDF("event_id", "user_id", "ts", "event_type", "value")
+      val batch = graft.streaming.EventsOps.purchaseAttribution(
+          batchDf.filter($"event_type" === "purchase"),
+          batchDf.filter($"event_type" === "click"), 30)
+        .select("event_id", "user_id", "n_prior_clicks", "last_click_value")
+        .orderBy("event_id").as[(Long, Long, Long, Double)].collect().toSeq
+      assert(batch == got, s"batch=$batch stream=$got")
+    } finally q.stop()
+  }
+}
