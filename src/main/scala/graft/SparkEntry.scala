@@ -571,6 +571,51 @@ object SparkEntry {
       val total = truth.count()
       Seq(("ivf_recall_at_5_ge_half", hits.toDouble / total >= 0.5))
         .toDF("check_name", "ok")
+    }),
+
+    // ---- deterministic stratified sampling (content-addressed, no rand) ----
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 50, "de" -> 20), defaultPct = 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // ---- per-doc top TF-IDF terms (tf/df score, integer-exact ordering) ----
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("doc_id", "rank")),
+
+    // ---- approx sketches (HLL ndv, approximate percentile) checked
+    //      against their exact counterparts within stated error bounds ----
+    "q_approx_bounds" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val r = li.agg(
+        countDistinct(col("l_orderkey")).as("exact_ndv"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
+        expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+        .head()
+      val ndvOk = math.abs(r.getLong(1) - r.getLong(0)).toDouble / r.getLong(0) <= 0.05
+      val p50Ok = math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) <= 0.01
+      Seq(("hll_ndv_within_5pct", ndvOk), ("approx_p50_within_1pct", p50Ok))
+        .toDF("check_name", "ok").orderBy("check_name")
+    }),
+
+    // ---- end-to-end corpus curation: quality filter -> language filter ->
+    //      exact dedup -> deterministic split, reported as per-split counts
+    //      (composes the individually-oracled stages into one plan) ----
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.langId(
+        TextAnalysis.qualityFeatures(docs, "text"), "text")
+        .filter(col("quality_score") >= 0.8 && col("pred_lang") === "en")
+      val keepers = Dedup.exactDedup(scored, "text", "doc_id")
+        .select(col("keeper").as("doc_id"))
+      scored.join(keepers, "doc_id")
+        .select(TextAnalysis.hashSplit(col("doc_id")).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
     })
   )
 
@@ -1003,6 +1048,70 @@ object SparkEntry {
     "q_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_recall_at_5_ge_half', true))
         |AS t(check_name, ok)""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 50
+        |                     WHEN lang = 'de' THEN 20 ELSE 10 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        |  dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |  sc AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+        |    FROM tf JOIN dfq USING (term)),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS "rank" FROM sc)
+        |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q_approx_bounds" ->
+      """SELECT * FROM (VALUES ('approx_p50_within_1pct', true),
+        |  ('hll_ndv_within_5pct', true)) AS t(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val counts = TextAnalysis.langMarkers.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+      }.mkString(",\n|      ")
+      val cases = langs.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN c_$l > 0 AND $ge THEN '$l'"
+      }.mkString("\n|      ")
+      s"""WITH f AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |  m AS (SELECT doc_id, text,
+        |    len(toks) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS stop_ratio,
+        |    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len,
+        |      $counts
+        |  FROM f),
+        |  q AS (SELECT doc_id, text,
+        |    CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 4 ELSE 0 END +
+        |          CASE WHEN punct_ratio <= 0.2 THEN 2 ELSE 0 END +
+        |          CASE WHEN stop_ratio >= 0.05 THEN 2 ELSE 0 END +
+        |          CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 2 ELSE 0 END)
+        |      AS DOUBLE) / CAST(10 AS DOUBLE) AS quality_score,
+        |    CASE $cases
+        |      ELSE 'und' END AS pred_lang
+        |  FROM m),
+        |  kept AS (SELECT doc_id, text FROM q
+        |    WHERE quality_score >= 0.8 AND pred_lang = 'en'),
+        |  keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |  s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |    FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS b FROM keepers))
+        |SELECT split, count(*) AS n_docs FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
 
     "q_events_sessions" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -165,6 +165,33 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Per-document top-`k` terms by a TF-IDF-style score. The score is
+    * `tf / df` (term frequency over corpus document frequency) rather than
+    * `tf * ln(N/df)`: the ranking is identical for fixed N (ln is
+    * monotone in 1/df and tf scales it positively per term), and a single
+    * integer-over-integer double division is bit-reproducible across
+    * engines, where `ln` implementations may differ in the last ulp.
+    * Ties break by term ascending — fully deterministic output.
+    *
+    * Scale design: two hash aggregations (doc×term, then term) and one
+    * equi-join on `term`, all map-side-combined; the per-doc top-k is a
+    * window over doc_id — one shuffle each on term and doc. No driver
+    * collection; vocabulary stays distributed (a broadcast would cap
+    * vocabulary size, wrong at corpus scale).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint: k-gram hashes, window
     * minima, distinct sorted — robust to local edits
     * (Schleimer et al., SIGMOD'03). Hash-dependent, so tested by spec

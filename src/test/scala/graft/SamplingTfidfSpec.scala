@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + TF-IDF term ranking. */
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hashSample is a stable, approximately-sized subset") {
+    val df = spark.range(10000).toDF("id")
+    val s20 = Sampling.hashSample(df, "id", 20)
+    val n = s20.count()
+    assert(math.abs(n - 2000L) < 200, s"got $n rows for 20%")
+    // re-evaluation and layout changes select the same rows
+    val again = Sampling.hashSample(df.repartition(13), "id", 20)
+    assert(s20.exceptAll(again).isEmpty && again.exceptAll(s20).isEmpty)
+    // nested property: the 10% sample is a subset of the 20% sample
+    val s10 = Sampling.hashSample(df, "id", 10)
+    assert(s10.exceptAll(s20).isEmpty)
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val df = spark.range(30000)
+      .withColumn("stratum",
+        when($"id" % 3 === 0, "a").when($"id" % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> 50, "b" -> 10), defaultPct = 0)
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 5000L) < 400, counts.toString)
+    assert(math.abs(counts("b") - 1000L) < 200, counts.toString)
+    assert(!counts.contains("c"), "defaultPct=0 must drop unlisted strata")
+  }
+}
+
+class TfidfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks rare frequent terms first, deterministic ties") {
+    // "zebra" appears twice in doc 1 and nowhere else -> tf/df = 2/1 = 2.0 top.
+    // "the" is in all three docs -> df 3, low score.
+    val docs = Seq(
+      (1L, "zebra zebra the cat"),
+      (2L, "the cat sat"),
+      (3L, "the dog sat")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)) == Seq((1, "zebra"), (2, "cat")))
+    val d1 = out.find(r => r._1 == 1L && r._2 == 1).get
+    assert(d1._4 == 2L && d1._5 == 1L && d1._6 == 2.0)
+    // docs 2 and 3: "sat" (df 2) and the unique term tie region — rank 1 is
+    // the df-1 term (dog for doc 3), and doc 2's is cat (df 2, tf 1) vs sat
+    // (df 2): equal score 0.5, tie breaks to term asc -> "cat"
+    assert(out.find(r => r._1 == 3L && r._2 == 1).get._3 == "dog")
+    assert(out.find(r => r._1 == 2L && r._2 == 1).get._3 == "cat")
+  }
+}
