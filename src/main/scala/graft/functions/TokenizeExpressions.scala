@@ -104,15 +104,13 @@ object WordShingles {
 /** Jaccard similarity of two SORTED DISTINCT string arrays via merge scan:
   * zero allocation per pair, UTF8String binary comparisons (= code-point
   * order). Produces the same value as [[ArrayJaccardSim]] on set inputs.
+  * Codegen'd via [[ArrayPairKernel]] — this runs once per candidate pair,
+  * the hottest inner loop in the dedup family.
   */
-case class SortedJaccardSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+case class SortedJaccardSim(left: Expression, right: Expression) extends ArrayPairKernel {
 
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -123,7 +121,7 @@ case class SortedJaccardSim(left: Expression, right: Expression)
       else j += 1
     }
     val union = na + nb - inter
-    java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union.toDouble)
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   override def prettyName: String = "sorted_jaccard_sim"

@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -16,27 +15,47 @@ import org.apache.spark.sql.types._
   * arithmetic in one tight JVM loop per row (microseconds), preserving the
   * exact left-to-right IEEE operation order so results stay bit-identical
   * to both the HOF formulation and DuckDB's `list_dot_product` fold.
+  *
+  * Each kernel implements `doGenCode` (not `CodegenFallback`): the
+  * generated code hands the two ArrayData values straight to the compiled
+  * `compute` method — one virtual call per row, no InternalRow
+  * materialization, no boxing, and the surrounding join/filter stage stays
+  * inside whole-stage codegen. (CodegenFallback would force the stage to
+  * build a row and re-evaluate the child subtree interpreted per row —
+  * measured ~3.5 us/pair of pure overhead on the Jaccard verification
+  * path.)
   */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
+trait ArrayPairKernel extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  private def toDoubles(v: Any, side: Expression): Array[Double] = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  /** Tight-loop kernel; called from interpreted eval AND generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("kernel", this, classOf[ArrayPairKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression) extends ArrayPairKernel {
+
+  private def toDoubles(v: ArrayData, side: Expression): Array[Double] = {
+    val n = v.numElements()
     val out = new Array[Double](n)
     val et = side.dataType.asInstanceOf[ArrayType].elementType
     var i = 0
     et match {
-      case DoubleType => while (i < n) { out(i) = arr.getDouble(i); i += 1 }
-      case FloatType => while (i < n) { out(i) = arr.getFloat(i).toDouble; i += 1 }
+      case DoubleType => while (i < n) { out(i) = v.getDouble(i); i += 1 }
+      case FloatType => while (i < n) { out(i) = v.getFloat(i).toDouble; i += 1 }
       case _ => throw new IllegalArgumentException(s"cosine over $et")
     }
     out
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override def compute(l: ArrayData, r: ArrayData): Double = {
     val a = toDoubles(l, left)
     val b = toDoubles(r, right)
     val n = math.min(a.length, b.length)
@@ -48,7 +67,7 @@ case class CosineSim(left: Expression, right: Expression)
     while (i < a.length) { aa += a(i) * a(i); i += 1 }
     i = 0
     while (i < b.length) { bb += b(i) * b(i); i += 1 }
-    java.lang.Double.valueOf(dot / (math.sqrt(aa) * math.sqrt(bb)))
+    dot / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   override def prettyName: String = "cosine_sim"
@@ -67,14 +86,9 @@ object CosineSim {
   * pre-distinct arrays and DuckDB's
   * `len(list_intersect)/len(list_distinct(a||b))`.
   */
-case class ArrayJaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class ArrayJaccardSim(left: Expression, right: Expression) extends ArrayPairKernel {
 
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def compute(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[String](math.max(a.numElements() * 2, 8))
     var i = 0
     while (i < a.numElements()) {
@@ -91,8 +105,7 @@ case class ArrayJaccardSim(left: Expression, right: Expression)
     val it = setB.iterator()
     while (it.hasNext) if (setA.contains(it.next())) inter += 1
     val union = setA.size + setB.size - inter
-    val res = if (union == 0) 0.0 else inter.toDouble / union.toDouble
-    java.lang.Double.valueOf(res)
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   override def prettyName: String = "array_jaccard_sim"
@@ -109,10 +122,7 @@ object ArrayJaccardSim {
   * widened to double — the native-kernel twin of the `aggregate`/`zip_with`
   * HOF formulation.
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
+case class DotProduct(left: Expression, right: Expression) extends ArrayPairKernel {
 
   private def get(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case DoubleType => arr.getDouble(i)
@@ -120,16 +130,14 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => throw new IllegalArgumentException(s"dot over $et")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def compute(a: ArrayData, b: ArrayData): Double = {
     val ea = left.dataType.asInstanceOf[ArrayType].elementType
     val eb = right.dataType.asInstanceOf[ArrayType].elementType
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
     while (i < n) { dot += get(a, i, ea) * get(b, i, eb); i += 1 }
-    java.lang.Double.valueOf(dot)
+    dot
   }
 
   override def prettyName: String = "dot_product"
