@@ -590,14 +590,20 @@ object SparkEntry {
     "q_approx_bounds" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-      val r = li.agg(
+      // two separate jobs: mixing a DISTINCT aggregate with the
+      // typed-imperative sketches (percentile/HLL) in one agg forces an
+      // Expand + per-row sketch-buffer serialization plan that measured
+      // 40x slower than the two aggregations run back to back
+      val rNdv = li.agg(
         countDistinct(col("l_orderkey")).as("exact_ndv"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"),
-        expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ndv"))
         .head()
-      val ndvOk = math.abs(r.getLong(1) - r.getLong(0)).toDouble / r.getLong(0) <= 0.05
-      val p50Ok = math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) <= 0.01
+      val rP50 = li.agg(
+        expr("percentile(l_quantity, 0.5D)").as("exact_p50"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+        .head()
+      val ndvOk = math.abs(rNdv.getLong(1) - rNdv.getLong(0)).toDouble / rNdv.getLong(0) <= 0.05
+      val p50Ok = math.abs(rP50.getDouble(1) - rP50.getDouble(0)) / rP50.getDouble(0) <= 0.01
       Seq(("hll_ndv_within_5pct", ndvOk), ("approx_p50_within_1pct", p50Ok))
         .toDF("check_name", "ok").orderBy("check_name")
     }),
@@ -616,6 +622,57 @@ object SparkEntry {
         .select(TextAnalysis.hashSplit(col("doc_id")).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))
         .orderBy("split")
+    }),
+
+    // ---- canonical text normalization (narrow, codegen'd regexes) ----
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy("doc_id")),
+
+    // ---- PII detect + redact over deterministically-planted PII (the
+    //      synthetic corpus is PII-free, so every 7th doc gets a known
+    //      email/IP/SSN suffix — the oracle must find and redact them) ----
+    "q_pii_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"), when(col("doc_id") % 7 === 0,
+          lit(" contact alice.smith@example.org or 203.0.113.7 ssn 123-45-6789"))
+          .otherwise(lit(""))))
+      TextAnalysis.piiFeatures(withPii, "text2")
+        .select("doc_id", "n_emails", "n_ipv4", "n_ssn", "redacted")
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: flag train docs sharing a 3-shingle
+    //      with the (doc_id % 20 == 0) benchmark slice ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- unigram-LM surprisal (perplexity-filter signal) ----
+    "q_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // ---- embedding L2-normalize, exploded for exact comparison ----
+    "q_vec_l2norm" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(Similarity.l2Normalize(col("embedding"))))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "val")
+        .orderBy("vec_id", "i")),
+
+    // ---- symmetric int8 embedding quantization with per-vector scale ----
+    "q_vec_quant" -> ((s, dir) => {
+      val (q, scale) = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), scale.as("scale"), posexplode(q))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "q")
+        .orderBy("vec_id", "i")
     })
   )
 
@@ -1074,6 +1131,74 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('approx_p50_within_1pct', true),
         |  ('hll_ndv_within_5pct', true)) AS t(check_name, ok)
         |ORDER BY check_name""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" -> {
+      val em = TextAnalysis.piiEmailPattern
+      val ip = TextAnalysis.piiIpv4Pattern
+      val ssn = TextAnalysis.piiSsnPattern
+      s"""WITH p AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact alice.smith@example.org or 203.0.113.7 ssn 123-45-6789'
+        |      ELSE '' END) AS text2 FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '$em')) AS n_emails,
+        |  len(regexp_extract_all(text2, '$ip')) AS n_ipv4,
+        |  len(regexp_extract_all(text2, '$ssn')) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$ssn', '[SSN]', 'g')
+        |    AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q_decontaminate" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |  sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
+        |  bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |  train AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM train JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |  tfc AS (SELECT doc_id, term, count(*) AS tf
+        |    FROM (SELECT doc_id, unnest(toks) AS term FROM tks) GROUP BY 1, 2),
+        |  model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tfc GROUP BY 1),
+        |  tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total,
+        |    count(*) AS v_size FROM model)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(-sum(tf * ln(CAST(ctf + 1 AS DOUBLE) / (n_total + v_size)))
+        |    / sum(tf), 6) AS surprisal
+        |FROM tfc JOIN model USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vec_l2norm" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |  x AS (SELECT vec_id, nrm, CAST(unnest(range(len(v))) AS INT) AS i,
+        |    unnest(v) AS xv FROM n)
+        |SELECT vec_id, i, CASE WHEN nrm = 0 THEN xv ELSE xv / nrm END AS val
+        |FROM x ORDER BY vec_id, i""".stripMargin,
+
+    "q_vec_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |  sc AS (SELECT vec_id, v,
+        |    CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale FROM m),
+        |  x AS (SELECT vec_id, scale, CAST(unnest(range(len(v))) AS INT) AS i,
+        |    unnest(v) AS xv FROM sc)
+        |SELECT vec_id, scale, i,
+        |  greatest(-127, least(127, CAST(floor(xv * scale + 0.5) AS BIGINT))) AS q
+        |FROM x ORDER BY vec_id, i""".stripMargin,
 
     "q_curation_pipeline" -> {
       val langs = TextAnalysis.langMarkers.map(_._1)

@@ -32,6 +32,36 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
+  /** L2-normalize a vector column to unit length (double elements).
+    * The norm uses the native [[graft.functions.DotProduct]] left fold
+    * (bit-identical to `sqrt(list_dot_product(v,v))` — IEEE sqrt and
+    * division are correctly rounded, so the unit vector is exactly
+    * reproducible across engines). Zero vectors stay zero. Narrow
+    * per-row transform — no shuffle at any scale.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val nrm = sqrt(graft.functions.DotProduct(v, v))
+    when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+  }
+
+  /** Symmetric int8 quantization with a per-vector scale (the standard
+    * embedding-compression step before ANN serving): scale = 127/max|x|,
+    * q_i = floor(x_i * scale + 0.5) in [-127, 127]. floor and the two
+    * divisions are exactly rounded, so quantized values are
+    * bit-reproducible across engines (no `round()` half-even ambiguity).
+    * All-zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val v = asDouble(vec)
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+    val q = transform(v, x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x * scale + lit(0.5)).cast("long"))))
+    (q, scale)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. The query set is broadcast; the corpus streams —
     * one pass, no corpus shuffle until the per-query top-k aggregation.

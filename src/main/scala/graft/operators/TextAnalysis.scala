@@ -197,6 +197,70 @@ object TextAnalysis {
     * (Schleimer et al., SIGMOD'03). Hash-dependent, so tested by spec
     * rather than SQL oracle.
     */
+  /** Canonical text normalization: lowercase, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim. A narrow per-row
+    * transform of codegen'd built-ins (no UDF), linear at any scale; the
+    * regexes are RE2-compatible so any engine reproduces them exactly.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+
+  /** PII patterns: deliberately RE2-compatible (no lookaround, no
+    * backrefs) so oracle engines match them identically. Emails, IPv4,
+    * and SSN-shaped ids cover the common redaction set for web corpora.
+    */
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiSsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** PII detection + redaction (C4/Dolma-style pipeline stage): per-doc
+    * match counts for each pattern and a `redacted` text with typed
+    * placeholders, applied email -> ipv4 -> ssn. Narrow per-row regex
+    * work — no shuffle, scales linearly with splits.
+    */
+  def piiFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(text, lit(piiEmailPattern), lit(0))))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(text, lit(piiIpv4Pattern), lit(0))))
+      .withColumn("n_ssn",
+        size(regexp_extract_all(text, lit(piiSsnPattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(text,
+          lit(piiEmailPattern), lit("[EMAIL]")),
+          lit(piiIpv4Pattern), lit("[IP]")),
+          lit(piiSsnPattern), lit("[SSN]")))
+  }
+
+  /** Per-document unigram surprisal (mean -ln p(token) under the corpus
+    * unigram model with add-one smoothing) — the cheap LM-based quality
+    * signal perplexity filters use. Two map-side-combined aggregations
+    * (doc x term, term) and one broadcast-sized scalar join; the
+    * vocabulary stays distributed, so the model "fit" is just a term
+    * count — no driver collection at any corpus size.
+    *
+    * The score is rounded to 6 decimals: `ln` is not correctly rounded
+    * and float-sum order differs across engines, so the raw double is
+    * reproducible only to ~1e-12 — rounding makes the value stable and
+    * oracle-comparable while keeping full filtering power.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val totals = model.agg(sum("ctf").as("n_total"), count(lit(1)).as("v_size"))
+    tf.join(model, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round((-sum(col("tf") *
+          log((col("ctf") + lit(1)).cast("double") /
+            (col("n_total") + col("v_size")))) /
+          sum(col("tf"))).cast("double"), 6).as("surprisal"))
+  }
+
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
     val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))

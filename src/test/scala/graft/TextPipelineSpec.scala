@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+/** PII, normalization, decontamination, LM surprisal, vector transforms. */
+class PiiNormalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("piiFeatures counts and redacts planted emails, IPs and SSNs") {
+    val docs = Seq(
+      (1L, "mail me at a.b@x.io and bob@corp.example.com thanks"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 ssn 123-45-6789"),
+      (3L, "clean text, nothing to find")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiFeatures(docs, "text")
+      .select("doc_id", "n_emails", "n_ipv4", "n_ssn", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 0, 0, "mail me at [EMAIL] and [EMAIL] thanks")))
+    assert(out(1) == ((2L, 0, 2, 1, "server at [IP] and [IP] ssn [SSN]")))
+    assert(out(2) == ((3L, 0, 0, 0, "clean text, nothing to find")))
+  }
+
+  test("normalizeText lowers, strips punctuation, collapses whitespace") {
+    val out = Seq("  Héllo,   WORLD!! 42  ").toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].head()
+    assert(out == "h llo world 42")
+  }
+}
+
+class DecontaminationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("contamination flags exactly the docs sharing a 3-shingle with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark physical plans"),
+      (3L, "quick brown fox appears here too")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox story")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, "text", "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // shared shingle: "quick brown fox" in docs 1 and 3; doc 2 clean
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
+}
+
+class SurprisalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("unigramSurprisal ranks rare-token docs above common-token docs") {
+    val docs = Seq(
+      (1L, "the the the the the"),
+      (2L, "zygote quasar phoneme umlaut kudzu"),
+      (3L, "the the the zygote the")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(2) > out(3) && out(3) > out(1),
+      s"expected rare > mixed > common, got $out")
+    val nt = TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(nt == Map(1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
+}
+
+class VectorTransformSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("l2Normalize yields unit vectors and keeps zero vectors zero") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = df.select($"vec_id", Similarity.l2Normalize($"embedding").as("u"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(out(1L).toSeq == Seq(0.6, 0.8))
+    assert(out(2L).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8 is within half-step of the scaled value and clamps to [-127,127]") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val (q, scale) = Similarity.quantizeInt8($"embedding")
+    val (qs, sc) = df.select(q.as("q"), scale.as("s"))
+      .as[(Array[Long], Double)].head()
+    assert(sc == 127.0)
+    assert(qs.toSeq == Seq(64L, -127L, 32L, 0L))
+    assert(qs.forall(v => v >= -127 && v <= 127))
+  }
+}
