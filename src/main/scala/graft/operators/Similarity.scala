@@ -189,15 +189,14 @@ object Similarity {
 
   /** Per-row probe list: the `nProbe` cell ids nearest (by cosine) to the
     * vector, best first. Element 1 is the vector's own IVF cell. Ties
-    * break to the lowest cell id — fully deterministic.
+    * break to the lowest cell id — fully deterministic. Native kernel
+    * ([[graft.functions.NearestCells]]): the centroid matrix rides as one
+    * reference object instead of nCells x dim plan literals, whose
+    * generated-code blowup made Janino compilation the dominant cost of
+    * the whole IVF path.
     */
-  private def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val scores = array(centroids.map(c =>
-      cosine(vec, array(c.map(lit(_)): _*))): _*)
-    val ranked = array_sort(transform(sequence(lit(0), lit(centroids.length - 1)),
-      i => struct((-element_at(scores, i + 1)).as("neg"), i.as("cell"))))
-    transform(slice(ranked, 1, nProbe), s => s.getField("cell"))
-  }
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    graft.functions.NearestCells(vec, centroids, nProbe)
 
   /** ANN via IVF: corpus vectors are inverted-listed under their nearest
     * centroid; each query probes its `nProbe` nearest cells and scores only
