@@ -673,7 +673,21 @@ object SparkEntry {
         .select(col("vec_id"), scale.as("scale"), posexplode(q))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "q")
         .orderBy("vec_id", "i")
-    })
+    }),
+
+    // ---- per-column profile (exact variant; min/max restricted to
+    //      int/string/date columns so the string rendering is
+    //      engine-independent) ----
+    "q_profile" -> ((s, dir) =>
+      Profile.profileExact(t(s, dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate"))
+        .orderBy("col_name")),
+
+    // ---- exact-N-per-stratum deterministic sample ----
+    "q_exact_n_sample" -> ((s, dir) =>
+      Sampling.exactNPerStratum(t(s, dir, "documents"), "doc_id", "lang", 7)
+        .select("doc_id", "lang").orderBy("lang", "doc_id"))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -1186,6 +1200,26 @@ object SparkEntry {
         |    unnest(v) AS xv FROM n)
         |SELECT vec_id, i, CASE WHEN nrm = 0 THEN xv ELSE xv / nrm END AS val
         |FROM x ORDER BY vec_id, i""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          |  count(*) - count($c) AS n_nulls,
+          |  count(DISTINCT $c) AS ndv,
+          |  CAST(min($c) AS VARCHAR) AS min_str,
+          |  CAST(max($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_exact_n_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rk <= 7
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q_vec_quant" ->
       """WITH e AS (SELECT vec_id,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Per-column table profiling (the data-quality scan every ingest
+  * pipeline runs before training): row count, null count, distinct
+  * count, and min/max rendered as strings.
+  *
+  * Two variants with the standard exactness/scale trade:
+  *   - [[profileExact]]: one job; the multi-column `count(DISTINCT ...)`
+  *     rewrites to an Expand (input replicated x ncols before the
+  *     aggregate) — exact, fine to a few hundred GB, and the form the
+  *     DuckDB oracle can mirror.
+  *   - [[profileApprox]]: one pass, NO Expand — HLL sketches
+  *     (`approx_count_distinct`, rsd 2%) for distinct counts. This is
+  *     the 100 TB path: linear scan, map-side partials, constant state
+  *     per column.
+  * Both collect exactly one aggregate row to the driver and emit one
+  * output row per column.
+  */
+object Profile {
+
+  private val outSchema = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("min_str", StringType, nullable = true),
+    StructField("max_str", StringType, nullable = true)))
+
+  private def build(df: DataFrame, distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(s"`$c`")).as(s"_cnt_$c"),
+        distinctAgg(c).as(s"_ndv_$c"),
+        min(col(s"`$c`")).cast("string").as(s"_min_$c"),
+        max(col(s"`$c`")).cast("string").as(s"_max_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("_n")
+    val rows = cols.map { c =>
+      Row(c, n, n - r.getAs[Long](s"_cnt_$c"), r.getAs[Long](s"_ndv_$c"),
+        r.getAs[String](s"_min_$c"), r.getAs[String](s"_max_$c"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+  }
+
+  /** Exact profile (Expand-based distinct counts; oracle-comparable). */
+  def profileExact(df: DataFrame): DataFrame =
+    build(df, c => countDistinct(col(s"`$c`")))
+
+  /** Single-pass approximate profile (HLL distinct counts, rsd 2%). */
+  def profileApprox(df: DataFrame): DataFrame =
+    build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))
+}

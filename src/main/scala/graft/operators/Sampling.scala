@@ -35,4 +35,22 @@ object Sampling {
     }
     df.filter(TextAnalysis.hashBucket(col(keyCol)) < pct)
   }
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
+    * chosen by md5-of-key order — a deterministic, content-addressed
+    * stand-in for reservoir sampling: stable across runs and layouts,
+    * and re-runs pick the same rows. One shuffle on the stratum; the
+    * per-group top-n is a window with rank cutoff (no full sort of the
+    * stratum beyond the shuffle's local sort). Skewed strata bound the
+    * task time; for few huge strata prefer [[stratifiedSample]]'s
+    * percentage form, which needs no shuffle at all.
+    */
+  def exactNPerStratum(df: DataFrame, keyCol: String, strataCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
 }

@@ -21,6 +21,36 @@ class SamplingSpec extends SparkSpecBase {
     assert(s10.exceptAll(s20).isEmpty)
   }
 
+  test("exactNPerStratum takes exactly n per stratum, stable across layouts") {
+    val df = spark.range(1000)
+      .withColumn("stratum", ($"id" % 3).cast("string"))
+    val out = Sampling.exactNPerStratum(df, "id", "stratum", 5)
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("0" -> 5L, "1" -> 5L, "2" -> 5L))
+    // smaller stratum than n: take all of it
+    val tiny = Sampling.exactNPerStratum(df.filter($"id" < 4), "id", "stratum", 5)
+    assert(tiny.count() == 4)
+    // deterministic under repartition
+    val again = Sampling.exactNPerStratum(df.repartition(17), "id", "stratum", 5)
+    assert(out.select("id").exceptAll(again.select("id")).isEmpty)
+  }
+
+  test("profileExact and profileApprox agree on nulls/rows, HLL within 5%") {
+    import graft.operators.Profile
+    val df = spark.range(5000).toDF("id")
+      .withColumn("s", when($"id" % 10 === 0, lit(null)).otherwise(concat(lit("v"), $"id" % 250)))
+    val exact = Profile.profileExact(df).as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(exact("id") == (("id", 5000L, 0L, 5000L, "0", "4999")))
+    // 500 nulls (id % 10 == 0); since 250 % 10 == 0 those nulls wipe out
+    // entire residue classes: 25 of the 250 values never appear -> ndv 225
+    assert(exact("s")._3 == 500L && exact("s")._4 == 225L)
+    val approx = Profile.profileApprox(df).as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(approx("s")._3 == 500L)
+    assert(math.abs(approx("id")._4 - 5000L).toDouble / 5000 <= 0.05)
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     val df = spark.range(30000)
       .withColumn("stratum",
