@@ -687,7 +687,44 @@ object SparkEntry {
     // ---- exact-N-per-stratum deterministic sample ----
     "q_exact_n_sample" -> ((s, dir) =>
       Sampling.exactNPerStratum(t(s, dir, "documents"), "doc_id", "lang", 7)
-        .select("doc_id", "lang").orderBy("lang", "doc_id"))
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+
+    // ---- analytic window functions beyond ranking: lag/lead offsets,
+    //      ntile buckets, exact-rational percent_rank/cume_dist ----
+    "q_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 2).over(w).as("next2_key"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // ---- GROUPING SETS with grouping() null-disambiguation ----
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    // ---- time-series gap fill: per-user daily event counts with missing
+    //      days filled by a generated calendar join ----
+    "q_gap_fill" -> ((s, dir) =>
+      graft.streaming.EventsOps.dailyGapFill(Tables.events(s, dir))
+        .orderBy("user_id", "day"))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -1212,6 +1249,44 @@ object SparkEntry {
           |  CAST(max($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    "q_window_analytics" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_orderpriority, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 2) OVER w AS next2_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |  daily AS (SELECT user_id, day, count(*) AS n_events
+        |    FROM ev GROUP BY 1, 2),
+        |  span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |    FROM daily GROUP BY 1),
+        |  cal AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |    FROM span)
+        |SELECT user_id, day, coalesce(n_events, 0) AS n_events
+        |FROM cal LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_exact_n_sample" ->
       """WITH r AS (SELECT doc_id, lang,

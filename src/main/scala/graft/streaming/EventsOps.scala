@@ -32,6 +32,26 @@ object EventsOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Time-series gap fill: per-user daily event counts with every missing
+    * day in the user's own [min(day), max(day)] span emitted as a zero
+    * row. The calendar is GENERATED per user with `sequence` over the
+    * span (no driver-side date list, no cross join against a global
+    * calendar): one aggregation to get per-user spans + counts, one
+    * explode of the per-user span, one left join back — all keyed on
+    * (user, day), linear in users x span at any scale.
+    */
+  def dailyGapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val calendar = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+  }
+
   /** Click-to-purchase attribution via a time-interval join: each purchase
     * is paired with the same user's clicks in the preceding
     * `horizonMinutes`, aggregated to (n_prior_clicks, last_click_value).

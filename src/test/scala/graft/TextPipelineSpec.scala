@@ -62,6 +62,26 @@ class SurprisalSpec extends SparkSpecBase {
   }
 }
 
+class GapFillSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dailyGapFill emits zero rows for missing days within each user's span") {
+    val ev = Seq(
+      (1L, "2026-01-01 10:00:00"),
+      (1L, "2026-01-04 09:00:00"),
+      (1L, "2026-01-04 11:00:00"),
+      (2L, "2026-02-10 00:00:00")).toDF("user_id", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val out = graft.streaming.EventsOps.dailyGapFill(ev)
+      .select($"user_id", $"day".cast("string"), $"n_events")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, "2026-01-01", 1L), (1L, "2026-01-02", 0L),
+      (1L, "2026-01-03", 0L), (1L, "2026-01-04", 2L),
+      (2L, "2026-02-10", 1L)))
+  }
+}
+
 class VectorTransformSpec extends SparkSpecBase {
   import spark.implicits._
 
