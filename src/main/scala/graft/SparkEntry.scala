@@ -724,7 +724,17 @@ object SparkEntry {
     //      days filled by a generated calendar join ----
     "q_gap_fill" -> ((s, dir) =>
       graft.streaming.EventsOps.dailyGapFill(Tables.events(s, dir))
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+
+    // ---- fixed-token-window document chunking with overlap ----
+    "q_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id", 10, 2)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- per-dimension z-score standardization of embeddings ----
+    "q_vec_standardize" -> ((s, dir) =>
+      Similarity.standardizePerDim(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "i"))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -1272,6 +1282,30 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |  (o_orderstatus, o_orderpriority))
         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |  nn AS (SELECT doc_id, tk, len(tk) AS n FROM tks WHERE len(tk) > 0),
+        |  c AS (SELECT doc_id, tk,
+        |    CAST(unnest(range(CAST(floor((n - 1) / 8.0) AS BIGINT) + 1)) AS INT)
+        |      AS chunk_id FROM nn)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(tk, chunk_id * 8 + 1, chunk_id * 8 + 10), ' ')
+        |    AS chunk_text,
+        |  len(list_slice(tk, chunk_id * 8 + 1, chunk_id * 8 + 10))
+        |    AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_vec_standardize" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |  st AS (SELECT i, avg(x) AS mu, stddev_pop(x) AS sigma
+        |    FROM x GROUP BY i)
+        |SELECT vec_id, i,
+        |  round(CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END, 6) AS z
+        |FROM x JOIN st USING (i) ORDER BY vec_id, i""".stripMargin,
 
     "q_gap_fill" ->
       """WITH ev AS (SELECT user_id,

@@ -62,6 +62,27 @@ object Similarity {
     (q, scale)
   }
 
+  /** Per-dimension z-score standardization of an embedding column
+    * (feature scaling before clustering/IVF): emits exploded
+    * (id, i, z) rows with z = (x_i - mean_i) / std_i, rounded to 6
+    * decimals. One explode + one 64-group aggregation (map-side
+    * combined) + one broadcast-sized join back — the dimension-stats
+    * table is dim rows regardless of corpus size. Rounding is required
+    * for cross-engine comparison: float-sum order inside mean/stddev is
+    * engine- and partition-dependent, reproducible only to ~1e-12.
+    * Constant dimensions (std 0) standardize to 0.
+    */
+  def standardizePerDim(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = df.select(col(idCol), posexplode(asDouble(col(vecCol))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val stats = x.groupBy("i")
+      .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sigma"))
+    x.join(broadcast(stats), "i")
+      .select(col(idCol), col("i"),
+        round(when(col("sigma") === 0.0, lit(0.0))
+          .otherwise((col("x") - col("mu")) / col("sigma")), 6).as("z"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. The query set is broadcast; the corpus streams —
     * one pass, no corpus shuffle until the per-query top-k aggregation.

@@ -261,6 +261,37 @@ object TextAnalysis {
           sum(col("tf"))).cast("double"), 6).as("surprisal"))
   }
 
+  /** Chunk documents into fixed-size token windows with overlap — the
+    * context-length packing step before tokenizer/training. Emits one row
+    * per chunk: (idCol, chunk_id, chunk_text, n_chunk_tokens). Chunk
+    * starts step by (chunkTokens - overlap); the last chunk may be short;
+    * empty docs yield no chunks. One explode per doc — linear in total
+    * token count, no shuffle (narrow generator over the scan), so it
+    * pipelines into whatever consumes the chunks.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = when(size(toks) <= 0, lit(0))
+      .otherwise(floor((size(toks) - lit(1)) / lit(step)).cast("int") + lit(1))
+    df.withColumn("_toks", toks)
+      // guard: sequence(0, -1) would step BACKWARDS ([0, -1]) for empty
+      // docs — emit an empty array so explode drops them instead
+      .withColumn("chunk_id", explode(when(nChunks > 0,
+        sequence(lit(0), nChunks - 1)).otherwise(array().cast("array<int>"))))
+      .withColumn("chunk_toks",
+        slice(col("_toks"), col("chunk_id") * step + 1, lit(chunkTokens)))
+      // drop overlap-only tails: a chunk adds value only if it starts
+      // before the token list ends
+      .filter(col("chunk_id") * step < size(col("_toks")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        size(col("chunk_toks")).as("n_chunk_tokens"))
+  }
+
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
     val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))

@@ -82,6 +82,27 @@ class GapFillSpec extends SparkSpecBase {
   }
 }
 
+class ChunkingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunkDocuments windows with overlap, short tail, empty doc dropped") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y z"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id", 4, 1)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // step 3: starts 0,3,6,9 for doc 1
+    assert(out == Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4),
+      (1L, 2, "g h i j", 4), (1L, 3, "j", 1),
+      (2L, 0, "x y z", 3)))
+    // every token of doc 1 appears in at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+  }
+}
+
 class VectorTransformSpec extends SparkSpecBase {
   import spark.implicits._
 
