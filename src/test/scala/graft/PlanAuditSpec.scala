@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the properties the 100 TB design rests
+  * on: narrow operators stay shuffle-free, column pruning reaches the
+  * scan, and the decontamination join broadcasts its benchmark side.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def finalPlanOf(df: DataFrame): String = {
+    df.count() // materialize so AQE finalizes its decisions
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val docsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("planaudit").toString
+    (0L until 200L).map(i => (i, s"tok${i % 7} tok${i % 11} tok${i % 13} filler", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$p/documents.parquet")
+    p
+  }
+
+  test("hash sampling is a narrow filter: no Exchange anywhere in the plan") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(Sampling.stratifiedSample(docs, "doc_id", "lang", Map("l0" -> 50), 10))
+    assert(!p.contains("Exchange"), s"expected shuffle-free sampling plan:\n$p")
+  }
+
+  test("document chunking is narrow: explode pipelines over the scan, no Exchange") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(TextAnalysis.chunkDocuments(docs, "text", "doc_id", 8, 2))
+    assert(!p.contains("Exchange"), s"expected shuffle-free chunking plan:\n$p")
+  }
+
+  test("column pruning reaches the parquet scan for a two-column projection") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val q = docs.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+    val p = planOf(q)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"),
+      s"expected pruned scan schema without lang: $readSchema")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(docs.filter(col("lang") === "l1").select("doc_id"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,l1)]"),
+      s"expected lang filter pushed to scan:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark side under AQE") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val out = Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", "text")
+    val p = finalPlanOf(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected benchmark side broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"expected no sort-merge join for the tiny benchmark side:\n$p")
+  }
+}
