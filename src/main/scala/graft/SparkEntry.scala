@@ -734,7 +734,12 @@ object SparkEntry {
     // ---- per-dimension z-score standardization of embeddings ----
     "q_vec_standardize" -> ((s, dir) =>
       Similarity.standardizePerDim(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("vec_id", "i"))
+        .orderBy("vec_id", "i")),
+
+    // ---- greedy sequence packing manifest (context-length fill) ----
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id", "lang", 64)
+        .orderBy("lang", "doc_id"))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -1295,6 +1300,28 @@ object SparkEntry {
         |  len(list_slice(tk, chunk_id * 8 + 1, chunk_id * 8 + 10))
         |    AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE d AS (SELECT lang, doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |  p AS (
+        |    SELECT lang, doc_id, n_tokens, rn,
+        |      CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset",
+        |      n_tokens AS fill
+        |    FROM d WHERE rn = 1
+        |    UNION ALL
+        |    SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+        |      CASE WHEN p.fill + d.n_tokens > 64
+        |        THEN p.seq_id + 1 ELSE p.seq_id END,
+        |      CASE WHEN p.fill + d.n_tokens > 64
+        |        THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |      CASE WHEN p.fill + d.n_tokens > 64
+        |        THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |    FROM d JOIN p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_tokens, seq_id, "offset"
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
 
     "q_vec_standardize" ->
       """WITH x AS (SELECT vec_id,

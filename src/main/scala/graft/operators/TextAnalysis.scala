@@ -292,6 +292,46 @@ object TextAnalysis {
         size(col("chunk_toks")).as("n_chunk_tokens"))
   }
 
+  /** Greedy sequence packing: assign documents (in ascending `idCol`
+    * order within each `groupCol` partition) to training sequences of at
+    * most `maxTokens`, opening a new sequence whenever the next doc
+    * would overflow; docs longer than `maxTokens` get a sequence of
+    * their own. Emits (group, id, n_tokens, seq_id, offset) — the
+    * deterministic packing manifest a tokenizer worker can apply.
+    *
+    * The greedy fill is a running state (current fill resets on
+    * overflow), not a prefix-sum, so it is computed per group with
+    * `flatMapGroups` over the id-sorted iterator — streaming, O(1)
+    * state per group, one shuffle on the group key. Groups are
+    * independent (split/shard keys), so parallelism is group-count wide
+    * and results do not depend on cluster layout.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    groupCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(col(groupCol).cast("string").as("grp"),
+      col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+    sized.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        var seq = 0L; var fill = 0L; var first = true
+        docs.iterator.map { case (_, id, n) =>
+          if (!first && fill + n > maxTokens) { seq += 1; fill = 0L }
+          first = false
+          val off = fill
+          fill += n
+          (grp, id, n, seq, off)
+        }
+      }
+      .toDF("grp", "id", "n_tokens", "seq_id", "offset")
+      .withColumnRenamed("grp", groupCol)
+      .withColumnRenamed("id", idCol)
+  }
+
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
     val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))

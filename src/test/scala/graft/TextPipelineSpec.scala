@@ -103,6 +103,27 @@ class ChunkingSpec extends SparkSpecBase {
   }
 }
 
+class PackSequencesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("packSequences greedily fills, isolates oversize docs, resets on overflow") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(3), "g"), (2L, doc(4), "g"), // 3+4=7 fits in 8
+      (3L, doc(2), "g"), // 7+2 > 8 -> new seq
+      (4L, doc(9), "g"), // oversize -> own seq
+      (5L, doc(1), "g"), // after oversize -> new seq
+      (6L, doc(5), "h")).toDF("doc_id", "text", "grp")
+    val out = TextAnalysis.packSequences(docs, "text", "doc_id", "grp", 8)
+      .select("doc_id", "n_tokens", "seq_id", "offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L),
+      (3L, 2L, 1L, 0L), (4L, 9L, 2L, 0L),
+      (5L, 1L, 3L, 0L), (6L, 5L, 0L, 0L)))
+  }
+}
+
 class VectorTransformSpec extends SparkSpecBase {
   import spark.implicits._
 
