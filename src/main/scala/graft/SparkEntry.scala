@@ -739,7 +739,20 @@ object SparkEntry {
     // ---- greedy sequence packing manifest (context-length fill) ----
     "q_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id", "lang", 64)
-        .orderBy("lang", "doc_id"))
+        .orderBy("lang", "doc_id")),
+
+    // ---- left-outer attribution: zero-click purchases emitted too ----
+    "q_attribution_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventsOps.purchaseAttributionOuter(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), 180)
+        .select(col("event_id"), col("user_id"),
+          col("p_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("p_value").as("purchase_value"),
+          col("n_prior_clicks"), col("last_click_value"))
+        .orderBy("event_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -1156,6 +1169,19 @@ object SparkEntry {
         |  count(*) AS n_prior_clicks,
         |  (max(ROW(c.ts, c.value)))[2] AS last_click_value
         |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 180 MINUTE
+        |GROUP BY p.event_id, p.user_id, p.ts, p.value
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_attribution_outer" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    event_type FROM events),
+        |  p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+        |  count(c.ts) AS n_prior_clicks,
+        |  (max(ROW(c.ts, c.value)))[2] AS last_click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 180 MINUTE
         |GROUP BY p.event_id, p.user_id, p.ts, p.value
         |ORDER BY p.event_id""".stripMargin,

@@ -80,6 +80,30 @@ object EventsOps {
       .withColumnRenamed("p_user", "user_id")
   }
 
+  /** Left-outer attribution: like [[purchaseAttribution]] but purchases
+    * with NO prior click in the horizon are emitted too, with zero
+    * clicks and a null last_click_value. Same join shape with
+    * `left_outer`; in streaming, Spark emits the unmatched purchase
+    * once the watermark proves no matching click can still arrive —
+    * the canonical watermarked outer stream-stream join.
+    */
+  def purchaseAttributionOuter(purchases: DataFrame, clicks: DataFrame,
+                               horizonMinutes: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "left_outer")
+      .groupBy("event_id", "p_user", "p_ts", "p_value")
+      .agg(count(col("c_ts")).as("n_prior_clicks"),
+        max(struct(col("c_ts"), col("c_value"))).getField("c_value").as("last_click_value"))
+      .withColumnRenamed("p_user", "user_id")
+  }
+
   /** Watermarked streaming twin of the FULL [[purchaseAttribution]]
     * pipeline — the stream-stream interval join AND the per-purchase
     * aggregation, i.e. two chained stateful operators. Spark supports

@@ -82,3 +82,53 @@ class StreamingAttributionSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingOuterJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("watermarked left-outer stream-stream join emits zero-click purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val purchases = events.filter($"event_type" === "purchase")
+      .withWatermark("ts", "10 minutes")
+    val clicks = events.filter($"event_type" === "click")
+      .withWatermark("ts", "10 minutes")
+    // the raw outer join (pre-aggregation): unmatched purchases surface
+    // once the watermark passes their horizon
+    val p = purchases.select($"event_id", $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val c = clicks.select($"user_id".as("c_user"), $"ts".as("c_ts"), $"value".as("c_value"))
+    val joined = p.join(c,
+      $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, ts("2024-01-01 10:20:00"), "click", 2.0),
+        (100L, 1L, ts("2024-01-01 10:30:00"), "purchase", 50.0),
+        (200L, 2L, ts("2024-01-01 10:00:00"), "purchase", 60.0)) // no click at all
+      mem.addData((9L, 9L, ts("2024-01-01 13:00:00"), "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, c_value FROM outer_attr ORDER BY event_id")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(rows == Seq((100L, Some(2.0)), (200L, None)))
+      // batch twin over the same events
+      val ev = Seq(
+        (1L, 1L, ts("2024-01-01 10:20:00"), "click", 2.0),
+        (100L, 1L, ts("2024-01-01 10:30:00"), "purchase", 50.0),
+        (200L, 2L, ts("2024-01-01 10:00:00"), "purchase", 60.0),
+        (9L, 9L, ts("2024-01-01 13:00:00"), "click", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      val batch = graft.streaming.EventsOps.purchaseAttributionOuter(
+          ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "click"), 30)
+        .select($"event_id", $"n_prior_clicks")
+        .as[(Long, Long)].collect().toMap
+      assert(batch == Map(100L -> 1L, 200L -> 0L))
+    } finally q.stop()
+  }
+}
