@@ -741,6 +741,18 @@ object SparkEntry {
       TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id", "lang", 64)
         .orderBy("lang", "doc_id")),
 
+    // ---- semantic dedup: cosine pairs -> components -> representative ----
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupCorpus(t(s, dir, "embeddings"), "label", 0.3)
+        .select("vec_id", "label").orderBy("vec_id")),
+
+    // ---- asymmetric containment near-dup (embedded-document detection) ----
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", Seq("lang"), 0.95)
+        .orderBy("id1", "id2")),
+
     // ---- left-outer attribution: zero-click purchases emitted too ----
     "q_attribution_outer" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1172,6 +1184,31 @@ object SparkEntry {
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 180 MINUTE
         |GROUP BY p.event_id, p.user_id, p.ts, p.value
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |  p AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM v a
+        |    JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |    WHERE $cosSql >= 0.3),
+        |  edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |            UNION SELECT id2, id1 FROM p),
+        |  reach AS (SELECT vec_id AS id, vec_id AS lab FROM embeddings
+        |            UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |  comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT vec_id, label FROM embeddings JOIN comp ON id = vec_id
+        |WHERE component = vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |  tks AS (SELECT doc_id, lang,
+        |    list_sort(list_distinct($toksSql)) AS tk FROM d)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk)
+        |    AS containment
+        |FROM tks a JOIN tks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk) >= 0.95
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_attribution_outer" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

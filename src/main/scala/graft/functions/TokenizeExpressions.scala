@@ -134,6 +134,39 @@ object SortedJaccardSim {
     ColumnBridge.column(SortedJaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** Containment similarity |A ∩ B| / |A| of two SORTED DISTINCT string
+  * arrays (Broder's containment): the asymmetric near-dup measure that
+  * catches a document EMBEDDED in a larger one, where Jaccard is diluted
+  * by the size difference. Same zero-allocation merge scan as
+  * [[SortedJaccardSim]]; empty left side scores 0.
+  */
+case class SortedContainmentSim(left: Expression, right: Expression) extends ArrayPairKernel {
+
+  override def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / na.toDouble
+  }
+
+  override def prettyName: String = "sorted_containment_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedContainmentSim =
+    copy(left = l, right = r)
+}
+
+object SortedContainmentSim {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedContainmentSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 /** Ordered token list (with duplicates) — the multiset input for SimHash
   * and shingle construction.
   */

@@ -119,6 +119,23 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
+  /** Semantic corpus dedup (SemDeDup-style): embedding pairs at cosine >=
+    * `threshold` within equality blocks, clustered into connected
+    * components, one representative (lowest id) kept per component plus
+    * all unpaired vectors. Pure composition of the blocked-pair,
+    * component, and keeper primitives — the pair stage shuffles one block
+    * key, the component stage collects only the (tiny) near-dup edge
+    * list, the keeper join streams the corpus once.
+    */
+  def semanticDedupCorpus(df: DataFrame, blockCol: String, threshold: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = cosinePairsBlocked(df, blockCol, threshold, idCol, vecCol)
+    val comps = Dedup.connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .filter(col(idCol) === col("component")).drop("component")
+  }
+
   /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
     * against deterministic (seeded) unit-free hyperplanes. Vectors in the
     * same bucket are ANN candidates (Charikar, STOC'02).

@@ -82,6 +82,40 @@ class GapFillSpec extends SparkSpecBase {
   }
 }
 
+class ContainmentSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("containment catches an embedded doc that Jaccard dilutes below threshold") {
+    val small = "alpha beta gamma delta"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small, "g"), (2L, big, "g"), (3L, "other stuff here", "g"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id", Seq("lang"), 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 1 is fully contained in 2 (containment 1.0); reverse direction ~4/44
+    assert(out == Seq((1L, 2L, 1.0)))
+    // Jaccard would be ~4/44 — far below any near-dup threshold
+    val j = Dedup.jaccardPairs(docs, "text", "doc_id", Seq("lang"), 0.9).count()
+    assert(j == 0)
+  }
+}
+
+class SemanticDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("semanticDedupCorpus keeps one representative per cosine cluster") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.1f), 0), // cluster
+      (3L, Array(0.0f, 1.0f), 0), // separate
+      (4L, Array(1.0f, 0.0f), 1)) // same direction, other block
+      .toDF("vec_id", "embedding", "label")
+    val kept = graft.operators.Similarity
+      .semanticDedupCorpus(docs, "label", 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
+
 class ChunkingSpec extends SparkSpecBase {
   import spark.implicits._
 
