@@ -31,14 +31,12 @@ private[graft] object SketchUtil {
   * empty docs never collide with real content.
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends NullAbsorbingUnaryKernel {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
+  override def computeAny(v: Any): Any = {
     val sig = Array.fill(numPerm)(Long.MaxValue)
-    val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
@@ -70,14 +68,12 @@ object MinHashSignature {
 /** 64-bit SimHash over a string array: per-element xxh64, signed bit-vote
   * accumulation, sign -> bit (Charikar, STOC'02).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends NullAbsorbingUnaryKernel {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
+  override def computeAny(v: Any): Any = {
     val votes = new Array[Int](64)
-    val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0

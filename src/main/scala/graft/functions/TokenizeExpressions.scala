@@ -39,10 +39,10 @@ private[graft] object TokenizeUtil {
   * Sorted output enables merge-scan set operations downstream
   * (see [[SortedJaccardSim]]).
   */
-case class TokenSet(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenSet(child: Expression) extends NullSafeUnaryKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
+  override def computeAny(v: Any): Any = {
     val toks = TokenizeUtil.tokenize(v.asInstanceOf[UTF8String].toString)
     val set = new java.util.TreeSet[UTF8String]()
     val it = toks.iterator()
@@ -59,11 +59,10 @@ object TokenSet {
 }
 
 /** Sorted distinct word n-gram shingles of a text column. */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends NullSafeUnaryKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
+  override def computeAny(v: Any): Any = {
     val toks = TokenizeUtil.tokenize(v.asInstanceOf[UTF8String].toString)
     val set = new java.util.TreeSet[UTF8String]()
     if (toks.size() < n) {
@@ -170,10 +169,10 @@ object SortedContainmentSim {
 /** Ordered token list (with duplicates) — the multiset input for SimHash
   * and shingle construction.
   */
-case class TokenArray(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenArray(child: Expression) extends NullSafeUnaryKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
+  override def computeAny(v: Any): Any = {
     val toks = TokenizeUtil.tokenize(v.asInstanceOf[UTF8String].toString)
     new GenericArrayData(toks.toArray)
   }
