@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-form invariants of the native pairwise kernels, checked by
+  * evaluating the expressions through Spark over generated data (so the
+  * CODEGEN path is what's exercised, not just interpreted eval).
+  */
+class KernelPropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def forAllGen[T](gen: Gen[T], n: Int = 60)(check: T => Unit): Unit = {
+    var seed = Seed(7L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(check)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val tokGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf((1 to 30).map(i => s"t$i"))).map(_.take(40))
+
+  test("SortedJaccardSim on sorted-distinct arrays == ArrayJaccardSim (hash-set)") {
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[String])]
+    forAllGen(Gen.zip(tokGen, tokGen)) { case (a, b) =>
+      cases += ((a.distinct.sorted, b.distinct.sorted))
+    }
+    val df = cases.toSeq.toDF("a", "b")
+    val out = df.select(
+      graft.functions.SortedJaccardSim(col("a"), col("b")).as("m"),
+      graft.functions.ArrayJaccardSim(col("a"), col("b")).as("h"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (m, h) => assert(m == h) }
+  }
+
+  test("containment/jaccard bounds: j <= c(a,b), c in [0,1], c(a,a) == 1 for non-empty") {
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[String])]
+    forAllGen(Gen.zip(tokGen, tokGen)) { case (a, b) =>
+      cases += ((a.distinct.sorted, b.distinct.sorted))
+    }
+    val df = cases.toSeq.toDF("a", "b")
+    val out = df.select(
+      graft.functions.SortedJaccardSim(col("a"), col("b")).as("j"),
+      graft.functions.SortedContainmentSim(col("a"), col("b")).as("c"),
+      graft.functions.SortedContainmentSim(col("a"), col("a")).as("self"),
+      size(col("a")).as("na"))
+      .as[(Double, Double, Double, Int)].collect()
+    out.foreach { case (j, c, self, na) =>
+      assert(c >= 0.0 && c <= 1.0)
+      assert(j <= c + 1e-15, s"jaccard $j > containment $c")
+      if (na > 0) assert(self == 1.0)
+    }
+  }
+
+  test("quantizeInt8 round-trips within half a quantization step") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0)).map(_.map(_.toFloat))
+    val cases = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    forAllGen(vecGen)(v => cases += v)
+    val df = cases.toSeq.toDF("embedding")
+    val (q, scale) = graft.operators.Similarity.quantizeInt8(col("embedding"))
+    val out = df.select(col("embedding"), q.as("q"), scale.as("s"))
+      .as[(Seq[Float], Seq[Long], Double)].collect()
+    out.foreach { case (v, qs, s) =>
+      if (s > 0) v.zip(qs).foreach { case (x, qi) =>
+        val back = qi / s
+        assert(math.abs(back - x) <= 0.5 / s + 1e-12,
+          s"dequant error ${math.abs(back - x)} > half step ${0.5 / s}")
+      }
+    }
+  }
+
+  test("minhash signature: identical arrays share all bands; signature is permutation-invariant input order") {
+    val df = Seq(
+      ("a b c d e f g h", "h g f e d c b a"),
+      ("x y z", "z y x")).toDF("t1", "t2")
+    val out = df.select(
+      graft.functions.MinHashSignature(graft.functions.TokenSet(col("t1")), 32).as("s1"),
+      graft.functions.MinHashSignature(graft.functions.TokenSet(col("t2")), 32).as("s2"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (s1, s2) => assert(s1 == s2) }
+  }
+}

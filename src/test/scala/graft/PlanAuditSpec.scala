@@ -56,6 +56,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected lang filter pushed to scan:\n$p")
   }
 
+  test("partition pruning: a partition-column filter skips non-matching directories") {
+    val pdir = java.nio.file.Files.createTempDirectory("planaudit-part").toString
+    (0L until 300L).map(i => (i, s"payload$i", s"2026-0${i % 3 + 1}"))
+      .toDF("id", "payload", "month")
+      .write.partitionBy("month").mode("overwrite").parquet(pdir)
+    val q = spark.read.parquet(pdir).filter(col("month") === "2026-02").select("id")
+    val p = planOf(q)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("month"),
+      s"expected month in PartitionFilters: $scanLine\n$p")
+    // pruning is effective: only the matching partition's rows are read
+    assert(q.count() == 100)
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
