@@ -132,3 +132,25 @@ class StreamingOuterJoinSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamStaticJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stream-static enrichment join is stateless and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static dimension: user -> segment (broadcast per micro-batch, no state)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "value")
+    val q = events.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce($"segment", lit("unknown")))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((10L, 1L, 5.0), (11L, 2L, 6.0), (12L, 99L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, segment FROM enriched ORDER BY event_id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((10L, "gold"), (11L, "silver"), (12L, "unknown")))
+    } finally q.stop()
+  }
+}
