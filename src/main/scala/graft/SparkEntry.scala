@@ -753,6 +753,24 @@ object SparkEntry {
         "text", "doc_id", Seq("lang"), 0.95)
         .orderBy("id1", "id2")),
 
+    // ---- global vocabulary top-k (agg -> TakeOrdered, no full sort) ----
+    "q_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(25)),
+
+    // ---- corpus-level stats in one pass ----
+    "q_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          sum("nc").as("total_chars"),
+          min("nt").as("min_tokens"),
+          max("nt").as("max_tokens"))),
+
     // ---- left-outer attribution: zero-click purchases emitted too ----
     "q_attribution_outer" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1184,6 +1202,19 @@ object SparkEntry {
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 180 MINUTE
         |GROUP BY p.event_id, p.user_id, p.ts, p.value
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT term, count(*) AS n
+        |FROM (SELECT unnest($toksSql) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc FROM documents)
+        |SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM d""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, label,
