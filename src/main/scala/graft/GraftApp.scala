@@ -36,6 +36,8 @@ object GraftApp {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
+      // tolerate TIMESTAMP(NANOS) parquet (read as nanos-since-epoch long)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
@@ -96,8 +98,23 @@ object GraftApp {
             s"results in ${config.outputPath}")
         case "suggest-ignores" =>
           suggestIgnores(spark, s1, s2, config).foreach(println)
+        case "profile" =>
+          // per-table data-quality scan of side db1 (extension beyond the
+          // reference CLI): single-pass HLL profile unless --exact
+          val exact = opts.get("exact").exists(_.toBoolean)
+          s1.listTables().foreach { table =>
+            println(s"== $table ==")
+            val df = s1.table(table)
+            val prof = if (exact) graft.operators.Profile.profileExact(df)
+                       else graft.operators.Profile.profileApprox(df)
+            prof.orderBy("col_name").collect().foreach { r =>
+              println(f"${r.getString(0)}%-24s rows=${r.getLong(1)}%-9d " +
+                f"nulls=${r.getLong(2)}%-7d ndv=${r.getLong(3)}%-9d " +
+                s"min=${r.getString(4)} max=${r.getString(5)}")
+            }
+          }
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile)")
       }
     } finally spark.stop()
   }
