@@ -15,7 +15,9 @@ class PlanAuditSpec extends SparkSpecBase {
   private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
   private def finalPlanOf(df: DataFrame): String = {
-    df.count() // materialize so AQE finalizes its decisions
+    // materialize THIS DataFrame's own QueryExecution (count() would wrap
+    // it in a new one and leave this plan un-finalized by AQE)
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
@@ -81,5 +83,45 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected benchmark side broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"expected no sort-merge join for the tiny benchmark side:\n$p")
+  }
+}
+
+/** AQE's runtime skew-join split — the complement to the manual salting
+  * in operators/Skew.scala: prove Spark's own mitigation engages on a
+  * skewed sort-merge join when partition sizes trip the thresholds.
+  */
+class AqeSkewJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("AQE marks and splits the skewed partition (isSkew=true in final plan)") {
+    val prev = Map(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 95% of left rows share one key; right is uniform
+      val left = spark.range(60000)
+        .select(when($"id" % 20 =!= 0, lit(7L)).otherwise($"id" % 100).as("k"),
+          concat(lit("pad-"), $"id").as("payload"))
+      val right = spark.range(100).select($"id".as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected AQE to flag the skewed join partition:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
