@@ -171,7 +171,10 @@ object SparkEntry {
     // ---- A2/A3/J3: wizard overlap probe (distinct sample + count matches) ----
     "q_probe_overlap" -> ((s, dir) => {
       import s.implicits._
-      val sample = t(s, dir, "customer").select("c_custkey").distinct().limit(10000)
+      // deterministic 10k-distinct sample: a bare LIMIT differs between
+      // engines (and between Spark runs) once ndv > 10000 — order first
+      val sample = t(s, dir, "customer").select("c_custkey").distinct()
+        .orderBy("c_custkey").limit(10000)
       val n = t(s, dir, "orders")
         .join(sample, col("o_custkey") === col("c_custkey"), "left_semi").count()
       Seq(("c_custkey", n)).toDF("column_name", "overlap_count")
@@ -603,8 +606,12 @@ object SparkEntry {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
         .head()
       val ndvOk = math.abs(rNdv.getLong(1) - rNdv.getLong(0)).toDouble / rNdv.getLong(0) <= 0.05
-      val p50Ok = math.abs(rP50.getDouble(1) - rP50.getDouble(0)) / rP50.getDouble(0) <= 0.01
-      Seq(("hll_ndv_within_5pct", ndvOk), ("approx_p50_within_1pct", p50Ok))
+      // percentile_approx guarantees RANK error <= n/accuracy; on the
+      // unit-spaced discrete l_quantity domain that bounds the VALUE to
+      // within one unit of the (interpolated) exact quantile — a
+      // relative check breaks at scale when exact lands between units
+      val p50Ok = math.abs(rP50.getDouble(1) - rP50.getDouble(0)) <= 1.0
+      Seq(("hll_ndv_within_5pct", ndvOk), ("approx_p50_within_1unit", p50Ok))
         .toDF("check_name", "ok").orderBy("check_name")
     }),
 
@@ -884,7 +891,7 @@ object SparkEntry {
     "q_probe_overlap" ->
       """SELECT 'c_custkey' AS column_name, count(*) AS overlap_count
         |FROM orders WHERE o_custkey IN (
-        |  SELECT DISTINCT c_custkey FROM customer LIMIT 10000)""".stripMargin,
+        |  SELECT DISTINCT c_custkey FROM customer ORDER BY c_custkey LIMIT 10000)""".stripMargin,
 
     "q_projection_normalize" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1288,7 +1295,7 @@ object SparkEntry {
         |ORDER BY doc_id, "rank"""".stripMargin,
 
     "q_approx_bounds" ->
-      """SELECT * FROM (VALUES ('approx_p50_within_1pct', true),
+      """SELECT * FROM (VALUES ('approx_p50_within_1unit', true),
         |  ('hll_ndv_within_5pct', true)) AS t(check_name, ok)
         |ORDER BY check_name""".stripMargin,
 
