@@ -215,3 +215,84 @@ object StreamingSessionize {
         })
   }
 }
+
+/** One finalized (user, day, count) row — zero-count rows mark gap days. */
+final case class DayCount(user_id: Long, day: java.sql.Date, n_events: Long)
+
+/** Per-user streaming state: open per-day counts plus the first/last day
+  * seen, so gap days between events can be emitted as zeros.
+  */
+private[streaming] final case class GapFillState(
+    counts: Map[Long, Long], firstDay: Long, lastDay: Long, emittedThrough: Long)
+
+/** Streaming twin of [[EventsOps.dailyGapFill]]: per-user daily counts
+  * with gap days emitted as zero rows, finalized as the WATERMARK
+  * closes each day — `flatMapGroupsWithState` with an event-time
+  * timeout at the next day boundary. State per user is the open days'
+  * count map (bounded by lateness horizon in days) plus three longs;
+  * closed days are dropped from state as they are emitted, so state
+  * does NOT grow with stream length. The batch operator emits exactly
+  * the same rows for the days the watermark has closed.
+  */
+object StreamingGapFill {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  private val DayMs = 86400000L
+
+  def apply(events: DataFrame, lateness: String = "1 day"): Dataset[DayCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def emitClosed(userId: Long, st: GapFillState, closedThrough: Long):
+        (Seq[DayCount], GapFillState) = {
+      if (st.firstDay < 0) return (Seq.empty, st)
+      val from = if (st.emittedThrough < 0) st.firstDay else st.emittedThrough + 1
+      // only days the user's span has reached can be emitted (the batch
+      // twin never emits past max(day))
+      val to = math.min(closedThrough, st.lastDay)
+      if (to < from) return (Seq.empty, st)
+      val out = (from to to).map { d =>
+        DayCount(userId, new java.sql.Date(d * DayMs), st.counts.getOrElse(d, 0L))
+      }
+      (out, st.copy(counts = st.counts.filter(_._1 > to), emittedThrough = to))
+    }
+
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[GapFillState]) => {
+          val wmDay = state.getCurrentWatermarkMs() / DayMs
+          // the watermark has CLOSED every day strictly before it
+          val closedThrough = wmDay - 1
+          var st = state.getOption.getOrElse(GapFillState(Map.empty, -1L, -1L, -1L))
+          if (!rows.isEmpty) {
+            rows.foreach { case (_, ts) =>
+              val d = ts.getTime / DayMs
+              st = st.copy(
+                counts = st.counts.updated(d, st.counts.getOrElse(d, 0L) + 1L),
+                firstDay = if (st.firstDay < 0) d else math.min(st.firstDay, d),
+                lastDay = math.max(st.lastDay, d))
+            }
+          }
+          val (out, next) = emitClosed(userId, st, closedThrough)
+          if (next.emittedThrough >= next.lastDay && state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(next)
+            // wake at the next day boundary after the last unemitted day;
+            // Spark requires the timeout to sit strictly past the current
+            // watermark, so clamp when the boundary has already been passed
+            val wmMs = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max((next.lastDay + 1) * DayMs, wmMs + DayMs))
+          }
+          out.iterator
+        })
+  }
+}

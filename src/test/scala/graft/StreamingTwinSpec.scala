@@ -154,3 +154,40 @@ class StreamStaticJoinSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingGapFillSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming gap fill emits zero rows for closed gap days, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.StreamingGapFill(events, lateness = "1 day")
+      .writeStream.format("memory").queryName("gapfill").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 12:00:00")),
+        (1L, ts("2024-01-03 09:00:00"))) // 01-02 is a gap day
+      q.processAllAvailable()
+      // watermark still at 01-02: nothing finalized yet
+      mem.addData((99L, ts("2024-01-05 00:00:00"))) // advance watermark to 01-04
+      q.processAllAvailable()
+      mem.addData((98L, ts("2024-01-09 00:00:00"))) // fire pending timeouts
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, CAST(day AS STRING), n_events FROM gapfill WHERE user_id = 1 ORDER BY day")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(rows == Seq(
+        (1L, "2024-01-01", 2L), (1L, "2024-01-02", 0L), (1L, "2024-01-03", 1L)))
+      // batch twin over the same user-1 events emits exactly these rows
+      val ev = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),
+        (1L, ts("2024-01-03 09:00:00"))).toDF("user_id", "ts")
+      val batch = graft.streaming.EventsOps.dailyGapFill(ev)
+        .select($"user_id", $"day".cast("string"), $"n_events")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._2)
+      assert(batch == rows)
+    } finally q.stop()
+  }
+}
