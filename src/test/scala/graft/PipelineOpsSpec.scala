@@ -392,3 +392,18 @@ class PpjoinSpec extends SparkSpecBase {
     assert(candidates >= 10)
   }
 }
+
+class DedupCorpusNullSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dedupCorpus keeps every null-text doc (nulls are not duplicates of each other)") {
+    val docs = Seq(
+      (1L, Option("the same text here repeated words")),
+      (2L, Option("the same text here repeated words")), // exact dup of 1
+      (3L, None: Option[String]),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
