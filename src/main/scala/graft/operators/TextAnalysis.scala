@@ -313,7 +313,9 @@ object TextAnalysis {
     import spark.implicits._
     val sized = df.select(col(groupCol).cast("string").as("grp"),
       col(idCol).cast("long").as("id"),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      // null text packs as zero tokens (size(null) is null and would
+      // break the non-nullable encoder)
+      coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
       .as[(String, Long, Long)]
     sized.groupByKey(_._1)
       .flatMapGroups { (grp, it) =>

@@ -147,14 +147,16 @@ class PackSequencesSpec extends SparkSpecBase {
       (3L, doc(2), "g"), // 7+2 > 8 -> new seq
       (4L, doc(9), "g"), // oversize -> own seq
       (5L, doc(1), "g"), // after oversize -> new seq
-      (6L, doc(5), "h")).toDF("doc_id", "text", "grp")
+      (6L, doc(5), "h"),
+      (7L, null, "h")).toDF("doc_id", "text", "grp") // null text -> 0 tokens
     val out = TextAnalysis.packSequences(docs, "text", "doc_id", "grp", 8)
       .select("doc_id", "n_tokens", "seq_id", "offset")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(
       (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L),
       (3L, 2L, 1L, 0L), (4L, 9L, 2L, 0L),
-      (5L, 1L, 3L, 0L), (6L, 5L, 0L, 0L)))
+      (5L, 1L, 3L, 0L), (6L, 5L, 0L, 0L),
+      (7L, 0L, 0L, 5L)))
   }
 }
 
