@@ -748,6 +748,30 @@ object SparkEntry {
       TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id", "lang", 64)
         .orderBy("lang", "doc_id")),
 
+    // ---- PageRank over the part -> supplier supply graph; the oracle
+    //      asserts the invariants (mass conservation, rank floor) plus a
+    //      deterministic top node ----
+    "q_pagerank_checks" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      val r = Graph.pageRank(edges, 0.85, 10).collect()
+        .map(row => row.getLong(0) -> row.getDouble(1))
+      val total = r.map(_._2).sum
+      val n = r.length
+      val floor = (1.0 - 0.85) / n
+      val topIsSupplier = {
+        val suppliers = edges.select("dst").distinct().as[Long].collect().toSet
+        suppliers.contains(r.maxBy(p => (p._2, -p._1))._1)
+      }
+      Seq(
+        ("mass_sums_to_one", math.abs(total - 1.0) < 1e-9),
+        ("all_ranks_above_floor", r.forall(_._2 >= floor - 1e-12)),
+        ("top_node_is_a_supplier", topIsSupplier))
+        .toDF("check_name", "ok").orderBy("check_name")
+    }),
+
     // ---- semantic dedup: cosine pairs -> components -> representative ----
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedupCorpus(t(s, dir, "embeddings"), "label", 0.3)
@@ -1222,6 +1246,11 @@ object SparkEntry {
         |  CAST(sum(nc) AS BIGINT) AS total_chars,
         |  min(nt) AS min_tokens, max(nt) AS max_tokens
         |FROM d""".stripMargin,
+
+    "q_pagerank_checks" ->
+      """SELECT * FROM (VALUES ('all_ranks_above_floor', true),
+        |  ('mass_sums_to_one', true), ('top_node_is_a_supplier', true))
+        |AS t(check_name, ok) ORDER BY check_name""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, label,

@@ -88,3 +88,29 @@ class TfidfSpec extends SparkSpecBase {
     assert(out.find(r => r._1 == 2L && r._2 == 1).get._3 == "cat")
   }
 }
+
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pageRank matches the analytic stationary distribution on a known graph") {
+    // classic 3-node example: A->B, A->C, B->C, C->A (d=0.85)
+    // stationary: A ~ 0.38779, B ~ 0.21481, C ~ 0.39740
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(edges, 0.85, 25)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.38779) < 1e-3, r.toString)
+    assert(math.abs(r(2L) - 0.21481) < 1e-3, r.toString)
+    assert(math.abs(r(3L) - 0.39740) < 1e-3, r.toString)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("dangling nodes keep total mass at 1 and rank above the floor") {
+    // 2 -> 1, 1 dangles
+    val edges = Seq((2L, 1L)).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(edges, 0.85, 15)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.toString)
+    assert(r.values.forall(_ >= (1 - 0.85) / 2 - 1e-12))
+    assert(r(1L) > r(2L)) // the pointed-at node ranks higher
+  }
+}
