@@ -756,7 +756,7 @@ object SparkEntry {
       val edges = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 13 === 0)
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-      val r = Graph.pageRank(edges, 0.85, 10).collect()
+      val r = Graph.pageRank(edges, 0.85, 5).collect()
         .map(row => row.getLong(0) -> row.getDouble(1))
       val total = r.map(_._2).sum
       val n = r.length
