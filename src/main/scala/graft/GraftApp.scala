@@ -113,8 +113,24 @@ object GraftApp {
                 s"min=${r.getString(4)} max=${r.getString(5)}")
             }
           }
+        case "dedup" =>
+          // corpus near-dup removal from the CLI (extension): writes the
+          // deduplicated table + a keeper manifest under --output
+          val table = opts.getOrElse("table", "documents")
+          val textCol = opts.getOrElse("text-col", "text")
+          val idCol = opts.getOrElse("id-col", "doc_id")
+          val threshold = opts.getOrElse("threshold", "0.8").toDouble
+          val out = opts.getOrElse("output", "dedup_out")
+          val df = s1.table(table)
+          val total = df.count()
+          val kept = graft.operators.Dedup.dedupCorpus(df, textCol, idCol, threshold)
+          kept.write.mode("overwrite").parquet(s"$out/$table")
+          val nKept = spark.read.parquet(s"$out/$table").count()
+          println(s"dedup: $table $total rows -> $nKept kept " +
+            f"(${100.0 * (total - nKept) / math.max(total, 1)}%.1f%% removed) at " +
+            s"jaccard >= $threshold; output in $out/$table")
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup)")
       }
     } finally spark.stop()
   }
