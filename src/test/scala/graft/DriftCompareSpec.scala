@@ -129,6 +129,37 @@ class DriftCompareSpec extends SparkSpecBase {
     assert(d.count() == 0) // score excluded by the query -> no drift
   }
 
+  test("custom query shapes: WHERE, JOIN, subquery (reference custom_query_test.py)") {
+    // WHERE: restrict both sides to id <= 2; a mutation at id 3 vanishes
+    val mut3 = base().withColumn("score", when($"id" === 3, lit(77.7)).otherwise($"score"))
+    val whereCfg = DiffConfig(tableRules = Map("t" -> TableRules(
+      customQuery = Some("SELECT id, name, score FROM t WHERE id <= 2"))))
+    assert(driftCounts(cmp(mut3, base(), whereCfg)) == ((0L, 0L)))
+    // but a mutation inside the predicate window IS seen
+    val mut2 = base().withColumn("score", when($"id" === 2, lit(77.7)).otherwise($"score"))
+    assert(driftCounts(cmp(mut2, base(), whereCfg)) == ((1L, 1L)))
+
+    // JOIN: query joins a second table of the same side
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "grp")
+    def sides(id: String, t: DataFrame) =
+      MemorySide(id, Map("t" -> t, "dim" -> dim))
+    val joinCfg = DiffConfig(tableRules = Map("t" -> TableRules(
+      customQuery = Some(
+        "SELECT t.id, t.name, dim.grp FROM t JOIN dim ON t.id = dim.id"))))
+    val cJoin = new DriftCompare(spark, sides("db1", mut2), sides("db2", base()), joinCfg)
+    // score excluded by the join projection -> no drift
+    assert(cJoin.dataDrift("t").get.count() == 0)
+
+    // subquery: scalar subquery in the projection
+    val subCfg = DiffConfig(tableRules = Map("t" -> TableRules(
+      customQuery = Some(
+        "SELECT id, name, (SELECT max(id) FROM t) AS max_id FROM t"))))
+    val cSub = cmp(base().filter($"id" =!= 3), base(), subCfg)
+    // max_id differs between sides (2 vs 3), so EVERY row drifts
+    val (d1, d2) = driftCounts(cSub)
+    assert(d1 == 2L && d2 == 3L)
+  }
+
   test("within-side duplicates collapse (set semantics)") {
     val dup = base().union(base()) // every row twice on db1
     val c = cmp(dup, base())
