@@ -1,0 +1,60 @@
+package graft.operators
+
+/** Real image-container header parsing — dimensions from fixed byte
+  * offsets and marker scans, no codec library required. Covers the
+  * formats whose headers are trivially self-describing:
+  *
+  *   - PNG:  8-byte signature, IHDR width/height at offsets 16/20 (BE)
+  *   - GIF:  "GIF87a"/"GIF89a", logical screen w/h at offsets 6/8 (LE)
+  *   - BMP:  "BM", BITMAPINFOHEADER w/h at offsets 18/22 (LE, h signed)
+  *   - JPEG: FF D8, scan segment markers to the first SOFn frame header
+  *           (height/width big-endian at payload offsets 3/5)
+  *
+  * Used by [[Multimodal.decodeImageMeta]]: real payloads get real
+  * dimensions; unrecognized bytes fall back to the documented stub.
+  */
+object ImageHeader {
+
+  /** Returns (format, width, height) when the payload is a recognized
+    * image container, None otherwise. Never throws on truncated input.
+    */
+  def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+
+    try {
+      if (b.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        Some(("png", be32(16), be32(20)))
+      } else if (b.length >= 10 &&
+        b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        Some(("gif", le16(6), le16(8)))
+      } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        // height may be negative (top-down rows); dimension is |h|
+        Some(("bmp", le32(18), math.abs(le32(22))))
+      } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+        // walk JPEG segments: FF marker, 2-byte BE length incl. itself
+        var i = 2
+        while (i + 9 < b.length) {
+          if (u8(i) != 0xFF) return None // desynced, not a valid stream
+          val marker = u8(i + 1)
+          if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+            i += 2 // standalone markers have no length field
+          } else if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            // SOFn: [len][precision][height BE][width BE]
+            return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          } else {
+            i += 2 + be16(i + 2)
+          }
+        }
+        None
+      } else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+}

@@ -50,11 +50,18 @@ object Multimodal {
       imageMetaSchema)
   }
 
-  /** The stubbed decoder: header hex + deterministic fake dimensions. */
+  /** The decoder: REAL container-header parsing (PNG/GIF/BMP/JPEG
+    * dimensions from byte offsets — no codec library needed) with the
+    * deterministic fake as the fallback for unrecognized payloads (the
+    * synthetic corpus's text-derived bytes). Pixel decoding stays stubbed.
+    */
   private def decodeOne(id: Long, bytes: Array[Byte]): (Long, Int, String, Int, Int, Int) = {
     val n = bytes.length
     val header = bytes.take(4).map(b => f"$b%02X").mkString
-    (id, n, header, n % 640, (n * 7) % 480, n % 16 + 1)
+    ImageHeader.parse(bytes) match {
+      case Some((_, w, h)) => (id, n, header, w, h, 1)
+      case None => (id, n, header, n % 640, (n * 7) % 480, n % 16 + 1)
+    }
   }
 
   /** STUB resize: deterministic target-box scaling metadata (a real

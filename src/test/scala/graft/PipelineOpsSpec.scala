@@ -407,3 +407,62 @@ class DedupCorpusNullSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L, 4L))
   }
 }
+
+class ImageHeaderSpec extends SparkSpecBase {
+  import graft.operators.ImageHeader
+  import spark.implicits._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("BM".getBytes).position(18)
+    b.putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32)
+    b.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    b.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(4).putShort(0) // APP0 len 4
+    b.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(11) // SOF0
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    b.array()
+  }
+
+  test("parses PNG/GIF/BMP/JPEG dimensions from real headers") {
+    assert(ImageHeader.parse(png(640, 480)) == Some(("png", 640, 480)))
+    assert(ImageHeader.parse(gif(320, 200)) == Some(("gif", 320, 200)))
+    assert(ImageHeader.parse(bmp(1024, 768)) == Some(("bmp", 1024, 768)))
+    assert(ImageHeader.parse(jpeg(800, 600)) == Some(("jpeg", 800, 600)))
+    // negative BMP height (top-down) normalizes
+    assert(ImageHeader.parse(bmp(10, -20)) == Some(("bmp", 10, 20)))
+    // garbage and truncation are safely rejected
+    assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeader.parse(png(1, 1).take(10)).isEmpty)
+    assert(ImageHeader.parse(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeImageMeta extracts REAL dimensions for recognized payloads via mapPartitions") {
+    val df = Seq(
+      (1L, png(111, 222)),
+      (2L, "plain text payload".getBytes)).toDF("doc_id", "payload")
+    val out = graft.operators.Multimodal.decodeImageMeta(df)
+      .select("doc_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out.head == ((1L, 111, 222, 1))) // real header wins
+    val stub = out(1) // unrecognized -> deterministic stub
+    assert(stub._2 == "plain text payload".getBytes.length % 640)
+  }
+}
