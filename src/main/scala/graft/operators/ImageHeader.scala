@@ -58,3 +58,43 @@ object ImageHeader {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 }
+
+/** WAV (RIFF) header parsing — the audio twin of [[ImageHeader]]:
+  * channels, sample rate, bit depth and duration from the canonical
+  * fmt/data chunk layout, no codec library required.
+  */
+object AudioHeader {
+
+  /** Returns (format, channels, sample_rate_hz, duration_ms) for a
+    * RIFF/WAVE payload with a PCM fmt chunk, None otherwise.
+    */
+  def parse(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    try {
+      if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      // walk chunks: 4-byte id, 4-byte LE size
+      var i = 12
+      var rate = 0; var channels = 0; var byteRate = 0L
+      var dataBytes = -1L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = le16(i + 10)
+          rate = le32(i + 12).toInt
+          byteRate = le32(i + 16)
+        } else if (id == "data") {
+          dataBytes = size
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || dataBytes < 0 || byteRate <= 0) None
+      else Some(("wav", channels, rate, dataBytes * 1000L / byteRate))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+}

@@ -454,6 +454,28 @@ class ImageHeaderSpec extends SparkSpecBase {
     assert(ImageHeader.parse(Array[Byte]()).isEmpty)
   }
 
+  test("parses WAV channels/rate/duration from a RIFF header") {
+    import graft.operators.AudioHeader
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val byteRate = rate * channels * bits / 8
+      val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(rate).putInt(byteRate)
+        .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      b.put("data".getBytes).putInt(dataBytes)
+      b.array()
+    }
+    // 16kHz mono 16-bit, 32000 bytes of data = 1000 ms
+    assert(AudioHeader.parse(wav(1, 16000, 16, 32000)) == Some(("wav", 1, 16000, 1000L)))
+    // stereo 44.1kHz: 176400 bytes/s -> 88200 bytes = 500 ms
+    assert(AudioHeader.parse(wav(2, 44100, 16, 88200)) == Some(("wav", 2, 44100, 500L)))
+    assert(AudioHeader.parse("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(AudioHeader.parse("definitely not audio".getBytes).isEmpty)
+    assert(AudioHeader.parse(Array[Byte]()).isEmpty)
+  }
+
   test("decodeImageMeta extracts REAL dimensions for recognized payloads via mapPartitions") {
     val df = Seq(
       (1L, png(111, 222)),
