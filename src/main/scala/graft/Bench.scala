@@ -32,10 +32,18 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // wall-clock budget: with 70+ queries, 3 runs each can exceed an
+    // external harness timeout on a contended host — once the budget is
+    // spent, remaining queries get a single timed run instead of a
+    // median of three (still measured, just less noise-averaged)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    val benchStart = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val elapsed = (System.nanoTime() - benchStart) / 1e9
+      val effRuns = if (elapsed > budgetSec) 1 else runs
+      val times = (1 to effRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
