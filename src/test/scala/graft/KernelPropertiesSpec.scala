@@ -84,3 +84,71 @@ class KernelPropertiesSpec extends SparkSpecBase {
     out.foreach { case (s1, s2) => assert(s1 == s2) }
   }
 }
+
+/** Generated-input invariants for the text pipeline operators. */
+class TextPropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def forAllGen[T](gen: org.scalacheck.Gen[T], n: Int = 60)(check: T => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(11L)
+    var i = 0
+    while (i < n) {
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(check)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val textGen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+    org.scalacheck.Gen.alphaNumStr.map(_.take(6)),
+    org.scalacheck.Gen.oneOf(" ", "  ", ",", "!", "?", "É", "\t")))
+    .map(_.mkString(" ").take(200))
+
+  test("normalizeText is idempotent and emits only [a-z0-9 ]") {
+    val cases = scala.collection.mutable.ArrayBuffer.empty[String]
+    forAllGen(textGen)(cases += _)
+    val df = cases.toSeq.toDF("text")
+    val out = df.select(
+      graft.operators.TextAnalysis.normalizeText($"text").as("n1"))
+      .select($"n1",
+        graft.operators.TextAnalysis.normalizeText($"n1").as("n2"))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) =>
+      assert(n1 == n2, s"not idempotent: '$n1' -> '$n2'")
+      assert(n1.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '))
+      assert(!n1.startsWith(" ") && !n1.endsWith(" ") && !n1.contains("  "))
+    }
+  }
+
+  test("chunkDocuments covers every token exactly; chunk count matches ceil(n/step)") {
+    val docGen = org.scalacheck.Gen.choose(0, 60).map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val cases = scala.collection.mutable.ArrayBuffer.empty[String]
+    forAllGen(docGen, 40)(cases += _)
+    val df = cases.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunkTokens = 7; val overlap = 3; val step = chunkTokens - overlap
+    val out = graft.operators.TextAnalysis
+      .chunkDocuments(df, "text", "doc_id", chunkTokens, overlap)
+      .as[(Long, Int, String, Int)].collect().groupBy(_._1)
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val chunks = out.getOrElse(i.toLong, Array.empty)
+      if (toks.isEmpty) assert(chunks.isEmpty)
+      else {
+        assert(chunks.length == (toks.length + step - 1) / step,
+          s"doc $i: ${toks.length} tokens, ${chunks.length} chunks")
+        val covered = chunks.flatMap(_._3.split(" ")).toSet
+        assert(covered == toks.toSet)
+      }
+    }
+  }
+
+  test("hashSplit fractions converge to the configured percentages") {
+    val n = 200000L
+    val counts = spark.range(n)
+      .select(graft.operators.TextAnalysis.hashSplit($"id", 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / n.toDouble - 0.80) < 0.01, counts.toString)
+    assert(math.abs(counts("val") / n.toDouble - 0.10) < 0.01, counts.toString)
+    assert(math.abs(counts("test") / n.toDouble - 0.10) < 0.01, counts.toString)
+  }
+}
