@@ -57,6 +57,9 @@ object Graph {
               col("dangling") / lit(n)))
             .as("rank"))
         .localCheckpoint(eager = true)
+      // `next` is checkpointed, so the previous round's checkpoint RDD is
+      // dead — drop it or executor storage grows linearly with iters
+      unpersistCheckpoint(ranks)
       ranks = next
       it += 1
     }
@@ -65,4 +68,15 @@ object Graph {
     outDeg.unpersist(blocking = false)
     ranks
   }
+
+  /** Drop the cached RDD behind a `localCheckpoint`ed DataFrame.
+    * `df.rdd.unpersist` would miss it — `.rdd` derives a NEW RDD above the
+    * checkpointed one — so reach the [[LogicalRDD]] leaf directly.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

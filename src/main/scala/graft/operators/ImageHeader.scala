@@ -35,14 +35,23 @@ object ImageHeader {
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
         Some(("gif", le16(6), le16(8)))
       } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
-        // height may be negative (top-down rows); dimension is |h|
-        Some(("bmp", le32(18), math.abs(le32(22))))
+        // DIB header size at offset 14 selects the layout: 12 is the
+        // OS/2 BITMAPCOREHEADER (16-bit w/h), >= 16 covers the
+        // BITMAPINFOHEADER family (32-bit w/h, height signed: negative
+        // means top-down rows, dimension is |h|)
+        val dib = le32(14)
+        if (dib == 12) Some(("bmp", le16(18), le16(20)))
+        else if (dib >= 16) Some(("bmp", le32(18), math.abs(le32(22))))
+        else None
       } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
         // walk JPEG segments: FF marker, 2-byte BE length incl. itself
         var i = 2
         while (i + 9 < b.length) {
           if (u8(i) != 0xFF) return None // desynced, not a valid stream
+          // markers may be padded with extra 0xFF fill bytes
+          while (i + 9 < b.length && u8(i + 1) == 0xFF) i += 1
           val marker = u8(i + 1)
+          if (marker == 0x00) return None // stuffed byte: not in the header section
           if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
             i += 2 // standalone markers have no length field
           } else if (marker >= 0xC0 && marker <= 0xCF &&
@@ -50,7 +59,9 @@ object ImageHeader {
             // SOFn: [len][precision][height BE][width BE]
             return Some(("jpeg", be16(i + 7), be16(i + 5)))
           } else {
-            i += 2 + be16(i + 2)
+            val len = be16(i + 2)
+            if (len < 2) return None // length includes itself; < 2 is corrupt
+            i += 2 + len
           }
         }
         None
@@ -91,7 +102,11 @@ object AudioHeader {
         } else if (id == "data") {
           dataBytes = size
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long space: a crafted size near 0xFFFFFFFF would
+        // wrap/zero an Int step and wedge the loop forever
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next <= i || next > b.length.toLong) i = b.length
+        else i = next.toInt
       }
       if (rate <= 0 || channels <= 0 || dataBytes < 0 || byteRate <= 0) None
       else Some(("wav", channels, rate, dataBytes * 1000L / byteRate))

@@ -300,11 +300,15 @@ object TextAnalysis {
     * deterministic packing manifest a tokenizer worker can apply.
     *
     * The greedy fill is a running state (current fill resets on
-    * overflow), not a prefix-sum, so it is computed per group with
-    * `flatMapGroups` over the id-sorted iterator — streaming, O(1)
-    * state per group, one shuffle on the group key. Groups are
-    * independent (split/shard keys), so parallelism is group-count wide
-    * and results do not depend on cluster layout.
+    * overflow), not a prefix-sum, so it needs the group's docs in id
+    * order. Secondary sort supplies that without ever materializing a
+    * group: hash-repartition on the group key, `sortWithinPartitions`
+    * on (group, id) — Spark's external sort, which spills — then a
+    * single `mapPartitions` sweep holding O(1) state that resets at
+    * each group boundary. A group larger than task memory is fine;
+    * only the sort buffers, and those spill. Groups are independent
+    * (split/shard keys), so parallelism is group-count wide and
+    * results do not depend on cluster layout.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     groupCol: String, maxTokens: Int): DataFrame = {
@@ -317,11 +321,16 @@ object TextAnalysis {
       // break the non-nullable encoder)
       coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
       .as[(String, Long, Long)]
-    sized.groupByKey(_._1)
-      .flatMapGroups { (grp, it) =>
-        val docs = it.toArray.sortBy(_._2)
+    sized
+      .repartition(col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
+        var curGrp: String = null; var started = false
         var seq = 0L; var fill = 0L; var first = true
-        docs.iterator.map { case (_, id, n) =>
+        it.map { case (grp, id, n) =>
+          if (!started || grp != curGrp) {
+            started = true; curGrp = grp; seq = 0L; fill = 0L; first = true
+          }
           if (!first && fill + n > maxTokens) { seq += 1; fill = 0L }
           first = false
           val off = fill

@@ -427,7 +427,8 @@ class ImageHeaderSpec extends SparkSpecBase {
 
   private def bmp(w: Int, h: Int): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("BM".getBytes).position(18)
+    b.put("BM".getBytes).position(14)
+    b.putInt(40) // BITMAPINFOHEADER size field
     b.putInt(w).putInt(h)
     b.array()
   }
@@ -454,6 +455,36 @@ class ImageHeaderSpec extends SparkSpecBase {
     assert(ImageHeader.parse(Array[Byte]()).isEmpty)
   }
 
+  test("JPEG 0xFF fill padding before markers does not desync the segment walk") {
+    // SOI, then an APP0 whose marker is padded with extra 0xFF fill bytes,
+    // then a padded SOF0 — per the JPEG spec markers may be preceded by
+    // any number of 0xFF fill bytes
+    val b = java.nio.ByteBuffer.allocate(40)
+    b.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    b.put(Array(0xFF, 0xFF, 0xFF, 0xE0).map(_.toByte)).putShort(4).putShort(0) // padded APP0
+    b.put(Array(0xFF, 0xFF, 0xC0).map(_.toByte)).putShort(11) // padded SOF0
+    b.put(8.toByte).putShort(600.toShort).putShort(800.toShort).put(3.toByte)
+    assert(ImageHeader.parse(b.array()) == Some(("jpeg", 800, 600)))
+    // a stuffed byte (FF 00) in the header section is corrupt -> reject
+    val stuffed = Array(0xFF, 0xD8, 0xFF, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(ImageHeader.parse(stuffed).isEmpty)
+    // a segment length < 2 (length includes itself) is corrupt -> reject
+    val shortLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x01, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(ImageHeader.parse(shortLen).isEmpty)
+  }
+
+  test("BMP BITMAPCOREHEADER (DIB size 12) parses 16-bit dimensions") {
+    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("BM".getBytes).position(14)
+    b.putInt(12).putShort(320.toShort).putShort(240.toShort)
+    assert(ImageHeader.parse(b.array()) == Some(("bmp", 320, 240)))
+    // an impossible DIB size (e.g. 3) is rejected, not misparsed
+    val bad = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("BM".getBytes).position(14)
+    bad.putInt(3).putInt(320).putInt(240)
+    assert(ImageHeader.parse(bad.array()).isEmpty)
+  }
+
   test("parses WAV channels/rate/duration from a RIFF header") {
     import graft.operators.AudioHeader
     def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
@@ -474,6 +505,22 @@ class ImageHeaderSpec extends SparkSpecBase {
     assert(AudioHeader.parse("RIFFxxxxJUNK".getBytes).isEmpty)
     assert(AudioHeader.parse("definitely not audio".getBytes).isEmpty)
     assert(AudioHeader.parse(Array[Byte]()).isEmpty)
+  }
+
+  test("malformed RIFF chunk sizes terminate (no unsigned-overflow hang)") {
+    import graft.operators.AudioHeader
+    // a chunk size of 0xFFFFFFF8 once made the Int step wrap to exactly 0,
+    // wedging the walk forever; 0xFFFFFFF7 wrapped it negative
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFF7, 0xFFFFFFFF, Int.MinValue)) {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(evil)
+      val done = scala.concurrent.Future(AudioHeader.parse(b.array()))(
+        scala.concurrent.ExecutionContext.global)
+      val res = scala.concurrent.Await.result(
+        done, scala.concurrent.duration.Duration(5, "s"))
+      assert(res.isEmpty)
+    }
   }
 
   test("decodeImageMeta extracts REAL dimensions for recognized payloads via mapPartitions") {
