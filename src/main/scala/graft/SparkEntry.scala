@@ -813,6 +813,46 @@ object SparkEntry {
           col("p_value").as("purchase_value"),
           col("n_prior_clicks"), col("last_click_value"))
         .orderBy("event_id")
+    }),
+
+    // ---- CDC: keyed snapshot diff with per-column change attribution ----
+    "q_row_changes" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      val oldS = base.filter("o_orderkey % 10 != 3")
+      val newS = base.filter("o_orderkey % 10 != 7")
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      ChangeCapture.rowChanges(oldS, newS, "o_orderkey")
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- sequential funnel: ordered step conversion over events ----
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
+
+    // ---- weekly cohort retention matrix ----
+    "q_retention" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir))
+        .orderBy("cohort_day", "week_offset")),
+
+    // ---- exact heavy hitters via approximate candidate pass ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
+        .orderBy("user_id")),
+
+    // ---- bloom-pruned exact semi join (runtime-filter pattern) ----
+    "q_bloom_prune" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      BloomPrune.prunedSemiJoin(t(s, dir, "lineitem"), "l_orderkey",
+          hi, "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1551,6 +1591,75 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_row_changes" ->
+      """WITH old_s AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 3),
+        |  new_s AS (SELECT o_orderkey, o_custkey,
+        |      CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |      CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |      o_orderdate, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 10 <> 7),
+        |  j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |      (o.o_orderkey IS NULL) AS added, (n.o_orderkey IS NULL) AS removed,
+        |      list_sort(list_filter([
+        |        CASE WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey       THEN 'o_custkey' END,
+        |        CASE WHEN o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus   THEN 'o_orderstatus' END,
+        |        CASE WHEN o.o_totalprice    IS DISTINCT FROM n.o_totalprice    THEN 'o_totalprice' END,
+        |        CASE WHEN o.o_orderdate     IS DISTINCT FROM n.o_orderdate     THEN 'o_orderdate' END,
+        |        CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END
+        |      ], x -> x IS NOT NULL)) AS diffs
+        |    FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey),
+        |  c AS (SELECT o_orderkey,
+        |      CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+        |           WHEN len(diffs) > 0 THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |      CASE WHEN NOT added AND NOT removed AND len(diffs) > 0
+        |           THEN array_to_string(diffs, ',') ELSE '' END AS changed_cols,
+        |      CASE WHEN NOT added AND NOT removed THEN CAST(len(diffs) AS BIGINT)
+        |           ELSE 0 END AS n_changed
+        |    FROM j)
+        |SELECT * FROM c WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  s1 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+        |    JOIN s0 ON e.user_id = s0.user_id AND CAST(e.ts AS TIMESTAMP) >= s0.t
+        |    WHERE e.event_type = 'click' GROUP BY 1),
+        |  s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id AND CAST(e.ts AS TIMESTAMP) >= s1.t
+        |    WHERE e.event_type = 'purchase' GROUP BY 1),
+        |  c AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, count(*) AS users FROM s0
+        |    UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |    UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+        |SELECT step_idx, step, users,
+        |  CAST(users AS DOUBLE) / (SELECT users FROM c WHERE step_idx = 0) AS pct_of_first
+        |FROM c ORDER BY step_idx""".stripMargin,
+
+    "q_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |  f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY 1),
+        |  a AS (SELECT DISTINCT d.u, f.cohort_day,
+        |      date_diff('day', f.cohort_day, d.day) // 7 AS week_offset
+        |    FROM d JOIN f ON d.u = f.u)
+        |SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tot AS (SELECT count(*) AS n FROM events)
+        |SELECT user_id, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot) AS share
+        |FROM events GROUP BY user_id
+        |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

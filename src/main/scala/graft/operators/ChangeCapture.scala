@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot change-data-capture: classify every primary key
+  * as added / removed / changed / unchanged and attribute *which*
+  * columns changed. This is the row-level drill-down the reference's
+  * drift summary points users at (reference: lotad/data_analysis.py's
+  * per-table row diff) expressed as a keyed CDC operator instead of a
+  * whole-row hash diff: when the table HAS a reliable primary key, the
+  * per-column attribution is strictly more actionable than "row hash
+  * differs".
+  *
+  * Scale design: one full-outer shuffle join on the key — the minimum
+  * possible for keyed reconciliation — and all per-column comparisons
+  * are codegen'd null-safe equality expressions evaluated inside the
+  * join's output projection. No driver collect, no second pass; at
+  * 100 TB both sides shuffle once on a high-cardinality key (no skew
+  * by construction: keys are unique per side).
+  */
+object ChangeCapture {
+
+  /** Per-key change manifest between `oldDf` and `newDf`.
+    *
+    * Output: (pk, change_type, changed_cols, n_changed) where
+    * `change_type` ∈ added | removed | changed | unchanged,
+    * `changed_cols` is the comma-joined sorted list of shared non-key
+    * columns whose values differ null-safely (empty unless `changed`),
+    * and `n_changed` is its length. Columns present in only one
+    * snapshot are schema drift, not row drift — they're reported by
+    * the schema-diff operator and ignored here.
+    */
+  def rowChanges(oldDf: DataFrame, newDf: DataFrame, pk: String): DataFrame = {
+    val shared = oldDf.columns.filter(c => c != pk && newDf.columns.contains(c)).toSeq
+    val o = oldDf.select(
+      (col(pk) +: lit(true).as("_old_present") +: shared.map(c => col(c).as(s"_old_$c"))): _*)
+    val n = newDf.select(
+      (col(pk) +: lit(true).as("_new_present") +: shared.map(c => col(c).as(s"_new_$c"))): _*)
+    val j = o.join(n, Seq(pk), "full_outer")
+    // one WHEN per shared column: its name when the two sides differ
+    // null-safely, else null — array_compact drops the nulls
+    val diffs = array_compact(array(shared.map(c =>
+      when(not(col(s"_old_$c") <=> col(s"_new_$c")), lit(c))): _*))
+    val changeType = when(col("_old_present").isNull, lit("added"))
+      .when(col("_new_present").isNull, lit("removed"))
+      .when(size(diffs) > 0, lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(
+      col(pk),
+      changeType.as("change_type"),
+      when(changeType === "changed", concat_ws(",", array_sort(diffs)))
+        .otherwise(lit("")).as("changed_cols"),
+      when(changeType === "changed", size(diffs)).otherwise(lit(0))
+        .cast("long").as("n_changed"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream: sequential funnels,
+  * cohort retention, and exact heavy hitters with an approximate
+  * candidate pass. All are classic large-scale event-warehouse queries;
+  * each is expressed as declarative aggregations so Catalyst keeps
+  * map-side partial aggregation and reuses the user-key partitioning
+  * across stages.
+  */
+object EventAnalytics {
+
+  /** Sequential (ordered) funnel: for each step i > 0 a user counts as
+    * converted only if they performed step i at-or-after their earliest
+    * completion of step i-1. Returns one row per step:
+    * (step_idx, step, users, pct_of_first).
+    *
+    * Shape: per-step filtered scan → min-timestamp aggregate keyed on
+    * the user, then an equi-join to the previous stage's reach — every
+    * aggregate and join is keyed on the same user column, so the hash
+    * partitioning established by stage 0 is reused down the chain
+    * (no re-shuffle of the reach side; AQE broadcasts it once it
+    * shrinks below the threshold, which it does monotonically: reach
+    * can only lose users per step). The per-step counts are single-row
+    * aggregates unioned at the end.
+    *
+    * Note for very long funnels: each stage's plan includes its
+    * predecessors, so the k counts re-evaluate a triangular number of
+    * stages. Funnels are short (k ≤ 8 in practice); for longer chains
+    * persist the intermediate reaches.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+             typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reach = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    val counts = scala.collection.mutable.Buffer[DataFrame](
+      reach.agg(count(lit(1)).as("users"))
+        .select(lit(0L).as("step_idx"), lit(steps.head).as("step"), col("users")))
+    for (i <- 1 until steps.size) {
+      reach = events.filter(col(typeCol) === steps(i))
+        .join(reach, col(userCol) === col("u") && col(tsCol) >= col("t"))
+        .groupBy(col("u")).agg(min(col(tsCol)).as("t"))
+      counts += reach.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
+    }
+    val all = counts.reduce(_ unionAll _)
+    val first = counts.head.select(col("users").as("first_users"))
+    all.crossJoin(broadcast(first))
+      .select(col("step_idx"), col("step"), col("users"),
+        (col("users").cast("double") / col("first_users")).as("pct_of_first"))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active day,
+    * week_offset = whole weeks since it, n_users = distinct users from
+    * that cohort active in that offset week. Two shuffles — one on the
+    * user (first-day aggregate + re-join) and one on
+    * (cohort_day, week_offset) — both on well-distributed keys.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+    val first = d.groupBy("u").agg(min("day").as("cohort_day"))
+    d.join(first, "u")
+      .select(col("u"), col("cohort_day"),
+        expr("datediff(day, cohort_day) div 7").cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_day", "week_offset").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Exact heavy hitters above a relative `support` threshold, found
+    * with an approximate candidate pass: `stat.freqItems` (a one-pass
+    * distributed Karp/Misra–Gries variant) is GUARANTEED to return a
+    * superset of every item with frequency > support, in a driver-side
+    * list bounded by ~1/support entries regardless of key cardinality.
+    * The exact counting pass then touches only candidate rows — on a
+    * heavy-tailed 100 TB key space this shuffles a bounded number of
+    * groups instead of one per distinct key — and the final strict
+    * `count > support * total` filter removes the candidate pass's
+    * false positives, so the result is exactly the brute-force answer.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, support: Double): DataFrame = {
+    require(support > 0 && support < 1, "support must be in (0, 1)")
+    val total = df.count()
+    val cands = df.stat.freqItems(Array(keyCol), support)
+      .collect()(0).getSeq[Any](0)
+    df.filter(col(keyCol).isin(cands: _*))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(support) * lit(total.toDouble))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / lit(total.toDouble)).as("share"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomPrune, ChangeCapture, EventAnalytics}
+
+class ChangeCaptureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("rowChanges classifies added/removed/changed/unchanged with column attribution") {
+    val oldDf = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("pk", "s", "v")
+    val newDf = Seq(
+      (1L, "a", 10.0),          // unchanged
+      (2L, "B", 21.0),          // both columns changed
+      (4L, "d", 41.0),          // one column changed
+      (5L, "e", 50.0))          // added (3 removed)
+      .toDF("pk", "s", "v")
+    val out = ChangeCapture.rowChanges(oldDf, newDf, "pk")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "unchanged", "", 0L),
+      (2L, "changed", "s,v", 2L),
+      (3L, "removed", "", 0L),
+      (4L, "changed", "v", 1L),
+      (5L, "added", "", 0L)))
+  }
+
+  test("rowChanges compares null-safely and ignores non-shared columns") {
+    val oldDf = Seq((1L, Option("x"), Option(1)), (2L, None: Option[String], Option(2)))
+      .toDF("pk", "s", "old_only")
+    val newDf = Seq((1L, None: Option[String], Option(9)), (2L, None: Option[String], Option(9)))
+      .toDF("pk", "s", "new_only")
+    val out = ChangeCapture.rowChanges(oldDf, newDf, "pk")
+      .select("pk", "change_type", "changed_cols")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // old_only/new_only are schema drift, not row drift: ignored here
+    assert(out == Seq((1L, "changed", "s"), (2L, "unchanged", "")))
+  }
+}
+
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Int)*): org.apache.spark.sql.DataFrame =
+    rows.map { case (u, t, m) =>
+      (u, t, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+    }.toDF("user_id", "event_type", "ts")
+
+  test("funnel enforces step ORDER, not mere presence") {
+    val events = ev(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),  // full conversion
+      (2L, "view", 1), (2L, "click", 2),                        // stops at click
+      (3L, "click", 1), (3L, "view", 2),                        // click BEFORE view: no click conversion
+      (4L, "purchase", 1), (4L, "view", 2))                     // purchase before view: view only
+    val out = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, "view", 4L, 1.0),
+      (1L, "click", 2L, 0.5),
+      (2L, "purchase", 1L, 0.25)))
+  }
+
+  test("funnel counts same-timestamp step completion (>= semantics)") {
+    val events = ev((1L, "view", 5), (1L, "click", 5))
+    val out = EventAnalytics.funnel(events, Seq("view", "click"))
+      .orderBy("step_idx").select("users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L))
+  }
+
+  test("retentionCohorts buckets whole weeks since the user's first day") {
+    val events = Seq(
+      (1L, "2026-01-05"), (1L, "2026-01-07"),  // offset 0 twice -> one row
+      (1L, "2026-01-13"),                      // day 8 -> offset 1
+      (2L, "2026-01-05"), (2L, "2026-01-26"))  // day 21 -> offset 3
+      .map { case (u, d) => (u, java.sql.Timestamp.valueOf(d + " 10:00:00")) }
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(events)
+      .orderBy("cohort_day", "week_offset")
+      .select(col("cohort_day").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2026-01-05", 0L, 2L),
+      ("2026-01-05", 1L, 1L),
+      ("2026-01-05", 3L, 1L)))
+  }
+
+  test("heavyHitters equals the brute-force exact answer") {
+    val df = Tables.events(spark, sfDir)
+    val support = 0.07 // sf0.001: 5 of 15 users are above 70 events
+    val total = df.count()
+    val brute = df.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(support) * lit(total.toDouble))
+      .select("user_id", "n")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val ours = EventAnalytics.heavyHitters(df, "user_id", support)
+      .select("user_id", "n")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ours == brute)
+    // the fixture must exercise BOTH sides of the threshold
+    assert(ours.nonEmpty && ours.size < df.select("user_id").distinct().count())
+  }
+}
+
+class BloomPruneSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("prunedSemiJoin output is exactly the plain left-semi join") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hi = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0)
+    val plain = li.join(hi.select("o_orderkey").distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    val pruned = BloomPrune.prunedSemiJoin(li, "l_orderkey", hi, "o_orderkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    assert(pruned == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("candidateFilter prunes most non-matching rows and keeps all matches") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hi = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0)
+    val bigN = li.count()
+    val semiN = li.join(hi.select("o_orderkey").distinct(),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val candN = li.filter(BloomPrune.candidateFilter(
+      hi, "o_orderkey", col("l_orderkey"), 10000L, 0.01)).count()
+    assert(candN >= semiN)          // no false negatives, ever
+    assert(candN <= semiN + (bigN * 0.05).toLong) // fpp 1% with slack
+    assert(candN < bigN)            // it actually pruned
+  }
+}
