@@ -845,6 +845,30 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
+    // ---- blocked fuzzy match: dirty catalog vs clean (edit distance) ----
+    "q_fuzzy_match" -> ((s, dir) => {
+      val clean = t(s, dir, "part").select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      val dirty = clean.select(col("p_partkey").as("d_key"),
+        when(col("p_partkey") % 5 === 0, concat(lit("x"), expr("substr(nm, 2)")))
+          .otherwise(col("nm")).as("nm"))
+      FuzzyJoin.fuzzyJoin(dirty, "d_key", "nm", clean, "p_partkey", "nm",
+          c => substring_index(c, " ", -1), maxEdits = 1)
+        .groupBy(col("l_id").as("d_key"))
+        .agg(count(lit(1)).as("n_matches"), min("dist").cast("long").as("best_dist"))
+        .orderBy("d_key")
+    }),
+
+    // ---- entity resolution: fuzzy self-match -> connected components ----
+    "q_entity_resolution" -> ((s, dir) => {
+      val dirty = t(s, dir, "part").select(col("p_partkey"),
+        when(col("p_partkey") % 5 === 0,
+            concat(lit("x"), expr("substr(lower(p_name), 2)")))
+          .otherwise(lower(col("p_name"))).as("nm"))
+      FuzzyJoin.resolveEntities(dirty, "p_partkey", "nm",
+          c => substring_index(c, " ", -1), maxEdits = 1)
+        .orderBy("p_partkey")
+    }),
+
     // ---- bloom-pruned exact semi join (runtime-filter pattern) ----
     "q_bloom_prune" -> ((s, dir) => {
       val hi = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
@@ -1654,6 +1678,40 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH clean AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+        |  dirty AS (SELECT p_partkey AS d_key,
+        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(lower(p_name), 2)
+        |           ELSE lower(p_name) END AS nm
+        |    FROM part),
+        |  m AS (SELECT d.d_key, levenshtein(d.nm, c.nm) AS dist
+        |    FROM dirty d JOIN clean c
+        |      ON regexp_extract(d.nm, '[^ ]+$') = regexp_extract(c.nm, '[^ ]+$')
+        |     AND abs(length(d.nm) - length(c.nm)) <= 1
+        |    WHERE levenshtein(d.nm, c.nm) <= 1)
+        |SELECT d_key, count(*) AS n_matches, CAST(min(dist) AS BIGINT) AS best_dist
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |  dirty AS (SELECT p_partkey,
+        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(lower(p_name), 2)
+        |           ELSE lower(p_name) END AS nm
+        |    FROM part),
+        |  e0 AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2
+        |    FROM dirty a JOIN dirty b
+        |      ON regexp_extract(a.nm, '[^ ]+$') = regexp_extract(b.nm, '[^ ]+$')
+        |     AND a.p_partkey < b.p_partkey
+        |     AND abs(length(a.nm) - length(b.nm)) <= 1
+        |    WHERE levenshtein(a.nm, b.nm) <= 1),
+        |  edges AS (SELECT id1 AS a, id2 AS b FROM e0
+        |            UNION SELECT id2, id1 FROM e0),
+        |  reach AS (SELECT p_partkey AS id, p_partkey AS lab FROM dirty
+        |            UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |  comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT p_partkey, component AS entity_id
+        |FROM dirty JOIN comp ON id = p_partkey ORDER BY p_partkey""".stripMargin,
 
     "q_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val lastToken = (c: org.apache.spark.sql.Column) => substring_index(c, " ", -1)
+
+  test("fuzzyJoin matches within blocks up to maxEdits, with exact distances") {
+    val clean = Seq((1L, "red widget"), (2L, "blue widget"), (3L, "red bolt"))
+      .toDF("id", "nm")
+    val dirty = Seq((10L, "xed widget"), (11L, "red  bolt"), (12L, "red gear"))
+      .toDF("id", "nm")
+    val out = FuzzyJoin.fuzzyJoin(dirty, "id", "nm", clean, "id", "nm", lastToken, 1)
+      .select("l_id", "r_id", "dist")
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // 10 "xed widget" ~ 1 "red widget" (1 edit); NOT 2 "blue widget" (3 edits).
+    // 11 "red  bolt" blocks on "bolt" and is 1 insertion from "red bolt".
+    // 12 "red gear": no clean record in block "gear" -> no match.
+    assert(out == Seq((10L, 1L, 1), (11L, 3L, 1)))
+  }
+
+  test("fuzzyJoin is blocked: an in-distance pair in different blocks does not match") {
+    val clean = Seq((1L, "red widget")).toDF("id", "nm")
+    val dirty = Seq((10L, "red widgex")).toDF("id", "nm") // dist 1 but block differs
+    val out = FuzzyJoin.fuzzyJoin(dirty, "id", "nm", clean, "id", "nm", lastToken, 1)
+    assert(out.isEmpty)
+  }
+
+  test("resolveEntities clusters typo variants and keeps singletons") {
+    val df = Seq(
+      (1L, "red widget"), (2L, "xed widget"),  // one entity via 1-edit match
+      (3L, "red widget"),                      // exact dup joins the cluster
+      (4L, "blue bolt"),                       // singleton
+      (5L, "hot gear"), (6L, "hot gearx"))     // 1 edit apart but different blocks
+      .toDF("id", "nm")
+    val out = FuzzyJoin.resolveEntities(df, "id", "nm", lastToken, 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L),
+      (5L, 5L), (6L, 6L))) // 6 blocks on "gearx": blocking bounds recall, by design
+  }
+}
