@@ -845,27 +845,26 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
-    // ---- blocked fuzzy match: dirty catalog vs clean (edit distance) ----
+    // ---- edit-distance join (PassJoin segments): dirty catalog vs clean ----
     "q_fuzzy_match" -> ((s, dir) => {
-      val clean = t(s, dir, "part").select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      val clean = t(s, dir, "part").select(col("p_partkey"),
+        concat(lower(concat(col("p_type"), lit(" "), col("p_name"))), lit(" #"), col("p_partkey")).as("nm"))
       val dirty = clean.select(col("p_partkey").as("d_key"),
         when(col("p_partkey") % 5 === 0, concat(lit("x"), expr("substr(nm, 2)")))
           .otherwise(col("nm")).as("nm"))
-      FuzzyJoin.fuzzyJoin(dirty, "d_key", "nm", clean, "p_partkey", "nm",
-          c => substring_index(c, " ", -1), maxEdits = 1)
+      FuzzyJoin.editJoin(dirty, "d_key", "nm", clean, "p_partkey", "nm", maxEdits = 1)
         .groupBy(col("l_id").as("d_key"))
         .agg(count(lit(1)).as("n_matches"), min("dist").cast("long").as("best_dist"))
         .orderBy("d_key")
     }),
 
-    // ---- entity resolution: fuzzy self-match -> connected components ----
+    // ---- entity resolution: edit-join self-match -> connected components ----
     "q_entity_resolution" -> ((s, dir) => {
       val dirty = t(s, dir, "part").select(col("p_partkey"),
         when(col("p_partkey") % 5 === 0,
-            concat(lit("x"), expr("substr(lower(p_name), 2)")))
-          .otherwise(lower(col("p_name"))).as("nm"))
-      FuzzyJoin.resolveEntities(dirty, "p_partkey", "nm",
-          c => substring_index(c, " ", -1), maxEdits = 1)
+            concat(lit("x"), expr("substr(concat(lower(concat(p_type, ' ', p_name)), ' #', p_partkey), 2)")))
+          .otherwise(concat(lower(concat(col("p_type"), lit(" "), col("p_name"))), lit(" #"), col("p_partkey"))).as("nm"))
+      FuzzyJoin.resolveEntitiesExact(dirty, "p_partkey", "nm", maxEdits = 1)
         .orderBy("p_partkey")
     }),
 
@@ -1680,29 +1679,28 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "q_fuzzy_match" ->
-      """WITH clean AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+      """WITH clean AS (SELECT p_partkey,
+        |      lower(p_type || ' ' || p_name) || ' #' || CAST(p_partkey AS VARCHAR) AS nm FROM part),
         |  dirty AS (SELECT p_partkey AS d_key,
-        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(lower(p_name), 2)
-        |           ELSE lower(p_name) END AS nm
-        |    FROM part),
+        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(nm, 2) ELSE nm END AS nm
+        |    FROM clean),
         |  m AS (SELECT d.d_key, levenshtein(d.nm, c.nm) AS dist
         |    FROM dirty d JOIN clean c
-        |      ON regexp_extract(d.nm, '[^ ]+$') = regexp_extract(c.nm, '[^ ]+$')
-        |     AND abs(length(d.nm) - length(c.nm)) <= 1
+        |      ON abs(length(d.nm) - length(c.nm)) <= 1
         |    WHERE levenshtein(d.nm, c.nm) <= 1)
         |SELECT d_key, count(*) AS n_matches, CAST(min(dist) AS BIGINT) AS best_dist
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_entity_resolution" ->
       """WITH RECURSIVE
+        |  base AS (SELECT p_partkey,
+        |      lower(p_type || ' ' || p_name) || ' #' || CAST(p_partkey AS VARCHAR) AS nm FROM part),
         |  dirty AS (SELECT p_partkey,
-        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(lower(p_name), 2)
-        |           ELSE lower(p_name) END AS nm
-        |    FROM part),
+        |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(nm, 2) ELSE nm END AS nm
+        |    FROM base),
         |  e0 AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2
         |    FROM dirty a JOIN dirty b
-        |      ON regexp_extract(a.nm, '[^ ]+$') = regexp_extract(b.nm, '[^ ]+$')
-        |     AND a.p_partkey < b.p_partkey
+        |      ON a.p_partkey < b.p_partkey
         |     AND abs(length(a.nm) - length(b.nm)) <= 1
         |    WHERE levenshtein(a.nm, b.nm) <= 1),
         |  edges AS (SELECT id1 AS a, id2 AS b FROM e0

@@ -38,6 +38,105 @@ object FuzzyJoin {
       .select("l_id", "r_id", "l_key", "r_key", "dist")
   }
 
+  /** Edit-distance join with FULL recall (no caller blocking): the
+    * PassJoin segment-pigeonhole scheme (Li/Deng/Feng, ICDE'11). Each
+    * left key of length n is split into maxEdits+1 contiguous segments;
+    * if ed(l, r) <= maxEdits then at most maxEdits segments contain an
+    * edit, so some segment survives verbatim in r, shifted by at most
+    * maxEdits positions. Left rows therefore emit e+1 segment keys
+    * (n, i, segment); right rows emit the (2e+1)^2 x (e+1) substrings
+    * that could equal such a segment — a CONSTANT per-row amplification
+    * — and candidates are the exact-match joins of those keys, verified
+    * with the threshold levenshtein kernel.
+    *
+    * Scale: one shuffle on (n, i, segment-content); candidate volume
+    * tracks the true near-match volume (exact segment equality is
+    * required), not block sizes — the property token-prefix blocking
+    * loses when the key domain is small. Keys shorter than e+1 chars
+    * can't be segmented; they're compared all-pairs in one tiny block
+    * (real catalogs have vanishingly few such keys).
+    */
+  def editJoin(left: DataFrame, leftId: String, leftKey: String,
+               right: DataFrame, rightId: String, rightKey: String,
+               maxEdits: Int): DataFrame = {
+    require(maxEdits >= 1, "maxEdits must be >= 1")
+    val e = maxEdits
+    val k = e + 1 // segments
+    def base(n: Column) = floor(n / lit(k)).cast("int")
+    def rem(n: Column) = (n % lit(k)).cast("int")
+    def segLen(i: Column, n: Column) =
+      base(n) + when(i >= lit(k) - rem(n), lit(1)).otherwise(lit(0))
+    def segStart(i: Column, n: Column) =
+      i * base(n) + greatest(i - (lit(k) - rem(n)), lit(0))
+
+    val l = left.select(col(leftId).cast("long").as("l_id"),
+      col(leftKey).as("l_key")).filter(col("l_key").isNotNull)
+      .withColumn("n", length(col("l_key")))
+    val r = right.select(col(rightId).cast("long").as("r_id"),
+      col(rightKey).as("r_key")).filter(col("r_key").isNotNull)
+      .withColumn("rl", length(col("r_key")))
+
+    // main path: keys long enough to have e+1 non-empty segments
+    val lKeys = l.filter(col("n") >= k)
+      .withColumn("i", explode(sequence(lit(0), lit(e))))
+      .withColumn("seg", col("l_key").substr(
+        segStart(col("i"), col("n")) + 1, segLen(col("i"), col("n"))))
+      .select("l_id", "l_key", "n", "i", "seg")
+    val rKeys = r.filter(col("rl") >= k - e) // lengths in band can still reach >= k
+      .withColumn("n", explode(sequence(col("rl") - e, col("rl") + e)))
+      .filter(col("n") >= k)
+      .withColumn("i", explode(sequence(lit(0), lit(e))))
+      .withColumn("d", explode(sequence(lit(-e), lit(e))))
+      .withColumn("s", segStart(col("i"), col("n")) + col("d"))
+      .withColumn("sl", segLen(col("i"), col("n")))
+      .filter(col("s") >= 0 && col("s") + col("sl") <= col("rl"))
+      .withColumn("seg", col("r_key").substr(col("s") + 1, col("sl")))
+      .select("r_id", "r_key", "n", "i", "seg")
+    // the verification runs INSIDE the join condition: candidate pairs
+    // (which are quadratic in groups sharing a segment, e.g. catalogs
+    // with long common prefixes) exist only transiently as probe
+    // matches in the join operator — the banded-DP threshold kernel
+    // rejects them before they ever reach a shuffle or materialize.
+    // Only true matches (x a <= k duplication factor for pairs agreeing
+    // on several segments) flow out, deduped after.
+    // prefer a shuffled hash join over broadcast: the segment-key sides
+    // are row-amplified (x(e+1) left, x~(2e+1)^2(e+1) right), so
+    // broadcasting one side means collecting the amplified rows to the
+    // driver — a cost that grows with the data while the shuffle stays
+    // partition-parallel. At cluster scale these sides exceed any
+    // broadcast threshold anyway; the hint makes local behavior match.
+    val lk = lKeys.hint("shuffle_hash")
+      .withColumnRenamed("n", "ln").withColumnRenamed("i", "li")
+      .withColumnRenamed("seg", "lseg")
+    val mainMatch = lk.join(rKeys,
+      col("ln") === col("n") && col("li") === col("i") && col("lseg") === col("seg") &&
+        abs(length(col("l_key")) - length(col("r_key"))) <= e &&
+        levenshtein(col("l_key"), col("r_key"), e) >= 0)
+      .select("l_id", "l_key", "r_id", "r_key")
+
+    // short-key path: all-pairs within the (tiny) under-e+1-chars block
+    val shortMatch = l.filter(col("n") < k).select("l_id", "l_key")
+      .crossJoin(r.filter(col("rl") < lit(k) + e).select("r_id", "r_key"))
+      .filter(abs(length(col("l_key")) - length(col("r_key"))) <= e &&
+        levenshtein(col("l_key"), col("r_key"), e) >= 0)
+
+    mainMatch.unionByName(shortMatch)
+      .dropDuplicates("l_id", "r_id")
+      .withColumn("dist", levenshtein(col("l_key"), col("r_key"), e))
+      .select("l_id", "r_id", "l_key", "r_key", "dist")
+  }
+
+  /** [[resolveEntities]] on [[editJoin]]'s full-recall matching: no
+    * blocking key to choose, recall is total within `maxEdits`.
+    */
+  def resolveEntitiesExact(df: DataFrame, idCol: String, keyCol: String,
+                           maxEdits: Int): DataFrame = {
+    val pairs = editJoin(df, idCol, keyCol, df, idCol, keyCol, maxEdits)
+      .filter(col("l_id") < col("r_id"))
+      .select(col("l_id").as("id1"), col("r_id").as("id2"))
+    attachComponents(df, idCol, pairs)
+  }
+
   /** Entity resolution over one table: fuzzy self-match within blocks,
     * connected components over the match edges, entity_id = min id in
     * the cluster. Every input id appears exactly once (singletons are
@@ -48,6 +147,11 @@ object FuzzyJoin {
     val pairs = fuzzyJoin(df, idCol, keyCol, df, idCol, keyCol, blockOf, maxEdits)
       .filter(col("l_id") < col("r_id"))
       .select(col("l_id").as("id1"), col("r_id").as("id2"))
+    attachComponents(df, idCol, pairs)
+  }
+
+  private def attachComponents(df: DataFrame, idCol: String,
+                               pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)
       .select(col("id").as("_cc_id"), col("component").as("_cc_component"))
     df.select(col(idCol).cast("long").as(idCol))

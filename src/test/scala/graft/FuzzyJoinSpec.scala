@@ -29,6 +29,40 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(out.isEmpty)
   }
 
+  test("editJoin has FULL recall: equals the brute-force edit-distance join") {
+    // substitutions, insertions, deletions (shifted segments), short keys,
+    // and plenty of non-matches
+    val names = Seq(
+      "red widget", "xed widget", "red widgets", "rd widget", "red widget",
+      "blue bolt", "blue bolts", "bolt", "bl", "b", "",
+      "hot gear", "hot bear", "got hear", "tiny gizmo", "tiny gizmos",
+      "aaaaaaaa", "aaaabaaa", "aabaaaba")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    for (e <- Seq(1, 2)) {
+      val ours = graft.operators.FuzzyJoin
+        .editJoin(df, "id", "nm", df, "id", "nm", e)
+        .select("l_id", "r_id", "dist")
+        .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+      val brute = df.select(col("id").as("l_id"), col("nm").as("l_nm"))
+        .crossJoin(df.select(col("id").as("r_id"), col("nm").as("r_nm")))
+        .withColumn("dist", levenshtein(col("l_nm"), col("r_nm")))
+        .filter(col("dist") <= e)
+        .select("l_id", "r_id", "dist")
+        .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(ours == brute, s"editJoin != brute force at maxEdits=$e")
+    }
+  }
+
+  test("editJoin candidate keys are constant per row (no block blowup)") {
+    // with near-unique keys the candidate count stays close to the true
+    // match count — the property token-blocking loses on small domains
+    val df = (0L until 500L).map(i => (i, s"name-$i suffix-${i % 97}")).toDF("id", "nm")
+    val pairs = graft.operators.FuzzyJoin.editJoin(df, "id", "nm", df, "id", "nm", 1)
+    // every id matches at least itself at dist 0; far fewer than 500^2 total
+    val n = pairs.count()
+    assert(n >= 500 && n < 5000, s"unexpected candidate/match volume: $n")
+  }
+
   test("resolveEntities clusters typo variants and keeps singletons") {
     val df = Seq(
       (1L, "red widget"), (2L, "xed widget"),  // one entity via 1-edit match

@@ -72,6 +72,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(q.count() == 100)
   }
 
+  test("rowChanges is a single full-outer join: one exchange per side, no extra pass") {
+    val oldDf = spark.range(500).select($"id".as("pk"), ($"id" % 7).as("a"), ($"id" % 11).as("b"))
+    val newDf = spark.range(400).select($"id".as("pk"), ($"id" % 5).as("a"), ($"id" % 11).as("b"))
+    val p = planOf(graft.operators.ChangeCapture.rowChanges(oldDf, newDf, "pk"))
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected at most one exchange per side, got $exchanges:\n$p")
+  }
+
+  test("bloom candidate filter runs inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val small = docs.filter($"doc_id" % 50 === 0)
+    val pred = graft.operators.BloomPrune.candidateFilter(
+      small, "doc_id", col("doc_id"), 1000L, 0.03)
+    val p = planOf(docs.filter(pred))
+    val filterLine = p.linesIterator.find(_.contains("bloom_might_contain_long")).getOrElse("")
+    assert(filterLine.contains("*("),
+      s"expected the bloom filter stage inside WholeStageCodegen: $filterLine\n$p")
+  }
+
+  test("funnel's shrinking reach side is broadcast by AQE in later stages") {
+    val events = (0L until 5000L).map { i =>
+      (i % 40, if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase",
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+    val p = finalPlanOf(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the reach side broadcast under AQE:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
