@@ -20,11 +20,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must become a red row, never a silent omission: the
+    // query's output dir is deleted BEFORE execution (so a stale result
+    // from a prior run can't be compared as if fresh), and failures are
+    // persisted to errors.json + a per-query _FAILED marker.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      val qDir = new java.io.File(s"$outDir/$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(qDir)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        org.apache.commons.io.FileUtils.deleteQuietly(qDir)
+        qDir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // Exit 0 even on per-query failures: the driver's comparator turns
+    // the _FAILED marker / empty dir into a red row for just that query;
+    // a nonzero exit here could abort the whole round's compare instead.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
 }

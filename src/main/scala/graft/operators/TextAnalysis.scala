@@ -321,9 +321,12 @@ object TextAnalysis {
       // break the non-nullable encoder)
       coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
       .as[(String, Long, Long)]
+    // Partition/sort on the select-alias names (`grp`/`id`): tuple
+    // positional names (`_1`) only resolve on LocalRelation inputs and
+    // fail analysis on file-backed relations.
     sized
-      .repartition(col("_1"))
-      .sortWithinPartitions("_1", "_2")
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "id")
       .mapPartitions { it =>
         var curGrp: String = null; var started = false
         var seq = 0L; var fill = 0L; var first = true

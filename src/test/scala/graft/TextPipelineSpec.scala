@@ -158,6 +158,33 @@ class PackSequencesSpec extends SparkSpecBase {
       (5L, 1L, 3L, 0L), (6L, 5L, 0L, 0L),
       (7L, 0L, 0L, 5L)))
   }
+
+  // Regression for round 4: column references resolved against tuple
+  // positional names (`_1`) pass on a LocalRelation but fail analysis
+  // on a file-backed relation, so the spec must exercise parquet input.
+  test("packSequences works on parquet-backed input (not just LocalRelation)") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("pack_seq_parquet").toString
+    try {
+      Seq(
+        (1L, doc(3), "g"), (2L, doc(4), "g"), (3L, doc(2), "g"),
+        (4L, doc(9), "g"), (5L, doc(1), "g"),
+        (6L, doc(5), "h"), (7L, null, "h"))
+        .toDF("doc_id", "text", "grp")
+        .write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+      val out = TextAnalysis.packSequences(docs, "text", "doc_id", "grp", 8)
+        .select("doc_id", "n_tokens", "seq_id", "offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out == Seq(
+        (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L),
+        (3L, 2L, 1L, 0L), (4L, 9L, 2L, 0L),
+        (5L, 1L, 3L, 0L), (6L, 5L, 0L, 0L),
+        (7L, 0L, 0L, 5L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
 
 class VectorTransformSpec extends SparkSpecBase {

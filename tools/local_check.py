@@ -66,9 +66,26 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
+import os
+
+errors = {}
+if os.path.exists(f"{OUT}/errors.json"):
+    errors = json.load(open(f"{OUT}/errors.json"))
+
 ok_all = True
 names = ONLY or sorted(oracle)
 for name in names:
+    # A query that threw in Verify must be a loud red row, never a
+    # stale-parquet false pass (round-4 regression): Verify deletes the
+    # output dir pre-run and writes a _FAILED marker + errors.json.
+    if name in errors or os.path.exists(f"{OUT}/{name}/_FAILED"):
+        print(f"[{name}] QUERY FAILED: {errors.get(name, '(see _FAILED marker)')}")
+        ok_all = False
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        print(f"[{name}] MISSING OUTPUT DIR (query did not run?)")
+        ok_all = False
+        continue
     sql = oracle.get(name)
     if sql is None:
         print(f"[{name}] NO ORACLE (rows-only check)")
