@@ -245,6 +245,22 @@ final class DriftCompare(
     * strategy is left to AQE, which broadcasts exactly when the measured
     * build side is small and falls back to a shuffled hash join otherwise.
     */
+  /** Default bag diff: dispatches on the normalized projection's width.
+    * Narrow tables take the one-scan [[dataDriftBag]] (the full-row
+    * shuffle is cheap when rows are a handful of columns); at or above
+    * `wideThreshold` columns the shuffle volume of the full row dwarfs a
+    * second parquet scan and [[dataDriftBagHashed]] wins — the 100 TB
+    * design point for fact tables. Both produce identical rows, so the
+    * choice is purely a physical-plan decision.
+    */
+  def dataDriftBagAuto(table: String, wideThreshold: Int = 12): Option[DataFrame] = {
+    val in1 = dropIgnored(sideInput(side1, table), table)
+    val in2 = dropIgnored(sideInput(side2, table), table)
+    val (p1, _) = normalizedProjection(in1, in2)
+    if (p1.schema.size >= wideThreshold) dataDriftBagHashed(table)
+    else dataDriftBag(table)
+  }
+
   def dataDriftBagHashed(table: String): Option[DataFrame] = {
     val in1 = dropIgnored(sideInput(side1, table), table)
     val in2 = dropIgnored(sideInput(side2, table), table)

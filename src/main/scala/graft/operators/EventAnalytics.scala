@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over an event stream: sequential funnels,
@@ -26,26 +27,42 @@ object EventAnalytics {
     * can only lose users per step). The per-step counts are single-row
     * aggregates unioned at the end.
     *
-    * Note for very long funnels: each stage's plan includes its
-    * predecessors, so the k counts re-evaluate a triangular number of
-    * stages. Funnels are short (k ≤ 8 in practice); for longer chains
-    * persist the intermediate reaches.
+    * For short funnels the whole chain stays lazy: each stage's plan
+    * includes its predecessors, so the k counts re-evaluate a
+    * triangular number of stages — fine for the practical k ≤ ~6.
+    * Beyond `persistThreshold` steps the triangular re-evaluation is
+    * killed by materializing each reach (MEMORY_AND_DISK, spillable)
+    * via the per-step count the funnel needs anyway, unpersisting the
+    * predecessor as soon as its successor is cached — every stage body
+    * evaluates exactly once and at most two (monotonically shrinking)
+    * reaches are ever cached.
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
-             typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+             typeCol: String = "event_type", tsCol: String = "ts",
+             persistThreshold: Int = 6): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    var reach = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
-    val counts = scala.collection.mutable.Buffer[DataFrame](
-      reach.agg(count(lit(1)).as("users"))
-        .select(lit(0L).as("step_idx"), lit(steps.head).as("step"), col("users")))
-    for (i <- 1 until steps.size) {
-      reach = events.filter(col(typeCol) === steps(i))
-        .join(reach, col(userCol) === col("u") && col(tsCol) >= col("t"))
-        .groupBy(col("u")).agg(min(col(tsCol)).as("t"))
-      counts += reach.agg(count(lit(1)).as("users"))
+    val eager = steps.size > persistThreshold
+    def cache(df: DataFrame): DataFrame =
+      if (eager) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    var reach = cache(events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t")))
+    val spark = events.sparkSession
+    import spark.implicits._
+    def countRow(i: Int, r: DataFrame): DataFrame =
+      if (eager) Seq((i.toLong, steps(i), r.count())).toDF("step_idx", "step", "users")
+      else r.agg(count(lit(1)).as("users"))
         .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
+    val counts = scala.collection.mutable.Buffer[DataFrame](countRow(0, reach))
+    for (i <- 1 until steps.size) {
+      val prev = reach
+      reach = cache(events.filter(col(typeCol) === steps(i))
+        .join(prev, col(userCol) === col("u") && col(tsCol) >= col("t"))
+        .groupBy(col("u")).agg(min(col(tsCol)).as("t")))
+      counts += countRow(i, reach)
+      if (eager) prev.unpersist(false)
     }
+    if (eager) reach.unpersist(false)
     val all = counts.reduce(_ unionAll _)
     val first = counts.head.select(col("users").as("first_users"))
     all.crossJoin(broadcast(first))
@@ -83,14 +100,22 @@ object EventAnalytics {
     */
   def heavyHitters(df: DataFrame, keyCol: String, support: Double): DataFrame = {
     require(support > 0 && support < 1, "support must be in (0, 1)")
-    val total = df.count()
     val cands = df.stat.freqItems(Array(keyCol), support)
       .collect()(0).getSeq[Any](0)
-    df.filter(col(keyCol).isin(cands: _*))
-      .groupBy(keyCol)
+    // Exact pass folds the grand total into the same aggregation: rows
+    // outside the candidate set (and null keys, which `isin` also
+    // excluded before) collapse into a null group, so one scan yields
+    // both per-candidate counts and — summed across the <= 1/support + 1
+    // groups with a trivial single-partition window — the exact total.
+    // Map-side partial agg bounds the shuffle at (#groups x #partitions)
+    // rows regardless of input size.
+    val grouped = df
+      .groupBy(when(col(keyCol).isin(cands: _*), col(keyCol)).as("hh_key"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > lit(support) * lit(total.toDouble))
-      .select(col(keyCol), col("n"),
-        (col("n").cast("double") / lit(total.toDouble)).as("share"))
+    val w = Window.partitionBy()
+    grouped.withColumn("total", sum("n").over(w).cast("double"))
+      .filter(col("hh_key").isNotNull && col("n") > lit(support) * col("total"))
+      .select(col("hh_key").as(keyCol), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
   }
 }

@@ -267,19 +267,69 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8, nTables: Int = 16,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** LSH candidate pairs (pre-dedup), with the bucket-square bounded.
+    *
+    * The naive per-(table, bucket) self-join is quadratic WITHIN a
+    * bucket — with coarse keys (2^nBits buckets) a diverse corpus puts
+    * n / 2^nBits rows in every bucket and the candidate volume explodes
+    * at the square of that. Guard: a cheap audit pass counts bucket
+    * sizes (an aggregate on the exact key the join shuffles on); if any
+    * bucket exceeds `maxBucket`, oversize buckets are subdivided by a
+    * second, finer hyperplane key of ceil(log2(maxN / maxBucket)) bits
+    * (per-table seeds, so a pair split in one table's refinement gets
+    * independent chances in the other tables), and only same-sub-bucket
+    * pairs become candidates. Normal-size buckets keep sub = 0 and are
+    * untouched, so the planted-recall regime (small buckets) is
+    * bit-identical with or without the guard.
+    *
+    * This bounds the EXPECTED sub-bucket to ~maxBucket for diverse
+    * over-full buckets (each refine bit halves a bucket of spread-out
+    * vectors). A bucket that stays large because its vectors are
+    * genuinely near-identical cannot be split by any locality-preserving
+    * key — but there the pair square IS the true candidate set, the same
+    * inherent floor documented for the dense-corpus Jaccard path.
+    */
+  private[graft] def lshCandidates(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
+                                   maxBucket: Int, idCol: String, vecCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val tableKeys = array((0 until nTables).map(t =>
       hyperplaneKey(col("v"), dim, nBits, seed = 42L + 7919L * t)): _*)
-    val exploded = keyed.select(col("id"), col("v"), posexplode(tableKeys))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-    val l = exploded.select(col("t"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val r = exploded.select(col("t"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
-    val cand = l.join(r, Seq("t", "bucket"))
+    def explodeKeys(base: DataFrame, extra: Seq[Column]): DataFrame =
+      base.select(col("id") +: col("v") +: posexplode(tableKeys) +: extra: _*)
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val exploded = explodeKeys(keyed, Nil)
+    val sizes = exploded.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
+    val maxRow = sizes.agg(max("bn")).collect()(0)
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val refined =
+      if (maxN <= maxBucket) exploded.withColumn("sub", lit(0L))
+      else {
+        val refineBits = math.min(16,
+          64 - java.lang.Long.numberOfLeadingZeros((maxN - 1) / maxBucket)).toInt
+        val refineKeys = array((0 until nTables).map(t =>
+          hyperplaneKey(col("v"), dim, refineBits, seed = 104729L + 15485863L * t)): _*)
+        // refine keys ride along from before the explode (computed once
+        // per row, not once per (row, table))
+        explodeKeys(keyed.withColumn("rk", refineKeys), Seq(col("rk")))
+          .join(sizes, Seq("t", "bucket"))
+          .withColumn("sub", when(col("bn") > maxBucket,
+            element_at(col("rk"), col("t") + 1)).otherwise(lit(0L)))
+          .drop("rk", "bn")
+      }
+    val l = refined.select(col("t"), col("bucket"), col("sub"),
+      col("id").as("query_id"), col("v").as("qv"))
+    val r = refined.select(col("t"), col("bucket"), col("sub"),
+      col("id").as("neighbor_id"), col("v").as("cv"))
+    l.join(r, Seq("t", "bucket", "sub"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cosine")
+  }
+
+  def lshTopK(df: DataFrame, dim: Int, k: Int, nBits: Int = 8, nTables: Int = 16,
+              maxBucket: Int = 4096,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = lshCandidates(df, dim, nBits, nTables, maxBucket, idCol, vecCol)
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))

@@ -69,6 +69,29 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq(1L, 1L))
   }
 
+  test("long funnels persist intermediates: same answer as the lazy path, no cache leak") {
+    // 10 steps s0..s9; user u completes the first (10 - u) steps in order,
+    // so reach at step i is exactly the users with u <= 10 - (i+1) + ... :
+    // user u performs steps 0..(9-u) at minutes 1..(10-u).
+    val events = (0L until 10L).flatMap { u =>
+      (0 to (9 - u).toInt).map(i => (u, s"s$i", i + 1))
+    }
+    val df = ev(events: _*)
+    val steps = (0 until 10).map(i => s"s$i")
+    val preCached = spark.sparkContext.getPersistentRDDs.size
+    val eager = EventAnalytics.funnel(df, steps) // size 10 > threshold 6
+      .orderBy("step_idx")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // every intermediate reach was unpersisted once its successor materialized
+    assert(spark.sparkContext.getPersistentRDDs.size == preCached)
+    val lazyPath = EventAnalytics.funnel(df, steps, persistThreshold = 100)
+      .orderBy("step_idx")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(eager == lazyPath)
+    // step i is reached by users 0..(9-i): 10-i users
+    assert(eager.map(_._3) == (10L to 1L by -1L).toSeq)
+  }
+
   test("retentionCohorts buckets whole weeks since the user's first day") {
     val events = Seq(
       (1L, "2026-01-05"), (1L, "2026-01-07"),  // offset 0 twice -> one row

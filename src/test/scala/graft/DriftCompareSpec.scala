@@ -177,6 +177,32 @@ class DriftCompareSpec extends SparkSpecBase {
       r.getAs[Long]("n_db1") == 2L && r.getAs[Long]("n_db2") == 1L)
   }
 
+  test("dataDriftBagAuto dispatches by width and both paths agree") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def firstAggWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate => a.groupingExpressions.length
+      }
+    // narrow table (5 cols): plain path, grouping = cols + hash
+    val narrow = cmp(base().union(base().filter($"id" === 2)), base())
+    val narrowBag = narrow.dataDriftBagAuto("t").get
+    assert(firstAggWidths(narrowBag).contains(5 + 1))
+    // wide table (15 cols): hashed path — some aggregate groups on the
+    // 16-byte hash ALONE, so the big shuffle never carries row values
+    def widen(df: org.apache.spark.sql.DataFrame) =
+      (1 to 10).foldLeft(df)((d, i) => d.withColumn(s"pad$i", $"id" * i))
+    val wide = new DriftCompare(spark,
+      MemorySide("db1", Map("t" -> widen(base().union(base().filter($"id" === 2))))),
+      MemorySide("db2", Map("t" -> widen(base()))))
+    val wideBag = wide.dataDriftBagAuto("t").get
+    assert(firstAggWidths(wideBag).contains(1))
+    // identical answer on both physical shapes
+    val viaPlain = wide.dataDriftBag("t").get.drop("hashed_row")
+      .orderBy("id").collect().toSeq
+    val viaAuto = wideBag.drop("hashed_row").orderBy("id").collect().toSeq
+    assert(viaAuto == viaPlain)
+  }
+
   test("compareAll end-to-end with report") {
     val mut = base().filter($"id" =!= 3).drop("tags")
     val c = new DriftCompare(spark,

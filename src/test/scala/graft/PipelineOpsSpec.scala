@@ -76,6 +76,37 @@ class SimilaritySpec extends SparkSpecBase {
       .filter($"query_id" === 0).select("neighbor_id").as[Long].collect()
     assert(top.headOption.contains(1L))
   }
+
+  test("lshTopK splits oversize buckets: candidates drop, near-dup recall survives") {
+    // 1200 diverse pseudo-random 8-dim vectors with a DELIBERATELY coarse
+    // 2-bit key (4 buckets/table): every bucket is oversize, the naive
+    // self-join is ~n^2/4 per table.
+    val dim = 8
+    val base = spark.range(1200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (xxhash64(concat_ws(":", col("id"), d)).cast("double") /
+          lit(9.223372036854776e18)).cast("float")).as("embedding"))
+    // planted twins for 40 of them at cosine ~1 (must survive refinement)
+    val twins = base.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + lit(0.001f) * sin(i.cast("double")).cast("float")))
+          .as("embedding"))
+    val corpus = base.unionByName(twins)
+    val unbounded = Similarity.lshCandidates(
+      corpus, dim, 2, 4, Int.MaxValue, "vec_id", "embedding").count()
+    val bounded = Similarity.lshCandidates(
+      corpus, dim, 2, 4, 64, "vec_id", "embedding").count()
+    // refinement must cut the candidate square by a large factor
+    assert(bounded < unbounded / 4,
+      s"bounded=$bounded not << unbounded=$unbounded")
+    // and the planted rank-1 twins are still found under refinement
+    val top1 = Similarity.lshTopK(corpus, dim, 1, 2, 4, 64)
+      .filter(col("rank") === 1 && col("query_id") < 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val found = (0L until 40L).count(q => top1.get(q).contains(q + 100000L))
+    assert(found >= 38, s"twin recall $found/40 under refinement")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpecBase {
