@@ -268,8 +268,11 @@ object SparkEntry {
       Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .select("doc_id", "component").orderBy("doc_id")),
 
-    // ---- SimHash near-dup pairs (rows-only: DuckDB cannot recompute the
-    //      64-bit xxh64 sketch; verified by q_planted_simhash instead) ----
+    // ---- SimHash near-dup pairs. Full oracle: the sketch hash is
+    //      md5-first-8-bytes, so DuckDB replays the per-token hashes, the
+    //      bit votes, the 64-bit signatures, and the Hamming pair set
+    //      value-exactly (recall of the quarter blocking is separately
+    //      proven lossless by q_planted_simhash) ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("id1", "id2")),
@@ -338,10 +341,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- hyperplane-LSH ANN (rows-only: the natural corpus's true
-    //      neighbors sit at cosine ~0.3 where no sublinear method is
-    //      complete; the operator's recall is verified at its design
-    //      regime by q_planted_ann) ----
+    // ---- hyperplane-LSH ANN. Full oracle: plane components are
+    //      md5-derived uniforms, so DuckDB replays the 16 x 8-bit bucket
+    //      keys, the candidate join, and the exact-cosine top-5
+    //      value-exactly (recall at the design regime is separately
+    //      verified by q_planted_ann) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), 64, 5, 8, 16)
         .withColumn("rank", col("rank").cast("long")).orderBy("query_id", "rank")),
@@ -1102,6 +1106,30 @@ object SparkEntry {
         |SELECT doc_id, component FROM documents JOIN comp ON id = doc_id
         |WHERE component = doc_id ORDER BY doc_id""".stripMargin,
 
+    // SimHash replay: per-token md5-u64 hashes -> signed bit votes ->
+    // 64-bit signature -> all-pairs Hamming. Bit-exact vs the Spark
+    // kernel because both sides hash the same UTF-8 bytes with md5 and
+    // take the first 8 bytes big-endian.
+    "q_dedup_simhash" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS t FROM tks),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(64) AS rb(b) GROUP BY doc_id, b),
+        |sig0 AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b
+        |             ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |sigs AS (SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
+
     "q_planted_minhash" ->
       s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents
         |  WHERE doc_id % 5 = 0),
@@ -1138,6 +1166,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, "rank", neighbor_id, cosine FROM ranked WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // LSH replay: md5-derived plane components (u64/2^64*2-1), 16 tables
+    // x 8 sign bits, per-(table, bucket) candidates, exact-cosine top-5.
+    // Dots fold left-to-right in double on both engines, so buckets and
+    // scores are bit-exact.
+    "q_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |planes AS (SELECT t, b, list_transform(range(64), d ->
+        |    CAST(('0x' || substr(md5('hp:' || CAST(42 + 7919 * t AS VARCHAR) || ':' ||
+        |        CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 16)) AS UBIGINT)::DOUBLE
+        |      / 18446744073709551616.0 * 2 - 1) AS w
+        |  FROM range(16) AS rt(t), range(8) AS rb(b)),
+        |dots AS (SELECT vec_id, t, b,
+        |    list_sum(list_transform(range(64), i -> ve[i + 1] * w[i + 1])) AS dp
+        |  FROM v CROSS JOIN planes),
+        |keys AS (SELECT vec_id, t,
+        |    SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+        |  FROM keys l JOIN keys r ON l.t = r.t AND l.bucket = r.bucket
+        |    AND l.vec_id <> r.vec_id),
+        |scored AS (SELECT query_id, neighbor_id, $cosSql AS cosine
+        |  FROM cand JOIN v a ON a.vec_id = query_id JOIN v b ON b.vec_id = neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        |      AS "rank"
+        |  FROM scored)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id, cosine
+        |FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -24,6 +24,34 @@ private[graft] object SketchUtil {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes (big-endian) of md5(bytes), as the signed-Long carrier
+    * of an unsigned 64-bit value. md5 is the one hash every engine
+    * renders identically (hex string, bytes in order), so a sketch built
+    * on it is replayable — e.g. DuckDB's
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` yields these exact bits.
+    */
+  def md5U64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  def md5U64(s: String): Long =
+    md5U64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The unsigned value of `u` as a Double (correctly rounded), matching
+    * a C-family engine's uint64 -> double cast.
+    */
+  def u64ToDouble(u: Long): Double =
+    if (u >= 0) u.toDouble
+    else new java.math.BigInteger(java.lang.Long.toUnsignedString(u)).doubleValue()
 }
 
 /** MinHash signature of a string array: `sig[p] = min over elements of
@@ -65,21 +93,34 @@ object MinHashSignature {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numPerm))
 }
 
-/** 64-bit SimHash over a string array: per-element xxh64, signed bit-vote
+/** 64-bit SimHash over a string array: per-element hash, signed bit-vote
   * accumulation, sign -> bit (Charikar, STOC'02).
+  *
+  * The per-token hash defaults to md5-first-8-bytes so the whole sketch
+  * is a pure function of a primitive every engine computes identically —
+  * the DuckDB oracle replays signatures (and therefore the Hamming pair
+  * set) exactly. `algo = "xxh64"` swaps in the ~10x faster
+  * non-cryptographic hash for throughput-bound pipelines where
+  * cross-engine auditability is not needed; the sketch quality is the
+  * same (both are uniform on tokens).
   */
-case class SimHash64(child: Expression) extends NullAbsorbingUnaryKernel {
+case class SimHash64(child: Expression, algo: String = "md5")
+    extends NullAbsorbingUnaryKernel {
+  require(algo == "md5" || algo == "xxh64", s"unknown simhash algo $algo")
 
   override def dataType: DataType = LongType
 
   override def computeAny(v: Any): Any = {
     val votes = new Array[Int](64)
+    val useMd5 = algo == "md5"
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val h = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+          val s = arr.getUTF8String(i)
+          val h = if (useMd5) SketchUtil.md5U64(s.getBytes)
+                  else XXH64.hashUTF8String(s, 0L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -103,6 +144,7 @@ case class SimHash64(child: Expression) extends NullAbsorbingUnaryKernel {
 }
 
 object SimHash64 {
-  def apply(c: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def apply(c: Column): Column = apply(c, "md5")
+  def apply(c: Column, algo: String): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c), algo))
 }

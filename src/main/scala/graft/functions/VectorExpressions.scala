@@ -225,3 +225,64 @@ object NearestCells {
   def apply(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nProbe))
 }
+
+/** Random-hyperplane LSH bucket key: bit `b` of the result is set when
+  * the vector's dot product with `planes(b)` is >= 0 (Charikar STOC'02
+  * sign sketch). Like [[NearestCells]], the plane matrix is a constructor
+  * reference object, not nBits x dim plan literals — the literal form's
+  * generated code grows with the matrix and Janino compilation dominates
+  * (the measured IVF pathology). Dots fold left-to-right in double with
+  * exact float promotion, so an engine replaying the same plane values
+  * reproduces every bucket bit-exactly.
+  */
+case class HyperplaneKey64(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                           planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.length <= 64, "at most 64 hyperplane bits per key")
+
+  override def dataType: DataType = LongType
+
+  def compute(v: ArrayData): Long = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    et match {
+      case DoubleType => while (i < n) { x(i) = v.getDouble(i); i += 1 }
+      case FloatType => while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+      case other => throw new IllegalArgumentException(s"hyperplane_key over $other")
+    }
+    var key = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val m = math.min(n, p.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += x(i) * p(i); i += 1 }
+      if (dot >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneKey", this, classOf[HyperplaneKey64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  override def prettyName: String = "hyperplane_key64"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneKey64 =
+    copy(child = c)
+}
+
+object HyperplaneKey64 {
+  def apply(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(HyperplaneKey64(ColumnBridge.expression(vec), planes))
+}

@@ -136,19 +136,32 @@ object Similarity {
       .filter(col(idCol) === col("component")).drop("component")
   }
 
-  /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
-    * against deterministic (seeded) unit-free hyperplanes. Vectors in the
-    * same bucket are ANN candidates (Charikar, STOC'02).
+  /** Deterministic hyperplane matrix for [[hyperplaneKey]]: component
+    * (b, d) is md5-derived uniform in [-1, 1) —
+    * `u64(md5("hp:<seed>:<b>:<d>")) / 2^64 * 2 - 1`. md5 (not a JVM RNG)
+    * so any engine replays the exact planes and therefore the exact
+    * buckets: DuckDB spells the same value
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT::DOUBLE / 2^64 * 2 - 1`.
+    * Components are iid uniform rather than gaussian, so plane directions
+    * are not perfectly spherically symmetric; sign-LSH only needs the
+    * collision probability to be monotone in the pair angle, which holds,
+    * and auditability is worth the cosmetic asymmetry.
     */
-  def hyperplaneKey(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
-    val rng = new java.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
-    val bits = (0 until nBits).map { b =>
-      val plane = array(planes(b).map(lit(_)): _*)
-      when(graft.functions.DotProduct(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+  private[graft] def planeMatrix(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      val u = graft.functions.SketchUtil.md5U64(s"hp:$seed:$b:$d")
+      graft.functions.SketchUtil.u64ToDouble(u) / math.scalb(1.0, 64) * 2.0 - 1.0
     }
-    bits.reduce(_ + _)
-  }
+
+  /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
+    * against deterministic md5-seeded hyperplanes (see [[planeMatrix]]).
+    * Vectors in the same bucket are ANN candidates (Charikar, STOC'02).
+    * Single native kernel ([[graft.functions.HyperplaneKey64]]): the
+    * plane matrix rides as one reference object instead of nBits x dim
+    * plan literals (the measured Janino-blowup pathology).
+    */
+  def hyperplaneKey(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
+    graft.functions.HyperplaneKey64(vec, planeMatrix(seed, nBits, dim))
 
   /** ANN via multi-table hyperplane-LSH, verified with exact cosine, with
     * per-query top-k. `nTables` independent hash tables of `nBits` each:
