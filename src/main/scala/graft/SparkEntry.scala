@@ -588,6 +588,39 @@ object SparkEntry {
         Map("en" -> 50, "de" -> 20), defaultPct = 10)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // ---- weighted sampling: inclusion ~ token count, content-addressed
+    //      A-ES keys (ln(u)/w, u md5-derived) replayed exactly by the
+    //      oracle ----
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").withColumn("w",
+          TextAnalysis.wsTokenCount(col("text")).cast("double")),
+        "doc_id", col("w"), 100)
+        .select(col("doc_id"), col("w").as("weight")).orderBy("doc_id")),
+
+    // ---- exact quantile gate: keep docs at/above the median quality ----
+    "q_quality_gate" -> ((s, dir) =>
+      Sampling.filterTopQuantile(
+        TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score")),
+        "quality_score", 0.5)
+        .orderBy("doc_id")),
+
+    // ---- incremental corpus update: new batch (doc_id % 3 = 0) vs the
+    //      existing corpus; asymmetric LSH band join, exact-Jaccard
+    //      oracle (same banding-completeness regime as q_dedup_minhash) ----
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedup(d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", 0.5)
+        .orderBy("new_id")
+    }),
+
+    // ---- duplicate n-gram fraction (Lee et al. ACL'22 repetition gate) ----
+    "q_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.duplicateNgramFraction(t(s, dir, "documents"), "text", "doc_id", 5)
+        .orderBy("doc_id")),
+
     // ---- per-doc top TF-IDF terms (tf/df score, integer-exact ordering) ----
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
@@ -1026,6 +1059,28 @@ object SparkEntry {
       |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
   private val stopSql = TextAnalysis.stopwordList.map(s => s"'$s'").mkString("[", ", ", "]")
+  /** Shared quality-score derivation (mirrors
+    * [[graft.operators.TextAnalysis.qualityFeatures]]); exposes `qs`
+    * (doc_id, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+    * quality_score).
+    */
+  private lazy val qualityCtes =
+    s"""f AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |    len(toks) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS stop_ratio,
+      |    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len
+      |  FROM f),
+      |qs AS (SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+      |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 4 ELSE 0 END +
+      |        CASE WHEN punct_ratio <= 0.2 THEN 2 ELSE 0 END +
+      |        CASE WHEN stop_ratio >= 0.05 THEN 2 ELSE 0 END +
+      |        CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 2 ELSE 0 END)
+      |    AS DOUBLE) / CAST(10 AS DOUBLE) AS quality_score
+      |  FROM m)""".stripMargin
   private val cosSql =
     "list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
 
@@ -1037,22 +1092,74 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
-      s"""WITH f AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-        |  m AS (SELECT doc_id,
-        |    len(toks) AS n_tokens,
-        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-        |      / greatest(length(text), 1) AS punct_ratio,
-        |    CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
-        |      / greatest(len(toks), 1) AS stop_ratio,
-        |    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len
-        |  FROM f)
+      s"""WITH $qualityCtes
         |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_token_len,
-        |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 4 ELSE 0 END +
-        |        CASE WHEN punct_ratio <= 0.2 THEN 2 ELSE 0 END +
-        |        CASE WHEN stop_ratio >= 0.05 THEN 2 ELSE 0 END +
-        |        CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 2 ELSE 0 END)
-        |    AS DOUBLE) / CAST(10 AS DOUBLE) AS quality_score
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  quality_score
+        |FROM qs ORDER BY doc_id""".stripMargin,
+
+    // exact quantile gate: threshold = min{v : F(v) >= 0.5} over the
+    // (bounded-cardinality) quality scores — same cumulative definition
+    // as Sampling.filterTopQuantile
+    "q_quality_gate" ->
+      s"""WITH $qualityCtes,
+        |c AS (SELECT quality_score AS v, count(*) AS n FROM qs GROUP BY v),
+        |cc AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum,
+        |    (SELECT count(*) FROM qs) AS tot FROM c),
+        |t AS (SELECT min(v) AS thr FROM cc WHERE cum >= 0.5 * tot)
+        |SELECT doc_id, quality_score FROM qs, t
+        |WHERE quality_score >= thr ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted sample replay: same md5-uniform, same ln(u)/w key,
+    // same (key DESC, id) top-100
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS w
+        |  FROM documents),
+        |k AS (SELECT doc_id, w,
+        |    ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |          AS UBIGINT)::DOUBLE + 1)
+        |       / 18446744073709551616.0) / w AS wkey
+        |  FROM d WHERE w > 0),
+        |top AS (SELECT doc_id, w FROM k ORDER BY wkey DESC, doc_id LIMIT 100)
+        |SELECT doc_id, w AS weight FROM top ORDER BY doc_id""".stripMargin,
+
+    // incremental dedup truth: exact all-pairs Jaccard between the new
+    // batch and the corpus (banding completeness per the q_dedup_minhash
+    // analysis: natural near-dup pairs here sit at J >= 0.7)
+    "q_incremental_dedup" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
+        |newd AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 <> 0),
+        |pairs AS (SELECT n.doc_id AS new_id, c.doc_id AS cid,
+        |    CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(n.s || c.s)) AS DOUBLE) AS j
+        |  FROM newd n, corp c),
+        |best AS (SELECT new_id, min(cid) AS matched_id FROM pairs
+        |  WHERE j >= 0.5 GROUP BY new_id),
+        |bj AS (SELECT b.new_id, b.matched_id, p.j AS jaccard
+        |  FROM best b JOIN pairs p ON p.new_id = b.new_id AND p.cid = b.matched_id)
+        |SELECT n.doc_id AS new_id, bj.matched_id, bj.jaccard,
+        |  bj.matched_id IS NULL AS is_novel
+        |FROM newd n LEFT JOIN bj ON bj.new_id = n.doc_id
+        |ORDER BY new_id""".stripMargin,
+
+    // duplicate n-gram fraction truth: distinct per-doc 5-gram shingles
+    // (whole-text fallback under 5 tokens), corpus document counts
+    "q_dup_ngrams" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |                tk[i+3] || ' ' || tk[i+4])) END) AS gram
+        |  FROM tks),
+        |c AS (SELECT gram, count(*) AS docs_with FROM g GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS dup_frac
+        |FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langMarkers.map(_._1)

@@ -53,4 +53,57 @@ object Sampling {
       .filter(col("_rk") <= n)
       .drop("_rk")
   }
+
+  /** Deterministic weighted sample of exactly `k` rows, inclusion
+    * probability proportional to `weightCol` (Efraimidis–Spirakis A-ES):
+    * each row gets the key u^(1/w) for a per-row uniform u, and the k
+    * largest keys are the sample. We rank by the monotone-equivalent
+    * ln(u)/w (same ordering, no pow), with u md5-derived from the row key
+    * — so like every sampler here the choice is content-addressed: stable
+    * across runs, engines, and layouts, and replayable by any engine with
+    * md5 and ln. Rows with weight <= 0 (or null) are never sampled.
+    *
+    * Scale: the per-row key is a narrow projection; the global top-k
+    * compiles to TakeOrderedAndProject (per-partition top-k, driver
+    * merge of k-row heads) — no global sort, no single-partition
+    * shuffle, O(k) driver memory.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u64 = conv(substring(md5(concat(lit("ws:"), col(keyCol).cast("string"))), 1, 16),
+      16, 10).cast("double")
+    val key = log((u64 + lit(1.0)) / lit(math.scalb(1.0, 64))) / weightCol.cast("double")
+    // filter BEFORE the key projection: under ANSI semantics the
+    // division must never evaluate on a zero weight
+    df.filter(weightCol.cast("double") > 0)
+      .withColumn("_wkey", key)
+      .orderBy(col("_wkey").desc, col(keyCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
+  /** Keep the rows at or above the `q`-quantile of `valueCol`, with the
+    * threshold computed EXACTLY as min{v : F(v) >= q} — the right scale
+    * shape for the low-cardinality metrics gating pipelines actually
+    * filter on (quality scores, star ratings, bucketed lengths): one
+    * bounded aggregation on the value (map-side combine collapses each
+    * partition to one row per distinct value), a window over that tiny
+    * distinct set for the cumulative counts, and a broadcast of the
+    * 1-row threshold back over a second scan. Nothing global-sorts the
+    * data. For genuinely continuous metrics use
+    * `percentile_approx`-style sketches instead; this operator is the
+    * exact gate.
+    */
+  def filterTopQuantile(df: DataFrame, valueCol: String, q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("n"))
+    val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = counts
+      .withColumn("cum", sum("n").over(cum))
+      .withColumn("tot", sum("n").over(Window.partitionBy()))
+      .filter(col("cum").cast("double") >= lit(q) * col("tot").cast("double"))
+      .agg(min("v").as("_thr"))
+    df.join(broadcast(thr), col(valueCol) >= col("_thr")).drop("_thr")
+  }
 }

@@ -346,6 +346,33 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Corpus-level repetition: for each document, the fraction of its
+    * DISTINCT word n-grams that also occur in at least one other document
+    * — the "duplicate n-gram fraction" signal used to gate
+    * memorization-prone training text (cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22). Documents with
+    * no grams (null/empty text) are absent from the output.
+    *
+    * Scale: one explode of per-doc distinct grams (the [[WordShingles]]
+    * kernel dedups within the row, so the exploded volume is bounded by
+    * distinct grams, not raw tokens), one count aggregation keyed on the
+    * gram (huge key space — no skew), one re-join of that count to the
+    * gram stream, one per-doc aggregation. All shuffles carry
+    * (gram, id)-width rows; nothing is quadratic.
+    */
+  def duplicateNgramFraction(df: DataFrame, textCol: String, idCol: String,
+                             n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(graft.functions.WordShingles(col(textCol), n)).as("gram"))
+    // rows are (doc, gram)-distinct, so count(*) counts documents
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("docs_with"))
+    grams.join(counts, "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
     val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))

@@ -72,6 +72,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(q.count() == 100)
   }
 
+  test("weightedSample global top-k is TakeOrdered, never a global sort") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(Sampling.weightedSample(docs, "doc_id", length(col("text")), 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k with driver merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no global sort exchange:\n$p")
+  }
+
+  test("filterTopQuantile shuffles only the bounded distinct-value set") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+      .withColumn("v", (col("doc_id") % 5).cast("double"))
+    val out = Sampling.filterTopQuantile(docs, "v", 0.5)
+    val p = finalPlanOf(out)
+    // the data-side scan must not be range-partitioned/sorted; the only
+    // sort belongs to the tiny distinct-value window
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no global sort of the data:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row threshold broadcast back:\n$p")
+  }
+
   test("rowChanges is a single full-outer join: one exchange per side, no extra pass") {
     val oldDf = spark.range(500).select($"id".as("pk"), ($"id" % 7).as("a"), ($"id" % 11).as("b"))
     val newDf = spark.range(400).select($"id".as("pk"), ($"id" % 5).as("a"), ($"id" % 11).as("b"))
