@@ -884,6 +884,18 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
+    // ---- first-order Markov transitions over each user's timeline ----
+    "q_event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, dir))
+        .orderBy("from_type", "to_type")),
+
+    // ---- rolling z-score anomalies: trailing-10 window per user ----
+    "q_rolling_anomaly" -> ((s, dir) =>
+      EventAnalytics.rollingAnomaly(Tables.events(s, dir), "user_id", "value",
+          n = 10, threshold = 2.5)
+        .filter(col("is_anomaly"))
+        .orderBy("user_id", "event_id")),
+
     // ---- edit-distance join (PassJoin segments): dirty catalog vs clean ----
     "q_fuzzy_match" -> ((s, dir) => {
       val clean = t(s, dir, "part").select(col("p_partkey"),
@@ -1843,6 +1855,42 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    // Markov transitions: same (ts, event_id)-ordered lead, same
+    // bounded (from, to) aggregation, probability rounded at 6 dp
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |        CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // rolling anomaly replay: identical trailing frame, exact-arithmetic
+    // variance from the same double sums, z rounded at 6 dp both sides
+    "q_rolling_anomaly" ->
+      """WITH w AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |    count(value) OVER win AS cnt,
+        |    sum(value) OVER win AS s1,
+        |    sum(value * value) OVER win AS s2
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id, v,
+        |    CASE WHEN cnt = 10
+        |           AND (s2 - cnt * (s1 / cnt) * (s1 / cnt)) / (cnt - 1) > 0
+        |      THEN round((v - s1 / cnt) /
+        |             sqrt((s2 - cnt * (s1 / cnt) * (s1 / cnt)) / (cnt - 1)), 6)
+        |    END AS z
+        |  FROM w)
+        |SELECT user_id, event_id, v AS value, z, TRUE AS is_anomaly
+        |FROM z WHERE z IS NOT NULL AND abs(z) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH clean AS (SELECT p_partkey,

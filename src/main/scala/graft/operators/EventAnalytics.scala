@@ -118,4 +118,74 @@ object EventAnalytics {
       .select(col("hh_key").as(keyCol), col("n"),
         (col("n").cast("double") / col("total")).as("share"))
   }
+
+  /** First-order Markov transition matrix of the event-type sequence:
+    * for each (from_type, to_type) pair of consecutive events within a
+    * user's timeline, the transition count and probability
+    * P(to | from) = n / sum_over_to(n).
+    *
+    * Shape: ONE shuffle on the user key for the `lead` window, then a
+    * hash aggregation on (from, to) — a key space bounded by
+    * |event types|², tiny regardless of input rows, so map-side partial
+    * aggregation collapses each partition to at most |types|² rows
+    * before the second (trivial) exchange. The per-`from` denominator
+    * is a window over that bounded group set, not a rescan. Ordering
+    * inside a user is (ts, idCol) — the id tiebreak makes the pair set
+    * deterministic under equal timestamps, so output is reproducible
+    * and oracle-able.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val seq = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(perFrom).cast("double"), 6))
+      .select("from_type", "to_type", "n", "p")
+  }
+
+  /** Rolling z-score anomaly detection: for each row, the mean and
+    * sample variance of the PRECEDING `n` values within the key's
+    * timeline (ties broken by `idCol` — deterministic), and the z-score
+    * of the current value against that trailing window. Rows without a
+    * full lookback window or with zero trailing variance get a null z.
+    * Returns (key, id, value, z, is_anomaly: |z| > threshold).
+    *
+    * Shape: one shuffle on the key for the window; mean/variance come
+    * from trailing sum and sum-of-squares over a bounded `ROWS BETWEEN
+    * n PRECEDING AND 1 PRECEDING` frame — O(1) state per row in the
+    * window operator, no per-row re-scan. Exact-arithmetic form
+    * (var = (Σx² − n·mean²)/(n−1) from plain double sums folded in
+    * frame order) rather than stddev_samp so the oracle replays it
+    * engine-identically; z is rounded to 6 dp on both sides (libm sqrt
+    * is correctly rounded, sums fold left-to-right in frame order).
+    */
+  def rollingAnomaly(df: DataFrame, keyCol: String, valueCol: String,
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     n: Int = 10, threshold: Double = 3.0): DataFrame = {
+    require(n >= 2, "lookback window must be at least 2")
+    val frame = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-n, -1)
+    val v = col(valueCol).cast("double")
+    val out = df
+      .withColumn("_cnt", count(v).over(frame))
+      .withColumn("_s1", sum(v).over(frame))
+      .withColumn("_s2", sum(v * v).over(frame))
+      // divisions stay inside the when-branch: a partial frame
+      // (cnt < n, possibly 0) must never evaluate them under ANSI
+      .withColumn("_mean", when(col("_cnt") === n, col("_s1") / col("_cnt")))
+      .withColumn("_var", when(col("_cnt") === n,
+        (col("_s2") - col("_cnt") * col("_mean") * col("_mean")) / (col("_cnt") - 1)))
+      .withColumn("z",
+        when(col("_cnt") === n && col("_var") > 0,
+          round((v - col("_mean")) / sqrt(col("_var")), 6)))
+    out.select(col(keyCol), col(idCol), v.as("value"), col("z"),
+      (col("z").isNotNull && abs(col("z")) > threshold).as("is_anomaly"))
+  }
 }

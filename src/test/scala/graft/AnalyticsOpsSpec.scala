@@ -124,6 +124,49 @@ class EventAnalyticsSpec extends SparkSpecBase {
     // the fixture must exercise BOTH sides of the threshold
     assert(ours.nonEmpty && ours.size < df.select("user_id").distinct().count())
   }
+
+  test("transitionMatrix counts consecutive pairs per user with deterministic tie-break") {
+    val events = Seq(
+      // user 1: a -> b -> a (ordered by ts)
+      (1L, 1L, "a", 1), (2L, 1L, "b", 2), (3L, 1L, "a", 3),
+      // user 2: a -> b
+      (4L, 2L, "a", 1), (5L, 2L, "b", 2),
+      // user 3: two events at the SAME ts — event_id breaks the tie: b -> a
+      (7L, 3L, "a", 5), (6L, 3L, "b", 5))
+      .map { case (id, u, t, m) =>
+        (id, u, t, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.transitionMatrix(events)
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 1.0),     // both a-transitions go to b
+      ("b", "a", 2L, 1.0)))    // user 1's b->a plus user 3's tie-broken b->a
+  }
+
+  test("rollingAnomaly flags a spike against the trailing window, nulls otherwise") {
+    // key 1: nine 10.0s with a little jitter, then a spike
+    val base = (1 to 9).map(i => (i.toLong, 1L, if (i % 2 == 0) 10.5 else 9.5, i))
+    val rows = (base :+ (10L, 1L, 100.0, 10)) ++
+      // key 2: constant values -> zero trailing variance -> null z
+      (1 to 5).map(i => (100L + i, 2L, 7.0, i))
+    val events = rows.map { case (id, u, v, m) =>
+      (id, u, v, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+    }.toDF("event_id", "user_id", "value", "ts")
+    val keyed = EventAnalytics.rollingAnomaly(events, "user_id", "value",
+        n = 4, threshold = 3.0)
+      .orderBy("event_id")
+      .as[(Long, Long, Double, Option[Double], Boolean)].collect().toSeq
+    // first 4 rows of key 1 lack a full window -> null z, not anomalous
+    assert(keyed.take(4).forall(r => r._4.isEmpty && !r._5))
+    // rows 5..9 are in-band jitter: defined z, not anomalous
+    assert(keyed.slice(4, 9).forall(r => r._4.isDefined && !r._5))
+    // the spike is flagged
+    val spike = keyed.find(_._2 == 10L).get
+    assert(spike._4.exists(_ > 3.0) && spike._5)
+    // constant key: zero variance -> null z everywhere
+    assert(keyed.filter(_._1 == 2L).forall(r => r._4.isEmpty && !r._5))
+  }
 }
 
 class BloomPruneSpec extends SparkSpecBase {
