@@ -627,6 +627,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")),
 
+    // ---- top PMI bigram collocations over the corpus ----
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 50)),
+
+    // ---- equi-width histogram over a numeric column ----
+    "q_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)
+        .orderBy("bucket")),
+
     // ---- approx sketches (HLL ndv, approximate percentile) checked
     //      against their exact counterparts within stated error bounds ----
     "q_approx_bounds" -> ((s, dir) => {
@@ -1563,6 +1573,39 @@ object SparkEntry {
         |    ORDER BY score DESC, term) AS "rank" FROM sc)
         |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+
+    // PMI collocations: identical bigram/unigram counts, identical
+    // association order ((cxy·nu)·nu)/((cx·cy)·nb), ln rounded at 6 dp
+    "q_collocations" ->
+      s"""WITH tks AS (SELECT $toksSql AS tk FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tks),
+        |u AS (SELECT unnest(tk) AS term FROM tks),
+        |uc AS (SELECT term, count(*) AS c1 FROM u GROUP BY term),
+        |p AS (SELECT gram, count(*) AS cxy FROM bg GROUP BY gram
+        |  HAVING count(*) >= 5),
+        |nu AS (SELECT CAST(sum(c1) AS DOUBLE) AS nu FROM uc),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg),
+        |sp AS (SELECT string_split(gram, ' ')[1] AS w1,
+        |    string_split(gram, ' ')[2] AS w2, cxy FROM p)
+        |SELECT w1, w2, cxy,
+        |  round(ln((CAST(cxy AS DOUBLE) * nu * nu)
+        |           / (CAST(u1.c1 AS DOUBLE) * u2.c1 * nb)), 6) AS pmi
+        |FROM sp JOIN uc u1 ON u1.term = w1 JOIN uc u2 ON u2.term = w2, nu, nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // equi-width histogram: same (min,max) bounds, same double bucket
+    // arithmetic ((v−mn)·20/(mx−mn), floor, clamp), same edge formulas
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |d AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(CAST(floor((l_extendedprice - mn) * 20 / (mx - mn)) AS BIGINT),
+        |               19) END AS bucket, mn, mx
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket, mn + bucket * (mx - mn) / 20 AS lo,
+        |  mn + (bucket + 1) * (mx - mn) / 20 AS hi, count(*) AS n
+        |FROM d GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
 
     "q_approx_bounds" ->
       """SELECT * FROM (VALUES ('approx_p50_within_1unit', true),

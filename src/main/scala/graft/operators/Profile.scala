@@ -53,6 +53,40 @@ object Profile {
   def profileExact(df: DataFrame): DataFrame =
     build(df, c => countDistinct(col(s"`$c`")))
 
+  /** Equi-width histogram of a numeric column: `nBins` buckets over
+    * [min, max], bucket i covering [min + i·w, min + (i+1)·w) with
+    * w = (max−min)/nBins and the max value folded into the last bucket.
+    * Returns (bucket, lo, hi, n) with empty buckets omitted.
+    *
+    * Shape: one scan for the global (min, max) 1-row aggregate,
+    * broadcast back over a second scan that buckets and hash-aggregates
+    * on ≤ nBins keys — map-side combine collapses every partition to at
+    * most nBins rows, so the shuffle is O(nBins·partitions) regardless
+    * of input size. Both scans are column-pruned to `valueCol`. The
+    * bucket arithmetic (floor((v−min)·nBins/(max−min)), same
+    * association order) is replayed verbatim by SQL oracles: every op
+    * is an exact IEEE double op, so bucketing agrees cross-engine.
+    * Degenerate case max = min → single bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("_mn"), max(v).as("_mx"))
+    val bucket = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(
+        floor((v - col("_mn")) * nBins / (col("_mx") - col("_mn"))).cast("long"),
+        lit(nBins - 1L)))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"), col("_mn"), col("_mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("_mn") + col("bucket") * (col("_mx") - col("_mn")) / nBins).as("lo"),
+        (col("_mn") + (col("bucket") + 1) * (col("_mx") - col("_mn")) / nBins).as("hi"),
+        col("n"))
+  }
+
   /** Single-pass approximate profile (HLL distinct counts, rsd 2%). */
   def profileApprox(df: DataFrame): DataFrame =
     build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))

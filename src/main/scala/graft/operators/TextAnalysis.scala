@@ -165,6 +165,49 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Top-`k` bigram collocations by pointwise mutual information:
+    * PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) over adjacent
+    * token pairs and P(x) over token instances. Pairs below `minCount`
+    * are dropped (PMI is noise-dominated at low counts). Ranked by
+    * (pmi desc, pair asc) — the PMI both engines compare is rounded at
+    * 6 dp, so ordering and output agree bit-for-bit cross-engine.
+    *
+    * Scale shape: two explode → hash-aggregate passes (bigram counts
+    * keyed on the pair, unigram counts keyed on the term), both
+    * map-side combined so the shuffle carries vocabulary-sized data,
+    * not token-instance-sized. The two corpus totals are 1-row
+    * aggregates broadcast back; the pair↔unigram joins are hash joins
+    * on the term (AQE broadcasts the unigram side while it fits — on a
+    * 100 TB corpus it stays a shuffled hash join, which is correct:
+    * vocabulary must never be required to fit in one executor). Global
+    * top-k compiles to TakeOrderedAndProject — no global sort.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val uni = df.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val pairCounts = df.select(explode(bigrams(toks)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    val nUni = uni.agg(sum("c1").cast("double").as("_nu"))
+    val nBi = df.select(explode(bigrams(toks)).as("g"))
+      .agg(count(lit(1)).cast("double").as("_nb"))
+    pairCounts
+      .join(uni.select(col("term").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      // association order mirrored verbatim in the oracle:
+      // ((cxy·nu)·nu) / ((cx·cy)·nb)
+      .withColumn("pmi", round(log(
+        (col("cxy").cast("double") * col("_nu") * col("_nu")) /
+          (col("cx").cast("double") * col("cy") * col("_nb"))), 6))
+      .select("w1", "w2", "cxy", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document top-`k` terms by a TF-IDF-style score. The score is
     * `tf / df` (term frequency over corpus document frequency) rather than
     * `tf * ln(N/df)`: the ranking is identical for fixed N (ln is

@@ -51,6 +51,36 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(approx("id")._4 - 5000L).toDouble / 5000 <= 0.05)
   }
 
+  test("histogram buckets equi-width with max folded into the last bucket") {
+    import graft.operators.Profile
+    val df = spark.range(100).toDF("v")
+      .unionByName(Seq(Option.empty[Long]).toDF("v")) // null is ignored
+    val out = Profile.histogram(df, "v", 10)
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == (0L to 9L))
+    assert(out.forall(_._4 == 10L))              // 10 ints per 9.9-wide bucket
+    assert(out.head._2 == 0.0 && out.last._3 == 99.0)
+    // degenerate: constant column -> one bucket, lo = hi = the value
+    val const = Profile.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 10)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(const == Seq((0L, 7.0, 7.0, 3L)))
+  }
+
+  test("collocations ranks PMI exactly with deterministic ties") {
+    import graft.operators.TextAnalysis
+    val docs = (Seq.fill(5)("new york") ++ Seq.fill(5)("the cat") ++
+      Seq.fill(5)("the dog")).toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // NU=30, NB=15: pmi(new,york)=ln(5*30*30/(5*5*15))=ln(12);
+    // pmi(the,*)=ln(6); tie broken by (w1, w2)
+    assert(out == Seq(
+      ("new", "york", 5L, 2.484907),
+      ("the", "cat", 5L, 1.791759),
+      ("the", "dog", 5L, 1.791759)))
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     val df = spark.range(30000)
       .withColumn("stratum",
