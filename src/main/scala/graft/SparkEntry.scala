@@ -598,6 +598,22 @@ object SparkEntry {
         "doc_id", col("w"), 100)
         .select(col("doc_id"), col("w").as("weight")).orderBy("doc_id")),
 
+    // ---- deterministic shuffle-shard export layout ----
+    "q_shuffle_shard" -> ((s, dir) =>
+      Sampling.shuffleShard(t(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .orderBy("shard", "seq")),
+
+    // ---- temperature mixing weights per source (alpha = 0.7) ----
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureWeights(t(s, dir, "documents"), "source", 0.7)
+        .orderBy("source")),
+
+    // ---- temperature-mixed corpus: ~300 rows, per-source quotas ----
+    "q_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", 0.7, 300)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // ---- exact quantile gate: keep docs at/above the median quality ----
     "q_quality_gate" -> ((s, dir) =>
       Sampling.filterTopQuantile(
@@ -1130,6 +1146,43 @@ object SparkEntry {
         |t AS (SELECT min(v) AS thr FROM cc WHERE cum >= 0.5 * tot)
         |SELECT doc_id, quality_score FROM qs, t
         |WHERE quality_score >= thr ORDER BY doc_id""".stripMargin,
+
+    // shuffle-shard replay: same md5 digest, same 60-bit shard bucket,
+    // same (digest, key) in-shard rank
+    "q_shuffle_shard" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS dig FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(('0x' || substr(dig, 1, 15)) AS BIGINT) % 8 AS shard, dig
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dig, doc_id)
+        |    AS BIGINT) AS seq
+        |FROM s ORDER BY shard, seq""".stripMargin,
+
+    // temperature weights: same pow/normalize, rounded at 6 dp
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        |SELECT source, n,
+        |  round(pow(CAST(n AS DOUBLE), 0.7)
+        |        / SUM(pow(CAST(n AS DOUBLE), 0.7)) OVER (), 6) AS weight
+        |FROM c ORDER BY source""".stripMargin,
+
+    // temperature sample replay: quotas from the rounded weights, rows
+    // by the same md5-of-key per-domain rank
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    round(pow(CAST(n AS DOUBLE), 0.7)
+        |          / SUM(pow(CAST(n AS DOUBLE), 0.7)) OVER (), 6) AS weight
+        |  FROM c),
+        |q AS (SELECT source,
+        |    least(n, CAST(round(300.0 * weight, 0) AS BIGINT)) AS take_n FROM w),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |WHERE rk <= take_n ORDER BY doc_id""".stripMargin,
 
     // A-ES weighted sample replay: same md5-uniform, same ln(u)/w key,
     // same (key DESC, id) top-100

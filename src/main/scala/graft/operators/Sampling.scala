@@ -82,6 +82,82 @@ object Sampling {
       .drop("_wkey")
   }
 
+  /** Deterministic global shuffle into `nShards` output shards for
+    * training-data export: shard = md5-bucket of the row key, in-shard
+    * position = rank of the full md5 digest. The permutation is a pure
+    * function of (salt, key) — re-runs, re-partitions, and other engines
+    * produce the identical shard/seq assignment, so an export can be
+    * resumed or replicated byte-for-byte, and changing the salt reshuffles
+    * epochs without touching the data.
+    *
+    * Scale shape: one shuffle keyed on the shard (uniform by
+    * construction — md5 buckets are balanced, so no skew regardless of
+    * key distribution), then a per-shard sort for `row_number` — the
+    * sort is within-shard only, never global. With nShards sized to the
+    * cluster (e.g. 10k shards over 100 TB) each shard sorts ~10 GB,
+    * spill-safe, all shards in parallel.
+    */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    // 15 hex chars = 60 bits: always positive in a Long, % is safe
+    val shard = conv(substring(digest, 1, 15), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy("shard").orderBy(digest, col(keyCol))
+    df.withColumn("shard", shard)
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /** Temperature-based source mixing (the multi-corpus reweighting used
+    * for LLM training mixtures): per-domain weight w_d ∝ n_d^alpha,
+    * normalized. alpha = 1 keeps natural proportions, alpha -> 0
+    * flattens toward uniform, the usual range is 0.3–0.8 to up-sample
+    * small high-quality sources. Returns one row per domain:
+    * (domain, n, weight) with weight rounded at 6 dp (pow/sum are the
+    * only non-exact ops; both engines round the same value).
+    *
+    * Shape: one hash aggregation on the domain (map-side combined) to a
+    * domain-bounded table; the normalizing sum is a window over that
+    * bounded set, not a rescan.
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("_w", pow(col("n").cast("double"), alpha))
+      .withColumn("weight", round(col("_w") / sum("_w").over(Window.partitionBy()), 6))
+      .drop("_w")
+  }
+
+  /** Materialize a temperature-mixed corpus of ~`budget` rows: each
+    * domain contributes round(budget · weight_d) rows (capped at the
+    * domain's size), chosen in md5-of-key order — content-addressed like
+    * every sampler here, so the mixture is reproducible anywhere.
+    *
+    * Shape: the domain-bounded weights table broadcasts onto the data;
+    * the per-domain rank is one shuffle on the domain + within-partition
+    * sort. Domains are few and possibly skewed: the biggest domain
+    * bounds the sort, which is the inherent cost of exact per-domain
+    * quotas (for rate-based mixing without a shuffle use
+    * [[stratifiedSample]]).
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+                        alpha: Double, budget: Long,
+                        salt: String = "tmix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = temperatureWeights(df, domainCol, alpha)
+      .withColumn("_take", least(col("n"),
+        round(lit(budget.toDouble) * col("weight"), 0).cast("long")))
+      .select(col(domainCol), col("_take"))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), col(keyCol))
+    df.join(broadcast(quota), domainCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk", "_take")
+  }
+
   /** Keep the rows at or above the `q`-quantile of `valueCol`, with the
     * threshold computed EXACTLY as min{v : F(v) >= q} — the right scale
     * shape for the low-cardinality metrics gating pipelines actually

@@ -81,6 +81,48 @@ class SamplingSpec extends SparkSpecBase {
       ("the", "dog", 5L, 1.791759)))
   }
 
+  test("shuffleShard is a deterministic permutation: stable across layouts, dense seq") {
+    val df = spark.range(1000).toDF("id")
+    val a = Sampling.shuffleShard(df, "id", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.shuffleShard(df.repartition(13), "id", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)                                  // layout-independent
+    assert(a.map(_._2).distinct.sorted == (0L to 7L))
+    // seq is dense 1..count(shard) within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size))
+    }
+    // shards are balanced (md5 buckets): no shard over 2x the mean
+    val sizes = a.groupBy(_._2).values.map(_.size)
+    assert(sizes.max <= 2 * (1000 / 8))
+    // a different salt is a different permutation
+    val c = Sampling.shuffleShard(df, "id", 8, salt = "epoch2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(c != a)
+  }
+
+  test("temperature mixing flattens toward uniform as alpha drops") {
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
+      .zipWithIndex.map(_.swap).toDF("id", "dom")
+    val w1 = Sampling.temperatureWeights(df, "dom", 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val w3 = Sampling.temperatureWeights(df, "dom", 0.3)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(w1("big") - 0.9) < 1e-6 && math.abs(w1("small") - 0.1) < 1e-6)
+    assert(w3("small") > 0.1 && w3("big") < 0.9)    // flattened
+    assert(math.abs(w3("small") + w3("big") - 1.0) < 1e-5)
+    // sampled corpus honors the quotas (capped at domain size)
+    val out = Sampling.temperatureSample(df, "dom", "id", 0.3, 500)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(out("big") == math.round(500 * w3("big")))
+    assert(out("small") == math.min(100L, math.round(500 * w3("small")))) // capped at domain size
+    // determinism under re-partitioning
+    val again = Sampling.temperatureSample(df.repartition(7), "dom", "id", 0.3, 500)
+    assert(Sampling.temperatureSample(df, "dom", "id", 0.3, 500)
+      .select("id").exceptAll(again.select("id")).isEmpty)
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     val df = spark.range(30000)
       .withColumn("stratum",
