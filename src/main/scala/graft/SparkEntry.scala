@@ -643,6 +643,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("doc_id", "rank")),
 
+    // ---- full Gopher quality-rule gate (Rae et al. 2021 A1.1) ----
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "stop_hits", "r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+          "r_ellipsis", "r_alpha", "r_stopwords", "keep")
+        .orderBy("doc_id")),
+
     // ---- top PMI bigram collocations over the corpus ----
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), "text",
@@ -1626,6 +1635,52 @@ object SparkEntry {
         |    ORDER BY score DESC, term) AS "rank" FROM sc)
         |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+
+    // Gopher rules: identical ASCII tokenization, exact int/int IEEE
+    // ratios, same null-text semantics (rules null, keep false)
+    "q_gopher_rules" -> {
+      val stopHits = TextAnalysis.gopherStopwords.map(s =>
+        s"CASE WHEN list_contains(list_transform(words, x -> lower(x)), '$s') " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \\t\\r\\n]+'), x -> x <> '') AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+        |    END AS mean_word_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(regexp_extract_all(text, '#'))
+        |         + len(regexp_extract_all(text, '(\\.\\.\\.|\\x{2026})')) AS DOUBLE)
+        |        / len(words)
+        |    END AS symbol_ratio,
+        |    CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '^[-*\\x{2022}]'))) AS DOUBLE)
+        |      / len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '(\\.\\.\\.|\\x{2026})${"$"}'))) AS DOUBLE)
+        |      / len(lines) AS ellipsis_line_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |        / len(words)
+        |    END AS alpha_word_frac,
+        |    $stopHits AS stop_hits
+        |  FROM w),
+        |r AS (SELECT *,
+        |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |    mean_word_len >= 3 AND mean_word_len <= 10 AS r_mean_len,
+        |    symbol_ratio < 0.1 AS r_symbol,
+        |    bullet_line_frac <= 0.9 AS r_bullet,
+        |    ellipsis_line_frac <= 0.3 AS r_ellipsis,
+        |    alpha_word_frac >= 0.8 AS r_alpha,
+        |    stop_hits >= 2 AS r_stopwords
+        |  FROM f)
+        |SELECT *, COALESCE(r_word_count AND r_mean_len AND r_symbol AND r_bullet
+        |    AND r_ellipsis AND r_alpha AND r_stopwords, FALSE) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     // PMI collocations: identical bigram/unigram counts, identical
     // association order ((cxy·nu)·nu)/((cx·cy)·nb), ln rounded at 6 dp

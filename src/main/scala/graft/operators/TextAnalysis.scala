@@ -64,6 +64,71 @@ object TextAnalysis {
            .otherwise(lit(0))).cast("double") / lit(10.0))
   }
 
+  /** The required-stopword set of Gopher rule 7 (Rae et al. 2021,
+    * table A1): a document must contain at least 2 of these.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Full Gopher document-quality rule set (Rae et al. 2021 §A1.1,
+    * "Quality filtering"): per-document boolean gates plus the
+    * composite `keep`.
+    *
+    *   r1 50 ≤ word count ≤ 100000          r5 ≤30% lines end "..."
+    *   r2 3 ≤ mean word length ≤ 10         r6 ≥80% words have a letter
+    *   r3 symbol-to-word ratio < 0.1        r7 ≥2 required stopwords
+    *   r4 ≤90% of lines start with a bullet
+    *
+    * Everything is a narrow per-row expression over codegen'd built-ins
+    * plus two per-row higher-order folds (word-length sum, stopword
+    * membership) — linear, shuffle-free, scan-fused at any scale. The
+    * character classes are explicit ASCII (no \\s shorthand) so RE2
+    * engines tokenize identically; ratios are exact int/int IEEE
+    * divisions — no rounding needed for cross-engine equality. Null
+    * text fails the gate (`keep` = false, rule columns null).
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "[ \\t\\r\\n]+"), w => w =!= "")
+    val lines = split(text, "\n")
+    val out = df
+      .withColumn("n_words", size(words))
+      .withColumn("mean_word_len",
+        when(size(words) > 0,
+          aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") /
+            size(words)))
+      .withColumn("symbol_ratio",
+        when(size(words) > 0,
+          (size(regexp_extract_all(text, lit("#"), lit(0))) +
+            size(regexp_extract_all(text, lit("(\\.\\.\\.|\\x{2026})"), lit(0))))
+            .cast("double") / size(words)))
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l => trim(l).rlike("^[-*\\x{2022}]"))).cast("double") /
+          size(lines))
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|\\x{2026})$"))).cast("double") /
+          size(lines))
+      .withColumn("alpha_word_frac",
+        when(size(words) > 0,
+          size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / size(words)))
+      .withColumn("stop_hits",
+        gopherStopwords.map(s =>
+          when(array_contains(transform(words, lower(_)), s), 1).otherwise(0))
+          .reduce(_ + _))
+    out
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len", col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+      .withColumn("r_symbol", col("symbol_ratio") < 0.1)
+      .withColumn("r_bullet", col("bullet_line_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_line_frac") <= 0.3)
+      .withColumn("r_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stopwords", col("stop_hits") >= 2)
+      .withColumn("keep", coalesce(
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"), lit(false)))
+  }
+
   /** Language-ID stopword regexes per language (RE2-compatible, usable
     * verbatim in DuckDB oracles).
     */

@@ -143,6 +143,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r)
   }
 
+  test("gopherRules gates each documented failure mode") {
+    val good = (("the data and results show that we have measured " * 8) +
+      "a clear effect with strong confidence in every trial we ran").trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to keep"),                   // r_word_count
+      (3L, ("- item one\n" * 10).trim),            // bullet lines + word count
+      (4L, good + (" ###### ##### ####" * 30)),    // symbol ratio
+      (5L, null.asInstanceOf[String]))             // null text: keep = false
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "text")
+      .select("doc_id", "keep", "r_word_count", "r_symbol", "r_bullet")
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.isNullAt(2) || x.getBoolean(2),
+         x.isNullAt(3) || x.getBoolean(3), x.isNullAt(4) || x.getBoolean(4)))
+      .toMap
+    assert(r(1L)._1)                               // good doc kept
+    assert(!r(2L)._1 && !r(2L)._2)                 // short doc fails word count
+    assert(!r(3L)._1 && !r(3L)._4)                 // bullet doc fails bullet rule
+    assert(!r(4L)._1 && !r(4L)._3)                 // symbol doc fails symbol rule
+    assert(!r(5L)._1)                              // null text never kept
+  }
+
   test("winnowing fingerprints overlap heavily for locally-edited text") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home"
     val b = "the quick brown fox jumps over the lazy cat and runs far away home"
