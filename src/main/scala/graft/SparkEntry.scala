@@ -632,6 +632,11 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // ---- cross-source contamination matrix (pairwise shared 5-grams) ----
+    "q_contamination_matrix" -> ((s, dir) =>
+      TextAnalysis.contaminationMatrix(t(s, dir, "documents"), "text", "source", 5)
+        .orderBy("src1", "src2")),
+
     // ---- duplicate n-gram fraction (Lee et al. ACL'22 repetition gate) ----
     "q_dup_ngrams" -> ((s, dir) =>
       TextAnalysis.duplicateNgramFraction(t(s, dir, "documents"), "text", "doc_id", 5)
@@ -1227,6 +1232,24 @@ object SparkEntry {
         |  bj.matched_id IS NULL AS is_novel
         |FROM newd n LEFT JOIN bj ON bj.new_id = n.doc_id
         |ORDER BY new_id""".stripMargin,
+
+    // contamination matrix: same distinct (source, 5-gram) set, same
+    // pair join and overlap coefficient (exact int/int division)
+    "q_contamination_matrix" ->
+      s"""WITH tks AS (SELECT source, $toksSql AS tk FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(
+        |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |                tk[i+3] || ' ' || tk[i+4])) END) AS gram
+        |  FROM tks),
+        |s AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        |p AS (SELECT a.source AS src1, b.source AS src2, count(*) AS shared_grams
+        |  FROM g a JOIN g b USING (gram) WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT src1, src2, shared_grams, s1.n_grams AS n1, s2.n_grams AS n2,
+        |  CAST(shared_grams AS DOUBLE) / least(s1.n_grams, s2.n_grams) AS overlap
+        |FROM p JOIN s s1 ON s1.source = src1 JOIN s s2 ON s2.source = src2
+        |ORDER BY src1, src2""".stripMargin,
 
     // duplicate n-gram fraction truth: distinct per-doc 5-gram shingles
     // (whole-text fallback under 5 tokens), corpus document counts

@@ -187,8 +187,14 @@ object TextAnalysis {
     * Spark 3+, which would otherwise slip past the `=== 0` guards.
     */
   def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // materialize the token array ONCE per row: passing the raw
+    // tokens(text) expression into the bigram lambda would inline the
+    // full tokenizer into every slice() evaluation — O(len²) per doc
+    // (Catalyst keeps this projection because the alias is expensive
+    // and multi-referenced, SPARK-36718)
+    val toks = col("_tk")
     val base = df
+      .withColumn("_tk", tokens(col(textCol)))
       .withColumn("n_tokens", coalesce(size(toks), lit(0)))
       .withColumn("dup_token_frac", coalesce(
         when(size(toks) === 0, lit(0.0)).otherwise(
@@ -209,7 +215,7 @@ object TextAnalysis {
       .withColumn("top_bigram_frac",
         col("top_bigram_n").cast("double") * length(col("top_bigram")) /
           greatest(length(col(textCol)), lit(1)))
-      .drop("_bgs")
+      .drop("_bgs", "_tk")
   }
 
   /** Deterministic content-addressed split bucket in [0, 100): the first
@@ -248,17 +254,23 @@ object TextAnalysis {
     * top-k compiles to TakeOrderedAndProject — no global sort.
     */
   def collocations(df: DataFrame, textCol: String, minCount: Int, k: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val uni = df.select(explode(toks).as("term"))
+    // tokenize ONCE per row into a kept projection: inlining
+    // tokens(text) into the bigram lambda would re-run the tokenizer
+    // inside every slice() — O(len²) per doc (see repetitionFeatures)
+    val tk = df.select(tokens(col(textCol)).as("_tk"))
+    val uni = tk.select(explode(col("_tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c1"))
-    val pairCounts = df.select(explode(bigrams(toks)).as("gram"))
+    // both totals and both unigram joins read these same two
+    // aggregates, so their shuffle exchanges are plan-identical and
+    // exchange reuse evaluates each corpus explode once per pass
+    val allGramCounts = tk.select(explode(bigrams(col("_tk"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cxy"))
+    val pairCounts = allGramCounts
       .filter(col("cxy") >= minCount)
       .withColumn("w1", split(col("gram"), " ").getItem(0))
       .withColumn("w2", split(col("gram"), " ").getItem(1))
     val nUni = uni.agg(sum("c1").cast("double").as("_nu"))
-    val nBi = df.select(explode(bigrams(toks)).as("g"))
-      .agg(count(lit(1)).cast("double").as("_nb"))
+    val nBi = allGramCounts.agg(sum("cxy").cast("double").as("_nb"))
     pairCounts
       .join(uni.select(col("term").as("w1"), col("c1").as("cx")), "w1")
       .join(uni.select(col("term").as("w2"), col("c1").as("cy")), "w2")
@@ -479,6 +491,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Pairwise cross-group contamination matrix: for every group pair
+    * (g1 < g2) the number of distinct word `n`-grams they share, each
+    * group's distinct-gram count, and the overlap coefficient
+    * shared / min(|g1|, |g2|) — the corpus-level view of benchmark or
+    * split contamination ([[graft.operators.Dedup]] handles the
+    * per-document form; this ranks SOURCE pairs by leakage).
+    *
+    * Shape: one (group, gram)-distinct aggregation (gram-keyed shuffle,
+    * map-side combined), a self-equi-join on the gram — per-gram
+    * amplification bounded by #groups², fine for the source/split/shard
+    * groupings this is for — then a #groups²-bounded pair aggregation;
+    * the per-group totals are a #groups-bounded broadcast. Exact
+    * int/int division, no rounding needed cross-engine.
+    */
+  def contaminationMatrix(df: DataFrame, textCol: String, groupCol: String,
+                          n: Int = 5): DataFrame = {
+    val grams = df.select(col(groupCol).as("grp"),
+      explode(graft.functions.WordShingles(col(textCol), n)).as("gram")).distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
+    grams.select(col("grp").as("src1"), col("gram"))
+      .join(grams.select(col("grp").as("src2"), col("gram")), "gram")
+      .filter(col("src1") < col("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes.select(col("grp").as("src1"), col("n_grams").as("n1"))), "src1")
+      .join(broadcast(sizes.select(col("grp").as("src2"), col("n_grams").as("n2"))), "src2")
+      .withColumn("overlap",
+        col("shared_grams").cast("double") / least(col("n1"), col("n2")))
+      .select("src1", "src2", "shared_grams", "n1", "n2", "overlap")
   }
 
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {

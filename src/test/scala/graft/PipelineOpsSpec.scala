@@ -143,6 +143,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r)
   }
 
+  test("contaminationMatrix counts shared distinct n-grams per group pair") {
+    val shared = "alpha beta gamma delta epsilon zeta"   // 2 distinct 5-grams
+    val docs = Seq(
+      (1L, "a", shared),
+      (2L, "a", "one two three four five six"),          // 2 grams, a-only
+      (3L, "b", shared),                                  // leaks into b
+      (4L, "b", "red green blue cyan magenta"),           // 1 gram (5 tokens)
+      (5L, "c", "totally different text here now")        // no overlap
+    ).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.contaminationMatrix(docs, "text", "src", 5)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // a: 4 distinct grams, b: 3, shared(a,b) = 2 -> overlap 2/3
+    val ab = out(("a", "b"))
+    assert(ab._3 == 2L && ab._4 == 4L && ab._5 == 3L)
+    assert(math.abs(ab._6 - 2.0 / 3.0) < 1e-12)
+    // no row for pairs with zero shared grams
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+  }
+
   test("gopherRules gates each documented failure mode") {
     val good = (("the data and results show that we have measured " * 8) +
       "a clear effect with strong confidence in every trial we ran").trim
