@@ -94,6 +94,43 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected the 1-row threshold broadcast back:\n$p")
   }
 
+  test("shuffleShard is one hash exchange on the shard key, no global sort") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(Sampling.shuffleShard(docs.select("doc_id"), "doc_id", 8))
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) <= 1 &&
+      p.contains("Exchange hashpartitioning(shard"),
+      s"expected exactly one shard-keyed exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no global sort (in-shard sort only):\n$p")
+  }
+
+  test("histogram's second scan is pruned to the value column; bounded agg keys") {
+    val li = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(graft.operators.Profile.histogram(li, "doc_id", 16))
+    // both scans read only doc_id
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("doc_id") && !s.contains("text")),
+      s"expected value-column-pruned scans:\n${schemas.mkString("\n")}")
+    // 1-row bounds side is broadcast, never shuffled wide
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast bounds join:\n$p")
+  }
+
+  test("collocations global top-k is TakeOrdered, never a global sort") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(TextAnalysis.collocations(docs, "text", 2, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k with driver merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no global sort:\n$p")
+    // the bigram lambda must reference the materialized token array,
+    // not re-tokenize: no split( call inside a slice( argument
+    assert(!p.contains("slice(filter(split("),
+      s"expected bigrams over the materialized token column:\n$p")
+  }
+
   test("rowChanges is a single full-outer join: one exchange per side, no extra pass") {
     val oldDf = spark.range(500).select($"id".as("pk"), ($"id" % 7).as("a"), ($"id" % 11).as("b"))
     val newDf = spark.range(400).select($"id".as("pk"), ($"id" % 5).as("a"), ($"id" % 11).as("b"))
