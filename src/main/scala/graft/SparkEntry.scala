@@ -924,6 +924,23 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
+    // ---- log compaction: latest record per key, deterministic tie ----
+    "q_compact_latest" -> ((s, dir) =>
+      ChangeCapture.compactLatest(Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+
+    // ---- market-basket pair co-occurrence over order lines ----
+    "q_basket_pairs" -> ((s, dir) =>
+      EventAnalytics.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .orderBy("item1", "item2")),
+
+    // ---- exact per-group quantiles (interpolated percentile) ----
+    "q_grouped_quantiles" -> ((s, dir) =>
+      EventAnalytics.groupedQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag")),
+
     // ---- first-order Markov transitions over each user's timeline ----
     "q_event_transitions" -> ((s, dir) =>
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
@@ -2029,6 +2046,32 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    // log compaction: same (ts DESC, event_id DESC) per-key rank
+    "q_compact_latest" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM r
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // basket pairs: same distinct (basket, item) set, same pair join
+    "q_basket_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |p AS (SELECT x.i AS item1, y.i AS item2, count(*) AS n_baskets
+        |  FROM bi x JOIN bi y USING (bk) WHERE x.i < y.i GROUP BY 1, 2)
+        |SELECT * FROM p WHERE n_baskets >= 2 ORDER BY item1, item2""".stripMargin,
+
+    // grouped exact quantiles: linear interpolation on both engines,
+    // rounded at 6 dp
+    "q_grouped_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Markov transitions: same (ts, event_id)-ordered lead, same
     // bounded (from, to) aggregation, probability rounded at 6 dp

@@ -54,4 +54,28 @@ object ChangeCapture {
       when(changeType === "changed", size(diffs)).otherwise(lit(0))
         .cast("long").as("n_changed"))
   }
+
+  /** Log compaction: the latest record per key from an append-only
+    * event/changelog table — ordered by `tsCol` with `tieCol` breaking
+    * equal timestamps, so the winner is deterministic and the operator
+    * is oracle-able. The everyday "current state from a CDC stream /
+    * event log" materialization.
+    *
+    * Shape: one shuffle on the key + per-key local sort for
+    * `row_number` — the minimum for exact per-key argmax. Map-side
+    * pre-aggregation can't apply to whole-row winners, but the window
+    * sorts within partitions only (no global sort), and key cardinality
+    * at 100 TB spreads uniformly. For the timestamp-only form a
+    * max-struct aggregation would save the sort; the window form keeps
+    * EVERY column without packing them into a struct aggregate.
+    */
+  def compactLatest(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
 }

@@ -119,6 +119,43 @@ object EventAnalytics {
         (col("n").cast("double") / col("total")).as("share"))
   }
 
+  /** Market-basket pair co-occurrence (frequent-itemset mining at
+    * k = 2): for every unordered item pair {a < b}, the number of
+    * baskets containing both, kept at `minSupport` baskets or more.
+    *
+    * Shape: one (basket, item)-distinct aggregation, then a self
+    * equi-join on the basket — pair amplification is quadratic in
+    * BASKET size (physically bounded: a basket is a cart/order, tens
+    * of items), never in item or basket count — then a hash
+    * aggregation on the pair with map-side combine. The classic a-priori
+    * candidate generation; deterministic, no sampling.
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   minSupport: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    bi.select(col("b"), col("i").as("item1"))
+      .join(bi.select(col("b"), col("i").as("item2")), "b")
+      .filter(col("item1") < col("item2"))
+      .groupBy("item1", "item2").agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
+
+  /** Exact per-group quantiles (interpolated, SQL `percentile`
+    * semantics): one row per group with a column per requested q.
+    * One shuffle on the group key; the exact percentile aggregate
+    * buffers the group's values — right for grouped analytics where
+    * groups are value-bounded (flags, categories). For monster groups
+    * use `percentile_approx` (sketched, bounded state) instead.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
+    val aggs = qs.map(q =>
+      round(expr(s"percentile($valueCol, ${q}D)"), 6)
+        .as(s"p${(q * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** First-order Markov transition matrix of the event-type sequence:
     * for each (from_type, to_type) pair of consecutive events within a
     * user's timeline, the transition count and probability

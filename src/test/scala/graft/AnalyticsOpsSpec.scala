@@ -125,6 +125,46 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(ours.nonEmpty && ours.size < df.select("user_id").distinct().count())
   }
 
+  test("compactLatest keeps exactly the latest record per key with id tie-break") {
+    val log = Seq(
+      (1L, 1L, "a", 1), (2L, 1L, "b", 3), (3L, 1L, "c", 2),   // winner: b (ts 3)
+      (5L, 2L, "x", 4), (4L, 2L, "y", 4),                      // tie ts: higher id wins
+      (6L, 3L, "only", 1))
+      .map { case (id, u, t, m) =>
+        (id, u, t, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.ChangeCapture
+      .compactLatest(log, "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, "b"), (2L, 5L, "x"), (3L, 6L, "only")))
+  }
+
+  test("coOccurrence counts baskets containing both items, within-basket dups collapse") {
+    val baskets = Seq(
+      (10L, "apple"), (10L, "beer"), (10L, "beer"),  // dup item collapses
+      (11L, "apple"), (11L, "beer"), (11L, "chips"),
+      (12L, "apple"), (12L, "chips"))
+      .toDF("basket", "item")
+    val out = EventAnalytics.coOccurrence(baskets, "basket", "item", 1)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("apple", "beer", 2L),     // baskets 10, 11
+      ("apple", "chips", 2L),    // baskets 11, 12
+      ("beer", "chips", 1L)))    // basket 11
+    // support filter
+    assert(EventAnalytics.coOccurrence(baskets, "basket", "item", 2).count() == 2)
+  }
+
+  test("groupedQuantiles interpolates exactly per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    val out = EventAnalytics.groupedQuantiles(df, "g", "v", Seq(0.5, 0.75))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    // a: p50 = 2.5, p75 = 3.25 (linear interpolation); b: p50 = 15, p75 = 17.5
+    assert(out == Seq(("a", 2.5, 3.25), ("b", 15.0, 17.5)))
+  }
+
   test("transitionMatrix counts consecutive pairs per user with deterministic tie-break") {
     val events = Seq(
       // user 1: a -> b -> a (ordered by ts)
