@@ -924,6 +924,13 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
+    // ---- Z-order (Morton) clustering key for 2-D zone-map pruning ----
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          Layout.zOrderKey(col("p_partkey"), col("p_size")).as("z"))
+        .orderBy("z", "p_partkey")),
+
     // ---- log compaction: latest record per key, deterministic tie ----
     "q_compact_latest" -> ((s, dir) =>
       ChangeCapture.compactLatest(Tables.events(s, dir), "user_id", "ts", "event_id")
@@ -2046,6 +2053,25 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    // Morton key replay: the same 5-step mask/shift spread ladder in
+    // 64-bit integer ops (x even bits, y odd)
+    "q_zorder_key" ->
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    p_partkey & 2147483647 AS xa, CAST(p_size AS BIGINT) & 2147483647 AS ya
+        |  FROM part),
+        |s1 AS (SELECT *, (xa | (xa << 16)) & 281470681808895 AS xb,
+        |                 (ya | (ya << 16)) & 281470681808895 AS yb FROM b),
+        |s2 AS (SELECT *, (xb | (xb << 8)) & 71777214294589695 AS xc,
+        |                 (yb | (yb << 8)) & 71777214294589695 AS yc FROM s1),
+        |s3 AS (SELECT *, (xc | (xc << 4)) & 1085102592571150095 AS xd,
+        |                 (yc | (yc << 4)) & 1085102592571150095 AS yd FROM s2),
+        |s4 AS (SELECT *, (xd | (xd << 2)) & 3689348814741910323 AS xe,
+        |                 (yd | (yd << 2)) & 3689348814741910323 AS ye FROM s3),
+        |s5 AS (SELECT *, (xe | (xe << 1)) & 6148914691236517205 AS xf,
+        |                 (ye | (ye << 1)) & 6148914691236517205 AS yf FROM s4)
+        |SELECT p_partkey, p_size, xf | (yf << 1) AS z
+        |FROM s5 ORDER BY z, p_partkey""".stripMargin,
 
     // log compaction: same (ts DESC, event_id DESC) per-key rank
     "q_compact_latest" ->

@@ -180,6 +180,54 @@ class PlanAuditSpec extends SparkSpecBase {
   * in operators/Skew.scala: prove Spark's own mitigation engages on a
   * skewed sort-merge join when partition sizes trip the thresholds.
   */
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var a = v & 0x7FFFFFFFL
+      a = (a | (a << 16)) & 0x0000FFFF0000FFFFL
+      a = (a | (a << 8)) & 0x00FF00FF00FF00FFL
+      a = (a | (a << 4)) & 0x0F0F0F0F0F0F0F0FL
+      a = (a | (a << 2)) & 0x3333333333333333L
+      (a | (a << 1)) & 0x5555555555555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  test("zOrderKey equals the reference Morton code, including 31-bit extremes") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (0x7FFFFFFFL, 0x7FFFFFFFL))
+    val out = pts.toDF("x", "y")
+      .select($"x", $"y", graft.operators.Layout.zOrderKey($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect().toSeq
+    out.foreach { case (x, y, z) =>
+      assert(z == mortonRef(x, y), s"($x, $y)")
+      assert(z >= 0, "62-bit key must stay non-negative")
+    }
+  }
+
+  test("z-order chunks are compact squares; a single-column sort gives stripes") {
+    // 64x64 grid, 16 chunks of 256 points each
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    def maxSpan(sorted: Seq[(Long, Long)]): Long =
+      sorted.grouped(256).map { c =>
+        math.max(c.map(_._1).max - c.map(_._1).min,
+                 c.map(_._2).max - c.map(_._2).min)
+      }.max
+    val zSorted = pts.sortBy { case (x, y) => mortonRef(x, y) }
+    val rowMajor = pts.sortBy { case (x, y) => x * 64 + y }
+    assert(maxSpan(zSorted) == 15)     // aligned 16x16 quadrant blocks
+    assert(maxSpan(rowMajor) == 63)    // full-height stripes: one dim never prunes
+    // the engine agrees with the reference ordering end to end
+    val viaSpark = pts.toDF("x", "y")
+      .orderBy(graft.operators.Layout.zOrderKey($"x", $"y"))
+      .as[(Long, Long)].collect().toSeq
+    assert(viaSpark.map(p => mortonRef(p._1, p._2)) ==
+      zSorted.map(p => mortonRef(p._1, p._2)))
+  }
+}
+
 class AqeSkewJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
