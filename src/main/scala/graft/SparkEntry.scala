@@ -924,6 +924,27 @@ object SparkEntry {
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
 
+    // ---- A-class filter-aggregate (TPC-H Q6 shape): every predicate
+    //      pushed to the scan, decimal-exact revenue sum ----
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(8,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // ---- exact triangle counts on the co-purchase graph ----
+    "q_triangles" -> ((s, dir) => {
+      val edges = EventAnalytics
+        .coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .select(col("item1").as("src"), col("item2").as("dst"))
+      Graph.triangleCounts(edges).orderBy("id")
+    }),
+
     // ---- Z-order (Morton) clustering key for 2-D zone-map pruning ----
     "q_zorder_key" -> ((s, dir) =>
       t(s, dir, "part")
@@ -2053,6 +2074,30 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    // TPC-H Q6: same decimal-exact arithmetic as q1/q3
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // triangle truth: same low->high orientation, wedge join, closure
+    "q_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |e AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y USING (bk)
+        |  WHERE x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |w AS (SELECT e1.a, e1.b AS w1, e2.b AS w2
+        |  FROM e e1 JOIN e e2 USING (a) WHERE e1.b < e2.b),
+        |t AS (SELECT w.a, w.w1, w.w2 FROM w
+        |  JOIN e ON e.a = w.w1 AND e.b = w.w2),
+        |n AS (SELECT unnest([a, w1, w2]) AS id FROM t)
+        |SELECT id, count(*) AS n_triangles FROM n GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // Morton key replay: the same 5-step mask/shift spread ladder in
     // 64-bit integer ops (x even bits, y odd)

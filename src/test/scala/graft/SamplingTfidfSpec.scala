@@ -161,6 +161,25 @@ class TfidfSpec extends SparkSpecBase {
   }
 }
 
+class TriangleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("triangleCounts is exact on a known graph, robust to dups/orientation/self-loops") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    // and noise: duplicate edges, reversed orientation, a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L),      // reverse duplicate
+      (3L, 1L),      // reverse duplicate
+      (4L, 5L),      // pendant edge: no triangle
+      (5L, 5L))      // self-loop: ignored
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+}
+
 class PageRankSpec extends SparkSpecBase {
   import spark.implicits._
 
