@@ -216,6 +216,50 @@ object StreamingSessionize {
   }
 }
 
+/** Current latest-record snapshot row for one key (streaming log
+  * compaction output).
+  */
+final case class LatestOut(
+    user_id: Long, event_id: Long, event_type: String, value: Double,
+    ts: java.sql.Timestamp)
+
+/** Streaming twin of [[graft.operators.ChangeCapture.compactLatest]]:
+  * maintain the latest record per key over an event stream with
+  * `mapGroupsWithState` in Update mode — each micro-batch re-emits the
+  * keys it touched with their current winner under the same
+  * (ts, event_id) ordering as the batch operator. State per key is ONE
+  * record (the reigning winner), so total state is bounded by key
+  * cardinality and never grows with stream length; no watermark is
+  * needed because compaction semantics WANT late data (a late-arriving
+  * newer record must still win).
+  */
+object StreamingCompactLatest {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+  def apply(events: DataFrame): Dataset[LatestOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("value").cast("double"),
+        col("ts").cast("timestamp"))
+      .as[LatestOut]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[LatestOut], state: GroupState[LatestOut]) => {
+          def newer(a: LatestOut, b: LatestOut): Boolean =
+            a.ts.getTime > b.ts.getTime ||
+              (a.ts.getTime == b.ts.getTime && a.event_id > b.event_id)
+          var best = state.getOption.orNull
+          rows.foreach { r => if (best == null || newer(r, best)) best = r }
+          state.update(best)
+          best
+        })
+  }
+}
+
 /** One finalized (user, day, count) row — zero-count rows mark gap days. */
 final case class DayCount(user_id: Long, day: java.sql.Date, n_events: Long)
 

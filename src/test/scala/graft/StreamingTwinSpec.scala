@@ -37,6 +37,61 @@ class StreamingDedupSpec extends SparkSpecBase {
   }
 }
 
+class StreamingCompactLatestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming compaction converges to the batch latest-per-key, late data included") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = graft.streaming.StreamingCompactLatest(events)
+      .writeStream.format("memory").queryName("compact").outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, 1L, "a", 1.0, ts("2024-01-01 10:00:00")),
+        (2L, 1L, "b", 2.0, ts("2024-01-01 11:00:00")),
+        (3L, 2L, "x", 3.0, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      mem.addData(
+        // LATE arrival for user 1, but older than the reigning winner
+        (4L, 1L, "late-old", 9.0, ts("2024-01-01 10:30:00")),
+        // genuine newer record for user 2
+        (5L, 2L, "y", 4.0, ts("2024-01-01 12:00:00")),
+        // same-ts tie for user 2: higher event_id must win
+        (6L, 2L, "z", 5.0, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // memory sink in update mode appends each batch's updates: the
+      // LAST row per key is the current state
+      val state = spark.sql("SELECT * FROM compact")
+        .as[(Long, Long, String, Double, java.sql.Timestamp)].collect()
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      val batch = graft.operators.ChangeCapture.compactLatest(
+        Seq(
+          (1L, 1L, "a", 1.0, ts("2024-01-01 10:00:00")),
+          (2L, 1L, "b", 2.0, ts("2024-01-01 11:00:00")),
+          (3L, 2L, "x", 3.0, ts("2024-01-01 10:30:00")),
+          (4L, 1L, "late-old", 9.0, ts("2024-01-01 10:30:00")),
+          (5L, 2L, "y", 4.0, ts("2024-01-01 12:00:00")),
+          (6L, 2L, "z", 5.0, ts("2024-01-01 12:00:00")))
+          .toDF("event_id", "user_id", "event_type", "value", "ts"),
+        "user_id", "ts", "event_id")
+        .as[(Long, Long, String, Double, java.sql.Timestamp)].collect()
+        .map(r => r._2 -> r).toMap
+      assert(state.keySet == batch.keySet)
+      // streaming rows are (user_id, event_id, type, value, ts); batch
+      // keeps input order (event_id, user_id, type, value, ts)
+      state.foreach { case (u, s) =>
+        val b = batch(u)
+        assert((s._2, s._3, s._4) == (b._1, b._3, b._4), s"user $u")
+      }
+      assert(state(1L)._3 == "b")   // late-old never displaced the winner
+      assert(state(2L)._3 == "z")   // tie broken by event_id
+    } finally q.stop()
+  }
+}
+
 class StreamingAttributionSpec extends SparkSpecBase {
   import spark.implicits._
 
