@@ -952,6 +952,20 @@ object SparkEntry {
           Layout.zOrderKey(col("p_partkey"), col("p_size")).as("z"))
         .orderBy("z", "p_partkey")),
 
+    // ---- SCD type-2 history: validity intervals per key version ----
+    "q_scd_history" -> ((s, dir) =>
+      ChangeCapture.scdHistory(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "valid_from", "valid_to", "version",
+          "is_current")
+        .orderBy("user_id", "version")),
+
+    // ---- feature hashing: vocabulary-free sparse featurization ----
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), "text", "doc_id", 64)
+        .orderBy("doc_id", "bucket")),
+
     // ---- log compaction: latest record per key, deterministic tie ----
     "q_compact_latest" -> ((s, dir) =>
       ChangeCapture.compactLatest(Tables.events(s, dir), "user_id", "ts", "event_id")
@@ -2117,6 +2131,32 @@ object SparkEntry {
         |                 (ye | (ye << 1)) & 6148914691236517205 AS yf FROM s4)
         |SELECT p_partkey, p_size, xf | (yf << 1) AS z
         |FROM s5 ORDER BY z, p_partkey""".stripMargin,
+
+    // SCD2: same (ts, event_id)-ordered lead/rank in one window
+    "q_scd_history" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, t AS valid_from,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS BIGINT) AS version
+        |  FROM p)
+        |SELECT user_id, event_id, valid_from, valid_to, version,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // feature hashing replay: same md5 bucket and sign nibble,
+    // integer-exact signed counts
+    "q_feature_hash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(md5(term), 16, 1)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tk)
+        |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+        |FROM h GROUP BY 1, 2 HAVING sum(s) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     // log compaction: same (ts DESC, event_id DESC) per-key rank
     "q_compact_latest" ->

@@ -78,4 +78,25 @@ object ChangeCapture {
       .filter(col("_rk") === 1)
       .drop("_rk")
   }
+
+  /** Slowly-changing-dimension (type 2) history from an append-only
+    * change log: each record becomes a version row with
+    * `valid_from` = its own timestamp, `valid_to` = the next version's
+    * timestamp (null while current), plus `version` (1-based per key)
+    * and `is_current`. Ties on the timestamp break by `tieCol`, same
+    * ordering contract as [[compactLatest]].
+    *
+    * Shape: one shuffle on the key + within-partition sort; both window
+    * functions (lead, row_number) share the single window spec, so
+    * Catalyst evaluates them in one Window operator over one sort.
+    */
+  def scdHistory(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -493,6 +493,32 @@ object TextAnalysis {
       .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+    * project token counts into a fixed `dim`-bucket space with a
+    * md5-derived bucket and ±1 sign per term — the collision-unbiased
+    * sparse featurization that needs NO vocabulary pass, no fit step,
+    * and no driver state, which is what makes it the scale-safe
+    * baseline featurizer. Returns sparse triplets (id, bucket, weight),
+    * zero-sum buckets dropped; weights are exact integers.
+    *
+    * Shape: one explode → one (id, bucket)-keyed hash aggregation with
+    * map-side combine — shuffle bounded by nnz(output), not token
+    * instances. Content-addressed (md5), so any engine replays it.
+    */
+  def featureHash(df: DataFrame, textCol: String, idCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val term = col("term")
+    // 60-bit positive hash -> bucket; an independent digest nibble -> sign
+    val bucket = conv(substring(md5(term), 1, 15), 16, 10).cast("long") % dim
+    val sign = when(
+      conv(substring(md5(term), 16, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), bucket.as("bucket"), sign.as("s"))
+      .groupBy(idCol, "bucket").agg(sum("s").as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Pairwise cross-group contamination matrix: for every group pair
     * (g1 < g2) the number of distinct word `n`-grams they share, each
     * group's distinct-gram count, and the overlap coefficient

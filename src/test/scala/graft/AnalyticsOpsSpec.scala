@@ -140,6 +140,44 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq((1L, 2L, "b"), (2L, 5L, "x"), (3L, 6L, "only")))
   }
 
+  test("scdHistory builds contiguous validity intervals with one current version") {
+    val log = Seq(
+      (1L, 1L, 1), (2L, 1L, 3), (3L, 1L, 2),   // user 1: versions at minutes 1,2,3
+      (4L, 2L, 5))                              // user 2: single version
+      .map { case (id, u, m) =>
+        (id, u, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+      }.toDF("event_id", "user_id", "ts")
+    val out = graft.operators.ChangeCapture.scdHistory(log, "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "version", "is_current")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, false), (1L, 3L, 2L, false), (1L, 2L, 3L, true),
+      (2L, 4L, 1L, true)))
+    // interval chaining: each valid_to equals the next version's valid_from
+    val iv = graft.operators.ChangeCapture.scdHistory(log, "user_id", "ts", "event_id")
+      .filter($"user_id" === 1L).orderBy("version")
+      .select("valid_from", "valid_to")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].collect().toSeq
+    assert(iv(0)._2.contains(iv(1)._1) && iv(1)._2.contains(iv(2)._1) && iv(2)._2.isEmpty)
+  }
+
+  test("featureHash is deterministic, sparse, and count-preserving up to sign") {
+    val docs = Seq((1L, "alpha alpha"), (2L, "alpha"), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "beta")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.featureHash(docs, "text", "doc_id", 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byDoc = out.groupBy(_._1)
+    // single-term docs land in exactly one bucket with |weight| 1
+    assert(byDoc(2L).size == 1 && math.abs(byDoc(2L).head._3) == 1)
+    assert(byDoc(5L).size == 1 && math.abs(byDoc(5L).head._3) == 1)
+    // same term -> same bucket and sign: doc 1 is exactly 2x doc 2
+    assert(byDoc(1L) == byDoc(2L).map(r => (1L, r._2, 2 * r._3)))
+    // empty/null docs emit nothing
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // buckets within range
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+  }
+
   test("coOccurrence counts baskets containing both items, within-basket dups collapse") {
     val baskets = Seq(
       (10L, "apple"), (10L, "beer"), (10L, "beer"),  // dup item collapses
