@@ -131,6 +131,25 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected bigrams over the materialized token column:\n$p")
   }
 
+  test("scdHistory evaluates lead and row_number in ONE Window over one exchange") {
+    val log = spark.range(1000).select(($"id" % 50).as("k"), $"id".as("tie"),
+      ($"id" * 1000).cast("timestamp").as("ts"))
+    val p = planOf(graft.operators.ChangeCapture.scdHistory(log, "k", "ts", "tie"))
+    assert(p.linesIterator.count(_.trim.matches("^[+:]?-? *Window .*")) == 1 ||
+      p.split("Window ").length == 2,
+      s"expected a single Window operator:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected one key exchange:\n$p")
+  }
+
+  test("compactLatest filter sits above one window exchange, no re-shuffle") {
+    val log = spark.range(1000).select(($"id" % 50).as("k"), $"id".as("tie"),
+      ($"id" * 1000).cast("timestamp").as("ts"))
+    val p = planOf(graft.operators.ChangeCapture.compactLatest(log, "k", "ts", "tie"))
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one exchange:\n$p")
+  }
+
   test("rowChanges is a single full-outer join: one exchange per side, no extra pass") {
     val oldDf = spark.range(500).select($"id".as("pk"), ($"id" % 7).as("a"), ($"id" % 11).as("b"))
     val newDf = spark.range(400).select($"id".as("pk"), ($"id" % 5).as("a"), ($"id" % 11).as("b"))
