@@ -26,6 +26,11 @@ object Bench {
     // uncounted warmup: JIT/codegen + parquet footer reads, not query work
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // fault in the shuffle write/read path once: this host's first-touch
+    // pages are ~10x slower than reuse (see NOTES), so an uncounted
+    // shuffle keeps that cost out of the first measured queries
+    spark.range(4000000L).selectExpr("id % 1000 AS k", "id AS v")
+      .groupBy("k").count().count()
     // median of 3 runs per query: this host's timing variance is +/-2-3x
     // run-to-run, so a single contended window can inflate one run 10x;
     // the median absorbs one outlier per query

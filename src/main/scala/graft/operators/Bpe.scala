@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training and segmentation (Sennrich et
+  * al., ACL 2016) — the tokenizer-construction step of a training-data
+  * pipeline.
+  *
+  * Scale split, deliberately: the DISTRIBUTED part is the word-frequency
+  * aggregation (one explode + one map-side-combined hash aggregation over
+  * the full corpus — the only pass whose cost grows with data size). The
+  * merge loop then runs on the collected word-frequency table, which is
+  * VOCABULARY-sized by definition — BPE's training state (distinct words
+  * and their counts) does not grow with corpus size, so collecting it is
+  * the same design point as `ivfFit`'s sampled k-means: the 100 TB work
+  * stays in the cluster, the bounded model fits on the driver (this is
+  * how sentencepiece/HF trainers consume a pre-counted vocabulary too).
+  * Encoding distributes again: merges broadcast to executors,
+  * `mapPartitions` applies them per token — linear, no shuffle.
+  *
+  * Determinism: merge selection breaks ties by (count desc, pair
+  * lexicographic), so the merge table is a pure function of the corpus;
+  * encoding is a pure function of (merges, text). Spec-verified against
+  * hand-computed merges; no SQL oracle (the loop is iterative, outside
+  * SQL's reach — same verification class as the streaming twins).
+  */
+object Bpe {
+
+  /** One learned merge: rank is application priority (0 first). */
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** Learn `nMerges` merges from the corpus' word-frequency table.
+    * Words are lowercased [a-z0-9]+ tokens split into single characters
+    * (no end-of-word marker — segment counts compose across words).
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the only corpus-scale pass: token counts, map-side combined
+    val wordCounts: Array[(String, Long)] =
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+    var words: Array[(Vector[String], Long)] =
+      wordCounts.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    while (rank < nMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.result()
+      // deterministic: count desc, then pair lexicographic asc
+      val ((l, r), _) = pairCounts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      merges += Merge(rank, l, r)
+      val joined = l + r
+      words = words.map { case (syms, n) =>
+        if (syms.length < 2) (syms, n)
+        else {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+      }
+      rank += 1
+    }
+    merges.result()
+  }
+
+  /** Greedy BPE segmentation of every token: repeatedly merge the
+    * lowest-rank adjacent pair until none applies (the standard encode
+    * loop). Returns (id, n_tokens, n_pieces) — the corpus' tokenizer
+    * cost under the learned vocabulary. Merges ship to executors via
+    * broadcast; the work is a narrow `mapPartitions`.
+    */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rankOf = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val toks: Dataset[(Long, Seq[String])] = df
+      .select(col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+    toks.mapPartitions { it =>
+      val ranks = rankOf.value
+      def pieces(word: String): Int = {
+        var syms = word.map(_.toString).toVector
+        var done = false
+        while (!done && syms.length > 1) {
+          var bestRank = Int.MaxValue
+          var bestIdx = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; bestIdx = i }
+            i += 1
+          }
+          if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+          else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+            syms.drop(bestIdx + 2)
+        }
+        syms.length
+      }
+      it.map { case (id, words) =>
+        (id, words.size.toLong, words.map(w => pieces(w).toLong).sum)
+      }
+    }.toDF(idCol, "n_tokens", "n_pieces")
+  }
+}

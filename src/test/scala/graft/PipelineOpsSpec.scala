@@ -143,6 +143,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r)
   }
 
+  test("BPE trains the hand-computed merge sequence and encodes greedily") {
+    import graft.operators.Bpe
+    // word counts: "aa" x3, "ab" x1 -> pair (a,a)=3 wins merge 0;
+    // then only "ab" has a pair -> merge 1 = (a,b)
+    val docs = Seq((1L, "aa aa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 5) // asks for 5, corpus yields 2
+    assert(merges.map(m => (m.rank, m.left, m.right)) ==
+      Seq((0, "a", "a"), (1, "a", "b")))
+    // encode: "aab" -> [a,a,b] -> merge0 -> [aa, b] (no (aa,b) merge) = 2 pieces;
+    // "aa" -> 1 piece; "ba" has no applicable merge -> 2 pieces
+    val out = Bpe.encode(Seq((7L, "aab aa ba")).toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 3L, 5L)))
+    // ties break lexicographically: "xy" x2 vs "xz" x2 -> (x,y) first
+    val tie = Bpe.train(Seq((1L, "xy xy xz xz")).toDF("doc_id", "text"), "text", 1)
+    assert(tie.head.left == "x" && tie.head.right == "y")
+  }
+
   test("contaminationMatrix counts shared distinct n-grams per group pair") {
     val shared = "alpha beta gamma delta epsilon zeta"   // 2 distinct 5-grams
     val docs = Seq(
