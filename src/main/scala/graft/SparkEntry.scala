@@ -952,6 +952,27 @@ object SparkEntry {
           Layout.zOrderKey(col("p_partkey"), col("p_size")).as("z"))
         .orderBy("z", "p_partkey")),
 
+    // ---- BPE planted truth: the merge loop's output on a corpus whose
+    //      merge sequence is hand-derivable (same class as q_planted_*) ----
+    "q_bpe_planted" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Seq((1L, "aa aa"), (2L, "aa ab")).toDF("doc_id", "text")
+      val merges = Bpe.train(corpus, "text", 5) // corpus exhausts at 2
+      val table = merges.map(m => (m.rank.toLong, m.left, m.right))
+        .toDF("rank", "left_sym", "right_sym")
+      val enc = Bpe.encode(Seq((7L, "aab aa ba")).toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+      // one result set: merge rows + an encode summary row
+      table.select(lit("merge").as("kind"), col("rank"),
+          col("left_sym"), col("right_sym"))
+        .unionByName(enc.select(lit("encode").as("kind"),
+          col("n_tokens").as("rank"),
+          col("doc_id").cast("string").as("left_sym"),
+          col("n_pieces").cast("string").as("right_sym")))
+        .orderBy("kind", "rank")
+    }),
+
     // ---- SCD type-2 history: validity intervals per key version ----
     "q_scd_history" -> ((s, dir) =>
       ChangeCapture.scdHistory(
@@ -2131,6 +2152,17 @@ object SparkEntry {
         |                 (ye | (ye << 1)) & 6148914691236517205 AS yf FROM s4)
         |SELECT p_partkey, p_size, xf | (yf << 1) AS z
         |FROM s5 ORDER BY z, p_partkey""".stripMargin,
+
+    // BPE planted truth, hand-derived: word counts aa x3, ab x1 ->
+    // merge 0 = (a,a); only ab pairs remain -> merge 1 = (a,b);
+    // encode("aab aa ba") = 2 + 1 + 2 = 5 pieces over 3 tokens
+    "q_bpe_planted" ->
+      """SELECT * FROM (VALUES
+        |  ('encode', CAST(3 AS BIGINT), '7', '5'),
+        |  ('merge', CAST(0 AS BIGINT), 'a', 'a'),
+        |  ('merge', CAST(1 AS BIGINT), 'a', 'b'))
+        |AS t(kind, "rank", left_sym, right_sym)
+        |ORDER BY kind, "rank"""".stripMargin,
 
     // SCD2: same (ts, event_id)-ordered lead/rank in one window
     "q_scd_history" ->
