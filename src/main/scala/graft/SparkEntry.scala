@@ -982,6 +982,12 @@ object SparkEntry {
           "is_current")
         .orderBy("user_id", "version")),
 
+    // ---- skip-gram pairs: word2vec-style (center, context) counts ----
+    "q_skipgrams" -> ((s, dir) =>
+      TextAnalysis.skipGrams(t(s, dir, "documents"), "text", "doc_id",
+          window = 3, minCount = 5)
+        .orderBy("center", "context")),
+
     // ---- feature hashing: vocabulary-free sparse featurization ----
     "q_feature_hash" -> ((s, dir) =>
       TextAnalysis.featureHash(t(s, dir, "documents"), "text", "doc_id", 64)
@@ -2176,6 +2182,24 @@ object SparkEntry {
         |SELECT user_id, event_id, valid_from, valid_to, version,
         |  valid_to IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // skip-grams: same right-context window over the same token order
+    "q_skipgrams" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS center,
+        |    generate_subscripts(t, 1) AS pos FROM tk),
+        |c AS (SELECT center,
+        |    lead(center, 1) OVER win AS c1,
+        |    lead(center, 2) OVER win AS c2,
+        |    lead(center, 3) OVER win AS c3
+        |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (
+        |  SELECT center, c1 AS context FROM c WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL
+        |  UNION ALL SELECT center, c3 FROM c WHERE c3 IS NOT NULL)
+        |SELECT center, context, count(*) AS n FROM pairs
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY center, context""".stripMargin,
 
     // feature hashing replay: same md5 bucket and sign nibble,
     // integer-exact signed counts

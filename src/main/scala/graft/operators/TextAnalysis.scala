@@ -493,6 +493,37 @@ object TextAnalysis {
       .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
   }
 
+  /** Skip-gram co-occurrence counts (word2vec-style training pairs):
+    * ordered (center, context) pairs for every context within `window`
+    * positions to the RIGHT of the center, counted over the corpus.
+    * (Symmetric counts follow by summing both orientations; keeping
+    * orientation preserves information.)
+    *
+    * Shape: one posexplode, then `window` lead() calls that all share
+    * ONE window spec — Catalyst evaluates them in a single Window
+    * operator over a single (doc-keyed) shuffle+sort, so the pass is
+    * linear in token instances regardless of `window`; the final pair
+    * aggregation is map-side combined on vocabulary²-bounded keys
+    * (in practice the observed-pair set). No self-join, no per-doc
+    * quadratic blowup.
+    */
+  def skipGrams(df: DataFrame, textCol: String, idCol: String,
+                window: Int, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol).as("_doc"),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "center")))
+    val w = Window.partitionBy("_doc").orderBy("_pos")
+    val withCtx = (1 to window).foldLeft(pos) { (d, k) =>
+      d.withColumn(s"_ctx$k", lead(col("center"), k).over(w))
+    }
+    withCtx
+      .select(col("center"), explode(array_compact(
+        array((1 to window).map(k => col(s"_ctx$k")): _*))).as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
     * project token counts into a fixed `dim`-bucket space with a
     * md5-derived bucket and ±1 sign per term — the collision-unbiased

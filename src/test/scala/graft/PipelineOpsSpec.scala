@@ -143,6 +143,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r)
   }
 
+  test("skipGrams emits right-context pairs within the window, linear (one Window op)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipGrams(docs, "text", "doc_id", window = 2)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L),   // doc 1 and doc 2
+      ("a", "c", 1L),
+      ("b", "c", 1L), ("b", "d", 1L),
+      ("c", "d", 1L)))
+    // all lead() offsets share one Window operator: a single sort pass
+    val plan = TextAnalysis.skipGrams(docs, "text", "doc_id", window = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Window ").length == 2, s"expected one Window operator:\n$plan")
+  }
+
   test("BPE trains the hand-computed merge sequence and encodes greedily") {
     import graft.operators.Bpe
     // word counts: "aa" x3, "ab" x1 -> pair (a,a)=3 wins merge 0;
