@@ -1004,6 +1004,23 @@ object SparkEntry {
       EventAnalytics.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
         .orderBy("item1", "item2")),
 
+    // ---- grouped sketched quantiles checked against grouped exact:
+    //      the monster-group path (bounded state, partial merge) must
+    //      land within the sketch's rank-error bound per group ----
+    "q_grouped_quantiles_approx" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val rows = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5D)").as("exact_p50"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+        .collect()
+      // unit-spaced discrete domain: rank error <= n/accuracy bounds the
+      // VALUE to within one unit (same argument as q_approx_bounds)
+      rows.map(r => (r.getString(0),
+          math.abs(r.getDouble(2) - r.getDouble(1)) <= 1.0))
+        .toSeq.toDF("l_returnflag", "ok").orderBy("l_returnflag")
+    }),
+
     // ---- exact per-group quantiles (interpolated percentile) ----
     "q_grouped_quantiles" -> ((s, dir) =>
       EventAnalytics.groupedQuantiles(t(s, dir, "lineitem"), "l_returnflag",
@@ -2229,6 +2246,11 @@ object SparkEntry {
         |p AS (SELECT x.i AS item1, y.i AS item2, count(*) AS n_baskets
         |  FROM bi x JOIN bi y USING (bk) WHERE x.i < y.i GROUP BY 1, 2)
         |SELECT * FROM p WHERE n_baskets >= 2 ORDER BY item1, item2""".stripMargin,
+
+    // grouped sketch bound check: truth is "every group within bound"
+    "q_grouped_quantiles_approx" ->
+      """SELECT l_returnflag, true AS ok FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // grouped exact quantiles: linear interpolation on both engines,
     // rounded at 6 dp

@@ -247,6 +247,37 @@ class LayoutSpec extends SparkSpecBase {
   }
 }
 
+class ZOrderWriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("zOrderLayout files cover compact rectangles: the unsorted dimension prunes too") {
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def maxYSpan(dir: String): Long = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 6, s"expected ~8 output files, got ${files.length}")
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+        r.getLong(1) - r.getLong(0)
+      }.max
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    graft.operators.Layout.zOrderLayout(pts, "x", "y", nFiles = 8)
+      .write.mode("overwrite").parquet(zDir)
+    // linear baseline: sort by x only -> every file spans ALL of y
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    pts.repartitionByRange(8, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    val zSpan = maxYSpan(zDir)
+    val linSpan = maxYSpan(linDir)
+    assert(linSpan == 63, s"x-sorted files must span all of y, got $linSpan")
+    assert(zSpan <= 48, s"z-ordered files must stay block-compact in y, got $zSpan")
+    // a y-range filter can skip files via footer min/max under z-order,
+    // never under the single-column sort
+  }
+}
+
 class AqeSkewJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
