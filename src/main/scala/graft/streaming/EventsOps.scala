@@ -260,6 +260,71 @@ object StreamingCompactLatest {
   }
 }
 
+/** One space-saving counter: count is an UPPER bound on the key's true
+  * frequency; count − err is a lower bound (err is the evicted
+  * counter's value the key inherited on admission).
+  */
+final case class HeavyHitterOut(key: Long, count: Long, err: Long)
+
+private[streaming] final case class SpaceSavingState(
+    counts: Map[Long, Long], errs: Map[Long, Long])
+
+/** Streaming heavy hitters with bounded state: the space-saving
+  * algorithm (Metwally et al., ICDT 2005) sharded over `nBuckets`
+  * hash-partitioned summaries of `m` counters each. Total state is
+  * nBuckets × m counters — independent of key cardinality and stream
+  * length, the property the batch twin gets from `freqItems`. The
+  * standard guarantee applies per bucket: any key whose true count in
+  * the bucket exceeds (bucket stream length)/m is guaranteed present,
+  * and true_count ∈ [count − err, count].
+  *
+  * Update mode: each micro-batch re-emits the summaries of touched
+  * buckets; the latest emission per key is the current estimate.
+  */
+object StreamingHeavyHitters {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+  def apply(events: DataFrame, keyCol: String, m: Int = 64,
+            nBuckets: Int = 16): Dataset[HeavyHitterOut] = {
+    require(m > 0 && nBuckets > 0, "m and nBuckets must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("b"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SpaceSavingState]) => {
+          var st = state.getOption.getOrElse(
+            SpaceSavingState(Map.empty, Map.empty))
+          rows.foreach { case (k, _) =>
+            if (st.counts.contains(k)) {
+              st = st.copy(counts = st.counts.updated(k, st.counts(k) + 1))
+            } else if (st.counts.size < m) {
+              st = SpaceSavingState(st.counts.updated(k, 1L),
+                st.errs.updated(k, 0L))
+            } else {
+              // evict the minimum counter; deterministic tie by key
+              val (evictK, evictN) = st.counts.minBy { case (kk, nn) => (nn, kk) }
+              st = SpaceSavingState(
+                st.counts - evictK + (k -> (evictN + 1)),
+                st.errs - evictK + (k -> evictN))
+            }
+          }
+          state.update(st)
+          st.counts.iterator.map { case (k, n) =>
+            HeavyHitterOut(k, n, st.errs.getOrElse(k, 0L))
+          }
+        })
+  }
+}
+
 /** One finalized (user, day, count) row — zero-count rows mark gap days. */
 final case class DayCount(user_id: Long, day: java.sql.Date, n_events: Long)
 

@@ -92,6 +92,47 @@ class StreamingCompactLatestSpec extends SparkSpecBase {
   }
 }
 
+class StreamingHeavyHittersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("space-saving finds every true heavy key with bounded counters and valid bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // skewed stream: keys 1..3 heavy (300/200/100), keys 1000.. light noise
+    val heavy = Seq.fill(300)(1L) ++ Seq.fill(200)(2L) ++ Seq.fill(100)(3L)
+    val noise = (0 until 400).map(i => 1000L + i)
+    val data = scala.util.Random.shuffle(heavy ++ noise) // order must not matter
+    val events = mem.toDF().toDF("k")
+    val q = graft.streaming.StreamingHeavyHitters(events, "k", m = 16, nBuckets = 4)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      val (b1, b2) = data.splitAt(data.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // latest emission per key is the current estimate
+      val est = spark.sql("SELECT * FROM hh")
+        .collect().zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+      val truth = Map(1L -> 300L, 2L -> 200L, 3L -> 100L)
+      truth.foreach { case (k, n) =>
+        assert(est.contains(k), s"heavy key $k must be tracked")
+        val r = est(k)
+        val (count, err) = (r.getLong(1), r.getLong(2))
+        assert(count >= n && count - err <= n,
+          s"key $k: true $n must lie in [${count - err}, $count]")
+      }
+      // update-mode sink accumulates across batches (evicted keys keep
+      // their old rows), so bound the CONFIDENT set instead: keys whose
+      // lower bound clears the noise floor are exactly the heavy ones
+      val confident = est.collect {
+        case (k, r) if r.getLong(1) - r.getLong(2) >= 50 => k
+      }.toSet
+      assert(confident == truth.keySet,
+        s"lower-bound-confident set must be the true heavy keys, got $confident")
+    } finally q.stop()
+  }
+}
+
 class StreamingAttributionSpec extends SparkSpecBase {
   import spark.implicits._
 
