@@ -1027,6 +1027,10 @@ object SparkEntry {
           "l_quantity", Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("l_returnflag")),
 
+    // ---- top user paths: most common first-5 event-type prefixes ----
+    "q_user_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir), pathLen = 5, k = 20)),
+
     // ---- first-order Markov transitions over each user's timeline ----
     "q_event_transitions" -> ((s, dir) =>
       EventAnalytics.transitionMatrix(Tables.events(s, dir))
@@ -2261,6 +2265,15 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // user paths: same (ts, event_id)-ordered prefix, same top-20
+    "q_user_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    array_to_string(list(event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id)[1:5], '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // Markov transitions: same (ts, event_id)-ordered lead, same
     // bounded (from, to) aggregation, probability rounded at 6 dp

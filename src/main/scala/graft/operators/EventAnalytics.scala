@@ -156,6 +156,33 @@ object EventAnalytics {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Top-`k` user paths: the most common prefixes (first `pathLen`
+    * event types, in (ts, id) order) across users — the "what do users
+    * actually do first" query behind every onboarding analysis.
+    *
+    * Shape: one hash aggregation on the user collecting (ts, id, type)
+    * structs — per-group state bounded by user activity, the natural
+    * unit here — sorted per group by the struct's leading fields
+    * (deterministic under ties by construction), sliced to the prefix,
+    * then a path-keyed count with map-side combine and a TakeOrdered
+    * top-k. Two shuffles (user, path), no window sort of the full
+    * stream, no driver state.
+    */
+  def topPaths(events: DataFrame, pathLen: Int = 5, k: Int = 20,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(pathLen >= 1 && k >= 1, "pathLen and k must be positive")
+    events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(idCol), col(typeCol).as("t")))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(col("evs"), e => e.getField("t")), 1, pathLen)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix of the event-type sequence:
     * for each (from_type, to_type) pair of consecutive events within a
     * user's timeline, the transition count and probability

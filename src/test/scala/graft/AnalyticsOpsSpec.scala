@@ -203,6 +203,24 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq(("a", 2.5, 3.25), ("b", 15.0, 17.5)))
   }
 
+  test("topPaths counts ordered event-type prefixes across users") {
+    val events = Seq(
+      // users 1,2: same path a>b>c ; user 3: b>a (tie ts broken by id)
+      (1L, 1L, "a", 1), (2L, 1L, "b", 2), (3L, 1L, "c", 3),
+      (4L, 2L, "a", 1), (5L, 2L, "b", 2), (6L, 2L, "c", 3),
+      (8L, 3L, "a", 5), (7L, 3L, "b", 5))
+      .map { case (id, u, t, m) =>
+        (id, u, t, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.topPaths(events, pathLen = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b", 2L), ("b>a", 1L)))
+    // prefix truncation: pathLen 1 collapses users 1..2 and 3
+    val short = EventAnalytics.topPaths(events, pathLen = 1, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(short == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("transitionMatrix counts consecutive pairs per user with deterministic tie-break") {
     val events = Seq(
       // user 1: a -> b -> a (ordered by ts)
