@@ -1027,6 +1027,11 @@ object SparkEntry {
           "l_quantity", Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("l_returnflag")),
 
+    // ---- RFM quintile segmentation over purchase events ----
+    "q_rfm" -> ((s, dir) =>
+      EventAnalytics.rfmSegments(Tables.events(s, dir))
+        .orderBy("user_id")),
+
     // ---- top user paths: most common first-5 event-type prefixes ----
     "q_user_paths" -> ((s, dir) =>
       EventAnalytics.topPaths(Tables.events(s, dir), pathLen = 5, k = 20)),
@@ -2265,6 +2270,39 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // RFM: same decimal-exact monetary, same interpolated quintile
+    // thresholds, same strict-> comparisons
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    value FROM events WHERE event_type = 'purchase'),
+        |now_d AS (SELECT max(d) AS nowd FROM p),
+        |b AS (SELECT user_id,
+        |    date_diff('day', max(d), (SELECT nowd FROM now_d)) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY user_id),
+        |t AS (SELECT
+        |    quantile_cont(recency_days, 0.2) AS r2, quantile_cont(recency_days, 0.4) AS r4,
+        |    quantile_cont(recency_days, 0.6) AS r6, quantile_cont(recency_days, 0.8) AS r8,
+        |    quantile_cont(frequency, 0.2) AS f2, quantile_cont(frequency, 0.4) AS f4,
+        |    quantile_cont(frequency, 0.6) AS f6, quantile_cont(frequency, 0.8) AS f8,
+        |    quantile_cont(monetary, 0.2) AS m2, quantile_cont(monetary, 0.4) AS m4,
+        |    quantile_cont(monetary, 0.6) AS m6, quantile_cont(monetary, 0.8) AS m8
+        |  FROM b),
+        |s AS (SELECT user_id, recency_days, frequency, monetary,
+        |    6 - (1 + (recency_days > r2)::INT + (recency_days > r4)::INT
+        |           + (recency_days > r6)::INT + (recency_days > r8)::INT) AS r_score,
+        |    1 + (frequency > f2)::INT + (frequency > f4)::INT
+        |      + (frequency > f6)::INT + (frequency > f8)::INT AS f_score,
+        |    1 + (monetary > m2)::INT + (monetary > m4)::INT
+        |      + (monetary > m6)::INT + (monetary > m8)::INT AS m_score
+        |  FROM b, t)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+        |  monetary, r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
 
     // user paths: same (ts, event_id)-ordered prefix, same top-20
     "q_user_paths" ->

@@ -156,6 +156,47 @@ object EventAnalytics {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** RFM segmentation (recency / frequency / monetary quintiles), the
+    * standard customer-value grid. "Now" is the corpus' max event time
+    * (deterministic); monetary sums in decimal for cross-engine
+    * exactness; quintile scores come from four percentile THRESHOLDS
+    * broadcast back over the per-user table — never a global `ntile`
+    * sort, which would single-partition the user set at scale.
+    * Threshold comparisons are safe cross-engine: an interpolated
+    * threshold either equals a grid value exactly (frac = 0) or lies
+    * strictly between grid points, so `>` agrees regardless of
+    * last-ulp formula differences. R scores invert (recent = 5).
+    */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  typeCol: String = "event_type",
+                  purchaseType: String = "purchase"): DataFrame = {
+    val p = events.filter(col(typeCol) === purchaseType)
+    val now = p.agg(max(to_date(col(tsCol))).as("_now"))
+    val base = p.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(now))
+      .withColumn("recency_days", datediff(col("_now"), col("_last")).cast("long"))
+      .drop("_now", "_last")
+    val thAggs =
+      for (m <- Seq("recency_days", "frequency", "monetary"); q <- Seq(2, 4, 6, 8))
+        yield expr(s"percentile($m, 0.${q}D)").as(s"_t_${m}_$q")
+    val th = base.agg(thAggs.head, thAggs.tail: _*)
+    def scoreUp(m: String) =
+      (lit(1) +: Seq(2, 4, 6, 8).map(q =>
+        when(col(m) > col(s"_t_${m}_$q"), 1).otherwise(0))).reduce(_ + _)
+    base.crossJoin(broadcast(th))
+      .withColumn("r_score", lit(6) - scoreUp("recency_days"))
+      .withColumn("f_score", scoreUp("frequency"))
+      .withColumn("m_score", scoreUp("monetary"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .select(userCol, "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "segment")
+  }
+
   /** Top-`k` user paths: the most common prefixes (first `pathLen`
     * event types, in (ts, id) order) across users — the "what do users
     * actually do first" query behind every onboarding analysis.

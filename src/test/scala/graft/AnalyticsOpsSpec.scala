@@ -203,6 +203,32 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq(("a", 2.5, 3.25), ("b", 15.0, 17.5)))
   }
 
+  test("rfmSegments scores quintiles with recency inverted") {
+    // 10 users: user u purchases u times, value 10*u each, last purchase
+    // u days before the corpus max -> frequency/monetary rise with u,
+    // recency WORSENS with u
+    val rows = for (u <- 1 to 10; i <- 1 to u) yield
+      (u * 100L + i, u.toLong, "purchase", 10.0 * u,
+        java.sql.Timestamp.valueOf(f"2026-01-${31 - u}%02d 12:00:00"))
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .unionByName(Seq((9999L, 1L, "view", 1.0,
+        java.sql.Timestamp.valueOf("2026-01-31 00:00:00")))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")) // non-purchase ignored
+    val out = EventAnalytics.rfmSegments(events)
+      .as[(Long, Long, Long, Double, Int, Int, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 10)
+    // user 10: top frequency/monetary, worst recency
+    assert(out(10L)._6 == 5 && out(10L)._7 == 5 && out(10L)._5 == 1)
+    // user 1: most recent, lowest frequency/monetary
+    assert(out(1L)._5 == 5 && out(1L)._6 == 1 && out(1L)._7 == 1)
+    // monotone in u for f/m, antitone for r; segment is the score concat
+    val us = (1 to 10).map(u => out(u.toLong))
+    assert(us.sliding(2).forall { case Seq(a, b) =>
+      b._6 >= a._6 && b._7 >= a._7 && b._5 <= a._5 })
+    assert(us.forall(r => r._8 == s"${r._5}${r._6}${r._7}"))
+  }
+
   test("topPaths counts ordered event-type prefixes across users") {
     val events = Seq(
       // users 1,2: same path a>b>c ; user 3: b>a (tie ts broken by id)
