@@ -260,6 +260,50 @@ object StreamingCompactLatest {
   }
 }
 
+/** One observed transition (streaming twin of the batch Markov matrix). */
+final case class TransitionOut(from_type: String, to_type: String)
+
+private[streaming] final case class LastEvent(tsMs: Long, id: Long, typ: String)
+
+/** Streaming twin of [[graft.operators.EventAnalytics.transitionMatrix]]:
+  * emits one row per observed (from, to) consecutive pair in each user's
+  * timeline; the consumer aggregates counts downstream. State is ONE
+  * record per user (the last seen event) — bounded by key cardinality.
+  * Within a micro-batch rows sort by (ts, id) before chaining, so the
+  * pair stream equals the batch operator whenever batches arrive in
+  * event-time order per key (out-of-order arrivals ACROSS batches would
+  * chain through the stale last-event; bound that skew upstream with a
+  * watermark if the source reorders).
+  */
+object StreamingTransitions {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame): Dataset[TransitionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast("timestamp"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[LastEvent]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+          val out = Seq.newBuilder[TransitionOut]
+          var last = state.getOption.orNull
+          sorted.foreach { case (_, id, typ, ts) =>
+            if (last != null) out += TransitionOut(last.typ, typ)
+            last = LastEvent(ts.getTime, id, typ)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+        })
+  }
+}
+
 /** One space-saving counter: count is an UPPER bound on the key's true
   * frequency; count − err is a lower bound (err is the evicted
   * counter's value the key inherited on admission).

@@ -92,6 +92,38 @@ class StreamingCompactLatestSpec extends SparkSpecBase {
   }
 }
 
+class StreamingTransitionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming transitions accumulate to the batch Markov counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 10:02:00")),   // crosses the batch split
+      (4L, 2L, "x", ts("2024-01-01 10:00:30")),
+      (5L, 2L, "x", ts("2024-01-01 10:01:30")))
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = graft.streaming.StreamingTransitions(events)
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT from_type, to_type FROM trans")
+        .as[(String, String)].collect().groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val batch = graft.operators.EventAnalytics.transitionMatrix(
+        all.toDF("event_id", "user_id", "event_type", "ts"))
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      assert(streamed == batch)
+      assert(batch(("b", "a")) == 1L) // the cross-batch pair was chained via state
+    } finally q.stop()
+  }
+}
+
 class StreamingHeavyHittersSpec extends SparkSpecBase {
   import spark.implicits._
 
