@@ -1027,6 +1027,18 @@ object SparkEntry {
           "l_quantity", Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("l_returnflag")),
 
+    // ---- declarative data-quality expectations over orders ----
+    "q_expectations" -> ((s, dir) => {
+      import Expectations._
+      validate(t(s, dir, "orders"), Seq(
+        NotNull("o_orderstatus"),
+        InRange("o_totalprice", 0.0, 400000.0, maxViolations = 100),
+        MatchesRegex("o_orderstatus", "^[A-Z]$"),
+        Unique("o_orderkey"),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule", "column")
+    }),
+
     // ---- RFM quintile segmentation over purchase events ----
     "q_rfm" -> ((s, dir) =>
       EventAnalytics.rfmSegments(Tables.events(s, dir))
@@ -2270,6 +2282,35 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // expectations: each rule metric recomputed independently
+    "q_expectations" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |rows_ AS (
+        |  SELECT 'not_null' AS rule, 'o_orderstatus' AS "column",
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / (SELECT n FROM n) AS metric, 0.0 AS threshold FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 100.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'matches_regex', 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 0.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE), 0.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey',
+        |    CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey)) AS DOUBLE), 0.0)
+        |SELECT rule, "column", metric, threshold, metric <= threshold AS ok
+        |FROM rows_ ORDER BY rule, "column"""".stripMargin,
 
     // RFM: same decimal-exact monetary, same interpolated quintile
     // thresholds, same strict-> comparisons

@@ -203,6 +203,35 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq(("a", 2.5, 3.25), ("b", 15.0, 17.5)))
   }
 
+  test("expectations report flags each planted violation class") {
+    import graft.operators.Expectations._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val df = Seq(
+      (1L, Option("A"), 10.0, Option(1L)),
+      (2L, Option("B"), -5.0, Option(2L)),      // range violation
+      (2L, None, 20.0, Option(9L)),             // null status, dup key, orphan fk
+      (4L, Option("ok"), 30.0, None))           // regex violation, null fk ignored
+      .toDF("id", "status", "price", "fk")
+    val out = validate(df, Seq(
+      NotNull("status", maxNullFrac = 0.1),
+      InRange("price", 0.0, 100.0),
+      MatchesRegex("status", "^[A-Z]$"),
+      Unique("id"),
+      RefIntegrity("fk", dim, "k")))
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("not_null")._3 == 0.25 && !out("not_null")._5)   // 1/4 > 0.1
+    assert(out("in_range")._3 == 1.0 && !out("in_range")._5)
+    assert(out("matches_regex")._3 == 1.0 && !out("matches_regex")._5)
+    assert(out("unique")._3 == 1.0 && !out("unique")._5)        // one dup pair
+    assert(out("ref_integrity")._3 == 1.0 && !out("ref_integrity")._5) // fk=9
+    // a clean table passes everything
+    val clean = validate(Seq((1L, "A", 1.0, 1L)).toDF("id", "status", "price", "fk"),
+      Seq(NotNull("status"), InRange("price", 0, 10), Unique("id"),
+        RefIntegrity("fk", dim, "k")))
+    assert(clean.filter(!col("ok")).count() == 0)
+  }
+
   test("rfmSegments scores quintiles with recency inverted") {
     // 10 users: user u purchases u times, value 10*u each, last purchase
     // u days before the corpus max -> frequency/monetary rise with u,
