@@ -1039,6 +1039,11 @@ object SparkEntry {
         .orderBy("rule", "column")
     }),
 
+    // ---- cohort LTV curve: decimal-exact cumulative revenue ----
+    "q_cohort_ltv" -> ((s, dir) =>
+      EventAnalytics.cohortLtv(Tables.events(s, dir))
+        .orderBy("cohort_day", "week_offset")),
+
     // ---- RFM quintile segmentation over purchase events ----
     "q_rfm" -> ((s, dir) =>
       EventAnalytics.rfmSegments(Tables.events(s, dir))
@@ -2311,6 +2316,31 @@ object SparkEntry {
         |        WHERE c.c_custkey = o.o_custkey)) AS DOUBLE), 0.0)
         |SELECT rule, "column", metric, threshold, metric <= threshold AS ok
         |FROM rows_ ORDER BY rule, "column"""".stripMargin,
+
+    // cohort LTV: decimal-exact weekly and cumulative revenue, same
+    // whole-week offsets as q_retention
+    "q_cohort_ltv" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM events),
+        |f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY u),
+        |sz AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY cohort_day),
+        |w AS (SELECT f.cohort_day,
+        |    date_diff('day', f.cohort_day, d.day) // 7 AS week_offset, d.rev
+        |  FROM d JOIN f ON d.u = f.u),
+        |wk AS (SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+        |    sum(rev) AS rev FROM w GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, week_offset, rev,
+        |    SUM(rev) OVER (PARTITION BY cohort_day ORDER BY week_offset) AS cum_rev
+        |  FROM wk)
+        |SELECT c.cohort_day, c.week_offset,
+        |  CAST(c.rev AS DOUBLE) AS week_rev,
+        |  CAST(c.cum_rev AS DOUBLE) AS cum_rev, sz.n_users,
+        |  CAST(c.cum_rev AS DOUBLE) / sz.n_users AS ltv_per_user
+        |FROM c JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, week_offset""".stripMargin,
 
     // RFM: same decimal-exact monetary, same interpolated quintile
     // thresholds, same strict-> comparisons

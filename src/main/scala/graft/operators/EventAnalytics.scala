@@ -156,6 +156,50 @@ object EventAnalytics {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cohort LTV curve: cumulative purchase revenue per user for each
+    * (cohort week-0 day, week offset) cell — the companion curve to
+    * [[retentionCohorts]]. Cohort = the user's first ACTIVE day (any
+    * event type); revenue accrues from purchase events only.
+    *
+    * Exactness: revenue sums and the cumulative sum stay in
+    * decimal(18,2) end to end, so the running total is exact under ANY
+    * evaluation order — window cumulation order differences between
+    * engines can't shift a cent. The per-user division casts to double
+    * only at the end (one exact IEEE op).
+    *
+    * Shape: one user-keyed aggregation + re-join for the cohort, one
+    * (cohort, week) aggregation, and a window over the per-cohort
+    * week sequence (bounded by the observation span in weeks) — same
+    * key discipline as retentionCohorts.
+    */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", valueCol: String = "value",
+                typeCol: String = "event_type",
+                purchaseType: String = "purchase"): DataFrame = {
+    val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+      when(col(typeCol) === purchaseType, col(valueCol))
+        .otherwise(lit(0)).cast("decimal(18,2)").as("rev"))
+    val first = d.groupBy("u").agg(min("day").as("cohort_day"),
+      count(lit(1)).as("_evs"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    val weekly = d.join(first.select("u", "cohort_day"), "u")
+      .select(col("cohort_day"),
+        expr("datediff(day, cohort_day) div 7").cast("long").as("week_offset"),
+        col("rev"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(sum("rev").as("rev"))
+    val cum = Window.partitionBy("cohort_day").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_rev", sum("rev").over(cum))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("week_offset"),
+        col("rev").cast("double").as("week_rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        col("n_users"),
+        (col("cum_rev").cast("double") / col("n_users")).as("ltv_per_user"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles), the
     * standard customer-value grid. "Now" is the corpus' max event time
     * (deterministic); monetary sums in decimal for cross-engine

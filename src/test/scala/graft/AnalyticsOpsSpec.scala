@@ -203,6 +203,30 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out == Seq(("a", 2.5, 3.25), ("b", 15.0, 17.5)))
   }
 
+  test("cohortLtv accumulates decimal-exact revenue per cohort week") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: first active Jan 5 (view), buys 10.10 in week 0, 20.20 in week 1
+      (1L, 1L, "view", 0.0, ts("2026-01-05 09:00:00")),
+      (2L, 1L, "purchase", 10.10, ts("2026-01-06 10:00:00")),
+      (3L, 1L, "purchase", 20.20, ts("2026-01-13 10:00:00")),
+      // user 2: same cohort day, never buys
+      (4L, 2L, "view", 0.0, ts("2026-01-05 11:00:00")),
+      // user 3: later cohort, buys 5.00 in its week 0
+      (5L, 3L, "signup", 0.0, ts("2026-01-20 09:00:00")),
+      (6L, 3L, "purchase", 5.00, ts("2026-01-20 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventAnalytics.cohortLtv(events)
+      .select(col("cohort_day").cast("string"), col("week_offset"),
+        col("week_rev"), col("cum_rev"), col("n_users"), col("ltv_per_user"))
+      .as[(String, Long, Double, Double, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("2026-01-05", 0L, 10.10, 10.10, 2L, 5.05),
+      ("2026-01-05", 1L, 20.20, 30.30, 2L, 15.15),
+      ("2026-01-20", 0L, 5.00, 5.00, 1L, 5.00)))
+  }
+
   test("expectations report flags each planted violation class") {
     import graft.operators.Expectations._
     val dim = Seq(1L, 2L, 3L).toDF("k")
