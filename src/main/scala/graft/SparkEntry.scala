@@ -651,10 +651,11 @@ object SparkEntry {
     // ---- full Gopher quality-rule gate (Rae et al. 2021 A1.1) ----
     "q_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "text")
-        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-          "stop_hits", "r_word_count", "r_mean_len", "r_symbol", "r_bullet",
-          "r_ellipsis", "r_alpha", "r_stopwords", "keep")
+        .select("doc_id", "n_words", "mean_word_len", "hash_ratio",
+          "ellipsis_ratio", "bullet_line_frac", "ellipsis_line_frac",
+          "alpha_word_frac", "stop_hits", "r_word_count", "r_mean_len",
+          "r_symbol", "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords",
+          "keep")
         .orderBy("doc_id")),
 
     // ---- top PMI bigram collocations over the corpus ----
@@ -1804,10 +1805,12 @@ object SparkEntry {
         |      CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
         |    END AS mean_word_len,
         |    CASE WHEN len(words) > 0 THEN
-        |      CAST(len(regexp_extract_all(text, '#'))
-        |         + len(regexp_extract_all(text, '(\\.\\.\\.|\\x{2026})')) AS DOUBLE)
+        |      CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(words)
+        |    END AS hash_ratio,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(regexp_extract_all(text, '(\\.\\.\\.|\\x{2026})')) AS DOUBLE)
         |        / len(words)
-        |    END AS symbol_ratio,
+        |    END AS ellipsis_ratio,
         |    CAST(len(list_filter(lines,
         |        l -> regexp_matches(trim(l), '^[-*\\x{2022}]'))) AS DOUBLE)
         |      / len(lines) AS bullet_line_frac,
@@ -1823,7 +1826,7 @@ object SparkEntry {
         |r AS (SELECT *,
         |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
         |    mean_word_len >= 3 AND mean_word_len <= 10 AS r_mean_len,
-        |    symbol_ratio < 0.1 AS r_symbol,
+        |    hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AS r_symbol,
         |    bullet_line_frac <= 0.9 AS r_bullet,
         |    ellipsis_line_frac <= 0.3 AS r_ellipsis,
         |    alpha_word_frac >= 0.8 AS r_alpha,

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * aggregation (one explode + one map-side-combined hash aggregation over
   * the full corpus — the only pass whose cost grows with data size). The
   * merge loop then runs on the collected word-frequency table, which is
-  * VOCABULARY-sized by definition — BPE's training state (distinct words
-  * and their counts) does not grow with corpus size, so collecting it is
-  * the same design point as `ivfFit`'s sampled k-means: the 100 TB work
-  * stays in the cluster, the bounded model fits on the driver (this is
-  * how sentencepiece/HF trainers consume a pre-counted vocabulary too).
+  * explicitly BOUNDED by a frequency floor and a top-N vocabulary cap
+  * applied inside the distributed aggregation (web-scale text grows its
+  * distinct-token count with corpus size through junk strings, so "the
+  * vocabulary is small" is not a safe assumption — the cap makes it one).
+  * The 100 TB work stays in the cluster, the bounded model fits on the
+  * driver — the same design point as `ivfFit`'s sampled k-means, and how
+  * sentencepiece/HF trainers consume a pre-counted, trimmed vocabulary.
   * Encoding distributes again: merges broadcast to executors,
   * `mapPartitions` applies them per token — linear, no shuffle.
   *
@@ -33,15 +35,34 @@ object Bpe {
   /** Learn `nMerges` merges from the corpus' word-frequency table.
     * Words are lowercased [a-z0-9]+ tokens split into single characters
     * (no end-of-word marker — segment counts compose across words).
+    *
+    * The collected table is BOUNDED before it reaches the driver:
+    * `minCount` floors the frequency (web-scale corpora have a heavy tail
+    * of junk tokens — hex hashes, base64 runs — whose distinct count
+    * grows with corpus size even though each appears a handful of times)
+    * and `maxVocab` keeps only the top-N most frequent words (count desc,
+    * word asc — a deterministic `TakeOrderedAndProject`, no full sort).
+    * Both cuts happen in the distributed aggregation, so the driver sees
+    * at most `maxVocab` rows regardless of corpus size. Merges learned
+    * from the capped table are identical to the uncapped ones whenever
+    * the floor is below the true minimum frequency / the cap exceeds the
+    * true vocabulary — the same trim sentencepiece and HF trainers apply.
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            minCount: Long = 1L, maxVocab: Int = 1 << 20): Seq[Merge] = {
     require(nMerges > 0, "nMerges must be positive")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    // the only corpus-scale pass: token counts, map-side combined
+    // the only corpus-scale pass: token counts, map-side combined, then
+    // floored and top-N-capped BEFORE the collect
     val wordCounts: Array[(String, Long)] =
       df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(maxVocab)
         .as[(String, Long)].collect()
     var words: Array[(Vector[String], Long)] =
       wordCounts.map { case (w, n) => (w.map(_.toString).toVector, n) }
@@ -84,20 +105,24 @@ object Bpe {
   /** Greedy BPE segmentation of every token: repeatedly merge the
     * lowest-rank adjacent pair until none applies (the standard encode
     * loop). Returns (id, n_tokens, n_pieces) — the corpus' tokenizer
-    * cost under the learned vocabulary. Merges ship to executors via
-    * broadcast; the work is a narrow `mapPartitions`.
+    * cost under the learned vocabulary. The merge table is captured in
+    * the task closure as a plain Map — it is vocabulary-sized (bounded by
+    * `train`'s cap), and a closure-captured value leaves nothing to leak,
+    * unlike a broadcast variable that a lazily-returned DataFrame could
+    * never safely destroy (repeated encode calls in a long session were
+    * accumulating broadcast blocks).
     */
   def encode(df: DataFrame, textCol: String, idCol: String,
              merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rankOf = spark.sparkContext.broadcast(
-      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val rankOf: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
     val toks: Dataset[(Long, Seq[String])] = df
       .select(col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)))
       .as[(Long, Seq[String])]
     toks.mapPartitions { it =>
-      val ranks = rankOf.value
+      val ranks = rankOf
       def pieces(word: String): Int = {
         var syms = word.map(_.toString).toVector
         var done = false

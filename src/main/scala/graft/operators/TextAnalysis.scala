@@ -76,7 +76,9 @@ object TextAnalysis {
     *
     *   r1 50 ≤ word count ≤ 100000          r5 ≤30% lines end "..."
     *   r2 3 ≤ mean word length ≤ 10         r6 ≥80% words have a letter
-    *   r3 symbol-to-word ratio < 0.1        r7 ≥2 required stopwords
+    *   r3 hash AND ellipsis word ratios     r7 ≥2 required stopwords
+    *      each ≤ 0.1 (gated separately,
+    *      per the paper's "either" wording)
     *   r4 ≤90% of lines start with a bullet
     *
     * Everything is a narrow per-row expression over codegen'd built-ins
@@ -97,10 +99,17 @@ object TextAnalysis {
         when(size(words) > 0,
           aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") /
             size(words)))
-      .withColumn("symbol_ratio",
+      // Rae et al. 2021 A1.1 gates the symbol-to-word ratio "for either
+      // the hash symbol or the ellipsis" SEPARATELY — a doc is removed
+      // when either ratio exceeds 0.1, so the two counts must not be
+      // summed into one combined ratio
+      .withColumn("hash_ratio",
         when(size(words) > 0,
-          (size(regexp_extract_all(text, lit("#"), lit(0))) +
-            size(regexp_extract_all(text, lit("(\\.\\.\\.|\\x{2026})"), lit(0))))
+          size(regexp_extract_all(text, lit("#"), lit(0)))
+            .cast("double") / size(words)))
+      .withColumn("ellipsis_ratio",
+        when(size(words) > 0,
+          size(regexp_extract_all(text, lit("(\\.\\.\\.|\\x{2026})"), lit(0)))
             .cast("double") / size(words)))
       .withColumn("bullet_line_frac",
         size(filter(lines, l => trim(l).rlike("^[-*\\x{2022}]"))).cast("double") /
@@ -118,7 +127,8 @@ object TextAnalysis {
     out
       .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("r_mean_len", col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
-      .withColumn("r_symbol", col("symbol_ratio") < 0.1)
+      .withColumn("r_symbol",
+        col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1)
       .withColumn("r_bullet", col("bullet_line_frac") <= 0.9)
       .withColumn("r_ellipsis", col("ellipsis_line_frac") <= 0.3)
       .withColumn("r_alpha", col("alpha_word_frac") >= 0.8)

@@ -178,6 +178,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(tie.head.left == "x" && tie.head.right == "y")
   }
 
+  test("BPE train vocabulary bound: floor/cap below the true vocab are no-ops; " +
+       "an active floor drops tail words before the collect") {
+    import graft.operators.Bpe
+    // vocab: "aa" x3, "ab" x2, "zq" x1 (the junk tail)
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa ab zq")).toDF("doc_id", "text")
+    val unbounded = Bpe.train(docs, "text", 5)
+    // floor below true min frequency + cap above true vocab => identical merges
+    val bounded = Bpe.train(docs, "text", 5, minCount = 1L, maxVocab = 100)
+    assert(bounded == unbounded)
+    // an active floor (>=2) removes "zq" from the driver table: merges are
+    // now learned from {aa x3, ab x2} only — same result here since "zq"
+    // contributed only the (z,q) pair, which never won a merge
+    val floored = Bpe.train(docs, "text", 5, minCount = 2L)
+    assert(floored == unbounded)
+    // cap=1 keeps only "aa" (top by count): the sole learnable merge is (a,a)
+    val capped = Bpe.train(docs, "text", 5, maxVocab = 1)
+    assert(capped.map(m => (m.left, m.right)) == Seq(("a", "a")))
+  }
+
   test("contaminationMatrix counts shared distinct n-grams per group pair") {
     val shared = "alpha beta gamma delta epsilon zeta"   // 2 distinct 5-grams
     val docs = Seq(
