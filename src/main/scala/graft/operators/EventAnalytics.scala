@@ -179,10 +179,9 @@ object EventAnalytics {
     val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
       when(col(typeCol) === purchaseType, col(valueCol))
         .otherwise(lit(0)).cast("decimal(18,2)").as("rev"))
-    val first = d.groupBy("u").agg(min("day").as("cohort_day"),
-      count(lit(1)).as("_evs"))
+    val first = d.groupBy("u").agg(min("day").as("cohort_day"))
     val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
-    val weekly = d.join(first.select("u", "cohort_day"), "u")
+    val weekly = d.join(first, "u")
       .select(col("cohort_day"),
         expr("datediff(day, cohort_day) div 7").cast("long").as("week_offset"),
         col("rev"))

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * custom predicate) fold into ONE aggregation pass — per-rule
   * violation counters are conditional sums with map-side partial
   * aggregation, so the scan count does not grow with the rule count.
-  * Uniqueness adds one `countDistinct` aggregation (kept OUT of the
-  * shared agg: mixing DISTINCT with plain aggregates forces an Expand
-  * plan — see NOTES). Referential integrity adds one left-anti join
+  * Exact uniqueness adds one `countDistinct` aggregation (kept OUT of
+  * the shared agg: mixing DISTINCT with plain aggregates forces an
+  * Expand plan — see NOTES); approximate uniqueness (HLL) rides the
+  * shared pass. Referential integrity adds one left-anti join
   * per foreign key, the minimum possible. Nothing collects but the
   * per-rule 1-row metrics.
   */
@@ -36,8 +37,26 @@ object Expectations {
                                 maxViolations: Long = 0L) extends Rule {
     val name = "matches_regex"
   }
-  /** Column values are unique (ndv == non-null count). */
+  /** Column values are unique (ndv == non-null count). Exact: shuffles
+    * the full distinct value set — the right gate for key columns at
+    * ingest-batch scale. For 100 TB-wide uniqueness checks prefer
+    * [[UniqueApprox]].
+    */
   final case class Unique(colName: String) extends Rule { val name = "unique" }
+  /** Column is unique within `tolerance` (estimated duplicate fraction
+    * (count − ndv̂)/count ≤ tolerance), with ndv̂ from a single-pass HLL
+    * sketch (`approx_count_distinct`, relative sd `rsd`). No distinct
+    * shuffle — the sketch merges map-side like any partial aggregate,
+    * and (being non-DISTINCT) it folds into the SHARED aggregation pass
+    * with the row rules, so the check is free of extra scans too. The
+    * practical default at 100 TB; set tolerance ≳ 2·rsd so sketch noise
+    * alone can't fail a genuinely-unique column.
+    */
+  final case class UniqueApprox(colName: String, tolerance: Double = 0.1,
+                                rsd: Double = 0.05) extends Rule {
+    require(tolerance >= 0 && tolerance < 1, "tolerance in [0, 1)")
+    val name = "unique_approx"
+  }
   /** Every non-null value exists in `dim`'s `dimCol` (foreign key). */
   final case class RefIntegrity(colName: String, dim: DataFrame, dimCol: String,
                                 maxOrphans: Long = 0L) extends Rule {
@@ -56,8 +75,16 @@ object Expectations {
       case r: MatchesRegex => r -> sum(when(col(r.colName).isNotNull &&
         !col(r.colName).rlike(r.pattern), 1L).otherwise(0L))
     }
-    val sharedAggs = count(lit(1)).as("_n") +:
-      rowRules.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }
+    // approx-uniqueness folds into the same pass: HLL sketches are plain
+    // (non-DISTINCT) partial aggregates, so adding them costs no Expand
+    // and no extra scan — two agg columns per rule (non-null count, ndv̂)
+    val approxUnique: Seq[UniqueApprox] = rules.collect { case r: UniqueApprox => r }
+    val approxAggs = approxUnique.zipWithIndex.flatMap { case (r, i) =>
+      Seq(count(col(r.colName)).as(s"_uc$i"),
+        approx_count_distinct(col(r.colName), r.rsd).as(s"_ud$i"))
+    }
+    val sharedAggs = (count(lit(1)).as("_n") +:
+      rowRules.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }) ++ approxAggs
     val shared = df.agg(sharedAggs.head, sharedAggs.tail: _*).head()
     val n = shared.getAs[Long]("_n")
 
@@ -74,6 +101,14 @@ object Expectations {
         case _ => sys.error("unreachable")
       }
     }
+    val approxReport = approxUnique.zipWithIndex.map { case (r, i) =>
+      val c = shared.getAs[Long](s"_uc$i")
+      val ndv = shared.getAs[Long](s"_ud$i")
+      // HLL can overestimate ndv past the true count — clamp at 0 so a
+      // clean column never reports a negative duplicate fraction
+      val dupFrac = if (c == 0) 0.0 else math.max(0.0, (c - ndv).toDouble / c)
+      (r.name, r.colName, dupFrac, r.tolerance, dupFrac <= r.tolerance)
+    }
     val uniqueReport = rules.collect { case r: Unique =>
       val row = df.agg(count(col(r.colName)).as("c"),
         countDistinct(col(r.colName)).as("d")).head()
@@ -88,7 +123,7 @@ object Expectations {
       (r.name, r.colName, orphans.toDouble, r.maxOrphans.toDouble,
         orphans <= r.maxOrphans)
     }
-    (rowReport ++ uniqueReport ++ refReport)
+    (rowReport ++ approxReport ++ uniqueReport ++ refReport)
       .toDF("rule", "column", "metric", "threshold", "ok")
   }
 }

@@ -336,8 +336,14 @@ object StreamingHeavyHitters {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col(keyCol).cast("long").as("k"),
+      .select(col(keyCol).try_cast("long").as("k"),
         pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("b"))
+      // a non-castable key (string etc.) nulls out under try_cast
+      // (plain cast THROWS under ANSI mode); dropping it here keeps
+      // null keys from pooling into one spurious counter and from
+      // NPE-ing the primitive tuple encoder below — callers with
+      // non-numeric keys see an empty result, not a crash
+      .filter(col("k").isNotNull && col("b").isNotNull)
       .as[(Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(
@@ -366,6 +372,38 @@ object StreamingHeavyHitters {
             HeavyHitterOut(k, n, st.errs.getOrElse(k, 0L))
           }
         })
+  }
+
+  /** Global top-k over the per-bucket emissions: the missing "merge
+    * view". Buckets partition the KEY SPACE (each key hashes to exactly
+    * one bucket), so no cross-bucket counter combination is needed —
+    * the global summary is the union of the buckets' latest summaries,
+    * and the per-bucket guarantee carries over unchanged:
+    * true_count ∈ [count − err, count].
+    *
+    * Update-mode streams re-emit a key's counter every micro-batch it
+    * survives in; a surviving counter's count is monotone non-decreasing
+    * (increments, or eviction + readmission at a HIGHER count), so the
+    * latest emission per key is exactly its max — recovered with one
+    * `max_by(struct(count, err), count)` hash aggregation, no window,
+    * no batch-id bookkeeping. Keys evicted and never readmitted keep
+    * their stale last emission; that emission was a valid bound when
+    * made and remains an upper bound on the key's count at eviction
+    * time, which is the same staleness the raw per-bucket view has.
+    *
+    * `emitted` is the collected stream output (e.g. a memory/Delta sink
+    * of [[apply]]'s rows): columns (key, count, err). Output: the k
+    * largest keys by estimated count, with bounds.
+    */
+  def globalTopK(emitted: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    emitted
+      .groupBy("key")
+      .agg(max(struct(col("count"), col("err"))).as("last"))
+      .select(col("key"), col("last.count").as("count"),
+        col("last.err").as("err"))
+      .orderBy(col("count").desc, col("key").asc)
+      .limit(k)
   }
 }
 

@@ -256,6 +256,30 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(clean.filter(!col("ok")).count() == 0)
   }
 
+  test("UniqueApprox agrees with exact Unique on a clean column and flags " +
+       "duplication only past its tolerance") {
+    import graft.operators.Expectations._
+    // clean: 2000 distinct ids — both variants pass (tolerance 0.1 > 2*rsd)
+    val clean = (1L to 2000L).toDF("id")
+    val cleanOut = validate(clean, Seq(Unique("id"), UniqueApprox("id", 0.1)))
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cleanOut("unique")._5 && cleanOut("unique_approx")._5)
+    assert(cleanOut("unique_approx")._3 <= 0.1,
+      s"clean dup-frac estimate ${cleanOut("unique_approx")._3}")
+    // 50% duplicated: every id appears twice — far outside tolerance 0.1,
+    // but inside a loose tolerance 0.7
+    val dup = ((1L to 1000L) ++ (1L to 1000L)).toDF("id")
+    val dupOut = validate(dup,
+      Seq(UniqueApprox("id", 0.1), UniqueApprox("id", 0.7)))
+      .as[(String, String, Double, Double, Boolean)].collect()
+    val strict = dupOut.find(_._4 == 0.1).get
+    val loose = dupOut.find(_._4 == 0.7).get
+    assert(!strict._5, s"50% dup must fail tolerance 0.1 (est ${strict._3})")
+    assert(loose._5, s"50% dup must pass tolerance 0.7 (est ${loose._3})")
+    assert(math.abs(strict._3 - 0.5) < 0.1, s"estimate ${strict._3} ~ 0.5")
+  }
+
   test("rfmSegments scores quintiles with recency inverted") {
     // 10 users: user u purchases u times, value 10*u each, last purchase
     // u days before the corpus max -> frequency/monetary rise with u,

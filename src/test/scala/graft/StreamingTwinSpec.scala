@@ -163,6 +163,51 @@ class StreamingHeavyHittersSpec extends SparkSpecBase {
         s"lower-bound-confident set must be the true heavy keys, got $confident")
     } finally q.stop()
   }
+
+  test("globalTopK merges per-bucket summaries into a top-k whose bounds bracket the truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val heavy = Seq.fill(400)(7L) ++ Seq.fill(250)(8L) ++ Seq.fill(120)(9L)
+    val noise = (0 until 300).map(i => 5000L + i)
+    val data = scala.util.Random.shuffle(heavy ++ noise)
+    val events = mem.toDF().toDF("k")
+    val q = graft.streaming.StreamingHeavyHitters(events, "k", m = 16, nBuckets = 4)
+      .writeStream.format("memory").queryName("hh_merge").outputMode("update").start()
+    try {
+      val (b1, b2) = data.splitAt(data.size / 3)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val merged = graft.streaming.StreamingHeavyHitters
+        .globalTopK(spark.sql("SELECT * FROM hh_merge"), 3)
+        .collect()
+      // top-3 by estimated count must be exactly the true heavy keys,
+      // ordered, each with true_count ∈ [count − err, count]
+      val truth = Seq(7L -> 400L, 8L -> 250L, 9L -> 120L)
+      assert(merged.map(_.getLong(0)).toSeq == truth.map(_._1),
+        s"global top-3 keys: ${merged.map(_.getLong(0)).mkString(",")}")
+      truth.zip(merged).foreach { case ((k, n), r) =>
+        val (count, err) = (r.getLong(1), r.getLong(2))
+        assert(count >= n && count - err <= n,
+          s"key $k: true $n must lie in [${count - err}, $count]")
+      }
+    } finally q.stop()
+  }
+
+  test("non-numeric keys are dropped after the long cast instead of NPE-ing the encoder") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val events = mem.toDF().toDF("k")
+    val q = graft.streaming.StreamingHeavyHitters(events, "k", m = 4, nBuckets = 2)
+      .writeStream.format("memory").queryName("hh_nulls").outputMode("update").start()
+    try {
+      mem.addData("alpha", "beta", "alpha", "42", "42")
+      q.processAllAvailable()
+      // castable "42" survives; "alpha"/"beta" null out and are filtered
+      val rows = spark.sql("SELECT * FROM hh_nulls").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(42L))
+      assert(rows.exists(r => r.getLong(0) == 42L && r.getLong(1) == 2L))
+    } finally q.stop()
+  }
 }
 
 class StreamingAttributionSpec extends SparkSpecBase {
