@@ -276,6 +276,72 @@ class ZOrderWriteSpec extends SparkSpecBase {
     // a y-range filter can skip files via footer min/max under z-order,
     // never under the single-column sort
   }
+
+  test("dataDrift over z-ordered sides prunes row groups on the non-sort dimension") {
+    import graft.operators.{DiffConfig, DriftCompare, TableRules}
+    import graft.sources.ParquetSide
+
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "v")
+    // side2 mutates one payload INSIDE the filter box so the diff is non-empty
+    val mutated = grid.withColumn("v",
+      when($"x" === 10 && $"y" === 10, lit(-1L)).otherwise($"v"))
+
+    def writeSides(layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val d1 = java.nio.file.Files.createTempDirectory("side1").toString
+      val d2 = java.nio.file.Files.createTempDirectory("side2").toString
+      layout(grid).write.mode("overwrite").parquet(s"$d1/pts.parquet")
+      layout(mutated).write.mode("overwrite").parquet(s"$d2/pts.parquet")
+      (d1, d2)
+    }
+    // the filter is on y ONLY — the dimension a single-column x-sort
+    // cannot prune. Row-group footer min/max is the pruning mechanism
+    // (each 512-row output file is one row group here).
+    val cfg = DiffConfig(tableRules = Map("pts" -> TableRules(
+      customQuery = Some("SELECT * FROM pts WHERE y BETWEEN 8 AND 15"))))
+
+    // the diff's final pass goes through queryExecution.toRdd, so the
+    // file scans execute in a different QueryExecution than the returned
+    // DataFrame — task-level input metrics (records actually decoded
+    // from parquet) are the reliable observation point for row-group skip
+    def scanRowsAndDiff(d1: String, d2: String): (Long, Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val diff = new DriftCompare(spark,
+          ParquetSide(spark, d1, "db1"), ParquetSide(spark, d2, "db2"), cfg)
+          .dataDrift("pts").get
+        val n = diff.collect().length.toLong
+        // listener events are async: wait until the counter stops moving
+        var prev = -1L
+        var spins = 0
+        while (read.get() != prev && spins < 40) {
+          prev = read.get(); Thread.sleep(250); spins += 1
+        }
+        (read.get(), n)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (zd1, zd2) =
+      writeSides(df => graft.operators.Layout.zOrderLayout(df, "x", "y", 8))
+    val (ld1, ld2) = writeSides(df =>
+      df.repartitionByRange(8, $"x").sortWithinPartitions("x"))
+    val (zRead, zDiff) = scanRowsAndDiff(zd1, zd2)
+    val (lRead, lDiff) = scanRowsAndDiff(ld1, ld2)
+    // same answer either way: the one mutated row, seen from both sides
+    assert(zDiff == 2 && lDiff == 2, s"diff rows z=$zDiff lin=$lDiff")
+    // x-sorted files all span y fully: footer stats can skip NOTHING —
+    // both sides' scans decode every stored row before the post-scan filter
+    assert(lRead >= 2L * 64 * 64, s"linear layout must read all rows, got $lRead")
+    // z-ordered files are y-compact: most row groups' [min,max] miss
+    // [8,15] and are skipped before decoding
+    assert(zRead <= lRead / 2,
+      s"z-order must prune at least half the rows ($zRead vs $lRead)")
+  }
 }
 
 class AqeSkewJoinSpec extends SparkSpecBase {
