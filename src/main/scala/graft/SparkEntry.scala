@@ -642,6 +642,12 @@ object SparkEntry {
       TextAnalysis.duplicateNgramFraction(t(s, dir, "documents"), "text", "doc_id", 5)
         .orderBy("doc_id")),
 
+    // ---- maximal duplicated-substring spans (Lee et al. ACL'22 §4,
+    //      the span-level substring-dedup signal) ----
+    "q_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id", "span_start")),
+
     // ---- per-doc top TF-IDF terms (tf/df score, integer-exact ordering) ----
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
@@ -744,6 +750,11 @@ object SparkEntry {
     // ---- unigram-LM surprisal (perplexity-filter signal) ----
     "q_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // ---- interpolated bigram LM surprisal (KenLM-style quality gate) ----
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     // ---- embedding L2-normalize, exploded for exact comparison ----
@@ -1232,14 +1243,28 @@ object SparkEntry {
     """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
       |     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
       |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END""".stripMargin
-  /** Exact all-pairs shingle-Jaccard truth CTEs (`sh` -> `pairs`). */
+  /** Exact shingle-Jaccard truth CTEs (`sh` -> `pairs`), formulated as
+    * an inverted-index equi-join rather than the naive all-pairs cross:
+    * candidates are pairs SHARING at least one shingle (`ex` self-join
+    * on the gram, counted per pair), which is lossless for any positive
+    * Jaccard — a pair with J > 0 shares a shingle by definition, so
+    * every pair any threshold keeps is present. Intersection size comes
+    * from the join count, union from |A|+|B|−|A∩B|; same integers, same
+    * IEEE division, bit-identical jaccard as the cross formulation —
+    * verified equal at sf0.01 — but DuckDB-feasible at sf0.1+ (the
+    * cross form is 12.5M list intersections there; this is one hash
+    * join + group-by that finishes in ~2 s).
+    */
   private val jaccardTruthSql =
     s"""tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
       |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
-      |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |  FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2,
+      |    CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+      |  FROM cand JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2)""".stripMargin
   private val stopSql = TextAnalysis.stopwordList.map(s => s"'$s'").mkString("[", ", ", "]")
   /** Shared quality-score derivation (mirrors
     * [[graft.operators.TextAnalysis.qualityFeatures]]); exposes `qs`
@@ -1345,15 +1370,21 @@ object SparkEntry {
     // incremental dedup truth: exact all-pairs Jaccard between the new
     // batch and the corpus (banding completeness per the q_dedup_minhash
     // analysis: natural near-dup pairs here sit at J >= 0.7)
+    // new-vs-corpus candidates via the same inverted-index trick as
+    // jaccardTruthSql (the n×c cross is quadratic at sf0.1; a pair with
+    // j >= 0.5 shares a shingle, so the gram equi-join loses nothing)
     "q_incremental_dedup" ->
       s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
         |newd AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
-        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 <> 0),
-        |pairs AS (SELECT n.doc_id AS new_id, c.doc_id AS cid,
-        |    CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(n.s || c.s)) AS DOUBLE) AS j
-        |  FROM newd n, corp c),
+        |exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 = 0),
+        |exc AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 <> 0),
+        |cand AS (SELECT n.doc_id AS new_id, c.doc_id AS cid, count(*) AS inter
+        |  FROM exn n JOIN exc c USING (g) GROUP BY 1, 2),
+        |pairs AS (SELECT new_id, cid,
+        |    CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS j
+        |  FROM cand JOIN sz s1 ON s1.doc_id = new_id JOIN sz s2 ON s2.doc_id = cid),
         |best AS (SELECT new_id, min(cid) AS matched_id FROM pairs
         |  WHERE j >= 0.5 GROUP BY new_id),
         |bj AS (SELECT b.new_id, b.matched_id, p.j AS jaccard
@@ -1397,6 +1428,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS dup_frac
         |FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // duplicated-substring spans: positioned 8-grams (0-based start) via
+    // parallel list unnest, occurrence counts >= 2, then the same
+    // gaps-and-islands fold (break when pos - prev > k) — all integers,
+    // exact replay of the engine's window plan
+    "q_dup_spans" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(unnest(range(0, len(tk) - 7)) AS INT) AS pos,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        |  FROM tks WHERE len(tk) >= 8),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM dp),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 7 AS INT) AS span_end,
+        |  count(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langMarkers.map(_._1)
@@ -1919,6 +1977,31 @@ object SparkEntry {
         |  round(-sum(tf * ln(CAST(ctf + 1 AS DOUBLE) / (n_total + v_size)))
         |    / sum(tf), 6) AS surprisal
         |FROM tfc JOIN model USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated bigram surprisal: same token split, bigrams from the
+    // 1-based position range, p = 0.75*ML + 0.25*add-one-unigram floor —
+    // every division is exact IEEE from integer counts; ln/sum-order
+    // rounded to 6 dp on both engines
+    "q_bigram_lm" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |  bg AS (SELECT doc_id, unnest(tk[:-2]) AS w1, unnest(tk[2:]) AS w2
+        |    FROM tks WHERE len(tk) >= 2),
+        |  tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |  bgm AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cbg
+        |    FROM tf GROUP BY 1, 2),
+        |  uni AS (SELECT term, count(*) AS ctf
+        |    FROM (SELECT unnest(tk) AS term FROM tks) GROUP BY 1),
+        |  tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total,
+        |    count(*) AS v_size FROM uni)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-sum(tf * ln(
+        |      0.75 * (CAST(cbg AS DOUBLE) / u1.ctf) +
+        |      0.25 * (CAST(u2.ctf + 1 AS DOUBLE) / (n_total + v_size))))
+        |    / sum(tf), 6) AS bigram_surprisal
+        |FROM tf JOIN bgm USING (w1, w2)
+        |  JOIN uni u1 ON u1.term = w1 JOIN uni u2 ON u2.term = w2
+        |  CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vec_l2norm" ->

@@ -391,6 +391,53 @@ object TextAnalysis {
           sum(col("tf"))).cast("double"), 6).as("surprisal"))
   }
 
+  /** Per-document interpolated bigram surprisal — the standard
+    * KenLM-style perplexity gate one step up from [[unigramSurprisal]]:
+    * p(w2|w1) = lambda * c(w1 w2)/c(w1)  +  (1-lambda) * (c(w2)+1)/(N+V)
+    * (Jelinek-Mercer interpolation with an add-one unigram floor, so
+    * unseen continuations never zero out). Score is the mean -ln p over
+    * the doc's bigrams; docs with fewer than two tokens emit no row.
+    *
+    * Scale shape mirrors the unigram gate: the bigram and unigram
+    * models are map-side-combined aggregations that STAY distributed
+    * (vocabulary and bigram tables never collect — at 100 TB the bigram
+    * table is huge, and it only ever flows through hash joins on its
+    * own key); the scalar totals broadcast back as one row. Joins are
+    * equi-joins on the bigram/term keys, AQE-broadcast when the model
+    * side fits. Rounded to 6 decimals for the same cross-engine ln /
+    * sum-order reasons as [[unigramSurprisal]].
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+                      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda in (0, 1)")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+    // bigram instances: positions 0..n-2 paired with the next token —
+    // posexplode + element_at are codegen'd (no interpreted HOF lambda)
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col(idCol), col("tk"),
+        posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)))
+      .withColumnRenamed("col", "w1")
+      .withColumn("w2", element_at(col("tk"), col("pos") + 2))
+      .select(col(idCol), col("w1"), col("w2"))
+    val tf = bg.groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bgModel = tf.groupBy("w1", "w2").agg(sum("tf").as("cbg"))
+    val uni = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+    val totals = uni.agg(sum("ctf").as("n_total"), count(lit(1)).as("v_size"))
+    tf.join(bgModel, Seq("w1", "w2"))
+      .join(uni.select(col("term").as("w1"), col("ctf").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("ctf").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(lambda) * (col("cbg").cast("double") / col("c1")) +
+          lit(1 - lambda) * ((col("c2") + lit(1)).cast("double") /
+            (col("n_total") + col("v_size"))))
+      .groupBy(idCol)
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round((-sum(col("tf") * log(col("p"))) / sum(col("tf")))
+          .cast("double"), 6).as("bigram_surprisal"))
+  }
+
   /** Chunk documents into fixed-size token windows with overlap — the
     * context-length packing step before tokenizer/training. Emits one row
     * per chunk: (idCol, chunk_id, chunk_text, n_chunk_tokens). Chunk
@@ -501,6 +548,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Exact duplicated-substring spans: the maximal token ranges of each
+    * document covered by `k`-token grams that occur MORE THAN ONCE in
+    * the corpus (anywhere — another doc or elsewhere in the same doc).
+    * This is the span-level signal behind suffix-array substring dedup
+    * (Lee et al., ACL'22 §4: remove repeated substrings over ~50 tokens
+    * rather than whole near-dup documents); a consumer drops or trims
+    * the reported ranges. Output: (id, span_start, span_end,
+    * n_dup_grams) with token positions 0-based inclusive.
+    *
+    * Spark-first shape instead of a suffix array: (1) one pass builds
+    * every positioned k-gram via `lead` calls that share ONE window
+    * over a doc-keyed sort — linear in token instances; (2) gram
+    * occurrence counts are a map-side-combined aggregation on the gram
+    * key (the count table stays distributed — never collected, never
+    * joined wider than (gram, pos) rows); (3) positions of repeated
+    * grams come back through one equi-join on the gram; (4) overlapping
+    * or touching gram spans fold into maximal islands with a lag +
+    * running-sum window — the classic gaps-and-islands plan, one more
+    * doc-keyed shuffle. Nothing is quadratic and no driver state grows
+    * with the corpus; every value is an integer, so the oracle replays
+    * the result exactly.
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol).as("_doc"),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy("_doc").orderBy("_pos")
+    val withGram = (1 until k).foldLeft(pos) { (d, j) =>
+      d.withColumn(s"_t$j", lead(col("_tok"), j).over(w))
+    }
+    val grams = withGram
+      .filter(col(s"_t${k - 1}").isNotNull) // last k-1 positions have no full gram
+      .select(col("_doc"), col("_pos"),
+        concat_ws(" ", col("_tok") +: (1 until k).map(j => col(s"_t$j")): _*)
+          .as("_gram"))
+    val repeated = grams.groupBy("_gram").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2)
+    val dupPos = grams.join(repeated, "_gram").select("_doc", "_pos")
+    // gaps-and-islands: a gram at _pos covers [_pos, _pos+k-1]; merge
+    // with the previous gram's span when they overlap or touch
+    // (_pos - prev <= k), break on a true gap
+    val wi = Window.partitionBy("_doc").orderBy("_pos")
+    dupPos
+      .withColumn("_brk",
+        when(col("_pos") - lag("_pos", 1).over(wi) > k, 1L).otherwise(0L))
+      .withColumn("_island",
+        sum("_brk").over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_doc"), col("_island"))
+      .agg(min("_pos").as("span_start"),
+        (max("_pos") + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("_doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
   }
 
   /** Skip-gram co-occurrence counts (word2vec-style training pairs):

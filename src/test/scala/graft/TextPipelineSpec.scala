@@ -60,6 +60,54 @@ class SurprisalSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(nt == Map(1L -> 5L, 2L -> 5L, 3L -> 5L))
   }
+
+  test("bigramSurprisal charges rare continuations more than the dominant pattern") {
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),     // only the dominant bigrams
+      (2L, "a b a b a b a b a z"),     // one rare continuation (a,z)
+      (3L, "a")).toDF("doc_id", "text") // <2 tokens: no row
+    val out = TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L), "single-token doc must emit no row")
+    assert(out(1L)._2 == 9L && out(2L)._2 == 9L)
+    assert(out(1L)._3 < out(2L)._3,
+      s"doc with the unseen continuation must surprise more: $out")
+    // hand-check doc 1 exactly: corpus counts c(a,b)=9, c(b,a)=8,
+    // c(a)=11 (5+5+1 with doc 3), c(b)=9, c(z)=1, N=21, V=3
+    val pAB = 0.75 * 9.0 / 11 + 0.25 * (9 + 1.0) / (21 + 3)
+    val pBA = 0.75 * 8.0 / 9 + 0.25 * (11 + 1.0) / (21 + 3)
+    val expect = -(5 * math.log(pAB) + 4 * math.log(pBA)) / 9
+    assert(math.abs(out(1L)._3 - expect) < 1e-5,
+      s"doc 1 surprisal ${out(1L)._3} != $expect")
+  }
+}
+
+class DuplicatedSpansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("duplicatedSpans merges overlapping repeated k-grams into maximal spans") {
+    // k=3. "p q r s" appears in docs 1 and 2 -> two overlapping dup
+    // 3-grams (p q r @0/5 shifts, q r s) merge into one span per doc.
+    val docs = Seq(
+      (1L, "p q r s x y z w v u"),
+      (2L, "m n p q r s o k j h"),
+      (3L, "unique tokens only here nothing repeats at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(docs, "text", "doc_id", 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc1: "p q r s" at tokens 0..3 -> grams at 0 ("p q r") and 1
+    // ("q r s"), both repeated in doc2 (positions 2 and 3) -> spans
+    // [0,3] (2 grams) and [2,5]
+    assert(out == Seq((1L, 0, 3, 2L), (2L, 2, 5, 2L)), s"got $out")
+  }
+
+  test("duplicatedSpans counts a within-document repeat and breaks on true gaps") {
+    // "a b c" repeats inside ONE doc at positions 0 and 10 (gap > k)
+    val docs = Seq(
+      (7L, "a b c one two three four five six seven a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(docs, "text", "doc_id", 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((7L, 0, 2, 1L), (7L, 10, 12, 1L)), s"got $out")
+  }
 }
 
 class GapFillSpec extends SparkSpecBase {
