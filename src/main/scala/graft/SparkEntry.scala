@@ -566,6 +566,25 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- distributed full-corpus Lloyd k-means on planted axis-aligned
+    //      clusters: point = 10 * onehot(vec_id % 4) + 0.01 * embedding
+    //      (noise per dim <= 0.0053 against a 10.0 planted component, so
+    //      cosine margins are ~0.999 vs ~0.04 and every Lloyd step
+    //      assigns exactly by group). Init = the 4 lowest-id points (one
+    //      per group by construction), so cluster index == group and the
+    //      oracle states the assignment in closed form ----
+    "q_kmeans_planted" -> ((s, dir) => {
+      val g = (col("vec_id") % 4).cast("int")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === g, lit(10.0)).otherwise(lit(0.0)) +
+            lit(0.01) * x.cast("double")).as("v"))
+      val init = pts.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val ctr = Similarity.kmeansFitDistributed(pts, "v", init, iters = 2)
+      Similarity.kmeansAssign(pts, "vec_id", "v", ctr).orderBy("vec_id")
+    }),
+
     // ---- natural-corpus IVF recall measurement vs brute force (the
     //      "measure, don't guess" check the LSH path got via planting;
     //      deterministic: seeded fit sample + Lloyd's ties to lowest cell) ----
@@ -1821,6 +1840,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 4 = 0)
         |ORDER BY query_id""".stripMargin,
+
+    // planted k-means truth: cluster index equals the planted group
+    // (init order = groups 0..3 of vec_ids 0..3; separation analysis in
+    // the query comment)
+    "q_kmeans_planted" ->
+      """SELECT vec_id, CAST(vec_id % 4 AS INT) AS cluster
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_recall_at_5_ge_half', true))

@@ -238,6 +238,63 @@ object Similarity {
     kmeansFit(sample, nCells, iters)
   }
 
+  /** FULL-CORPUS distributed Lloyd iterations (spherical k-means), for
+    * when the model should see every vector rather than [[ivfFit]]'s
+    * bounded sample: per iteration, (1) one narrow pass assigns each
+    * vector to its nearest centroid (cosine, [[graft.functions.NearestCells]]
+    * kernel — the k x dim matrix rides as a reference object, no plan
+    * blowup), and (2) per-cell per-dimension sums reduce through ONE
+    * map-side-combined aggregation keyed on (cell, dim) — at most
+    * k x dim groups, so the shuffle is model-sized no matter how big
+    * the corpus is. Only the k x dim statistics rows ever reach the
+    * driver; 100 TB of vectors never move. Deterministic given `init`
+    * up to float-sum order (~1e-13 centroid wiggle): assignments are
+    * stable whenever cluster margins exceed that, which is the regime
+    * k-means is meaningful in anyway. Empty cells keep their previous
+    * centroid, as in the driver-side twin.
+    */
+  def kmeansFitDistributed(df: DataFrame, vecCol: String,
+                           init: Array[Array[Double]],
+                           iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty, "need at least one initial centroid")
+    require(iters >= 1, "iters must be >= 1")
+    var centroids = init.map(normalized)
+    val dim = centroids.head.length
+    var it = 0
+    while (it < iters) {
+      val stats = df.select(
+        element_at(graft.functions.NearestCells(col(vecCol), centroids, 1),
+          lit(1)).as("cell"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect() // <= k x dim rows: model-sized, not corpus-sized
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      stats.foreach { r =>
+        val c = r.getInt(0); val i = r.getInt(1)
+        sums(c)(i) = r.getAs[Double]("s")
+        counts(c) = r.getAs[Long]("n")
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0L) centroids(c)
+        else normalized(sums(c).map(_ / counts(c)))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Hard cluster assignment under a fitted centroid matrix: one narrow
+    * codegen'd pass, no shuffle — (id, cluster) with cosine ties to the
+    * lowest cluster index.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+      element_at(graft.functions.NearestCells(col(vecCol), centroids, 1),
+        lit(1)).as("cluster"))
+
   /** Per-row probe list: the `nProbe` cell ids nearest (by cosine) to the
     * vector, best first. Element 1 is the vector's own IVF cell. Ties
     * break to the lowest cell id — fully deterministic. Native kernel

@@ -21,6 +21,23 @@ object EventsOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Streaming exact dedup — the at-least-once-delivery guard an event
+    * ingest runs before anything downstream: drop every record whose
+    * `keyCols` were already seen, keeping state only within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` is exactly this
+    * operator in Spark: state per key is one timestamp, and keys whose
+    * event time passes below the watermark are evicted, so state is
+    * bounded by (arrival rate × lateness), never by stream length —
+    * the property that makes exact dedup feasible on an unbounded
+    * stream. Batch twin: `dropDuplicates(keyCols)` / Dedup.exactDedup.
+    */
+  def streamingExactDedup(events: DataFrame, keyCols: Seq[String],
+                          lateness: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Watermarked streaming variant: tolerates `lateness` of out-of-order
     * data, emits finalized windows. Same aggregation semantics as
     * [[hourlyCounts]].

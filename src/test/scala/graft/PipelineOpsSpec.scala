@@ -53,6 +53,30 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("kmeansFitDistributed recovers well-separated clusters and matches driver Lloyd") {
+    import graft.operators.Similarity
+    // three axis clusters with small jitter; ids interleave the clusters
+    val pts = (0L until 30L).map { i =>
+      val g = (i % 3).toInt
+      val base = Array(0.0, 0.0, 0.0)
+      base(g) = 5.0
+      base((g + 1) % 3) = 0.01 * (i % 7)  // deterministic jitter
+      (i, base.toSeq)
+    }.toDF("vec_id", "v")
+    val init = Array(Array(5.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 5.0))
+    val fitted = Similarity.kmeansFitDistributed(pts, "v", init, iters = 3)
+    val assigned = Similarity.kmeansAssign(pts, "vec_id", "v", fitted)
+      .as[(Long, Int)].collect().toMap
+    (0L until 30L).foreach { i =>
+      assert(assigned(i) == (i % 3).toInt, s"vec $i -> ${assigned(i)}")
+    }
+    // centroids are unit vectors dominated by their axis
+    fitted.zipWithIndex.foreach { case (c, g) =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+      assert(c(g) > 0.99, s"centroid $g = ${c.toSeq}")
+    }
+  }
+
   test("cosine: identical ~1, orthogonal 0, opposite -1") {
     val r = vecs.filter($"vec_id" === 0).crossJoin(
         vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))

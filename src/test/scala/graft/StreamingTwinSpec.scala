@@ -193,6 +193,33 @@ class StreamingHeavyHittersSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = graft.streaming.EventsOps
+      .streamingExactDedup(events, Seq("event_id"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_twin")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "first"),
+        (2L, ts("2024-01-01 10:01:00"), "second"),
+        (1L, ts("2024-01-01 10:02:00"), "dup-in-batch"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, ts("2024-01-01 10:10:00"), "dup-across-batches"),
+        (3L, ts("2024-01-01 10:11:00"), "third"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, payload FROM dedup_twin")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${got.toSeq}")
+      // the FIRST arrival wins; later duplicates (same or later batch) drop
+      assert(got.toMap == Map(1L -> "first", 2L -> "second", 3L -> "third"))
+    } finally q.stop()
+  }
+
   test("non-numeric keys are dropped after the long cast instead of NPE-ing the encoder") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
