@@ -566,6 +566,27 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- linear quality classifier, distributed logistic GD: planted
+    //      separable labels (sign of embedding dim 1, margin-filtered at
+    //      0.1 against a ~0.5 feature scale) over the first 8 dims; the
+    //      driver-gate row asserts the fitted model separates its
+    //      training corpus perfectly, which the planted margin makes a
+    //      deterministic outcome ----
+    "q_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .filter(abs(element_at(col("embedding"), 1)) > 0.1f)
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, 8).cast("array<double>").as("x"),
+          (element_at(col("embedding"), 1) > 0f).cast("double").as("y"))
+      val w = Classifier.fitLogistic(e, "x", "y", iters = 80, lr = 5.0)
+      val wrong = Classifier.predictLogistic(e, "vec_id", "x", w)
+        .join(e.select("vec_id", "y"), "vec_id")
+        .filter(col("pred") =!= (col("y") === 1.0)).count()
+      Seq(("classifier_train_accuracy_eq_1", wrong == 0L))
+        .toDF("check_name", "ok")
+    }),
+
     // ---- distributed full-corpus Lloyd k-means on planted axis-aligned
     //      clusters: point = 10 * onehot(vec_id % 4) + 0.01 * embedding
     //      (noise per dim <= 0.0053 against a 10.0 planted component, so
@@ -954,6 +975,22 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) =>
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
+
+    // ---- count-min sketch: build the 4x256 counter matrix over the
+    //      event stream's user ids, estimate every 10th user, and show
+    //      the one-sided error against the exact counts. md5-seeded
+    //      buckets -> DuckDB rebuilds the matrix bit-for-bit ----
+    "q_count_min" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sk = CountMin.sketch(ev, "user_id", depth = 4, width = 256)
+      val keys = ev.select("user_id").distinct()
+        .filter(col("user_id") % 10 === 0)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      CountMin.estimate(sk, keys, "user_id", depth = 4, width = 256)
+        .join(exact, "user_id")
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy("user_id")
+    }),
 
     // ---- A-class filter-aggregate (TPC-H Q6 shape): every predicate
     //      pushed to the scan, decimal-exact revenue sum ----
@@ -1841,6 +1878,9 @@ object SparkEntry {
         |  SELECT vec_id + 1000000, vec_id FROM embeddings WHERE vec_id % 4 = 0)
         |ORDER BY query_id""".stripMargin,
 
+    "q_quality_classifier" ->
+      """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
     // planted k-means truth: cluster index equals the planted group
     // (init order = groups 0..3 of vec_ids 0..3; separation analysis in
     // the query comment)
@@ -2270,6 +2310,29 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
+
+    // count-min replay: same md5-60-bit seeded buckets (row index
+    // prefixed), same 4x256 matrix, min-over-rows estimate — integers
+    // end to end
+    "q_count_min" ->
+      """WITH b AS (SELECT user_id, j,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |        CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 256
+        |      AS BIGINT) AS bucket
+        |  FROM events CROSS JOIN range(4) AS r(j)),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0),
+        |kb AS (SELECT user_id, j,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |        CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 256
+        |      AS BIGINT) AS bucket
+        |  FROM keys CROSS JOIN range(4) AS r(j)),
+        |est AS (SELECT kb.user_id, min(cnt) AS est
+        |  FROM kb JOIN sk ON sk.j = kb.j AND sk.bucket = kb.bucket
+        |  GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+        |SELECT user_id, est, exact, est - exact AS overcount
+        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
 
     // TPC-H Q6: same decimal-exact arithmetic as q1/q3
     "q6_forecast_revenue" ->

@@ -53,6 +53,54 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("logistic GD separates planted margin data and scores new points by the separator") {
+    import graft.operators.Classifier
+    // planted separator: y = [x1 > 1]; both classes offset from the
+    // boundary by a margin of 1, plus an irrelevant noise dimension
+    val train = (0 until 40).map { i =>
+      val y = i % 2
+      val x1 = if (y == 1) 2.0 + (i % 5) * 0.1 else -(i % 5) * 0.1
+      (i.toLong, Seq(x1, (i % 7) * 0.3), y.toDouble)
+    }.toDF("id", "x", "y")
+    val w = Classifier.fitLogistic(train, "x", "y", iters = 60, lr = 5.0)
+    val preds = Classifier.predictLogistic(train, "id", "x", w)
+      .join(train, "id")
+      .filter($"pred" =!= ($"y" === 1.0)).count()
+    assert(preds == 0, s"training accuracy must be 1.0 (weights ${w.toSeq})")
+    // the learned separator weights the signal dim far above the noise dim
+    assert(math.abs(w(1)) > 3 * math.abs(w(2)), s"weights ${w.toSeq}")
+    // unseen points score by margin sign
+    val test = Seq((100L, Seq(5.0, 0.9)), (101L, Seq(-3.0, 0.9))).toDF("id", "x")
+    val out = Classifier.predictLogistic(test, "id", "x", w)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(100L -> true, 101L -> false))
+  }
+
+  test("count-min sketch: estimates are one-sided, exact when width avoids collisions") {
+    import graft.operators.CountMin
+    val data = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(7)(3L) ++
+      (100L until 160L)).toDF("k")
+    val keys = Seq(1L, 2L, 3L, 100L, 999L).toDF("k") // 999 never counted
+    // wide sketch: 60-bit hashing over 4096 buckets makes collisions
+    // among ~63 keys vanishingly unlikely -> estimates are exact
+    val wide = CountMin.estimate(
+      CountMin.sketch(data, "k", 4, 4096), keys, "k", 4, 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == Map(1L -> 50L, 2L -> 30L, 3L -> 7L, 100L -> 1L, 999L -> 0L))
+    // narrow sketch: collisions can only INFLATE (one-sided error)
+    val narrow = CountMin.estimate(
+      CountMin.sketch(data, "k", 2, 8), keys, "k", 2, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(narrow(1L) >= 50L && narrow(2L) >= 30L && narrow(3L) >= 7L)
+    // sketches MERGE: union of shard sketches re-aggregated == whole
+    val (s1, s2) = (data.filter($"k" <= 3L), data.filter($"k" > 3L))
+    val merged = CountMin.sketch(s1, "k", 4, 64)
+      .unionByName(CountMin.sketch(s2, "k", 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = CountMin.sketch(data, "k", 4, 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("kmeansFitDistributed recovers well-separated clusters and matches driver Lloyd") {
     import graft.operators.Similarity
     // three axis clusters with small jitter; ids interleave the clusters
