@@ -566,6 +566,16 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- token-budget curation: the best-scored docs whose running
+    //      total fits 100k chars (distributed prefix sum, no global
+    //      window) ----
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSelect(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", "n_chars", 100000L)
+        .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
+        .orderBy("cum_tokens", "doc_id")),
+
     // ---- linear quality classifier, distributed logistic GD: planted
     //      separable labels (sign of embedding dim 1, margin-filtered at
     //      0.1 against a ~0.5 feature scale) over the first 8 dims; the
@@ -1880,6 +1890,17 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
+    // token-budget truth: one global window cumsum over (score desc, id)
+    // — fine in DuckDB at oracle scale; the engine's distributed
+    // prefix-sum replays the identical integer totals
+    "q_token_budget" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum_tokens FROM r WHERE cum_tokens <= 100000
+        |ORDER BY cum_tokens, doc_id""".stripMargin,
 
     // planted k-means truth: cluster index equals the planted group
     // (init order = groups 0..3 of vec_ids 0..3; separation analysis in

@@ -33,16 +33,21 @@ object Classifier {
   private def marginCol(vec: Column, w: Array[Double]): Column =
     graft.functions.DotProduct(augmented(vec), array(w.map(lit): _*))
 
-  /** Fit logistic weights (bias first) by full-batch GD: `iters` passes
-    * at learning rate `lr` (scaled by 1/n). `labelCol` must be 0/1.
+  /** Fit logistic weights (bias first) by full-batch GD: up to `iters`
+    * passes at learning rate `lr` (scaled by 1/n), stopping early when
+    * the mean-gradient norm drops under `tol` (each pass is a full
+    * corpus scan — not spending passes after convergence matters at
+    * 100 TB). `labelCol` must be 0/1.
     */
   def fitLogistic(df: DataFrame, vecCol: String, labelCol: String,
-                  iters: Int = 30, lr: Double = 5.0): Array[Double] = {
+                  iters: Int = 30, lr: Double = 5.0,
+                  tol: Double = 1e-4): Array[Double] = {
     require(iters >= 1 && lr > 0, "iters >= 1, lr > 0")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     var w = new Array[Double](dim + 1)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val resid = (lit(1.0) / (lit(1.0) + exp(-marginCol(col(vecCol), w)))) -
         col(labelCol).cast("double")
       val stats = df
@@ -50,10 +55,14 @@ object Classifier {
         .groupBy("i").agg(sum(col("r") * col("x")).as("g"), count(lit(1)).as("n"))
         .collect() // dim+1 rows: model-sized, never corpus-sized
       val n = stats.head.getAs[Long]("n").toDouble
+      var gNorm2 = 0.0
       stats.foreach { row =>
         val i = row.getInt(0)
-        w(i) -= lr / n * row.getAs[Double]("g")
+        val gi = row.getAs[Double]("g") / n
+        w(i) -= lr * gi
+        gNorm2 += gi * gi
       }
+      converged = math.sqrt(gNorm2) < tol
       it += 1
     }
     w

@@ -109,6 +109,57 @@ object Sampling {
       .withColumn("seq", row_number().over(w).cast("long"))
   }
 
+  /** Select the best documents that fit a token budget: rank by
+    * (`scoreCol` desc, `idCol` asc — a total order) and keep every doc
+    * whose running token total, INCLUDING itself, stays within
+    * `budget`. The "curate the top-quality N-token training subset"
+    * operation; selection is exact and deterministic, not sampled.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window (a
+    * bare `Window.orderBy` single-partitions the corpus): the rows are
+    * range-partitioned on the rank order, each partition computes its
+    * LOCAL running sums in one within-partition window, per-partition
+    * totals (one row each) come to the driver, and the exclusive
+    * partition offsets broadcast back as a spark_partition_id lookup.
+    * Two passes over the data, driver state = one long per partition.
+    * Integer token counts make the running totals exact, so an engine
+    * replaying the same total order reproduces the selection.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long,
+                        nPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = if (nPartitions > 0) nPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(n, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+    // pass 1: per-partition token totals -> exclusive prefix offsets
+    // (one row per partition on the driver; partition ids are ordered
+    // BY CONSTRUCTION of the range exchange, so offsets follow rank order)
+    val totals = parted.groupBy("_pid")
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("_t")).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) =>
+      acc + totals.getOrElse(p, 0L)).init
+    val offsetExpr = offsets.zipWithIndex
+      .foldLeft(lit(0L)) { case (e, (off, p)) =>
+        when(col("_pid") === p, lit(off)).otherwise(e)
+      }
+    // pass 2: local running sum + broadcast offset = global prefix sum
+    val w = Window.partitionBy("_pid")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(w) + offsetExpr)
+      .filter(col("cum_tokens") <= budget)
+      .drop("_pid")
+  }
+
   /** Temperature-based source mixing (the multi-corpus reweighting used
     * for LLM training mixtures): per-domain weight w_d ∝ n_d^alpha,
     * normalized. alpha = 1 keeps natural proportions, alpha -> 0

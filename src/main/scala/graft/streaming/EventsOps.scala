@@ -424,6 +424,71 @@ object StreamingHeavyHitters {
   }
 }
 
+/** One scored event from [[StreamingRollingAnomaly]]: z is null until
+  * the trailing window is full and has positive variance.
+  */
+final case class AnomalyScore(key: Long, event_id: Long, value: Double,
+                              z: Option[Double], is_anomaly: Boolean)
+
+private[streaming] final case class RollState(ring: Vector[Double])
+
+/** Streaming twin of [[graft.operators.EventAnalytics.rollingAnomaly]]:
+  * per-key z-score of each value against the trailing `n` values.
+  * State per key is exactly the `n`-value ring — bounded, independent
+  * of stream length. Within a micro-batch rows are processed in
+  * (ts, event_id) order (the batch operator's window order); across
+  * batches arrival order stands in for event order, the usual
+  * streaming contract for in-order sources. Same mean/variance/round-6
+  * arithmetic as the batch twin, so in-order replays score
+  * identically.
+  */
+object StreamingRollingAnomaly {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame, keyCol: String, valueCol: String,
+            tsCol: String = "ts", idCol: String = "event_id",
+            n: Int = 10, threshold: Double = 3.0): Dataset[AnomalyScore] = {
+    require(n >= 2, "lookback window must be at least 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[RollState]) => {
+          // per-key per-batch buffer only — sorted to the batch twin's
+          // (ts, id) window order
+          val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Double])
+          val out = sorted.map { case (_, id, _, v) =>
+            val z: Option[Double] =
+              if (ring.length == n) {
+                val cnt = n.toDouble
+                val s1 = ring.sum
+                val s2 = ring.map(x => x * x).sum
+                val mean = s1 / cnt
+                val variance = (s2 - cnt * mean * mean) / (cnt - 1)
+                if (variance > 0)
+                  Some(BigDecimal((v - mean) / math.sqrt(variance))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              } else None
+            ring = (ring :+ v).takeRight(n)
+            AnomalyScore(key, id, v, z, z.exists(math.abs(_) > threshold))
+          }
+          state.update(RollState(ring))
+          out.iterator
+        })
+  }
+}
+
 /** One finalized (user, day, count) row — zero-count rows mark gap days. */
 final case class DayCount(user_id: Long, day: java.sql.Date, n_events: Long)
 

@@ -259,11 +259,14 @@ class TextAnalysisSpec extends SparkSpecBase {
     // floor below true min frequency + cap above true vocab => identical merges
     val bounded = Bpe.train(docs, "text", 5, minCount = 1L, maxVocab = 100)
     assert(bounded == unbounded)
-    // an active floor (>=2) removes "zq" from the driver table: merges are
-    // now learned from {aa x3, ab x2} only — same result here since "zq"
-    // contributed only the (z,q) pair, which never won a merge
+    // an active floor (>=2) removes "zq" from the driver table: merges
+    // are now learned from {aa x3, ab x2} only, so the tail-word merge
+    // (z,q) — which the unbounded run picks up once the frequent pairs
+    // are exhausted — correctly disappears, and the frequent-pair
+    // merges are untouched
     val floored = Bpe.train(docs, "text", 5, minCount = 2L)
-    assert(floored == unbounded)
+    assert(floored == unbounded.take(2))
+    assert(floored.map(m => (m.left, m.right)) == Seq(("a", "a"), ("a", "b")))
     // cap=1 keeps only "aa" (top by count): the sole learnable merge is (a,a)
     val capped = Bpe.train(docs, "text", 5, maxVocab = 1)
     assert(capped.map(m => (m.left, m.right)) == Seq(("a", "a")))

@@ -102,6 +102,28 @@ class SamplingSpec extends SparkSpecBase {
     assert(c != a)
   }
 
+  test("tokenBudgetSelect keeps the best-scored prefix that fits, across partition layouts") {
+    import graft.operators.Sampling
+    // score = quality, tokens = cost; ranked by (score desc, id asc):
+    // id 5 (s9, 40), id 2 (s8, 30), id 7 (s8, 30), id 1 (s7, 50), ...
+    val docs = Seq(
+      (1L, 7L, 50L), (2L, 8L, 30L), (3L, 1L, 10L), (4L, 5L, 25L),
+      (5L, 9L, 40L), (6L, 3L, 60L), (7L, 8L, 30L), (8L, 6L, 45L))
+      .toDF("id", "score", "tokens")
+    // budget 100: 40 + 30 + 30 = 100 fits exactly; the next (id 1, 50) won't
+    val sel = Sampling.tokenBudgetSelect(docs, "id", "score", "tokens", 100L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(sel.toSeq == Seq((2L, 70L), (5L, 40L), (7L, 100L)), s"got ${sel.toSeq}")
+    // layout-independent: 1 partition and 7 partitions agree
+    val one = Sampling.tokenBudgetSelect(docs, "id", "score", "tokens", 100L, nPartitions = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    val many = Sampling.tokenBudgetSelect(docs, "id", "score", "tokens", 100L, nPartitions = 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(one == Seq(2L, 5L, 7L) && many == one, s"one=$one many=$many")
+    // a budget smaller than the best doc selects nothing
+    assert(Sampling.tokenBudgetSelect(docs, "id", "score", "tokens", 39L).count() == 0)
+  }
+
   test("temperature mixing flattens toward uniform as alpha drops") {
     val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
       .zipWithIndex.map(_.swap).toDF("id", "dom")

@@ -193,6 +193,38 @@ class StreamingHeavyHittersSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming rolling anomaly matches the batch twin on an in-order spiky stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    // key 1: steady 10/12 alternation, then a spike at event 15
+    val data = (0 until 15).map(i =>
+      (1L, i.toLong, ts(i), if (i % 2 == 0) 10.0 else 12.0)) :+
+      (1L, 15L, ts(15), 500.0)
+    val batch = graft.operators.EventAnalytics.rollingAnomaly(
+      data.toDF("user_id", "event_id", "ts", "value"),
+      "user_id", "value", n = 10, threshold = 3.0)
+      .select($"event_id", $"z", $"is_anomaly")
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = graft.streaming.StreamingRollingAnomaly(
+      events, "user_id", "value", n = 10, threshold = 3.0)
+      .writeStream.format("memory").queryName("roll_anom")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = data.splitAt(8)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val stream = spark.sql("SELECT event_id, z, is_anomaly FROM roll_anom")
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+      assert(stream.toSeq == batch.toSeq,
+        s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+      // the spike is flagged, and only the spike
+      assert(stream.count(_._3) == 1 && stream.find(_._3).get._1 == 15L)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
