@@ -566,6 +566,11 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- supervised class centroids: per-label mean embedding ----
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "i")),
+
     // ---- token-budget curation: the best-scored docs whose running
     //      total fits 100k chars (distributed prefix sum, no global
     //      window) ----
@@ -1890,6 +1895,16 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
+    // class centroids: 0-based dim index via range(len), double cast
+    // before the mean, 6-dp rounding for float-sum order
+    "q_label_centroids" ->
+      """WITH x AS (SELECT label,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT label, i, round(avg(x), 6) AS centroid_val,
+        |  count(*) AS n_vectors
+        |FROM x GROUP BY label, i ORDER BY label, i""".stripMargin,
 
     // token-budget truth: one global window cumsum over (score desc, id)
     // — fine in DuckDB at oracle scale; the engine's distributed

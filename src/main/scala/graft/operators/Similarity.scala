@@ -285,6 +285,21 @@ object Similarity {
     centroids
   }
 
+  /** Per-label mean embedding (supervised class centroids — the "one
+    * prototype per label" artifact used for nearest-centroid
+    * classification and label-noise auditing). One posexplode + one
+    * map-side-combined aggregation keyed on (label, dim) — at most
+    * |labels| x dim groups, so the shuffle is model-sized like
+    * [[kmeansFitDistributed]]'s update step. Values round to 6 dp:
+    * float-sum order is the only cross-engine difference and rounding
+    * absorbs it.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(labelCol, "i")
+      .agg(round(avg("x"), 6).as("centroid_val"), count(lit(1)).as("n_vectors"))
+
   /** Hard cluster assignment under a fitted centroid matrix: one narrow
     * codegen'd pass, no shuffle — (id, cluster) with cosine ties to the
     * lowest cluster index.
