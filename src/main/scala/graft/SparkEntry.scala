@@ -594,7 +594,7 @@ object SparkEntry {
         .select(col("vec_id"),
           slice(col("embedding"), 1, 8).cast("array<double>").as("x"),
           (element_at(col("embedding"), 1) > 0f).cast("double").as("y"))
-      val w = Classifier.fitLogistic(e, "x", "y", iters = 80, lr = 5.0)
+      val w = Classifier.fitLogistic(e, "x", "y", iters = 30, lr = 5.0)
       val wrong = Classifier.predictLogistic(e, "vec_id", "x", w)
         .join(e.select("vec_id", "y"), "vec_id")
         .filter(col("pred") =!= (col("y") === 1.0)).count()

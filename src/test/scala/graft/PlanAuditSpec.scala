@@ -142,6 +142,32 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected one key exchange:\n$p")
   }
 
+  test("tokenBudgetSelect windows are partition-local over one range exchange — never a global sort-window") {
+    val docs = spark.range(2000).select($"id", ($"id" % 97).as("score"),
+      ($"id" % 13 + 1).as("tokens"))
+    val p = planOf(graft.operators.Sampling.tokenBudgetSelect(
+      docs, "id", "score", "tokens", 5000L, nPartitions = 8))
+    // the rank order is established by ONE range exchange...
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected a range exchange:\n$p")
+    // ...and every Window partitions by _pid (a bare Window.orderBy would
+    // read 'Window [...] [sort...]' with no partition spec and
+    // single-partition the corpus)
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("_pid"), s"global (un-partitioned) window found: $l\n$p")
+    }
+  }
+
+  test("labelCentroids aggregation is partial (map-side combined) on model-sized keys") {
+    val e = spark.range(500).select(($"id" % 10).cast("int").as("label"),
+      array(($"id" % 7).cast("double"), ($"id" % 3).cast("double")).as("v"))
+    val p = planOf(graft.operators.Similarity.labelCentroids(e, "label", "v"))
+    // partial then final HashAggregate around one exchange on (label, i)
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one model-key exchange:\n$p")
+  }
+
   test("compactLatest filter sits above one window exchange, no re-shuffle") {
     val log = spark.range(1000).select(($"id" % 50).as("k"), $"id".as("tie"),
       ($"id" * 1000).cast("timestamp").as("ts"))
