@@ -566,6 +566,11 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- per-type Tukey-fence outlier screen over event values ----
+    "q_iqr_outliers" -> ((s, dir) =>
+      Profile.iqrOutliers(Tables.events(s, dir), "event_type", "value", "event_id")
+        .orderBy("event_type", "event_id")),
+
     // ---- supervised class centroids: per-label mean embedding ----
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
@@ -1895,6 +1900,19 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
+    // Tukey fences via quantile_cont (pairs with Spark's exact
+    // interpolated percentile); only the boolean flag leaves the query
+    "q_iqr_outliers" ->
+      """WITH th AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, event_id, value,
+        |  value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5
+        |    AS is_outlier
+        |FROM events JOIN th USING (event_type)
+        |WHERE value IS NOT NULL
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // class centroids: 0-based dim index via range(len), double cast
     // before the mean, 6-dp rounding for float-sum order

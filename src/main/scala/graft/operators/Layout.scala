@@ -40,6 +40,26 @@ object Layout {
   def zOrderKey(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** Rewrite a table into files of roughly `targetBytes` each — the
+    * small-files compaction every long-lived 100 TB table needs (file
+    * counts grow with every incremental append; scans, listings, and
+    * footer reads all pay per file). The file count comes from the
+    * OPTIMIZER'S size estimate (`sizeInBytes` from the logical plan —
+    * parquet footer statistics at the leaves, so no extra scan), times
+    * `outputRatio` to account for the on-disk-vs-in-plan encoding gap.
+    * One round-robin exchange; pair with [[zOrderLayout]] instead when
+    * a filter workload should decide row placement.
+    */
+  def compactToTargetSize(df: DataFrame, targetBytes: Long,
+                          outputRatio: Double = 1.0): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(outputRatio > 0, "outputRatio must be positive")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, math.ceil(
+      estBytes.toDouble * outputRatio / targetBytes).toLong)
+    df.repartition(math.min(nFiles, Int.MaxValue.toLong).toInt)
+  }
+
   /** Cluster a table for a two-dimensional filter workload: compute the
     * Morton key and range-partition + locally sort by it, so each
     * output file covers a compact rectangle of (c1, c2) space and

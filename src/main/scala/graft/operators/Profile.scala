@@ -87,6 +87,34 @@ object Profile {
         col("n"))
   }
 
+  /** Per-group Tukey-fence outlier flags: a value is an outlier when it
+    * falls outside [q1 − k·IQR, q3 + k·IQR] of ITS group — the standard
+    * robust screen for broken sensors / bad parses before aggregation.
+    *
+    * Shape: one group-keyed aggregation computes the two exact
+    * interpolated quartiles (group-count-bounded output), broadcast or
+    * hash re-joined over the rows for the flag — two passes, no window,
+    * no global sort. Cross-engine note: the fences involve interpolated
+    * quartiles and one multiply, so engines can differ in the last ulp;
+    * a value would have to land within that ulp of a fence to flip a
+    * flag (none do in the synthetic corpus — the comparison-only output
+    * keeps the fence values themselves out of the result).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = col(valueCol).cast("double")
+    val th = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.25D)").as("_q1"),
+        expr(s"percentile($valueCol, 0.75D)").as("_q3"))
+    df.filter(v.isNotNull)
+      .join(th, groupCol)
+      .withColumn("is_outlier",
+        v < col("_q1") - (col("_q3") - col("_q1")) * k ||
+          v > col("_q3") + (col("_q3") - col("_q1")) * k)
+      .select(col(groupCol), col(idCol), v.as("value"), col("is_outlier"))
+  }
+
   /** Single-pass approximate profile (HLL distinct counts, rsd 2%). */
   def profileApprox(df: DataFrame): DataFrame =
     build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))

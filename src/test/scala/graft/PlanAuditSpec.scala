@@ -303,6 +303,23 @@ class ZOrderWriteSpec extends SparkSpecBase {
     // never under the single-column sort
   }
 
+  test("compactToTargetSize folds a 64-file table into a handful of size-targeted files") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    spark.range(20000)
+      .select($"id", concat(lit("padding-padding-padding-"), $"id").as("s"))
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(dir) == 64, s"setup: expected 64 small files, got ${files(dir)}")
+    val read = spark.read.parquet(dir)
+    val est = read.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString
+    graft.operators.Layout.compactToTargetSize(read, est / 4)
+      .write.mode("overwrite").parquet(out)
+    val n = files(out)
+    assert(n >= 3 && n <= 6, s"expected ~4 compacted files, got $n")
+  }
+
   test("dataDrift over z-ordered sides prunes row groups on the non-sort dimension") {
     import graft.operators.{DiffConfig, DriftCompare, TableRules}
     import graft.sources.ParquetSide
