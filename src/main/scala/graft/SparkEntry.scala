@@ -566,6 +566,32 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- pre-join skew diagnostics on the event user key ----
+    "q_skew_report" -> ((s, dir) =>
+      Skew.skewReport(Tables.events(s, dir), "user_id", topN = 10)),
+
+    // ---- dense Gram matrix (upper triangle), 6-dp rounded sums ----
+    "q_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"), round(col("g"), 6).as("g"), col("n"))
+        .orderBy("i", "j")),
+
+    // ---- dominant principal direction via distributed Gram + driver
+    //      power iteration: a planted +5 offset on axis 0 makes the
+    //      uncentered covariance overwhelmingly axis-0 (Gram[0][0] ~ 25N
+    //      vs ~0.01N elsewhere), so the top component must point there ----
+    "q_top_component" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x.cast("double") + when(j === 0, lit(5.0)).otherwise(lit(0.0)))
+          .as("v"))
+      val v = Similarity.topComponent(pts, "v")
+      val lead = v.indices.maxBy(i => math.abs(v(i)))
+      Seq(("top_axis_is_0", lead == 0), ("axis0_loading_gt_0.9", v(0) > 0.9))
+        .toDF("check_name", "ok")
+    }),
+
     // ---- per-type Tukey-fence outlier screen over event values ----
     "q_iqr_outliers" -> ((s, dir) =>
       Profile.iqrOutliers(Tables.events(s, dir), "event_type", "value", "event_id")
@@ -1900,6 +1926,34 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
+    // skew report: integer counts, correctly-rounded double division on
+    // both engines -> identical share/ceil; (n desc, key) tie order
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c)
+        |SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  CAST(least(ceil(n * nkeys / CAST(total AS DOUBLE)), 64) AS BIGINT)
+        |    AS suggested_salt
+        |FROM c CROSS JOIN s
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    // Gram replay: second-level unnest crosses each vector with itself,
+    // upper triangle only, 6-dp rounding for product-sum order
+    "q_gram_matrix" ->
+      """WITH x1 AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    embedding AS e FROM embeddings),
+        |x2 AS (SELECT vec_id, i, x,
+        |    CAST(unnest(range(len(e))) AS INT) AS j,
+        |    CAST(unnest(e) AS DOUBLE) AS y FROM x1)
+        |SELECT i, j, round(sum(x * y), 6) AS g, count(*) AS n
+        |FROM x2 WHERE j >= i GROUP BY i, j ORDER BY i, j""".stripMargin,
+
+    "q_top_component" ->
+      """SELECT * FROM (VALUES ('top_axis_is_0', true),
+        |  ('axis0_loading_gt_0.9', true)) AS t(check_name, ok)""".stripMargin,
 
     // Tukey fences via quantile_cont (pairs with Spark's exact
     // interpolated percentile); only the boolean flag leaves the query

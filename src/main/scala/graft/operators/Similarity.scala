@@ -285,6 +285,58 @@ object Similarity {
     centroids
   }
 
+  /** Dense Gram matrix X'X of an embedding column, as (i, j, g) rows —
+    * the dim x dim summary every spectral analysis starts from. One
+    * pass: each vector explodes to its dim^2 index pairs (i <= j; the
+    * matrix is symmetric, so the upper triangle suffices) and the
+    * products reduce through a map-side-combined aggregation on at most
+    * dim*(dim+1)/2 keys. The corpus is streamed once; the result is
+    * model-sized (64-dim -> 2,080 rows) at any corpus size.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(posexplode(v).as(Seq("i", "x")), v.as("_v"))
+      .select(col("i"), col("x"), posexplode(col("_v")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("x") * col("y")).as("g"), count(lit(1)).as("n"))
+  }
+
+  /** Dominant principal direction of the (uncentered) covariance via
+    * driver-side power iteration on the collected Gram matrix — the
+    * data-scale work is [[gramMatrix]]'s single pass; the dim x dim
+    * eigen-solve is model-sized driver math (the same split as
+    * [[kmeansFitDistributed]]). Sign fixed by making the
+    * largest-magnitude coordinate positive; deterministic given the
+    * Gram values.
+    */
+  def topComponent(df: DataFrame, vecCol: String, iters: Int = 50): Array[Double] = {
+    require(iters >= 1, "iters must be >= 1")
+    val rows = gramMatrix(df, vecCol).collect()
+    val dim = rows.map(_.getInt(1)).max + 1
+    val g = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, x) = (r.getInt(0), r.getInt(1), r.getAs[Double]("g"))
+      g(i)(j) = x; g(j)(i) = x
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += g(i)(j) * v(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = if (n == 0) v else w.map(_ / n)
+      it += 1
+    }
+    val lead = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(lead) < 0) v.map(-_) else v
+  }
+
   /** Per-label mean embedding (supervised class centroids — the "one
     * prototype per label" artifact used for nearest-centroid
     * classification and label-noise auditing). One posexplode + one

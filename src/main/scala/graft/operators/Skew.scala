@@ -48,4 +48,29 @@ object Skew {
   /** Convenience: a deterministic per-row salt column in [0, salts). */
   def rowSalt(salts: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(salts))
+
+  /** Skew diagnostics for a prospective join/aggregation key: the
+    * `topN` heaviest keys with their share of the table and a suggested
+    * salt factor (ceil(key count / mean per-key count) capped at
+    * `maxSalt`) — the report a platform runs BEFORE the 100 TB join to
+    * decide whether a key needs [[saltedJoin]] or can ride on AQE's
+    * skew split. One map-side-combined count aggregation plus a
+    * TakeOrdered top-N; the 1-row global stats broadcast back, so
+    * nothing but `topN` rows leaves the cluster. Exact integer counts;
+    * share rounded 6 dp.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10,
+                 maxSalt: Int = 64): DataFrame = {
+    require(topN >= 1 && maxSalt >= 1, "topN and maxSalt must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").as("_total"), count(lit(1)).as("_nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share", round(col("n").cast("double") / col("_total"), 6))
+      .withColumn("suggested_salt",
+        least(ceil(col("n") * col("_nkeys") / col("_total")), lit(maxSalt.toLong))
+          .cast("long"))
+      .select(col(keyCol), col("n"), col("share"), col("suggested_salt"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
 }

@@ -53,6 +53,36 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("gramMatrix sums exact index-pair products; topComponent finds the planted axis") {
+    import graft.operators.Similarity
+    // two vectors: (1,2,0) and (3,0,4) -> X'X upper triangle by hand
+    val vs = Seq((1L, Seq(1.0, 2.0, 0.0)), (2L, Seq(3.0, 0.0, 4.0)))
+      .toDF("vec_id", "v")
+    val g = Similarity.gramMatrix(vs, "v")
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g == Map((0, 0) -> 10.0, (0, 1) -> 2.0, (0, 2) -> 12.0,
+      (1, 1) -> 4.0, (1, 2) -> 0.0, (2, 2) -> 16.0), s"got $g")
+    // dominant variance along axis 1: many (0, 10, 0)-ish vectors
+    val pts = ((0 until 50).map(i => (i.toLong, Seq(0.1 * (i % 3), 10.0 + i % 2, 0.2))))
+      .toDF("vec_id", "v")
+    val top = Similarity.topComponent(pts, "v")
+    assert(top.indices.maxBy(i => math.abs(top(i))) == 1 && top(1) > 0.99,
+      s"top component ${top.toSeq}")
+  }
+
+  test("skewReport ranks hot keys and sizes the salt by their multiple of the mean") {
+    import graft.operators.Skew
+    val rows = (Seq.fill(90)(1L) ++ (2L to 10L)).toDF("k")
+    val out = Skew.skewReport(rows, "k", topN = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.head == ((1L, 90L, math.rint(90.0 / 99 * 1e6) / 1e6, 10L)),
+      s"got ${out.head}")
+    // the cold keys suggest salt 1 (at the mean, ceil(10/11) rounds to 1)
+    assert(out.tail.forall(r => r._2 == 1L && r._4 == 1L), s"got ${out.toSeq}")
+    assert(out.length == 3)
+  }
+
   test("logistic GD separates planted margin data and scores new points by the separator") {
     import graft.operators.Classifier
     // planted separator: y = [x1 > 1]; both classes offset from the
