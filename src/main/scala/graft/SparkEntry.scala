@@ -566,6 +566,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- sketch-estimated join cardinality vs truth: lineitem joins
+    //      orders on the order key; the CMS inner product upper-bounds
+    //      the true size from two 4x256 counter tables ----
+    "q_join_size_est" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val est = CountMin.joinSizeEstimate(
+        CountMin.sketch(li, "k", 4, 256), CountMin.sketch(ord, "k", 4, 256))
+      val truth = li.join(ord, "k").agg(count(lit(1)).as("true_size"))
+      est.crossJoin(truth)
+        .withColumn("overestimate", col("join_size_est") - col("true_size"))
+    }),
+
     // ---- pre-join skew diagnostics on the event user key ----
     "q_skew_report" -> ((s, dir) =>
       Skew.skewReport(Tables.events(s, dir), "user_id", topN = 10)),
@@ -1926,6 +1939,30 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       """SELECT 'classifier_train_accuracy_eq_1' AS check_name, true AS ok""",
+
+    // join-size sketch: same md5-seeded 4x256 matrices for both sides,
+    // per-row counter inner products, min across rows — all integers
+    "q_join_size_est" ->
+      """WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+        |ob AS (SELECT o_orderkey AS k FROM orders),
+        |ba AS (SELECT k, j,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |        CAST(k AS VARCHAR)), 1, 15)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM la CROSS JOIN range(4) AS r(j)),
+        |bb AS (SELECT k, j,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |        CAST(k AS VARCHAR)), 1, 15)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM ob CROSS JOIN range(4) AS r(j)),
+        |sa AS (SELECT j, bucket, count(*) AS ca FROM ba GROUP BY 1, 2),
+        |sb AS (SELECT j, bucket, count(*) AS cb FROM bb GROUP BY 1, 2),
+        |re AS (SELECT sa.j, CAST(sum(ca * cb) AS BIGINT) AS row_est
+        |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+        |  GROUP BY sa.j),
+        |est AS (SELECT min(row_est) AS join_size_est FROM re),
+        |tr AS (SELECT count(*) AS true_size FROM la JOIN ob USING (k))
+        |SELECT join_size_est, true_size,
+        |  join_size_est - true_size AS overestimate
+        |FROM est CROSS JOIN tr""".stripMargin,
 
     // skew report: integer counts, correctly-rounded double division on
     // both engines -> identical share/ceil; (n desc, key) tie order

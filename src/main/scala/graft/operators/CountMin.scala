@@ -47,6 +47,22 @@ object CountMin {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two sketches built with the
+    * SAME (depth, width, key normalization): |A join B| <= min over
+    * rows of the counter inner products (Cormode & Muthukrishnan §4.2 —
+    * the sketch inner product upper-bounds the true join size, with the
+    * usual eps*N_a*N_b slack). The pre-join cost estimate a planner
+    * checks before committing a 100 TB shuffle, computed from two
+    * model-sized tables: the join below is depth x width rows a side at
+    * most, so this never touches either corpus.
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("row"), col("bucket"), col("cnt").as("_ca"))
+      .join(sketchB.select(col("row"), col("bucket"), col("cnt").as("_cb")),
+        Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("_ca") * col("_cb")).as("_rowEst"))
+      .agg(min("_rowEst").as("join_size_est"))
+
   /** Point estimates for `keys`: min over the depth counters each key
     * hashes to. Keys never counted estimate their collision floor
     * (>= 0), like the classic structure.

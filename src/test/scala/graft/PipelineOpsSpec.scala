@@ -131,6 +131,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
   }
 
+  test("CMS inner product upper-bounds the equi-join size, exactly when collision-free") {
+    import graft.operators.CountMin
+    // A: key 1 x3, key 2 x2; B: key 1 x4, key 3 x5 -> true join = 3*4 = 12
+    val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L)).toDF("k")
+    val b = (Seq.fill(4)(1L) ++ Seq.fill(5)(3L)).toDF("k")
+    def est(w: Int): Long = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "k", 4, w), CountMin.sketch(b, "k", 4, w))
+      .head().getLong(0)
+    assert(est(4096) == 12L, s"collision-free estimate must be exact, got ${est(4096)}")
+    // tiny width: collisions only ever inflate
+    assert(est(2) >= 12L)
+  }
+
   test("kmeansFitDistributed recovers well-separated clusters and matches driver Lloyd") {
     import graft.operators.Similarity
     // three axis clusters with small jitter; ids interleave the clusters
