@@ -207,6 +207,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected the reach side broadcast under AQE:\n$p")
   }
 
+  test("bigram LM model joins broadcast under AQE while the model fits") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val out = graft.operators.TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+    val p = finalPlanOf(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the vocabulary-sized model sides broadcast under AQE:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
