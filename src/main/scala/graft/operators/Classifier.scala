@@ -11,12 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Same design point as [[Similarity.kmeansFitDistributed]]: the MODEL
   * (a dim+1 weight vector) lives on the driver, the DATA never leaves
-  * the cluster. Each GD iteration is ONE pass: the per-row residual
-  * (sigmoid(w.x) - y) multiplies into the exploded feature positions and
-  * reduces through a map-side-combined aggregation keyed on the feature
-  * index — at most dim+1 groups, so the shuffle is model-sized at any
-  * corpus size. Prediction is a narrow codegen'd pass (the weight vector
-  * rides in the [[graft.functions.DotProduct]] kernel's plan).
+  * the cluster. The projected feature frame (features + label only, not
+  * the source rows) is persisted MEMORY_AND_DISK across iterations —
+  * the standard iterative-training layout (MLlib warns when its GD input
+  * is uncached); at 100 TB the projection is the narrow slice actually
+  * trained on and spills to local disk rather than re-reading the
+  * source. Each GD iteration is ONE pass: for moderate dims the
+  * gradient is dim+1 column sums in a single two-stage (partial/final)
+  * 1-row aggregate — no explode, no keyed shuffle; past `WideAggMaxDim`
+  * it falls back to exploding feature positions into a
+  * map-side-combined aggregation with at most dim+1 groups. Either way
+  * the reduction is model-sized at any corpus size. Prediction is a
+  * narrow codegen'd pass (the weight vector rides in the
+  * [[graft.functions.DotProduct]] kernel's plan).
   *
   * Deterministic given the data up to float-sum order (~1e-13 in the
   * gradient); predictions are stable wherever |w.x| exceeds that, so a
@@ -30,8 +37,13 @@ object Classifier {
   private def augmented(vec: Column): Column =
     concat(array(lit(1.0)), vec.cast("array<double>"))
 
+  /** w rides as ONE array literal (a codegen reference object), not
+    * dim+1 inlined scalar literals: the generated source is then
+    * byte-identical across GD iterations, so the codegen cache reuses
+    * the compiled class instead of paying a Janino compile per step.
+    */
   private def marginCol(vec: Column, w: Array[Double]): Column =
-    graft.functions.DotProduct(augmented(vec), array(w.map(lit): _*))
+    graft.functions.DotProduct(augmented(vec), typedlit(w.toSeq))
 
   /** Fit logistic weights (bias first) by full-batch GD: up to `iters`
     * passes at learning rate `lr` (scaled by 1/n), stopping early when
@@ -39,33 +51,63 @@ object Classifier {
     * corpus scan — not spending passes after convergence matters at
     * 100 TB). `labelCol` must be 0/1.
     */
+  /** Past this dimension, one agg row of dim+1 sum columns stops being
+    * the cheap plan (codegen width, row size) and the exploded
+    * model-sized groupBy takes over.
+    */
+  val WideAggMaxDim = 256
+
   def fitLogistic(df: DataFrame, vecCol: String, labelCol: String,
                   iters: Int = 30, lr: Double = 5.0,
                   tol: Double = 1e-4): Array[Double] = {
     require(iters >= 1 && lr > 0, "iters >= 1, lr > 0")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    var w = new Array[Double](dim + 1)
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
-      val resid = (lit(1.0) / (lit(1.0) + exp(-marginCol(col(vecCol), w)))) -
-        col(labelCol).cast("double")
-      val stats = df
-        .select(resid.as("r"), posexplode(augmented(col(vecCol))).as(Seq("i", "x")))
-        .groupBy("i").agg(sum(col("r") * col("x")).as("g"), count(lit(1)).as("n"))
-        .collect() // dim+1 rows: model-sized, never corpus-sized
-      val n = stats.head.getAs[Long]("n").toDouble
-      var gNorm2 = 0.0
-      stats.foreach { row =>
-        val i = row.getInt(0)
-        val gi = row.getAs[Double]("g") / n
-        w(i) -= lr * gi
-        gNorm2 += gi * gi
+    val feats = df
+      .select(col(vecCol).cast("array<double>").as("_x"),
+        col(labelCol).cast("double").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = feats.select(size(col("_x"))).head().getInt(0)
+      var w = new Array[Double](dim + 1)
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val resid = (lit(1.0) / (lit(1.0) + exp(-marginCol(col("_x"), w)))) -
+          col("_y")
+        // per-iteration gradient, accumulated (g_0..g_dim, n) on the driver
+        val grads = new Array[Double](dim + 1)
+        var n = 0.0
+        if (dim + 1 <= WideAggMaxDim) {
+          // single 1-row aggregate: g_i = sum(r * x_i), bias x_0 = 1
+          val sums = sum(col("_r")).as("_g0") +:
+            (1 to dim).map(i =>
+              sum(col("_r") * element_at(col("_x"), i)).as(s"_g$i")) :+
+            count(lit(1)).as("_n")
+          val row = feats.select(resid.as("_r"), col("_x"))
+            .agg(sums.head, sums.tail: _*).head()
+          n = row.getAs[Long]("_n").toDouble
+          var i = 0
+          while (i <= dim) { grads(i) = row.getDouble(i); i += 1 }
+        } else {
+          val stats = feats
+            .select(resid.as("r"), posexplode(augmented(col("_x"))).as(Seq("i", "x")))
+            .groupBy("i").agg(sum(col("r") * col("x")).as("g"), count(lit(1)).as("n"))
+            .collect() // dim+1 rows: model-sized, never corpus-sized
+          n = stats.head.getAs[Long]("n").toDouble
+          stats.foreach(row => grads(row.getInt(0)) = row.getAs[Double]("g"))
+        }
+        var gNorm2 = 0.0
+        var i = 0
+        while (i <= dim) {
+          val gi = grads(i) / n
+          w(i) -= lr * gi
+          gNorm2 += gi * gi
+          i += 1
+        }
+        converged = math.sqrt(gNorm2) < tol
+        it += 1
       }
-      converged = math.sqrt(gNorm2) < tol
-      it += 1
-    }
-    w
+      w
+    } finally { feats.unpersist(); () }
   }
 
   /** Narrow scoring pass: (idCol, margin, pred) with pred = margin > 0. */
