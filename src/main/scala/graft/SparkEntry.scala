@@ -41,6 +41,28 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  // ---- PQ planted fixture: 32-dim points, 4 subspaces of 8 dims; the
+  //      subspace-j sub-vector sits at 10*onehot8(g_j) with
+  //      g_j = floor(vec_id / 4^j) % 4, plus 0.01x embedding noise
+  //      (|noise| <= ~0.006/dim vs a 10.0 planted component) ----
+  private def pqPlantedPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(slice(col("embedding"), 1, 32), (x, i) => {
+        val j = floor(i.cast("double") / lit(8.0))
+        val g = pmod(floor(col("vec_id").cast("double") / pow(lit(4.0), j)).cast("long"), lit(4L))
+        val pos = i.cast("long") - j.cast("long") * lit(8L)
+        when(pos === g, lit(10.0)).otherwise(lit(0.0)) + lit(0.01) * x.cast("double")
+      }).as("v"))
+
+  /** The exact planted codebook: every subspace's 4 centroids are
+    * 10*onehot8(c) — hand-specified, so encode/ADC are closed-form
+    * (codebook TRAINING is exercised by spec, where sampled k-means
+    * must recover these centroids).
+    */
+  private val pqPlantedBooks: Array[Array[Array[Double]]] =
+    Array.tabulate(4)(_ => Array.tabulate(4)(c =>
+      Array.tabulate(8)(p => if (p == c) 10.0 else 0.0)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // ---- A1/A-class aggregation (TPC-H Q1 shape); map-side partial aggs,
@@ -665,6 +687,33 @@ object SparkEntry {
       Similarity.kmeansAssign(pts, "vec_id", "v", ctr).orderBy("vec_id")
     }),
 
+    // ---- product quantization, planted codes: 32-dim points built as
+    //      4 subspaces of 10*onehot8(g_j) + 0.01*noise with
+    //      g_j = (vec_id >> 2j) & 3, encoded against the exact
+    //      centroid codebook — squared-distance margins are ~2e-4 vs
+    //      ~200, so code j MUST equal g_j and the oracle states the
+    //      full code table in closed form ----
+    "q_pq_planted" -> ((s, dir) => {
+      Pq.encode(pqPlantedPoints(s, dir), "vec_id", "v", pqPlantedBooks)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // ---- PQ asymmetric-distance top-1 on the planted points: all
+    //      points sharing low-8-bit vec_id patterns share codes, so
+    //      their ADC distances tie bit-exactly and the (dist, id)
+    //      tie-break makes the neighbor the LOWEST id of the class —
+    //      i.e. vec_id % 256, stated in closed form by the oracle.
+    //      (Cross-class distances are >= ~200 vs ~2e-4 in-class, so no
+    //      other class can intrude.) ----
+    "q_pq_adc" -> ((s, dir) => {
+      val pts = pqPlantedPoints(s, dir)
+      val enc = Pq.encode(pts, "vec_id", "v", pqPlantedBooks)
+      Pq.adcTopK(pts.filter(col("vec_id") >= 256 && col("vec_id") < 320),
+          enc, 1, pqPlantedBooks, idCol = "vec_id", vecCol = "v")
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
     // ---- natural-corpus IVF recall measurement vs brute force (the
     //      "measure, don't guess" check the LSH path got via planting;
     //      deterministic: seeded fit sample + Lloyd's ties to lowest cell) ----
@@ -1063,6 +1112,24 @@ object SparkEntry {
             col("l_discount").cast("decimal(8,4)"))
           .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
+
+    // ---- TPC-H Q18 shape (large-volume orders): the HAVING subquery
+    //      becomes an aggregated semi-side joined back to lineitem —
+    //      the big-side aggregation runs ONCE and its survivors (a tiny
+    //      fraction of orders) broadcast under AQE into the
+    //      customer/orders joins; deterministic top-100 by
+    //      (totalprice desc, orderkey) ----
+    "q18_big_spenders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
 
     // ---- exact triangle counts on the co-purchase graph ----
     "q_triangles" -> ((s, dir) => {
@@ -2033,6 +2100,19 @@ object SparkEntry {
       """SELECT vec_id, CAST(vec_id % 4 AS INT) AS cluster
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // planted PQ codes in closed form: code j = (vec_id >> 2j) & 3
+    "q_pq_planted" ->
+      """SELECT vec_id, CAST(j AS INT) AS subspace,
+        |  CAST((vec_id >> (2 * CAST(j AS INT))) & 3 AS INT) AS code
+        |FROM embeddings, (SELECT unnest(range(4)) AS j) sub
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // in-class ADC ties break to the lowest id: neighbor = vec_id % 256
+    "q_pq_adc" ->
+      """SELECT vec_id AS query_id, vec_id % 256 AS neighbor_id
+        |FROM embeddings WHERE vec_id >= 256 AND vec_id < 320
+        |ORDER BY query_id""".stripMargin,
+
     "q_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_recall_at_5_ge_half', true))
         |AS t(check_name, ok)""".stripMargin,
@@ -2489,6 +2569,18 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q18 shape: decimal-exact quantity sums, top-100 by
+    // (totalprice desc, orderkey)
+    "q18_big_spenders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     // triangle truth: same low->high orientation, wedge join, closure
     "q_triangles" ->

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for vector compression and in-compressed-domain
+  * nearest-neighbor scanning (Jegou, Douze & Schmid, PAMI 2011) —
+  * the standard scale path for embedding search between "broadcast the
+  * whole corpus" and a full ANN service: 64-dim float32 vectors become
+  * m small integers (m=4, ksub=256 → 64x compression), and a top-k
+  * scan touches only the codes.
+  *
+  * Spark-first decomposition:
+  *  - [[fit]]: codebook training is DRIVER-BOUNDED — a deterministic
+  *    hash-ordered sample (same construction as `Similarity.ivfFit`)
+  *    of a few thousand vectors fits m independent L2 k-means, so the
+  *    fit cost is constant in corpus size and the m x ksub x subdim
+  *    codebook (m=4, ksub=16, 64 dims → 4 KB) rides in plans as one
+  *    reference object.
+  *  - [[encode]]: one narrow codegen'd pass
+  *    ([[graft.functions.PqCodes]]); no shuffle, no driver data.
+  *  - [[adcTopK]]: each query computes its ADC lookup table ONCE
+  *    ([[graft.functions.PqAdcLut]]), then scans codes at m additions
+  *    per candidate ([[graft.functions.PqAdcDist]]) and keeps top-k
+  *    per query through a rank window partitioned by query — the scan
+  *    shuffles only (query, candidate-id, distance) survivors. At
+  *    cluster scale the scan composes with the IVF coarse quantizer
+  *    (probe cells first, ADC within probed cells — IVF-ADC, PAMI'11
+  *    §V) exactly as `Similarity.ivfTopK` builds its cell-local scan.
+  *
+  * Everything is deterministic: hash-ordered sampling, lowest-index
+  * tie-breaks in Lloyd assignment and encoding, and left-fold double
+  * arithmetic — an external engine replaying the codebooks reproduces
+  * codes and ranks bit-for-bit.
+  */
+object Pq {
+
+  /** Deterministic farthest-point (Gonzalez 1985) seeding: start from
+    * the first sample vector, then repeatedly add the sample point
+    * farthest from its nearest chosen seed (ties to the lowest index).
+    * When clusters are separated by more than their diameters this
+    * provably lands one seed per cluster — unlike "first k vectors",
+    * which can seed one cluster twice and leave Lloyd in the collapsed
+    * local optimum.
+    */
+  private def farthestPointInit(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val minD = Array.fill(n)(Double.PositiveInfinity)
+    val seeds = new Array[Array[Double]](k)
+    var next = 0
+    var s = 0
+    while (s < k) {
+      seeds(s) = sample(next).clone()
+      var far = 0
+      var farD = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        var d = 0.0
+        var t = 0
+        while (t < sample(i).length) {
+          val df = sample(i)(t) - seeds(s)(t); d += df * df; t += 1
+        }
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > farD) { farD = minD(i); far = i }
+        i += 1
+      }
+      next = far
+      s += 1
+    }
+    seeds
+  }
+
+  /** Driver-side Lloyd iterations under plain (non-spherical) L2:
+    * assignment by min squared distance with ties to the lowest cell,
+    * init = deterministic farthest-point seeds, empty cells keep their
+    * previous centroid. PQ sub-quantizers minimize Euclidean
+    * reconstruction error, so centroids are NOT normalized (unlike the
+    * spherical `Similarity.kmeansFit`).
+    */
+  private[graft] def kmeansFitL2(sample: Array[Array[Double]], k: Int,
+                                 iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    var centroids = farthestPointInit(sample, k)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val df = v(i) - centroids(c)(i); d += df * df; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train the m-subspace PQ codebook on a deterministic hash-ordered
+    * sample of `sampleN` vectors (the `Similarity.ivfFit` construction:
+    * lowest `xxhash64(id)` first — reproducible, decorrelated from
+    * ingest order, and NEVER more than `sampleN` vectors on the
+    * driver regardless of corpus size). `dim` must divide evenly into
+    * `m` subspaces.
+    */
+  def fit(df: DataFrame, m: Int, ksub: Int, sampleN: Int = 2048,
+          iters: Int = 10, idCol: String = "vec_id",
+          vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val sample = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .select(Similarity.asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training frame")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subdim = dim / m
+    Array.tabulate(m) { j =>
+      kmeansFitL2(sample.map(v => java.util.Arrays.copyOfRange(v, j * subdim, (j + 1) * subdim)),
+        ksub, iters)
+    }
+  }
+
+  /** Compress: (idCol, codes array<int> of length m). One narrow
+    * codegen'd pass; at m=4/ksub=16 the output is ~1/60th the bytes of
+    * the float64 input.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.PqCodes(col(vecCol), codebooks).as("codes"))
+
+  /** Approximate top-k by asymmetric distance: for each row of
+    * `queries` (idCol, vecCol), the `k` code rows of `codes`
+    * (idCol, "codes") with the smallest ADC squared distance —
+    * (query_id, neighbor_id, adc_dist, rank), ties broken by
+    * neighbor id.
+    *
+    * The LUT column is materialized once per query row BEFORE the
+    * candidate join, so the per-pair cost is m array reads. The join
+    * below is the full compressed scan — the deliberate PQ trade
+    * (codes are 64x smaller than vectors, so a 100 TB float corpus
+    * scans as ~1.6 TB of codes); when even that is too much, feed
+    * `codes` filtered to IVF-probed cells instead (IVF-ADC).
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, k: Int,
+              codebooks: Array[Array[Array[Double]]],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ksub = codebooks.map(_.length).max
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqAdcLut(col(vecCol), codebooks).as("_lut"))
+    val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+    q.join(c)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqAdcDist(col("_lut"), col("codes"), ksub).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

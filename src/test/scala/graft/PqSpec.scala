@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 2 subspaces x 2 dims; sub-vectors sit exactly on a planted grid
+  private val planted: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.0, 0.0), Array(4.0, 4.0)),
+    Array(Array(1.0, -1.0), Array(-3.0, 5.0)))
+
+  private def pointOf(c0: Int, c1: Int, eps: Double): Seq[Double] =
+    Seq(planted(0)(c0)(0) + eps, planted(0)(c0)(1) - eps,
+      planted(1)(c1)(0) + eps, planted(1)(c1)(1) - eps)
+
+  test("encode picks the nearest centroid per subspace, ties to the lowest index") {
+    val df = Seq(
+      (0L, pointOf(0, 0, 0.01)),
+      (1L, pointOf(0, 1, 0.01)),
+      (2L, pointOf(1, 0, -0.02)),
+      (3L, pointOf(1, 1, 0.0))).toDF("vec_id", "embedding")
+    val got = Pq.encode(df, "vec_id", "embedding", planted)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(0L -> Seq(0, 0), 1L -> Seq(0, 1), 2L -> Seq(1, 0), 3L -> Seq(1, 1)))
+
+    // exactly equidistant sub-vector (midpoint) must code to the LOWER index
+    val mid = Seq((2.0 + 2.0) / 2, 2.0, 1.0, -1.0) // (2,2) is the 0/1 midpoint in subspace 0
+    val tie = Pq.encode(Seq((9L, mid)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", planted).as[(Long, Seq[Int])].head()
+    assert(tie._2.head == 0, s"midpoint must tie to centroid 0, got ${tie._2}")
+  }
+
+  test("fit recovers well-separated planted centroids from the hash-ordered sample") {
+    // 40 points per planted code pair, tiny deterministic jitter
+    val rows = for {
+      id <- 0 until 160
+      c0 = id % 2; c1 = (id / 2) % 2
+    } yield (id.toLong, pointOf(c0, c1, 0.001 * (id % 7 - 3)))
+    val books = Pq.fit(rows.toDF("vec_id", "embedding"), m = 2, ksub = 2,
+      sampleN = 160, iters = 10)
+    assert(books.length == 2 && books.forall(_.length == 2))
+    // each planted centroid has a learned centroid within the jitter radius
+    for (j <- 0 until 2; c <- 0 until 2) {
+      val best = books(j).map(l =>
+        math.sqrt(l.zip(planted(j)(c)).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 0.01, s"subspace $j centroid $c off by $best")
+    }
+  }
+
+  test("adcTopK ranks the exact-match class first and breaks in-class ties by id") {
+    val corpus = Seq(
+      (0L, pointOf(0, 0, 0.0)), (1L, pointOf(0, 0, 0.0)), // same codes: tie
+      (2L, pointOf(1, 1, 0.0)), (3L, pointOf(0, 1, 0.0)))
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(corpus, "vec_id", "embedding", planted)
+    val queries = Seq((100L, pointOf(0, 0, 0.05)), (101L, pointOf(1, 1, -0.05)))
+      .toDF("vec_id", "embedding")
+    val top = Pq.adcTopK(queries, codes, 2, planted)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // query 100: class {0,1} ties bit-exactly, id order within the class
+    // query 101: class {2} first, then the next-nearest class
+    assert(top.contains((100L, 0L, 1)) && top.contains((100L, 1L, 2)), s"got $top")
+    assert(top.contains((101L, 2L, 1)), s"got $top")
+  }
+
+  test("ADC distance equals the true distance to the reconstruction") {
+    val q = pointOf(0, 1, 0.3)
+    val queries = Seq((0L, q)).toDF("vec_id", "embedding")
+    val corpus = Seq((7L, pointOf(1, 0, 0.02))).toDF("vec_id", "embedding")
+    val codes = Pq.encode(corpus, "vec_id", "embedding", planted)
+    val adc = Pq.adcTopK(queries, codes, 1, planted)
+      .select("adc_dist").as[Double].head()
+    // candidate 7 codes to (1, 0); its reconstruction is those centroids
+    val recon = Seq(planted(0)(1)(0), planted(0)(1)(1), planted(1)(0)(0), planted(1)(0)(1))
+    val expect = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(adc - expect) < 1e-12, s"adc $adc vs recon-dist $expect")
+  }
+
+  test("codes are m small ints: the compressed scan representation") {
+    val df = (0 until 32).map(i => (i.toLong, pointOf(i % 2, (i / 2) % 2, 0.01)))
+      .toDF("vec_id", "embedding")
+    val enc = Pq.encode(df, "vec_id", "embedding", planted)
+      .select(size(col("codes")).as("m"),
+        array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
+      .agg(max("m").as("m"), max("mx").as("mx"), min("mn").as("mn"))
+      .as[(Int, Int, Int)].head()
+    assert(enc._1 == 2 && enc._2 <= 1 && enc._3 >= 0)
+  }
+}
