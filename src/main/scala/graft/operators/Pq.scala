@@ -163,10 +163,13 @@ object Pq {
               vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val ksub = codebooks.map(_.length).max
-    val q = queries.select(col(idCol).as("query_id"),
-      graft.functions.PqAdcLut(col(vecCol), codebooks).as("_lut"))
+    // the query batch (with LUTs precomputed below the exchange, once
+    // per query) BROADCASTS; the compressed corpus STREAMS — the only
+    // orientation that survives a corpus 1000x bigger than memory
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      graft.functions.PqAdcLut(col(vecCol), codebooks).as("_lut")))
     val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
-    q.join(c)
+    c.join(q)
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.PqAdcDist(col("_lut"), col("codes"), ksub).as("adc_dist"))
       .withColumn("rank", row_number().over(

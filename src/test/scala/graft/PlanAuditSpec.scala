@@ -227,6 +227,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       s"expected no sort-merge join for the tiny benchmark side:\n$p")
   }
+
+  test("PQ ADC scan: query batch broadcasts with LUTs built below the exchange; corpus streams; top-k prunes pre-shuffle") {
+    val books = Array.fill(2)(Array(Array(0.0, 0.0), Array(4.0, 4.0)))
+    val dir = java.nio.file.Files.createTempDirectory("pqplan").toString
+    (0L until 500L).map(i => (i, Seq(0.0 + i % 2 * 4, 0.0, 4.0, 0.0)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/vecs.parquet")
+    val vecs = spark.read.parquet(s"$dir/vecs.parquet")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val codes = graft.operators.Pq.encode(vecs, "vec_id", "embedding", books)
+    val p = planOf(graft.operators.Pq.adcTopK(queries, codes, 2, books))
+    // the ONLY BroadcastExchange input carries the LUT projection: LUTs
+    // are computed once per query, below the exchange, never per pair
+    val bcast = p.split("BroadcastExchange")(1)
+    assert(bcast.contains("pq_adc_lut"),
+      s"expected the LUT projection under the broadcast exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the corpus side streamed against the broadcast batch:\n$p")
+    // rank<=k pushes a WindowGroupLimit below the window exchange: each
+    // scan partition forwards at most k rows per query
+    assert(p.contains("WindowGroupLimit"),
+      s"expected pre-shuffle top-k pruning:\n$p")
+  }
 }
 
 /** AQE's runtime skew-join split — the complement to the manual salting
