@@ -714,6 +714,22 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- IVF-PQ two-stage pipeline on the planted points: coarse
+    //      centroids are 10*onehot8(c) zero-extended to 32 dims, so a
+    //      point's cell is its subspace-0 group (cosine ~0.5 vs ~0) and
+    //      every member of a query's low-8-bit class shares its cell —
+    //      nProbe=1 keeps the whole class in scope and the ADC
+    //      tie-break gives the same closed form as q_pq_adc ----
+    "q_pq_ivf" -> ((s, dir) => {
+      val pts = pqPlantedPoints(s, dir)
+      val coarse = Array.tabulate(4)(c =>
+        Array.tabulate(32)(p => if (p == c) 10.0 else 0.0))
+      Pq.ivfAdcTopK(pts.filter(col("vec_id") >= 320 && col("vec_id") < 384),
+          pts, 1, coarse, pqPlantedBooks, nProbe = 1,
+          idCol = "vec_id", vecCol = "v")
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
     // ---- natural-corpus IVF recall measurement vs brute force (the
     //      "measure, don't guess" check the LSH path got via planting;
     //      deterministic: seeded fit sample + Lloyd's ties to lowest cell) ----
@@ -2111,6 +2127,13 @@ object SparkEntry {
     "q_pq_adc" ->
       """SELECT vec_id AS query_id, vec_id % 256 AS neighbor_id
         |FROM embeddings WHERE vec_id >= 256 AND vec_id < 320
+        |ORDER BY query_id""".stripMargin,
+
+    // IVF pruning keeps the class in scope (cell = subspace-0 group),
+    // so the two-stage answer has the same closed form
+    "q_pq_ivf" ->
+      """SELECT vec_id AS query_id, vec_id % 256 AS neighbor_id
+        |FROM embeddings WHERE vec_id >= 320 AND vec_id < 384
         |ORDER BY query_id""".stripMargin,
 
     "q_ivf_recall" ->

@@ -176,4 +176,41 @@ object Pq {
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** IVF + PQ: the coarse quantizer prunes candidates to `nProbe` of
+    * `coarse.length` inverted cells, and the ADC scan runs over codes
+    * WITHIN probed cells only — the two-stage FAISS-style pipeline
+    * (PAMI'11 §V; this is the non-residual variant: codes compress the
+    * raw vectors, the coarse stage only prunes, so the ADC math and
+    * codebooks are shared verbatim with [[adcTopK]]).
+    *
+    * Shape: the corpus is assigned + encoded in ONE narrow pass
+    * (cell and codes are both kernel projections over the same scan);
+    * queries explode x nProbe and broadcast; the cell equi-join turns
+    * the full compressed scan into a hash probe touching
+    * ~nProbe/nCells of the codes. Per-query candidate volume drops by
+    * the same factor — the knob that keeps ANN sub-linear when even
+    * the compressed corpus is too big to scan per query.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 coarse: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 nProbe: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val ksub = codebooks.map(_.length).max
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      element_at(graft.functions.NearestCells(col(vecCol), coarse, 1), lit(1)).as("cell"),
+      graft.functions.PqCodes(col(vecCol), codebooks).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        graft.functions.PqAdcLut(col(vecCol), codebooks).as("_lut"),
+        explode(graft.functions.NearestCells(col(vecCol), coarse, nProbe)).as("cell")))
+    c.join(q, "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqAdcDist(col("_lut"), col("codes"), ksub).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
 }

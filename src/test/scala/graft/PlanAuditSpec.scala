@@ -249,6 +249,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"),
       s"expected pre-shuffle top-k pruning:\n$p")
   }
+
+  test("IVF-PQ candidate join is a hash probe on the cell key, not a loop over the corpus") {
+    val books = Array.fill(2)(Array(Array(0.0, 0.0), Array(4.0, 4.0)))
+    val coarse = Array(Array(4.0, 0.0, 0.0, 0.0), Array(0.0, 4.0, 0.0, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    (0L until 500L).map(i => (i, Seq(0.0 + i % 2 * 4, 4.0 - i % 2 * 4, 4.0, 0.0)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/vecs.parquet")
+    val vecs = spark.read.parquet(s"$dir/vecs.parquet")
+    val p = planOf(graft.operators.Pq.ivfAdcTopK(
+      vecs.filter(col("vec_id") < 4), vecs, 2, coarse, books, nProbe = 1))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      s"expected an equi-join probe on cell:\n$p")
+  }
 }
 
 /** AQE's runtime skew-join split — the complement to the manual salting

@@ -79,6 +79,32 @@ class PqSpec extends SparkSpecBase {
     assert(math.abs(adc - expect) < 1e-12, s"adc $adc vs recon-dist $expect")
   }
 
+  test("ivfAdcTopK matches the full ADC scan when the probe covers the class") {
+    // coarse clusters live in subspace 0 (cosine-separable directions);
+    // the PQ codebook spans both subspaces
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(10.0, 0.0), Array(0.0, 10.0)),
+      Array(Array(1.0, -1.0), Array(-3.0, 5.0)))
+    val coarse = Array(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0))
+    def pt(a: Int, c1: Int, eps: Double) = Seq(
+      books(0)(a)(0) + eps, books(0)(a)(1) - eps,
+      books(1)(c1)(0) + eps, books(1)(c1)(1) + eps)
+    val corpus = (0 until 40).map(i => (i.toLong, pt(i % 2, (i / 2) % 2, 0.001 * (i % 5))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, pt(0, 1, 0.02)), (101L, pt(1, 0, -0.02)))
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(corpus, "vec_id", "embedding", books)
+    val full = Pq.adcTopK(queries, codes, 3, books)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val ivf = Pq.ivfAdcTopK(queries, corpus, 3, coarse, books, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // each query's class lives wholly in its own cell, so pruning to one
+    // probed cell must not change the top-3 (same codes => same ADC ties)
+    assert(ivf == full, s"ivf $ivf vs full $full")
+  }
+
   test("codes are m small ints: the compressed scan representation") {
     val df = (0 until 32).map(i => (i.toLong, pointOf(i % 2, (i / 2) % 2, 0.01)))
       .toDF("vec_id", "embedding")
