@@ -637,6 +637,21 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "i")),
 
+    // ---- embedding drift between two derived snapshots (overlapping
+    //      thirds of the corpus; snapshot B carries a planted +0.5
+    //      shift on axis 0, so centroid_shift must exceed ~0.5 while
+    //      centroid_cosine stays high) ----
+    "q_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val snapA = e.filter(col("vec_id") % 3 =!= 0)
+      val snapB = e.filter(col("vec_id") % 3 =!= 1)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(i === 0, lit(0.5)).otherwise(lit(0.0))))
+      Similarity.centroidDrift(snapA, snapB, "label", "embedding")
+        .orderBy("label")
+    }),
+
     // ---- token-budget curation: the best-scored docs whose running
     //      total fits 100k chars (distributed prefix sum, no global
     //      window) ----
@@ -2097,6 +2112,28 @@ object SparkEntry {
         |SELECT label, i, round(avg(x), 6) AS centroid_val,
         |  count(*) AS n_vectors
         |FROM x GROUP BY label, i ORDER BY label, i""".stripMargin,
+
+    // centroid drift: same planted axis-0 shift, same 6-dp fold policy
+    "q_centroid_drift" ->
+      """WITH ea AS (SELECT label, unnest(range(len(embedding))) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id % 3 <> 0),
+        |eb0 AS (SELECT label, unnest(range(len(embedding))) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id % 3 <> 1),
+        |eb AS (SELECT label, i,
+        |    x + (CASE WHEN i = 0 THEN 0.5 ELSE 0.0 END) AS x FROM eb0),
+        |a AS (SELECT label, i, avg(x) AS ca, count(*) AS na
+        |  FROM ea GROUP BY 1, 2),
+        |b AS (SELECT label, i, avg(x) AS cb, count(*) AS nb
+        |  FROM eb GROUP BY 1, 2),
+        |f AS (SELECT a.label, sum(ca * cb) AS dot, sum(ca * ca) AS aa,
+        |    sum(cb * cb) AS bb, sum((ca - cb) * (ca - cb)) AS d2,
+        |    min(na) AS n_a, min(nb) AS n_b
+        |  FROM a JOIN b USING (label, i) GROUP BY 1)
+        |SELECT label, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine,
+        |  round(sqrt(d2), 6) AS centroid_shift, n_a, n_b
+        |FROM f ORDER BY label""".stripMargin,
 
     // token-budget truth: one global window cumsum over (score desc, id)
     // — fine in DuckDB at oracle scale; the engine's distributed

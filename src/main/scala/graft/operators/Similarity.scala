@@ -352,6 +352,38 @@ object Similarity {
       .groupBy(labelCol, "i")
       .agg(round(avg("x"), 6).as("centroid_val"), count(lit(1)).as("n_vectors"))
 
+  /** Embedding drift between two corpus snapshots: per label, the
+    * cosine between the snapshots' class centroids and the L2 shift —
+    * the vector-space analogue of the tabular drift summary (a model
+    * retrained when `centroid_shift` jumps is the usual consumer).
+    *
+    * Scale shape: each snapshot streams ONCE into a (label, dim)-keyed
+    * map-side-combined aggregation (model-sized, like
+    * [[labelCentroids]]); everything after — the join and the per-label
+    * fold — runs on label x dim rows, so corpus size only affects the
+    * two first-pass scans. Outputs round to 6 dp (cross-engine float-
+    * sum policy).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    def cent(df: DataFrame, out: String, nOut: String) =
+      df.select(col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+        .groupBy(labelCol, "i")
+        .agg(avg("x").as(out), count(lit(1)).as(nOut))
+    cent(a, "ca", "na").join(cent(b, "cb", "nb"), Seq(labelCol, "i"))
+      .groupBy(labelCol)
+      .agg(
+        round(sum(col("ca") * col("cb")) /
+          (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))), 6)
+          .as("centroid_cosine"),
+        round(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
+          .as("centroid_shift"),
+        // count per (label, dim) group == vectors with that label
+        first(col("na")).as("n_a"),
+        first(col("nb")).as("n_b"))
+  }
+
   /** Hard cluster assignment under a fitted centroid matrix: one narrow
     * codegen'd pass, no shuffle — (id, cluster) with cosine ties to the
     * lowest cluster index.

@@ -71,6 +71,19 @@ class SimilaritySpec extends SparkSpecBase {
       s"top component ${top.toSeq}")
   }
 
+  test("centroidDrift: planted axis shift yields the exact L2 shift and cosine") {
+    import graft.operators.Similarity
+    val a = Seq(("x", Seq(1.0f, 0.0f)), ("x", Seq(1.0f, 0.0f)), ("y", Seq(0.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val b = Seq(("x", Seq(1.0f, 1.0f)), ("y", Seq(0.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroidDrift(a, b, "label", "embedding")
+      .orderBy("label").as[(String, Double, Double, Long, Long)].collect()
+    // x: centroids (1,0) vs (1,1) -> cos = 1/sqrt(2), shift = 1; y: unchanged
+    assert(out(0) == (("x", 0.707107, 1.0, 2L, 1L)), s"got ${out(0)}")
+    assert(out(1) == (("y", 1.0, 0.0, 1L, 1L)), s"got ${out(1)}")
+  }
+
   test("skewReport ranks hot keys and sizes the salt by their multiple of the mean") {
     import graft.operators.Skew
     val rows = (Seq.fill(90)(1L) ++ (2L to 10L)).toDF("k")
