@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TokenArray, WordShingles}
 import graft.operators._
-import graft.sources.{MemorySide, ParquetSide}
+import graft.sources.{FormatSide, MemorySide, ParquetSide}
 import graft.types.TypeRender
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1160,6 +1160,72 @@ object SparkEntry {
         .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // ---- ORC federation round-trip: a side materialized as ORC reads
+    //      back through the same FormatSide discovery/scan path as
+    //      parquet/csv/json (Spark's native ORC source; predicate
+    //      pushdown and column pruning apply as with parquet). The
+    //      oracle replays the aggregate over the parquet original —
+    //      identical data, different storage format ----
+    "q_orc_federation" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_side"
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .write.mode("overwrite").format("orc").save(s"$base/lineitem.orc")
+      FormatSide(s, base, "orc", "orcdb").table("lineitem")
+        .filter(col("l_quantity") < 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), dsum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- TPC-H Q3 shape (shipping priority): the segment-filtered
+    //      customer dim broadcasts into date-pruned orders, both date
+    //      predicates push to the parquet scans, decimal-exact revenue,
+    //      deterministic top-10 by (revenue desc, orderkey) ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1996-03-15").cast("timestamp")
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape (local-supplier volume): region -> nation ->
+    //      supplier dims collapse to a broadcast side before touching
+    //      the fact table; customer joins on (custkey, nationkey) to
+    //      keep only local orders; one decimal-exact agg per nation ----
+    "q5_local_supplier" -> ((s, dir) => {
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+      val sup = t(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }),
 
     // ---- exact triangle counts on the co-purchase graph ----
@@ -2629,6 +2695,46 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    // ORC federation: the engine aggregated the ORC copy; the oracle
+    // replays over the parquet original (same rows by construction)
+    "q_orc_federation" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_quantity < 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // TPC-H Q3: same decimal-exact revenue; top-10 by (revenue desc, orderkey)
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |    AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // TPC-H Q5: local-supplier revenue per nation, decimal-exact
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     // TPC-H Q18 shape: decimal-exact quantity sums, top-100 by
     // (totalprice desc, orderkey)

@@ -75,4 +75,24 @@ class CrossFormatSpec extends SparkSpecBase {
       FormatSide(spark, s"$base/c2", "csv", "db2"))
     assert(c2.dataDrift("t").get.count() == 2)
   }
+
+  test("parquet side vs orc side: no drift, and ORC scans get pushed filters") {
+    val base = java.nio.file.Files.createTempDirectory("orcfmt").toString
+    val t = Seq((1L, "alice", 10.5), (2L, "bob", 20.0), (3L, "carol", 30.25))
+      .toDF("id", "name", "score")
+    t.coalesce(1).write.parquet(s"$base/p/t.parquet")
+    t.coalesce(1).write.orc(s"$base/o/t.orc")
+    val side = FormatSide(spark, s"$base/o", "orc", "db2")
+    assert(side.listTables() == Seq("t"))
+    val c = new operators.DriftCompare(spark,
+      FormatSide(spark, s"$base/p", "parquet", "db1"), side)
+    assert(c.dataDrift("t").get.count() == 0)
+    // the ORC source participates in pushdown/pruning like parquet
+    val plan = side.table("t").filter($"id" > 1).select("name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"no pushed filter on ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"),
+      s"ORC scan not pruned to the projection:\n$plan")
+  }
 }

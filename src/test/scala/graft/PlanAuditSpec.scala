@@ -215,6 +215,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected the vocabulary-sized model sides broadcast under AQE:\n$p")
   }
 
+  test("TPC-H Q5 chain: dim sides broadcast, no cartesian, pushed date filter") {
+    val out = graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+    val p = finalPlanOf(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the region/nation/supplier chain broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"unexpected cartesian in the Q5 chain:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders date predicate not pushed to the scan:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
