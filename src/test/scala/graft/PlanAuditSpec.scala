@@ -215,6 +215,28 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected the vocabulary-sized model sides broadcast under AQE:\n$p")
   }
 
+  test("partitioned fact scan is dynamically pruned by the dim's filter (DPP)") {
+    // at 100 TB the fact side is hive-partitioned (date/tenant); a join
+    // against a filtered dim must prune partitions at RUNTIME via the
+    // broadcast result, not scan-all-then-filter
+    val base = java.nio.file.Files.createTempDirectory("dpp").toString
+    spark.range(20000)
+      .select($"id", ($"id" % 10).as("part_key"), ($"id" % 97).as("v"))
+      .write.partitionBy("part_key").parquet(s"$base/fact")
+    val dim = spark.range(10)
+      .select($"id".as("d_key"), concat(lit("n"), $"id").as("d_name"))
+      .filter($"d_name" === "n3")
+    val fact = spark.read.parquet(s"$base/fact")
+    val out = fact.join(dim, fact("part_key") === dim("d_key"))
+      .groupBy("d_key").agg(sum("v").as("sv"))
+    val p = planOf(out)
+    // (the PartitionFilters render truncates `dynamicpruningexpression`;
+    // the SubqueryAdaptiveBroadcast's `dynamicpruning#N` subquery is stable)
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$p")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("TPC-H Q5 chain: dim sides broadcast, no cartesian, pushed date filter") {
     val out = graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)
     val p = finalPlanOf(out)
