@@ -1131,6 +1131,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- HLL set-overlap probe (decontamination at 100 TB: ship two
+    //      64-register sketches, not the key sets): per-side and union
+    //      estimates, inclusion-exclusion intersection, implied
+    //      Jaccard; the exact intersection rides along to expose the
+    //      sketch error. md5-seeded registers -> DuckDB rebuilds the
+    //      sketch bit-for-bit ----
+    "q_hll_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("user_id") % 3 =!= 0)
+      val b = ev.filter(col("user_id") % 2 =!= 0)
+      Hll.overlap(a, b, "user_id")
+        .crossJoin(a.select("user_id").intersect(b.select("user_id"))
+          .agg(count(lit(1)).as("exact_intersect")))
+    }),
+
     // ---- A-class filter-aggregate (TPC-H Q6 shape): every predicate
     //      pushed to the scan, decimal-exact revenue sum ----
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -2684,6 +2699,58 @@ object SparkEntry {
         |exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
         |SELECT user_id, est, exact, est - exact AS overcount
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+
+    // HLL overlap: rebuild the 64-register sketches from the same
+    // md5-first-60-bit hash, identical estimator arithmetic (integer
+    // harmonic denominator, 6-dp rounds on the float outputs)
+    "q_hll_overlap" ->
+      """WITH au AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 <> 0),
+        |bu AS (SELECT DISTINCT user_id FROM events WHERE user_id % 2 <> 0),
+        |ha AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS UBIGINT) AS BIGINT) AS h FROM au),
+        |hb AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS UBIGINT) AS BIGINT) AS h FROM bu),
+        |ra1 AS (SELECT h % 64 AS bucket, max(CASE WHEN (h >> 6) = 0 THEN 55
+        |    ELSE 55 - length(bin(h >> 6)) END) AS register FROM ha GROUP BY 1),
+        |rb1 AS (SELECT h % 64 AS bucket, max(CASE WHEN (h >> 6) = 0 THEN 55
+        |    ELSE 55 - length(bin(h >> 6)) END) AS register FROM hb GROUP BY 1),
+        |ra AS (SELECT r.bucket, coalesce(register, 0) AS register
+        |  FROM range(64) AS r(bucket) LEFT JOIN ra1 ON ra1.bucket = r.bucket),
+        |rb AS (SELECT r.bucket, coalesce(register, 0) AS register
+        |  FROM range(64) AS r(bucket) LEFT JOIN rb1 ON rb1.bucket = r.bucket),
+        |ru AS (SELECT bucket, max(register) AS register
+        |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+        |ea AS (SELECT sum(CAST(1 AS BIGINT) << (55 - register)) AS zi,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v FROM ra),
+        |eb AS (SELECT sum(CAST(1 AS BIGINT) << (55 - register)) AS zi,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v FROM rb),
+        |eu AS (SELECT sum(CAST(1 AS BIGINT) << (55 - register)) AS zi,
+        |    sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v FROM ru),
+        |fa AS (SELECT CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |      / CAST(zi AS DOUBLE) AS raw, v FROM ea),
+        |fb AS (SELECT CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |      / CAST(zi AS DOUBLE) AS raw, v FROM eb),
+        |fu AS (SELECT CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |      / CAST(zi AS DOUBLE) AS raw, v FROM eu),
+        |ga AS (SELECT CASE WHEN raw <= 160.0 AND v > 0
+        |    THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+        |      / CAST(v AS DOUBLE)), 6) ELSE round(raw, 6) END AS est_a FROM fa),
+        |gb AS (SELECT CASE WHEN raw <= 160.0 AND v > 0
+        |    THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+        |      / CAST(v AS DOUBLE)), 6) ELSE round(raw, 6) END AS est_b FROM fb),
+        |gu AS (SELECT CASE WHEN raw <= 160.0 AND v > 0
+        |    THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+        |      / CAST(v AS DOUBLE)), 6) ELSE round(raw, 6) END AS est_union FROM fu),
+        |x AS (SELECT user_id FROM au INTERSECT SELECT user_id FROM bu),
+        |xc AS (SELECT count(*) AS exact_intersect FROM x)
+        |SELECT est_a, est_b, est_union,
+        |  round(est_a + est_b - est_union, 6) AS est_intersect,
+        |  round((est_a + est_b - est_union) / est_union, 6) AS jaccard_est,
+        |  exact_intersect
+        |FROM ga, gb, gu, xc""".stripMargin,
 
     // TPC-H Q6: same decimal-exact arithmetic as q1/q3
     "q6_forecast_revenue" ->

@@ -794,3 +794,39 @@ class ImageHeaderSpec extends SparkSpecBase {
     assert(stub._2 == "plain text payload".getBytes.length % 640)
   }
 }
+
+class HllSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Hll
+
+  test("registers are dense (2^p rows) and merge is the bucketwise max") {
+    val a = (0L until 300L).toDF("k")
+    val b = (200L until 500L).toDF("k")
+    val ra = Hll.registers(a, "k")
+    assert(ra.count() == 64 && ra.select("bucket").distinct().count() == 64)
+    // merging with itself is the identity
+    val self = Hll.merge(ra, ra).orderBy("bucket").collect().toSeq
+    assert(self == ra.orderBy("bucket").collect().toSeq)
+    // union sketch == sketch of the union
+    val ru = Hll.merge(ra, Hll.registers(b, "k"))
+    val direct = Hll.registers(a.unionByName(b), "k")
+    assert(ru.orderBy("bucket").collect().toSeq ==
+      direct.orderBy("bucket").collect().toSeq)
+  }
+
+  test("estimate lands within HLL error on a planted set; overlap brackets the truth") {
+    val n = 5000L
+    val est = Hll.estimate(Hll.registers((0L until n).toDF("k"), "k"))
+      .as[Double].collect()(0)
+    // m=64 -> rel std err ~1.04/8 = 13%; 3 sigma bound, deterministic seed
+    assert(math.abs(est - n) / n < 0.4, s"est $est for true $n")
+    // A = [0, 3000), B = [1500, 4500): true intersection 1500, union 4500
+    val out = Hll.overlap((0L until 3000L).toDF("k"),
+      (1500L until 4500L).toDF("k"), "k").collect()(0)
+    val estU = out.getAs[Double]("est_union")
+    val estI = out.getAs[Double]("est_intersect")
+    assert(math.abs(estU - 4500) / 4500 < 0.4, s"union $estU")
+    // inclusion-exclusion compounds three 13%-sigma estimates; wide bracket
+    assert(estI > 0 && math.abs(estI - 1500) / 1500 < 0.8, s"intersect $estI")
+  }
+}
