@@ -215,6 +215,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected the vocabulary-sized model sides broadcast under AQE:\n$p")
   }
 
+  test("HLL registers: map-side-combined agg, one model-keyed exchange") {
+    val p = planOf(graft.operators.Hll.registers(spark.range(20000).toDF("k"), "k"))
+    // partial then final HashAggregate around the 64-key bucket exchange
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"corpus must shuffle at most into the model-sized register agg:\n$p")
+  }
+
   test("partitioned fact scan is dynamically pruned by the dim's filter (DPP)") {
     // at 100 TB the fact side is hive-partitioned (date/tenant); a join
     // against a filtered dim must prune partitions at RUNTIME via the
