@@ -37,6 +37,21 @@ object Hll {
   private def h60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** `(bucket, rho)` struct for `key` — the per-row sketch update,
+    * shared by the batch register build and [[graft.streaming.StreamingHll]]
+    * so the two produce bit-identical registers.
+    */
+  def bucketRho(key: Column, p: Int): Column = {
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val m = 1L << p
+    val wBits = 60 - p
+    val h = h60(key)
+    val w = shiftrightunsigned(h, p)
+    struct(pmod(h, lit(m)).as("bucket"),
+      when(w === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(w))).as("rho"))
+  }
+
   /** Dense `(bucket, register)` table, `2^p` rows: bucket = low p hash
     * bits, register = max over keys of (leading-zero run of the
     * remaining `60 - p` bits) + 1, 0 for never-hit buckets.
@@ -44,15 +59,10 @@ object Hll {
   def registers(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
     val m = 1L << p
-    val wBits = 60 - p
     val spark = df.sparkSession
     val hit = df
-      .select(h60(col(keyCol)).as("h"))
-      .select(pmod(col("h"), lit(m)).as("bucket"),
-        shiftrightunsigned(col("h"), p).as("w"))
-      .select(col("bucket"),
-        when(col("w") === 0, lit(wBits + 1))
-          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .select(bucketRho(col(keyCol), p).as("br"))
+      .select(col("br.bucket").as("bucket"), col("br.rho").as("rho"))
       .groupBy("bucket").agg(max("rho").as("register"))
     spark.range(m).select(col("id").as("bucket"))
       .join(hit, Seq("bucket"), "left")
@@ -96,6 +106,21 @@ object Hll {
         when(col("raw") <= lit(2.5 * m) && col("v") > 0,
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")), 6))
           .otherwise(round(col("raw"), 6)).as("est"))
+  }
+
+  /** Merge view over a sink of [[graft.streaming.StreamingHll]]
+    * emissions `(bucket, register)`: a bucket's register is monotone
+    * non-decreasing across micro-batches, so its latest emission is its
+    * max — one hash aggregation recovers the current sketch, densified
+    * and fed through the standard estimator.
+    */
+  def estimateFromEmissions(emitted: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val latest = emitted.groupBy("bucket").agg(max("register").as("register"))
+    val dense = emitted.sparkSession.range(m).select(col("id").as("bucket"))
+      .join(latest, Seq("bucket"), "left")
+      .na.fill(0L, Seq("register"))
+    estimate(dense, p)
   }
 
   /** Set-overlap estimate between `a` and `b` on `keyCol`: one row with

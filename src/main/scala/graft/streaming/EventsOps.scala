@@ -569,3 +569,40 @@ object StreamingGapFill {
         })
   }
 }
+
+/** One streamed register update: the bucket's current max rank. */
+final case class HllRegisterOut(bucket: Long, register: Int)
+
+/** Streaming HyperLogLog distinct-count: state is ONE small int per
+  * hash bucket — `2^p` total, independent of key cardinality and
+  * stream length (the sketch property, kept under streaming state).
+  * Row updates share [[graft.operators.Hll.bucketRho]], so the emitted
+  * registers are bit-identical to the batch sketch of the same rows,
+  * and [[graft.operators.Hll.estimateFromEmissions]] turns a sink of
+  * emissions into the standard estimate (registers are monotone per
+  * bucket, so latest emission = max = current).
+  *
+  * Update mode: each micro-batch re-emits only the buckets it touched.
+  */
+object StreamingHll {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame, keyCol: String, p: Int = 6): Dataset[HllRegisterOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(graft.operators.Hll.bucketRho(col(keyCol), p).as("br"))
+      .select(col("br.bucket").as("bucket"), col("br.rho").as("rho"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[(Long, Int)], state: GroupState[Int]) => {
+          var reg = state.getOption.getOrElse(0)
+          rows.foreach { case (_, rho) => if (rho > reg) reg = rho }
+          state.update(reg)
+          Iterator.single(HllRegisterOut(bucket, reg))
+        })
+  }
+}

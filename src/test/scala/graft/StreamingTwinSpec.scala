@@ -423,3 +423,33 @@ class StreamingGapFillSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingHllSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("streaming HLL registers are bit-identical to the batch sketch; estimate matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamingHll(mem.toDF().toDF("k"), "k")
+      .writeStream.format("memory").queryName("hll_twin")
+      .outputMode("update").start()
+    try {
+      mem.addData(0L until 800L: _*); q.processAllAvailable()
+      mem.addData(600L until 1500L: _*); q.processAllAvailable()
+      val emitted = spark.sql("SELECT bucket, register FROM hll_twin")
+      // the merge view's dense registers == the batch sketch of the union
+      val streamed = emitted.groupBy("bucket").agg(max("register").as("register"))
+      val batch = graft.operators.Hll.registers((0L until 1500L).toDF("k"), "k")
+        .filter($"register" > 0)
+      assert(streamed.orderBy("bucket").collect().toSeq ==
+        batch.orderBy("bucket").collect().toSeq)
+      val estStream = graft.operators.Hll.estimateFromEmissions(emitted)
+        .as[Double].collect()(0)
+      val estBatch = graft.operators.Hll
+        .estimate(graft.operators.Hll.registers((0L until 1500L).toDF("k"), "k"))
+        .as[Double].collect()(0)
+      assert(estStream == estBatch, s"$estStream != $estBatch")
+    } finally q.stop()
+  }
+}
