@@ -1146,6 +1146,22 @@ object SparkEntry {
           .agg(count(lit(1)).as("exact_intersect")))
     }),
 
+    // ---- per-group HLL distinct (daily-active users per event type):
+    //      registers keyed (group, bucket), empty buckets folded
+    //      algebraically — the per-domain ndv probe that replaces a
+    //      full countDistinct shuffle at 100 TB; exact countDistinct
+    //      rides along to expose the sketch error ----
+    "q_hll_grouped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          concat_ws(":", col("user_id"),
+            col("ts").cast("date").cast("string")).as("uk"))
+      Hll.groupedEstimate(ev, "event_type", "uk")
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct("uk").as("exact_distinct")), "event_type")
+        .orderBy("event_type")
+    }),
+
     // ---- A-class filter-aggregate (TPC-H Q6 shape): every predicate
     //      pushed to the scan, decimal-exact revenue sum ----
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -2751,6 +2767,35 @@ object SparkEntry {
         |  round((est_a + est_b - est_union) / est_union, 6) AS jaccard_est,
         |  exact_intersect
         |FROM ga, gb, gu, xc""".stripMargin,
+
+    // grouped HLL: same register construction keyed by event_type; the
+    // never-hit buckets fold in as (64 - nhit) * 2^55
+    "q_hll_grouped" ->
+      """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS uk
+        |  FROM events),
+        |h AS (SELECT event_type, CAST(CAST(('0x' || substr(md5(uk), 1, 15))
+        |    AS UBIGINT) AS BIGINT) AS h FROM ev),
+        |r AS (SELECT event_type, h % 64 AS bucket,
+        |    max(CASE WHEN (h >> 6) = 0 THEN 55
+        |      ELSE 55 - length(bin(h >> 6)) END) AS register
+        |  FROM h GROUP BY 1, 2),
+        |z AS (SELECT event_type, sum(CAST(1 AS BIGINT) << (55 - register)) AS zhit,
+        |    count(*) AS nhit FROM r GROUP BY 1),
+        |f AS (SELECT event_type,
+        |    zhit + (64 - nhit) * (CAST(1 AS BIGINT) << 55) AS zi,
+        |    64 - nhit AS v FROM z),
+        |g AS (SELECT event_type, CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+        |      / CAST(zi AS DOUBLE) AS raw, v FROM f),
+        |e AS (SELECT event_type, CASE WHEN raw <= 160.0 AND v > 0
+        |    THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE)
+        |      / CAST(v AS DOUBLE)), 6) ELSE round(raw, 6) END AS est FROM g),
+        |x AS (SELECT event_type, count(DISTINCT uk) AS exact_distinct
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_type AS event_type, est, exact_distinct
+        |FROM e JOIN x ON e.event_type = x.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // TPC-H Q6: same decimal-exact arithmetic as q1/q3
     "q6_forecast_revenue" ->

@@ -108,6 +108,38 @@ object Hll {
           .otherwise(round(col("raw"), 6)).as("est"))
   }
 
+  /** Per-group distinct estimate (`(group, est)` rows): registers keyed
+    * by `(group, bucket)` — nGroups × 2^p smallints however large the
+    * corpus. Never-hit buckets are folded ALGEBRAICALLY into the
+    * harmonic sum (`(m − nHit) · 2^(wBits+1)` — a hit bucket always has
+    * register ≥ 1, so nHit counts exactly the non-zero registers)
+    * instead of densifying with a per-group join. Two shuffles: the
+    * corpus into the (group, bucket) agg, then the model-sized register
+    * table into the per-group fold.
+    */
+  def groupedEstimate(df: DataFrame, groupCol: String, keyCol: String,
+                      p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val wBits = 60 - p
+    df.select(col(groupCol), bucketRho(col(keyCol), p).as("br"))
+      .select(col(groupCol), col("br.bucket").as("bucket"), col("br.rho").as("rho"))
+      .groupBy(groupCol, "bucket").agg(max("rho").as("register"))
+      .groupBy(groupCol).agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - register)")).as("zhit"),
+        count(lit(1)).as("nhit"))
+      .select(col(groupCol),
+        (col("zhit") + (lit(m) - col("nhit")) * lit(1L << (wBits + 1))).as("zi"),
+        (lit(m) - col("nhit")).as("v"))
+      .select(col(groupCol),
+        (lit(alpha(m)) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, (wBits + 1).toDouble)) / col("zi").cast("double"))
+          .as("raw"), col("v"))
+      .select(col(groupCol),
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")), 6))
+          .otherwise(round(col("raw"), 6)).as("est"))
+  }
+
   /** Merge view over a sink of [[graft.streaming.StreamingHll]]
     * emissions `(bucket, register)`: a bucket's register is monotone
     * non-decreasing across micro-batches, so its latest emission is its

@@ -829,4 +829,14 @@ class HllSpec extends SparkSpecBase {
     // inclusion-exclusion compounds three 13%-sigma estimates; wide bracket
     assert(estI > 0 && math.abs(estI - 1500) / 1500 < 0.8, s"intersect $estI")
   }
+  test("groupedEstimate (algebraic empty-bucket fold) == dense per-group estimate") {
+    val df = (0L until 2000L).map(i => (s"g${i % 3}", i)).toDF("g", "k")
+    val grouped = Hll.groupedEstimate(df, "g", "k")
+      .as[(String, Double)].collect().toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val dense = Hll.estimate(Hll.registers(df.filter($"g" === g), "k"))
+        .as[Double].collect()(0)
+      assert(grouped(g) == dense, s"$g: ${grouped(g)} != $dense")
+    }
+  }
 }
