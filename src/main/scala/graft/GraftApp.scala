@@ -129,8 +129,28 @@ object GraftApp {
           println(s"dedup: $table $total rows -> $nKept kept " +
             f"(${100.0 * (total - nKept) / math.max(total, 1)}%.1f%% removed) at " +
             s"jaccard >= $threshold; output in $out/$table")
+        case "overlap" =>
+          // sketch-based key overlap between the two sides' copies of a
+          // table (extension): per-side/union HLL estimates + exact
+          // intersection only when --exact
+          val table = opts.getOrElse("table", "documents")
+          val keyCol = opts.getOrElse("key-col", "doc_id")
+          val est = graft.operators.Hll
+            .overlap(s1.table(table), s2.table(table), keyCol)
+            .collect()(0)
+          println(s"overlap[$table.$keyCol] " +
+            f"db1~${est.getAs[Double]("est_a")}%.0f " +
+            f"db2~${est.getAs[Double]("est_b")}%.0f " +
+            f"union~${est.getAs[Double]("est_union")}%.0f " +
+            f"intersect~${est.getAs[Double]("est_intersect")}%.0f " +
+            f"jaccard~${est.getAs[Double]("jaccard_est")}%.4f")
+          if (opts.get("exact").exists(_.toBoolean)) {
+            val exact = s1.table(table).select(keyCol)
+              .intersect(s2.table(table).select(keyCol)).count()
+            println(s"overlap[$table.$keyCol] exact intersect = $exact")
+          }
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup | overlap)")
       }
     } finally spark.stop()
   }
