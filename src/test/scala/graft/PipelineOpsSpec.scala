@@ -839,4 +839,11 @@ class HllSpec extends SparkSpecBase {
       assert(grouped(g) == dense, s"$g: ${grouped(g)} != $dense")
     }
   }
+  test("registers are duplication-insensitive: sketch(df ++ df) == sketch(df)") {
+    val df = (0L until 1000L).toDF("k")
+    val once = Hll.registers(df, "k").orderBy("bucket").collect().toSeq
+    val thrice = Hll.registers(df.unionByName(df).unionByName(df), "k")
+      .orderBy("bucket").collect().toSeq
+    assert(once == thrice)
+  }
 }
