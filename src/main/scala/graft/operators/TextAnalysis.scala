@@ -488,15 +488,27 @@ object TextAnalysis {
     * results do not depend on cluster layout.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    groupCol: String, maxTokens: Int): DataFrame = {
+                    groupCol: String, maxTokens: Int): DataFrame =
+    // null text packs as zero tokens (size(null) is null and would
+    // break the non-nullable encoder)
+    packByCount(df.withColumn("__pack_n",
+        coalesce(size(tokens(col(textCol))), lit(0)).cast("long")),
+      groupCol, idCol, "__pack_n", maxTokens)
+
+  /** [[packSequences]] generalized to a precomputed size column — the
+    * packing a tokenized export uses, where the doc size is the BPE
+    * piece count rather than the whitespace token count. Same greedy
+    * per-group sweep, same output shape (the size column lands as
+    * `n_tokens`).
+    */
+  def packByCount(df: DataFrame, groupCol: String, idCol: String,
+                  countCol: String, maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val sized = df.select(col(groupCol).cast("string").as("grp"),
       col(idCol).cast("long").as("id"),
-      // null text packs as zero tokens (size(null) is null and would
-      // break the non-nullable encoder)
-      coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
+      coalesce(col(countCol).cast("long"), lit(0L)).as("n_tokens"))
       .as[(String, Long, Long)]
     // Partition/sort on the select-alias names (`grp`/`id`): tuple
     // positional names (`_1`) only resolve on LocalRelation inputs and

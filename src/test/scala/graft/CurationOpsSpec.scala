@@ -111,3 +111,61 @@ class DuplicateNgramSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1L, 1.0), (2L, 1L, 1.0), (3L, 1L, 0.0)))
   }
 }
+
+class ExportSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("trainingShards: every doc packed exactly once, sequences respect maxTokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxTokens = 64
+    val m = graft.operators.Export
+      .trainingShards(docs, "text", "doc_id", "lang", maxTokens, nShards = 4,
+        nMerges = 40, minCount = 2)
+      .cache()
+    // bijection: each input doc appears exactly once
+    assert(m.count() == docs.count())
+    assert(m.select("doc_id").distinct().count() == docs.count())
+    // every (shard, lang, seq) either fits the budget or is a single
+    // oversize doc with its own sequence
+    val bad = m.groupBy("shard", "lang", "seq_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("nd"))
+      .filter($"tot" > maxTokens && $"nd" > 1)
+    assert(bad.count() == 0, s"overfull multi-doc sequences: ${bad.collect().toSeq}")
+    // offsets are the running prefix within each sequence
+    val offBad = m.groupBy("shard", "lang", "seq_id")
+      .agg(min("offset").as("o0"), (sum("n_tokens") - max($"offset" + $"n_tokens")).as("gap"))
+      .filter($"o0" =!= 0L || $"gap" =!= 0L)
+    assert(offBad.count() == 0, s"broken offsets: ${offBad.collect().toSeq}")
+    // shards are balanced within 3x of each other (content-addressed hash)
+    val counts = m.groupBy("shard").count().as[(Long, Long)].collect().map(_._2)
+    assert(counts.length == 4 && counts.max <= 3 * counts.min, counts.toSeq.toString)
+    m.unpersist()
+  }
+
+  test("writeShards: partitioned parquet round-trips and the manifest conserves totals") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val maxTokens = 64
+    val m = graft.operators.Export
+      .trainingShards(docs, "text", "doc_id", "lang", maxTokens, nShards = 2,
+        nMerges = 40, minCount = 2)
+    val manifest = graft.operators.Export
+      .writeShards(docs, m, "text", "doc_id", "lang", maxTokens, out)
+      .cache()
+    // physical layout: one directory per shard
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1"))
+    // totals conserve: docs and pieces match the manifest input
+    val total = manifest.agg(sum("n_docs"), sum("n_pieces"))
+      .as[(Long, Long)].collect()(0)
+    val expected = m.agg(count(lit(1)), sum("n_tokens")).as[(Long, Long)].collect()(0)
+    assert(total == expected, s"$total != $expected")
+    // packing actually packs: utilization comfortably above a degenerate
+    // one-doc-per-sequence layout
+    assert(manifest.filter($"utilization" <= 0.5).count() == 0,
+      manifest.collect().toSeq.toString)
+    manifest.unpersist()
+  }
+}
