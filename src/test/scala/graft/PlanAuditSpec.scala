@@ -256,6 +256,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"orders date predicate not pushed to the scan:\n$p")
   }
 
+  test("TPC-H Q7 disjunctive pair: nation dims broadcast, no cartesian") {
+    val out = graft.SparkEntry.queries("q7_volume_shipping")(spark, sfDir)
+    val p = finalPlanOf(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the two filtered nation dims broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"unexpected cartesian for the OR pairing:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
