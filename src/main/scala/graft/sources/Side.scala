@@ -26,8 +26,14 @@ trait Side {
   * Spark batch source format (`parquet`, `orc`, `json`, `csv`, ...).
   * CSV/JSON get header + schema inference so dynamic introspection works
   * like the reference's information_schema scans.
+  *
+  * `options` pass through to the reader — e.g. `mergeSchema -> true` for
+  * a parquet/orc table whose files were written under an EVOLVING schema
+  * (without it the scan samples one footer and silently drops the
+  * columns other files added — exactly the drift a comparison must see).
   */
-case class FormatSide(spark: SparkSession, dir: String, format: String, id: String)
+case class FormatSide(spark: SparkSession, dir: String, format: String, id: String,
+                      options: Map[String, String] = Map.empty)
     extends Side {
   private val ext = s".$format"
   // schema-inferring formats (csv/json) scan the file at load() time; cache
@@ -52,7 +58,7 @@ case class FormatSide(spark: SparkSession, dir: String, format: String, id: Stri
         case "json" => reader // schema inferred by the source
         case _ => reader
       }
-      tuned.load(s"$dir/$n$ext")
+      tuned.options(options).load(s"$dir/$n$ext")
     })
 }
 

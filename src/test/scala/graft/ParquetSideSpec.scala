@@ -76,6 +76,21 @@ class CrossFormatSpec extends SparkSpecBase {
     assert(c2.dataDrift("t").get.count() == 2)
   }
 
+  test("mergeSchema option surfaces columns added by schema evolution") {
+    val base = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/t.parquet")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(s"$base/t.parquet")
+    val merged = FormatSide(spark, base, "parquet", "db1",
+      options = Map("mergeSchema" -> "true"))
+    // the evolved column is part of the unified schema and null-fills
+    // for pre-evolution files
+    assert(merged.schema("t").fieldNames.toSet == Set("id", "v", "score"))
+    val rows = merged.table("t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(rows.toSeq == Seq((1L, true), (2L, false)))
+  }
+
   test("parquet side vs orc side: no drift, and ORC scans get pushed filters") {
     val base = java.nio.file.Files.createTempDirectory("orcfmt").toString
     val t = Seq((1L, "alice", 10.5), (2L, "bob", 20.0), (3L, "carol", 30.25))
