@@ -162,6 +162,11 @@ class ExportSpec extends SparkSpecBase {
       .as[(Long, Long)].collect()(0)
     val expected = m.agg(count(lit(1)), sum("n_tokens")).as[(Long, Long)].collect()(0)
     assert(total == expected, s"$total != $expected")
+    // and the manifest agrees with what physically landed (the summary
+    // itself deliberately does NOT re-scan the export)
+    val landed = spark.read.parquet(out)
+      .agg(count(lit(1)), sum("n_tokens")).as[(Long, Long)].collect()(0)
+    assert(landed == expected, s"landed $landed != $expected")
     // packing actually packs: utilization comfortably above a degenerate
     // one-doc-per-sequence layout
     assert(manifest.filter($"utilization" <= 0.5).count() == 0,
