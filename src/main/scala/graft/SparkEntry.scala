@@ -1292,6 +1292,24 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // ---- TPC-H Q14 shape (promo revenue share): month-pruned lineitem
+    //      joins the broadcast part dim; conditional decimal-exact sums
+    //      ratio to one row (the null-skipping CASE sum — no promo rows
+    //      would null the share in both engines identically) ----
+    "q14_promo_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) * sum(when(col("p_type") === "ECONOMY", rev)).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // ---- TPC-H Q10 shape (returned-item reporting): quarter-filtered
     //      orders and return-flagged lineitems join down to a
     //      per-customer revenue loss; nation broadcasts; top-20 ----
@@ -2919,6 +2937,21 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q14: promo share of the month's decimal-exact revenue
+    "q14_promo_revenue" ->
+      """SELECT round(CAST(100 AS DOUBLE)
+        |    * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+        |        END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |      AS DOUBLE), 6) AS promo_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     // TPC-H Q10: returned-item revenue loss per customer, top-20
     "q10_returned_items" ->
