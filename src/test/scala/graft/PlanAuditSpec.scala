@@ -223,6 +223,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"corpus must shuffle at most into the model-sized register agg:\n$p")
   }
 
+  test("grouped HLL: corpus shuffles once into (group,bucket); fold is model-sized") {
+    val df = spark.range(30000)
+      .select(($"id" % 5).cast("string").as("g"), ($"id" % 2000).as("k"))
+    val p = planOf(graft.operators.Hll.groupedEstimate(df, "g", "k"))
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"expected at most the (group,bucket) and per-group exchanges:\n$p")
+  }
+
   test("partitioned fact scan is dynamically pruned by the dim's filter (DPP)") {
     // at 100 TB the fact side is hive-partitioned (date/tenant); a join
     // against a filtered dim must prune partitions at RUNTIME via the
