@@ -846,4 +846,14 @@ class HllSpec extends SparkSpecBase {
       .orderBy("bucket").collect().toSeq
     assert(once == thrice)
   }
+  test("null keys are ignored, matching COUNT(DISTINCT) semantics") {
+    val df = (Seq[Option[Long]](Some(1L), None, Some(2L), None))
+      .toDF("k")
+    val regs = Hll.registers(df, "k")
+    // only the two non-null keys contribute hit buckets
+    assert(regs.filter($"register" > 0).count() == 2)
+    val clean = Hll.registers((1L to 2L).toDF("k"), "k")
+    assert(regs.orderBy("bucket").collect().toSeq ==
+      clean.orderBy("bucket").collect().toSeq)
+  }
 }
