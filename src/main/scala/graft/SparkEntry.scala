@@ -1292,6 +1292,20 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // ---- distribution drift (PSI): equal-width-grid population
+    //      stability index between two derived sides — the planted
+    //      2x scaling of a third of side B's prices must move
+    //      l_extendedprice's PSI while l_quantity stays ~0 ----
+    "q_psi_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 97 =!= 0)
+      val b = li.filter(col("l_orderkey") % 89 =!= 0)
+        .withColumn("l_extendedprice", col("l_extendedprice") *
+          when(col("l_orderkey") % 3 === 0, lit(2.0)).otherwise(lit(1.0)))
+      Distribution.psiAll(a, b, Seq("l_extendedprice", "l_quantity"))
+        .orderBy("col_name")
+    }),
+
     // ---- TPC-H Q14 shape (promo revenue share): month-pruned lineitem
     //      joins the broadcast part dim; conditional decimal-exact sums
     //      ratio to one row (the null-skipping CASE sum — no promo rows
@@ -2937,6 +2951,63 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // PSI: same equal-width bins (floor on identical IEEE doubles),
+    // integer counts, Laplace-smoothed terms, 6-dp round on the ln sum
+    "q_psi_drift" ->
+      """WITH a_rows AS (SELECT * FROM lineitem WHERE l_orderkey % 97 <> 0),
+        |b_rows AS (SELECT l_quantity, l_extendedprice
+        |    * CASE WHEN l_orderkey % 3 = 0 THEN 2.0 ELSE 1.0 END
+        |    AS l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0),
+        |pe_a AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM a_rows
+        |  WHERE l_extendedprice IS NOT NULL),
+        |pe_b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM b_rows
+        |  WHERE l_extendedprice IS NOT NULL),
+        |pe_bd AS (SELECT min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT x FROM pe_a UNION ALL SELECT x FROM pe_b)),
+        |pe_na AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+        |    floor((x - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT) END AS bin,
+        |    count(*) AS na FROM pe_a, pe_bd GROUP BY 1),
+        |pe_nb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+        |    floor((x - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT) END AS bin,
+        |    count(*) AS nb FROM pe_b, pe_bd GROUP BY 1),
+        |pe_g AS (SELECT r.range AS bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM range(10) r LEFT JOIN pe_na ON pe_na.bin = r.range
+        |  LEFT JOIN pe_nb ON pe_nb.bin = r.range),
+        |pe_t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pe_g),
+        |pe_s AS (SELECT round(sum(
+        |    ((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0)
+        |      - (CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))
+        |    * ln(((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0))
+        |      / ((CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)))), 6)
+        |    AS psi, CAST(min(ta) AS BIGINT) AS n_a, CAST(min(tb) AS BIGINT) AS n_b FROM pe_g, pe_t),
+        |qt_a AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM a_rows
+        |  WHERE l_quantity IS NOT NULL),
+        |qt_b AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM b_rows
+        |  WHERE l_quantity IS NOT NULL),
+        |qt_bd AS (SELECT min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT x FROM qt_a UNION ALL SELECT x FROM qt_b)),
+        |qt_na AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+        |    floor((x - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT) END AS bin,
+        |    count(*) AS na FROM qt_a, qt_bd GROUP BY 1),
+        |qt_nb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+        |    floor((x - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT) END AS bin,
+        |    count(*) AS nb FROM qt_b, qt_bd GROUP BY 1),
+        |qt_g AS (SELECT r.range AS bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM range(10) r LEFT JOIN qt_na ON qt_na.bin = r.range
+        |  LEFT JOIN qt_nb ON qt_nb.bin = r.range),
+        |qt_t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM qt_g),
+        |qt_s AS (SELECT round(sum(
+        |    ((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0)
+        |      - (CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))
+        |    * ln(((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0))
+        |      / ((CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)))), 6)
+        |    AS psi, CAST(min(ta) AS BIGINT) AS n_a, CAST(min(tb) AS BIGINT) AS n_b FROM qt_g, qt_t)
+        |SELECT 'l_extendedprice' AS col_name, psi, n_a, n_b FROM pe_s
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_name, psi, n_a, n_b FROM qt_s
+        |ORDER BY col_name""".stripMargin,
 
     // TPC-H Q14: promo share of the month's decimal-exact revenue
     "q14_promo_revenue" ->

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric distribution drift between two sides: the Population
+  * Stability Index over a shared equal-width grid — the standard
+  * model-monitoring statistic (PSI < 0.1 stable, 0.1–0.25 moderate,
+  * > 0.25 action), complementing [[DriftCompare]]'s row/schema diffs
+  * with a "same rows may be gone, but has the SHAPE moved" signal.
+  *
+  * Scale shape: each side is scanned once into a bounded bin-count
+  * aggregation (nBins keys, map-side combined); the bounds are a 1-row
+  * aggregate broadcast into the binning pass, and everything after runs
+  * on nBins rows. No sort, no quantile shuffle — equal-width bins keep
+  * the whole statistic one-pass, which is why monitoring systems prefer
+  * PSI over KS at warehouse scale.
+  *
+  * Determinism: bin indices are `floor((x-lo)/(hi-lo)*n)` on doubles —
+  * identical IEEE expressions replay identically in any engine; bin
+  * counts are exact integers; the final PSI (10 smoothed terms with an
+  * `ln`) rounds to 6 dp per the cross-engine float policy. Counts are
+  * Laplace-smoothed (+0.5 per bin) so empty bins stay finite.
+  */
+object Distribution {
+
+  /** One row: (col_name, psi, n_a, n_b) for `colName` between `a` and
+    * `b`. Null values are excluded (they are schema/row drift, not
+    * shape drift). A constant column (hi == lo) puts everything in bin
+    * 0 on both sides → psi 0.
+    */
+  def psi(a: DataFrame, b: DataFrame, colName: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be at least 2")
+    val av = a.select(col(colName).cast("double").as("x")).filter(col("x").isNotNull)
+    val bv = b.select(col(colName).cast("double").as("x")).filter(col("x").isNotNull)
+    val bounds = av.unionByName(bv).agg(min("x").as("lo"), max("x").as("hi"))
+    def binned(df: DataFrame, out: String) =
+      df.crossJoin(broadcast(bounds))
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBins.toDouble)),
+            lit(0.0)), lit((nBins - 1).toDouble)).cast("long")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val grid = a.sparkSession.range(nBins).select(col("id").as("bin"))
+      .join(binned(av, "na"), Seq("bin"), "left")
+      .join(binned(bv, "nb"), Seq("bin"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+    val tot = grid.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val half = lit(0.5 * nBins)
+    val pa = (col("na").cast("double") + lit(0.5)) / (col("ta").cast("double") + half)
+    val pb = (col("nb").cast("double") + lit(0.5)) / (col("tb").cast("double") + half)
+    grid.crossJoin(broadcast(tot))
+      .select(((pa - pb) * log(pa / pb)).as("term"), col("ta"), col("tb"))
+      .groupBy("ta", "tb")
+      .agg(round(sum("term"), 6).as("psi"))
+      .select(lit(colName).as("col_name"), col("psi"),
+        col("ta").as("n_a"), col("tb").as("n_b"))
+  }
+
+  /** [[psi]] for several columns at once, one output row per column. */
+  def psiAll(a: DataFrame, b: DataFrame, cols: Seq[String],
+             nBins: Int = 10): DataFrame =
+    cols.map(c => psi(a, b, c, nBins)).reduce(_ unionByName _)
+}

@@ -857,3 +857,25 @@ class HllSpec extends SparkSpecBase {
       clean.orderBy("bucket").collect().toSeq)
   }
 }
+
+class DistributionSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Distribution
+
+  test("psi: identical sides 0, planted shift flags, constant column 0") {
+    val base = (1 to 2000).map(i => (i.toLong, (i % 100).toDouble, 7.0))
+      .toDF("id", "v", "c")
+    val same = Distribution.psi(base, base, "v")
+      .select("psi").as[Double].collect()(0)
+    assert(same == 0.0, s"identical sides must be psi 0, got $same")
+    // shift a third of side B far enough to cross bins
+    val shifted = base.withColumn("v",
+      $"v" + org.apache.spark.sql.functions.when($"id" % 3 === 0, 50.0).otherwise(0.0))
+    val moved = Distribution.psi(base, shifted, "v")
+      .select("psi").as[Double].collect()(0)
+    assert(moved > 0.1, s"planted shift must exceed the stability band, got $moved")
+    val const = Distribution.psi(base, shifted, "c")
+      .select("psi").as[Double].collect()(0)
+    assert(const == 0.0, s"constant column must be psi 0, got $const")
+  }
+}
