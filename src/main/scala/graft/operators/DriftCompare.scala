@@ -200,6 +200,27 @@ final class DriftCompare(
     Some(HashRunScan(tag(p1, side1.id).unionByName(tag(p2, side2.id))))
   }
 
+  /** Distribution-drift extension (not in the reference): per shared
+    * NUMERIC column of `table`, the Population Stability Index between
+    * the two sides ([[Distribution.psi]]) — row/schema diffs answer
+    * "which rows changed"; this answers "has the column's SHAPE moved"
+    * even when every individual row legitimately churned. Ignored and
+    * date-excluded columns are dropped first, like every other compare.
+    */
+  def distributionDrift(table: String, nBins: Int = 10): Option[DataFrame] = {
+    val in1 = dropIgnored(sideInput(side1, table), table)
+    val in2 = dropIgnored(sideInput(side2, table), table)
+    val numeric = in1.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name)
+      .intersect(in2.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .map(_.name))
+      .sorted
+    if (numeric.isEmpty) None
+    else Some(Distribution.psiAll(in1, in2, numeric.toIndexedSeq, nBins))
+  }
+
   /** Bag-semantics extension (not in the reference, which is strictly
     * set-based — see SURVEY §2 fine print): rows whose per-side
     * MULTIPLICITY differs. A row occurring twice on one side and once on

@@ -878,4 +878,20 @@ class DistributionSpec extends SparkSpecBase {
       .select("psi").as[Double].collect()(0)
     assert(const == 0.0, s"constant column must be psi 0, got $const")
   }
+  test("DriftCompare.distributionDrift flags only the shifted shared numeric column") {
+    import graft.sources.MemorySide
+    val base = (1 to 3000).map(i => (i.toLong, (i % 100).toDouble, s"s$i"))
+      .toDF("id", "score", "label")
+    val moved = base.withColumn("score",
+      org.apache.spark.sql.functions.when($"id" % 3 === 0, $"score" * 3.0)
+        .otherwise($"score"))
+    val c = new graft.operators.DriftCompare(spark,
+      MemorySide("db1", Map("t" -> base)), MemorySide("db2", Map("t" -> moved)))
+    val out = c.distributionDrift("t").get
+      .select("col_name", "psi").as[(String, Double)].collect().toMap
+    // id is identical across sides; score carries the planted shift
+    assert(out.keySet == Set("id", "score"), out.toString)
+    assert(out("id") == 0.0, s"id must not drift: ${out("id")}")
+    assert(out("score") > 0.1, s"score must flag: ${out("score")}")
+  }
 }
