@@ -149,8 +149,24 @@ object GraftApp {
               .intersect(s2.table(table).select(keyCol)).count()
             println(s"overlap[$table.$keyCol] exact intersect = $exact")
           }
+        case "psi" =>
+          // distribution drift from the CLI (extension): PSI per shared
+          // numeric column of each shared table (or --table)
+          val nBins = opts.getOrElse("bins", "10").toInt
+          val tables = opts.get("table").map(Seq(_)).getOrElse(
+            (s1.listTables().toSet intersect s2.listTables().toSet).toSeq.sorted)
+          val compare = new DriftCompare(spark, s1, s2, config.diffConfig)
+          tables.foreach { table =>
+            compare.distributionDrift(table, nBins) match {
+              case None => println(s"psi[$table] no shared numeric columns")
+              case Some(df) => df.orderBy("col_name").collect().foreach { r =>
+                println(f"psi[$table.${r.getString(0)}] ${r.getDouble(1)}%.6f " +
+                  s"(n1=${r.getLong(2)} n2=${r.getLong(3)})")
+              }
+            }
+          }
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup | overlap)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup | overlap | psi)")
       }
     } finally spark.stop()
   }
