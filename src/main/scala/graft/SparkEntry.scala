@@ -1360,6 +1360,18 @@ object SparkEntry {
           Layout.zOrderKey(col("p_partkey"), col("p_size")).as("z"))
         .orderBy("z", "p_partkey")),
 
+    // ---- 3-D Z-order key: the 3-way interleave for workloads filtering
+    //      three axes at once (floor() the double axis in BOTH engines —
+    //      raw double->bigint casts truncate in Spark but round in
+    //      DuckDB) ----
+    "q_zorder3_key" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          floor(col("p_retailprice")).as("p_price"),
+          Layout.zOrderKey3(col("p_partkey"), col("p_size"),
+            floor(col("p_retailprice"))).as("z"))
+        .orderBy("z", "p_partkey")),
+
     // ---- BPE planted truth: the merge loop's output on a corpus whose
     //      merge sequence is hand-derivable (same class as q_planted_*) ----
     "q_bpe_planted" -> ((s, dir) => {
@@ -3062,6 +3074,31 @@ object SparkEntry {
         |n AS (SELECT unnest([a, w1, w2]) AS id FROM t)
         |SELECT id, count(*) AS n_triangles FROM n GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // 3-D Morton replay: the 3-spacing mask ladder, decimal masks
+    "q_zorder3_key" ->
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(floor(p_retailprice) AS BIGINT) AS p_price,
+        |    p_partkey & 2097151 AS xa, CAST(p_size AS BIGINT) & 2097151 AS ya,
+        |    CAST(floor(p_retailprice) AS BIGINT) & 2097151 AS za
+        |  FROM part),
+        |s1 AS (SELECT *, (xa | (xa << 32)) & 8725724278095871 AS xb,
+        |    (ya | (ya << 32)) & 8725724278095871 AS yb,
+        |    (za | (za << 32)) & 8725724278095871 AS zb FROM b),
+        |s2 AS (SELECT *, (xb | (xb << 16)) & 8725728556220671 AS xc,
+        |    (yb | (yb << 16)) & 8725728556220671 AS yc,
+        |    (zb | (zb << 16)) & 8725728556220671 AS zc FROM s1),
+        |s3 AS (SELECT *, (xc | (xc << 8)) & 1157144660301377551 AS xd,
+        |    (yc | (yc << 8)) & 1157144660301377551 AS yd,
+        |    (zc | (zc << 8)) & 1157144660301377551 AS zd FROM s2),
+        |s4 AS (SELECT *, (xd | (xd << 4)) & 1207822528635744451 AS xe,
+        |    (yd | (yd << 4)) & 1207822528635744451 AS ye,
+        |    (zd | (zd << 4)) & 1207822528635744451 AS ze FROM s3),
+        |s5 AS (SELECT *, (xe | (xe << 2)) & 1317624576693539401 AS xf,
+        |    (ye | (ye << 2)) & 1317624576693539401 AS yf,
+        |    (ze | (ze << 2)) & 1317624576693539401 AS zf FROM s4)
+        |SELECT p_partkey, p_size, p_price, xf | (yf << 1) | (zf << 2) AS z
+        |FROM s5 ORDER BY z, p_partkey""".stripMargin,
 
     // Morton key replay: the same 5-step mask/shift spread ladder in
     // 64-bit integer ops (x even bits, y odd)

@@ -40,6 +40,28 @@ object Layout {
   def zOrderKey(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** Spread the low 21 bits of `v` to every third bit position — the
+    * 3-way interleave ladder (same mask/shift construction, 3-spacing
+    * masks).
+    */
+  private def spread3(v: Column): Column = {
+    val a = v.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val d = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val e = d.bitwiseOR(shiftleft(d, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton code of THREE non-negative integer columns (low 21
+    * bits each; x at bit 3i, y at 3i+1, z at 3i+2) — the clustering key
+    * for 3-axis zone-map workloads (e.g. date × tenant × region), where
+    * a sort on any single column strands the other two filters.
+    */
+  def zOrderKey3(x: Column, y: Column, z: Column): Column =
+    spread3(x).bitwiseOR(shiftleft(spread3(y), 1))
+      .bitwiseOR(shiftleft(spread3(z), 2))
+
   /** Rewrite a table into files of roughly `targetBytes` each — the
     * small-files compaction every long-lived 100 TB table needs (file
     * counts grow with every incremental append; scans, listings, and

@@ -354,6 +354,31 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("zOrderKey3 equals the reference 3-way interleave, including 21-bit extremes") {
+    def spread3(v0: Long): Long = {
+      var v = v0 & 0x1FFFFFL
+      v = (v | v << 32) & 0x1F00000000FFFFL
+      v = (v | v << 16) & 0x1F0000FF0000FFL
+      v = (v | v << 8) & 0x100F00F00F00F00FL
+      v = (v | v << 4) & 0x10C30C30C30C30C3L
+      (v | v << 2) & 0x1249249249249249L
+    }
+    def ref(x: Long, y: Long, z: Long): Long =
+      spread3(x) | spread3(y) << 1 | spread3(z) << 2
+    // hand-checked: bits of x at 3i, y at 3i+1, z at 3i+2
+    assert(ref(5L, 3L, 6L) == java.lang.Long.parseLong("101110011", 2))
+    val pts = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 3L, 6L), (12345L, 67890L, 54321L),
+      (0x1FFFFFL, 0L, 0L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL))
+    val out = pts.toDF("x", "y", "zc")
+      .select($"x", $"y", $"zc",
+        graft.operators.Layout.zOrderKey3($"x", $"y", $"zc").as("k"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out.foreach { case (x, y, z, k) =>
+      assert(k == ref(x, y, z) && k >= 0, s"($x, $y, $z)")
+    }
+  }
+
   test("z-order chunks are compact squares; a single-column sort gives stripes") {
     // 64x64 grid, 16 chunks of 256 points each
     val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
