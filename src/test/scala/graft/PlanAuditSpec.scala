@@ -254,6 +254,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("TPC-H Q10/Q14: top-20 is TakeOrdered (no global sort); part dim broadcasts") {
+    val q10 = finalPlanOf(graft.SparkEntry.queries("q10_returned_items")(spark, sfDir))
+    assert(q10.contains("TakeOrderedAndProject"),
+      s"expected top-20 via TakeOrdered, not a global sort:\n$q10")
+    val q14 = finalPlanOf(graft.SparkEntry.queries("q14_promo_revenue")(spark, sfDir))
+    assert(q14.contains("BroadcastHashJoin"),
+      s"expected the part dim broadcast:\n$q14")
+    assert(q14.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"expected the month predicate pushed to the lineitem scan:\n$q14")
+  }
+
   test("TPC-H Q5 chain: dim sides broadcast, no cartesian, pushed date filter") {
     val out = graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)
     val p = finalPlanOf(out)
