@@ -1259,6 +1259,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q4 shape (order priority checking): the EXISTS
+    //      subquery becomes a LEFT-SEMI join — orders keep at most one
+    //      match, no fan-out, and the semi side carries only the join
+    //      key after its pushed quantity filter ----
+    "q4_order_priority" -> ((s, dir) => {
+      val qualifying = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(qualifying, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- TPC-H Q7 shape (volume shipping): the DISJUNCTIVE nation-pair
     //      predicate — both nation dims pre-filter to the two names
     //      (pushed to their scans) and the OR pairing applies after the
@@ -2945,6 +2962,16 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // TPC-H Q4: EXISTS == semi-join; counts per priority
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // TPC-H Q7: disjunctive nation pair, per-year decimal-exact volume
     "q7_volume_shipping" ->

@@ -254,6 +254,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("TPC-H Q4: the EXISTS is a LeftSemi join, no fan-out aggregation") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q4_order_priority")(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"expected a left-semi join for EXISTS:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"expected the quantity filter pushed to the lineitem scan:\n$p")
+  }
+
   test("TPC-H Q10/Q14: top-20 is TakeOrdered (no global sort); part dim broadcasts") {
     val q10 = finalPlanOf(graft.SparkEntry.queries("q10_returned_items")(spark, sfDir))
     assert(q10.contains("TakeOrderedAndProject"),
