@@ -61,4 +61,35 @@ object Distribution {
   def psiAll(a: DataFrame, b: DataFrame, cols: Seq[String],
              nBins: Int = 10): DataFrame =
     cols.map(c => psi(a, b, c, nBins)).reduce(_ unionByName _)
+
+  /** The fixed-bounds bin index used by [[graft.streaming.StreamingPsi]]
+    * — same clamp-floor construction as [[psi]]'s, but with caller-fixed
+    * `[lo, hi]` (a stream can't know its global bounds up front; the
+    * monitoring pattern fixes the grid from the reference sample).
+    */
+  def fixedBin(x: org.apache.spark.sql.Column, lo: Double, hi: Double,
+               nBins: Int): org.apache.spark.sql.Column =
+    if (hi == lo) lit(0L)
+    else least(greatest(
+      floor((x - lit(lo)) / lit(hi - lo) * lit(nBins.toDouble)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+
+  /** PSI of observed bin counts against reference bin counts — the
+    * shared tail of [[psi]] and the streaming twin's merge view. Both
+    * inputs are dense positional arrays (index = bin). Same Laplace
+    * smoothing and 6-dp round, computed driver-side: the inputs are
+    * nBins numbers, not data.
+    */
+  def psiFromCounts(obs: Seq[Long], ref: Seq[Long]): Double = {
+    require(obs.length == ref.length && obs.nonEmpty, "bin arrays must align")
+    val n = obs.length
+    val ta = obs.sum.toDouble + 0.5 * n
+    val tb = ref.sum.toDouble + 0.5 * n
+    val s = (0 until n).map { i =>
+      val pa = (obs(i) + 0.5) / ta
+      val pb = (ref(i) + 0.5) / tb
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }

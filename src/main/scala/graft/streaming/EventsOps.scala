@@ -606,3 +606,41 @@ object StreamingHll {
         })
   }
 }
+
+/** One streamed histogram update: the bin's current running count. */
+final case class BinCountOut(bin: Long, n: Long)
+
+/** Streaming PSI support: running equal-width histogram of a value
+  * stream over a FIXED `[lo, hi]` grid — state is one counter per bin
+  * (`nBins` longs total, independent of stream length). Each
+  * micro-batch re-emits the bins it touched; counts are monotone per
+  * bin, so the latest emission per bin is the current histogram, and
+  * [[graft.operators.Distribution.psiFromCounts]] against a reference
+  * histogram turns any sink snapshot into the drift score — the
+  * standard "alert when production input shape leaves the training
+  * distribution" monitor, with the grid fixed from the reference
+  * sample exactly as batch monitoring does.
+  */
+object StreamingPsi {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame, valueCol: String, lo: Double, hi: Double,
+            nBins: Int = 10): Dataset[BinCountOut] = {
+    require(nBins >= 2, "nBins must be at least 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(valueCol).cast("double").as("x")).filter(col("x").isNotNull)
+      .select(graft.operators.Distribution.fixedBin(col("x"), lo, hi, nBins).as("bin"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bin: Long, rows: Iterator[Long], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(BinCountOut(bin, n))
+        })
+  }
+}

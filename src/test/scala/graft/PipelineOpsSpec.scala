@@ -894,4 +894,11 @@ class DistributionSpec extends SparkSpecBase {
     assert(out("id") == 0.0, s"id must not drift: ${out("id")}")
     assert(out("score") > 0.1, s"score must flag: ${out("score")}")
   }
+  test("psi is symmetric in its two sides") {
+    val a = (1 to 1500).map(i => (i.toLong, (i % 90).toDouble)).toDF("id", "v")
+    val b = (1 to 1200).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "v")
+    val ab = Distribution.psi(a, b, "v").select("psi").as[Double].collect()(0)
+    val ba = Distribution.psi(b, a, "v").select("psi").as[Double].collect()(0)
+    assert(ab == ba && ab > 0.0, s"psi must be symmetric: $ab vs $ba")
+  }
 }

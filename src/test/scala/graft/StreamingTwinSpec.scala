@@ -453,3 +453,36 @@ class StreamingHllSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingPsiSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("streaming histogram == batch fixed-grid counts; psiFromCounts flags drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val q = graft.streaming.StreamingPsi(mem.toDF().toDF("v"), "v", 0.0, 100.0)
+      .writeStream.format("memory").queryName("psi_twin")
+      .outputMode("update").start()
+    try {
+      mem.addData((0 until 500).map(i => (i % 100).toDouble): _*)
+      q.processAllAvailable()
+      mem.addData((0 until 400).map(i => (i % 30).toDouble): _*)
+      q.processAllAvailable()
+      // counts are monotone per bin: latest emission = max = current
+      val emitted = spark.sql("SELECT bin, n FROM psi_twin")
+        .groupBy("bin").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val all = ((0 until 500).map(i => (i % 100).toDouble) ++
+        (0 until 400).map(i => (i % 30).toDouble)).toDF("v")
+      val batch = all
+        .select(graft.operators.Distribution.fixedBin($"v", 0.0, 100.0, 10).as("bin"))
+        .groupBy("bin").count().as[(Long, Long)].collect().toMap
+      assert(emitted == batch, s"stream $emitted != batch $batch")
+      val obs = (0 until 10).map(i => emitted.getOrElse(i.toLong, 0L))
+      assert(graft.operators.Distribution.psiFromCounts(obs, obs) == 0.0)
+      // vs a uniform reference the low-bin pileup must flag
+      assert(graft.operators.Distribution.psiFromCounts(obs, Seq.fill(10)(90L)) > 0.1)
+    } finally q.stop()
+  }
+}
