@@ -1162,6 +1162,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- KMV/theta overlap (the HLL companion when the INTERSECTION
+    //      is the quantity of interest): direct sample-membership
+    //      Jaccard from the union sketch's minima — no compounding
+    //      inclusion-exclusion error; md5 minima replay bit-for-bit ----
+    "q_kmv_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("user_id") % 3 =!= 0)
+      val b = ev.filter(col("user_id") % 2 =!= 0)
+      Kmv.overlap(a, b, "user_id", 128)
+        .crossJoin(a.select("user_id").intersect(b.select("user_id"))
+          .agg(count(lit(1)).as("exact_intersect")))
+    }),
+
     // ---- A-class filter-aggregate (TPC-H Q6 shape): every predicate
     //      pushed to the scan, decimal-exact revenue sum ----
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -2911,6 +2924,37 @@ object SparkEntry {
         |SELECT e.event_type AS event_type, est, exact_distinct
         |FROM e JOIN x ON e.event_type = x.event_type
         |ORDER BY e.event_type""".stripMargin,
+
+    // KMV: rebuild the k-minima from the same md5 hash; θ estimate with
+    // exact-integer inputs; union minima membership via IN on the k-row
+    // sketches (exact by the θ_U <= min(θ_A, θ_B) argument)
+    "q_kmv_overlap" ->
+      """WITH au AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 <> 0),
+        |bu AS (SELECT DISTINCT user_id FROM events WHERE user_id % 2 <> 0),
+        |ha AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(CAST(user_id
+        |    AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM au),
+        |hb AS (SELECT DISTINCT CAST(CAST(('0x' || substr(md5(CAST(user_id
+        |    AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM bu),
+        |sa AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+        |sb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+        |su AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM sa UNION ALL SELECT h FROM sb) ORDER BY h LIMIT 128),
+        |nb AS (SELECT count(*) AS n_both FROM su
+        |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        |ku AS (SELECT count(*) AS k_used, max(h) AS hk FROM su),
+        |ue AS (SELECT CASE WHEN k_used < 128 THEN CAST(k_used AS DOUBLE)
+        |    ELSE round(CAST(127 AS DOUBLE) / ((CAST(hk AS DOUBLE) + 1.0)
+        |      / CAST(1152921504606846976 AS DOUBLE)), 6) END AS est_union,
+        |    k_used FROM ku),
+        |x AS (SELECT count(*) AS exact_intersect FROM
+        |  (SELECT user_id FROM au INTERSECT SELECT user_id FROM bu))
+        |SELECT round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+        |    AS jaccard_est,
+        |  est_union,
+        |  round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union, 6)
+        |    AS est_intersect,
+        |  k_used, exact_intersect
+        |FROM nb, ue, x""".stripMargin,
 
     // TPC-H Q6: same decimal-exact arithmetic as q1/q3
     "q6_forecast_revenue" ->

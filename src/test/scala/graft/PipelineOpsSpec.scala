@@ -902,3 +902,35 @@ class DistributionSpec extends SparkSpecBase {
     assert(ab == ba && ab > 0.0, s"psi must be symmetric: $ab vs $ba")
   }
 }
+
+class KmvSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Kmv
+
+  test("exhaustive sketch (k > ndv) is exact; merge == sketch of the union") {
+    val a = (0L until 1000L).toDF("k")
+    val b = (500L until 1500L).toDF("k")
+    val out = Kmv.overlap(a, b, "k", 2048).collect()(0)
+    // 1500 distinct union values < k: everything exact
+    assert(out.getAs[Double]("est_union") == 1500.0, out.toString)
+    // intersect multiplies the UNROUNDED membership fraction: exact 500
+    assert(out.getAs[Double]("est_intersect") == 500.0, out.toString)
+    assert(out.getAs[Long]("k_used") == 1500L)
+    val mergedTwice = Kmv.merge(Kmv.sketch(a, "k", 64), Kmv.sketch(b, "k", 64), 64)
+    val direct = Kmv.sketch(a.unionByName(b), "k", 64)
+    assert(mergedTwice.orderBy("h").collect().toSeq ==
+      direct.orderBy("h").collect().toSeq)
+  }
+
+  test("theta estimates land near the planted truth at k=64") {
+    val a = (0L until 1000L).toDF("k")
+    val b = (500L until 1500L).toDF("k")
+    val out = Kmv.overlap(a, b, "k", 64).collect()(0)
+    val (u, j, i) = (out.getAs[Double]("est_union"),
+      out.getAs[Double]("jaccard_est"), out.getAs[Double]("est_intersect"))
+    // k=64 -> rel err ~1/sqrt(62) ~ 13%; generous deterministic brackets
+    assert(math.abs(u - 1500) / 1500 < 0.4, s"union $u")
+    assert(math.abs(j - 1.0 / 3.0) < 0.2, s"jaccard $j")
+    assert(i > 0 && math.abs(i - 500) / 500 < 0.6, s"intersect $i")
+  }
+}
