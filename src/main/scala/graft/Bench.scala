@@ -31,35 +31,46 @@ object Bench {
     // shuffle keeps that cost out of the first measured queries
     spark.range(4000000L).selectExpr("id % 1000 AS k", "id AS v")
       .groupBy("k").count().count()
-    // median of 3 runs per query: this host's timing variance is +/-2-3x
-    // run-to-run, so a single contended window can inflate one run 10x;
-    // the median absorbs one outlier per query
+    // median of N runs per query, taken as INTERLEAVED ROUNDS (run every
+    // query once, then sweep again) rather than back-to-back repeats:
+    // this host's noise comes in multi-second contention windows, so
+    // back-to-back repeats of one query share a window and its median
+    // still inflates, while interleaving decorrelates host noise from
+    // query identity. The median over rounds absorbs one bad window.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // wall-clock budget: with 70+ queries, 3 runs each can exceed an
-    // external harness timeout on a contended host — once the budget is
-    // spent, remaining queries get a single timed run instead of a
-    // median of three (still measured, just less noise-averaged)
+    // wall-clock budget: a full 140-query round is ~90-120 s here; later
+    // rounds start only while the budget holds, so exhaustion degrades
+    // every query to the SAME smaller round count (never a single-run
+    // tail while head queries got three, as the per-query loop did)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
     val benchStart = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val elapsed = (System.nanoTime() - benchStart) / 1e9
-      val effRuns = if (elapsed > budgetSec) 1 else runs
-      val times = (1 to effRuns).map { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    var round = 0
+    var roundsDone = 0
+    while (round < runs &&
+      (round == 0 || (System.nanoTime() - benchStart) / 1e9 < budgetSec)) {
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      }
+      round += 1
+      roundsDone = round
+    }
+    val results = names.map { case (name, _) =>
+      val ts = samples(name).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$roundsDone}"""
     println(json)
     // stdout tail-capture can clip the single long line (BENCH_r04/r05 lost
     // the first ~25 query timings) — persist the full map to a file too

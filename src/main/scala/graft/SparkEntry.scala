@@ -41,6 +41,35 @@ object SparkEntry {
   private def dsum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** One DuckDB replay block for [[graft.operators.Expectations.uniqueApproxGate]]:
+    * rebuilds the p=6 md5 HLL registers of `table.c`, the bias-corrected
+    * estimate, and the clamped duplicate fraction — bit-for-bit the Spark
+    * plan's arithmetic (same float op order, same 6-dp rounds).
+    */
+  private def uniqueApproxOracleBlock(table: String, c: String, tol: String): String =
+    s"""SELECT 'unique_approx' AS rule, '$c' AS "column",
+       |  round(greatest(0.0, (n - est) / n), 6) AS metric,
+       |  CAST($tol AS DOUBLE) AS threshold,
+       |  round(greatest(0.0, (n - est) / n), 6) <= CAST($tol AS DOUBLE) AS ok
+       |FROM (
+       |  SELECT CAST((SELECT count(*) FROM $table WHERE $c IS NOT NULL) AS DOUBLE) AS n,
+       |    (SELECT CASE WHEN raw <= 160.0 AND v > 0
+       |       THEN round(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+       |       ELSE round(raw, 6) END
+       |     FROM (SELECT CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
+       |         * CAST(36028797018963968 AS DOUBLE) / CAST(zi AS DOUBLE) AS raw, v
+       |       FROM (SELECT zhit + (64 - nhit) * (CAST(1 AS BIGINT) << 55) AS zi,
+       |           64 - nhit AS v
+       |         FROM (SELECT sum(CAST(1 AS BIGINT) << (55 - register)) AS zhit,
+       |             count(*) AS nhit
+       |           FROM (SELECT h % 64 AS bucket,
+       |               max(CASE WHEN (h >> 6) = 0 THEN 55
+       |                 ELSE 55 - length(bin(h >> 6)) END) AS register
+       |             FROM (SELECT CAST(CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+       |                 AS UBIGINT) AS BIGINT) AS h
+       |               FROM $table WHERE $c IS NOT NULL) hh GROUP BY 1) rr) zz) ff) gg) AS est
+       |) base""".stripMargin
+
   // ---- PQ planted fixture: 32-dim points, 4 subspaces of 8 dims; the
   //      subspace-j sub-vector sits at 10*onehot8(g_j) with
   //      g_j = floor(vec_id / 4^j) % 4, plus 0.01x embedding noise
@@ -1022,24 +1051,34 @@ object SparkEntry {
     //      asserts the invariants (mass conservation, rank floor) plus a
     //      deterministic top node ----
     "q_pagerank_checks" -> ((s, dir) => {
-      import s.implicits._
       val edges = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 13 === 0)
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-      val r = Graph.pageRank(edges, 0.85, 5).collect()
-        .map(row => row.getLong(0) -> row.getDouble(1))
-      val total = r.map(_._2).sum
-      val n = r.length
-      val floor = (1.0 - 0.85) / n
-      val topIsSupplier = {
-        val suppliers = edges.select("dst").distinct().as[Long].collect().toSet
-        suppliers.contains(r.maxBy(p => (p._2, -p._1))._1)
-      }
-      Seq(
-        ("mass_sums_to_one", math.abs(total - 1.0) < 1e-9),
-        ("all_ranks_above_floor", r.forall(_._2 >= floor - 1e-12)),
-        ("top_node_is_a_supplier", topIsSupplier))
-        .toDF("check_name", "ok").orderBy("check_name")
+      val r = Graph.pageRank(edges, 0.85, 5)
+      // all three invariants stay on the cluster: one full-pass aggregate
+      // over the (checkpointed) rank vector yields mass, node count, rank
+      // floor, and the arg-max node (ties toward the smallest id) in a
+      // single 1-row result; supplier membership of the top node is a
+      // 1-row semi-join — nothing data-scaled ever reaches the driver
+      val stats = r.agg(
+        sum("rank").as("total"),
+        count(lit(1)).as("n"),
+        min("rank").as("min_rank"),
+        max_by(col("id"), struct(col("rank"), -col("id"))).as("top_node"))
+      val suppliers = edges
+        .select(col("dst").cast("long").as("top_node")).distinct()
+      val topOk = stats.select("top_node")
+        .join(suppliers, Seq("top_node"), "left_semi")
+        .agg(count(lit(1)).as("n_top_supplier"))
+      stats.crossJoin(topOk).select(
+        explode(map(
+          lit("mass_sums_to_one"),
+          abs(col("total") - lit(1.0)) < lit(1e-9),
+          lit("all_ranks_above_floor"),
+          col("min_rank") >= lit(0.15) / col("n") - lit(1e-12),
+          lit("top_node_is_a_supplier"),
+          col("n_top_supplier") === 1)).as(Seq("check_name", "ok")))
+        .orderBy("check_name")
     }),
 
     // ---- semantic dedup: cosine pairs -> components -> representative ----
@@ -1114,6 +1153,21 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) =>
       EventAnalytics.heavyHitters(Tables.events(s, dir), "user_id", 0.008)
         .orderBy("user_id")),
+
+    // ---- global top-k merge view over space-saving heavy-hitter
+    //      emissions: the SAME flatMapGroupsWithState operator the
+    //      stream runs, executed on the static frame (Spark's batch
+    //      mode: empty initial state, one group-iterator pass per
+    //      bucket), its per-bucket summaries merged by globalTopK. Key
+    //      cardinality is held under the nBuckets × m counter capacity,
+    //      so no counter evicts, every count is exact (err = 0), and the
+    //      merge view replays in plain SQL ----
+    "q_hh_global_topk" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") % 3 === 0)
+      val emitted = graft.streaming.StreamingHeavyHitters(
+        ev.select("user_id"), "user_id").toDF()
+      graft.streaming.StreamingHeavyHitters.globalTopK(emitted, 15)
+    }),
 
     // ---- count-min sketch: build the 4x256 counter matrix over the
     //      event stream's user ids, estimate every 10th user, and show
@@ -1204,6 +1258,63 @@ object SparkEntry {
         .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // ---- TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    //      scalar subquery — per-part 20%-of-average quantity threshold —
+    //      written as the correlated form on purpose so Catalyst's
+    //      decorrelation rewrites it into aggregate-then-join (one
+    //      per-part Aggregate over lineitem joined back to the fact),
+    //      never a per-row subquery re-execution. Decimal-exact sums so
+    //      both engines emit bit-identical doubles ----
+    "q17_small_qty" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q17")
+      t(s, dir, "part").createOrReplaceTempView("part_q17")
+      s.sql(
+        """SELECT
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    / 7.0, 6) AS avg_yearly,
+          |  count(*) AS n_lines
+          |FROM li_q17 JOIN part_q17 ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23'
+          |  AND l_quantity < (
+          |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+          |      AS DOUBLE) / count(*))
+          |    FROM li_q17 l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // ---- TPC-H Q2 shape (minimum-cost supplier): lineitem stands in for
+    //      partsupp (supply cost = min extendedprice per part/supplier —
+    //      a picked value, so doubles stay bit-identical cross-engine);
+    //      the correlated min-cost-in-region subquery decorrelates into
+    //      a per-part Aggregate re-joined on (partkey, cost) ----
+    "q2_min_cost" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q2")
+      t(s, dir, "part").createOrReplaceTempView("part_q2")
+      t(s, dir, "supplier").createOrReplaceTempView("sup_q2")
+      t(s, dir, "nation").createOrReplaceTempView("nat_q2")
+      t(s, dir, "region").createOrReplaceTempView("reg_q2")
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         min(l_extendedprice) AS ps_supplycost
+          |  FROM li_q2 GROUP BY 1, 2)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+          |FROM part_q2
+          |JOIN ps ON p_partkey = ps_partkey
+          |JOIN sup_q2 ON s_suppkey = ps_suppkey
+          |JOIN nat_q2 ON s_nationkey = n_nationkey
+          |JOIN reg_q2 ON n_regionkey = r_regionkey
+          |WHERE p_size = 15 AND r_name = 'EUROPE'
+          |  AND ps_supplycost = (
+          |    SELECT min(ps2.ps_supplycost)
+          |    FROM ps ps2
+          |    JOIN sup_q2 s2 ON s2.s_suppkey = ps2.ps_suppkey
+          |    JOIN nat_q2 n2 ON n2.n_nationkey = s2.s_nationkey
+          |    JOIN reg_q2 r2 ON r2.r_regionkey = n2.n_regionkey
+          |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)
     }),
 
     // ---- ORC federation round-trip: a side materialized as ORC reads
@@ -1488,6 +1599,19 @@ object SparkEntry {
         RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
         .orderBy("rule", "column")
     }),
+
+    // ---- replayable approx-uniqueness gate: the UniqueApprox rule on
+    //      graft's md5-register HLL (not Spark's internal sketch), so the
+    //      oracle rebuilds every estimated duplicate fraction bit-for-bit.
+    //      Three gates: two genuinely-unique key columns and one heavily
+    //      duplicated foreign key that must fail the tolerance ----
+    "q_unique_approx" -> ((s, dir) =>
+      Expectations.uniqueApproxGate(t(s, dir, "orders"), Seq("o_orderkey" -> 0.05))
+        .unionByName(Expectations.uniqueApproxGate(
+          t(s, dir, "lineitem"), Seq("l_orderkey" -> 0.05)))
+        .unionByName(Expectations.uniqueApproxGate(
+          t(s, dir, "customer"), Seq("c_custkey" -> 0.05)))
+        .orderBy("column")),
 
     // ---- cohort LTV curve: decimal-exact cumulative revenue ----
     "q_cohort_ltv" -> ((s, dir) =>
@@ -2821,6 +2945,13 @@ object SparkEntry {
         |HAVING count(*) > 0.008 * (SELECT CAST(n AS DOUBLE) FROM tot)
         |ORDER BY user_id""".stripMargin,
 
+    // no evictions by construction (keys < counter capacity), so the
+    // space-saving merge view equals the exact top-k with zero error
+    "q_hh_global_topk" ->
+      """SELECT user_id AS key, count(*) AS count, CAST(0 AS BIGINT) AS err
+        |FROM events WHERE user_id % 3 = 0
+        |GROUP BY 1 ORDER BY count DESC, key ASC LIMIT 15""".stripMargin,
+
     // count-min replay: same md5-60-bit seeded buckets (row index
     // prefixed), same 4x256 matrix, min-over-rows estimate — integers
     // end to end
@@ -3133,6 +3264,40 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    "q17_small_qty" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |      AS DOUBLE) / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
     // triangle truth: same low->high orientation, wedge join, closure
     "q_triangles" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
@@ -3305,6 +3470,16 @@ object SparkEntry {
         |SELECT rule, "column", metric, threshold, metric <= threshold AS ok
         |FROM rows_ ORDER BY rule, "column"""".stripMargin,
 
+    // replayable HLL uniqueness gate: register replay per column (same
+    // md5-first-60-bit construction as the q_hll_* oracles)
+    "q_unique_approx" ->
+      (uniqueApproxOracleBlock("orders", "o_orderkey", "0.05") +
+        "\nUNION ALL\n" +
+        uniqueApproxOracleBlock("lineitem", "l_orderkey", "0.05") +
+        "\nUNION ALL\n" +
+        uniqueApproxOracleBlock("customer", "c_custkey", "0.05") +
+        "\nORDER BY \"column\""),
+
     // cohort LTV: decimal-exact weekly and cumulative revenue, same
     // whole-week offsets as q_retention
     "q_cohort_ltv" ->
@@ -3408,19 +3583,37 @@ object SparkEntry {
         |FROM z WHERE z IS NOT NULL AND abs(z) > 2.5
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // FastSS deletion-neighborhood blocking (radius 1): two strings are
+    // within one edit only if they share a single-deletion variant
+    // (i = 0 keeps the string, i = j deletes char j), so the signature
+    // join enumerates a small candidate superset and levenshtein
+    // verifies exactly — value-identical to the all-pairs form it
+    // replaces, ~50x faster (the sf0.1 sweep pole)
     "q_fuzzy_match" ->
       """WITH clean AS (SELECT p_partkey,
         |      lower(p_type || ' ' || p_name) || ' #' || CAST(p_partkey AS VARCHAR) AS nm FROM part),
         |  dirty AS (SELECT p_partkey AS d_key,
         |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(nm, 2) ELSE nm END AS nm
         |    FROM clean),
-        |  m AS (SELECT d.d_key, levenshtein(d.nm, c.nm) AS dist
-        |    FROM dirty d JOIN clean c
-        |      ON abs(length(d.nm) - length(c.nm)) <= 1
+        |  sd AS (SELECT d_key, nm, unnest(range(0, length(nm) + 1)) AS i FROM dirty),
+        |  sigd AS (SELECT d_key, CASE WHEN i = 0 THEN nm
+        |      ELSE substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1) END AS v
+        |    FROM sd),
+        |  sc AS (SELECT p_partkey, nm, unnest(range(0, length(nm) + 1)) AS i FROM clean),
+        |  sigc AS (SELECT p_partkey, CASE WHEN i = 0 THEN nm
+        |      ELSE substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1) END AS v
+        |    FROM sc),
+        |  cand AS (SELECT DISTINCT sigd.d_key, sigc.p_partkey
+        |    FROM sigd JOIN sigc ON sigd.v = sigc.v),
+        |  m AS (SELECT cand.d_key, levenshtein(d.nm, c.nm) AS dist
+        |    FROM cand JOIN dirty d ON d.d_key = cand.d_key
+        |    JOIN clean c ON c.p_partkey = cand.p_partkey
         |    WHERE levenshtein(d.nm, c.nm) <= 1)
         |SELECT d_key, count(*) AS n_matches, CAST(min(dist) AS BIGINT) AS best_dist
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same FastSS radius-1 blocking as q_fuzzy_match, feeding the
+    // unchanged recursive-components tail
     "q_entity_resolution" ->
       """WITH RECURSIVE
         |  base AS (SELECT p_partkey,
@@ -3428,10 +3621,15 @@ object SparkEntry {
         |  dirty AS (SELECT p_partkey,
         |      CASE WHEN p_partkey % 5 = 0 THEN 'x' || substr(nm, 2) ELSE nm END AS nm
         |    FROM base),
-        |  e0 AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2
-        |    FROM dirty a JOIN dirty b
-        |      ON a.p_partkey < b.p_partkey
-        |     AND abs(length(a.nm) - length(b.nm)) <= 1
+        |  sa AS (SELECT p_partkey, nm, unnest(range(0, length(nm) + 1)) AS i FROM dirty),
+        |  sig AS (SELECT p_partkey, CASE WHEN i = 0 THEN nm
+        |      ELSE substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1) END AS v
+        |    FROM sa),
+        |  cand AS (SELECT DISTINCT x.p_partkey AS id1, y.p_partkey AS id2
+        |    FROM sig x JOIN sig y ON x.v = y.v AND x.p_partkey < y.p_partkey),
+        |  e0 AS (SELECT cand.id1, cand.id2 FROM cand
+        |    JOIN dirty a ON a.p_partkey = cand.id1
+        |    JOIN dirty b ON b.p_partkey = cand.id2
         |    WHERE levenshtein(a.nm, b.nm) <= 1),
         |  edges AS (SELECT id1 AS a, id2 AS b FROM e0
         |            UNION SELECT id2, id1 FROM e0),

@@ -126,4 +126,33 @@ object Expectations {
     (rowReport ++ approxReport ++ uniqueReport ++ refReport)
       .toDF("rule", "column", "metric", "threshold", "ok")
   }
+
+  /** Fully-on-cluster, cross-engine-REPLAYABLE approximate-uniqueness
+    * gate: the [[UniqueApprox]] check rebuilt on [[Hll]]'s md5-register
+    * sketch instead of Spark's internal `approx_count_distinct`, so an
+    * external engine (the DuckDB oracle) reproduces the estimated
+    * duplicate fraction bit-for-bit. One `(rule, column, metric,
+    * threshold, ok)` row per input `(column, tolerance)` pair; metric is
+    * the clamped estimated duplicate fraction `max(0, (n − ndv̂)/n)`
+    * rounded to 6 dp. Each column costs one scan folded into a 2^p-key
+    * register aggregation — no distinct shuffle, nothing on the driver.
+    */
+  def uniqueApproxGate(df: DataFrame, checks: Seq[(String, Double)],
+                       p: Int = 6): DataFrame = {
+    require(checks.nonEmpty, "at least one (column, tolerance) check")
+    checks.map { case (c, tol) =>
+      val nonNull = df.filter(col(c).isNotNull)
+      val n = nonNull.agg(count(lit(1)).as("_n"))
+      val est = Hll.estimate(Hll.registers(nonNull, c, p), p)
+      n.crossJoin(est)
+        .select(
+          lit("unique_approx").as("rule"),
+          lit(c).as("column"),
+          round(greatest(lit(0.0),
+            (col("_n").cast("double") - col("est")) / col("_n").cast("double")),
+            6).as("metric"),
+          lit(tol).as("threshold"))
+        .withColumn("ok", col("metric") <= col("threshold"))
+    }.reduce(_ unionByName _)
+  }
 }

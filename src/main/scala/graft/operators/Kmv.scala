@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * (decontamination rates, cross-corpus containment).
   *
   * Spark-first shape: a sketch IS a k-row DataFrame of hash values —
-  * built with a narrow distinct + `TakeOrderedAndProject` (per-partition
-  * top-k, driver merge; never a global sort), merged by union +
-  * re-top-k. Hashes are the md5-first-60-bit construction shared with
+  * built by the bounded [[graft.functions.KMinima]] aggregate (each map
+  * task keeps a size-≤k ordered distinct set; the shuffle carries one
+  * k-long buffer per partition, never the full distinct hash set),
+  * merged by union + re-top-k over k-row inputs. Hashes are the
+  * md5-first-60-bit construction shared with
   * [[CountMin]]/[[Hll]], so an external engine rebuilds every sketch
   * row bit-for-bit; estimates divide exact integers and round to 6 dp.
   */
@@ -33,8 +35,8 @@ object Kmv {
     */
   def sketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    df.select(h60(col(keyCol)).as("h")).distinct()
-      .orderBy("h").limit(k)
+    df.select(graft.functions.KMinima.column(h60(col(keyCol)), k).as("hs"))
+      .select(explode(col("hs")).as("h"))
   }
 
   /** Merge sketches built with the same k: union of candidate minima,

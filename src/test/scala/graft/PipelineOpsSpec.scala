@@ -933,4 +933,31 @@ class KmvSpec extends SparkSpecBase {
     assert(math.abs(j - 1.0 / 3.0) < 0.2, s"jaccard $j")
     assert(i > 0 && math.abs(i - 500) / 500 < 0.6, s"intersect $i")
   }
+
+  test("bounded k-minima sketch is bit-identical to the naive distinct/sort " +
+    "form and never exchanges the full distinct hash set") {
+    // duplicates on purpose: the aggregate must dedup inside the buffer
+    val df = (0L until 5000L).map(_ % 1300).toDF("k").repartition(8)
+    val bounded = Kmv.sketch(df, "k", 64).orderBy("h").as[Long].collect().toSeq
+    val naive = df.select(
+        conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct().orderBy("h").limit(64).as[Long].collect().toSeq
+    assert(bounded == naive, "bounded sketch diverged from the naive k minima")
+    assert(bounded.size == 64 && bounded == bounded.sorted && bounded.distinct == bounded)
+    // plan shape: one partial/final k_minima pair around a single
+    // SinglePartition exchange — no hash-partitioned distinct of raw hashes
+    val plan = Kmv.sketch(df, "k", 64).queryExecution.executedPlan.toString
+    assert(plan.contains("k_minima"), plan)
+    val shuffles = "Exchange".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected no distinct exchange, got $shuffles:\n$plan")
+    assert(!plan.contains("hashpartitioning(h"), s"full-ndv distinct exchange present:\n$plan")
+  }
+
+  test("k-minima merge is associative across partition boundaries (exhaustive exactness)") {
+    val df = (0L until 120L).toDF("k").repartition(16)
+    // ndv (120) < k (256): sketch must be the full distinct hash set
+    val rows = Kmv.sketch(df, "k", 256).count()
+    assert(rows == 120L, s"exhaustive sketch must carry all 120 distinct hashes, got $rows")
+  }
 }
