@@ -25,7 +25,11 @@ object Verify {
     // from a prior run can't be compared as if fresh), and failures are
     // persisted to errors.json + a per-query _FAILED marker.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val qDir = new java.io.File(s"$outDir/$name")
       org.apache.commons.io.FileUtils.deleteQuietly(qDir)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
