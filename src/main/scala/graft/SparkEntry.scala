@@ -1317,6 +1317,279 @@ object SparkEntry {
           |LIMIT 100""".stripMargin)
     }),
 
+    // ---- TPC-H Q8 shape (national market share): one fact scan feeding
+    //      a two-armed star — customer-side nation→region filter and
+    //      supplier-side share nation — every dim broadcast, one agg
+    //      with a null-skipping conditional numerator. The only
+    //      shuffles are the lineitem⋈orders key exchange and the final
+    //      single-key agg ----
+    "q8_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+            .as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(sum(when(col("supp_nation") === "NATION_3", col("volume"))).cast("double") /
+            sum(col("volume")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- TPC-H Q9 shape (product-type profit by nation and year):
+    //      LIKE-filtered part dim broadcast into the fact, supplier→
+    //      nation broadcast chain, orders re-join for the year; decimal
+    //      profit so both engines agree bit-for-bit ----
+    "q9_profit_by_nation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+            .as("profit"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("profit")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q11 shape (important stock): the schema has no
+    //      partsupp, so per-(part,supplier) line value stands in; the
+    //      global-fraction threshold is the classic uncorrelated scalar
+    //      subquery — Catalyst plans it as a 1-row broadcast into the
+    //      HAVING filter, never a rescan per group. The threshold total
+    //      is a decimal-exact sum rendered to double ONCE (double
+    //      re-aggregation of per-part doubles would be order-sensitive) ----
+    "q11_top_stock" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q11")
+      t(s, dir, "supplier").createOrReplaceTempView("sup_q11")
+      t(s, dir, "nation").createOrReplaceTempView("nat_q11")
+      s.sql(
+        """WITH fact AS (
+          |  SELECT l_partkey,
+          |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      CAST(l_quantity AS DECIMAL(18,2)) AS line_value
+          |  FROM li_q11 JOIN sup_q11 ON l_suppkey = s_suppkey
+          |  JOIN nat_q11 ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7')
+          |SELECT l_partkey AS ps_partkey,
+          |  CAST(sum(line_value) AS DOUBLE) AS value
+          |FROM fact
+          |GROUP BY l_partkey
+          |HAVING CAST(sum(line_value) AS DOUBLE) >
+          |  (SELECT CAST(sum(line_value) AS DOUBLE) * 1.5
+          |     / count(DISTINCT l_partkey) FROM fact)
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
+    }),
+
+    // ---- TPC-H Q12 shape (late shipments by priority class): the
+    //      orders⋈lineitem key join with a row-level date-arithmetic
+    //      predicate and two null-skipping conditional counts ----
+    "q12_late_shipments" -> ((s, dir) => {
+      t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(year(col("l_shipdate")).cast("bigint").as("ship_year"),
+          col("o_orderpriority"))
+        .groupBy("ship_year")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy("ship_year")
+    }),
+
+    // ---- TPC-H Q13 shape (customer order-count distribution): LEFT
+    //      OUTER join with the filter folded into the join condition
+    //      (so zero-order customers survive), then a second aggregation
+    //      over the first's result ----
+    "q13_order_count_dist" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_custkey")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q15 shape (top supplier): the revenue CTE is built
+    //      once and referenced twice (join side + scalar max); the
+    //      equality test stays in exact DECIMAL until the final render
+    //      so cross-engine max-equality cannot be lost to float ties ----
+    "q15_top_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q15")
+      t(s, dir, "supplier").createOrReplaceTempView("sup_q15")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+          |      AS total_revenue
+          |  FROM li_q15
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name,
+          |  CAST(total_revenue AS DOUBLE) AS total_revenue
+          |FROM sup_q15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // ---- TPC-H Q16 shape (supplier variety per part profile):
+    //      distinct (part,supplier) pairs from the fact, a broadcast
+    //      filtered part dim, and a NOT-IN-style anti join against
+    //      negative-balance suppliers before a countDistinct ----
+    "q16_supplier_variety" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      ps.join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey"),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // ---- TPC-H Q19 shape (disjunctive-predicate revenue): three OR
+    //      branches each tying part attributes to lineitem quantity —
+    //      the join keeps one equi-key (partkey) with the disjunction
+    //      as a post-join filter, exercising CNF extraction rather
+    //      than a cartesian ----
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q20 shape (promotable-part suppliers): a semi-join
+    //      chain — supplier IN (pairs over LIKE-filtered parts whose
+    //      accumulated quantity beats a correlated half-of-recent-
+    //      shipments threshold). Catalyst decorrelates the inner scalar
+    //      into a per-(part,supplier) aggregate joined back, so the
+    //      fact is scanned a bounded number of times, never per row ----
+    "q20_promo_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q20")
+      t(s, dir, "part").createOrReplaceTempView("part_q20")
+      t(s, dir, "supplier").createOrReplaceTempView("sup_q20")
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+          |  FROM li_q20 GROUP BY 1, 2)
+          |SELECT s_name, s_acctbal
+          |FROM sup_q20
+          |WHERE s_suppkey IN (
+          |  SELECT ps_suppkey FROM ps
+          |  WHERE ps_partkey IN
+          |    (SELECT p_partkey FROM part_q20 WHERE p_name LIKE 'red%')
+          |  AND ps_availqty > (
+          |    SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    FROM li_q20
+          |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+          |      AND l_shipdate < TIMESTAMP '1998-01-01'))
+          |ORDER BY s_name""".stripMargin)
+    }),
+
+    // ---- TPC-H Q21 shape (sole-blame suppliers): the EXISTS /
+    //      NOT-EXISTS pair over the same fact — an order with other
+    //      suppliers where ONLY this supplier's lines were returned.
+    //      Both subqueries decorrelate to semi/anti joins on orderkey ----
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q21")
+      t(s, dir, "orders").createOrReplaceTempView("ord_q21")
+      t(s, dir, "supplier").createOrReplaceTempView("sup_q21")
+      t(s, dir, "nation").createOrReplaceTempView("nat_q21")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM sup_q21
+          |JOIN li_q21 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN ord_q21 ON o_orderkey = l1.l_orderkey
+          |JOIN nat_q21 ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND n_name = 'NATION_7'
+          |  AND EXISTS (SELECT 1 FROM li_q21 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM li_q21 l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // ---- TPC-H Q22 shape (idle high-balance customers): every
+    //      customer here has SOME order, so the classic no-orders
+    //      anti join becomes no-RECENT-orders; the positive-balance
+    //      average is the uncorrelated scalar subquery, the country
+    //      code a deterministic custkey bucket ----
+    "q22_idle_customers" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_q22")
+      t(s, dir, "orders").createOrReplaceTempView("ord_q22")
+      s.sql(
+        """SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM cust_q22
+          |WHERE c_custkey % 7 IN (1, 3, 5)
+          |  AND c_acctbal > (
+          |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |    FROM cust_q22
+          |    WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 3, 5))
+          |  AND NOT EXISTS (SELECT 1 FROM ord_q22
+          |    WHERE o_custkey = c_custkey
+          |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_custkey % 7
+          |ORDER BY cntrycode""".stripMargin)
+    }),
+
     // ---- ORC federation round-trip: a side materialized as ORC reads
     //      back through the same FormatSide discovery/scan path as
     //      parquet/csv/json (Spark's native ORC source; predicate
@@ -3297,6 +3570,171 @@ object SparkEntry {
         |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_top_stock" ->
+      """WITH fact AS (
+        |  SELECT l_partkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS line_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |SELECT l_partkey AS ps_partkey,
+        |  CAST(sum(line_value) AS DOUBLE) AS value
+        |FROM fact
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(line_value) AS DOUBLE) >
+        |  (SELECT CAST(sum(line_value) AS DOUBLE) * 1.5
+        |     / count(DISTINCT l_partkey) FROM fact)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+        |    l_suppkey AS ps_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_promo_parts" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM ps
+        |  WHERE ps_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  AND ps_availqty > (
+        |    SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM lineitem
+        |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_custkey % 7 IN (1, 3, 5)
+        |  AND c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer
+        |    WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 3, 5))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_custkey % 7
+        |ORDER BY cntrycode""".stripMargin,
 
     // triangle truth: same low->high orientation, wedge join, closure
     "q_triangles" ->

@@ -292,6 +292,49 @@ class PlanAuditSpec extends SparkSpecBase {
       s"unexpected cartesian for the OR pairing:\n$p")
   }
 
+  test("TPC-H Q21 EXISTS/NOT-EXISTS pair plans as semi + anti joins, no cartesian") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"expected EXISTS as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected NOT EXISTS as a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("TPC-H Q16 NOT-IN exclusion is an anti join; part dim broadcasts") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q16_supplier_variety")(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"expected the negative-balance exclusion as anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected the filtered part dim broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand)"),
+      s"expected the brand/type/size profile pushed to the part scan:\n$p")
+  }
+
+  test("TPC-H Q20 nested IN chain decorrelates: semi joins over bounded fact scans") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q20_promo_parts")(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"expected the supplier IN as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated threshold must decorrelate to an aggregate join, not a loop:\n$p")
+  }
+
+  test("TPC-H Q8 two-armed star: every dim broadcasts, p_type pushed to the part scan") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q8_market_share")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,ECONOMY)"),
+      s"expected the part type filter pushed to the scan:\n$p")
+  }
+
+  test("TPC-H Q19 disjunctive branches keep the equi-key join (CNF extraction, no cartesian)") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q19_disjunctive_revenue")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected the part join to stay a hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the OR-of-conjunctions must not degrade the join:\n$p")
+  }
+
+  test("TPC-H Q13 keeps the outer join (zero-order customers survive to the second agg)") {
+    val p = finalPlanOf(graft.SparkEntry.queries("q13_order_count_dist")(spark, sfDir))
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"expected an outer join preserving customers without orders:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side under AQE") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
     val out = Dedup.contamination(
