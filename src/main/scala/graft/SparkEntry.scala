@@ -1139,6 +1139,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- MERGE INTO (lakehouse upsert): matched updates, a guarded
+    //      matched delete, and unconditional unmatched inserts — note
+    //      the inserted 'F' rows: the delete clause only guards MATCHED
+    //      rows, so they survive, which the oracle replays ----
+    "q_merge_upsert" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val updates = ord.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+      val inserts = ord.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      ChangeCapture.mergeInto(ord, updates.unionByName(inserts), "o_orderkey",
+          deleteWhen = Some(col("o_orderstatus") === "F"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- sequential funnel: ordered step conversion over events ----
     "q_funnel" -> ((s, dir) =>
       EventAnalytics.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
@@ -3155,6 +3170,25 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, '9-MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |keep AS (SELECT t.* FROM orders t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)),
+        |upd AS (SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey)
+        |    AND NOT (s.o_orderstatus = 'F')),
+        |ins AS (SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_row_changes" ->
       """WITH old_s AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 3),

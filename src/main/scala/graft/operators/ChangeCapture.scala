@@ -55,6 +55,41 @@ object ChangeCapture {
         .cast("long").as("n_changed"))
   }
 
+  /** MERGE INTO semantics (the lakehouse upsert):
+    * `WHEN MATCHED AND deleteWhen THEN DELETE` /
+    * `WHEN MATCHED THEN UPDATE SET *` /
+    * `WHEN NOT MATCHED THEN INSERT *`, composed from key joins instead
+    * of a table rewrite. Matching is on `pk`, which must be unique in
+    * `source` (MERGE's own precondition — a key matching twice is
+    * ambiguous); per the standard clause order, an UNMATCHED source row
+    * satisfying `deleteWhen` still inserts (the delete clause only
+    * guards matched rows).
+    *
+    * Scale shape: the big side (`target`) is touched by exactly one
+    * anti join on the key; the update/insert split runs on the small
+    * side. When `source` fits the broadcast threshold every one of the
+    * three joins broadcasts it and the merge is shuffle-free on the
+    * target — the reason this beats the full-outer-join formulation,
+    * which would exchange the entire target unconditionally.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, pk: String,
+                deleteWhen: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(source.columns.toSet == target.columns.toSet,
+      s"mergeInto needs identical column sets; " +
+        s"source-only: ${source.columns.toSet.diff(target.columns.toSet)}, " +
+        s"target-only: ${target.columns.toSet.diff(source.columns.toSet)}")
+    val ordered = source.select(target.columns.map(col).toIndexedSeq: _*)
+    val targetKeys = target.select(pk)
+    val matched = ordered.join(targetKeys, Seq(pk), "left_semi")
+    val inserts = ordered.join(targetKeys, Seq(pk), "left_anti")
+    val updates = deleteWhen
+      .map(c => matched.filter(!coalesce(c, lit(false))))
+      .getOrElse(matched)
+    target.join(ordered.select(pk), Seq(pk), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+  }
+
   /** Log compaction: the latest record per key from an append-only
     * event/changelog table — ordered by `tsCol` with `tieCol` breaking
     * equal timestamps, so the winner is deterministic and the operator

@@ -37,6 +37,34 @@ class ChangeCaptureSpec extends SparkSpecBase {
     // old_only/new_only are schema drift, not row drift: ignored here
     assert(out == Seq((1L, "changed", "s"), (2L, "unchanged", "")))
   }
+
+  test("mergeInto applies update/insert/guarded-delete with standard clause order") {
+    val target = Seq((1L, "keep", 10.0), (2L, "update-me", 20.0),
+      (3L, "delete-me", 30.0)).toDF("pk", "s", "v")
+    val source = Seq(
+      (2L, "updated", 21.0),      // matched -> update
+      (3L, "DEL", 31.0),          // matched + deleteWhen -> delete
+      (4L, "inserted", 40.0),     // unmatched -> insert
+      (5L, "DEL", 50.0))          // unmatched + deleteWhen -> STILL inserts
+      .toDF("pk", "s", "v")
+    val out = ChangeCapture.mergeInto(target, source, "pk",
+        deleteWhen = Some(col("s") === "DEL"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "keep", 10.0), (2L, "updated", 21.0),
+      (4L, "inserted", 40.0), (5L, "DEL", 50.0)))
+  }
+
+  test("mergeInto without deleteWhen is a pure upsert and rejects schema drift") {
+    val target = Seq((1L, "a")).toDF("pk", "s")
+    val source = Seq((1L, "b"), (2L, "c")).toDF("pk", "s")
+    val out = ChangeCapture.mergeInto(target, source, "pk")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "b"), (2L, "c")))
+    val bad = Seq((1L, 9.0)).toDF("pk", "other")
+    assertThrows[IllegalArgumentException] {
+      ChangeCapture.mergeInto(target, bad, "pk")
+    }
+  }
 }
 
 class EventAnalyticsSpec extends SparkSpecBase {
