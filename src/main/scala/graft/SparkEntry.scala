@@ -256,6 +256,26 @@ object SparkEntry {
         cfg)
       c.dataDrift("orders").get.drop("hashed_row")
         .orderBy("o_orderkey", "observed_in")
+    }),
+
+    // ---- P4 promoted to the oracle gate: ignore_dates=true excludes
+    //      date-like columns from the projection AND the row hash, so a
+    //      side whose only drift is a shifted ship date reads as clean
+    //      while real (non-date) drift still surfaces (reference:
+    //      lotad/config.py ignore_dates; db_compare.py date exclusion) ----
+    "q_diff_ignore_dates" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mutated = li
+        .withColumn("l_shipdate", when(col("l_orderkey") % 13 === 0,
+          col("l_shipdate") + expr("INTERVAL 1 DAY")).otherwise(col("l_shipdate")))
+        .withColumn("l_quantity", when(col("l_orderkey") % 17 === 0,
+          col("l_quantity") + lit(100.0)).otherwise(col("l_quantity")))
+      val c = new DriftCompare(s,
+        MemorySide("db1", Map("lineitem" -> li)),
+        MemorySide("db2", Map("lineitem" -> mutated)),
+        DiffConfig(ignoreDates = true))
+      c.dataDrift("lineitem").get.drop("hashed_row")
+        .orderBy("l_orderkey", "l_linenumber", "observed_in")
     })
   ) ++ pipelineQueries
 
@@ -2080,7 +2100,24 @@ object SparkEntry {
         |  d2 AS (SELECT * FROM q2 EXCEPT SELECT * FROM q1)
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
-        |ORDER BY o_orderkey, observed_in""".stripMargin
+        |ORDER BY o_orderkey, observed_in""".stripMargin,
+
+    // ignore_dates: the date column is excluded from projection + hash,
+    // so only the quantity mutation drifts
+    "q_diff_ignore_dates" ->
+      """WITH cols1 AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount, l_tax,
+        |    l_returnflag, l_linestatus FROM lineitem),
+        |  cols2 AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 17 = 0 THEN l_quantity + 100.0
+        |      ELSE l_quantity END AS l_quantity,
+        |    l_extendedprice, l_discount, l_tax,
+        |    l_returnflag, l_linestatus FROM lineitem),
+        |  d1 AS (SELECT * FROM cols1 EXCEPT SELECT * FROM cols2),
+        |  d2 AS (SELECT * FROM cols2 EXCEPT SELECT * FROM cols1)
+        |SELECT *, 'db1' AS observed_in FROM d1
+        |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
+        |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin
   ) ++ pipelineOracles
 
   private val toksSql =
