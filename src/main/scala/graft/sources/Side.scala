@@ -115,3 +115,29 @@ final case class JdbcSide(spark: SparkSession, url: String, props: java.util.Pro
     spark.read.jdbc(url, dbtable, props)
   }
 }
+
+object JdbcSide {
+
+  /** Register `url` as a DSv2 JDBC catalog named `catalogName` with
+    * aggregate/limit pushdown enabled, and return a reader for its
+    * tables. Unlike the V1 `spark.read.jdbc` path [[JdbcSide.table]]
+    * uses (which can push only filters and column pruning), the DSv2
+    * catalog compiles GROUP BY aggregates, LIMIT, and sort-limit into
+    * the remote database's SQL — at federation scale the remote side
+    * does the aggregation and only grouped rows cross the wire.
+    * Identifier case follows the remote catalog's own rules (e.g.
+    * Derby uppercases unquoted names).
+    */
+  def registerCatalog(spark: SparkSession, catalogName: String, url: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalogName",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalogName.url", url)
+    spark.conf.set(s"spark.sql.catalog.$catalogName.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$catalogName.pushDownLimit", "true")
+  }
+
+  /** A table from a catalog registered via [[registerCatalog]]. */
+  def catalogTable(spark: SparkSession, catalogName: String, schemaName: String,
+                   table: String): DataFrame =
+    spark.table(s"$catalogName.`$schemaName`.`$table`")
+}

@@ -85,4 +85,22 @@ class JdbcSideSpec extends SparkSpecBase {
     assert(byside("db1") == Set(2))
     assert(byside("db2") == Set(2, 4))
   }
+
+  test("DSv2 catalog pushes GROUP BY aggregates into the remote database") {
+    url1 // force fixture creation
+    JdbcSide.registerCatalog(spark, "graftjdbc", "jdbc:derby:memory:graft_db1")
+    // unquoted Derby identifiers are uppercase; ours were created quoted
+    val df = JdbcSide.catalogTable(spark, "graftjdbc", "APP", "orders")
+      .groupBy("status")
+      .agg(org.apache.spark.sql.functions.sum("amount").as("total"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rows == Set(("OPEN", 40.75, 2L), ("DONE", 20.0, 1L)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates: [SUM(") && p.contains("COUNT("),
+      s"expected the aggregate compiled into Derby's scan:\n$p")
+    assert(p.contains("PushedGroupByExpressions:"),
+      s"expected the group-by pushed to the remote side:\n$p")
+  }
 }
