@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.CanonicalRowHash
+
+/** Streaming twin of the engine's core operator: continuous row drift of
+  * an incoming stream against a STATIC reference side (reference:
+  * lotad/db_compare.py's data drift, one direction of it — the batch
+  * [[graft.operators.DriftCompare.dataDrift]] run-scan needs both sides
+  * complete, so only the "arriving side not in reference" half has a
+  * well-defined continuous meaning; the reference-only half is a batch
+  * question by nature, answerable any time the monitor is snapshotted).
+  *
+  * Mechanics: both sides are canonically hashed with the SAME
+  * [[CanonicalRowHash]] the batch diff uses, the stream is exact-deduped
+  * on the hash (set semantics, matching the batch operator), and a
+  * stream-static LEFT ANTI join emits each previously-unseen row that
+  * the reference does not contain — a stateless join per micro-batch
+  * against the one-time-hashed static side.
+  *
+  * Scale: reference state is its distinct hash set (16 bytes/row,
+  * prunable to the join's hash column only); dedup state grows with the
+  * stream's distinct row count — cap it with
+  * `withWatermark + dropDuplicatesWithinWatermark` upstream when the
+  * monitored feed is time-ordered (same trade the other streaming twins
+  * document).
+  */
+object StreamingDrift {
+
+  /** `stream` and `reference` must share the (already normalized)
+    * column set — the caller aligns projections the same way
+    * [[graft.operators.DriftCompare]] does for batch sides.
+    */
+  def apply(stream: DataFrame, reference: DataFrame): DataFrame = {
+    require(stream.columns.toSet == reference.columns.toSet,
+      s"aligned projections required; stream-only: " +
+        s"${stream.columns.toSet.diff(reference.columns.toSet)}, " +
+        s"reference-only: ${reference.columns.toSet.diff(stream.columns.toSet)}")
+    val cols = stream.columns.toSeq
+    val refHashes = reference
+      .select(CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)).as("hashed_row"))
+      .distinct()
+    stream
+      .withColumn("hashed_row",
+        CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
+      .dropDuplicates("hashed_row")
+      .join(refHashes, Seq("hashed_row"), "left_anti")
+  }
+}

@@ -486,3 +486,41 @@ class StreamingPsiSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingDriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming drift equals the batch dataDrift's stream-side half, dupes collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("k", "s", "v")
+    val q = graft.streaming.StreamingDrift(stream, reference)
+      .writeStream.format("memory").queryName("drift_twin")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      q.processAllAvailable()
+      // cross-batch duplicate of (2,B) must NOT re-emit; (3,c) matches ref
+      mem.addData((2L, "B", 20.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, s, v FROM drift_twin")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((2L, "B", 20.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+
+      // exact agreement with the batch operator's stream-side rows
+      val streamed = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0),
+        (2L, "B", 20.0), (3L, "c", 30.0), (5L, "e", 50.0)).toDF("k", "s", "v")
+      val batch = new graft.operators.DriftCompare(spark,
+        graft.sources.MemorySide("db1", Map("t" -> reference)),
+        graft.sources.MemorySide("db2", Map("t" -> streamed)))
+        .dataDrift("t").get
+        .filter(org.apache.spark.sql.functions.col("observed_in") === "db2")
+        .select("k", "s", "v")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+}
