@@ -135,6 +135,35 @@ object Pq {
     }
   }
 
+  /** Persist a trained codebook as a plain parquet table
+    * (subspace, code, centroid) so a pipeline can train once and reuse
+    * the model across jobs/stages — the encode/scan side loads it back
+    * bit-identically ([[loadCodebooks]]); model size is m x ksub rows,
+    * so the write/read is metadata-cheap at any corpus scale.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveCodebooks]]: exact double round-trip (parquet
+    * stores IEEE doubles losslessly), rebuilt in (subspace, code) order.
+    */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "code", "centroid")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, sub) =>
+      sub.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
   /** Compress: (idCol, codes array<int> of length m). One narrow
     * codegen'd pass; at m=4/ksub=16 the output is ~1/60th the bytes of
     * the float64 input.

@@ -238,6 +238,24 @@ object Similarity {
     kmeansFit(sample, nCells, iters)
   }
 
+  /** Persist IVF centroids (cell, centroid) to parquet for reuse
+    * across jobs — k x dim rows, metadata-cheap; [[loadCentroids]]
+    * restores the exact doubles in cell order.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, cell) => (cell, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    spark.read.parquet(path).select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+
   /** FULL-CORPUS distributed Lloyd iterations (spherical k-means), for
     * when the model should see every vector rather than [[ivfFit]]'s
     * bounded sample: per iteration, (1) one narrow pass assigns each

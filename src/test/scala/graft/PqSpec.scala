@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Pq
+import graft.operators.{Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 class PqSpec extends SparkSpecBase {
@@ -114,5 +114,32 @@ class PqSpec extends SparkSpecBase {
       .agg(max("m").as("m"), max("mx").as("mx"), min("mn").as("mn"))
       .as[(Int, Int, Int)].head()
     assert(enc._1 == 2 && enc._2 <= 1 && enc._3 >= 0)
+  }
+
+  test("codebook save/load round-trips exact doubles and encodes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("pqmodel").toString
+    Pq.saveCodebooks(spark, planted, s"$dir/codebooks")
+    val loaded = Pq.loadCodebooks(spark, s"$dir/codebooks")
+    assert(loaded.length == planted.length)
+    planted.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (ca, cb) => assert(ca.toSeq == cb.toSeq) }
+    }
+    val pts = Seq((0L, pointOf(0, 1, 0.01)), (1L, pointOf(1, 0, -0.02)))
+      .toDF("vec_id", "embedding")
+    val a = Pq.encode(pts, "vec_id", "embedding", planted)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = Pq.encode(pts, "vec_id", "embedding", loaded)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("IVF centroid save/load round-trips exact doubles in cell order") {
+    val cents = Array(Array(1.0, 0.0, 0.25), Array(0.0, -1.0, 1e-17))
+    val dir = java.nio.file.Files.createTempDirectory("ivfmodel").toString
+    Similarity.saveCentroids(spark, cents, s"$dir/centroids")
+    val loaded = Similarity.loadCentroids(spark, s"$dir/centroids")
+    assert(loaded.length == 2)
+    cents.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 }
