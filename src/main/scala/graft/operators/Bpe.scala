@@ -102,6 +102,24 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a learned merge table to parquet (rank, left, right) —
+    * train the tokenizer once, [[loadMerges]] it in any later encode
+    * job; vocabulary-sized, so the table is metadata-cheap.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).select("rank", "left", "right")
+      .as[(Int, String, String)].collect()
+      .sortBy(_._1).map { case (r, l, rt) => Merge(r, l, rt) }.toSeq
+  }
+
   /** Greedy BPE segmentation of every token: repeatedly merge the
     * lowest-rank adjacent pair until none applies (the standard encode
     * loop). Returns (id, n_tokens, n_pieces) — the corpus' tokenizer

@@ -306,6 +306,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(tie.head.left == "x" && tie.head.right == "y")
   }
 
+  test("BPE merge table save/load round-trips and encodes identically") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "aa aa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpemodel").toString
+    Bpe.saveMerges(spark, merges, s"$dir/merges")
+    val loaded = Bpe.loadMerges(spark, s"$dir/merges")
+    assert(loaded.map(m => (m.rank, m.left, m.right)) ==
+      merges.map(m => (m.rank, m.left, m.right)))
+    val probe = Seq((7L, "aab aa ba")).toDF("doc_id", "text")
+    val a = Bpe.encode(probe, "text", "doc_id", merges).collect().toSeq
+    val b = Bpe.encode(probe, "text", "doc_id", loaded).collect().toSeq
+    assert(a == b)
+  }
+
   test("BPE train vocabulary bound: floor/cap below the true vocab are no-ops; " +
        "an active floor drops tail words before the collect") {
     import graft.operators.Bpe
