@@ -25,8 +25,17 @@ object Verify {
     // from a prior run can't be compared as if fresh), and failures are
     // persisted to errors.json + a per-query _FAILED marker.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Dev-only subset filter (comma-separated names); driver leaves it unset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Dev-only subset filter (comma-separated names); driver leaves it
+    // unset. Blank entries are ignored (an empty var means "no filter",
+    // never "run nothing"), and an ACTIVE filter wipes the whole outDir
+    // first: skipped queries must show up as loudly-missing dirs, not as
+    // stale prior-run parquet a later full compare would read as fresh.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    if (only.isDefined)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

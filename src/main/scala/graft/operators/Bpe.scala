@@ -109,15 +109,13 @@ object Bpe {
   def saveMerges(spark: org.apache.spark.sql.SparkSession,
                  merges: Seq[Merge], path: String): Unit = {
     import spark.implicits._
-    merges.toDF("rank", "left", "right")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    ModelStore.save(merges.toDF("rank", "left", "right"), path)
   }
 
   def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
-    import spark.implicits._
-    spark.read.parquet(path).select("rank", "left", "right")
-      .as[(Int, String, String)].collect()
-      .sortBy(_._1).map { case (r, l, rt) => Merge(r, l, rt) }.toSeq
+    ModelStore.loadRows(spark, path, "rank", "left", "right")
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank).toSeq
   }
 
   /** Greedy BPE segmentation of every token: repeatedly merge the

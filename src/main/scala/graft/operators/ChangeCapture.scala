@@ -61,9 +61,19 @@ object ChangeCapture {
     * `WHEN NOT MATCHED THEN INSERT *`, composed from key joins instead
     * of a table rewrite. Matching is on `pk`, which must be unique in
     * `source` (MERGE's own precondition — a key matching twice is
-    * ambiguous); per the standard clause order, an UNMATCHED source row
-    * satisfying `deleteWhen` still inserts (the delete clause only
-    * guards matched rows).
+    * ambiguous). SQL MERGE raises a cardinality violation there; so
+    * does this operator (one small-side agg job, skippable for a
+    * pre-deduplicated feed via `verifySourceUnique = false` — unlike
+    * real MERGE the violation would otherwise emit duplicates
+    * SILENTLY, so the check defaults on). Per the standard clause
+    * order, an UNMATCHED source row satisfying `deleteWhen` still
+    * inserts (the delete clause only guards matched rows).
+    *
+    * `deleteWhen` resolves against the SOURCE row image (the new
+    * values), not the target's: "delete keys the feed marks dead" —
+    * the CDC-tombstone reading. A guard on the OLD image (SQL's
+    * `WHEN MATCHED AND t.col = …` referencing the target) needs the
+    * old row joined in; pre-join `target` yourself for that form.
     *
     * Scale shape: the big side (`target`) is touched by exactly one
     * anti join on the key; the update/insert split runs on the small
@@ -73,11 +83,19 @@ object ChangeCapture {
     * which would exchange the entire target unconditionally.
     */
   def mergeInto(target: DataFrame, source: DataFrame, pk: String,
-                deleteWhen: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                verifySourceUnique: Boolean = true): DataFrame = {
     require(source.columns.toSet == target.columns.toSet,
       s"mergeInto needs identical column sets; " +
         s"source-only: ${source.columns.toSet.diff(target.columns.toSet)}, " +
         s"target-only: ${target.columns.toSet.diff(source.columns.toSet)}")
+    if (verifySourceUnique) {
+      val dup = source.groupBy(pk).count().filter(col("count") > 1)
+        .select(pk).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeInto source has duplicate $pk (e.g. ${dup.headOption.map(_.get(0))}): " +
+          "a key matching twice is ambiguous (SQL MERGE cardinality violation)")
+    }
     val ordered = source.select(target.columns.map(col).toIndexedSeq: _*)
     val targetKeys = target.select(pk)
     val matched = ordered.join(targetKeys, Seq(pk), "left_semi")

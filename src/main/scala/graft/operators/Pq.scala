@@ -144,10 +144,9 @@ object Pq {
   def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
                     codebooks: Array[Array[Array[Double]]], path: String): Unit = {
     import spark.implicits._
-    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+    ModelStore.save(codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    }.toSeq.toDF("subspace", "code", "centroid"), path)
   }
 
   /** Inverse of [[saveCodebooks]]: exact double round-trip (parquet
@@ -155,9 +154,7 @@ object Pq {
     */
   def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(path)
-      .select("subspace", "code", "centroid")
-      .collect()
+    val rows = ModelStore.loadRows(spark, path, "subspace", "code", "centroid")
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, sub) =>
       sub.sortBy(_._2).map(_._3)

@@ -245,14 +245,13 @@ object Similarity {
   def saveCentroids(spark: org.apache.spark.sql.SparkSession,
                     centroids: Array[Array[Double]], path: String): Unit = {
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, cell) => (cell, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    ModelStore.save(centroids.zipWithIndex.map { case (c, cell) => (cell, c.toSeq) }
+      .toSeq.toDF("cell", "centroid"), path)
   }
 
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Double]] =
-    spark.read.parquet(path).select("cell", "centroid").collect()
+    ModelStore.loadRows(spark, path, "cell", "centroid")
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
 

@@ -129,6 +129,15 @@ object JdbcSide {
     * Derby uppercases unquoted names).
     */
   def registerCatalog(spark: SparkSession, catalogName: String, url: String): Unit = {
+    // CatalogManager caches the catalog instance on first use, after which
+    // conf changes are silently ignored — re-registering the same name
+    // with a DIFFERENT url would keep serving the old database. Fail loud
+    // instead; use a fresh catalog name per url.
+    val existing = spark.conf.getOption(s"spark.sql.catalog.$catalogName.url")
+    require(existing.forall(_ == url),
+      s"catalog '$catalogName' is already bound to ${existing.get}; " +
+        s"Spark caches catalog instances, so rebinding to $url would not " +
+        "take effect — register a new catalog name instead")
     spark.conf.set(s"spark.sql.catalog.$catalogName",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(s"spark.sql.catalog.$catalogName.url", url)

@@ -39,9 +39,15 @@ object StreamingDrift {
         s"${stream.columns.toSet.diff(reference.columns.toSet)}, " +
         s"reference-only: ${reference.columns.toSet.diff(stream.columns.toSet)}")
     val cols = stream.columns.toSeq
+    // stream-static joins re-evaluate the static plan EVERY micro-batch;
+    // persist the hashed reference so batch 2+ reads the 16-byte hash set
+    // from cache instead of rescanning + rehashing the reference table.
+    // Caller owns the lifetime: unpersist via spark.catalog.clearCache()
+    // (or keep a handle on this plan) when the monitor stops.
     val refHashes = reference
       .select(CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)).as("hashed_row"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream
       .withColumn("hashed_row",
         CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))

@@ -65,6 +65,18 @@ class ChangeCaptureSpec extends SparkSpecBase {
       ChangeCapture.mergeInto(target, bad, "pk")
     }
   }
+
+  test("mergeInto rejects a source with duplicate keys (MERGE cardinality violation)") {
+    val target = Seq((1L, "a")).toDF("pk", "s")
+    val dupSource = Seq((1L, "b"), (1L, "c")).toDF("pk", "s")
+    assertThrows[IllegalArgumentException] {
+      ChangeCapture.mergeInto(target, dupSource, "pk")
+    }
+    // the check is skippable for pre-deduplicated feeds
+    val out = ChangeCapture.mergeInto(target, dupSource, "pk",
+      verifySourceUnique = false)
+    assert(out.count() == 2) // documented hazard: duplicates pass through
+  }
 }
 
 class EventAnalyticsSpec extends SparkSpecBase {
