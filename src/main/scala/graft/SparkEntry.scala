@@ -1908,6 +1908,23 @@ object SparkEntry {
         .orderBy("rule", "column")
     }),
 
+    // ---- ROW-LEVEL referential-integrity violations (the drill-down
+    //      behind the count-based RefIntegrity rule above): parent
+    //      pruned to every-7th-removed so violations are planted ----
+    "q_fk_violations" -> ((s, dir) => {
+      Expectations.foreignKeyViolations(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"), "o_custkey",
+          t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0), "c_custkey")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- functional-dependency audit: brands mapping to >1 part type
+    //      (the FD p_brand -> p_type is violated by construction) ----
+    "q_fd_violations" -> ((s, dir) =>
+      Expectations.functionalDependencyViolations(t(s, dir, "part"), "p_brand", "p_type")
+        .orderBy("p_brand")),
+
     // ---- replayable approx-uniqueness gate: the UniqueApprox rule on
     //      graft's md5-register HLL (not Spark's internal sketch), so the
     //      oracle rebuilds every estimated duplicate fraction bit-for-bit.
@@ -3978,6 +3995,19 @@ object SparkEntry {
         |        WHERE c.c_custkey = o.o_custkey)) AS DOUBLE), 0.0)
         |SELECT rule, "column", metric, threshold, metric <= threshold AS ok
         |FROM rows_ ORDER BY rule, "column"""".stripMargin,
+
+    "q_fk_violations" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_fd_violations" ->
+      """SELECT p_brand, count(DISTINCT p_type) AS n_distinct
+        |FROM part GROUP BY p_brand
+        |HAVING count(DISTINCT p_type) > 1
+        |ORDER BY p_brand""".stripMargin,
 
     // replayable HLL uniqueness gate: register replay per column (same
     // md5-first-60-bit construction as the q_hll_* oracles)

@@ -137,6 +137,31 @@ object Expectations {
     * rounded to 6 dp. Each column costs one scan folded into a 2^p-key
     * register aggregation — no distinct shuffle, nothing on the driver.
     */
+  /** Referential-integrity check: child rows whose non-null `childKey`
+    * has no match in `parent.parentKey` — the FK-violation complement
+    * of a left-semi join. One anti join on the key; the parent side
+    * prunes to its key column, broadcasts when dimension-sized, and at
+    * 100 TB the check costs exactly one keyed exchange (or none with a
+    * broadcast/bloom parent). NULL child keys are NOT violations —
+    * SQL's FK semantics skip them.
+    */
+  def foreignKeyViolations(child: DataFrame, childKey: String,
+                           parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
+  /** Functional-dependency audit: values of `detCol` that map to MORE
+    * than one distinct `depCol` value — empty output means
+    * `detCol -> depCol` holds. One grouped countDistinct (partial-agg
+    * friendly; the exchange carries one row per determinant value).
+    */
+  def functionalDependencyViolations(df: DataFrame, detCol: String,
+                                     depCol: String): DataFrame =
+    df.groupBy(detCol)
+      .agg(countDistinct(depCol).as("n_distinct"))
+      .filter(col("n_distinct") > 1)
+
   def uniqueApproxGate(df: DataFrame, checks: Seq[(String, Double)],
                        p: Int = 6): DataFrame = {
     require(checks.nonEmpty, "at least one (column, tolerance) check")

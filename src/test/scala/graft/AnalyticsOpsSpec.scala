@@ -66,6 +66,26 @@ class ChangeCaptureSpec extends SparkSpecBase {
     }
   }
 
+  test("foreignKeyViolations lists orphaned child rows; NULL keys are not violations") {
+    import graft.operators.Expectations
+    val parent = Seq(1L, 2L).toDF("pid")
+    val child = Seq((10L, Some(1L)), (11L, Some(3L)), (12L, None))
+      .toDF("id", "fk")
+    val out = Expectations.foreignKeyViolations(child, "fk", parent, "pid")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(11L)) // fk=3 orphaned; fk=NULL skipped per SQL FK semantics
+  }
+
+  test("functionalDependencyViolations is empty iff the dependency holds") {
+    import graft.operators.Expectations
+    val holds = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("det", "dep")
+    assert(Expectations.functionalDependencyViolations(holds, "det", "dep").count() == 0)
+    val broken = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("det", "dep")
+    val v = Expectations.functionalDependencyViolations(broken, "det", "dep")
+      .as[(Long, Long)].collect().toSeq
+    assert(v == Seq((1L, 2L)))
+  }
+
   test("mergeInto rejects a source with duplicate keys (MERGE cardinality violation)") {
     val target = Seq((1L, "a")).toDF("pk", "s")
     val dupSource = Seq((1L, "b"), (1L, "c")).toDF("pk", "s")
