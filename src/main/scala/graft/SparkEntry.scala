@@ -605,6 +605,16 @@ object SparkEntry {
         TextAnalysis.hashSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // ---- GROUP-AWARE (leakage-safe) split: hash the group key instead
+    //      of the row key, so every member of a group (here: language —
+    //      in a real pipeline, a URL/domain or a near-dup cluster id)
+    //      lands in the SAME split and no group straddles train/test ----
+    "q_group_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.hashBucket(col("lang")).as("bucket"),
+        TextAnalysis.hashSplit(col("lang")).as("split"))
+        .orderBy("doc_id")),
+
     // ---- click-to-purchase attribution: time-interval join + per-purchase
     //      aggregation (the batch side of the stream-stream join twin) ----
     "q_purchase_attribution" -> ((s, dir) => {
@@ -2644,6 +2654,17 @@ object SparkEntry {
         |      AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_group_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(lang), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
