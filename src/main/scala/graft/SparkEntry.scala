@@ -1062,6 +1062,12 @@ object SparkEntry {
       graft.streaming.EventsOps.dailyGapFill(Tables.events(s, dir))
         .orderBy("user_id", "day")),
 
+    // ---- daily resample with LINEAR interpolation (gap-fill's sibling
+    //      for "unobserved", not "zero") — one agg + one Window ----
+    "q_interpolate_daily" -> ((s, dir) =>
+      EventAnalytics.interpolateDaily(Tables.events(s, dir))
+        .orderBy("user_id", "day")),
+
     // ---- fixed-token-window document chunking with overlap ----
     "q_chunk_docs" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id", 10, 2)
@@ -3171,6 +3177,41 @@ object SparkEntry {
         |SELECT user_id, day, coalesce(n_events, 0) AS n_events
         |FROM cal LEFT JOIN daily USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+
+    // linear interpolation: same frame expressions as the Spark Window
+    // (forward last-ignore-nulls / backward first-ignore-nulls), same
+    // float op order prev + (next-prev) * (offset/gap), both rounded 6dp
+    "q_interpolate_daily" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value FROM events),
+        |  daily AS (SELECT user_id, day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS obs
+        |    FROM ev GROUP BY 1, 2),
+        |  span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |    FROM daily GROUP BY 1),
+        |  cal AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |    FROM span),
+        |  g AS (SELECT user_id, day, obs,
+        |    last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        |    first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        |  FROM cal LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day,
+        |  CASE WHEN obs IS NOT NULL THEN round(obs, 6)
+        |    ELSE round(prev_v + (next_v - prev_v) *
+        |      (CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+        |       CAST(date_diff('day', prev_d, next_d) AS DOUBLE)), 6) END AS value,
+        |  obs IS NULL AS interpolated
+        |FROM g ORDER BY user_id, day""".stripMargin,
 
     "q_exact_n_sample" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -314,6 +314,49 @@ object EventAnalytics {
     * engine-identically; z is rounded to 6 dp on both sides (libm sqrt
     * is correctly rounded, sums fold left-to-right in frame order).
     */
+  /** Daily per-key value series with LINEAR interpolation across
+    * unobserved days — the resample primitive for quantities where a
+    * missing day means "unobserved", not zero (zero-fill's sibling,
+    * [[graft.streaming.EventsOps.dailyGapFill]]). Each key's calendar
+    * spans its own min..max observed day, so both endpoints are always
+    * observed; an interpolated day takes
+    * `prev + (next - prev) * (offset / gap)`, rounded to 6 dp (the
+    * division is the single non-exact float op; everything upstream is
+    * a decimal-exact daily sum).
+    *
+    * Shape: one keyed agg to daily sums, a per-key calendar explode,
+    * then the four frame scans. Catalyst stacks them into adjacent
+    * Window operators sharing ONE (key, day) partitioning + ordering,
+    * so the data is exchanged and sorted for the window stage exactly
+    * once (plan-audited) — no second exchange.
+    */
+  def interpolateDaily(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("obs"))
+    val calendar = daily.groupBy(keyCol)
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("obs").isNotNull, col("day"))
+    calendar.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(back))
+      .withColumn("prev_d", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("obs"), ignoreNulls = true).over(fwd))
+      .withColumn("next_d", first(obsDay, ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col("day"),
+        when(col("obs").isNotNull, round(col("obs"), 6))
+          .otherwise(round(col("prev_v") + (col("next_v") - col("prev_v")) *
+            (datediff(col("day"), col("prev_d")).cast("double") /
+              datediff(col("next_d"), col("prev_d")).cast("double")), 6))
+          .as("value"),
+        col("obs").isNull.as("interpolated"))
+  }
+
   def rollingAnomaly(df: DataFrame, keyCol: String, valueCol: String,
                      tsCol: String = "ts", idCol: String = "event_id",
                      n: Int = 10, threshold: Double = 3.0): DataFrame = {

@@ -142,6 +142,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected one key exchange:\n$p")
   }
 
+  test("interpolateDaily frame scans share ONE key exchange and one sort") {
+    val ev = spark.range(500).select(($"id" % 7).as("user_id"),
+      (($"id" % 90) * 86400000L / 1000).cast("timestamp").as("ts"),
+      ($"id" * 1.5).as("value"))
+    val df = graft.operators.EventAnalytics.interpolateDaily(ev)
+    val p = planOf(df)
+    // Catalyst stacks the window expressions (CollapseWindow merges only
+    // adjacent compatible nodes) but every stacked Window shares the
+    // (user_id, day) partitioning+ordering: the data is exchanged and
+    // sorted for the windows ONCE, which is the invariant that matters.
+    assert(p.split("Sort \\[user_id").length == 2,
+      s"expected one (user_id, day) sort shared by all frames:\n$p")
+    val stack = p.substring(p.indexOf("Window "), p.indexOf("Sort [user_id"))
+    assert(!stack.contains("Exchange"),
+      s"no exchange may sit between the stacked windows:\n$p")
+  }
+
   test("tokenBudgetSelect windows are partition-local over one range exchange — never a global sort-window") {
     val docs = spark.range(2000).select($"id", ($"id" % 97).as("score"),
       ($"id" % 13 + 1).as("tokens"))
