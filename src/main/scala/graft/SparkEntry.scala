@@ -1919,6 +1919,11 @@ object SparkEntry {
         NotNull("o_orderstatus"),
         InRange("o_totalprice", 0.0, 400000.0, maxViolations = 100),
         MatchesRegex("o_orderstatus", "^[A-Z]$"),
+        // accepted_values (dbt parity): priorities all pass; the status
+        // set deliberately omits 'P', so partial orders violate
+        InSet("o_orderpriority", Set("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")),
+        InSet("o_orderstatus", Set("O", "F")),
         Unique("o_orderkey"),
         RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
         .orderBy("rule", "column")
@@ -4045,6 +4050,17 @@ object SparkEntry {
         |  SELECT 'matches_regex', 'o_orderstatus',
         |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
         |      AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 0.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |        '4-NOT SPECIFIED', '5-LOW')
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 0.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F')
         |      THEN 1 ELSE 0 END) AS DOUBLE), 0.0 FROM orders
         |  UNION ALL
         |  SELECT 'unique', 'o_orderkey',

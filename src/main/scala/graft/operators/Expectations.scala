@@ -57,6 +57,15 @@ object Expectations {
     require(tolerance >= 0 && tolerance < 1, "tolerance in [0, 1)")
     val name = "unique_approx"
   }
+  /** All non-null values come from the accepted set (dbt's
+    * `accepted_values` test). Folds into the shared row-rule pass —
+    * one conditional count, no extra scan.
+    */
+  final case class InSet(colName: String, accepted: Set[String],
+                         maxViolations: Long = 0L) extends Rule {
+    require(accepted.nonEmpty, "accepted set must be non-empty")
+    val name = "in_set"
+  }
   /** Every non-null value exists in `dim`'s `dimCol` (foreign key). */
   final case class RefIntegrity(colName: String, dim: DataFrame, dimCol: String,
                                 maxOrphans: Long = 0L) extends Rule {
@@ -74,6 +83,9 @@ object Expectations {
         (col(r.colName) < r.lo || col(r.colName) > r.hi), 1L).otherwise(0L))
       case r: MatchesRegex => r -> sum(when(col(r.colName).isNotNull &&
         !col(r.colName).rlike(r.pattern), 1L).otherwise(0L))
+      case r: InSet => r -> sum(when(col(r.colName).isNotNull &&
+        !col(r.colName).cast("string").isin(r.accepted.toSeq: _*), 1L)
+        .otherwise(0L))
     }
     // approx-uniqueness folds into the same pass: HLL sketches are plain
     // (non-DISTINCT) partial aggregates, so adding them costs no Expand
@@ -97,6 +109,8 @@ object Expectations {
         case InRange(c, _, _, maxV) =>
           (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
         case MatchesRegex(c, _, maxV) =>
+          (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
+        case InSet(c, _, maxV) =>
           (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
         case _ => sys.error("unreachable")
       }

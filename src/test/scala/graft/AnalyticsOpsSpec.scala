@@ -300,6 +300,7 @@ class EventAnalyticsSpec extends SparkSpecBase {
       NotNull("status", maxNullFrac = 0.1),
       InRange("price", 0.0, 100.0),
       MatchesRegex("status", "^[A-Z]$"),
+      InSet("status", Set("A", "B")),           // "ok" violates; null skipped
       Unique("id"),
       RefIntegrity("fk", dim, "k")))
       .as[(String, String, Double, Double, Boolean)].collect()
@@ -307,6 +308,7 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out("not_null")._3 == 0.25 && !out("not_null")._5)   // 1/4 > 0.1
     assert(out("in_range")._3 == 1.0 && !out("in_range")._5)
     assert(out("matches_regex")._3 == 1.0 && !out("matches_regex")._5)
+    assert(out("in_set")._3 == 1.0 && !out("in_set")._5)
     assert(out("unique")._3 == 1.0 && !out("unique")._5)        // one dup pair
     assert(out("ref_integrity")._3 == 1.0 && !out("ref_integrity")._5) // fk=9
     // a clean table passes everything
