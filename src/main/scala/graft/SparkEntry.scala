@@ -557,6 +557,28 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- the SAME sessions via Spark's built-in session_window (the
+    //      Catalyst-native merging-session aggregate; also the streaming
+    //      form's engine-managed state path). Boundary nit, documented:
+    //      session_window splits at gap >= 30 min, the run-scan form and
+    //      the oracle at gap > 30 min — identical unless a consecutive
+    //      pair lands on EXACTLY 1800.000000 s (none at sf0.01/sf0.1;
+    //      the gate would surface one as a row diff) ----
+    "q_session_window_builtin" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+      sess
+        .withColumn("session_id",
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy("session_start")).cast("long"))
+        .select(col("user_id"), col("session_id"),
+          col("session_start").cast("timestamp_ntz"),
+          col("session_end").cast("timestamp_ntz"), col("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- range join via bin blocking: point-in-interval as an equi-join
     //      (vs DuckDB's native IEJoin nested-range oracle) ----
     "q_range_join" -> ((s, dir) => {
@@ -3278,6 +3300,22 @@ object SparkEntry {
     },
 
     "q_events_sessions" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  l AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |  f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |         ELSE 0 END AS ns FROM l),
+        |  s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // identical truth as q_events_sessions (see boundary note at the query)
+    "q_session_window_builtin" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |  l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
