@@ -524,3 +524,50 @@ class StreamingDriftSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingSessionWindowSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("built-in streaming session_window closes watermark-expired sessions matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .writeStream.format("memory").queryName("sw_twin")
+      .outputMode("append").start()
+    try {
+      // session A: two events 10 min apart; session B: separate user
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance event time far past gap + watermark: closes both sessions,
+      // and opens a new one for user 1
+      mem.addData((1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM sw_twin")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      // the three sessions whose end passed the watermark are closed and
+      // appended exactly once; the in-flight 14:00 session is not emitted
+      val batch = graft.streaming.EventsOps.sessionize(
+        Seq((1L, 1L, ts("2024-01-01 10:00:00")), (2L, 1L, ts("2024-01-01 10:10:00")),
+          (3L, 2L, ts("2024-01-01 10:05:00")), (4L, 1L, ts("2024-01-01 12:00:00")))
+          .toDF("event_id", "user_id", "ts"), 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(emitted == batch,
+        s"closed streaming sessions must equal the batch sessions:\n$emitted\nvs\n$batch")
+    } finally q.stop()
+  }
+}
