@@ -331,6 +331,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"correlated threshold must decorrelate to an aggregate join, not a loop:\n$p")
   }
 
+  test("TPC-H Q11/Q15 scalar thresholds run as one-row subquery stages, never per group") {
+    val q11 = finalPlanOf(graft.SparkEntry.queries("q11_top_stock")(spark, sfDir))
+    assert(q11.contains("Subquery subquery"),
+      s"expected the importance threshold as an uncorrelated one-row subquery:\n$q11")
+    assert(!q11.contains("CartesianProduct") && !q11.contains("BroadcastNestedLoopJoin"),
+      s"threshold must not degrade to a per-group loop:\n$q11")
+    val q15 = finalPlanOf(graft.SparkEntry.queries("q15_top_supplier")(spark, sfDir))
+    assert(q15.contains("Subquery subquery") && q15.contains("max(total_revenue"),
+      s"expected the max-revenue test as a one-row subquery stage:\n$q15")
+    assert(q15.contains("BroadcastHashJoin"),
+      s"expected the supplier dim to broadcast into the revenue join:\n$q15")
+  }
+
   test("TPC-H Q8 two-armed star: every dim broadcasts, p_type pushed to the part scan") {
     val p = finalPlanOf(graft.SparkEntry.queries("q8_market_share")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
