@@ -557,6 +557,33 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- rolling EXACT median over a 7-row trailing frame (per-key
+    //      robust smoother; exact `percentile` window aggregate, linear
+    //      interpolation identical to DuckDB's quantile_cont) ----
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("med7", round(expr("percentile(value, 0.5)").over(w), 6))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("med7"))
+        .orderBy("event_id")
+    }),
+
+    // ---- hopping (sliding) windows via the built-in window(ts, dur,
+    //      slide): each event lands in dur/slide = 4 overlapping hops —
+    //      the streaming-capable sliding aggregate; the oracle replays
+    //      the hop expansion with an explicit range(4) unnest ----
+    "q_hopping_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+          col("w.end").cast("timestamp_ntz").as("win_end"),
+          col("event_type"), col("n_events"))
+        .orderBy("win_start", "event_type")),
+
     // ---- the SAME sessions via Spark's built-in session_window (the
     //      Catalyst-native merging-session aggregate; also the streaming
     //      form's engine-managed state path). Boundary nit, documented:
@@ -3313,6 +3340,28 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_rolling_median" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_hopping_counts" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |  h AS (SELECT ts, event_type, unnest(range(4)) AS k FROM ev),
+        |  w AS (SELECT ts, event_type,
+        |      date_trunc('minute', ts)
+        |        - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE
+        |        - INTERVAL (k * 15) MINUTE AS win_start
+        |    FROM h),
+        |  f AS (SELECT * FROM w
+        |    WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE)
+        |SELECT win_start, win_start + INTERVAL 60 MINUTE AS win_end,
+        |  event_type, count(*) AS n_events
+        |FROM f GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // identical truth as q_events_sessions (see boundary note at the query)
     "q_session_window_builtin" ->
