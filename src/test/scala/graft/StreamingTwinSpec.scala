@@ -571,3 +571,37 @@ class StreamingSessionWindowSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingHoppingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming hopping-window counts equal the batch hop expansion") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+      .writeStream.format("memory").queryName("hops")
+      .outputMode("complete").start()
+    try {
+      val data = Seq((ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:20:00"), "click"), (ts("2024-01-01 10:20:00"), "view"))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM hops")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = data.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(got == batch, s"streaming hops must equal batch:\n$got\nvs\n$batch")
+      // each event contributes to exactly 4 hops
+      assert(got.toSeq.map(_._3).sum == data.size * 4)
+    } finally q.stop()
+  }
+}
