@@ -298,22 +298,6 @@ object EventAnalytics {
       .select("from_type", "to_type", "n", "p")
   }
 
-  /** Rolling z-score anomaly detection: for each row, the mean and
-    * sample variance of the PRECEDING `n` values within the key's
-    * timeline (ties broken by `idCol` — deterministic), and the z-score
-    * of the current value against that trailing window. Rows without a
-    * full lookback window or with zero trailing variance get a null z.
-    * Returns (key, id, value, z, is_anomaly: |z| > threshold).
-    *
-    * Shape: one shuffle on the key for the window; mean/variance come
-    * from trailing sum and sum-of-squares over a bounded `ROWS BETWEEN
-    * n PRECEDING AND 1 PRECEDING` frame — O(1) state per row in the
-    * window operator, no per-row re-scan. Exact-arithmetic form
-    * (var = (Σx² − n·mean²)/(n−1) from plain double sums folded in
-    * frame order) rather than stddev_samp so the oracle replays it
-    * engine-identically; z is rounded to 6 dp on both sides (libm sqrt
-    * is correctly rounded, sums fold left-to-right in frame order).
-    */
   /** Daily per-key value series with LINEAR interpolation across
     * unobserved days — the resample primitive for quantities where a
     * missing day means "unobserved", not zero (zero-fill's sibling,
@@ -357,6 +341,22 @@ object EventAnalytics {
         col("obs").isNull.as("interpolated"))
   }
 
+  /** Rolling z-score anomaly detection: for each row, the mean and
+    * sample variance of the PRECEDING `n` values within the key's
+    * timeline (ties broken by `idCol` — deterministic), and the z-score
+    * of the current value against that trailing window. Rows without a
+    * full lookback window or with zero trailing variance get a null z.
+    * Returns (key, id, value, z, is_anomaly: |z| > threshold).
+    *
+    * Shape: one shuffle on the key for the window; mean/variance come
+    * from trailing sum and sum-of-squares over a bounded `ROWS BETWEEN
+    * n PRECEDING AND 1 PRECEDING` frame — O(1) state per row in the
+    * window operator, no per-row re-scan. Exact-arithmetic form
+    * (var = (Σx² − n·mean²)/(n−1) from plain double sums folded in
+    * frame order) rather than stddev_samp so the oracle replays it
+    * engine-identically; z is rounded to 6 dp on both sides (libm sqrt
+    * is correctly rounded, sums fold left-to-right in frame order).
+    */
   def rollingAnomaly(df: DataFrame, keyCol: String, valueCol: String,
                      tsCol: String = "ts", idCol: String = "event_id",
                      n: Int = 10, threshold: Double = 3.0): DataFrame = {

@@ -58,10 +58,13 @@ object Expectations {
     val name = "unique_approx"
   }
   /** All non-null values come from the accepted set (dbt's
-    * `accepted_values` test). Folds into the shared row-rule pass —
-    * one conditional count, no extra scan.
+    * `accepted_values` test, including its quote:false numeric form:
+    * pass values in the COLUMN'S native type — strings for string
+    * columns, numbers for numeric ones — and the IN comparison runs on
+    * that type, never through a string render). Folds into the shared
+    * row-rule pass — one conditional count, no extra scan.
     */
-  final case class InSet(colName: String, accepted: Set[String],
+  final case class InSet(colName: String, accepted: Set[Any],
                          maxViolations: Long = 0L) extends Rule {
     require(accepted.nonEmpty, "accepted set must be non-empty")
     val name = "in_set"
@@ -84,7 +87,7 @@ object Expectations {
       case r: MatchesRegex => r -> sum(when(col(r.colName).isNotNull &&
         !col(r.colName).rlike(r.pattern), 1L).otherwise(0L))
       case r: InSet => r -> sum(when(col(r.colName).isNotNull &&
-        !col(r.colName).cast("string").isin(r.accepted.toSeq: _*), 1L)
+        !col(r.colName).isin(r.accepted.toSeq: _*), 1L)
         .otherwise(0L))
     }
     // approx-uniqueness folds into the same pass: HLL sketches are plain
@@ -130,10 +133,8 @@ object Expectations {
       (r.name, r.colName, dupes.toDouble, 0.0, dupes == 0L)
     }
     val refReport = rules.collect { case r: RefIntegrity =>
-      val orphans = df.select(col(r.colName)).filter(col(r.colName).isNotNull)
-        .join(r.dim.select(col(r.dimCol).as(r.colName)).distinct(),
-          Seq(r.colName), "left_anti")
-        .count()
+      val orphans = foreignKeyViolations(
+        df.select(col(r.colName)), r.colName, r.dim, r.dimCol).count()
       (r.name, r.colName, orphans.toDouble, r.maxOrphans.toDouble,
         orphans <= r.maxOrphans)
     }
@@ -151,6 +152,25 @@ object Expectations {
     * rounded to 6 dp. Each column costs one scan folded into a 2^p-key
     * register aggregation — no distinct shuffle, nothing on the driver.
     */
+  def uniqueApproxGate(df: DataFrame, checks: Seq[(String, Double)],
+                       p: Int = 6): DataFrame = {
+    require(checks.nonEmpty, "at least one (column, tolerance) check")
+    checks.map { case (c, tol) =>
+      val nonNull = df.filter(col(c).isNotNull)
+      val n = nonNull.agg(count(lit(1)).as("_n"))
+      val est = Hll.estimate(Hll.registers(nonNull, c, p), p)
+      n.crossJoin(est)
+        .select(
+          lit("unique_approx").as("rule"),
+          lit(c).as("column"),
+          round(greatest(lit(0.0),
+            (col("_n").cast("double") - col("est")) / col("_n").cast("double")),
+            6).as("metric"),
+          lit(tol).as("threshold"))
+        .withColumn("ok", col("metric") <= col("threshold"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Referential-integrity check: child rows whose non-null `childKey`
     * has no match in `parent.parentKey` — the FK-violation complement
     * of a left-semi join. One anti join on the key; the parent side
@@ -175,23 +195,4 @@ object Expectations {
     df.groupBy(detCol)
       .agg(countDistinct(depCol).as("n_distinct"))
       .filter(col("n_distinct") > 1)
-
-  def uniqueApproxGate(df: DataFrame, checks: Seq[(String, Double)],
-                       p: Int = 6): DataFrame = {
-    require(checks.nonEmpty, "at least one (column, tolerance) check")
-    checks.map { case (c, tol) =>
-      val nonNull = df.filter(col(c).isNotNull)
-      val n = nonNull.agg(count(lit(1)).as("_n"))
-      val est = Hll.estimate(Hll.registers(nonNull, c, p), p)
-      n.crossJoin(est)
-        .select(
-          lit("unique_approx").as("rule"),
-          lit(c).as("column"),
-          round(greatest(lit(0.0),
-            (col("_n").cast("double") - col("est")) / col("_n").cast("double")),
-            6).as("metric"),
-          lit(tol).as("threshold"))
-        .withColumn("ok", col("metric") <= col("threshold"))
-    }.reduce(_ unionByName _)
-  }
 }

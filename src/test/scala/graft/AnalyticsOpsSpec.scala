@@ -309,6 +309,12 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out("in_range")._3 == 1.0 && !out("in_range")._5)
     assert(out("matches_regex")._3 == 1.0 && !out("matches_regex")._5)
     assert(out("in_set")._3 == 1.0 && !out("in_set")._5)
+    // native-type accepted values: a numeric set on a numeric column
+    // compares on the column's type (dbt quote:false), no string render
+    val numeric = validate(Seq((1L, 1.0), (2L, 2.5)).toDF("id", "price"),
+      Seq(InSet("price", Set(1.0, 2.5))))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(numeric._3 == 0.0 && numeric._5, s"clean numeric InSet failed: $numeric")
     assert(out("unique")._3 == 1.0 && !out("unique")._5)        // one dup pair
     assert(out("ref_integrity")._3 == 1.0 && !out("ref_integrity")._5) // fk=9
     // a clean table passes everything
