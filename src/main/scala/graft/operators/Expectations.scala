@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * custom predicate) fold into ONE aggregation pass — per-rule
   * violation counters are conditional sums with map-side partial
   * aggregation, so the scan count does not grow with the rule count.
-  * Exact uniqueness adds one `countDistinct` aggregation (kept OUT of
-  * the shared agg: mixing DISTINCT with plain aggregates forces an
-  * Expand plan — see NOTES); approximate uniqueness (HLL) rides the
-  * shared pass. Referential integrity adds one left-anti join
-  * per foreign key, the minimum possible. Nothing collects but the
-  * per-rule 1-row metrics.
+  * Exact uniqueness rules share ONE additional aggregation carrying a
+  * `countDistinct` per checked column (kept OUT of the shared agg:
+  * mixing DISTINCT with the plain row-rule aggregates would Expand the
+  * FULL scan; the unique branch Expands only its own key columns —
+  * see NOTES); approximate uniqueness (HLL) rides the shared pass.
+  * Referential integrity adds one left-anti join per foreign key, the
+  * minimum possible. The report is assembled as ONE lazy unioned plan
+  * — every branch is an independent subtree of a single action, so
+  * Spark schedules their stages concurrently and NOTHING round-trips
+  * through the driver (no per-rule jobs, no collects).
   */
 object Expectations {
 
@@ -77,18 +81,29 @@ object Expectations {
 
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val spark = df.sparkSession
-    import spark.implicits._
 
+    // one report row as a struct of the final schema; `ok` derives from
+    // metric <= threshold in-plan so every branch is purely declarative
+    def reportRow(rule: String, colName: String, metric: Column,
+                  threshold: Double): Column =
+      struct(lit(rule).as("rule"), lit(colName).as("column"),
+        metric.as("metric"), lit(threshold).as("threshold"),
+        (metric <= lit(threshold)).as("ok"))
+    def explodeRows(agg: DataFrame, rows: Seq[Column]): DataFrame =
+      agg.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
+
+    // coalesce: sum over an EMPTY relation is NULL — an empty batch must
+    // report zero violations, not a null-poisoned ok column
     val rowRules: Seq[(Rule, Column)] = rules.collect {
-      case r: NotNull => r -> sum(when(col(r.colName).isNull, 1L).otherwise(0L))
-      case r: InRange => r -> sum(when(col(r.colName).isNotNull &&
-        (col(r.colName) < r.lo || col(r.colName) > r.hi), 1L).otherwise(0L))
-      case r: MatchesRegex => r -> sum(when(col(r.colName).isNotNull &&
-        !col(r.colName).rlike(r.pattern), 1L).otherwise(0L))
-      case r: InSet => r -> sum(when(col(r.colName).isNotNull &&
+      case r: NotNull => r -> coalesce(
+        sum(when(col(r.colName).isNull, 1L).otherwise(0L)), lit(0L))
+      case r: InRange => r -> coalesce(sum(when(col(r.colName).isNotNull &&
+        (col(r.colName) < r.lo || col(r.colName) > r.hi), 1L).otherwise(0L)), lit(0L))
+      case r: MatchesRegex => r -> coalesce(sum(when(col(r.colName).isNotNull &&
+        !col(r.colName).rlike(r.pattern), 1L).otherwise(0L)), lit(0L))
+      case r: InSet => r -> coalesce(sum(when(col(r.colName).isNotNull &&
         !col(r.colName).isin(r.accepted.toSeq: _*), 1L)
-        .otherwise(0L))
+        .otherwise(0L)), lit(0L))
     }
     // approx-uniqueness folds into the same pass: HLL sketches are plain
     // (non-DISTINCT) partial aggregates, so adding them costs no Expand
@@ -98,48 +113,67 @@ object Expectations {
       Seq(count(col(r.colName)).as(s"_uc$i"),
         approx_count_distinct(col(r.colName), r.rsd).as(s"_ud$i"))
     }
-    val sharedAggs = (count(lit(1)).as("_n") +:
-      rowRules.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }) ++ approxAggs
-    val shared = df.agg(sharedAggs.head, sharedAggs.tail: _*).head()
-    val n = shared.getAs[Long]("_n")
-
-    val rowReport = rowRules.zipWithIndex.map { case ((r, _), i) =>
-      val viol = shared.getAs[Long](s"_v$i")
-      r match {
-        case NotNull(c, maxFrac) =>
-          val frac = if (n == 0) 0.0 else viol.toDouble / n
-          (r.name, c, frac, maxFrac, frac <= maxFrac)
-        case InRange(c, _, _, maxV) =>
-          (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
-        case MatchesRegex(c, _, maxV) =>
-          (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
-        case InSet(c, _, maxV) =>
-          (r.name, c, viol.toDouble, maxV.toDouble, viol <= maxV)
-        case _ => sys.error("unreachable")
+    val sharedBranch: Option[DataFrame] =
+      if (rowRules.isEmpty && approxUnique.isEmpty) None else Some {
+        val sharedAggs = (count(lit(1)).as("_n") +:
+          rowRules.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }) ++ approxAggs
+        val agg = df.agg(sharedAggs.head, sharedAggs.tail: _*)
+        val rowReports = rowRules.zipWithIndex.map { case ((r, _), i) =>
+          val viol = col(s"_v$i")
+          r match {
+            case NotNull(c, maxFrac) =>
+              reportRow(r.name, c, when(col("_n") === 0L, 0.0)
+                .otherwise(viol.cast("double") / col("_n")), maxFrac)
+            case InRange(c, _, _, maxV) =>
+              reportRow(r.name, c, viol.cast("double"), maxV.toDouble)
+            case MatchesRegex(c, _, maxV) =>
+              reportRow(r.name, c, viol.cast("double"), maxV.toDouble)
+            case InSet(c, _, maxV) =>
+              reportRow(r.name, c, viol.cast("double"), maxV.toDouble)
+            case _ => sys.error("unreachable")
+          }
+        }
+        // HLL can overestimate ndv past the true count — clamp at 0 so a
+        // clean column never reports a negative duplicate fraction
+        val approxReports = approxUnique.zipWithIndex.map { case (r, i) =>
+          reportRow(r.name, r.colName,
+            when(col(s"_uc$i") === 0L, 0.0).otherwise(greatest(lit(0.0),
+              (col(s"_uc$i") - col(s"_ud$i")).cast("double") / col(s"_uc$i"))),
+            r.tolerance)
+        }
+        explodeRows(agg, rowReports ++ approxReports)
       }
+    // ALL exact-uniqueness rules share one aggregation: a count +
+    // countDistinct pair per checked column. Multiple DISTINCT columns
+    // Expand this branch's scan (one replica per distinct group), but the
+    // branch projects only the checked key columns, and one Expanded scan
+    // beats one full job per rule
+    val uniqueRules = rules.collect { case r: Unique => r }
+    val uniqueBranch: Option[DataFrame] =
+      if (uniqueRules.isEmpty) None else Some {
+        val aggs = uniqueRules.zipWithIndex.flatMap { case (r, i) =>
+          Seq(count(col(r.colName)).as(s"_qc$i"),
+            countDistinct(col(r.colName)).as(s"_qd$i"))
+        }
+        val agg = df.select(uniqueRules.map(r => col(r.colName)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        explodeRows(agg, uniqueRules.zipWithIndex.map { case (r, i) =>
+          reportRow(r.name, r.colName,
+            (col(s"_qc$i") - col(s"_qd$i")).cast("double"), 0.0)
+        })
+      }
+    // one anti-join branch per foreign key — the parent prunes to its key
+    // column and broadcasts when dimension-sized
+    val refBranches = rules.collect { case r: RefIntegrity =>
+      val orphanAgg = foreignKeyViolations(
+        df.select(col(r.colName)), r.colName, r.dim, r.dimCol)
+        .agg(count(lit(1)).as("_o"))
+      explodeRows(orphanAgg, Seq(
+        reportRow(r.name, r.colName, col("_o").cast("double"),
+          r.maxOrphans.toDouble)))
     }
-    val approxReport = approxUnique.zipWithIndex.map { case (r, i) =>
-      val c = shared.getAs[Long](s"_uc$i")
-      val ndv = shared.getAs[Long](s"_ud$i")
-      // HLL can overestimate ndv past the true count — clamp at 0 so a
-      // clean column never reports a negative duplicate fraction
-      val dupFrac = if (c == 0) 0.0 else math.max(0.0, (c - ndv).toDouble / c)
-      (r.name, r.colName, dupFrac, r.tolerance, dupFrac <= r.tolerance)
-    }
-    val uniqueReport = rules.collect { case r: Unique =>
-      val row = df.agg(count(col(r.colName)).as("c"),
-        countDistinct(col(r.colName)).as("d")).head()
-      val dupes = row.getAs[Long]("c") - row.getAs[Long]("d")
-      (r.name, r.colName, dupes.toDouble, 0.0, dupes == 0L)
-    }
-    val refReport = rules.collect { case r: RefIntegrity =>
-      val orphans = foreignKeyViolations(
-        df.select(col(r.colName)), r.colName, r.dim, r.dimCol).count()
-      (r.name, r.colName, orphans.toDouble, r.maxOrphans.toDouble,
-        orphans <= r.maxOrphans)
-    }
-    (rowReport ++ approxReport ++ uniqueReport ++ refReport)
-      .toDF("rule", "column", "metric", "threshold", "ok")
+    (sharedBranch.toSeq ++ uniqueBranch.toSeq ++ refBranches)
+      .reduce(_ unionByName _)
   }
 
   /** Fully-on-cluster, cross-engine-REPLAYABLE approximate-uniqueness
