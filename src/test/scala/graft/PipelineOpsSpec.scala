@@ -654,6 +654,25 @@ class PpjoinSpec extends SparkSpecBase {
     assert(pp.size == 10) // exactly the planted pairs
   }
 
+  test("ppjoin boundary threshold: j == t exactly, prefix keeps the needed token") {
+    // 4/5-overlap docs at t = 0.8: (1-t)*|x| is 0.9999... in doubles, so
+    // the old floor((1-t)|x|)+1 prefix length dropped to 1 and LOST this
+    // pair; the ceil form keeps the 2 needed prefix tokens
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "alpha beta gamma delta zeta"),
+      (3L, "en", "totally different words here five"))
+      .toDF("doc_id", "lang", "text")
+    // jaccard(1,2) = 4/6 < 0.8, so use containment-free check through the
+    // candidate generator directly: the (1,2) candidate must survive
+    val cand = operators.Dedup
+      .ppjoinCandidates(docs, "text", "doc_id", Seq("lang"), 0.8)
+      .select("id1", "id2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)),
+      s"boundary-threshold candidate (1,2) missing from $cand")
+  }
+
   test("prefix filtering generates far fewer candidates than block-square") {
     val nDocs = corpus.count()
     val blockSquare = nDocs * (nDocs - 1) / 2 // one shared block

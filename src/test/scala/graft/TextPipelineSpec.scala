@@ -146,6 +146,32 @@ class ContainmentSpec extends SparkSpecBase {
     val j = Dedup.jaccardPairs(docs, "text", "doc_id", Seq("lang"), 0.9).count()
     assert(j == 0)
   }
+
+  test("unblocked containmentPairs matches blocked truth via prefix filter, no cartesian") {
+    // constant block -> the blocked path IS the exhaustive truth; the
+    // unblocked call must find the same pairs through the prefix-candidate
+    // join, and its plan must never degrade to a cartesian product
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small, "g"), (2L, big, "g"),
+      (3L, "other stuff entirely here", "g"),
+      (4L, "alpha beta gamma delta zeta", "g"), // 4/5 of doc 1's tokens
+      (5L, small, "g"))                         // exact twin of 1
+      .toDF("doc_id", "text", "lang")
+    val truth = Dedup.containmentPairs(docs, "text", "doc_id", Seq("lang"), 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val unblocked = Dedup.containmentPairs(docs, "text", "doc_id", Nil, 0.8)
+    unblocked.collect()
+    val p = unblocked.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"unblocked containment degraded to a cartesian:\n$p")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", Nil, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == truth, s"prefix-filter pairs $got != blocked truth $truth")
+    assert(truth.contains((1L, 2L, 1.0)) && truth.contains((1L, 5L, 1.0)) &&
+      truth.contains((4L, 1L, 0.8)), s"expected planted pairs in $truth")
+  }
 }
 
 class SemanticDedupSpec extends SparkSpecBase {
