@@ -2115,9 +2115,9 @@ object SparkEntry {
     "q_diff_summary" ->
       s"""WITH $lineitemSidesSql
         |SELECT 'lineitem' AS table_name, 'db1' AS db1,
-        |  CAST((SELECT count(*) FROM d1) AS INTEGER) AS rows_only_in_db1,
+        |  CAST((SELECT count(*) FROM d1) AS BIGINT) AS rows_only_in_db1,
         |  'db2' AS db2,
-        |  CAST((SELECT count(*) FROM d2) AS INTEGER) AS rows_only_in_db2""".stripMargin,
+        |  CAST((SELECT count(*) FROM d2) AS BIGINT) AS rows_only_in_db2""".stripMargin,
 
     "q_diff_bag" ->
       """WITH u AS (

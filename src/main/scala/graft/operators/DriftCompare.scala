@@ -381,12 +381,16 @@ object DriftOutput {
       StructField("missing_in", StringType))))
   }
 
+  /** Drift counts are LongType: a 100 TB table can drift by more than
+    * 2^31 rows, and an Int column would overflow exactly when the report
+    * matters most.
+    */
   def summaryDf(spark: SparkSession, rows: Seq[DataDriftSummaryRow]): DataFrame = {
-    val data = rows.map(r => Row(r.tableName, r.db1, r.rowsOnlyInDb1.toInt, r.db2, r.rowsOnlyInDb2.toInt))
+    val data = rows.map(r => Row(r.tableName, r.db1, r.rowsOnlyInDb1, r.db2, r.rowsOnlyInDb2))
     spark.createDataFrame(spark.sparkContext.parallelize(data, 1), StructType(Seq(
       StructField("table_name", StringType), StructField("db1", StringType),
-      StructField("rows_only_in_db1", IntegerType), StructField("db2", StringType),
-      StructField("rows_only_in_db2", IntegerType))))
+      StructField("rows_only_in_db1", LongType), StructField("db2", StringType),
+      StructField("rows_only_in_db2", LongType))))
   }
 
   /** Write the whole result as a directory of Parquet tables: one per

@@ -216,6 +216,16 @@ class DriftCompareSpec extends SparkSpecBase {
     assert(rep.contains("\"only1\" not found in \"db2\"") && rep.contains("\"tags\"")
       && rep.contains("db2 - 1"))
   }
+
+  test("summaryDf drift counts are LongType (no 2^31 overflow) and survive > Int.MaxValue") {
+    import org.apache.spark.sql.types.LongType
+    val big = Int.MaxValue.toLong + 7L
+    val df = DriftOutput.summaryDf(spark,
+      Seq(DataDriftSummaryRow("t", "db1", big, "db2", 0L)))
+    assert(df.schema("rows_only_in_db1").dataType == LongType)
+    assert(df.schema("rows_only_in_db2").dataType == LongType)
+    assert(df.select("rows_only_in_db1").head().getLong(0) == big)
+  }
 }
 
 class TypeRenderSpec extends org.scalatest.funsuite.AnyFunSuite {
