@@ -586,11 +586,14 @@ object SparkEntry {
 
     // ---- the SAME sessions via Spark's built-in session_window (the
     //      Catalyst-native merging-session aggregate; also the streaming
-    //      form's engine-managed state path). Boundary nit, documented:
-    //      session_window splits at gap >= 30 min, the run-scan form and
-    //      the oracle at gap > 30 min — identical unless a consecutive
-    //      pair lands on EXACTLY 1800.000000 s (none at sf0.01/sf0.1;
-    //      the gate would surface one as a row diff) ----
+    //      form's engine-managed state path). Boundary semantics differ
+    //      from the run-scan form: session_window's window is half-open,
+    //      so it splits at gap >= 30 min where sessionize splits at
+    //      gap > 30 min. This query's oracle therefore replays the >=
+    //      truth (>= 1800000000 epoch_us) rather than sharing
+    //      q_events_sessions' strict-> oracle — a future testdata drop
+    //      landing a pair at exactly 1800.000000 s stays green on both
+    //      gates instead of breaking this one ----
     "q_session_window_builtin" -> ((s, dir) => {
       val sess = Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -1670,7 +1673,10 @@ object SparkEntry {
     //      customer here has SOME order, so the classic no-orders
     //      anti join becomes no-RECENT-orders; the positive-balance
     //      average is the uncorrelated scalar subquery, the country
-    //      code a deterministic custkey bucket ----
+    //      code a deterministic custkey bucket. The cutoff sits INSIDE
+    //      the synthetic order-date range (1995..2001) so the anti join
+    //      actually excludes customers with recent orders on both
+    //      engines — at 2000-01-01 it was vacuously true ----
     "q22_idle_customers" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust_q22")
       t(s, dir, "orders").createOrReplaceTempView("ord_q22")
@@ -1685,7 +1691,7 @@ object SparkEntry {
           |    WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 3, 5))
           |  AND NOT EXISTS (SELECT 1 FROM ord_q22
           |    WHERE o_custkey = c_custkey
-          |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |      AND o_orderdate >= TIMESTAMP '1998-01-01')
           |GROUP BY c_custkey % 7
           |ORDER BY cntrycode""".stripMargin)
     }),
@@ -3363,14 +3369,15 @@ object SparkEntry {
         |FROM f GROUP BY 1, 2, 3
         |ORDER BY win_start, event_type""".stripMargin,
 
-    // identical truth as q_events_sessions (see boundary note at the query)
+    // session_window's OWN half-open truth: splits at gap >= 30 min
+    // (epoch_us gap >= 1800000000), unlike q_events_sessions' strict >
     "q_session_window_builtin" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |  l AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
         |  f AS (SELECT user_id, event_id, ts,
         |    CASE WHEN prev_ts IS NULL
-        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1
         |         ELSE 0 END AS ns FROM l),
         |  s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
@@ -3974,7 +3981,7 @@ object SparkEntry {
         |    WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 3, 5))
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey
-        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |      AND o_orderdate >= TIMESTAMP '1998-01-01')
         |GROUP BY c_custkey % 7
         |ORDER BY cntrycode""".stripMargin,
 

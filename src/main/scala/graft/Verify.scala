@@ -36,6 +36,16 @@ object Verify {
     if (only.isDefined)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
+    // A filter entry matching no query is a TYPO, not a no-op: without
+    // this warning it only surfaces as MISSING in a later full compare —
+    // which the wipe note says to expect anyway, masking the mistake.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names match no query " +
+            s"(typo?): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -69,6 +69,16 @@ object ChangeCapture {
     * order, an UNMATCHED source row satisfying `deleteWhen` still
     * inserts (the delete clause only guards matched rows).
     *
+    * PRECONDITION: `pk` must also be unique in `target`. SQL MERGE
+    * updates EACH matching target row; this join formulation instead
+    * replaces all N rows of a duplicated target key with the single
+    * source image — silently shrinking target cardinality. Merge
+    * targets are key-unique in any sane lakehouse table and verifying
+    * costs a FULL extra scan of the big side (the merge itself touches
+    * the target only once), so unlike the small-side source check this
+    * guard is OPT-IN: pass `verifyTargetUnique = true` when ingesting
+    * into a target of unknown provenance.
+    *
     * `deleteWhen` resolves against the SOURCE row image (the new
     * values), not the target's: "delete keys the feed marks dead" —
     * the CDC-tombstone reading. A guard on the OLD image (SQL's
@@ -84,18 +94,23 @@ object ChangeCapture {
     */
   def mergeInto(target: DataFrame, source: DataFrame, pk: String,
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
-                verifySourceUnique: Boolean = true): DataFrame = {
+                verifySourceUnique: Boolean = true,
+                verifyTargetUnique: Boolean = false): DataFrame = {
     require(source.columns.toSet == target.columns.toSet,
       s"mergeInto needs identical column sets; " +
         s"source-only: ${source.columns.toSet.diff(target.columns.toSet)}, " +
         s"target-only: ${target.columns.toSet.diff(source.columns.toSet)}")
-    if (verifySourceUnique) {
-      val dup = source.groupBy(pk).count().filter(col("count") > 1)
+    def requireUnique(df: DataFrame, side: String, why: String): Unit = {
+      val dup = df.groupBy(pk).count().filter(col("count") > 1)
         .select(pk).limit(1).collect()
       require(dup.isEmpty,
-        s"mergeInto source has duplicate $pk (e.g. ${dup.headOption.map(_.get(0))}): " +
-          "a key matching twice is ambiguous (SQL MERGE cardinality violation)")
+        s"mergeInto $side has duplicate $pk (e.g. ${dup.headOption.map(_.get(0))}): $why")
     }
+    if (verifySourceUnique) requireUnique(source, "source",
+      "a key matching twice is ambiguous (SQL MERGE cardinality violation)")
+    if (verifyTargetUnique) requireUnique(target, "target",
+      "SQL MERGE updates each matching row; this formulation would " +
+        "collapse the duplicated key to one row, shrinking the target")
     val ordered = source.select(target.columns.map(col).toIndexedSeq: _*)
     val targetKeys = target.select(pk)
     val matched = ordered.join(targetKeys, Seq(pk), "left_semi")

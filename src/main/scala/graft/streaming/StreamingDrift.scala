@@ -29,11 +29,28 @@ import graft.functions.CanonicalRowHash
   */
 object StreamingDrift {
 
+  /** A running drift monitor: the drift stream plus ownership of the
+    * persisted reference hash-set plan. Call [[unpersist]] when the
+    * monitor stops — it frees exactly THIS monitor's cached reference,
+    * so restarting monitors in a long-lived session never accumulates
+    * cache entries (the old guidance, `spark.catalog.clearCache()`, was
+    * a global hammer that also nuked every unrelated cached plan).
+    */
+  final case class Monitor(drift: DataFrame, referenceHashes: DataFrame) {
+    def unpersist(): Unit = { referenceHashes.unpersist(); () }
+  }
+
   /** `stream` and `reference` must share the (already normalized)
     * column set — the caller aligns projections the same way
-    * [[graft.operators.DriftCompare]] does for batch sides.
+    * [[graft.operators.DriftCompare]] does for batch sides. Convenience
+    * form of [[monitor]] for one-shot monitors that live as long as the
+    * session; prefer [[monitor]] when the monitor will be stopped and
+    * restarted, so the cached reference can be released.
     */
-  def apply(stream: DataFrame, reference: DataFrame): DataFrame = {
+  def apply(stream: DataFrame, reference: DataFrame): DataFrame =
+    monitor(stream, reference).drift
+
+  def monitor(stream: DataFrame, reference: DataFrame): Monitor = {
     require(stream.columns.toSet == reference.columns.toSet,
       s"aligned projections required; stream-only: " +
         s"${stream.columns.toSet.diff(reference.columns.toSet)}, " +
@@ -42,16 +59,16 @@ object StreamingDrift {
     // stream-static joins re-evaluate the static plan EVERY micro-batch;
     // persist the hashed reference so batch 2+ reads the 16-byte hash set
     // from cache instead of rescanning + rehashing the reference table.
-    // Caller owns the lifetime: unpersist via spark.catalog.clearCache()
-    // (or keep a handle on this plan) when the monitor stops.
+    // The returned Monitor owns the lifetime (Monitor.unpersist()).
     val refHashes = reference
       .select(CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)).as("hashed_row"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    stream
+    val drift = stream
       .withColumn("hashed_row",
         CanonicalRowHash(struct(cols.map(c => col(s"`$c`")): _*)))
       .dropDuplicates("hashed_row")
       .join(refHashes, Seq("hashed_row"), "left_anti")
+    Monitor(drift, refHashes)
   }
 }

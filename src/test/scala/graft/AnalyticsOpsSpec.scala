@@ -97,6 +97,18 @@ class ChangeCaptureSpec extends SparkSpecBase {
       verifySourceUnique = false)
     assert(out.count() == 2) // documented hazard: duplicates pass through
   }
+
+  test("mergeInto opt-in target-uniqueness guard catches a duplicated target key") {
+    // documented precondition: a duplicated TARGET key would collapse to
+    // one row (SQL MERGE would update both) — the opt-in guard rejects it
+    val dupTarget = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("pk", "s")
+    val source = Seq((1L, "new")).toDF("pk", "s")
+    assertThrows[IllegalArgumentException] {
+      ChangeCapture.mergeInto(dupTarget, source, "pk", verifyTargetUnique = true)
+    }
+    // default skips the big-side scan; the divergence is documented
+    assert(ChangeCapture.mergeInto(dupTarget, source, "pk").count() == 2)
+  }
 }
 
 class EventAnalyticsSpec extends SparkSpecBase {

@@ -497,7 +497,8 @@ class StreamingDriftSpec extends SparkSpecBase {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, Double)]
     val stream = mem.toDF().toDF("k", "s", "v")
-    val q = graft.streaming.StreamingDrift(stream, reference)
+    val mon = graft.streaming.StreamingDrift.monitor(stream, reference)
+    val q = mon.drift
       .writeStream.format("memory").queryName("drift_twin")
       .outputMode("append").start()
     try {
@@ -521,6 +522,14 @@ class StreamingDriftSpec extends SparkSpecBase {
         .select("k", "s", "v")
         .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
       assert(got == batch)
+
+      // the monitor owns its cached reference plan: unpersist releases
+      // exactly this plan, not the whole session cache
+      assert(mon.referenceHashes.storageLevel.useMemory ||
+        mon.referenceHashes.storageLevel.useDisk, "reference must be persisted")
+      mon.unpersist()
+      assert(!mon.referenceHashes.storageLevel.useMemory &&
+        !mon.referenceHashes.storageLevel.useDisk, "unpersist must release it")
     } finally q.stop()
   }
 }
