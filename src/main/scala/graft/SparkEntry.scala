@@ -373,16 +373,35 @@ object SparkEntry {
     // ---- planted-duplicate harness, SimHash: exact-copy twins (Hamming 0,
     //      guaranteed found) + brute-force all-pairs Hamming truth; asserts
     //      the pigeonhole blocking (any pair at Hamming <= 3 shares an
-    //      exact 16-bit quarter) loses nothing vs the O(n^2) scan ----
+    //      exact 16-bit quarter) loses nothing vs the O(n^2) scan.
+    //      SCALE GUARD: the brute-force truth side is verification-only
+    //      and quadratic by construction, so above ~20k corpus rows the
+    //      completeness check runs on a deterministic hash-subsample of
+    //      the corpus (the production simHashPairs path and the planted
+    //      check always run FULL) — the harness stays safe if the driver
+    //      raises the bench scale factor ----
     "q_planted_simhash" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
         .select("doc_id", "text")
-      val corpus = base.unionByName(
-        base.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      def withTwins(b: DataFrame) = b.unionByName(
+        b.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      val corpus = withTwins(base)
       val blocked = Dedup.simHashPairs(corpus, "text", "doc_id", 3)
         .select("id1", "id2")
-      val sigs = corpus.select(col("doc_id").as("id"),
+      val maxBruteRows = 20000L
+      val nBase = base.count()
+      val (veriBase, veriFull) =
+        if (2 * nBase <= maxBruteRows) (base, true)
+        else {
+          val k = (2 * nBase + maxBruteRows - 1) / maxBruteRows
+          (base.filter(pmod(xxhash64(col("doc_id")), lit(k)) === 0), false)
+        }
+      val veriCorpus = if (veriFull) corpus else withTwins(veriBase)
+      val veriBlocked =
+        if (veriFull) blocked
+        else Dedup.simHashPairs(veriCorpus, "text", "doc_id", 3).select("id1", "id2")
+      val sigs = veriCorpus.select(col("doc_id").as("id"),
         graft.functions.SimHash64(TokenArray(col("text"))).as("sig"))
       val truth = sigs.select(col("id").as("id1"), col("sig").as("s1"))
         .crossJoin(sigs.select(col("id").as("id2"), col("sig").as("s2")))
@@ -391,8 +410,8 @@ object SparkEntry {
         .select("id1", "id2")
       val planted = base.select(col("doc_id").as("id1"),
         (col("doc_id") + lit(10000000L)).as("id2"))
-      val blockingComplete = truth.exceptAll(blocked).isEmpty &&
-        blocked.exceptAll(truth).isEmpty
+      val blockingComplete = truth.exceptAll(veriBlocked).isEmpty &&
+        veriBlocked.exceptAll(truth).isEmpty
       val plantedFound = planted.exceptAll(blocked).isEmpty
       Seq(("blocking_matches_bruteforce", blockingComplete),
           ("planted_pairs_found", plantedFound))
