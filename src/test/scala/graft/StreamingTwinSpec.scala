@@ -193,6 +193,40 @@ class StreamingHeavyHittersSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("space-saving at capacity >= distinct keys EQUALS the batch heavyHitters exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // 8 distinct keys, m=16 per bucket: no evictions anywhere, so every
+    // estimate is exact (err = 0) and the streaming summary must agree
+    // with the batch operator's exact counts key for key
+    val data = scala.util.Random.shuffle(
+      (1L to 8L).flatMap(k => Seq.fill(k.toInt * 20)(k)))
+    val events = mem.toDF().toDF("k")
+    val q = graft.streaming.StreamingHeavyHitters(events, "k", m = 16, nBuckets = 4)
+      .writeStream.format("memory").queryName("hh_exact").outputMode("update").start()
+    try {
+      val (b1, b2) = data.splitAt(data.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val est = spark.sql("SELECT * FROM hh_exact")
+        .collect().zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+      assert(est.values.forall(_.getLong(2) == 0L), "no evictions -> err 0")
+      // batch twin at support 0.1: keys with count > 0.1 * 720 = 72
+      val batch = graft.operators.EventAnalytics
+        .heavyHitters(data.toDF("k"), "k", 0.1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty, "batch twin must find heavy keys")
+      batch.foreach { case (k, n) =>
+        assert(est(k).getLong(1) == n,
+          s"key $k: streaming ${est(k).getLong(1)} != batch exact $n")
+      }
+      // and the full streaming summary carries the exact count of EVERY key
+      val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      truth.foreach { case (k, n) => assert(est(k).getLong(1) == n, s"key $k") }
+    } finally q.stop()
+  }
+
   test("streaming rolling anomaly matches the batch twin on an in-order spiky stream") {
     implicit val sqlCtx = spark.sqlContext
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
