@@ -86,6 +86,38 @@ class JdbcSideSpec extends SparkSpecBase {
     assert(byside("db2") == Set(2, 4))
   }
 
+  test("DSv2 combined pushdown: filter AND aggregate compile into ONE remote scan") {
+    url1 // force fixture creation
+    JdbcSide.registerCatalog(spark, "graftjdbc2", "jdbc:derby:memory:graft_db1")
+    import org.apache.spark.sql.functions._
+    val df = JdbcSide.catalogTable(spark, "graftjdbc2", "APP", "orders")
+      .filter(col("amount") > 15.0)
+      .groupBy("status").agg(sum("amount").as("total"))
+      .limit(1)
+    assert(df.collect().length == 1)
+    val p = df.queryExecution.executedPlan.toString
+    // the WHERE and the GROUP BY both live in the remote SQL: one scan
+    // node carries the filter, the aggregate, and the grouping columns
+    assert(p.contains("PushedFilters: [amount IS NOT NULL, amount > 15.0]"),
+      s"filter must ride the remote scan:\n$p")
+    assert(p.contains("PushedAggregates: [SUM(amount)]") &&
+      p.contains("PushedGroupByExpressions: [status]"),
+      s"aggregate + group-by must compile into the remote scan:\n$p")
+    // only the grouped columns cross the wire (no o_id, no raw rows)
+    assert(p.contains("ReadSchema: struct<status:string") && !p.contains("o_id"),
+      s"wire schema must be the grouped projection only:\n$p")
+    // no residual Spark-side Filter: the predicate was fully absorbed
+    assert(!p.contains("+- *(1) Filter") && !p.contains("+- Filter"),
+      s"predicate must not be re-evaluated Spark-side:\n$p")
+    // LIMIT pushdown is dialect-gated and Derby CANNOT take it:
+    // DerbyDialect.getLimitClause returns "" (Derby has no LIMIT clause
+    // and Spark's dialect does not emit FETCH FIRST), so the limit
+    // correctly stays Spark-side over the few grouped rows — assert the
+    // honest plan rather than a pushdown Derby cannot express
+    assert(p.contains("CollectLimit 1"),
+      s"limit stays Spark-side on the grouped rows under DerbyDialect:\n$p")
+  }
+
   test("DSv2 catalog pushes GROUP BY aggregates into the remote database") {
     url1 // force fixture creation
     JdbcSide.registerCatalog(spark, "graftjdbc", "jdbc:derby:memory:graft_db1")
