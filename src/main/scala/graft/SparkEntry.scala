@@ -941,6 +941,22 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // ---- PERSISTED LSH index round trip (the production incremental-
+    //      ingest shape: the corpus is sketched once into a saved band
+    //      index + shingle store; each increment pays only its own
+    //      sketch and the asymmetric candidate join, never re-reading
+    //      corpus text). Must reproduce q_incremental_dedup exactly ----
+    "q_dedup_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index"
+      Dedup.saveLshIndex(
+        Dedup.buildLshIndex(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id"),
+        path)
+      Dedup.dedupAgainstIndex(d.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", 0.5, Dedup.loadLshIndex(s, path))
+        .orderBy("new_id")
+    }),
+
     // ---- cross-source contamination matrix (pairwise shared 5-grams) ----
     "q_contamination_matrix" -> ((s, dir) =>
       TextAnalysis.contaminationMatrix(t(s, dir, "documents"), "text", "source", 5)
@@ -2242,6 +2258,32 @@ object SparkEntry {
     """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
       |     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
       |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END""".stripMargin
+  /** Shared truth for q_incremental_dedup AND q_dedup_index (the
+    * persisted-index round trip must reproduce the direct computation
+    * exactly): exact all-pairs Jaccard between the new batch
+    * (doc_id % 3 = 0) and the corpus, via the inverted-index equi-join.
+    */
+  private lazy val incrementalDedupTruthSql =
+    s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |newd AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+      |exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 = 0),
+      |exc AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 <> 0),
+      |cand AS (SELECT n.doc_id AS new_id, c.doc_id AS cid, count(*) AS inter
+      |  FROM exn n JOIN exc c USING (g) GROUP BY 1, 2),
+      |pairs AS (SELECT new_id, cid,
+      |    CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS j
+      |  FROM cand JOIN sz s1 ON s1.doc_id = new_id JOIN sz s2 ON s2.doc_id = cid),
+      |best AS (SELECT new_id, min(cid) AS matched_id FROM pairs
+      |  WHERE j >= 0.5 GROUP BY new_id),
+      |bj AS (SELECT b.new_id, b.matched_id, p.j AS jaccard
+      |  FROM best b JOIN pairs p ON p.new_id = b.new_id AND p.cid = b.matched_id)
+      |SELECT n.doc_id AS new_id, bj.matched_id, bj.jaccard,
+      |  bj.matched_id IS NULL AS is_novel
+      |FROM newd n LEFT JOIN bj ON bj.new_id = n.doc_id
+      |ORDER BY new_id""".stripMargin
+
   /** Exact shingle-Jaccard truth CTEs (`sh` -> `pairs`), formulated as
     * an inverted-index equi-join rather than the naive all-pairs cross:
     * candidates are pairs SHARING at least one shingle (`ex` self-join
@@ -2372,26 +2414,11 @@ object SparkEntry {
     // new-vs-corpus candidates via the same inverted-index trick as
     // jaccardTruthSql (the n×c cross is quadratic at sf0.1; a pair with
     // j >= 0.5 shares a shingle, so the gram equi-join loses nothing)
-    "q_incremental_dedup" ->
-      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        |newd AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
-        |exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 = 0),
-        |exc AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 <> 0),
-        |cand AS (SELECT n.doc_id AS new_id, c.doc_id AS cid, count(*) AS inter
-        |  FROM exn n JOIN exc c USING (g) GROUP BY 1, 2),
-        |pairs AS (SELECT new_id, cid,
-        |    CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS j
-        |  FROM cand JOIN sz s1 ON s1.doc_id = new_id JOIN sz s2 ON s2.doc_id = cid),
-        |best AS (SELECT new_id, min(cid) AS matched_id FROM pairs
-        |  WHERE j >= 0.5 GROUP BY new_id),
-        |bj AS (SELECT b.new_id, b.matched_id, p.j AS jaccard
-        |  FROM best b JOIN pairs p ON p.new_id = b.new_id AND p.cid = b.matched_id)
-        |SELECT n.doc_id AS new_id, bj.matched_id, bj.jaccard,
-        |  bj.matched_id IS NULL AS is_novel
-        |FROM newd n LEFT JOIN bj ON bj.new_id = n.doc_id
-        |ORDER BY new_id""".stripMargin,
+    "q_incremental_dedup" -> incrementalDedupTruthSql,
+
+    // the persisted-index round trip must reproduce the direct
+    // computation exactly, so it shares the same truth
+    "q_dedup_index" -> incrementalDedupTruthSql,
 
     // contamination matrix: same distinct (source, 5-gram) set, same
     // pair join and overlap coefficient (exact int/int division)

@@ -686,6 +686,38 @@ class PpjoinSpec extends SparkSpecBase {
   }
 }
 
+class LshIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("persisted LSH index round trip reproduces direct incrementalDedup") {
+    val mk = (id: Long, toks: Seq[String]) => (id, toks.mkString(" "))
+    val corpus = Seq(
+      mk(1L, (0 until 30).map(i => s"c1w$i")),
+      mk(2L, (0 until 30).map(i => s"c2w$i")),
+      mk(3L, (0 until 30).map(i => s"c3w$i"))).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(10L, (0 until 29).map(i => s"c1w$i")),          // near-dup of 1
+      mk(11L, (0 until 30).map(i => s"novel$i"))) // novel
+      .toDF("doc_id", "text")
+    val direct = graft.operators.Dedup
+      .incrementalDedup(batch, corpus, "text", "doc_id", 0.5)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    graft.operators.Dedup.saveLshIndex(
+      graft.operators.Dedup.buildLshIndex(corpus, "text", "doc_id"), path)
+    val loaded = graft.operators.Dedup.loadLshIndex(spark, path)
+    assert(loaded.numPerm == 128 && loaded.bands == 32,
+      "banding parameters must survive the round trip")
+    val viaIndex = graft.operators.Dedup
+      .dedupAgainstIndex(batch, "text", "doc_id", 0.5, loaded)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(viaIndex == direct, s"index path $viaIndex != direct $direct")
+    assert(direct.find(_._1 == 10L).exists(r => r._2.contains(1L) && !r._4),
+      s"batch doc 10 must match corpus doc 1: $direct")
+    assert(direct.find(_._1 == 11L).exists(_._4), "doc 11 must be novel")
+  }
+}
+
 class DedupCorpusNullSpec extends SparkSpecBase {
   import spark.implicits._
 
