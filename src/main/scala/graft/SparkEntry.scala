@@ -431,6 +431,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hard-negative mining (contrastive-training staple): per
+    //      query, the top-5 most-similar vectors with a DIFFERENT
+    //      label — broadcast queries, one corpus pass ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hyperplane-LSH ANN. Full oracle: plane components are
     //      md5-derived uniforms, so DuckDB replays the 16 x 8-bit bucket
     //      keys, the candidate join, and the exact-cosine top-5
@@ -2593,6 +2603,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS "rank"
         |  FROM scored)
         |SELECT query_id, "rank", neighbor_id, cosine FROM ranked WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // hard negatives: same cosine replay, restricted to label-crossing
+    // pairs (the query keeps its own-label rows out of the rank window)
+    "q_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+        |    FROM embeddings),
+        |  q AS (SELECT * FROM v WHERE vec_id < 10),
+        |  scored AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cosine
+        |    FROM q a JOIN v b ON b.label <> a.label),
+        |  ranked AS (SELECT id1 AS query_id, id2 AS negative_id, cosine,
+        |    row_number() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", negative_id, cosine FROM ranked WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
 
     // LSH replay: md5-derived plane components (u64/2^64*2-1), 16 tables

@@ -102,6 +102,32 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the `k` most-cosine-similar corpus vectors whose `labelCol` DIFFERS
+    * from the query's — "hard" negatives because they resemble positives
+    * while carrying a different label, exactly the examples a contrastive
+    * or reranker objective learns most from. Same broadcast-queries /
+    * streaming-corpus shape as [[bruteForceTopK]] (one corpus pass, no
+    * corpus shuffle before the per-query top-k); at 100 TB run it as the
+    * exact rerank stage over IVF/LSH candidates instead of the full
+    * corpus.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("qlabel")))
+    val c = corpus.select(col(idCol).as("negative_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val scored = c.crossJoin(q)
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("negative_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "negative_id", "cosine")
+  }
+
   /** Near-duplicate pairs by cosine within equality blocks (IVF-style:
     * `blockCol` is a precomputed cluster/partition assignment). Only
     * within-block pairs are materialized.

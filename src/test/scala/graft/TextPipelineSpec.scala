@@ -174,6 +174,26 @@ class ContainmentSpec extends SparkSpecBase {
   }
 }
 
+class HardNegativesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hardNegatives ranks the nearest OTHER-label vector first, never own-label") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),     // query
+      (2L, Array(0.999f, 0.05f), 0),  // same label, nearest overall -> excluded
+      (3L, Array(0.97f, 0.24f), 1),   // other label, closest negative
+      (4L, Array(0.0f, 1.0f), 1),     // other label, orthogonal
+      (5L, Array(0.9f, 0.44f), 2))    // third label
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .hardNegatives(vecs.filter($"vec_id" === 1L), vecs, 2)
+      .select("query_id", "rank", "negative_id")
+      .as[(Long, Int, Long)].collect().sortBy(_._2).toSeq
+    assert(out.map(_._3) == Seq(3L, 5L), s"got $out")
+    assert(!out.exists(_._3 == 2L), "own-label vector must never appear")
+  }
+}
+
 class SemanticDedupSpec extends SparkSpecBase {
   import spark.implicits._
 
