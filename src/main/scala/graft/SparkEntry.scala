@@ -2116,6 +2116,80 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("sum_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- survivorship dedup: near-dup clusters keep their BEST member
+    //      (highest n_chars, tie lowest id) instead of the min-id one;
+    //      cluster graph shared with q_dedup_corpus, representative
+    //      chosen by one struct-min hash aggregation ----
+    "q_survivorship" -> ((s, dir) =>
+      Dedup.survivorshipDedup(t(s, dir, "documents"), "text", "doc_id",
+          "n_chars", 0.5)
+        .orderBy("component")),
+
+    // ---- per-domain token-budget cap: within each source keep the
+    //      longest docs until 4000 chars — the distributed prefix sum
+    //      generalized to composite keys (NO per-domain single-task
+    //      window; see Sampling.domainBudgetSelect) ----
+    "q_domain_budget" -> ((s, dir) =>
+      Sampling.domainBudgetSelect(
+          t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", "n_chars", 4000L)
+        .select("source", "doc_id", "n_chars", "cum_tokens")
+        .orderBy("source", "cum_tokens")),
+
+    // ---- distinct-users-so-far per day via the first-appearance trick:
+    //      one user-keyed aggregate + a day-bounded running sum, never
+    //      O(days) distinct scans ----
+    "q_cum_users" -> ((s, dir) =>
+      EventAnalytics.cumulativeDistinctDaily(Tables.events(s, dir),
+          segmentCols = Seq("event_type"))
+        .orderBy("event_type", "day")),
+
+    // ---- median/MAD robust outlier flags per event type (breakdown
+    //      point 0.5 — the screen is immune to the outliers it hunts);
+    //      med/mad rounded before the z so both engines replay the
+    //      arithmetic bit-for-bit ----
+    "q_robust_outliers" -> ((s, dir) =>
+      EventAnalytics.robustOutliers(Tables.events(s, dir), "event_type",
+          "value", 3.5)
+        .select("event_id", "event_type", "value", "med", "mad",
+          "robust_z", "is_outlier")
+        .orderBy("event_id")),
+
+    // ---- equi-depth decile bins of doc length WITHOUT ntile's global
+    //      sort: edges from the bounded distinct-value CDF, assignment
+    //      by broadcast edge list ----
+    "q_quantile_bins" -> ((s, dir) =>
+      Profile.quantileBins(t(s, dir, "documents"), "n_chars", 10)
+        .orderBy("bin")),
+
+    // ---- drift localization: the flagship diff rolled up into
+    //      key-range buckets — WHERE does the drift live, before
+    //      reading a single drifted row ----
+    "q_drift_localize" -> ((s, dir) => {
+      val (s1, s2) = lineitemSides(s, dir)
+      val c = new DriftCompare(s, s1, s2)
+      c.driftLocalize(c.dataDrift("lineitem").get, "l_orderkey", 1000L)
+        .orderBy("bucket_lo", "observed_in")
+    }),
+
+    // ---- MMR diversity selection, planted gate: 16 candidates in 4
+    //      exact one-hot clusters (cluster = vec_id div 4), relevance
+    //      1 - 0.001*id. With lambda=0.7 the greedy provably picks
+    //      0,4,8,12 (one per cluster: cross-cluster sim is exactly 0,
+    //      within-cluster exactly 1, margins ~1e-3 >> float error),
+    //      then falls back to relevance order 1,2,3,5 — closed form,
+    //      derived independently in the oracle ----
+    "q_mmr_diverse" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings").filter(col("vec_id") < 16)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            when(i === floor(col("vec_id") / 4).cast("int"), lit(10.0))
+              .otherwise(lit(0.0))).as("v"),
+          (lit(1.0) - col("vec_id") * lit(0.001)).as("rel"))
+      Similarity.mmrSelect(pts, "vec_id", "v", "rel", 8, 0.7, 16)
+        .select("rank", "vec_id")
     })
   )
 
@@ -4425,6 +4499,110 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // survivorship truth: the exact all-pairs cluster graph (same
+    // recursive CTE as q_dedup_corpus, unfiltered), representative by
+    // (n_chars DESC, doc_id ASC) per component
+    "q_survivorship" ->
+      s"""WITH RECURSIVE $jaccardTruthSql,
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= 0.5
+        |          UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+        |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+        |          UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |m AS (SELECT c.component, d.doc_id, d.n_chars
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |r AS (SELECT component, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY component) AS cluster_size FROM m)
+        |SELECT component, cluster_size, doc_id AS rep_id, n_chars AS rep_score
+        |FROM r WHERE rk = 1 ORDER BY component""".stripMargin,
+
+    // per-domain budget truth: a plain partitioned window cumsum — the
+    // oracle may single-task a domain; the engine must not
+    "q_domain_budget" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, cum_tokens FROM r
+        |WHERE cum_tokens <= 4000 ORDER BY source, cum_tokens""".stripMargin,
+
+    // cumulative distinct truth: same first-appearance formulation
+    // (count(DISTINCT) OVER a growing frame is not generally available
+    // and would be the wrong plan anyway)
+    "q_cum_users" ->
+      """WITH f AS (SELECT event_type, user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events GROUP BY event_type, user_id),
+        |d AS (SELECT event_type, day, count(*) AS new_users FROM f
+        |  GROUP BY event_type, day)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    // robust outliers: quantile_cont matches Spark's exact interpolated
+    // percentile; med/mad round at 6 dp BEFORE the z so the division
+    // replays bit-for-bit
+    "q_robust_outliers" ->
+      """WITH m AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |md AS (SELECT e.event_type, any_value(m.med) AS med,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY e.event_type),
+        |z AS (SELECT e.event_id, e.event_type, e.value, md.med, md.mad,
+        |    CASE WHEN md.mad > 0
+        |      THEN round((e.value - md.med) / (1.4826 * md.mad), 6) END AS robust_z
+        |  FROM events e JOIN md USING (event_type))
+        |SELECT event_id, event_type, value, med, mad, robust_z,
+        |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // equi-depth bins: replay the distinct-value-CDF edge derivation
+    // (edge_i = min{v : cum*10 >= i*tot}), bin = #edges strictly below v
+    "q_quantile_bins" ->
+      """WITH c AS (SELECT n_chars AS v, count(*) AS n FROM documents GROUP BY 1),
+        |cc AS (SELECT v,
+        |    SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER () AS tot FROM c),
+        |e AS (SELECT i, min(v) AS edge FROM cc
+        |  JOIN (SELECT unnest(range(1, 10)) AS i) ii ON cum * 10 >= i * tot
+        |  GROUP BY i),
+        |b AS (SELECT d.n_chars,
+        |    CAST((SELECT count(*) FROM e WHERE d.n_chars > e.edge) AS INT) AS bin
+        |  FROM documents d)
+        |SELECT bin, count(*) AS n_rows, min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |  round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // drift localization truth: the EXCEPT diffs bucketed by integer
+    // key-range (pure integer arithmetic, keys never touch a double)
+    "q_drift_localize" ->
+      s"""WITH $lineitemSidesSql
+        |SELECT bucket_lo, observed_in, count(*) AS n_rows FROM (
+        |  SELECT l_orderkey - l_orderkey % 1000 AS bucket_lo,
+        |    'db1' AS observed_in FROM d1
+        |  UNION ALL
+        |  SELECT l_orderkey - l_orderkey % 1000, 'db2' FROM d2) u
+        |GROUP BY bucket_lo, observed_in
+        |ORDER BY bucket_lo, observed_in""".stripMargin,
+
+    // MMR planted truth, derived by hand from the fixture (see the
+    // query comment): lambda*rel dominates until each exact one-hot
+    // cluster holds a pick (0,4,8,12), then every candidate carries the
+    // same sim penalty of 1.0 and relevance order resumes (1,2,3,5)
+    "q_mmr_diverse" ->
+      """SELECT * FROM (VALUES
+        |  (1, CAST(0 AS BIGINT)), (2, CAST(4 AS BIGINT)),
+        |  (3, CAST(8 AS BIGINT)), (4, CAST(12 AS BIGINT)),
+        |  (5, CAST(1 AS BIGINT)), (6, CAST(2 AS BIGINT)),
+        |  (7, CAST(3 AS BIGINT)), (8, CAST(5 AS BIGINT)))
+        |  AS t(rank, vec_id)
+        |ORDER BY rank""".stripMargin
   )
 }

@@ -87,6 +87,73 @@ object EventAnalytics {
       .groupBy("cohort_day", "week_offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Distinct-users-seen-so-far per day, via the first-appearance
+    * trick: cumulative distinct count over time is NOT O(days) distinct
+    * scans — a user contributes to the cumulative count from their
+    * FIRST active day onward, so one min-day aggregate per user, one
+    * count per day, and a running sum over the day-bounded series give
+    * (day, new_users, cum_users) exactly. The growth-accounting query
+    * every event warehouse runs.
+    *
+    * Scale shape: one hash aggregate keyed on the user (map-side
+    * combined), one tiny aggregate keyed on the day, and the cumulative
+    * window runs over the DAY-BOUNDED aggregate (thousands of rows at
+    * any data scale), not the events — the single-partition window is
+    * deliberate and safe there. With `segmentCols` the whole pipeline
+    * keys on (segment, user) instead, and the window partitions by
+    * segment: per-segment adoption curves at the same cost.
+    */
+  def cumulativeDistinctDaily(events: DataFrame, userCol: String = "user_id",
+                              tsCol: String = "ts",
+                              segmentCols: Seq[String] = Nil): DataFrame = {
+    val seg = segmentCols.map(col)
+    val firstDay = events
+      .select(seg :+ col(userCol).as("u") :+ to_date(col(tsCol)).as("day"): _*)
+      .groupBy(seg :+ col("u"): _*).agg(min("day").as("day"))
+    val perDay = firstDay.groupBy(seg :+ col("day"): _*)
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(seg: _*).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cum_users", sum("new_users").over(w))
+  }
+
+  /** Robust per-group outlier flags via median/MAD (the
+    * breakdown-point-0.5 alternative to mean/stddev z-scores, immune to
+    * the outliers it is hunting): per `groupCol`, med = exact median of
+    * `valueCol`, MAD = exact median of |v - med|, and a row is an
+    * outlier when |v - med| > k · 1.4826 · MAD (1.4826 scales MAD to
+    * σ-equivalents under normality). Groups with MAD = 0 (constant or
+    * half-constant groups) flag nothing — the robust z is undefined
+    * there, not infinite.
+    *
+    * Scale shape: two grouped exact-`percentile` aggregations (the
+    * second on the residuals after a broadcast of the group-bounded
+    * medians) and one broadcast-joined filter pass; nothing global-
+    * sorts the data, and group count bounds every intermediate. Exact
+    * medians are the audit-grade choice at bounded group count; for
+    * monster groups swap `percentile` for `percentile_approx` — same
+    * plan shape, bounded state.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.5): DataFrame = {
+    // med and mad are ROUNDED (6 dp) before the z computation: the
+    // interpolated medians are the only non-exact inputs, and rounding
+    // them first makes the downstream arithmetic replayable bit-for-bit
+    // by any engine whose rounded medians agree
+    val meds = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val withMed = df.join(broadcast(meds), Seq(groupCol))
+    val mads = withMed
+      .groupBy(col(groupCol), col("med"))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"))
+    df.join(broadcast(mads), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          round((col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > k, lit(false)))
+  }
+
   /** Exact heavy hitters above a relative `support` threshold, found
     * with an approximate candidate pass: `stat.freqItems` (a one-pass
     * distributed Karp/Misra–Gries variant) is GUARANTEED to return a

@@ -118,4 +118,48 @@ object Profile {
   /** Single-pass approximate profile (HLL distinct counts, rsd 2%). */
   def profileApprox(df: DataFrame): DataFrame =
     build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))
+
+  /** Equi-depth binning + per-bin stats WITHOUT ntile's global sort:
+    * ntile(n) OVER (ORDER BY v) single-partitions the table, so instead
+    * the bin edges come from the exact distinct-value CDF — one bounded
+    * aggregation collapses the data to (value, count) pairs (map-side
+    * combined; output bounded by value cardinality, the right shape for
+    * the discrete metrics curricula bin on), a window over that bounded
+    * set derives edge_i = min{v : cum · n >= i · total}, and bin(v) =
+    * #{edges < v} assigns bins via a broadcast of the (n-1)-row edge
+    * list. Rows with equal values always land in the same bin (which
+    * ntile does NOT guarantee), bins differ in size only through ties,
+    * and the whole construction is integer-exact and engine-replayable.
+    *
+    * Returns one row per bin: (bin, n_rows, min_v, max_v, avg_v) with
+    * avg as an exact DECIMAL sum divided once, rounded at 6 dp.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 1, "nBins must be > 1")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val counts = df.filter(v.isNotNull).groupBy(v.as("v"))
+      .agg(count(lit(1)).as("n"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edges = counts
+      .withColumn("cum", sum("n").over(cum))
+      .withColumn("tot", sum("n").over(Window.partitionBy()))
+      .select(col("v"), col("cum"), col("tot"))
+      .join(broadcast(df.sparkSession.range(1, nBins).select(col("id").as("i"))),
+        col("cum") * nBins >= col("i") * col("tot"))
+      .groupBy("i").agg(min("v").as("edge"))
+      .select("edge")
+    val edgeList = array_sort(collect_list("edge"))
+    val edgeDf = edges.agg(edgeList.as("_edges"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(edgeDf))
+      .withColumn("bin",
+        aggregate(col("_edges"), lit(0),
+          (acc, e) => acc + when(v > e, 1).otherwise(0)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"),
+        round(sum(v.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+          .as("avg_v"))
+  }
 }

@@ -160,6 +160,70 @@ object Sampling {
       .drop("_pid")
   }
 
+  /** Per-domain token-budget cap: within EACH domain, rank by
+    * (`scoreCol` desc, `idCol` asc) and keep every row whose running
+    * domain-local token total (including itself) stays within `budget`.
+    * The mixture-construction primitive ("at most N tokens per source,
+    * best quality first") that follows [[temperatureWeights]] when the
+    * budget is expressed in tokens rather than rows.
+    *
+    * Scale shape — the [[tokenBudgetSelect]] distributed prefix sum
+    * generalized to composite keys, NOT a `Window.partitionBy(domain)`
+    * (which would sort an entire domain in ONE task — a 20 TB web crawl
+    * domain kills that plan): rows range-partition on
+    * (domain, score desc, id), so a domain occupies a contiguous run of
+    * partitions; each partition computes its per-(domain, partition)
+    * local running sums in a within-partition window; the
+    * (domain, partition) totals — bounded by nDomains × nPartitions
+    * rows — come to the driver, fold into per-domain exclusive offsets,
+    * and broadcast back as a tiny join. Two passes, no monster-group
+    * sort, driver state = one long per (domain, partition) pair.
+    * Integer token counts keep the running totals exact and replayable.
+    */
+  def domainBudgetSelect(df: DataFrame, domainCol: String, idCol: String,
+                         scoreCol: String, tokensCol: String, budget: Long,
+                         nPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = if (nPartitions > 0) nPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(n, col(domainCol).asc, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+    // pass 1: per-(domain, partition) totals -> per-domain exclusive
+    // offsets in partition order (partition ids follow the domain's rank
+    // order BY CONSTRUCTION of the range exchange)
+    val totals = parted.groupBy(col(domainCol), col("_pid"))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect()
+      .map(r => (r.get(0), r.getAs[Int]("_pid"), r.getAs[Long]("_t")))
+    val offRows = totals.groupBy(_._1).toSeq.flatMap { case (dom, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zip(ordered.scanLeft(0L)(_ + _._3).init).map {
+        case ((_, pid, _), off) => org.apache.spark.sql.Row(dom, pid, off)
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_dom", df.schema(domainCol).dataType),
+      org.apache.spark.sql.types.StructField("_opid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    // pass 2: domain-local running sum within the partition + broadcast
+    // offset = domain-global prefix sum
+    val w = Window.partitionBy(col(domainCol), col("_pid"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offDf),
+        col(domainCol) === col("_dom") && col("_pid") === col("_opid"))
+      .withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(w) + col("_off"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_pid", "_dom", "_opid", "_off")
+  }
+
   /** Temperature-based source mixing (the multi-corpus reweighting used
     * for LLM training mixtures): per-domain weight w_d ∝ n_d^alpha,
     * normalized. alpha = 1 keeps natural proportions, alpha -> 0

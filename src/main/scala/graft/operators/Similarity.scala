@@ -128,6 +128,62 @@ object Similarity {
       .select("query_id", "rank", "negative_id", "cosine")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` items maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected — the
+    * diversity-aware curation step that a pure top-k-by-quality
+    * selection lacks (top-k from a near-duplicate-heavy corpus returns
+    * k copies of the same document; MMR returns one per neighborhood).
+    *
+    * Scale shape: the greedy recurrence is inherently sequential in k,
+    * so the DISTRIBUTED stage is the candidate pre-filter — the
+    * `candidateN` most-relevant rows via per-partition top-k merge
+    * (TakeOrderedAndProject: no global sort, O(candidateN) driver
+    * memory), exactly the industry pattern (rerank a bounded candidate
+    * pool, never the corpus). The greedy loop then runs driver-side on
+    * the bounded pool: O(k · candidateN) kernel evaluations on
+    * model-sized data. Ties break to the lowest id; `mmr_score` is
+    * rounded at 6 dp (cosine is the only non-exact input).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String, relCol: String,
+                k: Int, lambda: Double, candidateN: Int = 256): DataFrame = {
+    require(k > 0 && candidateN >= k, "need k > 0 and candidateN >= k")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    val spark = df.sparkSession
+    val cands = df
+      .select(col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+        asDouble(col(vecCol)).as("v"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(candidateN)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        normalized(r.getSeq[Double](2).toArray)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim = if (selVecs.isEmpty) 0.0
+          else selVecs.map(s => s.indices.foldLeft(0.0)((a, i) => a + s(i) * v(i))).max
+        (id, rel, lambda * rel - (1 - lambda) * maxSim)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += best
+      selVecs += remaining(best._1)._3
+      remaining.remove(best._1)
+    }
+    val rows = selected.zipWithIndex.map { case ((id, rel, score), i) =>
+      org.apache.spark.sql.Row(i + 1, id, rel,
+        BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(relCol, org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_score", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Near-duplicate pairs by cosine within equality blocks (IVF-style:
     * `blockCol` is a precomputed cluster/partition assignment). Only
     * within-block pairs are materialized.

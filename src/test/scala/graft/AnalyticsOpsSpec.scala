@@ -481,3 +481,81 @@ class BloomPruneSpec extends SparkSpecBase {
     assert(candN < bigN)            // it actually pruned
   }
 }
+
+class CumulativeDistinctSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ev = Seq(
+    (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-02 10:00:00", "a"),
+    (2L, "2024-01-02 10:00:00", "a"), (3L, "2024-01-03 10:00:00", "b"),
+    (1L, "2024-01-03 10:00:00", "b"), (2L, "2024-01-03 12:00:00", "a")
+  ).toDF("user_id", "ts", "seg").withColumn("ts", col("ts").cast("timestamp"))
+
+  test("cumulative distinct equals brute-force prefix countDistinct") {
+    val got = EventAnalytics.cumulativeDistinctDaily(ev)
+      .select("day", "new_users", "cum_users")
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.toString).toSeq
+    assert(got.map(r => (r._1.toString, r._2, r._3)) ==
+      Seq(("2024-01-01", 1L, 1L), ("2024-01-02", 1L, 2L), ("2024-01-03", 1L, 3L)))
+    // brute force: distinct users up to each day
+    for ((d, _, cum) <- got) {
+      val brute = ev.filter(to_date($"ts") <= lit(d)).select("user_id")
+        .distinct().count()
+      assert(brute == cum, s"day $d")
+    }
+  }
+
+  test("segmented variant keys first-appearance per segment") {
+    val got = EventAnalytics
+      .cumulativeDistinctDaily(ev, segmentCols = Seq("seg"))
+      .select("seg", "day", "cum_users")
+      .as[(String, java.sql.Date, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3)).sortBy(t => (t._1, t._2)).toSeq
+    // only days with NEW users in the segment emit a row (the curve's
+    // support — flat days carry no information and are reconstructible)
+    assert(got == Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("b", "2024-01-03", 2L)))
+  }
+}
+
+class RobustOutliersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("robust z-score flags the planted spike; MAD ignores it") {
+    // 99 values in [0, 10] plus one wild spike: mean/stddev would be
+    // dragged; median/MAD must not be
+    val vals = (1 to 99).map(i => ("g", i.toLong, (i % 11).toDouble)) :+
+      (("g", 100L, 1e6))
+    val out = EventAnalytics.robustOutliers(
+        vals.toDF("g", "id", "v"), "g", "v", 3.5)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(100L))
+    assert((1 to 99).forall(i => !out(i.toLong)))
+  }
+
+  test("constant groups (MAD = 0) flag nothing") {
+    val df = (1 to 10).map(i => ("c", i.toLong, 5.0)).toDF("g", "id", "v")
+    val out = EventAnalytics.robustOutliers(df, "g", "v", 3.5)
+    assert(out.filter($"is_outlier").count() == 0)
+    assert(out.count() == 10)
+  }
+}
+
+class DriftLocalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bucketed drift counts reconstruct the total and localize the run") {
+    import graft.sources.MemorySide
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val s1 = MemorySide("db1", Map("lineitem" -> li.filter("l_orderkey % 97 != 0")))
+    val s2 = MemorySide("db2", Map("lineitem" -> li.filter("l_orderkey % 89 != 0")))
+    val c = new graft.operators.DriftCompare(spark, s1, s2)
+    val drift = c.dataDrift("lineitem").get
+    val loc = c.driftLocalize(drift, "l_orderkey", 500L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(loc.map(_._3).sum == drift.count())
+    // buckets are aligned and nonnegative-count
+    assert(loc.forall(r => r._1 % 500L == 0 && r._3 > 0))
+  }
+}

@@ -174,3 +174,143 @@ class ExportSpec extends SparkSpecBase {
     manifest.unpersist()
   }
 }
+
+class DomainBudgetSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("domainBudgetSelect caps each domain independently, best-first") {
+    val df = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 40L), ("a", 4L, 10L),
+      ("b", 5L, 100L), ("b", 6L, 90L), ("b", 7L, 5L)
+    ).toDF("dom", "id", "tok")
+    val out = Sampling.domainBudgetSelect(df, "dom", "id", "tok", "tok", 100L)
+      .select("dom", "id", "cum_tokens").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // domain a: 60, 60+50=110 > 100 stops after the first; domain b: 100
+    assert(out == Seq(("a", 1L, 60L), ("b", 5L, 100L)))
+  }
+
+  test("domainBudgetSelect matches the single-window formulation on sf data") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("source", "doc_id", "n_chars")
+    val got = Sampling.domainBudgetSelect(docs, "source", "doc_id",
+        "n_chars", "n_chars", 2000L)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = docs.withColumn("cum_tokens", sum(col("n_chars")).over(w))
+      .filter(col("cum_tokens") <= 2000L)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("domainBudgetSelect survives more partitions than rows") {
+    val df = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("dom", "id", "tok")
+    val out = Sampling.domainBudgetSelect(df, "dom", "id", "tok", "tok",
+        100L, nPartitions = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+}
+
+class SurvivorshipSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // near-dup cluster {1, 2}: 2 is longer -> 2 must survive
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 70L),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today again", 76L),
+    // exact-dup cluster {3, 4}: equal score -> tie to the lower id
+    (3L, "completely different content about spark catalyst optimizer internals", 70L),
+    (4L, "completely different content about spark catalyst optimizer internals", 70L),
+    // singleton
+    (5L, "yet another unrelated string talking about minhash lsh banding theory", 69L)
+  ).toDF("doc_id", "text", "score")
+
+  test("survivorship keeps the best-scored member; component stays min id") {
+    val out = Dedup.survivorshipDedup(docs, "text", "doc_id", "score", 0.5)
+      .select("component", "cluster_size", "rep_id", "rep_score")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 2L, 76L), (3L, 2L, 3L, 70L), (5L, 1L, 5L, 69L)))
+  }
+
+  test("null-text docs survive as their own singleton clusters") {
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String], 1L)).toDF("doc_id", "text", "score"))
+    val out = Dedup.survivorshipDedup(withNull, "text", "doc_id", "score", 0.5)
+      .filter($"component" === 9L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((9L, 1L, 9L, 1L)))
+  }
+
+  test("min-id and best-score policies agree on cluster membership") {
+    val d = Tables.t(spark, sfDir, "documents")
+    val classic = Dedup.dedupCorpus(d, "text", "doc_id", 0.5)
+      .select("component").as[Long].collect().toSet
+    val surv = Dedup.survivorshipDedup(d, "text", "doc_id", "n_chars", 0.5)
+      .select("component").as[Long].collect().toSet
+    assert(classic == surv)
+  }
+}
+
+class QuantileBinsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("uniform values bin into equal deciles") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("v")
+    val out = graft.operators.Profile.quantileBins(df, "v", 10)
+      .select("bin", "n_rows", "min_v", "max_v")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.size == 10)
+    assert(out.forall(_._2 == 10L))
+    assert(out.head == ((0, 10L, 1L, 10L)))
+    assert(out.last == ((9, 10L, 91L, 100L)))
+  }
+
+  test("equal values always land in the same bin (unlike ntile)") {
+    val df = (1 to 100).map(i => Tuple1(if (i <= 60) 5L else i.toLong)).toDF("v")
+    val bins = graft.operators.Profile.quantileBins(df, "v", 10)
+      .filter($"min_v" <= 5L && $"max_v" >= 5L).count()
+    assert(bins == 1L) // the 60-copy value occupies exactly one bin
+  }
+}
+
+class MmrSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 8 points, 2 exact one-hot clusters (ids 0-3 cluster 0, 4-7 cluster 1),
+  // relevance decreasing in id
+  private def pts = (0L to 7L).map { i =>
+    val v = Array.fill(4)(0.0); v((i / 4).toInt) = 10.0
+    (i, v.toSeq, 1.0 - 0.001 * i)
+  }.toDF("id", "v", "rel")
+
+  test("mmr alternates clusters before falling back to relevance") {
+    val got = graft.operators.Similarity
+      .mmrSelect(pts, "id", "v", "rel", 4, 0.7, 8)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    // pick 0 (top rel), then 4 (other cluster), then 1, 2 by relevance
+    assert(got == Seq((1, 0L), (2, 4L), (3, 1L), (4, 2L)))
+  }
+
+  test("lambda = 1 reduces MMR to pure relevance order") {
+    val got = graft.operators.Similarity
+      .mmrSelect(pts, "id", "v", "rel", 4, 1.0, 8)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("candidate pre-filter bounds the pool") {
+    val got = graft.operators.Similarity
+      .mmrSelect(pts, "id", "v", "rel", 4, 0.7, 4)
+      .select("id").as[Long].collect().toSeq
+    // pool = ids 0..3 (top-4 by relevance, all one cluster): after 0,
+    // every remaining candidate is penalized equally -> relevance order
+    assert(got == Seq(0L, 1L, 2L, 3L))
+  }
+}

@@ -412,6 +412,56 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
       s"expected an equi-join probe on cell:\n$p")
   }
+
+  test("domainBudgetSelect: partition-local windows over one range exchange; offsets broadcast") {
+    val docs = spark.range(2000).select(($"id" % 5).cast("string").as("dom"),
+      $"id", ($"id" % 97).as("score"), ($"id" % 13 + 1).as("tokens"))
+    val p = planOf(graft.operators.Sampling.domainBudgetSelect(
+      docs, "dom", "id", "score", "tokens", 500L, nPartitions = 8))
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected a range exchange:\n$p")
+    // every window is (dom, _pid)-partitioned — never a whole-domain
+    // (or global) single-task window
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("_pid"), s"per-domain (or global) window found: $l\n$p")
+    }
+    // the offset table attaches as a broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast offset join:\n$p")
+  }
+
+  test("quantileBins: edge derivation shuffles only the bounded distinct-value set; assignment broadcasts") {
+    val docs = spark.range(100000).select(($"id" % 37).as("v"))
+    val binned = graft.operators.Profile.quantileBins(docs, "v", 10)
+    val p = finalPlanOf(binned)
+    // the data-sized scans never range- or global-sort
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no global sort anywhere:\n$p")
+    // the edge list reaches the assignment pass as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast edge list:\n$p")
+  }
+
+  test("cumulativeDistinctDaily: map-side-combined user agg; window runs over the day-bounded set") {
+    val ev = spark.range(50000).select(($"id" % 997).as("user_id"),
+      ($"id" * 60000000L).cast("timestamp").as("ts"))
+    val p = planOf(graft.operators.EventAnalytics.cumulativeDistinctDaily(ev))
+    // partial+final aggregate pairs around the exchanges (no raw-row shuffle
+    // of the event table: the (user) agg combines map-side first)
+    assert(p.split("HashAggregate").length >= 5, s"expected partial+final aggs:\n$p")
+    // exactly two hash exchanges: user-keyed then day-keyed
+    assert(p.split("Exchange hashpartitioning").length == 3,
+      s"expected exactly two hash exchanges:\n$p")
+  }
+
+  test("survivorship argmax is a hash aggregation, never a window over skewed clusters") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+      .withColumn("score", length($"text").cast("long"))
+    val p = planOf(graft.operators.Dedup.survivorshipDedup(
+      docs, "text", "doc_id", "score", 0.5))
+    val reps = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(reps.isEmpty, s"expected no window in survivorship plan:\n${reps.mkString("\n")}")
+  }
 }
 
 /** AQE's runtime skew-join split — the complement to the manual salting
