@@ -2174,6 +2174,28 @@ object SparkEntry {
         .orderBy("bucket_lo", "observed_in")
     }),
 
+    // ---- incremental aggregate maintenance: a pre-1997 snapshot merged
+    //      with the 1997+ delta must equal the from-scratch rollup
+    //      (decimal sums make the equality exact, not approximate);
+    //      delta-sized work at 100 TB, never a historical rescan ----
+    "q_incremental_agg" -> ((s, dir) => {
+      import IncrementalAgg.Spec
+      val specs = Seq(Spec("count", "", "n_orders"),
+        Spec("sum", "o_totalprice", "sum_price"),
+        Spec("min", "o_orderdate", "first_order"),
+        Spec("max", "o_orderdate", "last_order"))
+      val o = t(s, dir, "orders")
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val snap = IncrementalAgg.aggregate(
+        o.filter(col("o_orderdate") < cutoff), Seq("o_custkey"), specs)
+      IncrementalAgg.merge(snap, o.filter(col("o_orderdate") >= cutoff),
+          Seq("o_custkey"), specs)
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- MMR diversity selection, planted gate: 16 candidates in 4
     //      exact one-hot clusters (cluster = vec_id div 4), relevance
     //      1 - 0.001*id. With lambda=0.7 the greedy provably picks
@@ -4591,6 +4613,14 @@ object SparkEntry {
         |  SELECT l_orderkey - l_orderkey % 1000, 'db2' FROM d2) u
         |GROUP BY bucket_lo, observed_in
         |ORDER BY bucket_lo, observed_in""".stripMargin,
+
+    // incremental-merge truth: the from-scratch rollup — the merge of
+    // snapshot + delta must reproduce it exactly (decimal sums)
+    "q_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // MMR planted truth, derived by hand from the fixture (see the
     // query comment): lambda*rel dominates until each exact one-hot

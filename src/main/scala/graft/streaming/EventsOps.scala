@@ -38,6 +38,35 @@ object EventsOps {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Streaming twin of
+    * [[graft.operators.EventAnalytics.cumulativeDistinctDaily]]'s
+    * per-day NEW-user counts: `dropDuplicatesWithinWatermark` on
+    * (segments, user) keeps each user's first arrival (on an in-order
+    * stream, their true first event), and a daily tumbling-window count
+    * over the survivors emits (window day, segments, new_users) as the
+    * watermark closes each day. Two chained stateful operators — dedup
+    * state is one entry per user inside the watermark horizon, window
+    * state one row per (day, segment): both bounded, both finalized.
+    * The cumulative series is the consumer-side running sum of the
+    * emitted days (a monotone fold the sink can do, exactly like the
+    * batch twin's day-bounded window).
+    */
+  def streamingNewUsers(events: DataFrame, lateness: String = "1 day",
+                        userCol: String = "user_id",
+                        segmentCols: Seq[String] = Nil): DataFrame = {
+    val cols = segmentCols :+ userCol
+    val deduped = events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+    // group by the WINDOW STRUCT: projecting .start inside the groupBy
+    // strips the event-time metadata the chained-stateful checker needs
+    // (the upstream watermark itself propagates through the dedup)
+    deduped
+      .groupBy(window(col("ts"), "1 day") +: segmentCols.map(col): _*)
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("window").getField("start").as("day") +:
+        segmentCols.map(col) :+ col("new_users"): _*)
+  }
+
   /** Watermarked streaming variant: tolerates `lateness` of out-of-order
     * data, emits finalized windows. Same aggregation semantics as
     * [[hourlyCounts]].

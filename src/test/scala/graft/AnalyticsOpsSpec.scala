@@ -559,3 +559,57 @@ class DriftLocalizeSpec extends SparkSpecBase {
     assert(loc.forall(r => r._1 % 500L == 0 && r._3 > 0))
   }
 }
+
+class IncrementalAggSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.IncrementalAgg
+  import graft.operators.IncrementalAgg.Spec
+
+  private val specs = Seq(Spec("count", "", "n"), Spec("sum", "v", "sv"),
+    Spec("min", "v", "mn"), Spec("max", "v", "mx"))
+
+  private def rows(ids: Range) =
+    ids.map(i => ((i % 7).toLong, i * 1.01)).toDF("k", "v")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("k"), col("n").cast("long"), col("sv").cast("decimal(38,2)"),
+      col("mn"), col("mx"))
+    .as[(Long, Long, BigDecimal, Double, Double)].collect().sortBy(_._1).toSeq
+
+  test("merge(aggregate(a), b) == aggregate(a ++ b), exactly") {
+    val a = rows(1 to 400)
+    val b = rows(401 to 1000)
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.aggregate(a, Seq("k"), specs), b, Seq("k"), specs)
+    val full = IncrementalAgg.aggregate(rows(1 to 1000), Seq("k"), specs)
+    assert(canon(merged) == canon(full))
+  }
+
+  test("merge chains associatively: ((s+d1)+d2) == aggregate(all)") {
+    val s0 = IncrementalAgg.aggregate(rows(1 to 300), Seq("k"), specs)
+    val s1 = IncrementalAgg.merge(s0, rows(301 to 600), Seq("k"), specs)
+    val s2 = IncrementalAgg.merge(s1, rows(601 to 900), Seq("k"), specs)
+    val full = IncrementalAgg.aggregate(rows(1 to 900), Seq("k"), specs)
+    assert(canon(s2) == canon(full))
+  }
+
+  test("a delta with NEW keys lands in the merged snapshot") {
+    val snap = IncrementalAgg.aggregate(
+      Seq((1L, 2.0)).toDF("k", "v"), Seq("k"), specs)
+    val merged = IncrementalAgg.merge(snap,
+      Seq((9L, 5.0)).toDF("k", "v"), Seq("k"), specs)
+    assert(merged.count() == 2)
+    assert(merged.filter($"k" === 9L).select($"n".cast("long"))
+      .as[Long].collect().head == 1L)
+  }
+
+  test("merge round-trips through parquet (snapshot persistence)") {
+    val p = java.nio.file.Files.createTempDirectory("incr").toString
+    IncrementalAgg.aggregate(rows(1 to 500), Seq("k"), specs)
+      .write.mode("overwrite").parquet(p)
+    val merged = IncrementalAgg.merge(spark.read.parquet(p),
+      rows(501 to 1000), Seq("k"), specs)
+    val full = IncrementalAgg.aggregate(rows(1 to 1000), Seq("k"), specs)
+    assert(canon(merged) == canon(full))
+  }
+}

@@ -286,6 +286,45 @@ class StreamingHeavyHittersSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingNewUsers matches the batch first-appearance counts on an in-order stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.EventsOps
+      .streamingNewUsers(events, lateness = "1 hour")
+      .writeStream.format("memory").queryName("new_users_twin")
+      .outputMode("append").start()
+    val batchRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp)]
+    try {
+      val b1 = Seq(
+        (1L, ts("2024-01-01 08:00:00")), (2L, ts("2024-01-01 09:00:00")),
+        (1L, ts("2024-01-01 10:00:00")))                    // repeat: not new
+      val b2 = Seq(
+        (3L, ts("2024-01-02 08:00:00")),                    // new on day 2
+        (2L, ts("2024-01-02 09:00:00")),                    // repeat across days
+        (4L, ts("2024-01-02 10:00:00")))
+      val closer = Seq((4L, ts("2024-01-03 13:00:00")))     // advances watermark
+      batchRows ++= b1 ++= b2 ++= closer
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(closer: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT CAST(day AS DATE) AS day, new_users FROM new_users_twin")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // batch twin on the same rows (closed days only: 01-01 and 01-02)
+      import spark.implicits._
+      val batch = graft.operators.EventAnalytics
+        .cumulativeDistinctDaily(batchRows.toSeq.toDF("user_id", "ts"))
+        .select($"day".cast("string"), $"new_users")
+        .as[(String, Long)].collect().toMap
+      assert(got.keySet == Set("2024-01-01", "2024-01-02"), s"got $got")
+      got.foreach { case (d, n) => assert(batch(d) == n, s"day $d: $n vs ${batch(d)}") }
+      // dedup semantics: repeats never recount (user 2 on day 2)
+      assert(got("2024-01-02") == 2L)
+    } finally q.stop()
+  }
+
   test("non-numeric keys are dropped after the long cast instead of NPE-ing the encoder") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
