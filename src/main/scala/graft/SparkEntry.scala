@@ -2174,6 +2174,31 @@ object SparkEntry {
         .orderBy("bucket_lo", "observed_in")
     }),
 
+    // ---- column-level drift triage: WHICH columns carry the change —
+    //      rowChanges' full-outer join folded to one row per column
+    //      (sum-of-case, no explode; output bounded by column count).
+    //      Sides: quantity mutated on %17 keys, discount on %23 ----
+    "q_column_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldDf = o.filter(col("o_orderkey") % 59 =!= 0)
+      val newDf = o.filter(col("o_orderkey") % 53 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 23 === 0, lit("X-DRIFTED"))
+            .otherwise(col("o_orderpriority")))
+      ChangeCapture.columnDriftProfile(oldDf, newDf, "o_orderkey")
+        .orderBy("column")
+    }),
+
+    // ---- dwell-time profile: session-capped gap to the user's next
+    //      event, per event type; integer-micros arithmetic so mean and
+    //      interpolated p50 replay exactly ----
+    "q_dwell_time" -> ((s, dir) =>
+      EventAnalytics.dwellTimes(Tables.events(s, dir), 30)
+        .orderBy("event_type")),
+
     // ---- incremental aggregate maintenance: a pre-1997 snapshot merged
     //      with the 1997+ delta must equal the from-scratch rollup
     //      (decimal sums make the equality exact, not approximate);
@@ -4613,6 +4638,48 @@ object SparkEntry {
         |  SELECT l_orderkey - l_orderkey % 1000, 'db2' FROM d2) u
         |GROUP BY bucket_lo, observed_in
         |ORDER BY bucket_lo, observed_in""".stripMargin,
+
+    // column-drift truth: per-column null-safe comparisons over the
+    // key-matched join, summed to one row per drifting column
+    "q_column_drift" ->
+      """WITH old AS (SELECT o_orderkey AS pk, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 59 <> 0),
+        |new AS (SELECT o_orderkey AS pk,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 100.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 23 = 0 THEN 'X-DRIFTED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 53 <> 0),
+        |j AS (SELECT old.o_totalprice AS p1, new.o_totalprice AS p2,
+        |    old.o_orderpriority AS r1, new.o_orderpriority AS r2
+        |  FROM old JOIN new USING (pk))
+        |SELECT "column", n_rows FROM (
+        |  SELECT '(added rows)' AS "column", CAST((SELECT count(*) FROM new
+        |    WHERE pk NOT IN (SELECT pk FROM old)) AS BIGINT) AS n_rows
+        |  UNION ALL
+        |  SELECT '(removed rows)', CAST((SELECT count(*) FROM old
+        |    WHERE pk NOT IN (SELECT pk FROM new)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(sum(CASE WHEN p1 IS DISTINCT FROM p2
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(sum(CASE WHEN r1 IS DISTINCT FROM r2
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM j) u
+        |WHERE n_rows > 0 ORDER BY "column"""".stripMargin,
+
+    // dwell truth: identical lead-gap window in integer epoch-micros;
+    // mean and interpolated median rounded with the same op order
+    "q_dwell_time" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT event_type,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS gap_us FROM ev),
+        |f AS (SELECT * FROM g WHERE gap_us IS NOT NULL AND gap_us <= 1800000000)
+        |SELECT event_type, count(*) AS n_dwells,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_dwell_sec,
+        |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_dwell_sec
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // incremental-merge truth: the from-scratch rollup — the merge of
     // snapshot + delta must reproduce it exactly (decimal sums)

@@ -92,6 +92,38 @@ object ChangeCapture {
     * target — the reason this beats the full-outer-join formulation,
     * which would exchange the entire target unconditionally.
     */
+  /** Column-level drift profile: which COLUMNS carry the change —
+    * per shared column, how many key-matched rows differ in it, plus
+    * one row each for added/removed key counts. The "what broke in last
+    * night's load" triage view that [[rowChanges]]' per-row output is
+    * too wide to answer at 100 TB: a billion changed rows collapse to
+    * one row per column.
+    *
+    * Shape: the [[rowChanges]] full-outer join (one exchange per side),
+    * then ONE unconditional aggregation — per-column counts come from
+    * `sum(case)` over the diff flags, so no explode, no second pass,
+    * and the output is bounded by column count + 2.
+    */
+  def columnDriftProfile(oldDf: DataFrame, newDf: DataFrame, pk: String): DataFrame = {
+    val changes = rowChanges(oldDf, newDf, pk)
+    val shared = oldDf.columns.filter(c => c != pk && newDf.columns.contains(c)).toSeq
+    val perCol = shared.map(c =>
+      sum(when(array_contains(split(col("changed_cols"), ","), c), 1L)
+        .otherwise(0L)).as(c))
+    val agg = changes.agg(
+      sum(when(col("change_type") === "added", 1L).otherwise(0L)).as("_added"),
+      (sum(when(col("change_type") === "removed", 1L).otherwise(0L)).as("_removed")
+        +: perCol): _*)
+    // unpivot the single summary row into (column, n_rows)
+    val pairs = Seq(("(added rows)", "_added"), ("(removed rows)", "_removed")) ++
+      shared.map(c => (c, c))
+    val stack = explode(array(pairs.map { case (label, c) =>
+      struct(lit(label).as("column"), col(s"`$c`").as("n_rows"))
+    }: _*)).as("kv")
+    agg.select(stack).select(col("kv.column"), col("kv.n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   def mergeInto(target: DataFrame, source: DataFrame, pk: String,
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 verifySourceUnique: Boolean = true,

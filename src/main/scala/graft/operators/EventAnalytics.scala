@@ -87,6 +87,37 @@ object EventAnalytics {
       .groupBy("cohort_day", "week_offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-type dwell-time profile: the gap from each event to the SAME
+    * user's next event, capped at `capMinutes` (a gap past the cap is a
+    * session break, not a dwell), aggregated per event type — how long
+    * users linger after each kind of interaction. Timestamps convert to
+    * integer epoch-micros BEFORE any arithmetic, so sums are exact and
+    * the two rounded outputs (mean, exact interpolated p50) replay
+    * bit-for-bit cross-engine.
+    *
+    * Shape: one user-keyed window (partitioned per user — never
+    * global), then a map-side-combined aggregation to the type-bounded
+    * output. Two shuffles total, both on natural keys.
+    */
+  def dwellTimes(events: DataFrame, capMinutes: Int = 30,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 typeCol: String = "event_type",
+                 idCol: String = "event_id"): DataFrame = {
+    require(capMinutes > 0, "capMinutes must be positive")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_gap_us",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("_gap_us").isNotNull &&
+        col("_gap_us") <= capMinutes * 60L * 1000000L)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_dwells"),
+        round(sum("_gap_us").cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("avg_dwell_sec"),
+        round(expr("percentile(_gap_us, 0.5)") / lit(1e6), 6)
+          .as("p50_dwell_sec"))
+  }
+
   /** Distinct-users-seen-so-far per day, via the first-appearance
     * trick: cumulative distinct count over time is NOT O(days) distinct
     * scans — a user contributes to the cumulative count from their

@@ -613,3 +613,44 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(canon(merged) == canon(full))
   }
 }
+
+class ColumnDriftProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("profile counts per-column diffs plus added/removed keys; clean columns vanish") {
+    val oldDf = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("pk", "s", "v")
+    val newDf = Seq((1L, "a", 9.0), (2L, "B", 9.0), (4L, "d", 4.0))
+      .toDF("pk", "s", "v")
+    val out = ChangeCapture.columnDriftProfile(oldDf, newDf, "pk")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("(added rows)" -> 1L, "(removed rows)" -> 1L,
+      "s" -> 1L, "v" -> 2L))
+  }
+
+  test("identical sides produce an empty profile") {
+    val df = Seq((1L, "a")).toDF("pk", "s")
+    assert(ChangeCapture.columnDriftProfile(df, df, "pk").count() == 0)
+  }
+}
+
+class DwellTimesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dwell is the capped gap to the next event of the SAME user, keyed to the leading type") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 10:00:30")),   // view dwell = 30s
+      (3L, 10L, "buy", ts("2024-01-01 12:00:00")),     // click gap 119.5min > cap: dropped
+      (4L, 20L, "view", ts("2024-01-01 10:00:00")),
+      (5L, 20L, "view", ts("2024-01-01 10:01:00"))     // view dwell = 60s
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.dwellTimes(ev, 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // 'buy' and user 10's 'click' have no in-cap follower; user 20's last view neither
+    assert(got.map(_._1).sorted == Seq("view"))
+    val v = got.head
+    assert(v._2 == 2L && v._3 == 45.0 && v._4 == 45.0) // mean and median of {30, 60}
+  }
+}
