@@ -2237,6 +2237,51 @@ object SparkEntry {
           (lit(1.0) - col("vec_id") * lit(0.001)).as("rel"))
       Similarity.mmrSelect(pts, "vec_id", "v", "rel", 8, 0.7, 16)
         .select("rank", "vec_id")
+    }),
+
+    // ---- BM25 top-k retrieval: posting lists bounded to the query
+    //      terms, broadcast df/corpus stats, TakeOrdered top-k; per-term
+    //      scores rounded 6dp then decimal-summed so partitioning can
+    //      never move a bit ----
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("hash", "join", "spark"), 15)),
+
+    // ---- pairwise Pearson correlation of the lineitem measures in ONE
+    //      scan: decimal-exact moments, model-sized driver math ----
+    "q_corr_matrix" -> ((s, dir) =>
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col1", "col2")),
+
+    // ---- chi-square independence: event_type x epoch-day-of-week
+    //      (integer-derived category, engine-neutral); cell diagnostics
+    //      plus the decimal-summed statistic ----
+    "q_chi2" -> ((s, dir) =>
+      Stats.chiSquare(
+          Tables.events(s, dir).select(col("event_type"),
+            (datediff(to_date(col("ts")), lit("1970-01-01")) % 7).as("dow")),
+          "event_type", "dow")
+        .orderBy("row_val", "col_val")),
+
+    // ---- finite-horizon EWMA per user (one window pass, lag ladder;
+    //      weights embedded as shared shortest-roundtrip literals) ----
+    "q_ewma" -> ((s, dir) =>
+      EventAnalytics.ewmaSmooth(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "value", alpha = 0.3, horizon = 5)
+        .orderBy("event_id")),
+
+    // ---- k-core planted gate: 6-clique with a 19-node chain tail
+    //      (joined at node 5) built from nation keys; the 3-core peels
+    //      the whole chain in one round and keeps exactly the clique ----
+    "q_kcore" -> ((s, dir) => {
+      val ids = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("id"))
+      val a = ids.select(col("id").as("src"))
+      val b = ids.select(col("id").as("dst"))
+      val edges = a.crossJoin(b).filter(
+        (col("src") < 6 && col("dst") < 6 && col("src") < col("dst")) ||
+          (col("src") >= 5 && col("dst") === col("src") + 1))
+      Graph.kCore(edges, k = 3).orderBy("id")
     })
   )
 
@@ -4700,6 +4745,129 @@ object SparkEntry {
         |  (5, CAST(1 AS BIGINT)), (6, CAST(2 AS BIGINT)),
         |  (7, CAST(3 AS BIGINT)), (8, CAST(5 AS BIGINT)))
         |  AS t(rank, vec_id)
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+
+    // BM25 truth: same posting/df/corpus-stat derivation, the per-term
+    // score in the identical fixed op order rounded 6dp, decimal-summed;
+    // k1/b literals interpolated from the SAME Scala doubles the engine
+    // embeds (shortest-roundtrip parse parity)
+    "q_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk
+        |    FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT count(*) AS n, SUM(len(tk)) AS sumdl FROM base),
+        |p0 AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM base),
+        |p AS (SELECT doc_id, dl, term, count(*) AS tf FROM p0
+        |  WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, dl, term),
+        |d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |w AS (SELECT p.doc_id,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${k1 + 1.0}) /
+        |      (tf + $k1 * (1.0 - $b + $b * dl / avgdl)), 6) AS w
+        |  FROM p JOIN d USING (term),
+        |    (SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl FROM st) s)
+        |SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |  count(*) AS n_terms_matched
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    // Pearson truth: decimal-exact moments cast to double once, then the
+    // identical fixed-order double formula per pair, rounded 6dp
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s_e,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS s_t,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS p_qq,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS p_qe,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_qd,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_qt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS p_ee,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_ed,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_et,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_dd,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_dt,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_tt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+        |SELECT col1, col2, n, r FROM (
+        |  SELECT 'l_quantity' AS col1, 'l_extendedprice' AS col2, n,
+        |    round((n * p_qe - s_q * s_e) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_ee - s_e * s_e)), 6) AS r FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    round((n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_dd - s_d * s_d)), 6) FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    round((n * p_qt - s_q * s_t) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    round((n * p_ed - s_e * s_d) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_dd - s_d * s_d)), 6) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    round((n * p_et - s_e * s_t) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    round((n * p_dt - s_d * s_t) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m)
+        |ORDER BY col1, col2""".stripMargin,
+
+    // chi-square truth: same observed-cell / margin / expected / contrib
+    // derivation; the statistic is the exact decimal sum of the rounded
+    // contributions, dof from observed margins
+    "q_chi2" ->
+      """WITH e AS (SELECT event_type AS row_val,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS col_val
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT row_val, col_val, count(*) AS observed
+        |  FROM e GROUP BY row_val, col_val),
+        |rt AS (SELECT row_val, SUM(observed) AS mrt FROM cells GROUP BY row_val),
+        |ct AS (SELECT col_val, SUM(observed) AS mct FROM cells GROUP BY col_val),
+        |tot AS (SELECT SUM(observed) AS n,
+        |    count(DISTINCT row_val) AS nr, count(DISTINCT col_val) AS nc FROM cells),
+        |s AS (SELECT c.row_val, c.col_val, c.observed,
+        |    round(CAST(mrt AS DOUBLE) * mct / n, 6) AS expected, nr, nc
+        |  FROM cells c JOIN rt USING (row_val) JOIN ct USING (col_val), tot),
+        |s2 AS (SELECT *,
+        |    round((observed - expected) * (observed - expected) / expected, 6) AS contrib
+        |  FROM s),
+        |st AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+        |    (max(nr) - 1) * (max(nc) - 1) AS dof FROM s2)
+        |SELECT row_val, col_val, observed, expected, contrib, chi2, dof
+        |FROM s2, st ORDER BY row_val, col_val""".stripMargin,
+
+    // EWMA truth: the same lag ladder with the SAME weight literals
+    // (interpolated from identical Scala doubles), strictly left-assoc
+    // numerator/denominator chains, rounded 6dp
+    "q_ewma" -> {
+      val ew = (0 until 5).map(j => math.pow(1.0 - 0.3, j))
+      val lagsSql = (0 until 5).map {
+        case 0 => "v AS x0"
+        case j => s"lag(v, $j) OVER w AS x$j"
+      }.mkString(", ")
+      val num = (0 until 5)
+        .map(j => s"CASE WHEN x$j IS NOT NULL THEN x$j * ${ew(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until 5)
+        .map(j => s"CASE WHEN x$j IS NOT NULL THEN ${ew(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT event_id, user_id, v, $lagsSql FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, event_id, v AS value,
+        |    $num AS num, $den AS den FROM l)
+        |SELECT user_id, event_id, value,
+        |  CASE WHEN den > 0.0 THEN round(num / den, 6) END AS ewma
+        |FROM f ORDER BY event_id""".stripMargin
+    },
+
+    // k-core planted truth: the 3-core of clique(0..5) + chain tail is
+    // exactly the clique, every member at in-core degree 5
+    "q_kcore" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(5 AS BIGINT)))
+        |  AS t(id, degree)
+        |ORDER BY id""".stripMargin
   )
 }

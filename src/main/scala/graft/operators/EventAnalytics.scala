@@ -477,4 +477,43 @@ object EventAnalytics {
     out.select(col(keyCol), col(idCol), v.as("value"), col("z"),
       (col("z").isNotNull && abs(col("z")) > threshold).as("is_anomaly"))
   }
+
+  /** Finite-horizon exponentially-weighted moving average per key:
+    * ewma(n) = Σ_{j<h} (1−α)^j·x_{n−j} / Σ_{j<h over present rows} (1−α)^j
+    * — the trailing-`horizon` truncation of the classic recursive EWMA,
+    * renormalized over the rows actually present so early rows are
+    * unbiased (pandas `ewm(adjust=True)` over a bounded window). The
+    * smoothing pass behind alerting baselines and rate dashboards.
+    *
+    * Shape: ONE window pass per key (a `lag` ladder of `horizon`
+    * columns over the same frame — one shuffle keyed on `keyCol`, one
+    * in-partition sort, then narrow per-row arithmetic). The recursive
+    * form would need a sequential scan per key; the truncated form is
+    * embarrassingly parallel and differs by at most (1−α)^h·range.
+    *
+    * Engine replay: the weights (1−α)^j are computed ONCE driver-side
+    * and embedded as double literals (both engines parse the shortest
+    * round-trip rendering to the identical double); numerator and
+    * denominator fold strictly left-to-right, so the whole expression
+    * is one fixed sequence of IEEE double ops, rounded at 6 dp.
+    */
+  def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, valueCol: String, alpha: Double = 0.3,
+                 horizon: Int = 5): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(horizon >= 1, "horizon must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val v = col(valueCol).cast("double")
+    val weights = (0 until horizon).map(j => math.pow(1.0 - alpha, j))
+    val lags = (0 until horizon).map(j => if (j == 0) v else lag(v, j).over(w))
+    val num = weights.zip(lags).map { case (wt, x) =>
+      when(x.isNotNull, x * lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = weights.zip(lags).map { case (wt, x) =>
+      when(x.isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events
+      .withColumn("ewma", when(den > lit(0.0), round(num / den, 6)))
+      .select(col(keyCol), col(idCol), v.as("value"), col("ewma"))
+  }
 }

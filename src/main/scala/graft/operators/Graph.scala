@@ -107,4 +107,52 @@ object Graph {
     tris.select(explode(array(col("a"), col("w1"), col("w2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every vertex has degree ≥ k, computed by the standard iterative
+    * peel — drop sub-k vertices, recompute degrees, repeat to fixpoint.
+    * The dense-community extractor (spam rings, citation cores,
+    * coordinated-account detection). Returns (id, degree) of surviving
+    * vertices with their degree INSIDE the core.
+    *
+    * Shape: each round is one degree aggregation plus two semi-joins
+    * filtering the edge list — all keyed on vertex id, so the
+    * partitioning is reused round to round; the edge list only ever
+    * SHRINKS. Same loop discipline as [[pageRank]]: the new edge set is
+    * `localCheckpoint`ed (flat lineage) and the previous round's cache
+    * dropped; the only driver value per round is the surviving-edge
+    * count (the fixpoint test). Peeling converges in at most
+    * `maxIter` rounds; the cap guards pathological chains (a path graph
+    * peels one layer per round) — the classic distributed k-core bound.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val und = edges.select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = und.localCheckpoint(eager = true)
+    var n = e.count()
+    var it = 0
+    var converged = n == 0L
+    while (!converged && it < maxIter) {
+      val deg = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = e
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      val m = next.count()
+      unpersistCheckpoint(e)
+      converged = m == n
+      e = next
+      n = m
+      it += 1
+    }
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
 }

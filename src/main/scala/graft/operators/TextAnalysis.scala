@@ -706,6 +706,59 @@ object TextAnalysis {
       .select("src1", "src2", "shared_grams", "n1", "n2", "overlap")
   }
 
+  /** BM25 top-`k` retrieval (Robertson/Spärck Jones; the Lucene-style
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf, which is always
+    * non-negative) of `queryTerms` against the corpus — the retrieval
+    * primitive behind dataset search and RAG-style corpus probes.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale design: the scan explodes tokens but filters to the query
+    * terms IMMEDIATELY (predicate on the generator output), so the
+    * shuffled posting volume is bounded by matches, not corpus tokens;
+    * df per query term falls out of the same posting aggregate; corpus
+    * stats (N, Σdl) are one 1-row aggregate broadcast back; and the
+    * top-k runs as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Nothing driver-side beyond the k result rows.
+    *
+    * Engine replay: dl and tf are integers, avgdl = Σdl/N is one exact
+    * long-over-long double division, the per-term score is one fixed
+    * double expression rounded at 6 dp, and the document score is the
+    * EXACT decimal sum of those rounded per-term scores — summation
+    * order (partitioning) cannot change a bit. Null texts are excluded
+    * from the corpus (N counts only non-null documents).
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+    val stats = base.agg(count(lit(1)).as("_n"), sum(size(col("_tk"))).as("_sumdl"))
+    val postings = base
+      .select(col(idCol), size(col("_tk")).as("dl"), explode(col("_tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sumdl").cast("double") / col("_n"))
+      .withColumn("_w", round(
+        log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))),
+        6))
+      .groupBy(col(idCol))
+      .agg(sum(col("_w").cast("decimal(18,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     val grams = sequence(lit(0), greatest(length(text) - k, lit(0)) - 1)
     val hashes = transform(grams, i => xxhash64(text.substr(i + lit(1), lit(k))))

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, Graph, Stats, TextAnalysis}
+
+/** Kernel invariants for the round-10 statistics/retrieval additions:
+  * corrMatrix against closed-form fixtures, chiSquare on a constructed
+  * independent table, BM25 ranking laws, EWMA against the recursive
+  * reference computed driver-side, and k-core peeling on a known graph.
+  */
+class StatsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("corrMatrix: exact ±1 on linear columns, ~0 on orthogonal, null on constant") {
+    val df = Seq.tabulate(100)(i => (i.toDouble, 2.0 * i + 3.0, -1.5 * i, 7.0))
+      .toDF("x", "y_pos", "y_neg", "c")
+    val out = Stats.corrMatrix(df, Seq("x", "y_pos", "y_neg", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("x", "y_pos")).getDouble(3) == 1.0)
+    assert(out(("x", "y_neg")).getDouble(3) == -1.0)
+    assert(out(("x", "c")).isNullAt(3)) // zero variance
+    assert(out.values.forall(_.getLong(2) == 100L))
+  }
+
+  test("corrMatrix drops rows with any null (listwise deletion)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 1.0), (2.0, 2.0), (3.0, null), (null, 4.0), (5.0, 5.0))
+      .toDF("a", "b")
+    val row = Stats.corrMatrix(df, Seq("a", "b")).head()
+    assert(row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 1.0)
+  }
+
+  test("chiSquare: exactly independent table gives chi2 = 0, dof = (R-1)(C-1)") {
+    // perfect independence: every (r, c) cell has count r_weight * c_weight
+    val rows = for {
+      r <- Seq("a", "b"); c <- Seq("x", "y", "z")
+      w = (if (r == "a") 2 else 3) * (if (c == "x") 1 else 2)
+      _ <- 0 until w
+    } yield (r, c)
+    val out = Stats.chiSquare(rows.toDF("r", "c"), "r", "c").collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Double]("contrib") == 0.0))
+    assert(out.forall(_.getAs[Double]("chi2") == 0.0))
+    assert(out.forall(_.getAs[Long]("dof") == 2L))
+    // observed margins recompose: sum of observed = table size
+    assert(out.map(_.getAs[Long]("observed")).sum == rows.size)
+  }
+
+  test("bm25: higher tf wins at equal length; rarer term outweighs common term") {
+    val docs = Seq(
+      (1L, "cat cat dog bird fish"), // tf(cat)=2
+      (2L, "cat dog bird fish mouse"), // tf(cat)=1
+      (3L, "dog bird fish mouse wolf"),
+      (4L, "rare dog bird fish mouse"), // only doc with 'rare'
+      (5L, "dog dog dog dog dog")).toDF("doc_id", "text")
+    val byId = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("cat"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.keySet == Set(1L, 2L))
+    assert(byId(1L) > byId(2L)) // tf monotonicity at equal dl
+    // 'rare' (df=1) must contribute a larger single-term score than
+    // 'dog' (df=5) at equal tf and dl
+    val rare = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("rare"), 10)
+      .head().getDouble(1)
+    val common = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("dog"), 10)
+      .collect().map(r => r.getDouble(1)).max
+    assert(rare > common)
+  }
+
+  test("ewma matches the driver-side truncated-window reference") {
+    val alpha = 0.3; val h = 5
+    val events = Seq.tabulate(40) { i =>
+      (i.toLong, i.toLong % 3, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        math.sin(i.toDouble) * 10.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics.ewmaSmooth(events, "user_id", "ts", "event_id",
+        "value", alpha, h)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // reference: per key, sliding dot with weights (1-a)^j over present rows
+    val w = (0 until h).map(j => math.pow(1.0 - alpha, j))
+    val byKey = (0L until 3L).map { k =>
+      k -> (0 until 40).filter(_ % 3 == k).map(i => (i.toLong, math.sin(i) * 10.0))
+    }.toMap
+    for ((k, xs) <- byKey; idx <- xs.indices) {
+      val window = (0 until h).flatMap { j =>
+        if (idx - j >= 0) Some((w(j), xs(idx - j)._2)) else None
+      }
+      val expect = window.map { case (wt, x) => x * wt }.sum /
+        window.map(_._1).sum
+      val got1 = got(xs(idx)._1)
+      assert(math.abs(got1 - expect) < 1e-6,
+        s"key $k idx $idx: got $got1 expect $expect")
+    }
+  }
+
+  test("kCore peels a chain completely and keeps a clique; empty below k") {
+    // 4-clique {0,1,2,3} plus chain 3-4-5-6
+    val edges = (for { i <- 0 to 3; j <- (i + 1) to 3 } yield (i.toLong, j.toLong))
+      .++(Seq((3L, 4L), (4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = Graph.kCore(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.keySet == Set(0L, 1L, 2L, 3L))
+    assert(core3.values.forall(_ == 3L))
+    assert(Graph.kCore(edges, 4).isEmpty)
+    // k=2: the chain still peels (endpoints have degree 1, repeatedly)
+    assert(Graph.kCore(edges, 2).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+  }
+}
