@@ -2282,7 +2282,22 @@ object SparkEntry {
         (col("src") < 6 && col("dst") < 6 && col("src") < col("dst")) ||
           (col("src") >= 5 && col("dst") === col("src") + 1))
       Graph.kCore(edges, k = 3).orderBy("id")
-    })
+    }),
+
+    // ---- Welch unequal-variance t-test between every event-type pair:
+    //      exact limb-sum moments in one grouped scan, bounded group
+    //      table to the driver, fixed-order double t/df mirrored by the
+    //      oracle ----
+    "q_welch_t" -> ((s, dir) =>
+      Stats.welchT(Tables.events(s, dir), "event_type", "value")
+        .orderBy("g1", "g2")),
+
+    // ---- key-skew profile of the event user distribution: top-20
+    //      heavy keys + decimal-summed Shannon entropy; every stage
+    //      after the first runs on the key-count table ----
+    "q_key_skew" -> ((s, dir) =>
+      Profile.keySkew(Tables.events(s, dir), "user_id", 20)
+        .orderBy(col("cnt").desc, col("key")))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -4863,6 +4878,42 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), CAST(5 AS BIGINT)),
         |  (CAST(5 AS BIGINT), CAST(5 AS BIGINT)))
         |  AS t(id, degree)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // Welch truth: exact decimal moments per group cast to double once,
+    // then the identical fixed-order mean/variance/t/df arithmetic
+    "q_welch_t" ->
+      """WITH g AS (SELECT event_type AS g, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS p
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type HAVING count(*) >= 2),
+        |pr AS (SELECT g1.g AS g1, g2.g AS g2, g1.n AS n1, g2.n AS n2,
+        |    g1.s / g1.n AS mean1, g2.s / g2.n AS mean2,
+        |    (g1.n * g1.p - g1.s * g1.s) / CAST(g1.n * (g1.n - 1) AS DOUBLE) AS v1,
+        |    (g2.n * g2.p - g2.s * g2.s) / CAST(g2.n * (g2.n - 1) AS DOUBLE) AS v2
+        |  FROM g g1 JOIN g g2 ON g1.g < g2.g),
+        |ab AS (SELECT *, v1 / n1 AS a, v2 / n2 AS b FROM pr)
+        |SELECT g1, g2, n1, n2, round(mean1, 6) AS mean1, round(mean2, 6) AS mean2,
+        |  CASE WHEN a + b > 0.0
+        |    THEN round((mean1 - mean2) / sqrt(a + b), 6) END AS t,
+        |  CASE WHEN a + b > 0.0
+        |    THEN round((a + b) * (a + b) /
+        |      (a * a / (n1 - 1) + b * b / (n2 - 1)), 6) END AS df_w
+        |FROM ab ORDER BY g1, g2""".stripMargin,
+
+    // key-skew truth: same count table, rounded entropy contributions
+    // decimal-summed (key order cannot move the statistic), same top-20
+    "q_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS tot, count(*) AS k FROM c),
+        |e AS (SELECT CAST(SUM(CAST(round(-(CAST(cnt AS DOUBLE) / tot)
+        |      * ln(CAST(cnt AS DOUBLE) / tot), 6) AS DECIMAL(18,6))) AS DOUBLE) AS ent
+        |  FROM c, t)
+        |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / tot, 6) AS share,
+        |  k AS n_keys, ent AS entropy,
+        |  CASE WHEN k > 1 THEN round(ent / ln(CAST(k AS DOUBLE)), 6) END AS norm_entropy
+        |FROM c, t, e ORDER BY cnt DESC, key LIMIT 20""".stripMargin
   )
 }

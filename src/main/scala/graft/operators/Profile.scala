@@ -119,6 +119,42 @@ object Profile {
   def profileApprox(df: DataFrame): DataFrame =
     build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))
 
+  /** Key-skew profile: the top-`topN` heaviest keys with their share of
+    * the table, plus the Shannon entropy of the whole key distribution
+    * and its normalized form (entropy / ln(#keys) ∈ [0,1]) — the first
+    * thing to check before choosing a partition/join key (normalized
+    * entropy near 1 ⇒ uniform, safe; near 0 ⇒ a few keys dominate,
+    * expect stragglers and reach for salting or a broadcast).
+    *
+    * Shape: one map-side-combined count per key; every later stage
+    * (entropy fold, total, top-N) runs over the COUNT table (bounded by
+    * key cardinality, not rows) — the top-N is TakeOrderedAndProject
+    * (per-partition heaps) and the two 1-row summaries broadcast back.
+    * Cross-engine exactness: per-key entropy contributions
+    * −(c/t)·ln(c/t) are one fixed double expression rounded at 6 dp and
+    * folded through an EXACT decimal sum, so key order cannot move the
+    * statistic; shares and the normalized entropy round at 6 dp.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("_tot"), count(lit(1)).as("_k"))
+    val p = col("cnt").cast("double") / col("_tot")
+    val ent = counts.crossJoin(broadcast(tot))
+      .select(round(-p * log(p), 6).as("_contrib"))
+      .agg(sum(col("_contrib").cast("decimal(18,6)")).cast("double").as("_ent"))
+    counts.crossJoin(broadcast(tot))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(ent))
+      .select(col("key"), col("cnt"), round(p, 6).as("share"),
+        col("_k").as("n_keys"), col("_ent").as("entropy"),
+        when(col("_k") > 1, round(col("_ent") / log(col("_k").cast("double")), 6))
+          .as("norm_entropy"))
+  }
+
   /** Equi-depth binning + per-bin stats WITHOUT ntile's global sort:
     * ntile(n) OVER (ORDER BY v) single-partitions the table, so instead
     * the bin edges come from the exact distinct-value CDF — one bounded

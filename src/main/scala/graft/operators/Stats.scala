@@ -128,6 +128,92 @@ object Stats {
   }
 
 
+  /** Welch's unequal-variance t-test between every pair of groups —
+    * the segment-comparison screen (A/B readouts, cohort differences)
+    * that does not assume equal variances. Returns one row per ordered
+    * group pair (g1 < g2): (g1, g2, n1, n2, mean1, mean2, t, df_w)
+    * with the Welch–Satterthwaite degrees of freedom.
+    *
+    * Shape: ONE grouped aggregation computes exact per-group moments —
+    * count plus the same three-limb long component sums as
+    * [[corrMatrix]] (all on the codegen mutable-buffer fast path; one
+    * scan at any scale) — the bounded group table collects to the
+    * driver (guarded at 1000 groups: a t-test compares named cohorts,
+    * not a high-cardinality key), and the pair table is built there.
+    *
+    * Exactness: moments reassemble exactly from the integer component
+    * sums, then mean/variance/t/df evaluate in double with one fixed
+    * operation order — bit-reproducible across engines and across any
+    * partitioning — and round at 6 dp. Values canonicalize to
+    * DECIMAL(precision, scale) first (scale 2 default; lossless for
+    * 2-dp measures). Groups with n < 2 are dropped (variance needs
+    * n−1); a zero pooled standard error yields NULL t/df.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             precision: Int = 9, scale: Int = 2): DataFrame = {
+    require(precision <= 9,
+      "precision > 9 breaks the exact split-long accumulation bounds")
+    val spark = df.sparkSession
+    val dec = s"decimal($precision,$scale)"
+    val clean = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        (col(valueCol).cast(dec) * lit(math.pow(10, scale).toLong))
+          .cast("long").as("u"))
+    def limbA: Column = (col("u") / (1L << 20)).cast("long")
+    def limbB: Column = ((col("u") - limbA * (1L << 20)) / (1L << 10)).cast("long")
+    def limbC: Column = col("u") - limbA * (1L << 20) - limbB * (1L << 10)
+    val grouped = clean.groupBy("g").agg(
+      count(lit(1)).as("_n"),
+      sum(limbA).as("_s2"), sum(limbB).as("_s1"), sum(limbC).as("_s0"),
+      sum(limbA * limbA).as("_p4"),
+      sum(limbA * limbB + limbB * limbA).as("_p3"),
+      sum(limbA * limbC + limbB * limbB + limbC * limbA).as("_p2"),
+      sum(limbB * limbC + limbC * limbB).as("_p1"),
+      sum(limbC * limbC).as("_p0"))
+    val rows = grouped.limit(1001).collect()
+    require(rows.length <= 1000,
+      "welchT compares named cohorts; >1000 groups looks like a key column")
+    val unit = java.math.BigDecimal.ONE.movePointLeft(scale)
+    def two(bits: Int) = java.math.BigDecimal.valueOf(2).pow(bits)
+    case class G(g: String, n: Long, s: Double, p: Double)
+    val gs = rows.map { r =>
+      def bd(f: String) = java.math.BigDecimal.valueOf(r.getAs[Long](f))
+      val s = bd("_s2").multiply(two(20)).add(bd("_s1").multiply(two(10)))
+        .add(bd("_s0")).multiply(unit).doubleValue
+      val p = bd("_p4").multiply(two(40)).add(bd("_p3").multiply(two(30)))
+        .add(bd("_p2").multiply(two(20))).add(bd("_p1").multiply(two(10)))
+        .add(bd("_p0")).multiply(unit).multiply(unit).doubleValue
+      G(r.getAs[String]("g"), r.getAs[Long]("_n"), s, p)
+    }.filter(_.n >= 2).sortBy(_.g)
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val out = for {
+      i <- gs.indices; j <- (i + 1) until gs.length
+      g1 = gs(i); g2 = gs(j)
+    } yield {
+      // fixed op order, mirrored verbatim by the SQL oracle
+      val mean1 = g1.s / g1.n; val mean2 = g2.s / g2.n
+      val var1 = (g1.n * g1.p - g1.s * g1.s) / (g1.n * (g1.n - 1)).toDouble
+      val var2 = (g2.n * g2.p - g2.s * g2.s) / (g2.n * (g2.n - 1)).toDouble
+      val a = var1 / g1.n; val b = var2 / g2.n
+      val (t, dfw): (java.lang.Double, java.lang.Double) =
+        if (a + b <= 0.0) (null, null)
+        else (r6((mean1 - mean2) / math.sqrt(a + b)),
+          r6((a + b) * (a + b) / (a * a / (g1.n - 1) + b * b / (g2.n - 1))))
+      Row(g1.g, g2.g, g1.n, g2.n, r6(mean1), r6(mean2), t, dfw)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("g1", StringType, nullable = false),
+        StructField("g2", StringType, nullable = false),
+        StructField("n1", LongType, nullable = false),
+        StructField("n2", LongType, nullable = false),
+        StructField("mean1", DoubleType, nullable = false),
+        StructField("mean2", DoubleType, nullable = false),
+        StructField("t", DoubleType, nullable = true),
+        StructField("df_w", DoubleType, nullable = true))))
+  }
+
   /** Chi-square independence test between two categorical columns.
     * Returns one row per observed contingency cell —
     * (rowVal, colVal, observed, expected, contrib) — plus the global

@@ -454,6 +454,51 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected exactly two hash exchanges:\n$p")
   }
 
+  test("bm25: df/corpus stats broadcast, top-k is TakeOrdered, no sort-merge or global sort") {
+    val docs = spark.read.parquet(s"$docsPath/documents.parquet")
+    val p = planOf(TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("tok1", "tok2"), 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap-based top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast df stats and 1-row corpus stats:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"),
+      s"posting joins must never sort-merge:\n$p")
+  }
+
+  test("chiSquare: margins and totals attach by broadcast over the bounded cell table") {
+    val ev = spark.range(20000).select(($"id" % 5).cast("string").as("a"),
+      ($"id" % 7).cast("string").as("b"))
+    val p = planOf(graft.operators.Stats.chiSquare(ev, "a", "b"))
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"expected both margin joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"),
+      s"no data-sized shuffle joins expected:\n$p")
+  }
+
+  test("keySkew: every post-count stage runs on the key table; top-N is TakeOrdered") {
+    val ev = spark.range(30000).select(($"id" % 211).as("k"))
+    val p = planOf(graft.operators.Profile.keySkew(ev, "k", 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap top-N over the count table:\n$p")
+    // the row-sized scan shuffles once (key agg); everything else is
+    // bounded-table or broadcast work
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+    assert(p.split("BroadcastNestedLoopJoin").length >= 3,
+      s"expected 1-row totals/entropy to attach by broadcast:\n$p")
+  }
+
+  test("ewma: one user-keyed exchange, in-partition sort only") {
+    val ev = spark.range(20000).select(($"id" % 313).as("user_id"),
+      ($"id" * 60000000L).cast("timestamp").as("ts"), $"id".as("event_id"),
+      ($"id" % 17).cast("double").as("value"))
+    val p = planOf(graft.operators.EventAnalytics.ewmaSmooth(
+      ev, "user_id", "ts", "event_id", "value"))
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one key exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"window sort must stay in-partition:\n$p")
+  }
+
   test("survivorship argmax is a hash aggregation, never a window over skewed clusters") {
     val docs = spark.read.parquet(s"$docsPath/documents.parquet")
       .withColumn("score", length($"text").cast("long"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventAnalytics, Graph, Stats, TextAnalysis}
+import graft.operators.{EventAnalytics, Graph, Profile, Stats, TextAnalysis}
 
 /** Kernel invariants for the round-10 statistics/retrieval additions:
   * corrMatrix against closed-form fixtures, chiSquare on a constructed
@@ -91,6 +91,41 @@ class StatsOpsSpec extends SparkSpecBase {
       assert(math.abs(got1 - expect) < 1e-6,
         s"key $k idx $idx: got $got1 expect $expect")
     }
+  }
+
+  test("welchT matches a hand-computed two-group fixture; symmetric-ish cases") {
+    // group a: 1,2,3,4,5 (mean 3, var 2.5); group b: 2,4,6,8,10 (mean 6, var 10)
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(5)(i => ("b", 2.0 * (i + 1)))).toDF("g", "v")
+    val r = Stats.welchT(df, "g", "v").head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 6.0)
+    // t = (3-6)/sqrt(2.5/5 + 10/5) = -3/sqrt(2.5) = -1.897367
+    assert(math.abs(r.getDouble(6) - (-1.897367)) < 1e-6)
+    // Welch df = 2.5^2 / (0.5^2/4 + 2^2/4) = 6.25/1.0625 = 5.882353
+    assert(math.abs(r.getDouble(7) - 5.882353) < 1e-6)
+    // equal groups: t exactly 0
+    val same = (Seq.tabulate(4)(i => ("x", i.toDouble)) ++
+      Seq.tabulate(4)(i => ("y", i.toDouble))).toDF("g", "v")
+    assert(Stats.welchT(same, "g", "v").head().getDouble(6) == 0.0)
+  }
+
+  test("keySkew: uniform keys give norm_entropy 1, a dominant key depresses it") {
+    val uniform = (0 until 100).map(i => i % 4).toDF("k")
+    val u = Profile.keySkew(uniform, "k", 10).collect()
+    assert(u.length == 4)
+    // contributions are rounded 6dp before the exact sum, so the
+    // normalized entropy of a perfectly uniform distribution lands
+    // within a rounding ulp of 1, not exactly on it
+    assert(u.forall(r => math.abs(r.getAs[Double]("norm_entropy") - 1.0) < 1e-5))
+    assert(u.forall(_.getAs[Double]("share") == 0.25))
+    val skewed = ((0 until 97).map(_ => 0) ++ Seq(1, 2, 3)).toDF("k")
+    val s = Profile.keySkew(skewed, "k", 2).collect()
+    assert(s.length == 2) // topN honored
+    assert(s.head.getAs[String]("key") == "0" &&
+      s.head.getAs[Long]("cnt") == 97L)
+    assert(s.head.getAs[Double]("norm_entropy") < 0.2)
+    assert(s.forall(_.getAs[Long]("n_keys") == 4L))
   }
 
   test("kCore peels a chain completely and keeps a clique; empty below k") {

@@ -687,3 +687,51 @@ class StreamingHoppingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+/** Streaming twin of the incremental-aggregate maintenance operator:
+  * a foreachBatch sink that folds each micro-batch into the running
+  * snapshot via IncrementalAgg.merge must end exactly equal to the
+  * from-scratch batch rollup over all rows — the 100 TB pattern where
+  * the stream maintains the nightly aggregate instead of rescanning
+  * history.
+  */
+class StreamingIncrementalAggSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("foreachBatch merge chain equals the from-scratch aggregate") {
+    import graft.operators.IncrementalAgg
+    import IncrementalAgg.Spec
+    implicit val sqlCtx = spark.sqlContext
+    val specs = Seq(Spec("count", "", "n"), Spec("sum", "v", "s"),
+      Spec("min", "v", "mn"), Spec("max", "v", "mx"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    @volatile var snapshot: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // localCheckpoint: the batch frame is only valid inside this
+        // call, and the snapshot must not grow lineage per batch
+        snapshot =
+          (if (snapshot == null) IncrementalAgg.aggregate(batch, Seq("k"), specs)
+           else IncrementalAgg.merge(snapshot, batch, Seq("k"), specs))
+            .localCheckpoint(eager = true)
+      }
+      .start()
+    try {
+      val b1 = Seq((1L, 10.25), (1L, 0.50), (2L, 3.75))
+      val b2 = Seq((1L, 7.00), (3L, 1.25))
+      val b3 = Seq((2L, -2.50), (3L, 8.00), (3L, 0.25))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val got = snapshot
+        .select(col("k"), col("n"), col("s").cast("double"), col("mn"), col("mx"))
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      val batchTruth = IncrementalAgg
+        .aggregate((b1 ++ b2 ++ b3).toDF("k", "v"), Seq("k"), specs)
+        .select(col("k"), col("n"), col("s").cast("double"), col("mn"), col("mx"))
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      assert(got == batchTruth, s"merged snapshot must equal batch:\n$got\nvs\n$batchTruth")
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+}
