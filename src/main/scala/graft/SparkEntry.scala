@@ -2297,7 +2297,29 @@ object SparkEntry {
     //      after the first runs on the key-count table ----
     "q_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables.events(s, dir), "user_id", 20)
-        .orderBy(col("cnt").desc, col("key")))
+        .orderBy(col("cnt").desc, col("key"))),
+
+    // ---- centroid-based silhouette per label cluster: model-sized
+    //      centroid table broadcast over the corpus, kernel distances,
+    //      decimal-summed per-label means ----
+    "q_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(t(s, dir, "embeddings"), "vec_id", "label",
+          "embedding")
+        .orderBy("label")),
+
+    // ---- seasonal (type x dow x hour) baseline anomaly flags: exact
+    //      limb-sum slot moments, bounded slot table broadcast back ----
+    "q_seasonal_baseline" -> ((s, dir) =>
+      EventAnalytics.seasonalBaseline(Tables.events(s, dir), "event_type",
+          "ts", "event_id", "value")
+        .orderBy("event_id")),
+
+    // ---- percentile-rank transform from the bounded distinct-value
+    //      CDF (no global sort-window); oracle cross-checks with
+    //      DuckDB's cume_dist ----
+    "q_pct_rank" -> ((s, dir) =>
+      Profile.percentileRank(t(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -4914,6 +4936,70 @@ object SparkEntry {
         |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / tot, 6) AS share,
         |  k AS n_keys, ent AS entropy,
         |  CASE WHEN k > 1 THEN round(ent / ln(CAST(k AS DOUBLE)), 6) END AS norm_entropy
-        |FROM c, t, e ORDER BY cnt DESC, key LIMIT 20""".stripMargin
+        |FROM c, t, e ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+
+    // silhouette truth: same rounded per-dim centroids, the identical
+    // p·p − 2·p·c + c·c distance (list_dot_product parity with the
+    // DotProduct kernel is proven by the cosine oracles), per-point
+    // scores rounded then decimal-summed per label
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cx AS (SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |cm AS (SELECT label, i, round(avg(x), 6) AS c FROM cx GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel, list(c ORDER BY i) AS cv FROM cm GROUP BY label),
+        |cc AS (SELECT clabel, cv, list_dot_product(cv, cv) AS cdot FROM cent),
+        |d AS (SELECT e.vec_id, e.label AS plabel, cc.clabel,
+        |    sqrt(greatest(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, cc.cv) + cc.cdot, 0.0)) AS dist
+        |  FROM e, cc),
+        |ab AS (SELECT vec_id, plabel,
+        |    min(CASE WHEN clabel = plabel THEN dist END) AS a,
+        |    min(CASE WHEN clabel <> plabel THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT plabel, CASE WHEN greatest(a, b) > 0.0
+        |    THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS sil FROM ab)
+        |SELECT plabel AS label, count(*) AS n_points,
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_silhouette
+        |FROM s GROUP BY plabel ORDER BY label""".stripMargin,
+
+    // seasonal-baseline truth: exact decimal slot moments, the
+    // robustOutliers round-before-z policy, identical slot keying
+    "q_seasonal_baseline" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS INT) AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour, value
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT event_type, dow, hour, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS p
+        |  FROM ev GROUP BY 1, 2, 3),
+        |st AS (SELECT event_type, dow, hour,
+        |    round(s / n, 6) AS slot_mean,
+        |    CASE WHEN n > 1 THEN round(sqrt(greatest(
+        |      (n * p - s * s) / CAST(n * (n - 1) AS DOUBLE), 0.0)), 6) END AS slot_std
+        |  FROM g)
+        |SELECT e.event_id, e.event_type, e.dow, e.hour,
+        |  CAST(e.value AS DOUBLE) AS value, st.slot_mean, st.slot_std,
+        |  CASE WHEN st.slot_std > 0.0
+        |    THEN round((CAST(e.value AS DOUBLE) - st.slot_mean) / st.slot_std, 6)
+        |  END AS z,
+        |  COALESCE(CASE WHEN st.slot_std > 0.0
+        |    THEN abs(round((CAST(e.value AS DOUBLE) - st.slot_mean) / st.slot_std, 6)) > 3.0
+        |  END, false) AS is_anomaly
+        |FROM ev e JOIN st USING (event_type, dow, hour)
+        |ORDER BY event_id""".stripMargin,
+
+    // percentile-rank truth: DuckDB's cume_dist over raw rows — a
+    // DIFFERENT derivation of the same #{rows ≤ v}/n quantity than the
+    // engine's distinct-CDF join, so the gate cross-checks the math
+    "q_pct_rank" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
+        |  round(cume_dist() OVER (ORDER BY CAST(n_chars AS BIGINT)), 6) AS pct_rank
+        |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -515,5 +515,76 @@ object EventAnalytics {
     events
       .withColumn("ewma", when(den > lit(0.0), round(num / den, 6)))
       .select(col(keyCol), col(idCol), v.as("value"), col("ewma"))
+  }
+
+  /** Seasonal-baseline anomaly flags: each event compares against the
+    * mean/std of its OWN seasonal slot — (type, epoch-day-of-week,
+    * hour) — so a Friday-evening spike is judged against Friday
+    * evenings, not the global mean. The standard ops-alerting baseline.
+    *
+    * Shape: one grouped scan computes exact per-slot moments (count
+    * plus three-limb long component sums — the [[graft.operators.Stats.corrMatrix]]
+    * accumulation, all on the codegen mutable-buffer fast path), the
+    * slot table (≤ types × 7 × 24 rows) reassembles its moments in
+    * decimal arithmetic on those bounded rows and broadcasts back over
+    * the events. One corpus-sized scan + one broadcast join at any
+    * scale; component-sum capacity ~2^41 rows per slot.
+    *
+    * Engine replay: mean and std round at 6 dp before the z-score and
+    * the z rounds at 6 dp after one fixed-order double expression —
+    * the [[robustOutliers]] policy. Values canonicalize to
+    * DECIMAL(9, scale) for the moments (lossless at 2-dp telemetry).
+    */
+  def seasonalBaseline(events: DataFrame, typeCol: String, tsCol: String,
+                       idCol: String, valueCol: String,
+                       threshold: Double = 3.0, scale: Int = 2): DataFrame = {
+    val u = "_u"
+    val withSlot = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("dow", datediff(to_date(col(tsCol)), lit("1970-01-01")) % 7)
+      .withColumn("hour", hour(col(tsCol)))
+      .withColumn(u,
+        (col(valueCol).cast(s"decimal(9,$scale)") * lit(math.pow(10, scale).toLong))
+          .cast("long"))
+    def limbA: Column = (col(u) / (1L << 20)).cast("long")
+    def limbB: Column = ((col(u) - limbA * (1L << 20)) / (1L << 10)).cast("long")
+    def limbC: Column = col(u) - limbA * (1L << 20) - limbB * (1L << 10)
+    val slots = withSlot.groupBy(col(typeCol), col("dow"), col("hour")).agg(
+      count(lit(1)).as("_n"),
+      sum(limbA).as("_s2"), sum(limbB).as("_s1"), sum(limbC).as("_s0"),
+      sum(limbA * limbA).as("_p4"),
+      sum(limbA * limbB + limbB * limbA).as("_p3"),
+      sum(limbA * limbC + limbB * limbB + limbC * limbA).as("_p2"),
+      sum(limbB * limbC + limbC * limbB).as("_p1"),
+      sum(limbC * limbC).as("_p0"))
+    // moment reassembly in decimal on the BOUNDED slot table (exact:
+    // integer component sums, one decimal division per moment, one
+    // double cast) — mirrors CAST(SUM(decimal) AS DOUBLE) in SQL
+    def dec(c: String): Column = col(c).cast("decimal(38,0)")
+    val sUnits = dec("_s2") * lit(1L << 20) + dec("_s1") * lit(1L << 10) + dec("_s0")
+    val pUnits = dec("_p4") * lit(1L << 40) + dec("_p3") * lit(1L << 30) +
+      dec("_p2") * lit(1L << 20) + dec("_p1") * lit(1L << 10) + dec("_p0")
+    val tenS = math.pow(10, scale).toLong
+    val stats = slots.select(col(typeCol), col("dow"), col("hour"),
+        col("_n"),
+        (sUnits / lit(tenS)).cast("double").as("_s"),
+        (pUnits / lit(tenS * tenS)).cast("double").as("_p"))
+      .withColumn("slot_mean", round(col("_s") / col("_n"), 6))
+      .withColumn("slot_std", when(col("_n") > 1, round(
+        sqrt(greatest(
+          (col("_n") * col("_p") - col("_s") * col("_s")) /
+            (col("_n") * (col("_n") - 1)).cast("double"),
+          lit(0.0))), 6)))
+      .select(col(typeCol), col("dow"), col("hour"), col("_n").as("slot_n"),
+        col("slot_mean"), col("slot_std"))
+    withSlot
+      .join(broadcast(stats), Seq(typeCol, "dow", "hour"))
+      .withColumn("z",
+        when(col("slot_std") > 0.0,
+          round((col(valueCol).cast("double") - col("slot_mean")) / col("slot_std"), 6)))
+      .select(col(idCol), col(typeCol), col("dow"), col("hour"),
+        col(valueCol).cast("double").as("value"),
+        col("slot_mean"), col("slot_std"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > threshold).as("is_anomaly"))
   }
 }

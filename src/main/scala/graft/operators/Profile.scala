@@ -119,6 +119,35 @@ object Profile {
   def profileApprox(df: DataFrame): DataFrame =
     build(df, c => approx_count_distinct(col(s"`$c`"), 0.02))
 
+  /** Percentile-rank (cume_dist) transform WITHOUT a global sort-window:
+    * pct_rank(v) = #{rows ≤ v} / n — the rank-normalization feature
+    * transform (quality-score calibration, curriculum ordering). A
+    * `cume_dist() OVER (ORDER BY v)` would single-task the table; here
+    * the exact CDF comes from the bounded distinct-value count table
+    * (map-side-combined; the window runs over values, not rows) and
+    * re-attaches by an AQE-chosen join on the value — ties share one
+    * CDF row, so equal values always get equal ranks.
+    *
+    * Cross-engine exactness: the rank is one integer-over-integer
+    * double division rounded at 6 dp.
+    */
+  def percentileRank(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val counts = df.filter(v.isNotNull).groupBy(v.as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = counts
+      .withColumn("_cum", sum("_cnt").over(cum))
+      .withColumn("_tot", sum("_cnt").over(Window.partitionBy()))
+      .select(col("_v"), col("_cum"), col("_tot"))
+    df.filter(v.isNotNull)
+      .join(cdf, v === col("_v"))
+      .select(col(idCol), v.as("value"),
+        round(col("_cum").cast("double") / col("_tot"), 6).as("pct_rank"))
+  }
+
   /** Key-skew profile: the top-`topN` heaviest keys with their share of
     * the table, plus the Shannon entropy of the whole key distribution
     * and its normalized form (entropy / ln(#keys) ∈ [0,1]) — the first

@@ -451,6 +451,60 @@ object Similarity {
       .groupBy(labelCol, "i")
       .agg(round(avg("x"), 6).as("centroid_val"), count(lit(1)).as("n_vectors"))
 
+  /** Simplified (centroid-based) silhouette score per cluster — the
+    * standard clustering-quality readout: for each point, a = distance
+    * to its OWN cluster centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; the full-pairwise
+    * silhouette is O(n²) and this centroid form is its accepted
+    * linear-time surrogate (what the sklearn-at-scale folklore and
+    * BIRCH-style systems report). Returns (label, n_points,
+    * mean_silhouette).
+    *
+    * Scale shape: centroids come from one (label, dim)-keyed map-side-
+    * combined aggregation (model-sized, like [[labelCentroids]]); the
+    * k centroid vectors broadcast back over the corpus, each point
+    * scores k distances through the codegen'd [[graft.functions.DotProduct]]
+    * kernel (d² = p·p − 2·p·c + c·c, with p·p computed once per point),
+    * and the per-label fold is map-side-combined. One corpus-sized
+    * shuffle total (the per-point a/b aggregation keyed on the id).
+    *
+    * Cross-engine exactness: centroid values round at 6 dp before any
+    * distance (absorbing float-sum order in the mean), distances are
+    * fixed-order double expressions (negative-zero cancellation guarded
+    * by max(d², 0) before sqrt), per-point silhouettes round at 6 dp,
+    * and the per-label mean folds through an exact decimal sum.
+    * Requires ≥ 2 distinct labels (b is undefined otherwise).
+    */
+  def silhouette(df: DataFrame, idCol: String, labelCol: String,
+                 vecCol: String): DataFrame = {
+    val cm = labelCentroids(df, labelCol, vecCol)
+      .withColumnRenamed(labelCol, "_clabel")
+    val cent = cm.groupBy("_clabel")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("centroid_val")))),
+        s => s.getField("centroid_val")).as("_cv"))
+      .withColumn("_cc", graft.functions.DotProduct(col("_cv"), col("_cv")))
+    val pts = df.select(col(idCol), col(labelCol).as("_plabel"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_pp", graft.functions.DotProduct(col("_v"), col("_v")))
+    val d = pts.crossJoin(broadcast(cent))
+      .withColumn("_dist",
+        sqrt(greatest(
+          col("_pp") - lit(2.0) * graft.functions.DotProduct(col("_v"), col("_cv")) +
+            col("_cc"),
+          lit(0.0))))
+    val ab = d.groupBy(col(idCol), col("_plabel"))
+      .agg(min(when(col("_clabel") === col("_plabel"), col("_dist"))).as("_a"),
+        min(when(col("_clabel") =!= col("_plabel"), col("_dist"))).as("_b"))
+    val s = ab.withColumn("_s",
+      when(greatest(col("_a"), col("_b")) > 0.0,
+        round((col("_b") - col("_a")) / greatest(col("_a"), col("_b")), 6))
+        .otherwise(lit(0.0)))
+    s.groupBy(col("_plabel").as(labelCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("_s").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
+
   /** Embedding drift between two corpus snapshots: per label, the
     * cosine between the snapshots' class centroids and the L2 shift —
     * the vector-space analogue of the tabular drift summary (a model

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventAnalytics, Graph, Profile, Stats, TextAnalysis}
+import graft.operators.{EventAnalytics, Graph, Profile, Similarity, Stats, TextAnalysis}
 
 /** Kernel invariants for the round-10 statistics/retrieval additions:
   * corrMatrix against closed-form fixtures, chiSquare on a constructed
@@ -126,6 +126,55 @@ class StatsOpsSpec extends SparkSpecBase {
       s.head.getAs[Long]("cnt") == 97L)
     assert(s.head.getAs[Double]("norm_entropy") < 0.2)
     assert(s.forall(_.getAs[Long]("n_keys") == 4L))
+  }
+
+  test("silhouette: exact one-hot clusters score 1; mixed labels score lower") {
+    // 3 clusters x 4 points, each point exactly its cluster's one-hot * 10
+    val pts = (0 until 12).map { i =>
+      val c = i / 4
+      (i.toLong, c, Array.tabulate(3)(d => if (d == c) 10.0f else 0.0f))
+    }.toDF("id", "label", "vec")
+    val perfect = Similarity.silhouette(pts, "id", "label", "vec").collect()
+    assert(perfect.length == 3)
+    // a = 0 (point == centroid), b = sqrt(200) -> s = 1 exactly
+    assert(perfect.forall(_.getAs[Double]("mean_silhouette") == 1.0))
+    // scramble: assign half the points to the wrong cluster
+    val mixed = (0 until 12).map { i =>
+      val c = i / 4
+      (i.toLong, if (i % 2 == 0) c else (c + 1) % 3,
+        Array.tabulate(3)(d => if (d == c) 10.0f else 0.0f))
+    }.toDF("id", "label", "vec")
+    val worse = Similarity.silhouette(mixed, "id", "label", "vec").collect()
+    assert(worse.forall(_.getAs[Double]("mean_silhouette") < 1.0))
+  }
+
+  test("seasonalBaseline flags a planted spike only against its own slot") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // slot (click, dow of 2024-01-01 = Monday, 10h): values 10 +- 1, one 100
+    val base = (0 until 20).map(i =>
+      (i.toLong, "click", ts(f"2024-01-01 10:${i}%02d:00"), 10.0 + (i % 3 - 1)))
+    val spike = Seq((99L, "click", ts("2024-01-01 10:59:00"), 100.0))
+    // a different slot where 100 is NORMAL (hour 11): must not flag
+    val other = (0 until 10).map(i =>
+      (200L + i, "click", ts(f"2024-01-01 11:${i}%02d:00"), 100.0 + (i % 3 - 1)))
+    val df = (base ++ spike ++ other).toDF("event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.seasonalBaseline(df, "event_type", "ts",
+        "event_id", "value")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(99L).getAs[Boolean]("is_anomaly"))
+    assert((0 until 20).forall(i => !out(i.toLong).getAs[Boolean]("is_anomaly")))
+    assert((200 until 210).forall(i => !out(i.toLong).getAs[Boolean]("is_anomaly")))
+  }
+
+  test("percentileRank: ties share one rank, max is exactly 1, monotone in value") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 1L), (4L, 9L), (5L, 9L), (6L, 9L))
+      .toDF("id", "v")
+    val got = Profile.percentileRank(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got(2L) && got(1L) == 0.5) // 3 of 6 rows <= 5
+    assert(got(3L) == java.math.BigDecimal.valueOf(1.0 / 6.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    assert(got(4L) == 1.0 && got(5L) == 1.0 && got(6L) == 1.0)
   }
 
   test("kCore peels a chain completely and keeps a clique; empty below k") {
