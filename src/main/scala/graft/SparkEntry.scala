@@ -2319,7 +2319,25 @@ object SparkEntry {
     //      DuckDB's cume_dist ----
     "q_pct_rank" -> ((s, dir) =>
       Profile.percentileRank(t(s, dir, "documents"), "doc_id", "n_chars")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- label-propagation communities, planted gate: two 5-cliques
+    //      bridged by one edge (4-5) from nation keys converge in 3
+    //      deterministic rounds to communities 0 and 5 (hand-traced:
+    //      self-vote + min tie-break; node 5 briefly takes 4 in round 1
+    //      and is pulled back by its clique's majority in round 2) ----
+    "q_lpa" -> ((s, dir) => {
+      val ids = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"))
+        .filter(col("id") <= 9)
+      val a = ids.select(col("id").as("src"))
+      val b = ids.select(col("id").as("dst"))
+      val edges = a.crossJoin(b).filter(
+        (col("src") < 5 && col("dst") < 5 && col("src") < col("dst")) ||
+          (col("src") >= 5 && col("dst") >= 5 && col("src") < col("dst")) ||
+          (col("src") === 4 && col("dst") === 5))
+      Graph.labelPropagation(edges).orderBy("id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -5000,6 +5018,15 @@ object SparkEntry {
     "q_pct_rank" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
         |  round(cume_dist() OVER (ORDER BY CAST(n_chars AS BIGINT)), 6) AS pct_rank
-        |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // LPA planted truth: clique A {0..4} -> community 0, clique B
+    // {5..9} -> community 5 (derived by hand from the deterministic
+    // closed-neighborhood-mode + min-tie-break update rule)
+    "q_lpa" ->
+      """SELECT CAST(i AS BIGINT) AS id,
+        |  CAST(CASE WHEN i < 5 THEN 0 ELSE 5 END AS BIGINT) AS community
+        |FROM (SELECT unnest(range(0, 10)) AS i)
+        |ORDER BY id""".stripMargin
   )
 }

@@ -125,6 +125,62 @@ object Graph {
     * `maxIter` rounds; the cap guards pathological chains (a path graph
     * peels one layer per round) — the classic distributed k-core bound.
     */
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) with deterministic tie-breaks: every round each vertex takes
+    * the most frequent label in its closed neighborhood (its own label
+    * votes too — without the self-vote, symmetric structures oscillate),
+    * ties resolved to the SMALLEST label. Returns (id, community).
+    *
+    * Determinism note: classic LPA breaks ties randomly and is
+    * layout-dependent; the (count desc, label asc) rule makes every
+    * round a pure function of the previous labeling, so results are
+    * reproducible across partitionings — the property every gate in
+    * this repo requires.
+    *
+    * Shape: per round, one join propagating labels along edges plus
+    * two aggregations — (vertex, label) vote counts, then the per-vertex
+    * argmax as a struct-max aggregation (map-side combined, never a
+    * window over skewed neighborhoods; the [[Dedup]] survivorship
+    * pattern). Loop discipline as [[pageRank]]: localCheckpoint per
+    * round, previous round unpersisted, one scalar (changed count) to
+    * the driver for early exit.
+    */
+  def labelPropagation(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist()
+    val sym = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    var labels = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+      .withColumn("community", col("id"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrVotes = sym
+        .join(labels.select(col("id").as("n"), col("community")), "n")
+        .select(col("v"), col("community"))
+      val selfVotes = labels.select(col("id").as("v"), col("community"))
+      val next = nbrVotes.union(selfVotes)
+        .groupBy("v", "community").agg(count(lit(1)).as("_c"))
+        // argmax by (count desc, label asc) == max of (count, -label)
+        .groupBy(col("v").as("id"))
+        .agg(max(struct(col("_c"), (-col("community")).as("_neg"))).as("_m"))
+        .select(col("id"), (-col("_m._neg")).as("community"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("community", "_old"), "id")
+        .filter(col("community") =!= col("_old")).count()
+      unpersistCheckpoint(labels)
+      labels = next
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val und = edges.select(

@@ -177,6 +177,22 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(got(4L) == 1.0 && got(5L) == 1.0 && got(6L) == 1.0)
   }
 
+  test("labelPropagation: bridged triangles split into two communities; pairs merge") {
+    // triangles {0,1,2} and {3,4,5} bridged by 2-3
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L))
+    assert(Set(3L, 4L, 5L).map(got) == Set(3L))
+    // a single edge converges both endpoints to the min id (no oscillation:
+    // the self-vote ties resolve to the smaller label on both sides)
+    val pair = Seq((7L, 9L)).toDF("src", "dst")
+    val p = Graph.labelPropagation(pair).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(7L -> 7L, 9L -> 7L))
+  }
+
   test("kCore peels a chain completely and keeps a clique; empty below k") {
     // 4-clique {0,1,2,3} plus chain 3-4-5-6
     val edges = (for { i <- 0 to 3; j <- (i + 1) to 3 } yield (i.toLong, j.toLong))
