@@ -544,7 +544,8 @@ object EventAnalytics {
       .withColumn("dow", datediff(to_date(col(tsCol)), lit("1970-01-01")) % 7)
       .withColumn("hour", hour(col(tsCol)))
       .withColumn(u,
-        (col(valueCol).cast(s"decimal(9,$scale)") * lit(math.pow(10, scale).toLong))
+        (col(valueCol).cast(s"decimal(9,$scale)") *
+          lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong)))
           .cast("long"))
     def limbA: Column = (col(u) / (1L << 20)).cast("long")
     def limbB: Column = ((col(u) - limbA * (1L << 20)) / (1L << 10)).cast("long")

@@ -55,9 +55,13 @@ object Stats {
     // change a bit, and all 63 aggregates (for 4 columns) sit in the
     // codegen'd mutable-buffer fast path. Largest per-row component is
     // 3·2^20, giving ~2^41 (≈ 2·10^12) row capacity at precision 9.
+    // the 10^scale factor as a typed narrow decimal literal: a long
+    // literal would promote the product past precision 18 and off the
+    // compact (long-backed) decimal fast path
+    val tenScale = lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong))
     val clean = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c =>
-        (col(c).cast(dec) * lit(math.pow(10, scale).toLong)).cast("long").as(c)): _*)
+        (col(c).cast(dec) * tenScale).cast("long").as(c)): _*)
     // limb extraction: / on longs is double division in Spark SQL, but
     // |u| ≤ 10^9 < 2^53 so u/2^k is exact and the long cast truncates
     // toward zero consistently for both signs
@@ -155,10 +159,10 @@ object Stats {
       "precision > 9 breaks the exact split-long accumulation bounds")
     val spark = df.sparkSession
     val dec = s"decimal($precision,$scale)"
+    val tenScale = lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong))
     val clean = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
-        (col(valueCol).cast(dec) * lit(math.pow(10, scale).toLong))
-          .cast("long").as("u"))
+        (col(valueCol).cast(dec) * tenScale).cast("long").as("u"))
     def limbA: Column = (col("u") / (1L << 20)).cast("long")
     def limbB: Column = ((col("u") - limbA * (1L << 20)) / (1L << 10)).cast("long")
     def limbC: Column = col("u") - limbA * (1L << 20) - limbB * (1L << 10)
