@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, content-addressed sampling for training-data pipelines.
@@ -117,48 +117,18 @@ object Sampling {
     *
     * Scale shape — a distributed prefix sum, NOT a global window (a
     * bare `Window.orderBy` single-partitions the corpus): the rows are
-    * range-partitioned on the rank order, each partition computes its
-    * LOCAL running sums in one within-partition window, per-partition
-    * totals (one row each) come to the driver, and the exclusive
-    * partition offsets broadcast back as a spark_partition_id lookup.
-    * Two passes over the data, driver state = one long per partition.
-    * Integer token counts make the running totals exact, so an engine
-    * replaying the same total order reproduces the selection.
+    * range-partitioned ONCE on the rank order (pinned — see
+    * [[budgetSelect]]), per-partition totals (one row each) come to the
+    * driver, and the kept rows emerge from one narrow per-partition
+    * fold seeded with the exclusive partition offsets. Driver state =
+    * one long per partition. Integer token counts make the running
+    * totals exact, so an engine replaying the same total order
+    * reproduces the selection.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budget: Long,
-                        nPartitions: Int = 0): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val n = if (nPartitions > 0) nPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .repartitionByRange(n, col(scoreCol).desc, col(idCol).asc)
-      .withColumn("_pid", spark_partition_id())
-    // pass 1: per-partition token totals -> exclusive prefix offsets
-    // (one row per partition on the driver; partition ids are ordered
-    // BY CONSTRUCTION of the range exchange, so offsets follow rank order)
-    val totals = parted.groupBy("_pid")
-      .agg(sum(col(tokensCol).cast("long")).as("_t"))
-      .collect().map(r => r.getInt(0) -> r.getAs[Long]("_t")).toMap
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) =>
-      acc + totals.getOrElse(p, 0L)).init
-    val offsetExpr = offsets.zipWithIndex
-      .foldLeft(lit(0L)) { case (e, (off, p)) =>
-        when(col("_pid") === p, lit(off)).otherwise(e)
-      }
-    // pass 2: local running sum + broadcast offset = global prefix sum
-    val w = Window.partitionBy("_pid")
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("cum_tokens",
-        sum(col(tokensCol).cast("long")).over(w) + offsetExpr)
-      .filter(col("cum_tokens") <= budget)
-      .drop("_pid")
-  }
+                        nPartitions: Int = 0): DataFrame =
+    budgetSelect(df, None, idCol, scoreCol, tokensCol, budget, nPartitions)
 
   /** Per-domain token-budget cap: within EACH domain, rank by
     * (`scoreCol` desc, `idCol` asc) and keep every row whose running
@@ -172,56 +142,98 @@ object Sampling {
     * (which would sort an entire domain in ONE task — a 20 TB web crawl
     * domain kills that plan): rows range-partition on
     * (domain, score desc, id), so a domain occupies a contiguous run of
-    * partitions; each partition computes its per-(domain, partition)
-    * local running sums in a within-partition window; the
-    * (domain, partition) totals — bounded by nDomains × nPartitions
-    * rows — come to the driver, fold into per-domain exclusive offsets,
-    * and broadcast back as a tiny join. Two passes, no monster-group
-    * sort, driver state = one long per (domain, partition) pair.
+    * partitions; per-(domain, partition) totals — bounded by
+    * nDomains × nPartitions rows — come to the driver and fold into
+    * per-domain exclusive offsets; the kept rows emerge from one
+    * narrow per-partition fold over the SAME materialized layout.
     * Integer token counts keep the running totals exact and replayable.
     */
   def domainBudgetSelect(df: DataFrame, domainCol: String, idCol: String,
                          scoreCol: String, tokensCol: String, budget: Long,
-                         nPartitions: Int = 0): DataFrame = {
+                         nPartitions: Int = 0): DataFrame =
+    budgetSelect(df, Some(domainCol), idCol, scoreCol, tokensCol, budget,
+      nPartitions)
+
+  /** Shared distributed-prefix-sum core of [[tokenBudgetSelect]] /
+    * [[domainBudgetSelect]].
+    *
+    * Determinism is load-bearing here: RangePartitioner seeds its
+    * boundary sampling from the RDD id, so if the range exchange were
+    * re-executed per pass, pass 2 could draw DIFFERENT boundaries than
+    * the ones pass 1's offsets were computed for — rows near a boundary
+    * would then add the wrong offset (a live sf0.1 bug: q_domain_budget
+    * drifted 140 -> 133 rows between runs). The partitioned layout is
+    * therefore `localCheckpoint`ed ONCE and both passes read the pinned
+    * RDD. Pass 2 is deliberately NOT a Window: the checkpoint erases
+    * the range partitioning from the plan's metadata, so a
+    * `Window.partitionBy(_pid)` would re-shuffle the corpus by _pid;
+    * instead a narrow `sortWithinPartitions` + per-partition fold
+    * (classic prefix-sum stitch, the one genuinely imperative
+    * per-partition step) computes the running totals with ZERO
+    * exchanges beyond the single range exchange inside the checkpoint.
+    */
+  private def budgetSelect(df: DataFrame, domainColOpt: Option[String],
+                           idCol: String, scoreCol: String,
+                           tokensCol: String, budget: Long,
+                           nPartitions: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val n = if (nPartitions > 0) nPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeKeys = domainColOpt.map(d => col(d).asc).toSeq ++
+      Seq(col(scoreCol).desc, col(idCol).asc)
     val parted = df
-      .repartitionByRange(n, col(domainCol).asc, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("_tok", col(tokensCol).cast("long"))
+      .repartitionByRange(n, rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
-    // pass 1: per-(domain, partition) totals -> per-domain exclusive
-    // offsets in partition order (partition ids follow the domain's rank
-    // order BY CONSTRUCTION of the range exchange)
-    val totals = parted.groupBy(col(domainCol), col("_pid"))
-      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .localCheckpoint(true)
+    // pass 1: per-(domain?, partition) totals -> exclusive prefix
+    // offsets in partition order (partition ids follow the rank order
+    // BY CONSTRUCTION of the range exchange); driver state is one long
+    // per (domain, partition) pair
+    val domKey: Row => Any = domainColOpt match {
+      case Some(d) => r => r.get(r.fieldIndex(d))
+      case None    => _ => null
+    }
+    val totals = parted.groupBy(
+        (domainColOpt.map(col).toSeq :+ col("_pid")): _*)
+      .agg(sum(col("_tok")).as("_t"))
       .collect()
-      .map(r => (r.get(0), r.getAs[Int]("_pid"), r.getAs[Long]("_t")))
-    val offRows = totals.groupBy(_._1).toSeq.flatMap { case (dom, rows) =>
-      val ordered = rows.sortBy(_._2)
-      ordered.zip(ordered.scanLeft(0L)(_ + _._3).init).map {
-        case ((_, pid, _), off) => org.apache.spark.sql.Row(dom, pid, off)
+      .map(r => (domKey(r), r.getAs[Int]("_pid"), r.getAs[Long]("_t")))
+    val offsets: Map[(Any, Int), Long] = totals.groupBy(_._1).toSeq.flatMap {
+      case (dom, rows) =>
+        val ordered = rows.sortBy(_._2)
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).init).map {
+          case ((_, pid, _), off) => (dom, pid) -> off
+        }
+    }.toMap
+    // pass 2: narrow in-partition sort + one fold per partition over the
+    // pinned layout; the running sum resets at each domain boundary
+    // (domains are contiguous within a partition by the range keys)
+    val sorted = parted.sortWithinPartitions(rangeKeys: _*)
+    val schema = sorted.schema.add("cum_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val domIdx = domainColOpt.map(d => sorted.schema.fieldIndex(d))
+    val tokIdx = sorted.schema.fieldIndex("_tok")
+    val pidIdx = sorted.schema.fieldIndex("_pid")
+    val offB = spark.sparkContext.broadcast(offsets)
+    val kept = sorted.rdd.mapPartitions { it =>
+      var seeded = false
+      var curDom: Any = null
+      var running = 0L
+      it.flatMap { row =>
+        val dom = domIdx.map(row.get).orNull
+        if (!seeded || (domIdx.isDefined && dom != curDom)) {
+          seeded = true
+          curDom = dom
+          running = offB.value.getOrElse((dom, row.getInt(pidIdx)), 0L)
+        }
+        running += (if (row.isNullAt(tokIdx)) 0L else row.getLong(tokIdx))
+        if (running <= budget) Some(Row.fromSeq(row.toSeq :+ running))
+        else None
       }
     }
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_dom", df.schema(domainCol).dataType),
-      org.apache.spark.sql.types.StructField("_opid", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType)))
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1), offSchema)
-    // pass 2: domain-local running sum within the partition + broadcast
-    // offset = domain-global prefix sum
-    val w = Window.partitionBy(col(domainCol), col("_pid"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .join(broadcast(offDf),
-        col(domainCol) === col("_dom") && col("_pid") === col("_opid"))
-      .withColumn("cum_tokens",
-        sum(col(tokensCol).cast("long")).over(w) + col("_off"))
-      .filter(col("cum_tokens") <= budget)
-      .drop("_pid", "_dom", "_opid", "_off")
+    spark.createDataFrame(kept, schema).drop("_pid", "_tok")
   }
 
   /** Temperature-based source mixing (the multi-corpus reweighting used

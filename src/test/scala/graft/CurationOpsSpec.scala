@@ -209,6 +209,46 @@ class DomainBudgetSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("budget selects are execution-stable: repeated runs match the window truth (boundary-sampling regression)") {
+    // Regression for a live sf0.1 bug: the range-partitioned frame was
+    // evaluated once per pass, and RangePartitioner seeds its boundary
+    // sampling from the RDD id — pass 2 could draw DIFFERENT boundaries
+    // than the ones pass 1's offsets were computed for, so rows near a
+    // boundary added the wrong offset. The operators now localCheckpoint
+    // the layout; this asserts repeated executions all equal the
+    // single-window truth on a large-enough input to cross boundaries.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(5000).select(
+      (col("id") % 7).cast("string").as("dom"), col("id"),
+      (col("id") * 2654435761L % 1000).as("score"),
+      (col("id") % 97 + 1).as("tok"))
+    val w = Window.partitionBy("dom")
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val truth = docs.withColumn("cum_tokens", sum(col("tok")).over(w))
+      .filter(col("cum_tokens") <= 5000L)
+      .select("dom", "id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    (1 to 3).foreach { i =>
+      val got = Sampling.domainBudgetSelect(docs, "dom", "id", "score",
+          "tok", 5000L, nPartitions = 32)
+        .select("dom", "id", "cum_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == truth, s"run $i diverged: ${got.size} vs ${truth.size}")
+    }
+    val wg = Window.orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val truthG = docs.withColumn("cum_tokens", sum(col("tok")).over(wg))
+      .filter(col("cum_tokens") <= 5000L)
+      .select("id").as[Long].collect().toSet
+    (1 to 3).foreach { i =>
+      val got = Sampling.tokenBudgetSelect(docs, "id", "score", "tok",
+          5000L, nPartitions = 32)
+        .select("id").as[Long].collect().toSet
+      assert(got == truthG, s"token run $i diverged")
+    }
+  }
+
   test("domainBudgetSelect survives more partitions than rows") {
     val df = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("dom", "id", "tok")
     val out = Sampling.domainBudgetSelect(df, "dom", "id", "tok", "tok",
