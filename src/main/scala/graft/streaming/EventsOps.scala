@@ -518,6 +518,78 @@ object StreamingRollingAnomaly {
   }
 }
 
+/** One smoothed event from [[StreamingEwma]]: ewma is null only when
+  * every value in the trailing horizon (including the current row) is
+  * null.
+  */
+final case class EwmaScore(key: Long, event_id: Long, value: Option[Double],
+                           ewma: Option[Double])
+
+/** Per-key trailing values (None = a row with a null value — it still
+  * occupies a lag position, exactly like the batch operator's row-based
+  * `lag`). At most horizon−1 entries.
+  */
+private[streaming] final case class EwmaState(ring: Vector[Option[Double]])
+
+/** Streaming twin of [[graft.operators.EventAnalytics.ewmaSmooth]]:
+  * the finite-horizon EWMA over each key's trailing `horizon` rows.
+  * State per key is the (horizon−1)-slot ring — bounded, independent of
+  * stream length. Within a micro-batch rows are processed in
+  * (ts, event_id) order (the batch operator's window order); across
+  * batches arrival order stands in for event order — the in-order
+  * contract shared by every twin here. The weights, the strict
+  * left-to-right fold and the 6-dp round replicate the batch operator
+  * bit-for-bit, so in-order replays smooth identically.
+  */
+object StreamingEwma {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame, keyCol: String, valueCol: String,
+            tsCol: String = "ts", idCol: String = "event_id",
+            alpha: Double = 0.3, horizon: Int = 5): Dataset[EwmaScore] = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(horizon >= 1, "horizon must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = (0 until horizon).map(j => math.pow(1.0 - alpha, j))
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])],
+         state: GroupState[EwmaState]) => {
+          val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Option[Double]])
+          val out = sorted.map { case (_, id, _, v) =>
+            // lag ladder: index 0 = current row, j = j rows back; fold in
+            // ascending j exactly like the batch expression chain
+            val lags = v +: ring.reverse
+            var num = 0.0; var den = 0.0
+            (0 until horizon).foreach { j =>
+              val x = if (j < lags.length) lags(j) else None
+              num += (if (x.isDefined) x.get * weights(j) else 0.0)
+              den += (if (x.isDefined) weights(j) else 0.0)
+            }
+            val ewma =
+              if (den > 0.0)
+                Some(BigDecimal(num / den)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None
+            ring = (ring :+ v).takeRight(horizon - 1)
+            EwmaScore(key, id, v, ewma)
+          }
+          state.update(EwmaState(ring))
+          out.iterator
+        })
+  }
+}
+
 /** One finalized (user, day, count) row — zero-count rows mark gap days. */
 final case class DayCount(user_id: Long, day: java.sql.Date, n_events: Long)
 

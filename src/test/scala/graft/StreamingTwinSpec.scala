@@ -735,3 +735,40 @@ class StreamingIncrementalAggSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+/** Streaming twin of the finite-horizon EWMA: bit-equality with the
+  * batch lag-ladder operator on an in-order stream, across batch
+  * boundaries (state carries the trailing ring between micro-batches).
+  */
+class StreamingEwmaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming EWMA equals the batch operator bit-for-bit across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val all = (0 until 30).map(i =>
+      (i.toLong % 3, i.toLong, ts(i), math.sin(i.toDouble) * 7.0))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingEwma(
+        mem.toDF().toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "value")
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode("append").start()
+    try {
+      mem.addData(all.take(13): _*); q.processAllAvailable()
+      mem.addData(all.drop(13): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT key, event_id, ewma FROM ewma_twin")
+        .as[(Long, Long, Option[Double])].collect()
+        .map(r => r._2 -> r._3).toMap
+      val batch = graft.operators.EventAnalytics.ewmaSmooth(
+          all.toDF("user_id", "event_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("ewma"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got.size == 30 && batch.size == 30)
+      all.foreach { case (_, id, _, _) =>
+        assert(got(id) == batch(id), s"event $id: ${got(id)} vs ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+}
