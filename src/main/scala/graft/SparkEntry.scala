@@ -4773,7 +4773,7 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT event_type,
-        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id))
         |      - epoch_us(ts) AS gap_us FROM ev),
         |f AS (SELECT * FROM g WHERE gap_us IS NOT NULL AND gap_us <= 1800000000)
         |SELECT event_type, count(*) AS n_dwells,
@@ -4874,7 +4874,9 @@ object SparkEntry {
         |    round(CAST(mrt AS DOUBLE) * mct / n, 6) AS expected, nr, nc
         |  FROM cells c JOIN rt USING (row_val) JOIN ct USING (col_val), tot),
         |s2 AS (SELECT *,
-        |    round((observed - expected) * (observed - expected) / expected, 6) AS contrib
+        |    CASE WHEN expected > 0.0
+        |      THEN round((observed - expected) * (observed - expected) / expected, 6)
+        |      ELSE 0.0 END AS contrib
         |  FROM s),
         |st AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
         |    (max(nr) - 1) * (max(nc) - 1) AS dof FROM s2)
@@ -4899,7 +4901,7 @@ object SparkEntry {
       s"""WITH ev AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),
         |l AS (SELECT event_id, user_id, v, $lagsSql FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
         |f AS (SELECT user_id, event_id, v AS value,
         |    $num AS num, $den AS den FROM l)
         |SELECT user_id, event_id, value,
@@ -4979,7 +4981,7 @@ object SparkEntry {
         |s AS (SELECT plabel, CASE WHEN greatest(a, b) > 0.0
         |    THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS sil FROM ab)
         |SELECT plabel AS label, count(*) AS n_points,
-        |  round(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) / count(sil), 6)
         |    AS mean_silhouette
         |FROM s GROUP BY plabel ORDER BY label""".stripMargin,
 

@@ -538,38 +538,25 @@ object EventAnalytics {
   def seasonalBaseline(events: DataFrame, typeCol: String, tsCol: String,
                        idCol: String, valueCol: String,
                        threshold: Double = 3.0, scale: Int = 2): DataFrame = {
+    import Stats.LimbMoments
     val u = "_u"
     val withSlot = events
       .filter(col(typeCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("dow", datediff(to_date(col(tsCol)), lit("1970-01-01")) % 7)
       .withColumn("hour", hour(col(tsCol)))
-      .withColumn(u,
-        (col(valueCol).cast(s"decimal(9,$scale)") *
-          lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong)))
-          .cast("long"))
-    def limbA: Column = (col(u) / (1L << 20)).cast("long")
-    def limbB: Column = ((col(u) - limbA * (1L << 20)) / (1L << 10)).cast("long")
-    def limbC: Column = col(u) - limbA * (1L << 20) - limbB * (1L << 10)
-    val slots = withSlot.groupBy(col(typeCol), col("dow"), col("hour")).agg(
-      count(lit(1)).as("_n"),
-      sum(limbA).as("_s2"), sum(limbB).as("_s1"), sum(limbC).as("_s0"),
-      sum(limbA * limbA).as("_p4"),
-      sum(limbA * limbB + limbB * limbA).as("_p3"),
-      sum(limbA * limbC + limbB * limbB + limbC * limbA).as("_p2"),
-      sum(limbB * limbC + limbC * limbB).as("_p1"),
-      sum(limbC * limbC).as("_p0"))
-    // moment reassembly in decimal on the BOUNDED slot table (exact:
-    // integer component sums, one decimal division per moment, one
-    // double cast) — mirrors CAST(SUM(decimal) AS DOUBLE) in SQL
-    def dec(c: String): Column = col(c).cast("decimal(38,0)")
-    val sUnits = dec("_s2") * lit(1L << 20) + dec("_s1") * lit(1L << 10) + dec("_s0")
-    val pUnits = dec("_p4") * lit(1L << 40) + dec("_p3") * lit(1L << 30) +
-      dec("_p2") * lit(1L << 20) + dec("_p1") * lit(1L << 10) + dec("_p0")
-    val tenS = math.pow(10, scale).toLong
+      // try_cast + null drop: out-of-domain values exclude listwise
+      // (see [[graft.operators.Stats.LimbMoments.units]])
+      .withColumn(u, LimbMoments.units(valueCol, 9, scale))
+      .filter(col(u).isNotNull)
+    val mAggs = LimbMoments.momentAggs(col(u))
+    val slots = withSlot.groupBy(col(typeCol), col("dow"), col("hour"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    // moment reassembly on the BOUNDED slot table via the shared
+    // column-expression form — mirrors CAST(SUM(decimal) AS DOUBLE)
     val stats = slots.select(col(typeCol), col("dow"), col("hour"),
         col("_n"),
-        (sUnits / lit(tenS)).cast("double").as("_s"),
-        (pUnits / lit(tenS * tenS)).cast("double").as("_p"))
+        LimbMoments.sumValueCol(scale).as("_s"),
+        LimbMoments.prodValueCol(scale).as("_p"))
       .withColumn("slot_mean", round(col("_s") / col("_n"), 6))
       .withColumn("slot_std", when(col("_n") > 1, round(
         sqrt(greatest(

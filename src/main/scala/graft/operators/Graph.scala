@@ -108,23 +108,6 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** The k-core of an undirected graph: the maximal subgraph in which
-    * every vertex has degree ≥ k, computed by the standard iterative
-    * peel — drop sub-k vertices, recompute degrees, repeat to fixpoint.
-    * The dense-community extractor (spam rings, citation cores,
-    * coordinated-account detection). Returns (id, degree) of surviving
-    * vertices with their degree INSIDE the core.
-    *
-    * Shape: each round is one degree aggregation plus two semi-joins
-    * filtering the edge list — all keyed on vertex id, so the
-    * partitioning is reused round to round; the edge list only ever
-    * SHRINKS. Same loop discipline as [[pageRank]]: the new edge set is
-    * `localCheckpoint`ed (flat lineage) and the previous round's cache
-    * dropped; the only driver value per round is the surviving-edge
-    * count (the fixpoint test). Peeling converges in at most
-    * `maxIter` rounds; the cap guards pathological chains (a path graph
-    * peels one layer per round) — the classic distributed k-core bound.
-    */
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) with deterministic tie-breaks: every round each vertex takes
     * the most frequent label in its closed neighborhood (its own label
@@ -181,6 +164,25 @@ object Graph {
     labels
   }
 
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every vertex has degree ≥ k, computed by the standard iterative
+    * peel — drop sub-k vertices, recompute degrees, repeat to fixpoint.
+    * The dense-community extractor (spam rings, citation cores,
+    * coordinated-account detection). Returns (id, degree) of surviving
+    * vertices with their degree INSIDE the core.
+    *
+    * Shape: each round is one degree aggregation plus two semi-joins
+    * filtering the edge list — all keyed on vertex id, so the
+    * partitioning is reused round to round; the edge list only ever
+    * SHRINKS. Same loop discipline as [[pageRank]]: the new edge set is
+    * `localCheckpoint`ed (flat lineage) and the previous round's cache
+    * dropped; the only driver value per round is the surviving-edge
+    * count (the fixpoint test). Deep "onions" (a path graph peels one
+    * layer per round) may not reach the fixpoint within `maxIter`
+    * rounds; rather than return a confidently wrong vertex set, the
+    * operator THROWS when the cap is hit before convergence — raise
+    * `maxIter` for such graphs.
+    */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val und = edges.select(
@@ -208,6 +210,10 @@ object Graph {
       n = m
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach the peel fixpoint within $maxIter rounds " +
+          "(deep layered graphs peel slowly); raise maxIter")
     e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }

@@ -499,9 +499,13 @@ object Similarity {
       when(greatest(col("_a"), col("_b")) > 0.0,
         round((col("_b") - col("_a")) / greatest(col("_a"), col("_b")), 6))
         .otherwise(lit(0.0)))
+    // mean over DEFINED scores: with a single label b is undefined
+    // (null) for every point, and dividing by count(*) would silently
+    // average nulls as zeros — count(_s) keeps the degenerate case an
+    // all-null column instead of a wrong number
     s.groupBy(col("_plabel").as(labelCol))
       .agg(count(lit(1)).as("n_points"),
-        round(sum(col("_s").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        round(sum(col("_s").cast("decimal(18,6)")).cast("double") / count(col("_s")), 6)
           .as("mean_silhouette"))
   }
 

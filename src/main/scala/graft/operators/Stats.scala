@@ -17,6 +17,100 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   */
 object Stats {
 
+  /** The exact integer moment accumulation shared by [[corrMatrix]],
+    * [[welchT]] and [[graft.operators.EventAnalytics.seasonalBaseline]]:
+    * a unit value |u| ≤ 10^9 splits into three 10-bit limbs
+    * u = a·2^20 + b·2^10 + c (truncation toward zero — self-consistent
+    * for both signs), and Σu / Σu² accumulate as LONG component sums
+    * that stay on the codegen mutable-buffer fast path (a >18-precision
+    * decimal aggregate rewrites its variable-length buffer per row,
+    * ~10x the scan cost, measured). Largest per-row component is
+    * 3·2^20, giving ~2^41 (≈ 2·10^12) row capacity. Reassembly —
+    * Σu = Σa·2^20 + Σb·2^10 + Σc and
+    * Σu·v = (aa)·2^40 + (ab+ba)·2^30 + (ac+bb+ca)·2^20 + (bc+cb)·2^10 + cc
+    * — is exact integer arithmetic, so no partitioning or summation
+    * order can change a bit. Division note: `/` on longs is double
+    * division in Spark SQL, but |u| ≤ 10^9 < 2^53 keeps u/2^k exact.
+    */
+  private[operators] object LimbMoments {
+    def limbA(u: Column): Column = (u / (1L << 20)).cast("long")
+    def limbB(u: Column): Column =
+      ((u - limbA(u) * (1L << 20)) / (1L << 10)).cast("long")
+    def limbC(u: Column): Column =
+      u - limbA(u) * (1L << 20) - limbB(u) * (1L << 10)
+
+    /** Cross-product component sums of u·v by power of 2^10, with the
+      * given name suffix: _p4..._p0.
+      */
+    def prodAggs(u: Column, v: Column, suffix: String = ""): Seq[Column] = Seq(
+      sum(limbA(u) * limbA(v)).as(s"_p4$suffix"),
+      sum(limbA(u) * limbB(v) + limbB(u) * limbA(v)).as(s"_p3$suffix"),
+      sum(limbA(u) * limbC(v) + limbB(u) * limbB(v) + limbC(u) * limbA(v))
+        .as(s"_p2$suffix"),
+      sum(limbB(u) * limbC(v) + limbC(u) * limbB(v)).as(s"_p1$suffix"),
+      sum(limbC(u) * limbC(v)).as(s"_p0$suffix"))
+
+    /** Component sums of Σu with the given name suffix: _s2 _s1 _s0. */
+    def sumAggs(u: Column, suffix: String = ""): Seq[Column] = Seq(
+      sum(limbA(u)).as(s"_s2$suffix"), sum(limbB(u)).as(s"_s1$suffix"),
+      sum(limbC(u)).as(s"_s0$suffix"))
+
+    /** The standard single-value moment set: count + Σu + Σu². */
+    def momentAggs(u: Column): Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++ sumAggs(u) ++ prodAggs(u, u)
+
+    def two(bits: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(2).pow(bits)
+
+    /** Exact Σ value (units → value scale) from the component sums,
+      * as a double — one rounding at the final conversion, identical to
+      * CAST(SUM(decimal) AS DOUBLE) in an oracle.
+      */
+    def sumValue(get: String => Long, scale: Int, suffix: String = ""): Double =
+      java.math.BigDecimal.valueOf(get(s"_s2$suffix")).multiply(two(20))
+        .add(java.math.BigDecimal.valueOf(get(s"_s1$suffix")).multiply(two(10)))
+        .add(java.math.BigDecimal.valueOf(get(s"_s0$suffix")))
+        .movePointLeft(scale).doubleValue
+
+    /** Exact Σ u·v (units² → value scale) from the component sums. */
+    def prodValue(get: String => Long, scale: Int, suffix: String = ""): Double =
+      java.math.BigDecimal.valueOf(get(s"_p4$suffix")).multiply(two(40))
+        .add(java.math.BigDecimal.valueOf(get(s"_p3$suffix")).multiply(two(30)))
+        .add(java.math.BigDecimal.valueOf(get(s"_p2$suffix")).multiply(two(20)))
+        .add(java.math.BigDecimal.valueOf(get(s"_p1$suffix")).multiply(two(10)))
+        .add(java.math.BigDecimal.valueOf(get(s"_p0$suffix")))
+        .movePointLeft(2 * scale).doubleValue
+
+    /** Column-expression reassembly of Σu (for bounded post-aggregate
+      * frames), as an exact decimal scaled back to value units.
+      */
+    def sumValueCol(scale: Int): Column =
+      ((col("_s2").cast("decimal(38,0)") * lit(1L << 20) +
+        col("_s1").cast("decimal(38,0)") * lit(1L << 10) +
+        col("_s0")) / lit(math.pow(10, scale).toLong)).cast("double")
+
+    /** Column-expression reassembly of Σu² — see [[sumValueCol]]. */
+    def prodValueCol(scale: Int): Column =
+      ((col("_p4").cast("decimal(38,0)") * lit(1L << 40) +
+        col("_p3").cast("decimal(38,0)") * lit(1L << 30) +
+        col("_p2").cast("decimal(38,0)") * lit(1L << 20) +
+        col("_p1").cast("decimal(38,0)") * lit(1L << 10) +
+        col("_p0")) / lit(math.pow(10, 2 * scale).toLong)).cast("double")
+
+    /** Canonicalize a raw column to exact long units: try_cast to
+      * decimal (out-of-domain values null out identically under ANSI
+      * and legacy modes — callers drop those rows listwise), times
+      * 10^scale as a NARROW decimal literal (a long literal would
+      * promote the product past precision 18 and off the compact
+      * long-backed fast path).
+      */
+    def units(valueCol: String, precision: Int, scale: Int): Column =
+      (expr(s"try_cast(`$valueCol` AS decimal($precision,$scale))") *
+        lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong)))
+        .cast("long")
+  }
+
+
   /** Pairwise Pearson correlation over `cols` (all cast to double, rows
     * with ANY null in `cols` dropped so every pair sees the same n —
     * the listwise-deletion convention).
@@ -43,67 +137,29 @@ object Stats {
     require(precision <= 9,
       "precision > 9 breaks the exact split-long accumulation bounds")
     val spark = df.sparkSession
-    val dec = s"decimal($precision,$scale)"
     // Canonicalize each column ONCE (the double→decimal cast is the
-    // expensive op), then accumulate every moment as LONG sums: a
-    // cross-product of two ≤10^9-unit values needs 128-bit headroom
-    // that decimal aggregates buy with per-row variable-length buffer
-    // rewrites (~10x the scan cost, measured at 10x sf0.1), so instead
-    // each unit value splits into three 10-bit limbs u = a·2^20 + b·2^10
-    // + c and every moment is reassembled driver-side from EXACT long
-    // component sums — integer arithmetic, so partitioning/order cannot
-    // change a bit, and all 63 aggregates (for 4 columns) sit in the
-    // codegen'd mutable-buffer fast path. Largest per-row component is
-    // 3·2^20, giving ~2^41 (≈ 2·10^12) row capacity at precision 9.
-    // the 10^scale factor as a typed narrow decimal literal: a long
-    // literal would promote the product past precision 18 and off the
-    // compact (long-backed) decimal fast path
-    val tenScale = lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong))
+    // expensive op), then accumulate every moment through the shared
+    // [[LimbMoments]] integer component sums — all 63 aggregates (for
+    // 4 columns) on the codegen mutable-buffer fast path; out-of-domain
+    // values null out under try_cast and drop listwise.
     val clean = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-      .select(cols.map(c =>
-        (col(c).cast(dec) * tenScale).cast("long").as(c)): _*)
-    // limb extraction: / on longs is double division in Spark SQL, but
-    // |u| ≤ 10^9 < 2^53 so u/2^k is exact and the long cast truncates
-    // toward zero consistently for both signs
-    def limbA(c: String): Column = (col(c) / (1L << 20)).cast("long")
-    def limbB(c: String): Column =
-      ((col(c) - limbA(c) * (1L << 20)) / (1L << 10)).cast("long")
-    def limbC(c: String): Column =
-      col(c) - limbA(c) * (1L << 20) - limbB(c) * (1L << 10)
+      .select(cols.map(c => LimbMoments.units(c, precision, scale).as(c)): _*)
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
-    // Σx·y components by power of 2^10: (aa)·2^40 + (ab+ba)·2^30 +
-    // (ac+bb+ca)·2^20 + (bc+cb)·2^10 + cc
-    def pairAggs(a: String, b: String): Seq[Column] = Seq(
-      sum(limbA(a) * limbA(b)).as(s"_p4_${a}_$b"),
-      sum(limbA(a) * limbB(b) + limbB(a) * limbA(b)).as(s"_p3_${a}_$b"),
-      sum(limbA(a) * limbC(b) + limbB(a) * limbB(b) + limbC(a) * limbA(b))
-        .as(s"_p2_${a}_$b"),
-      sum(limbB(a) * limbC(b) + limbC(a) * limbB(b)).as(s"_p1_${a}_$b"),
-      sum(limbC(a) * limbC(b)).as(s"_p0_${a}_$b"))
-    def colAggs(c: String): Seq[Column] = Seq(
-      sum(limbA(c)).as(s"_s2_$c"), sum(limbB(c)).as(s"_s1_$c"),
-      sum(limbC(c)).as(s"_s0_$c"))
+    def pairAggs(a: String, b: String): Seq[Column] =
+      LimbMoments.prodAggs(col(a), col(b), s"_${a}_$b")
+    def colAggs(c: String): Seq[Column] = LimbMoments.sumAggs(col(c), s"_$c")
     val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap(colAggs) ++
       pairs.flatMap((pairAggs _).tupled)
     val r = clean.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("_n").toDouble
-    def bd(name: String): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(Option(r.getAs[java.lang.Long](name))
-        .map(_.longValue).getOrElse(0L))
-    def shifted(name: String, bits: Int): java.math.BigDecimal =
-      bd(name).multiply(java.math.BigDecimal.valueOf(2).pow(bits))
-    val unit = java.math.BigDecimal.ONE.movePointLeft(scale)
-    // Σx in value units, exactly: (Σa·2^20 + Σb·2^10 + Σc)·10^-scale
-    def sd(c: String): Double =
-      shifted(s"_s2_$c", 20).add(shifted(s"_s1_$c", 10)).add(bd(s"_s0_$c"))
-        .multiply(unit).doubleValue
+    def get(name: String): Long =
+      Option(r.getAs[java.lang.Long](name)).map(_.longValue).getOrElse(0L)
+    def sd(c: String): Double = LimbMoments.sumValue(get, scale, s"_$c")
     def pd(a: String, b: String): Double =
-      shifted(s"_p4_${a}_$b", 40).add(shifted(s"_p3_${a}_$b", 30))
-        .add(shifted(s"_p2_${a}_$b", 20)).add(shifted(s"_p1_${a}_$b", 10))
-        .add(bd(s"_p0_${a}_$b"))
-        .multiply(unit).multiply(unit).doubleValue
+      LimbMoments.prodValue(get, scale, s"_${a}_$b")
     val out = for {
       i <- cols.indices; j <- (i + 1) until cols.size
       a = cols(i); b = cols(j)
@@ -158,37 +214,23 @@ object Stats {
     require(precision <= 9,
       "precision > 9 breaks the exact split-long accumulation bounds")
     val spark = df.sparkSession
-    val dec = s"decimal($precision,$scale)"
-    val tenScale = lit(java.math.BigDecimal.valueOf(math.pow(10, scale).toLong))
+    // try_cast + null drop: out-of-domain values exclude listwise (see
+    // [[LimbMoments.units]])
     val clean = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
-        (col(valueCol).cast(dec) * tenScale).cast("long").as("u"))
-    def limbA: Column = (col("u") / (1L << 20)).cast("long")
-    def limbB: Column = ((col("u") - limbA * (1L << 20)) / (1L << 10)).cast("long")
-    def limbC: Column = col("u") - limbA * (1L << 20) - limbB * (1L << 10)
-    val grouped = clean.groupBy("g").agg(
-      count(lit(1)).as("_n"),
-      sum(limbA).as("_s2"), sum(limbB).as("_s1"), sum(limbC).as("_s0"),
-      sum(limbA * limbA).as("_p4"),
-      sum(limbA * limbB + limbB * limbA).as("_p3"),
-      sum(limbA * limbC + limbB * limbB + limbC * limbA).as("_p2"),
-      sum(limbB * limbC + limbC * limbB).as("_p1"),
-      sum(limbC * limbC).as("_p0"))
+        LimbMoments.units(valueCol, precision, scale).as("u"))
+      .filter(col("u").isNotNull)
+    val mAggs = LimbMoments.momentAggs(col("u"))
+    val grouped = clean.groupBy("g").agg(mAggs.head, mAggs.tail: _*)
     val rows = grouped.limit(1001).collect()
     require(rows.length <= 1000,
       "welchT compares named cohorts; >1000 groups looks like a key column")
-    val unit = java.math.BigDecimal.ONE.movePointLeft(scale)
-    def two(bits: Int) = java.math.BigDecimal.valueOf(2).pow(bits)
     case class G(g: String, n: Long, s: Double, p: Double)
     val gs = rows.map { r =>
-      def bd(f: String) = java.math.BigDecimal.valueOf(r.getAs[Long](f))
-      val s = bd("_s2").multiply(two(20)).add(bd("_s1").multiply(two(10)))
-        .add(bd("_s0")).multiply(unit).doubleValue
-      val p = bd("_p4").multiply(two(40)).add(bd("_p3").multiply(two(30)))
-        .add(bd("_p2").multiply(two(20))).add(bd("_p1").multiply(two(10)))
-        .add(bd("_p0")).multiply(unit).multiply(unit).doubleValue
-      G(r.getAs[String]("g"), r.getAs[Long]("_n"), s, p)
-    }.filter(_.n >= 2).sortBy(_.g)
+      def get(f: String): Long = r.getAs[Long](f)
+      G(r.getAs[String]("g"), r.getAs[Long]("_n"),
+        LimbMoments.sumValue(get, scale), LimbMoments.prodValue(get, scale))
+        }.filter(_.n >= 2).sortBy(_.g)
     def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val out = for {
@@ -250,9 +292,15 @@ object Stats {
       .crossJoin(broadcast(tot))
       .withColumn("expected",
         round(col("_rt").cast("double") * col("_ct") / col("_n"), 6))
+      // a cell whose expected count rounds to 0 at 6 dp (possible once
+      // n > ~2·10^6 with unit margins) would divide by zero — such
+      // cells violate the chi-square validity assumption (expected ≥ 5)
+      // anyway, so they contribute 0 rather than Infinity/error
       .withColumn("contrib",
-        round((col("observed") - col("expected")) *
-          (col("observed") - col("expected")) / col("expected"), 6))
+        when(col("expected") > 0.0,
+          round((col("observed") - col("expected")) *
+            (col("observed") - col("expected")) / col("expected"), 6))
+          .otherwise(lit(0.0)))
     val stat = scored.agg(
       sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"),
       ((max("_nr") - 1) * (max("_nc") - 1)).as("dof"))

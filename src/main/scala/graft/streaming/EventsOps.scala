@@ -493,8 +493,13 @@ object StreamingRollingAnomaly {
         (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
          state: GroupState[RollState]) => {
           // per-key per-batch buffer only — sorted to the batch twin's
-          // (ts, id) window order
-          val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+          // (ts, id) window order at FULL timestamp precision (getTime
+          // alone is millis and would tie sub-milli event times), with
+          // null ts first (Spark's ASC default)
+          val sorted = rows.toArray.sortBy(r =>
+            (r._3 != null,
+              if (r._3 == null) 0L else r._3.getTime,
+              if (r._3 == null) 0 else r._3.getNanos, r._2))
           var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Double])
           val out = sorted.map { case (_, id, _, v) =>
             val z: Option[Double] =
@@ -564,7 +569,12 @@ object StreamingEwma {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Option[Double])],
          state: GroupState[EwmaState]) => {
-          val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+          // full-precision (ts, id) order with null ts first — the batch
+          // window's ASC NULLS FIRST semantics (getTime alone is millis)
+          val sorted = rows.toArray.sortBy(r =>
+            (r._3 != null,
+              if (r._3 == null) 0L else r._3.getTime,
+              if (r._3 == null) 0 else r._3.getNanos, r._2))
           var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Option[Double]])
           val out = sorted.map { case (_, id, _, v) =>
             // lag ladder: index 0 = current row, j = j rows back; fold in

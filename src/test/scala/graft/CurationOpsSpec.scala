@@ -249,6 +249,30 @@ class DomainBudgetSpec extends SparkSpecBase {
     }
   }
 
+  test("release drops the pinned budget-select layout (and only after release)") {
+    def pinnedIds(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+      val acc = scala.collection.mutable.Set[Int]()
+      def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+        if (depth < 20) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            acc += r.id
+          r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+        }
+      df.queryExecution.logical.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd, 0)
+        case _ => ()
+      }
+      acc.toSet
+    }
+    val docs = spark.range(500).select(col("id"), (col("id") % 13).as("score"),
+      (col("id") % 7 + 1).as("tok"))
+    val sel = Sampling.tokenBudgetSelect(docs, "id", "score", "tok", 100000L)
+    assert(sel.count() > 0)
+    assert(pinnedIds(sel).nonEmpty, "expected the checkpointed layout pinned")
+    Sampling.release(sel)
+    assert(pinnedIds(sel).isEmpty, "release must unpersist the layout")
+  }
+
   test("domainBudgetSelect survives more partitions than rows") {
     val df = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("dom", "id", "tok")
     val out = Sampling.domainBudgetSelect(df, "dom", "id", "tok", "tok",

@@ -178,6 +178,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Exchange") && !p.contains("Window") &&
       !p.contains("Join"),
       s"expected a narrow fold over the checkpointed layout:\n$p")
+    // behavioral check of the offset assumption itself: the operator's
+    // OWN layout must be rank-contiguous — per-partition score ranges
+    // disjoint and descending in partition-id order (a regression to
+    // hash/round-robin partitioning would violate this while every
+    // plan-string assertion above still passed)
+    val sel = graft.operators.Sampling.tokenBudgetSelect(
+      docs, "id", "score", "tokens", Long.MaxValue, nPartitions = 8)
+    val ranges = sel.select("score").rdd.mapPartitionsWithIndex { (i, it) =>
+      val xs = it.map(_.getLong(0)).toArray
+      if (xs.isEmpty) Iterator.empty else Iterator((i, xs.max, xs.min))
+    }.collect().sortBy(_._1)
+    assert(ranges.nonEmpty && ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((p1, _, lo1), (p2, hi2, _)) =>
+        assert(lo1 >= hi2,
+          s"partitions $p1/$p2 overlap in rank order: min($p1)=$lo1 < max($p2)=$hi2")
+      case _ => ()
+    }
+    graft.operators.Sampling.release(sel)
   }
 
   test("labelCentroids aggregation is partial (map-side combined) on model-sized keys") {
