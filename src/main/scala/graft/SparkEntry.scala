@@ -2336,7 +2336,11 @@ object SparkEntry {
         (col("src") < 5 && col("dst") < 5 && col("src") < col("dst")) ||
           (col("src") >= 5 && col("dst") >= 5 && col("src") < col("dst")) ||
           (col("src") === 4 && col("dst") === 5))
-      Graph.labelPropagation(edges).orderBy("id")
+      // 3 fixed rounds, no early-exit jobs: the hand-trace reaches the
+      // fixpoint after round 2, round 3 re-confirms it (identical
+      // labeling), so the fixed-round mode returns the converged result
+      Graph.labelPropagation(edges, maxIter = 3, earlyExit = false)
+        .orderBy("id")
     })
   )
 

@@ -126,9 +126,13 @@ object Graph {
     * window over skewed neighborhoods; the [[Dedup]] survivorship
     * pattern). Loop discipline as [[pageRank]]: localCheckpoint per
     * round, previous round unpersisted, one scalar (changed count) to
-    * the driver for early exit.
+    * the driver for early exit. With `earlyExit = false` the loop runs
+    * exactly `maxIter` rounds with NO per-round convergence job — the
+    * cheaper mode when the round budget is known (each convergence
+    * check is a join + count job, which dominates on small graphs).
     */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIter: Int = 10,
+                       earlyExit: Boolean = true): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).cast("long").as("a"),
       greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -154,8 +158,11 @@ object Graph {
         .agg(max(struct(col("_c"), (-col("community")).as("_neg"))).as("_m"))
         .select(col("id"), (-col("_m._neg")).as("community"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("community", "_old"), "id")
-        .filter(col("community") =!= col("_old")).count()
+      changed =
+        if (earlyExit)
+          next.join(labels.withColumnRenamed("community", "_old"), "id")
+            .filter(col("community") =!= col("_old")).count()
+        else 1L
       unpersistCheckpoint(labels)
       labels = next
       it += 1
