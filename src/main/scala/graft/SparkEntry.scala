@@ -2321,6 +2321,14 @@ object SparkEntry {
       Profile.percentileRank(t(s, dir, "documents"), "doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // ---- grouped percentile rank: each doc's length percentile within
+    //      its OWN language — the per-group CDF join (windows run over
+    //      the group's distinct values, never its rows) ----
+    "q_pct_rank_by" -> ((s, dir) =>
+      Profile.percentileRankBy(t(s, dir, "documents"), "doc_id", "n_chars",
+          Seq("lang"))
+        .orderBy("doc_id")),
+
     // ---- label-propagation communities, planted gate: two 5-cliques
     //      bridged by one edge (4-5) from nation keys converge in 3
     //      deterministic rounds to communities 0 and 5 (hand-traced:
@@ -5024,6 +5032,15 @@ object SparkEntry {
     "q_pct_rank" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
         |  round(cume_dist() OVER (ORDER BY CAST(n_chars AS BIGINT)), 6) AS pct_rank
+        |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // grouped percentile-rank truth: per-language cume_dist — again a
+    // different derivation of #{group rows <= v}/|group| than the
+    // engine's per-group CDF join
+    "q_pct_rank_by" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS value,
+        |  round(cume_dist() OVER (PARTITION BY lang
+        |    ORDER BY CAST(n_chars AS BIGINT)), 6) AS pct_rank
         |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // LPA planted truth: clique A {0..4} -> community 0, clique B

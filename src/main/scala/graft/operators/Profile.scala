@@ -131,21 +131,40 @@ object Profile {
     * Cross-engine exactness: the rank is one integer-over-integer
     * double division rounded at 6 dp.
     */
-  def percentileRank(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+  def percentileRank(df: DataFrame, idCol: String, valueCol: String): DataFrame =
+    percentileRankBy(df, idCol, valueCol, Nil)
+
+  /** [[percentileRank]] within groups: pct_rank relative to the row's
+    * OWN group distribution (per-language length calibration, per-source
+    * quality normalization). Same bounded distinct-value CDF shape —
+    * the window partitions by (group), ordered over the group's
+    * distinct VALUES (never its rows), and the re-attach joins on
+    * (group, value) with AQE choosing the strategy.
+    */
+  def percentileRankBy(df: DataFrame, idCol: String, valueCol: String,
+                       groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("long")
-    val counts = df.filter(v.isNotNull).groupBy(v.as("_v"))
+    // the CDF side renames its group keys (_g0.._gn): it derives from
+    // `df` itself, and a join back on the shared names would be an
+    // ambiguous self-join
+    val gAlias = groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"_g$i") }
+    val gRef = groupCols.indices.map(i => col(s"_g$i"))
+    val counts = df.filter(v.isNotNull).groupBy(gAlias :+ v.as("_v"): _*)
       .agg(count(lit(1)).as("_cnt"))
-    val cum = Window.orderBy("_v")
+    val cum = Window.partitionBy(gRef: _*).orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(gRef: _*)
     val cdf = counts
       .withColumn("_cum", sum("_cnt").over(cum))
-      .withColumn("_tot", sum("_cnt").over(Window.partitionBy()))
-      .select(col("_v"), col("_cum"), col("_tot"))
+      .withColumn("_tot", sum("_cnt").over(tot))
+      .select(gRef ++ Seq(col("_v"), col("_cum"), col("_tot")): _*)
     df.filter(v.isNotNull)
-      .join(cdf, v === col("_v"))
-      .select(col(idCol), v.as("value"),
-        round(col("_cum").cast("double") / col("_tot"), 6).as("pct_rank"))
+      .join(cdf, groupCols.zipWithIndex
+        .map { case (c, i) => df(c) === col(s"_g$i") }
+        .foldLeft(v === col("_v"))(_ && _))
+      .select(Seq(df(idCol)) ++ groupCols.map(df(_)) ++ Seq(v.as("value"),
+        round(col("_cum").cast("double") / col("_tot"), 6).as("pct_rank")): _*)
   }
 
   /** Key-skew profile: the top-`topN` heaviest keys with their share of
