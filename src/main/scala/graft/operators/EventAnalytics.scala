@@ -535,22 +535,52 @@ object EventAnalytics {
     * the [[robustOutliers]] policy. Values canonicalize to
     * DECIMAL(9, scale) for the moments (lossless at 2-dp telemetry).
     */
-  def seasonalBaseline(events: DataFrame, typeCol: String, tsCol: String,
-                       idCol: String, valueCol: String,
-                       threshold: Double = 3.0, scale: Int = 2): DataFrame = {
+  /** The (type, dow, hour) slot moment table behind
+    * [[seasonalBaseline]]: count + the 8 [[graft.operators.Stats.LimbMoments]]
+    * long component sums per slot. Exposed separately because the
+    * component sums are PLAIN LONG ADDS, so a maintained slot table
+    * merges with a new batch's table by summing components — exact
+    * incremental maintenance with no historical rescan (the streaming
+    * twin in `StreamingTwinSpec` proves merge-chain equality).
+    */
+  def seasonalSlotMoments(events: DataFrame, typeCol: String, tsCol: String,
+                          valueCol: String, scale: Int = 2): DataFrame = {
     import Stats.LimbMoments
-    val u = "_u"
-    val withSlot = events
+    val withSlot = seasonalSlotted(events, typeCol, tsCol, valueCol, scale)
+    val mAggs = LimbMoments.momentAggs(col("_u"))
+    withSlot.groupBy(col(typeCol), col("dow"), col("hour"))
+      .agg(mAggs.head, mAggs.tail: _*)
+  }
+
+  /** Merge two slot moment tables (component-wise long sums). */
+  def mergeSlotMoments(a: DataFrame, b: DataFrame, typeCol: String): DataFrame = {
+    val comps = Seq("_n", "_s2", "_s1", "_s0", "_p4", "_p3", "_p2", "_p1", "_p0")
+    a.unionByName(b).groupBy(col(typeCol), col("dow"), col("hour"))
+      .agg(sum(comps.head).as(comps.head),
+        comps.tail.map(c => sum(c).as(c)): _*)
+  }
+
+  private def seasonalSlotted(events: DataFrame, typeCol: String,
+                              tsCol: String, valueCol: String,
+                              scale: Int): DataFrame = {
+    import Stats.LimbMoments
+    events
       .filter(col(typeCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("dow", datediff(to_date(col(tsCol)), lit("1970-01-01")) % 7)
       .withColumn("hour", hour(col(tsCol)))
       // try_cast + null drop: out-of-domain values exclude listwise
       // (see [[graft.operators.Stats.LimbMoments.units]])
-      .withColumn(u, LimbMoments.units(valueCol, 9, scale))
-      .filter(col(u).isNotNull)
-    val mAggs = LimbMoments.momentAggs(col(u))
-    val slots = withSlot.groupBy(col(typeCol), col("dow"), col("hour"))
-      .agg(mAggs.head, mAggs.tail: _*)
+      .withColumn("_u", LimbMoments.units(valueCol, 9, scale))
+      .filter(col("_u").isNotNull)
+  }
+
+  def seasonalBaseline(events: DataFrame, typeCol: String, tsCol: String,
+                       idCol: String, valueCol: String,
+                       threshold: Double = 3.0, scale: Int = 2): DataFrame = {
+    import Stats.LimbMoments
+    val u = "_u"
+    val withSlot = seasonalSlotted(events, typeCol, tsCol, valueCol, scale)
+    val slots = seasonalSlotMoments(events, typeCol, tsCol, valueCol, scale)
     // moment reassembly on the BOUNDED slot table via the shared
     // column-expression form — mirrors CAST(SUM(decimal) AS DOUBLE)
     val stats = slots.select(col(typeCol), col("dow"), col("hour"),

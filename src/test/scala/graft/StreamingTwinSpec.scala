@@ -772,3 +772,47 @@ class StreamingEwmaSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+/** Streaming maintenance of the seasonal slot moments: the limb
+  * component sums are plain long adds, so a foreachBatch merge chain of
+  * per-batch slot tables must equal the from-scratch slot table EXACTLY
+  * (bit-equal longs — no float drift, any batch boundary).
+  */
+class StreamingSeasonalMomentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("foreachBatch slot-moment merge chain equals the from-scratch table") {
+    import graft.operators.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 977000L)
+    val all = (0 until 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "click" else "view", ts(i),
+        (i % 47).toDouble + 0.25))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    @volatile var slots: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDF().toDF("event_id", "event_type", "ts", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = EventAnalytics.seasonalSlotMoments(batch, "event_type", "ts", "value")
+        slots =
+          (if (slots == null) b
+           else EventAnalytics.mergeSlotMoments(slots, b, "event_type"))
+            .localCheckpoint(eager = true)
+      }
+      .start()
+    try {
+      mem.addData(all.take(100): _*); q.processAllAvailable()
+      mem.addData(all.slice(100, 220): _*); q.processAllAvailable()
+      mem.addData(all.drop(220): _*); q.processAllAvailable()
+      val got = slots.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.toSeq.drop(3)).toMap
+      val truth = EventAnalytics.seasonalSlotMoments(
+          all.toDF("event_id", "event_type", "ts", "value"),
+          "event_type", "ts", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.toSeq.drop(3)).toMap
+      assert(got.keySet == truth.keySet && got.keySet.nonEmpty)
+      got.keySet.foreach(k => assert(got(k) == truth(k), s"slot $k diverged"))
+    } finally q.stop()
+  }
+}
