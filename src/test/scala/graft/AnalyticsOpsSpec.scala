@@ -150,12 +150,25 @@ class EventAnalyticsSpec extends SparkSpecBase {
     }
     val df = ev(events: _*)
     val steps = (0 until 10).map(i => s"s$i")
-    val preCached = spark.sparkContext.getPersistentRDDs.size
+    // leak detector scoped to THIS operator: a global persisted-RDD
+    // count races with concurrently running suites (observed flake);
+    // cached RDD toStrings carry their creation site, so filter to the
+    // funnel's source files instead
+    def ownedCaches: Iterable[String] =
+      spark.sparkContext.getPersistentRDDs.values.map(_.toString)
+        .filter(s => s.contains("EventAnalytics.scala") ||
+          s.contains("AnalyticsOpsSpec.scala"))
+    // positive control: the detector must actually see a cache created
+    // from this call path before we trust its silence
+    val probe = df.persist(); probe.count()
+    assert(ownedCaches.nonEmpty, "leak detector failed its positive control")
+    probe.unpersist(blocking = true)
+    assert(ownedCaches.isEmpty)
     val eager = EventAnalytics.funnel(df, steps) // size 10 > threshold 6
       .orderBy("step_idx")
       .as[(Long, String, Long, Double)].collect().toSeq
     // every intermediate reach was unpersisted once its successor materialized
-    assert(spark.sparkContext.getPersistentRDDs.size == preCached)
+    assert(ownedCaches.isEmpty, s"leaked funnel caches: $ownedCaches")
     val lazyPath = EventAnalytics.funnel(df, steps, persistThreshold = 100)
       .orderBy("step_idx")
       .as[(Long, String, Long, Double)].collect().toSeq
