@@ -958,7 +958,11 @@ object SparkEntry {
     //      corpus text). Must reproduce q_incremental_dedup exactly ----
     "q_dedup_index" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index"
+      // per-run unique dir: a FIXED tmp path races concurrent harness
+      // processes (one run's overwrite deletes the index another run's
+      // lazy dedupAgainstIndex is still scanning)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index").toString
       Dedup.saveLshIndex(
         Dedup.buildLshIndex(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id"),
         path)
@@ -2177,7 +2181,8 @@ object SparkEntry {
     // ---- column-level drift triage: WHICH columns carry the change —
     //      rowChanges' full-outer join folded to one row per column
     //      (sum-of-case, no explode; output bounded by column count).
-    //      Sides: quantity mutated on %17 keys, discount on %23 ----
+    //      Sides: orders.o_totalprice mutated on %17 keys,
+    //      o_orderpriority on %23 ----
     "q_column_drift" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val oldDf = o.filter(col("o_orderkey") % 59 =!= 0)

@@ -164,6 +164,13 @@ object EventAnalytics {
     * medians are the audit-grade choice at bounded group count; for
     * monster groups swap `percentile` for `percentile_approx` — same
     * plan shape, bounded state.
+    *
+    * The table is scanned three times per call and that is the floor
+    * for this statistic, not an oversight: MAD needs the median first,
+    * and the flag pass needs MAD complete — a two-level dependent
+    * aggregation plus scoring cannot fuse below three passes without
+    * caching, which stays the caller's call (persist df before calling
+    * if the input is remote/expensive).
     */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      k: Double = 3.5): DataFrame = {

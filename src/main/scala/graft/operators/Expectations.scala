@@ -46,7 +46,7 @@ object Expectations {
     * ingest-batch scale. For 100 TB-wide uniqueness checks prefer
     * [[UniqueApprox]].
     */
-  final case class Unique(colName: String) extends Rule { val name = "unique" }
+  final case class Unique(colName: String, name: String = "unique") extends Rule
   /** Column is unique within `tolerance` (estimated duplicate fraction
     * (count − ndv̂)/count ≤ tolerance), with ndv̂ from a single-pass HLL
     * sketch (`approx_count_distinct`, relative sd `rsd`). No distinct
@@ -155,7 +155,10 @@ object Expectations {
           Seq(count(col(r.colName)).as(s"_qc$i"),
             countDistinct(col(r.colName)).as(s"_qd$i"))
         }
-        val agg = df.select(uniqueRules.map(r => col(r.colName)): _*)
+        // distinct column list: two Unique rules naming the same column
+        // would project duplicate names and make every later reference
+        // ambiguous (the per-rule aggregates read the shared column)
+        val agg = df.select(uniqueRules.map(_.colName).distinct.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)
         explodeRows(agg, uniqueRules.zipWithIndex.map { case (r, i) =>
           reportRow(r.name, r.colName,

@@ -50,6 +50,18 @@ object EventsOps {
     * The cumulative series is the consumer-side running sum of the
     * emitted days (a monotone fold the sink can do, exactly like the
     * batch twin's day-bounded window).
+    *
+    * ATTRIBUTION CAVEAT (load-bearing, not fine print): "first" here is
+    * first ARRIVAL, not minimum event time. A user whose day-2 event
+    * arrives before their day-1 event — possible within the very
+    * lateness window this operator tolerates — is counted on day 2,
+    * where the batch twin (min(day) per user) counts them on day 1;
+    * and a user recurring after the watermark horizon is re-counted as
+    * new (state for them was evicted). Twin equality therefore holds
+    * for in-order streams and horizon-bounded histories only — the
+    * contract every stateful twin in this file shares. For exact
+    * event-time attribution under disorder, run the batch operator
+    * over the landed data instead.
     */
   def streamingNewUsers(events: DataFrame, lateness: String = "1 day",
                         userCol: String = "user_id",

@@ -44,9 +44,11 @@ object StreamingDrift {
     * column set — the caller aligns projections the same way
     * [[graft.operators.DriftCompare]] does for batch sides. Convenience
     * form of [[monitor]] for one-shot monitors that live as long as the
-    * session; prefer [[monitor]] when the monitor will be stopped and
-    * restarted, so the cached reference can be released.
+    * session.
     */
+  @deprecated("apply discards the Monitor handle, so the persisted " +
+    "reference hash set can never be released per-monitor; use monitor() " +
+    "and call unpersist() when stopping", "round-10")
   def apply(stream: DataFrame, reference: DataFrame): DataFrame =
     monitor(stream, reference).drift
 

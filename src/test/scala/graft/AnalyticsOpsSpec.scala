@@ -349,6 +349,23 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(clean.filter(!col("ok")).count() == 0)
   }
 
+  test("duplicate Unique rules on one column stay unambiguous (fused-branch regression)") {
+    // two rules naming the same column: the fused single-pass branch
+    // used to project the column twice, making every later reference an
+    // AMBIGUOUS_REFERENCE AnalysisException
+    import graft.operators.Expectations._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    val out = validate(df, Seq(
+      Unique("id"), Unique("id", name = "unique_again"),
+      Unique("v", name = "unique_v")))
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("unique")._3 == 1.0 && !out("unique")._5)
+    assert(out("unique_again")._3 == 1.0 && !out("unique_again")._5)
+    assert(out("unique")._2 == "id" && out("unique_again")._2 == "id")
+    assert(out.size == 3)
+  }
+
   test("UniqueApprox agrees with exact Unique on a clean column and flags " +
        "duplication only past its tolerance") {
     import graft.operators.Expectations._
