@@ -2334,6 +2334,26 @@ object SparkEntry {
           Seq("lang"))
         .orderBy("doc_id")),
 
+    // ---- Reciprocal Rank Fusion of two BM25 rankings (multi-query
+    //      hybrid-retrieval combiner): candidate-sized stages only,
+    //      rounded reciprocal contributions decimal-summed ----
+    "q_rrf_fuse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      def ranked(terms: Seq[String]) = {
+        // rank over the k-bounded retrieval output (global window on
+        // ≤30 rows — bounded by construction)
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, 30)
+          .withColumn("rank", row_number().over(w))
+          .select("doc_id", "rank")
+      }
+      Similarity.rrfFuse(
+          Seq(ranked(Seq("hash", "join")), ranked(Seq("spark", "stream"))),
+          "doc_id", "rank", 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // ---- label-propagation communities, planted gate: two 5-cliques
     //      bridged by one edge (4-5) from nation keys converge in 3
     //      deterministic rounds to communities 0 and 5 (hand-traced:
@@ -5047,6 +5067,42 @@ object SparkEntry {
         |  round(cume_dist() OVER (PARTITION BY lang
         |    ORDER BY CAST(n_chars AS BIGINT)), 6) AS pct_rank
         |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // RRF truth: the same two BM25 derivations (shared CTE builder),
+    // row_number ranks over each top-30, rounded reciprocal
+    // contributions decimal-summed per doc
+    "q_rrf_fuse" -> {
+      val k1 = 1.2; val b = 0.75
+      def bm25Cte(p: String, termsSql: String): String =
+        s"""${p}base AS (SELECT doc_id, $toksSql AS tk
+          |    FROM documents WHERE text IS NOT NULL),
+          |${p}st AS (SELECT count(*) AS n, SUM(len(tk)) AS sumdl FROM ${p}base),
+          |${p}p0 AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM ${p}base),
+          |${p}p AS (SELECT doc_id, dl, term, count(*) AS tf FROM ${p}p0
+          |  WHERE term IN ($termsSql) GROUP BY doc_id, dl, term),
+          |${p}d AS (SELECT term, count(*) AS df FROM ${p}p GROUP BY term),
+          |${p}w AS (SELECT p.doc_id,
+          |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${k1 + 1.0}) /
+          |      (tf + $k1 * (1.0 - $b + $b * dl / avgdl)), 6) AS w
+          |  FROM ${p}p p JOIN ${p}d USING (term),
+          |    (SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl FROM ${p}st) s),
+          |${p}top AS (SELECT doc_id,
+          |    CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score
+          |  FROM ${p}w GROUP BY doc_id
+          |  ORDER BY score DESC, doc_id LIMIT 30),
+          |${p}rk AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          |  FROM ${p}top)""".stripMargin
+      s"""WITH ${bm25Cte("a_", "'hash', 'join'")},
+        |${bm25Cte("b_", "'spark', 'stream'")},
+        |u AS (SELECT doc_id, round(1.0 / (60 + rank), 6) AS c FROM a_rk
+        |  UNION ALL SELECT doc_id, round(1.0 / (60 + rank), 6) FROM b_rk)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // LPA planted truth: clique A {0..4} -> community 0, clique B
     // {5..9} -> community 5 (derived by hand from the deterministic

@@ -128,6 +128,39 @@ object Similarity {
       .select("query_id", "rank", "negative_id", "cosine")
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of several
+    * rankings of the same id space: score(id) = Σ_lists 1/(k0 + rank),
+    * items absent from a list contribute nothing. The standard hybrid-
+    * search combiner (BM25 ⊕ dense retrieval ⊕ recency, multi-query
+    * fusion) — robust because it needs no score calibration between
+    * lists, only ranks.
+    *
+    * Input frames each carry (`idCol`, `rankCol`) with rank ≥ 1; the
+    * result is the fused top-`topK` as (id, rrf_score, n_lists).
+    *
+    * Scale shape: one union of the (bounded) ranking lists, one
+    * map-side-combined aggregation on the id, and a TakeOrdered top-k —
+    * the inputs are retrieval outputs (k-bounded), so every stage is
+    * candidate-sized, not corpus-sized. Engine replay: each reciprocal
+    * contribution 1/(k0 + rank) rounds at 6 dp and the per-id score is
+    * their EXACT decimal sum (list order cannot move a bit); ties break
+    * to the lowest id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK > 0 && k0 >= 0, "need topK > 0 and k0 >= 0")
+    val normalized = rankings.map(r =>
+      r.select(col(idCol),
+        round(lit(1.0) / (lit(k0) + col(rankCol).cast("long")), 6).as("_c")))
+    normalized.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(col("_c").cast("decimal(18,6)")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `k` items maximizing
     * λ·relevance − (1−λ)·max-cosine-to-already-selected — the

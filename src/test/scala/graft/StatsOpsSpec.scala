@@ -177,6 +177,24 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(got(4L) == 1.0 && got(5L) == 1.0 && got(6L) == 1.0)
   }
 
+  test("rrfFuse: consensus beats single-list rank 1; absence contributes nothing") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (30L, 2), (40L, 3)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", "rank", 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // 20 appears at ranks 2+1, 10 only at rank 1: consensus wins
+    assert(out(20L)._1 > out(10L)._1)
+    assert(out(20L)._2 == 2L && out(10L)._2 == 1L)
+    // exact expected scores: round(1/62,6)+round(1/61,6) etc.
+    def c(r: Int) = BigDecimal(1.0 / (60 + r)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(20L)._1 == (c(2) + c(1)).toDouble)
+    assert(out(40L)._1 == c(3).toDouble)
+    // topK honored with score-then-id determinism
+    val top2 = Similarity.rrfFuse(Seq(l1, l2), "id", "rank", 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(20L, 30L))
+  }
+
   test("labelPropagation: bridged triangles split into two communities; pairs merge") {
     // triangles {0,1,2} and {3,4,5} bridged by 2-3
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
