@@ -960,9 +960,21 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       // per-run unique dir: a FIXED tmp path races concurrent harness
       // processes (one run's overwrite deletes the index another run's
-      // lazy dedupAgainstIndex is still scanning)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index").toString
+      // lazy dedupAgainstIndex is still scanning). Deleted at JVM exit
+      // (not eagerly — the returned frame scans the index lazily), so
+      // repeated harness runs don't accumulate tmp directories.
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_lsh_index")
+      val path = tmpDir.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(rm(_)) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p); ()
+        }
+        try rm(tmpDir) catch { case _: Exception => () }
+      }))
       Dedup.saveLshIndex(
         Dedup.buildLshIndex(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id"),
         path)

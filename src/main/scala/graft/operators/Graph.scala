@@ -80,6 +80,16 @@ object Graph {
       case _ => ()
     }
 
+  /** Drop the pinned MEMORY_AND_DISK blocks behind a returned graph
+    * result ([[pageRank]] / [[labelPropagation]] / [[kCore]] all return
+    * `localCheckpoint`ed frames whose storage otherwise stays pinned
+    * for the session). Call AFTER the last action on the result — the
+    * frame reads the checkpoint lazily. Delegates to the shared lineage
+    * walker in [[Sampling.release]], which unpersists every persisted
+    * RDD ancestor reachable from the result's LogicalRDD leaves.
+    */
+  def release(df: DataFrame): Unit = Sampling.release(df)
+
   /** Exact triangle count per node over an undirected edge list, by the
     * standard compact-forward scheme: orient every edge low → high
     * (kills duplicate orientations and 2/3 of the join space), join the

@@ -161,7 +161,10 @@ object Profile {
       .select(gRef ++ Seq(col("_v"), col("_cum"), col("_tot")): _*)
     df.filter(v.isNotNull)
       .join(cdf, groupCols.zipWithIndex
-        .map { case (c, i) => df(c) === col(s"_g$i") }
+        // <=> (null-safe): NULL-group rows must rank within their own
+        // partition, matching SQL window cume_dist semantics — a plain
+        // === would silently drop them from the output
+        .map { case (c, i) => df(c) <=> col(s"_g$i") }
         .foldLeft(v === col("_v"))(_ && _))
       .select(Seq(df(idCol)) ++ groupCols.map(df(_)) ++ Seq(v.as("value"),
         round(col("_cum").cast("double") / col("_tot"), 6).as("pct_rank")): _*)

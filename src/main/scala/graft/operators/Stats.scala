@@ -145,28 +145,32 @@ object Stats {
     val clean = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c => LimbMoments.units(c, precision, scale).as(c)): _*)
       .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    // aggregate aliases are suffixed by column INDEX, not name: name
+    // concatenation collides for underscore-bearing columns (cols
+    // (a_b, c) and (a, b_c) both render _a_b_c)
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
-    } yield (cols(i), cols(j))
-    def pairAggs(a: String, b: String): Seq[Column] =
-      LimbMoments.prodAggs(col(a), col(b), s"_${a}_$b")
-    def colAggs(c: String): Seq[Column] = LimbMoments.sumAggs(col(c), s"_$c")
-    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap(colAggs) ++
+    } yield (i, j)
+    def pairAggs(i: Int, j: Int): Seq[Column] =
+      LimbMoments.prodAggs(col(cols(i)), col(cols(j)), s"_${i}_$j")
+    def colAggs(i: Int): Seq[Column] =
+      LimbMoments.sumAggs(col(cols(i)), s"_$i")
+    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.indices.flatMap(colAggs) ++
       pairs.flatMap((pairAggs _).tupled)
     val r = clean.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("_n").toDouble
     def get(name: String): Long =
       Option(r.getAs[java.lang.Long](name)).map(_.longValue).getOrElse(0L)
-    def sd(c: String): Double = LimbMoments.sumValue(get, scale, s"_$c")
-    def pd(a: String, b: String): Double =
-      LimbMoments.prodValue(get, scale, s"_${a}_$b")
+    def sd(i: Int): Double = LimbMoments.sumValue(get, scale, s"_$i")
+    def pd(i: Int, j: Int): Double =
+      LimbMoments.prodValue(get, scale, s"_${i}_$j")
     val out = for {
       i <- cols.indices; j <- (i + 1) until cols.size
       a = cols(i); b = cols(j)
     } yield {
-      val sx = sd(a); val sy = sd(b)
-      val sxx = pd(a, a); val syy = pd(b, b)
-      val sxy = pd(a, b)
+      val sx = sd(i); val sy = sd(j)
+      val sxx = pd(i, i); val syy = pd(j, j)
+      val sxy = pd(i, j)
       val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
       val rr: java.lang.Double =
         if (den == 0.0) null
@@ -230,7 +234,17 @@ object Stats {
       def get(f: String): Long = r.getAs[Long](f)
       G(r.getAs[String]("g"), r.getAs[Long]("_n"),
         LimbMoments.sumValue(get, scale), LimbMoments.prodValue(get, scale))
-        }.filter(_.n >= 2).sortBy(_.g)
+        }.filter(_.n >= 2)
+      // UTF-8 BYTE order, not String's UTF-16 code-unit order: the
+      // DuckDB oracle pairs cohorts under VARCHAR binary collation, and
+      // beyond the BMP the two orders diverge (flipping g1/g2 negates t)
+      .sortBy(_.g.getBytes(java.nio.charset.StandardCharsets.UTF_8))(
+        Ordering.fromLessThan { (x: Array[Byte], y: Array[Byte]) =>
+          val len = math.min(x.length, y.length)
+          var i = 0
+          while (i < len && x(i) == y(i)) i += 1
+          if (i < len) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+        })
     def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val out = for {

@@ -224,4 +224,44 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(Graph.kCore(edges, 2).collect().map(_.getLong(0)).toSet ==
       Set(0L, 1L, 2L, 3L))
   }
+
+  test("corrMatrix: underscore-bearing column names never collide aliases") {
+    // name-concatenated suffixes would collide here: pair (a_b, c)
+    // and pair (a, b_c) both render _a_b_c — index suffixes don't
+    val df = Seq.tabulate(50)(i =>
+      (i.toDouble, 3.0 * i, 100.0 - i, 2.0 * i + 1.0))
+      .toDF("a_b", "c", "a", "b_c")
+    val out = Stats.corrMatrix(df, Seq("a_b", "c", "a", "b_c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(out.size == 6)
+    assert(out(("a_b", "c")) == 1.0)
+    assert(out(("a_b", "a")) == -1.0)
+    assert(out(("a", "b_c")) == -1.0)
+    assert(out(("c", "b_c")) == 1.0)
+  }
+
+  test("welchT orders cohorts by UTF-8 byte order (oracle collation)") {
+    // U+FF61 (EF BD A1 in UTF-8; single UTF-16 unit 0xFF61) vs
+    // U+10000 (F0 90 80 80; surrogate pair starting 0xD800): UTF-16
+    // code-unit order puts the surrogate FIRST, UTF-8 byte order LAST
+    val hi = new String(Character.toChars(0x10000))
+    val df = (Seq.tabulate(3)(i => ("｡", i.toDouble)) ++
+      Seq.tabulate(3)(i => (hi, 2.0 * i))).toDF("g", "v")
+    val r = Stats.welchT(df, "g", "v").head()
+    assert(r.getString(0) == "｡" && r.getString(1) == hi)
+  }
+
+  test("percentileRankBy ranks NULL-group rows within their own partition") {
+    val df = Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
+      (4L, 10L, null), (5L, 20L, null))
+      .toDF("id", "v", "grp")
+    val out = Profile.percentileRankBy(df, "id", "v", Seq("grp"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pct_rank")).toMap
+    // null-group rows are present and rank against each other only
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(4L) == 0.5 && out(5L) == 1.0)
+    assert(out(1L) == math.rint(1e6 / 3) / 1e6 && out(3L) == 1.0)
+  }
 }
