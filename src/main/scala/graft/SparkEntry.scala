@@ -2309,6 +2309,40 @@ object SparkEntry {
       Stats.welchT(Tables.events(s, dir), "event_type", "value")
         .orderBy("g1", "g2")),
 
+    // ---- two-sample Kolmogorov–Smirnov drift test (click vs purchase
+    //      value distributions): one full-data count, then everything
+    //      runs on the bounded distinct-value table; D maximized over
+    //      exact integer cross-scaled gaps ----
+    "q_ks_test" -> ((s, dir) =>
+      Stats.ksTest(Tables.events(s, dir), "event_type", "value",
+        "click", "purchase")),
+
+    // ---- Mann–Whitney rank-sum test on the same cohorts: midranks as
+    //      exact 2x-scaled integers from the distinct-value prefix
+    //      counts, tie-corrected z ----
+    "q_mann_whitney" -> ((s, dir) =>
+      Stats.mannWhitneyU(Tables.events(s, dir), "event_type", "value",
+        "click", "purchase")),
+
+    // ---- Benford first-digit audit of extended price: digit from the
+    //      DECIMAL canonical rendering (no log10-boundary hazard), all
+    //      9 digit rows guaranteed ----
+    "q_benford" -> ((s, dir) =>
+      Stats.benford(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")),
+
+    // ---- autocorrelation of the daily event-count series at lags
+    //      1..10 (weekly periodicity screen): one lag-expanded
+    //      equi-join over the bounded daily table, exact limb-sum
+    //      cross moments ----
+    "q_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.acf(daily, "t", "v", 10).orderBy("lag")
+    }),
+
     // ---- key-skew profile of the event user distribution: top-20
     //      heavy keys + decimal-summed Shannon entropy; every stage
     //      after the first runs on the key-count table ----
@@ -4992,6 +5026,112 @@ object SparkEntry {
         |    THEN round((a + b) * (a + b) /
         |      (a * a / (n1 - 1) + b * b / (n2 - 1)), 6) END AS df_w
         |FROM ab ORDER BY g1, g2""".stripMargin,
+
+    // KS truth: same decimal canonicalization, same integer cross-
+    // scaled gap max, p from the ROUNDED d so exp sees one double
+    "q_ks_test" ->
+      """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM c),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |m AS (SELECT MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+        |    - CAST(cum2 AS HUGEINT) * n1)) AS dn FROM w, t),
+        |d AS (SELECT n1, n2,
+        |    round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d
+        |  FROM m, t)
+        |SELECT n1, n2, d,
+        |  round(least(1.0, 2.0 * exp(-2.0 * d * d *
+        |    (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+        |FROM d""".stripMargin,
+
+    // Mann-Whitney truth: exact 2x-scaled midrank sums and tie cubes
+    // from the same distinct-value prefix counts, identical fixed-order
+    // double u/z arithmetic
+    "q_mann_whitney" ->
+      """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT c1, c2,
+        |    SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS bef FROM c),
+        |a AS (SELECT
+        |    SUM(CAST(c1 AS HUGEINT) * (2 * bef + (c1 + c2) + 1)) AS two_r1,
+        |    SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+        |      - (c1 + c2)) AS ties,
+        |    CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM w),
+        |u AS (SELECT n1, n2, n1 + n2 AS n, ties,
+        |    CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u1
+        |  FROM a),
+        |s AS (SELECT *,
+        |    CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n + 1)
+        |      - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS sigma2
+        |  FROM u)
+        |SELECT 'click' AS g1, 'purchase' AS g2, n1, n2,
+        |  round(u1, 6) AS u1,
+        |  round(CAST(n1 AS DOUBLE) * n2 - u1, 6) AS u2,
+        |  CASE WHEN sigma2 > 0.0 THEN
+        |    round((u1 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(sigma2), 6)
+        |  END AS z
+        |FROM s""".stripMargin,
+
+    // Benford truth: first digit from the same DECIMAL(18,6) rendering,
+    // all 9 digits via generate_series, decimal-summed contributions
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(regexp_extract(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR),
+        |      '[1-9]') AS INT) AS digit
+        |  FROM lineitem
+        |  WHERE TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
+        |    AND regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      AS VARCHAR), '[1-9]') <> ''),
+        |c AS (SELECT digit, count(*) AS observed FROM v GROUP BY 1),
+        |t AS (SELECT SUM(observed) AS n FROM c),
+        |s AS (SELECT g.digit,
+        |    coalesce(c.observed, CAST(0 AS BIGINT)) AS observed,
+        |    round(CAST(n AS DOUBLE)
+        |      * log10(1.0 + CAST(1 AS DOUBLE) / g.digit), 6) AS expected
+        |  FROM (SELECT CAST(gs AS INT) AS digit
+        |      FROM generate_series(1, 9) AS t2(gs)) g
+        |    LEFT JOIN c USING (digit), t),
+        |sc AS (SELECT *,
+        |    CASE WHEN expected > 0.0 THEN
+        |      round((observed - expected) * (observed - expected) / expected, 6)
+        |    ELSE 0.0 END AS contrib FROM s),
+        |st AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS chi2 FROM sc)
+        |SELECT digit, observed, expected, contrib, chi2
+        |FROM sc, st ORDER BY digit""".stripMargin,
+
+    // ACF truth: same daily-count series, exact integer sums and cross
+    // sums per lag, identical fixed-order double assembly
+    "q_acf" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t, count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(SUM(v) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS p FROM d),
+        |l AS (SELECT CAST(gs AS BIGINT) AS lag
+        |  FROM generate_series(1, 10) AS t2(gs)),
+        |pr AS (SELECT l.lag, count(*) AS n_pairs,
+        |    CAST(SUM(a.v) AS DOUBLE) AS sa, CAST(SUM(b.v) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS DOUBLE) AS pp
+        |  FROM d a JOIN l ON true JOIN d b ON b.t = a.t + l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN p - s * s / n > 0.0 THEN
+        |    round((pp - s / n * (sa + sb) + n_pairs * (s / n) * (s / n))
+        |      / (p - s * s / n), 6)
+        |  END AS r
+        |FROM pr, g ORDER BY lag""".stripMargin,
 
     // key-skew truth: same count table, rounded entropy contributions
     // decimal-summed (key order cannot move the statistic), same top-20

@@ -323,4 +323,250 @@ object Stats {
       .select(col("row_val"), col("col_val"), col("observed"),
         col("expected"), col("contrib"), col("chi2"), col("dof"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test between cohorts `g1` and `g2`
+    * of `groupCol`: D = max |F1(v) − F2(v)| over the pooled empirical
+    * CDFs — the standard nonparametric "did the DISTRIBUTION drift"
+    * check (PSI's bin-free sibling; sensitive anywhere on the CDF, not
+    * just where the bins are).
+    *
+    * Shape: one grouped count per distinct value (map-side combined,
+    * bounded by value cardinality under the DECIMAL(precision,scale)
+    * canonicalization), one cumulative window over that bounded
+    * distinct-value table (single partition BY DESIGN — it never holds
+    * more rows than distinct values), one max. At 100 TB the only
+    * full-data pass is the first count.
+    *
+    * Exactness: the max runs over the INTEGER cross-scaled gap
+    * |cum1·n2 − cum2·n1| (DECIMAL(38,0) products — no overflow before
+    * ~10^18 rows per side), so ties and order cannot move it; D divides
+    * once and rounds at 6 dp. The asymptotic p-value
+    * 2·exp(−2·D²·n1n2/(n1+n2)) (one-term Kolmogorov bound, clipped to
+    * 1) is computed FROM THE ROUNDED D so both engines feed exp the
+    * same double, then rounds at 6 dp.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             g1: String, g2: String,
+             precision: Int = 9, scale: Int = 2): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val clean = df
+      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
+      .select(g.as("_g"),
+        LimbMoments.units(valueCol, precision, scale).as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = clean.groupBy("_v").agg(
+      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))
+    val gap = counts
+      .withColumn("_cum1", sum("_c1").over(cum))
+      .withColumn("_cum2", sum("_c2").over(cum))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(col("_cum1").cast("decimal(38,0)") * col("_n2") -
+        col("_cum2").cast("decimal(38,0)") * col("_n1"))).as("_dn"),
+        max("_n1").as("n1"), max("_n2").as("n2"))
+    gap.select(col("n1"), col("n2"),
+        round(col("_dn").cast("double") /
+          (col("n1").cast("double") * col("n2")), 6).as("d"))
+      .withColumn("p_approx",
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d") * col("d") *
+          (col("n1").cast("double") * col("n2") /
+            (col("n1") + col("n2"))))), 6))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between cohorts `g1` and
+    * `g2`: the rank-based "is one cohort stochastically larger" check —
+    * the t-test's outlier-robust sibling (medians, not means; no
+    * normality assumption). Returns one row:
+    * (g1, g2, n1, n2, u1, u2, z) with the tie-corrected normal
+    * approximation z.
+    *
+    * Shape: identical to [[ksTest]] — one grouped count per distinct
+    * canonical value, one cumulative window over the bounded
+    * distinct-value table, one bounded aggregate. The rank sum
+    * accumulates as the EXACT integer 2·R1 = Σ c1·(2·before + t + 1)
+    * (midranks scaled by 2 stay integral; DECIMAL(38,0) — exact to
+    * ~10^18 rows), as does the tie term Σ(t³−t); u/z evaluate in double
+    * with one fixed operation order from those exact integers and round
+    * at 6 dp.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   g1: String, g2: String,
+                   precision: Int = 9, scale: Int = 2): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val clean = df
+      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
+      .select(g.as("_g"),
+        LimbMoments.units(valueCol, precision, scale).as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = clean.groupBy("_v").agg(
+      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val t = (col("_c1") + col("_c2")).cast("decimal(38,0)")
+    val agg = counts
+      .withColumn("_before",
+        sum(col("_c1") + col("_c2")).over(cum) - (col("_c1") + col("_c2")))
+      .agg(
+        sum(col("_c1").cast("decimal(38,0)") *
+          (col("_before").cast("decimal(38,0)") * 2 + t + 1)).as("_2r1"),
+        sum(t * t * t - t).as("_ties"),
+        sum("_c1").as("n1"), sum("_c2").as("n2"))
+      .head()
+    val n1 = agg.getAs[Long]("n1"); val n2 = agg.getAs[Long]("n2")
+    require(n1 > 0 && n2 > 0, s"mannWhitneyU: empty cohort ($g1: $n1, $g2: $n2)")
+    val twoR1 = agg.getAs[java.math.BigDecimal]("_2r1")
+    val ties = agg.getAs[java.math.BigDecimal]("_ties")
+    val n = n1 + n2
+    // 2·U1 = 2·R1 − n1(n1+1); exact integers until the final doubles
+    val twoU1 = twoR1.subtract(java.math.BigDecimal.valueOf(n1)
+      .multiply(java.math.BigDecimal.valueOf(n1 + 1)))
+    val u1 = twoU1.doubleValue / 2.0
+    val u2 = n1.toDouble * n2 - u1
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // tie-corrected variance: n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    val sigma2 = n1.toDouble * n2 / 12.0 *
+      ((n + 1).toDouble - ties.doubleValue / (n.toDouble * (n - 1)))
+    val z: java.lang.Double =
+      if (sigma2 <= 0.0) null
+      else r6((u1 - n1.toDouble * n2 / 2.0) / math.sqrt(sigma2))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(g1, g2, n1, n2, r6(u1).doubleValue,
+        r6(u2).doubleValue, z)), 1),
+      StructType(Seq(
+        StructField("g1", StringType, nullable = false),
+        StructField("g2", StringType, nullable = false),
+        StructField("n1", LongType, nullable = false),
+        StructField("n2", LongType, nullable = false),
+        StructField("u1", DoubleType, nullable = false),
+        StructField("u2", DoubleType, nullable = false),
+        StructField("z", DoubleType, nullable = true))))
+  }
+
+  /** Benford first-significant-digit audit of a positive-valued
+    * measure: observed digit counts 1..9 vs the Benford expectation
+    * n·log10(1+1/d), with per-digit chi-square contributions and the
+    * total statistic — the classic fabricated-data / broken-upstream
+    * screen for financial-style columns.
+    *
+    * Shape: one map-side-combined count over the 9-way digit key, then
+    * everything runs on the 9-row table (the digit frame is a
+    * broadcast-joined `spark.range(1, 10)` so absent digits still get
+    * their expected-count row). The first digit is extracted from the
+    * DECIMAL(18,6) canonical rendering (both engines render full
+    * scale), never from double formatting or log10 of the value —
+    * exact for every representable input, no boundary-ulp hazard at
+    * powers of ten.
+    *
+    * Exactness: expected and contribution are double ops in one fixed
+    * order, each rounded at 6 dp; chi2 is the exact decimal sum of the
+    * rounded contributions (order-insensitive).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(
+      expr(s"try_cast(`$valueCol` AS decimal(18,6))").cast("string"),
+      "[1-9]", 0)
+    val counts = df
+      .select(digit.as("_d"))
+      .filter(col("_d") =!= "")
+      .groupBy(col("_d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val tot = counts.agg(sum("observed").as("_n"))
+    val spark = df.sparkSession
+    val digits = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val scored = digits
+      .join(broadcast(counts), Seq("digit"), "left")
+      .na.fill(0L, Seq("observed"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        round(col("_n").cast("double") *
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("contrib",
+        when(col("expected") > 0.0,
+          round((col("observed") - col("expected")) *
+            (col("observed") - col("expected")) / col("expected"), 6))
+          .otherwise(lit(0.0)))
+    val stat = scored.agg(
+      sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"))
+    scored.crossJoin(broadcast(stat))
+      .select(col("digit"), col("observed"), col("expected"), col("contrib"),
+        col("chi2"))
+  }
+
+  /** Sample autocorrelation function of a regular series at lags
+    * 1..`maxLag`: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² — the
+    * seasonality / trend detector behind "is this daily metric weekly-
+    * periodic" (a spike at lag 7) and the independence check before
+    * control-chart thresholds ([[EventAnalytics.seasonalBaseline]]'s
+    * diagnostic sibling). `tCol` is the integer time index (epoch day
+    * for a daily series); gaps simply contribute no pairs at the lags
+    * they break.
+    *
+    * Shape: ONE equi-join builds every lag's pair set — the series
+    * cross-joined with the broadcast 1..maxLag lag list on the shifted
+    * index (cost maxLag × series, the honest pair count) — then one
+    * grouped aggregation per lag accumulates the exact limb-sum cross
+    * moments; global moments come from one more single-row aggregate,
+    * and the maxLag-row result assembles driver-side ([[welchT]]
+    * pattern). Exactness: every Σ is an exact integer reassembly;
+    * mean/numerator/denominator evaluate in double with one fixed
+    * operation order, r_k rounds at 6 dp.
+    */
+  def acf(df: DataFrame, tCol: String, valueCol: String, maxLag: Int,
+          precision: Int = 9, scale: Int = 2): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = df.sparkSession
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("_t"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val gAggs = LimbMoments.momentAggs(col("_u"))
+    val g = series.agg(gAggs.head, gAggs.tail: _*).head()
+    def gGet(f: String): Long = g.getAs[Long](f)
+    val n = g.getAs[Long]("_n")
+    require(n >= 2, "acf needs at least 2 points")
+    val s = LimbMoments.sumValue(gGet, scale)
+    val p = LimbMoments.prodValue(gGet, scale)
+    val xbar = s / n
+    val den = p - s * s / n
+    val lags = spark.range(1, maxLag + 1L).select(col("id").as("_k"))
+    val head = series.crossJoin(broadcast(lags))
+      .select(col("_k"), (col("_t") + col("_k")).as("_tj"), col("_u").as("_ua"))
+    val tail = series.select(col("_t").as("_tj"), col("_u").as("_ub"))
+    val lagAggs = Seq(count(lit(1)).as("_m")) ++
+      LimbMoments.sumAggs(col("_ua"), "_a") ++
+      LimbMoments.sumAggs(col("_ub"), "_b") ++
+      LimbMoments.prodAggs(col("_ua"), col("_ub"))
+    val perLag = head.join(tail, "_tj")
+      .groupBy("_k")
+      .agg(lagAggs.head, lagAggs.tail: _*)
+      .collect()
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val byLag = perLag.map { r =>
+      def get(f: String): Long =
+        Option(r.getAs[java.lang.Long](f)).map(_.longValue).getOrElse(0L)
+      val m = r.getAs[Long]("_m")
+      val sa = LimbMoments.sumValue(get, scale, "_a")
+      val sb = LimbMoments.sumValue(get, scale, "_b")
+      val pp = LimbMoments.prodValue(get, scale)
+      (r.getAs[Long]("_k"), m, pp - xbar * (sa + sb) + m * xbar * xbar)
+    }.map { case (k, m, num) =>
+      Row(k, m, if (den > 0.0 && m > 0) r6(num / den) else null)
+    }.sortBy(_.getLong(0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(byLag.toSeq, 1),
+      StructType(Seq(
+        StructField("lag", LongType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("r", DoubleType, nullable = true))))
+  }
 }

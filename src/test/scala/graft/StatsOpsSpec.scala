@@ -252,6 +252,60 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(r.getString(0) == "｡" && r.getString(1) == hi)
   }
 
+  test("ksTest: identical samples give d=0 p=1; disjoint samples give d=1") {
+    val same = (Seq.tabulate(20)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(20)(i => ("b", i.toDouble))).toDF("g", "v")
+    val r0 = Stats.ksTest(same, "g", "v", "a", "b").head()
+    assert(r0.getAs[Double]("d") == 0.0 && r0.getAs[Double]("p_approx") == 1.0)
+    val disj = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("b", 100.0 + i))).toDF("g", "v")
+    val r1 = Stats.ksTest(disj, "g", "v", "a", "b").head()
+    assert(r1.getAs[Double]("d") == 1.0)
+    assert(r1.getAs[Long]("n1") == 10L && r1.getAs[Long]("n2") == 10L)
+  }
+
+  test("mannWhitneyU: hand fixture, and all-tied cohorts null out z") {
+    // A = {1,2,3}, B = {4,5,6}: R_A = 6, U_A = 0, U_B = 9,
+    // sigma2 = 9/12 * 7 = 5.25, z = -4.5/sqrt(5.25)
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
+    assert(r.getAs[Double]("u1") == 0.0 && r.getAs[Double]("u2") == 9.0)
+    assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-6)
+    // every value tied: tie correction kills the variance entirely
+    val tied = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val rt = Stats.mannWhitneyU(tied, "g", "v", "a", "b").head()
+    assert(rt.getAs[Double]("u1") == 2.0 && rt.isNullAt(rt.fieldIndex("z")))
+  }
+
+  test("benford: digit from decimal rendering, all 9 rows, zeros excluded") {
+    // 30 values starting with 1, 10 with 2 (incl. negative), a zero
+    // (excluded) and a sub-1 value (first SIGNIFICANT digit 5)
+    val vals = Seq.fill(30)(123.45) ++ Seq.fill(9)(2.5) ++
+      Seq(-29.0, 0.0, 0.056)
+    val out = Stats.benford(vals.toDF("v"), "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 9)
+    assert(out(1).getLong(1) == 30L && out(2).getLong(1) == 10L)
+    assert(out(5).getLong(1) == 1L && out(3).getLong(1) == 0L)
+    val n = out.values.map(_.getLong(1)).sum
+    assert(n == 41L) // the zero contributed no digit
+    // expected counts follow Benford; chi2 identical on every row
+    assert(math.abs(out(1).getDouble(2) - 41.0 * math.log10(2.0)) < 1e-5)
+    assert(out.values.map(_.getDouble(4)).toSet.size == 1)
+  }
+
+  test("acf: alternating series has exact r1 = -0.9, r2 = 0.8 at n=10") {
+    val df = Seq.tabulate(10)(i => (i.toLong, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("t", "v")
+    val out = Stats.acf(df, "t", "v", 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("r") == -0.9)
+    assert(out(2L).getAs[Double]("r") == 0.8)
+    assert(out(1L).getAs[Long]("n_pairs") == 9L)
+    assert(out(3L).getAs[Long]("n_pairs") == 7L)
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
