@@ -2343,6 +2343,24 @@ object SparkEntry {
       Stats.acf(daily, "t", "v", 10).orderBy("lag")
     }),
 
+    // ---- k-anonymity audit: quasi-identifier groups smaller than k
+    //      (re-identifiable combinations) + global risk summary; one
+    //      map-side-combined count, bounded group table after ----
+    "q_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymity(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), 10)
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // ---- l-diversity audit: quasi groups whose sensitive column
+    //      collapses below l distinct values (attribute disclosure
+    //      inside a k-anonymous group) ----
+    "q_l_diversity" -> ((s, dir) =>
+      Privacy.lDiversity(
+          t(s, dir, "orders").withColumn("ym",
+            year(col("o_orderdate")) * 100 + month(col("o_orderdate"))),
+          Seq("o_orderpriority", "ym"), "o_orderstatus", 3)
+        .orderBy("o_orderpriority", "ym")),
+
     // ---- key-skew profile of the event user distribution: top-20
     //      heavy keys + decimal-summed Shannon entropy; every stage
     //      after the first runs on the key-count table ----
@@ -5132,6 +5150,40 @@ object SparkEntry {
         |      / (p - s * s / n), 6)
         |  END AS r
         |FROM pr, g ORDER BY lag""".stripMargin,
+
+    // k-anonymity truth: same string-keyed group counts and summary
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR) AS c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (SELECT count(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    min(n) AS anonymity FROM g)
+        |SELECT g.c_mktsegment, g.c_nationkey, g.n,
+        |  s.n_groups, s.n_violating, s.rows_at_risk, s.anonymity
+        |FROM g, s WHERE g.n < 10
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // l-diversity truth: exact distinct sensitive count per quasi group
+    "q_l_diversity" ->
+      """WITH g AS (SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS VARCHAR)
+        |      AS ym,
+        |    count(*) AS n, count(DISTINCT o_orderstatus) AS diversity
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT count(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN diversity < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(CASE WHEN diversity < 3 THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    min(diversity) AS min_diversity FROM g)
+        |SELECT g.o_orderpriority, g.ym, g.n, g.diversity,
+        |  s.n_groups, s.n_violating, s.rows_at_risk, s.min_diversity
+        |FROM g, s WHERE g.diversity < 3
+        |ORDER BY o_orderpriority, ym""".stripMargin,
 
     // key-skew truth: same count table, rounded entropy contributions
     // decimal-summed (key order cannot move the statistic), same top-20

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Privacy
+
+/** Kernel invariants for the re-identification audits: violating-group
+  * selection, summary arithmetic, null-key and null-sensitive handling.
+  */
+class PrivacySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("kAnonymity flags exactly the sub-k groups and sums the risk") {
+    // group (a, x): 3 rows; (a, y): 1 row; (b, x): 2 rows — k = 3
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("seg", "nat")
+    val out = Privacy.kAnonymity(df, Seq("seg", "nat"), 3).collect()
+    assert(out.length == 2)
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey(("a", "y")).getAs[Long]("n") == 1L)
+    assert(byKey(("b", "x")).getAs[Long]("n") == 2L)
+    assert(out.forall(_.getAs[Long]("n_groups") == 3L))
+    assert(out.forall(_.getAs[Long]("n_violating") == 2L))
+    assert(out.forall(_.getAs[Long]("rows_at_risk") == 3L))
+    assert(out.forall(_.getAs[Long]("anonymity") == 1L))
+  }
+
+  test("kAnonymity: a fully k-anonymous table yields no rows but real k") {
+    val df = Seq.fill(4)("g").toDF("seg")
+    assert(Privacy.kAnonymity(df, Seq("seg"), 3).isEmpty)
+  }
+
+  test("kAnonymity keys NULL quasi values as their own group") {
+    val df = Seq[(String, Int)](("a", 1), ("a", 1), (null, 1))
+      .toDF("seg", "v")
+    val out = Privacy.kAnonymity(df, Seq("seg"), 2).collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+    assert(out.head.getAs[Long]("n") == 1L)
+  }
+
+  test("lDiversity flags low-diversity groups; nulls don't add diversity") {
+    // group a: sensitive {s1, s2} (plus a null) — diverse at l=2;
+    // group b: sensitive {s1} only — violates l=2
+    val df = Seq(("a", "s1"), ("a", "s2"), ("a", null),
+      ("b", "s1"), ("b", "s1")).toDF("q", "s")
+    val out = Privacy.lDiversity(df, Seq("q"), "s", 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "b")
+    assert(out.head.getAs[Long]("n") == 2L)
+    assert(out.head.getAs[Long]("diversity") == 1L)
+    assert(out.head.getAs[Long]("n_groups") == 2L)
+    assert(out.head.getAs[Long]("rows_at_risk") == 2L)
+    assert(out.head.getAs[Long]("min_diversity") == 1L)
+  }
+}
