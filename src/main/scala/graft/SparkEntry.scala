@@ -2343,6 +2343,25 @@ object SparkEntry {
       Stats.acf(daily, "t", "v", 10).orderBy("lag")
     }),
 
+    // ---- tabular CUSUM change-point scan of the daily event-count
+    //      series: prefix-sum/running-extreme formulation (no
+    //      recursion), exact decimal cumulative arithmetic ----
+    "q_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.cusum(daily, "t", "v", slack = 0.5, threshold = 4.0).orderBy("t")
+    }),
+
+    // ---- winsorized document lengths at the 1st/99th percentiles:
+    //      inverted-CDF edges from the bounded distinct-value table,
+    //      broadcast clip — no global row sort ----
+    "q_winsorize" -> ((s, dir) =>
+      Profile.winsorize(t(s, dir, "documents"), "doc_id", "n_chars",
+          100, 9900)
+        .orderBy("doc_id")),
+
     // ---- k-anonymity audit: quasi-identifier groups smaller than k
     //      (re-identifiable combinations) + global risk summary; one
     //      map-side-combined count, bounded group table after ----
@@ -5150,6 +5169,57 @@ object SparkEntry {
         |      / (p - s * s / n), 6)
         |  END AS r
         |FROM pr, g ORDER BY lag""".stripMargin,
+
+    // CUSUM truth: same standardization from exact integer moments,
+    // identical decimal prefix sums and running extremes (incl. the
+    // empty-prefix zero), decimal threshold compare
+    "q_cusum" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t, count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS p FROM d),
+        |z AS (SELECT t, CAST(v AS DOUBLE) AS value,
+        |    round((CAST(v AS DOUBLE) - s / n)
+        |      / sqrt((n * p - s * s) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS z
+        |  FROM d, g),
+        |w AS (SELECT t, value, z,
+        |    CAST(SUM(CAST(z AS DECIMAL(18,6)) - CAST(0.5 AS DECIMAL(7,6)))
+        |      OVER (ORDER BY t) AS DECIMAL(30,6)) AS pp,
+        |    CAST(SUM(CAST(z AS DECIMAL(18,6)) + CAST(0.5 AS DECIMAL(7,6)))
+        |      OVER (ORDER BY t) AS DECIMAL(30,6)) AS np
+        |  FROM z),
+        |x AS (SELECT t, value, z, pp, np,
+        |    MIN(pp) OVER (ORDER BY t) AS mn,
+        |    MAX(np) OVER (ORDER BY t) AS mx FROM w),
+        |f AS (SELECT t, value, z,
+        |    pp - (CASE WHEN mn < 0 THEN mn
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS sp,
+        |    (CASE WHEN mx > 0 THEN mx
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) - np AS sm
+        |  FROM x)
+        |SELECT t, value, z, CAST(sp AS DOUBLE) AS s_plus,
+        |  CAST(sm AS DOUBLE) AS s_minus,
+        |  (sp > CAST(4.0 AS DECIMAL(7,6))
+        |    OR sm > CAST(4.0 AS DECIMAL(7,6))) AS flag
+        |FROM f ORDER BY t""".stripMargin,
+
+    // winsorize truth: same inverted-CDF integer edge selection and clip
+    "q_winsorize" ->
+      """WITH c AS (SELECT n_chars AS v, count(*) AS n FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |e AS (SELECT
+        |    MIN(CASE WHEN CAST(cum AS HUGEINT) * 10000 >= tot * 100
+        |      THEN v END) AS lo,
+        |    MIN(CASE WHEN CAST(cum AS HUGEINT) * 10000 >= tot * 9900
+        |      THEN v END) AS hi
+        |  FROM w, t)
+        |SELECT doc_id, n_chars AS value,
+        |  least(greatest(n_chars, lo), hi) AS winsorized
+        |FROM documents, e WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // k-anonymity truth: same string-keyed group counts and summary
     "q_k_anonymity" ->

@@ -170,6 +170,47 @@ object Profile {
         round(col("_cum").cast("double") / col("_tot"), 6).as("pct_rank")): _*)
   }
 
+  /** Winsorize a numeric column at the [loBp, hiBp] basis-point
+    * percentiles (100 bp = 1%): values below the loBp-th percentile
+    * clip up to it, values above the hiBp-th clip down — the standard
+    * heavy-tail taming step before moment-based statistics or model
+    * features (unlike trimming, every row survives).
+    *
+    * Percentile definition: the smallest value whose cumulative count
+    * reaches the target mass (inverted-CDF / "lower" interpolation) —
+    * always an OBSERVED value, integer-exact, no cross-engine float
+    * interpolation. Shape: one map-side-combined distinct-value count,
+    * one cumulative window over that bounded table (single partition BY
+    * DESIGN — distinct values, not rows), a 1-row edge frame broadcast
+    * back over the data. The full-data passes are the count and the
+    * final clip — both linear, no global sort of the rows themselves
+    * (ntile would sort all 100 TB).
+    */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                loBp: Int, hiBp: Int): DataFrame = {
+    require(0 <= loBp && loBp < hiBp && hiBp <= 10000,
+      "basis points must satisfy 0 <= loBp < hiBp <= 10000")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val counts = df.filter(v.isNotNull).groupBy(v.as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val cum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cross-scaled integer compare (cum·10⁴ ≥ bp·total): exact at any
+    // scale under DECIMAL(38,0), no double percent arithmetic
+    val scaled = counts
+      .withColumn("_cum", sum("_n").over(cum).cast("decimal(38,0)") * 10000)
+      .withColumn("_tot",
+        sum("_n").over(Window.partitionBy()).cast("decimal(38,0)"))
+    val edges = scaled.agg(
+      min(when(col("_cum") >= col("_tot") * loBp, col("_v"))).as("_lo"),
+      min(when(col("_cum") >= col("_tot") * hiBp, col("_v"))).as("_hi"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(col(idCol), v.as("value"),
+        least(greatest(v, col("_lo")), col("_hi")).as("winsorized"))
+  }
+
   /** Key-skew profile: the top-`topN` heaviest keys with their share of
     * the table, plus the Shannon entropy of the whole key distribution
     * and its normalized form (entropy / ln(#keys) ∈ [0,1]) — the first

@@ -569,4 +569,67 @@ object Stats {
         StructField("n_pairs", LongType, nullable = false),
         StructField("r", DoubleType, nullable = true))))
   }
+
+  /** Tabular CUSUM change-point detector over a regular series: the
+    * standardized values z_t feed the classic one-sided cumulative
+    * sums S⁺_t = max(0, S⁺_{t-1} + z_t − slack) and
+    * S⁻_t = max(0, S⁻_{t-1} − z_t − slack), flagged where either
+    * exceeds `threshold` — the sustained-level-shift detector that
+    * catches what per-point outlier rules miss (a small persistent
+    * drift accumulates; an isolated spike decays).
+    *
+    * Shape: the recursions are NOT computed recursively — the
+    * prefix-max identity S⁺_t = P_t − min_{j≤t} P_j with
+    * P_t = Σ_{i≤t}(z_i − slack) (and symmetrically for S⁻) turns each
+    * into one cumulative-sum window plus one running-extreme window
+    * over the series, which is bounded (an already-aggregated daily/
+    * hourly metric), so the single-partition windows are safe BY
+    * CONSTRUCTION — document scale via the series length, not row
+    * count. Exactness: z_t rounds at 6 dp, then every prefix sum,
+    * running extreme, subtraction and threshold compare runs in EXACT
+    * DECIMAL(38,6) arithmetic — no float drift can flip a flag.
+    */
+  def cusum(df: DataFrame, tCol: String, valueCol: String,
+            slack: Double = 0.5, threshold: Double = 4.0,
+            precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val mAggs = LimbMoments.momentAggs(col("_u"))
+    val m = series.agg(mAggs.head, mAggs.tail: _*).head()
+    def get(f: String): Long = m.getAs[Long](f)
+    val n = m.getAs[Long]("_n")
+    require(n >= 2, "cusum needs at least 2 points")
+    val s = LimbMoments.sumValue(get, scale)
+    val p = LimbMoments.prodValue(get, scale)
+    val mean = s / n
+    val variance = (n * p - s * s) / (n.toDouble * (n - 1))
+    require(variance > 0.0, "cusum needs a non-constant series")
+    val sigma = math.sqrt(variance)
+    val slackDec = lit(java.math.BigDecimal.valueOf(slack).setScale(6))
+    val hDec = lit(java.math.BigDecimal.valueOf(threshold).setScale(6))
+    val cum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zDec = col("z").cast("decimal(38,6)")
+    series
+      .withColumn("value", col("_u").cast("double") /
+        lit(math.pow(10, scale)))
+      .withColumn("z", round((col("value") - mean) / sigma, 6))
+      .withColumn("_p", sum(zDec - slackDec).over(cum))
+      .withColumn("_np", sum(zDec + slackDec).over(cum))
+      // the prefix extremes must include the empty prefix P_0 = 0
+      // (S_t restarts at zero, it never goes negative)
+      .withColumn("s_plus",
+        col("_p") - least(min("_p").over(cum), lit(0).cast("decimal(38,6)")))
+      .withColumn("s_minus",
+        greatest(max("_np").over(cum), lit(0).cast("decimal(38,6)"))
+          - col("_np"))
+      .select(col("t"), col("value"), col("z"),
+        col("s_plus").cast("double").as("s_plus"),
+        col("s_minus").cast("double").as("s_minus"),
+        (col("s_plus") > hDec || col("s_minus") > hDec).as("flag"))
+  }
 }

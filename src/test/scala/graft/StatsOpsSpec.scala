@@ -306,6 +306,46 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(out(3L).getAs[Long]("n_pairs") == 7L)
   }
 
+  test("cusum matches the textbook recursion and flags a sustained shift") {
+    // level 10 for 12 points, then a sustained +1-sigma-ish shift
+    val vals = Seq.fill(12)(10.0) ++ Seq.fill(8)(14.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val out = Stats.cusum(df, "t", "v", slack = 0.5, threshold = 2.0)
+      .orderBy("t").collect()
+    assert(out.length == 20)
+    // replay the recursion S+ = max(0, S+ + z - k), S- = max(0, S- - z - k)
+    var sp = BigDecimal(0); var sm = BigDecimal(0)
+    out.foreach { r =>
+      val z = BigDecimal(r.getAs[Double]("z")).setScale(6)
+      sp = (sp + z - BigDecimal("0.5")).max(0)
+      sm = (sm - z - BigDecimal("0.5")).max(0)
+      assert(BigDecimal(r.getAs[Double]("s_plus")) == sp, s"s_plus at t=${r.getLong(0)}")
+      assert(BigDecimal(r.getAs[Double]("s_minus")) == sm, s"s_minus at t=${r.getLong(0)}")
+      assert(r.getAs[Boolean]("flag") == (sp > 2 || sm > 2))
+    }
+    // both regimes sit off the GLOBAL mean, so both sides eventually
+    // flag: S- during the low stretch, S+ after the shift — but the
+    // first few points accumulate too little to cross the threshold
+    assert(out.take(5).forall(!_.getAs[Boolean]("flag")))
+    assert(out.last.getAs[Boolean]("flag"))
+    assert(out.last.getAs[Double]("s_plus") > 2.0)
+  }
+
+  test("winsorize clips at inverted-CDF edges and keeps every row") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val out = Profile.winsorize(df, "id", "v", 500, 9500)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("winsorized")).toMap
+    assert(out.size == 100)
+    // 5th/95th percentile of 1..100 under inverted CDF: 5 and 95
+    assert(out(1L) == 5L && out(4L) == 5L && out(5L) == 5L)
+    assert(out(96L) == 95L && out(100L) == 95L)
+    assert(out(50L) == 50L)
+    // loBp = 0 means no lower clip
+    val noLo = Profile.winsorize(df, "id", "v", 0, 9500)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("winsorized")).toMap
+    assert(noLo(1L) == 1L && noLo(100L) == 95L)
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
