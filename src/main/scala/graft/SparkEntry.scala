@@ -2343,6 +2343,14 @@ object SparkEntry {
       Stats.acf(daily, "t", "v", 10).orderBy("lag")
     }),
 
+    // ---- Kaplan-Meier survival curve of user lifetimes (censoring-
+    //      aware retention): one per-user min/max pass, then all
+    //      windows on the bounded lifetime table ----
+    "q_kaplan_meier" -> ((s, dir) =>
+      EventAnalytics.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+          censorDays = 5)
+        .orderBy("t")),
+
     // ---- tabular CUSUM change-point scan of the daily event-count
     //      series: prefix-sum/running-extreme formulation (no
     //      recursion), exact decimal cumulative arithmetic ----
@@ -5169,6 +5177,41 @@ object SparkEntry {
         |      / (p - s * s / n), 6)
         |  END AS r
         |FROM pr, g ORDER BY lag""".stripMargin,
+
+    // Kaplan-Meier truth: same lifetime/censor table, at-risk from the
+    // same prefix arithmetic, survival via rounded-ln decimal-sum-exp
+    "q_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS f,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT max(l) AS md FROM u),
+        |lt AS (SELECT l - f AS t,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM u, m GROUP BY 1),
+        |r AS (SELECT t, n_events, n_censored,
+        |    CAST(SUM(n_events + n_censored) OVER () AS BIGINT)
+        |      - (CAST(SUM(n_events + n_censored) OVER (ORDER BY t) AS BIGINT)
+        |        - (n_events + n_censored)) AS n_risk
+        |  FROM lt),
+        |f2 AS (SELECT *,
+        |    round(CAST(n_risk - n_events AS DOUBLE) / n_risk, 6) AS factor
+        |  FROM r),
+        |s AS (SELECT *,
+        |    SUM(CASE WHEN factor > 0.0
+        |      THEN CAST(round(ln(factor), 6) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) OVER (ORDER BY t) AS lnsum,
+        |    MIN(factor) OVER (ORDER BY t) AS minf FROM f2)
+        |SELECT t, n_risk, n_events, n_censored,
+        |  CASE WHEN minf = 0.0 THEN 0.0
+        |    ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+        |FROM s ORDER BY t""".stripMargin,
 
     // CUSUM truth: same standardization from exact integer moments,
     // identical decimal prefix sums and running extremes (incl. the

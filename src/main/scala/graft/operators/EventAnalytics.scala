@@ -76,6 +76,70 @@ object EventAnalytics {
     * user (first-day aggregate + re-join) and one on
     * (cohort_day, week_offset) — both on well-distributed keys.
     */
+  /** Kaplan–Meier survival estimate of user lifetime: for each observed
+    * lifetime t (days from a user's first to last activity), the number
+    * still at risk, the churn events at t, the right-censored users at
+    * t, and the survival probability S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    * — the statistically honest retention curve (plain retention
+    * percentages understate survival because still-active users haven't
+    * churned YET; censoring handles that). A user whose last activity
+    * falls within `censorDays` of the observation end is censored
+    * (still alive as far as the data can tell), otherwise their
+    * lifetime ended in churn.
+    *
+    * Shape: one grouped min/max per user (map-side combined), one
+    * count aggregation to the lifetime table — bounded by distinct
+    * lifetimes, i.e. the observation window in days — then windows run
+    * only over that bounded table (single partition BY DESIGN). At
+    * 100 TB the only full-data pass is the per-user aggregate.
+    *
+    * Cross-engine exactness: each factor (n_i − d_i)/n_i is one double
+    * division rounded at 6 dp, its log rounds at 6 dp, the logs
+    * accumulate as an EXACT decimal sum (order-insensitive), and
+    * exp(·) rounds at 6 dp — the [[Profile.keySkew]] entropy policy.
+    * A zero factor (everyone at risk churns) forces S = 0 from that
+    * lifetime on via the running min, not via ln(0).
+    */
+  def kaplanMeier(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", censorDays: Int = 5): DataFrame = {
+    require(censorDays >= 0, "censorDays must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val users = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(day).as("_first"), max(day).as("_last"))
+    val maxDay = users.agg(max("_last").as("_m"))
+    val lifetimes = users.crossJoin(broadcast(maxDay))
+      .select((col("_last") - col("_first")).as("t"),
+        (col("_last") <= col("_m") - censorDays).as("_churned"))
+      .groupBy("t")
+      .agg(sum(when(col("_churned"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_churned"), 0L).otherwise(1L)).as("n_censored"))
+    val byT = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    lifetimes
+      // at risk at t = everyone whose lifetime reached t: total minus
+      // all who left strictly before t
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(all) -
+          (sum(col("n_events") + col("n_censored")).over(byT) -
+            (col("n_events") + col("n_censored"))))
+      .withColumn("_factor",
+        round((col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk"), 6))
+      .withColumn("_lnsum",
+        sum(when(col("_factor") > 0.0,
+          round(log(col("_factor")), 6).cast("decimal(18,6)"))
+          .otherwise(lit(java.math.BigDecimal.ZERO.setScale(6)))).over(byT))
+      .withColumn("survival",
+        when(min("_factor").over(byT) === 0.0, lit(0.0))
+          .otherwise(round(exp(col("_lnsum").cast("double")), 6)))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("survival"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String = "user_id",
                        tsCol: String = "ts"): DataFrame = {
     val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))

@@ -664,6 +664,52 @@ class ColumnDriftProfileSpec extends SparkSpecBase {
   }
 }
 
+class KaplanMeierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("kaplanMeier matches the hand-computed censored fixture") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"1970-01-${day + 1}%02d 12:00:00")
+    // observation end = day 20; censorDays = 5 => churned iff last <= 15
+    // A: t=2 churn; B: t=2 churn; C: t=5 churn; D: 10..18 t=8 censored;
+    // E: 0..20 t=20 censored
+    val ev = (Seq((1L, 0), (1L, 2), (2L, 5), (2L, 7), (3L, 0), (3L, 5),
+      (4L, 10), (4L, 18), (5L, 0), (5L, 20)))
+      .map { case (u, d) => (u, ts(d)) }.toDF("u", "ts")
+    val out = EventAnalytics.kaplanMeier(ev, "u", "ts", censorDays = 5)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Int]("t")).toSeq == Seq(2, 5, 8, 20))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(5L, 3L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 0L, 0L))
+    assert(out.map(_.getAs[Long]("n_censored")).toSeq == Seq(0L, 0L, 1L, 1L))
+    // survival replay with the operator's exact rounding policy
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val f2 = r6(3.0 / 5); val f5 = r6(2.0 / 3)
+    val s2 = r6(math.exp(r6(math.log(f2))))
+    val s5 = r6(math.exp(
+      BigDecimal(r6(math.log(f2))).+(BigDecimal(r6(math.log(f5)))).toDouble))
+    assert(out.map(_.getAs[Double]("survival")).toSeq ==
+      Seq(s2, s5, s5, s5))
+  }
+
+  test("kaplanMeier: total churn at one lifetime zeroes survival after it") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"1970-01-${day + 1}%02d 00:00:00")
+    // maxDay 20 via a churned long-liver? No: keep one censored anchor
+    // at day 20 whose OWN lifetime is the last row; everyone else
+    // churns at t=1
+    val ev = Seq((1L, 0), (1L, 1), (2L, 3), (2L, 4), (3L, 20), (3L, 20))
+      .map { case (u, d) => (u, ts(d)) }.toDF("u", "ts")
+    val out = EventAnalytics.kaplanMeier(ev, "u", "ts", censorDays = 5)
+      .orderBy("t").collect()
+    // t=0: the anchor (censored, lifetime 0); t=1: both churners
+    assert(out.map(_.getAs[Int]("t")).toSeq == Seq(0, 1))
+    val last = out.last
+    assert(last.getAs[Long]("n_risk") == 2L &&
+      last.getAs[Long]("n_events") == 2L)
+    assert(last.getAs[Double]("survival") == 0.0)
+  }
+}
+
 class DwellTimesSpec extends SparkSpecBase {
   import spark.implicits._
 
