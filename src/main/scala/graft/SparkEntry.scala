@@ -2343,6 +2343,13 @@ object SparkEntry {
       Stats.acf(daily, "t", "v", 10).orderBy("lag")
     }),
 
+    // ---- JL random projection 64 -> 8 dims: seeded LCG sign grid
+    //      (no stored model), exact decimal lane sums ----
+    "q_rand_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 8)
+        .orderBy("vec_id", "j")),
+
     // ---- Kaplan-Meier survival curve of user lifetimes (censoring-
     //      aware retention): one per-user min/max pass, then all
     //      windows on the bounded lifetime table ----
@@ -5177,6 +5184,24 @@ object SparkEntry {
         |      / (p - s * s / n), 6)
         |  END AS r
         |FROM pr, g ORDER BY lag""".stripMargin,
+
+    // JL truth: identical LCG parity signs, exact decimal lane sums
+    "q_rand_project" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))) AS x
+        |  FROM embeddings),
+        |j AS (SELECT CAST(gs AS BIGINT) AS j
+        |  FROM generate_series(0, 7) AS t2(gs)),
+        |s AS (SELECT vec_id, j,
+        |    CASE WHEN ((i * 8 + j + 7) * 2654435761)
+        |      % 4294967296 < 2147483648 THEN 1 ELSE -1 END AS sgn, x
+        |  FROM x, j)
+        |SELECT vec_id, j,
+        |  round(CAST(SUM(sgn * x) AS DOUBLE) / sqrt(CAST(8 AS DOUBLE)), 6)
+        |    AS y
+        |FROM s GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     // Kaplan-Meier truth: same lifetime/censor table, at-risk from the
     // same prefix arithmetic, survival via rounded-ln decimal-sum-exp

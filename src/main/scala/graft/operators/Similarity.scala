@@ -83,6 +83,43 @@ object Similarity {
           .otherwise((col("x") - col("mu")) / col("sigma")), 6).as("z"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a ±1 sign matrix (Achlioptas' database-friendly variant):
+    * y_j = Σ_i sign(i,j)·x_i / √outDim. Pairwise distances survive to
+    * within the JL distortion bound, at 1/8th (64→8) the storage and
+    * compute — the standard cheap pre-step before clustering or
+    * coarse ANN. The sign grid is NOT stored: sign(i,j) is the TOP bit
+    * of the Knuth multiplicative hash (i·outDim+j+seed)·2654435761
+    * mod 2³² — integer arithmetic any engine reproduces exactly, so the
+    * "model" ships as one seed. (The top bit, deliberately: an LCG's
+    * LOW bit is pure input parity, which collapses every lane to the
+    * same ± projection.)
+    *
+    * Shape: one posexplode (dim rows per vector) cross the broadcast
+    * outDim lane list, then ONE map-side-combinable aggregation back to
+    * (id, j) — the expansion collapses inside the partial aggregate, so
+    * the shuffle carries outDim rows per vector, not dim·outDim. Sums
+    * accumulate as EXACT decimals over the DECIMAL(18,9) canonical
+    * values (order-free; the double→decimal cast is the repo-wide
+    * oracle parity point), with one double division and a 6 dp round
+    * at the end.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, seed: Long = 7L): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val spark = df.sparkSession
+    val x = df.select(col(idCol), posexplode(asDouble(col(vecCol))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val lanes = spark.range(outDim).select(col("id").as("j"))
+    x.crossJoin(broadcast(lanes))
+      .withColumn("_sgn",
+        when(pmod((col("i") * outDim + col("j") + seed) * lit(2654435761L),
+          lit(1L << 32)) < lit(1L << 31), 1).otherwise(-1))
+      .groupBy(col(idCol), col("j"))
+      .agg(round(sum(col("_sgn") * col("x").cast("decimal(18,9)"))
+        .cast("double") / lit(math.sqrt(outDim.toDouble)), 6).as("y"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. The query set is broadcast; the corpus streams —
     * one pass, no corpus shuffle until the per-query top-k aggregation.

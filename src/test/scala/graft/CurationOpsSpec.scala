@@ -378,3 +378,54 @@ class MmrSpec extends SparkSpecBase {
     assert(got == Seq(0L, 1L, 2L, 3L))
   }
 }
+
+class RandomProjectSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(13)
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("randomProject is deterministic, lane-complete, and near-orthonormal") {
+    val df = vecs(40, 64).toDF("id", "vec")
+    val a = Similarity.randomProject(df, "id", "vec", 8).orderBy("id", "j").collect()
+    val b = Similarity.randomProject(df, "id", "vec", 8).orderBy("id", "j").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 40 * 8)
+    // a different seed produces a different projection
+    val c = Similarity.randomProject(df, "id", "vec", 8, seed = 99L)
+      .orderBy("id", "j").collect()
+    assert(a.toSeq != c.toSeq)
+    // lanes must be genuinely independent: within one vector the lane
+    // MAGNITUDES differ (a parity-degenerate sign grid makes them all
+    // equal up to sign)
+    val lanes0 = a.filter(_.getLong(0) == 0L).map(r => math.abs(r.getDouble(2)))
+    assert(lanes0.toSet.size > 1, s"degenerate lanes: ${lanes0.toSeq}")
+  }
+
+  test("randomProject preserves pairwise distances within JL distortion") {
+    val dim = 64; val k = 16
+    val data = vecs(30, dim)
+    val df = data.toDF("id", "vec")
+    val proj = Similarity.randomProject(df, "id", "vec", k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+    def d2(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    val orig = data.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- 0L until 30L; jj <- (i + 1) until 30L
+    } yield d2(proj(i).toArray, proj(jj).toArray) / d2(orig(i), orig(jj))
+    // JL with k=16 lanes: individual pair distortion has heavy tails,
+    // but the MEAN ratio concentrates hard around 1 and a degenerate
+    // sign grid (e.g. LCG low-bit parity) pushes ratios to ~0/~10
+    assert(ratios.forall(r => r > 0.01 && r < 10.0),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.25, s"mean ratio $mean")
+  }
+}
