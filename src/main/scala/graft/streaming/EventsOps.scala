@@ -767,3 +767,72 @@ object StreamingPsi {
         })
   }
 }
+
+/** One streamed CUSUM point: the control statistics and flag after
+  * folding the input point into the series' running state.
+  */
+final case class CusumOut(key: String, t: Long, z: Double,
+                          sPlus: Double, sMinus: Double, flag: Boolean)
+
+private[streaming] final case class CusumState(
+    spMicro: Long, smMicro: Long, lastT: Long)
+
+/** Streaming twin of [[graft.operators.Stats.cusum]]: the textbook
+  * recursion S⁺ = max(0, S⁺ + z − slack), S⁻ = max(0, S⁻ − z − slack)
+  * folded per series key with TWO LONGS of state per key — the shape
+  * the batch prefix-sum formulation deliberately avoids needing, and
+  * exactly what a monitor wants online. Inputs are PRE-standardized
+  * points (key, t, z): in production the mean/σ come from a reference
+  * window (yesterday's [[graft.operators.Stats]] moments), matching
+  * how control charts are actually deployed — the chart never
+  * re-estimates its own baseline from the stream it is judging.
+  *
+  * Exactness: z rounds at 6 dp on entry and the recursion runs in
+  * micro-units (10⁻⁶) on longs — bit-identical to the batch decimal
+  * arithmetic, no float accumulation. Points must arrive in t order
+  * per key ACROSS batches (within a batch they are sorted); a stale
+  * point (t ≤ last seen) is dropped, never folded retroactively —
+  * the documented contract of an online control chart.
+  */
+object StreamingCusum {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(points: DataFrame, keyCol: String, tCol: String, zCol: String,
+            slack: Double = 0.5, threshold: Double = 4.0): Dataset[CusumOut] = {
+    val slackMicro = java.math.BigDecimal.valueOf(slack)
+      .movePointRight(6).setScale(0).longValueExact()
+    val hMicro = java.math.BigDecimal.valueOf(threshold)
+      .movePointRight(6).setScale(0).longValueExact()
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col(keyCol).cast("string").as("k"),
+        col(tCol).cast("long").as("t"),
+        round(col(zCol).cast("double"), 6).as("z"))
+      .filter(col("k").isNotNull && col("t").isNotNull && col("z").isNotNull)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[CusumState]) => {
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumOut]
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, z) =>
+            if (t > st.lastT) {
+              val zMicro = java.math.BigDecimal.valueOf(z)
+                .movePointRight(6).setScale(0, java.math.RoundingMode.HALF_UP)
+                .longValueExact()
+              val sp = math.max(0L, st.spMicro + zMicro - slackMicro)
+              val sm = math.max(0L, st.smMicro - zMicro - slackMicro)
+              st = CusumState(sp, sm, t)
+              out += CusumOut(key, t, z, sp / 1e6, sm / 1e6,
+                sp > hMicro || sm > hMicro)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+}

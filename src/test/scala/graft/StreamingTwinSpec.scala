@@ -816,3 +816,40 @@ class StreamingSeasonalMomentsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+class StreamingCusumSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming CUSUM folds to the exact batch control statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch: level shift fixture, batch operator computes z internally
+    val vals = Seq.fill(12)(10.0) ++ Seq.fill(8)(14.0)
+    val series = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val batch = graft.operators.Stats.cusum(series, "t", "v",
+      slack = 0.5, threshold = 2.0)
+      .select($"t", $"z", $"s_plus", $"s_minus", $"flag")
+      .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+
+    // stream the SAME standardized z points (reference-window contract)
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "t", "z")
+    val q = graft.streaming.StreamingCusum(pts, "k", "t", "z",
+      slack = 0.5, threshold = 2.0)
+      .writeStream.format("memory").queryName("cusum_twin")
+      .outputMode("update").start()
+    try {
+      val zs = batch.map { case (t, z, _, _, _) => ("s", t, z) }
+      val (b1, b2) = zs.splitAt(9)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      // a stale replay of an already-folded point must be dropped
+      mem.addData(("s", 3L, 99.0)); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT t, z, sPlus, sMinus, flag FROM cusum_twin")
+        .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+      assert(stream.toSeq == batch.toSeq,
+        s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    } finally q.stop()
+  }
+}
