@@ -2343,6 +2343,21 @@ object SparkEntry {
       Stats.acf(daily, "t", "v", 10).orderBy("lag")
     }),
 
+    // ---- Theil-Sen robust trend of the daily event-count series:
+    //      median pairwise slope over the bounded series table ----
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.theilSen(daily, "t", "v")
+    }),
+
+    // ---- two-proportion z-test: click vs purchase high-value rate ----
+    "q_prop_test" -> ((s, dir) =>
+      Stats.propTest(Tables.events(s, dir), "event_type",
+        col("value") > 75, "click", "purchase")),
+
     // ---- JL random projection 64 -> 8 dims: seeded LCG sign grid
     //      (no stored model), exact decimal lane sums ----
     "q_rand_project" -> ((s, dir) =>
@@ -5184,6 +5199,57 @@ object SparkEntry {
         |      / (p - s * s / n), 6)
         |  END AS r
         |FROM pr, g ORDER BY lag""".stripMargin,
+
+    // Theil-Sen truth: same pair slopes (one rounded double division of
+    // exact integers), same inverted-CDF medians
+    "q_theil_sen" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t, count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |p AS (SELECT round((CAST(b.v AS DOUBLE) - a.v) / (b.t - a.t), 6) AS s
+        |  FROM d a JOIN d b ON b.t > a.t),
+        |sc AS (SELECT s, count(*) AS n FROM p GROUP BY 1),
+        |sw AS (SELECT s, SUM(n) OVER (ORDER BY s) AS cum,
+        |    SUM(n) OVER () AS tot FROM sc),
+        |sm AS (SELECT MIN(CASE WHEN CAST(cum AS HUGEINT) * 2 >= tot
+        |    THEN s END) AS slope FROM sw),
+        |r AS (SELECT round(CAST(v AS DOUBLE) - slope * t, 6) AS i
+        |  FROM d, sm),
+        |rc AS (SELECT i, count(*) AS n FROM r GROUP BY 1),
+        |rw AS (SELECT i, SUM(n) OVER (ORDER BY i) AS cum,
+        |    SUM(n) OVER () AS tot FROM rc),
+        |im AS (SELECT MIN(CASE WHEN CAST(cum AS HUGEINT) * 2 >= tot
+        |    THEN i END) AS intercept FROM rw),
+        |t AS (SELECT count(*) AS n,
+        |    CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        |  FROM d)
+        |SELECT n, n_pairs, slope, intercept FROM t, sm, im""".stripMargin,
+
+    // two-proportion truth: four exact integers, identical fixed-order
+    // double z arithmetic
+    "q_prop_test" ->
+      """WITH a AS (SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'click' AND value > 75
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 75
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |s AS (SELECT *,
+        |    CAST(k1 AS DOUBLE) / n1 AS p1r, CAST(k2 AS DOUBLE) / n2 AS p2r,
+        |    CAST(k1 + k2 AS DOUBLE) / (n1 + n2) AS pp FROM a),
+        |s2 AS (SELECT *,
+        |    pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / n1
+        |      + CAST(1 AS DOUBLE) / n2) AS se2 FROM s)
+        |SELECT 'click' AS g1, 'purchase' AS g2, n1, k1, n2, k2,
+        |  round(p1r, 6) AS p1, round(p2r, 6) AS p2,
+        |  CASE WHEN se2 > 0.0
+        |    THEN round((p1r - p2r) / sqrt(se2), 6) END AS z
+        |FROM s2""".stripMargin,
 
     // JL truth: identical LCG parity signs, exact decimal lane sums
     "q_rand_project" ->

@@ -570,6 +570,111 @@ object Stats {
         StructField("r", DoubleType, nullable = true))))
   }
 
+  /** Theil–Sen robust trend estimate of a regular series: slope =
+    * median of all pairwise slopes (u_j−u_i)/(t_j−t_i), intercept =
+    * median of the residuals u_i − slope·t_i — the trend line a 29%
+    * outlier fraction cannot move (least squares breaks at one), the
+    * right "is this metric drifting" screen for noisy dailies.
+    *
+    * Shape: a SERIES operator — the input is an already-aggregated
+    * metric (bounded by the observation window), so the O(n²/2) pair
+    * self-join and the median windows run over bounded tables by
+    * construction; never feed it raw rows. Medians use the repo's
+    * inverted-CDF convention (smallest value whose cumulative count
+    * reaches half) — always an observed value, no cross-engine
+    * midpoint-average float hazard.
+    *
+    * Exactness: values canonicalize to exact integer units; each slope
+    * is ONE double division of exact integers rounded at 6 dp; the
+    * median picks among those rounded values by integer-exact rank;
+    * residuals are one fixed-order double expression rounded at 6 dp.
+    */
+  def theilSen(df: DataFrame, tCol: String, valueCol: String,
+               precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("_t"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val a = series.select(col("_t").as("_t1"), col("_u").as("_u1"))
+    val b = series.select(col("_t").as("_t2"), col("_u").as("_u2"))
+    val unitsPerValue = math.pow(10, scale)
+    val slopes = a.join(b, col("_t2") > col("_t1"))
+      .select(round(((col("_u2") - col("_u1")).cast("double") / unitsPerValue)
+        / (col("_t2") - col("_t1")), 6).as("_s"))
+    def invCdfMedian(vals: DataFrame, c: String): DataFrame = {
+      val counts = vals.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      val cum = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("_cum", sum("_n").over(cum).cast("decimal(38,0)") * 2)
+        .withColumn("_tot",
+          sum("_n").over(Window.partitionBy()).cast("decimal(38,0)"))
+        .agg(min(when(col("_cum") >= col("_tot"), col(c))).as(c))
+    }
+    val slopeRow = invCdfMedian(slopes.withColumnRenamed("_s", "slope"),
+      "slope")
+    val resid = series.crossJoin(broadcast(slopeRow))
+      .select(round(col("_u").cast("double") / unitsPerValue -
+        col("slope") * col("_t"), 6).as("intercept"))
+    val interceptRow = invCdfMedian(resid, "intercept")
+    val nRow = series.agg(count(lit(1)).as("n"),
+      // Column./ on longs is DOUBLE division; the product is even, so
+      // the cast back to long is exact
+      (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("n_pairs"))
+    nRow.crossJoin(broadcast(slopeRow)).crossJoin(broadcast(interceptRow))
+      .select(col("n"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
+  /** Two-proportion z-test between cohorts `g1` and `g2` of a binary
+    * outcome: the conversion-rate / quality-gate significance check
+    * (is cohort A's success rate really higher, or noise). Returns one
+    * row (g1, g2, n1, k1, n2, k2, p1, p2, z) with the pooled-variance
+    * normal approximation.
+    *
+    * Shape: ONE aggregation over the filtered rows — four exact
+    * integers — then driver-side double arithmetic in one fixed
+    * operation order, rounded at 6 dp. The cheapest test in the file,
+    * and the one run most often.
+    */
+  def propTest(df: DataFrame, groupCol: String, successCol: Column,
+               g1: String, g2: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val agg = df.filter((g === g1 || g === g2) && successCol.isNotNull)
+      .agg(
+        sum(when(g === g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(g === g1 && successCol, 1L).otherwise(0L)).as("k1"),
+        sum(when(g === g2, 1L).otherwise(0L)).as("n2"),
+        sum(when(g === g2 && successCol, 1L).otherwise(0L)).as("k2"))
+      .head()
+    val n1 = agg.getAs[Long]("n1"); val k1 = agg.getAs[Long]("k1")
+    val n2 = agg.getAs[Long]("n2"); val k2 = agg.getAs[Long]("k2")
+    require(n1 > 0 && n2 > 0, s"propTest: empty cohort ($g1: $n1, $g2: $n2)")
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val p1 = k1.toDouble / n1; val p2 = k2.toDouble / n2
+    val pp = (k1 + k2).toDouble / (n1 + n2)
+    val se2 = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+    val z: java.lang.Double =
+      if (se2 <= 0.0) null else r6((p1 - p2) / math.sqrt(se2))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(g1, g2, n1, k1, n2, k2, r6(p1).doubleValue,
+          r6(p2).doubleValue, z)), 1),
+      StructType(Seq(
+        StructField("g1", StringType, nullable = false),
+        StructField("g2", StringType, nullable = false),
+        StructField("n1", LongType, nullable = false),
+        StructField("k1", LongType, nullable = false),
+        StructField("n2", LongType, nullable = false),
+        StructField("k2", LongType, nullable = false),
+        StructField("p1", DoubleType, nullable = false),
+        StructField("p2", DoubleType, nullable = false),
+        StructField("z", DoubleType, nullable = true))))
+  }
+
   /** Tabular CUSUM change-point detector over a regular series: the
     * standardized values z_t feed the classic one-sided cumulative
     * sums S⁺_t = max(0, S⁺_{t-1} + z_t − slack) and

@@ -346,6 +346,39 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(noLo(1L) == 1L && noLo(100L) == 95L)
   }
 
+  test("theilSen recovers a clean slope through 29% outliers") {
+    // y = 2t + 5 with gross outliers at 6 of 21 points: the pairwise-
+    // slope median still lands exactly on 2 (LS would be pulled far off)
+    val pts = Seq.tabulate(21) { t =>
+      val clean = 2.0 * t + 5.0
+      (t.toLong, if (t % 4 == 3) clean + 500.0 else clean)
+    }
+    val out = Stats.theilSen(pts.toDF("t", "v"), "t", "v").head()
+    assert(out.getAs[Long]("n") == 21L)
+    assert(out.getAs[Long]("n_pairs") == 210L)
+    assert(out.getAs[Double]("slope") == 2.0)
+    assert(out.getAs[Double]("intercept") == 5.0)
+  }
+
+  test("propTest: equal rates give z=0; a clear gap gives the textbook z") {
+    val same = (Seq.fill(50)(("a", 1)) ++ Seq.fill(50)(("a", 0)) ++
+      Seq.fill(50)(("b", 1)) ++ Seq.fill(50)(("b", 0)))
+      .toDF("g", "s")
+    val r0 = Stats.propTest(same, "g", col("s") === 1, "a", "b").head()
+    assert(r0.getAs[Double]("p1") == 0.5 && r0.getAs[Double]("z") == 0.0)
+    // a: 80/100, b: 60/100 -> pooled 0.7,
+    // z = 0.2 / sqrt(0.7*0.3*(0.02)) = 3.086067
+    val gap = (Seq.fill(80)(("a", 1)) ++ Seq.fill(20)(("a", 0)) ++
+      Seq.fill(60)(("b", 1)) ++ Seq.fill(40)(("b", 0))).toDF("g", "s")
+    val r1 = Stats.propTest(gap, "g", col("s") === 1, "a", "b").head()
+    assert(r1.getAs[Long]("k1") == 80L && r1.getAs[Long]("k2") == 60L)
+    assert(math.abs(r1.getAs[Double]("z") - 3.086067) < 1e-6)
+    // a degenerate pooled rate (all successes) nulls z
+    val degen = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("b", 1))).toDF("g", "s")
+    val r2 = Stats.propTest(degen, "g", col("s") === 1, "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
