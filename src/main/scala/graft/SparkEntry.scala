@@ -74,6 +74,35 @@ object SparkEntry {
   //      subspace-j sub-vector sits at 10*onehot8(g_j) with
   //      g_j = floor(vec_id / 4^j) % 4, plus 0.01x embedding noise
   //      (|noise| <= ~0.006/dim vs a 10.0 planted component) ----
+  /** DuckDB replay of [[graft.operators.Layout.hilbertKey]] on
+    * (p_partkey, p_size): the xy2d rotate/reflect loop unrolled into
+    * one CTE per level — generated here so the SQL stays mechanically
+    * in lockstep with the Scala unroll (same quadrant arithmetic
+    * 3rx + ry − 2rxry, same n−1 reflection).
+    */
+  private def hilbertOracle(bits: Int): String = {
+    val n1 = (1L << bits) - 1
+    val levels = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""h${i + 1} AS (SELECT p_partkey, p_size,
+         |    d$i + ${s * s} * (3 * rx + ry - 2 * rx * ry) AS d${i + 1},
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+         |      THEN $n1 - y$i ELSE y$i END) ELSE x$i END AS x${i + 1},
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+         |      THEN $n1 - x$i ELSE x$i END) ELSE y$i END AS y${i + 1}
+         |  FROM (SELECT *,
+         |      CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$i) t${i + 1})""".stripMargin
+    }
+    s"""WITH h0 AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       |    p_partkey & $n1 AS x0, CAST(p_size AS BIGINT) & $n1 AS y0,
+       |    CAST(0 AS BIGINT) AS d0 FROM part),
+       |${levels.mkString(",\n")}
+       |SELECT p_partkey, p_size, d$bits AS h FROM h$bits
+       |ORDER BY h, p_partkey""".stripMargin
+  }
+
   private def pqPlantedPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"),
       transform(slice(col("embedding"), 1, 32), (x, i) => {
@@ -1941,6 +1970,15 @@ object SparkEntry {
           Layout.zOrderKey(col("p_partkey"), col("p_size")).as("z"))
         .orderBy("z", "p_partkey")),
 
+    // ---- Hilbert-curve clustering key (neighbor-preserving layout;
+    //      tighter 2-D pruning rectangles than the Morton seam-jumps) ----
+    "q_hilbert_key" -> ((s, dir) =>
+      Layout.withHilbertKey(
+          t(s, dir, "part")
+            .select(col("p_partkey"), col("p_size").cast("long").as("p_size")),
+          "p_partkey", "p_size", 10)
+        .orderBy("h", "p_partkey")),
+
     // ---- 3-D Z-order key: the 3-way interleave for workloads filtering
     //      three axes at once (floor() the double axis in BOTH engines —
     //      raw double->bigint casts truncate in Spark but round in
@@ -2391,6 +2429,14 @@ object SparkEntry {
       Profile.winsorize(t(s, dir, "documents"), "doc_id", "n_chars",
           100, 9900)
         .orderBy("doc_id")),
+
+    // ---- keyed pseudonymization: sha256(salt:value), referential
+    //      integrity preserved, NULLs stay NULL, scan-speed ----
+    "q_pseudonymize" -> ((s, dir) =>
+      Privacy.pseudonymize(
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"), "graft-salt")
+        .orderBy("c_custkey")),
 
     // ---- k-anonymity audit: quasi-identifier groups smaller than k
     //      (re-identifiable combinations) + global risk summary; one
@@ -4483,6 +4529,10 @@ object SparkEntry {
         |SELECT p_partkey, p_size, xf | (yf << 1) AS z
         |FROM s5 ORDER BY z, p_partkey""".stripMargin,
 
+    // Hilbert truth: mechanically generated unrolled xy2d (see
+    // hilbertOracle), bit-for-bit the Scala construction
+    "q_hilbert_key" -> hilbertOracle(10),
+
     // BPE planted truth, hand-derived: word counts aa x3, ab x1 ->
     // merge 0 = (a,a); only ab pairs remain -> merge 1 = (a,b);
     // encode("aab aa ba") = 2 + 1 + 2 = 5 pieces over 3 tokens
@@ -5354,6 +5404,14 @@ object SparkEntry {
         |  least(greatest(n_chars, lo), hi) AS winsorized
         |FROM documents, e WHERE n_chars IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // pseudonymize truth: same keyed sha256, hex-lowercase both engines
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NOT NULL
+        |    THEN sha256(concat('graft-salt', ':', c_name)) END AS c_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // k-anonymity truth: same string-keyed group counts and summary
     "q_k_anonymity" ->

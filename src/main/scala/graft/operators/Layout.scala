@@ -62,6 +62,38 @@ object Layout {
     spread3(x).bitwiseOR(shiftleft(spread3(y), 1))
       .bitwiseOR(shiftleft(spread3(z), 2))
 
+  /** Hilbert-curve index of two non-negative integer columns over a
+    * 2^bits × 2^bits grid — the space-filling curve whose consecutive
+    * positions are ALWAYS grid neighbors (the Morton/Z curve jumps
+    * across the plane at power-of-two seams), so range-contiguous
+    * chunks of the sort order cover tighter rectangles: measurably
+    * fewer files read per 2-D range filter than [[zOrderKey]] at the
+    * same file count. The cost is construction: `bits` unrolled
+    * rotate/reflect rounds instead of one mask ladder — still pure
+    * codegen'd integer built-ins (CASE/AND/arithmetic), no UDF.
+    *
+    * Construction is the public xy2d algorithm (Wikipedia, "Hilbert
+    * curve"): per level s = 2^(bits−1)..1, take quadrant
+    * (3·rx) xor ry (written as 3rx + ry − 2rxry — no cross-engine xor
+    * operator needed), then reflect with n−1−v and swap when ry = 0.
+    * Inputs are masked to `bits` bits; the key is non-negative and
+    * < 4^bits.
+    *
+    * The iterative loop lives in the codegen'd
+    * [[graft.functions.HilbertKey2]] kernel — a built-in-operator
+    * unroll re-embeds each level's expression ~4× into the next (the
+    * analysis tree grows 4^bits; bits = 10 measured in the seconds of
+    * pure plan time even as a projection chain), while the kernel is
+    * one virtual call per row inside whole-stage codegen.
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column =
+    graft.functions.HilbertKey2(x, y, bits)
+
+  /** [[hilbertKey]] as a frame transform: append the key column. */
+  def withHilbertKey(df: DataFrame, xCol: String, yCol: String,
+                     bits: Int, out: String = "h"): DataFrame =
+    df.withColumn(out, hilbertKey(col(xCol), col(yCol), bits))
+
   /** Rewrite a table into files of roughly `targetBytes` each — the
     * small-files compaction every long-lived 100 TB table needs (file
     * counts grow with every incremental append; scans, listings, and

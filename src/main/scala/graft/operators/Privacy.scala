@@ -44,6 +44,33 @@ object Privacy {
       .crossJoin(broadcast(summary))
   }
 
+  /** Keyed deterministic pseudonymization of identifier columns:
+    * each value v becomes sha256(salt || ':' || v) — referential
+    * integrity survives (the same user pseudonymizes identically in
+    * every table sharing the salt, so joins still work), re-running is
+    * idempotent, and recovery requires the salt (keep it out of the
+    * released data). The GDPR-style pseudonymization step before a
+    * corpus leaves the trusted boundary; combine with [[kAnonymity]]
+    * on the REMAINING quasi columns — pseudonymizing the key does not
+    * anonymize the row.
+    *
+    * Shape: a pure per-row projection — codegen'd sha2, no shuffle,
+    * no state; NULLs stay NULL (there is nothing to hide). At 100 TB
+    * this is scan-speed.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "an empty salt makes pseudonyms dictionary-attackable")
+    val target = cols.toSet
+    df.select(df.columns.map { c =>
+      if (target(c))
+        when(col(c).isNotNull,
+          sha2(concat(lit(salt), lit(":"), col(c).cast("string")), 256))
+          .as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** l-diversity audit: one row per quasi-identifier group whose
     * sensitive column takes FEWER than l distinct values (a k-anonymous
     * group with one shared diagnosis still leaks it), with the global

@@ -610,6 +610,38 @@ class LayoutSpec extends SparkSpecBase {
     assert(viaSpark.map(p => mortonRef(p._1, p._2)) ==
       zSorted.map(p => mortonRef(p._1, p._2)))
   }
+
+  test("hilbertKey is a bijection whose consecutive cells are GRID NEIGHBORS") {
+    // bits=4: the full 16x16 grid. The defining Hilbert property —
+    // |d(p) - d(q)| = 1 implies p, q adjacent — is what Morton lacks
+    // (Z jumps across power-of-two seams); this is a non-circular
+    // check: no reference implementation, just the curve's geometry
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val keyed = graft.operators.Layout
+      .withHilbertKey(pts.toDF("x", "y"), "x", "y", 4)
+      .as[(Long, Long, Long)].collect()
+    val byD = keyed.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byD.size == 256 && byD.keySet == (0L until 256L).toSet)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // locality beats Morton on the same 64x64 / 16-chunk experiment:
+    // every 256-point Hilbert chunk also spans <= 15 (Morton achieves
+    // 15 only because its chunks are aligned quadrants; Hilbert holds
+    // the bound with neighbor-continuity on top)
+    val big = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val hSorted = graft.operators.Layout
+      .withHilbertKey(big.toDF("x", "y"), "x", "y", 6)
+      .orderBy("h").select("x", "y")
+      .as[(Long, Long)].collect().toSeq
+    val spans = hSorted.grouped(256).map { c =>
+      math.max(c.map(_._1).max - c.map(_._1).min,
+               c.map(_._2).max - c.map(_._2).min)
+    }.toSeq
+    assert(spans.max <= 15, s"chunk spans: $spans")
+  }
 }
 
 class ZOrderWriteSpec extends SparkSpecBase {

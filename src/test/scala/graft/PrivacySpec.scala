@@ -36,6 +36,25 @@ class PrivacySpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("n") == 1L)
   }
 
+  test("pseudonymize is deterministic, salt-keyed, null-passing, join-safe") {
+    val df = Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, null, "C"),
+      (4L, "alice", "D")).toDF("id", "name", "keep")
+    val out = Privacy.pseudonymize(df, Seq("name"), "s1")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // same input -> same pseudonym (joins survive); null stays null
+    assert(out(1L) == out(4L) && out(1L).isDefined)
+    assert(out(3L).isEmpty)
+    assert(out(1L) != out(2L))
+    assert(out(1L).get.matches("[0-9a-f]{64}"))
+    // a different salt produces unlinkable pseudonyms
+    val out2 = Privacy.pseudonymize(df, Seq("name"), "s2")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) != out2(1L))
+    // untouched columns pass through with schema order preserved
+    val row = Privacy.pseudonymize(df, Seq("name"), "s1").columns.toSeq
+    assert(row == Seq("id", "name", "keep"))
+  }
+
   test("lDiversity flags low-diversity groups; nulls don't add diversity") {
     // group a: sensitive {s1, s2} (plus a null) — diverse at l=2;
     // group b: sensitive {s1} only — violates l=2
