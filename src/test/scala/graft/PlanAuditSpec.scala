@@ -674,6 +674,38 @@ class ZOrderWriteSpec extends SparkSpecBase {
     // never under the single-column sort
   }
 
+  test("hilbertLayout file rectangles prune a 2-D box at least as well as z-order") {
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 6, s"expected ~8 output files, got ${files.length}")
+      files.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // files a footer check CANNOT skip for the box filter [24,39]^2
+    def filesTouched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (x0, x1, y0, y1) =>
+        x1 >= 24 && x0 <= 39 && y1 >= 24 && y0 <= 39 }
+    val hDir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    graft.operators.Layout.hilbertLayout(pts, "x", "y", 6, nFiles = 8)
+      .write.mode("overwrite").parquet(hDir)
+    val zDir = java.nio.file.Files.createTempDirectory("zorder-cmp").toString
+    graft.operators.Layout.zOrderLayout(pts, "x", "y", nFiles = 8)
+      .write.mode("overwrite").parquet(zDir)
+    val hBoxes = fileBoxes(hDir); val zBoxes = fileBoxes(zDir)
+    // both layouts keep files block-compact (the linear baseline spans 63)
+    assert(hBoxes.map(b => b._4 - b._3).max <= 48)
+    // and Hilbert's min/max pruning never touches MORE files than Morton
+    // for the centered box probe
+    assert(filesTouched(hBoxes) <= filesTouched(zBoxes),
+      s"hilbert ${filesTouched(hBoxes)} vs zorder ${filesTouched(zBoxes)}")
+  }
+
   test("compactToTargetSize folds a 64-file table into a handful of size-targeted files") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     spark.range(20000)
