@@ -131,6 +131,34 @@ object Layout {
       .drop("_z")
   }
 
+  /** Write a table hash-bucketed (and sorted) by a join key — the
+    * pay-once answer to the recurring-join shuffle: two tables bucketed
+    * by the same key into the same bucket count equi-join with ZERO
+    * exchanges (each bucket pairs positionally; with sorted buckets the
+    * sort-merge needs no sort either). At 100 TB the nightly
+    * fact-to-dim or fact-to-fact join is usually the single largest
+    * shuffle in the pipeline; bucketing moves that cost to write time
+    * and amortizes it over every subsequent join, aggregation, and
+    * `MERGE` keyed on the same column. Requires a catalog table
+    * (bucket metadata lives in the catalog, not parquet footers).
+    */
+  def bucketedWrite(df: DataFrame, table: String, keyCol: String,
+                    nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df
+      // pre-partition on the SAME hash the bucketing uses, so each
+      // write task holds exactly one bucket and emits ONE file per
+      // bucket — the reader only trusts (and elides the sort for) the
+      // per-file sort order when a bucket is a single file; multi-file
+      // buckets silently re-sort on every downstream join
+      .repartition(nBuckets, col(keyCol))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** [[zOrderLayout]] along the Hilbert curve: same one-exchange shape,
     * tighter file rectangles (a range-contiguous Hilbert chunk never
     * jumps across the plane, so per-file min/max footers bound BOTH

@@ -706,6 +706,49 @@ class ZOrderWriteSpec extends SparkSpecBase {
       s"hilbert ${filesTouched(hBoxes)} vs zorder ${filesTouched(zBoxes)}")
   }
 
+  test("bucketed-bucketed equi-join runs with ZERO exchanges (and no sort)") {
+    // the pay-once shuffle story: both sides bucketed+sorted by the key
+    graft.operators.Layout.bucketedWrite(
+      spark.range(1000).select($"id".as("k"), ($"id" * 2).as("a")),
+      "bkt_left", "k", 4)
+    graft.operators.Layout.bucketedWrite(
+      spark.range(800).select($"id".as("k"), ($"id" * 3).as("b")),
+      "bkt_right", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = spark.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() == 800)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      // sort elision needs the (off-by-default since 3.0) reader conf
+      // that trusts per-bucket sort metadata — valid here because
+      // bucketedWrite guarantees ONE file per bucket
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined2 = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      joined2.count()
+      val p2 = joined2.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange") &&
+        !p2.linesIterator.exists(_.trim.matches("^[+:]?-? *Sort .*")),
+        s"one-file-per-bucket sorted buckets must not re-sort:\n$p2")
+      // the same key's aggregation also rides the bucketing shuffle-free
+      val agg = spark.table("bkt_left").groupBy("k").agg(sum("a"))
+      agg.count()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange hashpartitioning"),
+        s"bucketed aggregation must not shuffle:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   test("compactToTargetSize folds a 64-file table into a handful of size-targeted files") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     spark.range(20000)
