@@ -41,6 +41,41 @@ class DedupSpec extends SparkSpecBase {
       .limit(1).as[Double].collect()(0)
     assert(j == 1.0)
   }
+
+  test("appendToLshIndex equals a full rebuild; on-disk append agrees too") {
+    def doc(id: Long, words: String) = (id, words)
+    val corpusA = Seq(
+      doc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(2L, "completely unrelated text about distributed query engines")
+    ).toDF("doc_id", "text")
+    val novel = Seq(
+      doc(10L, "spark catalyst optimizer rewrites logical plans into physical ones")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      // near-dup of novel doc 10 (one word changed)
+      doc(20L, "spark catalyst optimizer rewrites logical plans into physical stages"),
+      // near-dup of corpus doc 1
+      doc(21L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(22L, "nothing like anything indexed so far at all believe me truly")
+    ).toDF("doc_id", "text")
+    val idxA = Dedup.buildLshIndex(corpusA, "text", "doc_id")
+    val appended = Dedup.appendToLshIndex(novel, "text", "doc_id", idxA)
+    val rebuilt = Dedup.buildLshIndex(corpusA.unionByName(novel), "text", "doc_id")
+    def dedupWith(idx: Dedup.LshIndex) =
+      Dedup.dedupAgainstIndex(probe, "text", "doc_id", 0.5, idx)
+        .orderBy("new_id")
+        .collect().map(r => (r.getLong(0), Option(r.getAs[java.lang.Long](1))
+          .map(_.longValue), r.getBoolean(3))).toSeq
+    val viaAppend = dedupWith(appended)
+    assert(viaAppend == dedupWith(rebuilt))
+    assert(viaAppend.map(t => t._1 -> t._2).toMap ==
+      Map(20L -> Some(10L), 21L -> Some(1L), 22L -> None))
+    // the persisted path: save A, append the increment, reload
+    val dir = java.nio.file.Files.createTempDirectory("lsh_inc").toString
+    Dedup.saveLshIndex(idxA, dir)
+    Dedup.appendLshIndex(novel, "text", "doc_id", dir)
+    assert(dedupWith(Dedup.loadLshIndex(spark, dir)) == viaAppend)
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
