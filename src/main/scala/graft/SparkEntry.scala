@@ -2355,6 +2355,21 @@ object SparkEntry {
       Stats.ksTest(Tables.events(s, dir), "event_type", "value",
         "click", "purchase")),
 
+    // ---- per-segment KS drift: WHICH day-of-week slice moved ----
+    "q_ks_by_segment" -> ((s, dir) =>
+      Stats.ksTestBy(
+          Tables.events(s, dir).withColumn("dow",
+            datediff(to_date(col("ts")), lit("1970-01-01")) % 7),
+          "dow", "event_type", "value", "click", "purchase")
+        .orderBy(col("segment"))),
+
+    // ---- Q-Q table: WHERE in the distribution the cohorts diverge
+    //      (tail drift vs median shift — identical in a KS d) ----
+    "q_qq_table" -> ((s, dir) =>
+      Stats.qqTable(Tables.events(s, dir), "event_type", "value",
+          "click", "purchase")
+        .orderBy("p")),
+
     // ---- Mann–Whitney rank-sum test on the same cohorts: midranks as
     //      exact 2x-scaled integers from the distinct-value prefix
     //      counts, tie-corrected z ----
@@ -5166,6 +5181,59 @@ object SparkEntry {
         |  round(least(1.0, 2.0 * exp(-2.0 * d * d *
         |    (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
         |FROM d""".stripMargin,
+
+    // per-segment KS truth: same windows PARTITION BY segment
+    "q_ks_by_segment" ->
+      """WITH c AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS segment,
+        |    CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT segment,
+        |    SUM(c1) OVER (PARTITION BY segment ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY segment ORDER BY v) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY segment) AS n1,
+        |    SUM(c2) OVER (PARTITION BY segment) AS n2
+        |  FROM c),
+        |m AS (SELECT segment,
+        |    MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+        |      - CAST(cum2 AS HUGEINT) * n1)) AS dn,
+        |    CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |d AS (SELECT segment, n1, n2,
+        |    round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d
+        |  FROM m WHERE n1 > 0 AND n2 > 0)
+        |SELECT segment, n1, n2, d,
+        |  round(least(1.0, 2.0 * exp(-2.0 * d * d *
+        |    (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+        |FROM d ORDER BY segment""".stripMargin,
+
+    // Q-Q truth: same inverted-CDF quantiles at percentiles 1..99
+    "q_qq_table" ->
+      """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM c),
+        |p AS (SELECT CAST(gs AS BIGINT) AS p
+        |  FROM generate_series(1, 99) AS t2(gs)),
+        |q AS (SELECT p,
+        |    CAST(MIN(CASE WHEN CAST(cum1 AS HUGEINT) * 100
+        |      >= CAST(n1 AS HUGEINT) * p THEN v END) AS DOUBLE) AS q1,
+        |    CAST(MIN(CASE WHEN CAST(cum2 AS HUGEINT) * 100
+        |      >= CAST(n2 AS HUGEINT) * p THEN v END) AS DOUBLE) AS q2
+        |  FROM w, p GROUP BY 1)
+        |SELECT p, q1, q2, round(q2 - q1, 6) AS gap
+        |FROM q ORDER BY p""".stripMargin,
 
     // Mann-Whitney truth: exact 2x-scaled midrank sums and tie cubes
     // from the same distinct-value prefix counts, identical fixed-order

@@ -377,6 +377,96 @@ object Stats {
             (col("n1") + col("n2"))))), 6))
   }
 
+  /** [[ksTest]] per segment: one KS drift statistic per value of
+    * `segCol` (per-language length drift, per-source score drift — the
+    * "WHICH slice moved" follow-up to a corpus-level alarm). Same
+    * bounded-table shape with every window partitioned by segment;
+    * output is one row per segment, ordered by d descending so the
+    * drifted slices lead.
+    */
+  def ksTestBy(df: DataFrame, segCol: String, groupCol: String,
+               valueCol: String, g1: String, g2: String,
+               precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol).cast("string")
+    val clean = df
+      .filter((g === g1 || g === g2) && col(valueCol).isNotNull &&
+        col(segCol).isNotNull)
+      .select(col(segCol).cast("string").as("segment"), g.as("_g"),
+        LimbMoments.units(valueCol, precision, scale).as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = clean.groupBy("segment", "_v").agg(
+      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val cum = Window.partitionBy("segment").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("segment")
+    counts
+      .withColumn("_cum1", sum("_c1").over(cum))
+      .withColumn("_cum2", sum("_c2").over(cum))
+      .withColumn("_n1", sum("_c1").over(tot))
+      .withColumn("_n2", sum("_c2").over(tot))
+      .groupBy("segment")
+      .agg(max(abs(col("_cum1").cast("decimal(38,0)") * col("_n2") -
+        col("_cum2").cast("decimal(38,0)") * col("_n1"))).as("_dn"),
+        max("_n1").as("n1"), max("_n2").as("n2"))
+      // a segment missing one cohort has no CDF to compare
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("segment"), col("n1"), col("n2"),
+        round(col("_dn").cast("double") /
+          (col("n1").cast("double") * col("n2")), 6).as("d"))
+      .withColumn("p_approx",
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d") * col("d") *
+          (col("n1").cast("double") * col("n2") /
+            (col("n1") + col("n2"))))), 6))
+  }
+
+  /** Q–Q comparison table between cohorts `g1` and `g2`: the
+    * inverted-CDF quantile of each cohort at every percentile 1..99 —
+    * the "WHERE in the distribution did it move" diagnostic that a
+    * single KS statistic compresses away (tail drift vs median shift
+    * look identical in d). Integer-exact quantile selection (smallest
+    * value whose cumulative count reaches ⌈p·n/100⌉-equivalent mass via
+    * cross-scaled compares), values reported at the original scale.
+    *
+    * Shape: the same one-count-then-bounded-windows skeleton as
+    * [[ksTest]]; the percentile expansion joins the bounded distinct-
+    * value CDF against a broadcast 99-row probe list.
+    */
+  def qqTable(df: DataFrame, groupCol: String, valueCol: String,
+              g1: String, g2: String,
+              precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val g = col(groupCol).cast("string")
+    val clean = df
+      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
+      .select(g.as("_g"),
+        LimbMoments.units(valueCol, precision, scale).as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = clean.groupBy("_v").agg(
+      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val cum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cdf = counts
+      .withColumn("_cum1", sum("_c1").over(cum).cast("decimal(38,0)"))
+      .withColumn("_cum2", sum("_c2").over(cum).cast("decimal(38,0)"))
+      .withColumn("_n1", sum("_c1").over(all).cast("decimal(38,0)"))
+      .withColumn("_n2", sum("_c2").over(all).cast("decimal(38,0)"))
+    val probes = spark.range(1, 100).select(col("id").as("p"))
+    val unitsPerValue = math.pow(10, scale)
+    cdf.crossJoin(broadcast(probes))
+      .groupBy("p")
+      .agg(
+        (min(when(col("_cum1") * 100 >= col("_n1") * col("p"), col("_v")))
+          .cast("double") / unitsPerValue).as("q1"),
+        (min(when(col("_cum2") * 100 >= col("_n2") * col("p"), col("_v")))
+          .cast("double") / unitsPerValue).as("q2"))
+      .withColumn("gap", round(col("q2") - col("q1"), 6))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) test between cohorts `g1` and
     * `g2`: the rank-based "is one cohort stochastically larger" check —
     * the t-test's outlier-robust sibling (medians, not means; no

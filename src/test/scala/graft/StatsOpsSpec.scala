@@ -379,6 +379,33 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(r2.isNullAt(r2.fieldIndex("z")))
   }
 
+  test("ksTestBy isolates drift to the segment that actually moved") {
+    // segment s1: identical cohorts (d = 0); s2: disjoint (d = 1);
+    // s3: cohort b missing entirely -> no row
+    val df = (Seq.tabulate(10)(i => ("s1", "a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("s1", "b", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("s2", "a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("s2", "b", 500.0 + i)) ++
+      Seq.tabulate(10)(i => ("s3", "a", i.toDouble)))
+      .toDF("seg", "g", "v")
+    val out = Stats.ksTestBy(df, "seg", "g", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("d")).toMap
+    assert(out == Map("s1" -> 0.0, "s2" -> 1.0))
+  }
+
+  test("qqTable: equal cohorts gap 0 everywhere; a +10 shift shows as gap 10") {
+    val df = (Seq.tabulate(100)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(100)(i => ("b", i + 10.0))).toDF("g", "v")
+    val out = Stats.qqTable(df, "g", "v", "a", "b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 99)
+    assert(out.values.forall(_.getAs[Double]("gap") == 10.0))
+    // inverted-CDF: p-th percentile of 0..99 is value p-1
+    assert(out(50L).getAs[Double]("q1") == 49.0)
+    assert(out(1L).getAs[Double]("q1") == 0.0)
+    assert(out(99L).getAs[Double]("q1") == 98.0)
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
