@@ -2355,6 +2355,17 @@ object SparkEntry {
       Stats.ksTest(Tables.events(s, dir), "event_type", "value",
         "click", "purchase")),
 
+    // ---- mutual information / NMI / Cramér's V between event type and
+    //      day-of-week: HOW STRONG the dependence chi2 only detects ----
+    "q_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .withColumn("dow",
+            (datediff(to_date(col("ts")), lit("1970-01-01")) % 7)
+              .cast("string")),
+        "event_type", "dow")),
+
     // ---- per-segment KS drift: WHICH day-of-week slice moved ----
     "q_ks_by_segment" -> ((s, dir) =>
       Stats.ksTestBy(
@@ -5181,6 +5192,45 @@ object SparkEntry {
         |  round(least(1.0, 2.0 * exp(-2.0 * d * d *
         |    (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
         |FROM d""".stripMargin,
+
+    // mutual-information truth: same rounded-term decimal folds over
+    // the cell/margin tables, identical fixed-order double assembly
+    "q_mutual_info" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS nab FROM e GROUP BY 1, 2),
+        |at AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |bt AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nab) AS BIGINT) AS n,
+        |    count(DISTINCT a) AS ra, count(DISTINCT b) AS rb FROM cells),
+        |sc AS (SELECT nab, na, nb, n,
+        |    CAST(round((CAST(nab AS DOUBLE) / n)
+        |      * ln(CAST(n AS DOUBLE) * nab / (CAST(na AS DOUBLE) * nb)), 6)
+        |      AS DECIMAL(18,6)) AS mit,
+        |    round(CAST(na AS DOUBLE) * nb / n, 6) AS ex
+        |  FROM cells JOIN at USING (a) JOIN bt USING (b), t),
+        |sc2 AS (SELECT *, CASE WHEN ex > 0.0
+        |    THEN CAST(round((nab - ex) * (nab - ex) / ex, 6) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END AS x2t FROM sc),
+        |ha AS (SELECT CAST(SUM(CAST(round(-(CAST(na AS DOUBLE) / n)
+        |    * ln(CAST(na AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS ha FROM at, t),
+        |hb AS (SELECT CAST(SUM(CAST(round(-(CAST(nb AS DOUBLE) / n)
+        |    * ln(CAST(nb AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS hb FROM bt, t),
+        |s3 AS (SELECT CAST(SUM(mit) AS DOUBLE) AS mi,
+        |    CAST(CAST(SUM(x2t) AS DECIMAL(30,6))
+        |      + CAST(max(n) - SUM(CAST(ex AS DECIMAL(18,6)))
+        |        AS DECIMAL(30,6)) AS DOUBLE) AS x2 FROM sc2)
+        |SELECT n, round(mi, 6) AS mi,
+        |  CASE WHEN ha > 0.0 AND hb > 0.0
+        |    THEN round(mi / sqrt(ha * hb), 6) END AS nmi,
+        |  CASE WHEN least(ra, rb) > 1
+        |    THEN round(sqrt(x2 / (n * (least(ra, rb) - 1))), 6)
+        |  END AS cramers_v
+        |FROM s3, t, ha, hb""".stripMargin,
 
     // per-segment KS truth: same windows PARTITION BY segment
     "q_ks_by_segment" ->

@@ -324,6 +324,69 @@ object Stats {
         col("expected"), col("contrib"), col("chi2"), col("dof"))
   }
 
+  /** Mutual information between two categorical columns, with its
+    * normalized form (NMI ∈ [0,1], geometric-mean normalization) and
+    * Cramér's V — the "how much does knowing X tell you about Y"
+    * trio behind feature-redundancy screens and leakage detection
+    * ([[chiSquare]] answers "is there ANY dependence"; these answer
+    * "how strong"). Returns one row: (n, mi, nmi, cramers_v).
+    *
+    * Shape: one map-side-combined count to the cell table (bounded by
+    * category-pair cardinality), broadcast margins, then every
+    * statistic folds over the cell table as an EXACT decimal sum of
+    * 6 dp-rounded per-cell terms (the [[Profile.keySkew]] entropy
+    * policy — summation order cannot move a bit). Degenerate cases:
+    * a constant column has zero entropy → NMI is NULL; V is NULL when
+    * min(R,C) = 1.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_nab"))
+    val aTot = cells.groupBy("_a").agg(sum("_nab").as("_na"))
+    val bTot = cells.groupBy("_b").agg(sum("_nab").as("_nb"))
+    val tot = cells.agg(sum("_nab").as("_n"),
+      countDistinct("_a").as("_ra"), countDistinct("_b").as("_rb"))
+    def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+    val scored = cells
+      .join(broadcast(aTot), "_a").join(broadcast(bTot), "_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("_mi_t", dec6((col("_nab").cast("double") / col("_n")) *
+        log(col("_n").cast("double") * col("_nab") /
+          (col("_na").cast("double") * col("_nb")))))
+      .withColumn("_e", round(col("_na").cast("double") * col("_nb")
+        / col("_n"), 6))
+      .withColumn("_x2_t", when(col("_e") > 0.0,
+        dec6((col("_nab") - col("_e")) * (col("_nab") - col("_e"))
+          / col("_e"))).otherwise(lit(java.math.BigDecimal.ZERO.setScale(6))))
+    val ha = aTot.crossJoin(broadcast(tot)).agg(
+      sum(dec6(-(col("_na").cast("double") / col("_n")) *
+        log(col("_na").cast("double") / col("_n")))).cast("double").as("_ha"))
+    val hb = bTot.crossJoin(broadcast(tot)).agg(
+      sum(dec6(-(col("_nb").cast("double") / col("_n")) *
+        log(col("_nb").cast("double") / col("_n")))).cast("double").as("_hb"))
+    scored.agg(
+        max("_n").as("n"), max("_ra").as("_ra"), max("_rb").as("_rb"),
+        sum("_mi_t").cast("double").as("mi"),
+        sum("_x2_t").as("_x2_obs"),
+        sum(col("_e").cast("decimal(18,6)")).as("_e_obs"))
+      // ABSENT cells (observed 0) each contribute (0-e)^2/e = e to
+      // chi2, and Σ_all e = n — so their mass is n − Σ_observed e,
+      // added in exact decimal (a perfect bijection would otherwise
+      // read V = √(3/4), not 1)
+      .withColumn("_x2",
+        (col("_x2_obs").cast("decimal(30,6)") +
+          (col("n") - col("_e_obs")).cast("decimal(30,6)")).cast("double"))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), round(col("mi"), 6).as("mi"),
+        when(col("_ha") > 0.0 && col("_hb") > 0.0,
+          round(col("mi") / sqrt(col("_ha") * col("_hb")), 6)).as("nmi"),
+        when(least(col("_ra"), col("_rb")) > 1,
+          round(sqrt(col("_x2") / (col("n") *
+            (least(col("_ra"), col("_rb")) - 1))), 6)).as("cramers_v"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test between cohorts `g1` and `g2`
     * of `groupCol`: D = max |F1(v) − F2(v)| over the pooled empirical
     * CDFs — the standard nonparametric "did the DISTRIBUTION drift"

@@ -406,6 +406,29 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(out(99L).getAs[Double]("q1") == 98.0)
   }
 
+  test("mutualInfo: independence gives ~0 everywhere; a bijection gives NMI 1") {
+    // perfectly independent table (same construction as the chi2 spec)
+    val indep = (for {
+      r <- Seq("a", "b"); c <- Seq("x", "y", "z")
+      w = (if (r == "a") 2 else 3) * (if (c == "x") 1 else 2)
+      _ <- 0 until w
+    } yield (r, c)).toDF("r", "c")
+    val r0 = Stats.mutualInfo(indep, "r", "c").head()
+    assert(math.abs(r0.getAs[Double]("mi")) < 1e-5)
+    assert(math.abs(r0.getAs[Double]("cramers_v")) < 1e-5)
+    // a bijection: knowing one determines the other exactly
+    val bij = Seq.tabulate(60)(i => (s"k${i % 4}", s"v${i % 4}")).toDF("r", "c")
+    val r1 = Stats.mutualInfo(bij, "r", "c").head()
+    assert(r1.getAs[Double]("nmi") == 1.0)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(4.0)) < 1e-5)
+    // a constant column: zero entropy -> NMI null, V null (min side 1)
+    val const = Seq.tabulate(10)(i => ("only", s"v${i % 3}")).toDF("r", "c")
+    val r2 = Stats.mutualInfo(const, "r", "c").head()
+    assert(r2.isNullAt(r2.fieldIndex("nmi")) &&
+      r2.isNullAt(r2.fieldIndex("cramers_v")))
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
