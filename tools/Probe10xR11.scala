@@ -94,6 +94,22 @@ object Probe10xR11 {
     probe("acf", ev1, ev10)(d => Stats.acf(daily(d), "t", "v", 10).count())
     probe("cusum", ev1, ev10)(d => Stats.cusum(daily(d), "t", "v").count())
     probe("theil_sen", ev1, ev10)(d => Stats.theilSen(daily(d), "t", "v").count())
+    probe("ks_by_segment", ev1, ev10)(d =>
+      Stats.ksTestBy(d.withColumn("dow",
+          datediff(to_date(col("ts")), lit("1970-01-01")) % 7),
+        "dow", "event_type", "value", "click", "purchase").count())
+    probe("qq_table", ev1, ev10)(d =>
+      Stats.qqTable(d, "event_type", "value", "click", "purchase").count())
+    probe("mutual_info", ev1, ev10)(d =>
+      Stats.mutualInfo(d.filter(col("ts").isNotNull).withColumn("dow",
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 7).cast("string")),
+        "event_type", "dow").count())
+    probe("hilbert_key", li1, li10)(d =>
+      graft.operators.Layout.withHilbertKey(
+        d.select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", 10).count())
+    probe("pseudonymize", cu1, cu10)(d =>
+      Privacy.pseudonymize(d, Seq("c_name"), "probe-salt").count())
     spark.stop()
   }
 }
