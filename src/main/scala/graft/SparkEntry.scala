@@ -2355,6 +2355,18 @@ object SparkEntry {
       Stats.ksTest(Tables.events(s, dir), "event_type", "value",
         "click", "purchase")),
 
+    // ---- distribution drift as a first-class expectation: the second
+    //      half of the month KS-gated against the first (the
+    //      yesterday-vs-training-snapshot monitor shape) ----
+    "q_expectations_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-15").cast("timestamp")
+      Expectations.validate(
+        ev.filter(col("ts") >= cut),
+        Seq(Expectations.Drift("value",
+          ev.filter(col("ts") < cut).select("value"), 0.05)))
+    }),
+
     // ---- mutual information / NMI / Cramér's V between event type and
     //      day-of-week: HOW STRONG the dependence chi2 only detects ----
     "q_mutual_info" -> ((s, dir) =>
@@ -5191,6 +5203,27 @@ object SparkEntry {
         |SELECT n1, n2, d,
         |  round(least(1.0, 2.0 * exp(-2.0 * d * d *
         |    (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+        |FROM d""".stripMargin,
+
+    // drift-expectation truth: the same KS D between the month halves
+    "q_expectations_drift" ->
+      """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM c),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |m AS (SELECT MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+        |    - CAST(cum2 AS HUGEINT) * n1)) AS dn FROM w, t),
+        |d AS (SELECT round(CAST(dn AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * n2), 6) AS d FROM m, t)
+        |SELECT 'drift' AS rule, 'value' AS "column", d AS metric,
+        |  0.05 AS threshold, d <= 0.05 AS ok
         |FROM d""".stripMargin,
 
     // mutual-information truth: same rounded-term decimal folds over

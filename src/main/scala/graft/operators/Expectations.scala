@@ -78,6 +78,19 @@ object Expectations {
                                 maxOrphans: Long = 0L) extends Rule {
     val name = "ref_integrity"
   }
+  /** The column's distribution must stay within KS distance `maxD` of
+    * the same column in `ref` (yesterday's batch, the training-time
+    * snapshot) — the distribution-drift gate as a first-class
+    * expectation: the suite that checks nulls and ranges also checks
+    * SHAPE. Metric is the two-sample KS D from [[Stats.ksTest]]'s
+    * machinery (one count pass per side, bounded distinct-value
+    * windows, integer-exact gap max).
+    */
+  final case class Drift(colName: String, ref: DataFrame, maxD: Double,
+                         precision: Int = 9, scale: Int = 2) extends Rule {
+    require(maxD >= 0 && maxD <= 1, "maxD in [0, 1]")
+    val name = "drift"
+  }
 
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
@@ -175,7 +188,18 @@ object Expectations {
         reportRow(r.name, r.colName, col("_o").cast("double"),
           r.maxOrphans.toDouble)))
     }
-    (sharedBranch.toSeq ++ uniqueBranch.toSeq ++ refBranches)
+    // one KS branch per drift rule: current vs reference stacked with a
+    // side tag, then the shared bounded-distinct-value KS machinery
+    val driftBranches = rules.collect { case r: Drift =>
+      val stacked = df.select(col(r.colName)).withColumn("_side", lit("cur"))
+        .unionByName(
+          r.ref.select(col(r.colName)).withColumn("_side", lit("ref")))
+      val d = Stats.ksTest(stacked, "_side", r.colName, "cur", "ref",
+        r.precision, r.scale)
+      explodeRows(d, Seq(
+        reportRow(r.name, r.colName, col("d"), r.maxD)))
+    }
+    (sharedBranch.toSeq ++ uniqueBranch.toSeq ++ refBranches ++ driftBranches)
       .reduce(_ unionByName _)
   }
 

@@ -349,6 +349,26 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(clean.filter(!col("ok")).count() == 0)
   }
 
+  test("drift expectation passes a same-shape batch and fails a shifted one") {
+    import graft.operators.Expectations._
+    val ref = Seq.tabulate(200)(i => (i % 100).toDouble).toDF("v")
+    // same distribution (another sample of the same values): d = 0
+    val same = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val ok = validate(same, Seq(Drift("v", ref, maxD = 0.1)))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(ok._1 == "drift" && ok._3 == 0.0 && ok._5)
+    // a +50 location shift: D = 0.5 > 0.1 -> rule fails
+    val shifted = Seq.tabulate(100)(i => i + 50.0).toDF("v")
+    val bad = validate(shifted, Seq(Drift("v", ref, maxD = 0.1)))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(bad._3 == 0.5 && !bad._5)
+    // drift composes with row rules in one report
+    val combo = validate(shifted, Seq(NotNull("v"), Drift("v", ref, 0.1)))
+      .as[(String, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(combo == Map("not_null" -> true, "drift" -> false))
+  }
+
   test("duplicate Unique rules on one column stay unambiguous (fused-branch regression)") {
     // two rules naming the same column: the fused single-pass branch
     // used to project the column twice, making every later reference an
