@@ -4,7 +4,7 @@ import graft.config.{GraftConfig, SideDetails}
 import graft.operators.{DriftCompare, DriftOutput}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** CLI entry point, mirroring the reference's `lotad run` / `lotad setup`
   * surface (reference: lotad/cli.py:25-108):
@@ -165,8 +165,32 @@ object GraftApp {
               }
             }
           }
+        case "ks" =>
+          // nonparametric drift from the CLI (extension): two-sample KS
+          // distance per shared numeric column of each shared table (or
+          // --table); PSI's bin-free sibling — sensitive anywhere on the
+          // CDF, not just where the bins land
+          val tables = opts.get("table").map(Seq(_)).getOrElse(
+            (s1.listTables().toSet intersect s2.listTables().toSet).toSeq.sorted)
+          tables.foreach { table =>
+            val a = s1.table(table); val b = s2.table(table)
+            val shared = a.schema.fields.filter(f =>
+              b.schema.fieldNames.contains(f.name) &&
+                Seq("double", "float", "bigint", "int", "decimal")
+                  .exists(f.dataType.simpleString.startsWith))
+            if (shared.isEmpty) println(s"ks[$table] no shared numeric columns")
+            shared.foreach { f =>
+              val stacked = a.select(col(f.name)).withColumn("_side", lit("db1"))
+                .unionByName(b.select(col(f.name)).withColumn("_side", lit("db2")))
+              val r = graft.operators.Stats
+                .ksTest(stacked, "_side", f.name, "db1", "db2").head()
+              println(f"ks[$table.${f.name}] d=${r.getAs[Double]("d")}%.6f " +
+                f"p~${r.getAs[Double]("p_approx")}%.6f " +
+                s"(n1=${r.getAs[Long]("n1")} n2=${r.getAs[Long]("n2")})")
+            }
+          }
         case other =>
-          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup | overlap | psi)")
+          sys.error(s"unknown command: $other (expected run | suggest-ignores | setup | profile | dedup | overlap | psi | ks)")
       }
     } finally spark.stop()
   }
