@@ -169,24 +169,34 @@ object GraftApp {
           // nonparametric drift from the CLI (extension): two-sample KS
           // distance per shared numeric column of each shared table (or
           // --table); PSI's bin-free sibling — sensitive anywhere on the
-          // CDF, not just where the bins land
+          // CDF, not just where the bins land. A column must be a real
+          // NumericType on BOTH sides (a numeric-in-db1 / varchar-in-db2
+          // column is type drift, not a distribution to compare), and
+          // the DECIMAL(16,2) canonicalization keeps values to ±10^14 —
+          // wider-ranged ids overflow to null and would silently
+          // truncate the compared distribution.
           val tables = opts.get("table").map(Seq(_)).getOrElse(
             (s1.listTables().toSet intersect s2.listTables().toSet).toSeq.sorted)
           tables.foreach { table =>
             val a = s1.table(table); val b = s2.table(table)
-            val shared = a.schema.fields.filter(f =>
-              b.schema.fieldNames.contains(f.name) &&
-                Seq("double", "float", "bigint", "int", "decimal")
-                  .exists(f.dataType.simpleString.startsWith))
+            def numericCols(df: org.apache.spark.sql.DataFrame): Set[String] =
+              df.schema.fields.collect {
+                case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+                  f.name
+              }.toSet
+            val shared = (numericCols(a) intersect numericCols(b)).toSeq.sorted
             if (shared.isEmpty) println(s"ks[$table] no shared numeric columns")
-            shared.foreach { f =>
-              val stacked = a.select(col(f.name)).withColumn("_side", lit("db1"))
-                .unionByName(b.select(col(f.name)).withColumn("_side", lit("db2")))
+            shared.foreach { name =>
               val r = graft.operators.Stats
-                .ksTest(stacked, "_side", f.name, "db1", "db2").head()
-              println(f"ks[$table.${f.name}] d=${r.getAs[Double]("d")}%.6f " +
-                f"p~${r.getAs[Double]("p_approx")}%.6f " +
-                s"(n1=${r.getAs[Long]("n1")} n2=${r.getAs[Long]("n2")})")
+                .ksTestFrames(a, b, name, precision = 16, scale = 2).head()
+              if (r.isNullAt(r.fieldIndex("d")))
+                println(s"ks[$table.$name] undefined (an empty or " +
+                  "out-of-range side; n1=" + r.getAs[Long]("n1") +
+                  " n2=" + r.getAs[Long]("n2") + ")")
+              else
+                println(f"ks[$table.$name] d=${r.getAs[Double]("d")}%.6f " +
+                  f"p~${r.getAs[Double]("p_approx")}%.6f " +
+                  s"(n1=${r.getAs[Long]("n1")} n2=${r.getAs[Long]("n2")})")
             }
           }
         case other =>

@@ -103,6 +103,29 @@ object SparkEntry {
        |ORDER BY h, p_partkey""".stripMargin
   }
 
+  /** Temp directories to delete at JVM exit, drained by ONE hook
+    * registered lazily on first use (per-invocation hooks would
+    * accumulate a thread per run in a long-lived session).
+    */
+  private lazy val exitCleanupDirs: java.util.Queue[java.nio.file.Path] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      var d = q.poll()
+      while (d != null) {
+        try rm(d) catch { case _: Exception => () }
+        d = q.poll()
+      }
+    }))
+    q
+  }
+
   private def pqPlantedPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"),
       transform(slice(col("embedding"), 1, 32), (x, i) => {
@@ -990,20 +1013,12 @@ object SparkEntry {
       // per-run unique dir: a FIXED tmp path races concurrent harness
       // processes (one run's overwrite deletes the index another run's
       // lazy dedupAgainstIndex is still scanning). Deleted at JVM exit
-      // (not eagerly — the returned frame scans the index lazily), so
-      // repeated harness runs don't accumulate tmp directories.
+      // (not eagerly — the returned frame scans the index lazily) via
+      // ONE process-lifetime hook draining a queue, so repeated runs in
+      // a long session don't accumulate hook threads.
       val tmpDir = java.nio.file.Files.createTempDirectory("graft_lsh_index")
       val path = tmpDir.toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val s = java.nio.file.Files.list(p)
-            try s.forEach(rm(_)) finally s.close()
-          }
-          java.nio.file.Files.deleteIfExists(p); ()
-        }
-        try rm(tmpDir) catch { case _: Exception => () }
-      }))
+      exitCleanupDirs.add(tmpDir)
       Dedup.saveLshIndex(
         Dedup.buildLshIndex(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id"),
         path)
@@ -5551,8 +5566,8 @@ object SparkEntry {
         |    MIN(CASE WHEN CAST(cum AS HUGEINT) * 10000 >= tot * 9900
         |      THEN v END) AS hi
         |  FROM w, t)
-        |SELECT doc_id, n_chars AS value,
-        |  least(greatest(n_chars, lo), hi) AS winsorized
+        |SELECT doc_id, CAST(n_chars AS DOUBLE) AS value,
+        |  CAST(least(greatest(n_chars, lo), hi) AS DOUBLE) AS winsorized
         |FROM documents, e WHERE n_chars IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

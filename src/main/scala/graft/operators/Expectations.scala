@@ -188,16 +188,14 @@ object Expectations {
         reportRow(r.name, r.colName, col("_o").cast("double"),
           r.maxOrphans.toDouble)))
     }
-    // one KS branch per drift rule: current vs reference stacked with a
-    // side tag, then the shared bounded-distinct-value KS machinery
+    // one KS branch per drift rule; an UNDEFINED comparison (either
+    // side has no non-null values — exactly the broken-upstream case a
+    // drift gate exists to catch) reports MAXIMAL drift, never a
+    // null-poisoned ok column
     val driftBranches = rules.collect { case r: Drift =>
-      val stacked = df.select(col(r.colName)).withColumn("_side", lit("cur"))
-        .unionByName(
-          r.ref.select(col(r.colName)).withColumn("_side", lit("ref")))
-      val d = Stats.ksTest(stacked, "_side", r.colName, "cur", "ref",
-        r.precision, r.scale)
+      val d = Stats.ksTestFrames(df, r.ref, r.colName, r.precision, r.scale)
       explodeRows(d, Seq(
-        reportRow(r.name, r.colName, col("d"), r.maxD)))
+        reportRow(r.name, r.colName, coalesce(col("d"), lit(1.0)), r.maxD)))
     }
     (sharedBranch.toSeq ++ uniqueBranch.toSeq ++ refBranches ++ driftBranches)
       .reduce(_ unionByName _)

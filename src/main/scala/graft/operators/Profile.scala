@@ -185,13 +185,21 @@ object Profile {
     * back over the data. The full-data passes are the count and the
     * final clip — both linear, no global sort of the rows themselves
     * (ntile would sort all 100 TB).
+    *
+    * Values canonicalize to DECIMAL(18, `scale`) micro-units (a raw
+    * long cast would TRUNCATE fractional inputs — a (0,1) score column
+    * would collapse to one distinct value 0); outputs are doubles at
+    * the original scale. Capacity |v| < 10^(18−scale−…): with the
+    * default scale 6, |v| < 10^12.
     */
   def winsorize(df: DataFrame, idCol: String, valueCol: String,
-                loBp: Int, hiBp: Int): DataFrame = {
+                loBp: Int, hiBp: Int, scale: Int = 6): DataFrame = {
     require(0 <= loBp && loBp < hiBp && hiBp <= 10000,
       "basis points must satisfy 0 <= loBp < hiBp <= 10000")
     import org.apache.spark.sql.expressions.Window
-    val v = col(valueCol).cast("long")
+    val unitsPerValue = math.pow(10, scale)
+    val v = (expr(s"try_cast(`$valueCol` AS decimal(18,$scale))") *
+      lit(java.math.BigDecimal.valueOf(unitsPerValue.toLong))).cast("long")
     val counts = df.filter(v.isNotNull).groupBy(v.as("_v"))
       .agg(count(lit(1)).as("_n"))
     val cum = Window.orderBy("_v")
@@ -207,8 +215,10 @@ object Profile {
       min(when(col("_cum") >= col("_tot") * hiBp, col("_v"))).as("_hi"))
     df.filter(v.isNotNull)
       .crossJoin(broadcast(edges))
-      .select(col(idCol), v.as("value"),
-        least(greatest(v, col("_lo")), col("_hi")).as("winsorized"))
+      .select(col(idCol),
+        (v.cast("double") / unitsPerValue).as("value"),
+        (least(greatest(v, col("_lo")), col("_hi")).cast("double") /
+          unitsPerValue).as("winsorized"))
   }
 
   /** Key-skew profile: the top-`topN` heaviest keys with their share of

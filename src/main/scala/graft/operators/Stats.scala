@@ -408,18 +408,33 @@ object Stats {
     * 1) is computed FROM THE ROUNDED D so both engines feed exp the
     * same double, then rounds at 6 dp.
     */
+  /** The shared cohort-count skeleton of [[ksTest]] / [[ksTestBy]] /
+    * [[qqTable]] / [[mannWhitneyU]]: filter to the two cohorts,
+    * canonicalize values to exact integer units, and count per distinct
+    * value with one conditional sum per cohort (map-side combined;
+    * bounded by value cardinality). Extra leading key columns (e.g. a
+    * segment) group alongside the value.
+    */
+  private def cohortCounts(df: DataFrame, groupCol: String, valueCol: String,
+                           g1: String, g2: String, precision: Int, scale: Int,
+                           keyCols: Seq[Column] = Nil,
+                           keyNames: Seq[String] = Nil): DataFrame = {
+    val g = col(groupCol).cast("string")
+    df.filter((g === g1 || g === g2) && col(valueCol).isNotNull)
+      .select(keyCols.zip(keyNames).map { case (c, n) => c.as(n) } ++
+        Seq(g.as("_g"),
+          LimbMoments.units(valueCol, precision, scale).as("_v")): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(keyNames.map(col) :+ col("_v"): _*)
+      .agg(
+        sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
+        sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+  }
+
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
              g1: String, g2: String,
              precision: Int = 9, scale: Int = 2): DataFrame = {
-    val g = col(groupCol).cast("string")
-    val clean = df
-      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
-      .select(g.as("_g"),
-        LimbMoments.units(valueCol, precision, scale).as("_v"))
-      .filter(col("_v").isNotNull)
-    val counts = clean.groupBy("_v").agg(
-      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
-      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val counts = cohortCounts(df, groupCol, valueCol, g1, g2, precision, scale)
     val cum = org.apache.spark.sql.expressions.Window.orderBy("_v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -431,36 +446,47 @@ object Stats {
       .agg(max(abs(col("_cum1").cast("decimal(38,0)") * col("_n2") -
         col("_cum2").cast("decimal(38,0)") * col("_n1"))).as("_dn"),
         max("_n1").as("n1"), max("_n2").as("n2"))
-    gap.select(col("n1"), col("n2"),
-        round(col("_dn").cast("double") /
-          (col("n1").cast("double") * col("n2")), 6).as("d"))
+    // total on empty cohorts: n coalesces to 0 and d/p are NULL (no
+    // distribution to compare) rather than a NaN from 0.0/0.0 — callers
+    // gating on d decide what "undefined" means ([[Expectations]] treats
+    // it as maximal drift)
+    gap.select(coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"), col("_dn"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("_dn").cast("double") /
+            (col("n1").cast("double") * col("n2")), 6)).as("d"))
       .withColumn("p_approx",
         round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d") * col("d") *
           (col("n1").cast("double") * col("n2") /
             (col("n1") + col("n2"))))), 6))
   }
 
+  /** [[ksTest]] of one column across two FRAMES (current vs reference)
+    * — the stacking idiom shared by [[Expectations.Drift]] and the
+    * `ks` CLI: tag each side, union, run the cohort machinery.
+    */
+  def ksTestFrames(cur: DataFrame, ref: DataFrame, valueCol: String,
+                   precision: Int = 9, scale: Int = 2): DataFrame = {
+    val stacked = cur.select(col(valueCol)).withColumn("_side", lit("cur"))
+      .unionByName(ref.select(col(valueCol)).withColumn("_side", lit("ref")))
+    ksTest(stacked, "_side", valueCol, "cur", "ref", precision, scale)
+  }
+
   /** [[ksTest]] per segment: one KS drift statistic per value of
     * `segCol` (per-language length drift, per-source score drift — the
     * "WHICH slice moved" follow-up to a corpus-level alarm). Same
     * bounded-table shape with every window partitioned by segment;
-    * output is one row per segment, ordered by d descending so the
-    * drifted slices lead.
+    * one row per segment (unordered — `.orderBy(desc("d"))` to lead
+    * with the drifted slices); segments missing a cohort are excluded.
     */
   def ksTestBy(df: DataFrame, segCol: String, groupCol: String,
                valueCol: String, g1: String, g2: String,
                precision: Int = 9, scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = col(groupCol).cast("string")
-    val clean = df
-      .filter((g === g1 || g === g2) && col(valueCol).isNotNull &&
-        col(segCol).isNotNull)
-      .select(col(segCol).cast("string").as("segment"), g.as("_g"),
-        LimbMoments.units(valueCol, precision, scale).as("_v"))
-      .filter(col("_v").isNotNull)
-    val counts = clean.groupBy("segment", "_v").agg(
-      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
-      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val counts = cohortCounts(df.filter(col(segCol).isNotNull),
+      groupCol, valueCol, g1, g2, precision, scale,
+      Seq(col(segCol).cast("string")), Seq("segment"))
     val cum = Window.partitionBy("segment").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("segment")
@@ -501,15 +527,7 @@ object Stats {
               precision: Int = 9, scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val g = col(groupCol).cast("string")
-    val clean = df
-      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
-      .select(g.as("_g"),
-        LimbMoments.units(valueCol, precision, scale).as("_v"))
-      .filter(col("_v").isNotNull)
-    val counts = clean.groupBy("_v").agg(
-      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
-      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val counts = cohortCounts(df, groupCol, valueCol, g1, g2, precision, scale)
     val cum = Window.orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
@@ -549,15 +567,7 @@ object Stats {
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    g1: String, g2: String,
                    precision: Int = 9, scale: Int = 2): DataFrame = {
-    val g = col(groupCol).cast("string")
-    val clean = df
-      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
-      .select(g.as("_g"),
-        LimbMoments.units(valueCol, precision, scale).as("_v"))
-      .filter(col("_v").isNotNull)
-    val counts = clean.groupBy("_v").agg(
-      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("_c1"),
-      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("_c2"))
+    val counts = cohortCounts(df, groupCol, valueCol, g1, g2, precision, scale)
     val cum = org.apache.spark.sql.expressions.Window.orderBy("_v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

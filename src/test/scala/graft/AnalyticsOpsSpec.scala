@@ -367,6 +367,12 @@ class EventAnalyticsSpec extends SparkSpecBase {
       .as[(String, String, Double, Double, Boolean)].collect()
       .map(r => r._1 -> r._5).toMap
     assert(combo == Map("not_null" -> true, "drift" -> false))
+    // an all-null current batch is an UNDEFINED comparison: the gate
+    // must FAIL loudly (metric 1.0), never emit a null-poisoned ok
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    val undef = validate(allNull, Seq(Drift("v", ref, maxD = 0.1)))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(undef._3 == 1.0 && !undef._5)
   }
 
   test("duplicate Unique rules on one column stay unambiguous (fused-branch regression)") {

@@ -334,16 +334,22 @@ class StatsOpsSpec extends SparkSpecBase {
   test("winsorize clips at inverted-CDF edges and keeps every row") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     val out = Profile.winsorize(df, "id", "v", 500, 9500)
-      .collect().map(r => r.getLong(0) -> r.getAs[Long]("winsorized")).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("winsorized")).toMap
     assert(out.size == 100)
     // 5th/95th percentile of 1..100 under inverted CDF: 5 and 95
-    assert(out(1L) == 5L && out(4L) == 5L && out(5L) == 5L)
-    assert(out(96L) == 95L && out(100L) == 95L)
-    assert(out(50L) == 50L)
+    assert(out(1L) == 5.0 && out(4L) == 5.0 && out(5L) == 5.0)
+    assert(out(96L) == 95.0 && out(100L) == 95.0)
+    assert(out(50L) == 50.0)
     // loBp = 0 means no lower clip
     val noLo = Profile.winsorize(df, "id", "v", 0, 9500)
-      .collect().map(r => r.getLong(0) -> r.getAs[Long]("winsorized")).toMap
-    assert(noLo(1L) == 1L && noLo(100L) == 95L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("winsorized")).toMap
+    assert(noLo(1L) == 1.0 && noLo(100L) == 95.0)
+    // fractional values survive: a (0,1) score column must NOT collapse
+    // to a single truncated value (the long-cast regression)
+    val frac = (1 to 100).map(i => (i.toLong, i / 100.0)).toDF("id", "s")
+    val fOut = Profile.winsorize(frac, "id", "s", 500, 9500)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("winsorized")).toMap
+    assert(fOut(1L) == 0.05 && fOut(50L) == 0.5 && fOut(100L) == 0.95)
   }
 
   test("theilSen recovers a clean slope through 29% outliers") {
