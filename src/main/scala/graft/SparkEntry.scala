@@ -2058,6 +2058,13 @@ object SparkEntry {
       EventAnalytics.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2)
         .orderBy("item1", "item2")),
 
+    // ---- Apriori frequent triples: candidates only from frequent
+    //      pairs (two broadcast semi-joins), never the item cube ----
+    "q_frequent_triples" -> ((s, dir) =>
+      EventAnalytics.frequentTriples(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", 2)
+        .orderBy("item1", "item2", "item3")),
+
     // ---- grouped sketched quantiles checked against grouped exact:
     //      the monster-group path (bounded state, partial merge) must
     //      land within the sketch's rank-error bound per group ----
@@ -4656,6 +4663,18 @@ object SparkEntry {
         |p AS (SELECT x.i AS item1, y.i AS item2, count(*) AS n_baskets
         |  FROM bi x JOIN bi y USING (bk) WHERE x.i < y.i GROUP BY 1, 2)
         |SELECT * FROM p WHERE n_baskets >= 2 ORDER BY item1, item2""".stripMargin,
+
+    // frequent-triples truth: the plain 3-way count — Apriori pruning
+    // is an optimization, not a semantics change
+    "q_frequent_triples" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+        |  FROM lineitem)
+        |SELECT a.i AS item1, b.i AS item2, c.i AS item3,
+        |  count(*) AS n_baskets
+        |FROM bi a JOIN bi b ON a.bk = b.bk AND a.i < b.i
+        |  JOIN bi c ON a.bk = c.bk AND b.i < c.i
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY item1, item2, item3""".stripMargin,
 
     // grouped sketch bound check: truth is "every group within bound"
     "q_grouped_quantiles_approx" ->

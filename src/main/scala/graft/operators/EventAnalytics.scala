@@ -309,6 +309,45 @@ object EventAnalytics {
       .filter(col("n_baskets") >= minSupport)
   }
 
+  /** Frequent item TRIPLES by the Apriori principle: every subset of a
+    * frequent itemset is frequent, so candidate triples are built ONLY
+    * from frequent pairs — (a,b) occurrences extend with items c > b
+    * whose (a,c) AND (b,c) pairs are also frequent — never from the
+    * k³ item cube. The market-basket step up from [[coOccurrence]]
+    * (bundles of three; the next-item recommender's support table).
+    *
+    * Shape at 100 TB: the distinct (basket, item) projection and the
+    * pair count reuse [[coOccurrence]]'s one-shuffle shape; the triple
+    * stage joins pair-occurrences against the basket item list
+    * restricted by TWO broadcast semi-joins on the (bounded, support-
+    * filtered) frequent-pair set before any counting — candidate
+    * volume is bounded by true frequent-pair co-occurrence, not by
+    * basket width cubed. Support is exact (distinct baskets).
+    */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val pairs = coOccurrence(df, basketCol, itemCol, minSupport)
+      .select("item1", "item2")
+    // occurrences of frequent (a, b) pairs per basket
+    val pairOcc = bi.select(col("b"), col("i").as("item1"))
+      .join(bi.select(col("b"), col("i").as("item2")), "b")
+      .filter(col("item1") < col("item2"))
+      .join(pairs, Seq("item1", "item2"), "left_semi")
+    pairOcc
+      .join(bi.select(col("b"), col("i").as("item3")), "b")
+      .filter(col("item3") > col("item2"))
+      // Apriori pruning: (a, c) and (b, c) must both be frequent
+      .join(pairs.select(col("item1"), col("item2").as("item3")),
+        Seq("item1", "item3"), "left_semi")
+      .join(pairs.select(col("item1").as("item2"), col("item2").as("item3")),
+        Seq("item2", "item3"), "left_semi")
+      .groupBy("item1", "item2", "item3")
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
+
   /** Exact per-group quantiles (interpolated, SQL `percentile`
     * semantics): one row per group with a column per requested q.
     * One shuffle on the group key; the exact percentile aggregate

@@ -349,6 +349,24 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(clean.filter(!col("ok")).count() == 0)
   }
 
+  test("frequentTriples: Apriori pruning returns exactly the supported triples") {
+    // {1,2,3} in 3 baskets; {1,2,4} once; {5,6,7} once -> only (1,2,3)
+    // at minSupport 2; duplicate rows within a basket must not inflate
+    // support
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L),
+      (13L, 5L), (13L, 6L), (13L, 7L)).toDF("b", "i")
+    val out = EventAnalytics.frequentTriples(rows, "b", "i", 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (1L, 2L, 3L, 3L))
+    // minSupport 1 keeps every distinct triple
+    assert(EventAnalytics.frequentTriples(rows, "b", "i", 1).count() == 5)
+  }
+
   test("drift expectation passes a same-shape batch and fails a shifted one") {
     import graft.operators.Expectations._
     val ref = Seq.tabulate(200)(i => (i % 100).toDouble).toDF("v")
