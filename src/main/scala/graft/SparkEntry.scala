@@ -2415,6 +2415,18 @@ object SparkEntry {
           "click", "purchase")
         .orderBy("p")),
 
+    // ---- BH false-discovery control over the per-segment KS battery:
+    //      the multiple-testing step every segment sweep needs ----
+    "q_bh_fdr" -> ((s, dir) =>
+      Stats.bhAdjust(
+          Stats.ksTestBy(
+            Tables.events(s, dir).withColumn("dow",
+              datediff(to_date(col("ts")), lit("1970-01-01")) % 7),
+            "dow", "event_type", "value", "click", "purchase"),
+          "p_approx", 0.05)
+        .select("segment", "n1", "n2", "d", "p_approx", "p_adj", "reject")
+        .orderBy("segment")),
+
     // ---- Mann–Whitney rank-sum test on the same cohorts: midranks as
     //      exact 2x-scaled integers from the distinct-value prefix
     //      counts, tie-corrected z ----
@@ -5351,6 +5363,49 @@ object SparkEntry {
         |  FROM w, p GROUP BY 1)
         |SELECT p, q1, q2, round(q2 - q1, 6) AS gap
         |FROM q ORDER BY p""".stripMargin,
+
+    // BH truth: the per-segment KS battery as a CTE, then the step-up
+    // over the bounded distinct-p table with the same tie-deterministic
+    // rank (#values <= p)
+    "q_bh_fdr" ->
+      """WITH c AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS segment,
+        |    CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT segment,
+        |    SUM(c1) OVER (PARTITION BY segment ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY segment ORDER BY v) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY segment) AS n1,
+        |    SUM(c2) OVER (PARTITION BY segment) AS n2
+        |  FROM c),
+        |m AS (SELECT segment,
+        |    MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+        |      - CAST(cum2 AS HUGEINT) * n1)) AS dn,
+        |    CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |dd AS (SELECT segment, n1, n2,
+        |    round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d
+        |  FROM m WHERE n1 > 0 AND n2 > 0),
+        |ks AS (SELECT segment, n1, n2, d,
+        |    round(least(1.0, 2.0 * exp(-2.0 * d * d *
+        |      (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+        |  FROM dd),
+        |pc AS (SELECT p_approx AS p, count(*) AS n FROM ks GROUP BY 1),
+        |w2 AS (SELECT p, CAST(SUM(n) OVER (ORDER BY p) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS m FROM pc),
+        |rw AS (SELECT p, p * CAST(m AS DOUBLE) / i AS raw FROM w2),
+        |ad AS (SELECT p, round(least(CAST(1 AS DOUBLE),
+        |    MIN(raw) OVER (ORDER BY p DESC)), 6) AS p_adj FROM rw)
+        |SELECT ks.segment, ks.n1, ks.n2, ks.d, ks.p_approx, ad.p_adj,
+        |  ad.p_adj <= 0.05 AS reject
+        |FROM ks JOIN ad ON ks.p_approx = ad.p
+        |ORDER BY segment""".stripMargin,
 
     // Mann-Whitney truth: exact 2x-scaled midrank sums and tie cubes
     // from the same distinct-value prefix counts, identical fixed-order

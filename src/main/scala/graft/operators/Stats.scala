@@ -324,6 +324,48 @@ object Stats {
         col("expected"), col("contrib"), col("chi2"), col("dof"))
   }
 
+  /** Benjamini–Hochberg FDR adjustment over a battery of p-values —
+    * the missing step after any per-segment screen ([[ksTestBy]], per-
+    * column [[propTest]] sweeps): at 100 segments and α = 0.05, five
+    * "drifted" slices are EXPECTED under the null; BH controls the
+    * false-discovery rate instead. Appends `p_adj` (the BH-adjusted
+    * p-value, monotone step-up) and `reject` (p_adj ≤ alpha) to every
+    * input row.
+    *
+    * Tie-determinism: ranks use the COUNT of p-values ≤ p (the largest
+    * index among ties), so equal p-values always share one adjusted
+    * value and one decision — no dependence on row order, partitioning,
+    * or sort stability. Shape: the rank/step-up windows run over the
+    * bounded DISTINCT-p table; rows re-attach by an equi-join on p.
+    * Exactness: p_adj = min over larger p of m·p/i is one double
+    * division per distinct p, a running min (exact on doubles), and a
+    * 6 dp round.
+    */
+  def bhAdjust(df: DataFrame, pCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(pCol).isNotNull)
+      .groupBy(col(pCol).cast("double").as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val byP = Window.orderBy("_p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromTop = Window.orderBy(col("_p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val adj = counts
+      .withColumn("_i", sum("_n").over(byP))            // rank = #values <= p
+      .withColumn("_m", sum("_n").over(all))
+      .withColumn("_raw",
+        col("_p") * col("_m").cast("double") / col("_i"))
+      .withColumn("p_adj",
+        round(least(lit(1.0), min("_raw").over(fromTop)), 6))
+      .select(col("_p"), col("p_adj"))
+    df.filter(col(pCol).isNotNull)
+      .join(broadcast(adj), col(pCol).cast("double") === col("_p"))
+      .drop("_p")
+      .withColumn("reject", col("p_adj") <= alpha)
+  }
+
   /** Mutual information between two categorical columns, with its
     * normalized form (NMI ∈ [0,1], geometric-mean normalization) and
     * Cramér's V — the "how much does knowing X tell you about Y"

@@ -435,6 +435,26 @@ class StatsOpsSpec extends SparkSpecBase {
       r2.isNullAt(r2.fieldIndex("cramers_v")))
   }
 
+  test("bhAdjust matches the textbook step-up and keeps ties deterministic") {
+    val df = Seq(("a", 0.005), ("b", 0.011), ("c", 0.02), ("d", 0.04),
+      ("e", 0.13)).toDF("k", "p")
+    val out = Stats.bhAdjust(df, "p", 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p_adj"), r.getAs[Boolean]("reject"))).toMap
+    // raw m*p/i = .025 .0275 .0333 .05 .13; step-up min from the top
+    assert(out("a") == (0.025, true))
+    assert(out("b") == (0.0275, true))
+    assert(out("c") == (0.033333, true))
+    assert(out("d") == (0.05, true))
+    assert(out("e") == (0.13, false))
+    // tied p-values share one adjusted value and one decision
+    val tied = Seq(("x", 0.01), ("y", 0.01), ("z", 0.5)).toDF("k", "p")
+    val t2 = Stats.bhAdjust(tied, "p", 0.05)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p_adj")).toMap
+    assert(t2("x") == t2("y") && t2("x") == 0.015) // i = 2 for both ties
+    assert(t2("z") == 0.5)
+  }
+
   test("percentileRankBy ranks NULL-group rows within their own partition") {
     val df = Seq[(Long, java.lang.Long, String)](
       (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
