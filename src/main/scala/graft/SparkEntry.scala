@@ -534,6 +534,74 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- image near-dup via REAL pixel decode (javax.imageio): planted
+    //      resized-and-re-encoded twins. Each selected doc gets a
+    //      deterministic doc-seeded image, piecewise-constant on the
+    //      9x8 dHash grid, and a twin at half resolution — cell-aligned
+    //      area-average resize preserves the dHash EXACTLY (spec-
+    //      proven), unrelated doc seeds land ~24/64 bits apart, so the
+    //      banded-Hamming join returns exactly the planted pair set at
+    //      Hamming 0, which the oracle states in closed form ----
+    "q_image_neardup" -> ((s, dir) => {
+      val mk = udf((d: Long) => Multimodal.syntheticImage(d))
+      val mkTwin = udf((d: Long) =>
+        Multimodal.resizeImage(Multimodal.syntheticImage(d), 18, 16))
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select("doc_id")
+      val imgs = ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .unionByName(ids.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          mkTwin(col("doc_id")).as("payload")))
+      Dedup.hammingPairs(Multimodal.imagePHash(imgs))
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- joint image+text dedup: the pretraining-corpus curation shape.
+    //      Docs carry BOTH a text and an image; near-dup pairs from text
+    //      MinHash-LSH and image dHash UNION into one graph, connected
+    //      components fold, survivorship keeps the min id. Planted:
+    //      text twins (+10M, drop-last-token, disjoint vocab) for
+    //      d % 2 = 0, image twins (+20M, resized pixels) for d % 3 = 0 —
+    //      twin rows carry UNRELATED content in the OTHER modality (own
+    //      seed/vocab), so each modality contributes exactly its planted
+    //      edges and the union clusters {d, d+10M?, d+20M?} collapse to
+    //      component d. Oracle derives the same map in closed form ----
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), TokenArray(col("text")).as("tk"))
+        .withColumn("tk", transform(col("tk"),
+          tok => concat(lit("d"), col("doc_id"), lit("x"), tok)))
+      val origs = base.select(col("doc_id"), concat_ws(" ", col("tk")).as("text"))
+      val textTwins = base
+        .filter(col("doc_id") % 2 === 0 &&
+          size(WordShingles(concat_ws(" ", col("tk")), 3)) >= 10)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat_ws(" ", slice(col("tk"), lit(1), size(col("tk")) - 1)).as("text"))
+      // image twins get their own disjoint vocabulary (no text edges)
+      val imageTwins = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          concat(lit("img"), col("doc_id"), lit(" solo row")).as("text"))
+      val all = origs.unionByName(textTwins).unionByName(imageTwins)
+      // image payload: base docs and their +20M twins share pixels
+      // (twin = cell-aligned resize); text twins get their own seed
+      val mk = udf((d: Long) => Multimodal.syntheticImage(d))
+      val mkTwin = udf((d: Long) =>
+        Multimodal.resizeImage(Multimodal.syntheticImage(d), 18, 16))
+      val withImg = all.withColumn("payload",
+        when(col("doc_id") >= 20000000L, mkTwin(col("doc_id") - 20000000L))
+          .otherwise(mk(col("doc_id"))))
+      val textPairs = Dedup.minHashLshPairs(withImg, "text", "doc_id", 0.5)
+        .select("id1", "id2")
+      val imagePairs = Dedup.hammingPairs(Multimodal.imagePHash(withImg))
+        .select("id1", "id2")
+      val comp = Dedup.connectedComponents(textPairs.unionByName(imagePairs))
+        .select(col("id").as("doc_id"), col("component"))
+      // isolated docs (no twin in either modality) are their own cluster
+      withImg.select("doc_id").join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // ---- pivot: event counts per user across a fixed category list ----
     "q_pivot" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -3194,6 +3262,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(substr(text, 1 + i * w, w)) AS frame_md5
         |FROM f, generate_series(0, 3) AS t(i) ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // planted truth: every selected doc pairs with its +10M resized twin
+    // at dHash Hamming 0 (cell-aligned pattern, spec-proven exact);
+    // unrelated doc seeds sit ~24/64 bits apart, far outside <= 3
+    "q_image_neardup" ->
+      """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // planted truth of the joint clusters: base docs are their own
+    // component; +10M text twins attach when the drop-last-token twin
+    // exists (shingle guard, same regime as q_planted_minhash); +20M
+    // image twins always attach (resized pixels, dHash Hamming 0)
+    "q_multimodal_dedup" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |sh AS (SELECT doc_id, $shinglesSql AS s FROM tks)
+        |SELECT doc_id, component FROM (
+        |  SELECT doc_id, doc_id AS component FROM tks
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id FROM sh
+        |  WHERE doc_id % 2 = 0 AND len(s) >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, doc_id FROM tks WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

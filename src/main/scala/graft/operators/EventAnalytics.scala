@@ -292,22 +292,46 @@ object EventAnalytics {
     * k = 2): for every unordered item pair {a < b}, the number of
     * baskets containing both, kept at `minSupport` baskets or more.
     *
-    * Shape: one (basket, item)-distinct aggregation, then a self
-    * equi-join on the basket — pair amplification is quadratic in
-    * BASKET size (physically bounded: a basket is a cart/order, tens
-    * of items), never in item or basket count — then a hash
-    * aggregation on the pair with map-side combine. The classic a-priori
-    * candidate generation; deterministic, no sampling.
+    * Shape: one (basket, item)-distinct aggregation, an Apriori
+    * FREQUENT-ITEM PRUNE (an item in a frequent pair is itself
+    * frequent, so items below `minSupport` baskets are semi-joined out
+    * of the basket lists BEFORE any pairing — on heavy-tailed session
+    * baskets the width² expansion would otherwise be paid mostly for
+    * items that can never survive), then a self equi-join on the
+    * basket — pair amplification is quadratic in PRUNED basket size —
+    * and a hash aggregation on the pair with map-side combine. The
+    * classic Apriori candidate generation; deterministic, no sampling.
     */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val bi = prunedBasketItems(df, basketCol, itemCol, minSupport)
+    pairCounts(bi).filter(col("n_baskets") >= minSupport)
+  }
+
+  /** Distinct (basket, item) pairs restricted to items appearing in at
+    * least `minSupport` baskets — the Apriori frequent-1-itemset prune
+    * shared by [[coOccurrence]] and [[frequentTriples]]. The frequent-
+    * item set is bounded by total-baskets / minSupport and broadcast
+    * into the semi-join, so the prune costs one map-side-combined item
+    * count and zero extra shuffles of the basket table.
+    */
+  private def prunedBasketItems(df: DataFrame, basketCol: String,
+                                itemCol: String, minSupport: Long): DataFrame = {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val freq = bi.groupBy("i").agg(count(lit(1)).as("_s"))
+      .filter(col("_s") >= minSupport).select("i")
+    bi.join(broadcast(freq), Seq("i"), "left_semi")
+  }
+
+  /** Unordered within-basket pair counts over an already-pruned
+    * (b, i) table.
+    */
+  private def pairCounts(bi: DataFrame): DataFrame =
     bi.select(col("b"), col("i").as("item1"))
       .join(bi.select(col("b"), col("i").as("item2")), "b")
       .filter(col("item1") < col("item2"))
       .groupBy("item1", "item2").agg(count(lit(1)).as("n_baskets"))
-      .filter(col("n_baskets") >= minSupport)
-  }
 
   /** Frequent item TRIPLES by the Apriori principle: every subset of a
     * frequent itemset is frequent, so candidate triples are built ONLY
@@ -316,19 +340,21 @@ object EventAnalytics {
     * k³ item cube. The market-basket step up from [[coOccurrence]]
     * (bundles of three; the next-item recommender's support table).
     *
-    * Shape at 100 TB: the distinct (basket, item) projection and the
-    * pair count reuse [[coOccurrence]]'s one-shuffle shape; the triple
-    * stage joins pair-occurrences against the basket item list
-    * restricted by TWO broadcast semi-joins on the (bounded, support-
-    * filtered) frequent-pair set before any counting — candidate
-    * volume is bounded by true frequent-pair co-occurrence, not by
-    * basket width cubed. Support is exact (distinct baskets).
+    * Shape at 100 TB: the distinct (basket, item) projection is
+    * frequent-item PRUNED first ([[prunedBasketItems]] — infrequent
+    * items never enter any pairing); the pair count reuses
+    * [[coOccurrence]]'s one-shuffle shape; the triple stage joins
+    * pair-occurrences against the pruned basket item list restricted by
+    * TWO broadcast semi-joins on the (bounded, support-filtered)
+    * frequent-pair set before any counting — candidate volume is
+    * bounded by true frequent-pair co-occurrence, not by basket width
+    * cubed. Support is exact (distinct baskets).
     */
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val pairs = coOccurrence(df, basketCol, itemCol, minSupport)
+    val bi = prunedBasketItems(df, basketCol, itemCol, minSupport)
+    val pairs = pairCounts(bi).filter(col("n_baskets") >= minSupport)
       .select("item1", "item2")
     // occurrences of frequent (a, b) pairs per basket
     val pairOcc = bi.select(col("b"), col("i").as("item1"))

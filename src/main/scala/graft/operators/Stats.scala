@@ -330,7 +330,8 @@ object Stats {
     * "drifted" slices are EXPECTED under the null; BH controls the
     * false-discovery rate instead. Appends `p_adj` (the BH-adjusted
     * p-value, monotone step-up) and `reject` (p_adj ≤ alpha) to every
-    * input row.
+    * input row; rows with a NULL p-value survive with NULL p_adj/reject
+    * (skipped test, not a decision) and do not count toward m.
     *
     * Tie-determinism: ranks use the COUNT of p-values ≤ p (the largest
     * index among ties), so equal p-values always share one adjusted
@@ -360,10 +361,14 @@ object Stats {
       .withColumn("p_adj",
         round(least(lit(1.0), min("_raw").over(fromTop)), 6))
       .select(col("_p"), col("p_adj"))
-    df.filter(col(pCol).isNotNull)
-      .join(broadcast(adj), col(pCol).cast("double") === col("_p"))
+    // NULL-p rows (a test that could not run) pass through with NULL
+    // p_adj/reject rather than vanishing — they carry no evidence but
+    // the caller must still see the row to know the test was skipped.
+    // m (the battery size) counts only non-null p, per standard BH.
+    df.join(broadcast(adj), col(pCol).cast("double") === col("_p"), "left")
       .drop("_p")
-      .withColumn("reject", col("p_adj") <= alpha)
+      .withColumn("reject",
+        when(col("p_adj").isNotNull, col("p_adj") <= alpha))
   }
 
   /** Mutual information between two categorical columns, with its
@@ -580,12 +585,18 @@ object Stats {
       .withColumn("_n2", sum("_c2").over(all).cast("decimal(38,0)"))
     val probes = spark.range(1, 100).select(col("id").as("p"))
     val unitsPerValue = math.pow(10, scale)
+    // an EMPTY cohort (typo'd group name) must yield NULL quantiles, not
+    // fabricated ones: with _n1 = 0 the probe condition degenerates to
+    // 0 >= 0 and min() would return the global minimum for every
+    // percentile — same guard class as ksTest's NULL d
     cdf.crossJoin(broadcast(probes))
       .groupBy("p")
       .agg(
-        (min(when(col("_cum1") * 100 >= col("_n1") * col("p"), col("_v")))
+        (min(when(col("_n1") > 0 &&
+            col("_cum1") * 100 >= col("_n1") * col("p"), col("_v")))
           .cast("double") / unitsPerValue).as("q1"),
-        (min(when(col("_cum2") * 100 >= col("_n2") * col("p"), col("_v")))
+        (min(when(col("_n2") > 0 &&
+            col("_cum2") * 100 >= col("_n2") * col("p"), col("_v")))
           .cast("double") / unitsPerValue).as("q2"))
       .withColumn("gap", round(col("q2") - col("q1"), 6))
   }
@@ -602,9 +613,11 @@ object Stats {
     * distinct-value table, one bounded aggregate. The rank sum
     * accumulates as the EXACT integer 2·R1 = Σ c1·(2·before + t + 1)
     * (midranks scaled by 2 stay integral; DECIMAL(38,0) — exact to
-    * ~10^18 rows), as does the tie term Σ(t³−t); u/z evaluate in double
-    * with one fixed operation order from those exact integers and round
-    * at 6 dp.
+    * ~10^18 rows), as does the tie term Σ(t³−t) — the cube bounds THAT
+    * term to ~4.6e12 tied rows per distinct value (t³ ≤ 10^38); beyond
+    * it the overflow is detected and reported, never silently wrong.
+    * u/z evaluate in double with one fixed operation order from those
+    * exact integers and round at 6 dp.
     */
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    g1: String, g2: String,
@@ -626,7 +639,14 @@ object Stats {
     val n1 = agg.getAs[Long]("n1"); val n2 = agg.getAs[Long]("n2")
     require(n1 > 0 && n2 > 0, s"mannWhitneyU: empty cohort ($g1: $n1, $g2: $n2)")
     val twoR1 = agg.getAs[java.math.BigDecimal]("_2r1")
-    val ties = agg.getAs[java.math.BigDecimal]("_ties")
+    // the tie cube t³−t overflows DECIMAL(38,0) → NULL (non-ANSI) once a
+    // single value has more than ~4.6e12 tied rows (t³ > 10^38); 2·R1
+    // itself stays exact to ~10^18 rows. Fail fast with the bound rather
+    // than NPE on ties.doubleValue
+    val ties = Option(agg.getAs[java.math.BigDecimal]("_ties")).getOrElse(
+      throw new IllegalArgumentException(
+        "mannWhitneyU: tie term t^3-t overflowed decimal(38,0) — some " +
+          "value has more than ~4.6e12 tied rows; bucket the values first"))
     val n = n1 + n2
     // 2·U1 = 2·R1 − n1(n1+1); exact integers until the final doubles
     val twoU1 = twoR1.subtract(java.math.BigDecimal.valueOf(n1)
@@ -782,12 +802,18 @@ object Stats {
     * right "is this metric drifting" screen for noisy dailies.
     *
     * Shape: a SERIES operator — the input is an already-aggregated
-    * metric (bounded by the observation window), so the O(n²/2) pair
-    * self-join and the median windows run over bounded tables by
-    * construction; never feed it raw rows. Medians use the repo's
-    * inverted-CDF convention (smallest value whose cumulative count
-    * reaches half) — always an observed value, no cross-engine
-    * midpoint-average float hazard.
+    * metric (bounded by the observation window). The O(n²/2) pair
+    * self-join is a nested-loop plan, so the series length is HARD
+    * capped (`maxN`, default 10 000 → ≤ 5·10⁷ pairs): feeding raw rows
+    * fails fast with an actionable message instead of silently
+    * attempting n²/2 slopes — the same misuse class [[welchT]] guards
+    * with its 1000-group require. Medians use the repo's inverted-CDF
+    * convention (smallest value whose cumulative count reaches half) —
+    * always an observed value, no cross-engine midpoint-average float
+    * hazard — computed DISTRIBUTED: the slope set range-partitions by
+    * value, per-partition counts come to the driver (one long per
+    * partition), and only the single partition containing the median is
+    * scanned; no global single-task window anywhere in the plan.
     *
     * Exactness: values canonicalize to exact integer units; each slope
     * is ONE double division of exact integers rounded at 6 dp; the
@@ -795,41 +821,81 @@ object Stats {
     * residuals are one fixed-order double expression rounded at 6 dp.
     */
   def theilSen(df: DataFrame, tCol: String, valueCol: String,
-               precision: Int = 9, scale: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+               precision: Int = 9, scale: Int = 2,
+               maxN: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
     val series = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(tCol).cast("long").as("_t"),
         LimbMoments.units(valueCol, precision, scale).as("_u"))
       .filter(col("_u").isNotNull)
+    val n = series.count()
+    require(n >= 2, s"theilSen needs at least 2 points, got $n")
+    require(n <= maxN,
+      s"theilSen: $n points > maxN=$maxN — this is a SERIES operator " +
+        "(the pair stage is O(n^2/2)); aggregate to a bounded series " +
+        "(e.g. daily metric) first, or raise maxN deliberately")
     val a = series.select(col("_t").as("_t1"), col("_u").as("_u1"))
     val b = series.select(col("_t").as("_t2"), col("_u").as("_u2"))
     val unitsPerValue = math.pow(10, scale)
     val slopes = a.join(b, col("_t2") > col("_t1"))
       .select(round(((col("_u2") - col("_u1")).cast("double") / unitsPerValue)
         / (col("_t2") - col("_t1")), 6).as("_s"))
-    def invCdfMedian(vals: DataFrame, c: String): DataFrame = {
-      val counts = vals.groupBy(col(c)).agg(count(lit(1)).as("_n"))
-      val cum = Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts
-        .withColumn("_cum", sum("_n").over(cum).cast("decimal(38,0)") * 2)
-        .withColumn("_tot",
-          sum("_n").over(Window.partitionBy()).cast("decimal(38,0)"))
-        .agg(min(when(col("_cum") >= col("_tot"), col(c))).as(c))
+    // Distributed inverted-CDF median: range-partition the distinct-value
+    // counts, bring ONE long per partition to the driver, locate the
+    // partition holding the half-mass boundary, and scan only it. The
+    // layout is localCheckpoint-pinned so the offset pass and the probe
+    // pass read the SAME range boundaries (RangePartitioner re-samples
+    // per execution otherwise — the q_domain_budget lesson).
+    def invCdfMedian(vals: DataFrame, c: String): Double = {
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val parted = vals.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .repartitionByRange(nPart, col(c))
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint(true)
+      try {
+        val totals = parted.groupBy("_pid").agg(sum("_n").as("_t")).collect()
+          .map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_t")))
+          .sortBy(_._1)
+        val tot = totals.map(_._2).sum
+        val offsets = totals.map(_._1)
+          .zip(totals.scanLeft(0L)(_ + _._2).init).toMap
+        // first partition whose cumulative mass reaches half: pids are
+        // value-ordered BY CONSTRUCTION of the range exchange
+        val pStar = totals.find { case (pid, t) =>
+          2L * (offsets(pid) + t) >= tot }.get._1
+        val base = offsets(pStar)
+        // narrow probe: sort WITHIN the one partition holding the
+        // boundary, fold a running count until half-mass — no window,
+        // no exchange, one task over ~1/nPart of the distinct values
+        parted.filter(col("_pid") === pStar)
+          .sortWithinPartitions(col(c))
+          .select(col(c).cast("double"), col("_n"))
+          .rdd.mapPartitions { it =>
+            var cum = base
+            var res: Option[Double] = None
+            while (it.hasNext && res.isEmpty) {
+              val r = it.next()
+              cum += r.getLong(1)
+              if (2L * cum >= tot) res = Some(r.getDouble(0))
+            }
+            res.iterator
+          }.collect().head
+      } finally Sampling.release(parted) // drop the checkpoint blocks
     }
-    val slopeRow = invCdfMedian(slopes.withColumnRenamed("_s", "slope"),
-      "slope")
-    val resid = series.crossJoin(broadcast(slopeRow))
+    val slope = invCdfMedian(slopes.withColumnRenamed("_s", "slope"), "slope")
+    val resid = series
       .select(round(col("_u").cast("double") / unitsPerValue -
-        col("slope") * col("_t"), 6).as("intercept"))
-    val interceptRow = invCdfMedian(resid, "intercept")
-    val nRow = series.agg(count(lit(1)).as("n"),
-      // Column./ on longs is DOUBLE division; the product is even, so
-      // the cast back to long is exact
-      (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("n_pairs"))
-    nRow.crossJoin(broadcast(slopeRow)).crossJoin(broadcast(interceptRow))
-      .select(col("n"), col("n_pairs"), col("slope"), col("intercept"))
+        lit(slope) * col("_t"), 6).as("intercept"))
+    val intercept = invCdfMedian(resid, "intercept")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(n, n * (n - 1) / 2, slope, intercept)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("slope", DoubleType, nullable = false),
+        StructField("intercept", DoubleType, nullable = false))))
   }
 
   /** Two-proportion z-test between cohorts `g1` and `g2` of a binary

@@ -453,6 +453,80 @@ class MultimodalSpec extends SparkSpecBase {
     assert(back.schema("payload").dataType.typeName == "binary")
     assert(new String(back.select("payload").collect()(0).getAs[Array[Byte]](0)) == "xyz")
   }
+
+  test("real pixel decode: perceptual hashes invariant under resize and re-encode") {
+    val docs = (1L to 8L).flatMap { d =>
+      val orig = Multimodal.syntheticImage(d)
+      Seq(
+        (d, orig),
+        (d + 100L, Multimodal.resizeImage(orig, 18, 16)), // cell-aligned resize
+        (d + 200L, Multimodal.syntheticImage(d, "bmp")),  // container re-encode
+        (d + 300L, Multimodal.syntheticImage(d, "gif")))  // palette re-encode
+    }
+    val out = Multimodal.decodeImage(docs.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    (1L to 8L).foreach { d =>
+      val (fmt, w, h, a0, d0) = out(d)
+      assert(fmt == "png" && w == 36 && h == 32)
+      assert(out(d + 100L)._2 == 18 && out(d + 100L)._3 == 16)
+      // dHash exactly preserved: the pattern is piecewise-constant on
+      // the 9-column dHash grid, so cell-aligned downsample and
+      // lossless re-encode cannot move a bit. aHash's 8-column grid
+      // does NOT align with the 9-column pattern cells, so resize only
+      // keeps it CLOSE (mean-threshold bits near the mean can flip) —
+      // the realistic property; re-encodes are pixel-identical, exact.
+      Seq(100L, 200L, 300L).foreach { off =>
+        assert(out(d + off)._5 == d0, s"dhash drift at doc $d +$off")
+      }
+      assert(java.lang.Long.bitCount(out(d + 100L)._4 ^ a0) <= 8,
+        s"ahash too far after resize at doc $d")
+      Seq(200L, 300L).foreach { off =>
+        assert(out(d + off)._4 == a0, s"ahash drift at doc $d +$off")
+      }
+      assert(out(d + 200L)._1 == "bmp" && out(d + 300L)._1 == "gif")
+    }
+    // unrelated images are FAR apart: independent doc seeds
+    val hams = for (x <- 1L to 8L; y <- 1L until x) yield
+      java.lang.Long.bitCount(out(x)._5 ^ out(y)._5)
+    assert(hams.forall(_ > 10), s"unrelated dHash too close: ${hams.min}")
+  }
+
+  test("header-parse and pixel-decode agree on dimensions") {
+    val docs = Seq((1L, Multimodal.syntheticImage(5L)),
+      (2L, Multimodal.syntheticImage(5L, "bmp")),
+      (3L, Multimodal.syntheticImage(5L, "gif")))
+    docs.foreach { case (_, bytes) =>
+      val hdr = graft.operators.ImageHeader.parse(bytes)
+      assert(hdr.isDefined)
+    }
+    val px = Multimodal.decodeImage(docs.toDF("doc_id", "payload")).collect()
+    px.foreach { r =>
+      val bytes = docs.find(_._1 == r.getLong(0)).get._2
+      val Some((fmt, w, h)) = graft.operators.ImageHeader.parse(bytes)
+      assert(r.getString(1) == fmt && r.getInt(2) == w && r.getInt(3) == h)
+    }
+  }
+
+  test("undecodable payloads yield NULL hashes, not task failures") {
+    val docs = Seq((1L, "definitely not an image".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, Multimodal.syntheticImage(9L).take(20))) // truncated PNG
+    val out = Multimodal.decodeImage(docs.toDF("doc_id", "payload")).collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.isNullAt(4) && r.isNullAt(5), s"doc ${r.getLong(0)}"))
+  }
+
+  test("image near-dup pairs: planted resized twins found, unrelated not") {
+    val docs = (1L to 10L).flatMap { d =>
+      val orig = Multimodal.syntheticImage(d)
+      Seq((d, orig), (d + 1000L, Multimodal.resizeImage(orig, 18, 16)))
+    }
+    val pairs = Dedup.hammingPairs(
+        Multimodal.imagePHash(docs.toDF("doc_id", "payload")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L to 10L).map(d => (d, d + 1000L)).toSet)
+  }
 }
 
 class StreamingSpec extends SparkSpecBase {
