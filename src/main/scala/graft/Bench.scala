@@ -69,8 +69,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // min-of-rounds published alongside the median: single runs on this
+    // shared host spike 10-25x in noisy-neighbor windows (NOTES r11), so
+    // a per-query median >> min flags noise, not a plan regression — the
+    // artifact self-documents which spikes to distrust
+    val mins = names.map { case (name, _) => name -> samples(name).min }
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val totalMin = mins.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$roundsDone}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"sf":"$sfDir","rounds":$roundsDone}"""
     println(json)
     // stdout tail-capture can clip the single long line (BENCH_r04/r05 lost
     // the first ~25 query timings) — persist the full map to a file too

@@ -103,6 +103,70 @@ object SparkEntry {
        |ORDER BY h, p_partkey""".stripMargin
   }
 
+  /** Mechanical unroll of the Skilling 3-D Hilbert transform
+    * ([[graft.functions.HilbertKey3]]) as DuckDB CTE levels: per bit
+    * level Q, three sequential invert/exchange sub-steps against axis
+    * 0, then Gray encode + the Q-fold correction + the transpose
+    * interleave — generated from the same constants as the kernel, so
+    * the oracle replays it value-exactly.
+    */
+  private def hilbert3Oracle(bits: Int): String = {
+    val n1 = (1L << bits) - 1
+    val keep = "p_partkey, p_size, p_price"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH s0 AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         |    CAST(floor(p_retailprice) AS BIGINT) AS p_price,
+         |    p_partkey & $n1 AS a, CAST(p_size AS BIGINT) & $n1 AS b,
+         |    CAST(floor(p_retailprice) AS BIGINT) & $n1 AS c FROM part)""".stripMargin)
+    var step = 0
+    for (lvl <- 0 until (bits - 1)) {
+      val q = 1L << (bits - 1 - lvl); val p = q - 1
+      step += 1
+      sb.append(
+        s""",\ns$step AS (SELECT $keep,
+           |  CASE WHEN (a & $q) != 0 THEN xor(a, $p) ELSE a END AS a,
+           |  b, c FROM s${step - 1})""".stripMargin)
+      step += 1
+      sb.append(
+        s""",\ns$step AS (SELECT $keep,
+           |  CASE WHEN (b & $q) != 0 THEN xor(a, $p)
+           |    ELSE xor(a, xor(a, b) & $p) END AS a,
+           |  CASE WHEN (b & $q) != 0 THEN b
+           |    ELSE xor(b, xor(a, b) & $p) END AS b,
+           |  c FROM s${step - 1})""".stripMargin)
+      step += 1
+      sb.append(
+        s""",\ns$step AS (SELECT $keep,
+           |  CASE WHEN (c & $q) != 0 THEN xor(a, $p)
+           |    ELSE xor(a, xor(a, c) & $p) END AS a,
+           |  b,
+           |  CASE WHEN (c & $q) != 0 THEN c
+           |    ELSE xor(c, xor(a, c) & $p) END AS c FROM s${step - 1})""".stripMargin)
+    }
+    val tTerms = (1 until bits).map { i =>
+      val q = 1L << i
+      s"CASE WHEN (g2 & $q) != 0 THEN ${q - 1} ELSE 0 END"
+    }
+    val tFold =
+      if (tTerms.size == 1) tTerms.head
+      else tTerms.reduce((x, y) => s"xor($x, $y)")
+    sb.append(
+      s""",\ngray AS (SELECT $keep, a AS g0, xor(b, a) AS g1,
+         |  xor(c, xor(b, a)) AS g2 FROM s$step),
+         |fin AS (SELECT $keep, xor(g0, t) AS f0, xor(g1, t) AS f1,
+         |  xor(g2, t) AS f2 FROM (SELECT *, $tFold AS t FROM gray))""".stripMargin)
+    val interleave = (0 until bits).flatMap { k =>
+      Seq(s"(((f0 >> $k) & 1) << ${3 * k + 2})",
+        s"(((f1 >> $k) & 1) << ${3 * k + 1})",
+        s"(((f2 >> $k) & 1) << ${3 * k})")
+    }.mkString(" + ")
+    sb.append(
+      s"""\nSELECT $keep, $interleave AS h FROM fin
+         |ORDER BY h, p_partkey""".stripMargin)
+    sb.toString
+  }
+
   /** Temp directories to delete at JVM exit, drained by ONE hook
     * registered lazily on first use (per-invocation hooks would
     * accumulate a thread per run in a long-lived session).
@@ -2073,6 +2137,17 @@ object SparkEntry {
           Layout.zOrderKey3(col("p_partkey"), col("p_size"),
             floor(col("p_retailprice"))).as("z"))
         .orderBy("z", "p_partkey")),
+
+    // ---- 3-D Hilbert key (Skilling transpose, codegen kernel): the
+    //      (time, x, y)-style layout key; oracle replays the transform
+    //      as mechanically-unrolled CTE levels ----
+    "q_hilbert3_key" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          floor(col("p_retailprice")).as("p_price"),
+          Layout.hilbertKey3(col("p_partkey"), col("p_size"),
+            floor(col("p_retailprice")), 10).as("h"))
+        .orderBy("h", "p_partkey")),
 
     // ---- BPE planted truth: the merge loop's output on a corpus whose
     //      merge sequence is hand-derivable (same class as q_planted_*) ----
@@ -4697,6 +4772,7 @@ object SparkEntry {
     // Hilbert truth: mechanically generated unrolled xy2d (see
     // hilbertOracle), bit-for-bit the Scala construction
     "q_hilbert_key" -> hilbertOracle(10),
+    "q_hilbert3_key" -> hilbert3Oracle(10),
 
     // BPE planted truth, hand-derived: word counts aa x3, ab x1 ->
     // merge 0 = (a,a); only ab pairs remain -> merge 1 = (a,b);

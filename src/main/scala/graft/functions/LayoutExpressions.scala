@@ -76,3 +76,86 @@ object HilbertKey2 {
       ColumnBridge.expression(x.cast("long")),
       ColumnBridge.expression(y.cast("long")), bits))
 }
+
+/** 3-D Hilbert index via Skilling's transpose construction (John
+  * Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+  * 2004 — the standard public N-dimensional algorithm): per-level
+  * invert/exchange against axis 0, Gray encode across axes, then
+  * bit-interleave the transposed axes into one index. Same
+  * codegen-kernel shape as [[HilbertKey2]] (the unrolled-expression
+  * alternative grows the analysis tree ~8^bits here — even worse than
+  * the 2-D case that hung the analyzer at bits = 10). Result in
+  * [0, 8^bits); `bits` ≤ 20 keeps it inside a non-negative Long.
+  */
+case class HilbertKey3(first: Expression, second: Expression,
+                       third: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(bits >= 1 && bits <= 20, "bits must be in [1, 20]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_key3 needs (bigint, bigint, bigint), got " +
+          children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  def compute(xIn: Long, yIn: Long, zIn: Long): Long = {
+    val n1 = (1L << bits) - 1
+    val xs = Array(xIn & n1, yIn & n1, zIn & n1)
+    val m = 1L << (bits - 1)
+    // inverse undo: invert (axis-0 reflect) or exchange with axis 0
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 3) {
+        if ((xs(i) & q) != 0L) xs(0) ^= p
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    xs(1) ^= xs(0); xs(2) ^= xs(1)
+    var t = 0L
+    q = m
+    while (q > 1) { if ((xs(2) & q) != 0L) t ^= q - 1; q >>= 1 }
+    xs(0) ^= t; xs(1) ^= t; xs(2) ^= t
+    // interleave the transpose: MSB-first across axes
+    var d = 0L
+    var k = bits - 1
+    while (k >= 0) {
+      d = (d << 1) | ((xs(0) >> k) & 1L)
+      d = (d << 1) | ((xs(1) >> k) & 1L)
+      d = (d << 1) | ((xs(2) >> k) & 1L)
+      k -= 1
+    }
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    java.lang.Long.valueOf(compute(a.asInstanceOf[Long],
+      b.asInstanceOf[Long], c.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("kernel", this, classOf[HilbertKey3].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+  }
+
+  override def prettyName: String = "hilbert_key3"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HilbertKey3 =
+    copy(first = f, second = s, third = t)
+}
+
+object HilbertKey3 {
+  def apply(x: Column, y: Column, z: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertKey3(
+      ColumnBridge.expression(x.cast("long")),
+      ColumnBridge.expression(y.cast("long")),
+      ColumnBridge.expression(z.cast("long")), bits))
+}

@@ -94,6 +94,20 @@ object Layout {
                      bits: Int, out: String = "h"): DataFrame =
     df.withColumn(out, hilbertKey(col(xCol), col(yCol), bits))
 
+  /** 3-D Hilbert index — [[hilbertKey]] for (time, x, y)-style scan
+    * workloads filtering three axes at once, where [[zOrderKey3]]'s
+    * Morton seams cost extra file reads. Skilling's transpose
+    * construction in a codegen kernel
+    * ([[graft.functions.HilbertKey3]]); key < 8^bits, non-negative.
+    */
+  def hilbertKey3(x: Column, y: Column, z: Column, bits: Int): Column =
+    graft.functions.HilbertKey3(x, y, z, bits)
+
+  /** [[hilbertKey3]] as a frame transform: append the key column. */
+  def withHilbertKey3(df: DataFrame, xCol: String, yCol: String,
+                      zCol: String, bits: Int, out: String = "h"): DataFrame =
+    df.withColumn(out, hilbertKey3(col(xCol), col(yCol), col(zCol), bits))
+
   /** Rewrite a table into files of roughly `targetBytes` each — the
     * small-files compaction every long-lived 100 TB table needs (file
     * counts grow with every incremental append; scans, listings, and

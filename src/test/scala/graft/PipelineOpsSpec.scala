@@ -76,6 +76,48 @@ class DedupSpec extends SparkSpecBase {
     Dedup.appendLshIndex(novel, "text", "doc_id", dir)
     assert(dedupWith(Dedup.loadLshIndex(spark, dir)) == viaAppend)
   }
+
+  test("appendLshIndex retry-idempotent; compactLshIndex equals fresh build") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about distributed query engines")
+    ).toDF("doc_id", "text")
+    val novel = Seq(
+      (10L, "spark catalyst optimizer rewrites logical plans into physical ones")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cmp").toString
+    Dedup.saveLshIndex(Dedup.buildLshIndex(corpus, "text", "doc_id"), dir)
+    Dedup.appendLshIndex(novel, "text", "doc_id", dir)
+    val nBands = spark.read.parquet(s"$dir/bands").count()
+    val nSh = spark.read.parquet(s"$dir/shingles").count()
+    // a RETRIED append of the same increment is anti-joined to nothing
+    Dedup.appendLshIndex(novel, "text", "doc_id", dir)
+    assert(spark.read.parquet(s"$dir/bands").count() == nBands)
+    assert(spark.read.parquet(s"$dir/shingles").count() == nSh)
+    // simulate legacy (pre-idempotency) double-append damage: duplicate
+    // every band/shingle row on disk, then compact
+    Seq("bands", "shingles").foreach { sub =>
+      val rows = spark.read.parquet(s"$dir/$sub")
+      val dup = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.collect().toSeq), rows.schema)
+      dup.write.mode("append").parquet(s"$dir/$sub")
+      assert(spark.read.parquet(s"$dir/$sub").count() == 2 * rows.count())
+    }
+    Dedup.compactLshIndex(spark, dir)
+    val fresh = Dedup.buildLshIndex(corpus.unionByName(novel), "text", "doc_id")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(rowSet(spark.read.parquet(s"$dir/bands")) == rowSet(fresh.bandIndex))
+    assert(spark.read.parquet(s"$dir/shingles").count() ==
+      fresh.shingles.count())
+    // and the compacted index still answers probes like the fresh one
+    val probe = Seq(
+      (20L, "spark catalyst optimizer rewrites logical plans into physical stages")
+    ).toDF("doc_id", "text")
+    val hit = Dedup.dedupAgainstIndex(probe, "text", "doc_id", 0.5,
+      Dedup.loadLshIndex(spark, dir)).collect()(0)
+    assert(hit.getLong(1) == 10L && !hit.getBoolean(3))
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {

@@ -642,6 +642,37 @@ class LayoutSpec extends SparkSpecBase {
     }.toSeq
     assert(spans.max <= 15, s"chunk spans: $spans")
   }
+
+  test("hilbertKey3 is a bijection whose consecutive cells are GRID NEIGHBORS") {
+    // bits=3: the full 8x8x8 cube — the same non-circular geometry gate
+    // as the 2-D kernel: bijective onto [0, 512) and every |Δd| = 1 step
+    // moves exactly one axis by exactly one cell
+    val pts = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    val keyed = graft.operators.Layout
+      .withHilbertKey3(pts.toDF("x", "y", "z"), "x", "y", "z", 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val byD = keyed.map { case (x, y, z, h) => h -> (x, y, z) }.toMap
+    assert(byD.size == 512 && byD.keySet == (0L until 512L).toSet)
+    (0L until 511L).foreach { d =>
+      val (x1, y1, z1) = byD(d); val (x2, y2, z2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"jump at d=$d: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // curve locality carries to chunking: 16^3 cube in 16 chunks of 256
+    // cells — each range-contiguous chunk spans a bounded sub-box
+    val big = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    val sorted = graft.operators.Layout
+      .withHilbertKey3(big.toDF("x", "y", "z"), "x", "y", "z", 4)
+      .orderBy("h").select("x", "y", "z")
+      .as[(Long, Long, Long)].collect().toSeq
+    val spans3 = sorted.grouped(256).map { c =>
+      Seq(c.map(_._1), c.map(_._2), c.map(_._3))
+        .map(v => v.max - v.min).max
+    }.toSeq
+    assert(spans3.max <= 7, s"3-D chunk spans: $spans3")
+  }
 }
 
 class ZOrderWriteSpec extends SparkSpecBase {
@@ -866,5 +897,26 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
         s"expected AQE to flag the skewed join partition:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("coOccurrence prunes infrequent items BEFORE the pair self-join (Apriori)") {
+    val baskets = spark.range(30000).select(($"id" % 1000).as("basket"),
+      concat(lit("i"), $"id" % 300).as("item"))
+    val df = graft.operators.EventAnalytics.coOccurrence(baskets, "basket", "item", 5)
+    val p = df.queryExecution.executedPlan.toString
+    // the frequent-item prune is a broadcast semi-join on the item and
+    // sits BELOW the basket-keyed pair join: every LeftSemi must appear
+    // after (deeper than) no pair join, i.e. the pair join's inputs
+    // contain the semi — structurally, the plan has both shapes and the
+    // first (outermost) join on the basket key is NOT the semi
+    assert(p.contains("LeftSemi"), s"expected frequent-item semi-join:\n$p")
+    val semiIdx = p.indexOf("LeftSemi")
+    val pairJoinIdx = p.indexOf("Join Inner") match {
+      case -1 => Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
+      case i => i
+    }
+    assert(pairJoinIdx >= 0 && semiIdx > pairJoinIdx,
+      s"expected the item prune nested under the pair join:\n$p")
   }
 }

@@ -366,6 +366,24 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(out.getAs[Double]("intercept") == 5.0)
   }
 
+  test("theilSen fails fast on misuse: n < 2 and oversize raw-row input") {
+    val one = Seq((1L, 5.0)).toDF("t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.theilSen(one, "t", "v")
+    }
+    assert(e1.getMessage.contains("at least 2"))
+    // a "raw table" mistake: above maxN the O(n^2/2) pair stage is
+    // refused with an actionable message instead of silently attempted
+    val big = spark.range(0, 50).selectExpr("id AS t", "CAST(id AS DOUBLE) AS v")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.theilSen(big, "t", "v", maxN = 40)
+    }
+    assert(e2.getMessage.contains("SERIES"))
+    // and raising maxN deliberately still works on the same input
+    assert(Stats.theilSen(big, "t", "v", maxN = 50)
+      .head().getAs[Double]("slope") == 1.0)
+  }
+
   test("propTest: equal rates give z=0; a clear gap gives the textbook z") {
     val same = (Seq.fill(50)(("a", 1)) ++ Seq.fill(50)(("a", 0)) ++
       Seq.fill(50)(("b", 1)) ++ Seq.fill(50)(("b", 0)))
@@ -410,6 +428,13 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(out(50L).getAs[Double]("q1") == 49.0)
     assert(out(1L).getAs[Double]("q1") == 0.0)
     assert(out(99L).getAs[Double]("q1") == 98.0)
+    // an EMPTY cohort (typo'd group) yields NULL quantiles, never the
+    // global minimum masquerading as every percentile
+    val empt = Stats.qqTable(df, "g", "v", "a", "nope").collect()
+    assert(empt.length == 99)
+    assert(empt.forall(r => r.isNullAt(r.fieldIndex("q2")) &&
+      r.isNullAt(r.fieldIndex("gap"))))
+    assert(empt.forall(r => !r.isNullAt(r.fieldIndex("q1"))))
   }
 
   test("mutualInfo: independence gives ~0 everywhere; a bijection gives NMI 1") {
@@ -453,6 +478,17 @@ class StatsOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("p_adj")).toMap
     assert(t2("x") == t2("y") && t2("x") == 0.015) // i = 2 for both ties
     assert(t2("z") == 0.5)
+    // NULL-p rows survive with NULL p_adj/reject and don't count in m:
+    // the two real p-values adjust exactly as a 2-test battery would
+    val withNull = Seq(("a", java.lang.Double.valueOf(0.01)),
+      ("b", java.lang.Double.valueOf(0.5)), ("skipped", null))
+      .toDF("k", "p")
+    val n3 = Stats.bhAdjust(withNull, "p", 0.05).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(n3.size == 3)
+    assert(n3("a").getAs[Double]("p_adj") == 0.02) // 0.01 * 2/1
+    assert(n3("skipped").isNullAt(n3("skipped").fieldIndex("p_adj")) &&
+      n3("skipped").isNullAt(n3("skipped").fieldIndex("reject")))
   }
 
   test("percentileRankBy ranks NULL-group rows within their own partition") {
