@@ -620,6 +620,26 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- audio near-dup via REAL PCM decode (RIFF/WAV chunk walk, no
+    //      codec): planted half-rate resampled twins. Segment-aligned
+    //      square-wave amplitudes make the 64-bit energy-envelope hash
+    //      EXACTLY resample-invariant (spec-proven), unrelated seeds
+    //      ~32/64 bits apart — the banded-Hamming join returns exactly
+    //      the planted pairs at Hamming 0 ----
+    "q_audio_neardup" -> ((s, dir) => {
+      val mk = udf((d: Long) => Multimodal.syntheticWav(d))
+      val mkTwin = udf((d: Long) =>
+        Multimodal.resampleWav(Multimodal.syntheticWav(d), 2))
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select("doc_id")
+      val clips = ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .unionByName(ids.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          mkTwin(col("doc_id")).as("payload")))
+      Dedup.hammingPairs(Multimodal.audioPHash(clips))
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id1", "id2")
+    }),
+
     // ---- joint image+text dedup: the pretraining-corpus curation shape.
     //      Docs carry BOTH a text and an image; near-dup pairs from text
     //      MinHash-LSH and image dHash UNION into one graph, connected
@@ -3345,6 +3365,14 @@ object SparkEntry {
       """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // planted truth: every selected doc pairs with its +10M resampled
+    // twin at envelope Hamming 0 (segment-aligned amplitudes,
+    // spec-proven exact); unrelated seeds sit ~32/64 bits apart
+    "q_audio_neardup" ->
+      """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 11 = 0 ORDER BY id1, id2""".stripMargin,
 
     // planted truth of the joint clusters: base docs are their own
     // component; +10M text twins attach when the drop-last-token twin

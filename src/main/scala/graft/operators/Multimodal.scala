@@ -263,6 +263,195 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // REAL audio decode — WAV/PCM is a self-describing container (RIFF
+  // chunk walk + raw little-endian samples), so pixel-grade decode
+  // needs no codec library here either. Compressed audio (mp3/aac)
+  // would need one and stays out of scope.
+  // -------------------------------------------------------------------
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("energy_hash", LongType, nullable = true)))
+
+  /** Decode PCM16 WAV payloads and compute a 64-bit ENERGY-ENVELOPE
+    * fingerprint — the audio analogue of the image dHash, feeding the
+    * same banded-Hamming machinery
+    * ([[graft.operators.Dedup.hammingPairs]]): the sample stream splits
+    * into 64 equal time segments, each segment's mean |amplitude| is
+    * compared against the global mean — bit = louder than average.
+    * Amplitude-relative and time-proportional, so the fingerprint
+    * survives resampling and volume scaling (the common re-encode
+    * transforms); undecodable or non-PCM16 payloads yield NULLs, never
+    * task failures.
+    */
+  def decodeAudio(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { ir =>
+        val id = ir.getLong(0)
+        parsePcm16(ir.getBinary(1)) match {
+          case Some((ch, rate, samples)) =>
+            Row(id, ch, rate, samples.length,
+              envelopeHash64(samples): java.lang.Long)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** (id, sig) projection of [[decodeAudio]] for
+    * [[graft.operators.Dedup.hammingPairs]].
+    */
+  def audioPHash(df: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    decodeAudio(df, idCol, payloadCol)
+      .select(col("doc_id").as("id"), col("energy_hash").as("sig"))
+
+  /** RIFF/WAVE chunk walk → (channels, sampleRate, interleaved PCM16
+    * samples). Same traversal as [[AudioHeader.parse]] plus the data
+    * payload; None for anything that is not canonical PCM16.
+    */
+  private[graft] def parsePcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    try {
+      if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      var rate = 0; var channels = 0; var bitsPer = 0; var fmtCode = 0
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          fmtCode = le16(i + 8)
+          channels = le16(i + 10)
+          rate = le32(i + 12).toInt
+          bitsPer = le16(i + 22)
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = math.min(size, (b.length - dataOff).toLong).toInt
+        }
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > b.length.toLong) i = b.length
+        else i = next.toInt
+      }
+      if (fmtCode != 1 || bitsPer != 16 || channels <= 0 || rate <= 0 ||
+        dataOff < 0) return None
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var k = 0
+      while (k < n) {
+        samples(k) = (u8(dataOff + 2 * k) | (b(dataOff + 2 * k + 1) << 8)).toShort
+        k += 1
+      }
+      Some((channels, rate, samples))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** 64-bit energy-envelope fingerprint: bit s = mean |amplitude| of
+    * time segment s strictly above the global mean of the 64 segment
+    * energies. Exact integer sums throughout (no float accumulation),
+    * and both sides of the compare scale linearly with volume and are
+    * invariant to sample rate when the content is time-aligned — the
+    * basis of the planted resample-twin gate.
+    */
+  private[operators] def envelopeHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n < 64) return 0L
+    val seg = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = i.toLong * 64 / n
+      seg(s.toInt) += math.abs(samples(i).toLong)
+      cnt(s.toInt) += 1
+      i += 1
+    }
+    // compare per-segment mean vs global mean in exact cross-multiplied
+    // integer form: seg(s)/cnt(s) > total/n  <=>  seg(s)*n > total*cnt(s)
+    var total = 0L
+    var s = 0
+    while (s < 64) { total += seg(s); s += 1 }
+    var bits = 0L
+    s = 0
+    while (s < 64) {
+      // cnt is n/64±1 so products stay far below Long overflow for any
+      // realistic clip (n < 2^40)
+      if (seg(s) * n > total * cnt(s)) bits |= (1L << s)
+      s += 1
+    }
+    bits
+  }
+
+  /** Deterministic synthetic WAV for planted-pair harnesses: 8 kHz
+    * PCM16 mono, 64 aligned time segments of amplitude 2 000 or 18 000
+    * from doc-seeded avalanche bits (alternating-sign square wave, so
+    * |amplitude| is exactly the segment level at ANY sample rate).
+    * Segment-aligned constancy makes [[envelopeHash64]] EXACTLY
+    * invariant under the integer-factor resample twin
+    * ([[resampleWav]]), while independent seeds give unrelated clips
+    * ~32/64 expected Hamming distance.
+    */
+  def syntheticWav(docId: Long, samplesPerSeg: Int = 50): Array[Byte] = {
+    val n = 64 * samplesPerSeg
+    val pcm = new Array[Short](n)
+    var s = 0
+    while (s < 64) {
+      var z = docId * 0x9E3779B97F4A7C15L + (s + 1) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val amp: Short = if (((z ^ (z >>> 31)) & 1L) == 0L) 2000 else 18000
+      var k = 0
+      while (k < samplesPerSeg) {
+        val i = s * samplesPerSeg + k
+        pcm(i) = if (i % 2 == 0) amp else (-amp).toShort
+        k += 1
+      }
+      s += 1
+    }
+    encodeWav(pcm, 8000)
+  }
+
+  /** Integer-factor decimation resample (every `factor`-th sample, rate
+    * divided accordingly) — the deterministic audio transform behind
+    * the planted twin gate; returns null when the payload is not
+    * decodable PCM16.
+    */
+  def resampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor must be >= 1")
+    parsePcm16(bytes) match {
+      case None => null
+      case Some((_, rate, samples)) =>
+        val out = Array.tabulate(samples.length / factor)(i => samples(i * factor))
+        encodeWav(out, rate / factor)
+    }
+  }
+
+  private def encodeWav(pcm: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = pcm.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(buf.putShort)
+    buf.array()
+  }
+
   /** STUB resize: deterministic target-box scaling metadata (a real
     * implementation would transform pixels; the fit math is real).
     */

@@ -569,6 +569,67 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (1L to 10L).map(d => (d, d + 1000L)).toSet)
   }
+
+  test("real PCM decode: envelope hash invariant under resample and volume") {
+    val docs = (1L to 8L).flatMap { d =>
+      val orig = Multimodal.syntheticWav(d)
+      // volume-halved re-encode: parse, scale samples, rebuild
+      val Some((_, rate, samples)) = Multimodal.parsePcm16(orig)
+      val half = {
+        val pcm = samples.map(s => (s / 2).toShort)
+        val buf = java.nio.ByteBuffer.allocate(44 + pcm.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length * 2)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(pcm.length * 2)
+        pcm.foreach(buf.putShort)
+        buf.array()
+      }
+      Seq((d, orig), (d + 100L, Multimodal.resampleWav(orig, 2)),
+        (d + 200L, Multimodal.resampleWav(orig, 4)), (d + 300L, half))
+    }
+    val out = Multimodal.decodeAudio(docs.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    (1L to 8L).foreach { d =>
+      val (ch, rate, n, h) = out(d)
+      assert(ch == 1 && rate == 8000 && n == 3200)
+      assert(out(d + 100L)._2 == 4000 && out(d + 100L)._3 == 1600)
+      Seq(100L, 200L, 300L).foreach { off =>
+        assert(out(d + off)._4 == h, s"envelope drift at doc $d +$off")
+      }
+    }
+    val hams = for (x <- 1L to 8L; y <- 1L until x) yield
+      java.lang.Long.bitCount(out(x)._4 ^ out(y)._4)
+    assert(hams.forall(_ > 10), s"unrelated envelopes too close: ${hams.min}")
+  }
+
+  test("audio header-parse and PCM decode agree; junk bytes yield NULLs") {
+    val wav = Multimodal.syntheticWav(3L)
+    val Some(("wav", ch, rate, ms)) = graft.operators.AudioHeader.parse(wav)
+    val row = Multimodal.decodeAudio(Seq((1L, wav)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(row.getInt(1) == ch && row.getInt(2) == rate)
+    assert(ms == row.getInt(3).toLong * 1000 / rate)
+    val junk = Multimodal.decodeAudio(Seq(
+      (1L, "not audio at all".getBytes("UTF-8")),
+      (2L, wav.take(30))).toDF("doc_id", "payload")).collect()
+    junk.foreach(r => assert(r.isNullAt(4), s"doc ${r.getLong(0)}"))
+  }
+
+  test("audio near-dup pairs: planted resampled twins found, unrelated not") {
+    val docs = (1L to 10L).flatMap { d =>
+      val orig = Multimodal.syntheticWav(d)
+      Seq((d, orig), (d + 1000L, Multimodal.resampleWav(orig, 2)))
+    }
+    val pairs = Dedup.hammingPairs(
+        Multimodal.audioPHash(docs.toDF("doc_id", "payload")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L to 10L).map(d => (d, d + 1000L)).toSet)
+  }
 }
 
 class StreamingSpec extends SparkSpecBase {
