@@ -620,6 +620,31 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- image near-dup with PIXEL verification: the corpus-scale
+    //      two-stage shape (banded dHash candidates -> exact-grid
+    //      verify). Planted per doc: a true resized twin (+10M) AND a
+    //      DESIGNED dHash collision (+20M, every cell +40 — gradient
+    //      directions unchanged, so both perceptual hashes match while
+    //      pixels differ by exactly 40). The hash stage surfaces all
+    //      three pairs at Hamming 0; the pixel stage keeps only the
+    //      true twin — which the oracle states in closed form ----
+    "q_image_verified_dedup" -> ((s, dir) => {
+      val mk = udf((d: Long) => Multimodal.syntheticImage(d))
+      val mkTwin = udf((d: Long) =>
+        Multimodal.resizeImage(Multimodal.syntheticImage(d), 18, 16))
+      val mkDecoy = udf((d: Long) => Multimodal.syntheticImageShifted(d, 40))
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+        .select("doc_id")
+      val imgs = ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .unionByName(ids.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          mkTwin(col("doc_id")).as("payload")))
+        .unionByName(ids.select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          mkDecoy(col("doc_id")).as("payload")))
+      val cand = Dedup.hammingPairs(Multimodal.imagePHash(imgs))
+      Multimodal.verifyImagePairs(cand, imgs, maxMeanAbsDiff = 10.0)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- audio near-dup via REAL PCM decode (RIFF/WAV chunk walk, no
     //      codec): planted half-rate resampled twins. Segment-aligned
     //      square-wave amplitudes make the 64-bit energy-envelope hash
@@ -2631,6 +2656,13 @@ object SparkEntry {
       Stats.propTest(Tables.events(s, dir), "event_type",
         col("value") > 75, "click", "purchase")),
 
+    // ---- Spearman rank correlation (tie-aware midranks, exact integer
+    //      sums): both columns carry heavy ties, so the 2x-midrank
+    //      arithmetic is fully exercised; windows run over bounded
+    //      distinct-value tables ----
+    "q_spearman" -> ((s, dir) =>
+      Stats.spearman(Tables.events(s, dir), "value", "user_id")),
+
     // ---- JL random projection 64 -> 8 dims: seeded LCG sign grid
     //      (no stored model), exact decimal lane sums ----
     "q_rand_project" -> ((s, dir) =>
@@ -3365,6 +3397,14 @@ object SparkEntry {
       """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // planted truth: of the three Hamming-0 candidate pairs per doc,
+    // only the true resized twin survives pixel verification (exact
+    // grid distance 0; the +40 decoy sits at exactly 40)
+    "q_image_verified_dedup" ->
+      """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
+        |  CAST(0.0 AS DOUBLE) AS mean_abs_diff
+        |FROM documents WHERE doc_id % 13 = 0 ORDER BY id1, id2""".stripMargin,
 
     // planted truth: every selected doc pairs with its +10M resampled
     // twin at envelope Hamming 0 (segment-aligned amplitudes,
@@ -5607,6 +5647,29 @@ object SparkEntry {
     // Mann-Whitney truth: exact 2x-scaled midrank sums and tie cubes
     // from the same distinct-value prefix counts, identical fixed-order
     // double u/z arithmetic
+    "q_spearman" ->
+      """WITH r AS (SELECT CAST(value AS DECIMAL(9,2)) AS a,
+        |    CAST(user_id AS DECIMAL(9,2)) AS b FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |ca AS (SELECT a, COUNT(*) AS cnt FROM r GROUP BY a),
+        |ra AS (SELECT a,
+        |    2 * (SUM(cnt) OVER (ORDER BY a) - cnt) + cnt + 1 AS rx FROM ca),
+        |cb AS (SELECT b, COUNT(*) AS cnt FROM r GROUP BY b),
+        |rb AS (SELECT b,
+        |    2 * (SUM(cnt) OVER (ORDER BY b) - cnt) + cnt + 1 AS ry FROM cb),
+        |j AS (SELECT rx, ry FROM r JOIN ra USING (a) JOIN rb USING (b)),
+        |s AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS rho
+        |FROM s""".stripMargin,
+
     "q_mann_whitney" ->
       """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,

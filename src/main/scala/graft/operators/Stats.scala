@@ -898,6 +898,70 @@ object Stats {
         StructField("intercept", DoubleType, nullable = false))))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association screen ([[corrMatrix]]'s Pearson sees only
+    * LINEAR association and one outlier can saturate it; Spearman on
+    * midranks has the same robustness as [[mannWhitneyU]]). Returns one
+    * row (n, rho) with tie-aware midranks; NULL rho when either column
+    * is constant (zero rank variance).
+    *
+    * Shape: one grouped count per column's DISTINCT canonical values,
+    * a cumulative window over each bounded distinct-value table (the
+    * [[ksTest]] convention — never a window over raw rows), two
+    * equi-joins attaching the 2×-scaled integral midranks back, and
+    * ONE aggregation of five exact DECIMAL(38,0) sums. 2·midrank =
+    * 2·(#less) + #equal + 1 stays integral, so ΣxΣy/Σx²/Σxy are exact
+    * to ~10^12 rows (4n³ ≤ 10^38); rho is one fixed-order double
+    * expression from those exact integers, rounded at 6 dp.
+    */
+  def spearman(df: DataFrame, aCol: String, bCol: String,
+               precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .select(LimbMoments.units(aCol, precision, scale).as("_a"),
+        LimbMoments.units(bCol, precision, scale).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+    def ranks(c: String, out: String): DataFrame = {
+      val counts = rows.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      val cum = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("_less", sum("_n").over(cum) - col("_n"))
+        .select(col(c), (col("_less") * 2 + col("_n") + 1).as(out))
+    }
+    val dec = "decimal(38,0)"
+    val agg = rows
+      .join(ranks("_a", "_rx"), "_a")
+      .join(ranks("_b", "_ry"), "_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rx").cast(dec)).as("_sx"),
+        sum(col("_ry").cast(dec)).as("_sy"),
+        sum(col("_rx").cast(dec) * col("_rx")).as("_sxx"),
+        sum(col("_ry").cast(dec) * col("_ry")).as("_syy"),
+        sum(col("_rx").cast(dec) * col("_ry")).as("_sxy"))
+      .head()
+    val n = agg.getAs[Long]("n")
+    require(n >= 2, s"spearman needs at least 2 complete rows, got $n")
+    def bd(f: String): java.math.BigDecimal =
+      agg.getAs[java.math.BigDecimal](f)
+    val nB = java.math.BigDecimal.valueOf(n)
+    val num = nB.multiply(bd("_sxy")).subtract(bd("_sx").multiply(bd("_sy")))
+    val d1 = nB.multiply(bd("_sxx")).subtract(bd("_sx").multiply(bd("_sx")))
+    val d2 = nB.multiply(bd("_syy")).subtract(bd("_sy").multiply(bd("_sy")))
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val rho: java.lang.Double =
+      if (d1.signum <= 0 || d2.signum <= 0) null
+      else r6(num.doubleValue /
+        (math.sqrt(d1.doubleValue) * math.sqrt(d2.doubleValue)))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n, rho)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("rho", DoubleType, nullable = true))))
+  }
+
   /** Two-proportion z-test between cohorts `g1` and `g2` of a binary
     * outcome: the conversion-rate / quality-gate significance check
     * (is cohort A's success rate really higher, or noise). Returns one

@@ -570,6 +570,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs == (1L to 10L).map(d => (d, d + 1000L)).toSet)
   }
 
+  test("pixel verify separates true twins from designed dHash collisions") {
+    val d = 42L
+    val orig = Multimodal.syntheticImage(d)
+    val twin = Multimodal.resizeImage(orig, 18, 16)
+    val decoy = Multimodal.syntheticImageShifted(d, 40)
+    val imgs = Seq((1L, orig), (2L, twin), (3L, decoy)).toDF("doc_id", "payload")
+    // the decoy is a REAL collision: both perceptual hashes identical
+    val hashes = Multimodal.decodeImage(imgs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(hashes(1L) == hashes(3L), "decoy must collide in aHash AND dHash")
+    val cand = Dedup.hammingPairs(Multimodal.imagePHash(imgs))
+    assert(cand.count() == 3) // all three pairs at Hamming 0
+    val verified = Multimodal.verifyImagePairs(cand, imgs, 10.0).collect()
+    assert(verified.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(verified(0).getDouble(2) == 0.0)
+    // the decoy pairs sit at exactly the planted +40 distance
+    val all = Multimodal.verifyImagePairs(cand, imgs, 1000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all((1L, 3L)) == 40.0 && all((2L, 3L)) == 40.0)
+    // an undecodable side drops the pair, never crashes the stage
+    val broken = Seq((1L, orig), (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val pair = Seq((1L, 2L)).toDF("id1", "id2")
+    assert(Multimodal.verifyImagePairs(pair, broken, 1000.0).count() == 0)
+  }
+
   test("real PCM decode: envelope hash invariant under resample and volume") {
     val docs = (1L to 8L).flatMap { d =>
       val orig = Multimodal.syntheticWav(d)

@@ -384,6 +384,27 @@ class StatsOpsSpec extends SparkSpecBase {
       .head().getAs[Double]("slope") == 1.0)
   }
 
+  test("spearman: monotone nonlinearity gives rho 1; ties and constants handled") {
+    // y = x^3 is perfectly monotone: Spearman 1.0 where Pearson < 1
+    val cube = Seq.tabulate(20)(i => (i.toDouble, math.pow(i, 3)))
+      .toDF("a", "b")
+    assert(Stats.spearman(cube, "a", "b", scale = 0).head()
+      .getAs[Double]("rho") == 1.0)
+    // anti-monotone: exactly -1
+    val neg = Seq.tabulate(20)(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(Stats.spearman(neg, "a", "b").head().getAs[Double]("rho") == -1.0)
+    // hand-derived tie case: a=(1,2,2,3), b=(1,2,3,3); midranks
+    // a: 1, 2.5, 2.5, 4 and b: 1, 2, 3.5, 3.5 -> Pearson of ranks =
+    // 3.75 / 4.5 = 0.833333
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 3.0)).toDF("a", "b")
+    assert(math.abs(Stats.spearman(tied, "a", "b").head()
+      .getAs[Double]("rho") - 0.833333) < 1e-6)
+    // a constant column has zero rank variance -> NULL rho, not NaN
+    val const = Seq.tabulate(5)(i => (i.toDouble, 7.0)).toDF("a", "b")
+    val r = Stats.spearman(const, "a", "b").head()
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
   test("propTest: equal rates give z=0; a clear gap gives the textbook z") {
     val same = (Seq.fill(50)(("a", 1)) ++ Seq.fill(50)(("a", 0)) ++
       Seq.fill(50)(("b", 1)) ++ Seq.fill(50)(("b", 0)))
