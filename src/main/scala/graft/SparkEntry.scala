@@ -2723,6 +2723,17 @@ object SparkEntry {
           Seq("o_orderpriority", "ym"), "o_orderstatus", 3)
         .orderBy("o_orderpriority", "ym")),
 
+    // ---- t-closeness audit: quasi groups whose sensitive distribution
+    //      sits > t total-variation from the global one (diverse-but-
+    //      skewed leakage that l-diversity misses); absent-value mass
+    //      added analytically, exact cross-multiplied integer terms ----
+    "q_t_closeness" -> ((s, dir) =>
+      Privacy.tCloseness(
+          t(s, dir, "orders").withColumn("ym",
+            year(col("o_orderdate")) * 100 + month(col("o_orderdate"))),
+          Seq("o_orderpriority", "ym"), "o_orderstatus", 0.2)
+        .orderBy("o_orderpriority", "ym")),
+
     // ---- key-skew profile of the event user distribution: top-20
     //      heavy keys + decimal-summed Shannon entropy; every stage
     //      after the first runs on the key-count table ----
@@ -5945,6 +5956,41 @@ object SparkEntry {
         |SELECT g.o_orderpriority, g.ym, g.n, g.diversity,
         |  s.n_groups, s.n_violating, s.rows_at_risk, s.min_diversity
         |FROM g, s WHERE g.diversity < 3
+        |ORDER BY o_orderpriority, ym""".stripMargin,
+
+    // t-closeness truth: same pair/group/value tables; per-value terms
+    // cross-multiplied in HUGEINT (exact), absent-value mass added as
+    // n_g * (N - sum of present value totals), ONE double division
+    "q_t_closeness" ->
+      """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS VARCHAR) AS ym,
+        |    CAST(o_orderstatus AS VARCHAR) AS s
+        |  FROM orders WHERE o_orderstatus IS NOT NULL),
+        |pairs AS (SELECT o_orderpriority, ym, s, COUNT(*) AS cgv
+        |  FROM base GROUP BY 1, 2, 3),
+        |gt AS (SELECT o_orderpriority, ym, SUM(cgv) AS n FROM pairs GROUP BY 1, 2),
+        |vt AS (SELECT s, SUM(cgv) AS cv FROM pairs GROUP BY 1),
+        |tot AS (SELECT SUM(cgv) AS nn FROM pairs),
+        |g AS (SELECT p.o_orderpriority, p.ym, MAX(gt.n) AS n, MAX(tot.nn) AS nn,
+        |    SUM(ABS(CAST(p.cgv AS HUGEINT) * tot.nn
+        |      - CAST(vt.cv AS HUGEINT) * gt.n)) AS sumabs,
+        |    SUM(CAST(vt.cv AS HUGEINT)) AS sumcv
+        |  FROM pairs p JOIN vt USING (s)
+        |    JOIN gt USING (o_orderpriority, ym) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT o_orderpriority, ym, CAST(n AS BIGINT) AS n,
+        |    round(CAST(sumabs + CAST(n AS HUGEINT) * (nn - sumcv) AS DOUBLE)
+        |      / (2.0 * n * nn), 6) AS tvd
+        |  FROM g),
+        |sm AS (SELECT count(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(CASE WHEN tvd > 0.2 THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    max(tvd) AS max_tvd FROM sc)
+        |SELECT sc.o_orderpriority, sc.ym, sc.n, sc.tvd,
+        |  sm.n_groups, sm.n_violating, sm.rows_at_risk, sm.max_tvd
+        |FROM sc, sm WHERE sc.tvd > 0.2
         |ORDER BY o_orderpriority, ym""".stripMargin,
 
     // key-skew truth: same count table, rounded entropy contributions

@@ -187,4 +187,18 @@ object Layout {
       .sortWithinPartitions("_h")
       .drop("_h")
   }
+
+  /** [[hilbertLayout]] over three axes ([[hilbertKey3]]) — the
+    * (time, x, y)-style clustering write: each range-contiguous chunk
+    * of the 3-D curve covers a bounded sub-box, so per-file min/max
+    * footers prune on ALL three filter columns.
+    */
+  def hilbertLayout3(df: DataFrame, c1: String, c2: String, c3: String,
+                     bits: Int, nFiles: Int): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.withColumn("_h", hilbertKey3(col(c1), col(c2), col(c3), bits))
+      .repartitionByRange(nFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+  }
 }

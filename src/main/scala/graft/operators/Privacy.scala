@@ -99,4 +99,65 @@ object Privacy {
     groups.filter(col("diversity") < l)
       .crossJoin(broadcast(summary))
   }
+
+  /** t-closeness audit (categorical sensitive column): one row per
+    * quasi-identifier group whose sensitive-value distribution sits
+    * MORE than `t` total-variation distance from the global
+    * distribution — the gate after [[lDiversity]] (a group can be
+    * diverse yet skewed: 90% one diagnosis where the population has
+    * 10% still leaks), with the global summary on every row.
+    *
+    * TVD(g) = ½ Σ_v |p_g(v) − p(v)|, with the mass of values ABSENT
+    * from the group added analytically (Σ_{v∉g} p(v) =
+    * 1 − Σ_{v∈g} p(v) — the [[graft.operators.Stats.mutualInfo]]
+    * absent-cell policy; enumerating every (group, value) cell would
+    * square the cell table for nothing).
+    *
+    * Exactness: every per-value term is the exact integer
+    * |c_gv·n − c_v·n_g| (cross-multiplied — no per-term division),
+    * summed in DECIMAL(38,0); ONE double division per group at the
+    * end, rounded at 6 dp. NULL sensitive values are excluded from
+    * the distributions ([[lDiversity]]'s convention: a NULL reveals
+    * nothing).
+    *
+    * Shape: one (quasi, sensitive) pair count (map-side combined),
+    * then every stage runs on the pair/group tables — bounded by
+    * quasi×sensitive cardinality, never row count; the value and
+    * grand totals attach by broadcast.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    require(t > 0 && t < 1, "t must be in (0, 1)")
+    val qCols = quasiCols.map(col)
+    val pairs = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(quasi(df, quasiCols) :+
+        col(sensitiveCol).cast("string").as("_s"): _*)
+      .agg(count(lit(1)).as("_cgv"))
+    val groupTot = pairs.groupBy(qCols: _*).agg(sum("_cgv").as("n"))
+    val valTot = pairs.groupBy("_s").agg(sum("_cgv").as("_cv"))
+    val tot = pairs.agg(sum("_cgv").as("_nn"))
+    val dec = "decimal(38,0)"
+    val groups = pairs
+      .join(broadcast(valTot), "_s")
+      .join(groupTot, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qCols: _*)
+      .agg(max("n").as("n"), max("_nn").as("_nn"),
+        sum(abs(col("_cgv").cast(dec) * col("_nn") -
+          col("_cv").cast(dec) * col("n"))).as("_sumabs"),
+        sum(col("_cv").cast(dec)).as("_sumcv"))
+      .withColumn("tvd", round(
+        (col("_sumabs") + col("n").cast(dec) * (col("_nn") - col("_sumcv")))
+          .cast("double") /
+          (lit(2.0) * col("n") * col("_nn")), 6))
+      .select(qCols :+ col("n") :+ col("tvd"): _*)
+    val summary = groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("tvd") > t, 1L).otherwise(0L)).as("n_violating"),
+      sum(when(col("tvd") > t, col("n")).otherwise(0L)).as("rows_at_risk"),
+      max("tvd").as("max_tvd"))
+    groups.filter(col("tvd") > t)
+      .crossJoin(broadcast(summary))
+  }
 }

@@ -69,4 +69,28 @@ class PrivacySpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("rows_at_risk") == 2L)
     assert(out.head.getAs[Long]("min_diversity") == 1L)
   }
+
+  test("tCloseness: hand-derived TVD incl. absent-value mass; NULLs excluded") {
+    // group a: 10 x (lacks y entirely — absent mass path);
+    // group b: 10 x + 10 y. Global: 20 x, 10 y -> p = (2/3, 1/3).
+    // TVD(a) = (|1 - 2/3| + |0 - 1/3|) / 2 = 1/3
+    // TVD(b) = (|1/2 - 2/3| + |1/2 - 1/3|) / 2 = 1/6
+    val rows = Seq.fill(10)(("a", "x")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")) ++
+      Seq(("a", null: String)) // NULL sensitive: excluded from both sides
+    val out = Privacy.tCloseness(rows.toDF("q", "s"), Seq("q"), "s", 0.3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a")
+    assert(r.getAs[Long]("n") == 10L) // the null row does not count
+    assert(r.getAs[Double]("tvd") == 0.333333)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_violating") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 10L)
+    assert(r.getAs[Double]("max_tvd") == 0.333333)
+    // at a loose threshold nothing violates, so the audit is empty
+    assert(Privacy.tCloseness(rows.toDF("q", "s"), Seq("q"), "s", 0.5)
+      .count() == 0)
+  }
 }

@@ -35,6 +35,52 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(batch == rows)
     } finally q.stop()
   }
+
+  test("streamingCorpusIngest: classify vs index, novel docs fold in, replays don't double-append") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sci").toString
+    val idxPath = s"$dir/index"; val decPath = s"$dir/decisions"
+    // seed corpus -> saved index
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about distributed query engines")
+    ).toDF("doc_id", "text")
+    Dedup.saveLshIndex(Dedup.buildLshIndex(corpus, "text", "doc_id"), idxPath)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupOps.streamingCorpusIngest(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", 0.5,
+        idxPath, decPath)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: one novel doc, one near-dup of corpus doc 1
+      mem.addData(
+        (10L, "spark catalyst optimizer rewrites logical plans into physical ones"),
+        (11L, "the quick brown fox jumps over the lazy dog again and again"))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch-1's NOVEL doc (proves the index grew)
+      // plus a replay of doc 10 itself (retry shape)
+      mem.addData(
+        (20L, "spark catalyst optimizer rewrites logical plans into physical stages"),
+        (10L, "spark catalyst optimizer rewrites logical plans into physical ones"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(decPath)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch_id"), r.getAs[Long]("new_id")) ->
+        (Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue),
+          r.getAs[Boolean]("is_novel"))).toMap
+    assert(dec((0L, 10L)) == (None, true))
+    assert(dec((0L, 11L)) == (Some(1L), false))
+    assert(dec((1L, 20L)) == (Some(10L), false)) // matched the GROWN index
+    assert(dec((1L, 10L)) == (Some(10L), false)) // replay: dup of itself
+    // index state: exactly {1, 2, 10}, one shingle row each — the
+    // replayed 10 was anti-joined out, 11/20 never entered
+    val ids = spark.read.parquet(s"$idxPath/shingles")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids == Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
+  }
 }
 
 class StreamingCompactLatestSpec extends SparkSpecBase {
