@@ -2651,6 +2651,18 @@ object SparkEntry {
       Stats.theilSen(daily, "t", "v")
     }),
 
+    // ---- classical additive seasonal decomposition of the daily event
+    //      series (weekly period): centered moving-average trend,
+    //      re-centered slot means, residual — all windows over the
+    //      bounded series table ----
+    "q_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.decomposeSeasonal(daily, "t", "v", 7).orderBy("t")
+    }),
+
     // ---- two-proportion z-test: click vs purchase high-value rate ----
     "q_prop_test" -> ((s, dir) =>
       Stats.propTest(Tables.events(s, dir), "event_type",
@@ -5658,6 +5670,38 @@ object SparkEntry {
     // Mann-Whitney truth: exact 2x-scaled midrank sums and tie cubes
     // from the same distinct-value prefix counts, identical fixed-order
     // double u/z arithmetic
+    // decomposition truth: identical window frames and one fixed
+    // operation order per column — trend is wsum/700.0 (integer-unit
+    // window sum), slot means are decimal sums of rounded terms
+    "q_decompose" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |u AS (SELECT t, v,
+        |    CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS uu FROM daily),
+        |w AS (SELECT t, v,
+        |    SUM(uu) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS wsum,
+        |    COUNT(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS wcnt
+        |  FROM u),
+        |tr AS (SELECT t, v, t % 7 AS slot,
+        |    CASE WHEN wcnt = 7
+        |      THEN round(CAST(wsum AS DOUBLE) / 700.0, 6) END AS trend
+        |  FROM w),
+        |det AS (SELECT *, CAST(round(v - trend, 6) AS DECIMAL(18,6)) AS dt
+        |  FROM tr),
+        |sl AS (SELECT slot, round(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 6)
+        |    AS smean
+        |  FROM det WHERE trend IS NOT NULL GROUP BY 1),
+        |c AS (SELECT round(CAST(SUM(CAST(smean AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS cc FROM sl)
+        |SELECT t, v AS value, trend, round(smean - cc, 6) AS seasonal,
+        |  CASE WHEN trend IS NOT NULL
+        |    THEN round(v - trend - round(smean - cc, 6), 6) END AS resid
+        |FROM det LEFT JOIN sl USING (slot) CROSS JOIN c ORDER BY t""".stripMargin,
+
     "q_spearman" ->
       """WITH r AS (SELECT CAST(value AS DECIMAL(9,2)) AS a,
         |    CAST(user_id AS DECIMAL(9,2)) AS b FROM events

@@ -1072,4 +1072,70 @@ object Stats {
         col("s_minus").cast("double").as("s_minus"),
         (col("s_plus") > hDec || col("s_minus") > hDec).as("flag"))
   }
+
+  /** Classical additive seasonal decomposition of a regular series
+    * (moving-average flavor): trend = centered `period`-point moving
+    * average (odd period; defined only where the full window exists —
+    * edge rows carry NULL trend/seasonal/resid rather than a
+    * half-window fabrication), seasonal = per-slot mean of the
+    * detrended values re-centered to sum to zero across slots, resid =
+    * v − trend − seasonal. The "is the weekly shape itself changing"
+    * lens that [[acf]]'s single correlation number compresses away;
+    * run [[cusum]] on the resid column for deseasonalized drift.
+    *
+    * Exactness: values canonicalize to integer units; the trend is ONE
+    * double division of an exact windowed integer sum, rounded 6 dp;
+    * slot means are exact decimal sums of those rounded terms divided
+    * once and rounded; the final subtraction is one fixed-order double
+    * expression rounded 6 dp — replayable bit-for-bit by the oracle.
+    *
+    * Shape: a SERIES operator — every window runs over the bounded
+    * (t-keyed) series table, the slot table is `period` rows and
+    * broadcasts back.
+    */
+  def decomposeSeasonal(df: DataFrame, tCol: String, valueCol: String,
+                        period: Int,
+                        precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period >= 3 && period % 2 == 1,
+      "decomposeSeasonal needs an odd period >= 3 (centered window)")
+    val half = period / 2
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val unitsPerValue = math.pow(10, scale)
+    val win = Window.orderBy("t").rowsBetween(-half, half)
+    val trended = series
+      .withColumn("value", col("_u").cast("double") / unitsPerValue)
+      // row-frame window: defined iff the full period surrounds t — the
+      // series is REGULAR by contract (one row per t step), so count ==
+      // period detects edges exactly
+      .withColumn("_wsum", sum("_u").over(win))
+      .withColumn("_wcnt", count(lit(1)).over(win))
+      .withColumn("trend",
+        when(col("_wcnt") === period,
+          round(col("_wsum").cast("double") / (unitsPerValue * period), 6)))
+      .withColumn("_slot", pmod(col("t"), lit(period.toLong)))
+      .withColumn("_det",
+        round(col("value") - col("trend"), 6).cast("decimal(18,6)"))
+    val slots = trended.filter(col("trend").isNotNull)
+      .groupBy("_slot")
+      .agg(round(sum("_det").cast("double") / count(lit(1)), 6).as("_smean"))
+    val center = slots.agg(
+      round(sum(col("_smean").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("_c"))
+    trended
+      .join(broadcast(slots), Seq("_slot"), "left")
+      .crossJoin(broadcast(center))
+      // seasonal is slot-PERIODIC: defined on every row whose slot has
+      // a mean (i.e. everywhere once the series spans a full period);
+      // resid additionally needs the trend, so edges stay NULL there
+      .withColumn("seasonal", round(col("_smean") - col("_c"), 6))
+      .withColumn("resid",
+        when(col("trend").isNotNull,
+          round(col("value") - col("trend") - col("seasonal"), 6)))
+      .select("t", "value", "trend", "seasonal", "resid")
+  }
 }

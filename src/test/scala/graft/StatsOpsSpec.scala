@@ -384,6 +384,33 @@ class StatsOpsSpec extends SparkSpecBase {
       .head().getAs[Double]("slope") == 1.0)
   }
 
+  test("decomposeSeasonal recovers a planted weekly pattern exactly") {
+    // v = 100 + slot-pattern (sums to zero over the week) on 35 days:
+    // flat trend 100 everywhere the window is full, seasonal == the
+    // planted pattern, resid == 0
+    val pattern = Seq(6.0, -2.0, -4.0, 1.0, 3.0, -5.0, 1.0)
+    val pts = Seq.tabulate(35)(t => (t.toLong, 100.0 + pattern(t % 7)))
+    val out = Stats.decomposeSeasonal(pts.toDF("t", "v"), "t", "v", 7)
+      .orderBy("t").collect()
+    assert(out.length == 35)
+    out.foreach { r =>
+      val t = r.getLong(0)
+      if (t < 3 || t > 31) { // half-window edges
+        assert(r.isNullAt(r.fieldIndex("trend")) &&
+          r.isNullAt(r.fieldIndex("resid")))
+      } else {
+        assert(r.getAs[Double]("trend") == 100.0, s"t=$t")
+        assert(r.getAs[Double]("resid") == 0.0, s"t=$t")
+      }
+      // seasonal is periodic and defined on every row
+      assert(r.getAs[Double]("seasonal") == pattern((t % 7).toInt), s"t=$t")
+    }
+    // even period is refused (centered window needs an odd span)
+    intercept[IllegalArgumentException] {
+      Stats.decomposeSeasonal(pts.toDF("t", "v"), "t", "v", 4)
+    }
+  }
+
   test("spearman: monotone nonlinearity gives rho 1; ties and constants handled") {
     // y = x^3 is perfectly monotone: Spearman 1.0 where Pearson < 1
     val cube = Seq.tabulate(20)(i => (i.toDouble, math.pow(i, 3)))
