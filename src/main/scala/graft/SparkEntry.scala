@@ -620,6 +620,38 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- shifted-duplicate pairs via content-defined chunking: twin =
+    //      the same 64-token body behind a DIFFERENT head block (the
+    //      prepended-boilerplate case fixed-window shingles lose).
+    //      Boundaries re-synchronize within one maxLen of the shared
+    //      body's start, so >= 7 of ~9 chunks match (minShared = 2 has
+    //      wide margin); id-carrying tokens make cross-doc chunks
+    //      unequal, so the output is exactly the planted pair set ----
+    "q_cdc_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
+        .select("doc_id")
+      // the trailing token carries the id too: the tail-remainder chunk
+      // (last boundary to end of doc) would otherwise be a short shared
+      // string like "w63" across ALL docs — one of the two spurious
+      // shared chunks that paired unrelated twins at sf0.1
+      val body = concat(
+        concat_ws(" ", transform(sequence(lit(0), lit(63)),
+          j => concat(lit("d"), col("doc_id"), lit("w"), j))),
+        lit(" tail d"), col("doc_id"), lit("x"))
+      val base = ids.select(col("doc_id"), body.as("text"))
+      // build the twin text FIRST, bump the id after: a `col("doc_id")`
+      // inside the transform() lambda of a projection that also aliases
+      // doc_id resolves to the LATERAL alias (the +10M id), silently
+      // giving every twin a different body than its base
+      val twins = ids
+        .select(col("doc_id"),
+          concat(lit("shifted head block "), body).as("text"))
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      Dedup.cdcOverlapPairs(base.unionByName(twins), "text", "doc_id",
+          minShared = 2)
+        .select("id1", "id2").orderBy("id1", "id2")
+    }),
+
     // ---- image near-dup with PIXEL verification: the corpus-scale
     //      two-stage shape (banded dHash candidates -> exact-grid
     //      verify). Planted per doc: a true resized twin (+10M) AND a
@@ -3420,6 +3452,14 @@ object SparkEntry {
       """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // planted truth: every selected doc pairs with its +10M
+    // shifted-duplicate twin (chunk re-synchronization guarantees well
+    // over minShared shared chunks; id-carrying tokens keep cross-doc
+    // chunks unequal)
+    "q_cdc_dedup" ->
+      """SELECT doc_id AS id1, doc_id + 10000000 AS id2
+        |FROM documents WHERE doc_id % 17 = 0 ORDER BY id1, id2""".stripMargin,
 
     // planted truth: of the three Hamming-0 candidate pairs per doc,
     // only the true resized twin survives pixel verification (exact

@@ -184,3 +184,86 @@ case class TokenArray(child: Expression) extends NullSafeUnaryKernel {
 object TokenArray {
   def apply(c: Column): Column = ColumnBridge.column(TokenArray(ColumnBridge.expression(c)))
 }
+
+/** Content-defined chunking (Gear/FastCDC-style) of a text column into
+  * a SORTED DISTINCT `array<long>` of 64-bit chunk content hashes —
+  * the shifted-duplicate primitive: boundaries depend only on a rolling
+  * hash of the local bytes, so two documents sharing a long region chunk
+  * it IDENTICALLY regardless of where the region starts in each
+  * (fixed-size windows lose alignment after one inserted byte). The
+  * dedup join then runs on chunk-hash equality
+  * ([[graft.operators.Dedup.cdcOverlapPairs]]).
+  *
+  * Parameters: a boundary fires when `avgBits` MIDDLE bits (16..16+avgBits)
+  * of the gear hash are zero (expected chunk ≈ minLen + 2^avgBits bytes)
+  * and the chunk has at least `minLen` bytes; `maxLen` force-splits runs
+  * with no natural boundary. The mask position matters: in
+  * h = Σ g(bᵢ)≪k, bit j mixes only the last ~j bytes, so a LOW-bit mask
+  * makes the boundary a function of the last couple of bytes — on
+  * near-periodic content the condition can be identically false for an
+  * entire document and force-splits never re-align (measured: 2/294
+  * planted twins shared ZERO chunks). Middle bits give a ~16–21-byte
+  * effective window — the content-defined property this operator exists
+  * for. Operates on UTF-8 bytes; hashes are FNV-1a 64.
+  */
+case class CdcChunkHashes(child: Expression, avgBits: Int, minLen: Int,
+                          maxLen: Int) extends NullSafeUnaryKernel {
+  require(avgBits >= 1 && avgBits <= 20, "avgBits in [1, 20]")
+  require(minLen >= 1 && maxLen > minLen, "need 1 <= minLen < maxLen")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val mask: Long = ((1L << avgBits) - 1) << 16
+
+  override def computeAny(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + CdcChunkHashes.Gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if (((h & mask) == 0L && len >= minLen) || len >= maxLen) {
+        out.add(fnv64(bytes, start, i + 1))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out.add(fnv64(bytes, start, bytes.length))
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue; k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private def fnv64(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ (b(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
+  override def prettyName: String = "cdc_chunk_hashes"
+  override protected def withNewChildInternal(c: Expression): CdcChunkHashes =
+    copy(child = c)
+}
+
+object CdcChunkHashes {
+  /** 256-entry gear table from a splitmix64 avalanche of the byte value
+    * — fixed constants, so chunk boundaries are reproducible everywhere.
+    */
+  private[functions] val Gear: Array[Long] = Array.tabulate(256) { b =>
+    var z = (b + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def apply(c: Column, avgBits: Int = 5, minLen: Int = 16,
+            maxLen: Int = 64): Column =
+    ColumnBridge.column(CdcChunkHashes(ColumnBridge.expression(c),
+      avgBits, minLen, maxLen))
+}

@@ -77,6 +77,39 @@ class DedupSpec extends SparkSpecBase {
     assert(dedupWith(Dedup.loadLshIndex(spark, dir)) == viaAppend)
   }
 
+  test("CDC chunking re-synchronizes after a shifted prefix; stop-chunks pruned") {
+    import graft.functions.CdcChunkHashes
+    val body = (0 until 64).map(j => s"tokenword$j extra").mkString(" ")
+    def chunksOf(text: String): Set[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(CdcChunkHashes(col("t")).as("c"))
+        .collect()(0).getSeq[Long](0).toSet
+    val a = chunksOf(body)
+    val b = chunksOf("completely different prepended head material " + body)
+    assert(a.size >= 8, s"expected many chunks, got ${a.size}")
+    // boundaries re-synchronize within ~maxLen bytes of the shared
+    // region's start: the overwhelming majority of chunks are shared
+    assert((a intersect b).size >= a.size - 2,
+      s"shared ${(a intersect b).size} of ${a.size}")
+    // the planted-pair operator finds the shifted twin, nothing else
+    val docs = Seq(
+      (1L, body), (2L, "some head " + body),
+      (3L, (100 until 164).map(j => s"otherword$j extra").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcOverlapPairs(docs, "text", "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+    // boilerplate prune: 10 docs sharing ONLY a common block pair up
+    // with a loose maxDocFreq but NOT once the block exceeds it
+    val boiler = (0 until 64).map(j => s"licenseline$j shared").mkString(" ")
+    val many = (1L to 10L).map(i => (i, s"uniquehead$i " + boiler))
+      .toDF("doc_id", "text")
+    assert(Dedup.cdcOverlapPairs(many, "text", "doc_id", 2,
+      maxDocFreq = 100).count() == 45) // all C(10,2) pairs
+    assert(Dedup.cdcOverlapPairs(many, "text", "doc_id", 2,
+      maxDocFreq = 3).count() == 0)   // boilerplate dropped pre-join
+  }
+
   test("appendLshIndex retry-idempotent; compactLshIndex equals fresh build") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
