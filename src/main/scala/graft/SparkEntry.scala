@@ -2707,6 +2707,11 @@ object SparkEntry {
     "q_spearman" -> ((s, dir) =>
       Stats.spearman(Tables.events(s, dir), "value", "user_id")),
 
+    // ---- Kendall tau-b from the 50x11 contingency table (exact
+    //      concordant/discordant masses over cell pairs, tie-corrected) ----
+    "q_kendall" -> ((s, dir) =>
+      Stats.kendallTau(t(s, dir, "lineitem"), "l_quantity", "l_discount")),
+
     // ---- JL random projection 64 -> 8 dims: seeded LCG sign grid
     //      (no stored model), exact decimal lane sums ----
     "q_rand_project" -> ((s, dir) =>
@@ -5741,6 +5746,36 @@ object SparkEntry {
         |  CASE WHEN trend IS NOT NULL
         |    THEN round(v - trend - round(smean - cc, 6), 6) END AS resid
         |FROM det LEFT JOIN sl USING (slot) CROSS JOIN c ORDER BY t""".stripMargin,
+
+    // kendall truth: identical cell table, HUGEINT pair masses, integer
+    // margin tie terms (t(t-1) is even, so // 2 is exact), one double
+    "q_kendall" ->
+      """WITH u AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(9,2)) * 100 AS BIGINT) AS a,
+        |    CAST(CAST(l_discount AS DECIMAL(9,2)) * 100 AS BIGINT) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT a, b, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |pq AS (SELECT
+        |    COALESCE(SUM(CASE WHEN r.b > l.b
+        |      THEN CAST(l.c AS HUGEINT) * r.c END), 0) AS p,
+        |    COALESCE(SUM(CASE WHEN r.b < l.b
+        |      THEN CAST(l.c AS HUGEINT) * r.c END), 0) AS q
+        |  FROM cells l JOIN cells r ON r.a > l.a),
+        |ma AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY a)),
+        |mb AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY b)),
+        |nn AS (SELECT SUM(c) AS n FROM cells),
+        |f AS (SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS concordant,
+        |    CAST(q AS BIGINT) AS discordant,
+        |    CAST(n AS HUGEINT) * (n - 1) // 2 AS n0, p, q, n1, n2
+        |  FROM pq, ma, mb, nn)
+        |SELECT n, concordant, discordant,
+        |  CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN
+        |    round(CAST(p - q AS DOUBLE) / (sqrt(CAST(n0 - n1 AS DOUBLE))
+        |      * sqrt(CAST(n0 - n2 AS DOUBLE))), 6) END AS tau_b
+        |FROM f""".stripMargin,
 
     "q_spearman" ->
       """WITH r AS (SELECT CAST(value AS DECIMAL(9,2)) AS a,

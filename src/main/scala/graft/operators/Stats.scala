@@ -962,6 +962,81 @@ object Stats {
         StructField("rho", DoubleType, nullable = true))))
   }
 
+  /** Kendall rank correlation τ-b between two BOUNDED-cardinality
+    * numeric columns, computed exactly from the joint contingency
+    * table: concordant/discordant pair mass is Σ c₁·c₂ over cell pairs
+    * (one equi-free join over the CELL table — O(cells²), never row
+    * pairs), tie corrections from the margins. The
+    * concordance-probability view of what [[spearman]] measures as
+    * rank covariance; prefer it when the scale is ordinal with few
+    * levels (ratings, bucketed scores) — exactly where the cell table
+    * is small.
+    *
+    * Guarded like [[welchT]]: distinct(a)·distinct(b) must stay under
+    * `maxCells` (the cell-pair stage is quadratic in cells; a raw
+    * continuous column belongs in [[spearman]], which is linear in
+    * distinct values). All pair masses are exact DECIMAL(38,0)
+    * integers; τ-b is one fixed-order double expression, rounded 6 dp.
+    */
+  def kendallTau(df: DataFrame, aCol: String, bCol: String,
+                 precision: Int = 9, scale: Int = 2,
+                 maxCells: Int = 10000): DataFrame = {
+    val cells = df
+      .select(LimbMoments.units(aCol, precision, scale).as("_a"),
+        LimbMoments.units(bCol, precision, scale).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+    val dims = cells.agg(countDistinct("_a").as("_da"),
+      countDistinct("_b").as("_db")).head()
+    val nCells = dims.getAs[Long]("_da") * dims.getAs[Long]("_db")
+    require(nCells <= maxCells,
+      s"kendallTau: $nCells cells > maxCells=$maxCells — the cell-pair " +
+        "stage is O(cells^2); bucket the columns or use spearman for " +
+        "continuous data")
+    val dec = "decimal(38,0)"
+    val l = cells.select(col("_a").as("_a1"), col("_b").as("_b1"),
+      col("_c").cast(dec).as("_c1"))
+    val r = cells.select(col("_a").as("_a2"), col("_b").as("_b2"),
+      col("_c").cast(dec).as("_c2"))
+    val pq = l.join(r, col("_a2") > col("_a1"))
+      .agg(
+        sum(when(col("_b2") > col("_b1"), col("_c1") * col("_c2"))
+          .otherwise(lit(0).cast(dec))).as("_p"),
+        sum(when(col("_b2") < col("_b1"), col("_c1") * col("_c2"))
+          .otherwise(lit(0).cast(dec))).as("_q"))
+      .head()
+    def margin(c: String): java.math.BigDecimal = cells
+      .groupBy(c).agg(sum("_c").as("_t"))
+      .agg(sum((col("_t").cast(dec) * (col("_t") - 1)) / 2).as("_m"))
+      .head().getAs[java.math.BigDecimal]("_m")
+    val n = cells.agg(sum("_c")).head().getLong(0)
+    require(n >= 2, s"kendallTau needs at least 2 complete rows, got $n")
+    val p = Option(pq.getAs[java.math.BigDecimal]("_p"))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    val q = Option(pq.getAs[java.math.BigDecimal]("_q"))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    val n0 = java.math.BigDecimal.valueOf(n)
+      .multiply(java.math.BigDecimal.valueOf(n - 1))
+      .divide(java.math.BigDecimal.valueOf(2))
+    val n1 = margin("_a"); val n2 = margin("_b")
+    val d1 = n0.subtract(n1); val d2 = n0.subtract(n2)
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val tau: java.lang.Double =
+      if (d1.signum <= 0 || d2.signum <= 0) null
+      else r6(p.subtract(q).doubleValue /
+        (math.sqrt(d1.doubleValue) * math.sqrt(d2.doubleValue)))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n,
+        p.longValueExact, q.longValueExact, tau)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("concordant", LongType, nullable = false),
+        StructField("discordant", LongType, nullable = false),
+        StructField("tau_b", DoubleType, nullable = true))))
+  }
+
   /** Two-proportion z-test between cohorts `g1` and `g2` of a binary
     * outcome: the conversion-rate / quality-gate significance check
     * (is cohort A's success rate really higher, or noise). Returns one

@@ -432,6 +432,27 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("rho")))
   }
 
+  test("kendallTau: textbook tie case; perfect order; cell guard fires") {
+    // a=(1,2,2,3), b=(1,2,3,3): P=4, Q=0, n0=6, n1=n2=1 -> tau = 0.8
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 3.0)).toDF("a", "b")
+    val r = Stats.kendallTau(tied, "a", "b").head()
+    assert(r.getAs[Long]("concordant") == 4L &&
+      r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Double]("tau_b") == 0.8)
+    // strict monotone: exactly 1; reversed: exactly -1
+    val mono = Seq.tabulate(10)(i => (i.toDouble, i * 2.0)).toDF("a", "b")
+    assert(Stats.kendallTau(mono, "a", "b").head().getAs[Double]("tau_b") == 1.0)
+    val anti = Seq.tabulate(10)(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(Stats.kendallTau(anti, "a", "b").head().getAs[Double]("tau_b") == -1.0)
+    // the quadratic cell stage refuses continuous-cardinality input
+    val wide = spark.range(200).selectExpr(
+      "CAST(id AS DOUBLE) AS a", "CAST(id * 7 % 199 AS DOUBLE) AS b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.kendallTau(wide, "a", "b", maxCells = 100)
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
   test("propTest: equal rates give z=0; a clear gap gives the textbook z") {
     val same = (Seq.fill(50)(("a", 1)) ++ Seq.fill(50)(("a", 0)) ++
       Seq.fill(50)(("b", 1)) ++ Seq.fill(50)(("b", 0)))
