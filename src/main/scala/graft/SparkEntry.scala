@@ -620,6 +620,34 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- field-level survivorship (golden record): each field comes
+    //      from the best source row that HAS it — planted nulls on
+    //      phone prove fields pick different sources than whole-row
+    //      survivorship would ----
+    "q_golden_record" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("alt_name",
+          when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("c_name")))
+      Dedup.goldenRecord(c, "c_nationkey", Seq("alt_name", "c_mktsegment"),
+          "c_acctbal", "c_custkey")
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- corpus line dedup (C4-style boilerplate removal): planted
+    //      4-line docs share header/footer lines across all docs; the
+    //      two unique middle lines survive in order ----
+    "q_line_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 19 === 0)
+        .select("doc_id")
+      val docs = ids.select(col("doc_id"), concat_ws("\n",
+        lit("boiler plate header"),
+        concat(lit("unique"), col("doc_id"), lit(" content line one")),
+        concat(lit("unique"), col("doc_id"), lit(" content line two")),
+        lit("boiler plate footer")).as("text"))
+      TextAnalysis.lineDedup(docs, "text", "doc_id", 2).orderBy("doc_id")
+    }),
+
     // ---- shifted-duplicate pairs via content-defined chunking: twin =
     //      the same 64-token body behind a DIFFERENT head block (the
     //      prepended-boilerplate case fixed-window shingles lose).
@@ -3457,6 +3485,34 @@ object SparkEntry {
       """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // golden-record truth: per cluster and per FIELD, the row winning
+    // (non-null, score, tie) — replayed with one window per field
+    "q_golden_record" ->
+      """WITH b AS (SELECT c_nationkey, c_custkey, c_acctbal, c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS alt_name
+        |  FROM customer),
+        |p AS (SELECT c_nationkey, alt_name, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY (alt_name IS NOT NULL) DESC,
+        |      c_acctbal DESC, c_custkey DESC) AS rn FROM b),
+        |m AS (SELECT c_nationkey, c_mktsegment, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY (c_mktsegment IS NOT NULL) DESC,
+        |      c_acctbal DESC, c_custkey DESC) AS rn FROM b),
+        |n AS (SELECT c_nationkey, count(*) AS n_sources FROM b GROUP BY 1)
+        |SELECT p.c_nationkey, p.alt_name, m.c_mktsegment, n.n_sources
+        |FROM p JOIN m USING (c_nationkey) JOIN n USING (c_nationkey)
+        |WHERE p.rn = 1 AND m.rn = 1 ORDER BY c_nationkey""".stripMargin,
+
+    // line-dedup truth in closed form: the shared header/footer exceed
+    // maxOccur document-frequency, the two id-bearing lines never do
+    "q_line_dedup" ->
+      """SELECT doc_id,
+        |  'unique' || CAST(doc_id AS VARCHAR) || ' content line one' ||
+        |    chr(10) ||
+        |  'unique' || CAST(doc_id AS VARCHAR) || ' content line two'
+        |    AS text_clean,
+        |  CAST(2 AS BIGINT) AS n_removed
+        |FROM documents WHERE doc_id % 19 = 0 ORDER BY doc_id""".stripMargin,
 
     // planted truth: every selected doc pairs with its +10M
     // shifted-duplicate twin (chunk re-synchronization guarantees well

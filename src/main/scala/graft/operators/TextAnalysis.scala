@@ -765,4 +765,46 @@ object TextAnalysis {
     val windows = sequence(lit(0), greatest(size(hashes) - w, lit(0)) - 1)
     array_sort(array_distinct(transform(windows, i => array_min(slice(hashes, i + 1, lit(w))))))
   }
+
+  /** Corpus-level LINE deduplication (the C4/RefinedWeb curation step):
+    * drop every line occurring in MORE than `maxOccur` distinct
+    * documents — navigation bars, cookie banners, license footers —
+    * from every document, preserving the remaining lines in original
+    * order. Returns (doc_id, text_clean, n_removed); a fully-boilerplate
+    * document survives as an empty string with its removal count (the
+    * caller decides whether to drop it — silently losing the row would
+    * hide how much the filter removed).
+    *
+    * Shape: one posexplode (narrow), one distinct + grouped count on
+    * the line text (map-side combined; the >maxOccur survivor set is
+    * the small boilerplate table), one anti-join, and one per-doc
+    * sort-rebuild via collect_list over the doc's OWN lines (bounded by
+    * document length, never a window over the corpus). Blank lines are
+    * lines: a corpus-wide blank line is boilerplate by this definition
+    * and gets removed like any other.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                maxOccur: Int): DataFrame = {
+    require(maxOccur >= 1, "maxOccur must be >= 1")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "line")
+    val common = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxOccur).select("line")
+    val kept = lines.join(common, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text_clean"),
+        count(lit(1)).as("_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("_n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("_n_lines") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
 }

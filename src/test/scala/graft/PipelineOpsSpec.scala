@@ -77,6 +77,43 @@ class DedupSpec extends SparkSpecBase {
     assert(dedupWith(Dedup.loadLshIndex(spark, dir)) == viaAppend)
   }
 
+  test("goldenRecord picks each field from its own best source row") {
+    // cluster 1: row 10 has the phone but low score; row 11 scores
+    // higher but lacks the phone -> phone from 10, email from 11
+    val rows = Seq(
+      (1L, 10L, 1.0, "555-1234", null.asInstanceOf[String]),
+      (1L, 11L, 9.0, null.asInstanceOf[String], "a@b.c"),
+      (2L, 20L, 5.0, "555-9999", "x@y.z"),
+      (2L, 21L, 7.0, "555-0000", null.asInstanceOf[String]))
+      .toDF("cluster", "id", "score", "phone", "email")
+    val out = Dedup.goldenRecord(rows, "cluster", Seq("phone", "email"),
+        "score", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getAs[Long]("n_sources"))).toMap
+    assert(out(1L) == ("555-1234", "a@b.c", 2L)) // fields from DIFFERENT rows
+    assert(out(2L) == ("555-0000", "x@y.z", 2L)) // score then presence
+  }
+
+  test("lineDedup removes corpus-frequent lines, keeps order, counts removals") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha one\nbeta two\nFOOTER"),
+      (2L, "HEADER\ngamma three\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),          // fully boilerplate
+      (4L, "HEADER\ndelta four\nFOOTER"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha one\nbeta two", 2L))
+    assert(out(2L) == ("gamma three", 2L))
+    assert(out(3L) == ("", 2L)) // survives as empty, removal count intact
+    assert(out(4L) == ("delta four", 2L))
+    // at maxOccur = 4 nothing is frequent enough to remove
+    val loose = TextAnalysis.lineDedup(docs, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose.values.forall(_ == 0L))
+  }
+
   test("CDC chunking re-synchronizes after a shifted prefix; stop-chunks pruned") {
     import graft.functions.CdcChunkHashes
     val body = (0 until 64).map(j => s"tokenword$j extra").mkString(" ")
