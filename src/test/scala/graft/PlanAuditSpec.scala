@@ -899,6 +899,59 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("goldenRecord is ONE map-side-combined aggregation, no window") {
+    val rows = spark.range(10000).selectExpr("id % 100 AS cluster",
+      "id AS rid", "CAST(id % 7 AS DOUBLE) AS score",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('v', id) END AS f1")
+    val p = graft.operators.Dedup
+      .goldenRecord(rows, "cluster", Seq("f1"), "score", "rid")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window over clusters:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"exactly one shuffle on the cluster key:\n$p")
+    // struct-max over a string-bearing struct plans as SortAggregate,
+    // which still combines map-side: assert the partial_max below the
+    // exchange (the property that bounds the shuffle at one row per
+    // (cluster, partition))
+    assert(p.contains("partial_max"),
+      s"partial aggregate must run below the exchange:\n$p")
+  }
+
+  test("lineDedup: grouped rebuild from the doc's own lines — no corpus window, no global sort") {
+    val docs = spark.range(2000).selectExpr("id AS doc_id",
+      "concat('HEAD\n', 'line', id, '\nFOOT') AS text")
+    val p = graft.operators.TextAnalysis.lineDedup(docs, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort (order rebuilt per-doc via array_sort):\n$p")
+  }
+
+  test("tCloseness attaches value/grand totals by broadcast over the pair table") {
+    val rows = spark.range(30000).selectExpr("id % 20 AS q",
+      "CAST(id % 5 AS STRING) AS s")
+    val p = graft.operators.Privacy.tCloseness(rows, Seq("q"), "s", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"value totals must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n$p")
+  }
+
+  test("cdcOverlapPairs prunes stop-chunks BELOW the pair self-join") {
+    val docs = spark.range(2000).selectExpr("id AS doc_id",
+      "concat('shared boilerplate text block here we go ', id) AS text")
+    val p = graft.operators.Dedup
+      .cdcOverlapPairs(docs, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"expected stop-chunk semi-join:\n$p")
+    val semiIdx = p.indexOf("LeftSemi")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(joinIdx >= 0 && semiIdx > joinIdx,
+      s"prune must nest under the pair join:\n$p")
+  }
+
   test("coOccurrence prunes infrequent items BEFORE the pair self-join (Apriori)") {
     val baskets = spark.range(30000).select(($"id" % 1000).as("basket"),
       concat(lit("i"), $"id" % 300).as("item"))
