@@ -2740,6 +2740,16 @@ object SparkEntry {
     "q_kendall" -> ((s, dir) =>
       Stats.kendallTau(t(s, dir, "lineitem"), "l_quantity", "l_discount")),
 
+    // ---- PSI drift score: purchase values vs click-value reference
+    //      bins (inverted-CDF decile edges, epsilon-clamped log-odds) ----
+    "q_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      Stats.psi(ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "value", 10)
+        .withColumn("bin", col("bin").cast("long"))
+        .orderBy("bin")
+    }),
+
     // ---- JL random projection 64 -> 8 dims: seeded LCG sign grid
     //      (no stored model), exact decimal lane sums ----
     "q_rand_project" -> ((s, dir) =>
@@ -5802,6 +5812,41 @@ object SparkEntry {
         |  CASE WHEN trend IS NOT NULL
         |    THEN round(v - trend - round(smean - cc, 6), 6) END AS resid
         |FROM det LEFT JOIN sl USING (slot) CROSS JOIN c ORDER BY t""".stripMargin,
+
+    // PSI truth: same integer-exact decile edges from the reference's
+    // distinct-value CDF, bin = count of edges strictly below, shares
+    // rounded, epsilon-clamped term, decimal-summed total
+    "q_psi" ->
+      """WITH refv AS (SELECT CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |    AS u FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |curv AS (SELECT CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |    AS u FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |c AS (SELECT u, COUNT(*) AS n FROM refv GROUP BY 1),
+        |w AS (SELECT u, SUM(n) OVER (ORDER BY u) AS cum, SUM(n) OVER () AS tot
+        |  FROM c),
+        |ed AS (SELECT DISTINCT e FROM (
+        |  SELECT k, MIN(CASE WHEN cum * 10 >= tot * k THEN u END) AS e
+        |  FROM w CROSS JOIN range(1, 10) AS r(k) GROUP BY k)),
+        |rb AS (SELECT (SELECT COUNT(*) FROM ed WHERE e < u) AS bin,
+        |    COUNT(*) AS ref_n FROM refv GROUP BY 1),
+        |cb AS (SELECT (SELECT COUNT(*) FROM ed WHERE e < u) AS bin,
+        |    COUNT(*) AS cur_n FROM curv GROUP BY 1),
+        |j AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+        |    COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        |t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM j),
+        |sc AS (SELECT bin, ref_n, cur_n,
+        |    round(CAST(ref_n AS DOUBLE) / rt, 6) AS ref_share,
+        |    round(CAST(cur_n AS DOUBLE) / ct, 6) AS cur_share FROM j, t),
+        |s2 AS (SELECT *, round((greatest(cur_share, 0.000001)
+        |      - greatest(ref_share, 0.000001))
+        |    * ln(greatest(cur_share, 0.000001)
+        |      / greatest(ref_share, 0.000001)), 6) AS term FROM sc),
+        |p AS (SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |  FROM s2)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cur_n AS BIGINT) AS cur_n, ref_share, cur_share, term, psi
+        |FROM s2, p ORDER BY bin""".stripMargin,
 
     // kendall truth: identical cell table, HUGEINT pair masses, integer
     // margin tie terms (t(t-1) is even, so // 2 is exact), one double

@@ -962,6 +962,76 @@ object Stats {
         StructField("rho", DoubleType, nullable = true))))
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * sample of one numeric column — the scorecard-monitoring drift
+    * number ([[ksTest]] answers "did it move" with a sup-distance;
+    * PSI weights movement by log-odds, the convention risk teams
+    * threshold at 0.1/0.25). Bins are the reference's `nBins`
+    * quantile edges (inverted-CDF, integer-exact selection — always
+    * observed values, duplicate edges collapse so heavy ties co-bin);
+    * a value equal to an edge falls in the LOWER bin. Returns one row
+    * per bin: (bin, ref_n, cur_n, ref_share, cur_share, term) with the
+    * total `psi` on every row.
+    *
+    * Empty-bin convention: shares are clamped at 1e-6 inside the
+    * formula (the standard epsilon treatment — an empty current bin is
+    * strong drift evidence, not an infinity), stated here because PSI
+    * implementations differ and silent divergence from the monitoring
+    * system's number would be a false alarm factory.
+    *
+    * Shape: the edge derivation runs on the bounded distinct-value
+    * table ([[qqTable]]'s skeleton); bin assignment is a per-row fold
+    * over the broadcast ≤ nBins−1 edge list; shares come from ONE
+    * map-side-combined count per side. Exactness: integer-exact edge
+    * ranks; shares rounded at 6 dp; term = (pc−pr)·ln(pc/pr) in one
+    * fixed double order rounded at 6 dp; psi is the exact decimal sum
+    * of rounded terms.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10,
+          precision: Int = 9, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    def units(df: DataFrame): DataFrame = df
+      .select(LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val refU = units(ref); val curU = units(cur)
+    val counts = refU.groupBy("_u").agg(count(lit(1)).as("_n"))
+    val cum = Window.orderBy("_u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = ref.sparkSession.range(1, nBins).select(col("id").as("_k"))
+    val edges = counts
+      .withColumn("_cum", sum("_n").over(cum).cast("decimal(38,0)"))
+      .withColumn("_tot",
+        sum("_n").over(Window.partitionBy()).cast("decimal(38,0)"))
+      .crossJoin(broadcast(probes))
+      .groupBy("_k")
+      .agg(min(when(col("_cum") * nBins >= col("_tot") * col("_k"),
+        col("_u"))).as("_e"))
+      .agg(array_sort(array_distinct(collect_list("_e"))).as("_edges"))
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .crossJoin(broadcast(edges))
+      .select(aggregate(col("_edges"), lit(0),
+        (acc, e) => acc + when(col("_u") > e, 1).otherwise(0)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val joined = binned(refU, "ref_n")
+      .join(binned(curU, "cur_n"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val totals = joined.agg(sum("ref_n").as("_rt"), sum("cur_n").as("_ct"))
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("ref_share",
+        round(col("ref_n").cast("double") / col("_rt"), 6))
+      .withColumn("cur_share",
+        round(col("cur_n").cast("double") / col("_ct"), 6))
+      .withColumn("_pc", greatest(col("cur_share"), lit(1e-6)))
+      .withColumn("_pr", greatest(col("ref_share"), lit(1e-6)))
+      .withColumn("term",
+        round((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr")), 6))
+    val tot = scored.agg(
+      sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
+    scored.crossJoin(broadcast(tot))
+      .select("bin", "ref_n", "cur_n", "ref_share", "cur_share", "term", "psi")
+  }
+
   /** Kendall rank correlation τ-b between two BOUNDED-cardinality
     * numeric columns, computed exactly from the joint contingency
     * table: concordant/discordant pair mass is Σ c₁·c₂ over cell pairs

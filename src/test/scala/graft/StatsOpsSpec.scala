@@ -432,6 +432,28 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("rho")))
   }
 
+  test("psi: identical samples score 0; a shift scores positive; bins co-bin ties") {
+    val ref = Seq.tabulate(1000)(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Stats.psi(ref, ref, "v", 10).collect()
+    assert(same.length == 10)
+    same.foreach { r =>
+      assert(r.getAs[Double]("term") == 0.0 && r.getAs[Double]("psi") == 0.0)
+      assert(r.getAs[Double]("ref_share") == 0.1)
+    }
+    // a +50 shift: upper bins overfull, lower bins starved, psi >> 0.25
+    val cur = Seq.tabulate(1000)(i => Tuple1((i % 100) + 50.0)).toDF("v")
+    val drift = Stats.psi(ref, cur, "v", 10).collect()
+    assert(drift.map(_.getAs[Double]("psi")).head > 0.25)
+    // the empty lower bins survive with cur_n = 0, never dropped
+    assert(drift.count(r => r.getAs[Long]("cur_n") == 0L) >= 4)
+    // heavy ties collapse duplicate edges: a 2-valued column yields
+    // 2 bins, shares exact
+    val twoVal = Seq.tabulate(100)(i => Tuple1(if (i < 30) 1.0 else 2.0)).toDF("v")
+    val tv = Stats.psi(twoVal, twoVal, "v", 10).collect()
+    assert(tv.length == 2)
+    assert(tv.map(_.getAs[Double]("ref_share")).sorted.toSeq == Seq(0.3, 0.7))
+  }
+
   test("kendallTau: textbook tie case; perfect order; cell guard fires") {
     // a=(1,2,2,3), b=(1,2,3,3): P=4, Q=0, n0=6, n1=n2=1 -> tau = 0.8
     val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 3.0)).toDF("a", "b")
