@@ -966,7 +966,10 @@ object Stats {
     * sample of one numeric column — the scorecard-monitoring drift
     * number ([[ksTest]] answers "did it move" with a sup-distance;
     * PSI weights movement by log-odds, the convention risk teams
-    * threshold at 0.1/0.25). Bins are the reference's `nBins`
+    * threshold at 0.1/0.25). The fixed-grid driver-side sibling is
+    * [[graft.operators.Distribution.psiFromCounts]] (known range, counts
+    * already in hand); THIS operator owns the quantile-binned
+    * distributed path. Bins are the reference's `nBins`
     * quantile edges (inverted-CDF, integer-exact selection — always
     * observed values, duplicate edges collapse so heavy ties co-bin);
     * a value equal to an edge falls in the LOWER bin. Returns one row
@@ -1030,6 +1033,60 @@ object Stats {
       sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
     scored.crossJoin(broadcast(tot))
       .select("bin", "ref_n", "cur_n", "ref_share", "cur_share", "term", "psi")
+  }
+
+  /** Model-sized PSI reference: the `nBins` quantile edges (canonical
+    * integer units) and reference bin shares, computed ONCE from the
+    * reference sample — the broadcastable state a monitoring stream
+    * ([[graft.streaming.StreamingDrift.streamingPsi]]) carries between
+    * micro-batches. Same integer-exact edge selection as [[psi]], so
+    * the streaming score replays the batch one bit-for-bit on the same
+    * rows.
+    */
+  def psiReference(ref: DataFrame, valueCol: String, nBins: Int = 10,
+                   precision: Int = 9, scale: Int = 2): (Seq[Long], Seq[Double]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val refU = ref
+      .select(LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val counts = refU.groupBy("_u").agg(count(lit(1)).as("_n"))
+    val cum = Window.orderBy("_u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = ref.sparkSession.range(1, nBins).select(col("id").as("_k"))
+    val edges = counts
+      .withColumn("_cum", sum("_n").over(cum).cast("decimal(38,0)"))
+      .withColumn("_tot",
+        sum("_n").over(Window.partitionBy()).cast("decimal(38,0)"))
+      .crossJoin(broadcast(probes))
+      .groupBy("_k")
+      .agg(min(when(col("_cum") * nBins >= col("_tot") * col("_k"),
+        col("_u"))).as("_e"))
+      .agg(array_sort(array_distinct(collect_list("_e"))).as("_edges"))
+      .head().getSeq[Long](0)
+    val shares = refU
+      .select(psiBin("_u", edges, unitsAlready = true).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = shares.values.sum.toDouble
+    val refShares = (0 to edges.size).map(k =>
+      java.math.BigDecimal.valueOf(shares.getOrElse(k, 0L) / total)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    (edges, refShares)
+  }
+
+  /** Bin index of a value against broadcast PSI edges: the count of
+    * edges strictly below the canonical-unit value (a value equal to an
+    * edge falls in the LOWER bin — [[psi]]'s convention). Pure per-row
+    * fold, usable in batch and streaming plans alike.
+    */
+  def psiBin(valueCol: String, edgesUnits: Seq[Long],
+             precision: Int = 9, scale: Int = 2,
+             unitsAlready: Boolean = false): Column = {
+    val u = if (unitsAlready) col(valueCol)
+      else LimbMoments.units(valueCol, precision, scale)
+    aggregate(typedLit(edgesUnits), lit(0),
+      (acc, e) => acc + when(u > e, 1).otherwise(0))
   }
 
   /** Kendall rank correlation τ-b between two BOUNDED-cardinality

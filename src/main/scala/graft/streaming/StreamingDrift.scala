@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CanonicalRowHash
@@ -51,6 +51,50 @@ object StreamingDrift {
     "and call unpersist() when stopping", "round-10")
   def apply(stream: DataFrame, reference: DataFrame): DataFrame =
     monitor(stream, reference).drift
+
+  /** Streaming PSI: the Population Stability Index of each event-time
+    * window against a STATIC reference — continuous distribution-drift
+    * monitoring (the streaming twin of [[graft.operators.Stats.psi]];
+    * [[monitor]] watches row-level novelty, this watches the SHAPE of a
+    * numeric column). The reference collapses to model-sized state via
+    * [[graft.operators.Stats.psiReference]] (edges + shares, computed
+    * once, broadcast as literals); each event folds to its bin per-row,
+    * ONE windowed aggregation accumulates the nBins counts
+    * incrementally (bounded state: nBins longs per open window), and
+    * the PSI formula evaluates in the projection above it. Emits one
+    * row per closed window: (window_start, window_end, n, psi) —
+    * bit-identical to the batch [[graft.operators.Stats.psi]] total on
+    * the same rows and reference (spec-proven).
+    */
+  def streamingPsi(events: DataFrame, tsCol: String, valueCol: String,
+                   edgesUnits: Seq[Long], refShares: Seq[Double],
+                   windowDuration: String, lateness: String = "1 hour",
+                   precision: Int = 9, scale: Int = 2): DataFrame = {
+    val nB = edgesUnits.size + 1
+    require(refShares.size == nB,
+      s"refShares must have ${nB} entries (edges + 1), got ${refShares.size}")
+    val binCounts = (0 until nB).map(k =>
+      sum(when(col("_bin") === k, 1L).otherwise(0L)).as(s"_b$k"))
+    val total = (0 until nB).map(k => col(s"_b$k")).reduce(_ + _)
+    def term(k: Int): Column = {
+      val cur = greatest(round(col(s"_b$k").cast("double") / col("n"), 6),
+        lit(1e-6))
+      val ref = lit(math.max(refShares(k), 1e-6))
+      round((cur - ref) * log(cur / ref), 6).cast("decimal(18,6)")
+    }
+    events
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_bin",
+        graft.operators.Stats.psiBin(valueCol, edgesUnits, precision, scale))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(binCounts.head, binCounts.tail: _*)
+      .withColumn("n", total)
+      .withColumn("psi",
+        (0 until nB).map(term).reduce(_ + _).cast("double"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("psi"))
+  }
 
   def monitor(stream: DataFrame, reference: DataFrame): Monitor = {
     require(stream.columns.toSet == reference.columns.toSet,

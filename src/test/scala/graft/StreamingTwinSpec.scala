@@ -83,6 +83,48 @@ class StreamingDedupSpec extends SparkSpecBase {
   }
 }
 
+class StreamingPsiWindowSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamingPsi matches the batch PSI window by window") {
+    import graft.operators.Stats
+    val ref = Seq.tabulate(1000)(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val (edges, shares) = Stats.psiReference(ref, "v", 10)
+    assert(edges.size == 9 && shares.sum > 0.999)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingDrift.streamingPsi(
+        mem.toDF().toDF("ts", "v"), "ts", "v", edges, shares, "1 hour",
+        lateness = "1 second")
+      .writeStream.format("memory").queryName("spsi").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window A: matches the reference shape; window B: +50 shift
+      val winA = (0 until 200).map(i =>
+        (ts("2024-01-01 10:00:05"), (i % 100).toDouble))
+      val winB = (0 until 200).map(i =>
+        (ts("2024-01-01 11:00:05"), (i % 100) + 50.0))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, n, psi FROM spsi ORDER BY 1")
+        .collect()
+      assert(rows.length == 2)
+      val psiA = rows(0).getAs[Double]("psi")
+      val psiB = rows(1).getAs[Double]("psi")
+      // bit-identical to the batch operator on the same rows + reference
+      def batchPsi(rows: Seq[(java.sql.Timestamp, Double)]): Double =
+        Stats.psi(ref, rows.map(_._2).map(Tuple1(_)).toDF("v"), "v", 10)
+          .head().getAs[Double]("psi")
+      assert(psiA == batchPsi(winA), s"window A: $psiA")
+      assert(psiB == batchPsi(winB), s"window B: $psiB")
+      assert(psiA < 0.01 && psiB > 0.25)
+    } finally q.stop()
+  }
+}
+
 class StreamingCompactLatestSpec extends SparkSpecBase {
   import spark.implicits._
 
