@@ -620,6 +620,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- DSIR importance weights: raw corpus scored against the
+    //      English-subset target model (hashed-unigram bucket
+    //      log-likelihood ratio, add-0.5 smoothing over 1000 buckets) ----
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", 1000)
+        .orderBy("doc_id")
+    }),
+
     // ---- field-level survivorship (golden record): each field comes
     //      from the best source row that HAS it — planted nulls on
     //      phone prove fields pick different sources than whole-row
@@ -3495,6 +3505,32 @@ object SparkEntry {
       """SELECT doc_id AS id1, doc_id + 10000000 AS id2,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY id1, id2""".stripMargin,
+
+    // DSIR truth: same md5 buckets, same smoothing, same fixed
+    // operation order per bucket, decimal-summed per doc
+    "q_dsir_weights" ->
+      s"""WITH rawt AS (SELECT doc_id,
+        |    unnest($toksSql) AS term FROM documents),
+        |tart AS (SELECT unnest($toksSql) AS term FROM documents
+        |  WHERE lang = 'en'),
+        |rb AS (SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS UBIGINT)
+        |    % 1000 AS bucket, COUNT(*) AS nr FROM rawt GROUP BY 1),
+        |tb AS (SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS UBIGINT)
+        |    % 1000 AS bucket, COUNT(*) AS nt FROM tart GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(nr) FROM rb) AS rt,
+        |    (SELECT SUM(nt) FROM tb) AS tt),
+        |ratio AS (SELECT COALESCE(rb.bucket, tb.bucket) AS bucket,
+        |    round(ln((COALESCE(nt, 0) + 0.5) / (tt + 500.0))
+        |      - ln((COALESCE(nr, 0) + 0.5) / (rt + 500.0)), 6) AS lr
+        |  FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket CROSS JOIN tot),
+        |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 15))
+        |      AS UBIGINT) % 1000 AS bucket FROM rawt) r
+        |    JOIN ratio USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(log_weight, 0.0) AS log_weight
+        |FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // golden-record truth: per cluster and per FIELD, the row winning
     // (non-null, score, tie) — replayed with one window per field

@@ -676,6 +676,62 @@ object TextAnalysis {
       .filter(col("weight") =!= 0)
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every RAW document by the log-likelihood ratio of its hashed
+    * unigram bag under the TARGET domain's bucket model vs the raw
+    * corpus's own — the principled "make the crawl look like the
+    * quality domain" selection signal that pairs with
+    * [[graft.operators.Sampling.temperatureWeights]] /
+    * `tokenBudgetSelect` downstream (resample raw docs ∝ exp(weight)).
+    * Buckets are the [[featureHash]] md5 convention (content-addressed,
+    * engine-replayable); both models use add-`alpha` smoothing over the
+    * `dim` buckets. Returns (id, n_tokens, log_weight); token-less
+    * documents score 0 with n_tokens 0 (visible, not dropped).
+    *
+    * Shape: two bucket-count aggregations (map-side combined, bounded
+    * at `dim` rows each), one full-outer bucket join → a broadcast
+    * `dim`-row log-ratio table, then one explode + broadcast join +
+    * per-doc sum. No vocabulary pass, no driver state beyond two
+    * totals. Exactness: per-bucket log-ratio is one fixed-order double
+    * expression rounded at 6 dp; per-doc weights are exact decimal
+    * sums of those rounded terms.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, dim: Int = 10000,
+                  alpha: Double = 0.5): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros blow up the log)")
+    val bucket =
+      conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % dim
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val tC = bucketCounts(target, "_nt")
+    val rC = bucketCounts(raw, "_nr")
+    val tTot = tC.agg(sum("_nt")).head().getLong(0)
+    val rTot = rC.agg(sum("_nr")).head().getLong(0)
+    val ratio = tC.join(rC, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("_nt", "_nr"))
+      .withColumn("_lr", round(
+        log((col("_nt") + alpha) / lit(tTot + alpha * dim)) -
+          log((col("_nr") + alpha) / lit(rTot + alpha * dim)), 6))
+      .select("bucket", "_lr")
+    val perDoc = raw
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .select(col("_id"), bucket.as("bucket"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_lr").cast("decimal(18,6)")).cast("double").as("log_weight"))
+    raw.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
   /** Pairwise cross-group contamination matrix: for every group pair
     * (g1 < g2) the number of distinct word `n`-grams they share, each
     * group's distinct-gram count, and the overlap coefficient

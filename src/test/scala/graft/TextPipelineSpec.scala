@@ -304,3 +304,26 @@ class VectorTransformSpec extends SparkSpecBase {
     assert(qs.forall(v => v >= -127 && v <= 127))
   }
 }
+
+class DsirSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("dsirWeights: in-domain docs outscore off-domain; tokenless score 0") {
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),          // in-domain
+      (2L, "zebra quokka wombat"),       // off-domain
+      (3L, "alpha zebra"),               // mixed
+      (4L, "")).toDF("doc_id", "text")   // tokenless
+    val out = TextAnalysis.dsirWeights(raw, target, "text", "doc_id", 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"expected in-domain > mixed > off-domain: $out")
+    assert(out(1L)._2 > 0 && out(2L)._2 < 0)
+    assert(out(4L) == (0L, 0.0))
+    assert(out(1L)._1 == 3L && out(2L)._1 == 3L)
+  }
+}
