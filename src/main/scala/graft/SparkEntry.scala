@@ -2750,6 +2750,19 @@ object SparkEntry {
     "q_kendall" -> ((s, dir) =>
       Stats.kendallTau(t(s, dir, "lineitem"), "l_quantity", "l_discount")),
 
+    // ---- Cohen's kappa: returnflag-vs-linestatus agreement corrected
+    //      for chance (one cell-table aggregation) ----
+    "q_cohens_kappa" -> ((s, dir) =>
+      Stats.cohensKappa(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
+    // ---- Poisson-bootstrap CI of the purchase-value mean: seeded
+    //      integer-threshold draws, exact decimal replicate sums ----
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Stats.bootstrapMeanCI(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("event_type") === "purchase"),
+        "event_id", "value", nReplicates = 100)),
+
     // ---- PSI drift score: purchase values vs click-value reference
     //      bins (inverted-CDF decile edges, epsilon-clamped log-odds) ----
     "q_psi" -> ((s, dir) => {
@@ -5848,6 +5861,55 @@ object SparkEntry {
         |  CASE WHEN trend IS NOT NULL
         |    THEN round(v - trend - round(smean - cc, 6), 6) END AS resid
         |FROM det LEFT JOIN sl USING (slot) CROSS JOIN c ORDER BY t""".stripMargin,
+
+    "q_cohens_kappa" ->
+      """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS a,
+        |    CAST(l_linestatus AS VARCHAR) AS b, COUNT(*) AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT SUM(c) AS n,
+        |    SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM cells),
+        |ra AS (SELECT a, SUM(c) AS ma FROM cells GROUP BY 1),
+        |rb AS (SELECT b, SUM(c) AS mb FROM cells GROUP BY 1),
+        |x AS (SELECT COALESCE(SUM(CAST(ma AS HUGEINT) * mb), 0) AS xx
+        |  FROM ra JOIN rb ON ra.a = rb.b),
+        |f AS (SELECT CAST(n AS BIGINT) AS n,
+        |    round(CAST(agree AS DOUBLE) / n, 6) AS po,
+        |    round(CAST(xx AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe
+        |  FROM t, x)
+        |SELECT n, po, pe, CASE WHEN pe < 1.0
+        |  THEN round((po - pe) / (1.0 - pe), 6) END AS kappa FROM f""".stripMargin,
+
+    // bootstrap truth: identical seeded integer-threshold Poisson draws
+    // (the CASE thresholds are generated from the same constants the
+    // kernel uses), exact HUGEINT replicate sums, the same inverted-CDF
+    // rank picks evaluated with the same double expressions
+    "q_bootstrap_ci" -> {
+      val hash = "CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), " +
+        "1, 15)) AS UBIGINT)"
+      s"""WITH v AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+        |e AS (SELECT id, u, r FROM v CROSS JOIN range(1, 101) AS t(r)),
+        |w AS (SELECT u, r, ${Stats.BootstrapThresholds.sqlCase(hash)} AS w
+        |  FROM e),
+        |m AS (SELECT r, SUM(CAST(w AS HUGEINT) * u) AS swx,
+        |    SUM(CAST(w AS HUGEINT)) AS sw FROM w GROUP BY r),
+        |means AS (SELECT round(CAST(swx AS DOUBLE)
+        |    / (CAST(sw AS DOUBLE) * 100.0), 6) AS m FROM m WHERE sw > 0),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk,
+        |    COUNT(*) OVER () AS rc FROM means),
+        |ci AS (SELECT
+        |    MIN(CASE WHEN rk = greatest(CAST(ceil((1.0 - 0.95) / 2 * rc)
+        |      AS BIGINT), 1) THEN m END) AS lo,
+        |    MIN(CASE WHEN rk = greatest(CAST(ceil((1.0 - (1.0 - 0.95) / 2)
+        |      * rc) AS BIGINT), 1) THEN m END) AS hi,
+        |    CAST(MAX(rc) AS BIGINT) AS n_replicates FROM ranked),
+        |base AS (SELECT COUNT(*) AS n, round(CAST(SUM(u) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 100.0), 6) AS mean FROM v)
+        |SELECT CAST(n AS BIGINT) AS n, mean, lo, hi, n_replicates
+        |FROM base, ci""".stripMargin
+    },
 
     // PSI truth: same integer-exact decile edges from the reference's
     // distinct-value CDF, bin = count of edges strictly below, shares

@@ -1035,6 +1035,157 @@ object Stats {
       .select("bin", "ref_n", "cur_n", "ref_share", "cur_share", "term", "psi")
   }
 
+  /** Cohen's κ agreement between two categorical columns (raters,
+    * model-vs-model labels, annotator-vs-heuristic): observed agreement
+    * corrected for the agreement two independent raters with these
+    * margins would reach by chance — the label-quality gate before
+    * training on auto-labeled data. Returns one row
+    * (n, po, pe, kappa); NULL κ when pe = 1 (both raters constant and
+    * identical — agreement is vacuous).
+    *
+    * Shape: ONE map-side-combined cell count; margins and the two
+    * shares fold from the bounded cell table. Exactness: po and pe
+    * derive from exact integer counts (pe's cross terms as exact
+    * decimal products over the margin tables), each rounded at 6 dp;
+    * κ is one fixed-order double expression rounded at 6 dp.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val agg = cells.agg(sum("_c").as("_n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("_agree"))
+      .head()
+    val n = agg.getAs[Long]("_n")
+    require(n >= 1, "cohensKappa needs at least 1 complete row")
+    val agree = agg.getAs[Long]("_agree")
+    val dec = "decimal(38,0)"
+    // Σ_k rowMargin(k)·colMargin(k) as one exact decimal integer
+    val ra = cells.groupBy("_a").agg(sum("_c").as("_ma"))
+    val rb = cells.groupBy("_b").agg(sum("_c").as("_mb"))
+    val cross = ra.join(rb, col("_a") === col("_b"))
+      .agg(sum(col("_ma").cast(dec) * col("_mb")).as("_x")).head()
+    val x = Option(cross.getAs[java.math.BigDecimal]("_x"))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    def r6(v: Double): java.lang.Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val po = r6(agree.toDouble / n)
+    val pe = r6(x.doubleValue / (n.toDouble * n))
+    val kappa: java.lang.Double =
+      if (pe >= 1.0) null else r6((po - pe) / (1.0 - pe))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(n, po.doubleValue, pe.doubleValue, kappa)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("po", DoubleType, nullable = false),
+        StructField("pe", DoubleType, nullable = false),
+        StructField("kappa", DoubleType, nullable = true))))
+  }
+
+  /** Poisson-bootstrap confidence interval for a column mean — the
+    * uncertainty attached to any sampled-corpus metric ("is this 0.3%
+    * quality drop real"). Classic resampling is impossible distributed
+    * (a bootstrap replicate needs global sampling WITH replacement);
+    * the Poisson bootstrap (Hanley & MacGibbon 2006) replaces each
+    * row's replicate multiplicity with an independent Poisson(1) draw —
+    * here a SEEDED md5-derived draw, so every engine and every re-run
+    * reproduces the same replicates bit-for-bit. Returns one row
+    * (n, mean, lo, hi, n_replicates) with the inverted-CDF percentile
+    * bounds of the replicate means at `level` coverage.
+    *
+    * Shape: one explode ×R into a (replicate)-keyed aggregation —
+    * map-side combine bounds the shuffle at R × partitions rows; the R
+    * replicate means come to the driver (R doubles). Exactness: the
+    * Poisson inverse-CDF compares the 60-bit hash INTEGER against
+    * precomputed integer thresholds (floor(cdf·2^60) — no float in the
+    * draw at all); Σw·x folds in exact decimal from canonical units;
+    * each replicate mean is one double division rounded at 6 dp.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      nReplicates: Int = 200, level: Double = 0.95,
+                      precision: Int = 9, scale: Int = 2): DataFrame = {
+    require(nReplicates >= 20 && nReplicates <= 10000,
+      "nReplicates in [20, 10000]")
+    require(level > 0 && level < 1, "level in (0, 1)")
+    val rows = df
+      .select(col(idCol).cast("string").as("_id"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val unitsPerValue = math.pow(10, scale)
+    val w = BootstrapThresholds.weightColumn(
+      conv(substring(md5(concat(col("_id"), lit(":"), col("_r"))), 1, 15),
+        16, 10).cast("decimal(20,0)"))
+    val reps = rows
+      .select(col("_id"), col("_u"),
+        explode(sequence(lit(1), lit(nReplicates))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy("_r")
+      .agg(sum(col("_w").cast("decimal(38,0)") * col("_u")).as("_swx"),
+        sum(col("_w").cast("decimal(38,0)")).as("_sw"))
+      .collect()
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val means = reps.flatMap { r =>
+      val sw = r.getAs[java.math.BigDecimal]("_sw")
+      // a replicate where every Poisson draw was 0 carries no sample
+      if (sw.signum == 0) None
+      else Some(r6(r.getAs[java.math.BigDecimal]("_swx").doubleValue /
+        (sw.doubleValue * unitsPerValue)))
+    }.sorted
+    require(means.nonEmpty, "bootstrapMeanCI: no non-empty replicates (empty input?)")
+    val rCount = means.length
+    // inverted CDF: smallest mean whose rank reaches the percentile mass
+    def pick(p: Double): Double =
+      means(math.max(0, math.ceil(p * rCount).toInt - 1))
+    val alpha = (1.0 - level) / 2
+    val base = rows.agg(count(lit(1)).as("_n"),
+      sum(col("_u").cast("decimal(38,0)")).as("_su")).head()
+    val n = base.getAs[Long]("_n")
+    require(n >= 1, "bootstrapMeanCI needs at least 1 row")
+    val mean = r6(base.getAs[java.math.BigDecimal]("_su").doubleValue /
+      (n.toDouble * unitsPerValue))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n, mean,
+        pick(alpha), pick(1.0 - alpha), rCount.toLong)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("mean", DoubleType, nullable = false),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false),
+        StructField("n_replicates", LongType, nullable = false))))
+  }
+
+  /** Integer Poisson(1) inverse-CDF thresholds at 60-bit precision —
+    * shared verbatim by the Spark draw and the oracle SQL (the draw is
+    * an INTEGER comparison; no float ever enters it).
+    */
+  private[graft] object BootstrapThresholds {
+    val max: Long = 1L << 60
+    // cumulative Poisson(1) probabilities, k = 0..6; mass beyond 7 is
+    // ~1e-5 and maps to weight 7 (bounded multiplicity keeps Σw·x exact)
+    val t: Seq[Long] = {
+      var cum = 0.0; var fact = 1.0
+      (0 to 6).map { k =>
+        if (k > 0) fact *= k
+        cum += math.exp(-1.0) / fact
+        math.floor(cum * max).toLong
+      }
+    }
+    def weightColumn(hash60: Column): Column =
+      t.zipWithIndex.foldRight(lit(7L): Column) { case ((thr, k), els) =>
+        when(hash60 < thr, k.toLong).otherwise(els)
+      }
+    /** The same thresholds as SQL CASE text for the oracle. */
+    def sqlCase(hashExpr: String): String =
+      t.zipWithIndex.map { case (thr, k) =>
+        s"WHEN $hashExpr < $thr THEN $k"
+      }.mkString("CASE ", " ", " ELSE 7 END")
+  }
+
   /** Model-sized PSI reference: the `nBins` quantile edges (canonical
     * integer units) and reference bin shares, computed ONCE from the
     * reference sample — the broadcastable state a monitoring stream

@@ -432,6 +432,39 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("rho")))
   }
 
+  test("cohensKappa: textbook case; perfect and chance-level agreement") {
+    // classic 2x2: raters agree on 20+15 of 50; margins give pe = 0.505
+    // kappa = (0.7 - 0.505) / 0.495 = 0.393939
+    val rows = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("a", "b")
+    val r = Stats.cohensKappa(rows, "a", "b").head()
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.505)
+    assert(r.getAs[Double]("kappa") == 0.393939)
+    // identical raters: kappa 1 (unless constant, where pe = 1 -> NULL)
+    val same = Seq.tabulate(30)(i => (s"k${i % 3}", s"k${i % 3}")).toDF("a", "b")
+    assert(Stats.cohensKappa(same, "a", "b").head().getAs[Double]("kappa") == 1.0)
+    val const = Seq.fill(10)(("x", "x")).toDF("a", "b")
+    val c = Stats.cohensKappa(const, "a", "b").head()
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+  }
+
+  test("bootstrapMeanCI: deterministic, brackets the mean, narrows with n") {
+    val small = Seq.tabulate(50)(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val r1 = Stats.bootstrapMeanCI(small, "id", "v", 100).head()
+    val r2 = Stats.bootstrapMeanCI(small, "id", "v", 100).head()
+    assert(r1 == r2, "seeded draws must replay bit-for-bit")
+    assert(r1.getAs[Double]("lo") <= r1.getAs[Double]("mean") &&
+      r1.getAs[Double]("mean") <= r1.getAs[Double]("hi"))
+    assert(r1.getAs[Double]("mean") == 4.5)
+    // 20x the data, same distribution: the interval must tighten
+    val big = Seq.tabulate(1000)(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val rb = Stats.bootstrapMeanCI(big, "id", "v", 100).head()
+    val wSmall = r1.getAs[Double]("hi") - r1.getAs[Double]("lo")
+    val wBig = rb.getAs[Double]("hi") - rb.getAs[Double]("lo")
+    assert(wBig < wSmall / 2, s"CI must narrow: $wBig vs $wSmall")
+  }
+
   test("psi: identical samples score 0; a shift scores positive; bins co-bin ties") {
     val ref = Seq.tabulate(1000)(i => Tuple1((i % 100).toDouble)).toDF("v")
     val same = Stats.psi(ref, ref, "v", 10).collect()
