@@ -50,10 +50,26 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // host-load marker taken before and after the sweep: lets a reader
+    // adjudicate "was the host noisy?" without re-running (r12 published a
+    // 0.6 s query as 130 s because nothing recorded contention)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
     var round = 0
     var roundsDone = 0
-    while (round < runs &&
-      (round == 0 || (System.nanoTime() - benchStart) / 1e9 < budgetSec)) {
+    var firstRoundSec = 0.0
+    // min-of-N is the whole point of interleaved rounds: a single sample
+    // cannot distinguish host noise from a plan regression (BENCH_r12 ran
+    // one round at 223 queries because the fixed 420 s budget was smaller
+    // than one round's wall). So round 2 ALWAYS runs, and from round 3 on
+    // the gate uses an effective budget scaled to the measured first-round
+    // wall (>= 2.5x) so growth in query count can never re-create the
+    // single-sample artifact.
+    while (round < runs && {
+      val elapsed = (System.nanoTime() - benchStart) / 1e9
+      val effBudget = math.max(budgetSec, 2.5 * firstRoundSec)
+      round < 2 || elapsed < effBudget
+    }) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -61,7 +77,9 @@ object Bench {
       }
       round += 1
       roundsDone = round
+      if (round == 1) firstRoundSec = (System.nanoTime() - benchStart) / 1e9
     }
+    val loadAfter = osBean.getSystemLoadAverage
     val results = names.map { case (name, _) =>
       val ts = samples(name).sorted
       name -> ts(ts.length / 2)
@@ -77,8 +95,14 @@ object Bench {
     val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val totalMin = mins.map(_._2).sum
+    // full per-query sample lists (newest-first) so a future reader can
+    // adjudicate noise vs regression from the artifact alone
+    val qsSamples = names.map { case (name, _) =>
+      "\"" + name + "\":[" +
+        samples(name).map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"sf":"$sfDir","rounds":$roundsDone}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f}"""
     println(json)
     // stdout tail-capture can clip the single long line (BENCH_r04/r05 lost
     // the first ~25 query timings) — persist the full map to a file too

@@ -127,16 +127,24 @@ object Multimodal {
 
   private def decodePixelsOne(id: Long, bytes: Array[Byte])
       : (Long, String, Integer, Integer, java.lang.Long, java.lang.Long) = {
+    // NonFatal, not IOException: imageio plugins throw RuntimeExceptions
+    // (IndexOutOfBounds, IllegalArgument, CMMException) on malformed
+    // JPEG/GIF bytes, and the scaladoc promise is "never a task failure"
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) (id, null, null, null, null, null)
+      if (bytes == null) (id, null, null, null, null, null)
       else {
-        val lum = luminanceGrid(img)
-        val fmt = ImageHeader.parse(bytes).map(_._1).getOrElse("unknown")
-        (id, fmt, img.getWidth, img.getHeight,
-          aHash64(lum): java.lang.Long, dHash64(lum): java.lang.Long)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (id, null, null, null, null, null)
+        else {
+          val lum = luminanceGrid(img)
+          val fmt = ImageHeader.parse(bytes).map(_._1).getOrElse("unknown")
+          (id, fmt, img.getWidth, img.getHeight,
+            aHash64(lum): java.lang.Long, dHash64(lum): java.lang.Long)
+        }
       }
-    } catch { case _: java.io.IOException => (id, null, null, null, null, null) }
+    } catch {
+      case scala.util.control.NonFatal(_) => (id, null, null, null, null, null)
+    }
   }
 
   /** Integer luminance (0..255, ITU-R 601 weights in exact integer
@@ -247,7 +255,8 @@ object Multimodal {
     */
   private[graft] def gridDistance(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
     def grid(bytes: Array[Byte]): Option[Array[Array[Int]]] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      Option(bytes).flatMap(bs =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bs))))
         .map(img => areaAverage(luminanceGrid(img), 9, 8))
     try {
       (grid(a), grid(b)) match {
@@ -262,7 +271,7 @@ object Multimodal {
           java.lang.Double.valueOf(s.toDouble / 72.0)
         case _ => null
       }
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** [[syntheticImage]] with every cell level shifted by `delta` — the
@@ -459,9 +468,18 @@ object Multimodal {
     var bits = 0L
     s = 0
     while (s < 64) {
-      // cnt is n/64±1 so products stay far below Long overflow for any
-      // realistic clip (n < 2^40)
-      if (seg(s) * n > total * cnt(s)) bits |= (1L << s)
+      // seg(s) <= cnt(s)*32767 and cnt ~ n/64, so seg(s)*n ~ 2^9*n^2
+      // overflows Long past n ~ 2^27 samples (~50 min at 44.1 kHz) —
+      // a real clip length. Compare the products in 128 bits
+      // (multiplyHigh + unsigned-low tiebreak); both sides are
+      // non-negative so the signed-hi compare is exact.
+      val hi1 = Math.multiplyHigh(seg(s), n.toLong)
+      val lo1 = seg(s) * n.toLong
+      val hi2 = Math.multiplyHigh(total, cnt(s))
+      val lo2 = total * cnt(s)
+      val gt = hi1 > hi2 ||
+        (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+      if (gt) bits |= (1L << s)
       s += 1
     }
     bits

@@ -824,11 +824,16 @@ object Stats {
                precision: Int = 9, scale: Int = 2,
                maxN: Int = 10000): DataFrame = {
     val spark = df.sparkSession
+    // the bounded series feeds four actions (count, both sides of the
+    // pair self-join, residuals): persist so the upstream scan /
+    // aggregation producing the series runs once. Released in finally.
     val series = df
       .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(tCol).cast("long").as("_t"),
         LimbMoments.units(valueCol, precision, scale).as("_u"))
       .filter(col("_u").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val n = series.count()
     require(n >= 2, s"theilSen needs at least 2 points, got $n")
     require(n <= maxN,
@@ -896,6 +901,7 @@ object Stats {
         StructField("n_pairs", LongType, nullable = false),
         StructField("slope", DoubleType, nullable = false),
         StructField("intercept", DoubleType, nullable = false))))
+    } finally { series.unpersist(blocking = false) }
   }
 
   /** Spearman rank correlation between two numeric columns — the
@@ -1050,10 +1056,14 @@ object Stats {
     * κ is one fixed-order double expression rounded at 6 dp.
     */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // two reductions (n/agree, margin cross term) read the cell table:
+    // persist so the raw-row scan + groupBy runs once, not twice
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).cast("string").as("_a"),
         col(bCol).cast("string").as("_b"))
       .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val agg = cells.agg(sum("_c").as("_n"),
       sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("_agree"))
       .head()
@@ -1083,6 +1093,7 @@ object Stats {
         StructField("po", DoubleType, nullable = false),
         StructField("pe", DoubleType, nullable = false),
         StructField("kappa", DoubleType, nullable = true))))
+    } finally { cells.unpersist(blocking = false) }
   }
 
   /** Poisson-bootstrap confidence interval for a column mean — the
@@ -1259,18 +1270,37 @@ object Stats {
   def kendallTau(df: DataFrame, aCol: String, bCol: String,
                  precision: Int = 9, scale: Int = 2,
                  maxCells: Int = 10000): DataFrame = {
+    // the cell table feeds FIVE logically distinct reductions (dims
+    // guard, pair masses, two margins, n). Persist it so the raw-row
+    // scan + groupBy runs exactly once — without this, every head()
+    // re-ran the full input scan (~5x wasted IO; at 100 TB, 5 full
+    // passes instead of 1). Released in the finally below.
     val cells = df
       .select(LimbMoments.units(aCol, precision, scale).as("_a"),
         LimbMoments.units(bCol, precision, scale).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // dims + n folded into the first action: one pass over the cached
+    // cell table answers both the guard and the row count
     val dims = cells.agg(countDistinct("_a").as("_da"),
-      countDistinct("_b").as("_db")).head()
+      countDistinct("_b").as("_db"), sum("_c").as("_n")).head()
     val nCells = dims.getAs[Long]("_da") * dims.getAs[Long]("_db")
     require(nCells <= maxCells,
       s"kendallTau: $nCells cells > maxCells=$maxCells — the cell-pair " +
         "stage is O(cells^2); bucket the columns or use spearman for " +
         "continuous data")
+    val n = dims.getAs[Long]("_n")
+    require(n >= 2, s"kendallTau needs at least 2 complete rows, got $n")
+    // pair masses are bounded by n(n-1)/2 and returned as exact Longs:
+    // past n ~ 4.29e9 rows that bound exceeds Long.MaxValue and
+    // longValueExact would throw mid-query — fail fast with the remedy
+    // instead (the maxCells guard bounds CELLS, not rows)
+    require(n <= 4294967296L,
+      s"kendallTau: n=$n rows — concordant/discordant counts are exact " +
+        "Longs bounded by n(n-1)/2, which overflows Long past ~4.29e9 " +
+        "rows; pre-aggregate or sample the input")
     val dec = "decimal(38,0)"
     val l = cells.select(col("_a").as("_a1"), col("_b").as("_b1"),
       col("_c").cast(dec).as("_c1"))
@@ -1287,8 +1317,6 @@ object Stats {
       .groupBy(c).agg(sum("_c").as("_t"))
       .agg(sum((col("_t").cast(dec) * (col("_t") - 1)) / 2).as("_m"))
       .head().getAs[java.math.BigDecimal]("_m")
-    val n = cells.agg(sum("_c")).head().getLong(0)
-    require(n >= 2, s"kendallTau needs at least 2 complete rows, got $n")
     val p = Option(pq.getAs[java.math.BigDecimal]("_p"))
       .getOrElse(java.math.BigDecimal.ZERO)
     val q = Option(pq.getAs[java.math.BigDecimal]("_q"))
@@ -1313,6 +1341,7 @@ object Stats {
         StructField("concordant", LongType, nullable = false),
         StructField("discordant", LongType, nullable = false),
         StructField("tau_b", DoubleType, nullable = true))))
+    } finally { cells.unpersist(blocking = false) }
   }
 
   /** Two-proportion z-test between cohorts `g1` and `g2` of a binary

@@ -433,14 +433,14 @@ class StatsOpsSpec extends SparkSpecBase {
   }
 
   test("cohensKappa: textbook case; perfect and chance-level agreement") {
-    // classic 2x2: raters agree on 20+15 of 50; margins give pe = 0.505
-    // kappa = (0.7 - 0.505) / 0.495 = 0.393939
+    // classic 2x2: raters agree on 20+15 of 50; margins a:(25,25), b:(30,20)
+    // give pe = (25*30 + 25*20)/2500 = 0.5; kappa = (0.7 - 0.5) / 0.5 = 0.4
     val rows = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
       Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("a", "b")
     val r = Stats.cohensKappa(rows, "a", "b").head()
     assert(r.getAs[Double]("po") == 0.7)
-    assert(r.getAs[Double]("pe") == 0.505)
-    assert(r.getAs[Double]("kappa") == 0.393939)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
     // identical raters: kappa 1 (unless constant, where pe = 1 -> NULL)
     val same = Seq.tabulate(30)(i => (s"k${i % 3}", s"k${i % 3}")).toDF("a", "b")
     assert(Stats.cohensKappa(same, "a", "b").head().getAs[Double]("kappa") == 1.0)
