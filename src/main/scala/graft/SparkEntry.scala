@@ -598,6 +598,26 @@ object SparkEntry {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- video container metadata: REAL MP4 ISO-BMFF box walk + AVI
+    //      RIFF header walk (VideoHeader.parse) over planted
+    //      deterministic containers — doc_id % 3 picks mp4 / avi /
+    //      junk-bytes, parameters are closed-form in doc_id so the
+    //      oracle states the parsed truth directly; junk rows prove the
+    //      NULL-not-crash contract ----
+    "q_video_meta" -> ((s, dir) => {
+      val mp4 = udf((d: Long) => VideoHeader.syntheticMp4(
+        (16 * (d % 60 + 4)).toInt, (16 * (d % 40 + 3)).toInt,
+        d % 9000 + 1000, ((d / 3) % 3 + 1).toInt))
+      val avi = udf((d: Long) => VideoHeader.syntheticAvi(
+        (d % 320 + 16).toInt, (d % 240 + 12).toInt, 40000L,
+        d % 500 + 50, ((d / 3) % 2 + 1).toInt))
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, mp4(col("doc_id")))
+          .when(col("doc_id") % 3 === 1, avi(col("doc_id")))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+      Multimodal.decodeVideoMeta(payloads).orderBy("doc_id")
+    }),
+
     // ---- image near-dup via REAL pixel decode (javax.imageio): planted
     //      resized-and-re-encoded twins. Each selected doc gets a
     //      deterministic doc-seeded image, piecewise-constant on the
@@ -3510,6 +3530,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(substr(text, 1 + i * w, w)) AS frame_md5
         |FROM f, generate_series(0, 3) AS t(i) ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // planted truth: container parameters are pure doc_id arithmetic
+    // (mp4: mvhd timescale 1000 so duration units are ms; avi: 40000
+    // us/frame so duration_ms = 40 * frames); junk rows parse to NULLs
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'mp4'
+        |       WHEN doc_id % 3 = 1 THEN 'avi' END AS container,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 * (doc_id % 60 + 4) AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 320 + 16 AS INTEGER)
+        |       END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 * (doc_id % 40 + 3) AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 240 + 12 AS INTEGER)
+        |       END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 9000 + 1000
+        |       WHEN doc_id % 3 = 1 THEN 40 * (doc_id % 500 + 50)
+        |       END AS duration_ms,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id // 3) % 3 + 1 AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST((doc_id // 3) % 2 + 1 AS INTEGER)
+        |       END AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // planted truth: every selected doc pairs with its +10M resized twin
     // at dHash Hamming 0 (cell-aligned pattern, spec-proven exact);

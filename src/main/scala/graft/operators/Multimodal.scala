@@ -553,6 +553,41 @@ object Multimodal {
       .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
 
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true)))
+
+  /** REAL video container metadata decode ([[VideoHeader]]): MP4
+    * ISO-BMFF box walk and AVI RIFF header walk, pure JVM bytes — the
+    * dimensions/duration/track-count a curation pipeline filters on
+    * (drop sub-360p, cap duration, require a video track). Frame PIXEL
+    * decode stays on the fake path ([[frameSamples]]) — no JVM-bundled
+    * video codec exists. Same shape as [[decodeImage]]: one
+    * `mapPartitions` InternalRow pass, only scalar outputs move,
+    * unparseable payloads yield NULL columns, never a task failure.
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { ir =>
+        val id = ir.getLong(0)
+        val bytes = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        VideoHeader.parse(bytes) match {
+          case Some((c, w, h, ms, tr)) =>
+            Row(id, c, Int.box(w), Int.box(h), Long.box(ms), Int.box(tr))
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoMetaSchema)
+  }
+
   /** STUB frame sampling: one row per sampled "frame" with a content
     * digest of its byte slice — the Spark plumbing (explode shape, per-
     * frame keys) is real; a codec would replace the digest with pixels.
