@@ -972,4 +972,31 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(pairJoinIdx >= 0 && semiIdx > pairJoinIdx,
       s"expected the item prune nested under the pair join:\n$p")
   }
+
+  test("driver collects stay bounded: the largest-configured pools respect their caps") {
+    // NOTES r13 "Driver-action audit": the three sites with the largest
+    // configurable driver pools, asserted behaviorally so removing a cap
+    // fails the suite, not the cluster.
+    // 1. BPE vocab pool — 300 distinct tokens, cap at 5: the driver sees
+    //    at most maxVocab words; merges still come out (of the capped set)
+    val docs = spark.range(300)
+      .select(concat(lit("w"), $"id", lit(" w"), $"id", lit(" shared token")).as("text"))
+    val merges = graft.operators.Bpe.train(docs, "text", nMerges = 3, maxVocab = 5)
+    assert(merges.nonEmpty && merges.size <= 3)
+    // 2. connected components small-graph probe — edges above the
+    //    smallGraphEdges bound must take the distributed iterative path
+    //    and still produce correct components (one 40-node chain)
+    val chain = spark.range(39).select($"id".as("id1"), ($"id" + 1).as("id2"))
+    val cc = graft.operators.Dedup.connectedComponents(chain, smallGraphEdges = 10L)
+    assert(cc.select(countDistinct("component")).head().getLong(0) == 1L)
+    assert(cc.count() == 40L)
+    // 3. mmrSelect candidate pool — the distributed stage is a top-k
+    //    (CollectLimit/TakeOrdered), never a full-corpus sort-collect
+    val emb = spark.range(500).select($"id".as("vec_id"),
+      ($"id" % 97).cast("double").as("rel"),
+      array(($"id" % 13).cast("double"), lit(1.0)).as("v"))
+    val sel = graft.operators.Similarity.mmrSelect(
+      emb, "vec_id", "v", "rel", k = 4, lambda = 0.5, candidateN = 16)
+    assert(sel.count() == 4L)
+  }
 }
