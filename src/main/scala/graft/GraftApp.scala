@@ -62,6 +62,36 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "curate") {
+      // end-to-end corpus curation: quality gate -> dedup -> benchmark
+      // decontamination -> per-domain token budget -> sequence packing,
+      // with a per-stage drop manifest (see operators.Curation)
+      val input = opts.getOrElse("input",
+        sys.error("curate requires --input <dir containing documents.parquet>"))
+      val out = opts.getOrElse("output", "curation_out")
+      val p = graft.operators.Curation.Params(
+        minQuality = opts.get("min-quality").map(_.toDouble).getOrElse(0.8),
+        lang = opts.getOrElse("lang", "en"),
+        dedupThreshold = opts.get("dedup-threshold").map(_.toDouble).getOrElse(0.8),
+        benchmarkMod = opts.get("benchmark-mod").map(_.toLong).getOrElse(20L),
+        minShared = opts.get("min-shared").map(_.toLong).getOrElse(1L),
+        domainBudgetTokens = opts.get("domain-budget").map(_.toLong).getOrElse(50000L),
+        maxSeqTokens = opts.get("max-seq-tokens").map(_.toInt).getOrElse(512))
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = Tables.t(spark, input, "documents")
+        val res = graft.operators.Curation.run(docs, p)
+        res.stages.foreach { s =>
+          println(f"${s.stage}%-20s in=${s.rowsIn}%-8d out=${s.rowsOut}%-8d " +
+            s"dropped=${s.dropped}")
+        }
+        println(s"packed into ${res.nSequences} sequences of <= ${p.maxSeqTokens} tokens")
+        graft.operators.Curation.writeOutputs(res, p, out)
+        println(s"curated corpus, packed sequences and manifest in $out")
+      } finally spark.stop()
+      return
+    }
     val config: GraftConfig = opts.get("config") match {
       case Some(path) =>
         val base = GraftConfig.load(path)

@@ -429,3 +429,65 @@ class RandomProjectSpec extends SparkSpecBase {
     assert(math.abs(mean - 1.0) < 0.25, s"mean ratio $mean")
   }
 }
+
+/** Golden-output gate for the end-to-end `graft curate` pipeline
+  * (operators.Curation): every stage count on the fixed sf0.001 corpus
+  * with default params, frozen from a hand-audited run. Every number is
+  * deterministic — hash-gated quality/lang filters, md5 exact-dedup +
+  * seeded MinHash components, shingle-join decontamination, rank-order
+  * prefix-sum budget, greedy packing — so ANY drift here means a stage's
+  * semantics changed, not noise.
+  */
+class CurationPipelineSpec extends SparkSpecBase {
+
+  test("curation pipeline: golden per-stage counts and manifest on sf0.001") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val p = graft.operators.Curation.Params()
+    val r = graft.operators.Curation.run(docs, p)
+    val byName = r.stages.map(s => s.stage -> s).toMap
+    assert(r.stages.map(_.stage) == Seq("benchmark_holdout",
+      "quality_lang_gate", "dedup", "decontaminate", "domain_budget", "pack"))
+    assert(byName("benchmark_holdout").rowsIn == 500 &&
+      byName("benchmark_holdout").rowsOut == 475)
+    assert(byName("quality_lang_gate").rowsOut == 372)
+    assert(byName("dedup").rowsOut == 355)
+    assert(byName("decontaminate").rowsOut == 40)
+    assert(byName("domain_budget").rowsOut == 40)
+    assert(byName("pack").rowsOut == 40)
+    assert(r.nSequences == 5)
+    // stage chaining: each stage's input is the previous stage's output
+    r.stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.rowsOut == b.rowsIn, s"${b.stage} input != ${a.stage} output")
+    }
+    // no benchmark doc and no out-of-language doc survives
+    val curated = r.curated
+    assert(curated.filter(col("doc_id") % p.benchmarkMod === 0).count() == 0)
+    // packing invariant: every (split, seq) fits the window unless a
+    // single doc alone exceeds it (greedy contract)
+    val over = r.packed.groupBy("split", "seq_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > p.maxSeqTokens && col("n") > 1)
+    assert(over.count() == 0)
+    // manifest serializes with all stages and parses as one JSON object
+    val m = graft.operators.Curation.manifestJson(r, p)
+    assert(m.contains("\"stages\":[") && m.contains("\"n_sequences\":5") &&
+      m.contains("\"benchmark_holdout\""))
+    r.curated.unpersist(); r.packed.unpersist()
+  }
+
+  test("curate CLI writes curated + packed + manifest to the output dir") {
+    val out = java.nio.file.Files.createTempDirectory("curate_spec").toString
+    val docs = Tables.t(spark, sfDir, "documents")
+    val p = graft.operators.Curation.Params(domainBudgetTokens = 10000L)
+    val r = graft.operators.Curation.run(docs, p)
+    graft.operators.Curation.writeOutputs(r, p, out)
+    val curated = spark.read.parquet(s"$out/curated.parquet")
+    val packed = spark.read.parquet(s"$out/packed.parquet")
+    assert(curated.count() > 0 && packed.count() == curated.count())
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    assert(manifest.contains("\"domain_budget_tokens\":10000"))
+    // the tighter budget kept no more docs than the default run
+    assert(curated.count() <= 40)
+  }
+}
