@@ -65,6 +65,43 @@ object Bench {
     // the gate uses an effective budget scaled to the measured first-round
     // wall (>= 2.5x) so growth in query count can never re-create the
     // single-sample artifact.
+    def render(): String = {
+      val loadNow = osBean.getSystemLoadAverage
+      val results = names.map { case (name, _) =>
+        val ts = samples(name).sorted
+        name -> ts(ts.length / 2)
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      // min-of-rounds published alongside the median: single runs on this
+      // shared host spike 10-25x in noisy-neighbor windows (NOTES r11), so
+      // a per-query median >> min flags noise, not a plan regression — the
+      // artifact self-documents which spikes to distrust
+      val mins = names.map { case (name, _) => name -> samples(name).min }
+      val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val totalMin = mins.map(_._2).sum
+      // full per-query sample lists (newest-first) so a future reader can
+      // adjudicate noise vs regression from the artifact alone
+      val qsSamples = names.map { case (name, _) =>
+        "\"" + name + "\":[" +
+          samples(name).map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadNow%.2f}"""
+    }
+    // written after EVERY round (not just at exit): a harness that kills
+    // a long multi-round run still finds the last completed round's
+    // artifact on disk — partial progress is never lost
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def persist(json: String): Unit =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"bench_out write failed: ${e.getMessage}")
+      }
     while (round < runs && {
       val elapsed = (System.nanoTime() - benchStart) / 1e9
       val effBudget = math.max(budgetSec, 2.5 * firstRoundSec)
@@ -78,42 +115,14 @@ object Bench {
       round += 1
       roundsDone = round
       if (round == 1) firstRoundSec = (System.nanoTime() - benchStart) / 1e9
+      persist(render())
     }
-    val loadAfter = osBean.getSystemLoadAverage
-    val results = names.map { case (name, _) =>
-      val ts = samples(name).sorted
-      name -> ts(ts.length / 2)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // min-of-rounds published alongside the median: single runs on this
-    // shared host spike 10-25x in noisy-neighbor windows (NOTES r11), so
-    // a per-query median >> min flags noise, not a plan regression — the
-    // artifact self-documents which spikes to distrust
-    val mins = names.map { case (name, _) => name -> samples(name).min }
-    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val totalMin = mins.map(_._2).sum
-    // full per-query sample lists (newest-first) so a future reader can
-    // adjudicate noise vs regression from the artifact alone
-    val qsSamples = names.map { case (name, _) =>
-      "\"" + name + "\":[" +
-        samples(name).map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f}"""
+    val json = render()
     println(json)
     // stdout tail-capture can clip the single long line (BENCH_r04/r05 lost
-    // the first ~25 query timings) — persist the full map to a file too
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"bench_out write failed: ${e.getMessage}")
-    }
+    // the first ~25 query timings) — the per-round persist above already
+    // wrote the same map to a file
+    persist(json)
     spark.stop()
   }
 }
