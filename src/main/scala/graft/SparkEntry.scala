@@ -1385,6 +1385,51 @@ object SparkEntry {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
         .orderBy("doc_id")),
 
+    // ---- URL parse + canonicalize over planted URLs: mixed-case
+    //      scheme/host, default ports, query strings, fragments — the
+    //      oracle derives host/domain/canonical form INDEPENDENTLY from
+    //      doc_id arithmetic (end-to-end gate, not a regex replay) ----
+    "q_url_parse" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTP://WWW.Example"), col("doc_id") % 50, lit(".COM"),
+        when(col("doc_id") % 7 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Path/"), col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?id="), col("doc_id"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.urlHost(url).as("host"),
+        TextAnalysis.urlDomain(url).as("domain"),
+        TextAnalysis.normalizeUrl(url).as("norm_url"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- HTML -> text extraction over planted markup: script/style/
+    //      comment blocks dropped wholesale (including a decoy "1 < 2"
+    //      inside the script), tags stripped, entities decoded, title
+    //      and out-link count extracted — the crawl-ingest stage; every
+    //      pattern is RE2-safe so DuckDB replays the chain exactly ----
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        when(col("doc_id") % 6 === 0,
+          lit("<meta name=\"ROBOTS\" content=\"NOINDEX, nofollow\">"))
+          .otherwise(lit("")),
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && doc;</script>"),
+        lit("<style>p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/a\">a &amp; b</a> <a\nhref=\"/b\">c</a>"))
+          .otherwise(lit("")),
+        lit("<p>"), col("text"), lit("</p><!-- hidden --></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.htmlTitle(html).as("title"),
+        TextAnalysis.htmlLinkCount(html).cast("long").as("n_links"),
+        TextAnalysis.htmlNoindex(html).as("noindex"),
+        TextAnalysis.extractHtmlText(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PII detect + redact over deterministically-planted PII (the
     //      synthetic corpus is PII-free, so every 7th doc gets a known
     //      email/IP/SSN suffix — the oracle must find and redact them) ----
@@ -4086,6 +4131,53 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form truth: host/domain/canonical url derived directly from
+    // doc_id arithmetic — lowercased host, :80 stripped, fragment gone,
+    // path case preserved
+    "q_url_parse" ->
+      """SELECT doc_id,
+        |  'www.example' || (doc_id % 50) || '.com' AS host,
+        |  'example' || (doc_id % 50) || '.com' AS domain,
+        |  'http://www.example' || (doc_id % 50) || '.com/Path/' || doc_id ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?id=' || doc_id ELSE '' END
+        |    AS norm_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same planted wrapper, same RE2 patterns, same entity decode order
+    // (&amp; last) — the chain replays byte-identically
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |  CASE WHEN doc_id % 6 = 0
+        |    THEN '<meta name="ROBOTS" content="NOINDEX, nofollow">'
+        |    ELSE '' END ||
+        |  '<script type="text/javascript">var x = 1 < 2 && doc;</script>' ||
+        |  '<style>p { color: red; }</style></head><body><h1>Doc ' ||
+        |  doc_id || '</h1>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN '<a href="/a">a &amp; b</a> <a' || chr(10) || 'href="/b">c</a>'
+        |    ELSE '' END ||
+        |  '<p>' || text || '</p><!-- hidden --></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_extract(html,
+        |    '(?is)<title[^>]*>(.*?)</title>', 1), '[ \t\r\n]+', ' ', 'g'))
+        |    AS title,
+        |  CAST(length(regexp_extract_all(html, '(?i)<a[ \t\r\n][^>]*>'))
+        |    AS BIGINT) AS n_links,
+        |  (doc_id % 6 = 0) AS noindex,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS extracted
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" -> {
       val em = TextAnalysis.piiEmailPattern

@@ -336,6 +336,88 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(lower(text),
       lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
 
+  /** HTML → text extraction (the crawl-ingest stage before any quality
+    * or dedup work — trafilatura/jusText's core step, reduced to the
+    * deterministic part): drop `<script>`/`<style>` blocks and comments
+    * wholesale, strip remaining tags, decode the common entities
+    * (`&amp;` LAST, standard single-pass decode order), collapse
+    * whitespace. A narrow chain of codegen'd `regexp_replace` built-ins
+    * — no UDF, no parser state, linear at any scale — and every pattern
+    * is RE2-compatible (inline `(?is)` flags, lazy quantifiers, no
+    * lookaround) so oracle engines replay it byte-identically.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style[^>]*>.*?</style>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noComment, lit("<[^>]+>"), lit(" "))
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(ent, lit("[ \\t\\r\\n]+"), lit(" ")))
+  }
+
+  /** `<title>` content of an HTML document (empty string when absent),
+    * whitespace-collapsed. Same RE2-safe inline-flag pattern class as
+    * [[extractHtmlText]].
+    */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+      lit("[ \\t\\r\\n]+"), lit(" ")))
+
+  /** Count of `<a ...>` anchor tags — the out-link degree a crawl
+    * frontier and a link-spam filter both key on.
+    */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a[ \\t\\r\\n][^>]*>"), lit(0)))
+
+  /** `<meta name="robots" ... noindex ...>` detector — the compliance
+    * gate a crawl corpus applies before training use. Case-insensitive,
+    * attribute order/quoting tolerant, RE2-safe.
+    */
+  def htmlNoindex(html: Column): Column =
+    html.rlike("(?is)<meta[^>]*name[ \\t\\r\\n]*=[ \\t\\r\\n]*\"?robots\"?[^>]*noindex")
+
+  // ---- URL analysis (crawl-frontier / per-site grouping primitives).
+  // All patterns RE2-safe; closed-form oracles derive the same values
+  // independently, so these are gated end-to-end, not replayed. ----
+
+  val urlSchemePattern = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+  private val urlRestPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+
+  /** Lowercased host with default ports (:80/:443) stripped — the
+    * per-site dedup / politeness key. Userinfo, if present, stays (rare
+    * in crawls; a closed-list strip would mask malformed URLs).
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, urlHostPattern, 1)),
+      lit(":(80|443)$"), lit(""))
+
+  /** Last-two-label registered domain approximation (`a.b.example.com`
+    * → `example.com`) — the domain-budget / domain-mix key. A public-
+    * suffix list would refine `co.uk`-style hosts; at corpus scale the
+    * two-label cut is the standard cheap first pass.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical URL: lowercased scheme + host (default ports stripped),
+    * path+query preserved case-exact, fragment dropped, bare host gains
+    * "/". Non-URL strings pass through unchanged (never null out a
+    * malformed crawl record — downstream filters see the original).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, urlSchemePattern, 1))
+    val rest = regexp_extract(url, urlRestPattern, 1)
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), urlHost(url),
+        when(rest === "", lit("/")).otherwise(rest)))
+  }
+
   /** PII patterns: deliberately RE2-compatible (no lookaround, no
     * backrefs) so oracle engines match them identically. Emails, IPv4,
     * and SSN-shaped ids cover the common redaction set for web corpora.
