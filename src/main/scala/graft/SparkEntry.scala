@@ -1464,6 +1464,21 @@ object SparkEntry {
       TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ---- CCNet-style perplexity bucketing: bigram-LM surprisal per doc
+    //      (6 dp, canonicalized to exact micro-units) equi-depth binned
+    //      into deciles WITHOUT a global sort (quantileBins' bounded
+    //      distinct-value CDF) — the perplexity-filter triage report
+    //      ("which surprisal band is this corpus concentrated in") ----
+    "q_perplexity_buckets" -> ((s, dir) => {
+      val sup = TextAnalysis.bigramSurprisal(
+        t(s, dir, "documents"), "text", "doc_id")
+      Profile.quantileBins(
+        sup.withColumn("s_micro",
+          round(col("bigram_surprisal") * 1e6).cast("long")),
+        "s_micro", 10)
+        .orderBy("bin")
+    }),
+
     // ---- embedding L2-normalize, exploded for exact comparison ----
     "q_vec_l2norm" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -4243,6 +4258,44 @@ object SparkEntry {
         |  JOIN uni u1 ON u1.term = w1 JOIN uni u2 ON u2.term = w2
         |  CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q_bigram_lm surprisal CTE feeding the q_quantile_bins decile
+    // construction on exact micro-units — same rounding, same edges
+    "q_perplexity_buckets" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |  bg AS (SELECT doc_id, unnest(tk[:-2]) AS w1, unnest(tk[2:]) AS w2
+        |    FROM tks WHERE len(tk) >= 2),
+        |  tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |  bgm AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cbg
+        |    FROM tf GROUP BY 1, 2),
+        |  uni AS (SELECT term, count(*) AS ctf
+        |    FROM (SELECT unnest(tk) AS term FROM tks) GROUP BY 1),
+        |  tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total,
+        |    count(*) AS v_size FROM uni),
+        |  sup AS (SELECT doc_id,
+        |    round(-sum(tf * ln(
+        |        0.75 * (CAST(cbg AS DOUBLE) / u1.ctf) +
+        |        0.25 * (CAST(u2.ctf + 1 AS DOUBLE) / (n_total + v_size))))
+        |      / sum(tf), 6) AS s
+        |    FROM tf JOIN bgm USING (w1, w2)
+        |      JOIN uni u1 ON u1.term = w1 JOIN uni u2 ON u2.term = w2
+        |      CROSS JOIN tot
+        |    GROUP BY doc_id),
+        |  m AS (SELECT CAST(round(s * 1000000) AS BIGINT) AS v FROM sup),
+        |  c AS (SELECT v, count(*) AS n FROM m GROUP BY 1),
+        |  cc AS (SELECT v,
+        |      SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |      SUM(n) OVER () AS tot FROM c),
+        |  e AS (SELECT i, min(v) AS edge FROM cc
+        |    JOIN (SELECT unnest(range(1, 10)) AS i) ii ON cum * 10 >= i * tot
+        |    GROUP BY i),
+        |  b AS (SELECT m.v,
+        |      CAST((SELECT count(*) FROM e WHERE m.v > e.edge) AS INT) AS bin
+        |    FROM m)
+        |SELECT bin, count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_v
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_vec_l2norm" ->
       """WITH e AS (SELECT vec_id,
