@@ -1385,6 +1385,22 @@ object SparkEntry {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
         .orderBy("doc_id")),
 
+    // ---- sentence segmentation (decontamination/packing granularity):
+    //      RE2-safe match-the-sentence extraction, original match index
+    //      preserved through the empty-match filter ----
+    "q_split_sentences" -> ((s, dir) =>
+      // the synthetic corpus has no terminators — plant a deterministic
+      // multi-sentence suffix (adjacent "?!" exercises the empty-match
+      // filter) so the segmentation actually splits
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.sentences(concat(col("text"),
+            lit(". Tail one! Really?! The end")))))
+        .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+          trim(col("col")).as("sentence"))
+        .filter(col("sentence") =!= "")
+        .orderBy("doc_id", "sent_idx")),
+
     // ---- URL parse + canonicalize over planted URLs: mixed-case
     //      scheme/host, default ports, query strings, fragments — the
     //      oracle derives host/domain/canonical form INDEPENDENTLY from
@@ -4146,6 +4162,21 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same RE2 pattern, same original-index-preserving empty filter
+    // (index attaches via the two-arg list_transform lambda — DuckDB's
+    // generate_series cannot lateral-reference a column)
+    "q_split_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      regexp_extract_all(text || '. Tail one! Really?! The end',
+        |        '[^.!?]+[.!?]*'),
+        |      (x, i) -> struct_pack(i := i - 1, s := x))) AS e
+        |  FROM documents)
+        |SELECT doc_id, CAST(e.i AS BIGINT) AS sent_idx,
+        |  trim(e.s) AS sentence
+        |FROM s WHERE trim(e.s) <> ''
+        |ORDER BY doc_id, sent_idx""".stripMargin,
 
     // closed-form truth: host/domain/canonical url derived directly from
     // doc_id arithmetic — lowercased host, :80 stripped, fragment gone,

@@ -381,6 +381,17 @@ object TextAnalysis {
   def htmlNoindex(html: Column): Column =
     html.rlike("(?is)<meta[^>]*name[ \\t\\r\\n]*=[ \\t\\r\\n]*\"?robots\"?[^>]*noindex")
 
+  /** Rule-based sentence segmentation: maximal runs of non-terminator
+    * characters plus their trailing `[.!?]` run, as one RE2-safe
+    * `regexp_extract_all` (no lookaround — `(?<=[.!?]) ` splitting is
+    * not RE2-expressible, the match-the-sentence form is). The
+    * granularity decontamination and packing drop to when documents are
+    * too coarse. Returns the raw match array; callers trim/filter
+    * (whitespace-only matches arise between adjacent terminators).
+    */
+  def sentences(text: Column): Column =
+    regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0))
+
   // ---- URL analysis (crawl-frontier / per-site grouping primitives).
   // All patterns RE2-safe; closed-form oracles derive the same values
   // independently, so these are gated end-to-end, not replayed. ----

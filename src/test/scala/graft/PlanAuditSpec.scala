@@ -973,6 +973,26 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"expected the item prune nested under the pair join:\n$p")
   }
 
+  test("html extraction and url canonicalization are narrow codegen chains: no Exchange, no UDF") {
+    val dir = java.nio.file.Files.createTempDirectory("planaudit-html").toString
+    spark.range(200).select($"id".as("doc_id"),
+        concat(lit("<p>doc "), $"id", lit("</p>")).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.extractHtmlText(col("text")).as("t"),
+      TextAnalysis.htmlTitle(col("text")).as("title"),
+      TextAnalysis.htmlLinkCount(col("text")).as("links"),
+      TextAnalysis.htmlNoindex(col("text")).as("ni"),
+      TextAnalysis.normalizeUrl(col("text")).as("u"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected shuffle-free extraction plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"expected built-in-only (codegen) expressions:\n$p")
+    // the "*(n)" stage prefix is executedPlan.toString's codegen marker
+    assert(p.trim.startsWith("*("), s"expected whole-stage codegen span:\n$p")
+  }
+
   test("driver collects stay bounded: the largest-configured pools respect their caps") {
     // NOTES r13 "Driver-action audit": the three sites with the largest
     // configurable driver pools, asserted behaviorally so removing a cap
