@@ -62,6 +62,35 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "curate-append") {
+      // incremental daily-batch curation against a persisted LSH index:
+      // quality gate -> within-batch dedup -> asymmetric index screen ->
+      // idempotent index append (see operators.Curation.incremental)
+      val input = opts.getOrElse("input",
+        sys.error("curate-append requires --input <dir containing documents.parquet>"))
+      val index = opts.getOrElse("index",
+        sys.error("curate-append requires --index <lsh index path>"))
+      val out = opts.getOrElse("output", "curation_append_out")
+      val p = graft.operators.Curation.Params(
+        minQuality = opts.get("min-quality").map(_.toDouble).getOrElse(0.8),
+        lang = opts.getOrElse("lang", "en"),
+        dedupThreshold = opts.get("dedup-threshold").map(_.toDouble).getOrElse(0.8))
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = Tables.t(spark, input, "documents")
+        val res = graft.operators.Curation.incremental(docs, index, p)
+        res.stages.foreach { s =>
+          println(f"${s.stage}%-20s in=${s.rowsIn}%-8d out=${s.rowsOut}%-8d " +
+            s"dropped=${s.dropped}")
+        }
+        println(if (res.bootstrapped) s"bootstrapped new index at $index"
+          else s"appended novel docs to index at $index")
+        graft.operators.Curation.writeIncrementalOutputs(res, p, out)
+        println(s"novel docs + manifest in $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "curate") {
       // end-to-end corpus curation: quality gate -> dedup -> benchmark
       // decontamination -> per-domain token budget -> sequence packing,

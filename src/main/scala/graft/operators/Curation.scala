@@ -57,6 +57,17 @@ object Curation {
   final case class Result(curated: DataFrame, packed: DataFrame,
                           stages: Seq[Stage], nSequences: Long)
 
+  /** Shared quality + language gate: composite-score and language
+    * filters, original columns plus (n_tokens, quality_score) out.
+    */
+  private def qualityGate(docs: DataFrame, p: Params): DataFrame =
+    TextAnalysis.langId(
+        TextAnalysis.qualityFeatures(docs, "text"), "text")
+      .filter(col("quality_score") >= p.minQuality &&
+        col("pred_lang") === p.lang)
+      .select(docs.columns.map(col) :+ col("n_tokens") :+
+        col("quality_score"): _*)
+
   /** Run the full pipeline over a `documents`-shaped frame
     * (doc_id, text, source). The returned `curated`/`packed` frames are
     * persisted and fully materialized — safe to write or inspect; call
@@ -73,12 +84,7 @@ object Curation {
     stages += Stage("benchmark_holdout", total, n1)
 
     // 2. quality + language gate
-    val scored = TextAnalysis.langId(
-        TextAnalysis.qualityFeatures(pool, "text"), "text")
-      .filter(col("quality_score") >= p.minQuality &&
-        col("pred_lang") === p.lang)
-      .select(docs.columns.map(col) :+ col("n_tokens") :+
-        col("quality_score"): _*)
+    val scored = qualityGate(pool, p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n2 = scored.count()
     stages += Stage("quality_lang_gate", n1, n2)
@@ -144,6 +150,80 @@ object Curation {
       s""""domain_budget_tokens":${p.domainBudgetTokens},""" +
       s""""max_seq_tokens":${p.maxSeqTokens}},""" +
       s""""stages":$stageJson,"n_sequences":${r.nSequences}}"""
+  }
+
+  final case class IncrementalResult(novel: DataFrame, stages: Seq[Stage],
+                                     bootstrapped: Boolean)
+
+  /** Incremental daily-batch curation against a PERSISTED LSH index —
+    * the operational loop a 100 TB corpus actually runs (re-curating
+    * the full corpus per crawl drop is corpus-square; this is
+    * |batch| × collision-rate): quality/language gate, within-batch
+    * dedup, then the ASYMMETRIC [[Dedup.dedupAgainstIndex]] screen
+    * against everything already accepted; the surviving novel docs are
+    * appended to the index ([[Dedup.appendLshIndex]] is retry-idempotent
+    * — a crashed append replays safely). A missing index bootstraps
+    * from the first batch.
+    *
+    * The returned `novel` frame is persisted and materialized; caller
+    * unpersists (writeIncrementalOutputs does).
+    */
+  def incremental(batch: DataFrame, indexPath: String,
+                  p: Params): IncrementalResult = {
+    val spark = batch.sparkSession
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
+    val total = batch.count()
+
+    val scored = qualityGate(batch, p).persist(StorageLevel.MEMORY_AND_DISK)
+    val n1 = scored.count()
+    stages += Stage("quality_lang_gate", total, n1)
+
+    val deduped = Dedup.dedupCorpus(scored, "text", "doc_id",
+        p.dedupThreshold)
+      .drop("component")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n2 = deduped.count()
+    scored.unpersist(blocking = false)
+    stages += Stage("batch_dedup", n1, n2)
+
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(metaPath)
+    val novel = (if (bootstrap) deduped
+      else {
+        val idx = Dedup.loadLshIndex(spark, indexPath)
+        val verdicts = Dedup.dedupAgainstIndex(deduped, "text", "doc_id",
+          p.dedupThreshold, idx)
+        deduped.join(verdicts.filter(col("is_novel"))
+          .select(col("new_id").as("doc_id")), Seq("doc_id"))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+    val n3 = novel.count()
+    stages += Stage("index_dedup", n2, n3)
+
+    if (bootstrap)
+      Dedup.saveLshIndex(
+        Dedup.buildLshIndex(novel, "text", "doc_id"), indexPath)
+    else
+      Dedup.appendLshIndex(novel, "text", "doc_id", indexPath)
+    deduped.unpersist(blocking = false)
+
+    IncrementalResult(novel, stages.toSeq, bootstrap)
+  }
+
+  /** Write novel.parquet + manifest.json for one incremental batch. */
+  def writeIncrementalOutputs(r: IncrementalResult, p: Params,
+                              outDir: String): Unit = {
+    r.novel.write.mode("overwrite").parquet(s"$outDir/novel.parquet")
+    val stageJson = r.stages.map(s =>
+      s"""{"stage":"${s.stage}","rows_in":${s.rowsIn},""" +
+        s""""rows_out":${s.rowsOut},"dropped":${s.dropped}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/manifest.json"),
+      (s"""{"bootstrapped":${r.bootstrapped},"stages":$stageJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    r.novel.unpersist(blocking = false)
   }
 
   /** Write curated.parquet, packed.parquet and manifest.json under

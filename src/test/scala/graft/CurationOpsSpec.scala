@@ -491,3 +491,50 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(curated.count() <= 40)
   }
 }
+
+/** Incremental curation loop (operators.Curation.incremental): the
+  * daily-crawl shape — bootstrap on first batch, asymmetric index
+  * screen on later batches, idempotent append.
+  */
+class CurationIncrementalSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("bootstrap, overlap screen, and idempotent re-append") {
+    val idxPath = java.nio.file.Files.createTempDirectory("curinc_idx").toString + "/idx"
+    val docs = Tables.t(spark, sfDir, "documents")
+    val p = graft.operators.Curation.Params()
+
+    // batch 1: first half of the corpus bootstraps the index
+    val b1 = docs.filter(col("doc_id") < 250)
+    val r1 = graft.operators.Curation.incremental(b1, idxPath, p)
+    assert(r1.bootstrapped)
+    val kept1 = r1.novel.count()
+    assert(kept1 > 0)
+    assert(r1.stages.map(_.stage) ==
+      Seq("quality_lang_gate", "batch_dedup", "index_dedup"))
+    // bootstrap drops nothing at the index stage
+    assert(r1.stages.last.rowsIn == r1.stages.last.rowsOut)
+    r1.novel.unpersist()
+
+    // batch 2 overlaps batch 1 EXACTLY on [150, 250): every overlapping
+    // doc is a byte-identical near-dup of an indexed doc, so the index
+    // screen must drop all of them and keep only genuinely new docs
+    val b2 = docs.filter(col("doc_id") >= 150)
+    val r2 = graft.operators.Curation.incremental(b2, idxPath, p)
+    assert(!r2.bootstrapped)
+    val novelIds = r2.novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novelIds.forall(_ >= 250), // every overlap doc screened out
+      s"overlap ids survived: ${novelIds.filter(_ < 250).take(5)}")
+    r2.novel.unpersist()
+
+    // re-running batch 2 is a no-op: everything is now indexed
+    val r3 = graft.operators.Curation.incremental(b2, idxPath, p)
+    assert(r3.novel.count() == 0, "re-run must find nothing novel")
+    r3.novel.unpersist()
+
+    // the index stays healthy: shingle ids are unique (append was
+    // anti-joined, not blindly unioned)
+    val sh = spark.read.parquet(s"$idxPath/shingles")
+    assert(sh.count() == sh.select("id").distinct().count())
+  }
+}
