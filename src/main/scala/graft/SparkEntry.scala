@@ -393,7 +393,7 @@ object SparkEntry {
       c.dataDrift("lineitem").get.drop("hashed_row")
         .orderBy("l_orderkey", "l_linenumber", "observed_in")
     })
-  ) ++ pipelineQueries
+  ) ++ pipelineQueries ++ linkageQueries
 
   /** Training-data pipeline operators (dedup, similarity, text analysis,
     * multimodal, event streams) — first-class alongside the diff surface.
@@ -3157,7 +3157,7 @@ object SparkEntry {
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
         |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin
-  ) ++ pipelineOracles
+  ) ++ pipelineOracles ++ linkageOracles
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -6659,5 +6659,324 @@ object SparkEntry {
         |  CAST(CASE WHEN i < 5 THEN 0 ELSE 5 END AS BIGINT) AS community
         |FROM (SELECT unnest(range(0, 10)) AS i)
         |ORDER BY id""".stripMargin
+  )
+
+  /** Record-linkage + business-analytics batch (round 13): string
+    * distances as codegen Catalyst expressions (DuckDB's independent
+    * native implementations as the oracle), gaps-and-islands streaks,
+    * concentration (Gini/HHI), weighted median, max drawdown,
+    * Adamic-Adar link prediction, the materialized inverted index, and
+    * tie-aware ROC AUC.
+    */
+  private def linkageQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- string-distance expressions vs DuckDB's own independent
+    //      damerau_levenshtein / jaro_winkler_similarity: variants are
+    //      derived deterministically from the key (swap first two chars /
+    //      delete the 5th), so every distance is a REAL computation both
+    //      sides, not a constant ----
+    "q_string_distance" -> ((s, dir) => {
+      val variant = when(col("p_partkey") % 3 === 0,
+          concat(expr("substring(p_name, 2, 1)"), expr("substring(p_name, 1, 1)"),
+            expr("substring(p_name, 3)")))
+        .when(col("p_partkey") % 3 === 1,
+          concat(expr("substring(p_name, 1, 4)"), expr("substring(p_name, 6)")))
+        .otherwise(col("p_name"))
+      t(s, dir, "part").withColumn("variant", variant)
+        .select(col("p_partkey"),
+          graft.functions.DamerauLevenshtein(col("p_name"), col("variant"))
+            .cast("long").as("dl"),
+          levenshtein(col("p_name"), col("variant")).cast("long").as("lev"),
+          round(graft.functions.JaroWinkler(col("p_name"), col("variant")), 6)
+            .as("jw"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- gaps-and-islands: maximal consecutive-day activity runs per
+    //      user (row_number anchor trick; one window + one groupBy) ----
+    "q_gaps_islands" -> ((s, dir) =>
+      EventAnalytics.activityIslands(t(s, dir, "events"), "user_id", "ts")
+        .withColumnRenamed("entity", "user_id")
+        .orderBy("user_id", "island_start")),
+
+    // ---- revenue concentration per nation: HHI + Gini over exact
+    //      decimal sums (one double division per metric at the end) ----
+    "q_concentration" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), col("o_custkey"),
+          col("o_totalprice"))
+      Stats.concentration(rev, "nation", "o_custkey", "o_totalprice")
+        .orderBy("nation")
+    }),
+
+    // ---- weighted median price per return flag: half-mass cut decided
+    //      in exact decimals (2·cum ≥ tot), window over DISTINCT values ----
+    "q_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")),
+
+    // ---- max drawdown of monthly revenue per nation: running-max
+    //      window, absolute fall exact, relative fall one division/row ----
+    "q_drawdown" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      Stats.maxDrawdown(monthly, "nation", "mo", "rev").orderBy("nation")
+    }),
+
+    // ---- Adamic-Adar link prediction between suppliers via shared
+    //      parts; degree prune BEFORE the pair expansion, score as an
+    //      exact quantized-decimal sum ----
+    "q_link_predict" -> ((s, dir) =>
+      Graph.adamicAdar(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", minCommon = 8L, maxFeatureDegree = 1000L)
+        .orderBy("s1", "s2")),
+
+    // ---- inverted index over the corpus: term → df + capped sorted
+    //      posting preview; maxDf gates stop-terms out of the index ----
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 5L, maxDf = 400L, maxPostings = 20)
+        .orderBy("term")),
+
+    // ---- tie-aware ROC AUC per line status: does discount predict
+    //      returns; heavy score ties exercise the average-rank path ----
+    "q_auc" -> ((s, dir) =>
+      EventAnalytics.rocAuc(t(s, dir, "lineitem"), "l_linestatus",
+          "l_discount", col("l_returnflag") === "R")
+        .orderBy("l_linestatus")),
+
+    // ---- ER verify stage over a deterministically-corrupted catalog:
+    //      block on the last 6 chars (untouched by the planted head
+    //      edits — the robust-blocking principle), integer Damerau gate,
+    //      Jaro-Winkler ranking score on survivors ----
+    "q_er_verify" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val variant = when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 2, 1)"), expr("substring(c_name, 1, 1)"),
+            expr("substring(c_name, 3)")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(expr("substring(c_name, 1, 4)"), expr("substring(c_name, 6)")))
+        .otherwise(col("c_name"))
+      val dirty = cust.select(col("c_custkey").as("rid"), variant.as("rname"))
+      FuzzyJoin.damerauJoin(
+          cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+          dirty, "rid", "rname",
+          k => k.substr(length(k) - lit(5), lit(6)), maxEdits = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("l_id", "r_id")
+    }),
+
+    // ---- event-type diversity per user: Shannon + normalized entropy
+    //      (quantized-decimal term sums; one division per group) ----
+    "q_entropy" -> ((s, dir) =>
+      Stats.categoricalEntropy(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("user_id")),
+
+    // ---- vocabulary Jaccard between sources: corpus-comparison screen;
+    //      term fan-out bounded by group count, exact integer overlap ----
+    "q_source_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("g1", "g2")),
+
+    // ---- reciprocal top-1 cosine pairs (hubness-filtered alignment);
+    //      bounded slice keeps the brute oracle replayable ----
+    "q_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualNearestNeighbors(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200))
+        .orderBy("id1"))
+  )
+
+  private def linkageOracles: Map[String, String] = Map(
+    // DuckDB's native damerau_levenshtein / jaro_winkler_similarity are
+    // a fully independent implementation of the same public algorithms —
+    // byte-level, true-transposition, 0.7-gated prefix boost
+    "q_string_distance" ->
+      """WITH v AS (SELECT p_partkey, p_name,
+        |    CASE WHEN p_partkey % 3 = 0
+        |      THEN substr(p_name, 2, 1) || substr(p_name, 1, 1) || substr(p_name, 3)
+        |    WHEN p_partkey % 3 = 1
+        |      THEN substr(p_name, 1, 4) || substr(p_name, 6)
+        |    ELSE p_name END AS variant
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(damerau_levenshtein(p_name, variant) AS BIGINT) AS dl,
+        |  CAST(levenshtein(p_name, variant) AS BIGINT) AS lev,
+        |  round(jaro_winkler_similarity(p_name, variant), 6) AS jw
+        |FROM v ORDER BY p_partkey""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  count(*) AS n_days
+        |FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    // same exact-decimal sums, same single-division-then-round tail
+    "q_concentration" ->
+      """WITH m AS (SELECT c_nationkey AS nation, o_custkey AS mkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |k AS (SELECT nation, x,
+        |    row_number() OVER (PARTITION BY nation ORDER BY x, mkey) AS i
+        |  FROM m)
+        |SELECT nation, count(*) AS n_members,
+        |  round(CAST(sum(x*x) AS DOUBLE) /
+        |    (CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS hhi,
+        |  round(2.0 * CAST(sum(i*x) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+        |    (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM k GROUP BY nation ORDER BY nation""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag, min(v) AS weighted_median
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH m AS (SELECT c_nationkey AS nation,
+        |    date_trunc('month', o_orderdate) AS mo,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS DECIMAL(18,2)) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT nation, v,
+        |    max(v) OVER (PARTITION BY nation ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM m)
+        |SELECT nation, CAST(max(peak - v) AS DOUBLE) AS max_drawdown,
+        |  round(max(CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE)), 6)
+        |    AS max_drawdown_pct
+        |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
+
+    // independent replay of the prune-then-pair shape; the score is an
+    // exact DECIMAL(18,9) sum of per-feature round(1/ln(deg), 9)
+    "q_link_predict" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |d AS (SELECT p, count(*) AS deg FROM e GROUP BY p
+        |  HAVING count(*) <= 1000),
+        |pr AS (SELECT a.s AS s1, b.s AS s2, d.deg
+        |  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+        |  JOIN d ON d.p = a.p)
+        |SELECT s1, s2, count(*) AS common,
+        |  CAST(sum(CAST(round(1.0 / ln(deg), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    AS adamic_adar
+        |FROM pr GROUP BY s1, s2 HAVING count(*) >= 8
+        |ORDER BY s1, s2""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term
+        |  FROM documents),
+        |r AS (SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tok)
+        |SELECT term, count(*) AS df,
+        |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+        |    ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY term HAVING count(*) BETWEEN 5 AND 400
+        |ORDER BY term""".stripMargin,
+
+    // rank-sum identity with integer-exact doubled ranks:
+    // AUC = (R2 − n⁺(n⁺+1)) / (2·n⁺·n⁻)
+    "q_auc" ->
+      """WITH g AS (SELECT l_linestatus AS st, l_discount AS v,
+        |    count(*) AS cnt,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT st, cnt, pos,
+        |    coalesce(sum(cnt) OVER (PARTITION BY st ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+        |  FROM g)
+        |SELECT st AS l_linestatus, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(pos * (2 * cumprev + cnt + 1)) -
+        |      sum(pos) * (sum(pos) + 1) AS DOUBLE) /
+        |    CAST(2 * sum(pos) * (sum(cnt) - sum(pos)) AS DOUBLE), 6) AS auc
+        |FROM c GROUP BY st ORDER BY st""".stripMargin,
+
+    // independent native kernels again (damerau_levenshtein gate +
+    // jaro_winkler score) over the same planted corruption and blocking
+    "q_er_verify" ->
+      """WITH v AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0
+        |      THEN substr(c_name, 2, 1) || substr(c_name, 1, 1) || substr(c_name, 3)
+        |    WHEN c_custkey % 3 = 1
+        |      THEN substr(c_name, 1, 4) || substr(c_name, 6)
+        |    ELSE c_name END AS variant
+        |  FROM customer),
+        |l AS (SELECT c_custkey AS l_id, c_name AS l_key,
+        |    substr(c_name, length(c_name) - 5) AS blk FROM customer),
+        |r AS (SELECT c_custkey AS r_id, variant AS r_key,
+        |    substr(variant, length(variant) - 5) AS blk FROM v)
+        |SELECT l_id, r_id, l_key, r_key,
+        |  damerau_levenshtein(l_key, r_key) AS dist,
+        |  round(jaro_winkler_similarity(l_key, r_key), 6) AS jw
+        |FROM l JOIN r USING (blk)
+        |WHERE abs(length(l_key) - length(r_key)) <= 2
+        |  AND damerau_levenshtein(l_key, r_key) <= 2
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    // same per-category -p*ln(p) quantized to DECIMAL(18,9), same
+    // normalization division
+    "q_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, cnt,
+        |    sum(cnt) OVER (PARTITION BY user_id) AS tot FROM c),
+        |g AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_cats,
+        |    CAST(sum(CAST(round(
+        |      -(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |        ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS h
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n, n_cats, round(h, 6) AS entropy,
+        |  CASE WHEN n_cats > 1
+        |    THEN round(h / ln(CAST(n_cats AS DOUBLE)), 6) END AS norm_entropy
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT DISTINCT source, unnest($toksSql) AS term
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS nv FROM t GROUP BY source),
+        |i AS (SELECT a.source AS g1, b.source AS g2, count(*) AS n_common
+        |  FROM t a JOIN t b USING (term) WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT g1, g2, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(s1.nv + s2.nv - n_common AS DOUBLE), 6) AS jaccard
+        |FROM i JOIN s s1 ON s1.source = g1 JOIN s s2 ON s2.source = g2
+        |ORDER BY g1, g2""".stripMargin,
+
+    // same cosine replay as q_ann_topk, top-1 both directions, then the
+    // reciprocity self-join
+    "q_mutual_nn" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+        |    FROM embeddings WHERE vec_id < 200),
+        |  p AS (SELECT a.vec_id AS qa, b.vec_id AS qb, $cosSql AS c
+        |    FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |  n AS (SELECT qa, qb, c,
+        |    row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rn
+        |  FROM p),
+        |  t1 AS (SELECT qa, qb, c FROM n WHERE rn = 1)
+        |SELECT x.qa AS id1, x.qb AS id2, x.c AS cosine
+        |FROM t1 x JOIN t1 y ON x.qa = y.qb AND x.qb = y.qa
+        |WHERE x.qa < x.qb
+        |ORDER BY id1""".stripMargin
   )
 }

@@ -741,4 +741,67 @@ object EventAnalytics {
         col("slot_mean"), col("slot_std"), col("z"),
         (col("z").isNotNull && abs(col("z")) > threshold).as("is_anomaly"))
   }
+
+  /** Gaps-and-islands: collapse each entity's activity days into maximal
+    * runs of CONSECUTIVE days (the classic streak/churn primitive — "how
+    * long was each unbroken stretch of activity, and where are the
+    * gaps"). The standard row_number anchor trick: for days sorted per
+    * entity, `day - row_number` is constant exactly within a consecutive
+    * run, so one window plus one groupBy does it — no self-join, no
+    * iterative gap walking.
+    *
+    * Scale shape: one shuffle on the entity key for the window, and the
+    * follow-up groupBy keys on (entity, anchor) — a superset of the
+    * window's partitioning, so no second wide exchange of comparable
+    * size; state per entity is its distinct-day list, never the raw
+    * event rows (the distinct collapses first).
+    */
+  def activityIslands(events: DataFrame, entityCol: String,
+                      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(entityCol).as("entity"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy("entity").orderBy("day"))
+    days
+      .withColumn("_anchor", date_sub(col("day"), rn))
+      .groupBy("entity", "_anchor")
+      .agg(min("day").as("island_start"), max("day").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("entity", "island_start", "island_end", "n_days")
+  }
+
+  /** Per-group ROC AUC of a numeric score against a boolean label,
+    * computed by the tie-aware rank-sum identity (the Mann-Whitney
+    * formulation): with average ranks R over the pooled scores,
+    * AUC = (R_pos − n⁺(n⁺+1)/2) / (n⁺·n⁻). Scores collapse to their
+    * distinct values first, so the whole thing is two aggregations and
+    * one window over the DISTINCT-score table — cardinality bounded by
+    * |score domain| per group, not row count. Doubling the rank sum
+    * (2·cum_before + cnt + 1 per distinct score) keeps every
+    * intermediate an exact integer; the single double division happens
+    * once per group at the end, then rounds to 6 dp — so the result is
+    * bit-stable under repartitioning.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             label: Column): DataFrame = {
+    val gr = df
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"))
+    val win = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gr
+      .withColumn("_cumprev", coalesce(sum("cnt").over(win), lit(0L)))
+      .groupBy("g")
+      .agg(
+        sum(col("pos") * (lit(2L) * col("_cumprev") + col("cnt") + lit(1L)))
+          .as("_r2"),
+        sum("pos").as("n_pos"), sum("cnt").as("_n"))
+      .select(col("g").as(groupCol), col("n_pos"),
+        (col("_n") - col("n_pos")).as("n_neg"),
+        round(
+          (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2L) * col("n_pos") * (col("_n") - col("n_pos"))).cast("double"),
+          6).as("auc"))
+  }
 }

@@ -150,6 +150,34 @@ object FuzzyJoin {
     attachComponents(df, idCol, pairs)
   }
 
+  /** Blocked verify stage with the richer record-linkage kernels: true
+    * Damerau-Levenshtein (transposition-as-one-edit — the dominant typo
+    * class) as the accept gate, plus the Jaro-Winkler similarity as a
+    * ranking score on every accepted pair. The gate is INTEGER-valued,
+    * so accept/reject can never wobble on a float ulp; the float score
+    * only orders survivors. Same blocking contract and length prefilter
+    * as [[fuzzyJoin]]; both kernels are codegen'd Catalyst expressions
+    * ([[graft.functions.DamerauLevenshtein]],
+    * [[graft.functions.JaroWinkler]]), so the verify loop stays inside
+    * whole-stage codegen at candidate volume.
+    */
+  def damerauJoin(left: DataFrame, leftId: String, leftKey: String,
+                  right: DataFrame, rightId: String, rightKey: String,
+                  blockOf: Column => Column, maxEdits: Int): DataFrame = {
+    val l = left.select(col(leftId).cast("long").as("l_id"),
+      col(leftKey).as("l_key")).withColumn("blk", blockOf(col("l_key")))
+    val r = right.select(col(rightId).cast("long").as("r_id"),
+      col(rightKey).as("r_key")).withColumn("blk", blockOf(col("r_key")))
+    l.join(r, Seq("blk"))
+      .filter(abs(length(col("l_key")) - length(col("r_key"))) <= maxEdits)
+      .withColumn("dist",
+        graft.functions.DamerauLevenshtein(col("l_key"), col("r_key")))
+      .filter(col("dist") <= maxEdits)
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler(col("l_key"), col("r_key")), 6))
+      .select("l_id", "r_id", "l_key", "r_key", "dist", "jw")
+  }
+
   private def attachComponents(df: DataFrame, idCol: String,
                                pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)

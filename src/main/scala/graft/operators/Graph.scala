@@ -234,4 +234,47 @@ object Graph {
     e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
+
+  /** Link prediction over a bipartite incidence list (entity, feature):
+    * for every entity pair sharing at least `minCommon` features, the
+    * common-feature count and the Adamic-Adar score
+    * Σ_f 1/ln(deg(f)) — the standard common-neighbor measure that
+    * down-weights ubiquitous features.
+    *
+    * Scale discipline: the pair expansion is quadratic IN FEATURE
+    * DEGREE, so `maxFeatureDegree` hard-caps it — a feature shared by
+    * d entities emits d(d−1)/2 pair rows, and near-universal features
+    * both blow that up and carry ≈no signal (1/ln(d) → 0). Dropping
+    * them is the same frequent-item prune Apriori uses in
+    * [[EventAnalytics.coOccurrence]]. The degree table is feature-
+    * cardinality-sized and broadcast; per-feature 1/ln(deg) is
+    * quantized to DECIMAL(18,9) before the sum so the score is exact
+    * and order-independent (bit-stable under repartitioning).
+    * deg ≥ 2 for every surviving pair row (a degree-1 feature has no
+    * pairs), so ln(deg) is never 0.
+    */
+  def adamicAdar(incidence: DataFrame, entityCol: String, featureCol: String,
+                 minCommon: Long = 2L,
+                 maxFeatureDegree: Long = 1000L): DataFrame = {
+    val e = incidence
+      .select(col(featureCol).as("f"), col(entityCol).as("ent"))
+      .distinct()
+    val deg = e.groupBy("f").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxFeatureDegree)
+    // prune BEFORE the self-join: a capped feature must never reach the
+    // quadratic expansion (joining it away afterwards would already have
+    // paid the d^2 blow-up)
+    val kept = e.join(broadcast(deg), Seq("f"))
+    val pairs = kept.as("a")
+      .join(kept.select("f", "ent").as("b"),
+        col("a.f") === col("b.f") && col("a.ent") < col("b.ent"))
+      .select(col("a.ent").as("s1"), col("b.ent").as("s2"),
+        col("a.deg").as("deg"))
+    pairs
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1.0) / log(col("deg").cast("double")), 9)
+          .cast("decimal(18,9)")).cast("double").as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+  }
 }

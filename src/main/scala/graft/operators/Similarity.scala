@@ -258,6 +258,29 @@ object Similarity {
     * `blockCol` is a precomputed cluster/partition assignment). Only
     * within-block pairs are materialized.
     */
+  /** Mutual nearest neighbors: pairs (a, b) where b is a's top-1 cosine
+    * neighbor AND a is b's — the reciprocity filter that kills hubness
+    * (a vector that is "everyone's nearest neighbor" seeds many one-way
+    * links but few mutual ones). The high-precision alignment
+    * primitive: bitext mining, duplicate-embedding linking, seed pairs
+    * for a cross-encoder.
+    *
+    * Built on the [[bruteForceTopK]] kernel (broadcast queries, one
+    * corpus pass, per-id top-1 via window); the reciprocal check is a
+    * self-join of the id-sized top-1 table, not the pair space. At
+    * corpus scale, feed the IVF/LSH candidate rerank output in as `df`
+    * instead of raw vectors — the reciprocity algebra is unchanged.
+    */
+  def mutualNearestNeighbors(df: DataFrame, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val nn = bruteForceTopK(df, df, 1, idCol, vecCol)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("cosine"))
+    nn.as("x").join(nn.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("id1"), col("x.b").as("id2"), col("x.cosine").as("cosine"))
+  }
+
   def cosinePairsBlocked(df: DataFrame, blockCol: String, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),

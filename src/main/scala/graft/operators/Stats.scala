@@ -1520,4 +1520,130 @@ object Stats {
           round(col("value") - col("trend") - col("seasonal"), 6)))
       .select("t", "value", "trend", "seasonal", "resid")
   }
+
+  /** Concentration metrics of a positive quantity across members within
+    * each group: the Herfindahl-Hirschman index Σ(share²) and the Gini
+    * coefficient via the rank identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over members sorted ascending (ties broken by member id for a
+    * deterministic ranking). Revenue-concentration / domain-dominance
+    * screens — e.g. "is one customer 80 % of this nation's revenue", or
+    * a crawl's per-domain token share before capping.
+    *
+    * Numerics: member totals, Σx², and Σ i·x accumulate as EXACT
+    * decimals (inputs quantized to 2 dp first), so partial-aggregation
+    * order cannot move a bit; each group does exactly one double
+    * division per metric at the end, rounded to 6 dp. Shape: one
+    * member-level aggregation, one window rank over the member table
+    * (already member-granular, far smaller than the fact table), one
+    * group-level aggregation.
+    */
+  def concentration(df: DataFrame, groupCol: String, memberCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val member = df
+      .groupBy(col(groupCol).as("g"), col(memberCol).as("m"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("x"))
+    val win = Window.partitionBy("g").orderBy(col("x"), col("m"))
+    member
+      .withColumn("_i", row_number().over(win))
+      .groupBy("g")
+      .agg(count(lit(1)).as("_n"), sum("x").as("_tot"),
+        sum(col("x") * col("x")).as("_sumsq"),
+        sum(col("_i") * col("x")).as("_irank"))
+      .select(col("g").as(groupCol), col("_n").as("n_members"),
+        round(col("_sumsq").cast("double") /
+          (col("_tot").cast("double") * col("_tot").cast("double")), 6)
+          .as("hhi"),
+        round(
+          lit(2.0) * col("_irank").cast("double") /
+            (col("_n").cast("double") * col("_tot").cast("double")) -
+            (col("_n").cast("double") + lit(1.0)) / col("_n").cast("double"),
+          6).as("gini"))
+  }
+
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the total. Values collapse to their distinct
+    * (group, value) weights first — the window then runs over the
+    * distinct-value table, not the fact rows — and the half-mass test
+    * is `2·cum ≥ tot` in exact decimals, so no float division decides
+    * the cut.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(sum(col(weightCol).cast("decimal(18,2)")).as("wt"))
+    val cumWin = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totWin = Window.partitionBy("g")
+    w
+      .withColumn("_cum", sum("wt").over(cumWin))
+      .withColumn("_tot", sum("wt").over(totWin))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy("g")
+      .agg(min("v").as("weighted_median"))
+      .select(col("g").as(groupCol), col("weighted_median"))
+  }
+
+  /** Shannon entropy of a categorical column per group, with the
+    * normalized variant H / ln(k) (diversity in [0, 1] comparable across
+    * groups with different category counts). The data-mixing screen:
+    * per-user behavioral diversity, per-domain topic spread, per-source
+    * event-type balance.
+    *
+    * Shape: one (group, category) aggregation, then a window over the
+    * category-granular table (bounded by |categories| per group, not
+    * rows). Each −p·ln p term is one double computation per category,
+    * quantized to DECIMAL(18,9) before the sum — exact and
+    * order-independent, one division for the normalization at the end.
+    */
+  def categoricalEntropy(df: DataFrame, groupCol: String,
+                         catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(col(groupCol).as("g"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy("g")
+    val p = col("cnt").cast("double") / col("_tot").cast("double")
+    cnt
+      .withColumn("_tot", sum("cnt").over(tot))
+      .withColumn("_term", round(-p * log(p), 9).cast("decimal(18,9)"))
+      .groupBy("g")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_cats"),
+        sum("_term").cast("double").as("_h"))
+      .select(col("g").as(groupCol), col("n"), col("n_cats"),
+        round(col("_h"), 6).as("entropy"),
+        when(col("n_cats") > 1,
+          round(col("_h") / log(col("n_cats").cast("double")), 6))
+          .as("norm_entropy"))
+  }
+
+  /** Maximum drawdown of a per-group series: for each group, the largest
+    * peak-to-trough fall of `valueCol` over `timeCol` order — both
+    * absolute (exact decimal) and relative to the running peak (one
+    * double division per row, max, then round). The monitoring classic
+    * for any metric that should not collapse: revenue, daily token
+    * yield, dedup survivor rate.
+    *
+    * One window (running max, partitioned by group) and one aggregation;
+    * the series is group-time granular, so state per group is its time
+    * bucket count.
+    */
+  def maxDrawdown(df: DataFrame, groupCol: String, timeCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .select(col(groupCol).as("g"), col(timeCol).as("t"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .withColumn("_peak", max("v").over(win))
+      .groupBy("g")
+      .agg(max(col("_peak") - col("v")).cast("double").as("max_drawdown"),
+        round(max(
+          (col("_peak") - col("v")).cast("double") /
+            col("_peak").cast("double")), 6).as("max_drawdown_pct"))
+      .select(col("g").as(groupCol), col("max_drawdown"),
+        col("max_drawdown_pct"))
+  }
 }

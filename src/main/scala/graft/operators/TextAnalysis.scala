@@ -956,4 +956,69 @@ object TextAnalysis {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         (col("_n_lines") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Inverted index construction: term → document frequency + a capped,
+    * sorted posting list (the retrieval-side artifact behind the BM25 /
+    * TF-IDF scorers above, materialized instead of recomputed per
+    * query). Postings render as a comma-joined string of the first
+    * `maxPostings` doc ids ascending — a bounded preview column; the
+    * full list at corpus scale lives as (term, doc_id) rows, which is
+    * exactly the `tok` intermediate here.
+    *
+    * Shape: explode → distinct (one shuffle on (term, doc)) → one
+    * groupBy term. The collect_set is bounded per term by the slice
+    * cap's SORTED prefix — but the set itself holds all docs for the
+    * term first, so `minDf`/`maxDf` gates matter at scale: stop-words
+    * (df ≈ corpus size) would otherwise build corpus-sized arrays in a
+    * single aggregation buffer. Gate them out with `maxDf` — their
+    * postings are useless for retrieval anyway (BM25 IDF ≈ 0).
+    */
+  /** Pairwise vocabulary Jaccard between document groups (sources,
+    * domains, snapshots): |V_a ∩ V_b| / |V_a ∪ V_b| over distinct
+    * token sets. The corpus-comparison screen — "how much does crawl
+    * snapshot N's vocabulary overlap snapshot N−1's", "which two
+    * sources are near-duplicates at the vocabulary level".
+    *
+    * Shape: explode → distinct (group, term), then a self-join ON TERM:
+    * each term fans out by its group-degree, which is bounded by the
+    * number of groups (domains/sources — small by construction), never
+    * by corpus size. Counts are exact integers; one division per pair
+    * at the end.
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val sizes = terms.groupBy("grp").agg(count(lit(1)).as("nv"))
+    val inter = terms.as("a")
+      .join(terms.as("b"), Seq("term"))
+      .filter(col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("g1"), col("b.grp").as("g2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("grp").as("g1"), col("nv").as("_n1"))), Seq("g1"))
+      .join(broadcast(sizes.select(col("grp").as("g2"), col("nv").as("_n2"))), Seq("g2"))
+      .select(col("g1"), col("g2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("_n1") + col("_n2") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 2L, maxDf: Long = Long.MaxValue,
+                    maxPostings: Int = 20): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    tok
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            slice(sort_array(collect_set(col("doc"))), 1, maxPostings),
+            d => d.cast("string")),
+          ",").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
 }

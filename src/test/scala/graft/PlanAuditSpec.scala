@@ -1019,4 +1019,22 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       emb, "vec_id", "v", "rel", k = 4, lambda = 0.5, candidateN = 16)
     assert(sel.count() == 4L)
   }
+
+  test("adamicAdar prunes capped features BEFORE the quadratic pair expansion") {
+    val inc = spark.range(20000).select(
+      concat(lit("e"), $"id" % 500).as("ent"),
+      concat(lit("f"), $"id" % 400).as("feat"))
+    val df = graft.operators.Graph.adamicAdar(inc, "ent", "feat",
+      minCommon = 2L, maxFeatureDegree = 50L)
+    val p = df.queryExecution.executedPlan.toString
+    // the degree cap must be a filter NESTED UNDER the self-join (its
+    // text appears deeper in the plan than the first join), so a capped
+    // hub feature never reaches the d^2 pair fan-out
+    val capIdx = p.indexOf("<= 50")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(capIdx >= 0, s"expected the degree-cap filter in the plan:\n$p")
+    assert(joinIdx >= 0 && capIdx > joinIdx,
+      s"expected the degree cap below the pair join:\n$p")
+  }
 }
