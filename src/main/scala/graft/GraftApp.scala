@@ -121,6 +121,38 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "er") {
+      // entity resolution over one table: blocked Damerau self-match on
+      // --key-col (block = last --block-suffix chars, robust to head
+      // typos), connected components, entity_id = min id per cluster
+      // (see operators.FuzzyJoin.resolveEntities / damerauJoin)
+      val input = opts.getOrElse("input",
+        sys.error("er requires --input <dir containing the table parquet>"))
+      val table = opts.getOrElse("table", "customer")
+      val idCol = opts.getOrElse("id-col", "c_custkey")
+      val keyCol = opts.getOrElse("key-col", "c_name")
+      val maxEdits = opts.get("max-edits").map(_.toInt).getOrElse(2)
+      val blockLen = opts.get("block-suffix").map(_.toInt).getOrElse(6)
+      val out = opts.getOrElse("output", "er_out")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val df = Tables.t(spark, input, table)
+        val ents = graft.operators.FuzzyJoin.resolveEntitiesDamerau(
+          df, idCol, keyCol,
+          k => k.substr(org.apache.spark.sql.functions.length(k) - lit(blockLen - 1),
+            lit(blockLen)),
+          maxEdits)
+        ents.write.mode("overwrite").parquet(s"$out/entities")
+        val persisted = spark.read.parquet(s"$out/entities")
+        val n = persisted.count()
+        val nEnt = persisted.select("entity_id").distinct().count()
+        println(s"er: $table $n rows -> $nEnt entities " +
+          s"(${n - nEnt} merged) at damerau <= $maxEdits, " +
+          s"block = last $blockLen chars of $keyCol; mapping in $out/entities")
+      } finally spark.stop()
+      return
+    }
     val config: GraftConfig = opts.get("config") match {
       case Some(path) =>
         val base = GraftConfig.load(path)

@@ -6789,7 +6789,27 @@ object SparkEntry {
     "q_mutual_nn" -> ((s, dir) =>
       Similarity.mutualNearestNeighbors(
           t(s, dir, "embeddings").filter(col("vec_id") < 200))
-        .orderBy("id1"))
+        .orderBy("id1")),
+
+    // ---- one-way ANOVA F: does mean event value differ by type; exact
+    //      decimal moments, per-level terms quantized before the fold ----
+    "q_anova" -> ((s, dir) =>
+      Stats.anovaF(Tables.events(s, dir), "event_type", "value")),
+
+    // ---- Kruskal-Wallis (rank ANOVA) with tie correction; scores
+    //      rounded to 1 dp to FORCE heavy ties through the midrank path ----
+    "q_kruskal" -> ((s, dir) =>
+      Stats.kruskalWallis(
+        Tables.events(s, dir)
+          .select(col("event_type"), round(col("value"), 1).as("score")),
+        "event_type", "score")),
+
+    // ---- association rules (support/confidence/lift) over the pruned
+    //      frequent pairs; both rule directions, single-division metrics ----
+    "q_assoc_rules" -> ((s, dir) =>
+      EventAnalytics.associationRules(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", 2)
+        .orderBy("antecedent", "consequent"))
   )
 
   private def linkageOracles: Map[String, String] = Map(
@@ -6977,6 +6997,85 @@ object SparkEntry {
         |SELECT x.qa AS id1, x.qb AS id2, x.c AS cosine
         |FROM t1 x JOIN t1 y ON x.qa = y.qb AND x.qb = y.qa
         |WHERE x.qa < x.qb
-        |ORDER BY id1""".stripMargin
+        |ORDER BY id1""".stripMargin,
+
+    // exact decimal moments (no double ever ties at a decimal rounding
+    // boundary, so the 6-dp quantization cast is engine-identical), same
+    // per-level term quantization, same final double arithmetic order
+    "q_anova" ->
+      """WITH g AS (SELECT event_type AS g, count(*) AS n_g,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s_g,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS q_g
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(s_g) AS s, sum(q_g) AS q,
+        |    sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS terms
+        |  FROM g),
+        |b AS (SELECT k, n,
+        |    CAST(terms AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q AS DOUBLE) - CAST(terms AS DOUBLE) AS ssw,
+        |    CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd FROM a)
+        |SELECT k, n, round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
+        |  round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM b""".stripMargin,
+
+    // doubled pooled midranks stay integer-exact; per-group R2²/n_g
+    // quantized to DECIMAL(38,6) before the k-term fold; same tie term
+    "q_kruskal" ->
+      """WITH gv AS (SELECT event_type AS g, round(value, 1) AS v,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_v FROM gv GROUP BY v),
+        |r AS (SELECT v, cnt_v,
+        |    2 * coalesce(sum(cnt_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt_v + 1 AS mid2
+        |  FROM p),
+        |pg AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g,
+        |    CAST(sum(cnt * mid2) AS BIGINT) AS r2_g
+        |  FROM gv JOIN r USING (v) GROUP BY g),
+        |t AS (SELECT CAST(sum(cnt_v * cnt_v * cnt_v - cnt_v) AS BIGINT) AS t3
+        |  FROM r),
+        |a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS terms
+        |  FROM pg)
+        |SELECT k, n,
+        |  round(3.0 * CAST(terms AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+        |    3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+        |  round((3.0 * CAST(terms AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+        |    3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+        |    (1.0 - CAST(t3 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+        |        CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+        |FROM a CROSS JOIN t""".stripMargin,
+
+    // identical prune-then-pair counting, both rule directions, one
+    // division per metric over exact integer counts
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |freq AS (SELECT i FROM bi GROUP BY i HAVING count(*) >= 2),
+        |pb AS (SELECT b, i FROM bi WHERE i IN (SELECT i FROM freq)),
+        |pr AS (SELECT a.i AS item1, b2.i AS item2, count(*) AS n_baskets
+        |  FROM pb a JOIN pb b2 USING (b) WHERE a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT i, count(*) AS n_item FROM bi GROUP BY i),
+        |nt AS (SELECT count(DISTINCT b) AS n_total FROM bi),
+        |d AS (SELECT item1 AS antecedent, item2 AS consequent, n_baskets FROM pr
+        |  UNION ALL SELECT item2, item1, n_baskets FROM pr)
+        |SELECT antecedent, consequent, n_baskets,
+        |  round(CAST(n_baskets AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_baskets AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(n_total AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |    (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE)), 6) AS lift
+        |FROM d JOIN ic na ON na.i = antecedent
+        |JOIN ic nc ON nc.i = consequent CROSS JOIN nt
+        |ORDER BY antecedent, consequent""".stripMargin
   )
 }

@@ -333,6 +333,43 @@ object EventAnalytics {
       .filter(col("item1") < col("item2"))
       .groupBy("item1", "item2").agg(count(lit(1)).as("n_baskets"))
 
+  /** Association rules over the frequent pairs: for every directed rule
+    * a → b with pair support ≥ `minSupport`, the three classic metrics —
+    * support n_ab/N, confidence n_ab/n_a, lift N·n_ab/(n_a·n_b). Both
+    * directions are emitted (confidence is asymmetric). All counts are
+    * exact integers from [[coOccurrence]]'s pruned one-shuffle shape;
+    * each metric is a single division over those integers (lift's
+    * numerator/denominator are Long products — bounded by N·n_ab <
+    * 2^63 for any corpus this side of 10^9 baskets × 10^9 support —
+    * computed in double to dodge even that). The item-count and
+    * basket-count sides ride as broadcasts (item dimension tables, one
+    * global scalar).
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val nBaskets = bi.agg(countDistinct("b").as("n_total"))
+    val itemCounts = bi.groupBy("i").agg(count(lit(1)).as("n_item"))
+    val pairs = coOccurrence(df, basketCol, itemCol, minSupport)
+    val directed = pairs
+      .select(col("item1").as("antecedent"), col("item2").as("consequent"),
+        col("n_baskets"))
+      .union(pairs.select(col("item2"), col("item1"), col("n_baskets")))
+    directed
+      .join(broadcast(itemCounts.select(col("i").as("antecedent"),
+        col("n_item").as("_na"))), Seq("antecedent"))
+      .join(broadcast(itemCounts.select(col("i").as("consequent"),
+        col("n_item").as("_nc"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_baskets"),
+        round(col("n_baskets").cast("double") /
+          col("n_total").cast("double"), 6).as("support"),
+        round(col("n_baskets").cast("double") /
+          col("_na").cast("double"), 6).as("confidence"),
+        round(col("n_total").cast("double") * col("n_baskets").cast("double") /
+          (col("_na").cast("double") * col("_nc").cast("double")), 6).as("lift"))
+  }
+
   /** Frequent item TRIPLES by the Apriori principle: every subset of a
     * frequent itemset is frequent, so candidate triples are built ONLY
     * from frequent pairs — (a,b) occurrences extend with items c > b

@@ -178,6 +178,20 @@ object FuzzyJoin {
       .select("l_id", "r_id", "l_key", "r_key", "dist", "jw")
   }
 
+  /** [[resolveEntities]] with the Damerau kernel: an adjacent
+    * transposition counts as ONE edit, so swapped-letter typos cluster
+    * at maxEdits = 1 where plain Levenshtein needs 2 (and drags in
+    * genuinely-different two-substitution names with it).
+    */
+  def resolveEntitiesDamerau(df: DataFrame, idCol: String, keyCol: String,
+                             blockOf: Column => Column,
+                             maxEdits: Int): DataFrame = {
+    val pairs = damerauJoin(df, idCol, keyCol, df, idCol, keyCol, blockOf, maxEdits)
+      .filter(col("l_id") < col("r_id"))
+      .select(col("l_id").as("id1"), col("r_id").as("id2"))
+    attachComponents(df, idCol, pairs)
+  }
+
   private def attachComponents(df: DataFrame, idCol: String,
                                pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)

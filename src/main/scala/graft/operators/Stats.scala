@@ -1586,6 +1586,89 @@ object Stats {
       .select(col("g").as(groupCol), col("weighted_median"))
   }
 
+  /** One-way ANOVA F-test: does the mean of `valueCol` differ across the
+    * levels of `groupCol`. One grouped aggregation collects exact
+    * per-level moments (n_g, Σx, Σx² as decimals — values quantized to
+    * 6 dp first; no double ever ties at a decimal rounding boundary, so
+    * the cast is cross-engine deterministic), one driver-free fold
+    * combines them. Per-level Σx²/n_g terms are each ONE double
+    * division quantized back to DECIMAL(38,6) before the level sum, so
+    * the between-group mass is order-independent. Returns k, n, F and
+    * the effect size η² = SSB/(SSB+SSW).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("decimal(18,6)").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"),
+        sum(col("v") * col("v")).as("q_g"))
+    val term = round(
+      col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double"), 6).cast("decimal(38,6)")
+    g
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("s_g").as("_s"), sum("q_g").as("_q"), sum(term).as("_terms"))
+      .select(col("k"), col("n"),
+        // SSB = Σ S_g²/n_g − S²/n ; SSW = Q − Σ S_g²/n_g
+        (col("_terms").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") /
+            col("n").cast("double")).as("_ssb"),
+        (col("_q").cast("double") - col("_terms").cast("double")).as("_ssw"),
+        col("k").cast("double").as("_kd"), col("n").cast("double").as("_nd"))
+      .select(col("k"), col("n"), round(col("_ssb"), 4).as("ss_between"),
+        round(col("_ssw"), 4).as("ss_within"),
+        round((col("_ssb") / (col("_kd") - lit(1.0))) /
+          (col("_ssw") / (col("_nd") - col("_kd"))), 6).as("f_stat"),
+        round(col("_ssb") / (col("_ssb") + col("_ssw")), 6).as("eta_sq"))
+  }
+
+  /** Kruskal-Wallis rank test (the distribution-free ANOVA): H over
+    * pooled tie-aware midranks, with the standard tie correction
+    * C = 1 − Σ(t³−t)/(n³−n). Works entirely on the DISTINCT-score
+    * table: pooled cumulative counts give each distinct score its
+    * DOUBLED midrank (2·cum_before + cnt + 1 — integers, so rank sums
+    * are exact), per-group rank sums are one more aggregation, and with
+    * R2_g = 2·R_g the statistic folds to
+    * H = 3/(n(n+1)) · Σ R2_g²/n_g − 3(n+1). Each R2_g²/n_g is one
+    * double division quantized to DECIMAL(38,6) before the k-term sum.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val pooled = gv.groupBy("v").agg(sum("cnt").as("cnt_v"))
+    val win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = pooled
+      .withColumn("_cumprev", coalesce(sum("cnt_v").over(win), lit(0L)))
+      .select(col("v"), col("cnt_v"),
+        (lit(2L) * col("_cumprev") + col("cnt_v") + lit(1L)).as("mid2"))
+    val perGroup = gv.join(ranked, Seq("v"))
+      .groupBy("g")
+      .agg(sum("cnt").as("n_g"), sum(col("cnt") * col("mid2")).as("r2_g"))
+    val term = round(
+      col("r2_g").cast("double") * col("r2_g").cast("double") /
+        col("n_g").cast("double"), 6).cast("decimal(38,6)")
+    val ties = ranked.agg(
+      sum(col("cnt_v") * col("cnt_v") * col("cnt_v") - col("cnt_v")).as("_t3"))
+    perGroup
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"), sum(term).as("_terms"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("_terms"), col("_t3"),
+        col("n").cast("double").as("_nd"))
+      .select(col("k"), col("n"),
+        round(lit(3.0) * col("_terms").cast("double") /
+            (col("_nd") * (col("_nd") + lit(1.0))) -
+          lit(3.0) * (col("_nd") + lit(1.0)), 6).as("h_stat"),
+        round((lit(3.0) * col("_terms").cast("double") /
+            (col("_nd") * (col("_nd") + lit(1.0))) -
+          lit(3.0) * (col("_nd") + lit(1.0))) /
+          (lit(1.0) - col("_t3").cast("double") /
+            (col("_nd") * col("_nd") * col("_nd") - col("_nd"))), 6)
+          .as("h_tie_corrected"))
+  }
+
   /** Shannon entropy of a categorical column per group, with the
     * normalized variant H / ln(k) (diversity in [0, 1] comparable across
     * groups with different category counts). The data-mixing screen:

@@ -77,4 +77,19 @@ class FuzzyJoinSpec extends SparkSpecBase {
       (4L, 4L),
       (5L, 5L), (6L, 6L))) // 6 blocks on "gearx": blocking bounds recall, by design
   }
+
+  test("resolveEntitiesDamerau: a transposition is ONE edit (levenshtein needs two)") {
+    import org.apache.spark.sql.functions.substring
+    val df = Seq((1L, "martha"), (2L, "marhta"), (3L, "marcos"))
+      .toDF("id", "nm")
+    val firstThree = (k: org.apache.spark.sql.Column) => substring(k, 1, 3)
+    // damerau at maxEdits = 1: the swapped pair merges, marcos stays out
+    val dl = FuzzyJoin.resolveEntitiesDamerau(df, "id", "nm", firstThree, 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dl == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // plain levenshtein at the same budget sees distance 2: no merge
+    val lev = FuzzyJoin.resolveEntities(df, "id", "nm", firstThree, 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(lev == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }

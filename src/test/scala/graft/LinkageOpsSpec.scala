@@ -128,4 +128,35 @@ class LinkageOpsSpec extends SparkSpecBase {
     // c has df 1 (gated); a's postings capped at 2 of its 3 docs
     assert(out == Seq(("a", 3L, "1,2"), ("b", 2L, "1,3")))
   }
+
+  test("anovaF: textbook two-group case by hand") {
+    // a: {1,2,3}, b: {2,3,4} -> SSB = 1.5, SSW = 4, F = 1.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                 ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("grp", "v")
+    val out = Stats.anovaF(df, "grp", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(out == ((2L, 6L, 1.5, 4.0, 1.5, 0.272727)))
+  }
+
+  test("kruskalWallis: tie correction divides H by 1 - sum(t^3-t)/(n^3-n)") {
+    // a: {1,1}, b: {2,2}: midranks (1.5,1.5,3.5,3.5) -> H = 2.4,
+    // ties 12/60 -> C = 0.8 -> corrected 3.0
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("grp", "v")
+    val out = Stats.kruskalWallis(df, "grp", "v")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out == ((2L, 4L, 2.4, 3.0)))
+  }
+
+  test("associationRules: support/confidence/lift over pruned pairs, both directions") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"))
+      .toDF("basket", "item")
+    val out = EventAnalytics.associationRules(df, "basket", "item", 2L)
+      .as[(String, String, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // z is infrequent (pruned before pairing); confidence is asymmetric
+    assert(out == Seq(
+      ("x", "y", 2L, 0.666667, 0.666667, 1.0),
+      ("y", "x", 2L, 0.666667, 1.0, 1.0)))
+  }
 }
