@@ -6809,7 +6809,29 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, dir) =>
       EventAnalytics.associationRules(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", 2)
-        .orderBy("antecedent", "consequent"))
+        .orderBy("antecedent", "consequent")),
+
+    // ---- local clustering coefficient on the q_kcore planted graph
+    //      (6-clique + 19-node chain): clique interior 1.0, the joint
+    //      node 2/3, chain 0.0, the pendant endpoint NULL — the oracle
+    //      is hand-derived closed form, independent of the operator ----
+    "q_clustering_coef" -> ((s, dir) => {
+      val ids = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("id"))
+      val a = ids.select(col("id").as("src"))
+      val b = ids.select(col("id").as("dst"))
+      val edges = a.crossJoin(b).filter(
+        (col("src") < 6 && col("dst") < 6 && col("src") < col("dst")) ||
+          (col("src") >= 5 && col("dst") === col("src") + 1))
+      Graph.clusteringCoefficient(edges).orderBy("id")
+    }),
+
+    // ---- Cramér's V over the same event-type × day-of-week table as
+    //      q_chi2: scale-free association strength ----
+    "q_cramers_v" -> ((s, dir) =>
+      Stats.cramersV(
+        Tables.events(s, dir).select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 7).as("dow")),
+        "event_type", "dow"))
   )
 
   private def linkageOracles: Map[String, String] = Map(
@@ -7076,6 +7098,48 @@ object SparkEntry {
         |    (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE)), 6) AS lift
         |FROM d JOIN ic na ON na.i = antecedent
         |JOIN ic nc ON nc.i = consequent CROSS JOIN nt
-        |ORDER BY antecedent, consequent""".stripMargin
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // hand-derived truth for the planted 6-clique + chain: interior
+    // clique nodes see C(5,2)=10 closed wedges of 10 possible (1.0),
+    // the clique/chain joint (node 5, deg 6) 10 of 15 (2/3), chain
+    // interiors deg 2 with no triangle (0.0), the endpoint deg 1 (NULL)
+    "q_clustering_coef" ->
+      """SELECT CAST(i AS BIGINT) AS id,
+        |  CAST(CASE WHEN i < 5 THEN 5 WHEN i = 5 THEN 6
+        |    WHEN i = 24 THEN 1 ELSE 2 END AS BIGINT) AS degree,
+        |  CAST(CASE WHEN i <= 5 THEN 10 ELSE 0 END AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN i < 5 THEN 1.0 WHEN i = 5 THEN 0.666667
+        |    WHEN i = 24 THEN NULL ELSE 0.0 END AS DOUBLE) AS clustering
+        |FROM (SELECT unnest(range(0, 25)) AS i)
+        |ORDER BY id""".stripMargin,
+
+    // the q_chi2 replay folded to its V summary
+    "q_cramers_v" ->
+      """WITH e AS (SELECT event_type AS row_val,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS col_val
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT row_val, col_val, count(*) AS observed
+        |  FROM e GROUP BY row_val, col_val),
+        |rt AS (SELECT row_val, SUM(observed) AS mrt FROM cells GROUP BY row_val),
+        |ct AS (SELECT col_val, SUM(observed) AS mct FROM cells GROUP BY col_val),
+        |tot AS (SELECT SUM(observed) AS n,
+        |    count(DISTINCT row_val) AS nr, count(DISTINCT col_val) AS nc FROM cells),
+        |s AS (SELECT c.row_val, c.col_val, c.observed,
+        |    round(CAST(mrt AS DOUBLE) * mct / n, 6) AS expected, nr, nc
+        |  FROM cells c JOIN rt USING (row_val) JOIN ct USING (col_val), tot),
+        |s2 AS (SELECT *,
+        |    CASE WHEN expected > 0.0
+        |      THEN round((observed - expected) * (observed - expected) / expected, 6)
+        |      ELSE 0.0 END AS contrib
+        |  FROM s),
+        |st AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+        |    (max(nr) - 1) * (max(nc) - 1) AS dof FROM s2)
+        |SELECT round(chi2, 6) AS chi2, CAST(n AS BIGINT) AS n,
+        |  CAST(dof AS BIGINT) AS dof,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |    CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM st, tot""".stripMargin
   )
 }

@@ -118,6 +118,32 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple graph — how close each node's
+    * neighborhood is to a clique (the community-tightness screen that
+    * separates hub-and-spoke from triangle-dense structure). Reuses
+    * [[triangleCounts]]'s compact-forward triangle pass; degree is one
+    * more aggregation over the canonical edge list. NULL where
+    * deg < 2 (the coefficient is undefined on pendants/isolates, and
+    * 0.0 there would be indistinguishable from a genuinely open
+    * neighborhood).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) with deterministic tie-breaks: every round each vertex takes
     * the most frequent label in its closed neighborhood (its own label

@@ -1586,6 +1586,24 @@ object Stats {
       .select(col("g").as(groupCol), col("weighted_median"))
   }
 
+  /** Cramér's V effect size for a two-way categorical table:
+    * V = √(χ² / (n · min(r−1, c−1))) in [0, 1] — the scale-free
+    * companion to [[chiSquare]] (χ² grows with n; V answers "how strong
+    * is the association", comparable across tables). One aggregation
+    * over the chi-square cell table (every cell row carries the same
+    * χ²/dof, so max() reads them without a second pass).
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquare(df, rowCol, colCol)
+      .agg(max("chi2").as("_chi2"), sum("observed").as("_n"),
+        countDistinct("row_val").as("_nr"),
+        countDistinct("col_val").as("_nc"), max("dof").as("dof"))
+      .select(round(col("_chi2"), 6).as("chi2"), col("_n").as("n"), col("dof"),
+        round(sqrt(col("_chi2") /
+          (col("_n").cast("double") *
+            least(col("_nr") - 1, col("_nc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+
   /** One-way ANOVA F-test: does the mean of `valueCol` differ across the
     * levels of `groupCol`. One grouped aggregation collects exact
     * per-level moments (n_g, Σx, Σx² as decimals — values quantized to

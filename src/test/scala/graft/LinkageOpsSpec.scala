@@ -148,6 +148,25 @@ class LinkageOpsSpec extends SparkSpecBase {
     assert(out == ((2L, 4L, 2.4, 3.0)))
   }
 
+  test("clusteringCoefficient: triangle closes, pendant undefined") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 3L, 1L, Some(0.333333)), (4L, 1L, 0L, None)))
+  }
+
+  test("cramersV: balanced 2x2 with moderate association") {
+    // cells 3/1/1/3, all expected 2: chi2 = 2, V = sqrt(2/(8*1)) = 0.5
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+                 ("b", "x"), ("b", "y"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val out = Stats.cramersV(df, "r", "c")
+      .as[(Double, Long, Long, Double)].collect().head
+    assert(out == ((2.0, 8L, 1L, 0.5)))
+  }
+
   test("associationRules: support/confidence/lift over pruned pairs, both directions") {
     val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"))
       .toDF("basket", "item")
