@@ -163,10 +163,14 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     StringDistanceKernels.damerau(
       l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = StringDistanceKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.damerau($a, $b);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the STATIC FORWARDER class (no MODULE$): scalac emits static
+    // damerau/jaroWinkler methods on the plain class name for top-level
+    // objects, and Janino resolves those; `Kernels$.MODULE$` does not
+    // exist under the name Janino sees (caught live: the ...MODULE$ form
+    // failed to compile and silently fell back to interpreted eval)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringDistanceKernels.damerau($a, $b);")
 
   override def prettyName: String = "damerau_levenshtein"
   override protected def withNewChildrenInternal(
@@ -192,10 +196,10 @@ case class JaroWinkler(left: Expression, right: Expression)
     StringDistanceKernels.jaroWinkler(
       l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = StringDistanceKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.jaroWinkler($a, $b);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static forwarder, not MODULE$ — see DamerauLevenshtein.doGenCode
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringDistanceKernels.jaroWinkler($a, $b);")
 
   override def prettyName: String = "jaro_winkler"
   override protected def withNewChildrenInternal(

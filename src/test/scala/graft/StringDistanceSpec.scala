@@ -59,6 +59,21 @@ class StringDistanceSpec extends SparkSpecBase {
   }
 
   test("column API evaluates through codegen with null propagation") {
+    // forbid the silent interpreter fallback: a doGenCode that emits
+    // Java Janino cannot compile would otherwise pass this test on eval
+    // (exactly what happened with the Kernels$.MODULE$ reference —
+    // caught in a bench log, not here). CODEGEN_ONLY turns that
+    // fallback into a hard failure.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try testCodegenColumn()
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
+  private def testCodegenColumn(): Unit = {
     // a Range source (not a LocalRelation, no exchange): the projection
     // can neither be constant-folded away at plan time nor wrapped in an
     // AdaptiveSparkPlan, so the codegen span is visible in the plan
