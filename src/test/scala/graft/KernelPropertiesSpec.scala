@@ -151,4 +151,42 @@ class TextPropertiesSpec extends SparkSpecBase {
     assert(math.abs(counts("val") / n.toDouble - 0.10) < 0.01, counts.toString)
     assert(math.abs(counts("test") / n.toDouble - 0.10) < 0.01, counts.toString)
   }
+
+  test("every custom kernel compiles under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // Spark's default behavior on a doGenCode that emits uncompilable
+    // Java is to log an ERROR and fall back to interpreted eval — every
+    // value-level test still passes (this bit StringDistance: a
+    // Kernels$.MODULE$ reference Janino can't see). Force codegen so a
+    // compile failure in ANY kernel fails the suite.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.functions._
+      val df = spark.range(64).select(
+        $"id",
+        concat(lit("text t"), $"id" % 9, lit(" u"), $"id" % 7).as("s"),
+        array(($"id" % 5).cast("double"), lit(1.0), ($"id" % 3).cast("double")).as("v"),
+        array(lit(1.0), ($"id" % 4).cast("double"), lit(0.5)).as("w"))
+      val out = df.select(
+        CosineSim($"v", $"w").as("cos"),
+        DotProduct($"v", $"w").as("dot"),
+        HilbertKey2($"id", $"id" + 1, 10).as("h2"),
+        HilbertKey3($"id", $"id" + 1, $"id" + 2, 8).as("h3"),
+        TokenArray($"s").as("toks"),
+        WordShingles($"s", 2).as("sh"),
+        SortedJaccardSim(array_sort(split($"s", " ")),
+          array_sort(split($"s", " "))).as("jac"),
+        CanonicalRowHash(struct($"id", $"s")).as("h"),
+        DamerauLevenshtein($"s", concat($"s", lit("x"))).as("dl"),
+        JaroWinkler($"s", $"s").as("jw"))
+        .collect()
+      assert(out.length == 64)
+      assert(out.forall(r => r.getInt(r.fieldIndex("dl")) == 1))
+      assert(out.forall(r => r.getDouble(r.fieldIndex("jw")) == 1.0))
+      assert(out.forall(r => r.getDouble(r.fieldIndex("jac")) == 1.0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
 }
