@@ -1567,6 +1567,13 @@ object Stats {
     * distinct-value table, not the fact rows — and the half-mass test
     * is `2·cum ≥ tot` in exact decimals, so no float division decides
     * the cut.
+    *
+    * Scale contract (same as winsorize/qqTable): the per-group window
+    * sorts that group's DISTINCT values in one task, so the value
+    * domain per group must be bounded (prices, scores, quantized
+    * measures) — not the row count. For continuous corpus-scale
+    * domains, quantize first (cast to a fixed-scale decimal) or take
+    * the sketched grouped-quantile path instead.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {

@@ -96,6 +96,52 @@ object StreamingDrift {
         col("window.end").as("window_end"), col("n"), col("psi"))
   }
 
+  /** Streaming categorical-mix drift: Shannon entropy of `catCol` per
+    * event-time window, with the delta against a static reference
+    * entropy (the streaming twin of
+    * [[graft.operators.Stats.categoricalEntropy]] — a collapsing or
+    * exploding category mix moves entropy long before any single count
+    * alarm fires). Same bounded-state trade as [[streamingPsi]]: the
+    * category list is FIXED from the reference (one counter per
+    * category + one "other" bucket per open window — never a dynamic
+    * (window, category) state row), unseen categories fold into
+    * "other", and the entropy formula evaluates in the projection above
+    * the single windowed aggregation. Per-category −p·ln p terms are
+    * quantized to DECIMAL(18,9) exactly like the batch operator, so a
+    * closed window's entropy is bit-identical to
+    * `categoricalEntropy` run on the same rows with the same category
+    * collapsing.
+    */
+  def streamingEntropy(events: DataFrame, tsCol: String, catCol: String,
+                       categories: Seq[String], refEntropy: Double,
+                       windowDuration: String,
+                       lateness: String = "1 hour"): DataFrame = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    val nC = categories.size + 1 // + "other"
+    val counts = categories.zipWithIndex.map { case (c, k) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"_c$k")
+    } :+ sum(when(col(catCol).isin(categories: _*), 0L).otherwise(1L))
+      .as(s"_c${categories.size}")
+    val total = (0 until nC).map(k => col(s"_c$k")).reduce(_ + _)
+    def term(k: Int): Column = {
+      val p = col(s"_c$k").cast("double") / col("n").cast("double")
+      when(col(s"_c$k") > 0, round(-p * log(p), 9).cast("decimal(18,9)"))
+        .otherwise(lit(0).cast("decimal(18,9)"))
+    }
+    events
+      .filter(col(catCol).isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n", total)
+      .withColumn("entropy",
+        round((0 until nC).map(term).reduce(_ + _).cast("double"), 6))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"),
+        col("entropy"),
+        round(col("entropy") - lit(refEntropy), 6).as("entropy_delta"))
+  }
+
   def monitor(stream: DataFrame, reference: DataFrame): Monitor = {
     require(stream.columns.toSet == reference.columns.toSet,
       s"aligned projections required; stream-only: " +

@@ -125,6 +125,46 @@ class StreamingPsiWindowSpec extends SparkSpecBase {
   }
 }
 
+class StreamingEntropySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamingEntropy matches batch categoricalEntropy window by window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDrift.streamingEntropy(
+        mem.toDF().toDF("ts", "cat"), "ts", "cat",
+        Seq("x", "y"), refEntropy = 0.5, "1 hour", lateness = "1 second")
+      .writeStream.format("memory").queryName("sent").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window A: uniform two-category mix; window B: skewed + an
+      // UNSEEN category (folds into "other")
+      val winA = Seq("x", "x", "y", "y").map((ts("2024-01-01 10:00:05"), _))
+      val winB = Seq("x", "x", "x", "z").map((ts("2024-01-01 11:00:05"), _))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), "x")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n, entropy, entropy_delta FROM sent ORDER BY 1")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 4L)
+      assert(rows(0).getAs[Double]("entropy") == 0.693147) // ln 2
+      assert(rows(0).getAs[Double]("entropy_delta") == 0.193147)
+      // bit-identical to the batch operator with the same "other" fold
+      def batch(cats: Seq[String]): Double =
+        graft.operators.Stats.categoricalEntropy(
+            cats.map(c => ("g", if (Seq("x", "y").contains(c)) c else "other"))
+              .toDF("g", "c"), "g", "c")
+          .head().getAs[Double]("entropy")
+      assert(rows(0).getAs[Double]("entropy") == batch(Seq("x", "x", "y", "y")))
+      assert(rows(1).getAs[Double]("entropy") == batch(Seq("x", "x", "x", "z")))
+      assert(rows(1).getAs[Double]("entropy") == 0.562335)
+    } finally q.stop()
+  }
+}
+
 class StreamingCompactLatestSpec extends SparkSpecBase {
   import spark.implicits._
 
