@@ -393,7 +393,7 @@ object SparkEntry {
       c.dataDrift("lineitem").get.drop("hashed_row")
         .orderBy("l_orderkey", "l_linenumber", "observed_in")
     })
-  ) ++ pipelineQueries ++ linkageQueries
+  ) ++ pipelineQueries ++ linkageQueries ++ evalQueries
 
   /** Training-data pipeline operators (dedup, similarity, text analysis,
     * multimodal, event streams) — first-class alongside the diff surface.
@@ -3157,7 +3157,7 @@ object SparkEntry {
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
         |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin
-  ) ++ pipelineOracles ++ linkageOracles
+  ) ++ pipelineOracles ++ linkageOracles ++ evalOracles
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -7141,5 +7141,461 @@ object SparkEntry {
         |  round(sqrt(chi2 / (CAST(n AS DOUBLE) *
         |    CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
         |FROM st, tot""".stripMargin
+  )
+
+  /** Round-13 second wave: classifier-score evaluation (calibration,
+    * Brier decomposition, threshold sweep, lift, WOE/IV), distribution
+    * distances (Jensen-Shannon, 1-Wasserstein), robust group tests
+    * (Brown-Forsythe, Cohen's d, higher moments, Mann-Kendall trend,
+    * trimmed mean) and the degree-assortativity graph fingerprint.
+    * The classifier queries share one deterministic convention with
+    * q_auc: score = l_discount·10 ∈ [0, 1] (11 exact levels), label =
+    * `l_returnflag = 'R'`.
+    */
+  private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Jensen-Shannon divergence of the event-type mix between the
+    //      even- and odd-user halves (zero-cell-safe drift score) ----
+    "q_js_divergence" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Stats.jsDivergence(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "event_type")
+    }),
+
+    // ---- 1-Wasserstein distance between click and purchase value
+    //      distributions on the distinct 2-dp value grid ----
+    "q_wasserstein" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      Stats.wasserstein1(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    }),
+
+    // ---- Brown-Forsythe equal-variance test on event values by type
+    //      (ANOVA on |v − lower-median_g|) ----
+    "q_brown_forsythe" -> ((s, dir) =>
+      Stats.brownForsythe(Tables.events(s, dir).filter(col("value").isNotNull),
+        "event_type", "value")),
+
+    // ---- Cohen's d / Hedges' g effect sizes for every event-type pair ----
+    "q_cohens_d" -> ((s, dir) =>
+      Stats.cohensD(Tables.events(s, dir), "event_type", "value")
+        .orderBy("g1", "g2")),
+
+    // ---- mean/variance/skewness/kurtosis of extended price by
+    //      return flag (two-pass centered moments, quantized folds) ----
+    "q_moments" -> ((s, dir) =>
+      Stats.moments(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // ---- Mann-Kendall trend test on the daily order-count series
+    //      (bounded: 2399 day buckets; pair join guarded) ----
+    "q_mann_kendall" -> ((s, dir) =>
+      Stats.mannKendall(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders")),
+        "day", "n_orders")),
+
+    // ---- 10 %-trimmed mean of extended price per return flag (exact
+    //      tie-splitting overlap arithmetic on the distinct-value grid) ----
+    "q_trimmed_mean" -> ((s, dir) =>
+      Stats.trimmedMean(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", alpha = 0.1)
+        .orderBy("l_returnflag")),
+
+    // ---- degree assortativity of the supplier–part incidence graph
+    //      (part ids offset to their own node namespace) ----
+    "q_assortativity" -> ((s, dir) =>
+      Graph.assortativity(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")))),
+
+    // ---- calibration table of the discount score vs returned-flag
+    //      rate over 10 equal-width bins ----
+    "q_calibration" -> ((s, dir) =>
+      Eval.calibration(
+          t(s, dir, "lineitem").withColumn("score", col("l_discount") * 10),
+          "score", col("l_returnflag") === "R")
+        .orderBy("bin")),
+
+    // ---- Brier score + Murphy reliability/resolution/uncertainty
+    //      decomposition of the same score ----
+    "q_brier" -> ((s, dir) =>
+      Eval.brierDecomposition(
+        t(s, dir, "lineitem").withColumn("score", col("l_discount") * 10),
+        "score", col("l_returnflag") === "R")),
+
+    // ---- confusion-matrix sweep over an 11-point threshold grid;
+    //      corpus collapses once to the 11 score levels ----
+    "q_threshold_metrics" -> ((s, dir) =>
+      Eval.thresholdMetrics(
+          t(s, dir, "lineitem").withColumn("score", col("l_discount") * 10),
+          "score", col("l_returnflag") === "R",
+          (0 to 10).map(_ / 10.0))
+        .orderBy("threshold")),
+
+    // ---- cumulative gains/lift by descending score level ----
+    "q_lift_table" -> ((s, dir) =>
+      Eval.liftTable(
+          t(s, dir, "lineitem").withColumn("score", col("l_discount") * 10),
+          "score", col("l_returnflag") === "R")
+        .orderBy(col("score").desc)),
+
+    // ---- weight of evidence / information value of order priority
+    //      against the fulfilled-status outcome ----
+    "q_woe_iv" -> ((s, dir) =>
+      Eval.weightOfEvidence(t(s, dir, "orders"), "o_orderpriority",
+          col("o_orderstatus") === "F")
+        .orderBy("category"))
+  )
+
+  private def evalOracles: Map[String, String] = Map(
+    // per-category JSD halves rounded at 9 dp before the decimal fold;
+    // ln 2 embedded as the shared shortest-roundtrip literal
+    "q_js_divergence" ->
+      s"""WITH r AS (SELECT event_type AS c, count(*) AS rn FROM events
+        |    WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1),
+        |  c AS (SELECT event_type AS c, count(*) AS cn FROM events
+        |    WHERE user_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1),
+        |  j AS (SELECT coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn
+        |    FROM r FULL JOIN c ON r.c = c.c),
+        |  tot AS (SELECT CAST(sum(rn) AS BIGINT) AS rt,
+        |      CAST(sum(cn) AS BIGINT) AS ct FROM j),
+        |  terms AS (SELECT rn, cn, rt, ct,
+        |      CASE WHEN rn > 0 THEN round(
+        |          (CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE)) *
+        |          ln((CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE)) /
+        |            ((CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE) +
+        |              CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE)) / 2.0)) / 2.0,
+        |          9) ELSE 0.0 END
+        |      + CASE WHEN cn > 0 THEN round(
+        |          (CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE)) *
+        |          ln((CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE)) /
+        |            ((CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE) +
+        |              CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE)) / 2.0)) / 2.0,
+        |          9) ELSE 0.0 END AS term
+        |    FROM j, tot)
+        |SELECT max(rt) AS n_ref, max(ct) AS n_cur, count(*) AS n_cats,
+        |  round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS jsd,
+        |  round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE) /
+        |    ${math.log(2.0)}, 6) AS jsd_norm
+        |FROM terms""".stripMargin,
+
+    // gap terms |ΔCDF|·gap rounded at 9 dp on the union value grid
+    "q_wasserstein" ->
+      """WITH rv AS (SELECT CAST(value AS DECIMAL(18,2)) AS v, count(*) AS rn
+        |    FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1),
+        |  cv AS (SELECT CAST(value AS DECIMAL(18,2)) AS v, count(*) AS cn
+        |    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    GROUP BY 1),
+        |  j AS (SELECT coalesce(rv.v, cv.v) AS v, coalesce(rn, 0) AS rn,
+        |      coalesce(cn, 0) AS cn
+        |    FROM rv FULL JOIN cv ON rv.v = cv.v),
+        |  tot AS (SELECT CAST(sum(rn) AS BIGINT) AS rt,
+        |      CAST(sum(cn) AS BIGINT) AS ct FROM j),
+        |  w AS (SELECT v, rn, cn, rt, ct,
+        |      sum(rn) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |      sum(cn) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |      lead(v) OVER (ORDER BY v) AS nxt
+        |    FROM j, tot),
+        |  terms AS (SELECT rt, ct,
+        |      CASE WHEN nxt IS NOT NULL THEN CAST(round(
+        |        abs(CAST(cr AS DOUBLE) / CAST(rt AS DOUBLE) -
+        |            CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE)) *
+        |        CAST(nxt - v AS DOUBLE), 9) AS DECIMAL(18,9)) END AS term
+        |    FROM w)
+        |SELECT max(rt) AS n_ref, max(ct) AS n_cur, count(*) AS n_values,
+        |  round(coalesce(CAST(sum(term) AS DOUBLE), 0.0), 6) AS wasserstein1
+        |FROM terms""".stripMargin,
+
+    // lower inverse-CDF median per group, exact decimal |v − med|,
+    // then the identical quantize-then-fold ANOVA tail as q_anova
+    "q_brown_forsythe" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v
+        |    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |  gv AS (SELECT g, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |  cumt AS (SELECT g, v,
+        |      sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(cnt) OVER (PARTITION BY g) AS n FROM gv),
+        |  med AS (SELECT g, min(v) AS med FROM cumt WHERE cum * 2 >= n
+        |    GROUP BY g),
+        |  z AS (SELECT base.g, CAST(abs(base.v - med.med) AS DECIMAL(18,6)) AS v
+        |    FROM base JOIN med ON base.g = med.g),
+        |  gz AS (SELECT g, count(*) AS n_g, sum(v) AS s_g,
+        |      sum(v * v) AS q_g FROM z GROUP BY 1),
+        |  a AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |      sum(s_g) AS s, sum(q_g) AS q,
+        |      sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |        CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS terms
+        |    FROM gz),
+        |  b AS (SELECT k, n,
+        |      CAST(terms AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        CAST(n AS DOUBLE) AS ssb,
+        |      CAST(q AS DOUBLE) - CAST(terms AS DOUBLE) AS ssw,
+        |      CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd FROM a)
+        |SELECT k, n, round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
+        |  round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6) AS bf_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM b""".stripMargin,
+
+    // exact decimal moments per group cast to double once; identical
+    // fixed-order pooled-SD / d / J arithmetic
+    "q_cohens_d" ->
+      """WITH g AS (SELECT event_type AS g, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) *
+        |      CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS q
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |    CAST(a.n AS DOUBLE) AS nd1, CAST(b.n AS DOUBLE) AS nd2,
+        |    a.s AS s1, b.s AS s2, a.q AS q1, b.q AS q2
+        |  FROM g a JOIN g b ON a.g < b.g),
+        |v AS (SELECT g1, g2, n1, n2, nd1, nd2, s1, s2,
+        |    (q1 - s1 * s1 / nd1) / (nd1 - 1.0) AS v1,
+        |    (q2 - s2 * s2 / nd2) / (nd2 - 1.0) AS v2 FROM p),
+        |d AS (SELECT g1, g2, n1, n2,
+        |    (s1 / nd1 - s2 / nd2) /
+        |      sqrt(((nd1 - 1.0) * v1 + (nd2 - 1.0) * v2) /
+        |        (nd1 + nd2 - 2.0)) AS d,
+        |    1.0 - 3.0 / (4.0 * (nd1 + nd2) - 9.0) AS j FROM v)
+        |SELECT g1, g2, n1, n2, round(d, 6) AS cohens_d,
+        |  round(d * j, 6) AS hedges_g
+        |FROM d ORDER BY g1, g2""".stripMargin,
+
+    // two-pass centered moments: exact mean join-back, per-row powers
+    // rounded at 6 dp into exact decimal sums
+    "q_moments" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |  m AS (SELECT g, count(*) AS n,
+        |      CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |    FROM base GROUP BY 1),
+        |  c AS (SELECT base.g, m.n, m.mean, CAST(base.v AS DOUBLE) - m.mean AS d
+        |    FROM base JOIN m ON base.g = m.g),
+        |  s AS (SELECT g, n, mean,
+        |      sum(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS s2,
+        |      sum(CAST(round(d * d * d, 6) AS DECIMAL(38,6))) AS s3,
+        |      sum(CAST(round(d * d * d * d, 6) AS DECIMAL(38,6))) AS s4
+        |    FROM c GROUP BY 1, 2, 3),
+        |  f AS (SELECT g, n, mean,
+        |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+        |      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+        |      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4 FROM s)
+        |SELECT g AS l_returnflag, n, round(mean, 6) AS mean,
+        |  round(m2, 6) AS variance,
+        |  round(m3 / power(m2, 1.5), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    // O(n²) pair join on the bounded day-bucket table; integer S and
+    // tie sums; continuity-corrected Z once on the single row
+    "q_mann_kendall" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS t,
+        |    CAST(count(*) AS DECIMAL(18,6)) AS v FROM orders GROUP BY 1),
+        |  n AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM s),
+        |  pairs AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT))
+        |      AS BIGINT) AS s_stat
+        |    FROM s a JOIN s b ON a.t < b.t),
+        |  ties AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+        |      AS tsum
+        |    FROM (SELECT count(*) AS tc FROM s GROUP BY v)),
+        |  vv AS (SELECT n.n, pairs.s_stat,
+        |      (nd * (nd - 1.0) * (2.0 * nd + 5.0) -
+        |        CAST(ties.tsum AS DOUBLE)) / 18.0 AS var_s
+        |    FROM n, pairs, ties)
+        |SELECT n, s_stat, round(var_s, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM vv""".stripMargin,
+
+    // rank-interval overlap with the kept window is exact integer
+    // arithmetic; ⌊αn⌋ is the identical IEEE double product floored
+    "q_trimmed_mean" ->
+      """WITH gv AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v, count(*) AS cnt
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT g, v, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev,
+        |    sum(cnt) OVER (PARTITION BY g) AS n FROM gv),
+        |k AS (SELECT g, v, cnt, cumprev, n,
+        |    CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS lo FROM w),
+        |o AS (SELECT g, v, n, lo,
+        |    greatest(0, least(cumprev + cnt, n - lo) -
+        |      greatest(cumprev, lo)) AS kept FROM k)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  max(lo) AS n_trimmed_each, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(v * kept) AS DOUBLE) /
+        |    CAST(sum(kept) AS DOUBLE), 6) AS trimmed_mean
+        |FROM o GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
+    // symmetrize + distinct, integer-decimal moment sums, one Pearson
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst
+        |    FROM lineitem),
+        |  und AS (SELECT src, dst FROM e0
+        |    UNION SELECT dst AS src, src AS dst FROM e0),
+        |  deg AS (SELECT src, CAST(count(*) AS DECIMAL(12,0)) AS deg
+        |    FROM und GROUP BY src),
+        |  p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und
+        |    JOIN deg dx ON und.src = dx.src
+        |    JOIN deg dy ON und.dst = dy.src),
+        |  a AS (SELECT CAST(count(*) AS DOUBLE) AS m, count(*) AS mi,
+        |      CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+        |      CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+        |      CAST(sum(dy * dy) AS DOUBLE) AS syy,
+        |      CAST(sum(dx * dy) AS DOUBLE) AS sxy FROM p)
+        |SELECT CAST(CAST(mi AS DOUBLE) / 2 AS BIGINT) AS n_edges,
+        |  round((m * sxy - sx * sy) /
+        |    (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+        |    AS assortativity
+        |FROM a""".stripMargin,
+
+    // equal-width bins on the exact decimal score; top edge closed
+    "q_calibration" ->
+      """WITH b AS (SELECT
+        |    least(CAST(floor(CAST(l_discount * 10 AS DECIMAL(9,6)) * 10)
+        |      AS BIGINT), 9) AS bin,
+        |    CAST(l_discount * 10 AS DECIMAL(9,6)) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL)
+        |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Murphy decomposition over the calibration bins + exact decimal
+    // Brier sum; wb_var reports the within-bin variance gap
+    "q_brier" ->
+      """WITH b AS (SELECT
+        |    least(CAST(floor(CAST(l_discount * 10 AS DECIMAL(9,6)) * 10)
+        |      AS BIGINT), 9) AS bin,
+        |    CAST(l_discount * 10 AS DECIMAL(9,6)) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL),
+        |  tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        |      sum(CAST(s - y AS DECIMAL(12,6)) *
+        |        CAST(s - y AS DECIMAL(12,6))) AS bsum,
+        |      CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ybar
+        |    FROM b),
+        |  bins AS (SELECT bin, count(*) AS bn,
+        |      round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |        AS mean_score,
+        |      round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |        AS pos_rate
+        |    FROM b GROUP BY bin),
+        |  dec AS (SELECT
+        |      CAST(sum(CAST(round(CAST(bn AS DOUBLE) *
+        |        (mean_score - pos_rate) * (mean_score - pos_rate) /
+        |        CAST(tot.n AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |        AS rel,
+        |      CAST(sum(CAST(round(CAST(bn AS DOUBLE) *
+        |        (pos_rate - tot.ybar) * (pos_rate - tot.ybar) /
+        |        CAST(tot.n AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |        AS res
+        |    FROM bins, tot GROUP BY tot.n, tot.ybar)
+        |SELECT tot.n, round(CAST(bsum AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+        |    AS brier,
+        |  round(rel, 6) AS reliability, round(res, 6) AS resolution,
+        |  round(ybar * (1.0 - ybar), 6) AS uncertainty,
+        |  round(CAST(bsum AS DOUBLE) / CAST(tot.n AS DOUBLE) -
+        |    (rel - res + ybar * (1.0 - ybar)), 6) AS wb_var
+        |FROM tot, dec""".stripMargin,
+
+    // corpus collapses once to 11 score levels; the sweep is a bounded
+    // levels × thresholds cross join
+    "q_threshold_metrics" ->
+      """WITH lv AS (SELECT CAST(l_discount * 10 AS DECIMAL(9,6)) AS s,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+        |  thr AS (SELECT CAST(t AS DECIMAL(9,6)) AS threshold
+        |    FROM unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |      0.9, 1.0]) AS u(t)),
+        |  cm AS (SELECT threshold,
+        |      CAST(sum(CASE WHEN s >= threshold THEN pos ELSE 0 END)
+        |        AS BIGINT) AS tp,
+        |      CAST(sum(CASE WHEN s >= threshold THEN n - pos ELSE 0 END)
+        |        AS BIGINT) AS fp,
+        |      CAST(sum(CASE WHEN s < threshold THEN pos ELSE 0 END)
+        |        AS BIGINT) AS fn,
+        |      CAST(sum(CASE WHEN s < threshold THEN n - pos ELSE 0 END)
+        |        AS BIGINT) AS tn
+        |    FROM lv, thr GROUP BY threshold)
+        |SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) /
+        |    CAST(tp + fp AS DOUBLE), 6) END AS "precision",
+        |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) /
+        |    CAST(tp + fn AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN tp > 0 THEN round(
+        |      2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) *
+        |        (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) /
+        |        (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) +
+        |          CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)), 6)
+        |    WHEN tp + fp + fn > 0 THEN 0.0 END AS f1,
+        |  round(CAST(tp + tn AS DOUBLE) /
+        |    CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+        |FROM cm ORDER BY threshold""".stripMargin,
+
+    // cumulative windows over the distinct score table, descending
+    "q_lift_table" ->
+      """WITH lv AS (SELECT CAST(l_discount * 10 AS DECIMAL(9,6)) AS score,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+        |  w AS (SELECT score, n, n_pos,
+        |      sum(n) OVER (ORDER BY score DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |      sum(n_pos) OVER (ORDER BY score DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |      sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp
+        |    FROM lv)
+        |SELECT CAST(score AS DOUBLE) AS score, n, n_pos,
+        |  round(CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS depth,
+        |  round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS gain,
+        |  round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) /
+        |    (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+        |FROM w ORDER BY score DESC""".stripMargin,
+
+    // zero-mass categories get NULL WOE, excluded from IV, counted
+    "q_woe_iv" ->
+      """WITH c AS (SELECT o_orderpriority AS category, count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |  w AS (SELECT category, n, n_pos, n - n_pos AS n_neg,
+        |      sum(n_pos) OVER () AS tp, sum(n - n_pos) OVER () AS tn
+        |    FROM c),
+        |  x AS (SELECT category, n, n_pos, n_neg,
+        |      CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(
+        |        ln((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE)) /
+        |           (CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE))), 6) END
+        |        AS woe,
+        |      CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(
+        |        (CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE) -
+        |         CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE)) *
+        |        ln((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE)) /
+        |           (CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE))), 9)
+        |        ELSE 0.0 END AS DECIMAL(18,9)) AS iv_term
+        |    FROM w)
+        |SELECT category, n, n_pos, n_neg, woe,
+        |  round(CAST(sum(iv_term) OVER () AS DOUBLE), 6) AS iv_total,
+        |  CAST(sum(CASE WHEN woe IS NULL THEN 1 ELSE 0 END) OVER ()
+        |    AS BIGINT) AS n_excluded
+        |FROM x ORDER BY category""".stripMargin
   )
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-score evaluation over a (score, label) pair: calibration
+  * tables, the Brier score with its Murphy decomposition, full
+  * threshold sweeps, cumulative lift/gains, and weight-of-evidence
+  * feature screening. The quality-classifier loop for a training-data
+  * pipeline lives here: a fastText-style quality scorer gates documents
+  * by score, and these operators answer whether the score can be
+  * trusted (calibration), where to put the gate (threshold sweep /
+  * lift), and which features leak (WOE/IV).
+  *
+  * Every operator follows the same scale shape: ONE grouped aggregation
+  * collapses the corpus to a BOUNDED table (distinct score levels, bins,
+  * or categories — never rows), and all window/join work happens on
+  * that bounded table. Determinism follows the repo convention: exact
+  * integer/decimal sums, per-term 6–9 dp quantization before any
+  * decimal fold, one fixed-order double division at the end.
+  */
+object Eval {
+
+  /** Calibration table over equal-width score bins: per bin, the mean
+    * predicted score vs the empirical positive rate (+ counts). A
+    * well-calibrated scorer sits on the diagonal; a confident-but-wrong
+    * one bows away — the first plot to draw before gating a corpus on
+    * a classifier score.
+    *
+    * `scoreCol` must be in [0, 1]; bin k covers [k/nBins, (k+1)/nBins)
+    * with the top edge closed. One aggregation, bins bounded by
+    * construction; the mean score divides exact decimal sums once per
+    * bin.
+    */
+  def calibration(df: DataFrame, scoreCol: String, label: Column,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val s = col(scoreCol).cast("decimal(9,6)")
+    val bin = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    df.filter(s.isNotNull)
+      .select(bin.as("bin"), s.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum("_s").as("_ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_ssum").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
+  /** Brier score with the Murphy (1973) three-way decomposition over
+    * the [[calibration]] bins:
+    * Brier = reliability − resolution + uncertainty, where
+    * reliability = Σ n_k(s̄_k − ȳ_k)²/n (how far off the calibration),
+    * resolution = Σ n_k(ȳ_k − ȳ)²/n (how much the bins separate), and
+    * uncertainty = ȳ(1 − ȳ) (the irreducible base-rate term). The
+    * decomposition says WHY a score is bad: uncalibrated (fixable by
+    * remapping) vs unresolving (needs a better model).
+    *
+    * The raw Brier term (s − y)² is an exact decimal square summed
+    * exactly; the decomposition folds over the bounded bin table with
+    * 9 dp per-bin quantization. Note the bin-discretized decomposition
+    * identity holds exactly only when scores are constant within bins;
+    * the within-bin variance shows up as the gap column `wb_var`.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, label: Column,
+                         nBins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("decimal(9,6)")
+    val base = df.filter(s.isNotNull)
+      .select(s.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+    // (s − y) ∈ [−1, 1] at 6 dp: the DECIMAL(12,6) cast keeps the
+    // square at (25,12) — exact in any engine, no precision-adjust
+    // rounding (a bare decimal product would exceed 38 digits)
+    val diff = (col("_s") - col("_y")).cast("decimal(12,6)")
+    val brier = base
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_pos"),
+        sum(diff * diff).as("_bsum"))
+    val bins = calibration(df, scoreCol, label, nBins)
+    val nd = col("_n").cast("double")
+    val ybar = col("_pos").cast("double") / nd
+    val rel = col("n").cast("double") *
+      (col("mean_score") - col("pos_rate")) * (col("mean_score") - col("pos_rate"))
+    val res = col("n").cast("double") *
+      (col("pos_rate") - ybar) * (col("pos_rate") - ybar)
+    bins.crossJoin(broadcast(brier))
+      .select(
+        round(rel / nd, 9).cast("decimal(18,9)").as("_rel"),
+        round(res / nd, 9).cast("decimal(18,9)").as("_res"),
+        col("_n"), col("_pos"), col("_bsum"))
+      .groupBy("_n", "_pos", "_bsum")
+      .agg(sum("_rel").cast("double").as("_reliability"),
+        sum("_res").cast("double").as("_resolution"))
+      .select(col("_n").as("n"),
+        round(col("_bsum").cast("double") / col("_n").cast("double"), 6)
+          .as("brier"),
+        round(col("_reliability"), 6).as("reliability"),
+        round(col("_resolution"), 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"),
+        // within-bin variance gap: brier − (rel − res + unc)
+        round(col("_bsum").cast("double") / col("_n").cast("double") -
+          (col("_reliability") - col("_resolution") +
+            ybar * (lit(1.0) - ybar)), 6).as("wb_var"))
+  }
+
+  /** Full confusion-matrix sweep over a threshold grid: for each
+    * threshold t, counts and the derived precision / recall / F1 /
+    * accuracy of the rule `score ≥ t`. The gate-placement table: pick
+    * the operating point straight off it.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-score-level
+    * table (bounded domain — quantized scores), and the sweep is a
+    * bounded cross join of score levels × thresholds followed by one
+    * aggregation. The raw data is never scanned per threshold.
+    */
+  def thresholdMetrics(df: DataFrame, scoreCol: String, label: Column,
+                       thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val s = col(scoreCol).cast("decimal(9,6)")
+    val levels = df.filter(s.isNotNull)
+      .select(s.as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_s").agg(count(lit(1)).as("_n"), sum("_y").as("_pos"))
+    val thr = thresholds.map(t => lit(t).cast("decimal(9,6)"))
+    val grid = levels.select(col("_s"), col("_n"), col("_pos"),
+      explode(array(thr: _*)).as("threshold"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    grid
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("_s") >= col("threshold"), col("_pos")).otherwise(0L)).as("tp"),
+        sum(when(col("_s") >= col("threshold"), col("_n") - col("_pos"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_s") < col("threshold"), col("_pos")).otherwise(0L)).as("fn"),
+        sum(when(col("_s") < col("threshold"), col("_n") - col("_pos"))
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold").cast("double").as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(col("tp") + col("fp") > 0, p), 6).as("precision"),
+        round(when(col("tp") + col("fn") > 0, r), 6).as("recall"),
+        round(when(col("tp") > 0, lit(2.0) * p * r / (p + r))
+          .when(col("tp") + col("fp") + col("fn") > 0, lit(0.0)), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)
+          .as("accuracy"))
+  }
+
+  /** Cumulative gains / lift by descending score level: after taking
+    * everything scored ≥ v, what fraction of rows was taken
+    * (`depth`), what fraction of all positives was captured (`gain`),
+    * and the lift of the captured rate over the base rate. The
+    * "how deep do I dig" curve for budgeted selection — the top-k
+    * twin of [[thresholdMetrics]].
+    *
+    * Windows run over the DISTINCT quantized score table (descending),
+    * never rows; the three ratios are single divisions of exact counts
+    * rounded at 6 dp.
+    */
+  def liftTable(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast("decimal(9,6)")
+    val levels = df.filter(s.isNotNull)
+      .select(s.as("score"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("score").agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    levels
+      .withColumn("_cn", sum("n").over(cum))
+      .withColumn("_cp", sum("n_pos").over(cum))
+      .withColumn("_tn", sum("n").over(tot))
+      .withColumn("_tp", sum("n_pos").over(tot))
+      .select(col("score").cast("double").as("score"), col("n"), col("n_pos"),
+        round(col("_cn").cast("double") / col("_tn").cast("double"), 6)
+          .as("depth"),
+        round(col("_cp").cast("double") / col("_tp").cast("double"), 6)
+          .as("gain"),
+        round((col("_cp").cast("double") / col("_cn").cast("double")) /
+          (col("_tp").cast("double") / col("_tn").cast("double")), 6)
+          .as("lift"))
+  }
+
+  /** Weight of evidence and information value of a categorical feature
+    * against a binary outcome: WOE_i = ln((pos_i/posT)/(neg_i/negT)),
+    * IV = Σ (pos_i/posT − neg_i/negT)·WOE_i. The classic univariate
+    * screen: IV < 0.02 useless, > 0.5 suspiciously strong (leakage).
+    * Categories where either class has zero mass get NULL WOE and are
+    * excluded from IV (reported via `n_excluded` so silence can't hide
+    * them).
+    *
+    * One grouped count to the bounded category table; IV folds 9 dp
+    * quantized terms through an exact decimal window sum.
+    */
+  def weightOfEvidence(df: DataFrame, featureCol: String,
+                       label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cats = df.filter(col(featureCol).isNotNull)
+      .select(col(featureCol).as("category"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = Window.partitionBy()
+    val pShare = col("n_pos").cast("double") / col("_tp").cast("double")
+    val nShare = col("n_neg").cast("double") / col("_tn").cast("double")
+    val woe = log(pShare / nShare)
+    cats
+      .withColumn("_tp", sum("n_pos").over(tot))
+      .withColumn("_tn", sum("n_neg").over(tot))
+      .withColumn("woe",
+        when(col("n_pos") > 0 && col("n_neg") > 0, round(woe, 6)))
+      .withColumn("_iv_term",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((pShare - nShare) * woe, 9))
+          .otherwise(lit(0.0)).cast("decimal(18,9)"))
+      .withColumn("iv_total",
+        round(sum("_iv_term").over(tot).cast("double"), 6))
+      .withColumn("n_excluded",
+        sum(when(col("woe").isNull, 1L).otherwise(0L)).over(tot))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_total"), col("n_excluded"))
+  }
+}

@@ -303,4 +303,44 @@ object Graph {
           .cast("decimal(18,9)")).cast("double").as("adamic_adar"))
       .filter(col("common") >= minCommon)
   }
+
+  /** Degree assortativity coefficient of an undirected graph: the
+    * Pearson correlation of the degrees at the two ends of each edge
+    * (Newman 2002). Positive = hubs link to hubs (social graphs),
+    * negative = hubs link to leaves (star-ish link farms, botnets) —
+    * the one-number structural fingerprint that separates an organic
+    * similarity graph from a degenerate near-dup blow-up.
+    *
+    * Shape: symmetrize + distinct (one shuffle), one degree
+    * aggregation, two joins to attach endpoint degrees (keyed on node
+    * id — co-partitioned with the degree table), one moment fold. All
+    * sums are exact integer decimals (degrees are integers); the
+    * Pearson division runs once on the single result row. No driver
+    * state, no quadratic stage — edges stream through linearly.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("decimal(12,0)").as("deg"))
+    val pairs = und
+      .join(deg, "src").withColumnRenamed("deg", "dx")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    val m = col("_m").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    pairs
+      .agg(count(lit(1)).as("_m"),
+        sum("dx").as("_sx"), sum("dy").as("_sy"),
+        sum(col("dx") * col("dx")).as("_sxx"),
+        sum(col("dy") * col("dy")).as("_syy"),
+        sum(col("dx") * col("dy")).as("_sxy"))
+      .select((col("_m") / 2).cast("long").as("n_edges"),
+        round((m * sxy - sx * sy) /
+          (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+          .as("assortativity"))
+  }
 }

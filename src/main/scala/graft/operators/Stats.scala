@@ -1754,4 +1754,271 @@ object Stats {
       .select(col("g").as(groupCol), col("max_drawdown"),
         col("max_drawdown_pct"))
   }
+
+  /** Jensen-Shannon divergence between two categorical distributions —
+    * the symmetric, bounded companion to [[psi]] (JSD ∈ [0, ln 2]; PSI
+    * is unbounded and asymmetric-ish in its ε floor). The drift score
+    * of choice when EITHER side may have categories the other lacks:
+    * KL explodes on a zero cell, JSD's mixture midpoint never does.
+    *
+    * Shape: one count aggregation per side over the category domain
+    * (map-side combined), a full-outer join on the BOUNDED category
+    * table, one fold. Per-category halves p/2·ln(p/m) and q/2·ln(q/m)
+    * are each rounded at 9 dp before the decimal sum, so the score is
+    * partition-order independent; the single normalization division by
+    * ln 2 happens once at the end.
+    */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val r = ref.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("c")).agg(count(lit(1)).as("rn"))
+    val c = cur.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("c")).agg(count(lit(1)).as("cn"))
+    val joined = r.join(c, Seq("c"), "full_outer").na.fill(0L, Seq("rn", "cn"))
+    val totals = joined.agg(sum("rn").as("_rt"), sum("cn").as("_ct"))
+    val p = col("rn").cast("double") / col("_rt").cast("double")
+    val q = col("cn").cast("double") / col("_ct").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("rn") > 0, round(p * log(p / m) / lit(2.0), 9)).otherwise(lit(0.0)) +
+        when(col("cn") > 0, round(q * log(q / m) / lit(2.0), 9)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .agg(max("_rt").as("n_ref"), max("_ct").as("n_cur"),
+        count(lit(1)).as("n_cats"),
+        sum(term.cast("decimal(18,9)")).cast("double").as("_jsd"))
+      .select(col("n_ref"), col("n_cur"), col("n_cats"),
+        round(col("_jsd"), 6).as("jsd"),
+        round(col("_jsd") / lit(math.log(2.0)), 6).as("jsd_norm"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between two numeric
+    * distributions over a BOUNDED value domain: ∫|F_ref − F_cur| dv,
+    * evaluated exactly on the union of distinct quantized values
+    * (each inter-value gap contributes |ΔCDF|·gap). Where [[psi]] and
+    * [[jsDivergence]] score bin-mass mismatch, W₁ scores how FAR the
+    * mass moved — the metric that distinguishes "shifted 1 %" from
+    * "shifted 100 %" when both change every bin.
+    *
+    * Same distinct-value-domain contract as [[weightedMedian]]: the
+    * global CDF window runs over the DISTINCT quantized values (scale
+    * `scale` decimals), not rows — quantize continuous domains first.
+    * CDF fractions are exact-count doubles; each gap term rounds at
+    * 9 dp into a decimal sum, so the fold is order-independent.
+    */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(col(valueCol).cast(s"decimal(18,$scale)").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(out))
+    val j = counts(ref, "rn").join(counts(cur, "cn"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("rn", "cn"))
+    val totals = j.agg(sum("rn").as("_rt"), sum("cn").as("_ct"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.crossJoin(broadcast(totals))
+      .withColumn("_cr", sum("rn").over(cum))
+      .withColumn("_cc", sum("cn").over(cum))
+      .withColumn("_next", lead("v", 1).over(Window.orderBy("v")))
+      .withColumn("_term", when(col("_next").isNotNull,
+        round(abs(col("_cr").cast("double") / col("_rt").cast("double") -
+            col("_cc").cast("double") / col("_ct").cast("double")) *
+          (col("_next") - col("v")).cast("double"), 9).cast("decimal(18,9)")))
+      .agg(max("_rt").as("n_ref"), max("_ct").as("n_cur"),
+        count(lit(1)).as("n_values"),
+        coalesce(sum("_term").cast("double"), lit(0.0)).as("_w"))
+      .select(col("n_ref"), col("n_cur"), col("n_values"),
+        round(col("_w"), 6).as("wasserstein1"))
+  }
+
+  /** Brown-Forsythe test for equal variances across groups (the robust
+    * Levene variant): one-way ANOVA on z = |v − median_g|. The guard to
+    * run BEFORE trusting [[anovaF]]'s pooled-variance assumption, and a
+    * drift screen in its own right (a feed whose variance doubles can
+    * keep its mean).
+    *
+    * The per-group center is the LOWER inverse-CDF median (smallest v
+    * with 2·cum ≥ n) — exact integer arithmetic on the per-group
+    * distinct-value table, identical in any engine, no interpolation
+    * ties. z is an exact decimal difference, and the F on z reuses
+    * [[anovaF]]'s quantize-then-decimal-sum fold. Shape: one grouped
+    * count, one bounded-table window, one broadcast join back, one
+    * ANOVA pass.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast(s"decimal(18,$scale)").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
+    val cum = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = gv
+      .withColumn("_cum", sum("_cnt").over(cum))
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy("_g")))
+      .filter(col("_cum") * 2 >= col("_n"))
+      .groupBy("_g").agg(min("_v").as("_med"))
+    val z = base.join(broadcast(med), "_g")
+      .select(col("_g"), abs(col("_v") - col("_med")).as("_z"))
+    anovaF(z, "_g", "_z").withColumnRenamed("f_stat", "bf_stat")
+  }
+
+  /** Cohen's d standardized mean difference for every group pair, with
+    * the Hedges' g small-sample correction — the effect-size companion
+    * to [[welchT]] (a t-test on 10⁹ rows flags differences of no
+    * practical size; d answers "how many pooled SDs apart").
+    *
+    * One grouped scan collects exact decimal moments; the pair table is
+    * a self-join of the BOUNDED group-moment table (k² rows, k =
+    * |groups|). All double arithmetic (means, pooled variance, d, the
+    * J = 1 − 3/(4n−9) correction) runs in one fixed order over exact
+    * sums and rounds once at 6 dp.
+    */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("decimal(18,6)").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val a = g.select(col("g").as("g1"), col("n").as("n1"),
+      col("s").cast("double").as("s1"), col("q").cast("double").as("q1"))
+    val b = g.select(col("g").as("g2"), col("n").as("n2"),
+      col("s").cast("double").as("s2"), col("q").cast("double").as("q2"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val v1 = (col("q1") - col("s1") * col("s1") / n1d) / (n1d - lit(1.0))
+    val v2 = (col("q2") - col("s2") * col("s2") / n2d) / (n2d - lit(1.0))
+    val sp = sqrt(((n1d - lit(1.0)) * v1 + (n2d - lit(1.0)) * v2) /
+      (n1d + n2d - lit(2.0)))
+    val d = (col("s1") / n1d - col("s2") / n2d) / sp
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (n1d + n2d) - lit(9.0))
+    a.join(b, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(d, 6).as("cohens_d"), round(d * j, 6).as("hedges_g"))
+  }
+
+  /** Per-group distribution-shape profile: mean, population variance,
+    * skewness g₁ = m₃/m₂^1.5 and excess kurtosis g₂ = m₄/m₂² − 3 —
+    * the two moments a mean/stddev profile can't see (a quality-score
+    * column whose mean holds while its skew flips has changed regime).
+    *
+    * Two passes by necessity (central moments need the mean): pass one
+    * is a grouped count/sum on quantized decimals; pass two joins the
+    * BOUNDED group-mean table back (broadcast) and folds per-row
+    * centered powers, each rounded at 6 dp into exact decimal sums so
+    * the result survives any partitioning. The power arithmetic per row
+    * is three multiplications in fixed order — engine-replayable.
+    */
+  def moments(df: DataFrame, groupCol: String, valueCol: String,
+              scale: Int = 2): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("g"), col(valueCol).cast(s"decimal(18,$scale)").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val means = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("_s"))
+      .select(col("g"), col("n"),
+        (col("_s").cast("double") / col("n").cast("double")).as("_mean"))
+    val d = col("v").cast("double") - col("_mean")
+    val m2 = col("_s2").cast("double") / col("n").cast("double")
+    val m3 = col("_s3").cast("double") / col("n").cast("double")
+    val m4 = col("_s4").cast("double") / col("n").cast("double")
+    base.join(broadcast(means), "g")
+      .withColumn("_t2", round(d * d, 6).cast("decimal(38,6)"))
+      .withColumn("_t3", round(d * d * d, 6).cast("decimal(38,6)"))
+      .withColumn("_t4", round(d * d * d * d, 6).cast("decimal(38,6)"))
+      .groupBy("g", "n", "_mean")
+      .agg(sum("_t2").as("_s2"), sum("_t3").as("_s3"), sum("_t4").as("_s4"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("_mean"), 6).as("mean"),
+        round(m2, 6).as("variance"),
+        round(m3 / pow(m2, 1.5), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("ex_kurtosis"))
+  }
+
+  /** Mann-Kendall monotonic-trend test over a time-bucketed series:
+    * S = Σ_{i<j} sign(v_j − v_i), tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected Z. The nonparametric "is this metric
+    * drifting" answer that needs no linearity or normality — the
+    * monitoring sibling of [[theilSen]] (which estimates the slope
+    * this test detects).
+    *
+    * Contract: the input is an AGGREGATED series, one row per time
+    * bucket (group first if needed) — the pair join is O(n²) on the
+    * bucket count, guarded by `maxN` exactly like [[kendallTau]]'s
+    * cell guard. sign() on exact decimals is exact; S and the tie sum
+    * fold as integer aggregations; the two sqrt/division steps run
+    * once on the single result row.
+    */
+  def mannKendall(df: DataFrame, tCol: String, valueCol: String,
+                  maxN: Long = 20000): DataFrame = {
+    val s = df
+      .select(col(tCol).as("t"), col(valueCol).cast("decimal(18,6)").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+    val n = s.count()
+    require(n <= maxN,
+      s"mannKendall: $n time buckets exceed maxN=$maxN — aggregate to " +
+        "coarser buckets first (the pair join is O(n^2))")
+    val pairs = s.select(col("t").as("t1"), col("v").as("v1"))
+      .join(s.select(col("t").as("t2"), col("v").as("v2")),
+        col("t1") < col("t2"))
+    val sStat = pairs.agg(
+      sum(signum(col("v2") - col("v1")).cast("long")).as("s_stat"))
+    val ties = s.groupBy("v").agg(count(lit(1)).as("tc"))
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2L) * col("tc") + 5))
+        .as("_tsum"))
+    val nd = lit(n.toDouble)
+    val varS = (nd * (nd - lit(1.0)) * (lit(2.0) * nd + lit(5.0)) -
+      col("_tsum").cast("double")) / lit(18.0)
+    val sd = col("s_stat").cast("double")
+    sStat.crossJoin(broadcast(ties))
+      .select(lit(n).as("n"), col("s_stat"),
+        round(varS, 6).as("var_s"),
+        round(
+          when(col("s_stat") > 0, (sd - lit(1.0)) / sqrt(varS))
+            .when(col("s_stat") < 0, (sd + lit(1.0)) / sqrt(varS))
+            .otherwise(lit(0.0)), 6).as("z"))
+  }
+
+  /** α-trimmed mean per group: the mean of the middle (1 − 2α) mass,
+    * dropping ⌊αn⌋ rows from each tail — the robust location estimate
+    * that survives the fat tails [[winsorize]] merely clips.
+    *
+    * Runs on the per-group DISTINCT-value table (same bounded-domain
+    * contract as [[weightedMedian]]): cumulative counts give each
+    * distinct value its rank interval [cum_prev+1, cum_prev+cnt], the
+    * kept overlap with [⌊αn⌋+1, n−⌊αn⌋] is exact integer arithmetic
+    * (ties straddling a cut contribute exactly their overlap), and the
+    * kept-weighted decimal sum divides once at the end. ⌊αn⌋ is a
+    * single double product floored — the identical IEEE expression in
+    * any engine.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  alpha: Double = 0.1, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha >= 0.0 && alpha < 0.5, "alpha in [0, 0.5)")
+    val gv = df
+      .select(col(groupCol).as("g"), col(valueCol).cast(s"decimal(18,$scale)").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val prev = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gv
+      .withColumn("_cumprev", coalesce(sum("cnt").over(prev), lit(0L)))
+      .withColumn("_n", sum("cnt").over(Window.partitionBy("g")))
+      .withColumn("_lo",
+        floor(col("_n").cast("double") * lit(alpha)).cast("long"))
+      .withColumn("_kept", greatest(lit(0L),
+        least(col("_cumprev") + col("cnt"), col("_n") - col("_lo")) -
+          greatest(col("_cumprev"), col("_lo"))))
+      .groupBy("g")
+      .agg(max("_n").as("n"), max("_lo").as("n_trimmed_each"),
+        sum("_kept").as("n_kept"),
+        sum(col("v") * col("_kept")).as("_sum"))
+      .select(col("g").as(groupCol), col("n"), col("n_trimmed_each"),
+        col("n_kept"),
+        round(col("_sum").cast("double") / col("n_kept").cast("double"), 6)
+          .as("trimmed_mean"))
+  }
 }

@@ -1,0 +1,220 @@
+package graft
+
+import graft.operators.{Eval, Graph, Stats}
+import org.apache.spark.sql.functions._
+
+/** Hand-derived fixtures for the round-13 evaluation wave: every
+  * expected constant below is worked out on paper from the closed-form
+  * definition, independent of both the implementation and the DuckDB
+  * oracle.
+  */
+class EvalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("calibration: bins, mean score, pos rate") {
+    // 4 rows in bin 2 (scores .20/.25), 2 rows in bin 9+top (score 1.0)
+    val df = Seq((0.20, true), (0.20, false), (0.25, true), (0.25, true),
+      (1.0, true), (1.0, false)).toDF("score", "y")
+    val r = Eval.calibration(df, "score", col("y"), nBins = 10)
+      .orderBy("bin").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("bin") == 2L)
+    assert(r(0).getAs[Long]("n") == 4L)
+    assert(r(0).getAs[Long]("n_pos") == 3L)
+    assert(r(0).getAs[Double]("mean_score") == 0.225)
+    assert(r(0).getAs[Double]("pos_rate") == 0.75)
+    // score 1.0 clamps into the top bin (9), not a phantom bin 10
+    assert(r(1).getAs[Long]("bin") == 9L)
+    assert(r(1).getAs[Double]("pos_rate") == 0.5)
+  }
+
+  test("brier decomposition: identity holds when scores are bin-constant") {
+    // two bins, constant score within each:
+    //   bin A: s=0.25, outcomes (1,0)     -> ybar_A = 0.5
+    //   bin B: s=0.75, outcomes (1,1,1,0) -> ybar_B = 0.75
+    // brier = [(.75)^2 + (.25)^2 + 3*(.25)^2 + (.75)^2] / 6 = 1.5/6 = 0.25
+    // wait: rows: (0.25,1):d=-.75; (0.25,0):d=.25; (0.75,1)x3:d=-.25;
+    // (0.75,0):d=.75 -> sum sq = .5625+.0625+3*.0625+.5625 = 1.375
+    // brier = 1.375/6 = 0.229167
+    // ybar = 4/6 = 0.666667; unc = 2/9 = 0.222222
+    // rel = [2*(0.25-0.5)^2 + 4*(0.75-0.75)^2]/6 = 0.125/6 = 0.020833
+    // res = [2*(0.5-2/3)^2 + 4*(0.75-2/3)^2]/6 = [2*(1/36)+4*(1/144)]/6
+    //     = (1/18 + 1/36)/6 = (1/12)/6 = 0.013889
+    // rel - res + unc = 0.020833 - 0.013889 + 0.222222 = 0.229167 = brier
+    val df = Seq((0.25, true), (0.25, false), (0.75, true), (0.75, true),
+      (0.75, true), (0.75, false)).toDF("score", "y")
+    val r = Eval.brierDecomposition(df, "score", col("y"), nBins = 4).head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("brier") == 0.229167)
+    assert(r.getAs[Double]("reliability") == 0.020833)
+    assert(r.getAs[Double]("resolution") == 0.013889)
+    assert(r.getAs[Double]("uncertainty") == 0.222222)
+    assert(math.abs(r.getAs[Double]("wb_var")) < 1e-5)
+  }
+
+  test("threshold sweep: confusion cells and metrics at one threshold") {
+    // scores .2/.4/.6/.8 with labels F/T/F/T; at t=0.5: tp=1(.8T),
+    // fp=1(.6F), fn=1(.4T), tn=1(.2F); p=r=f1=acc=0.5
+    val df = Seq((0.2, false), (0.4, true), (0.6, false), (0.8, true))
+      .toDF("score", "y")
+    val r = Eval.thresholdMetrics(df, "score", col("y"), Seq(0.0, 0.5, 1.0))
+      .orderBy("threshold").collect()
+    assert(r.length == 3)
+    val t5 = r(1)
+    assert(t5.getAs[Long]("tp") == 1L && t5.getAs[Long]("fp") == 1L &&
+      t5.getAs[Long]("fn") == 1L && t5.getAs[Long]("tn") == 1L)
+    assert(t5.getAs[Double]("precision") == 0.5)
+    assert(t5.getAs[Double]("f1") == 0.5)
+    // t=0.0 takes everything: recall 1, precision = base rate 0.5
+    assert(r(0).getAs[Double]("recall") == 1.0)
+    // t=1.0 takes nothing: precision NULL, recall 0, f1 0
+    assert(r(2).isNullAt(r(2).fieldIndex("precision")))
+    assert(r(2).getAs[Double]("recall") == 0.0)
+    assert(r(2).getAs[Double]("f1") == 0.0)
+  }
+
+  test("lift table: cumulative gain and lift by descending score") {
+    // levels: 0.9 (2 rows, 2 pos), 0.5 (2 rows, 1 pos), 0.1 (4 rows, 1 pos)
+    // base rate 4/8 = 0.5
+    // at 0.9: depth .25, gain .5, lift (2/2)/(.5) = 2.0
+    // at 0.5: depth .5, gain .75, lift (3/4)/.5 = 1.5
+    // at 0.1: depth 1, gain 1, lift 1
+    val df = Seq((0.9, true), (0.9, true), (0.5, true), (0.5, false),
+      (0.1, true), (0.1, false), (0.1, false), (0.1, false))
+      .toDF("score", "y")
+    val r = Eval.liftTable(df, "score", col("y"))
+      .orderBy(col("score").desc).collect()
+    assert(r.map(_.getAs[Double]("lift")).toSeq == Seq(2.0, 1.5, 1.0))
+    assert(r.map(_.getAs[Double]("gain")).toSeq == Seq(0.5, 0.75, 1.0))
+    assert(r(0).getAs[Double]("depth") == 0.25)
+  }
+
+  test("weight of evidence: woe sign, IV total, zero-cell exclusion") {
+    // cat a: 3 pos, 1 neg; cat b: 1 pos, 3 neg; cat c: 2 pos, 0 neg
+    // totals: pos 6, neg 4
+    // woe_a = ln((3/6)/(1/4)) = ln 2 = 0.693147
+    // woe_b = ln((1/6)/(3/4)) = ln(2/9) = -1.504077
+    // iv = (.5-.25)*ln2 + (1/6-.75)*ln(2/9) = 0.173287 + 0.877378 = 1.050665
+    // cat c excluded (neg = 0)
+    val df = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false),
+      ("c", true), ("c", true)).toDF("cat", "y")
+    val r = Eval.weightOfEvidence(df, "cat", col("y")).orderBy("category")
+      .collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Double]("woe") == 0.693147)
+    assert(r(1).getAs[Double]("woe") == -1.504077)
+    assert(r(2).isNullAt(r(2).fieldIndex("woe")))
+    assert(r(0).getAs[Double]("iv_total") == 1.050665)
+    assert(r(0).getAs[Long]("n_excluded") == 1L)
+  }
+
+  test("jsDivergence: identical halves give 0; disjoint give ln 2") {
+    val a = Seq("x", "x", "y").toDF("c")
+    assert(Stats.jsDivergence(a, a, "c").head().getAs[Double]("jsd") == 0.0)
+    val d = Stats.jsDivergence(Seq("x", "x").toDF("c"),
+      Seq("y").toDF("c"), "c").head()
+    // disjoint supports: JSD = ln 2, normalized 1
+    assert(d.getAs[Double]("jsd") == 0.693147)
+    assert(d.getAs[Double]("jsd_norm") == 1.0)
+    assert(d.getAs[Long]("n_cats") == 2L)
+  }
+
+  test("wasserstein1: shifted point masses move distance = shift") {
+    // ref all at 1.0, cur all at 3.5 -> W1 = 2.5 regardless of counts
+    val r = Stats.wasserstein1(Seq(1.0, 1.0).toDF("v"),
+      Seq(3.5, 3.5, 3.5).toDF("v"), "v").head()
+    assert(r.getAs[Double]("wasserstein1") == 2.5)
+    // identical -> 0
+    val z = Stats.wasserstein1(Seq(1.0, 2.0).toDF("v"),
+      Seq(1.0, 2.0).toDF("v"), "v").head()
+    assert(z.getAs[Double]("wasserstein1") == 0.0)
+  }
+
+  test("brownForsythe: equal spreads give F = 0-ish; unequal separate") {
+    // group a: {1,2,3} (med 2, z = 1,0,1); group b: {10,20,30}
+    // (med 20, z = 10,0,10) -> z-means differ strongly
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    // z-groups: a (1,0,1) mean 2/3; b (10,0,10) mean 20/3
+    // SSB = 3*(2/3-11/3)^2*... = closed form: 2*3*(3)^2/2 = 54? compute:
+    // grand mean 11/3; SSB = 3*(2/3-11/3)^2 + 3*(20/3-11/3)^2 = 3*9+3*9 = 54
+    // SSW = a: (1-2/3)^2*2 + (0-2/3)^2 = 2/9*... = (1/9)*2+(4/9)=2/3
+    //      b: (10-20/3)^2*2 + (20/3)^2 = (100/9)*2+400/9 = 600/9 = 66.667
+    // F = (54/1)/((2/3+66.6667)/4) = 54/16.8333 = 3.207921
+    assert(r.getAs[Double]("bf_stat") == 3.207921)
+    // same spreads -> zero between-group z variance (up to the
+    // documented 6-dp term quantization: SSB folds as
+    // round(4/3,6)*2 - 16/6, i.e. -2e-6, not exact 0)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    assert(math.abs(Stats.brownForsythe(same, "g", "v").head()
+      .getAs[Double]("bf_stat")) < 1e-5)
+  }
+
+  test("cohensD: textbook two-group effect size") {
+    // g1: {2,4,6} n=3 mean 4 var 4; g2: {5,7,9} n=3 mean 7 var 4
+    // sp = 2; d = (4-7)/2 = -1.5; J = 1 - 3/(4*6-9) = 0.8
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 5.0), ("b", 7.0), ("b", 9.0)).toDF("g", "v")
+    val r = Stats.cohensD(df, "g", "v").head()
+    assert(r.getAs[Double]("cohens_d") == -1.5)
+    assert(r.getAs[Double]("hedges_g") == -1.2)
+  }
+
+  test("moments: symmetric data has zero skew; uniform kurtosis known") {
+    // {1,2,3}: mean 2, m2 = 2/3, m3 = 0, m4 = 2/3
+    // skew 0; ex_kurt = (2/3)/(4/9) - 3 = 1.5 - 3 = -1.5
+    val r = Stats.moments(Seq(("g", 1.0), ("g", 2.0), ("g", 3.0))
+      .toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("variance") == 0.666667)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("ex_kurtosis") == -1.5)
+  }
+
+  test("mannKendall: strictly increasing series has S = n(n-1)/2") {
+    val df = (1 to 10).map(i => (java.sql.Date.valueOf(f"2024-01-$i%02d"),
+      i.toDouble)).toDF("t", "v")
+    val r = Stats.mannKendall(df, "t", "v").head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("s_stat") == 45L)
+    // no ties: var = 10*9*25/18 = 125; z = 44/sqrt(125) = 3.9354796...
+    assert(r.getAs[Double]("var_s") == 125.0)
+    assert(r.getAs[Double]("z") == 3.93548)
+  }
+
+  test("trimmedMean: exact tie-splitting at the cut") {
+    // 10 rows: 0, 1,2,3,4,5,6,7,8, 100; alpha=.1 -> lo=1, keep ranks 2..9
+    // -> drop 0 and 100, mean of 1..8 = 4.5
+    val df = (Seq(0.0, 100.0) ++ (1 to 8).map(_.toDouble))
+      .map(("g", _)).toDF("g", "v")
+    val r = Stats.trimmedMean(df, "g", "v", alpha = 0.1).head()
+    assert(r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 4.5)
+    // ties straddling the cut contribute exactly their overlap:
+    // values {1,1,1,9}: n=4, lo=0.4 -> floor 0? alpha .25 -> lo=1,
+    // keep ranks 2..3 -> one of the 1s and... ranks: 1s at 1-3, 9 at 4.
+    // kept for v=1: min(3,3)-max(0,1)=2; for v=9: min(4,3)-max(3,1)=0
+    // mean = 2*1/2 = 1.0
+    val t = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 9.0))
+      .toDF("g", "v")
+    val r2 = Stats.trimmedMean(t, "g", "v", alpha = 0.25).head()
+    assert(r2.getAs[Long]("n_kept") == 2L)
+    assert(r2.getAs[Double]("trimmed_mean") == 1.0)
+  }
+
+  test("assortativity: star graph is maximally disassortative") {
+    // star K1,3: hub degree 3, leaves degree 1. Every edge joins (3,1):
+    // r = -1 exactly... Pearson over constant-x pairs is 0/0 — use a
+    // path P4 instead: degrees 1,2,2,1; directed pair list (both
+    // orientations): (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    // sx=10, sxx=18, sxy=16, m=6 -> r = (96-100)/(108-100) = -0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.assortativity(edges).head()
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -0.5)
+  }
+}
