@@ -7245,8 +7245,50 @@ object SparkEntry {
     "q_woe_iv" -> ((s, dir) =>
       Eval.weightOfEvidence(t(s, dir, "orders"), "o_orderpriority",
           col("o_orderstatus") === "F")
-        .orderBy("category"))
+        .orderBy("category")),
+
+    // ---- Zipf-law fit over the top-500 vocabulary (slope/intercept/R²
+    //      on the bounded ranked table; tie-broken by code point) ----
+    "q_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topK = 500)),
+
+    // ---- 14-day rolling correlation between daily click and purchase
+    //      counts (exact decimal frame sums on the day-bucket table) ----
+    "q_rolling_corr" -> ((s, dir) =>
+      Stats.rollingCorrelation(dailyClickPurchase(s, dir),
+          "day", "clicks", "purchases", windowSize = 14)
+        .orderBy("day")),
+
+    // ---- cross-correlation of the same pair at lags −5..5 ----
+    "q_ccf" -> ((s, dir) =>
+      Stats.crossCorrelation(dailyClickPurchase(s, dir),
+          "day", "clicks", "purchases", maxLag = 5)
+        .orderBy("lag")),
+
+    // ---- Gini coefficient of order value by priority class ----
+    "q_gini" -> ((s, dir) =>
+      Stats.gini(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")),
+
+    // ---- median/MAD robust z-scores of event values by type (bounded
+    //      probe slice so the output stays inspectable) ----
+    "q_robust_scale" -> ((s, dir) =>
+      Stats.robustScale(
+          Tables.events(s, dir).filter(col("event_id") < 2000),
+          "event_id", "event_type", "value")
+        .orderBy("event_id"))
   )
+
+  /** Shared daily click/purchase count series for the correlation
+    * queries: one grouped conditional aggregation over events.
+    */
+  private def dailyClickPurchase(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
 
   private def evalOracles: Map[String, String] = Map(
     // per-category JSD halves rounded at 9 dp before the decimal fold;
@@ -7596,6 +7638,150 @@ object SparkEntry {
         |  round(CAST(sum(iv_term) OVER () AS DOUBLE), 6) AS iv_total,
         |  CAST(sum(CASE WHEN woe IS NULL THEN 1 ELSE 0 END) OVER ()
         |    AS BIGINT) AS n_excluded
-        |FROM x ORDER BY category""".stripMargin
+        |FROM x ORDER BY category""".stripMargin,
+
+    // rank ties broken by code point; per-term ln products rounded at
+    // 9 dp before the decimal fold; slope/intercept/r² closed form
+    "q_zipf_fit" ->
+      s"""WITH vocab AS (SELECT term, count(*) AS n
+        |    FROM (SELECT unnest($toksSql) AS term FROM documents)
+        |    GROUP BY term ORDER BY n DESC, term LIMIT 500),
+        |  r AS (SELECT n,
+        |      row_number() OVER (ORDER BY n DESC, term) AS rank FROM vocab),
+        |  q AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |      ln(CAST(n AS DOUBLE)) AS y FROM r),
+        |  a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |      CAST(count(*) AS DOUBLE) AS kd,
+        |      CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |      CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |      CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |        AS sxx,
+        |      CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |        AS syy,
+        |      CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |        AS sxy
+        |    FROM q),
+        |  f AS (SELECT k, kd, sx, sy,
+        |      (kd * sxy - sx * sy) / (kd * sxx - sx * sx) AS slope,
+        |      (kd * sxy - sx * sy) /
+        |        (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy)) AS rr
+        |    FROM a)
+        |SELECT k, round(slope, 6) AS zipf_slope,
+        |  round((sy - slope * sx) / kd, 6) AS intercept,
+        |  round(rr * rr, 6) AS r_squared
+        |FROM f""".stripMargin,
+
+    // exact decimal frame sums; NULL until the 14-day frame fills or
+    // when either series is constant in-frame
+    "q_rolling_corr" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(18,0)) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(18,0)) AS y
+        |  FROM events GROUP BY 1),
+        |  w AS (SELECT day, x, y,
+        |      count(*) OVER f AS cnt,
+        |      sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+        |      sum(x * x) OVER f AS sxx, sum(y * y) OVER f AS syy,
+        |      sum(x * y) OVER f AS sxy
+        |    FROM s WINDOW f AS (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |  v AS (SELECT day, x, y, cnt,
+        |      14.0 * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |      14.0 * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |      14.0 * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+        |    FROM w)
+        |SELECT day, CAST(x AS BIGINT) AS clicks, CAST(y AS BIGINT) AS purchases,
+        |  CASE WHEN cnt = 14 AND vx > 0 AND vy > 0
+        |    THEN round(cov / (sqrt(vx) * sqrt(vy)), 6) END AS rolling_corr
+        |FROM v ORDER BY day""".stripMargin,
+
+    // bounded lag×day expansion, one Pearson per lag over the overlap
+    "q_ccf" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(18,0)) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(18,0)) AS y
+        |  FROM events GROUP BY 1),
+        |  l AS (SELECT CAST(u.lag AS INTEGER) AS lag
+        |    FROM unnest([-5, -4, -3, -2, -1, 0, 1, 2, 3, 4, 5]) AS u(lag)),
+        |  p AS (SELECT l.lag, a.x, b.y FROM s a CROSS JOIN l
+        |    JOIN s b ON a.day + l.lag = b.day),
+        |  g AS (SELECT lag, count(*) AS n,
+        |      CAST(count(*) AS DOUBLE) AS nd,
+        |      CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |      CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |      CAST(sum(y * y) AS DOUBLE) AS syy,
+        |      CAST(sum(x * y) AS DOUBLE) AS sxy
+        |    FROM p GROUP BY lag),
+        |  v AS (SELECT lag, n, nd * sxx - sx * sx AS vx,
+        |      nd * syy - sy * sy AS vy, nd * sxy - sx * sy AS cov
+        |    FROM g)
+        |SELECT lag, n AS n_overlap,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN round(cov / (sqrt(vx) * sqrt(vy)), 6) END AS ccf
+        |FROM v ORDER BY lag""".stripMargin,
+
+    // tied blocks contribute v·(c·cumprev + c(c+1)/2) — exact integer
+    // rank-weighted sums, one division per group
+    "q_gini" ->
+      """WITH gv AS (SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v, count(*) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_totalprice >= 0
+        |  GROUP BY 1, 2),
+        |  w AS (SELECT g, v, cnt,
+        |      coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cumprev
+        |    FROM gv),
+        |  a AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+        |      sum(v * cnt) AS sv,
+        |      sum(v * (cnt * cumprev + cnt * (cnt + 1) // 2)) AS srank
+        |    FROM w GROUP BY g)
+        |SELECT g AS o_orderpriority, n,
+        |  CASE WHEN sv > 0 THEN round(
+        |    (2.0 * CAST(srank AS DOUBLE) -
+        |      CAST(n + 1 AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6) END AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // two lower inverse-CDF medians (value, then |v − med|), exact
+    // decimal deviations, one division per row
+    "q_robust_scale" ->
+      """WITH base AS (SELECT event_id, event_type AS g,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |  WHERE event_id < 2000 AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |  gv AS (SELECT g, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |  c1 AS (SELECT g, v,
+        |      sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(cnt) OVER (PARTITION BY g) AS n FROM gv),
+        |  med AS (SELECT g, min(v) AS med FROM c1 WHERE cum * 2 >= n
+        |    GROUP BY g),
+        |  dev AS (SELECT base.event_id, base.g, base.v,
+        |      abs(base.v - med.med) AS ad, med.med
+        |    FROM base JOIN med ON base.g = med.g),
+        |  av AS (SELECT g, ad, count(*) AS cnt FROM dev GROUP BY 1, 2),
+        |  c2 AS (SELECT g, ad,
+        |      sum(cnt) OVER (PARTITION BY g ORDER BY ad
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(cnt) OVER (PARTITION BY g) AS n FROM av),
+        |  mad AS (SELECT g, min(ad) AS mad FROM c2 WHERE cum * 2 >= n
+        |    GROUP BY g)
+        |SELECT dev.event_id, dev.g AS event_type,
+        |  CAST(dev.v AS DOUBLE) AS value,
+        |  CASE WHEN mad.mad > 0 THEN round(
+        |    CAST(dev.v - dev.med AS DOUBLE) /
+        |    (1.4826 * CAST(mad.mad AS DOUBLE)), 6) END AS robust_z
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |ORDER BY dev.event_id""".stripMargin
   )
 }

@@ -2021,4 +2021,167 @@ object Stats {
         round(col("_sum").cast("double") / col("n_kept").cast("double"), 6)
           .as("trimmed_mean"))
   }
+
+  /** Rolling Pearson correlation between two aligned series over a
+    * trailing `windowSize`-bucket frame — the co-movement monitor (do
+    * clicks still predict purchases; does quality score still track
+    * document length). NULL until the frame is full and when either
+    * series is constant in the frame (a 0/0 correlation is undefined,
+    * not 0).
+    *
+    * Input contract: one row per time bucket (aggregate first), both
+    * value columns integer-valued counts or decimal-quantized measures.
+    * The frame sums are EXACT decimal window aggregations over the
+    * bounded bucket table; the Pearson closed form runs once per row in
+    * fixed double order. One window pass, no self-joins.
+    */
+  def rollingCorrelation(df: DataFrame, tCol: String, xCol: String,
+                         yCol: String, windowSize: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSize >= 3 && windowSize <= 10000, "windowSize in [3, 10000]")
+    val win = Window.orderBy("t").rowsBetween(-(windowSize - 1), 0)
+    val nd = lit(windowSize.toDouble)
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val vx = nd * sxx - sx * sx
+    val vy = nd * syy - sy * sy
+    df
+      .select(col(tCol).as("t"), col(xCol).cast("decimal(18,0)").as("x"),
+        col(yCol).cast("decimal(18,0)").as("y"))
+      .withColumn("_cnt", count(lit(1)).over(win))
+      .withColumn("_sx", sum("x").over(win))
+      .withColumn("_sy", sum("y").over(win))
+      .withColumn("_sxx", sum(col("x") * col("x")).over(win))
+      .withColumn("_syy", sum(col("y") * col("y")).over(win))
+      .withColumn("_sxy", sum(col("x") * col("y")).over(win))
+      .select(col("t").as(tCol), col("x").cast("long").as(xCol),
+        col("y").cast("long").as(yCol),
+        when(col("_cnt") === windowSize && vx > 0 && vy > 0,
+          round((nd * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6))
+          .as("rolling_corr"))
+  }
+
+  /** Cross-correlation function between two aligned series: Pearson of
+    * (x_t, y_{t+k}) for every lag k in [−maxLag, maxLag], over the
+    * overlap at each lag. The lead/lag discovery tool — "purchases
+    * follow clicks by 2 days" shows up as the argmax lag.
+    *
+    * Shape: the bounded day-bucket series joins a shifted copy of
+    * itself once per lag via a BOUNDED lag×bucket expansion (2K+1
+    * lags), then one grouped fold per lag — never a corpus scan per
+    * lag. Sums are exact decimals; one Pearson per lag row. `tCol`
+    * must be a DateType bucket (shift arithmetic is whole days).
+    */
+  def crossCorrelation(df: DataFrame, tCol: String, xCol: String,
+                       yCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 365, "maxLag in [1, 365]")
+    val s = df.select(col(tCol).cast("date").as("t"),
+      col(xCol).cast("decimal(18,0)").as("x"),
+      col(yCol).cast("decimal(18,0)").as("y"))
+    val lags = (-maxLag to maxLag).map(k => lit(k))
+    val left = s.select(col("t"), col("x"),
+      explode(array(lags: _*)).as("lag"))
+    val joined = left.join(
+      s.select(col("t").as("_t2"), col("y")),
+      date_add(col("t"), col("lag")) === col("_t2"))
+    val n = col("_n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    joined
+      .groupBy("lag")
+      .agg(count(lit(1)).as("_n"), sum("x").as("_sx"), sum("y").as("_sy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"),
+        sum(col("x") * col("y")).as("_sxy"))
+      .select(col("lag"), col("_n").as("n_overlap"),
+        when(vx > 0 && vy > 0,
+          round((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6))
+          .as("ccf"))
+  }
+
+  /** Gini coefficient of a non-negative quantity per group:
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending sort —
+    * the inequality gauge for domain-concentration screens (is 1 % of
+    * domains contributing 90 % of tokens) that [[concentration]]'s
+    * HHI complements at the top end.
+    *
+    * Exactness on the per-group DISTINCT-value table: a tied block of
+    * value v and count c starting after cumulative cumprev contributes
+    * v·(c·cumprev + c(c+1)/2) to the rank-weighted sum — all integer/
+    * decimal arithmetic, so the sort-rank fold never materializes
+    * per-row ranks. One grouped count, one bounded-table window, one
+    * fold; the final division runs once per group.
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+           scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df
+      .select(col(groupCol).as("g"), col(valueCol).cast(s"decimal(18,$scale)").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && col("v") >= 0)
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val prev = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // integer `div` keeps the triangular term an exact long (c(c+1) is
+    // always even); a `/` would silently promote to double
+    val rankSum = col("cnt") * col("_cumprev") +
+      expr("cnt * (cnt + 1) div 2")
+    gv
+      .withColumn("_cumprev", coalesce(sum("cnt").over(prev), lit(0L)))
+      .groupBy("g")
+      .agg(sum("cnt").as("n"), sum(col("v") * col("cnt")).as("_sv"),
+        sum(col("v") * rankSum).as("_srank"))
+      .select(col("g").as(groupCol), col("n"),
+        when(col("_sv") > 0, round(
+          (lit(2.0) * col("_srank").cast("double") -
+            (col("n") + 1).cast("double") * col("_sv").cast("double")) /
+            (col("n").cast("double") * col("_sv").cast("double")), 6))
+          .as("gini"))
+  }
+
+  /** Robust per-group standardization: z = (v − median_g) /
+    * (1.4826·MAD_g), the outlier-immune cousin of the usual z-score
+    * (mean and SD are themselves dragged by the outliers a z-score is
+    * supposed to flag; median/MAD are 50 %-breakdown). NULL when
+    * MAD = 0 (more than half the group at one value — a degenerate
+    * scale, not z = ∞).
+    *
+    * Both centers are LOWER inverse-CDF medians (exact integer
+    * arithmetic on per-group distinct-value tables — the same
+    * convention as [[brownForsythe]]); |v − med| is an exact decimal,
+    * so MAD is exact too. Two bounded-table window passes + two
+    * broadcast joins back to the rows; the one double division per row
+    * rounds at 6 dp.
+    */
+  def robustScale(df: DataFrame, idCol: String, groupCol: String,
+                  valueCol: String, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(d: DataFrame, gc: String, vc: String,
+                    out: String): DataFrame = {
+      val cum = Window.partitionBy(gc).orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.groupBy(col(gc), col(vc)).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_cum", sum("_cnt").over(cum))
+        .withColumn("_n", sum("_cnt").over(Window.partitionBy(gc)))
+        .filter(col("_cum") * 2 >= col("_n"))
+        .groupBy(gc).agg(min(vc).as(out))
+    }
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+        col(valueCol).cast(s"decimal(18,$scale)").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = lowerMedian(base, "g", "v", "_med")
+    val dev = base.join(broadcast(med), "g")
+      .withColumn("_ad", abs(col("v") - col("_med")))
+    val mad = lowerMedian(dev.select(col("g"), col("_ad")), "g", "_ad", "_mad")
+    dev.join(broadcast(mad), "g")
+      .select(col("id").as(idCol), col("g").as(groupCol),
+        col("v").cast("double").as(valueCol),
+        when(col("_mad") > 0, round(
+          (col("v") - col("_med")).cast("double") /
+            (lit(1.4826) * col("_mad").cast("double")), 6))
+          .as("robust_z"))
+  }
 }

@@ -1021,4 +1021,48 @@ object TextAnalysis {
           ",").as("postings"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
   }
+
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope of
+    * ln(freq) on ln(rank) for the top-`topK` terms, with intercept and
+    * R². Natural text sits near slope −1; a corpus drifting toward
+    * templated/generated content flattens or steepens measurably — a
+    * one-number corpus-health gauge to trend per crawl snapshot.
+    *
+    * Shape: the token-count aggregation is the only corpus-scale
+    * stage (one shuffle, map-side combined); the top-K cut is a
+    * TakeOrdered (no full sort materialization), and the regression
+    * runs over the BOUNDED top-K table — per-term x/y products are
+    * rounded at 9 dp into exact decimal sums, the three closed-form
+    * divisions happen once. Rank ties break by term code point, so the
+    * ranking is total and engine-reproducible.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 10 && topK <= 100000, "topK in [10, 100000]")
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topK)
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("term"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    def q9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
+    val k = col("_k").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val r = (k * sxy - sx * sy) /
+      (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))
+    ranked
+      .agg(count(lit(1)).as("_k"),
+        sum(q9(x)).as("_sx"), sum(q9(y)).as("_sy"),
+        sum(q9(x * x)).as("_sxx"), sum(q9(y * y)).as("_syy"),
+        sum(q9(x * y)).as("_sxy"))
+      .select(col("_k").as("k"),
+        round(slope, 6).as("zipf_slope"),
+        round((sy - slope * sx) / k, 6).as("intercept"),
+        round(r * r, 6).as("r_squared"))
+  }
 }
