@@ -142,6 +142,64 @@ object StreamingDrift {
         round(col("entropy") - lit(refEntropy), 6).as("entropy_delta"))
   }
 
+  /** Streaming Jensen-Shannon divergence of the categorical mix per
+    * event-time window against FIXED reference shares — the streaming
+    * twin of [[graft.operators.Stats.jsDivergence]] with the reference
+    * side frozen (shares passed in, not recomputed per batch). Unlike
+    * [[streamingPsi]]'s ε-floored KL-ish score, JSD stays finite when a
+    * window contains a category the reference lacks (it folds into
+    * "other" with reference share 0 — the q-half contributes
+    * (q/2)·ln 2, never ∞).
+    *
+    * State contract mirrors [[streamingEntropy]]: one counter per
+    * reference category + "other" per open window (bounded by
+    * construction), the divergence evaluates in the projection above
+    * the single windowed aggregation, and per-category halves quantize
+    * to DECIMAL(18,9) exactly like the batch operator — a closed
+    * window's jsd is bit-identical to the batch fold over the same
+    * rows with the same share constants.
+    */
+  def streamingJsDivergence(events: DataFrame, tsCol: String, catCol: String,
+                            refShares: Map[String, Double],
+                            windowDuration: String,
+                            lateness: String = "1 hour"): DataFrame = {
+    require(refShares.nonEmpty, "refShares must be non-empty")
+    require(refShares.valuesIterator.forall(s => s > 0 && s <= 1),
+      "reference shares must be in (0, 1]")
+    // "other" carries reference share 0, so the named categories must
+    // hold ALL the reference mass — otherwise this would score against
+    // a sub-distribution and the zero-drift window would not read 0
+    require(math.abs(refShares.valuesIterator.sum - 1.0) < 1e-9,
+      "refShares must sum to 1 (list every reference category)")
+    val cats = refShares.keys.toSeq.sorted
+    val nC = cats.size + 1 // + "other" (reference share 0)
+    val counts = cats.zipWithIndex.map { case (c, k) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"_c$k")
+    } :+ sum(when(col(catCol).isin(cats: _*), 0L).otherwise(1L))
+      .as(s"_c${cats.size}")
+    val total = (0 until nC).map(k => col(s"_c$k")).reduce(_ + _)
+    def term(k: Int): Column = {
+      val p = if (k < cats.size) lit(refShares(cats(k))) else lit(0.0)
+      val q = col(s"_c$k").cast("double") / col("n").cast("double")
+      val m = (p + q) / lit(2.0)
+      val pHalf =
+        if (k < cats.size) round(p * log(p / m) / lit(2.0), 9) else lit(0.0)
+      val qHalf = when(col(s"_c$k") > 0, round(q * log(q / m) / lit(2.0), 9))
+        .otherwise(lit(0.0))
+      (pHalf + qHalf).cast("decimal(18,9)")
+    }
+    events
+      .filter(col(catCol).isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n", total)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"),
+        round((0 until nC).map(term).reduce(_ + _).cast("double"), 6)
+          .as("jsd"))
+  }
+
   def monitor(stream: DataFrame, reference: DataFrame): Monitor = {
     require(stream.columns.toSet == reference.columns.toSet,
       s"aligned projections required; stream-only: " +

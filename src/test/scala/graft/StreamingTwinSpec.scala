@@ -165,6 +165,50 @@ class StreamingEntropySpec extends SparkSpecBase {
   }
 }
 
+class StreamingJsdSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamingJsDivergence matches the batch operator window by window") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference shares chosen to be exact double ratios of counts
+    // {x:2, y:2} so the batch twin reproduces them bit-exactly
+    val refCounts = Seq("x", "x", "y", "y")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDrift.streamingJsDivergence(
+        mem.toDF().toDF("ts", "cat"), "ts", "cat",
+        Map("x" -> 0.5, "y" -> 0.5), "1 hour", lateness = "1 second")
+      .writeStream.format("memory").queryName("sjsd").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window A: same mix as the reference (JSD exactly 0); window B:
+      // skewed with an UNSEEN category (ref-share-0 "other" stays finite)
+      val winA = Seq("x", "x", "y", "y").map((ts("2024-01-01 10:00:05"), _))
+      val winB = Seq("x", "x", "x", "z").map((ts("2024-01-01 11:00:05"), _))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), "x"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n, jsd FROM sjsd ORDER BY 1").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 4L)
+      assert(rows(0).getAs[Double]("jsd") == 0.0)
+      assert(rows(1).getAs[Double]("jsd") > 0.1)
+      // bit-identical to the batch operator over the same rows with the
+      // same "other" collapse
+      def batch(cur: Seq[String]): Double =
+        graft.operators.Stats.jsDivergence(
+            refCounts.toDF("c"),
+            cur.map(c => if (Seq("x", "y").contains(c)) c else "other")
+              .toDF("c"), "c")
+          .head().getAs[Double]("jsd")
+      assert(rows(0).getAs[Double]("jsd") == batch(Seq("x", "x", "y", "y")))
+      assert(rows(1).getAs[Double]("jsd") ==
+        batch(Seq("x", "x", "x", "z")))
+    } finally q.stop()
+  }
+}
+
 class StreamingCompactLatestSpec extends SparkSpecBase {
   import spark.implicits._
 
