@@ -1037,4 +1037,62 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(joinIdx >= 0 && capIdx > joinIdx,
       s"expected the degree cap below the pair join:\n$p")
   }
+
+  // local copies of the audit helpers (this suite predates them)
+  private def auditPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def auditFinalPlan(df: DataFrame): String = {
+    df.collect(); df.queryExecution.executedPlan.toString
+  }
+
+  test("thresholdMetrics scans the corpus once: explode sits above the level agg") {
+    val rows = (0L until 400L).map(i => (i, (i % 11) / 10.0, i % 3 == 0))
+      .toDF("id", "score", "y")
+    val out = graft.operators.Eval.thresholdMetrics(rows, "score", col("y"),
+      (0 to 10).map(_ / 10.0))
+    val p = auditPlan(out)
+    // ONE aggregate pass over the input rows (partial+final = 2
+    // HashAggregate pairs for the level table, 2 for the sweep), and
+    // the 11-way Generate (explode) above the first aggregation — so
+    // the threshold fan-out multiplies 11 score levels, never rows
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0, s"expected the threshold explode:\n$p")
+    assert(aggIdx > genIdx,
+      s"expected the level aggregation BELOW the explode (deeper in plan):\n$p")
+    assert(p.sliding("LocalTableScan".length).count(_ == "LocalTableScan") <= 1,
+      s"expected a single pass over the input:\n$p")
+  }
+
+  test("zipfFit top-K is TakeOrdered; regression runs on the bounded table") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} tok${i % 13} filler"))
+      .toDF("doc_id", "text")
+    val p = auditPlan(graft.operators.TextAnalysis.zipfFit(docs, "text", topK = 50))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k with driver merge, no global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected no range exchange for the vocabulary cut:\n$p")
+  }
+
+  test("robustScale attaches both medians via broadcast joins") {
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}", (i % 17).toDouble))
+      .toDF("id", "g", "v")
+    val p = auditFinalPlan(
+      graft.operators.Stats.robustScale(rows, "id", "g", "v"))
+    // two bounded median tables broadcast back to the fact rows — the
+    // fact side must never range-shuffle
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2,
+      s"expected two broadcast attach joins (median, MAD):\n$p")
+  }
+
+  test("assortativity joins are keyed on node id, no cartesian stage") {
+    val edges = (0L until 200L).map(i => (i % 20, (i * 7) % 23 + 100))
+      .toDF("src", "dst")
+    val p = auditFinalPlan(graft.operators.Graph.assortativity(edges))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"expected equi-joins only:\n$p")
+  }
 }
