@@ -7247,6 +7247,23 @@ object SparkEntry {
           col("o_orderstatus") === "F")
         .orderBy("category")),
 
+    // ---- graded-relevance retrieval metrics: mean nDCG@5 / MRR@5 /
+    //      MAP@5 over per-order ranked lists (ranking by price desc,
+    //      graded relevance from quantity mod 4; one query-key
+    //      exchange serves both windows and the groupBy) ----
+    "q_retrieval_metrics" -> ((s, dir) =>
+      Eval.retrievalMetrics(
+        t(s, dir, "lineitem")
+          .withColumn("rel", col("l_quantity").cast("long") % 4),
+        "l_orderkey", "l_linenumber", "l_extendedprice", "rel", k = 5)),
+
+    // ---- rank-biased overlap between the price-ranked and the
+    //      size-ranked top-50 parts (top-weighted ranking drift;
+    //      TakeOrdered both sides, bounded grid after) ----
+    "q_rbo" -> ((s, dir) =>
+      Eval.rankBiasedOverlap(t(s, dir, "part"), "p_partkey",
+        "p_retailprice", "p_size", depth = 50, p = 0.9)),
+
     // ---- Zipf-law fit over the top-500 vocabulary (slope/intercept/R²
     //      on the bounded ranked table; tie-broken by code point) ----
     "q_zipf_fit" -> ((s, dir) =>
@@ -7639,6 +7656,80 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN woe IS NULL THEN 1 ELSE 0 END) OVER ()
         |    AS BIGINT) AS n_excluded
         |FROM x ORDER BY category""".stripMargin,
+
+    // ranking by score desc with item-id tiebreak on BOTH engines; DCG
+    // terms and per-query ratios rounded at 9 dp before decimal sums;
+    // no-relevant queries contribute 0 (not excluded)
+    "q_retrieval_metrics" ->
+      """WITH base AS (SELECT l_orderkey AS q, l_linenumber AS item,
+        |    CAST(l_extendedprice AS DOUBLE) AS s,
+        |    CAST(l_quantity AS BIGINT) % 4 AS rel
+        |  FROM lineitem),
+        |  r AS (SELECT q, item, s, rel,
+        |      row_number() OVER (PARTITION BY q ORDER BY s DESC, item) AS rk,
+        |      row_number() OVER (PARTITION BY q ORDER BY rel DESC, item) AS irk,
+        |      sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY q ORDER BY s DESC, item
+        |              ROWS UNBOUNDED PRECEDING) AS cumrel,
+        |      sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY q) AS totrel
+        |    FROM base),
+        |  per AS (SELECT q,
+        |      sum(CASE WHEN rk <= 5 THEN CAST(round(
+        |          (pow(2, rel) - 1) / log2(rk + 1), 9) AS DECIMAL(18,9))
+        |        ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
+        |      sum(CASE WHEN irk <= 5 THEN CAST(round(
+        |          (pow(2, rel) - 1) / log2(irk + 1), 9) AS DECIMAL(18,9))
+        |        ELSE CAST(0 AS DECIMAL(18,9)) END) AS idcg,
+        |      sum(CASE WHEN rel > 0 AND rk <= 5 THEN CAST(round(
+        |          CAST(cumrel AS DOUBLE) / rk, 9) AS DECIMAL(18,9))
+        |        ELSE CAST(0 AS DECIMAL(18,9)) END) AS apsum,
+        |      min(CASE WHEN rel > 0 AND rk <= 5 THEN rk END) AS minrk,
+        |      max(totrel) AS totrel
+        |    FROM r GROUP BY q),
+        |  perq AS (SELECT
+        |      CAST(CASE WHEN idcg > 0 THEN round(
+        |          CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9)
+        |        ELSE 0.0 END AS DECIMAL(18,9)) AS ndcg_q,
+        |      CAST(CASE WHEN totrel > 0 THEN round(
+        |          CAST(apsum AS DOUBLE) /
+        |          CAST(least(totrel, 5) AS DOUBLE), 9)
+        |        ELSE 0.0 END AS DECIMAL(18,9)) AS ap_q,
+        |      CAST(CASE WHEN minrk IS NOT NULL THEN round(1.0 / minrk, 9)
+        |        ELSE 0.0 END AS DECIMAL(18,9)) AS rr_q
+        |    FROM per)
+        |SELECT count(*) AS n_queries,
+        |  round(CAST(sum(ndcg_q) AS DOUBLE) / count(*), 6) AS ndcg,
+        |  round(CAST(sum(rr_q) AS DOUBLE) / count(*), 6) AS mrr,
+        |  round(CAST(sum(ap_q) AS DOUBLE) / count(*), 6) AS "map"
+        |FROM perq""".stripMargin,
+
+    // top-50 by each score with item tiebreak; overlap counted on the
+    // bounded depth grid; (1-p)p^(d-1)x/d terms rounded at 9 dp
+    "q_rbo" ->
+      """WITH ta AS (SELECT p_partkey AS item, row_number() OVER (
+        |      ORDER BY CAST(p_retailprice AS DOUBLE) DESC, p_partkey) AS ra
+        |    FROM part WHERE p_retailprice IS NOT NULL
+        |    ORDER BY CAST(p_retailprice AS DOUBLE) DESC, p_partkey LIMIT 50),
+        |  tb AS (SELECT p_partkey AS item, row_number() OVER (
+        |      ORDER BY CAST(p_size AS DOUBLE) DESC, p_partkey) AS rb
+        |    FROM part WHERE p_size IS NOT NULL
+        |    ORDER BY CAST(p_size AS DOUBLE) DESC, p_partkey LIMIT 50),
+        |  pairs AS (SELECT ta.ra, tb.rb FROM ta FULL OUTER JOIN tb
+        |    ON ta.item = tb.item),
+        |  grid AS (SELECT d, CAST(sum(CASE WHEN ra <= d AND rb <= d
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |    FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 50)) AS d)
+        |    GROUP BY d)
+        |SELECT round(CAST(sum(CAST(round(
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * pow(0.9, d - 1) *
+        |    CAST(x AS DOUBLE) / d, 9) AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS rbo,
+        |  max(CASE WHEN d = 50 THEN round(CAST(x AS DOUBLE) / d, 6) END)
+        |    AS overlap_at_depth,
+        |  round(pow(0.9, 50), 6) AS residual_p_d,
+        |  CAST(50 AS INT) AS depth
+        |FROM grid""".stripMargin,
 
     // rank ties broken by code point; per-term ln products rounded at
     // 9 dp before the decimal fold; slope/intercept/r² closed form

@@ -220,4 +220,132 @@ object Eval {
       .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
         col("woe"), col("iv_total"), col("n_excluded"))
   }
+
+  /** Graded-relevance retrieval metrics in one pass: mean nDCG@k,
+    * MRR@k and MAP@k over per-query ranked lists. The ANN / BM25 /
+    * reranker acceptance gate: the ranking under test is induced by
+    * `scoreCol` (descending, item-id tiebreak so both engines agree),
+    * relevance is the integer `relCol` (binary relevance = rel > 0 for
+    * MRR/MAP; graded 2^rel − 1 gains for nDCG).
+    *
+    * Conventions: a query whose list has no relevant item contributes
+    * 0 to MRR/MAP (not excluded — silence can't inflate the mean); a
+    * query with zero ideal DCG contributes 0 to nDCG; AP divides by
+    * min(R, k) (TREC cut convention).
+    *
+    * Scale shape: ONE hash exchange on the query key serves both the
+    * scored and the ideal window (same partitioning, two in-partition
+    * sorts), the per-query groupBy reuses that partitioning
+    * exchange-free, and the final fold is a single global aggregation
+    * of exact decimal sums. Per-query list length is bounded by the
+    * retriever's k, so no window partition can be skewed by corpus
+    * growth. Per-term quantization at 9 dp before every decimal sum
+    * keeps Spark and a SQL oracle bit-identical.
+    */
+  def retrievalMetrics(df: DataFrame, queryCol: String, itemCol: String,
+                       scoreCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, "k in [1, 1000]")
+    val base = df.select(col(queryCol).as("_q"), col(itemCol).as("_item"),
+      col(scoreCol).cast("double").as("_s"),
+      col(relCol).cast("long").as("_rel"))
+      .filter(col("_rel").isNotNull && col("_rel") >= 0 && col("_rel") <= 30)
+    val byScore = Window.partitionBy("_q")
+      .orderBy(col("_s").desc, col("_item"))
+    val byRel = Window.partitionBy("_q")
+      .orderBy(col("_rel").desc, col("_item"))
+    val gain = pow(lit(2.0), col("_rel")) - lit(1.0)
+    val relFlag = when(col("_rel") > 0, 1L).otherwise(0L)
+    val dec = "decimal(18,9)"
+    val zero = lit(0).cast(dec)
+    val ranked = base
+      .withColumn("_rk", row_number().over(byScore))
+      .withColumn("_irk", row_number().over(byRel))
+      .withColumn("_cumrel", sum(relFlag).over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = ranked.groupBy("_q").agg(
+      sum(when(col("_rk") <= k,
+        round(gain / log2(col("_rk") + 1), 9).cast(dec)).otherwise(zero))
+        .as("_dcg"),
+      sum(when(col("_irk") <= k,
+        round(gain / log2(col("_irk") + 1), 9).cast(dec)).otherwise(zero))
+        .as("_idcg"),
+      sum(when(col("_rel") > 0 && col("_rk") <= k,
+        round(col("_cumrel").cast("double") / col("_rk"), 9).cast(dec))
+        .otherwise(zero)).as("_apsum"),
+      min(when(col("_rel") > 0 && col("_rk") <= k, col("_rk"))).as("_minrk"),
+      sum(relFlag).as("_totrel"))
+    val perq = per.select(
+      when(col("_idcg") > 0,
+        round(col("_dcg").cast("double") / col("_idcg").cast("double"), 9))
+        .otherwise(lit(0.0)).cast(dec).as("_ndcg"),
+      when(col("_totrel") > 0,
+        round(col("_apsum").cast("double") /
+          least(col("_totrel"), lit(k.toLong)).cast("double"), 9))
+        .otherwise(lit(0.0)).cast(dec).as("_ap"),
+      when(col("_minrk").isNotNull,
+        round(lit(1.0) / col("_minrk"), 9)).otherwise(lit(0.0)).cast(dec)
+        .as("_rr"))
+    perq.agg(count(lit(1)).as("n_queries"),
+      sum("_ndcg").as("_sn"), sum("_rr").as("_sr"), sum("_ap").as("_sa"))
+      .select(col("n_queries"),
+        round(col("_sn").cast("double") / col("n_queries").cast("double"), 6)
+          .as("ndcg"),
+        round(col("_sr").cast("double") / col("n_queries").cast("double"), 6)
+          .as("mrr"),
+        round(col("_sa").cast("double") / col("n_queries").cast("double"), 6)
+          .as("map"))
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) between the two rankings
+    * a score pair induces over the same item set, truncated at `depth`:
+    * RBO_d = (1 − p) Σ_{i=1..d} p^{i−1} · |A_i ∩ B_i| / i. The
+    * ranking-drift meter: unlike Kendall/Spearman over full lists, RBO
+    * is top-weighted — disagreement at rank 3 costs more than at rank
+    * 40 — which is what you actually care about when a reranker or
+    * index rebuild shifts results. Also reports `overlap_at_depth`
+    * (plain |A_d ∩ B_d| / d) and the residual mass p^d that truncation
+    * leaves unassigned (RBO_ext would distribute it).
+    *
+    * Scale shape: each side reduces via TakeOrdered (orderBy + limit —
+    * no global sort exchange) to its top-`depth` rows; ranks, the
+    * outer join and the depth × pair grid all live on those bounded
+    * sets. Ties break on item id so both engines rank identically.
+    */
+  def rankBiasedOverlap(df: DataFrame, itemCol: String, scoreACol: String,
+                        scoreBCol: String, depth: Int = 50,
+                        p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 1000, "depth in [1, 1000]")
+    require(p > 0 && p < 1, "p in (0, 1)")
+    def top(scoreCol: String, rankName: String): DataFrame = {
+      val ordered = df.select(col(itemCol).as("_item"),
+        col(scoreCol).cast("double").as("_s"))
+        .filter(col("_s").isNotNull)
+        .orderBy(col("_s").desc, col("_item")).limit(depth)
+      // bounded single-partition window: `depth` rows by construction
+      ordered.withColumn(rankName,
+        row_number().over(Window.orderBy(col("_s").desc, col("_item"))))
+        .drop("_s")
+    }
+    val pairs = top(scoreACol, "_ra").join(top(scoreBCol, "_rb"),
+      Seq("_item"), "full_outer")
+    val grid = pairs.select(col("_ra"), col("_rb"),
+      explode(sequence(lit(1), lit(depth))).as("_d"))
+    grid.groupBy("_d")
+      .agg(sum(when(col("_ra") <= col("_d") && col("_rb") <= col("_d"), 1L)
+        .otherwise(0L)).as("_x"))
+      .select(col("_d"), col("_x"),
+        round(lit(1.0 - p) * pow(lit(p), col("_d") - 1) *
+          col("_x").cast("double") / col("_d").cast("double"), 9)
+          .cast("decimal(18,9)").as("_term"),
+        when(col("_d") === depth,
+          round(col("_x").cast("double") / col("_d").cast("double"), 6))
+          .as("_od"))
+      .agg(sum("_term").cast("double").as("_rbo"), max("_od").as("_odm"))
+      .select(round(col("_rbo"), 6).as("rbo"),
+        col("_odm").as("overlap_at_depth"),
+        round(pow(lit(p), lit(depth)), 6).as("residual_p_d"),
+        lit(depth).as("depth"))
+  }
 }

@@ -217,4 +217,53 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_edges") == 3L)
     assert(r.getAs[Double]("assortativity") == -0.5)
   }
+
+  test("retrievalMetrics: nDCG/MRR/MAP@3 on a worked two-query fixture") {
+    // q1 ranked by score: i1(rel 3), i2(rel 0), i3(rel 1), i4(rel 2, cut)
+    //   DCG@3  = 7/log2(2) + 0/log2(3) + 1/log2(4) = 7.5
+    //   ideal order i1,i4,i3 -> IDCG@3 = 7 + 3/log2(3) + 0.5
+    //            = 7 + 1.892789261 + 0.5 = 9.392789261 (9 dp terms)
+    //   ndcg_1 = 7.5/9.392789261 = 0.798484858
+    //   MRR: first relevant at rank 1 -> 1.0
+    //   AP: hits at rk1 (prec 1) and rk3 (prec 2/3); R = 3 relevant ->
+    //       (1 + 0.666666667)/3 = 0.555555556
+    // q2 has no relevant item: contributes 0 to all three means.
+    val df = Seq(
+      (1L, 1, 10.0, 3L), (1L, 2, 9.0, 0L), (1L, 3, 8.0, 1L), (1L, 4, 7.0, 2L),
+      (2L, 1, 5.0, 0L), (2L, 2, 4.0, 0L))
+      .toDF("q", "item", "score", "rel")
+    val r = Eval.retrievalMetrics(df, "q", "item", "score", "rel", k = 3).head()
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Double]("ndcg") == 0.399242)
+    assert(r.getAs[Double]("mrr") == 0.5)
+    assert(r.getAs[Double]("map") == 0.277778)
+  }
+
+  test("retrievalMetrics: perfect ranking gives ndcg = mrr = 1") {
+    val df = Seq((1L, 1, 3.0, 2L), (1L, 2, 2.0, 1L), (1L, 3, 1.0, 0L))
+      .toDF("q", "item", "score", "rel")
+    val r = Eval.retrievalMetrics(df, "q", "item", "score", "rel", k = 3).head()
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // AP = (1/1 + 2/2)/min(2,3) = 1
+    assert(r.getAs[Double]("map") == 1.0)
+  }
+
+  test("rankBiasedOverlap: worked depth-3 fixture, p = 0.5") {
+    // A = [x,y,z], B = [y,x,w]; overlaps by depth: 0, 2/2, 2/3
+    // RBO = 0.5*(0.5^0*0 + 0.5^1*1 + 0.5^2*2/3)
+    //     = 0.25 + 0.083333333 = 0.333333 (9 dp terms, 6 dp out)
+    val df = Seq(("x", 3.0, 2.0), ("y", 2.0, 3.0), ("z", 1.0, 0.0),
+      ("w", 0.0, 1.0)).toDF("item", "a", "b")
+    val r = Eval.rankBiasedOverlap(df, "item", "a", "b",
+      depth = 3, p = 0.5).head()
+    assert(r.getAs[Double]("rbo") == 0.333333)
+    assert(r.getAs[Double]("overlap_at_depth") == 0.666667)
+    assert(r.getAs[Double]("residual_p_d") == 0.125)
+    // identical rankings: RBO = (1-p) * sum p^(i-1) = 1 - p^d
+    val same = Eval.rankBiasedOverlap(df, "item", "a", "a",
+      depth = 3, p = 0.5).head()
+    assert(same.getAs[Double]("rbo") == 0.875)
+    assert(same.getAs[Double]("overlap_at_depth") == 1.0)
+  }
 }
