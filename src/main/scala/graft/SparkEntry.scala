@@ -2851,6 +2851,27 @@ object SparkEntry {
     "q_cohens_kappa" -> ((s, dir) =>
       Stats.cohensKappa(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // ---- Fleiss' κ over a 3-rater panel (three deterministic
+    //      "high-value order" judgments per order — o_orderkey is the
+    //      unique item key; exact integer folds) ----
+    "q_fleiss_kappa" -> ((s, dir) =>
+      Stats.fleissKappa(
+        t(s, dir, "orders").select(
+          col("o_orderkey").as("item"),
+          explode(array(
+            when(col("o_totalprice") > 150000, "hi").otherwise("lo"),
+            when(col("o_orderpriority") < "3", "hi").otherwise("lo"),
+            when(col("o_orderstatus") === "F", "hi").otherwise("lo")))
+            .as("rating")),
+        "item", "rating")),
+
+    // ---- Krippendorff's α (nominal) over the ragged per-order
+    //      returnflag panel: units = orders, ratings = line flags,
+    //      single-line orders are unpairable and excluded ----
+    "q_krippendorff" -> ((s, dir) =>
+      Stats.krippendorffAlpha(t(s, dir, "lineitem"),
+        "l_orderkey", "l_returnflag")),
+
     // ---- Poisson-bootstrap CI of the purchase-value mean: seeded
     //      integer-threshold draws, exact decimal replicate sums ----
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -6096,6 +6117,70 @@ object SparkEntry {
         |  FROM t, x)
         |SELECT n, po, pe, CASE WHEN pe < 1.0
         |  THEN round((po - pe) / (1.0 - pe), 6) END AS kappa FROM f""".stripMargin,
+
+    // Fleiss truth: the 3-rater panel unpivots as a UNION ALL; P̄ and
+    // P_e are ratios of exact integer aggregates (margins squared as
+    // HUGEINT), κ recomputed from the 6-dp-rounded P̄/P_e exactly as
+    // the operator does
+    "q_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT o_orderkey AS item,
+        |    CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS rating
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderpriority < '3' THEN 'hi' ELSE 'lo' END
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'hi' ELSE 'lo' END
+        |    FROM orders),
+        |cells AS (SELECT item, rating, count(*) AS k FROM r GROUP BY 1, 2),
+        |items AS (SELECT item, sum(k) AS m, sum(k * k) AS s2
+        |  FROM cells GROUP BY 1),
+        |a AS (SELECT count(*) AS nitems, CAST(sum(s2) AS BIGINT) AS s2t
+        |  FROM items),
+        |tt AS (SELECT COALESCE(sum(CAST(tc AS HUGEINT) * tc), 0) AS tt
+        |  FROM (SELECT rating, sum(k) AS tc FROM cells GROUP BY 1)),
+        |f AS (SELECT CAST(nitems AS BIGINT) AS n_items,
+        |    CAST(3 AS BIGINT) AS n_raters,
+        |    round(CAST(s2t - nitems * 3 AS DOUBLE) /
+        |      (CAST(nitems AS DOUBLE) * 3 * 2), 6) AS p_bar,
+        |    round(CAST(tt AS DOUBLE) /
+        |      ((CAST(nitems AS DOUBLE) * 3) * (CAST(nitems AS DOUBLE) * 3)),
+        |      6) AS p_e
+        |  FROM a, tt)
+        |SELECT n_items, n_raters, p_bar, p_e, CASE WHEN p_e < 1.0
+        |  THEN round((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
+        |FROM f""".stripMargin,
+
+    // Krippendorff truth: per-unit (m² − Σn²)/(m−1) terms rounded at
+    // 9 dp into a decimal fold; margins counted over pairable units
+    // only; the three divisions mirror the operator's fixed order
+    "q_krippendorff" ->
+      """WITH cells AS (SELECT l_orderkey AS u,
+        |    CAST(l_returnflag AS VARCHAR) AS v, count(*) AS k
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_returnflag IS NOT NULL GROUP BY 1, 2),
+        |units AS (SELECT u, sum(k) AS m, sum(k * k) AS s2
+        |  FROM cells GROUP BY 1 HAVING sum(k) >= 2),
+        |ua AS (SELECT count(*) AS n_units, CAST(sum(m) AS BIGINT) AS n,
+        |    sum(CAST(round(CAST(m * m - s2 AS DOUBLE) /
+        |      CAST(m - 1 AS DOUBLE), 9) AS DECIMAL(28,9))) AS dsum
+        |  FROM units),
+        |va AS (SELECT COALESCE(sum(CAST(t AS HUGEINT) * t), 0) AS tt
+        |  FROM (SELECT c.v, sum(c.k) AS t FROM cells c
+        |    JOIN units uu ON c.u = uu.u GROUP BY 1))
+        |SELECT CAST(n_units AS BIGINT) AS n_units, n AS n_ratings,
+        |  round(CAST(dsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(tt AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS d_e,
+        |  CASE WHEN n >= 2 AND CAST(tt AS DOUBLE) <
+        |      CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |    THEN round(1.0 - (CAST(dsum AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(tt AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) END AS alpha
+        |FROM ua, va""".stripMargin,
 
     // bootstrap truth: identical seeded integer-threshold Poisson draws
     // (the CASE thresholds are generated from the same constants the

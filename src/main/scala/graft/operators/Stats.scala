@@ -2184,4 +2184,106 @@ object Stats {
             (lit(1.4826) * col("_mad").cast("double")), 6))
           .as("robust_z"))
   }
+
+  /** Fleiss' κ: chance-corrected agreement among a FIXED number of
+    * raters per item (n ≥ 2), the multi-rater generalization of
+    * [[cohensKappa]] — the gate on a labeling pool before majority-vote
+    * labels are trusted for training. Input is one row per rating
+    * (item, category); every item must carry exactly the same number
+    * of ratings (fail-fast otherwise — a ragged panel silently biases
+    * P̄ downward, so it is an error, not a convention).
+    *
+    * Exactness: P̄ = (ΣΣn_ic² − Nn)/(Nn(n−1)) and P_e = ΣT_c²/(Nn)²
+    * are ratios of EXACT integer aggregates (category margins as exact
+    * decimal squares), so no accumulation-order float drift exists;
+    * the two divisions and κ round at 6 dp.
+    *
+    * Shape: one map-side-combined (item, category) cell count, a
+    * per-item fold and a per-category fold of that bounded-per-item
+    * table, two single-row reductions. The cell table persists across
+    * the two driver actions (same pattern as [[cohensKappa]]).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val cells = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(catCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val items = cells.groupBy("_i")
+        .agg(sum("_k").as("_m"), sum(col("_k") * col("_k")).as("_s2"))
+      val a = items.agg(count(lit(1)).as("_N"), min("_m").as("_lo"),
+        max("_m").as("_hi"), sum("_s2").as("_S2")).head()
+      val nItems = a.getAs[Long]("_N")
+      require(nItems >= 1, "fleissKappa needs at least 1 rated item")
+      val n = a.getAs[Long]("_lo")
+      require(n == a.getAs[Long]("_hi"),
+        s"fleissKappa needs a constant rater count per item; found " +
+          s"items with $n and ${a.getAs[Long]("_hi")} ratings — " +
+          "filter to a complete panel first")
+      require(n >= 2, "fleissKappa needs >= 2 raters per item")
+      val s2 = a.getAs[Long]("_S2")
+      val tt = Option(cells.groupBy("_c").agg(sum("_k").as("_t"))
+        .agg(sum(col("_t").cast("decimal(38,0)") * col("_t")).as("_tt"))
+        .head().getAs[java.math.BigDecimal]("_tt"))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val nn = nItems.toDouble * n
+      val pbar = r6((s2 - nItems * n).toDouble /
+        (nItems.toDouble * n * (n - 1)))
+      val pe = r6(tt.doubleValue / (nn * nn))
+      val kappa: java.lang.Double =
+        if (pe >= 1.0) null else r6((pbar - pe) / (1.0 - pe))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(nItems, n, pbar, pe, kappa)), 1),
+        StructType(Seq(
+          StructField("n_items", LongType, nullable = false),
+          StructField("n_raters", LongType, nullable = false),
+          StructField("p_bar", DoubleType, nullable = false),
+          StructField("p_e", DoubleType, nullable = false),
+          StructField("kappa", DoubleType, nullable = true))))
+    } finally { cells.unpersist(blocking = false) }
+  }
+
+  /** Krippendorff's α (nominal data): agreement that tolerates a
+    * VARIABLE number of ratings per unit — the real-world annotation
+    * pool where raters skip items. Units with fewer than 2 ratings are
+    * unpairable and excluded (reported via n_units). α = 1 − D_o/D_e
+    * with D_o = (1/n)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) and
+    * D_e = (n² − ΣT_c²)/(n(n−1)) over the pairable ratings n.
+    *
+    * Fully declarative (no driver action): per-unit disagreement terms
+    * quantize at 9 dp into an exact decimal fold; margins are exact
+    * integer/decimal aggregates; the three final divisions happen once
+    * on a broadcast-joined pair of single-row aggregates, rounded at
+    * 6 dp. One exchange keyed on the unit, one on the category.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val cells = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"), col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_k"))
+    val units = cells.groupBy("_u")
+      .agg(sum("_k").as("_m"), sum(col("_k") * col("_k")).as("_s2"))
+      .filter(col("_m") >= 2)
+    val uAgg = units.agg(
+      count(lit(1)).as("n_units"), sum("_m").as("_n"),
+      sum(round((col("_m") * col("_m") - col("_s2")).cast("double") /
+        (col("_m") - 1).cast("double"), 9).cast("decimal(28,9)")).as("_do"))
+    // margins count only ratings in pairable units, so the category
+    // fold joins back to the kept-unit set first
+    val vAgg = cells.join(units.select("_u"), "_u")
+      .groupBy("_v").agg(sum("_k").as("_t"))
+      .agg(sum(col("_t").cast("decimal(38,0)") * col("_t")).as("_tt"))
+    val nD = col("_n").cast("double")
+    val dObs = col("_do").cast("double") / nD
+    val dExp = (nD * nD - col("_tt").cast("double")) / (nD * (nD - 1))
+    uAgg.crossJoin(broadcast(vAgg))
+      .select(col("n_units"), col("_n").as("n_ratings"),
+        round(dObs, 6).as("d_o"), round(dExp, 6).as("d_e"),
+        when(col("_n") >= 2 && col("_tt").cast("double") < nD * nD,
+          round(lit(1.0) - dObs / dExp, 6)).as("alpha"))
+  }
 }

@@ -627,4 +627,63 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(out(4L) == 0.5 && out(5L) == 1.0)
     assert(out(1L) == math.rint(1e6 / 3) / 1e6 && out(3L) == 1.0)
   }
+
+  test("fleissKappa: worked 4-item 3-rater fixture; ragged panel rejected") {
+    // i1 aaa (s2=9, P=1), i2 aab (s2=5, P=1/3), i3 bba (1/3), i4 bbb (1)
+    // P̄ = (28-12)/24 = 2/3 -> 0.666667; T_a=T_b=6, P_e = 72/144 = 0.5
+    // κ from the ROUNDED P̄ (operator convention, as cohensKappa):
+    //   (0.666667-0.5)/0.5 = 0.333334
+    val df = Seq(
+      ("i1", "a"), ("i1", "a"), ("i1", "a"),
+      ("i2", "a"), ("i2", "a"), ("i2", "b"),
+      ("i3", "b"), ("i3", "b"), ("i3", "a"),
+      ("i4", "b"), ("i4", "b"), ("i4", "b")).toDF("item", "cat")
+    val r = Stats.fleissKappa(df, "item", "cat").head()
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("n_raters") == 3L)
+    assert(r.getAs[Double]("p_bar") == 0.666667)
+    assert(r.getAs[Double]("p_e") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.333334)
+    // unanimous panel: κ = 1
+    val perfect = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"))
+      .toDF("item", "cat")
+    assert(Stats.fleissKappa(perfect, "item", "cat").head()
+      .getAs[Double]("kappa") == 1.0)
+    // constant single category: P_e = 1 -> NULL κ, not NaN
+    val const = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "a"))
+      .toDF("item", "cat")
+    val c = Stats.fleissKappa(const, "item", "cat").head()
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+    // ragged panel is an ERROR, not a silent bias
+    val ragged = Seq(("i1", "a"), ("i1", "a"), ("i2", "b")).toDF("item", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Stats.fleissKappa(ragged, "item", "cat").head()
+    }
+    assert(e.getMessage.contains("constant rater count"))
+  }
+
+  test("krippendorffAlpha: worked ragged fixture; singleton units excluded") {
+    // u1 aa (term 0), u2 ab (term 2), u3 bbb (term 0), u4 a (excluded)
+    // n = 7, D_o = 2/7 = 0.285714; T_a=3, T_b=4, ΣT² = 25
+    // D_e = (49-25)/42 = 4/7 = 0.571429; α = 1 − (2/7)/(4/7) = 0.5
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u3", "b"), ("u4", "a"))
+      .toDF("unit", "v")
+    val r = Stats.krippendorffAlpha(df, "unit", "v").head()
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Double]("d_o") == 0.285714)
+    assert(r.getAs[Double]("d_e") == 0.571429)
+    assert(r.getAs[Double]("alpha") == 0.5)
+    // perfect agreement within every unit: D_o = 0, α = 1
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("unit", "v")
+    assert(Stats.krippendorffAlpha(perfect, "unit", "v").head()
+      .getAs[Double]("alpha") == 1.0)
+    // one constant category: D_e = 0 -> NULL α (vacuous agreement)
+    val const = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("unit", "v")
+    val c = Stats.krippendorffAlpha(const, "unit", "v").head()
+    assert(c.isNullAt(c.fieldIndex("alpha")))
+  }
 }
