@@ -2872,6 +2872,31 @@ object SparkEntry {
       Stats.krippendorffAlpha(t(s, dir, "lineitem"),
         "l_orderkey", "l_returnflag")),
 
+    // ---- sample-ratio-mismatch check on a 25/25/50 designed split
+    //      of distinct users (χ² GOF on the bounded arm table) ----
+    "q_srm" -> ((s, dir) =>
+      Experiment.srmCheck(
+        Tables.events(s, dir).select(col("user_id")).distinct()
+          .withColumn("arm",
+            when(col("user_id") % 4 === 0, "arm0")
+              .when(col("user_id") % 4 === 1, "arm1")
+              .otherwise("arm2")),
+        "arm", Map("arm0" -> 0.25, "arm1" -> 0.25, "arm2" -> 0.5))),
+
+    // ---- two-proportion z test: did arm A convert (>=1 purchase)
+    //      more than arm B? per-user fold, then exact counts ----
+    "q_ab_proportions" -> ((s, dir) =>
+      Experiment.twoProportionZ(
+        perUserExperiment(s, dir), "arm", col("converted") === 1L,
+        "A", "B")),
+
+    // ---- CUPED adjusted treatment effect: purchase value per user
+    //      adjusted by the engagement covariate (clicks + views);
+    //      exact decimal moment fold, one corpus scan ----
+    "q_cuped" -> ((s, dir) =>
+      Experiment.cuped(perUserExperiment(s, dir),
+        "arm", "y", "x", "A", "B")),
+
     // ---- Poisson-bootstrap CI of the purchase-value mean: seeded
     //      integer-threshold draws, exact decimal replicate sums ----
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -6182,6 +6207,113 @@ object SparkEntry {
         |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) END AS alpha
         |FROM ua, va""".stripMargin,
 
+    // SRM truth: designed shares as exact binary doubles (.25/.5),
+    // per-arm (O−E)²/E rounded at 6 dp, exact decimal χ² fold
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |    WHERE user_id IS NOT NULL),
+        |a AS (SELECT CASE WHEN user_id % 4 = 0 THEN 'arm0'
+        |    WHEN user_id % 4 = 1 THEN 'arm1' ELSE 'arm2' END AS arm FROM u),
+        |c AS (SELECT arm, count(*) AS n FROM a GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES ('arm0', 0.25), ('arm1', 0.25),
+        |    ('arm2', 0.5)) AS t(arm, share)),
+        |j AS (SELECT e.arm, COALESCE(c.n, 0) AS n,
+        |    CAST(e.share AS DOUBLE) AS share FROM e LEFT JOIN c USING (arm)),
+        |w AS (SELECT arm, n, share,
+        |    CAST(sum(n) OVER () AS DOUBLE) AS total,
+        |    CAST(count(*) OVER () AS INT) AS arms FROM j),
+        |x AS (SELECT arm, CAST(n AS BIGINT) AS n,
+        |    round(total * share, 6) AS expected_n,
+        |    round((CAST(n AS DOUBLE) - total * share) *
+        |      (CAST(n AS DOUBLE) - total * share) / (total * share), 6)
+        |      AS contrib,
+        |    arms FROM w)
+        |SELECT arm, n, expected_n, contrib,
+        |  CAST(sum(CAST(contrib AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS chi2,
+        |  arms - 1 AS dof
+        |FROM x ORDER BY arm""".stripMargin,
+
+    // z-test truth: exact per-user conversion counts, the pooled-SE
+    // expression in the operator's fixed order, flag on the unrounded z
+    "q_ab_proportions" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS s_b
+        |  FROM pu)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+        |  round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN round((pa - pb) / se, 6) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN abs((pa - pb) / se) > 1.96 END AS significant_5pct
+        |FROM (SELECT *,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    sqrt((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |  FROM t)""".stripMargin,
+
+    // CUPED truth: exact decimal moment sums (one per-user fold, then
+    // one moment fold); θ/ρ²/deltas recomputed in the operator's fixed
+    // double order
+    "q_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS DECIMAL(18,6)) AS x,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,6)) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    -- one operand widened to DECIMAL(19,6): DuckDB's DECIMAL(18)
+        |    -- pair multiply runs on int64 mantissas and overflows; width
+        |    -- 19 forces the int128 path (exact value unchanged)
+        |    sum(CAST(CAST(x AS DECIMAL(19,6)) * y AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(CAST(x AS DECIMAL(19,6)) * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(CAST(y AS DECIMAL(19,6)) * y AS DECIMAL(38,12))) AS syy,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    sum(CASE WHEN arm = 'A' THEN y END) AS sy_a,
+        |    sum(CASE WHEN arm = 'A' THEN x END) AS sx_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN arm = 'B' THEN y END) AS sy_b,
+        |    sum(CASE WHEN arm = 'B' THEN x END) AS sx_b
+        |  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+        |d AS (SELECT CAST(n AS BIGINT) AS n, n_a, n_b,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ya,
+        |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS yb,
+        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS xa,
+        |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS xb
+        |  FROM m)
+        |SELECT n, n_a, n_b, round(ya - yb, 6) AS delta_raw,
+        |  CASE WHEN varxn > 0 THEN round(
+        |    (ya - yb) - (covn / varxn) * (xa - xb), 6) END AS delta_adjusted,
+        |  CASE WHEN varxn > 0 THEN round(covn / varxn, 6) END AS theta,
+        |  CASE WHEN varxn > 0 AND varyn > 0 THEN round(
+        |    covn * covn / (varxn * varyn), 6) END AS rho2
+        |FROM d""".stripMargin,
+
     // bootstrap truth: identical seeded integer-threshold Poisson draws
     // (the CASE thresholds are generated from the same constants the
     // kernel uses), exact HUGEINT replicate sums, the same inverted-CDF
@@ -7391,6 +7523,22 @@ object SparkEntry {
         .as("clicks"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("purchases"))
+
+  /** Per-user experiment readout base: arm from the bucketing hash
+    * (user_id parity), conversion flag, engagement covariate x and
+    * purchase-value metric y as exact decimals. */
+  private def perUserExperiment(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
+          .as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+          .as("y"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
 
   private def evalOracles: Map[String, String] = Map(
     // per-category JSD halves rounded at 9 dp before the decimal fold;
