@@ -2897,6 +2897,66 @@ object SparkEntry {
       Experiment.cuped(perUserExperiment(s, dir),
         "arm", "y", "x", "A", "B")),
 
+    // ---- delta-method CI for the ratio-of-sums metric (purchase
+    //      value per engagement event): per-user pairs, one exact
+    //      moment fold, Taylor-expanded variance ----
+    "q_ratio_ci" -> ((s, dir) =>
+      Experiment.ratioMetricCI(perUserExperiment(s, dir), "y", "x")),
+
+    // ---- leave-one-bucket-out jackknife CI for the same ratio:
+    //      20 deterministic user buckets, replicate fold on the
+    //      bounded bucket table ----
+    "q_jackknife_ci" -> ((s, dir) =>
+      Experiment.jackknifeRatioCI(
+        perUserExperiment(s, dir).withColumn("bucket", col("user_id") % 20),
+        "bucket", "y", "x")),
+
+    // ---- McNemar paired test on the SAME users: "converted" vs
+    //      "heavy clicker" — the discordant cells carry the signal ----
+    "q_mcnemar" -> ((s, dir) => {
+      val pu = Tables.events(s, dir).groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+      Experiment.mcNemar(pu, col("conv") === 1L, col("clicks") >= 10L)
+    }),
+
+    // ---- per-segment minimum detectable effect: is each market
+    //      segment big enough to read a conversion lift at 80%
+    //      power before burning traffic on it? ----
+    "q_mde" -> ((s, dir) => {
+      val ords = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Experiment.mdeTable(
+        t(s, dir, "customer").join(ords, Seq("c_custkey"), "left"),
+        "c_mktsegment", col("n_orders") >= 1L)
+    }),
+
+    // ---- diff-in-diff on purchase value: arm from the bucketing
+    //      hash, period split at mid-month, cell means differenced ----
+    "q_did" -> ((s, dir) =>
+      Experiment.diffInDiff(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "arm",
+        datediff(to_date(col("ts")), lit("1970-01-01")) >= 19738,
+        "value", "A", "B")),
+
+    // ---- single-changepoint locator on daily purchase revenue:
+    //      CUSUM-statistic argmax over the bounded daily table ----
+    "q_changepoint" -> ((s, dir) =>
+      Stats.changepoint(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            col("value").isNotNull && col("ts").isNotNull)
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev")),
+        "t", "rev")),
+
     // ---- Poisson-bootstrap CI of the purchase-value mean: seeded
     //      integer-threshold draws, exact decimal replicate sums ----
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -6313,6 +6373,215 @@ object SparkEntry {
         |  CASE WHEN varxn > 0 AND varyn > 0 THEN round(
         |    covn * covn / (varxn * varyn), 6) END AS rho2
         |FROM d""".stripMargin,
+
+    // delta-method truth: same exact decimal moment fold (DECIMAL(19,6)
+    // widening for the int128 multiply path), variance and CI in the
+    // operator's fixed double order
+    "q_ratio_ci" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS DECIMAL(18,6)) AS den,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,6)) AS num
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT count(*) AS n, sum(num) AS sn, sum(den) AS sd,
+        |    sum(CAST(CAST(num AS DECIMAL(19,6)) * num AS DECIMAL(38,12)))
+        |      AS snn,
+        |    sum(CAST(CAST(num AS DECIMAL(19,6)) * den AS DECIMAL(38,12)))
+        |      AS snd,
+        |    sum(CAST(CAST(den AS DECIMAL(19,6)) * den AS DECIMAL(38,12)))
+        |      AS sdd
+        |  FROM pu WHERE num IS NOT NULL AND den IS NOT NULL),
+        |d AS (SELECT CAST(n AS BIGINT) AS n, sd,
+        |    CAST(sn AS DOUBLE) AS snd_, CAST(sd AS DOUBLE) AS sdd_,
+        |    CAST(sn AS DOUBLE) / nullif(CAST(sd AS DOUBLE), 0.0) AS ratio,
+        |    (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cnn,
+        |    (CAST(snd AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cnd,
+        |    (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cdd,
+        |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS dbar,
+        |    CAST(n AS DOUBLE) AS nd FROM m),
+        |v AS (SELECT *,
+        |    (cnn - 2.0 * ratio * cnd + ratio * ratio * cdd) /
+        |      (nd * dbar * dbar) AS varr FROM d)
+        |SELECT n, round(snd_, 6) AS num_sum, round(sdd_, 6) AS den_sum,
+        |  CASE WHEN sd <> 0 THEN round(ratio, 6) END AS ratio,
+        |  CASE WHEN n >= 2 AND sd <> 0 AND varr >= 0
+        |    THEN round(sqrt(varr), 6) END AS se,
+        |  CASE WHEN n >= 2 AND sd <> 0 AND varr >= 0
+        |    THEN round(ratio - 1.959964 * sqrt(varr), 6) END AS ci_low,
+        |  CASE WHEN n >= 2 AND sd <> 0 AND varr >= 0
+        |    THEN round(ratio + 1.959964 * sqrt(varr), 6) END AS ci_high
+        |FROM v""".stripMargin,
+
+    // jackknife truth: same 20-bucket assignment, 9 dp decimal
+    // replicates, exact decimal replicate mean, 12 dp deviation fold
+    "q_jackknife_ci" ->
+      """WITH pu AS (SELECT user_id, user_id % 20 AS bucket,
+        |    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS DECIMAL(18,6)) AS den,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,6)) AS num
+        |  FROM events GROUP BY user_id),
+        |pb AS (SELECT bucket, sum(num) AS nx, sum(den) AS ny,
+        |    count(*) AS c FROM pu
+        |  WHERE num IS NOT NULL AND den IS NOT NULL GROUP BY 1),
+        |st AS (SELECT *, sum(nx) OVER () AS tx, sum(ny) OVER () AS ty,
+        |    count(*) OVER () AS nb, sum(c) OVER () AS n FROM pb),
+        |lo AS (SELECT *, CAST(round(CAST(tx - nx AS DOUBLE) /
+        |    nullif(CAST(ty - ny AS DOUBLE), 0.0), 9) AS DECIMAL(28,9))
+        |    AS loo FROM st),
+        |mn AS (SELECT *, CAST(sum(loo) OVER () AS DOUBLE) /
+        |    CAST(nb AS DOUBLE) AS mean_loo FROM lo),
+        |f AS (SELECT max(nb) AS buckets, CAST(max(n) AS BIGINT) AS n,
+        |    max(tx) AS sx, max(ty) AS sy,
+        |    sum(CAST(round((CAST(loo AS DOUBLE) - mean_loo) *
+        |      (CAST(loo AS DOUBLE) - mean_loo), 12) AS DECIMAL(38,12)))
+        |      AS ss,
+        |    sum(CASE WHEN loo IS NULL THEN 1 ELSE 0 END) AS badloo
+        |  FROM mn),
+        |g AS (SELECT *,
+        |    CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), 0.0) AS ratio,
+        |    sqrt(1.0 - 1.0 / CAST(buckets AS DOUBLE)) *
+        |      sqrt(CAST(ss AS DOUBLE)) AS se FROM f)
+        |SELECT CAST(buckets AS INT) AS buckets, n,
+        |  CASE WHEN sy <> 0 THEN round(ratio, 6) END AS ratio,
+        |  CASE WHEN buckets >= 2 AND sy <> 0 AND badloo = 0
+        |    THEN round(se, 6) END AS se_jack,
+        |  CASE WHEN buckets >= 2 AND sy <> 0 AND badloo = 0
+        |    THEN round(ratio - 1.959964 * se, 6) END AS ci_low,
+        |  CASE WHEN buckets >= 2 AND sy <> 0 AND badloo = 0
+        |    THEN round(ratio + 1.959964 * se, 6) END AS ci_high
+        |FROM g""".stripMargin,
+
+    // McNemar truth: exact discordant cells, continuity-corrected chi2
+    // in the operator's fixed order, df=1 5% critical value 3.841459
+    "q_mcnemar" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS clicks
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN conv = 1 AND clicks >= 10 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS both_pass,
+        |    CAST(sum(CASE WHEN conv = 1 AND clicks < 10 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS a_only,
+        |    CAST(sum(CASE WHEN conv <> 1 AND clicks >= 10 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b_only,
+        |    CAST(sum(CASE WHEN conv <> 1 AND clicks < 10 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS neither
+        |  FROM pu),
+        |c AS (SELECT *,
+        |    (abs(CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE)) - 1.0) *
+        |    (abs(CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE)) - 1.0) /
+        |    nullif(CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE), 0.0)
+        |      AS chi2 FROM t)
+        |SELECT n, both_pass, a_only, b_only, neither,
+        |  CASE WHEN a_only + b_only > 0 THEN round(chi2, 6) END AS chi2_cc,
+        |  CASE WHEN a_only + b_only > 0 THEN chi2 > 3.841459 END
+        |    AS significant_5pct
+        |FROM c""".stripMargin,
+
+    // MDE truth: per-segment unit counts from the same left join, the
+    // pinned z constants summed as doubles exactly like the operator
+    "q_mde" ->
+      """WITH o AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT CAST(c.c_mktsegment AS VARCHAR) AS segment,
+        |    CASE WHEN o.n_orders >= 1 THEN 1 ELSE 0 END AS s
+        |  FROM customer c LEFT JOIN o USING (c_custkey)),
+        |g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS successes FROM u GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p_,
+        |    (1.959964 + 0.841621) * sqrt(2.0 *
+        |      (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) / 2.0)) AS mde FROM g)
+        |SELECT segment, n, successes, round(p_, 6) AS p,
+        |  CASE WHEN successes > 0 AND successes < n
+        |    THEN round(mde, 6) END AS mde_abs,
+        |  CASE WHEN successes > 0 AND successes < n
+        |    THEN round(mde / p_, 6) END AS mde_rel
+        |FROM d ORDER BY segment""".stripMargin,
+
+    // DiD truth: eight exact conditional decimal sums over purchase
+    // events, the four cell means and the difference in the operator's
+    // fixed double order; mid-month split day 19738 = 2024-01-16
+    "q_did" ->
+      """WITH p AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 'A' AND t < 19738 AND v IS NOT NULL
+        |      THEN v END) AS s_a_pre,
+        |    CAST(sum(CASE WHEN arm = 'A' AND t < 19738 AND v IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+        |    sum(CASE WHEN arm = 'A' AND t >= 19738 AND v IS NOT NULL
+        |      THEN v END) AS s_a_post,
+        |    CAST(sum(CASE WHEN arm = 'A' AND t >= 19738 AND v IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+        |    sum(CASE WHEN arm = 'B' AND t < 19738 AND v IS NOT NULL
+        |      THEN v END) AS s_b_pre,
+        |    CAST(sum(CASE WHEN arm = 'B' AND t < 19738 AND v IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+        |    sum(CASE WHEN arm = 'B' AND t >= 19738 AND v IS NOT NULL
+        |      THEN v END) AS s_b_post,
+        |    CAST(sum(CASE WHEN arm = 'B' AND t >= 19738 AND v IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post
+        |  FROM p),
+        |m AS (SELECT *,
+        |    CAST(s_a_pre AS DOUBLE) / nullif(CAST(n_a_pre AS DOUBLE), 0.0)
+        |      AS ma_pre,
+        |    CAST(s_a_post AS DOUBLE) / nullif(CAST(n_a_post AS DOUBLE), 0.0)
+        |      AS ma_post,
+        |    CAST(s_b_pre AS DOUBLE) / nullif(CAST(n_b_pre AS DOUBLE), 0.0)
+        |      AS mb_pre,
+        |    CAST(s_b_post AS DOUBLE) / nullif(CAST(n_b_post AS DOUBLE), 0.0)
+        |      AS mb_post FROM a)
+        |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  round(ma_pre, 6) AS mean_a_pre, round(ma_post, 6) AS mean_a_post,
+        |  round(mb_pre, 6) AS mean_b_pre, round(mb_post, 6) AS mean_b_post,
+        |  CASE WHEN n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0
+        |      AND n_b_post > 0
+        |    THEN round((ma_post - ma_pre) - (mb_post - mb_pre), 6) END
+        |    AS did
+        |FROM m""".stripMargin,
+
+    // changepoint truth: exact decimal prefix sums over the bounded
+    // daily table, rounded statistic, ORDER BY stat DESC, k ASC picks
+    // the same row the operator does
+    "q_changepoint" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(t AS BIGINT) AS t,
+        |    CAST(rev AS DECIMAL(18,6)) AS v FROM d),
+        |w AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+        |      AS k,
+        |    sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS sk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n, sum(v) OVER () AS sn
+        |  FROM s),
+        |c AS (SELECT *, round(abs(CAST(sk AS DOUBLE) -
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sn AS DOUBLE)),
+        |    6) AS stat FROM w WHERE k < n)
+        |SELECT n, k, t AS t_split, stat,
+        |  round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_before,
+        |  round((CAST(sn AS DOUBLE) - CAST(sk AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS mean_after
+        |FROM c ORDER BY stat DESC, k LIMIT 1""".stripMargin,
 
     // bootstrap truth: identical seeded integer-threshold Poisson draws
     // (the CASE thresholds are generated from the same constants the

@@ -108,6 +108,211 @@ object Experiment {
         .as("significant_5pct"))
   }
 
+  /** Delta-method CI for a ratio-of-sums metric (CTR, revenue/session,
+    * tokens/doc): rows are PER-UNIT (user, session) numerator/
+    * denominator pairs, the estimate is R = Σx/Σy, and the variance is
+    * the first-order Taylor expansion
+    * Var(R) ≈ (Sxx − 2R·Sxy + R²·Syy)/(n·ȳ²) over unit-level sample
+    * (co)variances — the standard correction for the fact that a ratio
+    * of sums is NOT a mean of per-unit ratios, so the naive binomial SE
+    * is wrong whenever the denominator varies per unit.
+    *
+    * One map-side-combined moment fold (exact decimals) collapses the
+    * corpus; every derived value is a fixed-order double expression
+    * rounded at 6 dp. Degenerate inputs (Σy = 0, n < 2, zero variance)
+    * yield NULL se/CI, never a task failure.
+    */
+  def ratioMetricCI(df: DataFrame, numCol: String, denCol: String,
+                    z: Double = 1.959964): DataFrame = {
+    val x = col(numCol).cast("decimal(18,6)")
+    val y = col(denCol).cast("decimal(18,6)")
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,12)")).as("sxx"),
+        sum((x * y).cast("decimal(38,12)")).as("sxy"),
+        sum((y * y).cast("decimal(38,12)")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val ratio = sxD / nullif(syD, lit(0.0))
+    // sample (co)variances via the n-1 denominator, moments exact
+    val cXX = (col("sxx").cast("double") - sxD * sxD / nD) / (nD - lit(1.0))
+    val cXY = (col("sxy").cast("double") - sxD * syD / nD) / (nD - lit(1.0))
+    val cYY = (col("syy").cast("double") - syD * syD / nD) / (nD - lit(1.0))
+    val yBar = syD / nD
+    val varR = (cXX - lit(2.0) * ratio * cXY + ratio * ratio * cYY) /
+      (nD * yBar * yBar)
+    val se = sqrt(varR)
+    val ok = col("n") >= 2 && col("sy") =!= 0 && varR >= 0
+    m.select(col("n"),
+      round(sxD, 6).as("num_sum"), round(syD, 6).as("den_sum"),
+      when(col("sy") =!= 0, round(ratio, 6)).as("ratio"),
+      when(ok, round(se, 6)).as("se"),
+      when(ok, round(ratio - lit(z) * se, 6)).as("ci_low"),
+      when(ok, round(ratio + lit(z) * se, 6)).as("ci_high"))
+  }
+
+  /** Leave-one-bucket-out jackknife CI for the same ratio-of-sums
+    * metric — the assumption-light companion to [[ratioMetricCI]] (no
+    * Taylor expansion, no independence-across-units linearity), and the
+    * shape big experimentation platforms actually run: units are hashed
+    * into B buckets once, per-bucket sums are tiny, and the jackknife
+    * replays R without bucket b for each b. `bucketCol` must be a
+    * deterministic unit hash (e.g. `user_id % 20`) so the oracle can
+    * reproduce the assignment.
+    *
+    * Scale shape: ONE groupBy collapses the corpus to B rows; the
+    * replicate fold runs on that bounded table (window over B rows).
+    * Parity discipline: per-bucket replicates round at 9 dp into exact
+    * decimals, the replicate mean is an exact decimal sum over B with
+    * one final double divide, and the squared-deviation fold rounds at
+    * 12 dp into DECIMAL(38,12) — no double-accumulation-order drift.
+    */
+  def jackknifeRatioCI(df: DataFrame, bucketCol: String, numCol: String,
+                       denCol: String, z: Double = 1.959964): DataFrame = {
+    val x = col(numCol).cast("decimal(18,6)")
+    val y = col(denCol).cast("decimal(18,6)")
+    val perBucket = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(bucketCol).cast("long").as("_b"))
+      .agg(sum(x).as("_nx"), sum(y).as("_ny"), count(lit(1)).as("_c"))
+    val w = Window.partitionBy()
+    val totX = sum("_nx").over(w); val totY = sum("_ny").over(w)
+    val nB = count(lit(1)).over(w)
+    // leave-one-out replicate, rounded into an exact decimal so the
+    // replicate mean and deviation folds are order-free
+    val loo = round((totX - col("_nx")).cast("double") /
+      nullif((totY - col("_ny")).cast("double"), lit(0.0)), 9)
+      .cast("decimal(28,9)")
+    val staged = perBucket
+      .withColumn("_loo", loo)
+      .withColumn("_B", nB)
+      .withColumn("_tx", totX).withColumn("_ty", totY)
+      .withColumn("_n", sum("_c").over(w))
+    val meanLoo = sum(col("_loo")).over(Window.partitionBy())
+      .cast("double") / col("_B").cast("double")
+    val dev = col("_loo").cast("double") - meanLoo
+    val folded = staged
+      .withColumn("_dev2", round(dev * dev, 12).cast("decimal(38,12)"))
+      .agg(
+        first(col("_B")).as("buckets"), first(col("_n")).as("n"),
+        first(col("_tx")).as("sx"), first(col("_ty")).as("sy"),
+        sum(col("_dev2")).as("ss"),
+        sum(when(col("_loo").isNull, 1).otherwise(0)).as("_badloo"))
+    val bD = col("buckets").cast("double")
+    val ratio = col("sx").cast("double") /
+      nullif(col("sy").cast("double"), lit(0.0))
+    val se = sqrt(lit(1.0) - lit(1.0) / bD) * sqrt(col("ss").cast("double"))
+    val ok = col("buckets") >= 2 && col("sy") =!= 0 && col("_badloo") === 0
+    folded.select(col("buckets").cast("int").as("buckets"), col("n"),
+      when(col("sy") =!= 0, round(ratio, 6)).as("ratio"),
+      when(ok, round(se, 6)).as("se_jack"),
+      when(ok, round(ratio - lit(z) * se, 6)).as("ci_low"),
+      when(ok, round(ratio + lit(z) * se, 6)).as("ci_high"))
+  }
+
+  /** McNemar test for PAIRED binary outcomes — two models scored on the
+    * SAME examples (the LLM-eval readout: did the new checkpoint pass
+    * prompts the old one failed, beyond the reverse?). Only the
+    * discordant cells carry signal: χ² = (|b−c|−1)²/(b+c) with the
+    * continuity correction, df = 1. A two-proportion z test here is
+    * WRONG (the samples are not independent) — that's the whole reason
+    * this operator exists next to [[twoProportionZ]].
+    *
+    * One aggregation to four exact cell counts; χ² is one fixed-order
+    * double expression rounded 6 dp; b + c = 0 yields NULL χ², never a
+    * division failure. 3.841459 is the df=1 critical value at 5%.
+    */
+  def mcNemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val agg = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(aCol && bCol, 1L).otherwise(0L)).as("both_pass"),
+        sum(when(aCol && !bCol, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!aCol && bCol, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!aCol && !bCol, 1L).otherwise(0L)).as("neither"))
+    val b = col("a_only").cast("double"); val c = col("b_only").cast("double")
+    val chi2 = (abs(b - c) - lit(1.0)) * (abs(b - c) - lit(1.0)) /
+      nullif(b + c, lit(0.0))
+    agg.select(col("n"), col("both_pass"), col("a_only"), col("b_only"),
+      col("neither"),
+      when(col("a_only") + col("b_only") > 0, round(chi2, 6)).as("chi2_cc"),
+      when(col("a_only") + col("b_only") > 0, chi2 > 3.841459)
+        .as("significant_5pct"))
+  }
+
+  /** Per-segment minimum detectable effect at the planned 50/50 split:
+    * given each segment's unit count n and baseline rate p, the
+    * smallest absolute lift a two-arm test can see at α = 5% two-sided
+    * with 80% power is (z_{α/2} + z_β)·√(2·p(1−p)/(n/2)). The
+    * pre-launch readout — "this segment is too small to measure a 1%
+    * lift" BEFORE burning two weeks of traffic on it.
+    *
+    * `df` is already unit-level (one row per unit with a success flag);
+    * one groupBy collapses it to the bounded segment table. The z
+    * constants are pinned (1.959964, 0.841621) so the oracle matches
+    * bit-for-bit; mde_rel = mde_abs/p, NULL for degenerate p ∈ {0,1}.
+    */
+  def mdeTable(df: DataFrame, segmentCol: String, success: Column,
+               zAlpha: Double = 1.959964, zBeta: Double = 0.841621): DataFrame = {
+    val agg = df.groupBy(col(segmentCol).cast("string").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val perArm = nD / lit(2.0)
+    val mde = lit(zAlpha + zBeta) * sqrt(lit(2.0) * p * (lit(1.0) - p) / perArm)
+    val ok = col("successes") > 0 && col("successes") < col("n")
+    agg.select(col("segment"), col("n"), col("successes"),
+        round(p, 6).as("p"),
+        when(ok, round(mde, 6)).as("mde_abs"),
+        when(ok, round(mde / p, 6)).as("mde_rel"))
+      .orderBy("segment")
+  }
+
+  /** Difference-in-differences: the launch readout when randomization
+    * was impossible (a staged rollout, a geo holdout). Cell means of
+    * `valueCol` for arm × {pre, post}, then
+    * DiD = (ȳ_{A,post} − ȳ_{A,pre}) − (ȳ_{B,post} − ȳ_{B,pre}) —
+    * the parallel-trends estimate of the treatment effect with both
+    * arm-level and period-level confounds differenced out.
+    *
+    * One aggregation with eight conditional exact-decimal sums; the
+    * four means and the DiD are fixed-order doubles rounded 6 dp; any
+    * empty cell yields NULL DiD (the estimate is undefined, not zero).
+    */
+  def diffInDiff(df: DataFrame, armCol: String, post: Column,
+                 valueCol: String, armA: String, armB: String): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("decimal(18,6)")
+    def cell(a: String, isPost: Boolean): (Column, Column) = {
+      val in = arm === a && (if (isPost) post else !post) && v.isNotNull
+      (sum(when(in, v)), sum(when(in, 1L).otherwise(0L)))
+    }
+    val (saPre, naPre) = cell(armA, isPost = false)
+    val (saPost, naPost) = cell(armA, isPost = true)
+    val (sbPre, nbPre) = cell(armB, isPost = false)
+    val (sbPost, nbPost) = cell(armB, isPost = true)
+    val agg = df.filter(arm.isin(armA, armB)).agg(
+      saPre.as("s_a_pre"), naPre.as("n_a_pre"),
+      saPost.as("s_a_post"), naPost.as("n_a_post"),
+      sbPre.as("s_b_pre"), nbPre.as("n_b_pre"),
+      sbPost.as("s_b_post"), nbPost.as("n_b_post"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / nullif(col(n).cast("double"), lit(0.0))
+    val mAPre = mean("s_a_pre", "n_a_pre")
+    val mAPost = mean("s_a_post", "n_a_post")
+    val mBPre = mean("s_b_pre", "n_b_pre")
+    val mBPost = mean("s_b_post", "n_b_post")
+    val ok = col("n_a_pre") > 0 && col("n_a_post") > 0 &&
+      col("n_b_pre") > 0 && col("n_b_post") > 0
+    agg.select(
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      round(mAPre, 6).as("mean_a_pre"), round(mAPost, 6).as("mean_a_post"),
+      round(mBPre, 6).as("mean_b_pre"), round(mBPost, 6).as("mean_b_post"),
+      when(ok, round((mAPost - mAPre) - (mBPost - mBPre), 6)).as("did"))
+  }
+
   /** CUPED (Deng et al. 2013) variance-reduced treatment effect:
     * θ = cov(x, y)/var(x) over the pooled arms for a pre-experiment
     * covariate x, then the adjusted delta

@@ -1455,6 +1455,48 @@ object Stats {
         (col("s_plus") > hDec || col("s_minus") > hDec).as("flag"))
   }
 
+  /** Single-changepoint locator on a PRE-AGGREGATED series (the caller
+    * groupBys the corpus to one row per t first, same contract as
+    * [[cusum]]/[[decompose]]): the CUSUM-statistic split point
+    * k* = argmax_{1 ≤ k < n} |S_k − (k/n)·S_n|, i.e. the prefix whose
+    * sum deviates most from the no-change line. Reports the split t,
+    * the statistic, and the mean before/after — "the daily-revenue
+    * level shifted HERE" as one row, the follow-up question to
+    * [[cusum]]'s per-point drift flags.
+    *
+    * Scale shape: windows run on the bounded series table only (the
+    * corpus-sized work happened in the caller's groupBy). Prefix sums
+    * are exact decimals; the statistic and means are fixed-order
+    * doubles rounded 6 dp; ties in the ROUNDED statistic break to the
+    * smallest k so the oracle's ORDER BY reproduces the pick. Fewer
+    * than 2 points → empty result (no changepoint is definable).
+    */
+  def changepoint(df: DataFrame, tCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("decimal(18,6)").as("_v"))
+    val byT = Window.orderBy("t")
+    val cum = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val kD = col("_k").cast("double"); val nD = col("_n").cast("double")
+    val skD = col("_sk").cast("double"); val snD = col("_sn").cast("double")
+    series
+      .withColumn("_k", row_number().over(byT).cast("long"))
+      .withColumn("_sk", sum("_v").over(cum))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_sn", sum("_v").over(all))
+      .filter(col("_k") < col("_n"))
+      .withColumn("stat", round(abs(skD - kD / nD * snD), 6))
+      .orderBy(col("stat").desc, col("_k").asc)
+      .limit(1)
+      .select(col("_n").as("n"), col("_k").as("k"), col("t").as("t_split"),
+        col("stat"),
+        round(skD / kD, 6).as("mean_before"),
+        round((snD - skD) / (nD - kD), 6).as("mean_after"))
+  }
+
   /** Classical additive seasonal decomposition of a regular series
     * (moving-average flavor): trend = centered `period`-point moving
     * average (odd period; defined only where the full window exists —

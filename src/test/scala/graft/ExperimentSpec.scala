@@ -114,4 +114,105 @@ class ExperimentSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("theta")))
     assert(c.getAs[Double]("delta_raw") == 3.0)
   }
+
+  test("ratioMetricCI: matches the delta-method formula; zero denominator is null") {
+    // units (num, den): (10,5), (20,10), (40,10) -> R = 70/25 = 2.8
+    val df = Seq((10.0, 5.0), (20.0, 10.0), (40.0, 10.0)).toDF("num", "den")
+    val r = Experiment.ratioMetricCI(df, "num", "den").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("num_sum") == 70.0 && r.getAs[Double]("den_sum") == 25.0)
+    assert(r.getAs[Double]("ratio") == 2.8)
+    // replicate the operator's fixed double order from exact moments
+    val (n, sn, sd, snn, snd, sdd) = (3.0, 70.0, 25.0, 2100.0, 650.0, 225.0)
+    val cNN = (snn - sn * sn / n) / (n - 1.0)
+    val cND = (snd - sn * sd / n) / (n - 1.0)
+    val cDD = (sdd - sd * sd / n) / (n - 1.0)
+    val ratio = sn / sd
+    val varR = (cNN - 2.0 * ratio * cND + ratio * ratio * cDD) /
+      (n * (sd / n) * (sd / n))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("se") == r6(math.sqrt(varR)))
+    assert(r.getAs[Double]("ci_low") == r6(ratio - 1.959964 * math.sqrt(varR)))
+    assert(r.getAs[Double]("ci_high") == r6(ratio + 1.959964 * math.sqrt(varR)))
+    // all-zero denominator: ratio/se/CI null, sums still reported
+    val zero = Seq((1.0, 0.0), (2.0, 0.0)).toDF("num", "den")
+    val z = Experiment.ratioMetricCI(zero, "num", "den").head()
+    assert(z.isNullAt(z.fieldIndex("ratio")) && z.isNullAt(z.fieldIndex("se")))
+    assert(z.getAs[Double]("num_sum") == 3.0)
+  }
+
+  test("jackknifeRatioCI: two-bucket closed form; bad leave-one-out is null") {
+    // bucket 0: (10,5); bucket 1: (30,10) -> R = 40/15, loo = 3.0, 2.0,
+    // mean 2.5, ss = 0.5, se = sqrt(1/2)*sqrt(0.5) = 0.5
+    val df = Seq((0L, 10.0, 5.0), (1L, 30.0, 10.0)).toDF("b", "num", "den")
+    val r = Experiment.jackknifeRatioCI(df, "b", "num", "den").head()
+    assert(r.getAs[Int]("buckets") == 2)
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("ratio") == 2.666667)
+    assert(r.getAs[Double]("se_jack") == 0.5)
+    assert(r.getAs[Double]("ci_low") == 1.686685)  // 2.666667-ish - 0.979982
+    assert(r.getAs[Double]("ci_high") == 3.646649)
+    // a bucket holding the ENTIRE denominator makes its leave-one-out
+    // ratio undefined -> the jackknife SE is null, the ratio survives
+    val degen = Seq((0L, 10.0, 15.0), (1L, 30.0, 0.0)).toDF("b", "num", "den")
+    val d = Experiment.jackknifeRatioCI(degen, "b", "num", "den").head()
+    assert(d.getAs[Double]("ratio") == 2.666667)
+    assert(d.isNullAt(d.fieldIndex("se_jack")))
+  }
+
+  test("mcNemar: textbook discordant cells; no discordance is null") {
+    // both 20, a-only 15, b-only 5, neither 10:
+    // chi2_cc = (|15-5|-1)^2/20 = 4.05 > 3.841459
+    val rows = (Seq.fill(20)((true, true)) ++ Seq.fill(15)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(10)((false, false)))
+      .toDF("a", "b")
+    val r = Experiment.mcNemar(rows, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Long]("both_pass") == 20L && r.getAs[Long]("neither") == 10L)
+    assert(r.getAs[Long]("a_only") == 15L && r.getAs[Long]("b_only") == 5L)
+    assert(r.getAs[Double]("chi2_cc") == 4.05)
+    assert(r.getAs[Boolean]("significant_5pct"))
+    // perfect agreement: b + c = 0 -> null chi2, null flag
+    val same = Seq.fill(10)((true, true)).toDF("a", "b")
+    val s = Experiment.mcNemar(same, col("a"), col("b")).head()
+    assert(s.isNullAt(s.fieldIndex("chi2_cc")))
+    assert(s.isNullAt(s.fieldIndex("significant_5pct")))
+  }
+
+  test("mdeTable: closed-form MDE per segment; degenerate p is null") {
+    // segment s1: 200 units, 50 successes (p = 0.25);
+    // s2: 100 units, all successes (p = 1 -> null MDE)
+    val df = (Seq.tabulate(200)(i => ("s1", i < 50)) ++
+      Seq.fill(100)(("s2", true)))
+      .toDF("seg", "ok")
+    val out = Experiment.mdeTable(df, "seg", col("ok")).collect()
+      .map(x => x.getAs[String]("segment") -> x).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n") == 200L && s1.getAs[Long]("successes") == 50L)
+    assert(s1.getAs[Double]("p") == 0.25)
+    val mde = (1.959964 + 0.841621) * math.sqrt(2.0 * 0.25 * 0.75 / 100.0)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1.getAs[Double]("mde_abs") == r6(mde))
+    assert(s1.getAs[Double]("mde_rel") == r6(mde / 0.25))
+    assert(out("s2").isNullAt(out("s2").fieldIndex("mde_abs")))
+    assert(out("s2").getAs[Double]("p") == 1.0)
+  }
+
+  test("diffInDiff: parallel-trends fixture; an empty cell nulls the estimate") {
+    // A: pre mean 10, post mean 15; B: pre 8, post 9 -> DiD = 5 - 1 = 4
+    val rows = Seq(
+      ("A", false, 9.0), ("A", false, 11.0), ("A", true, 14.0), ("A", true, 16.0),
+      ("B", false, 7.0), ("B", false, 9.0), ("B", true, 8.0), ("B", true, 10.0))
+      .toDF("arm", "post", "v")
+    val r = Experiment.diffInDiff(rows, "arm", col("post"), "v", "A", "B").head()
+    assert(r.getAs[Double]("mean_a_pre") == 10.0 && r.getAs[Double]("mean_a_post") == 15.0)
+    assert(r.getAs[Double]("mean_b_pre") == 8.0 && r.getAs[Double]("mean_b_post") == 9.0)
+    assert(r.getAs[Double]("did") == 4.0)
+    assert(r.getAs[Long]("n_a_pre") == 2L)
+    // B never observed post-period: the estimate is undefined, not 0
+    val missing = rows.filter(!(col("arm") === "B" && col("post")))
+    val m = Experiment.diffInDiff(missing, "arm", col("post"), "v", "A", "B").head()
+    assert(m.isNullAt(m.fieldIndex("did")))
+    assert(m.isNullAt(m.fieldIndex("mean_b_post")))
+  }
 }

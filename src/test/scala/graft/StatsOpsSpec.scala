@@ -686,4 +686,28 @@ class StatsOpsSpec extends SparkSpecBase {
     val c = Stats.krippendorffAlpha(const, "unit", "v").head()
     assert(c.isNullAt(c.fieldIndex("alpha")))
   }
+
+  test("changepoint: locates a planted level shift; ties break to smallest k") {
+    import spark.implicits._
+    // 10 points at level 5, then 10 at level 9: S_k - (k/20)*140 peaks
+    // at k = 10 with |50 - 70| = 20; means 5 and 9 on either side
+    val vals = Seq.fill(10)(5.0) ++ Seq.fill(10)(9.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val r = Stats.changepoint(df, "t", "v").head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("k") == 10L)
+    assert(r.getAs[Long]("t_split") == 9L)
+    assert(r.getAs[Double]("stat") == 20.0)
+    assert(r.getAs[Double]("mean_before") == 5.0)
+    assert(r.getAs[Double]("mean_after") == 9.0)
+    // constant series: every split statistic is 0, the tie breaks to
+    // the SMALLEST k (deterministic pick, oracle-reproducible)
+    val flat = Seq.tabulate(4)(i => (i.toLong, 1.0)).toDF("t", "v")
+    val f = Stats.changepoint(flat, "t", "v").head()
+    assert(f.getAs[Double]("stat") == 0.0 && f.getAs[Long]("k") == 1L)
+    // fewer than 2 points: no changepoint is definable -> empty
+    val one = Seq((0L, 1.0)).toDF("t", "v")
+    assert(Stats.changepoint(one, "t", "v").count() == 0L)
+  }
 }
