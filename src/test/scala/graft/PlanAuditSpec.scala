@@ -1095,4 +1095,52 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"),
       s"expected equi-joins only:\n$p")
   }
+
+  test("ratioMetricCI collapses the corpus in ONE partial+final aggregation") {
+    val units = spark.range(5000).select(($"id" % 97).cast("double").as("num"),
+      ($"id" % 13 + 1).cast("double").as("den"))
+    val p = auditPlan(graft.operators.Experiment.ratioMetricCI(units, "num", "den"))
+    // partial then final HashAggregate; the only exchange is the one-row
+    // single-partition gather — corpus rows cross the wire as ONE
+    // combined moment vector per task, never as rows
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    assert(p.split("Exchange").length == 2, s"expected exactly one exchange:\n$p")
+  }
+
+  test("diffInDiff is the same single-fold shape: one exchange, conditional sums") {
+    val obs = spark.range(5000).select(
+      when($"id" % 2 === 0, "A").otherwise("B").as("arm"),
+      ($"id" % 3 === 0).as("post"), ($"id" % 11).cast("double").as("v"))
+    val p = auditPlan(graft.operators.Experiment.diffInDiff(
+      obs, "arm", col("post"), "v", "A", "B"))
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+    assert(p.split("Exchange").length == 2, s"expected exactly one exchange:\n$p")
+  }
+
+  test("jackknifeRatioCI: corpus shuffles once into buckets; windows run on the bounded bucket table") {
+    val units = spark.range(5000).select(($"id" % 20).as("b"),
+      ($"id" % 97).cast("double").as("num"), ($"id" % 13 + 1).cast("double").as("den"))
+    val p = auditPlan(graft.operators.Experiment.jackknifeRatioCI(units, "b", "num", "den"))
+    // exactly one hash exchange (the per-bucket partial+final agg);
+    // everything after — leave-one-out windows, replicate fold — moves
+    // only the B-row bucket table through single-partition stages
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected one bucket-key exchange:\n$p")
+    val firstHashExchange = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("Window") < firstHashExchange,
+      s"expected windows (printed above) to consume the bucket table, not the corpus:\n$p")
+  }
+
+  test("changepoint windows run above the caller's bounded aggregation only") {
+    val series = spark.range(400).select(($"id" % 40).as("t"),
+      ($"id" % 7).cast("double").as("v"))
+      .groupBy("t").agg(sum($"v").as("rev"))
+    val df = graft.operators.Stats.changepoint(series, "t", "rev")
+    val p = auditPlan(df)
+    // the argmax is TakeOrdered over the bounded split table, never a
+    // global sort of anything corpus-sized
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered argmax:\n$p")
+    assert(!p.contains("Sort [stat"), s"expected no global stat sort:\n$p")
+  }
 }
