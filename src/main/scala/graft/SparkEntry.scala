@@ -2946,6 +2946,29 @@ object SparkEntry {
         datediff(to_date(col("ts")), lit("1970-01-01")) >= 19738,
         "value", "A", "B")),
 
+    // ---- quantile treatment effects: per-arm exact p50/p90/p99 of
+    //      the per-user purchase value, one 2x3-percentile fold ----
+    "q_qte" -> ((s, dir) =>
+      Experiment.quantileTreatmentEffect(perUserExperiment(s, dir),
+        "arm", "y", Seq(0.5, 0.9, 0.99), "A", "B")),
+
+    // ---- post-stratified treatment effect by signup-week stratum:
+    //      composition-bias-free delta over the bounded strata table ----
+    "q_post_strat" -> ((s, dir) => {
+      val pu = Tables.events(s, dir).groupBy("user_id")
+        .agg(
+          min(datediff(to_date(col("ts")), lit("1970-01-01")))
+            .as("first_day"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+            lit(0).cast("decimal(18,2)")).as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        .withColumn("stratum",
+          floor((col("first_day") - 19723) / 7).cast("long"))
+      Experiment.postStratifiedEffect(pu, "arm", "stratum", "y", "A", "B")
+    }),
+
     // ---- single-changepoint locator on daily purchase revenue:
     //      CUSUM-statistic argmax over the bounded daily table ----
     "q_changepoint" -> ((s, dir) =>
@@ -6556,6 +6579,76 @@ object SparkEntry {
         |    THEN round((ma_post - ma_pre) - (mb_post - mb_pre), 6) END
         |    AS did
         |FROM m""".stripMargin,
+
+    // QTE truth: quantile_cont matches Spark's interpolated percentile;
+    // per-side 6 dp rounding before the delta, exactly like the operator
+    "q_qte" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    round(quantile_cont(CASE WHEN arm = 'A' THEN y END, 0.50), 6)
+        |      AS a0,
+        |    round(quantile_cont(CASE WHEN arm = 'B' THEN y END, 0.50), 6)
+        |      AS b0,
+        |    round(quantile_cont(CASE WHEN arm = 'A' THEN y END, 0.90), 6)
+        |      AS a1,
+        |    round(quantile_cont(CASE WHEN arm = 'B' THEN y END, 0.90), 6)
+        |      AS b1,
+        |    round(quantile_cont(CASE WHEN arm = 'A' THEN y END, 0.99), 6)
+        |      AS a2,
+        |    round(quantile_cont(CASE WHEN arm = 'B' THEN y END, 0.99), 6)
+        |      AS b2
+        |  FROM pu)
+        |SELECT CAST(0.5 AS DOUBLE) AS q, a0 AS p_a, b0 AS p_b,
+        |    round(a0 - b0, 6) AS qte FROM a
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), a1, b1,
+        |    round(a1 - b1, 6) FROM a
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), a2, b2,
+        |    round(a2 - b2, 6) FROM a""".stripMargin,
+
+    // post-stratification truth: same signup-week strata, 9 dp decimal
+    // per-stratum terms, exact decimal weighted fold
+    "q_post_strat" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS first_day,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(18,2)) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(floor((first_day - 19723) / 7.0) AS BIGINT) AS s_,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    sum(CASE WHEN arm = 'A' THEN CAST(y AS DECIMAL(18,6)) END)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    sum(CASE WHEN arm = 'B' THEN CAST(y AS DECIMAL(18,6)) END)
+        |      AS sb
+        |  FROM pu GROUP BY 1),
+        |w AS (SELECT *, sum(CASE WHEN na > 0 AND nb > 0 THEN na + nb
+        |    ELSE 0 END) OVER () AS nu FROM g),
+        |t AS (SELECT *, CASE WHEN na > 0 AND nb > 0 THEN CAST(round(
+        |    (CAST(na + nb AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+        |     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)
+        |    AS DECIMAL(28,9)) END AS term FROM w)
+        |SELECT CAST(sum(na + nb) AS BIGINT) AS n,
+        |  CAST(count(*) AS INT) AS strata_total,
+        |  CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS INT)
+        |    AS strata_used,
+        |  round(CAST(sum(sa) AS DOUBLE) /
+        |      nullif(CAST(sum(na) AS DOUBLE), 0.0) -
+        |    CAST(sum(sb) AS DOUBLE) /
+        |      nullif(CAST(sum(nb) AS DOUBLE), 0.0), 6) AS delta_raw,
+        |  CASE WHEN sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(sum(term) AS DOUBLE), 6) END
+        |    AS delta_post_strat
+        |FROM t""".stripMargin,
 
     // changepoint truth: exact decimal prefix sums over the bounded
     // daily table, rounded statistic, ORDER BY stat DESC, k ASC picks

@@ -270,6 +270,100 @@ object Experiment {
       .orderBy("segment")
   }
 
+  /** Quantile treatment effects: the per-quantile deltas that a mean
+    * readout hides — a latency experiment that improves p50 but blows
+    * up p99 has a POSITIVE mean effect and is still a bad launch. One
+    * row per requested quantile with both arms' exact interpolated
+    * percentiles (SQL `percentile` semantics) and their difference.
+    *
+    * ONE aggregation holds 2·|qs| percentile aggregates over the
+    * filtered corpus — exact percentiles buffer the arm's values per
+    * task, the same trade (and the same remedy: switch to
+    * `percentile_approx`) documented on
+    * [[graft.operators.EventAnalytics.groupedQuantiles]]. Rounded 6 dp
+    * per side; the delta rounds the difference of the published sides.
+    */
+  def quantileTreatmentEffect(df: DataFrame, armCol: String,
+                              valueCol: String, qs: Seq[Double],
+                              armA: String, armB: String): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "qs must be non-empty quantiles in [0,1]")
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(arm.isin(armA, armB) && v.isNotNull)
+      .select(arm.as("_arm"), v.as("_v"))
+    val aggs = qs.zipWithIndex.flatMap { case (q, i) => Seq(
+      round(percentile(when(col("_arm") === armA, col("_v")), lit(q)), 6)
+        .as(s"_a$i"),
+      round(percentile(when(col("_arm") === armB, col("_v")), lit(q)), 6)
+        .as(s"_b$i"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = qs.indices
+      .map(i => s"${qs(i)}D, _a$i, _b$i").mkString(", ")
+    one.selectExpr(s"stack(${qs.size}, $stackArgs) AS (q, p_a, p_b)")
+      .withColumn("qte", round(col("p_a") - col("p_b"), 6))
+  }
+
+  /** Post-stratified treatment effect: the weighted delta
+    * Σ_s w_s·(ȳ_{A,s} − ȳ_{B,s}) over strata observed in BOTH arms,
+    * with w_s the stratum's share of the usable population — removes
+    * the composition bias a raw delta carries whenever the arms drew
+    * different stratum mixes (the frequent real-world failure of
+    * "randomized" assignment downstream of a filter). Strata missing
+    * an arm contribute no comparison and are excluded, with the
+    * exclusion COUNTED in the output (silently narrowing the
+    * population would misrepresent what the estimate covers).
+    *
+    * Scale shape: one grouped aggregation collapses the corpus to the
+    * stratum table; weights and the weighted fold run on that bounded
+    * table (per-stratum terms round at 9 dp into exact decimals, so
+    * the fold is accumulation-order-free). delta_raw is the unweighted
+    * all-strata comparison for reference.
+    */
+  def postStratifiedEffect(df: DataFrame, armCol: String,
+                           stratumCol: String, valueCol: String,
+                           armA: String, armB: String): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("decimal(18,6)")
+    val strata = df.filter(arm.isin(armA, armB) && v.isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("_s"))
+      .agg(
+        sum(when(arm === armA, 1L).otherwise(0L)).as("_na"),
+        sum(when(arm === armA, v)).as("_sa"),
+        sum(when(arm === armB, 1L).otherwise(0L)).as("_nb"),
+        sum(when(arm === armB, v)).as("_sb"))
+    val usable = col("_na") > 0 && col("_nb") > 0
+    val all = Window.partitionBy()
+    val nUsable = sum(when(usable, col("_na") + col("_nb")).otherwise(0L))
+      .over(all)
+    val w = (col("_na") + col("_nb")).cast("double") /
+      col("_nu").cast("double")
+    val deltaS = col("_sa").cast("double") / col("_na").cast("double") -
+      col("_sb").cast("double") / col("_nb").cast("double")
+    val staged = strata
+      .withColumn("_nu", nUsable)
+      .withColumn("_term",
+        when(usable, round(w * deltaS, 9).cast("decimal(28,9)")))
+    val agg = staged.agg(
+      count(lit(1)).as("strata_total"),
+      sum(when(usable, 1L).otherwise(0L)).as("strata_used"),
+      sum(col("_na") + col("_nb")).as("n"),
+      sum(col("_na")).as("n_a_all"), sum(col("_sa")).as("s_a_all"),
+      sum(col("_nb")).as("n_b_all"), sum(col("_sb")).as("s_b_all"),
+      sum(col("_term")).as("_wsum"))
+    val rawDelta =
+      col("s_a_all").cast("double") /
+        nullif(col("n_a_all").cast("double"), lit(0.0)) -
+      col("s_b_all").cast("double") /
+        nullif(col("n_b_all").cast("double"), lit(0.0))
+    agg.select(col("n"), col("strata_total").cast("int").as("strata_total"),
+      col("strata_used").cast("int").as("strata_used"),
+      round(rawDelta, 6).as("delta_raw"),
+      when(col("strata_used") > 0,
+        round(col("_wsum").cast("double"), 6)).as("delta_post_strat"))
+  }
+
   /** Difference-in-differences: the launch readout when randomization
     * was impossible (a staged rollout, a geo holdout). Cell means of
     * `valueCol` for arm × {pre, post}, then

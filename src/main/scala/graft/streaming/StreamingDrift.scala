@@ -200,6 +200,59 @@ object StreamingDrift {
           .as("jsd"))
   }
 
+  /** Streaming sample-ratio-mismatch monitor: the χ² goodness-of-fit of
+    * each event-time window's arm counts against the DESIGNED split —
+    * the streaming twin of [[graft.operators.Experiment.srmCheck]],
+    * catching a broken bucketing hash within one window of the
+    * regression shipping instead of at the end-of-week readout. Arms
+    * outside the design fold into an `n_unknown` column (the batch
+    * operator fails fast; a monitor must keep emitting and SHOW the
+    * contamination instead).
+    *
+    * State contract matches [[streamingEntropy]]: one counter per
+    * designed arm + one unknown counter per open window, χ² evaluates
+    * in the projection above the single windowed aggregation, and
+    * per-arm (O−E)²/E contributions round at 6 dp into exact decimals
+    * exactly like the batch operator — a closed window's chi2 is
+    * bit-identical to `srmCheck` run on the same rows.
+    */
+  def streamingSrm(events: DataFrame, tsCol: String, armCol: String,
+                   expected: Map[String, Double], windowDuration: String,
+                   lateness: String = "1 hour",
+                   chi2Critical: Double = 3.841459): DataFrame = {
+    require(expected.nonEmpty, "expected shares must be non-empty")
+    require(math.abs(expected.values.sum - 1.0) < 1e-9,
+      s"expected shares must sum to 1, got ${expected.values.sum}")
+    require(expected.values.forall(_ > 0),
+      "expected shares must all be positive")
+    val arms = expected.keys.toSeq.sorted
+    val counts = arms.zipWithIndex.map { case (a, k) =>
+      sum(when(col(armCol).cast("string") === a, 1L).otherwise(0L))
+        .as(s"_a$k")
+    } :+ sum(when(col(armCol).cast("string").isin(arms: _*), 0L)
+      .otherwise(1L)).as("_unk")
+    val total = arms.indices.map(k => col(s"_a$k")).reduce(_ + _)
+    def contrib(k: Int): Column = {
+      val e = col("n").cast("double") * lit(expected(arms(k)))
+      round((col(s"_a$k").cast("double") - e) *
+        (col(s"_a$k").cast("double") - e) / e, 6).cast("decimal(18,6)")
+    }
+    events
+      .filter(col(armCol).isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n", total)
+      .withColumn("chi2",
+        when(col("n") > 0,
+          arms.indices.map(contrib).reduce(_ + _).cast("double")))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"),
+        col("_unk").as("n_unknown"), col("chi2"),
+        lit(arms.size - 1).as("dof"),
+        (col("chi2") > chi2Critical).as("srm_flag"))
+  }
+
   def monitor(stream: DataFrame, reference: DataFrame): Monitor = {
     require(stream.columns.toSet == reference.columns.toSet,
       s"aligned projections required; stream-only: " +

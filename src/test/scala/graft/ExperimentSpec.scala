@@ -215,4 +215,53 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("did")))
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
+
+  test("quantileTreatmentEffect: interpolated per-arm percentiles and deltas") {
+    // A = 1..9, B = 11..19: p50 = 5 vs 15, p90 = 8.2 vs 18.2 (linear
+    // interpolation at rank 0.9*(9-1) = 7.2) -> QTE -10 at both
+    val rows = ((1 to 9).map(v => ("A", v.toDouble)) ++
+      (11 to 19).map(v => ("B", v.toDouble))).toDF("arm", "v")
+    val out = Experiment.quantileTreatmentEffect(
+        rows, "arm", "v", Seq(0.5, 0.9), "A", "B")
+      .collect().map(r => r.getAs[Double]("q") -> r).toMap
+    assert(out(0.5).getAs[Double]("p_a") == 5.0)
+    assert(out(0.5).getAs[Double]("p_b") == 15.0)
+    assert(out(0.5).getAs[Double]("qte") == -10.0)
+    assert(out(0.9).getAs[Double]("p_a") == 8.2)
+    assert(out(0.9).getAs[Double]("p_b") == 18.2)
+    assert(out(0.9).getAs[Double]("qte") == -10.0)
+    // an arm with no rows: its percentile (and the delta) is null
+    val solo = (1 to 5).map(v => ("A", v.toDouble)).toDF("arm", "v")
+    val s = Experiment.quantileTreatmentEffect(
+      solo, "arm", "v", Seq(0.5), "A", "B").head()
+    assert(s.getAs[Double]("p_a") == 3.0)
+    assert(s.isNullAt(s.fieldIndex("p_b")) && s.isNullAt(s.fieldIndex("qte")))
+  }
+
+  test("postStratifiedEffect removes planted composition bias; missing-arm strata counted out") {
+    // uniform +2 effect in both strata, but A over-samples the
+    // high-value stratum: raw delta 7.0, post-stratified exactly 2.0
+    def unit(arm: String, s: String, v: Double, n: Int) =
+      Seq.fill(n)((arm, s, v))
+    val rows = (unit("A", "s1", 10.0, 10) ++ unit("B", "s1", 8.0, 30) ++
+      unit("A", "s2", 20.0, 30) ++ unit("B", "s2", 18.0, 10) ++
+      unit("A", "s3", 99.0, 5)) // s3 never observed in B -> excluded
+      .toDF("arm", "stratum", "v")
+    val r = Experiment.postStratifiedEffect(
+      rows, "arm", "stratum", "v", "A", "B").head()
+    assert(r.getAs[Long]("n") == 85L)
+    assert(r.getAs[Int]("strata_total") == 3)
+    assert(r.getAs[Int]("strata_used") == 2)
+    assert(r.getAs[Double]("delta_raw") ==
+      BigDecimal((100.0 + 600.0 + 495.0) / 45.0 - 420.0 / 40.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("delta_post_strat") == 2.0)
+    // no stratum observed in both arms: the estimate is undefined
+    val disjoint = (unit("A", "s1", 1.0, 3) ++ unit("B", "s2", 2.0, 3))
+      .toDF("arm", "stratum", "v")
+    val d = Experiment.postStratifiedEffect(
+      disjoint, "arm", "stratum", "v", "A", "B").head()
+    assert(d.getAs[Int]("strata_used") == 0)
+    assert(d.isNullAt(d.fieldIndex("delta_post_strat")))
+  }
 }

@@ -209,6 +209,52 @@ class StreamingJsdSpec extends SparkSpecBase {
   }
 }
 
+class StreamingSrmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamingSrm matches the batch srmCheck chi2 window by window; unknown arms counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDrift.streamingSrm(
+        mem.toDF().toDF("ts", "arm"), "ts", "arm",
+        Map("A" -> 0.5, "B" -> 0.5), "1 hour", lateness = "1 second")
+      .writeStream.format("memory").queryName("ssrm").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window A: perfect 50/50 (chi2 exactly 0); window B: 15/5 skew
+      // with one off-design arm that must count as unknown, not silently
+      // shrink the test
+      val winA = (Seq.fill(10)("A") ++ Seq.fill(10)("B"))
+        .map((ts("2024-01-01 10:00:05"), _))
+      val winB = (Seq.fill(15)("A") ++ Seq.fill(5)("B") ++ Seq("typo"))
+        .map((ts("2024-01-01 11:00:05"), _))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), "A")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM ssrm ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 20L)
+      assert(rows(0).getAs[Double]("chi2") == 0.0)
+      assert(!rows(0).getAs[Boolean]("srm_flag"))
+      assert(rows(0).getAs[Long]("n_unknown") == 0L)
+      // (15-10)^2/10 + (5-10)^2/10 = 5.0 > 3.841459
+      assert(rows(1).getAs[Long]("n") == 20L)
+      assert(rows(1).getAs[Long]("n_unknown") == 1L)
+      assert(rows(1).getAs[Double]("chi2") == 5.0)
+      assert(rows(1).getAs[Boolean]("srm_flag"))
+      // bit-identical to the batch operator on the designed arms
+      def batchChi2(arms: Seq[String]): Double =
+        graft.operators.Experiment.srmCheck(arms.toDF("arm"), "arm",
+          Map("A" -> 0.5, "B" -> 0.5)).head().getAs[Double]("chi2")
+      assert(rows(1).getAs[Double]("chi2") ==
+        batchChi2(Seq.fill(15)("A") ++ Seq.fill(5)("B")))
+      assert(rows(0).getAs[Int]("dof") == 1)
+    } finally q.stop()
+  }
+}
+
 class StreamingCompactLatestSpec extends SparkSpecBase {
   import spark.implicits._
 
