@@ -2946,6 +2946,18 @@ object SparkEntry {
         datediff(to_date(col("ts")), lit("1970-01-01")) >= 19738,
         "value", "A", "B")),
 
+    // ---- winsorized treatment effect: pooled p95 cap on the
+    //      per-user purchase value, capped-row count surfaced ----
+    "q_winsorized_effect" -> ((s, dir) =>
+      Experiment.winsorizedEffect(perUserExperiment(s, dir),
+        "arm", "y", 0.95, "A", "B")),
+
+    // ---- uplift by engagement-score quintile + Qini walk: does
+    //      high engagement rank the users the "treatment" moves? ----
+    "q_uplift" -> ((s, dir) =>
+      Experiment.upliftByQuantile(perUserExperiment(s, dir),
+        "arm", "x", col("converted") === 1L, 5, "A", "B")),
+
     // ---- quantile treatment effects: per-arm exact p50/p90/p99 of
     //      the per-user purchase value, one 2x3-percentile fold ----
     "q_qte" -> ((s, dir) =>
@@ -6579,6 +6591,91 @@ object SparkEntry {
         |    THEN round((ma_post - ma_pre) - (mb_post - mb_pre), 6) END
         |    AS did
         |FROM m""".stripMargin,
+
+    // winsorized truth: pooled p95 cap rounded 6 dp, capped values
+    // quantized to DECIMAL(18,6) before the exact arm sums
+    "q_winsorized_effect" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id),
+        |cp AS (SELECT round(quantile_cont(y, 0.95), 6) AS cap FROM pu),
+        |j AS (SELECT arm, y, cap,
+        |    CAST(least(y, cap) AS DECIMAL(18,6)) AS w,
+        |    CAST(y AS DECIMAL(18,6)) AS raw FROM pu, cp),
+        |a AS (SELECT max(cap) AS cap,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    sum(CASE WHEN arm = 'A' THEN w END) AS swa,
+        |    sum(CASE WHEN arm = 'A' THEN raw END) AS sra,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN arm = 'B' THEN w END) AS swb,
+        |    sum(CASE WHEN arm = 'B' THEN raw END) AS srb,
+        |    CAST(sum(CASE WHEN y > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_capped
+        |  FROM j)
+        |SELECT cap, n_a, n_b, n_capped,
+        |  round(CAST(swa AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0), 6)
+        |    AS mean_a_w,
+        |  round(CAST(swb AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+        |    AS mean_b_w,
+        |  round(CAST(swa AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
+        |    CAST(swb AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+        |    AS delta_winsorized,
+        |  round(CAST(sra AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
+        |    CAST(srb AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+        |    AS delta_raw
+        |FROM a""".stripMargin,
+
+    // uplift truth: pooled quintile edges from quantile_cont, ties to
+    // the LOWER bucket (score > edge), Qini walk down the ranking
+    "q_uplift" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS x,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT quantile_cont(x, 0.2) AS e1, quantile_cont(x, 0.4)
+        |    AS e2, quantile_cont(x, 0.6) AS e3, quantile_cont(x, 0.8)
+        |    AS e4 FROM pu),
+        |b AS (SELECT arm, conv,
+        |    (CASE WHEN x > e1 THEN 1 ELSE 0 END +
+        |     CASE WHEN x > e2 THEN 1 ELSE 0 END +
+        |     CASE WHEN x > e3 THEN 1 ELSE 0 END +
+        |     CASE WHEN x > e4 THEN 1 ELSE 0 END) AS bucket
+        |  FROM pu, e),
+        |g AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS s_b
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *,
+        |    sum(n_a) OVER (ORDER BY bucket DESC) AS cna,
+        |    sum(s_a) OVER (ORDER BY bucket DESC) AS csa,
+        |    sum(n_b) OVER (ORDER BY bucket DESC) AS cnb,
+        |    sum(s_b) OVER (ORDER BY bucket DESC) AS csb
+        |  FROM g)
+        |SELECT bucket, n_a, s_a, n_b, s_b,
+        |  round(CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0), 6)
+        |    AS p_a,
+        |  round(CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+        |    AS p_b,
+        |  round(CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) -
+        |    CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+        |    AS uplift,
+        |  round(CAST(csa AS DOUBLE) - CAST(csb AS DOUBLE) *
+        |    (CAST(cna AS DOUBLE) / nullif(CAST(cnb AS DOUBLE), 0.0)), 6)
+        |    AS qini
+        |FROM c ORDER BY bucket DESC""".stripMargin,
 
     // QTE truth: quantile_cont matches Spark's interpolated percentile;
     // per-side 6 dp rounding before the delta, exactly like the operator

@@ -407,6 +407,113 @@ object Experiment {
       when(ok, round((mAPost - mAPre) - (mBPost - mBPre), 6)).as("did"))
   }
 
+  /** Winsorized treatment effect: cap the metric at the POOLED p-th
+    * percentile before comparing arm means — the standard defense
+    * against a heavy-tailed metric (one whale order flips the raw
+    * readout's sign). The cap is pooled across arms on purpose: per-arm
+    * caps would clip the arms at different heights and bake a bias into
+    * exactly the comparison being protected.
+    *
+    * Two passes: one exact-percentile aggregation for the cap (swap in
+    * `percentile_approx` for monster corpora — same trade as
+    * [[quantileTreatmentEffect]]), then one conditional fold of the
+    * capped values (capped in double, then quantized to DECIMAL(18,6)
+    * so the arm sums are accumulation-order-free). Reports the raw
+    * delta alongside and the capped-row count — a winsorized readout
+    * that hides how much it clipped is not a readout.
+    */
+  def winsorizedEffect(df: DataFrame, armCol: String, valueCol: String,
+                       p: Double, armA: String, armB: String): DataFrame = {
+    require(p > 0 && p < 1, s"cap quantile must be in (0,1), got $p")
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(arm.isin(armA, armB) && v.isNotNull)
+      .select(arm.as("_arm"), v.as("_v"))
+    val capDf = base.agg(round(percentile(col("_v"), lit(p)), 6).as("_cap"))
+    val w = least(col("_v"), col("_cap")).cast("decimal(18,6)")
+    val raw = col("_v").cast("decimal(18,6)")
+    val agg = base.join(broadcast(capDf)).agg(
+      first(col("_cap")).as("cap"),
+      sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_arm") === armA, w)).as("_swa"),
+      sum(when(col("_arm") === armA, raw)).as("_sra"),
+      sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_arm") === armB, w)).as("_swb"),
+      sum(when(col("_arm") === armB, raw)).as("_srb"),
+      sum(when(col("_v") > col("_cap"), 1L).otherwise(0L)).as("n_capped"))
+    val nA = nullif(col("n_a").cast("double"), lit(0.0))
+    val nB = nullif(col("n_b").cast("double"), lit(0.0))
+    agg.select(col("cap"), col("n_a"), col("n_b"), col("n_capped"),
+      round(col("_swa").cast("double") / nA, 6).as("mean_a_w"),
+      round(col("_swb").cast("double") / nB, 6).as("mean_b_w"),
+      round(col("_swa").cast("double") / nA -
+        col("_swb").cast("double") / nB, 6).as("delta_winsorized"),
+      round(col("_sra").cast("double") / nA -
+        col("_srb").cast("double") / nB, 6).as("delta_raw"))
+  }
+
+  /** Uplift by score quantile + the Qini trajectory: bucket units into
+    * k pooled score quantiles (top bucket first), compare conversion
+    * between arms per bucket, and accumulate the Qini numerator
+    * cumS_A − cumS_B·(cumN_A/cumN_B) down the ranking — the readout
+    * for "does the targeting model rank the people the treatment
+    * actually moves?". A model with positive average uplift but a flat
+    * Qini curve is ranking noise.
+    *
+    * Edges come from one exact-percentile aggregation over the pooled
+    * scores (approx at monster scale, as elsewhere); each unit folds to
+    * its bucket per-row against the broadcast edge array (count of
+    * edges strictly below the score — ties fall in the LOWER bucket,
+    * [[graft.operators.Stats.psiBin]]'s convention); one grouped
+    * aggregation collapses the corpus to k rows; the cumulative walk
+    * runs on that bounded table. Heavy score ties make buckets uneven
+    * by construction — the per-bucket n columns surface it.
+    */
+  def upliftByQuantile(df: DataFrame, armCol: String, scoreCol: String,
+                       success: Column, k: Int,
+                       armA: String, armB: String): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val arm = col(armCol).cast("string")
+    val s = col(scoreCol).cast("double")
+    val base = df.filter(arm.isin(armA, armB) && s.isNotNull)
+      .select(arm.as("_arm"), s.as("_s"),
+        when(success, 1L).otherwise(0L).as("_y"))
+    val qs = (1 until k).map(i => lit(i.toDouble / k))
+    val edges = base.agg(
+      percentile(col("_s"), array(qs: _*)).as("_edges"))
+    val bin = aggregate(col("_edges"), lit(0),
+      (acc, e) => acc + when(col("_s") > e, 1).otherwise(0))
+    val perBucket = base.join(broadcast(edges))
+      .withColumn("_bucket", bin)
+      .groupBy("_bucket")
+      .agg(
+        sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_arm") === armA, col("_y")).otherwise(0L)).as("s_a"),
+        sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_arm") === armB, col("_y")).otherwise(0L)).as("s_b"))
+    // top scores first: bucket k-1 leads the ranking walk
+    val desc = Window.orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pA = col("s_a").cast("double") /
+      nullif(col("n_a").cast("double"), lit(0.0))
+    val pB = col("s_b").cast("double") /
+      nullif(col("n_b").cast("double"), lit(0.0))
+    val qini = col("_csa").cast("double") - col("_csb").cast("double") *
+      (col("_cna").cast("double") /
+        nullif(col("_cnb").cast("double"), lit(0.0)))
+    perBucket
+      .withColumn("_cna", sum("n_a").over(desc))
+      .withColumn("_csa", sum("s_a").over(desc))
+      .withColumn("_cnb", sum("n_b").over(desc))
+      .withColumn("_csb", sum("s_b").over(desc))
+      .select(col("_bucket").as("bucket"),
+        col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round(pA - pB, 6).as("uplift"),
+        round(qini, 6).as("qini"))
+      .orderBy(col("bucket").desc)
+  }
+
   /** CUPED (Deng et al. 2013) variance-reduced treatment effect:
     * θ = cov(x, y)/var(x) over the pooled arms for a pre-experiment
     * covariate x, then the adjusted delta

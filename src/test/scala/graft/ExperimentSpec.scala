@@ -216,6 +216,47 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("winsorizedEffect: pooled cap neutralizes a planted whale; clip count surfaced") {
+    // pooled p80 of {1,1,2,2,3,3,4,4,5,100} interpolates to 4.2; both
+    // arms cap to {1,2,3,4,4.2} -> winsorized delta exactly 0 while the
+    // whale drives the raw delta to +19
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("B", _))).toDF("arm", "v")
+    val r = Experiment.winsorizedEffect(rows, "arm", "v", 0.8, "A", "B").head()
+    assert(r.getAs[Double]("cap") == 4.2)
+    assert(r.getAs[Long]("n_capped") == 2L)
+    assert(r.getAs[Double]("mean_a_w") == 2.84)
+    assert(r.getAs[Double]("mean_b_w") == 2.84)
+    assert(r.getAs[Double]("delta_winsorized") == 0.0)
+    assert(r.getAs[Double]("delta_raw") == 19.0)
+  }
+
+  test("upliftByQuantile: top bucket carries the planted uplift; Qini walk closes at 0") {
+    // two buckets around the pooled median 4.5: treatment converts only
+    // above it, control only below -> uplift +1 then -1, Qini 2 then 0
+    val rows = Seq(
+      ("A", 5.0, true), ("A", 7.0, true), ("B", 6.0, false), ("B", 8.0, false),
+      ("A", 1.0, false), ("A", 3.0, false), ("B", 2.0, true), ("B", 4.0, true))
+      .toDF("arm", "score", "conv")
+    val out = Experiment.upliftByQuantile(
+      rows, "arm", "score", col("conv"), 2, "A", "B").collect()
+    assert(out.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 0))
+    val top = out(0); val bot = out(1)
+    assert(top.getAs[Double]("p_a") == 1.0 && top.getAs[Double]("p_b") == 0.0)
+    assert(top.getAs[Double]("uplift") == 1.0)
+    assert(top.getAs[Double]("qini") == 2.0)
+    assert(bot.getAs[Double]("uplift") == -1.0)
+    assert(bot.getAs[Double]("qini") == 0.0) // ranking gain nets out
+    // an arm empty within a bucket: its rate (and the uplift) is null
+    val sparse = Seq(("A", 9.0, true), ("A", 1.0, false), ("B", 2.0, false))
+      .toDF("arm", "score", "conv")
+    val s = Experiment.upliftByQuantile(
+        sparse, "arm", "score", col("conv"), 2, "A", "B")
+      .collect().map(x => x.getAs[Int]("bucket") -> x).toMap
+    assert(s(1).isNullAt(s(1).fieldIndex("p_b")))
+    assert(s(1).isNullAt(s(1).fieldIndex("uplift")))
+  }
+
   test("quantileTreatmentEffect: interpolated per-arm percentiles and deltas") {
     // A = 1..9, B = 11..19: p50 = 5 vs 15, p90 = 8.2 vs 18.2 (linear
     // interpolation at rank 0.9*(9-1) = 7.2) -> QTE -10 at both
