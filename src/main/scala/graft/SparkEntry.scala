@@ -2946,6 +2946,18 @@ object SparkEntry {
         datediff(to_date(col("ts")), lit("1970-01-01")) >= 19738,
         "value", "A", "B")),
 
+    // ---- always-valid sequential monitor: per-day mSPRT trajectory
+    //      of the purchase-conversion delta, safe to peek daily ----
+    "q_always_valid" -> ((s, dir) =>
+      Experiment.alwaysValidMonitor(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "A").otherwise("B"))
+          .withColumn("day",
+            datediff(to_date(col("ts")), lit("1970-01-01"))),
+        "day", "arm", col("event_type") === "purchase", "A", "B")),
+
     // ---- winsorized treatment effect: pooled p95 cap on the
     //      per-user purchase value, capped-row count surfaced ----
     "q_winsorized_effect" -> ((s, dir) =>
@@ -6591,6 +6603,57 @@ object SparkEntry {
         |    THEN round((ma_post - ma_pre) - (mb_post - mb_pre), 6) END
         |    AS did
         |FROM m""".stripMargin,
+
+    // always-valid truth: same daily fold, cumulative windows, the
+    // mSPRT llr in the operator's fixed order rounded 9 dp before the
+    // running max, p rounded 6 dp (tau = 0.1 -> tau^2 = 0.010000000000000002
+    // as the same double product both sides compute)
+    "q_always_valid" ->
+      """WITH ev AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT CAST(day AS BIGINT) AS day,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS sa,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS sb
+        |  FROM ev GROUP BY 1),
+        |c AS (SELECT day,
+        |    CAST(sum(na) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(sa) OVER w AS BIGINT) AS s_a,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+        |    CAST(sum(sb) OVER w AS BIGINT) AS s_b
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+        |        AND s_a + s_b < n_a + n_b
+        |      THEN round(0.5 * ln(vt / (vt + t2)) +
+        |        dlt * dlt * t2 / (2.0 * vt * (vt + t2)), 9) END AS llr,
+        |    dlt, n_ok
+        |  FROM (SELECT *,
+        |      CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dlt,
+        |      (CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |        (1.0 - CAST(s_a + s_b AS DOUBLE) /
+        |          CAST(n_a + n_b AS DOUBLE)) *
+        |        (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+        |        AS vt,
+        |      0.1 * 0.1 AS t2,
+        |      (n_a > 0 AND n_b > 0) AS n_ok
+        |    FROM c)),
+        |m AS (SELECT *, max(llr) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM l)
+        |SELECT day, n_a, s_a, n_b, s_b,
+        |  CASE WHEN n_ok THEN round(dlt, 6) END AS delta, llr,
+        |  CASE WHEN runmax IS NOT NULL
+        |    THEN round(exp(-greatest(runmax, 0.0)), 6) ELSE 1.0 END
+        |    AS always_valid_p
+        |FROM m ORDER BY day""".stripMargin,
 
     // winsorized truth: pooled p95 cap rounded 6 dp, capped values
     // quantized to DECIMAL(18,6) before the exact arm sums

@@ -514,6 +514,68 @@ object Experiment {
       .orderBy(col("bucket").desc)
   }
 
+  /** Always-valid sequential monitor (mixture SPRT, normal
+    * approximation with a Gaussian mixture prior of scale `tau`): the
+    * per-day readout that is SAFE to peek at. A fixed-horizon z test
+    * recomputed daily inflates false positives severalfold; the mSPRT
+    * log-likelihood ratio
+    * llr_t = ½·ln(V_t/(V_t+τ²)) + Δ_t²·τ²/(2·V_t·(V_t+τ²))
+    * with the running always-valid p-value p_t = exp(−max(0, max_{s≤t}
+    * llr_s)) controls the error at α under CONTINUOUS monitoring
+    * (Johari et al., "Peeking at A/B tests", KDD 2017).
+    *
+    * One grouped aggregation collapses the corpus to the daily arm
+    * table; cumulative sums, the llr, and the running max all walk
+    * that bounded table. V_t is the pooled binomial variance of the
+    * cumulative rates. Days where the llr is undefined (an empty arm,
+    * a degenerate pooled rate) emit NULL llr and inherit the p-value
+    * walk. llr rounds at 9 dp before the max so the oracle reproduces
+    * the trajectory; p rounds at 6 dp.
+    */
+  def alwaysValidMonitor(df: DataFrame, dayCol: String, armCol: String,
+                         success: Column, armA: String, armB: String,
+                         tau: Double = 0.1): DataFrame = {
+    require(tau > 0, s"mixture scale tau must be positive, got $tau")
+    val arm = col(armCol).cast("string")
+    val y = when(success, 1L).otherwise(0L)
+    val daily = df.filter(arm.isin(armA, armB))
+      .groupBy(col(dayCol).cast("long").as("day"))
+      .agg(
+        sum(when(arm === armA, 1L).otherwise(0L)).as("_na"),
+        sum(when(arm === armA, y).otherwise(0L)).as("_sa"),
+        sum(when(arm === armB, 1L).otherwise(0L)).as("_nb"),
+        sum(when(arm === armB, y).otherwise(0L)).as("_sb"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val pA = col("s_a").cast("double") / nA
+    val pB = col("s_b").cast("double") / nB
+    val pPool = (col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val vT = pPool * (lit(1.0) - pPool) * (lit(1.0) / nA + lit(1.0) / nB)
+    val delta = pA - pB
+    val t2 = lit(tau * tau)
+    val llr = lit(0.5) * log(vT / (vT + t2)) +
+      delta * delta * t2 / (lit(2.0) * vT * (vT + t2))
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      col("s_a") + col("s_b") > 0 &&
+      col("s_a") + col("s_b") < col("n_a") + col("n_b")
+    daily
+      .withColumn("n_a", sum("_na").over(cum))
+      .withColumn("s_a", sum("_sa").over(cum))
+      .withColumn("n_b", sum("_nb").over(cum))
+      .withColumn("s_b", sum("_sb").over(cum))
+      .withColumn("llr", when(ok, round(llr, 9)))
+      .withColumn("_runmax", max("llr").over(cum))
+      .select(col("day"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(delta, 6)).as("delta"),
+        col("llr"),
+        when(col("_runmax").isNotNull,
+          round(exp(-greatest(col("_runmax"), lit(0.0))), 6))
+          .otherwise(lit(1.0)).as("always_valid_p"))
+      .orderBy("day")
+  }
+
   /** CUPED (Deng et al. 2013) variance-reduced treatment effect:
     * θ = cov(x, y)/var(x) over the pooled arms for a pre-experiment
     * covariate x, then the adjusted delta

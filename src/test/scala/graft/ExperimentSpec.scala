@@ -216,6 +216,36 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("alwaysValidMonitor: p stays 1 through no-signal days, drops on the planted effect") {
+    // day 0: only arm A (llr undefined); day 1: balanced 5/10 vs 5/10
+    // (delta 0, llr < 0, p still 1); day 2: cumulative 15/20 vs 5/20
+    val rows = (Seq.fill(2)((0L, "A", false)) ++
+      Seq.tabulate(8)(i => (1L, "A", i < 5)) ++
+      Seq.tabulate(10)(i => (1L, "B", i < 5)) ++
+      Seq.fill(10)((2L, "A", true)) ++ Seq.fill(10)((2L, "B", false)))
+      .toDF("day", "arm", "conv")
+    val out = Experiment.alwaysValidMonitor(
+        rows, "day", "arm", col("conv"), "A", "B")
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out(0L).isNullAt(out(0L).fieldIndex("llr")))
+    assert(out(0L).getAs[Double]("always_valid_p") == 1.0)
+    assert(out(1L).getAs[Double]("delta") == 0.0)
+    assert(out(1L).getAs[Double]("llr") < 0.0)
+    assert(out(1L).getAs[Double]("always_valid_p") == 1.0) // peek is free
+    // day 2 closed form in the operator's order (tau = 0.1)
+    assert(out(2L).getAs[Long]("n_a") == 20L && out(2L).getAs[Long]("s_a") == 15L)
+    val v = 0.5 * (1.0 - 0.5) * (1.0 / 20 + 1.0 / 20)
+    val t2 = 0.1 * 0.1
+    val llr = BigDecimal(0.5 * math.log(v / (v + t2)) +
+      0.5 * 0.5 * t2 / (2.0 * v * (v + t2)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L).getAs[Double]("llr") == llr)
+    val p = BigDecimal(math.exp(-math.max(0.0, llr)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L).getAs[Double]("always_valid_p") == p)
+    assert(p < 0.3) // the planted effect is visible
+  }
+
   test("winsorizedEffect: pooled cap neutralizes a planted whale; clip count surfaced") {
     // pooled p80 of {1,1,2,2,3,3,4,4,5,100} interpolates to 4.2; both
     // arms cap to {1,2,3,4,4.2} -> winsorized delta exactly 0 while the
