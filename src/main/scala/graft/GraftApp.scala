@@ -121,6 +121,81 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "experiment") {
+      // full A/B readout over an events table: SRM gate, the mean
+      // readout three ways (z / CUPED / winsorized), ratio CIs (delta
+      // method + bucket jackknife), QTE, and the peek-safe mSPRT
+      // trajectory — one per-user fold shared by every piece
+      // (see operators.Experiment.readout)
+      val input = opts.getOrElse("input",
+        sys.error("experiment requires --input <dir containing events.parquet>"))
+      val out = opts.getOrElse("output", "experiment_out")
+      val p = graft.operators.Experiment.ReadoutParams(
+        capQuantile = opts.get("cap-quantile").map(_.toDouble).getOrElse(0.95),
+        tau = opts.get("tau").map(_.toDouble).getOrElse(0.1))
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.events(spark, input)
+        val perUser = ev.groupBy("user_id").agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchases"),
+            sum(when(col("event_type").isin("click", "view"), 1L)
+              .otherwise(0L)).as("x"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("y"))
+          // heavy-buyer outcome (~median purchase count): everyone in
+          // this dataset purchases >= once, so a >=1 outcome saturates
+          // and the z test only ever hits its degenerate-SE NULL path
+          .withColumn("converted",
+            when(col("purchases") >= 14, 1L).otherwise(0L))
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, p.armA).otherwise(p.armB))
+          .withColumn("bucket", col("user_id") % 20)
+        val daily = ev.filter(col("ts").isNotNull)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, p.armA).otherwise(p.armB))
+          .withColumn("day", datediff(to_date(col("ts")), lit("1970-01-01")))
+          .withColumn("converted",
+            when(col("event_type") === "purchase", 1L).otherwise(0L))
+        val r = graft.operators.Experiment.readout(perUser, daily, p)
+        // every readout collapses to a bounded table — collect for the
+        // manifest is model-sized by construction (arms/buckets/days)
+        val manifest = new StringBuilder("{\n")
+        r.all.foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        }
+        def d6(v: Any): String = v match {
+          case null => "null"
+          case x: java.lang.Double => f"$x%.6f"
+          case x => x.toString
+        }
+        val srmRow = r.srm.head()
+        val zRow = r.proportions.head()
+        val cRow = r.cuped.head()
+        val wRow = r.winsorized.head()
+        val lastP = r.monitor.orderBy(col("day").desc).head()
+        manifest ++= s"""  "srm_chi2": ${d6(srmRow.getAs[Any]("chi2"))},\n"""
+        manifest ++= s"""  "z": ${d6(zRow.getAs[Any]("z"))},\n"""
+        manifest ++= s"""  "delta_raw": ${d6(cRow.getAs[Any]("delta_raw"))},\n"""
+        manifest ++= s"""  "delta_cuped": ${d6(cRow.getAs[Any]("delta_adjusted"))},\n"""
+        manifest ++= s"""  "delta_winsorized": ${d6(wRow.getAs[Any]("delta_winsorized"))},\n"""
+        manifest ++= s"""  "always_valid_p": ${d6(lastP.getAs[Any]("always_valid_p"))}\n}"""
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/readout.json"),
+          manifest.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"SRM chi2=${d6(srmRow.getAs[Any]("chi2"))}  " +
+          s"z=${d6(zRow.getAs[Any]("z"))}  " +
+          s"cuped=${d6(cRow.getAs[Any]("delta_adjusted"))}  " +
+          s"winsorized=${d6(wRow.getAs[Any]("delta_winsorized"))}  " +
+          s"always_valid_p=${d6(lastP.getAs[Any]("always_valid_p"))}")
+        println(s"readout tables + readout.json in $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "er") {
       // entity resolution over one table: blocked Damerau self-match on
       // --key-col (block = last --block-suffix chars, robust to head

@@ -2883,11 +2883,13 @@ object SparkEntry {
               .otherwise("arm2")),
         "arm", Map("arm0" -> 0.25, "arm1" -> 0.25, "arm2" -> 0.5))),
 
-    // ---- two-proportion z test: did arm A convert (>=1 purchase)
-    //      more than arm B? per-user fold, then exact counts ----
+    // ---- two-proportion z test: are heavy buyers (>= 14 purchases,
+    //      ~median) more common in arm A? per-user fold, exact counts;
+    //      the >=1-purchase outcome saturates at 1.0 here and would
+    //      only ever exercise the degenerate-SE NULL path ----
     "q_ab_proportions" -> ((s, dir) =>
       Experiment.twoProportionZ(
-        perUserExperiment(s, dir), "arm", col("converted") === 1L,
+        perUserExperiment(s, dir), "arm", col("purchases") >= 14L,
         "A", "B")),
 
     // ---- CUPED adjusted treatment effect: purchase value per user
@@ -6341,11 +6343,13 @@ object SparkEntry {
         |  arms - 1 AS dof
         |FROM x ORDER BY arm""".stripMargin,
 
-    // z-test truth: exact per-user conversion counts, the pooled-SE
-    // expression in the operator's fixed order, flag on the unrounded z
+    // z-test truth: exact per-user heavy-buyer counts (>= 14 purchases),
+    // the pooled-SE expression in the operator's fixed order, flag on
+    // the unrounded z
     "q_ab_proportions" ->
       """WITH pu AS (SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
         |  FROM events GROUP BY 1),
         |t AS (SELECT
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
@@ -8048,13 +8052,18 @@ object SparkEntry {
 
   /** Per-user experiment readout base: arm from the bucketing hash
     * (user_id parity), conversion flag, engagement covariate x and
-    * purchase-value metric y as exact decimals. */
+    * purchase-value metric y as exact decimals. The z-test outcome is
+    * `purchases >= 14` (roughly the median count) because EVERY user
+    * in this dataset purchases at least once — `converted` saturates
+    * at 1.0 and the pooled SE degenerates to the NULL case. */
   private def perUserExperiment(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converted"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
         sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
           .as("x"),
         coalesce(sum(when(col("event_type") === "purchase",

@@ -633,4 +633,52 @@ object Experiment {
       when(varXN > 0 && varYN > 0, round(covN * covN / (varXN * varYN), 6))
         .as("rho2"))
   }
+
+  /** Knobs for [[readout]] — the full A/B report in one call. */
+  final case class ReadoutParams(
+      armA: String = "A", armB: String = "B",
+      expectedShares: Map[String, Double] = Map("A" -> 0.5, "B" -> 0.5),
+      capQuantile: Double = 0.95,
+      qteQs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      tau: Double = 0.1)
+
+  /** The assembled experiment report: each readout as its own
+    * DataFrame, evaluated lazily — callers pick what to materialize.
+    */
+  final case class Readout(
+      srm: DataFrame, proportions: DataFrame, cuped: DataFrame,
+      ratioCi: DataFrame, jackknife: DataFrame, qte: DataFrame,
+      winsorized: DataFrame, monitor: DataFrame) {
+    def all: Seq[(String, DataFrame)] = Seq(
+      "srm" -> srm, "proportions" -> proportions, "cuped" -> cuped,
+      "ratio_ci" -> ratioCi, "jackknife_ci" -> jackknife, "qte" -> qte,
+      "winsorized" -> winsorized, "monitor" -> monitor)
+  }
+
+  /** One-call experiment readout over a per-unit table with the
+    * standard column contract — `arm` (string), `converted` (0/1),
+    * `y` (metric), `x` (pre-period covariate), `bucket` (deterministic
+    * unit hash for the jackknife) — plus a per-observation
+    * `(day, arm, converted)` table for the sequential monitor. This is
+    * the `graft experiment` CLI's engine: the gate (SRM) first, the
+    * mean readout three ways (z test, CUPED, winsorized), the ratio
+    * CI both ways (delta method + jackknife), the distributional view
+    * (QTE), and the peek-safe trajectory (mSPRT) — every piece the
+    * individual operators above, sharing the per-unit fold the caller
+    * already paid for.
+    */
+  def readout(perUnit: DataFrame, daily: DataFrame,
+              p: ReadoutParams = ReadoutParams()): Readout = Readout(
+    srm = srmCheck(perUnit, "arm", p.expectedShares),
+    proportions = twoProportionZ(perUnit, "arm", col("converted") === 1L,
+      p.armA, p.armB),
+    cuped = cuped(perUnit, "arm", "y", "x", p.armA, p.armB),
+    ratioCi = ratioMetricCI(perUnit, "y", "x"),
+    jackknife = jackknifeRatioCI(perUnit, "bucket", "y", "x"),
+    qte = quantileTreatmentEffect(perUnit, "arm", "y", p.qteQs,
+      p.armA, p.armB),
+    winsorized = winsorizedEffect(perUnit, "arm", "y", p.capQuantile,
+      p.armA, p.armB),
+    monitor = alwaysValidMonitor(daily, "day", "arm",
+      col("converted") === 1L, p.armA, p.armB, p.tau))
 }

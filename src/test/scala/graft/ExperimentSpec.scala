@@ -216,6 +216,29 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("readout bundle: every table evaluates and agrees with its standalone operator") {
+    val perUnit = Seq.tabulate(100) { i =>
+      val arm = if (i % 2 == 0) "A" else "B"
+      (arm, if (i % 3 == 0) 1L else 0L, (i % 7).toDouble + 1.0,
+        (i % 5).toDouble + 1.0, (i % 10).toLong)
+    }.toDF("arm", "converted", "y", "x", "bucket")
+    val daily = Seq.tabulate(60)(i =>
+      (i % 3L, if (i % 2 == 0) "A" else "B", if (i % 4 == 0) 1L else 0L))
+      .toDF("day", "arm", "converted")
+    val r = Experiment.readout(perUnit, daily)
+    // every frame materializes non-empty
+    r.all.foreach { case (name, df) =>
+      assert(df.count() > 0, s"readout table $name is empty") }
+    // spot-parity with the standalone operators on identical inputs
+    assert(r.srm.head().getAs[Double]("chi2") ==
+      Experiment.srmCheck(perUnit, "arm", Map("A" -> 0.5, "B" -> 0.5))
+        .head().getAs[Double]("chi2"))
+    assert(r.winsorized.head().getAs[Double]("delta_winsorized") ==
+      Experiment.winsorizedEffect(perUnit, "arm", "y", 0.95, "A", "B")
+        .head().getAs[Double]("delta_winsorized"))
+    assert(r.monitor.count() == 3L)
+  }
+
   test("alwaysValidMonitor: p stays 1 through no-signal days, drops on the planted effect") {
     // day 0: only arm A (llr undefined); day 1: balanced 5/10 vs 5/10
     // (delta 0, llr < 0, p still 1); day 2: cumulative 15/20 vs 5/20
