@@ -2948,6 +2948,19 @@ object SparkEntry {
         datediff(to_date(col("ts")), lit("1970-01-01")) >= 19738,
         "value", "A", "B")),
 
+    // ---- keyword topic router: token-boundary broadcast join,
+    //      dominant topic per doc, zero-hit docs absent by design ----
+    "q_topic_tags" -> ((s, dir) =>
+      TextAnalysis.topicTag(t(s, dir, "documents"), Map(
+        "query_exec" -> Seq("scan", "filter", "join", "agg", "group"),
+        "storage" -> Seq("table", "row", "column", "part", "hash"),
+        "streaming" -> Seq("window", "batch", "order", "merge")))),
+
+    // ---- tokenizer fertility per language: subwords per word and
+    //      chars per subword — the multilingual budget dial ----
+    "q_token_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenFertility(t(s, dir, "documents"))),
+
     // ---- always-valid sequential monitor: per-day mSPRT trajectory
     //      of the purchase-conversion delta, safe to peek daily ----
     "q_always_valid" -> ((s, dir) =>
@@ -6607,6 +6620,54 @@ object SparkEntry {
         |    THEN round((ma_post - ma_pre) - (mb_post - mb_pre), 6) END
         |    AS did
         |FROM m""".stripMargin,
+
+    // topic truth: same token-boundary join against the VALUES keyword
+    // table, same dominance tie-break (hits DESC, topic ASC)
+    "q_topic_tags" ->
+      """WITH kw AS (SELECT * FROM (VALUES
+        |    ('query_exec', 'scan'), ('query_exec', 'filter'),
+        |    ('query_exec', 'join'), ('query_exec', 'agg'),
+        |    ('query_exec', 'group'),
+        |    ('storage', 'table'), ('storage', 'row'),
+        |    ('storage', 'column'), ('storage', 'part'),
+        |    ('storage', 'hash'),
+        |    ('streaming', 'window'), ('streaming', 'batch'),
+        |    ('streaming', 'order'), ('streaming', 'merge'))
+        |  AS t(topic, tok)),
+        |tk AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, topic, CAST(count(*) AS BIGINT) AS hits
+        |  FROM tk JOIN kw USING (tok) GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    round(CAST(hits AS DOUBLE) /
+        |      CAST(sum(hits) OVER (PARTITION BY doc_id) AS DOUBLE), 6)
+        |      AS share,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, topic) = 1 AS is_dominant
+        |  FROM h)
+        |SELECT doc_id, topic, hits, share, is_dominant
+        |FROM w ORDER BY doc_id, topic""".stripMargin,
+
+    // fertility truth: the repo's two token counters as SQL fragments,
+    // exact integer sums, fixed-order ratio rounding
+    "q_token_fertility" ->
+      """SELECT CAST(lang AS VARCHAR) AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '),
+        |    x -> x <> ''))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS DOUBLE) /
+        |    nullif(CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS DOUBLE), 0.0), 6) AS fertility,
+        |  round(CAST(sum(length(text)) AS DOUBLE) /
+        |    nullif(CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS DOUBLE), 0.0), 6)
+        |    AS chars_per_token
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // always-valid truth: same daily fold, cumulative windows, the
     // mSPRT llr in the operator's fixed order rounded 9 dp before the

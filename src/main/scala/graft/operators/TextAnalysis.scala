@@ -1065,4 +1065,75 @@ object TextAnalysis {
         round((sy - slope * sx) / k, 6).as("intercept"),
         round(r * r, 6).as("r_squared"))
   }
+
+  /** Keyword topic tagging: explode [[tokens]], hash-join against the
+    * broadcast (topic, keyword) table, count hits per (doc, topic),
+    * and flag each doc's dominant topic — the curation-time router
+    * that decides which domain bucket a crawl page feeds (the
+    * token-boundary join does what a LIKE '%kw%' sweep cannot: "art"
+    * never fires inside "partition"). Docs with zero keyword hits are
+    * ABSENT from the output by design — emit-nothing beats a fake
+    * "unknown" topic row that downstream budgets would count.
+    *
+    * Scale shape: the keyword table broadcasts (topics are
+    * human-curated, never corpus-sized); the explode is a narrow
+    * pipeline over the scan; ONE grouped aggregation collapses to
+    * (doc, topic); the dominance window partitions by doc over that
+    * doc's ≤|topics| rows. Ties break to the lexicographically first
+    * topic so the pick is oracle-reproducible.
+    */
+  def topicTag(df: DataFrame, topics: Map[String, Seq[String]],
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topics.nonEmpty, "topics must be non-empty")
+    require(topics.values.forall(_.nonEmpty), "every topic needs keywords")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kw = topics.toSeq
+      .flatMap { case (t, ws) => ws.map(w => (t, w.toLowerCase)) }
+      .toDF("topic", "_tok")
+    import org.apache.spark.sql.expressions.Window
+    val hits = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("_tok"))
+      .join(broadcast(kw), "_tok")
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("hits"))
+    val byDoc = Window.partitionBy("doc_id")
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("topic").asc)
+    hits
+      .withColumn("share",
+        round(col("hits").cast("double") /
+          sum("hits").over(byDoc).cast("double"), 6))
+      .withColumn("is_dominant", row_number().over(rank) === 1)
+      .orderBy("doc_id", "topic")
+  }
+
+  /** Tokenizer fertility per language: subword units per whitespace
+    * word ([[bpeishTokenCount]] / [[wsTokenCount]]) and characters per
+    * subword — the multilingual curation dial. A language whose
+    * fertility runs 2× the corpus mean pays 2× the training compute
+    * per document; token budgets set in "documents" silently starve
+    * it. One grouped aggregation of exact integer counts; ratios are
+    * fixed-order doubles rounded 6 dp.
+    */
+  def tokenFertility(df: DataFrame, langCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val agg = df.filter(text.isNotNull)
+      .groupBy(col(langCol).cast("string").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(text).cast("long")).as("ws_tokens"),
+        sum(bpeishTokenCount(text).cast("long")).as("bpe_tokens"),
+        sum(length(text).cast("long")).as("chars"))
+    agg.select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") /
+          nullif(col("ws_tokens").cast("double"), lit(0.0)), 6)
+          .as("fertility"),
+        round(col("chars").cast("double") /
+          nullif(col("bpe_tokens").cast("double"), lit(0.0)), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
 }

@@ -327,3 +327,54 @@ class DsirSpec extends SparkSpecBase {
     assert(out(1L)._1 == 3L && out(2L)._1 == 3L)
   }
 }
+
+class TopicTagSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("topicTag: token-boundary hits, dominance tie-break, zero-hit docs absent") {
+    val docs = Seq(
+      (1L, "scan filter scan table"),       // query_exec 3, storage 1
+      (2L, "table row"),                    // storage only
+      (3L, "partition artful"),             // NO hits: 'part'/'art' must
+                                            // not fire inside larger tokens
+      (4L, "scan table")                    // 1-1 tie -> query_exec wins
+    ).toDF("doc_id", "text")
+    val topics = Map(
+      "query_exec" -> Seq("scan", "filter"),
+      "storage" -> Seq("table", "row", "part", "art"))
+    val out = TextAnalysis.topicTag(docs, topics).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("topic")) -> r).toMap
+    assert(out((1L, "query_exec")).getAs[Long]("hits") == 3L)
+    assert(out((1L, "query_exec")).getAs[Double]("share") == 0.75)
+    assert(out((1L, "query_exec")).getAs[Boolean]("is_dominant"))
+    assert(!out((1L, "storage")).getAs[Boolean]("is_dominant"))
+    assert(out((2L, "storage")).getAs[Long]("hits") == 2L)
+    assert(!out.keys.exists(_._1 == 3L)) // token boundary respected
+    assert(out((4L, "query_exec")).getAs[Boolean]("is_dominant"))
+    assert(!out((4L, "storage")).getAs[Boolean]("is_dominant"))
+  }
+
+  test("topicTag plan: keyword side broadcasts, explode stays narrow") {
+    val docs = Seq((1L, "scan filter")).toDF("doc_id", "text")
+    val df = TextAnalysis.topicTag(docs, Map("q" -> Seq("scan")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast kw join:\n$p")
+  }
+
+  test("tokenFertility: exact counts per language; empty-language guard") {
+    val docs = Seq(
+      ("en", "ab cd"),     // ws 2, bpe 2 ('ab','cd'), chars 5
+      ("en", "a1!"),       // ws 1, bpe 3 ('a','1','!')
+      ("zh", "xx yy zz")   // ws 3, bpe 3, chars 8
+    ).toDF("lang", "text")
+    val out = graft.operators.TextAnalysis.tokenFertility(docs)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("en").getAs[Long]("ws_tokens") == 3L)
+    assert(out("en").getAs[Long]("bpe_tokens") == 5L)
+    assert(out("en").getAs[Double]("fertility") ==
+      BigDecimal(5.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("en").getAs[Double]("chars_per_token") == 1.6) // 8 chars / 5
+    assert(out("zh").getAs[Double]("fertility") == 1.0)
+  }
+}
