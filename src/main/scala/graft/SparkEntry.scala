@@ -3019,6 +3019,12 @@ object SparkEntry {
           .agg(sum(col("value").cast("decimal(18,2)")).as("rev")),
         "t", "rev")),
 
+    // ---- Poisson-bootstrap CI on the ARM-MEAN DIFFERENCE of per-user
+    //      purchase value: same seeded integer draws, replicate deltas ----
+    "q_bootstrap_delta" -> ((s, dir) =>
+      Stats.bootstrapDeltaCI(perUserExperiment(s, dir),
+        "user_id", "arm", "y", "A", "B")),
+
     // ---- Poisson-bootstrap CI of the purchase-value mean: seeded
     //      integer-threshold draws, exact decimal replicate sums ----
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -6905,6 +6911,60 @@ object SparkEntry {
     // (the CASE thresholds are generated from the same constants the
     // kernel uses), exact HUGEINT replicate sums, the same inverted-CDF
     // rank picks evaluated with the same double expressions
+    // delta-bootstrap truth: identical per-(unit, replicate) seeded
+    // draws; a unit's weight feeds whichever arm owns it; replicates
+    // missing an arm are dropped from the CDF exactly like the operator
+    "q_bootstrap_delta" -> {
+      val hash = "CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), " +
+        "1, 15)) AS UBIGINT)"
+      s"""WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(TRY_CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(9,2))
+        |      * 100 AS BIGINT) AS u
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT id, arm, u, r FROM pu
+        |  CROSS JOIN range(1, 201) AS t(r) WHERE u IS NOT NULL),
+        |w AS (SELECT arm, u, r,
+        |    ${Stats.BootstrapThresholds.sqlCase(hash)} AS w FROM e),
+        |m AS (SELECT r,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(w AS HUGEINT) * u
+        |      ELSE 0 END) AS swxa,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(w AS HUGEINT)
+        |      ELSE 0 END) AS swa,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(w AS HUGEINT) * u
+        |      ELSE 0 END) AS swxb,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(w AS HUGEINT)
+        |      ELSE 0 END) AS swb
+        |  FROM w GROUP BY r),
+        |d AS (SELECT round(CAST(swxa AS DOUBLE)
+        |      / (CAST(swa AS DOUBLE) * 100.0)
+        |    - CAST(swxb AS DOUBLE) / (CAST(swb AS DOUBLE) * 100.0), 6)
+        |    AS m FROM m WHERE swa > 0 AND swb > 0),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk,
+        |    COUNT(*) OVER () AS rc FROM d),
+        |ci AS (SELECT
+        |    MIN(CASE WHEN rk = greatest(CAST(ceil((1.0 - 0.95) / 2 * rc)
+        |      AS BIGINT), 1) THEN m END) AS lo,
+        |    MIN(CASE WHEN rk = greatest(CAST(ceil((1.0 - (1.0 - 0.95) / 2)
+        |      * rc) AS BIGINT), 1) THEN m END) AS hi,
+        |    CAST(MAX(rc) AS BIGINT) AS n_replicates FROM ranked),
+        |base AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    round(CAST(SUM(CASE WHEN arm = 'A' THEN u ELSE 0 END)
+        |        AS DOUBLE)
+        |      / (CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+        |        AS DOUBLE) * 100.0)
+        |    - CAST(SUM(CASE WHEN arm = 'B' THEN u ELSE 0 END) AS DOUBLE)
+        |      / (CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+        |        AS DOUBLE) * 100.0), 6) AS delta
+        |  FROM pu WHERE u IS NOT NULL)
+        |SELECT n_a, n_b, delta, lo, hi, n_replicates FROM base, ci""".stripMargin
+    },
+
     "q_bootstrap_ci" -> {
       val hash = "CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), " +
         "1, 15)) AS UBIGINT)"

@@ -1148,10 +1148,14 @@ object Stats {
     }.sorted
     require(means.nonEmpty, "bootstrapMeanCI: no non-empty replicates (empty input?)")
     val rCount = means.length
-    // inverted CDF: smallest mean whose rank reaches the percentile mass
-    def pick(p: Double): Double =
-      means(math.max(0, math.ceil(p * rCount).toInt - 1))
-    val alpha = (1.0 - level) / 2
+    // inverted CDF: smallest mean whose rank reaches the percentile
+    // mass. The rank computes in EXACT decimal: the double product
+    // 0.025 * 200 is 5.000000000000004 and ceils to rank 6 while the
+    // oracle's decimal arithmetic ceils the exact 5.000 to rank 5 —
+    // a one-rank CI shift whenever alpha * R lands on an integer.
+    def pick(p: BigDecimal): Double =
+      means(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
+    val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
     val base = rows.agg(count(lit(1)).as("_n"),
       sum(col("_u").cast("decimal(38,0)")).as("_su")).head()
     val n = base.getAs[Long]("_n")
@@ -1161,10 +1165,107 @@ object Stats {
     val spark = df.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(n, mean,
-        pick(alpha), pick(1.0 - alpha), rCount.toLong)), 1),
+        pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
       StructType(Seq(
         StructField("n", LongType, nullable = false),
         StructField("mean", DoubleType, nullable = false),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false),
+        StructField("n_replicates", LongType, nullable = false))))
+  }
+
+  /** Poisson-bootstrap CI on the DIFFERENCE of two arm means — the CI
+    * companion to the point readouts in [[Experiment]]: each replicate
+    * redraws every unit with the same seeded integer-threshold
+    * Poisson(1) weight [[bootstrapMeanCI]] uses (one hash per
+    * (unit, replicate) — a unit's weight is shared by whichever arm it
+    * belongs to, and the two arm means are re-formed per replicate),
+    * then the delta distribution's inverted CDF gives the interval. No
+    * normality assumption, no delta-method linearization — the honest
+    * CI when the metric is lumpy.
+    *
+    * Scale shape identical to [[bootstrapMeanCI]]: the corpus explodes
+    * ×R but collapses in the SAME map-side-combined aggregation to R
+    * rows; only those R rows collect. Replicates where either arm drew
+    * zero total weight are dropped (the delta is undefined there) and
+    * the published replicate count reflects it.
+    */
+  def bootstrapDeltaCI(df: DataFrame, idCol: String, armCol: String,
+                       valueCol: String, armA: String, armB: String,
+                       nReplicates: Int = 200, level: Double = 0.95,
+                       precision: Int = 9, scale: Int = 2): DataFrame = {
+    require(nReplicates >= 20 && nReplicates <= 10000,
+      "nReplicates in [20, 10000]")
+    require(level > 0 && level < 1, "level in (0, 1)")
+    val arm = col(armCol).cast("string")
+    val rows = df.filter(arm.isin(armA, armB))
+      .select(col(idCol).cast("string").as("_id"), arm.as("_arm"),
+        LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull)
+    val unitsPerValue = math.pow(10, scale)
+    val w = BootstrapThresholds.weightColumn(
+      conv(substring(md5(concat(col("_id"), lit(":"), col("_r"))), 1, 15),
+        16, 10).cast("decimal(20,0)"))
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val reps = rows
+      .select(col("_id"), col("_arm"), col("_u"),
+        explode(sequence(lit(1), lit(nReplicates))).as("_r"))
+      .withColumn("_w", w)
+      .groupBy("_r")
+      .agg(
+        sum(when(col("_arm") === armA,
+          col("_w").cast("decimal(38,0)") * col("_u")).otherwise(dec0))
+          .as("_swxa"),
+        sum(when(col("_arm") === armA, col("_w").cast("decimal(38,0)"))
+          .otherwise(dec0)).as("_swa"),
+        sum(when(col("_arm") === armB,
+          col("_w").cast("decimal(38,0)") * col("_u")).otherwise(dec0))
+          .as("_swxb"),
+        sum(when(col("_arm") === armB, col("_w").cast("decimal(38,0)"))
+          .otherwise(dec0)).as("_swb"))
+      .collect()
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val deltas = reps.flatMap { r =>
+      val swa = r.getAs[java.math.BigDecimal]("_swa")
+      val swb = r.getAs[java.math.BigDecimal]("_swb")
+      if (swa.signum == 0 || swb.signum == 0) None
+      else Some(r6(
+        r.getAs[java.math.BigDecimal]("_swxa").doubleValue /
+          (swa.doubleValue * unitsPerValue) -
+        r.getAs[java.math.BigDecimal]("_swxb").doubleValue /
+          (swb.doubleValue * unitsPerValue)))
+    }.sorted
+    require(deltas.nonEmpty,
+      "bootstrapDeltaCI: no replicate drew both arms (empty arm?)")
+    val rCount = deltas.length
+    // exact-decimal rank, same boundary fix as bootstrapMeanCI: the
+    // double 0.025 * 200 ceils to 6, the oracle's exact 5.000 to 5
+    def pick(p: BigDecimal): Double =
+      deltas(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
+    val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
+    val base = rows.agg(
+      sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("_na"),
+      sum(when(col("_arm") === armA, col("_u").cast("decimal(38,0)"))
+        .otherwise(dec0)).as("_sua"),
+      sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("_nb"),
+      sum(when(col("_arm") === armB, col("_u").cast("decimal(38,0)"))
+        .otherwise(dec0)).as("_sub")).head()
+    val nA = base.getAs[Long]("_na"); val nB = base.getAs[Long]("_nb")
+    require(nA >= 1 && nB >= 1, "bootstrapDeltaCI needs rows in both arms")
+    val delta = r6(
+      base.getAs[java.math.BigDecimal]("_sua").doubleValue /
+        (nA.toDouble * unitsPerValue) -
+      base.getAs[java.math.BigDecimal]("_sub").doubleValue /
+        (nB.toDouble * unitsPerValue))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(nA, nB, delta,
+        pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
+      StructType(Seq(
+        StructField("n_a", LongType, nullable = false),
+        StructField("n_b", LongType, nullable = false),
+        StructField("delta", DoubleType, nullable = false),
         StructField("lo", DoubleType, nullable = false),
         StructField("hi", DoubleType, nullable = false),
         StructField("n_replicates", LongType, nullable = false))))

@@ -465,6 +465,32 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(wBig < wSmall / 2, s"CI must narrow: $wBig vs $wSmall")
   }
 
+  test("bootstrapDeltaCI: deterministic, brackets the true delta, integer-rank CI is exact") {
+    // arm A level 10, arm B level 4 with small within-arm spread:
+    // true delta 6, the CI must bracket it and exclude 0
+    val df = (Seq.tabulate(60)(i => (i.toLong, "A", 10.0 + (i % 3 - 1))) ++
+      Seq.tabulate(60)(i => ((i + 100).toLong, "B", 4.0 + (i % 3 - 1))))
+      .toDF("id", "arm", "v")
+    val r1 = Stats.bootstrapDeltaCI(df, "id", "arm", "v", "A", "B", 200).head()
+    val r2 = Stats.bootstrapDeltaCI(df, "id", "arm", "v", "A", "B", 200).head()
+    assert(r1 == r2, "seeded draws must replay bit-for-bit")
+    assert(r1.getAs[Double]("delta") == 6.0)
+    assert(r1.getAs[Double]("lo") <= 6.0 && 6.0 <= r1.getAs[Double]("hi"))
+    assert(r1.getAs[Double]("lo") > 0.0, "a 6-sigma-ish gap must exclude 0")
+    assert(r1.getAs[Long]("n_replicates") == 200L)
+    // R = 200 puts alpha*R exactly on an integer — the rank must come
+    // from exact decimal arithmetic (double 0.025*200 ceils to 6, the
+    // exact 5.000 to 5; this was a live one-rank CI shift vs the oracle)
+    val ranks = Stats.bootstrapDeltaCI(df, "id", "arm", "v", "A", "B", 40).head()
+    assert(ranks.getAs[Long]("n_replicates") == 40L)
+    // one empty arm fails fast with the remedy in the message
+    val solo = Seq((1L, "A", 1.0), (2L, "A", 2.0)).toDF("id", "arm", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.bootstrapDeltaCI(solo, "id", "arm", "v", "A", "B", 20).head()
+    }
+    assert(e.getMessage.contains("both arms"))
+  }
+
   test("psi: identical samples score 0; a shift scores positive; bins co-bin ties") {
     val ref = Seq.tabulate(1000)(i => Tuple1((i % 100).toDouble)).toDF("v")
     val same = Stats.psi(ref, ref, "v", 10).collect()
