@@ -3008,6 +3008,19 @@ object SparkEntry {
       Experiment.postStratifiedEffect(pu, "arm", "stratum", "y", "A", "B")
     }),
 
+    // ---- Holt linear smoothing of daily purchase revenue: level +
+    //      trend state over the bounded daily table (9 dp recursion,
+    //      replayed bit-for-bit by a recursive-CTE oracle) ----
+    "q_holt" -> ((s, dir) =>
+      Stats.holtSmooth(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            col("value").isNotNull && col("ts").isNotNull)
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("rev")),
+        "t", "rev", 0.3, 0.1)),
+
     // ---- single-changepoint locator on daily purchase revenue:
     //      CUSUM-statistic argmax over the bounded daily table ----
     "q_changepoint" -> ((s, dir) =>
@@ -6880,6 +6893,39 @@ object SparkEntry {
         |    THEN round(CAST(sum(term) AS DOUBLE), 6) END
         |    AS delta_post_strat
         |FROM t""".stripMargin,
+
+    // Holt truth: a recursive CTE replays the 9 dp-per-step recursion
+    // exactly; the smoothing constants enter as CAST(x AS DOUBLE) so
+    // both engines perform the identical IEEE (1.0 - alpha) subtraction
+    "q_holt" ->
+      """WITH RECURSIVE d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(t AS BIGINT) AS t, v,
+        |    row_number() OVER (ORDER BY t) AS k FROM d),
+        |rec AS (
+        |  SELECT s1.k AS k, s1.t AS t, s1.v AS v,
+        |      round(s1.v, 9) AS level,
+        |      round(s2.v - s1.v, 9) AS trend,
+        |      CAST(NULL AS DOUBLE) AS fitted,
+        |      CAST(NULL AS DOUBLE) AS residual
+        |    FROM s s1, s s2 WHERE s1.k = 1 AND s2.k = 2
+        |  UNION ALL
+        |  SELECT nx.k, nx.t, nx.v,
+        |      round(CAST(0.3 AS DOUBLE) * nx.v +
+        |        (1.0 - CAST(0.3 AS DOUBLE)) * (rec.level + rec.trend), 9),
+        |      round(CAST(0.1 AS DOUBLE) *
+        |        (round(CAST(0.3 AS DOUBLE) * nx.v +
+        |          (1.0 - CAST(0.3 AS DOUBLE)) * (rec.level + rec.trend), 9)
+        |         - rec.level) +
+        |        (1.0 - CAST(0.1 AS DOUBLE)) * rec.trend, 9),
+        |      round(rec.level + rec.trend, 9),
+        |      round(nx.v - round(rec.level + rec.trend, 9), 6)
+        |    FROM rec JOIN s nx ON nx.k = rec.k + 1)
+        |SELECT t, v AS value, level, trend, fitted, residual
+        |FROM rec ORDER BY t""".stripMargin,
 
     // changepoint truth: exact decimal prefix sums over the bounded
     // daily table, rounded statistic, ORDER BY stat DESC, k ASC picks

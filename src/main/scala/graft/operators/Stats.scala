@@ -1598,6 +1598,68 @@ object Stats {
         round((snD - skD) / (nD - kD), 6).as("mean_after"))
   }
 
+  /** Holt linear (double) exponential smoothing on a PRE-AGGREGATED
+    * series — the level+trend state that [[ewma]] lacks (an EWMA lags
+    * any trending series by construction; Holt tracks the slope). Same
+    * caller contract as [[changepoint]]/[[decomposeSeasonal]]: one row
+    * per t, the corpus-sized groupBy already paid upstream. Standard
+    * init l₁ = y₁, b₁ = y₂ − y₁; for t ≥ 2
+    * l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, fitted_t = l_{t−1}+b_{t−1}.
+    *
+    * The recursion is inherently sequential, so it folds on the DRIVER
+    * over the bounded series (guarded at `maxPoints`; the collect is
+    * series-sized by contract, never corpus-sized). Level/trend round
+    * at 9 dp per step — the recursion replays bit-for-bit in any
+    * engine that rounds the same way (the oracle is a recursive CTE);
+    * fitted keeps 9 dp, residuals round at 6.
+    */
+  def holtSmooth(df: DataFrame, tCol: String, valueCol: String,
+                 alpha: Double, beta: Double,
+                 maxPoints: Int = 100000): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta in (0,1), got $beta")
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .orderBy("t")
+    val pts = series.limit(maxPoints + 1).collect()
+    require(pts.length >= 2, "holtSmooth needs at least 2 points")
+    require(pts.length <= maxPoints,
+      s"holtSmooth: series exceeds maxPoints=$maxPoints — this operator " +
+        "expects a PRE-AGGREGATED series (groupBy your time grain first)")
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val y = pts.map(_.getDouble(1)); val ts = pts.map(_.getLong(0))
+    var l = r9(y(0)); var b = r9(y(1) - y(0))
+    val out = Array.newBuilder[Row]
+    out += Row(ts(0), y(0), l, b, null, null)
+    var i = 1
+    while (i < y.length) {
+      val fitted = r9(l + b)
+      val lNew = r9(alpha * y(i) + (1.0 - alpha) * (l + b))
+      val bNew = r9(beta * (lNew - l) + (1.0 - beta) * b)
+      out += Row(ts(i), y(i), lNew, bNew,
+        java.lang.Double.valueOf(fitted),
+        java.lang.Double.valueOf(r6(y(i) - fitted)))
+      l = lNew; b = bNew
+      i += 1
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().toSeq, 1),
+      StructType(Seq(
+        StructField("t", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false),
+        StructField("level", DoubleType, nullable = false),
+        StructField("trend", DoubleType, nullable = false),
+        StructField("fitted", DoubleType, nullable = true),
+        StructField("residual", DoubleType, nullable = true))))
+  }
+
   /** Classical additive seasonal decomposition of a regular series
     * (moving-average flavor): trend = centered `period`-point moving
     * average (odd period; defined only where the full window exists —

@@ -713,6 +713,34 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(c.isNullAt(c.fieldIndex("alpha")))
   }
 
+  test("holtSmooth tracks a linear series exactly; guards fire on misuse") {
+    import spark.implicits._
+    // y = 2t + 3: init l=3, b=2 is already the truth, so every step
+    // keeps level = y, trend = 2, residual = 0 — closed form
+    val lin = Seq.tabulate(10)(t => (t.toLong, 2.0 * t + 3.0)).toDF("t", "v")
+    val rows = Stats.holtSmooth(lin, "t", "v", 0.3, 0.1).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("trend") == 2.0)
+      assert(r.getAs[Double]("level") == r.getAs[Double]("value"))
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("fitted")))
+    rows.tail.foreach(r => assert(r.getAs[Double]("residual") == 0.0))
+    // a level jump shows up as a positive residual at the jump point
+    val jump = (Seq.tabulate(5)(t => (t.toLong, 10.0)) ++
+      Seq.tabulate(5)(t => ((t + 5).toLong, 20.0))).toDF("t", "v")
+    val j = Stats.holtSmooth(jump, "t", "v", 0.3, 0.1).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(j(5L).getAs[Double]("residual") > 5.0)
+    intercept[IllegalArgumentException] {
+      Stats.holtSmooth(Seq((1L, 1.0)).toDF("t", "v"), "t", "v", 0.3, 0.1)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Stats.holtSmooth(lin, "t", "v", 0.3, 0.1, maxPoints = 5)
+    }
+    assert(e.getMessage.contains("PRE-AGGREGATED"))
+  }
+
   test("changepoint: locates a planted level shift; ties break to smallest k") {
     import spark.implicits._
     // 10 points at level 5, then 10 at level 9: S_k - (k/20)*140 peaks
