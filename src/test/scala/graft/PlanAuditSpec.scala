@@ -1131,6 +1131,41 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"expected windows (printed above) to consume the bucket table, not the corpus:\n$p")
   }
 
+  test("winsorizedEffect: the one-row cap broadcasts; the fold is one partial+final agg") {
+    val obs = spark.range(5000).select(
+      when($"id" % 2 === 0, "A").otherwise("B").as("arm"),
+      ($"id" % 97).cast("double").as("v"))
+    val p = auditPlan(graft.operators.Experiment.winsorizedEffect(
+      obs, "arm", "v", 0.95, "A", "B"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row cap to broadcast:\n$p")
+    // the capped fold itself is partial+final (corpus crosses once)
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+  }
+
+  test("upliftByQuantile: edge row broadcasts; per-bucket agg is the only hash exchange") {
+    val obs = spark.range(5000).select(
+      when($"id" % 2 === 0, "A").otherwise("B").as("arm"),
+      ($"id" % 37).cast("double").as("score"), ($"id" % 3 === 0).as("y"))
+    val p = auditPlan(graft.operators.Experiment.upliftByQuantile(
+      obs, "arm", "score", col("y"), 5, "A", "B"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row edge array to broadcast:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one bucket-key exchange:\n$p")
+  }
+
+  test("alwaysValidMonitor: one day-keyed exchange; the trajectory walks the bounded daily table") {
+    val obs = spark.range(5000).select(($"id" % 30).as("day"),
+      when($"id" % 2 === 0, "A").otherwise("B").as("arm"),
+      ($"id" % 5 === 0).as("y"))
+    val p = auditPlan(graft.operators.Experiment.alwaysValidMonitor(
+      obs, "day", "arm", col("y"), "A", "B"))
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one day-keyed exchange:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+  }
+
   test("changepoint windows run above the caller's bounded aggregation only") {
     val series = spark.range(400).select(($"id" % 40).as("t"),
       ($"id" % 7).cast("double").as("v"))
