@@ -2883,6 +2883,25 @@ object SparkEntry {
               .otherwise("arm2")),
         "arm", Map("arm0" -> 0.25, "arm1" -> 0.25, "arm2" -> 0.5))),
 
+    // ---- per-segment SRM: day-of-week segments, 50/50 design —
+    //      a skew confined to one segment dilutes out of the global
+    //      chi2 but flags here ----
+    "q_srm_by_segment" -> ((s, dir) =>
+      Experiment.srmBySegment(
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .withColumn("dow",
+            datediff(to_date(col("ts")), lit("1970-01-01")) % 7)
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "A").otherwise("B")),
+        "dow", "arm", Map("A" -> 0.5, "B" -> 0.5))),
+
+    // ---- A/A calibration: 50 seeded re-randomizations of the same
+    //      population; the z test's false-positive rate should sit
+    //      near 5% if the variance model is honest ----
+    "q_aa_calibration" -> ((s, dir) =>
+      Experiment.aaCalibration(perUserExperiment(s, dir),
+        "user_id", col("purchases") >= 14L, 50)),
+
     // ---- two-proportion z test: are heavy buyers (>= 14 purchases,
     //      ~median) more common in arm A? per-user fold, exact counts;
     //      the >=1-purchase outcome saturates at 1.0 here and would
@@ -6374,6 +6393,81 @@ object SparkEntry {
         |    AS chi2,
         |  arms - 1 AS dof
         |FROM x ORDER BY arm""".stripMargin,
+
+    // segment-SRM truth: same per-(dow, arm) counts, per-segment chi2
+    // with 6 dp contribution rounding and the df=1 critical value
+    "q_srm_by_segment" ->
+      """WITH ev AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR)
+        |      AS segment,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT segment,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a0,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a1,
+        |    CAST(sum(CASE WHEN arm NOT IN ('A', 'B') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unknown
+        |  FROM ev GROUP BY 1),
+        |c AS (SELECT segment, a0 + a1 AS n, n_unknown,
+        |    CASE WHEN a0 + a1 > 0 THEN CAST(
+        |      CAST(round((CAST(a0 AS DOUBLE) - CAST(a0 + a1 AS DOUBLE) * 0.5)
+        |        * (CAST(a0 AS DOUBLE) - CAST(a0 + a1 AS DOUBLE) * 0.5)
+        |        / (CAST(a0 + a1 AS DOUBLE) * 0.5), 6) AS DECIMAL(18,6)) +
+        |      CAST(round((CAST(a1 AS DOUBLE) - CAST(a0 + a1 AS DOUBLE) * 0.5)
+        |        * (CAST(a1 AS DOUBLE) - CAST(a0 + a1 AS DOUBLE) * 0.5)
+        |        / (CAST(a0 + a1 AS DOUBLE) * 0.5), 6) AS DECIMAL(18,6))
+        |      AS DOUBLE) END AS chi2
+        |  FROM g)
+        |SELECT segment, n, n_unknown, chi2, 1 AS dof,
+        |  chi2 > 3.841459 AS srm_flag
+        |FROM c ORDER BY segment""".stripMargin,
+
+    // A/A truth: identical md5(unit#k) parity splits, the same pooled-SE
+    // z per pseudo-experiment, calibration summary over the k rows
+    "q_aa_calibration" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT id, y, k FROM pu CROSS JOIN range(1, 51) AS t(k)),
+        |a AS (SELECT k,
+        |    CAST(('0x' || substr(md5(id || '#' || CAST(k AS VARCHAR)),
+        |      1, 15)) AS UBIGINT) % 2 AS arm, y FROM e),
+        |g AS (SELECT k,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS s_b
+        |  FROM a GROUP BY k),
+        |z AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |      THEN abs((pa - pb) / se) > 1.96 END AS sig
+        |  FROM (SELECT *,
+        |      CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) AS pa,
+        |      CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS pb,
+        |      sqrt((CAST(s_a + s_b AS DOUBLE) /
+        |          nullif(CAST(n_a + n_b AS DOUBLE), 0.0)) *
+        |        (1.0 - CAST(s_a + s_b AS DOUBLE) /
+        |          nullif(CAST(n_a + n_b AS DOUBLE), 0.0)) *
+        |        (1.0 / nullif(CAST(n_a AS DOUBLE), 0.0) +
+        |         1.0 / nullif(CAST(n_b AS DOUBLE), 0.0))) AS se
+        |    FROM g))
+        |SELECT CAST(count(*) AS BIGINT) AS n_experiments,
+        |  CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_significant,
+        |  CAST(sum(CASE WHEN sig IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_degenerate,
+        |  round(CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    nullif(CAST(count(*) - sum(CASE WHEN sig IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE), 0.0), 6) AS false_positive_rate
+        |FROM z""".stripMargin,
 
     // z-test truth: exact per-user heavy-buyer counts (>= 14 purchases),
     // the pooled-SE expression in the operator's fixed order, flag on

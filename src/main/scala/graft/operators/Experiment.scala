@@ -73,6 +73,106 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Per-segment SRM: the [[srmCheck]] χ² computed WITHIN each segment
+    * (platform, country, entry surface) — a bucketing bug that skews
+    * only one segment dilutes to invisibility in the global test while
+    * corrupting exactly that segment's readout. One grouped
+    * aggregation to (segment, arm), expected counts against the
+    * designed shares from the segment's own total, per-segment χ² with
+    * the same 6 dp contribution rounding as the global check. Arms
+    * outside the design count into `n_unknown` per segment (a grouped
+    * report must keep emitting, like the streaming twin — the global
+    * [[srmCheck]] is the one that fails fast). One row per segment,
+    * ordered; dof = |designed arms| − 1.
+    */
+  def srmBySegment(df: DataFrame, segmentCol: String, armCol: String,
+                   expected: Map[String, Double],
+                   chi2Critical: Double = 3.841459): DataFrame = {
+    require(expected.nonEmpty, "expected shares must be non-empty")
+    require(math.abs(expected.values.sum - 1.0) < 1e-9,
+      s"expected shares must sum to 1, got ${expected.values.sum}")
+    require(expected.values.forall(_ > 0),
+      "expected shares must all be positive")
+    val arms = expected.keys.toSeq.sorted
+    val arm = col(armCol).cast("string")
+    val counts = arms.zipWithIndex.map { case (a, k) =>
+      sum(when(arm === a, 1L).otherwise(0L)).as(s"_a$k")
+    } :+ sum(when(arm.isin(arms: _*), 0L).otherwise(1L)).as("_unk")
+    val g = df.filter(col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).cast("string").as("segment"))
+      .agg(counts.head, counts.tail: _*)
+    val total = arms.indices.map(k => col(s"_a$k")).reduce(_ + _)
+    def contrib(k: Int): Column = {
+      val e = col("n").cast("double") * lit(expected(arms(k)))
+      round((col(s"_a$k").cast("double") - e) *
+        (col(s"_a$k").cast("double") - e) / e, 6).cast("decimal(18,6)")
+    }
+    g.withColumn("n", total)
+      .withColumn("chi2",
+        when(col("n") > 0,
+          arms.indices.map(contrib).reduce(_ + _).cast("double")))
+      .select(col("segment"), col("n"), col("_unk").as("n_unknown"),
+        col("chi2"), lit(arms.size - 1).as("dof"),
+        (col("chi2") > chi2Critical).as("srm_flag"))
+      .orderBy("segment")
+  }
+
+  /** A/A calibration: re-randomize the SAME population `k` times with
+    * a seeded hash split and run the two-proportion z test on each
+    * pseudo-experiment — on null data ~5% of |z| should cross 1.96.
+    * A platform whose A/A false-positive rate reads 11% has a broken
+    * variance estimate (clustered exposure, dependent units) and every
+    * "significant" launch readout it ever produced is suspect. THE
+    * validation to run before trusting a new assignment pipeline.
+    *
+    * The split reuses the bootstrap kernel's md5 parity (unit, k) —
+    * deterministic and oracle-reproducible. The corpus explodes ×k but
+    * collapses in ONE map-side-combined aggregation to k rows; the z
+    * fold and the calibration summary walk that bounded table.
+    */
+  def aaCalibration(df: DataFrame, idCol: String, success: Column,
+                    k: Int = 50): DataFrame = {
+    require(k >= 10 && k <= 1000, s"k in [10, 1000], got $k")
+    val rows = df.select(col(idCol).cast("string").as("_id"),
+      when(success, 1L).otherwise(0L).as("_y"))
+    val armBit = conv(substring(
+      md5(concat(col("_id"), lit("#"), col("_k"))), 1, 15), 16, 10)
+      .cast("decimal(20,0)") % 2
+    val per = rows
+      .select(col("_id"), col("_y"),
+        explode(sequence(lit(1), lit(k))).as("_k"))
+      .withColumn("_arm", armBit)
+      .groupBy("_k")
+      .agg(
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_arm") === 0, col("_y")).otherwise(0L)).as("s_a"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_arm") === 1, col("_y")).otherwise(0L)).as("s_b"))
+    val na = nullif(col("n_a").cast("double"), lit(0.0))
+    val nb = nullif(col("n_b").cast("double"), lit(0.0))
+    val pa = col("s_a").cast("double") / na
+    val pb = col("s_b").cast("double") / nb
+    val pPool = (col("s_a") + col("s_b")).cast("double") /
+      nullif((col("n_a") + col("n_b")).cast("double"), lit(0.0))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = (pa - pb) / se
+    val sig = when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+      abs(z) > 1.96)
+    per
+      .withColumn("_sig", sig)
+      .agg(count(lit(1)).as("n_experiments"),
+        sum(when(col("_sig"), 1L).otherwise(0L)).as("n_significant"),
+        sum(when(col("_sig").isNull, 1L).otherwise(0L)).as("n_degenerate"))
+      .select(col("n_experiments"), col("n_significant"),
+        col("n_degenerate"),
+        // nullif: every split degenerate (constant outcome) must yield
+        // NULL rate, not an ANSI DIVIDE_BY_ZERO task failure
+        round(col("n_significant").cast("double") /
+          nullif((col("n_experiments") - col("n_degenerate"))
+            .cast("double"), lit(0.0)), 6)
+          .as("false_positive_rate"))
+  }
+
   /** Two-proportion z test between arms `armA` and `armB`: pooled
     * standard error, z = (p̂A − p̂B)/√(p̂(1−p̂)(1/nA + 1/nB)). The
     * conversion-rate readout. One row: counts, rates, the absolute

@@ -216,6 +216,40 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("srmBySegment: a skew confined to one segment flags there and only there") {
+    val rows = ((Seq.fill(50)("A") ++ Seq.fill(50)("B")).map(("mobile", _)) ++
+      (Seq.fill(30)("A") ++ Seq.fill(10)("B")).map(("web", _)) ++
+      Seq(("web", "typo"))).toDF("seg", "arm")
+    val out = Experiment.srmBySegment(rows, "seg", "arm",
+        Map("A" -> 0.5, "B" -> 0.5))
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    assert(out("mobile").getAs[Double]("chi2") == 0.0)
+    assert(!out("mobile").getAs[Boolean]("srm_flag"))
+    // (30-20)^2/20 + (10-20)^2/20 = 10
+    assert(out("web").getAs[Double]("chi2") == 10.0)
+    assert(out("web").getAs[Boolean]("srm_flag"))
+    assert(out("web").getAs[Long]("n") == 40L) // designed arms only
+    assert(out("web").getAs[Long]("n_unknown") == 1L)
+    assert(out("web").getAs[Int]("dof") == 1)
+  }
+
+  test("aaCalibration: deterministic, near-nominal on null data, degenerates counted") {
+    val units = Seq.tabulate(400)(i => (i.toLong, i % 5 == 0))
+      .toDF("id", "ok")
+    val r1 = Experiment.aaCalibration(units, "id", col("ok"), 50).head()
+    val r2 = Experiment.aaCalibration(units, "id", col("ok"), 50).head()
+    assert(r1 == r2, "seeded splits must replay bit-for-bit")
+    assert(r1.getAs[Long]("n_experiments") == 50L)
+    assert(r1.getAs[Long]("n_degenerate") == 0L)
+    // null data: the rate must sit near alpha = 5%, certainly under 20%
+    assert(r1.getAs[Double]("false_positive_rate") <= 0.2)
+    // constant outcome: pooled p = 1 in every split -> all degenerate
+    val const = Seq.tabulate(50)(i => (i.toLong, true)).toDF("id", "ok")
+    val c = Experiment.aaCalibration(const, "id", col("ok"), 20).head()
+    assert(c.getAs[Long]("n_degenerate") == 20L)
+    assert(c.isNullAt(c.fieldIndex("false_positive_rate")))
+  }
+
   test("readout bundle: every table evaluates and agrees with its standalone operator") {
     val perUnit = Seq.tabulate(100) { i =>
       val arm = if (i % 2 == 0) "A" else "B"
