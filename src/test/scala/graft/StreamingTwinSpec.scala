@@ -209,6 +209,43 @@ class StreamingJsdSpec extends SparkSpecBase {
   }
 }
 
+class StreamingHoltSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming Holt trajectory is bit-identical to the batch fold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.StreamingHolt(
+        mem.toDF().toDF("series_key", "t", "v"), 0.3, 0.1)
+      .writeStream.format("memory").queryName("sholt").outputMode("update")
+      .start()
+    try {
+      val ys = Seq.tabulate(10)(i => 5.0 + 3.0 * i + (i % 3))
+      // two micro-batches, in order — state carries the recursion over
+      mem.addData(ys.take(4).zipWithIndex.map { case (v, i) => ("m1", i.toLong, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(ys.drop(4).zipWithIndex.map { case (v, i) => ("m1", (i + 4).toLong, v) }: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT t, value, level, trend, fitted, residual FROM sholt ORDER BY t")
+        .collect()
+      val want = graft.operators.Stats.holtSmooth(
+          ys.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v"),
+          "t", "v", 0.3, 0.1)
+        .select("t", "value", "level", "trend", "fitted", "residual")
+        .orderBy("t").collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+      // a second key gets its own independent state
+      mem.addData(("m2", 0L, 1.0), ("m2", 1L, 2.0))
+      q.processAllAvailable()
+      val m2 = spark.sql(
+        "SELECT trend FROM sholt WHERE series_key = 'm2' ORDER BY t").collect()
+      assert(m2.length == 2 && m2.forall(_.getDouble(0) == 1.0))
+    } finally q.stop()
+  }
+}
+
 class StreamingSrmSpec extends SparkSpecBase {
   import spark.implicits._
 
