@@ -73,6 +73,67 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Cluster-robust two-arm z test: the repair for what
+    * [[aaCalibration]] diagnoses. When exposure is clustered (all of a
+    * household/session/geo shares one assignment), units within a
+    * cluster are correlated and [[twoProportionZ]]'s per-unit variance
+    * is too small — the readout fires on noise. Here the arm rate is
+    * the ratio of CLUSTER sums p̂ = Σs_c/Σn_c and its variance is the
+    * cluster-level delta method
+    * Var ≈ (C/(C−1)) · Σ(s_c − p̂·n_c)² / (Σn_c)²
+    * — clusters, not units, are the independent draws.
+    *
+    * Scale shape: one grouped aggregation collapses units to (cluster,
+    * arm) rows; a second map-side-combined fold collapses those to one
+    * row per arm worth of moments. Nothing bounded-table-sized is
+    * assumed of the cluster count. The per-cluster squared residual
+    * cannot be exact-decimal (p̂ enters), so the second fold quantizes
+    * each residual² at 9 dp into DECIMAL(38,12) — order-free like the
+    * jackknife fold. Degenerate variance yields NULL z.
+    */
+  def clusterRobustZ(df: DataFrame, armCol: String, clusterCol: String,
+                     success: Column, armA: String, armB: String): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val y = when(success, 1L).otherwise(0L)
+    val perCluster = df.filter(arm.isin(armA, armB))
+      .groupBy(arm.as("_arm"), col(clusterCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_n"), sum(y).as("_s"))
+    // pass 1 over the cluster table: totals per arm (exact integers)
+    val tot = perCluster.groupBy("_arm")
+      .agg(sum("_n").as("_tn"), sum("_s").as("_ts"),
+        count(lit(1)).as("_tc"))
+    // p-hat per arm attaches back to every cluster row (tiny 2-row side)
+    val joined = perCluster.join(broadcast(tot), "_arm")
+    val pHat = col("_ts").cast("double") / col("_tn").cast("double")
+    val resid = col("_s").cast("double") - pHat * col("_n").cast("double")
+    val folded = joined
+      .withColumn("_r2", round(resid * resid, 9).cast("decimal(38,12)"))
+      .groupBy("_arm")
+      .agg(first("_tn").as("n"), first("_ts").as("s"),
+        first("_tc").as("clusters"), sum("_r2").as("_ss"))
+    def side(a: String, suff: String): DataFrame = folded
+      .filter(col("_arm") === a)
+      .select(col("n").as(s"n_$suff"), col("s").as(s"s_$suff"),
+        col("clusters").as(s"clusters_$suff"), col("_ss").as(s"_ss_$suff"))
+    val both = side(armA, "a").crossJoin(side(armB, "b"))
+    def rate(suff: String): Column =
+      col(s"s_$suff").cast("double") /
+        nullif(col(s"n_$suff").cast("double"), lit(0.0))
+    def varSide(suff: String): Column = {
+      val c = col(s"clusters_$suff").cast("double")
+      (c / (c - lit(1.0))) * col(s"_ss_$suff").cast("double") /
+        (col(s"n_$suff").cast("double") * col(s"n_$suff").cast("double"))
+    }
+    val se = sqrt(varSide("a") + varSide("b"))
+    val z = (rate("a") - rate("b")) / se
+    val ok = col("clusters_a") > 1 && col("clusters_b") > 1 && se > 0
+    both.select(col("n_a"), col("s_a"), col("clusters_a"),
+      col("n_b"), col("s_b"), col("clusters_b"),
+      round(rate("a"), 6).as("p_a"), round(rate("b"), 6).as("p_b"),
+      when(ok, round(z, 6)).as("z"),
+      when(ok, abs(z) > 1.96).as("significant_5pct"))
+  }
+
   /** Per-segment SRM: the [[srmCheck]] χ² computed WITHIN each segment
     * (platform, country, entry surface) — a bucketing bug that skews
     * only one segment dilutes to invisibility in the global test while

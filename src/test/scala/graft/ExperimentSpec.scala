@@ -216,6 +216,38 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("clusterRobustZ: clustered exposure deflates the naive z below significance") {
+    // 10 clusters per arm, 10 units each, outcomes IDENTICAL within a
+    // cluster (the worst-case intra-cluster correlation): A has 8
+    // all-pass clusters, B has 5. The per-unit z test sees 100 vs 100
+    // "independent" units and fires (z ~ 4.4); the cluster-robust test
+    // sees 10 vs 10 draws and correctly does not.
+    def cluster(arm: String, cid: String, pass: Boolean) =
+      Seq.fill(10)((arm, cid, pass))
+    val rows = ((0 until 10).flatMap(i => cluster("A", s"a$i", i < 8)) ++
+      (0 until 10).flatMap(i => cluster("B", s"b$i", i < 5)))
+      .toDF("arm", "household", "ok")
+    val naive = Experiment.twoProportionZ(rows, "arm", col("ok"), "A", "B")
+      .head()
+    assert(naive.getAs[Boolean]("significant_5pct"))
+    val r = Experiment.clusterRobustZ(rows, "arm", "household",
+      col("ok"), "A", "B").head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("clusters_a") == 10L)
+    assert(r.getAs[Double]("p_a") == 0.8 && r.getAs[Double]("p_b") == 0.5)
+    // hand CR0: ss_a = 8*(10-8)^2 + 2*(0-8)^2 = 160; ss_b = 10*25 = 250
+    val se = math.sqrt((10.0 / 9.0) * 160.0 / 10000.0 +
+      (10.0 / 9.0) * 250.0 / 10000.0)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == r6((0.8 - 0.5) / se))
+    assert(!r.getAs[Boolean]("significant_5pct"))
+    // single cluster in an arm: variance undefined -> NULL z
+    val solo = (cluster("A", "a0", true) ++ cluster("B", "b0", false) ++
+      cluster("B", "b1", true)).toDF("arm", "household", "ok")
+    val s = Experiment.clusterRobustZ(solo, "arm", "household",
+      col("ok"), "A", "B").head()
+    assert(s.isNullAt(s.fieldIndex("z")))
+  }
+
   test("srmBySegment: a skew confined to one segment flags there and only there") {
     val rows = ((Seq.fill(50)("A") ++ Seq.fill(50)("B")).map(("mobile", _)) ++
       (Seq.fill(30)("A") ++ Seq.fill(10)("B")).map(("web", _)) ++
