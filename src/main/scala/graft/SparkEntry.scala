@@ -2883,6 +2883,20 @@ object SparkEntry {
               .otherwise("arm2")),
         "arm", Map("arm0" -> 0.25, "arm1" -> 0.25, "arm2" -> 0.5))),
 
+    // ---- switchback readout: arm alternates per 6-hour block (the
+    //      marketplace design when user-level randomization leaks
+    //      through shared inventory); blocks are the independent
+    //      draws, so the analysis IS the cluster-robust z with
+    //      cluster = block ----
+    "q_switchback" -> ((s, dir) =>
+      Experiment.clusterRobustZ(
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .withColumn("block",
+            floor(unix_micros(col("ts")) / lit(21600000000L)))
+          .withColumn("arm",
+            when(col("block") % 2 === 0, "A").otherwise("B")),
+        "arm", "block", col("event_type") === "purchase", "A", "B")),
+
     // ---- cluster-robust z on EVENT-level conversion with user
     //      clusters: events within a user share an assignment, so the
     //      naive per-event variance is too small ----
@@ -6403,6 +6417,63 @@ object SparkEntry {
         |    AS chi2,
         |  arms - 1 AS dof
         |FROM x ORDER BY arm""".stripMargin,
+
+    // switchback truth: same 6-hour block derivation (double division
+    // of exact micros, floor), then the identical CR0 fold with
+    // cluster = block
+    "q_switchback" ->
+      """WITH ev AS (SELECT
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000)
+        |      AS BIGINT) AS block,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE ts IS NOT NULL),
+        |ev2 AS (SELECT CASE WHEN block % 2 = 0 THEN 'A' ELSE 'B' END
+        |    AS arm, CAST(block AS VARCHAR) AS c, y FROM ev),
+        |pc AS (SELECT arm, c, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sm FROM ev2 GROUP BY 1, 2),
+        |t AS (SELECT arm, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(sm) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS tc
+        |  FROM pc GROUP BY 1),
+        |j AS (SELECT pc.arm,
+        |    CAST(round((CAST(pc.sm AS DOUBLE) -
+        |      (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE)) *
+        |      CAST(pc.n AS DOUBLE)) *
+        |      (CAST(pc.sm AS DOUBLE) -
+        |      (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE)) *
+        |      CAST(pc.n AS DOUBLE)), 9) AS DECIMAL(38,12)) AS r2,
+        |    t.tn, t.ts, t.tc
+        |  FROM pc JOIN t USING (arm)),
+        |g AS (SELECT arm, max(tn) AS n, max(ts) AS sm, max(tc) AS cl,
+        |    sum(r2) AS ss FROM j GROUP BY arm),
+        |p AS (SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sm END) AS s_a,
+        |    MAX(CASE WHEN arm = 'A' THEN cl END) AS clusters_a,
+        |    MAX(CASE WHEN arm = 'A' THEN ss END) AS ss_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sm END) AS s_b,
+        |    MAX(CASE WHEN arm = 'B' THEN cl END) AS clusters_b,
+        |    MAX(CASE WHEN arm = 'B' THEN ss END) AS ss_b FROM g),
+        |d AS (SELECT *,
+        |    CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) AS pa,
+        |    CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS pb,
+        |    sqrt(
+        |      (CAST(clusters_a AS DOUBLE) /
+        |        (CAST(clusters_a AS DOUBLE) - 1.0)) *
+        |        CAST(ss_a AS DOUBLE) /
+        |        (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) +
+        |      (CAST(clusters_b AS DOUBLE) /
+        |        (CAST(clusters_b AS DOUBLE) - 1.0)) *
+        |        CAST(ss_b AS DOUBLE) /
+        |        (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))) AS se
+        |  FROM p)
+        |SELECT n_a, s_a, clusters_a, n_b, s_b, clusters_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  CASE WHEN clusters_a > 1 AND clusters_b > 1 AND se > 0
+        |    THEN round((pa - pb) / se, 6) END AS z,
+        |  CASE WHEN clusters_a > 1 AND clusters_b > 1 AND se > 0
+        |    THEN abs((pa - pb) / se) > 1.96 END AS significant_5pct
+        |FROM d""".stripMargin,
 
     // cluster-z truth: same (cluster, arm) fold, 9 dp residual-squared
     // quantization, CR0 cluster variance in the operator's fixed order
