@@ -1166,6 +1166,21 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
   }
 
+  test("clusterRobustZ: per-arm totals broadcast back; both folds are distributed aggs") {
+    val obs = spark.range(5000).select(
+      when($"id" % 2 === 0, "A").otherwise("B").as("arm"),
+      ($"id" % 500).cast("string").as("cl"), ($"id" % 7 === 0).as("y"))
+    val p = auditPlan(graft.operators.Experiment.clusterRobustZ(
+      obs, "arm", "cl", col("y"), "A", "B"))
+    // the 2-row per-arm totals attach via broadcast; the cluster table
+    // itself never funnels through a single partition before the final
+    // per-arm moment fold
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast totals attach:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"the only cross join must be the bounded 1x1 arm-side join:\n$p")
+  }
+
   test("changepoint windows run above the caller's bounded aggregation only") {
     val series = spark.range(400).select(($"id" % 40).as("t"),
       ($"id" % 7).cast("double").as("v"))
