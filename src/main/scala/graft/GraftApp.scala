@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object GraftApp {
 
-  private val flagArgs = Set("--ignore-dates", "--apply")
+  private val flagArgs = Set("--ignore-dates", "--apply", "--validate")
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
@@ -160,6 +160,29 @@ object GraftApp {
           .withColumn("day", datediff(to_date(col("ts")), lit("1970-01-01")))
           .withColumn("converted",
             when(col("event_type") === "purchase", 1L).otherwise(0L))
+        if (opts.contains("validate")) {
+          // platform validation instead of a readout: is this
+          // assignment pipeline trustworthy at all?
+          val aa = graft.operators.Experiment.aaCalibration(
+            perUser, "user_id", col("converted") === 1L, 50).head()
+          val seg = graft.operators.Experiment.srmBySegment(
+            daily.withColumn("dow", col("day") % 7),
+            "dow", "arm", Map(p.armA -> 0.5, p.armB -> 0.5))
+          val clu = graft.operators.Experiment.clusterRobustZ(
+            daily, "arm", "user_id", col("converted") === 1L,
+            p.armA, p.armB).head()
+          println(s"A/A false-positive rate: " +
+            s"${aa.getAs[Any]("false_positive_rate")} " +
+            s"(${aa.getAs[Long]("n_significant")}/" +
+            s"${aa.getAs[Long]("n_experiments")} splits)")
+          val flagged = seg.filter(col("srm_flag")).count()
+          println(s"per-segment SRM: $flagged flagged segment(s)")
+          println(s"cluster-robust z (user clusters): " +
+            s"${clu.getAs[Any]("z")} vs naive-unit variance")
+          seg.write.mode("overwrite").parquet(s"$out/srm_by_segment.parquet")
+          println(s"validation tables in $out")
+          return
+        }
         val r = graft.operators.Experiment.readout(perUser, daily, p)
         // every readout collapses to a bounded table — collect for the
         // manifest is model-sized by construction (arms/buckets/days)
