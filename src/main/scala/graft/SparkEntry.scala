@@ -2926,6 +2926,13 @@ object SparkEntry {
       Experiment.aaCalibration(perUserExperiment(s, dir),
         "user_id", col("purchases") >= 14L, 50)),
 
+    // ---- relative lift with a delta-method CI on the RATE RATIO:
+    //      the percentage a launch review reads, with the control
+    //      rate's own noise priced in ----
+    "q_relative_lift" -> ((s, dir) =>
+      Experiment.relativeLiftCI(perUserExperiment(s, dir),
+        "arm", col("purchases") >= 14L, "A", "B")),
+
     // ---- two-proportion z test: are heavy buyers (>= 14 purchases,
     //      ~median) more common in arm A? per-user fold, exact counts;
     //      the >=1-purchase outcome saturates at 1.0 here and would
@@ -6603,6 +6610,42 @@ object SparkEntry {
         |    nullif(CAST(count(*) - sum(CASE WHEN sig IS NULL THEN 1
         |      ELSE 0 END) AS DOUBLE), 0.0), 6) AS false_positive_rate
         |FROM z""".stripMargin,
+
+    // relative-lift truth: same heavy-buyer fold, the ratio delta-method
+    // variance in the operator's fixed double order
+    "q_relative_lift" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM pu),
+        |d AS (SELECT *,
+        |    CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) AS pa,
+        |    CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS pb
+        |  FROM t),
+        |v AS (SELECT *,
+        |    pa / pb - 1.0 AS lift,
+        |    sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE) / (pb * pb) +
+        |      pa * pa * (pb * (1.0 - pb) / CAST(n_b AS DOUBLE)) /
+        |      (pb * pb * pb * pb)) AS se
+        |  FROM d)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  CASE WHEN s_b > 0 THEN round(lift, 6) END AS lift,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND s_b > 0 AND se > 0
+        |    THEN round(lift - 1.959964 * se, 6) END AS ci_low,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND s_b > 0 AND se > 0
+        |    THEN round(lift + 1.959964 * se, 6) END AS ci_high
+        |FROM v""".stripMargin,
 
     // z-test truth: exact per-user heavy-buyer counts (>= 14 purchases),
     // the pooled-SE expression in the operator's fixed order, flag on

@@ -737,6 +737,42 @@ object Experiment {
       .orderBy("day")
   }
 
+  /** Relative-lift CI: the "+4.2% (±1.1%)" number a launch review
+    * actually reads, with the delta-method variance of the RATIO of
+    * rates — reporting the absolute delta's CI divided by the control
+    * rate is wrong because the control rate is itself noisy:
+    * Var(p̂A/p̂B) ≈ Var(p̂A)/p̂B² + p̂A²·Var(p̂B)/p̂B⁴ with the
+    * independent-arm binomial variances p̂(1−p̂)/n. One exact-count
+    * aggregation; lift = p̂A/p̂B − 1 and its CI are fixed-order doubles
+    * rounded 6 dp; a zero control rate yields NULLs, never a failure.
+    */
+  def relativeLiftCI(df: DataFrame, armCol: String, success: Column,
+                     armA: String, armB: String,
+                     z: Double = 1.959964): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val agg = df.filter(arm.isin(armA, armB))
+      .agg(
+        sum(when(arm === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm === armA && success, 1L).otherwise(0L)).as("s_a"),
+        sum(when(arm === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(arm === armB && success, 1L).otherwise(0L)).as("s_b"))
+    val na = nullif(col("n_a").cast("double"), lit(0.0))
+    val nb = nullif(col("n_b").cast("double"), lit(0.0))
+    val pa = col("s_a").cast("double") / na
+    val pb = col("s_b").cast("double") / nb
+    val va = pa * (lit(1.0) - pa) / na
+    val vb = pb * (lit(1.0) - pb) / nb
+    val varRatio = va / (pb * pb) + pa * pa * vb / (pb * pb * pb * pb)
+    val se = sqrt(varRatio)
+    val lift = pa / pb - lit(1.0)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && col("s_b") > 0 && se > 0
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(col("s_b") > 0, round(lift, 6)).as("lift"),
+      when(ok, round(lift - lit(z) * se, 6)).as("ci_low"),
+      when(ok, round(lift + lit(z) * se, 6)).as("ci_high"))
+  }
+
   /** CUPED (Deng et al. 2013) variance-reduced treatment effect:
     * θ = cov(x, y)/var(x) over the pooled arms for a pre-experiment
     * covariate x, then the adjusted delta

@@ -216,6 +216,26 @@ class ExperimentSpec extends SparkSpecBase {
     assert(m.isNullAt(m.fieldIndex("mean_b_post")))
   }
 
+  test("relativeLiftCI: matches the ratio delta method; zero control rate is null") {
+    // A: 120/200 (0.6); B: 100/200 (0.5) -> lift = +20%
+    val rows = (Seq.tabulate(200)(i => ("A", i < 120)) ++
+      Seq.tabulate(200)(i => ("B", i < 100))).toDF("arm", "conv")
+    val r = Experiment.relativeLiftCI(rows, "arm", col("conv"), "A", "B").head()
+    assert(r.getAs[Double]("lift") == 0.2)
+    val (pa, pb, na, nb) = (0.6, 0.5, 200.0, 200.0)
+    val va = pa * (1.0 - pa) / na; val vb = pb * (1.0 - pb) / nb
+    val se = math.sqrt(va / (pb * pb) + pa * pa * vb / (pb * pb * pb * pb))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ci_low") == r6(pa / pb - 1.0 - 1.959964 * se))
+    assert(r.getAs[Double]("ci_high") == r6(pa / pb - 1.0 + 1.959964 * se))
+    // control never converts: the ratio is undefined, not infinite
+    val zeroB = (Seq.fill(10)(("A", true)) ++ Seq.fill(10)(("B", false)))
+      .toDF("arm", "conv")
+    val z = Experiment.relativeLiftCI(zeroB, "arm", col("conv"), "A", "B").head()
+    assert(z.isNullAt(z.fieldIndex("lift")))
+    assert(z.isNullAt(z.fieldIndex("ci_low")))
+  }
+
   test("clusterRobustZ: clustered exposure deflates the naive z below significance") {
     // 10 clusters per arm, 10 units each, outcomes IDENTICAL within a
     // cluster (the worst-case intra-cluster correlation): A has 8
