@@ -8335,6 +8335,59 @@ object SparkEntry {
     * `l_returnflag = 'R'`.
     */
   private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact Bayesian A/B readout: P(arm B beats arm A) on the
+    //      heavy-buyer outcome, Beta(1,1) priors, Cook's closed-form
+    //      sum — one corpus fold to 4 counts, bounded driver math ----
+    "q_bayes_ab" -> ((s, dir) =>
+      Experiment.bayesianAB(perUserExperiment(s, dir), "arm",
+        col("purchases") >= 14L, "A", "B")),
+
+    // ---- ε-DP Laplace release of per-event-type user counts and
+    //      clipped per-user purchase value (one row per privacy unit
+    //      per group upstream, content-addressed seeded noise) ----
+    "q_dp_release" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      Privacy.dpRelease(perUser, "event_type", col("v"), epsilon = 1.0,
+        clip = 100.0).orderBy("event_type")
+    }),
+
+    // ---- frequent contiguous event-type sequences (ordered bigrams +
+    //      Apriori-pruned trigrams, distinct-user support >= 30%) ----
+    "q_frequent_seqs" -> ((s, dir) =>
+      EventAnalytics.frequentSequences(Tables.events(s, dir), minShare = 0.3)
+        .orderBy("len", "seq")),
+
+    // ---- rolling-origin forecast backtest: naive vs seasonal-naive
+    //      MAE/sMAPE at horizons 1..7 on per-priority daily revenue ----
+    "q_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+      Stats.backtestForecast(daily, "priority", "day", "v")
+        .orderBy("priority", "model", "horizon")
+    }),
+
+    // ---- image EXIF header scan: planted doc-seeded EXIF JPEGs (both
+    //      TIFF byte orders), real PNGs, and junk rows — dimensions +
+    //      orientation from header bytes only, no pixel decode ----
+    "q_image_exif" -> ((s, dir) => {
+      val mkJpeg = udf((d: Long) => ExifHeader.syntheticExifJpeg(
+        (d % 500 + 32).toInt, (d % 300 + 24).toInt, (d % 8 + 1).toInt,
+        bigEndian = d % 2 == 0))
+      val mkPng = udf((d: Long) => Multimodal.syntheticImage(d))
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, mkJpeg(col("doc_id")))
+          .when(col("doc_id") % 3 === 1, mkPng(col("doc_id")))
+          // 'x:' prefix: no image signature starts with 'x', so junk
+          // rows can never alias a real container by text accident
+          .otherwise(encode(concat(lit("x:"), col("text")), "UTF-8"))
+          .as("payload"))
+      Multimodal.imageExif(payloads).orderBy("doc_id")
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8511,6 +8564,137 @@ object SparkEntry {
       .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
 
   private def evalOracles: Map[String, String] = Map(
+    // Cook's closed-form sum replayed with DuckDB's lgamma (the operator
+    // uses exact Σln k prefix sums; both are exact to ~1e-13, reconciled
+    // by the 6 dp rounding); correlated generate_series walks i=0..αB−1
+    "q_bayes_ab" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS s_b
+        |  FROM pu),
+        |p AS (SELECT *, s_a + 1 AS aa, n_a - s_a + 1 AS ba,
+        |    s_b + 1 AS ab2, n_b - s_b + 1 AS bb FROM t),
+        |terms AS (SELECT p.*, exp(
+        |      (lgamma(aa + i) + lgamma(ba + bb) - lgamma(aa + i + ba + bb))
+        |      - ln(bb + i)
+        |      - (lgamma(1 + i) + lgamma(bb) - lgamma(1 + i + bb))
+        |      - (lgamma(aa) + lgamma(ba) - lgamma(aa + ba))) AS term
+        |  FROM p JOIN generate_series(0, 100000000) AS g(i)
+        |    ON g.i < p.ab2)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  round(CAST(aa AS DOUBLE) / (aa + ba), 6) AS post_mean_a,
+        |  round(CAST(ab2 AS DOUBLE) / (ab2 + bb), 6) AS post_mean_b,
+        |  round(sum(term), 6) AS p_b_beats_a
+        |FROM terms GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // Laplace replay: same md5-derived uniform in (-1/2, 1/2), same
+    // inverse-CDF draw, exact decimal clipped sums, 6 dp both sides
+    "q_dp_release" ->
+      """WITH pu AS (SELECT user_id, event_type AS grp,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, count(*) AS n,
+        |    sum(least(greatest(coalesce(CAST(v AS DECIMAL(18,6)), 0), 0),
+        |      CAST(100.0 AS DECIMAL(18,6)))) AS s
+        |  FROM pu GROUP BY 1),
+        |u AS (SELECT grp, n, s,
+        |    (CAST(CAST(('0x' || substr(md5('dp:' || grp || ':c'), 1, 15))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5
+        |      AS uc,
+        |    (CAST(CAST(('0x' || substr(md5('dp:' || grp || ':s'), 1, 15))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5
+        |      AS us
+        |  FROM g)
+        |SELECT grp AS event_type,
+        |  round(CAST(n AS DOUBLE) +
+        |    (-2.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6) AS noisy_count,
+        |  round(CAST(s AS DOUBLE) +
+        |    (-200.0) * sign(us) * ln(1.0 - 2.0 * abs(us)), 6) AS noisy_sum
+        |FROM u ORDER BY event_type""".stripMargin,
+
+    // sequence truth: same (ts, event_id)-ordered leads, distinct-user
+    // support, same ceil(share·users) threshold; no prune needed — the
+    // Apriori prune is lossless (see FrequentSequencesSpec)
+    "q_frequent_seqs" ->
+      """WITH seq AS (SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |nu AS (SELECT count(DISTINCT user_id) AS nusers FROM events),
+        |b AS (SELECT t1 || '>' || t2 AS seq, 2 AS len,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM seq WHERE t2 IS NOT NULL GROUP BY 1
+        |  HAVING count(DISTINCT user_id) >=
+        |    (SELECT ceil(0.3 * nusers) FROM nu)),
+        |tr AS (SELECT t1 || '>' || t2 || '>' || t3 AS seq, 3 AS len,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+        |  HAVING count(DISTINCT user_id) >=
+        |    (SELECT ceil(0.3 * nusers) FROM nu))
+        |SELECT * FROM b UNION ALL SELECT * FROM tr
+        |ORDER BY len, seq""".stripMargin,
+
+    // backtest truth: same exact-decimal daily fold, same 7 lags over
+    // (priority, day), sMAPE terms rounded 9 dp before the decimal
+    // fold, MAE/sMAPE one double division rounded 6 dp
+    "q_backtest" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |lagd AS (SELECT priority, CAST(v AS DECIMAL(18,6)) AS y,
+        |    CAST(lag(v, 1) OVER w AS DECIMAL(18,6)) AS f1,
+        |    CAST(lag(v, 2) OVER w AS DECIMAL(18,6)) AS f2,
+        |    CAST(lag(v, 3) OVER w AS DECIMAL(18,6)) AS f3,
+        |    CAST(lag(v, 4) OVER w AS DECIMAL(18,6)) AS f4,
+        |    CAST(lag(v, 5) OVER w AS DECIMAL(18,6)) AS f5,
+        |    CAST(lag(v, 6) OVER w AS DECIMAL(18,6)) AS f6,
+        |    CAST(lag(v, 7) OVER w AS DECIMAL(18,6)) AS f7
+        |  FROM daily WINDOW w AS (PARTITION BY priority ORDER BY day)),
+        |ex AS (SELECT priority, 'naive' AS model, h.h AS horizon, y,
+        |    CASE h.h WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+        |      WHEN 4 THEN f4 WHEN 5 THEN f5 WHEN 6 THEN f6
+        |      ELSE f7 END AS f
+        |  FROM lagd, (VALUES (1),(2),(3),(4),(5),(6),(7)) h(h)
+        |  UNION ALL
+        |  SELECT priority, 'snaive', h.h, y, f7
+        |  FROM lagd, (VALUES (1),(2),(3),(4),(5),(6),(7)) h(h)),
+        |terms AS (SELECT priority, model, horizon, abs(y - f) AS ae,
+        |    CASE WHEN abs(y) + abs(f) = 0 THEN CAST(0 AS DECIMAL(18,9))
+        |      ELSE CAST(round(2.0 * CAST(abs(y - f) AS DOUBLE) /
+        |        CAST(abs(y) + abs(f) AS DOUBLE), 9) AS DECIMAL(18,9))
+        |      END AS st
+        |  FROM ex WHERE f IS NOT NULL)
+        |SELECT priority, model, horizon, count(*) AS n,
+        |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(st) AS DOUBLE) / count(*), 6) AS smape
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // planted truth: EXIF parameters are pure doc_id arithmetic; PNG
+    // rows are the 36×32 synthetic image (no EXIF → NULL orientation);
+    // junk rows parse to all-NULL
+    "q_image_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |       WHEN doc_id % 3 = 1 THEN 'png' END AS format,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 500 + 32 AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN 36 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 300 + 24 AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN 32 END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 8 + 1 AS INTEGER)
+        |       END AS orientation
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // per-category JSD halves rounded at 9 dp before the decimal fold;
     // ln 2 embedded as the shared shortest-roundtrip literal
     "q_js_divergence" ->

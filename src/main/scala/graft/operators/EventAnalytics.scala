@@ -841,4 +841,65 @@ object EventAnalytics {
             (lit(2L) * col("n_pos") * (col("_n") - col("n_pos"))).cast("double"),
           6).as("auc"))
   }
+
+  /** Frequent CONTIGUOUS event-type sequences (PrefixSpan's contiguous
+    * special case, Apriori-pruned): every length-2 and length-3 run of
+    * consecutive event types that at least `minShare` of users perform,
+    * with support counted in DISTINCT users (a user looping a>b ten
+    * times is one vote). Ordered sequences are what the unordered
+    * basket miners ([[coOccurrence]]) cannot see: a>b frequent with b>a
+    * absent is a directed flow, and frequent trigrams are the
+    * product's highways.
+    *
+    * Apriori prune, losslessly: a user exhibiting trigram a>b>c
+    * necessarily exhibits bigrams a>b and b>c, so
+    * support₃(abc) ≤ min(support₂(ab), support₂(bc)) and discarding
+    * trigram candidates whose constituent bigrams are infrequent
+    * changes nothing about the result — it only keeps the candidate
+    * space bounded. This is the same shape that made the basket miner
+    * linear ([[coOccurrence]]'s frequent-1-itemset prune), one level up.
+    *
+    * Scale: ONE user-key window shuffle produces both leads; each
+    * candidate level is a distinct-user aggregation over (user, gram) —
+    * two-level partial aggregation, map-side combined — and the
+    * frequent-bigram set joins back by BROADCAST (bounded by
+    * |event types|², tiny regardless of corpus size). The user count
+    * that anchors `minShare` attaches as a broadcast 1-row cross join,
+    * not a driver action, so the whole operator stays one lazy plan.
+    */
+  def frequentSequences(events: DataFrame, minShare: Double = 0.05,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type", tsCol: String = "ts",
+                        idCol: String = "event_id"): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val grams = events
+      .withColumn("_t2", lead(col(typeCol), 1).over(w))
+      .withColumn("_t3", lead(col(typeCol), 2).over(w))
+      .select(col(userCol).as("_u"), col(typeCol).as("_t1"),
+        col("_t2"), col("_t3"))
+    val nUsers = events.agg(countDistinct(col(userCol)).as("_nu"))
+    val support = (ceil(lit(minShare) * col("_nu"))).cast("long")
+    val big = grams.filter(col("_t2").isNotNull)
+      .select("_u", "_t1", "_t2").distinct()
+      .groupBy("_t1", "_t2").agg(countDistinct("_u").as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .filter(col("n_users") >= support)
+    val bigSet = big.select("_t1", "_t2")
+    val tri = grams.filter(col("_t3").isNotNull)
+      // Apriori: both constituent bigrams must be frequent (broadcast,
+      // bounded by |types|^2) before any trigram is even counted
+      .join(broadcast(bigSet), Seq("_t1", "_t2"), "left_semi")
+      .join(broadcast(bigSet.select(col("_t1").as("_t2"),
+        col("_t2").as("_t3"))), Seq("_t2", "_t3"), "left_semi")
+      .select("_u", "_t1", "_t2", "_t3").distinct()
+      .groupBy("_t1", "_t2", "_t3").agg(countDistinct("_u").as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .filter(col("n_users") >= support)
+    big.select(concat_ws(">", col("_t1"), col("_t2")).as("seq"),
+        lit(2).as("len"), col("n_users"))
+      .unionByName(tri.select(
+        concat_ws(">", col("_t1"), col("_t2"), col("_t3")).as("seq"),
+        lit(3).as("len"), col("n_users")))
+  }
 }

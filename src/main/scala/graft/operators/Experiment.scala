@@ -269,6 +269,86 @@ object Experiment {
         .as("significant_5pct"))
   }
 
+  /** Exact Bayesian A/B readout for a binary outcome: with independent
+    * Beta(a0, b0) priors on each arm's conversion rate, the posterior
+    * probability that arm B beats arm A,
+    *
+    *   P(pB > pA) = Σ_{i=0}^{αB−1} B(αA+i, βA+βB) /
+    *                ((βB+i) · B(1+i, βB) · B(αA, βA)),
+    *
+    * (Cook's closed form for integer αB, where αX = sX + a0 and
+    * βX = nX − sX + b0) — no Monte Carlo, no normal approximation, so
+    * the result is a deterministic function of the four counts and a
+    * SQL oracle reproduces it. The decision-facing companion to
+    * [[twoProportionZ]]: a posterior probability instead of a p-value,
+    * directly comparable against a ship threshold (e.g. 0.95).
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the
+    * corpus to four integer counts; everything after is driver math on
+    * that 1-row result. The closed-form sum has αB ≤ sB + a0 terms and
+    * the log-factorial table it reads spans nA + nB + 2·(a0+b0)
+    * integers, so both are bounded by `maxExact` — the guard refuses
+    * larger inputs with the remedy (the z test, which is exact-count
+    * driven and size-free) rather than looping the driver for minutes,
+    * the same fail-fast contract as `kendallTau`'s maxCells. Log-beta
+    * values come from an exact cumulative Σln k table (lnΓ of an
+    * integer is a prefix sum), not a Stirling approximation, so the
+    * only float inexactness is the ln/exp/Σ chain itself, rounded at
+    * 6 dp like every derived statistic in this object.
+    */
+  def bayesianAB(df: DataFrame, armCol: String, success: Column,
+                 armA: String, armB: String,
+                 priorA: Long = 1L, priorB: Long = 1L,
+                 maxExact: Long = 2000000L): DataFrame = {
+    require(priorA >= 1 && priorB >= 1,
+      "bayesianAB: integer priors must be >= 1 (the closed form walks " +
+        "integer alpha/beta indices)")
+    val arm = col(armCol).cast("string")
+    // the corpus-collapsing fold: four exact integer counts
+    val agg = df.filter(arm.isin(armA, armB))
+      .agg(
+        sum(when(arm === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm === armA && success, 1L).otherwise(0L)).as("s_a"),
+        sum(when(arm === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(arm === armB && success, 1L).otherwise(0L)).as("s_b"))
+    // 1-row, 4-column collect: bounded by construction (the fold above)
+    val r = agg.head()
+    val (na, sa, nb, sb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    require(na + nb <= maxExact,
+      s"bayesianAB: ${na + nb} units > maxExact=$maxExact — the exact " +
+        "closed-form sum is O(successes) driver work; use " +
+        "twoProportionZ for large samples, where the normal " +
+        "approximation is exact to working precision anyway")
+    val (aA, bA) = (sa + priorA, na - sa + priorB)
+    val (aB, bB) = (sb + priorA, nb - sb + priorB)
+    // lf(m) = Σ_{k=1..m} ln k = lnΓ(m+1), exact prefix-sum table
+    val n = (aA + bA + aB + bB).toInt
+    val lf = new Array[Double](n + 1)
+    var k = 1
+    while (k <= n) { lf(k) = lf(k - 1) + math.log(k.toDouble); k += 1 }
+    def lbeta(x: Long, y: Long): Double =
+      lf((x - 1).toInt) + lf((y - 1).toInt) - lf((x + y - 1).toInt)
+    val base = lbeta(aA, bA)
+    var p = 0.0
+    var i = 0L
+    while (i < aB) {
+      p += math.exp(lbeta(aA + i, bA + bB) - math.log((bB + i).toDouble) -
+        lbeta(1 + i, bB) - base)
+      i += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, sa, nb, sb,
+      BigDecimal(aA.toDouble / (aA + bA)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(aB.toDouble / (aB + bB)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_a", "s_a", "n_b", "s_b", "post_mean_a", "post_mean_b",
+        "p_b_beats_a")
+  }
+
   /** Delta-method CI for a ratio-of-sums metric (CTR, revenue/session,
     * tokens/doc): rows are PER-UNIT (user, session) numerator/
     * denominator pairs, the estimate is R = Σx/Σy, and the variance is

@@ -588,6 +588,46 @@ object Multimodal {
     spark.createDataFrame(rdd, videoMetaSchema)
   }
 
+  val imageExifSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("orientation", IntegerType, nullable = true)))
+
+  /** REAL image EXIF decode ([[ExifHeader]]): container format +
+    * dimensions from the header parsers plus the EXIF orientation from
+    * the APP1 TIFF IFD — header-only byte walks, no pixel decode. At
+    * 100 TB this IS the image-curation fast path: dimensions gate
+    * (drop sub-256px) and rotation normalization (orientation ≠ 1
+    * means the stored pixels are sideways/flipped — train on them
+    * unrotated and augmentation statistics silently skew) both come
+    * from the first few hundred bytes of each file, ~1000× less IO and
+    * CPU than decoding pixels to learn the same facts. Orientation is
+    * NULL for formats without EXIF (PNG/GIF/BMP) and for JPEGs that
+    * lack APP1; unparseable payloads yield all-NULL columns, never a
+    * task failure.
+    */
+  def imageExif(df: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = input.queryExecution.toRdd.mapPartitions { it =>
+      it.map { ir =>
+        val id = ir.getLong(0)
+        val bytes = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        if (bytes == null) Row(id, null, null, null, null)
+        else ImageHeader.parse(bytes) match {
+          case Some((fmt, w, h)) =>
+            val o = if (fmt == "jpeg") ExifHeader.orientation(bytes) else None
+            Row(id, fmt, Int.box(w), Int.box(h), o.map(Int.box).orNull)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageExifSchema)
+  }
+
   /** STUB frame sampling: one row per sampled "frame" with a content
     * digest of its byte slice — the Spark plumbing (explode shape, per-
     * frame keys) is real; a codec would replace the digest with pixels.

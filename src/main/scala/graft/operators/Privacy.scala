@@ -160,4 +160,62 @@ object Privacy {
     groups.filter(col("tvd") > t)
       .crossJoin(broadcast(summary))
   }
+
+  /** ε-differentially-private release of per-group counts and a
+    * clipped sum (the Laplace mechanism): each group's true count gets
+    * Laplace(1/(ε/2)) noise, its sum of per-row values clipped to
+    * [0, clip] gets Laplace(clip/(ε/2)) — the even ε split across the
+    * two statistics composes to an ε-DP release of both. The noise is
+    * CONTENT-ADDRESSED like every sampler in this repo: the Laplace
+    * draw inverts a uniform derived from md5(salt:group:stat), so the
+    * release is a pure function of (salt, data) — re-runs, engines, and
+    * layouts agree bit-for-bit, and publishing twice never spends extra
+    * budget by accident (the draws repeat rather than refresh; rotate
+    * the salt to spend again). True counts and sums never appear in the
+    * output.
+    *
+    * Contribution bound: the sensitivity argument (Δcount = 1,
+    * Δsum = clip) assumes each privacy unit contributes AT MOST ONE ROW
+    * — pre-aggregate to one row per user before calling, exactly like
+    * the experiment readouts do.
+    *
+    * `threshold` > 0 enables the stability-based variant for UNKNOWN
+    * group domains: groups whose noisy count lands below the threshold
+    * are suppressed, so the released group SET no longer reveals rare
+    * keys (the presence of a group named by one user's PII is itself a
+    * leak); the suppression costs a δ term, making the release
+    * (ε, δ)-DP with δ bounded by exp(−ε·(threshold−1)/2)/2.
+    *
+    * Shape: ONE map-side-combined aggregation to the bounded group
+    * table, then per-group scalar noise math — scan-dominated at any
+    * scale, no second exchange.
+    */
+  def dpRelease(df: DataFrame, groupCol: String, valueCol: Column,
+                epsilon: Double, clip: Double, salt: String = "dp",
+                threshold: Double = 0.0): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    require(clip > 0, "clip must be positive (the sum sensitivity)")
+    require(salt.nonEmpty, "an empty salt makes the noise guessable")
+    val clipped = least(greatest(coalesce(valueCol.cast("double"), lit(0.0)),
+      lit(0.0)), lit(clip)).cast("decimal(18,6)")
+    val grouped = df
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("_n"), sum(clipped).as("_s"))
+    // md5 -> 60-bit integer -> uniform in (-0.5, 0.5): the +0.5 centers
+    // each lattice point, so u is never exactly 0 (sign is defined) and
+    // never ±0.5 (the ln stays finite)
+    def lap(stat: String, scale: Double): Column = {
+      val u60 = conv(substring(md5(concat(lit(s"$salt:"), col("grp"),
+        lit(s":$stat"))), 1, 15), 16, 10).cast("double")
+      val u = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60)) - lit(0.5)
+      lit(-scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    }
+    val released = grouped.select(col("grp").as(groupCol),
+      round(col("_n").cast("double") + lap("c", 2.0 / epsilon), 6)
+        .as("noisy_count"),
+      round(col("_s").cast("double") + lap("s", 2.0 * clip / epsilon), 6)
+        .as("noisy_sum"))
+    if (threshold > 0) released.filter(col("noisy_count") >= threshold)
+    else released
+  }
 }

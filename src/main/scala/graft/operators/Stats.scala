@@ -1660,6 +1660,78 @@ object Stats {
         StructField("residual", DoubleType, nullable = true))))
   }
 
+  /** Rolling-origin forecast backtest on a KEYED pre-aggregated series:
+    * for every horizon h = 1..`horizons`, score the two reference
+    * forecasters every real forecaster must beat —
+    * naive (ŷ_{t} = y_{t−h}: "tomorrow looks like today") and
+    * seasonal-naive (ŷ_{t} = y_{t−season}: "tomorrow looks like last
+    * week") — at EVERY origin the series affords, reporting per
+    * (key, model, horizon): n evaluations, MAE, and sMAPE. Both
+    * forecasts are causal at horizon h ≤ season (the value they read
+    * is at or before the origin t−h), enforced by the require.
+    * This is the evaluation harness the smoothing forecasters
+    * ([[ewma]], [[holtSmooth]], [[seasonalBaseline]]) plug into: if a
+    * model's MAE does not beat these two columns, it is not a model.
+    *
+    * Exactness: values fold as exact decimals, so |y−ŷ| and its sum
+    * are exact; MAE is ONE double division rounded 6 dp; each sMAPE
+    * term 2|y−ŷ|/(|y|+|ŷ|) rounds at 9 dp before the exact decimal
+    * fold (a |y|+|ŷ| = 0 origin is a perfect forecast of zero and
+    * contributes 0). Replayable bit-for-bit by a SQL oracle.
+    *
+    * Scale: ONE exchange+sort on the key — all `horizons`+1 lags share
+    * a single window spec, so Catalyst stacks them into one Window
+    * operator — then the horizon×model expansion is a per-row
+    * 2·`horizons` array explode (constant factor, no shuffle) feeding a
+    * map-side-combined aggregation onto the bounded
+    * (key × model × horizon) table. Per-key series length is the only
+    * sort width; keys parallelize freely.
+    */
+  def backtestForecast(df: DataFrame, keyCol: String, tCol: String,
+                       valueCol: String, horizons: Int = 7,
+                       season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizons >= 1, "horizons must be >= 1")
+    require(season >= horizons,
+      s"season=$season < horizons=$horizons: the seasonal-naive read " +
+        "y(t-season) would postdate the origin t-h — not a causal backtest")
+    val w = Window.partitionBy(keyCol).orderBy(tCol)
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(valueCol).cast("decimal(18,6)").as("_y"))
+    val wk = Window.partitionBy("_k").orderBy("_t")
+    val withLags = (1 to horizons).foldLeft(
+      series.withColumn("_fs", lag(col("_y"), season).over(wk))) {
+      (d, h) => d.withColumn(s"_f$h", lag(col("_y"), h).over(wk))
+    }
+    val stacked = withLags
+      .withColumn("_hm", explode(array((1 to horizons).flatMap { h =>
+        Seq(struct(lit(h).as("h"), lit("naive").as("model"),
+              col(s"_f$h").as("f")),
+            struct(lit(h).as("h"), lit("snaive").as("model"),
+              col("_fs").as("f")))
+      }: _*)))
+      .select(col("_k"), col("_y"),
+        col("_hm.h").as("h"), col("_hm.model").as("model"),
+        col("_hm.f").as("f"))
+      .filter(col("f").isNotNull)
+    val absErr = abs(col("_y") - col("f"))
+    val denom = abs(col("_y")) + abs(col("f"))
+    val smapeTerm = when(denom === 0, lit(0.0)).otherwise(
+      round(lit(2.0) * absErr.cast("double") / denom.cast("double"), 9))
+    stacked
+      .groupBy(col("_k").as(keyCol), col("model"), col("h").as("horizon"))
+      .agg(count(lit(1)).as("n"),
+        sum(absErr).as("_sae"),
+        sum(smapeTerm.cast("decimal(18,9)")).as("_ssm"))
+      .select(col(keyCol), col("model"), col("horizon"), col("n"),
+        round(col("_sae").cast("double") / col("n").cast("double"), 6)
+          .as("mae"),
+        round(col("_ssm").cast("double") / col("n").cast("double"), 6)
+          .as("smape"))
+  }
+
   /** Classical additive seasonal decomposition of a regular series
     * (moving-average flavor): trend = centered `period`-point moving
     * average (odd period; defined only where the full window exists —

@@ -774,3 +774,43 @@ class DwellTimesSpec extends SparkSpecBase {
     assert(v._2 == 2L && v._3 == 45.0 && v._4 == 45.0) // mean and median of {30, 60}
   }
 }
+
+/** Hand-derived fixture for the frequent contiguous-sequence miner:
+  * distinct-user support, the directed/unordered distinction, and the
+  * lossless Apriori prune.
+  */
+class FrequentSequencesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(u: Long, seq: String*): Seq[(Long, Long, java.sql.Timestamp, String)] =
+    seq.zipWithIndex.map { case (t, i) =>
+      (u * 100 + i, u, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), t)
+    }
+
+  test("frequentSequences: distinct-user support, direction matters, loops vote once") {
+    // u1: a b c   u2: a b c   u3: a b a b (loop: one vote for a>b)
+    // u4: b a     -> a>b support 3, b>c 2, b>a 2 (u3 + u4), a>b>c 2
+    val events = (ev(1, "a", "b", "c") ++ ev(2, "a", "b", "c") ++
+      ev(3, "a", "b", "a", "b") ++ ev(4, "b", "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.frequentSequences(events, minShare = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out("a>b") == (2, 3L))
+    assert(out("b>c") == (2, 2L))
+    assert(out("b>a") == (2, 2L)) // directed: b>a is NOT a>b
+    assert(out("a>b>c") == (3, 2L))
+    assert(!out.contains("b>a>b")) // support 1 (u3 only) < 2
+    assert(out.size == 4)
+  }
+
+  test("frequentSequences: the Apriori prune is lossless vs the unpruned count") {
+    // c>a occurs for u1 only -> infrequent at 50%; no trigram through it
+    // can be frequent, and none is reported missing relative to brute force
+    val events = (ev(1, "a", "b", "c", "a") ++ ev(2, "a", "b", "c") ++
+      ev(3, "c", "b")).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.frequentSequences(events, minShare = 0.6)
+      .collect().map(_.getString(0)).toSet
+    // support >= ceil(0.6*3) = 2: a>b (u1,u2), b>c (u1,u2), a>b>c (u1,u2)
+    assert(out == Set("a>b", "b>c", "a>b>c"))
+  }
+}

@@ -444,4 +444,31 @@ class ExperimentSpec extends SparkSpecBase {
     assert(d.getAs[Int]("strata_used") == 0)
     assert(d.isNullAt(d.fieldIndex("delta_post_strat")))
   }
+
+  test("bayesianAB: Cook's closed form on a textbook table; symmetry gives 0.5") {
+    import spark.implicits._
+    // A: 3/10, B: 7/10, Beta(1,1) priors -> posteriors Beta(4,8), Beta(8,4)
+    // P(pB > pA) = sum_{i=0}^{7} B(4+i,12)/((4+i... independently computed
+    // with python mpmath-grade lgamma: 0.956946 at 6 dp
+    val rows = (Seq.fill(3)(("A", 1)) ++ Seq.fill(7)(("A", 0)) ++
+      Seq.fill(7)(("B", 1)) ++ Seq.fill(3)(("B", 0))).toDF("arm", "conv")
+    val r = Experiment.bayesianAB(rows, "arm", col("conv") === 1, "A", "B")
+      .head()
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("s_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 10L && r.getAs[Long]("s_b") == 7L)
+    assert(r.getAs[Double]("post_mean_a") == 0.333333)
+    assert(r.getAs[Double]("post_mean_b") == 0.666667)
+    assert(r.getAs[Double]("p_b_beats_a") == 0.956946)
+    // identical arms: identical continuous posteriors tie at exactly 1/2
+    val same = (Seq.fill(5)(("A", 1)) ++ Seq.fill(5)(("A", 0)) ++
+      Seq.fill(5)(("B", 1)) ++ Seq.fill(5)(("B", 0))).toDF("arm", "conv")
+    assert(Experiment.bayesianAB(same, "arm", col("conv") === 1, "A", "B")
+      .head().getAs[Double]("p_b_beats_a") == 0.5)
+    // the guard refuses unbounded driver work with the remedy named
+    val e = intercept[IllegalArgumentException] {
+      Experiment.bayesianAB(rows, "arm", col("conv") === 1, "A", "B",
+        maxExact = 10L)
+    }
+    assert(e.getMessage.contains("twoProportionZ"))
+  }
 }

@@ -94,3 +94,50 @@ class PrivacySpec extends SparkSpecBase {
       .count() == 0)
   }
 }
+
+/** Invariants for the Laplace-mechanism DP release: determinism,
+  * bounded sensitivity under clipping, and threshold suppression.
+  */
+class DpReleaseSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val base = (1 to 200).map(i => (s"g${i % 4}", i.toDouble))
+
+  test("dpRelease is a pure function of (salt, data): re-runs agree, salts differ") {
+    val df = base.toDF("g", "v")
+    val a = Privacy.dpRelease(df, "g", col("v"), epsilon = 1.0, clip = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Privacy.dpRelease(df, "g", col("v"), epsilon = 1.0, clip = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b && a.size == 4)
+    val rot = Privacy.dpRelease(df, "g", col("v"), epsilon = 1.0,
+      clip = 10.0, salt = "dp2")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a.keySet == rot.keySet && a != rot)
+    // the release is noisy: no group's noisy_count equals its true 50
+    assert(a.values.forall(_._1 != 50.0))
+  }
+
+  test("dpRelease sensitivity: one extra huge-value row moves the sums by exactly clip") {
+    val df = base.toDF("g", "v")
+    val plus = (base :+ ("g0", 1e9)).toDF("g", "v")
+    val a = Privacy.dpRelease(df, "g", col("v"), epsilon = 1.0, clip = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Privacy.dpRelease(plus, "g", col("v"), epsilon = 1.0, clip = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // same seeds -> the count moves by exactly 1, the sum by exactly clip
+    assert(b("g0")._1 - a("g0")._1 == 1.0)
+    assert(BigDecimal(b("g0")._2 - a("g0")._2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble == 10.0)
+    assert(b("g1") == a("g1")) // untouched groups are bit-identical
+  }
+
+  test("dpRelease threshold suppresses below-threshold groups") {
+    val df = (base ++ Seq(("rare", 1.0))).toDF("g", "v")
+    val out = Privacy.dpRelease(df, "g", col("v"), epsilon = 1.0,
+      clip = 10.0, threshold = 20.0)
+      .collect().map(_.getString(0)).toSet
+    assert(!out.contains("rare") && out.size == 4)
+  }
+}

@@ -80,3 +80,47 @@ class SeriesOpsSpec extends SparkSpecBase {
     assert(rt.forall(_.isNullAt(rt.head.fieldIndex("robust_z"))))
   }
 }
+
+/** Hand-derived fixture for the rolling-origin forecast backtest. */
+class BacktestForecastSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("backtestForecast: naive and seasonal-naive errors on a linear ramp") {
+    // y_t = t for t = 1..10: naive at horizon h has |y_t - y_{t-h}| = h
+    // everywhere; seasonal-naive (season 3) has constant error 3
+    val df = (1 to 10).map(t => ("k", t.toLong, t.toDouble))
+      .toDF("key", "t", "v")
+    val out = Stats.backtestForecast(df, "key", "t", "v",
+        horizons = 2, season = 3)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getAs[Double]("mae"))).toMap
+    assert(out(("naive", 1)) == (9L, 1.0))
+    assert(out(("naive", 2)) == (8L, 2.0))
+    assert(out(("snaive", 1)) == (7L, 3.0))
+    assert(out(("snaive", 2)) == (7L, 3.0))
+  }
+
+  test("backtestForecast: sMAPE matches the hand fold; zero-zero is perfect") {
+    // series 2, 2, 0, 0: naive h=1 errors |2-2|=0, |0-2|=2, |0-0|=0;
+    // sMAPE terms 0, 2*2/(0+2)=2, 0 (zero-denominator term contributes 0)
+    val df = Seq(("k", 1L, 2.0), ("k", 2L, 2.0), ("k", 3L, 0.0),
+      ("k", 4L, 0.0)).toDF("key", "t", "v")
+    val r = Stats.backtestForecast(df, "key", "t", "v",
+        horizons = 1, season = 1)
+      .filter(col("model") === "naive").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mae") ==
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("smape") ==
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("backtestForecast: refuses a non-causal horizon past the season") {
+    val df = Seq(("k", 1L, 1.0)).toDF("key", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.backtestForecast(df, "key", "t", "v", horizons = 8, season = 7)
+    }
+    assert(e.getMessage.contains("causal"))
+  }
+}

@@ -95,3 +95,44 @@ class VideoHeaderSpec extends SparkSpecBase {
       back.getLong(4) == 999L)
   }
 }
+
+/** EXIF orientation round-trips through the synthetic JPEG in both TIFF
+  * byte orders; non-JPEG and EXIF-less payloads yield NULL orientation.
+  */
+class ExifHeaderSpec extends SparkSpecBase {
+  import graft.operators.{ExifHeader, ImageHeader}
+
+  test("syntheticExifJpeg parses back: dims via SOF0, orientation via APP1, both byte orders") {
+    for (be <- Seq(false, true); o <- 1 to 8) {
+      val b = ExifHeader.syntheticExifJpeg(640, 480, o, bigEndian = be)
+      assert(ImageHeader.parse(b).contains(("jpeg", 640, 480)), s"be=$be o=$o")
+      assert(ExifHeader.orientation(b).contains(o), s"be=$be o=$o")
+    }
+  }
+
+  test("orientation is None for non-JPEG, truncated, and EXIF-less payloads") {
+    assert(ExifHeader.orientation("not an image".getBytes).isEmpty)
+    assert(ExifHeader.orientation(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+    val full = ExifHeader.syntheticExifJpeg(64, 64, 6, bigEndian = false)
+    assert(ExifHeader.orientation(full.take(10)).isEmpty) // truncated mid-APP1
+    // a real PNG has no EXIF: dims parse, orientation does not
+    val png = graft.operators.Multimodal.syntheticImage(7L)
+    assert(ImageHeader.parse(png).exists(_._1 == "png"))
+    assert(ExifHeader.orientation(png).isEmpty)
+  }
+
+  test("imageExif DataFrame op: jpeg rows carry orientation, png rows NULL, junk all-NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ExifHeader.syntheticExifJpeg(320, 240, 6, bigEndian = true)),
+      (2L, graft.operators.Multimodal.syntheticImage(2L)),
+      (3L, "junk bytes".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageExif(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "jpeg" && out(1L).getInt(2) == 320 &&
+      out(1L).getInt(3) == 240 && out(1L).getInt(4) == 6)
+    assert(out(2L).getString(1) == "png" && out(2L).isNullAt(4))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(4))
+  }
+}
