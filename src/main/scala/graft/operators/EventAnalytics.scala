@@ -859,44 +859,59 @@ object EventAnalytics {
     * space bounded. This is the same shape that made the basket miner
     * linear ([[coOccurrence]]'s frequent-1-itemset prune), one level up.
     *
-    * Scale: ONE user-key window shuffle produces both leads; each
-    * candidate level is a distinct-user aggregation over (user, gram) —
-    * two-level partial aggregation, map-side combined — and the
-    * frequent-bigram set joins back by BROADCAST (bounded by
-    * |event types|², tiny regardless of corpus size). The user count
-    * that anchors `minShare` attaches as a broadcast 1-row cross join,
-    * not a driver action, so the whole operator stays one lazy plan.
+    * Scale: ONE user-key window shuffle per level produces the leads;
+    * each candidate level is a distinct-user aggregation over
+    * (user, gram) — two-level partial aggregation, map-side combined.
+    * The frequent-bigram table is MATERIALIZED once (one collect): it
+    * is model-sized by a counting argument — each frequent bigram
+    * owns ≥ ceil(minShare·users) of the ≤ totalEvents distinct
+    * (user, bigram) votes, so there are at most
+    * avgEventsPerUser / minShare frequent bigrams (e.g. 20/0.05 = 400)
+    * regardless of corpus size — and without the materialization the
+    * bigram subplan (window sort included) would re-execute once per
+    * consumer (the two Apriori probes + the result union), which the
+    * 10x probe measured as super-linear wall growth. The collected set
+    * re-enters the trigram plan as two broadcast semi-join probes, so
+    * no corpus-sized stage is ever quadratic.
     */
   def frequentSequences(events: DataFrame, minShare: Double = 0.05,
                         userCol: String = "user_id",
                         typeCol: String = "event_type", tsCol: String = "ts",
                         idCol: String = "event_id"): DataFrame = {
     require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val grams = events
       .withColumn("_t2", lead(col(typeCol), 1).over(w))
       .withColumn("_t3", lead(col(typeCol), 2).over(w))
       .select(col(userCol).as("_u"), col(typeCol).as("_t1"),
         col("_t2"), col("_t3"))
-    val nUsers = events.agg(countDistinct(col(userCol)).as("_nu"))
-    val support = (ceil(lit(minShare) * col("_nu"))).cast("long")
-    val big = grams.filter(col("_t2").isNotNull)
+    // one bounded action: the distinct-user count anchoring the threshold
+    val nUsers = events.agg(countDistinct(col(userCol))).head().getLong(0)
+    val support = math.ceil(minShare * nUsers).toLong
+    // one pass: (user, bigram) distinct votes -> frequent bigrams;
+    // collect is bounded by avgEventsPerUser/minShare (see scaladoc)
+    val bigRows = grams.filter(col("_t2").isNotNull)
       .select("_u", "_t1", "_t2").distinct()
       .groupBy("_t1", "_t2").agg(countDistinct("_u").as("n_users"))
-      .crossJoin(broadcast(nUsers))
       .filter(col("n_users") >= support)
-    val bigSet = big.select("_t1", "_t2")
+      .collect()
+    val bigLocal = bigRows.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("_t1", "_t2", "n_users")
+    val bigKeys = bigLocal.select("_t1", "_t2")
     val tri = grams.filter(col("_t3").isNotNull)
-      // Apriori: both constituent bigrams must be frequent (broadcast,
-      // bounded by |types|^2) before any trigram is even counted
-      .join(broadcast(bigSet), Seq("_t1", "_t2"), "left_semi")
-      .join(broadcast(bigSet.select(col("_t1").as("_t2"),
+      // Apriori: both constituent bigrams must be frequent (broadcast of
+      // the LOCAL frequent set — no upstream recompute) before any
+      // trigram is even counted
+      .join(broadcast(bigKeys), Seq("_t1", "_t2"), "left_semi")
+      .join(broadcast(bigKeys.select(col("_t1").as("_t2"),
         col("_t2").as("_t3"))), Seq("_t2", "_t3"), "left_semi")
       .select("_u", "_t1", "_t2", "_t3").distinct()
       .groupBy("_t1", "_t2", "_t3").agg(countDistinct("_u").as("n_users"))
-      .crossJoin(broadcast(nUsers))
       .filter(col("n_users") >= support)
-    big.select(concat_ws(">", col("_t1"), col("_t2")).as("seq"),
+    bigLocal.select(concat_ws(">", col("_t1"), col("_t2")).as("seq"),
         lit(2).as("len"), col("n_users"))
       .unionByName(tri.select(
         concat_ws(">", col("_t1"), col("_t2"), col("_t3")).as("seq"),

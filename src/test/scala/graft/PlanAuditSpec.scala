@@ -1193,4 +1193,37 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"expected TakeOrdered argmax:\n$p")
     assert(!p.contains("Sort [stat"), s"expected no global stat sort:\n$p")
   }
+
+  test("backtestForecast: all 8 lags share ONE key exchange and one sort") {
+    val daily = spark.range(600).select(($"id" % 5).cast("string").as("k"),
+      ($"id" / 5).as("t"), ($"id" % 97).cast("double").as("v"))
+    val df = graft.operators.Stats.backtestForecast(daily, "k", "t", "v")
+    val p = auditPlan(df)
+    // one exchange+sort feeds the stacked Window (7 naive lags + the
+    // seasonal lag share the (_k, _t) spec); the only other exchange is
+    // the bounded (key × model × horizon) aggregation
+    assert(p.split("Sort \\[_k").length == 2,
+      s"expected one (_k, _t) sort shared by all lags:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 3,
+      s"expected exactly window + agg exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.split("HashAggregate").length >= 3,
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("frequentSequences: Apriori semi-joins broadcast under the trigram count") {
+    val ev = spark.range(2000).select($"id".as("event_id"),
+      ($"id" % 40).as("user_id"), ($"id" * 1000).cast("timestamp").as("ts"),
+      concat(lit("t"), ($"id" % 5)).as("event_type"))
+    val p = auditPlan(graft.operators.EventAnalytics.frequentSequences(ev))
+    // both constituent-bigram membership probes must be broadcast semi
+    // joins (the frequent set is bounded by |types|²) — never a shuffle
+    // of the corpus-sized gram table against it
+    assert(p.split("BroadcastHashJoin").count(_.contains("LeftSemi")) >= 2 ||
+      p.split("LeftSemi, BuildRight").length >= 3,
+      s"expected two broadcast LeftSemi probes:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join may touch the gram table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
