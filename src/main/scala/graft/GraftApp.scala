@@ -205,6 +205,9 @@ object GraftApp {
         manifest ++= s"""  "delta_raw": ${d6(cRow.getAs[Any]("delta_raw"))},\n"""
         manifest ++= s"""  "delta_cuped": ${d6(cRow.getAs[Any]("delta_adjusted"))},\n"""
         manifest ++= s"""  "delta_winsorized": ${d6(wRow.getAs[Any]("delta_winsorized"))},\n"""
+        r.bayes.foreach { b =>
+          manifest ++= s"""  "p_b_beats_a": ${d6(b.head().getAs[Any]("p_b_beats_a"))},\n"""
+        }
         manifest ++= s"""  "always_valid_p": ${d6(lastP.getAs[Any]("always_valid_p"))}\n}"""
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
         java.nio.file.Files.write(

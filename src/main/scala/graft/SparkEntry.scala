@@ -8388,6 +8388,46 @@ object SparkEntry {
       Multimodal.imageExif(payloads).orderBy("doc_id")
     }),
 
+    // ---- split-conformal next-step interval per priority: naive
+    //      forecaster residuals calibrate the distribution-free
+    //      ⌈(n+1)(1−α)⌉-th order-statistic half-width ----
+    "q_conformal" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+      Stats.conformalInterval(daily, "priority", "day", "v",
+        horizon = 1, alpha = 0.1).orderBy("priority")
+    }),
+
+    // ---- sorted-neighborhood ER: suffix-corrupted part names that
+    //      equality blocking would lose (the corruption is at the END,
+    //      so sort order keeps twins adjacent) ----
+    "q_snm_match" -> ((s, dir) => {
+      val clean = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(lower(col("p_name")), lit(" #"), col("p_partkey")).as("nm"))
+      val dirty = clean.select((col("id") + lit(10000000L)).as("id"),
+        when(col("id") % 5 === 0,
+          concat(expr("substr(nm, 1, length(nm) - 1)"), lit("z")))
+          .otherwise(col("nm")).as("nm"))
+      FuzzyJoin.sortedNeighborhood(clean.unionByName(dirty), "id", "nm",
+          window = 8, maxEdits = 1)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- ε-DP histogram: Laplace-noised per-bin user counts over the
+    //      event-value distribution (dpRelease composed over bins) ----
+    "q_dp_histogram" -> ((s, dir) => {
+      val binned = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("bin", least(greatest(
+          floor(col("value") / 20.0), lit(0.0)), lit(5.0)).cast("long"))
+        .groupBy(col("user_id"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      Privacy.dpRelease(binned, "bin", col("n"), epsilon = 1.0,
+        clip = 50.0).orderBy(col("bin").cast("long"))
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8680,6 +8720,99 @@ object SparkEntry {
         |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
         |  round(CAST(sum(st) AS DOUBLE) / count(*), 6) AS smape
         |FROM terms GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // conformal truth: same exact-decimal residuals, same
+    // ceil((n+1)·0.9)-th order statistic (rank in exact decimal), same
+    // max_by last value; short keys are omitted by the rank join
+    "q_conformal" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT priority, CAST(v AS DECIMAL(18,6)) AS y,
+        |    CAST(lag(v, 1) OVER (PARTITION BY priority ORDER BY day)
+        |      AS DECIMAL(18,6)) AS f
+        |  FROM daily),
+        |res AS (SELECT priority, abs(y - f) AS e FROM r
+        |  WHERE f IS NOT NULL),
+        |kt AS (SELECT priority, count(*) AS n_calib,
+        |    CAST(ceil((count(*) + 1) * CAST(0.9 AS DECIMAL(18,6)))
+        |      AS BIGINT) AS k
+        |  FROM res GROUP BY 1),
+        |rk AS (SELECT priority, e,
+        |    row_number() OVER (PARTITION BY priority ORDER BY e) AS rn
+        |  FROM res),
+        |q AS (SELECT rk.priority, kt.n_calib, rk.e AS qh
+        |  FROM rk JOIN kt ON rk.priority = kt.priority AND rk.rn = kt.k),
+        |lastv AS (SELECT priority,
+        |    CAST(max_by(v, day) AS DECIMAL(18,6)) AS fc
+        |  FROM daily GROUP BY 1),
+        |cov AS (SELECT res.priority,
+        |    sum(CASE WHEN res.e <= q.qh THEN 1 ELSE 0 END) AS c
+        |  FROM res JOIN q ON res.priority = q.priority GROUP BY 1)
+        |SELECT q.priority, q.n_calib,
+        |  CAST(l.fc AS DOUBLE) AS forecast,
+        |  CAST(q.qh AS DOUBLE) AS q_hat,
+        |  CAST(l.fc - q.qh AS DOUBLE) AS lo,
+        |  CAST(l.fc + q.qh AS DOUBLE) AS hi,
+        |  round(CAST(cov.c AS DOUBLE) / q.n_calib, 6) AS coverage
+        |FROM q JOIN lastv l ON q.priority = l.priority
+        |JOIN cov ON q.priority = cov.priority
+        |ORDER BY q.priority""".stripMargin,
+
+    // SNM truth: same prefix ranges, same (key, id) rank order, same
+    // <= window-1 rank offsets, same length prefilter + edit kernel,
+    // pairs canonicalized by ascending id
+    "q_snm_match" ->
+      """WITH clean AS (SELECT p_partkey AS id,
+        |    lower(p_name) || ' #' || CAST(p_partkey AS VARCHAR) AS nm
+        |  FROM part),
+        |dirty AS (SELECT id + 10000000 AS id,
+        |    CASE WHEN id % 5 = 0
+        |      THEN substr(nm, 1, length(nm) - 1) || 'z' ELSE nm END AS nm
+        |  FROM clean),
+        |base AS (SELECT id, nm, substr(nm, 1, 3) AS rng FROM clean
+        |  UNION ALL SELECT id, nm, substr(nm, 1, 3) FROM dirty),
+        |rk AS (SELECT id, nm, rng,
+        |    row_number() OVER (PARTITION BY rng ORDER BY nm, id) AS rn
+        |  FROM base),
+        |cand AS (SELECT a.id AS ida, a.nm AS nma, b.id AS idb,
+        |    b.nm AS nmb, levenshtein(a.nm, b.nm) AS dist
+        |  FROM rk a JOIN rk b ON a.rng = b.rng
+        |    AND b.rn - a.rn BETWEEN 1 AND 7
+        |  WHERE abs(length(a.nm) - length(b.nm)) <= 1)
+        |SELECT CASE WHEN ida > idb THEN idb ELSE ida END AS id1,
+        |  CASE WHEN ida > idb THEN ida ELSE idb END AS id2,
+        |  CASE WHEN ida > idb THEN nmb ELSE nma END AS key1,
+        |  CASE WHEN ida > idb THEN nma ELSE nmb END AS key2,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM cand WHERE dist <= 1 ORDER BY id1, id2""".stripMargin,
+
+    // DP histogram replay: same bins, same per-(user, bin) fold, same
+    // md5-seeded Laplace draws keyed by the bin string
+    "q_dp_histogram" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(least(greatest(floor(value / 20.0), 0.0), 5.0)
+        |      AS BIGINT) AS bin, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT CAST(bin AS VARCHAR) AS grp, count(*) AS n,
+        |    sum(least(greatest(coalesce(CAST(n AS DECIMAL(18,6)), 0), 0),
+        |      CAST(50.0 AS DECIMAL(18,6)))) AS s
+        |  FROM pu GROUP BY 1),
+        |u AS (SELECT grp, n, s,
+        |    (CAST(CAST(('0x' || substr(md5('dp:' || grp || ':c'), 1, 15))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5
+        |      AS uc,
+        |    (CAST(CAST(('0x' || substr(md5('dp:' || grp || ':s'), 1, 15))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5
+        |      AS us
+        |  FROM g)
+        |SELECT grp AS bin,
+        |  round(CAST(n AS DOUBLE) +
+        |    (-2.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6) AS noisy_count,
+        |  round(CAST(s AS DOUBLE) +
+        |    (-100.0) * sign(us) * ln(1.0 - 2.0 * abs(us)), 6) AS noisy_sum
+        |FROM u ORDER BY CAST(bin AS BIGINT)""".stripMargin,
 
     // planted truth: EXIF parameters are pure doc_id arithmetic; PNG
     // rows are the 36×32 synthetic image (no EXIF → NULL orientation);

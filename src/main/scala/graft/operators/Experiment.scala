@@ -925,11 +925,13 @@ object Experiment {
   final case class Readout(
       srm: DataFrame, proportions: DataFrame, cuped: DataFrame,
       ratioCi: DataFrame, jackknife: DataFrame, qte: DataFrame,
-      winsorized: DataFrame, monitor: DataFrame) {
+      winsorized: DataFrame, monitor: DataFrame,
+      bayes: Option[DataFrame] = None) {
     def all: Seq[(String, DataFrame)] = Seq(
       "srm" -> srm, "proportions" -> proportions, "cuped" -> cuped,
       "ratio_ci" -> ratioCi, "jackknife_ci" -> jackknife, "qte" -> qte,
-      "winsorized" -> winsorized, "monitor" -> monitor)
+      "winsorized" -> winsorized, "monitor" -> monitor) ++
+      bayes.map("bayes" -> _)
   }
 
   /** One-call experiment readout over a per-unit table with the
@@ -957,5 +959,10 @@ object Experiment {
     winsorized = winsorizedEffect(perUnit, "arm", "y", p.capQuantile,
       p.armA, p.armB),
     monitor = alwaysValidMonitor(daily, "day", "arm",
-      col("converted") === 1L, p.armA, p.armB, p.tau))
+      col("converted") === 1L, p.armA, p.armB, p.tau),
+    // the Bayesian table is exact-closed-form and guarded by maxExact:
+    // past the guard (its failure mode, not an error in the readout)
+    // the bundle simply omits it — the z test carries that regime
+    bayes = scala.util.Try(bayesianAB(perUnit, "arm",
+      col("converted") === 1L, p.armA, p.armB)).toOption)
 }

@@ -192,6 +192,65 @@ object FuzzyJoin {
     attachComponents(df, idCol, pairs)
   }
 
+  /** Sorted-neighborhood matching (SNM), the third blocking family
+    * beside equality blocks ([[fuzzyJoin]]) and PassJoin segments
+    * ([[editJoin]]): sort records by the key, compare each record only
+    * against its `window − 1` successors in sort order, verify with
+    * thresholded Levenshtein. SNM's claim is different from a block's —
+    * records need not share any exact fragment, only sort NEAR each
+    * other — which catches suffix corruptions equality blocking loses
+    * ("acme corp" / "acme corporation").
+    *
+    * Distributed trade, stated honestly: a truly global sort window
+    * would serialize on one partition, so the sort neighborhood is
+    * scoped WITHIN `blockLen`-prefix ranges (the standard multi-pass
+    * SNM compromise). A pair whose keys differ inside the first
+    * `blockLen` characters lands in different ranges and is missed —
+    * exactly the multi-pass remedy's job (run again with a reversed or
+    * phonetic key and union the pairs, same as the other blockers
+    * here).
+    *
+    * Scale: one shuffle on the prefix range, a per-range sort for
+    * `row_number`, one explode ×(window−1) of rank offsets, then a
+    * co-partitioned equi-join on (range, rank) — linear in
+    * rows × window, never a cross product; the thresholded levenshtein
+    * kernel early-exits at O(len × maxEdits).
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         window: Int, maxEdits: Int,
+                         blockLen: Int = 3): DataFrame = {
+    require(window >= 2, "window must be >= 2 (a window of 1 compares nothing)")
+    require(maxEdits >= 1, "maxEdits must be >= 1 (use an exact-key dedup for 0)")
+    require(blockLen >= 1, "blockLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("_id"),
+        col(keyCol).cast("string").as("_key"))
+      .filter(col("_key").isNotNull)
+      .withColumn("_rng", substring(col("_key"), 1, blockLen))
+    val ranked = base.withColumn("_rn", row_number().over(
+      Window.partitionBy("_rng").orderBy(col("_key"), col("_id"))))
+    val probes = ranked
+      .withColumn("_d", explode(array((1 until window).map(lit): _*)))
+      .select(col("_rng"), (col("_rn") + col("_d")).as("_rn2"),
+        col("_id").as("id1"), col("_key").as("key1"))
+    val pairs = probes.join(
+      ranked.select(col("_rng"), col("_rn").as("_rn2"),
+        col("_id").as("id2"), col("_key").as("key2")),
+      Seq("_rng", "_rn2"))
+    val swap = col("id1") > col("id2")
+    pairs
+      // necessary length condition first, then the early-exit kernel
+      .filter(abs(length(col("key1")) - length(col("key2"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("key1"), col("key2"), maxEdits))
+      .filter(col("dist") >= 0 && col("dist") <= maxEdits)
+      // canonical unordered pair: ids ascend, keys travel with their id
+      .select(when(swap, col("id2")).otherwise(col("id1")).as("id1"),
+        when(swap, col("id1")).otherwise(col("id2")).as("id2"),
+        when(swap, col("key2")).otherwise(col("key1")).as("key1"),
+        when(swap, col("key1")).otherwise(col("key2")).as("key2"),
+        col("dist").cast("long").as("dist"))
+  }
+
   private def attachComponents(df: DataFrame, idCol: String,
                                pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)

@@ -1732,6 +1732,77 @@ object Stats {
           .as("smape"))
   }
 
+  /** Split-conformal prediction interval for the next step of a KEYED
+    * series under the naive forecaster: every historical origin's
+    * absolute residual |y_t − y_{t−h}| is a calibration score, and the
+    * interval half-width is the ⌈(n+1)(1−α)⌉-th smallest score — the
+    * standard distribution-free guarantee (coverage ≥ 1−α for
+    * exchangeable residuals, no normality assumed). Output per key:
+    * calibration size, the point forecast (last observed value), q̂,
+    * [lo, hi], and the empirical calibration coverage. Keys whose
+    * series is too short for the rank (⌈(n+1)(1−α)⌉ > n, i.e. fewer
+    * than ~1/α residuals) are OMITTED — no rank exists, and a fake
+    * interval would claim a guarantee the math doesn't give.
+    *
+    * The companion to [[backtestForecast]]: that says which forecaster
+    * is least wrong; this says how wrong to plan for.
+    *
+    * Exactness: residuals are exact decimals; q̂ is a SELECTED value
+    * (an order statistic, no interpolation) so lo/hi are exact decimal
+    * arithmetic; the rank ⌈(n+1)(1−α)⌉ is computed in exact decimal —
+    * double alpha·n arithmetic is the integer-boundary bug this repo
+    * already hit once in the bootstrap CIs (NOTES r13) — and coverage
+    * is one double division rounded 6 dp.
+    *
+    * Scale: one key-partitioned window for the lag, one for the
+    * residual ranks (per-key series are bounded by contract — this is
+    * a PRE-AGGREGATED series operator), then bounded per-key
+    * aggregates join among themselves. Nothing corpus-sized shuffles
+    * twice.
+    */
+  def conformalInterval(df: DataFrame, keyCol: String, tCol: String,
+                        valueCol: String, horizon: Int = 1,
+                        alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizon >= 1, "horizon must be >= 1")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    // exact-decimal (1-alpha): 0.1 parses to the decimal 0.1, not the
+    // nearest double, so (n+1)(1-alpha) never misses an integer boundary
+    val oneMinus = java.math.BigDecimal.ONE.subtract(
+      java.math.BigDecimal.valueOf(alpha))
+    val wk = Window.partitionBy("_k").orderBy("_t")
+    val series = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(valueCol).cast("decimal(18,6)").as("_y"))
+    val resid = series
+      .withColumn("_f", lag(col("_y"), horizon).over(wk))
+      .filter(col("_f").isNotNull)
+      .select(col("_k"), abs(col("_y") - col("_f")).as("_r"))
+    val ranks = resid
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_k").orderBy("_r")))
+    val kTable = resid.groupBy("_k").agg(count(lit(1)).as("n_calib"))
+      .withColumn("_kth", ceil((col("n_calib") + lit(1)) *
+        lit(oneMinus)).cast("long"))
+    val qHat = ranks.join(kTable,
+        ranks("_k") === kTable("_k") && col("_rn") === col("_kth"))
+      .select(ranks("_k"), col("n_calib"), col("_r").as("_q"))
+    val last = series.groupBy("_k")
+      .agg(max_by(col("_y"), col("_t")).as("_fc"))
+    val cov = resid.join(qHat.select(col("_k"), col("_q")), "_k")
+      .groupBy("_k")
+      .agg(sum(when(col("_r") <= col("_q"), 1L).otherwise(0L)).as("_cov"))
+    qHat.join(last, "_k").join(cov, "_k")
+      .select(col("_k").as(keyCol), col("n_calib"),
+        col("_fc").cast("double").as("forecast"),
+        col("_q").cast("double").as("q_hat"),
+        (col("_fc") - col("_q")).cast("double").as("lo"),
+        (col("_fc") + col("_q")).cast("double").as("hi"),
+        round(col("_cov").cast("double") / col("n_calib").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Classical additive seasonal decomposition of a regular series
     * (moving-average flavor): trend = centered `period`-point moving
     * average (odd period; defined only where the full window exists —

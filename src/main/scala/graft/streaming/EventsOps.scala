@@ -362,6 +362,59 @@ object StreamingTransitions {
   }
 }
 
+/** One observed contiguous trigram (streaming twin of the gram
+  * extraction inside
+  * [[graft.operators.EventAnalytics.frequentSequences]]).
+  */
+final case class TrigramOut(user_id: Long, t1: String, t2: String, t3: String)
+
+private[streaming] final case class LastTwo(
+    ts1: Long, id1: Long, typ1: String,
+    ts2: Long, id2: Long, typ2: String)
+
+/** Streaming twin of the contiguous-trigram extraction inside
+  * [[graft.operators.EventAnalytics.frequentSequences]]: emits one row
+  * per observed (t1, t2, t3) run in each user's timeline; the consumer
+  * aggregates distinct-user support downstream (the Apriori mining
+  * itself is a batch decision over the accumulated support table).
+  * State is the last TWO events per user — bounded by key cardinality,
+  * independent of stream length. Same ordering contract as
+  * [[StreamingTransitions]]: rows sort by (ts, id) within a
+  * micro-batch, so the gram stream equals the batch window extraction
+  * whenever batches arrive in per-key event-time order.
+  */
+object StreamingTrigrams {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def apply(events: DataFrame): Dataset[TrigramOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast("timestamp"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[LastTwo]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+          val out = Seq.newBuilder[TrigramOut]
+          var last = state.getOption.orNull
+          sorted.foreach { case (_, id, typ, ts) =>
+            if (last != null && last.typ1 != null)
+              out += TrigramOut(user, last.typ1, last.typ2, typ)
+            last =
+              if (last == null) LastTwo(0L, 0L, null, ts.getTime, id, typ)
+              else LastTwo(last.ts2, last.id2, last.typ2, ts.getTime, id, typ)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+        })
+  }
+}
+
 /** One space-saving counter: count is an UPPER bound on the key's true
   * frequency; count − err is a lower bound (err is the evicted
   * counter's value the key inherited on admission).

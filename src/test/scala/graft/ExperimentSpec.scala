@@ -323,6 +323,11 @@ class ExperimentSpec extends SparkSpecBase {
       Experiment.winsorizedEffect(perUnit, "arm", "y", 0.95, "A", "B")
         .head().getAs[Double]("delta_winsorized"))
     assert(r.monitor.count() == 3L)
+    // the Bayesian table rides along under the guard and parity-checks
+    val bp = r.bayes.get.head().getAs[Double]("p_b_beats_a")
+    assert(bp >= 0.0 && bp <= 1.0)
+    assert(bp == Experiment.bayesianAB(perUnit, "arm",
+      col("converted") === 1L, "A", "B").head().getAs[Double]("p_b_beats_a"))
   }
 
   test("alwaysValidMonitor: p stays 1 through no-signal days, drops on the planted effect") {

@@ -93,3 +93,35 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(lev == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 }
+
+/** Sorted-neighborhood matching: suffix corruption caught, the two
+  * documented misses (prefix-range split, window overflow) missed.
+  */
+class SortedNeighborhoodSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.FuzzyJoin
+
+  test("sortedNeighborhood: suffix twins match; prefix-range and window misses are honest") {
+    val df = Seq(
+      (1L, "alpha one"), (2L, "alpha onz"),   // suffix twin: caught
+      (3L, "beta two"), (4L, "bexa two"),     // 2nd char differs: range split, missed
+      (5L, "cat a"), (6L, "cat b"), (7L, "cat c") // rank gap 2 > window-1
+    ).toDF("id", "nm")
+    val out = FuzzyJoin.sortedNeighborhood(df, "id", "nm",
+        window = 2, maxEdits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((1L, 2L)) == 1L)
+    assert(out.contains((5L, 6L)) && out.contains((6L, 7L)))
+    assert(!out.contains((3L, 4L)), "cross-range pair must be missed (documented)")
+    assert(!out.contains((5L, 7L)), "beyond-window pair must be missed (documented)")
+    assert(out.size == 3)
+  }
+
+  test("sortedNeighborhood: exact duplicates pair at dist 0; ids canonical ascending") {
+    val df = Seq((10L, "same key"), (3L, "same key")).toDF("id", "nm")
+    val r = FuzzyJoin.sortedNeighborhood(df, "id", "nm",
+      window = 3, maxEdits = 1).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 10L && r.getLong(4) == 0L)
+    assert(r.getString(2) == "same key" && r.getString(3) == "same key")
+  }
+}

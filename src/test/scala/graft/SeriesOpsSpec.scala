@@ -124,3 +124,38 @@ class BacktestForecastSpec extends SparkSpecBase {
     assert(e.getMessage.contains("causal"))
   }
 }
+
+/** Hand-derived fixtures for the split-conformal interval. */
+class ConformalIntervalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("conformalInterval: constant residuals give the exact order statistic") {
+    // y = 1..11: ten naive residuals, all 1; k = ceil(11 * 0.9) = 10
+    val df = (1 to 11).map(t => ("k", t.toLong, t.toDouble)).toDF("key", "t", "v")
+    val r = Stats.conformalInterval(df, "key", "t", "v").head()
+    assert(r.getAs[Long]("n_calib") == 10L)
+    assert(r.getAs[Double]("forecast") == 11.0)
+    assert(r.getAs[Double]("q_hat") == 1.0)
+    assert(r.getAs[Double]("lo") == 10.0 && r.getAs[Double]("hi") == 12.0)
+    assert(r.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("conformalInterval: distinct residuals select the k-th smallest; coverage < 1") {
+    // y = 0,1,3,6,10,15 -> residuals 1,2,3,4,5; alpha=0.4:
+    // k = ceil(6 * 0.6) = 4 -> q_hat = 4, coverage 4/5
+    val df = Seq(0.0, 1.0, 3.0, 6.0, 10.0, 15.0).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }.toDF("key", "t", "v")
+    val r = Stats.conformalInterval(df, "key", "t", "v", alpha = 0.4).head()
+    assert(r.getAs[Long]("n_calib") == 5L)
+    assert(r.getAs[Double]("q_hat") == 4.0)
+    assert(r.getAs[Double]("forecast") == 15.0)
+    assert(r.getAs[Double]("lo") == 11.0 && r.getAs[Double]("hi") == 19.0)
+    assert(r.getAs[Double]("coverage") == 0.8)
+  }
+
+  test("conformalInterval omits keys too short for the guarantee") {
+    // n = 10 residuals, alpha = 0.05 -> k = ceil(11 * 0.95) = 11 > 10
+    val df = (1 to 11).map(t => ("k", t.toLong, t.toDouble)).toDF("key", "t", "v")
+    assert(Stats.conformalInterval(df, "key", "t", "v", alpha = 0.05).count() == 0)
+  }
+}

@@ -1108,3 +1108,45 @@ class StreamingCusumSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+/** Streaming trigram extraction equals the batch lead-window grams,
+  * including chaining across micro-batch boundaries through state.
+  */
+class StreamingTrigramsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streaming trigrams match the batch window extraction across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = graft.streaming.StreamingTrigrams(events)
+      .writeStream.format("memory").queryName("tri").outputMode("append").start()
+    try {
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      // user 1: a b | c d across two batches -> trigrams abc, bcd chain
+      // through the last-two state; user 2: x y (no trigram)
+      mem.addData((1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)),
+        (2L, 10L, "x", ts(1)), (2L, 11L, "y", ts(2)))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, "c", ts(3)), (1L, 4L, "d", ts(4)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, t1, t2, t3 FROM tri")
+        .as[(Long, String, String, String)].collect().toSet
+      assert(got == Set((1L, "a", "b", "c"), (1L, "b", "c", "d")))
+      // batch twin: the same grams from the lead window
+      val batch = Seq((1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)),
+        (1L, 3L, "c", ts(3)), (1L, 4L, "d", ts(4)),
+        (2L, 10L, "x", ts(1)), (2L, 11L, "y", ts(2)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val exp = batch.withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"), col("event_type"), col("t2"), col("t3"))
+        .as[(Long, String, String, String)].collect().toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
+}
