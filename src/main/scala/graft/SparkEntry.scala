@@ -8428,6 +8428,48 @@ object SparkEntry {
         clip = 50.0).orderBy(col("bin").cast("long"))
     }),
 
+    // ---- Markov removal-effect attribution: first-conversion journeys
+    //      to 'purchase', 60 fixed absorption iterations (round-9 per
+    //      step) on the bounded collected chain ----
+    "q_markov_attribution" -> ((s, dir) =>
+      EventAnalytics.markovAttribution(Tables.events(s, dir), "purchase")
+        .orderBy("channel")),
+
+    // ---- credential screen over documents with planted secrets:
+    //      doc_id % 11 gets a prefixed key, % 13 a 64-hex token; the
+    //      natural corpus (max token 8 chars) yields no candidates ----
+    "q_secrets_screen" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" sk-"), md5(concat(lit("k:"),
+              col("doc_id").cast("string"))))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" "), md5(concat(lit("h1:"),
+              col("doc_id").cast("string"))), md5(concat(lit("h2:"),
+              col("doc_id").cast("string"))))).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.detectSecrets(planted).orderBy("doc_id", "masked")
+    }),
+
+    // ---- Mahalanobis OOD screen: planted far-mode outliers on the
+    //      embeddings table; top-k by d² is exactly the planted set ----
+    "q_mahalanobis" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dim = 64
+      val far = udf((d: Long) =>
+        Array.tabulate(dim)(i => if (i == (d % dim).toInt) 50.0f else 25.0f))
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 97 === 0)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+            far(col("vec_id")).as("embedding")))
+      Similarity.mahalanobisScore(planted)
+        .orderBy(col("mdist2").desc, col("vec_id"))
+        .limit(s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 97 === 0).count().toInt)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8720,6 +8762,115 @@ object SparkEntry {
         |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
         |  round(CAST(sum(st) AS DOUBLE) / count(*), 6) AS smape
         |FROM terms GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Markov attribution replay: same first-conversion journeys, same
+    // round-6 transition probs, the SAME 60 absorption iterations with
+    // per-(scenario, state) round-9 — a recursive CTE whose iterate is
+    // the operator's definition (not an approximation of a limit)
+    "q_markov_attribution" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE event_type IS NOT NULL),
+        |fc AS (SELECT user_id, min(rn) AS cv FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT ev.user_id, ev.rn, ev.event_type AS t, fc.cv
+        |  FROM ev LEFT JOIN fc ON ev.user_id = fc.user_id
+        |  WHERE fc.cv IS NULL OR ev.rn < fc.cv),
+        |m AS (SELECT user_id, rn, t, cv,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+        |  FROM j),
+        |alltr AS (
+        |  SELECT 'START' AS f, min_by(t, rn) AS tos FROM j GROUP BY user_id
+        |  UNION ALL SELECT t, nxt FROM m WHERE nxt IS NOT NULL
+        |  UNION ALL SELECT t,
+        |    CASE WHEN cv IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |  FROM m WHERE nxt IS NULL
+        |  UNION ALL SELECT 'START', 'CONV' FROM fc
+        |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM j)),
+        |cnt AS (SELECT f, tos, count(*) AS n FROM alltr GROUP BY 1, 2),
+        |trans AS (
+        |  SELECT f, tos, round(CAST(n AS DOUBLE) /
+        |      sum(n) OVER (PARTITION BY f), 6) AS p FROM cnt
+        |  UNION ALL SELECT 'CONV', 'CONV', CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT 'NULL', 'NULL', CAST(1.0 AS DOUBLE)),
+        |scen AS (SELECT 'NONE' AS c UNION ALL SELECT DISTINCT t FROM j),
+        |it AS (
+        |  SELECT 0 AS i, c, 'CONV' AS s, CAST(1.0 AS DOUBLE) AS v
+        |  FROM scen
+        |  UNION ALL
+        |  SELECT it.i + 1, it.c, t.f AS s, round(sum(t.p * it.v), 9) AS v
+        |  FROM it JOIN trans t ON t.tos = it.s
+        |  WHERE it.i < 60 AND it.s <> it.c
+        |  GROUP BY 1, 2, 3),
+        |res AS (SELECT c,
+        |    coalesce(max(CASE WHEN s = 'START' THEN v END), 0.0) AS p
+        |  FROM it WHERE i = 60 GROUP BY c),
+        |base AS (SELECT p AS pn FROM res WHERE c = 'NONE'),
+        |ef AS (SELECT c AS channel, (SELECT pn FROM base) - p AS eff
+        |  FROM res WHERE c <> 'NONE'),
+        |tot AS (SELECT sum(eff) AS se FROM ef),
+        |nc AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_conv
+        |  FROM cnt WHERE tos = 'CONV')
+        |SELECT ef.channel,
+        |  CASE WHEN b.pn > 0 THEN round(ef.eff / b.pn, 6) END
+        |    AS removal_effect,
+        |  CASE WHEN t.se <> 0 THEN round(ef.eff / t.se, 6) END AS share,
+        |  CASE WHEN t.se <> 0 THEN round(ef.eff / t.se * nc.n_conv, 6) END
+        |    AS attributed,
+        |  round(b.pn, 6) AS p_conv, nc.n_conv AS n_conversions
+        |FROM ef, base b, tot t, nc ORDER BY channel""".stripMargin,
+
+    // secrets replay: same planted tokens, same candidate regex, same
+    // per-char entropy terms rounded 9 before the exact decimal fold,
+    // same rule precedence and masking
+    "q_secrets_screen" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' sk-' || md5('k:' || CAST(doc_id AS VARCHAR))
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' ' || md5('h1:' || CAST(doc_id AS VARCHAR))
+        |        || md5('h2:' || CAST(doc_id AS VARCHAR))
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(text,
+        |      '[A-Za-z0-9+/=_\-]{20,}')) AS tok FROM d),
+        |ch AS (SELECT doc_id, tok, unnest(string_split(tok, '')) AS c
+        |  FROM cand),
+        |cc AS (SELECT doc_id, tok, c, count(*) AS k FROM ch
+        |  WHERE c <> '' GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, tok, k,
+        |    sum(k) OVER (PARTITION BY doc_id, tok) AS nt FROM cc),
+        |ent AS (SELECT doc_id, tok,
+        |    round(CAST(sum(CAST(round(
+        |      -(CAST(k AS DOUBLE) / nt) * log2(CAST(k AS DOUBLE) / nt), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+        |  FROM tt GROUP BY 1, 2),
+        |cls AS (SELECT doc_id, tok, entropy,
+        |    CASE
+        |      WHEN regexp_matches(tok,
+        |        '^(sk-|ghp_|gho_|xoxb-|xoxp-|AKIA|ASIA|ya29\.)')
+        |        THEN 'prefix'
+        |      WHEN regexp_matches(tok, '^[0-9a-fA-F]{32,}$')
+        |        AND entropy >= 3.0 THEN 'hex'
+        |      WHEN entropy >= 4.0 THEN 'b64'
+        |    END AS reason
+        |  FROM ent)
+        |SELECT doc_id,
+        |  substr(tok, 1, 4) || '***' || CAST(length(tok) AS VARCHAR)
+        |    AS masked,
+        |  reason, entropy, CAST(length(tok) AS BIGINT) AS tok_len
+        |FROM cls WHERE reason IS NOT NULL
+        |ORDER BY doc_id, masked""".stripMargin,
+
+    // planted truth: the contaminated modes sit ~25 raw units from a
+    // unit-scale cloud — the top-k Mahalanobis set is exactly them
+    "q_mahalanobis" ->
+      """SELECT vec_id + 2000000 AS vec_id FROM embeddings
+        |WHERE vec_id % 97 = 0 ORDER BY vec_id""".stripMargin,
 
     // conformal truth: same exact-decimal residuals, same
     // ceil((n+1)·0.9)-th order statistic (rank in exact decimal), same

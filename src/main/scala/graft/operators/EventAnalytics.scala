@@ -917,4 +917,120 @@ object EventAnalytics {
         concat_ws(">", col("_t1"), col("_t2"), col("_t3")).as("seq"),
         lit(3).as("len"), col("n_users")))
   }
+
+  /** Markov removal-effect attribution (Anderl et al.'s data-driven
+    * alternative to last-touch): model each user's pre-conversion
+    * touch sequence as a first-order Markov chain over channels with
+    * absorbing CONV/NULL states, and credit each channel by how much
+    * the overall conversion probability DROPS when that channel is
+    * removed (transitions into it redirected to NULL) —
+    * removal_effect(c) = (P(conv) − P(conv | no c)) / P(conv), shares
+    * normalized over channels, attributed = share × conversions.
+    * Last-touch gives the closer channel everything; removal effects
+    * pay the assist.
+    *
+    * Journeys are FIRST-conversion: each user's events strictly before
+    * their first `convType` event (the whole timeline when they never
+    * convert), ending in CONV or NULL; a user whose first event
+    * converts contributes START→CONV directly.
+    *
+    * Determinism & oracle parity: transition probabilities round at
+    * 6 dp; absorption probabilities iterate a FIXED `iters` steps of
+    * v(s) ← Σ_t p(s→t)·v(t) with each state's value re-rounded at 9 dp
+    * per step (the [[graft.operators.Stats.holtSmooth]] convention), so
+    * a recursive-CTE oracle replays the trajectory bit-for-bit — the
+    * result is defined as the iterate, not the limit.
+    *
+    * Scale: journey extraction is two same-key windows over ONE user
+    * shuffle plus a bounded (from, to) aggregation; the chain itself is
+    * (|channels|+3)² probabilities — model-sized by construction — so
+    * the absorption iterations are driver math on the collected matrix,
+    * the same bounded-collect contract as the ANN centroid ops.
+    */
+  def markovAttribution(events: DataFrame, convType: String,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type", tsCol: String = "ts",
+                        idCol: String = "event_id",
+                        iters: Int = 60): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val ranked = events.filter(col(typeCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+    val firstConv = ranked.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("_cu")).agg(min("_rn").as("_cv"))
+    val j = ranked.join(firstConv, col(userCol) === col("_cu"), "left")
+      .filter(col("_cv").isNull || col("_rn") < col("_cv"))
+      .select(col(userCol).as("_u"), col("_rn"), col(typeCol).as("_t"),
+        col("_cv"))
+    val wj = Window.partitionBy("_u").orderBy("_rn")
+    val mid = j.withColumn("_nxt", lead(col("_t"), 1).over(wj))
+    val starts = j.groupBy("_u")
+      .agg(min_by(col("_t"), col("_rn")).as("to_state"))
+      .select(lit("START").as("from_state"), col("to_state"))
+    val mids = mid.filter(col("_nxt").isNotNull)
+      .select(col("_t").as("from_state"), col("_nxt").as("to_state"))
+    val ends = mid.filter(col("_nxt").isNull)
+      .select(col("_t").as("from_state"),
+        when(col("_cv").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("to_state"))
+    val direct = firstConv.join(j.select(col("_u")).distinct(),
+        col("_cu") === col("_u"), "left_anti")
+      .select(lit("START").as("from_state"), lit("CONV").as("to_state"))
+    val counts = starts.unionByName(mids).unionByName(ends)
+      .unionByName(direct)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_state")
+    // bounded collect: at most (|channels|+1) × (|channels|+2) rows
+    val m = counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(wf).cast("double"), 6))
+      .select("from_state", "to_state", "n", "p").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val nConv = m.filter(_._2 == "CONV").map(_._3).sum
+    // absorbing self-loops keep CONV pinned at 1 through the iteration
+    val trans = (m.map(t => (t._1, t._2, t._4)) ++
+      Seq(("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0)))
+      .sortBy(t => (t._1, t._2))
+    val channels = m.map(_._1)
+      .filter(s => s != "START" && s != "CONV" && s != "NULL")
+      .distinct.sorted
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def absorb(removed: String): Double = {
+      var v = Map[String, Double]("CONV" -> 1.0)
+      var i = 0
+      while (i < iters) {
+        v = trans
+          // removal semantics: the removed state's value never flows
+          // back (transitions into it are losses), i.e. v(removed) ≡ 0
+          .flatMap(t => if (t._2 == removed) None
+            else v.get(t._2).map(x => (t._1, t._3 * x)))
+          .groupBy(_._1)
+          .map { case (s, xs) => s -> r9(xs.map(_._2).sum) }
+        i += 1
+      }
+      v.getOrElse("START", 0.0)
+    }
+    val pNone = absorb("")
+    val effs = channels.map(c => c -> (pNone - absorb(c)))
+    val sumEff = effs.map(_._2).sum
+    def nn(x: Double): java.lang.Double =
+      if (x.isNaN || x.isInfinite) null else java.lang.Double.valueOf(x)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows: Seq[(String, java.lang.Double, java.lang.Double,
+        java.lang.Double, Double, Long)] =
+      effs.toSeq.map { case (c, eff) =>
+        (c,
+          nn(if (pNone > 0) r6(eff / pNone) else Double.NaN),
+          nn(if (sumEff != 0) r6(eff / sumEff) else Double.NaN),
+          nn(if (sumEff != 0) r6(eff / sumEff * nConv) else Double.NaN),
+          r6(pNone), nConv)
+      }
+    rows.toDF("channel", "removal_effect", "share", "attributed", "p_conv",
+      "n_conversions")
+  }
 }

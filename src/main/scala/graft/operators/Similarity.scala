@@ -755,4 +755,103 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Mahalanobis distance scoring over an embedding column — the
+    * covariance-aware out-of-distribution screen (a point 3σ out along
+    * a tight direction scores far higher than 3σ along a loose one,
+    * which plain Euclidean distance cannot see). The standard
+    * embedding-space quality gate: corrupt encodes, wrong-model
+    * vectors, and genuine distribution shift all surface as extreme
+    * d² = (x−μ)ᵀ Σ⁻¹ (x−μ).
+    *
+    * Split of labor, same contract as [[topComponent]]: the data-scale
+    * work is ONE moment pass ([[gramMatrix]] + a per-dimension mean
+    * fold); Σ = G/n − μμᵀ + ridge·I assembles and inverts on the
+    * driver (dim × dim, model-sized; Gauss–Jordan with fixed pivot
+    * order, deterministic given the moments); the inverse re-enters
+    * the plan in a closure and every row scores in a single narrow
+    * projection — no second shuffle, no per-row collect.
+    *
+    * `ridge` keeps Σ invertible when dimensions are collinear (the
+    * failure mode of covariance estimates at n comparable to dim) —
+    * it biases distances down slightly and uniformly.
+    */
+  def mahalanobisScore(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       ridge: Double = 1e-6): DataFrame = {
+    require(ridge >= 0, "ridge must be >= 0")
+    val g = gramMatrix(df, vecCol).collect()
+    require(g.nonEmpty, "mahalanobisScore: no vectors")
+    val dim = g.map(_.getInt(1)).max + 1
+    val n = g.head.getLong(3).toDouble
+    val sums = df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s")).collect()
+    val mu = new Array[Double](dim)
+    sums.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    g.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(2) / n - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var d = 0
+    while (d < dim) { cov(d)(d) += ridge; d += 1 }
+    val inv = invertInPlace(cov)
+    val muB = mu; val invB = inv; val dimB = dim
+    val score = udf((xs: Seq[Double]) => {
+      val c = new Array[Double](dimB)
+      var i = 0
+      while (i < dimB) { c(i) = xs(i) - muB(i); i += 1 }
+      var acc = 0.0; i = 0
+      while (i < dimB) {
+        var j = 0; var row = 0.0
+        while (j < dimB) { row += invB(i)(j) * c(j); j += 1 }
+        acc += row * c(i); i += 1
+      }
+      acc
+    })
+    df.select(col(idCol), score(col(vecCol).cast("array<double>"))
+      .as("mdist2"))
+  }
+
+  /** Gauss–Jordan inverse with partial pivoting in fixed scan order —
+    * deterministic given the input matrix. Mutates and returns a fresh
+    * inverse; throws on a singular matrix (ridge prevents that above).
+    */
+  private def invertInPlace(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = a.length
+    val m = a.map(_.clone())
+    val inv = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var colI = 0
+    while (colI < dim) {
+      var piv = colI; var r = colI + 1
+      while (r < dim) {
+        if (math.abs(m(r)(colI)) > math.abs(m(piv)(colI))) piv = r
+        r += 1
+      }
+      require(m(piv)(colI) != 0.0, "singular covariance (raise ridge)")
+      if (piv != colI) {
+        val t = m(piv); m(piv) = m(colI); m(colI) = t
+        val ti = inv(piv); inv(piv) = inv(colI); inv(colI) = ti
+      }
+      val d = m(colI)(colI)
+      var j = 0
+      while (j < dim) { m(colI)(j) /= d; inv(colI)(j) /= d; j += 1 }
+      r = 0
+      while (r < dim) {
+        if (r != colI && m(r)(colI) != 0.0) {
+          val f = m(r)(colI)
+          j = 0
+          while (j < dim) {
+            m(r)(j) -= f * m(colI)(j); inv(r)(j) -= f * inv(colI)(j)
+            j += 1
+          }
+        }
+        r += 1
+      }
+      colI += 1
+    }
+    inv
+  }
 }

@@ -1136,4 +1136,70 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy("lang")
   }
+
+  /** Credential/secret screen for crawl text — the curation gate that
+    * keeps API keys, tokens, and private keys OUT of training data
+    * (models memorize and regurgitate them). Candidates are unbroken
+    * runs of ≥ `minLen` token-alphabet characters; each distinct
+    * (doc, candidate) is classified by the first matching rule:
+    *
+    *   1. `prefix`: a known credential prefix (sk-, ghp_, gho_, xoxb-,
+    *      xoxp-, AKIA, ASIA, ya29.) — prefix alone convicts, these
+    *      namespaces are reserved for secrets;
+    *   2. `hex`: ≥ 32 pure hex chars with Shannon entropy ≥
+    *      `hexEntropy` bits/char (random keys sit near log₂16 = 4;
+    *      repeated-pattern hex like deadbeef… falls below);
+    *   3. `b64`: any candidate with entropy ≥ `b64Entropy` (random
+    *      base64 sits near 5.3; natural-language runs far below).
+    *
+    * The flagged token is emitted MASKED (first 4 chars + length) —
+    * a secrets report must not itself republish the secret.
+    *
+    * Entropy is replayable: each character-class term
+    * −(c/n)·log₂(c/n) rounds at 9 dp before an exact decimal fold,
+    * total rounds at 6 — the repo's standard two-stage float contract.
+    *
+    * Scale: candidate extraction is a narrow regexp projection; the
+    * per-candidate entropy is a character explode (≤ token length per
+    * candidate, bounded) into a two-level map-side-combined
+    * aggregation. No shuffle ever carries more than the candidate set.
+    */
+  def detectSecrets(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", minLen: Int = 20,
+                    hexEntropy: Double = 3.0,
+                    b64Entropy: Double = 4.0): DataFrame = {
+    require(minLen >= 8, "minLen < 8 would flag ordinary words")
+    import org.apache.spark.sql.expressions.Window
+    val cands = df
+      .select(col(idCol), explode(regexp_extract_all(col(textCol),
+        lit(s"[A-Za-z0-9+/=_\\-]{$minLen,}"), lit(0))).as("tok"))
+      .distinct()
+    val chars = cands
+      .select(col(idCol), col("tok"), explode(split(col("tok"), ""))
+        .as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("tok"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val n = sum("c").over(Window.partitionBy(idCol, "tok"))
+    val p = col("c").cast("double") / n.cast("double")
+    val ent = chars
+      .withColumn("_term", round(-p * log2(p), 9).cast("decimal(18,9)"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(round(sum("_term").cast("double"), 6).as("entropy"))
+    val isPrefix = col("tok")
+      .rlike("^(sk-|ghp_|gho_|xoxb-|xoxp-|AKIA|ASIA|ya29\\.)")
+    val isHex = col("tok").rlike("^[0-9a-fA-F]{32,}$") &&
+      col("entropy") >= hexEntropy
+    val reason = when(isPrefix, "prefix")
+      .when(isHex, "hex")
+      .when(col("entropy") >= b64Entropy, "b64")
+    ent
+      .withColumn("reason", reason)
+      .filter(col("reason").isNotNull)
+      .select(col(idCol),
+        concat(substring(col("tok"), 1, 4), lit("***"),
+          length(col("tok")).cast("string")).as("masked"),
+        col("reason"), col("entropy"),
+        length(col("tok")).cast("long").as("tok_len"))
+  }
 }

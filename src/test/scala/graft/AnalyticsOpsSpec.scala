@@ -814,3 +814,45 @@ class FrequentSequencesSpec extends SparkSpecBase {
     assert(out == Set("a>b", "b>c", "a>b>c"))
   }
 }
+
+/** Hand-derived absorbing-chain fixture for Markov removal-effect
+  * attribution (exact on a DAG, so the fixed-iterate definition and
+  * the closed form coincide).
+  */
+class MarkovAttributionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("markovAttribution: removal effects, shares and credit on a worked chain") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    // u1: click view purchase | u2: click purchase | u3: view | u4: purchase
+    // -> pNone = 0.75, eff(click) = 0.375, eff(view) = 0.25, nConv = 3
+    val ev = Seq(
+      (1L, 1L, "click", ts(1)), (1L, 2L, "view", ts(2)), (1L, 3L, "purchase", ts(3)),
+      (2L, 4L, "click", ts(1)), (2L, 5L, "purchase", ts(2)),
+      (3L, 6L, "view", ts(1)),
+      (4L, 7L, "purchase", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.markovAttribution(ev, "purchase")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("click", "view"))
+    val c = out("click"); val v = out("view")
+    assert(c.getAs[Double]("p_conv") == 0.75)
+    assert(c.getAs[Long]("n_conversions") == 3L)
+    assert(c.getAs[Double]("removal_effect") == 0.5)      // 0.375 / 0.75
+    assert(v.getAs[Double]("removal_effect") == 0.333333) // 0.25  / 0.75
+    assert(c.getAs[Double]("share") == 0.6 && v.getAs[Double]("share") == 0.4)
+    assert(c.getAs[Double]("attributed") == 1.8)
+    assert(v.getAs[Double]("attributed") == 1.2)
+  }
+
+  test("markovAttribution: no conversions gives NULL effects, zero credit base") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    val ev = Seq((1L, 1L, "click", ts(1)), (2L, 2L, "view", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.markovAttribution(ev, "purchase").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_conversions") == 0L))
+    assert(out.forall(_.getAs[Double]("p_conv") == 0.0))
+    assert(out.forall(_.isNullAt(1))) // removal_effect undefined at p = 0
+  }
+}

@@ -143,3 +143,45 @@ class PqSpec extends SparkSpecBase {
     cents.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 }
+
+/** Mahalanobis scoring: covariance-aware ordering and planted outliers. */
+class MahalanobisSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("mahalanobisScore: covariance-awareness beats euclidean; planted outliers top") {
+    // tight dimension y (sd ~0.1), loose dimension x (sd ~10): a point
+    // at (0, 3) is farther in Mahalanobis than (30, 0) is NOT — but a
+    // point 5 tight-sigmas out must beat one 1 loose-sigma out
+    val base = (0 until 200).map { i =>
+      val x = (i % 20 - 9.5) * 1.0   // sd ~5.8 on x
+      val y = (i % 5 - 2.0) * 0.05   // sd ~0.07 on y
+      (i.toLong, Array(x, y))
+    }
+    val probes = Seq(
+      (1000L, Array(5.8, 0.0)),   // 1 sigma on the loose axis
+      (1001L, Array(0.0, 0.35)))  // ~5 sigma on the tight axis
+    val df = (base ++ probes).toDF("vec_id", "embedding")
+    val s = Similarity.mahalanobisScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1001L) > s(1000L),
+      "tight-axis excursion must out-score the loose-axis one")
+    // planted far outlier dominates everything
+    val big = (base ++ Seq((2000L, Array(100.0, 5.0)))).toDF("vec_id", "embedding")
+    val top = Similarity.mahalanobisScore(big)
+      .orderBy(col("mdist2").desc).limit(1).head().getLong(0)
+    assert(top == 2000L)
+  }
+
+  test("mahalanobisScore: identity-like covariance reduces to scaled euclidean") {
+    // symmetric lattice -> diagonal covariance with equal variances
+    val pts = for (x <- -2 to 2; y <- -2 to 2) yield
+      ((x + 2) * 5L + (y + 2), Array(x.toDouble, y.toDouble))
+    val df = pts.toDF("vec_id", "embedding")
+    val s = Similarity.mahalanobisScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // (2,2) corner vs (2,0) edge: d2 ratio must equal euclidean ratio 8/4
+    val corner = s(24L); val edge = s(22L)
+    assert(math.abs(corner / edge - 2.0) < 1e-9)
+  }
+}

@@ -378,3 +378,35 @@ class TopicTagSpec extends SparkSpecBase {
     assert(out("zh").getAs[Double]("fertility") == 1.0)
   }
 }
+
+/** Secrets screen: rule precedence, entropy discrimination, masking. */
+class DetectSecretsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("detectSecrets: prefix convicts, high-entropy hex convicts, low-entropy hex walks") {
+    val docs = Seq(
+      (1L, "call sk-abcdefghij0123456789 to auth"),          // prefix
+      (2L, "hash 3f7a9c1e5b2d8f4a6c0e9b1d7a3f5c8e present"), // 40 hex, high entropy
+      (3L, "pad aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa here"), // 36 a's: entropy 0
+      (4L, "short deadbeef and normal words only"),          // < minLen: no candidate
+      (5L, "b64ish QmFzZTY0K1NlY3JldHMvRW50cm9weTIwMjQ9PQ wow")) // mixed-case candidate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.detectSecrets(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) == "prefix")
+    assert(out(1L).getString(1).startsWith("sk-a") &&
+      out(1L).getString(1).endsWith("***23"))
+    assert(out(2L).getString(2) == "hex")
+    assert(!out.contains(3L), "constant run has entropy 0: must walk")
+    assert(!out.contains(4L))
+    assert(out(5L).getString(2) == "b64")
+    assert(out(5L).getAs[Double]("entropy") >= 4.0)
+  }
+
+  test("detectSecrets: the same token twice in a doc reports once") {
+    val docs = Seq((1L, "k sk-abcdefghij0123456789 and sk-abcdefghij0123456789"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.detectSecrets(docs).count() == 1L)
+  }
+}
