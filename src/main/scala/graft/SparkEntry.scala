@@ -8470,6 +8470,45 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // ---- Bradley–Terry ratings over "next event beats previous"
+    //      preference pairs; 50 fixed MM iterations (round-9 per step)
+    //      on the bounded collected pair table ----
+    "q_bradley_terry" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prefs = Tables.events(s, dir)
+        .withColumn("_w", lead(col("event_type"), 1).over(w))
+        .filter(col("_w").isNotNull && col("_w") =!= col("event_type"))
+      Stats.bradleyTerry(prefs, "_w", "event_type").orderBy("item")
+    }),
+
+    // ---- budgeted mixture allocation: token budget = the corpus
+    //      total, epoch cap 1.2 — the skewed shares force the de/fr/es
+    //      caps to bind and re-spread onto en at every SF ----
+    "q_budget_mix" -> ((s, dir) => {
+      val avail = t(s, dir, "documents")
+        .groupBy(col("lang").cast("string").as("lang"))
+        .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("tok"))
+      val total = avail.agg(sum("tok")).head().getLong(0).toDouble
+      Sampling.allocateBudget(avail, "lang", col("tok"),
+        Map("en" -> 0.25, "de" -> 0.35, "fr" -> 0.2, "es" -> 0.2),
+        budget = total, maxEpochs = 1.2).orderBy("lang")
+    }),
+
+    // ---- canary sweep: planted memorization canaries on doc_id % 17,
+    //      broadcast contains scan reports (doc, canary, position) ----
+    "q_canary_sweep" -> ((s, dir) => {
+      val canaries = Seq("CANARY-7f3a9c", "CANARY-b21e44", "CANARY-e99d01")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" "),
+            element_at(array(canaries.map(lit): _*),
+              (col("doc_id") % 3 + 1).cast("int"))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.findCanaries(planted, canaries).orderBy("doc_id")
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8645,7 +8684,103 @@ object SparkEntry {
           .as("y"))
       .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
 
+  /** Bradley–Terry oracle: the 50 MM iterations unrolled as generated
+    * CTE pairs (raw update, then round-9 normalize) — the same
+    * programmatic-unroll pattern as the Hilbert-key oracle. Each
+    * iteration references the previous p-table twice (self and
+    * opponent), which a recursive CTE cannot do.
+    */
+  private def btOracleSql: String = {
+    val steps = (1 to 50).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT a.s, a.w,
+         |    CASE WHEN a.w = 0 THEN 0.0
+         |      ELSE a.w / sum(g.n / (a.v + b.v)) END AS raw
+         |  FROM p${k - 1} a
+         |  LEFT JOIN games g ON g.x = a.s OR g.y = a.s
+         |  LEFT JOIN p${k - 1} b
+         |    ON b.s = CASE WHEN g.x = a.s THEN g.y ELSE g.x END
+         |  GROUP BY a.s, a.w),
+         |p$k AS MATERIALIZED (SELECT s, w,
+         |    CASE WHEN sum(raw) OVER () = 0 THEN 0.0
+         |      ELSE round(raw / sum(raw) OVER (), 9) END AS v
+         |  FROM r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prefs AS (SELECT l, w FROM (SELECT event_type AS l,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS w
+       |  FROM events) WHERE w IS NOT NULL AND w <> l),
+       |games AS MATERIALIZED (SELECT CASE WHEN w < l THEN w ELSE l END AS x,
+       |    CASE WHEN w < l THEN l ELSE w END AS y, count(*) AS n
+       |  FROM prefs GROUP BY 1, 2),
+       |wins AS (SELECT w AS s, count(*) AS wn FROM prefs GROUP BY 1),
+       |items AS (SELECT DISTINCT s FROM
+       |  (SELECT w AS s FROM prefs UNION SELECT l FROM prefs)),
+       |p0 AS MATERIALIZED (SELECT items.s, CAST(coalesce(wins.wn, 0) AS DOUBLE) AS w,
+       |    round(CAST(1.0 AS DOUBLE) /
+       |      (SELECT count(*) FROM items), 9) AS v
+       |  FROM items LEFT JOIN wins ON items.s = wins.s),
+       |$steps,
+       |gp AS (SELECT s, sum(n) AS gn FROM
+       |  (SELECT x AS s, n FROM games UNION ALL SELECT y, n FROM games)
+       |  GROUP BY 1)
+       |SELECT p50.s AS item, round(p50.v, 6) AS rating,
+       |  CAST(p50.w AS BIGINT) AS wins,
+       |  CAST(coalesce(gp.gn, 0) AS BIGINT) AS games
+       |FROM p50 LEFT JOIN gp ON p50.s = gp.s
+       |ORDER BY item""".stripMargin
+  }
+
   private def evalOracles: Map[String, String] = Map(
+    "q_bradley_terry" -> btOracleSql,
+
+    // waterfill replay: same normalized shares, same cap/share sort,
+    // same prefix-scan threshold, budget = the corpus token total
+    "q_budget_mix" ->
+      """WITH avail AS (SELECT CAST(lang AS VARCHAR) AS lang,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(sum(tok) AS DOUBLE) AS budget FROM avail),
+        |sh AS (SELECT * FROM (VALUES ('en', 0.25), ('de', 0.35),
+        |    ('fr', 0.2), ('es', 0.2)) t(lang, sraw)),
+        |shn AS (SELECT lang, sraw / (SELECT sum(sraw) FROM sh) AS share
+        |  FROM sh),
+        |base AS (SELECT a.lang, CAST(a.tok AS DOUBLE) AS avail, shn.share
+        |  FROM avail a LEFT JOIN shn ON a.lang = shn.lang),
+        |pos AS (SELECT lang, avail, share, avail * 1.2 AS cap,
+        |    avail * 1.2 / share AS r
+        |  FROM base WHERE share IS NOT NULL),
+        |scan AS (SELECT *, row_number() OVER w AS rn,
+        |    coalesce(sum(cap) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0.0) AS capb,
+        |    coalesce(sum(share) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0.0) AS shb,
+        |    sum(share) OVER () AS sht
+        |  FROM pos WINDOW w AS (ORDER BY r, lang)),
+        |tc AS (SELECT *, ((SELECT budget FROM b) - capb) / (sht - shb)
+        |    AS t FROM scan),
+        |ts AS (SELECT min_by(t, rn) AS tstar FROM tc WHERE t < r),
+        |alloc AS (SELECT lang, avail, share, cap,
+        |    CASE WHEN (SELECT tstar FROM ts) IS NULL THEN cap
+        |      ELSE least(share * (SELECT tstar FROM ts), cap) END AS al
+        |  FROM tc
+        |  UNION ALL SELECT lang, avail, 0.0, avail * 1.2, 0.0
+        |  FROM base WHERE share IS NULL)
+        |SELECT lang, CAST(avail AS BIGINT) AS avail,
+        |  round(share, 6) AS share, CAST(floor(cap) AS BIGINT) AS cap_tokens,
+        |  round(al, 6) AS alloc_tokens,
+        |  round(al / avail, 6) AS epochs, al >= cap AS capped
+        |FROM alloc ORDER BY lang""".stripMargin,
+
+    // planted truth: position is 1-based just past the appended space
+    "q_canary_sweep" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'CANARY-7f3a9c' WHEN 1 THEN 'CANARY-b21e44'
+        |    ELSE 'CANARY-e99d01' END AS canary,
+        |  CAST(length(text) + 2 AS BIGINT) AS position
+        |FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin,
+
     // Cook's closed-form sum replayed with DuckDB's lgamma (the operator
     // uses exact Σln k prefix sums; both are exact to ~1e-13, reconciled
     // by the 6 dp rounding); correlated generate_series walks i=0..αB−1

@@ -331,4 +331,81 @@ object Sampling {
       .agg(min("v").as("_thr"))
     df.join(broadcast(thr), col(valueCol) >= col("_thr")).drop("_thr")
   }
+
+  /** Budget-constrained mixture allocation with per-domain epoch caps —
+    * the planning step before [[temperatureMix]]-style sampling: split
+    * a token budget across domains by target shares, but never draw
+    * more than `maxEpochs` passes over any domain (repeating data past
+    * a few epochs hurts; the Chinchilla-style cap), and re-spread the
+    * capped domains' unused share over the rest. This is water-filling,
+    * and the binding set has a CLOSED FORM — domains cap in ascending
+    * cap/share order, so one sorted scan finds the threshold
+    * t* = (budget − Σ_capped cap) / Σ_uncapped share and
+    * alloc_d = min(share_d·t*, cap_d) — no iteration, fully
+    * declarative: windows over the bounded domain table, a broadcast
+    * 1-row threshold, nothing corpus-sized after the availability fold
+    * the caller already paid for.
+    *
+    * Input is the PRE-AGGREGATED (domain, available-tokens) table.
+    * Domains missing from `shares` allocate 0 (dropped domains are
+    * normal in mixing); shares must be positive and are normalized by
+    * their own sum. When the budget exceeds total capacity every
+    * domain caps and the leftover goes unspent (reported via the
+    * epochs column hitting maxEpochs everywhere).
+    */
+  def allocateBudget(df: DataFrame, domainCol: String, availCol: Column,
+                     shares: Map[String, Double], budget: Double,
+                     maxEpochs: Double = 4.0): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be non-empty and positive")
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shareSum = shares.values.sum
+    val shareDf = shares.toSeq.sortBy(_._1)
+      .map { case (d, s) => (d, s / shareSum) }
+      .toDF("_dom", "share")
+    val base = df
+      .select(col(domainCol).cast("string").as("_dom"),
+        availCol.cast("double").as("avail"))
+      .join(broadcast(shareDf), Seq("_dom"), "left")
+    val zero = base.filter(col("share").isNull)
+      .select(col("_dom"), col("avail"), lit(0.0).as("share"),
+        (col("avail") * lit(maxEpochs)).as("cap"),
+        lit(0.0).as("alloc"))
+    val pos = base.filter(col("share").isNotNull)
+      .withColumn("cap", col("avail") * lit(maxEpochs))
+      .withColumn("_r", col("cap") / col("share"))
+    val ord = Window.orderBy(col("_r"), col("_dom"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val scan = pos
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_capBefore", coalesce(sum("cap").over(before), lit(0.0)))
+      .withColumn("_shareBefore",
+        coalesce(sum("share").over(before), lit(0.0)))
+      .withColumn("_shareTot", sum("share").over(Window.partitionBy()))
+      // t if the binding set stopped just before this row
+      .withColumn("_t", (lit(budget) - col("_capBefore")) /
+        (col("_shareTot") - col("_shareBefore")))
+    // first row whose candidate t fails to cap it starts the uncapped
+    // tail; no such row -> budget exceeds capacity, everything caps
+    val tStar = scan.filter(col("_t") < col("_r"))
+      .agg(min_by(col("_t"), col("_rn")).as("_tstar"))
+    val alloc = scan.crossJoin(broadcast(tStar))
+      .withColumn("alloc", when(col("_tstar").isNull, col("cap"))
+        .otherwise(least(col("share") * col("_tstar"), col("cap"))))
+      .select(col("_dom"), col("avail"), col("share"), col("cap"),
+        col("alloc"))
+    alloc.unionByName(zero)
+      .select(col("_dom").as(domainCol), col("avail").cast("long").as("avail"),
+        round(col("share"), 6).as("share"),
+        // explicit floor: a bare double->long cast TRUNCATES in Spark
+        // but ROUNDS in DuckDB — 4143·1.2 = 4971.599… must be 4971 in
+        // both engines
+        floor(col("cap")).cast("long").as("cap_tokens"),
+        round(col("alloc"), 6).as("alloc_tokens"),
+        round(col("alloc") / col("avail"), 6).as("epochs"),
+        (col("alloc") >= col("cap")).as("capped"))
+  }
 }

@@ -1732,6 +1732,75 @@ object Stats {
           .as("smape"))
   }
 
+  /** Bradley–Terry ratings from pairwise preference data — the model
+    * behind every "A beats B" eval: RLHF preference pairs, arena-style
+    * model comparisons, search interleaving. Given (winner, loser)
+    * rows, estimate p_i with P(i beats j) = p_i/(p_i + p_j) by the
+    * standard MM iteration (Hunter 2004)
+    *
+    *   p_i ← w_i / Σ_{j≠i} n_ij/(p_i + p_j),  then normalize Σp = 1,
+    *
+    * run a FIXED `iters` steps from the uniform start with every
+    * p re-rounded at 9 dp per step — the [[holtSmooth]] convention:
+    * the result is DEFINED as the iterate, so a recursive-CTE oracle
+    * replays it bit-for-bit. Items that never win rate exactly 0 (the
+    * MLE is degenerate there; 0 is the fixed point the MM reaches).
+    *
+    * Scale: ONE map-side-combined aggregation collapses the corpus of
+    * comparisons to the bounded unordered-pair table (|items|²); the
+    * MM iterations are driver math on that collected model-sized
+    * table, the same bounded-collect contract as
+    * [[graft.operators.EventAnalytics.markovAttribution]].
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 50): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val pairs = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .groupBy("_w", "_l").agg(count(lit(1)).as("_n"))
+    // bounded collect: at most |items|² directed pairs
+    val m = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = (m.map(_._1) ++ m.map(_._2)).distinct.sorted
+    val wins = items.map(i => i -> m.filter(_._1 == i).map(_._3).sum).toMap
+    val games = scala.collection.mutable.Map[(String, String), Long]()
+    m.foreach { case (w, l, n) =>
+      val k = if (w < l) (w, l) else (l, w)
+      games(k) = games.getOrElse(k, 0L) + n
+    }
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    var p = items.map(i => i -> r9(1.0 / items.length)).toMap
+    var it = 0
+    while (it < iters) {
+      val raw = items.map { i =>
+        val denom = items.filter(_ != i).map { j =>
+          val n = games.getOrElse(if (i < j) (i, j) else (j, i), 0L)
+          if (n == 0) 0.0 else n.toDouble / (p(i) + p(j))
+        }.sum
+        i -> (if (denom == 0) 0.0 else wins(i).toDouble / denom)
+      }
+      val s = raw.map(_._2).sum
+      p = raw.map { case (i, v) =>
+        i -> (if (s == 0) 0.0 else r9(v / s))
+      }.toMap
+      it += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    items.map { i =>
+      val played = games.collect {
+        case ((a, b), n) if a == i || b == i => n
+      }.sum
+      (i, r6(p(i)), wins(i), played)
+    }.toSeq.toDF("item", "rating", "wins", "games")
+  }
+
   /** Split-conformal prediction interval for the next step of a KEYED
     * series under the naive forecaster: every historical origin's
     * absolute residual |y_t − y_{t−h}| is a calibration score, and the

@@ -1137,6 +1137,33 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Canary-string sweep: find documents containing any of a known
+    * list of planted canaries — the memorization-measurement loop's
+    * other half (plant unique strings pre-training, sweep corpora and
+    * model output for them later; Carlini et al.'s secret-sharer
+    * protocol). Also the right tool for "is this known-leaked key in
+    * our corpus" incident response.
+    *
+    * Shape: the canary list is a BROADCAST literal table crossed with
+    * the corpus and filtered by a codegen'd `contains` — one narrow
+    * scan, |canaries|× work per row, no shuffle. Returns one row per
+    * (doc, canary) hit with the 1-based position.
+    */
+  def findCanaries(df: DataFrame, canaries: Seq[String],
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(canaries.nonEmpty, "canary list must be non-empty")
+    require(canaries.forall(_.nonEmpty), "empty canary matches everything")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cs = canaries.distinct.sorted.toDF("canary")
+    df.select(col(idCol), col(textCol).as("_txt"))
+      .crossJoin(broadcast(cs))
+      .withColumn("position", instr(col("_txt"), col("canary")).cast("long"))
+      .filter(col("position") > 0)
+      .select(col(idCol), col("canary"), col("position"))
+  }
+
   /** Credential/secret screen for crawl text — the curation gate that
     * keeps API keys, tokens, and private keys OUT of training data
     * (models memorize and regurgitate them). Candidates are unbroken

@@ -765,3 +765,79 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(Stats.changepoint(one, "t", "v").count() == 0L)
   }
 }
+
+/** Bradley–Terry: exact 2-item closed form, transitive ordering,
+  * zero-win degeneracy.
+  */
+class BradleyTerrySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bradleyTerry: two items recover the exact win-rate split") {
+    // A beats B 3:1 -> p_A/(p_A+p_B) = 3/4; normalized (0.75, 0.25) is
+    // the MM fixed point reached in one step from the uniform start
+    val prefs = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A")))
+      .toDF("w", "l")
+    val out = Stats.bradleyTerry(prefs, "w", "l").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("rating") == 0.75)
+    assert(out("B").getAs[Double]("rating") == 0.25)
+    assert(out("A").getAs[Long]("wins") == 3L)
+    assert(out("A").getAs[Long]("games") == 4L)
+  }
+
+  test("bradleyTerry: transitive wins order the ratings; zero-win item rates 0") {
+    val prefs = (Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++
+      Seq.fill(4)(("A", "C")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(1)(("C", "B")) ++ Seq.fill(2)(("A", "Z")))
+      .toDF("w", "l")
+    val out = Stats.bradleyTerry(prefs, "w", "l").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+    assert(out("A") > out("B") && out("B") > out("C"))
+    assert(out("Z") == 0.0, "an item that never wins has the degenerate MLE 0")
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+  }
+}
+
+/** Water-filling budget allocator: worked cap cascade, normalization,
+  * unknown domains, over-budget saturation.
+  */
+class AllocateBudgetSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private val avail = Seq(("a", 100L), ("b", 100L), ("c", 100L))
+
+  test("allocateBudget: caps cascade in cap/share order, threshold splits the rest") {
+    // caps 200 each; shares .6/.3/.1; budget 500 -> a caps (wants 300),
+    // b caps (wants 750*.3=225 > 200), c gets t*=1000 -> 100 tokens
+    val out = Sampling.allocateBudget(avail.toDF("dom", "n"), "dom",
+        col("n"), Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1),
+        budget = 500.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("alloc_tokens") == 200.0)
+    assert(out("b").getAs[Double]("alloc_tokens") == 200.0)
+    assert(out("c").getAs[Double]("alloc_tokens") == 100.0)
+    assert(out("a").getAs[Boolean]("capped") && out("b").getAs[Boolean]("capped"))
+    assert(!out("c").getAs[Boolean]("capped"))
+    assert(out("c").getAs[Double]("epochs") == 1.0)
+    // un-normalized shares 6/3/1 give the identical allocation
+    val raw = Sampling.allocateBudget(avail.toDF("dom", "n"), "dom",
+        col("n"), Map("a" -> 6.0, "b" -> 3.0, "c" -> 1.0),
+        budget = 500.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("alloc_tokens")).toMap
+    assert(raw == out.view.mapValues(_.getAs[Double]("alloc_tokens")).toMap)
+  }
+
+  test("allocateBudget: unknown domains get 0; over-budget saturates every cap") {
+    val out = Sampling.allocateBudget(
+        (avail :+ ("x", 50L)).toDF("dom", "n"), "dom", col("n"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2),
+        budget = 10000.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Double]("alloc_tokens") == 0.0)
+    Seq("a", "b", "c").foreach { d =>
+      assert(out(d).getAs[Double]("alloc_tokens") == 200.0)
+      assert(out(d).getAs[Boolean]("capped"))
+    }
+  }
+}

@@ -410,3 +410,24 @@ class DetectSecretsSpec extends SparkSpecBase {
     assert(TextAnalysis.detectSecrets(docs).count() == 1L)
   }
 }
+
+/** Canary sweep: hits with positions, misses clean, multi-canary docs. */
+class FindCanariesSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("findCanaries reports each (doc, canary) hit with its 1-based position") {
+    val docs = Seq(
+      (1L, "clean text with nothing planted"),
+      (2L, "xx CANARY-alpha yy"),
+      (3L, "CANARY-beta first then CANARY-alpha too"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.findCanaries(docs,
+        Seq("CANARY-alpha", "CANARY-beta"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((2L, "CANARY-alpha")) == 4L)
+    assert(out((3L, "CANARY-beta")) == 1L)
+    assert(out((3L, "CANARY-alpha")) == 24L)
+    assert(out.size == 3)
+  }
+}
