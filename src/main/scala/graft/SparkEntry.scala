@@ -8509,6 +8509,17 @@ object SparkEntry {
       TextAnalysis.findCanaries(planted, canaries).orderBy("doc_id")
     }),
 
+    // ---- Heaps'-law vocabulary growth: 20 doc_id-range checkpoints,
+    //      cumulative tokens vs distinct terms, log-log beta fit ----
+    "q_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(t(s, dir, "documents"), buckets = 20)),
+
+    // ---- ε-DP p90 of event values via the exponential mechanism
+    //      (Gumbel-max over the bounded distinct-value table) ----
+    "q_dp_quantile" -> ((s, dir) =>
+      Privacy.dpQuantile(Tables.events(s, dir), col("value"), q = 0.9,
+        epsilon = 1.0)),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8732,6 +8743,69 @@ object SparkEntry {
 
   private def evalOracles: Map[String, String] = Map(
     "q_bradley_terry" -> btOracleSql,
+
+    // Heaps replay: same integer bucket arithmetic (// is exact), same
+    // token mirror, per-point ln rounded 9 into exact decimal moments
+    "q_heaps_law" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+        |    FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id,
+        |    CAST(((doc_id - (SELECT lo FROM b)) * 20) //
+        |      ((SELECT hi FROM b) - (SELECT lo FROM b) + 1) AS INTEGER)
+        |      + 1 AS bk,
+        |    $toksSql AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT bk, CAST(sum(len(tk)) AS BIGINT) AS tkn
+        |  FROM d GROUP BY 1),
+        |tms AS (SELECT DISTINCT bk, unnest(tk) AS term FROM d),
+        |fs AS (SELECT term, min(bk) AS fb FROM tms GROUP BY 1),
+        |nw AS (SELECT fb AS bk, count(*) AS nt FROM fs GROUP BY 1),
+        |cur AS (SELECT coalesce(tok.bk, nw.bk) AS bk,
+        |    coalesce(tkn, 0) AS tkn, coalesce(nt, 0) AS nt
+        |  FROM tok FULL OUTER JOIN nw ON tok.bk = nw.bk),
+        |cum AS (SELECT bk,
+        |    CAST(sum(tkn) OVER (ORDER BY bk) AS BIGINT) AS tokens_cum,
+        |    CAST(sum(nt) OVER (ORDER BY bk) AS BIGINT) AS vocab_cum
+        |  FROM cur),
+        |pts AS (SELECT bk, tokens_cum, vocab_cum,
+        |    CAST(round(ln(CAST(tokens_cum AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(CAST(vocab_cum AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS y
+        |  FROM cum WHERE tokens_cum > 0 AND vocab_cum > 0),
+        |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT bk AS bucket, tokens_cum, vocab_cum,
+        |  round((CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
+        |    AS heaps_beta
+        |FROM pts, fit ORDER BY bucket""".stripMargin,
+
+    // DP-quantile replay: same exclusive-below ranks, exact-decimal
+    // q·n target, same md5-seeded Gumbel draw keyed on the value's
+    // shortest-roundtrip string (values are 2-dp in [0, 561): both
+    // engines render them identically)
+    "q_dp_quantile" ->
+      """WITH vals AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (SELECT count(*) AS bins, CAST(sum(c) AS BIGINT) AS n
+        |  FROM vals),
+        |w AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below FROM vals),
+        |s AS (SELECT v, -0.5 * CAST(abs(CAST(below AS DECIMAL(28,6)) -
+        |      CAST(0.9 AS DECIMAL(18,6)) * (SELECT n FROM g))
+        |      AS DOUBLE) +
+        |    (-ln(-ln((CAST(CAST(('0x' ||
+        |      substr(md5('dpq:' || CAST(v AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0)))
+        |    AS score
+        |  FROM w)
+        |SELECT v AS dp_quantile, (SELECT n FROM g) AS n,
+        |  (SELECT bins FROM g) AS n_bins
+        |FROM s ORDER BY score DESC, v LIMIT 1""".stripMargin,
 
     // waterfill replay: same normalized shares, same cap/share sort,
     // same prefix-scan threshold, budget = the corpus token total

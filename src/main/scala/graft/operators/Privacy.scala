@@ -218,4 +218,58 @@ object Privacy {
     if (threshold > 0) released.filter(col("noisy_count") >= threshold)
     else released
   }
+
+  /** ε-DP quantile via the EXPONENTIAL mechanism — the other half of a
+    * DP release toolkit ([[dpRelease]] perturbs counts; output
+    * perturbation cannot release a quantile, whose sensitivity is the
+    * whole data range). Each distinct value v scores
+    * u(v) = −|#below(v) − q·n| (how far v sits from the target rank,
+    * sensitivity 1), and the released value is
+    * argmax_v [ ε/2·u(v) + Gumbel_v ] — the Gumbel-max trick IS the
+    * exponential mechanism, with the Gumbel draw content-addressed
+    * (md5(salt:v), same contract as [[dpRelease]]: re-runs agree,
+    * rotate the salt to spend more budget).
+    *
+    * The candidate set is the distinct-value table, guarded by
+    * `maxBins` (pre-bin continuous columns first — a quantile of
+    * binned values is what you want under DP anyway, and the guard
+    * names that remedy). One distinct-count aggregation, one window
+    * over the bounded value table, one TakeOrdered(1) — never a
+    * corpus-sized sort or collect.
+    */
+  def dpQuantile(df: DataFrame, valueCol: Column, q: Double,
+                 epsilon: Double, salt: String = "dpq",
+                 maxBins: Long = 100000L): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    require(epsilon > 0, "epsilon must be positive")
+    require(salt.nonEmpty, "an empty salt makes the draw guessable")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(valueCol.isNotNull)
+      .groupBy(valueCol.cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val g = vals.agg(count(lit(1)).as("bins"), sum("c").as("n")).head()
+    val (bins, n) = (g.getLong(0), g.getLong(1))
+    require(bins <= maxBins,
+      s"dpQuantile: $bins distinct values > maxBins=$maxBins — the " +
+        "candidate table must stay bounded; pre-bin the column " +
+        "(quantile_bins / floor(v/width)) and release the bin instead")
+    // exact-decimal target rank: q·n must not drift off an integer
+    // boundary (the bootstrap-CI lesson, NOTES r13)
+    val qn = lit(java.math.BigDecimal.valueOf(q)
+      .multiply(java.math.BigDecimal.valueOf(n)))
+    val below = coalesce(sum("c").over(Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val absdev = abs(below.cast("decimal(28,6)") - qn)
+    val u60 = conv(substring(md5(concat(lit(s"$salt:"),
+      col("v").cast("string"))), 1, 15), 16, 10).cast("double")
+    val unif = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60))
+    val gumbel = -log(-log(unif))
+    vals
+      .withColumn("_score",
+        lit(-epsilon / 2.0) * absdev.cast("double") + gumbel)
+      .orderBy(col("_score").desc, col("v"))
+      .limit(1)
+      .select(col("v").as("dp_quantile"), lit(n).as("n"),
+        lit(bins).as("n_bins"))
+  }
 }

@@ -1137,6 +1137,70 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Heaps'-law vocabulary growth curve: cumulative distinct-term count
+    * versus cumulative token count along the doc_id reading order,
+    * sampled at `buckets` id-range checkpoints, with the power-law fit
+    * V ≈ K·N^β (log-log least squares over the checkpoint table). The
+    * corpus-health lens [[zipfFit]]'s frequency view can't give:
+    * natural corpora grow vocabulary at β ≈ 0.4–0.6 — a β near 1 means
+    * unbounded junk vocabulary (serial numbers, hashes), a β near 0
+    * means the crawl is re-reading the same material.
+    *
+    * The prefix structure needs NO global sort: buckets are fixed
+    * doc_id ranges (exact integer arithmetic from one min/max fold),
+    * each term's first appearance is one min-aggregation, and the
+    * cumulative sums are windows over the BUCKETS-row table. Everything
+    * corpus-sized is a map-side-combined aggregation.
+    */
+  def heapsCurve(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, "need at least 2 checkpoints to fit a curve")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    // one bounded fold for the id span (embedded as exact literals so
+    // the bucket arithmetic is pure integer — no float boundary drift)
+    val b = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val bucket = expr(s"CAST((($idCol - $lo) * $buckets) DIV $span AS INT) + 1")
+    val perDoc = docs.select(col(idCol), bucket.as("_b"),
+      size(tokens(col(textCol))).cast("long").as("_nt"),
+      tokens(col(textCol)).as("_tk"))
+    val tokTotals = perDoc.groupBy("_b").agg(sum("_nt").as("_tok"))
+    val firstSeen = perDoc
+      .select(col("_b"), explode(col("_tk")).as("_t")).distinct()
+      .groupBy("_t").agg(min("_b").as("_fb"))
+      .groupBy(col("_fb").as("_b")).agg(count(lit(1)).as("_new"))
+    val w = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = tokTotals.join(firstSeen, Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("_tok"), lit(0L)).as("_tok"),
+        coalesce(col("_new"), lit(0L)).as("_new"))
+      .withColumn("tokens_cum", sum("_tok").over(w))
+      .withColumn("vocab_cum", sum("_new").over(w))
+      .filter(col("tokens_cum") > 0 && col("vocab_cum") > 0)
+    // log-log least squares over the bounded checkpoint table: each
+    // point's lnN/lnV rounds at 9 dp, the moment sums fold exactly
+    val pts = curve.select(col("_b"),
+      round(log(col("tokens_cum").cast("double")), 9)
+        .cast("decimal(18,9)").as("_x"),
+      round(log(col("vocab_cum").cast("double")), 9)
+        .cast("decimal(18,9)").as("_y"),
+      col("tokens_cum"), col("vocab_cum"))
+    val fit = pts.agg(count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"))
+    val nD = col("_n").cast("double")
+    val beta = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) /
+      (col("_sxx").cast("double") -
+        col("_sx").cast("double") * col("_sx").cast("double") / nD)
+    pts.select(col("_b").as("bucket"), col("tokens_cum"), col("vocab_cum"))
+      .crossJoin(broadcast(fit.select(round(beta, 6).as("heaps_beta"))))
+      .orderBy("bucket")
+  }
+
   /** Canary-string sweep: find documents containing any of a known
     * list of planted canaries — the memorization-measurement loop's
     * other half (plant unique strings pre-training, sweep corpora and

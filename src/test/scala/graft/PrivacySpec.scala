@@ -141,3 +141,35 @@ class DpReleaseSpec extends SparkSpecBase {
     assert(!out.contains("rare") && out.size == 4)
   }
 }
+
+/** Exponential-mechanism DP quantile: concentration at high epsilon,
+  * determinism, and the bounded-candidate guard.
+  */
+class DpQuantileSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("dpQuantile: high epsilon concentrates on the true rank; runs are deterministic") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    // score gap between the argmax and its neighbor is eps/2 = 500,
+    // far beyond any Gumbel draw (|g| <= ln 2^60 ~ 42): deterministic
+    val r = Privacy.dpQuantile(df, col("v"), q = 0.5, epsilon = 1000.0).head()
+    assert(r.getDouble(0) == 51.0) // below(51) = 50 = q*n exactly
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_bins") == 100L)
+    val again = Privacy.dpQuantile(df, col("v"), q = 0.5, epsilon = 1000.0)
+      .head().getDouble(0)
+    assert(again == 51.0)
+    // a different salt re-draws the noise but stays a valid value
+    val other = Privacy.dpQuantile(df, col("v"), q = 0.5, epsilon = 0.01,
+      salt = "dpq2").head().getDouble(0)
+    assert(other >= 1.0 && other <= 100.0)
+  }
+
+  test("dpQuantile: the maxBins guard names the pre-binning remedy") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpQuantile(df, col("v"), q = 0.5, epsilon = 1.0, maxBins = 10L)
+    }
+    assert(e.getMessage.contains("pre-bin"))
+  }
+}

@@ -431,3 +431,40 @@ class FindCanariesSpec extends SparkSpecBase {
     assert(out.size == 3)
   }
 }
+
+/** Heaps curve: exact cumulative checkpoints on a constructed corpus. */
+class HeapsCurveSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("heapsCurve: exact token/vocab checkpoints and the log-log fit") {
+    // 10 docs, one fresh term + one shared term each; 5 buckets of 2
+    val docs = (0L until 10L).map(i => (i, s"w$i common")).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsCurve(docs, buckets = 5).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 8L, 12L, 16L, 20L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 5L, 7L, 9L, 11L))
+    // replicate the operator's two-stage float contract exactly
+    def r9(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP))
+    val xs = Seq(4L, 8L, 12L, 16L, 20L).map(t => r9(math.log(t.toDouble)))
+    val ys = Seq(3L, 5L, 7L, 9L, 11L).map(v => r9(math.log(v.toDouble)))
+    val n = 5.0
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val expect = java.math.BigDecimal.valueOf(beta)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(out.forall(_.getAs[Double]("heaps_beta") == expect))
+  }
+
+  test("heapsCurve: a vocabulary-saturating corpus fits a smaller beta than a junk one") {
+    val sat = (0L until 40L).map(i => (i, s"a b c d w${i % 4}")).toDF("doc_id", "text")
+    val junk = (0L until 40L).map(i => (i, s"h${i}a h${i}b h${i}c h${i}d h${i}e")).toDF("doc_id", "text")
+    val bSat = TextAnalysis.heapsCurve(sat).head().getAs[Double]("heaps_beta")
+    val bJunk = TextAnalysis.heapsCurve(junk).head().getAs[Double]("heaps_beta")
+    assert(bJunk > 0.95, s"every-token-fresh corpus must fit beta ~1, got $bJunk")
+    assert(bSat < 0.3, s"saturating corpus must fit a small beta, got $bSat")
+  }
+}
