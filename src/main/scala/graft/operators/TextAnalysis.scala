@@ -1249,34 +1249,36 @@ object TextAnalysis {
     * Entropy is replayable: each character-class term
     * −(c/n)·log₂(c/n) rounds at 9 dp before an exact decimal fold,
     * total rounds at 6 — the repo's standard two-stage float contract.
+    * The fold is EXACT decimal, so its order is irrelevant and any
+    * formulation (the oracle's grouped SQL, this operator's row-local
+    * expression) lands on the same bits.
     *
-    * Scale: candidate extraction is a narrow regexp projection; the
-    * per-candidate entropy is a character explode (≤ token length per
-    * candidate, bounded) into a two-level map-side-combined
-    * aggregation. No shuffle ever carries more than the candidate set.
+    * Scale: ONE narrow scan + one candidate-set distinct. The
+    * per-candidate entropy is a row-local higher-order expression
+    * (array_distinct + per-class count over the ≤ token-length char
+    * array) — no explode, no second shuffle; the first version
+    * exploded characters into a grouped aggregation and the 10× probe
+    * measured the (doc, tok, ch) shuffle as the dominant super-linear
+    * cost.
     */
   def detectSecrets(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", minLen: Int = 20,
                     hexEntropy: Double = 3.0,
                     b64Entropy: Double = 4.0): DataFrame = {
     require(minLen >= 8, "minLen < 8 would flag ordinary words")
-    import org.apache.spark.sql.expressions.Window
     val cands = df
       .select(col(idCol), explode(regexp_extract_all(col(textCol),
         lit(s"[A-Za-z0-9+/=_\\-]{$minLen,}"), lit(0))).as("tok"))
       .distinct()
-    val chars = cands
-      .select(col(idCol), col("tok"), explode(split(col("tok"), ""))
-        .as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col(idCol), col("tok"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val n = sum("c").over(Window.partitionBy(idCol, "tok"))
-    val p = col("c").cast("double") / n.cast("double")
-    val ent = chars
-      .withColumn("_term", round(-p * log2(p), 9).cast("decimal(18,9)"))
-      .groupBy(col(idCol), col("tok"))
-      .agg(round(sum("_term").cast("double"), 6).as("entropy"))
+    val chars = filter(split(col("tok"), ""), c => c =!= "")
+    val nD = size(chars).cast("double")
+    val terms = transform(array_distinct(chars), c => {
+      val cnt = size(filter(chars, x => x === c)).cast("double")
+      round(-(cnt / nD) * log2(cnt / nD), 9).cast("decimal(18,9)")
+    })
+    val entropy = round(aggregate(terms, lit(0).cast("decimal(28,9)"),
+      (acc, t) => (acc + t).cast("decimal(28,9)")).cast("double"), 6)
+    val ent = cands.withColumn("entropy", entropy)
     val isPrefix = col("tok")
       .rlike("^(sk-|ghp_|gho_|xoxb-|xoxp-|AKIA|ASIA|ya29\\.)")
     val isHex = col("tok").rlike("^[0-9a-fA-F]{32,}$") &&

@@ -1199,16 +1199,58 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       ($"id" / 5).as("t"), ($"id" % 97).cast("double").as("v"))
     val df = graft.operators.Stats.backtestForecast(daily, "k", "t", "v")
     val p = auditPlan(df)
-    // one exchange+sort feeds the stacked Window (7 naive lags + the
-    // seasonal lag share the (_k, _t) spec); the only other exchange is
-    // the bounded (key × model × horizon) aggregation
+    // ONE exchange+sort feeds the stacked Window (7 naive lags + the
+    // seasonal lag share the (_k, _t) spec) — and the aggregation
+    // reuses that _k partitioning (hashpartitioning(_k) satisfies
+    // clustering on (_k, model, h)), so the whole backtest is a
+    // single-shuffle operator
     assert(p.split("Sort \\[_k").length == 2,
       s"expected one (_k, _t) sort shared by all lags:\n$p")
-    assert(p.split("Exchange hashpartitioning").length == 3,
-      s"expected exactly window + agg exchanges:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected ONE shuffle total (window partitioning reused):\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum") ||
       p.split("HashAggregate").length >= 3,
       s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("detectSecrets: one candidate-set exchange, row-local entropy, no window") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      concat(lit("words sk-"), md5($"id".cast("string"))).as("text"))
+    val p = auditPlan(graft.operators.TextAnalysis.detectSecrets(docs))
+    // at most the (doc, tok) distinct may shuffle; entropy must not
+    // re-shuffle exploded characters (the first version did, and the
+    // 10x probe measured it super-linear), and no window may appear
+    assert(p.split("Exchange hashpartitioning").length <= 2,
+      s"expected at most the candidate distinct exchange:\n$p")
+    assert(!p.contains("Window"), s"no window may appear:\n$p")
+    assert(!p.contains("Generate explode(split"),
+      s"entropy must be row-local, not a character explode:\n$p")
+  }
+
+  test("mahalanobisScore scoring stage is a narrow projection: no exchange") {
+    val vecs = spark.range(300).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        i => sin(($"id" + i).cast("double"))).as("embedding"))
+    val p = auditPlan(graft.operators.Similarity.mahalanobisScore(vecs))
+    assert(!p.contains("Exchange"),
+      s"per-row scoring must not shuffle (moments already collected):\n$p")
+  }
+
+  test("dpQuantile argmax is TakeOrdered over the bounded value table") {
+    val df = spark.range(5000).select((pmod($"id", lit(200))).cast("double").as("v"))
+    val p = auditPlan(graft.operators.Privacy.dpQuantile(df, col("v"), 0.9, 1.0))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered argmax, not a global sort:\n$p")
+  }
+
+  test("heapsCurve never sorts the corpus: the only window keys are the buckets") {
+    val docs = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("tok"), pmod($"id", lit(37)), lit(" common words")).as("text"))
+    val p = auditPlan(graft.operators.TextAnalysis.heapsCurve(docs, buckets = 10))
+    assert(!p.contains("Sort [doc_id"),
+      s"no global doc sort may exist:\n$p")
+    assert(p.contains("Sort [_b"),
+      s"the cumulative window sorts only the bounded bucket table:\n$p")
   }
 
   test("frequentSequences: Apriori semi-joins broadcast under the trigram count") {
