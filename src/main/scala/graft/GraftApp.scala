@@ -121,6 +121,50 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "screen") {
+      // governance screen over a document corpus: credential/secret
+      // detection, canary sweep, and an ε-DP release of per-language
+      // corpus counts — the three gates a corpus passes before leaving
+      // the trusted boundary (see operators.TextAnalysis.detectSecrets,
+      // findCanaries; operators.Privacy.dpRelease)
+      val input = opts.getOrElse("input",
+        sys.error("screen requires --input <dir containing documents.parquet>"))
+      val out = opts.getOrElse("output", "screen_out")
+      val canaries = opts.get("canaries").map(_.split(",").toSeq)
+        .getOrElse(Nil)
+      val eps = opts.get("epsilon").map(_.toDouble).getOrElse(1.0)
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs = Tables.t(spark, input, "documents")
+        val secrets = graft.operators.TextAnalysis.detectSecrets(docs)
+        secrets.write.mode("overwrite").parquet(s"$out/secrets.parquet")
+        val nSecrets = spark.read.parquet(s"$out/secrets.parquet").count()
+        val nCanary = if (canaries.nonEmpty) {
+          val hits = graft.operators.TextAnalysis.findCanaries(docs, canaries)
+          hits.write.mode("overwrite").parquet(s"$out/canaries.parquet")
+          spark.read.parquet(s"$out/canaries.parquet").count()
+        } else 0L
+        // DP corpus stats: one row per privacy unit (doc) per group
+        val perDoc = docs.groupBy(col("doc_id"), col("lang"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("one"))
+        graft.operators.Privacy.dpRelease(perDoc, "lang", lit(1.0),
+            epsilon = eps, clip = 1.0)
+          .write.mode("overwrite").parquet(s"$out/dp_lang_counts.parquet")
+        val manifest =
+          s"""{
+             |  "secrets_flagged": $nSecrets,
+             |  "canary_hits": $nCanary,
+             |  "dp_epsilon": $eps
+             |}""".stripMargin
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/screen.json"),
+          manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"secrets=$nSecrets canary_hits=$nCanary -> $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "experiment") {
       // full A/B readout over an events table: SRM gate, the mean
       // readout three ways (z / CUPED / winsorized), ratio CIs (delta
