@@ -8520,6 +8520,23 @@ object SparkEntry {
       Privacy.dpQuantile(Tables.events(s, dir), col("value"), q = 0.9,
         epsilon = 1.0)),
 
+    // ---- disk-backed IVF index round trip: build (cell-partitioned
+    //      postings + saved centroids), then search the planted twins
+    //      through the PARTITION-PRUNED posting scan ----
+    "q_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          .cast("array<float>").as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("q_ivf_index").toString
+      Similarity.buildIvfIndex(emb.unionByName(twins), idx, nCells = 16)
+      Similarity.searchIvfIndex(emb, idx, k = 1, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8743,6 +8760,13 @@ object SparkEntry {
 
   private def evalOracles: Map[String, String] = Map(
     "q_bradley_terry" -> btOracleSql,
+
+    // planted truth (same construction as q_planted_ivf): each query's
+    // nearest neighbor through the disk index is its +1M scaled twin
+    "q_ivf_index" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id
+        |FROM embeddings WHERE vec_id % 4 = 0
+        |ORDER BY query_id""".stripMargin,
 
     // Heaps replay: same integer bucket arithmetic (// is exact), same
     // token mirror, per-point ln rounded 9 into exact decimal moments

@@ -686,6 +686,89 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // -------------------------------------------------------------------
+  // DISK-BACKED IVF index: centroids + cell-PARTITIONED posting lists.
+  // The daily-crawl maintenance loop the LSH text index already has
+  // (build / idempotent append / search), for the vector side — and the
+  // partitioned layout turns nProbe into PARTITION PRUNING: a search
+  // reads nProbe/nCells of the corpus from disk, not just of the scan.
+
+  /** Build the index at `path`: fit the coarse quantizer, persist the
+    * centroids, write each vector into its nearest cell's parquet
+    * partition. One assignment pass over the corpus; the write is the
+    * same one-shuffle-by-cell shape as [[ivfTopK]]'s in-memory list.
+    */
+  def buildIvfIndex(df: DataFrame, path: String, nCells: Int = 16,
+                    sampleN: Int = 2048, iters: Int = 10,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    val centroids = ivfFit(df, nCells, sampleN, iters, idCol, vecCol)
+    saveCentroids(spark, centroids, s"$path/_centroids")
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", element_at(probeCells(col("v"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+  }
+
+  /** Idempotent append: assign `novel` under the SAVED centroids (the
+    * quantizer never re-fits — recall against existing postings would
+    * silently rot if cells moved), anti-join away ids already indexed
+    * (a replayed batch appends nothing — the same retry-safety contract
+    * as `Dedup.appendLshIndex`), and append the survivors to their
+    * cell partitions. Returns the number of vectors actually appended.
+    */
+  def appendIvfIndex(novel: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Long = {
+    val spark = novel.sparkSession
+    val centroids = loadCentroids(spark, s"$path/_centroids")
+    val existing = spark.read.parquet(s"$path/postings").select(col("id"))
+    val fresh = novel.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(existing, Seq("id"), "left_anti")
+      .withColumn("cell", element_at(probeCells(col("v"), centroids, 1), 1))
+    // count once, write once: persist the (small) novel batch
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+      n
+    } finally { fresh.unpersist(blocking = false) }
+  }
+
+  /** Search the index: each query probes its `nProbe` nearest cells and
+    * scores ONLY those posting partitions. The probed cell set is at
+    * most nCells values (model-sized — collected and planted as an
+    * `isin` literal), so the parquet scan partition-prunes to
+    * nProbe/nCells of the CORPUS ON DISK — the IO shape that makes a
+    * 100 TB index affordable to query, and what the in-memory
+    * [[ivfTopK]] cannot do. Plan-audited: PartitionFilters carries the
+    * cell predicate.
+    */
+  def searchIvfIndex(queries: DataFrame, path: String, k: Int,
+                     nProbe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val spark = queries.sparkSession
+    val centroids = loadCentroids(spark, s"$path/_centroids")
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"), centroids, nProbe)))
+    // bounded by construction: at most nCells distinct probed cells
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val cand = q.join(posts, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** LSH candidate pairs (pre-dedup), with the bucket-square bounded.
     *
     * The naive per-(table, bucket) self-join is quadratic WITHIN a

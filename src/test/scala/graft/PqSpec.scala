@@ -185,3 +185,57 @@ class MahalanobisSpec extends SparkSpecBase {
     assert(math.abs(corner / edge - 2.0) < 1e-9)
   }
 }
+
+/** Disk-backed IVF index: build/search recall, idempotent append,
+  * and the partition-pruned search scan.
+  */
+class IvfIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  private def vecs(ids: Range, shift: Double = 0.0) = ids.map { i =>
+    (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d) + shift))
+  }
+
+  test("build/search: every query's nearest neighbor is its planted twin") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val base = vecs(0 until 64)
+    val twins = base.map { case (id, v) => (id + 1000L, v.map(_ * 1.001)) }
+    Similarity.buildIvfIndex((base ++ twins).toDF("vec_id", "embedding"),
+      dir, nCells = 4, sampleN = 128)
+    val hits = Similarity.searchIvfIndex(base.toDF("vec_id", "embedding"),
+        dir, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base.forall { case (id, _) => hits(id) == id + 1000L },
+      s"every query must find its scaled twin: $hits")
+  }
+
+  test("append is idempotent and appended vectors become searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    Similarity.buildIvfIndex(vecs(0 until 32).toDF("vec_id", "embedding"),
+      dir, nCells = 4, sampleN = 64)
+    val novel = vecs(100 until 110).toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfIndex(novel, dir) == 10L)
+    // replay: nothing double-appends
+    assert(Similarity.appendIvfIndex(novel, dir) == 0L)
+    val q = vecs(100 until 110).map { case (id, v) =>
+      (id + 5000L, v.map(_ * 1.001)) }.toDF("vec_id", "embedding")
+    val hits = Similarity.searchIvfIndex(q, dir, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((100 until 110).forall(i => hits(i + 5000L) == i.toLong))
+  }
+
+  test("search partition-prunes the posting scan to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    Similarity.buildIvfIndex(vecs(0 until 64).toDF("vec_id", "embedding"),
+      dir, nCells = 8, sampleN = 128)
+    val df = Similarity.searchIvfIndex(
+      vecs(0 until 2).toDF("vec_id", "embedding"), dir, k = 1, nProbe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("postings")).getOrElse("")
+    assert(p.contains("PartitionFilters: [cell"),
+      s"expected the probed-cell predicate to prune partitions:\n$p")
+  }
+}
