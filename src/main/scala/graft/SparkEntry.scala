@@ -8537,6 +8537,34 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- multi-pass SNM: suffix twins (%5=0) for pass 1, prefix twins
+    //      (%5=1) that ONLY the reversed-key pass can seat adjacent ----
+    "q_snm_multipass" -> ((s, dir) => {
+      val clean = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(lower(col("p_name")), lit(" #"), col("p_partkey")).as("nm"))
+      val dirty = clean.select((col("id") + lit(10000000L)).as("id"),
+        when(col("id") % 5 === 0,
+          concat(expr("substr(nm, 1, length(nm) - 1)"), lit("z")))
+          .when(col("id") % 5 === 1,
+            concat(lit("x"), expr("substr(nm, 2)")))
+          .otherwise(col("nm")).as("nm"))
+      FuzzyJoin.sortedNeighborhoodMultiPass(clean.unionByName(dirty),
+          "id", "nm", window = 8, maxEdits = 1)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- windowed ε-DP release (batch mode of the streaming twin):
+    //      hourly per-event-type DP counts of per-user activity ----
+    "q_dp_windowed" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.streaming.DpOps.dpWindowedRelease(perUser, "event_type",
+          col("v"), epsilon = 1.0, clip = 20.0, streaming = false)
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- Jensen-Shannon divergence of the event-type mix between the
     //      even- and odd-user halves (zero-cell-safe drift score) ----
     "q_js_divergence" -> ((s, dir) => {
@@ -8760,6 +8788,76 @@ object SparkEntry {
 
   private def evalOracles: Map[String, String] = Map(
     "q_bradley_terry" -> btOracleSql,
+
+    // both SNM passes replayed as ONE unified pass block over a
+    // (pass, key-variant) union; levenshtein is reversal-invariant so
+    // pass-2 distances are the same numbers, and full-row DISTINCT is
+    // the dedup (keys are determined by the ids)
+    "q_snm_multipass" ->
+      """WITH clean AS (SELECT p_partkey AS id,
+        |    lower(p_name) || ' #' || CAST(p_partkey AS VARCHAR) AS nm
+        |  FROM part),
+        |dirty AS (SELECT id + 10000000 AS id,
+        |    CASE WHEN id % 5 = 0
+        |        THEN substr(nm, 1, length(nm) - 1) || 'z'
+        |      WHEN id % 5 = 1 THEN 'x' || substr(nm, 2)
+        |      ELSE nm END AS nm
+        |  FROM clean),
+        |base AS (SELECT id, nm FROM clean
+        |  UNION ALL SELECT id, nm FROM dirty),
+        |keyed AS (SELECT 1 AS pass, id, nm AS k FROM base
+        |  UNION ALL SELECT 2, id, reverse(nm) FROM base),
+        |rk AS (SELECT pass, id, k, substr(k, 1, 3) AS rng,
+        |    row_number() OVER (PARTITION BY pass, substr(k, 1, 3)
+        |      ORDER BY k, id) AS rn
+        |  FROM keyed),
+        |cand AS (SELECT a.pass, a.id AS ida, a.k AS ka, b.id AS idb,
+        |    b.k AS kb, levenshtein(a.k, b.k) AS dist
+        |  FROM rk a JOIN rk b ON a.pass = b.pass AND a.rng = b.rng
+        |    AND b.rn - a.rn BETWEEN 1 AND 7
+        |  WHERE abs(length(a.k) - length(b.k)) <= 1),
+        |hits AS (SELECT
+        |    CASE WHEN ida > idb THEN idb ELSE ida END AS id1,
+        |    CASE WHEN ida > idb THEN ida ELSE idb END AS id2,
+        |    CASE WHEN pass = 2
+        |      THEN reverse(CASE WHEN ida > idb THEN kb ELSE ka END)
+        |      ELSE CASE WHEN ida > idb THEN kb ELSE ka END END AS key1,
+        |    CASE WHEN pass = 2
+        |      THEN reverse(CASE WHEN ida > idb THEN ka ELSE kb END)
+        |      ELSE CASE WHEN ida > idb THEN ka ELSE kb END END AS key2,
+        |    CAST(dist AS BIGINT) AS dist
+        |  FROM cand WHERE dist <= 1)
+        |SELECT DISTINCT id1, id2, key1, key2, dist FROM hits
+        |ORDER BY id1, id2""".stripMargin,
+
+    // windowed Laplace replay: hour buckets via date_trunc (the same
+    // epoch-aligned starts as window('ts','1 hour')), seeds keyed on
+    // (salt, epoch seconds, group)
+    "q_dp_windowed" ->
+      """WITH pu AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT h AS ws, event_type AS grp, count(*) AS n,
+        |    sum(least(greatest(coalesce(CAST(v AS DECIMAL(18,6)), 0), 0),
+        |      CAST(20.0 AS DECIMAL(18,6)))) AS s
+        |  FROM pu GROUP BY 1, 2),
+        |u AS (SELECT ws, grp, n, s,
+        |    'dpw:' || CAST(CAST(epoch(ws) AS BIGINT) AS VARCHAR) || ':'
+        |      || grp AS sd
+        |  FROM g),
+        |d AS (SELECT ws, grp, n, s,
+        |    (CAST(CAST(('0x' || substr(md5(sd || ':c'), 1, 15)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5 AS uc,
+        |    (CAST(CAST(('0x' || substr(md5(sd || ':s'), 1, 15)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5 AS us
+        |  FROM u)
+        |SELECT ws AS window_start, grp AS event_type,
+        |  round(CAST(n AS DOUBLE) +
+        |    (-2.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6) AS noisy_count,
+        |  round(CAST(s AS DOUBLE) +
+        |    (-40.0) * sign(us) * ln(1.0 - 2.0 * abs(us)), 6) AS noisy_sum
+        |FROM d ORDER BY window_start, event_type""".stripMargin,
 
     // planted truth (same construction as q_planted_ivf): each query's
     // nearest neighbor through the disk index is its +1M scaled twin

@@ -251,6 +251,28 @@ object FuzzyJoin {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Multi-pass SNM — the documented remedy for [[sortedNeighborhood]]'s
+    * prefix-range miss, shipped: a second pass sorts by the REVERSED
+    * key, so a pair corrupted inside the first `blockLen` characters
+    * (invisible to pass 1) sorts adjacent in pass 2 unless BOTH ends
+    * are corrupted. Edit distance is reversal-invariant
+    * (lev(a,b) = lev(rev a, rev b)), so pass-2 distances are the same
+    * numbers and the union dedups exactly on the pair key. Cost: 2×
+    * pass 1 — still linear in rows × window.
+    */
+  def sortedNeighborhoodMultiPass(df: DataFrame, idCol: String,
+                                  keyCol: String, window: Int,
+                                  maxEdits: Int,
+                                  blockLen: Int = 3): DataFrame = {
+    val p1 = sortedNeighborhood(df, idCol, keyCol, window, maxEdits, blockLen)
+    val rev = df.select(col(idCol),
+      reverse(col(keyCol).cast("string")).as(keyCol))
+    val p2 = sortedNeighborhood(rev, idCol, keyCol, window, maxEdits, blockLen)
+      .select(col("id1"), col("id2"), reverse(col("key1")).as("key1"),
+        reverse(col("key2")).as("key2"), col("dist"))
+    p1.unionByName(p2).dropDuplicates("id1", "id2")
+  }
+
   private def attachComponents(df: DataFrame, idCol: String,
                                pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)

@@ -201,15 +201,8 @@ object Privacy {
     val grouped = df
       .groupBy(col(groupCol).cast("string").as("grp"))
       .agg(count(lit(1)).as("_n"), sum(clipped).as("_s"))
-    // md5 -> 60-bit integer -> uniform in (-0.5, 0.5): the +0.5 centers
-    // each lattice point, so u is never exactly 0 (sign is defined) and
-    // never ±0.5 (the ln stays finite)
-    def lap(stat: String, scale: Double): Column = {
-      val u60 = conv(substring(md5(concat(lit(s"$salt:"), col("grp"),
-        lit(s":$stat"))), 1, 15), 16, 10).cast("double")
-      val u = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60)) - lit(0.5)
-      lit(-scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
-    }
+    def lap(stat: String, scale: Double): Column =
+      laplaceNoise(concat(lit(s"$salt:"), col("grp"), lit(s":$stat")), scale)
     val released = grouped.select(col("grp").as(groupCol),
       round(col("_n").cast("double") + lap("c", 2.0 / epsilon), 6)
         .as("noisy_count"),
@@ -217,6 +210,19 @@ object Privacy {
         .as("noisy_sum"))
     if (threshold > 0) released.filter(col("noisy_count") >= threshold)
     else released
+  }
+
+  /** Content-addressed Laplace draw: md5(seed) → 60-bit integer →
+    * uniform in (−0.5, 0.5) (the +0.5 centers each lattice point, so u
+    * is never exactly 0 — sign is defined — and never ±0.5 — the ln
+    * stays finite) → inverse-CDF Laplace at `scale`. Shared by the
+    * batch and streaming DP releases so their noise is identical for
+    * identical seeds.
+    */
+  private[graft] def laplaceNoise(seed: Column, scale: Double): Column = {
+    val u60 = conv(substring(md5(seed), 1, 15), 16, 10).cast("double")
+    val u = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60)) - lit(0.5)
+    lit(-scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
   }
 
   /** ε-DP quantile via the EXPONENTIAL mechanism — the other half of a

@@ -125,3 +125,27 @@ class SortedNeighborhoodSpec extends SparkSpecBase {
     assert(r.getString(2) == "same key" && r.getString(3) == "same key")
   }
 }
+
+/** Multi-pass SNM recovers the prefix-corruption miss of a single pass. */
+class SnmMultiPassSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.FuzzyJoin
+
+  test("reversed-key second pass catches prefix twins; dedup keeps pairs unique") {
+    val df = Seq(
+      (1L, "alpha one"), (2L, "alpha onz"), // suffix twin: pass 1
+      (3L, "beta two"), (4L, "bexa two")    // 2nd-char twin: pass 2 only
+    ).toDF("id", "nm")
+    val single = FuzzyJoin.sortedNeighborhood(df, "id", "nm",
+      window = 4, maxEdits = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single == Set((1L, 2L)))
+    val multi = FuzzyJoin.sortedNeighborhoodMultiPass(df, "id", "nm",
+      window = 4, maxEdits = 1).collect()
+    assert(multi.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (3L, 4L)))
+    assert(multi.length == 2, "pairs found by both passes must dedup")
+    // keys come back un-reversed
+    val p34 = multi.find(r => r.getLong(0) == 3L).get
+    assert(p34.getString(2) == "beta two" && p34.getString(3) == "bexa two")
+  }
+}

@@ -1150,3 +1150,49 @@ class StreamingTrigramsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 }
+
+/** Windowed DP release: streaming equals batch bit-for-bit (same
+  * content-addressed noise), replays don't refresh the noise.
+  */
+class StreamingDpSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streaming windowed DP release equals the batch run on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // time-ordered feed: batch 2 starts at/after batch 1's max event
+    // time, so nothing arrives below the 1 h watermark (the twin
+    // contract every watermarked operator here documents)
+    val data = (1 to 40).map(i =>
+      (ts(10 + i % 3, i % 50), s"g${i % 4}", (i % 30).toDouble))
+      .sortBy(_._1.getTime)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "g", "v")
+    val q = graft.streaming.DpOps.dpWindowedRelease(events, "g", col("v"),
+        epsilon = 1.0, clip = 10.0)
+      .writeStream.format("memory").queryName("dpw").outputMode("append").start()
+    try {
+      mem.addData(data.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(25): _*)
+      // advance the watermark far enough to close every data window
+      mem.addData((ts(23, 0), "g0", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, g, noisy_count, noisy_sum FROM dpw")
+        .as[(java.sql.Timestamp, String, Double, Double)].collect().toSet
+      // compare CLOSED windows only (the 23:00 flush window never closes)
+      val batch = graft.streaming.DpOps.dpWindowedRelease(
+          (data :+ ((ts(23, 0), "g0", 0.0))).toDF("ts", "g", "v"),
+          "g", col("v"), epsilon = 1.0, clip = 10.0, streaming = false)
+        .as[(java.sql.Timestamp, String, Double, Double)].collect().toSet
+        .filter(_._1.getTime < ts(23, 0).getTime)
+      assert(got == batch, s"streaming $got\nbatch $batch")
+      assert(got.nonEmpty)
+      // the release never carries the true count column
+      assert(!got.exists { case (_, _, nc, _) => nc == math.rint(nc) } ||
+        got.exists { case (_, _, nc, _) => nc != math.rint(nc) })
+    } finally q.stop()
+  }
+}
