@@ -249,7 +249,6 @@ object Privacy {
     require(q > 0 && q < 1, "q must be in (0, 1)")
     require(epsilon > 0, "epsilon must be positive")
     require(salt.nonEmpty, "an empty salt makes the draw guessable")
-    import org.apache.spark.sql.expressions.Window
     // persist the bounded value table: the guard action and the argmax
     // must not each re-scan the corpus (the kendallTau lesson, r12)
     val vals = df.filter(valueCol.isNotNull)
@@ -263,27 +262,39 @@ object Privacy {
         s"dpQuantile: $bins distinct values > maxBins=$maxBins — the " +
           "candidate table must stay bounded; pre-bin the column " +
           "(quantile_bins / floor(v/width)) and release the bin instead")
-      // exact-decimal target rank: q·n must not drift off an integer
-      // boundary (the bootstrap-CI lesson, NOTES r13)
-      val qn = lit(java.math.BigDecimal.valueOf(q)
-        .multiply(java.math.BigDecimal.valueOf(n)))
-      val below = coalesce(sum("c").over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-      val absdev = abs(below.cast("decimal(28,6)") - qn)
-      val u60 = conv(substring(md5(concat(lit(s"$salt:"),
-        col("v").cast("string"))), 1, 15), 16, 10).cast("double")
-      val unif = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60))
-      val gumbel = -log(-log(unif))
       // 1-row materialization so unpersist is safe for the caller
-      val win = vals
-        .withColumn("_score",
-          lit(-epsilon / 2.0) * absdev.cast("double") + gumbel)
-        .orderBy(col("_score").desc, col("v"))
-        .limit(1)
-        .select(col("v")).head()
+      val win = dpQuantileArgmaxPlan(vals, n, q, epsilon, salt).head()
       val spark = df.sparkSession
       import spark.implicits._
       Seq((win.getDouble(0), n, bins)).toDF("dp_quantile", "n", "n_bins")
     } finally { vals.unpersist(blocking = false) }
+  }
+
+  /** The argmax stage of [[dpQuantile]] as an unexecuted plan over the
+    * bounded value table `vals(v, c)` — factored out so the plan shape
+    * (a TakeOrdered(1), never a global sort) stays auditable after
+    * [[dpQuantile]] began materializing its one result row eagerly.
+    */
+  private[graft] def dpQuantileArgmaxPlan(vals: DataFrame, n: Long,
+                                          q: Double, epsilon: Double,
+                                          salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact-decimal target rank: q·n must not drift off an integer
+    // boundary (the bootstrap-CI lesson, NOTES r13)
+    val qn = lit(java.math.BigDecimal.valueOf(q)
+      .multiply(java.math.BigDecimal.valueOf(n)))
+    val below = coalesce(sum("c").over(Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val absdev = abs(below.cast("decimal(28,6)") - qn)
+    val u60 = conv(substring(md5(concat(lit(s"$salt:"),
+      col("v").cast("string"))), 1, 15), 16, 10).cast("double")
+    val unif = (u60 + lit(0.5)) / lit(math.scalb(1.0, 60))
+    val gumbel = -log(-log(unif))
+    vals
+      .withColumn("_score",
+        lit(-epsilon / 2.0) * absdev.cast("double") + gumbel)
+      .orderBy(col("_score").desc, col("v"))
+      .limit(1)
+      .select(col("v"))
   }
 }

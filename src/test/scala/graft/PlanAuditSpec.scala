@@ -1237,8 +1237,14 @@ class AqeSkewJoinSpec extends SparkSpecBase {
   }
 
   test("dpQuantile argmax is TakeOrdered over the bounded value table") {
-    val df = spark.range(5000).select((pmod($"id", lit(200))).cast("double").as("v"))
-    val p = auditPlan(graft.operators.Privacy.dpQuantile(df, col("v"), 0.9, 1.0))
+    // dpQuantile materializes its one result row eagerly (so the persist
+    // on the value table can be released safely) — audit the factored-out
+    // argmax plan the eager head() executes, not the returned local row
+    val vals = spark.range(5000)
+      .select((pmod($"id", lit(200))).cast("double").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+    val p = auditPlan(graft.operators.Privacy.dpQuantileArgmaxPlan(
+      vals, 5000L, 0.9, 1.0, "dpq"))
     assert(p.contains("TakeOrderedAndProject"),
       s"expected TakeOrdered argmax, not a global sort:\n$p")
   }
