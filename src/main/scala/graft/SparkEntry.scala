@@ -2788,6 +2788,48 @@ object SparkEntry {
       Stats.mannWhitneyU(Tables.events(s, dir), "event_type", "value",
         "click", "purchase")),
 
+    // ---- Cliff's delta ordinal effect size on the same click-vs-
+    //      purchase cohorts as the U test: same exact midrank fold,
+    //      one driver division, Romano magnitude bands ----
+    "q_cliffs_delta" -> ((s, dir) =>
+      Stats.cliffsDelta(Tables.events(s, dir), "event_type", "value",
+        "click", "purchase")),
+
+    // ---- Hodges–Lehmann shift between the same cohorts: weighted
+    //      median of pairwise differences computed on value CELLS with
+    //      multiplicity weights — never the row-level pair set ----
+    "q_hodges_lehmann" -> ((s, dir) =>
+      Stats.hodgesLehmannShift(Tables.events(s, dir), "event_type",
+        "value", "click", "purchase")),
+
+    // ---- two-group log-rank churn test on the KM lifetime
+    //      construction: ever-purchasers vs never-purchasers ----
+    "q_logrank" -> ((s, dir) =>
+      EventAnalytics.logRank(Tables.events(s, dir))),
+
+    // ---- pass@k over per-user purchase attempts (success = basket
+    //      value >= 50): exact falling-factorial estimator, both
+    //      factors provably < 2^53 so the division is engine-exact ----
+    "q_pass_at_k" -> ((s, dir) =>
+      Eval.passAtK(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", col("value") >= 50, Seq(1, 3, 5))
+        .orderBy("problem", "k")),
+
+    // ---- isotonic (PAVA) calibration of return rate over the 11
+    //      discount levels; the oracle replays the independent
+    //      max_{j<=i} min_{k>=i} minimax characterization ----
+    "q_isotonic" -> ((s, dir) =>
+      Eval.isotonicCalibration(t(s, dir, "lineitem"), col("l_discount"),
+        col("l_returnflag") === "R")
+        .orderBy("score")),
+
+    // ---- TOST equivalence gate on the per-user experiment: is B's
+    //      10-plus-purchase rate provably within ±0.05 of A's? ----
+    "q_tost" -> ((s, dir) =>
+      Experiment.tostEquivalence(perUserExperiment(s, dir), "arm",
+        col("purchases") >= 10L, "A", "B", margin = 0.05)),
+
     // ---- Benford first-digit audit of extended price: digit from the
     //      DECIMAL canonical rendering (no log10-boundary hazard), all
     //      9 digit rows guaranteed ----
@@ -7427,6 +7469,200 @@ object SparkEntry {
         |    round((u1 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(sigma2), 6)
         |  END AS z
         |FROM s""".stripMargin,
+
+    // Cliff's delta truth: identical midrank fold to the U oracle;
+    // delta's numerator stays HUGEINT-exact until the one division
+    "q_cliffs_delta" ->
+      """WITH c AS (SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT c1, c2,
+        |    SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS bef FROM c),
+        |a AS (SELECT
+        |    SUM(CAST(c1 AS HUGEINT) * (2 * bef + (c1 + c2) + 1)) AS two_r1,
+        |    CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM w),
+        |d AS (SELECT n1, n2,
+        |    round(CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1)
+        |        - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * n2), 6) AS delta
+        |  FROM a)
+        |SELECT 'click' AS g1, 'purchase' AS g2, n1, n2, delta,
+        |  CASE WHEN abs(delta) < CAST(0.147 AS DOUBLE) THEN 'negligible'
+        |       WHEN abs(delta) < CAST(0.33 AS DOUBLE) THEN 'small'
+        |       WHEN abs(delta) < CAST(0.474 AS DOUBLE) THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+
+    // Hodges–Lehmann truth: same integer value units (x100), pair mass
+    // per distinct difference, two order statistics off one cumulative
+    // window; middle ranks in exact integer arithmetic
+    "q_hodges_lehmann" ->
+      """WITH c AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |d AS (SELECT a.v - b.v AS d,
+        |    SUM(CAST(a.c1 AS HUGEINT) * b.c2) AS w
+        |  FROM (SELECT v, c1 FROM c WHERE c1 > 0) a,
+        |       (SELECT v, c2 FROM c WHERE c2 > 0) b
+        |  GROUP BY 1),
+        |cw AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM d),
+        |r AS (SELECT n1, n2, CAST(n1 AS HUGEINT) * n2 AS pairs FROM t),
+        |m AS (SELECT r.n1, r.n2, r.pairs,
+        |    (SELECT min(d) FROM cw WHERE cw >= (r.pairs + 1) // 2) AS d1,
+        |    (SELECT min(d) FROM cw WHERE cw >= (r.pairs + 2) // 2) AS d2
+        |  FROM r)
+        |SELECT 'click' AS g1, 'purchase' AS g2, n1, n2,
+        |  CAST(pairs AS BIGINT) AS n_pairs,
+        |  round(CAST(d1 + d2 AS DOUBLE) / 2.0 / 100.0, 6) AS hl_shift
+        |FROM m""".stripMargin,
+
+    // log-rank truth: KM lifetime construction, at-risk windows,
+    // per-time e1/v terms rounded at 6 dp into exact decimal sums,
+    // fixed-order closing z/chi2
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS f,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS l,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g1
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(l) AS md FROM u),
+        |lt AS (SELECT l - f AS t,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN g1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(SUM(g1) AS BIGINT) AS m1,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM u, mx GROUP BY 1),
+        |r AS (SELECT *,
+        |    SUM(m) OVER () - (SUM(m) OVER (ORDER BY t) - m) AS n_risk,
+        |    SUM(m1) OVER () - (SUM(m1) OVER (ORDER BY t) - m1) AS n1_risk
+        |  FROM lt),
+        |tm AS (SELECT *,
+        |    CASE WHEN d > 0 THEN CAST(round(
+        |        CAST(CAST(d AS HUGEINT) * n1_risk AS DOUBLE) / n_risk, 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS e1,
+        |    CASE WHEN d > 0 AND n_risk > 1 THEN CAST(round(
+        |        CAST(CAST(d AS HUGEINT) * n1_risk * (n_risk - n1_risk)
+        |          * (n_risk - d) AS DOUBLE)
+        |        / CAST(CAST(n_risk AS HUGEINT) * n_risk * (n_risk - 1)
+        |          AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS v
+        |  FROM r),
+        |f AS (SELECT CAST(SUM(m1) AS BIGINT) AS users_1,
+        |    CAST(SUM(m) - SUM(m1) AS BIGINT) AS users_0,
+        |    CAST(SUM(d1) AS BIGINT) AS observed_1,
+        |    SUM(e1) AS e1s, SUM(v) AS vs FROM tm)
+        |SELECT users_1, users_0, observed_1,
+        |  round(CAST(e1s AS DOUBLE), 6) AS expected_1,
+        |  round(CAST(vs AS DOUBLE), 6) AS variance,
+        |  CASE WHEN vs > 0 THEN round((CAST(observed_1 AS DOUBLE)
+        |    - CAST(e1s AS DOUBLE)) / sqrt(CAST(vs AS DOUBLE)), 6) END AS z,
+        |  CASE WHEN vs > 0 THEN round((CAST(observed_1 AS DOUBLE)
+        |    - CAST(e1s AS DOUBLE)) * (CAST(observed_1 AS DOUBLE)
+        |    - CAST(e1s AS DOUBLE)) / CAST(vs AS DOUBLE), 6) END AS chi2
+        |FROM f""".stripMargin,
+
+    // pass@k truth: falling factorials as order-free products of
+    // integers < 2^53 (exact in doubles), per-k mean via exact decimal
+    "q_pass_at_k" ->
+      """WITH att AS (SELECT user_id AS problem,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) <= 40),
+        |pk AS (SELECT problem, n, c, k
+        |  FROM att, (SELECT unnest([1, 3, 5]) AS k) ks WHERE k <= n),
+        |f AS (SELECT p.problem, p.n, p.c, p.k,
+        |    round(CAST(1.0 AS DOUBLE)
+        |      - product(CAST(p.n - p.c - g.i AS DOUBLE))
+        |        / product(CAST(p.n - g.i AS DOUBLE)), 6) AS pass_at_k
+        |  FROM pk p JOIN generate_series(0, 9) AS g(i) ON g.i <= p.k - 1
+        |  GROUP BY 1, 2, 3, 4),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+        |    round(CAST(SUM(CAST(pass_at_k AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS mean_pass_at_k
+        |  FROM f GROUP BY 1)
+        |SELECT f.problem, f.n, f.c, f.k, f.pass_at_k,
+        |  m.n_problems, m.mean_pass_at_k
+        |FROM f JOIN m USING (k)
+        |ORDER BY problem, k""".stripMargin,
+
+    // isotonic truth: the INDEPENDENT minimax characterization
+    // iso_i = max_{j<=i} min_{k>=i} mean(pos_j..k) over prefix sums —
+    // block rates are integer-ratio divisions, identical doubles
+    "q_isotonic" ->
+      """WITH lv AS (SELECT l_discount AS score, count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT score, CAST(n AS BIGINT) AS n,
+        |    CAST(pos AS BIGINT) AS pos,
+        |    row_number() OVER (ORDER BY score) AS i,
+        |    sum(n) OVER (ORDER BY score) AS cn,
+        |    sum(pos) OVER (ORDER BY score) AS cp
+        |  FROM lv),
+        |mins AS (SELECT a.i AS i, j.i AS j,
+        |    min(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / (k.cn - (j.cn - j.n))) AS mn
+        |  FROM o a JOIN o j ON j.i <= a.i JOIN o k ON k.i >= a.i
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mn) AS iso_rate FROM mins GROUP BY 1)
+        |SELECT o.score, o.n, o.pos,
+        |  round(CAST(o.pos AS DOUBLE) / o.n, 6) AS raw_rate,
+        |  round(iso.iso_rate, 6) AS iso_rate
+        |FROM o JOIN iso USING (i) ORDER BY o.score""".stripMargin,
+
+    // TOST truth: same four exact counts, unpooled SE, rounded one-
+    // sided z's compared against the explicit double critical point
+    "q_tost" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 10 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS s_b
+        |  FROM pu),
+        |d AS (SELECT *, CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb FROM t),
+        |e AS (SELECT *, sqrt(pa * (CAST(1.0 AS DOUBLE) - pa)
+        |      / CAST(n_a AS DOUBLE)
+        |    + pb * (CAST(1.0 AS DOUBLE) - pb) / CAST(n_b AS DOUBLE)) AS se
+        |  FROM d),
+        |z AS (SELECT *,
+        |    round((pb - pa + CAST(0.05 AS DOUBLE)) / se, 6) AS z_low,
+        |    round((pb - pa - CAST(0.05 AS DOUBLE)) / se, 6) AS z_up
+        |  FROM e)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round(pb - pa, 6) AS diff, round(se, 6) AS se,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN z_low END AS z_low,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN z_up END AS z_up,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN
+        |    z_low > CAST(1.6448536269514722 AS DOUBLE)
+        |    AND z_up < -CAST(1.6448536269514722 AS DOUBLE) END AS equivalent
+        |FROM z""".stripMargin,
 
     // Benford truth: first digit from the same DECIMAL(18,6) rendering,
     // all 9 digits via generate_series, decimal-summed contributions

@@ -348,4 +348,122 @@ object Eval {
         round(pow(lit(p), lit(depth)), 6).as("residual_p_d"),
         lit(depth).as("depth"))
   }
+
+  /** pass@k — the LLM-eval staple (Chen et al., "Evaluating Large
+    * Language Models Trained on Code", 2021, eq. 1): for a problem with
+    * n sampled attempts of which c succeeded, the unbiased estimator of
+    * "at least one of k random attempts passes" is
+    * 1 − C(n−c,k)/C(n,k). Returns one row per (problem, k) — n, c,
+    * pass_at_k — plus the per-k corpus mean and problem count, for each
+    * k in `ks` over problems with k ≤ n ≤ `maxAttempts`.
+    *
+    * Exactness at the engine boundary: the binomial ratio reduces to
+    * falling factorials, numerator and denominator both products of at
+    * most `k` integers ≤ n. With the guards n ≤ 40 and k ≤ 10 the
+    * largest product is 40·39·…·31 ≈ 3.0·10^15 < 2^53, so BOTH factors
+    * are exactly representable doubles and the single division is
+    * bit-identical in any engine — that, not Long overflow, is what the
+    * guard bounds (document states it so nobody "just raises it").
+    * Per-problem values quantize at 6 dp into an exact decimal sum for
+    * the corpus mean. One grouped fold, a bounded k-explode, one window
+    * per k partition; nothing corpus-sized ever sorts or collects.
+    */
+  def passAtK(df: DataFrame, problemCol: String, success: Column,
+              ks: Seq[Int], maxAttempts: Int = 40): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    require(maxAttempts <= 40,
+      "passAtK: maxAttempts > 40 breaks the exact-double falling-" +
+        "factorial bound (2^53) — subsample attempts per problem instead")
+    require(ks.forall(k => k >= 1 && k <= 10),
+      "passAtK: k outside [1,10] breaks the exact-double falling-" +
+        "factorial bound (2^53)")
+    val perProblem = df
+      .filter(col(problemCol).isNotNull)
+      .groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") <= maxAttempts)
+    val keyed = perProblem
+      .select(col("problem"), col("n"), col("c"),
+        explode(lit(ks.distinct.sorted.toArray)).as("k"))
+      .filter(col("k") <= col("n"))
+    val falling = (top: Column, k: Column) =>
+      aggregate(sequence(lit(0), k - 1), lit(1L),
+        (acc, i) => acc * (top - i))
+    val scored = keyed.withColumn("pass_at_k",
+      round(lit(1.0) -
+        falling(col("n") - col("c"), col("k")).cast("double") /
+          falling(col("n"), col("k")).cast("double"), 6))
+    val perK = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    scored
+      .withColumn("n_problems", count(lit(1)).over(perK))
+      .withColumn("mean_pass_at_k",
+        round(sum(col("pass_at_k").cast("decimal(18,6)")).over(perK)
+          .cast("double") / col("n_problems"), 6))
+  }
+
+  /** Isotonic (PAVA) calibration of a score against a binary label:
+    * the least-squares NON-DECREASING fit of the positive rate over
+    * score levels — what you apply when [[calibration]] shows a
+    * monotone-but-warped scorer and you want corrected probabilities
+    * without assuming Platt's sigmoid shape. Returns the distinct-score
+    * table (score, n, pos, raw_rate, iso_rate), iso_rate the pooled
+    * rate of the PAVA block the level landed in.
+    *
+    * Shape: ONE grouped aggregation collapses the corpus to distinct
+    * score levels (guarded by `maxBins` — pre-bin continuous scores,
+    * the guard message says how), then pool-adjacent-violators runs on
+    * the driver over that bounded table — O(levels), model-sized by
+    * construction, the same driver-math class as kendall's cell walk.
+    * Block merge decisions compare pooled rates by EXACT cross-
+    * multiplication (BigInt), so no double-compare tie hazard exists;
+    * each emitted rate is one integer-ratio double division, which any
+    * engine replays bit-identically, and equals the minimax
+    * max_{j≤i} min_{k≥i} mean(y_j..y_k) characterization an oracle can
+    * compute independently.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, label: Column,
+                          maxBins: Int = 1024): DataFrame = {
+    val levels = df.filter(scoreCol.isNotNull)
+      .groupBy(scoreCol.cast("double").as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"))
+      .orderBy("score")
+      .collect() // bounded: maxBins distinct levels, enforced below
+    require(levels.length <= maxBins,
+      s"isotonicCalibration: ${levels.length} distinct score levels > " +
+        s"maxBins=$maxBins — bin the score first (quantile_bins or " +
+        "floor(score*B)/B) so the PAVA table stays model-sized")
+    // PAVA with exact rational compares: merge while the previous block
+    // rate exceeds the current (pos_p·n_c > pos_c·n_p)
+    case class Block(var n: Long, var pos: Long, var upto: Int)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    levels.zipWithIndex.foreach { case (r, i) =>
+      blocks += Block(r.getAs[Long]("n"), r.getAs[Long]("pos"), i)
+      while (blocks.length >= 2 && {
+        val p = blocks(blocks.length - 2); val c = blocks.last
+        BigInt(p.pos) * BigInt(c.n) > BigInt(c.pos) * BigInt(p.n)
+      }) {
+        val c = blocks.remove(blocks.length - 1)
+        val p = blocks.last
+        p.n += c.n; p.pos += c.pos; p.upto = c.upto
+      }
+    }
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val iso = new Array[Double](levels.length)
+    var lo = 0
+    blocks.foreach { b =>
+      val rate = r6(b.pos.toDouble / b.n.toDouble)
+      (lo to b.upto).foreach(i => iso(i) = rate)
+      lo = b.upto + 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    levels.zipWithIndex.map { case (r, i) =>
+      (r.getAs[Double]("score"), r.getAs[Long]("n"), r.getAs[Long]("pos"),
+        r6(r.getAs[Long]("pos").toDouble / r.getAs[Long]("n").toDouble),
+        iso(i))
+    }.toSeq.toDF("score", "n", "pos", "raw_rate", "iso_rate")
+  }
 }

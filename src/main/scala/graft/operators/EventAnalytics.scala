@@ -140,6 +140,86 @@ object EventAnalytics {
         col("survival"))
   }
 
+  /** Two-group log-rank test on the same lifetime construction as
+    * [[kaplanMeier]]: do users who ever fired `treatEvent` churn on a
+    * different schedule than those who never did? At each distinct
+    * lifetime t with d_t total churns, group 1's expected share is
+    * d_t·n1_t/n_t of the at-risk sets, and the statistic accumulates
+    * O−E and the hypergeometric variance
+    * v_t = d_t·n1_t·(n_t−n1_t)·(n_t−d_t) / (n_t²·(n_t−1)) across all
+    * event times. Returns one row (users_1, users_0, observed_1,
+    * expected_1, variance, z, chi2); NULL z/chi2 when the variance is
+    * zero (one group empty or no uncensored churn).
+    *
+    * Shape: one per-user fold, one per-(lifetime) cell count, two
+    * cumulative windows over the bounded lifetime table (max observed
+    * lifetime in days bounds it, same as [[kaplanMeier]]), one final
+    * fold. Exactness: at-risk counts and every v_t numerator are exact
+    * integers (decimal(38,0) products); each per-time term rounds at
+    * 6 dp into an exact decimal sum, so partitioning cannot move a bit;
+    * the closing z/chi2 are fixed-order double expressions.
+    */
+  def logRank(events: DataFrame, userCol: String = "user_id",
+              tsCol: String = "ts", treatEvent: String = "purchase",
+              eventTypeCol: String = "event_type",
+              censorDays: Int = 5): DataFrame = {
+    require(censorDays >= 0, "censorDays must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val users = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(day).as("_first"), max(day).as("_last"),
+        max(when(col(eventTypeCol) === treatEvent, 1L).otherwise(0L))
+          .as("_g1"))
+    val maxDay = users.agg(max("_last").as("_m"))
+    val cells = users.crossJoin(broadcast(maxDay))
+      .select((col("_last") - col("_first")).as("t"), col("_g1"),
+        when(col("_last") <= col("_m") - censorDays, 1L).otherwise(0L)
+          .as("_d"))
+      .groupBy("t")
+      .agg(sum(col("_g1") * col("_d")).as("d1"),
+        sum(col("_d")).as("d"),
+        sum(col("_g1")).as("m1"),
+        count(lit(1)).as("m"))
+    val byT = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val withRisk = cells
+      .withColumn("n_risk", sum("m").over(all) -
+        (sum("m").over(byT) - col("m")))
+      .withColumn("n1_risk", sum("m1").over(all) -
+        (sum("m1").over(byT) - col("m1")))
+    val terms = withRisk
+      .withColumn("_e1", when(col("d") > 0,
+        round((big(col("d")) * big(col("n1_risk"))).cast("double") /
+          col("n_risk"), 6)).otherwise(lit(0.0)).cast("decimal(18,6)"))
+      .withColumn("_v", when(col("d") > 0 && col("n_risk") > 1,
+        round((big(col("d")) * big(col("n1_risk")) *
+          big(col("n_risk") - col("n1_risk")) *
+          big(col("n_risk") - col("d"))).cast("double") /
+          (big(col("n_risk")) * big(col("n_risk")) *
+            big(col("n_risk") - 1)).cast("double"), 6))
+        .otherwise(lit(0.0)).cast("decimal(18,6)"))
+    val o1 = col("_o1").cast("double")
+    val e1 = col("_e1s").cast("double")
+    val v = col("_vs").cast("double")
+    terms
+      .agg(sum("m1").cast("long").as("users_1"),
+        (sum("m") - sum("m1")).cast("long").as("users_0"),
+        sum(col("d1")).cast("long").as("_o1"),
+        sum("_e1").as("_e1s"), sum("_v").as("_vs"))
+      .select(col("users_1"), col("users_0"),
+        col("_o1").as("observed_1"),
+        round(e1, 6).as("expected_1"),
+        round(v, 6).as("variance"),
+        when(col("_vs") > 0,
+          round((o1 - e1) / sqrt(v), 6)).as("z"),
+        when(col("_vs") > 0,
+          round((o1 - e1) * (o1 - e1) / v, 6)).as("chi2"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String = "user_id",
                        tsCol: String = "ts"): DataFrame = {
     val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))

@@ -269,6 +269,50 @@ object Experiment {
         .as("significant_5pct"))
   }
 
+  /** TOST equivalence test for a binary outcome — the INVERSE question
+    * to [[twoProportionZ]]: not "did B move the metric" but "is B
+    * provably WITHIN ±margin of A" (launch-safety / no-regression
+    * gates, where failing to reject H0 is not evidence of equivalence).
+    * Two one-sided z tests against the margin ends, unpooled standard
+    * error (the margin hypothesis is not a null of equality, so the
+    * pooled SE of the superiority test would be wrong here):
+    * z_low = (Δ+m)/se must exceed z_crit AND z_up = (Δ−m)/se must fall
+    * below −z_crit. `zCrit` defaults to the one-sided 5% normal point
+    * (the 90% CI-inside-margin formulation).
+    *
+    * Shape: ONE map-side-combined aggregation to four integer counts;
+    * every double after is a fixed-order expression over those exact
+    * counts, rounded at 6 dp — engine-replayable, fully declarative
+    * (no driver action). Empty arms or zero spread yield NULL z's and
+    * a NULL verdict, never a divide-by-zero task failure.
+    */
+  def tostEquivalence(df: DataFrame, armCol: String, success: Column,
+                      armA: String, armB: String, margin: Double,
+                      zCrit: Double = 1.6448536269514722): DataFrame = {
+    require(margin > 0, "margin must be positive")
+    require(zCrit > 0, "zCrit must be positive")
+    val arm = col(armCol).cast("string")
+    val agg = df.filter(arm.isin(armA, armB))
+      .agg(
+        sum(when(arm === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm === armA && success, 1L).otherwise(0L)).as("s_a"),
+        sum(when(arm === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(arm === armB && success, 1L).otherwise(0L)).as("s_b"))
+    val na = nullif(col("n_a").cast("double"), lit(0.0))
+    val nb = nullif(col("n_b").cast("double"), lit(0.0))
+    val pa = col("s_a").cast("double") / na
+    val pb = col("s_b").cast("double") / nb
+    val se = sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb)
+    val zLow = round((pb - pa + lit(margin)) / se, 6)
+    val zUp = round((pb - pa - lit(margin)) / se, 6)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se > 0
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pb - pa, 6).as("diff"), round(se, 6).as("se"),
+      when(ok, zLow).as("z_low"), when(ok, zUp).as("z_up"),
+      when(ok, zLow > lit(zCrit) && zUp < lit(-zCrit)).as("equivalent"))
+  }
+
   /** Exact Bayesian A/B readout for a binary outcome: with independent
     * Beta(a0, b0) priors on each arm's conversion rate, the posterior
     * probability that arm B beats arm A,

@@ -2703,4 +2703,161 @@ object Stats {
         when(col("_n") >= 2 && col("_tt").cast("double") < nD * nD,
           round(lit(1.0) - dObs / dExp, 6)).as("alpha"))
   }
+
+  /** Cliff's delta — the ORDINAL effect size between two cohorts:
+    * P(a > b) − P(a < b) over all cross pairs, the robust companion to
+    * [[mannWhitneyU]] (same ranks, but a magnitude instead of a
+    * p-value; the standard report when metric distributions are skewed
+    * enough that a mean difference misleads). Ties count half to each
+    * side, which is exactly the midrank convention, so delta folds out
+    * of the same exact rank sum: δ = (2·U₁ − n₁n₂)/(n₁n₂). Returns one
+    * row (g1, g2, n1, n2, delta, magnitude) with Romano's |δ| bands
+    * (0.147 / 0.33 / 0.474 → negligible/small/medium/large).
+    *
+    * Shape: ONE map-side-combined cell count over distinct metric
+    * values (shared [[cohortCounts]]), a cumulative window over the
+    * bounded cell table, one exact-decimal fold. The rank sum stays
+    * exact integer arithmetic to ~10^18 rows; the single double
+    * division happens once on the driver.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+                  g1: String, g2: String,
+                  precision: Int = 9, scale: Int = 2): DataFrame = {
+    val counts = cohortCounts(df, groupCol, valueCol, g1, g2, precision, scale)
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val t = (col("_c1") + col("_c2")).cast("decimal(38,0)")
+    val agg = counts
+      .withColumn("_before",
+        sum(col("_c1") + col("_c2")).over(cum) - (col("_c1") + col("_c2")))
+      .agg(
+        sum(col("_c1").cast("decimal(38,0)") *
+          (col("_before").cast("decimal(38,0)") * 2 + t + 1)).as("_2r1"),
+        sum("_c1").as("n1"), sum("_c2").as("n2"))
+      .head()
+    val n1 = agg.getAs[Long]("n1"); val n2 = agg.getAs[Long]("n2")
+    require(n1 > 0 && n2 > 0, s"cliffsDelta: empty cohort ($g1: $n1, $g2: $n2)")
+    // δ numerator = 2·R1 − n1(n1+1) − n1·n2, exact to the last integer;
+    // the one double division mirrors the oracle's CAST(..AS DOUBLE)/..
+    val num = agg.getAs[java.math.BigDecimal]("_2r1")
+      .subtract(java.math.BigDecimal.valueOf(n1)
+        .multiply(java.math.BigDecimal.valueOf(n1 + 1)))
+      .subtract(java.math.BigDecimal.valueOf(n1)
+        .multiply(java.math.BigDecimal.valueOf(n2)))
+    val delta = java.math.BigDecimal.valueOf(
+      num.doubleValue / (n1.toDouble * n2))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val mag =
+      if (math.abs(delta) < 0.147) "negligible"
+      else if (math.abs(delta) < 0.33) "small"
+      else if (math.abs(delta) < 0.474) "medium"
+      else "large"
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(g1, g2, n1, n2, delta, mag)), 1),
+      StructType(Seq(
+        StructField("g1", StringType, nullable = false),
+        StructField("g2", StringType, nullable = false),
+        StructField("n1", LongType, nullable = false),
+        StructField("n2", LongType, nullable = false),
+        StructField("delta", DoubleType, nullable = false),
+        StructField("magnitude", StringType, nullable = false))))
+  }
+
+  /** Hodges–Lehmann two-sample shift: the MEDIAN of all n₁·n₂ pairwise
+    * differences g1 − g2 — the location estimate the Mann–Whitney test
+    * inverts to, robust to outliers that wreck a difference of means
+    * (the standard "how much did the metric actually move" companion
+    * to [[cliffsDelta]]'s "how consistently").
+    *
+    * Never materializes the pair set row-wise: both cohorts collapse to
+    * their distinct-value tables first ([[cohortCounts]]), and pairing
+    * happens on VALUE CELLS with multiplicity weights ca·cb — the
+    * kendallTau cell-table trick — guarded by `maxPairCells` on the
+    * cell-pair product (pre-bin wide-cardinality metrics first; the
+    * guard message names the remedy). The weighted median reads two
+    * order statistics off one cumulative window over the bounded
+    * distinct-difference table; with an even pair count the two middle
+    * ranks average. Differences subtract in exact integer units, so the
+    * only doubles are the final (d₁+d₂)/2 descale — engine-replayable.
+    */
+  /** The cell-pairing stage of [[hodgesLehmannShift]]: pair mass per
+    * distinct difference over the guarded cell table `counts(_v,_c1,_c2)`.
+    * Factored out so the plan shape (broadcast pairing, never a
+    * cartesian or a row-level pair set) stays auditable.
+    */
+  private[graft] def hlDiffMassPlan(counts: DataFrame): DataFrame = {
+    val a = counts.filter(col("_c1") > 0)
+      .select(col("_v").as("_va"), col("_c1").as("_ca"))
+    val b = counts.filter(col("_c2") > 0)
+      .select(col("_v").as("_vb"), col("_c2").as("_cb"))
+    // the broadcast keeps the bounded pairing exchange-free above the
+    // two cell scans
+    a.crossJoin(broadcast(b))
+      .groupBy((col("_va") - col("_vb")).as("_d"))
+      .agg(sum(col("_ca").cast("decimal(38,0)") * col("_cb")).as("_w"))
+  }
+
+  def hodgesLehmannShift(df: DataFrame, groupCol: String, valueCol: String,
+                         g1: String, g2: String,
+                         precision: Int = 9, scale: Int = 2,
+                         maxPairCells: Long = 4000000L): DataFrame = {
+    val counts = cohortCounts(df, groupCol, valueCol, g1, g2, precision, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = counts.agg(
+        sum(when(col("_c1") > 0, 1L).otherwise(0L)).as("_ka"),
+        sum(when(col("_c2") > 0, 1L).otherwise(0L)).as("_kb"),
+        sum("_c1").as("n1"), sum("_c2").as("n2")).head()
+      val (ka, kb) = (g.getAs[Long]("_ka"), g.getAs[Long]("_kb"))
+      val (n1, n2) = (g.getAs[Long]("n1"), g.getAs[Long]("n2"))
+      require(n1 > 0 && n2 > 0,
+        s"hodgesLehmannShift: empty cohort ($g1: $n1, $g2: $n2)")
+      require(ka * kb <= maxPairCells,
+        s"hodgesLehmannShift: $ka x $kb distinct-value cells exceed " +
+          s"maxPairCells=$maxPairCells — pre-bin the metric " +
+          "(quantile_bins / floor(v/width)) so the cell pairing stays bounded")
+      // n_pairs is reported as a Long: fail fast with the remedy instead
+      // of longValueExact throwing mid-query (the kendallTau r12 lesson —
+      // the cell guard bounds CELLS, not row masses)
+      require(n1 <= Long.MaxValue / n2,
+        s"hodgesLehmannShift: n1*n2 = $n1*$n2 overflows the reported " +
+          "pair count — sample the cohorts below ~3e9 rows each")
+      val diffs = hlDiffMassPlan(counts)
+      val cum = org.apache.spark.sql.expressions.Window.orderBy("_d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pairs = java.math.BigDecimal.valueOf(n1)
+        .multiply(java.math.BigDecimal.valueOf(n2))
+      val one = java.math.BigDecimal.ONE
+      val two = java.math.BigDecimal.valueOf(2)
+      // 1-based middle ranks: k1 = ceil(T/2), k2 = floor(T/2)+1 — equal
+      // when T is odd; exact decimal so no float rank drift (NOTES r13)
+      val k1 = pairs.add(one).divide(two, 0, java.math.RoundingMode.FLOOR)
+      val k2 = pairs.add(two).divide(two, 0, java.math.RoundingMode.FLOOR)
+      val row = diffs
+        .withColumn("_cw", sum("_w").over(cum))
+        .agg(min(when(col("_cw") >= lit(k1), col("_d"))).as("_d1"),
+          min(when(col("_cw") >= lit(k2), col("_d"))).as("_d2"))
+        .head()
+      val d1 = row.getAs[Long]("_d1"); val d2 = row.getAs[Long]("_d2")
+      // the only doubles: (d1+d2)/2 in integer units, then the descale
+      val unit = math.pow(10.0, scale)
+      val hl = java.math.BigDecimal.valueOf(
+        (d1 + d2).toDouble / 2.0 / unit)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(g1, g2, n1, n2, pairs.longValueExact, hl)), 1),
+        StructType(Seq(
+          StructField("g1", StringType, nullable = false),
+          StructField("g2", StringType, nullable = false),
+          StructField("n1", LongType, nullable = false),
+          StructField("n2", LongType, nullable = false),
+          StructField("n_pairs", LongType, nullable = false),
+          StructField("hl_shift", DoubleType, nullable = false))))
+    } finally { counts.unpersist(blocking = false) }
+  }
 }

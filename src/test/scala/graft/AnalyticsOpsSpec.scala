@@ -855,4 +855,45 @@ class MarkovAttributionSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Double]("p_conv") == 0.0))
     assert(out.forall(_.isNullAt(1))) // removal_effect undefined at p = 0
   }
+
+  test("logRank: hand-derived two-group table with censoring") {
+    // lifetimes: g1 users churn at t=10,20; g0 churns at t=10, one g0
+    // user censored at the horizon (l=100 > maxDay-5).
+    //   t=10: d=2 d1=1 n=4 n1=2 -> e1=1.0,    v=2*2*2*2/(16*3)=0.333333
+    //   t=20: d=1 d1=1 n=2 n1=1 -> e1=0.5,    v=1/4 = 0.25
+    //   t=100: censored only -> zero terms
+    // O=2, E=1.5, V=0.583333
+    def ev(u: Long, d: String, ty: String) =
+      (u, java.sql.Timestamp.valueOf(s"$d 00:00:00"), ty)
+    val df = Seq(
+      ev(1, "1970-01-01", "purchase"), ev(1, "1970-01-11", "click"),
+      ev(2, "1970-01-01", "purchase"), ev(2, "1970-01-21", "click"),
+      ev(3, "1970-01-01", "click"), ev(3, "1970-01-11", "click"),
+      ev(4, "1970-01-01", "click"), ev(4, "1970-04-11", "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.logRank(df).head()
+    assert(r.getAs[Long]("users_1") == 2L && r.getAs[Long]("users_0") == 2L)
+    assert(r.getAs[Long]("observed_1") == 2L)
+    assert(r.getAs[Double]("expected_1") == 1.5)
+    assert(r.getAs[Double]("variance") == 0.583333)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("z") == r6(0.5 / math.sqrt(0.583333)))
+    assert(r.getAs[Double]("chi2") == r6(0.25 / 0.583333))
+  }
+
+  test("logRank: no uncensored churn yields NULL z, never a crash") {
+    // both users' last events sit inside the censor window
+    def ev(u: Long, d: String, ty: String) =
+      (u, java.sql.Timestamp.valueOf(s"$d 00:00:00"), ty)
+    val df = Seq(
+      ev(1, "1970-01-01", "purchase"), ev(1, "1970-01-05", "click"),
+      ev(2, "1970-01-01", "click"), ev(2, "1970-01-06", "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.logRank(df).head()
+    assert(r.getAs[Long]("observed_1") == 0L)
+    assert(r.getAs[Double]("variance") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
 }

@@ -266,4 +266,56 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(same.getAs[Double]("rbo") == 0.875)
     assert(same.getAs[Double]("overlap_at_depth") == 1.0)
   }
+
+  test("passAtK: closed-form binomial cases, per-k mean, guards") {
+    // p1: n=4, c=2 -> pass@2 = 1 - C(2,2)/C(4,2) = 1 - 1/6 = 0.833333
+    //                 pass@1 = 1 - C(2,1)/C(4,1) = 0.5
+    // p2: n=3, c=3 -> pass@1 = 1 (numerator falling factorial hits 0)
+    // p3: n=3, c=0 -> pass@2 = 1 - C(3,2)/C(3,2) = 0
+    val rows = Seq.fill(2)(("p1", 1)) ++ Seq.fill(2)(("p1", 0)) ++
+      Seq.fill(3)(("p2", 1)) ++ Seq.fill(3)(("p3", 0))
+    val df = rows.toDF("prob", "ok")
+    val out = Eval.passAtK(df, "prob", col("ok") === 1, Seq(1, 2))
+      .collect().map(r => (r.getAs[String]("problem"),
+        r.getAs[Int]("k")) -> r).toMap
+    assert(out(("p1", 2)).getAs[Double]("pass_at_k") == 0.833333)
+    assert(out(("p1", 1)).getAs[Double]("pass_at_k") == 0.5)
+    assert(out(("p2", 1)).getAs[Double]("pass_at_k") == 1.0)
+    assert(out(("p3", 2)).getAs[Double]("pass_at_k") == 0.0)
+    // k=1 mean over p1,p2,p3: (0.5 + 1.0 + 0.0)/3 = 0.5
+    assert(out(("p1", 1)).getAs[Long]("n_problems") == 3L)
+    assert(out(("p1", 1)).getAs[Double]("mean_pass_at_k") == 0.5)
+    // the exact-double bound guards refuse out-of-range k / maxAttempts
+    intercept[IllegalArgumentException] {
+      Eval.passAtK(df, "prob", col("ok") === 1, Seq(11))
+    }
+    intercept[IllegalArgumentException] {
+      Eval.passAtK(df, "prob", col("ok") === 1, Seq(1), maxAttempts = 50)
+    }
+  }
+
+  test("isotonicCalibration: PAVA pools violations to block means") {
+    // levels 1..4 with rates [1/2, 0/2, 2/2, 1/2]: PAVA pools (1,2) to
+    // 1/4 and (3,4) to 3/4 -> iso = [0.25, 0.25, 0.75, 0.75]
+    val rows = Seq((1, 1), (1, 0), (2, 0), (2, 0),
+      (3, 1), (3, 1), (4, 1), (4, 0))
+    val df = rows.toDF("s", "y")
+    val out = Eval.isotonicCalibration(df, col("s"), col("y") === 1)
+      .collect().sortBy(_.getAs[Double]("score"))
+    assert(out.map(_.getAs[Double]("raw_rate")).toSeq ==
+      Seq(0.5, 0.0, 1.0, 0.5))
+    assert(out.map(_.getAs[Double]("iso_rate")).toSeq ==
+      Seq(0.25, 0.25, 0.75, 0.75))
+    // already-monotone input is returned untouched
+    val mono = Seq((1, 0), (1, 0), (2, 1), (2, 0), (3, 1), (3, 1))
+      .toDF("s", "y")
+    val m = Eval.isotonicCalibration(mono, col("s"), col("y") === 1)
+      .collect().sortBy(_.getAs[Double]("score"))
+    assert(m.map(_.getAs[Double]("iso_rate")).toSeq == Seq(0.0, 0.5, 1.0))
+    // the maxBins guard names the binning remedy
+    val guard = intercept[IllegalArgumentException] {
+      Eval.isotonicCalibration(df, col("s"), col("y") === 1, maxBins = 2)
+    }
+    assert(guard.getMessage.contains("quantile_bins"))
+  }
 }

@@ -476,4 +476,35 @@ class ExperimentSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("twoProportionZ"))
   }
+
+  test("tostEquivalence: identical arms prove equivalence; a real gap fails") {
+    // pA = pB = 0.5 at n=1000 each: se = sqrt(2*0.25/1000) = 0.0223607,
+    // z_low = 0.05/se = 2.236068 > 1.645, z_up = -2.236068 -> equivalent
+    val same = spark.range(2000).select(
+      when($"id" < 1000, "A").otherwise("B").as("arm"),
+      ($"id" % 2 === 0).as("conv"))
+    val r = Experiment.tostEquivalence(same, "arm", col("conv"),
+      "A", "B", margin = 0.05).head()
+    assert(r.getAs[Long]("n_a") == 1000L && r.getAs[Long]("s_a") == 500L)
+    assert(r.getAs[Double]("diff") == 0.0)
+    assert(r.getAs[Double]("z_low") == 2.236068)
+    assert(r.getAs[Double]("z_up") == -2.236068)
+    assert(r.getAs[Boolean]("equivalent"))
+    // pB - pA = 0.2 with margin 0.05: the upper test cannot reject
+    val gap = spark.range(2000).select(
+      when($"id" < 1000, "A").otherwise("B").as("arm"),
+      (when($"id" < 1000, $"id" % 10 < 4).otherwise($"id" % 10 < 6))
+        .as("conv"))
+    val g = Experiment.tostEquivalence(gap, "arm", col("conv"),
+      "A", "B", margin = 0.05).head()
+    assert(g.getAs[Double]("diff") == 0.2)
+    assert(g.getAs[Double]("z_up") > 0.0)
+    assert(!g.getAs[Boolean]("equivalent"))
+    // empty arm: NULL z's and verdict, no divide-by-zero task failure
+    val empty = Experiment.tostEquivalence(
+      same.filter($"arm" === "A"), "arm", col("conv"),
+      "A", "B", margin = 0.05).head()
+    assert(empty.isNullAt(empty.fieldIndex("z_low")))
+    assert(empty.isNullAt(empty.fieldIndex("equivalent")))
+  }
 }

@@ -1259,6 +1259,52 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"the cumulative window sorts only the bounded bucket table:\n$p")
   }
 
+  test("hodgesLehmannShift pairs value CELLS via broadcast — no cartesian, no row-level pair set") {
+    val df = spark.range(4000).select(
+      when($"id" % 2 === 0, "a").otherwise("b").as("g"),
+      (pmod($"id", lit(37))).cast("double").as("v"))
+    // the op materializes eagerly, so audit the factored-out pairing
+    // plan it executes (the dpQuantile pattern)
+    val counts = df.filter($"g".isin("a", "b"))
+      .groupBy(($"v" * 100).cast("long").as("_v"))
+      .agg(sum(when($"g" === "a", 1L).otherwise(0L)).as("_c1"),
+        sum(when($"g" === "b", 1L).otherwise(0L)).as("_c2"))
+    val p = auditPlan(graft.operators.Stats.hlDiffMassPlan(counts))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cell pairing must broadcast the smaller cell table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // and the operator itself returns the right answer on this data
+    val r = graft.operators.Stats.hodgesLehmannShift(df, "g", "v", "a", "b")
+    assert(r.head().getAs[Long]("n_pairs") == 2000L * 2000L)
+  }
+
+  test("logRank windows run only over the bounded lifetime table") {
+    val ev = spark.range(3000).select(
+      ($"id" % 300).as("user_id"),
+      ($"id" * 86400L).cast("timestamp").as("ts"),
+      concat(lit("t"), ($"id" % 4)).as("event_type"))
+    val p = auditPlan(graft.operators.EventAnalytics.logRank(ev, treatEvent = "t1"))
+    // the only sort feeding a window must key on the lifetime column t,
+    // never on user_id or raw event order
+    assert(!p.contains("Sort [user_id"),
+      s"no corpus-keyed sort may exist:\n$p")
+    assert(p.contains("Sort [t#") || p.contains("Sort [t "),
+      s"the at-risk windows sort only the bounded lifetime table:\n$p")
+  }
+
+  test("passAtK is one problem-keyed fold; the falling factorial is row-local") {
+    val df = spark.range(2000).select(($"id" % 100).as("prob"),
+      ($"id" % 3 === 0).as("ok"))
+    val p = auditPlan(graft.operators.Eval.passAtK(df, "prob", $"ok", Seq(1, 3)))
+    // no second corpus aggregation: the per-k stats come from a window
+    // over the already-collapsed per-problem table
+    assert(p.split(java.util.regex.Pattern.quote(
+      "Exchange hashpartitioning(prob")).length <= 2,
+      s"the corpus must fold exactly once on the problem key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Generate explode(sequence"),
+      s"the k-term product must stay inside the projection, not explode rows:\n$p")
+  }
+
   test("frequentSequences: Apriori semi-joins broadcast under the trigram count") {
     val ev = spark.range(2000).select($"id".as("event_id"),
       ($"id" % 40).as("user_id"), ($"id" * 1000).cast("timestamp").as("ts"),

@@ -840,4 +840,52 @@ class AllocateBudgetSpec extends SparkSpecBase {
       assert(out(d).getAs[Boolean]("capped"))
     }
   }
+
+  test("cliffsDelta: textbook ties case, total dominance, and identity") {
+    // A=[1,2,3], B=[2,3,4]: wins_a=1 ((3,2)), wins_b=6, ties=2 of 9 pairs
+    // -> delta = (1-6)/9 = -0.555556, |d| > 0.474 -> large
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.cliffsDelta(df, "g", "v", "a", "b").head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Double]("delta") == -0.555556)
+    assert(r.getAs[String]("magnitude") == "large")
+    // every a beats every b -> delta exactly +1
+    val dom = (Seq(10, 20).map(("a", _)) ++ Seq(1, 2).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.cliffsDelta(dom, "g", "v", "a", "b")
+      .head().getAs[Double]("delta") == 1.0)
+    // identical samples -> all ties -> delta 0, negligible
+    val same = (Seq(5, 6).map(("a", _)) ++ Seq(5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val s = Stats.cliffsDelta(same, "g", "v", "a", "b").head()
+    assert(s.getAs[Double]("delta") == 0.0)
+    assert(s.getAs[String]("magnitude") == "negligible")
+  }
+
+  test("hodgesLehmannShift: even/odd pair counts, weighted ties, guard") {
+    // A=[1,2], B=[10,20]: diffs {-19,-18,-9,-8}, even T=4 -> middle two
+    // average: (-18 + -9)/2 = -13.5
+    val even = (Seq(1, 2).map(("a", _)) ++ Seq(10, 20).map(("b", _)))
+      .toDF("g", "v")
+    val e = Stats.hodgesLehmannShift(even, "g", "v", "a", "b").head()
+    assert(e.getAs[Long]("n_pairs") == 4L)
+    assert(e.getAs[Double]("hl_shift") == -13.5)
+    // A=[5], B=[1,2,4]: diffs {4,3,1}, odd T=3 -> median 3
+    val odd = (Seq(5).map(("a", _)) ++ Seq(1, 2, 4).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.hodgesLehmannShift(odd, "g", "v", "a", "b")
+      .head().getAs[Double]("hl_shift") == 3.0)
+    // tied values collapse to one weighted cell: A=[1,1], B=[0] -> both
+    // middle ranks land inside the single diff cell of mass 2
+    val tied = (Seq(1, 1).map(("a", _)) ++ Seq(0).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.hodgesLehmannShift(tied, "g", "v", "a", "b")
+      .head().getAs[Double]("hl_shift") == 1.0)
+    // the cell-product guard names the pre-binning remedy
+    val guard = intercept[IllegalArgumentException] {
+      Stats.hodgesLehmannShift(even, "g", "v", "a", "b", maxPairCells = 1L)
+    }
+    assert(guard.getMessage.contains("pre-bin"))
+  }
 }
