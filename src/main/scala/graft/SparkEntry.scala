@@ -2830,6 +2830,67 @@ object SparkEntry {
       Experiment.tostEquivalence(perUserExperiment(s, dir), "arm",
         col("purchases") >= 10L, "A", "B", margin = 0.05)),
 
+    // ---- Luhn payment-card screen: planted valid/invalid test PANs
+    //      (split literals — no card-shaped token in source) plus a
+    //      too-short decoy; candidates come back masked ----
+    "q_luhn_screen" -> ((s, dir) => {
+      val valid = " 4111" + "1111" + "1111" + "1111"
+      val invalid = " 4111" + "1111" + "1111" + "1112"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, lit(valid)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit(invalid)).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" 12345678"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.luhnScreen(planted)
+        .orderBy("doc_id", "masked", "luhn_valid")
+    }),
+
+    // ---- mojibake screen: planted UTF-8-as-Latin1 digraphs and a
+    //      replacement character; only damaged docs return ----
+    "q_mojibake" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 23 === 0,
+            lit(" Caf\u00C3\u00A9 clich\u00C3\u00A9")).otherwise(lit("")),
+          when(col("doc_id") % 29 === 0,
+            lit(" bad\uFFFDchar")).otherwise(lit(""))).as("text"))
+      TextAnalysis.mojibakeScreen(planted).orderBy("doc_id")
+    }),
+
+    // ---- group-fairness readout of a length gate across languages:
+    //      selection/base rates, TPR/FPR, parity gap, DI ratio ----
+    "q_fairness" -> ((s, dir) =>
+      Eval.fairnessGaps(t(s, dir, "documents"), "lang",
+        col("doc_id") % 3 === 0, col("n_chars") >= 300)
+        .orderBy("grp")),
+
+    // ---- behavioral bot screen with one planted metronome user
+    //      (30 events exactly 60 s apart -> gap CV 0, flagged) ----
+    "q_bot_score" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type")
+      val metronome = s.range(30).select(
+        (lit(900000L) + col("id")).as("event_id"),
+        (lit(1577836800L) + col("id") * 60).cast("timestamp").as("ts"),
+        lit(99999L).as("user_id"),
+        lit("click").as("event_type"))
+      EventAnalytics.botScore(base.unionByName(metronome))
+        .orderBy("user_id")
+    }),
+
+    // ---- co-missingness pattern profile over planted null structure
+    //      (value nulled on 7-multiples, props on 5-multiples) ----
+    "q_null_pattern" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        when(col("user_id") % 7 === 0, lit(null))
+          .otherwise(col("value")).as("value"),
+        when(col("user_id") % 5 === 0, lit(null))
+          .otherwise(col("props")).as("props"))
+      Profile.missingnessPatterns(ev, Seq("value", "props"))
+        .orderBy("missing_cols")
+    }),
+
     // ---- Benford first-digit audit of extended price: digit from the
     //      DECIMAL canonical rendering (no log10-boundary hazard), all
     //      9 digit rows guaranteed ----
@@ -7663,6 +7724,139 @@ object SparkEntry {
         |    z_low > CAST(1.6448536269514722 AS DOUBLE)
         |    AND z_up < -CAST(1.6448536269514722 AS DOUBLE) END AS equivalent
         |FROM z""".stripMargin,
+
+    // Luhn truth: same lookaround-free candidate extraction, the mod-10
+    // fold replayed per digit via generate_series — all-integer math
+    "q_luhn_screen" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 17 = 0
+        |      THEN ' 4111' || '1111' || '1111' || '1111' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0
+        |      THEN ' 4111' || '1111' || '1111' || '1112' ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' 12345678' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |runs AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[0-9]+')) AS cand FROM d),
+        |c AS (SELECT doc_id, cand FROM runs
+        |  WHERE length(cand) BETWEEN 13 AND 19),
+        |s AS (SELECT doc_id, cand,
+        |    SUM(CASE WHEN g.i % 2 = 1
+        |      THEN CAST(substr(reverse(cand), g.i, 1) AS INT)
+        |      ELSE CAST(substr(reverse(cand), g.i, 1) AS INT) * 2
+        |        - CASE WHEN CAST(substr(reverse(cand), g.i, 1) AS INT) > 4
+        |          THEN 9 ELSE 0 END END) AS tot
+        |  FROM c JOIN generate_series(1, 19) g(i) ON g.i <= length(cand)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, '****' || right(cand, 4) AS masked,
+        |  CAST(length(cand) AS BIGINT) AS n_digits,
+        |  tot % 10 = 0 AS luhn_valid
+        |FROM s ORDER BY doc_id, masked, luhn_valid""".stripMargin,
+
+    // mojibake truth: identical planted damage via chr(), length-diff
+    // counting of the same marker characters
+    "q_mojibake" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' Caf' || chr(195)
+        |      || chr(169) || ' clich' || chr(195) || chr(169)
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 29 = 0 THEN ' bad' || chr(65533)
+        |      || 'char' ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
+        |      AS BIGINT) AS n_replacement,
+        |    CAST(length(text) - length(replace(replace(text,
+        |      chr(195), ''), chr(194), '')) AS BIGINT) AS n_latin1_marker
+        |  FROM d)
+        |SELECT * FROM m
+        |WHERE n_replacement > 0 OR n_latin1_marker > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // fairness truth: per-group exact counts, rates as single double
+    // divisions, gap/ratio on the UNROUNDED doubles then one round
+    "q_fairness" ->
+      """WITH g AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_label,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(n_pred AS DOUBLE) / n AS rate,
+        |    CAST(SUM(n_pred) OVER () AS DOUBLE) / SUM(n) OVER ()
+        |      AS overall,
+        |    MIN(CAST(n_pred AS DOUBLE) / n) OVER () AS mn,
+        |    MAX(CAST(n_pred AS DOUBLE) / n) OVER () AS mx
+        |  FROM g)
+        |SELECT grp, n, n_label, n_pred,
+        |  round(CAST(n_label AS DOUBLE) / n, 6) AS base_rate,
+        |  round(rate, 6) AS selection_rate,
+        |  CASE WHEN n_label > 0
+        |    THEN round(CAST(tp AS DOUBLE) / n_label, 6) END AS tpr,
+        |  CASE WHEN n > n_label
+        |    THEN round(CAST(fp AS DOUBLE) / (n - n_label), 6) END AS fpr,
+        |  round(rate - overall, 6) AS parity_gap,
+        |  CASE WHEN mx > 0 THEN round(mn / mx, 6) END AS di_ratio
+        |FROM w ORDER BY grp""".stripMargin,
+
+    // bot-score truth: same planted metronome, lag gaps in truncated
+    // epoch seconds, sample variance from exact HUGEINT moments
+    "q_bot_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+        |    event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 99999 AS user_id, 900000 + g.i AS event_id,
+        |    1577836800 + g.i * 60 AS sec, 'click' AS event_type
+        |  FROM generate_series(0, 29) g(i)),
+        |gp AS (SELECT user_id, sec, event_type,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM ev),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(sec) - min(sec) AS span_s,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sg2,
+        |    CAST(count(*) - 1 AS BIGINT) AS m,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM gp GROUP BY 1),
+        |f AS (SELECT user_id, n_events, span_s,
+        |    CASE WHEN span_s > 0 THEN round(CAST(n_events AS DOUBLE)
+        |      * CAST(60.0 AS DOUBLE) / span_s, 6) END AS events_per_minute,
+        |    CASE WHEN m >= 2 AND sg > 0 THEN
+        |      round(sqrt(CAST(m * sg2 - CAST(sg AS HUGEINT) * sg AS DOUBLE)
+        |        / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE)
+        |          - CAST(1.0 AS DOUBLE))))
+        |        / (CAST(sg AS DOUBLE) / CAST(m AS DOUBLE)), 6) END AS gap_cv,
+        |    n_types
+        |  FROM u)
+        |SELECT user_id, n_events, span_s, events_per_minute, gap_cv,
+        |  n_types, n_events >= 20
+        |    AND COALESCE(gap_cv < CAST(0.5 AS DOUBLE), false) AS bot_flag
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // missingness truth: the same planted null structure, pattern
+    // labels enumerated, share off one window over the pattern table
+    "q_null_pattern" ->
+      """WITH ev AS (SELECT event_id,
+        |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL ELSE props END AS props
+        |  FROM events),
+        |p AS (SELECT CASE
+        |    WHEN value IS NULL AND props IS NULL THEN 'value,props'
+        |    WHEN value IS NULL THEN 'value'
+        |    WHEN props IS NULL THEN 'props'
+        |    ELSE '(complete)' END AS missing_cols, count(*) AS n
+        |  FROM ev GROUP BY 1)
+        |SELECT missing_cols, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+        |FROM p ORDER BY missing_cols""".stripMargin,
 
     // Benford truth: first digit from the same DECIMAL(18,6) rendering,
     // all 9 digits via generate_series, decimal-summed contributions

@@ -466,4 +466,45 @@ object Eval {
         iso(i))
     }.toSeq.toDF("score", "n", "pos", "raw_rate", "iso_rate")
   }
+
+  /** Group-fairness readout for a binary classifier gate: per group the
+    * selection rate (demographic parity), base rate, TPR and FPR
+    * (equalized odds), the parity gap against the overall selection
+    * rate, and the global disparate-impact ratio (min/max selection
+    * rate — the four-fifths-rule number). Gating a corpus on a quality
+    * score silently reweights languages and sources; this is the table
+    * that makes the reweighting visible before training.
+    *
+    * Shape: ONE grouped aggregation collapses the corpus to per-group
+    * integer counts; every rate and both global columns fold from
+    * windows over that bounded group table. Rates are single divisions
+    * of exact counts rounded at 6 dp; the gap/ratio compute on the
+    * UNROUNDED doubles and round once, mirroring what an independent
+    * SQL engine does.
+    */
+  def fairnessGaps(df: DataFrame, groupCol: String, label: Column,
+                   pred: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_label"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(label && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!label && pred, 1L).otherwise(0L)).as("fp"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rate = col("n_pred").cast("double") / col("n")
+    val overall = sum("n_pred").over(all).cast("double") /
+      sum("n").over(all)
+    g.select(col("grp"), col("n"), col("n_label"), col("n_pred"),
+      round(col("n_label").cast("double") / col("n"), 6).as("base_rate"),
+      round(rate, 6).as("selection_rate"),
+      when(col("n_label") > 0,
+        round(col("tp").cast("double") / col("n_label"), 6)).as("tpr"),
+      when(col("n") > col("n_label"),
+        round(col("fp").cast("double") / (col("n") - col("n_label")), 6))
+        .as("fpr"),
+      round(rate - overall, 6).as("parity_gap"),
+      when(max(rate).over(all) > 0,
+        round(min(rate).over(all) / max(rate).over(all), 6))
+        .as("di_ratio"))
+  }
 }

@@ -1113,4 +1113,55 @@ object EventAnalytics {
     rows.toDF("channel", "removal_effect", "share", "attributed", "p_conv",
       "n_conversions")
   }
+
+  /** Behavioral bot screen over an event stream: per user, the volume,
+    * cadence, and diversity features that separate scripted traffic
+    * from people — event count, active span, events/minute, the
+    * coefficient of variation of inter-event gaps (machines are
+    * metronomes: CV → 0), and distinct event types. The verdict column
+    * applies the classic heuristic (enough events AND near-constant
+    * cadence); the features stay exposed so callers can gate on their
+    * own thresholds. Training-data pipelines run this screen before
+    * treating engagement events as human preference signal.
+    *
+    * Shape: one user-keyed exchange shared by the lag window and the
+    * fold (the window's partitioning is reused by the groupBy — one
+    * shuffle total). Gap moments accumulate as exact integer/decimal
+    * sums (gap ≤ span s, gap² ≤ 10^18 held in decimal(38,0)), so the
+    * sample variance is engine-replayable; CV and rate are single
+    * rounded double expressions.
+    */
+  def botScore(events: DataFrame, userCol: String = "user_id",
+               tsCol: String = "ts", idCol: String = "event_id",
+               typeCol: String = "event_type",
+               minEvents: Int = 20, cvThreshold: Double = 0.5): DataFrame = {
+    require(minEvents >= 3, "minEvents must be >= 3 (variance needs 2 gaps)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val sec = col(tsCol).cast("long")
+    val gapped = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_gap", sec - lag(sec, 1).over(w))
+    val m = (count(lit(1)) - 1).cast("long")
+    val perUser = gapped.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(sec) - min(sec)).as("span_s"),
+        sum("_gap").as("_sg"),
+        sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("_sg2"),
+        m.as("_m"),
+        count_distinct(col(typeCol)).as("n_types"))
+    val mD = col("_m").cast("double")
+    val mean = col("_sg").cast("double") / mD
+    // sample variance from exact sums: (m·Σg² − (Σg)²)/(m·(m−1))
+    val varNum = (col("_m") * col("_sg2") -
+      col("_sg").cast("decimal(38,0)") * col("_sg")).cast("double")
+    val cv = sqrt(varNum / (mD * (mD - lit(1.0)))) / mean
+    val cvR = when(col("_m") >= 2 && col("_sg") > 0, round(cv, 6))
+    val epm = when(col("span_s") > 0,
+      round(col("n_events").cast("double") * 60.0 / col("span_s"), 6))
+    perUser.select(col(userCol), col("n_events"), col("span_s"),
+      epm.as("events_per_minute"), cvR.as("gap_cv"), col("n_types"),
+      (col("n_events") >= minEvents && coalesce(cvR < lit(cvThreshold),
+        lit(false))).as("bot_flag"))
+  }
 }

@@ -300,4 +300,29 @@ object Profile {
         round(sum(v.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
           .as("avg_v"))
   }
+
+  /** Co-missingness patterns (R's `md.pattern` for a data lake): one
+    * row per observed NULL-combination of `cols`, with count and share.
+    * Missingness is rarely independent across columns — the pattern
+    * table is how you see that (e.g. `value,props` missing TOGETHER
+    * means an upstream join failed, not two flaky fields), which
+    * decides impute-vs-drop before training.
+    *
+    * Shape: one grouped aggregation to at most 2^|cols| pattern rows
+    * (cap |cols| ≤ 12 — the guard keeps the pattern space bounded);
+    * the share folds from a window over that bounded table.
+    */
+  def missingnessPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 12,
+      s"missingnessPatterns: ${cols.size} columns — the pattern space " +
+        "is 2^|cols|; profile at most 12 at a time")
+    val pattern = concat_ws(",",
+      cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(when(pattern === "", lit("(complete)")
+      ).otherwise(pattern).as("missing_cols"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum("n").over(all), 6))
+  }
 }

@@ -1295,4 +1295,70 @@ object TextAnalysis {
         col("reason"), col("entropy"),
         length(col("tok")).cast("long").as("tok_len"))
   }
+
+  /** Luhn checksum screen — the payment-card companion to
+    * [[detectSecrets]]: every contiguous digit run of card length
+    * (13–19 by default) in `textCol` is checked against the Luhn mod-10
+    * digit scheme, and candidates come back MASKED (`****` + last 4 —
+    * a screen must never re-emit the number it flagged). `luhn_valid`
+    * separates real card-shaped leaks from phone numbers and order ids
+    * that merely look long enough.
+    *
+    * Shape: a narrow codegen chain — regexp extraction, one bounded
+    * explode (runs per document), and the checksum as a row-local
+    * higher-order fold over at most 19 digits (the detectSecrets
+    * lesson: never a character explode). All-integer arithmetic, so
+    * engine parity is trivial. Digit runs are found WITHOUT lookarounds
+    * ("[0-9]+" then a length filter) so RE2-based engines replay the
+    * same candidate set.
+    */
+  def luhnScreen(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 minDigits: Int = 13, maxDigits: Int = 19): DataFrame = {
+    require(minDigits >= 2 && maxDigits >= minDigits && maxDigits <= 64,
+      "digit-run bounds must satisfy 2 <= min <= max <= 64")
+    val runs = filter(
+      regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+      r => length(r) >= minDigits && length(r) <= maxDigits)
+    val cand = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(runs).as("_cand"))
+    // Luhn: from the RIGHT, odd positions add as-is, even positions
+    // double (minus 9 past 9); valid iff the total is divisible by 10
+    val rev = reverse(col("_cand"))
+    val total = aggregate(
+      sequence(lit(1), length(col("_cand"))), lit(0),
+      (acc, i) => {
+        val d = ascii(rev.substr(i, lit(1))) - 48
+        acc + when(i % 2 === 1, d)
+          .otherwise(d * 2 - when(d > 4, 9).otherwise(0))
+      })
+    cand.select(col(idCol),
+      concat(lit("****"), substring(col("_cand"), -4, 4)).as("masked"),
+      length(col("_cand")).cast("long").as("n_digits"),
+      (total % 10 === 0).as("luhn_valid"))
+  }
+
+  /** Mojibake screen: flags documents carrying the three classic
+    * encoding-damage signatures — U+FFFD replacement characters (a
+    * decoder already gave up), and the U+00C3/U+00C2 lead bytes that
+    * appear when UTF-8 is re-decoded as Latin-1 ("Ã©" for "é"). Crawl
+    * corpora are full of double-encoded pages; training on them teaches
+    * the model mojibake. Counts are per-document and only flagged rows
+    * return.
+    *
+    * Shape: row-local length-difference counting (translate) — no
+    * explode, no window, no shuffle; the filter prunes clean documents
+    * at the scan.
+    */
+  def mojibakeScreen(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nRepl = length(t) - length(translate(t, "\uFFFD", ""))
+    val nMark = length(t) - length(translate(t, "\u00C3\u00C2", ""))
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        nRepl.cast("long").as("n_replacement"),
+        nMark.cast("long").as("n_latin1_marker"))
+      .filter(col("n_replacement") > 0 || col("n_latin1_marker") > 0)
+  }
 }

@@ -882,6 +882,44 @@ class MarkovAttributionSpec extends SparkSpecBase {
     assert(r.getAs[Double]("chi2") == r6(0.25 / 0.583333))
   }
 
+  test("botScore: metronome flagged, jittery human and short sessions not") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // bot: 25 events exactly 60 s apart -> gap variance 0 -> CV 0
+    val bot = (0 until 25).map(i => (1L, i.toLong, ts(1000L + i * 60)))
+    // human: 25 events with bursty bimodal gaps (10 s / 600 s, CV ~0.99)
+    val human = (0 until 25).scanLeft((2L, 100L, 1000L)) { case ((u, id, t), i) =>
+      (u, id + 1, t + (if (i % 2 == 0) 10 else 600))
+    }.tail.map { case (u, id, t) => (u, id, ts(t)) }
+    // regular but short: only 5 events -> below minEvents
+    val short5 = (0 until 5).map(i => (3L, 200L + i, ts(5000L + i * 60)))
+    val ev = (bot ++ human ++ short5)
+      .toDF("user_id", "event_id", "ts")
+      .withColumn("event_type", concat(lit("t"), $"event_id" % 3))
+    val out = graft.operators.EventAnalytics.botScore(ev)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Double]("gap_cv") == 0.0)
+    assert(out(1L).getAs[Boolean]("bot_flag"))
+    assert(out(2L).getAs[Double]("gap_cv") > 0.5)
+    assert(!out(2L).getAs[Boolean]("bot_flag"))
+    assert(!out(3L).getAs[Boolean]("bot_flag")) // regular but < minEvents
+    assert(out(1L).getAs[Double]("events_per_minute") == 1.041667) // 25/24min
+  }
+
+  test("missingnessPatterns: every observed pattern with exact shares") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 1L, 1L), (2L, null, 1L), (3L, null, null), (4L, 1L, 1L))
+      .toDF("id", "a", "b")
+    val out = graft.operators.Profile.missingnessPatterns(rows, Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("missing_cols") -> r).toMap
+    assert(out("(complete)").getAs[Long]("n") == 2L)
+    assert(out("a").getAs[Long]("n") == 1L)
+    assert(out("a,b").getAs[Long]("n") == 1L)
+    assert(out("(complete)").getAs[Double]("share") == 0.5)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.missingnessPatterns(rows, (1 to 13).map(_ => "a"))
+    }
+  }
+
   test("logRank: no uncensored churn yields NULL z, never a crash") {
     // both users' last events sit inside the censor window
     def ev(u: Long, d: String, ty: String) =

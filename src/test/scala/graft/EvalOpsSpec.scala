@@ -318,4 +318,33 @@ class EvalOpsSpec extends SparkSpecBase {
     }
     assert(guard.getMessage.contains("quantile_bins"))
   }
+
+  test("fairnessGaps: hand-computed rates, gaps, and the DI ratio") {
+    // g1: n=4, 2 labeled, 2 selected (both labeled) -> sel 0.5, tpr 1, fpr 0
+    // g2: n=4, 2 labeled, 4 selected             -> sel 1.0, tpr 1, fpr 1
+    // overall selection 6/8 = 0.75; DI = 0.5/1.0
+    val rows = Seq(
+      ("g1", 1, 1), ("g1", 1, 1), ("g1", 0, 0), ("g1", 0, 0),
+      ("g2", 1, 1), ("g2", 1, 1), ("g2", 0, 1), ("g2", 0, 1))
+      .toDF("g", "y", "p")
+    val out = Eval.fairnessGaps(rows, "g", col("y") === 1, col("p") === 1)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("g1").getAs[Double]("selection_rate") == 0.5)
+    assert(out("g2").getAs[Double]("selection_rate") == 1.0)
+    assert(out("g1").getAs[Double]("base_rate") == 0.5)
+    assert(out("g1").getAs[Double]("tpr") == 1.0)
+    assert(out("g1").getAs[Double]("fpr") == 0.0)
+    assert(out("g2").getAs[Double]("fpr") == 1.0)
+    assert(out("g1").getAs[Double]("parity_gap") == -0.25)
+    assert(out("g2").getAs[Double]("parity_gap") == 0.25)
+    assert(out.values.forall(_.getAs[Double]("di_ratio") == 0.5))
+    // degenerate group (nothing labeled / everything labeled): NULL
+    // tpr/fpr instead of a divide-by-zero failure
+    val deg = Seq(("g1", 0, 1), ("g1", 0, 0), ("g2", 1, 1))
+      .toDF("g", "y", "p")
+    val d = Eval.fairnessGaps(deg, "g", col("y") === 1, col("p") === 1)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(d("g1").isNullAt(d("g1").fieldIndex("tpr")))
+    assert(d("g2").isNullAt(d("g2").fieldIndex("fpr")))
+  }
 }

@@ -468,3 +468,51 @@ class HeapsCurveSpec extends SparkSpecBase {
     assert(bSat < 0.3, s"saturating corpus must fit a small beta, got $bSat")
   }
 }
+
+/** Governance screens: Luhn payment-card candidates and encoding-damage
+  * (mojibake) detection.
+  */
+class ScreenOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("luhnScreen: mod-10 verdicts, masking, and length bounds") {
+    // 4111-1111-1111-1111 is the canonical valid test PAN; +1 breaks it
+    val pan = "4111" + "1111" + "1111" + "1111"
+    val bad = "4111" + "1111" + "1111" + "1112"
+    val docs = Seq(
+      (1L, s"order $pan shipped"),
+      (2L, s"ref $bad pending"),
+      (3L, "phone 123456789012 call"), // 12 digits: below card length
+      (4L, "id 12345678901234567890 x"), // 20 digits: above card length
+      (5L, s"two: $pan and $bad")).toDF("doc_id", "text")
+    val out = TextAnalysis.luhnScreen(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("masked")) -> r)
+      .toMap
+    assert(out.size == 4) // docs 3 and 4 produce no candidates
+    assert(out((1L, "****1111")).getAs[Boolean]("luhn_valid"))
+    assert(!out((2L, "****1112")).getAs[Boolean]("luhn_valid"))
+    assert(out((1L, "****1111")).getAs[Long]("n_digits") == 16L)
+    assert(out((5L, "****1111")).getAs[Boolean]("luhn_valid"))
+    assert(!out((5L, "****1112")).getAs[Boolean]("luhn_valid"))
+    // a 13-digit run is in range: 79927398713 is the classic Luhn
+    // example (valid), padded to 13 with leading zeros stays valid
+    val pad = Seq((9L, "n 0079927398713 t")).toDF("doc_id", "text")
+    assert(TextAnalysis.luhnScreen(pad).head().getAs[Boolean]("luhn_valid"))
+  }
+
+  test("mojibakeScreen: counts damage markers, clean docs never return") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "Caf\u00C3\u00A9 and clich\u00C3\u00A9"), // 2 lead bytes
+      (3L, "broken \uFFFD here \uFFFD too"),
+      (4L, "\u00C2 nbsp artifact")).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeScreen(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L))
+    assert(out(2L).getAs[Long]("n_latin1_marker") == 2L)
+    assert(out(2L).getAs[Long]("n_replacement") == 0L)
+    assert(out(3L).getAs[Long]("n_replacement") == 2L)
+    assert(out(4L).getAs[Long]("n_latin1_marker") == 1L)
+  }
+}
