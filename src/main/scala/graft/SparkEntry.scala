@@ -2879,6 +2879,48 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- interpolated Kneser–Ney bigram table over the corpus:
+    //      continuation counts, top 50 bigrams by raw count ----
+    "q_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNeyBigram(t(s, dir, "documents"))
+        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)),
+
+    // ---- HITS hubs/authorities on the part->supplier graph (same
+    //      edge construction as pagerank); 4 L1-normalized rounds,
+    //      9 dp decimal state, oracle = unrolled CTE chain ----
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      Graph.hits(edges, iters = 4)
+        .orderBy(col("authority").desc, col("id")).limit(20)
+    }),
+
+    // ---- crawl-URL dedup: canonicalization (tracking params dropped,
+    //      params sorted, fragment cut, host case-folded) collapses 5
+    //      synthetic variants per page into one survivor group ----
+    "q_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://Shop"), col("doc_id") % 20,
+        lit(".Example.COM/Item/"), col("doc_id") % 100,
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&ref=a"))
+          .otherwise(lit("?ref=a&utm_campaign=x&b=2")),
+        when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
+    // ---- batch-hard triplet mining over the embeddings table: per
+    //      anchor the least-similar positive and most-similar negative,
+    //      margins expose where a triplet loss still has gradient ----
+    "q_triplet_mining" -> ((s, dir) =>
+      Similarity.tripletMining(t(s, dir, "embeddings"), col("vec_id") < 20)
+        .orderBy("anchor_id")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -7841,6 +7883,65 @@ object SparkEntry {
         |    AND COALESCE(gap_cv < CAST(0.5 AS DOUBLE), false) AS bot_flag
         |FROM f ORDER BY user_id""".stripMargin,
 
+    // Kneser–Ney truth: same tokenization, bigram-type counts, and the
+    // continuation-count formula as one fixed-order double expression
+    "q_kneser_ney" ->
+      s"""WITH tks AS (SELECT $toksSql AS tk FROM documents),
+        |bg AS (SELECT unnest(tk[:-2]) AS w1, unnest(tk[2:]) AS w2
+        |  FROM tks WHERE len(tk) >= 2),
+        |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n_follow FROM ty GROUP BY 1),
+        |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+        |  FROM ty GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM ty)
+        |SELECT ty.w1, ty.w2, ty.c12, l.c1, l.n_follow, r.n_prec,
+        |  round(greatest(CAST(ty.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)) / l.c1
+        |    + CAST(0.75 AS DOUBLE) * CAST(l.n_follow AS DOUBLE) / l.c1
+        |      * (CAST(r.n_prec AS DOUBLE) / n_types), 6) AS p_kn
+        |FROM ty JOIN l USING (w1) JOIN r USING (w2), tt
+        |ORDER BY ty.c12 DESC, ty.w1, ty.w2 LIMIT 50""".stripMargin,
+
+    // HITS truth: generated unrolled CTE chain (see hitsOracle)
+    "q_hits" -> hitsOracle,
+
+    // URL-dedup truth: the canonical form synthesized ARITHMETICALLY
+    // from the same doc_id construction (the q_url_parse pattern) —
+    // independent of the operator's regex pipeline
+    "q_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://shop' || (doc_id % 20) || '.example.com/Item/'
+        |    || (doc_id % 100)
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?ref=a'
+        |       ELSE '?b=2&ref=a' END AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // triplet truth: brute-force rank-1 positive/negative per anchor
+    // with the same deterministic tie-break (smaller candidate id)
+    "q_triplet_mining" ->
+      s"""WITH v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 20),
+        |s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cid,
+        |    a.label AS al, b.label AS cl, $cosSql AS cos
+        |  FROM q a JOIN v b ON b.vec_id <> a.vec_id),
+        |p AS (SELECT anchor_id, cid, cos, row_number() OVER
+        |    (PARTITION BY anchor_id ORDER BY cos ASC, cid) AS rn
+        |  FROM s WHERE cl = al),
+        |ng AS (SELECT anchor_id, cid, cos, row_number() OVER
+        |    (PARTITION BY anchor_id ORDER BY cos DESC, cid) AS rn
+        |  FROM s WHERE cl <> al)
+        |SELECT p.anchor_id, p.cid AS pos_id, round(p.cos, 6) AS pos_cos,
+        |  ng.cid AS neg_id, round(ng.cos, 6) AS neg_cos,
+        |  round(p.cos - ng.cos, 6) AS margin
+        |FROM p JOIN ng USING (anchor_id)
+        |WHERE p.rn = 1 AND ng.rn = 1 ORDER BY anchor_id""".stripMargin,
+
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table
     "q_null_pattern" ->
@@ -9169,6 +9270,38 @@ object SparkEntry {
           col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
           .as("y"))
       .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+
+  /** HITS oracle: the 4 L1-normalized half-step pairs unrolled as
+    * generated CTEs (raw in-sum, then round-9 normalize against the
+    * scalar total), the Bradley–Terry unroll pattern.
+    */
+  private def hitsOracle: String = {
+    val steps = (1 to 4).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS MATERIALIZED (SELECT e.dst AS id, SUM(p.h) AS v
+         |  FROM e JOIN $hPrev p ON p.id = e.src GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT n.id, CAST(coalesce(round(CAST(v AS DOUBLE)
+         |    / CAST((SELECT SUM(v) FROM a${i}r) AS DOUBLE), 9),
+         |    CAST(0.0 AS DOUBLE)) AS DECIMAL(19,9)) AS a
+         |  FROM n LEFT JOIN a${i}r USING (id)),
+         |h${i}r AS MATERIALIZED (SELECT e.src AS id, SUM(p.a) AS v
+         |  FROM e JOIN a$i p ON p.id = e.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT n.id, CAST(coalesce(round(CAST(v AS DOUBLE)
+         |    / CAST((SELECT SUM(v) FROM h${i}r) AS DOUBLE), 9),
+         |    CAST(0.0 AS DOUBLE)) AS DECIMAL(19,9)) AS h
+         |  FROM n LEFT JOIN h${i}r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src,
+       |    l_suppkey AS dst
+       |    FROM lineitem WHERE l_orderkey % 13 = 0),
+       |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT id, CAST(1 AS DECIMAL(19,9)) AS h FROM n),
+       |$steps
+       |SELECT a4.id AS id, CAST(a4.a AS DOUBLE) AS authority,
+       |  CAST(h4.h AS DOUBLE) AS hub
+       |FROM a4 JOIN h4 USING (id)
+       |ORDER BY authority DESC, id LIMIT 20""".stripMargin
+  }
 
   /** Bradley–Terry oracle: the 50 MM iterations unrolled as generated
     * CTE pairs (raw update, then round-9 normalize) — the same

@@ -165,6 +165,44 @@ object Similarity {
       .select("query_id", "rank", "negative_id", "cosine")
   }
 
+  /** Triplet mining for metric learning — per anchor, the HARDEST
+    * positive (same label, LOWEST cosine: the in-class example the
+    * embedding currently separates worst) and the HARDEST negative
+    * (different label, HIGHEST cosine: the impostor it confuses most),
+    * plus the triplet margin. Batch-hard mining (Hermans et al. 2017)
+    * run corpus-side: anchors with a negative margin are exactly where
+    * a triplet loss still has gradient.
+    *
+    * Shape: anchors broadcast against ONE corpus pass; hardest
+    * positive/negative fold in a single anchor-keyed aggregation via
+    * lexicographic struct extrema (deterministic tie-break toward the
+    * smaller candidate id — `max_by` would tie-break arbitrarily). At
+    * 100 TB, run it over IVF/LSH candidate pools instead of the full
+    * corpus, same as [[hardNegatives]].
+    */
+  def tripletMining(df: DataFrame, anchorFilter: Column,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = broadcast(df.filter(anchorFilter)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("av"),
+        col(labelCol).as("al")))
+    val c = df.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      col(labelCol).as("cl"))
+    val scored = c.crossJoin(a)
+      .filter(col("cid") =!= col("anchor_id"))
+      .withColumn("_cos", cosine(col("av"), col("cv")))
+    val agg = scored.groupBy("anchor_id")
+      .agg(
+        min(when(col("cl") === col("al"),
+          struct(col("_cos").as("c"), col("cid").as("i")))).as("_p"),
+        max(when(col("cl") =!= col("al"),
+          struct(col("_cos").as("c"), (-col("cid")).as("i")))).as("_n"))
+    agg.select(col("anchor_id"),
+      col("_p.i").as("pos_id"), round(col("_p.c"), 6).as("pos_cos"),
+      (-col("_n.i")).as("neg_id"), round(col("_n.c"), 6).as("neg_cos"),
+      round(col("_p.c") - col("_n.c"), 6).as("margin"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of several
     * rankings of the same id space: score(id) = Σ_lists 1/(k0 + rank),
     * items absent from a list contribute nothing. The standard hybrid-

@@ -1361,4 +1361,75 @@ object TextAnalysis {
         nMark.cast("long").as("n_latin1_marker"))
       .filter(col("n_replacement") > 0 || col("n_latin1_marker") > 0)
   }
+
+  /** Interpolated Kneser\u2013Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1998 eq. 4.25) \u2014 the smoothing that actually works for
+    * n-gram LMs, and the [[bigramSurprisal]] upgrade path: instead of
+    * backing off to RAW unigram frequency (which overrates "Francisco"
+    * \u2014 frequent but only ever after "San"), the continuation weight is
+    * how many DISTINCT predecessors a word follows:
+    *
+    *   P(w2|w1) = max(c(w1w2)\u2212D, 0)/c(w1\u00B7)
+    *            + D\u00B7N1+(w1\u00B7)/c(w1\u00B7) \u00B7 N1+(\u00B7w2)/N1+(\u00B7\u00B7)
+    *
+    * Returns the scored bigram-type table (w1, w2, c12, c1, n_follow,
+    * n_prec, p_kn).
+    *
+    * Shape: ONE corpus-scale fold to the bigram-type table; c(w1\u00B7),
+    * N1+(w1\u00B7), N1+(\u00B7w2) and the type total all fold FROM that table
+    * (never a second corpus pass), then join back on the bigram keys \u2014
+    * every stage keyed and distributed, nothing collected. p_kn is a
+    * single fixed-order double expression over exact integer counts,
+    * rounded at 6 dp.
+    */
+  def kneserNeyBigram(df: DataFrame, textCol: String = "text",
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    val toks = df.select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks
+      .select(posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)),
+        col("tk"))
+      .select(col("col").as("w1"),
+        element_at(col("tk"), col("pos") + 2).as("w2"))
+    val types = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow"))
+    val right = types.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val total = types.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    types.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_follow"), col("n_prec"),
+        round(
+          greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
+            d * col("n_follow").cast("double") / col("c1") *
+              (col("n_prec").cast("double") / col("n_types")), 6)
+          .as("p_kn"))
+  }
+
+  /** Dedup-grade URL canonicalization \u2014 [[normalizeUrl]] plus the two
+    * transforms crawl dedup needs: tracking parameters dropped
+    * (utm_*, fbclid, gclid \u2014 pure analytics noise that splits one page
+    * into dozens of "distinct" URLs) and surviving query parameters
+    * SORTED so `?a=1&b=2` and `?b=2&a=1` collapse. Fragments never
+    * reach the server, so they drop with the query-string split.
+    * Lookaround-free regexes and binary-collation sorts keep any
+    * RE2-based engine bit-compatible.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, urlSchemePattern, 1))
+    val path = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(qs, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_|fbclid|gclid)"))
+    val sortedQ = array_join(array_sort(params), "&")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), urlHost(url),
+        when(path === "", lit("/")).otherwise(path),
+        when(sortedQ === "", lit(""))
+          .otherwise(concat(lit("?"), sortedQ))))
+  }
 }

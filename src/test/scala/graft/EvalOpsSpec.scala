@@ -347,4 +347,26 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(d("g1").isNullAt(d("g1").fieldIndex("tpr")))
     assert(d("g2").isNullAt(d("g2").fieldIndex("fpr")))
   }
+
+  test("tripletMining: hardest positive is min-cos, hardest negative max-cos, ties to smaller id") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),    // anchor, label A
+      (2L, Array(0.5f, 0f), 0),  // easy positive (cos 1)
+      (3L, Array(0f, 1f), 0),    // hardest positive (cos 0)
+      (6L, Array(0f, 0.5f), 0),  // tied hardest positive (cos 0), larger id
+      (4L, Array(0.5f, 0.5f), 1), // hardest negative (cos ~0.7071)
+      (5L, Array(0f, 0.25f), 1)) // easy negative (cos 0)
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity
+      .tripletMining(vecs, col("vec_id") === 1).head()
+    assert(r.getAs[Long]("anchor_id") == 1L)
+    assert(r.getAs[Long]("pos_id") == 3L) // tie with 6 broken to smaller id
+    assert(r.getAs[Double]("pos_cos") == 0.0)
+    assert(r.getAs[Long]("neg_id") == 4L)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val c14 = 0.5 / (1.0 * math.sqrt(0.5))
+    assert(r.getAs[Double]("neg_cos") == r6(c14))
+    assert(r.getAs[Double]("margin") == r6(0.0 - c14))
+  }
 }

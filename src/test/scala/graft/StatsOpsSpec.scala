@@ -888,4 +888,28 @@ class AllocateBudgetSpec extends SparkSpecBase {
     }
     assert(guard.getMessage.contains("pre-bin"))
   }
+
+  test("hits: hand-replayed two-iteration star graph") {
+    // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
+    // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
+    //        h = (1.0, 0.666666667)/1.666666667 -> (0.6, 0.4)
+    // iter2: a = (1.0, 0.6)/1.6 -> (0.625, 0.375)
+    //        h = (1.0, 0.625)/1.625 -> (0.615384615, 0.384615385)
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(10L).getAs[Double]("authority") == 0.625)
+    assert(out(11L).getAs[Double]("authority") == 0.375)
+    assert(out(1L).getAs[Double]("hub") == 0.615384615)
+    assert(out(2L).getAs[Double]("hub") == 0.384615385)
+    // pure hubs have zero authority; pure authorities zero hub
+    assert(out(1L).getAs[Double]("authority") == 0.0)
+    assert(out(10L).getAs[Double]("hub") == 0.0)
+    // parallel edges collapse: duplicating an edge changes nothing
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val d = Graph.hits(dup, iters = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(d(10L).getAs[Double]("authority") == 0.625)
+  }
 }

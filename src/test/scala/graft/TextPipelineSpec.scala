@@ -501,6 +501,29 @@ class ScreenOpsSpec extends SparkSpecBase {
     assert(TextAnalysis.luhnScreen(pad).head().getAs[Boolean]("luhn_valid"))
   }
 
+  test("kneserNeyBigram: hand-derived continuation probabilities") {
+    // corpus bigram instances: (a,b)x2, (a,c)x1, (c,b)x1
+    // c(a.)=3 N1+(a.)=2; c(c.)=1 N1+(c.)=1; N1+(.b)=2 N1+(.c)=1; types=3
+    // P(b|a) = 1.25/3 + .75*2/3 * 2/3 = 0.75
+    // P(c|a) = 0.25/3 + .75*2/3 * 1/3 = 0.25
+    // P(b|c) = 0.25/1 + .75*1/1 * 2/3 = 0.75
+    val docs = Seq("a b", "a b", "a c", "c b").toDF("text")
+    val out = TextAnalysis.kneserNeyBigram(docs).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    assert(out.size == 3)
+    assert(out(("a", "b")).getAs[Long]("c12") == 2L)
+    assert(out(("a", "b")).getAs[Long]("c1") == 3L)
+    assert(out(("a", "b")).getAs[Long]("n_follow") == 2L)
+    assert(out(("a", "b")).getAs[Long]("n_prec") == 2L)
+    assert(out(("a", "b")).getAs[Double]("p_kn") == 0.75)
+    assert(out(("a", "c")).getAs[Double]("p_kn") == 0.25)
+    assert(out(("c", "b")).getAs[Double]("p_kn") == 0.75)
+    // seen-mass completeness: P(b|a) + P(c|a) = 1 (every continuation
+    // of 'a' is seen, so no mass leaks to unseen types)
+    assert(out(("a", "b")).getAs[Double]("p_kn")
+      + out(("a", "c")).getAs[Double]("p_kn") == 1.0)
+  }
+
   test("mojibakeScreen: counts damage markers, clean docs never return") {
     val docs = Seq(
       (1L, "clean ascii text"),

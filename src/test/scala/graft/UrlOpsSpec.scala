@@ -37,4 +37,25 @@ class UrlOpsSpec extends SparkSpecBase {
     // non-URLs pass through untouched, never null
     assert(norm("not a url at all")._3 == "not a url at all")
   }
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .head().getString(0)
+
+  test("canonicalUrl: drops tracking params, sorts survivors, cuts fragments") {
+    // utm_* and fbclid vanish; remaining params sort; fragment cut
+    assert(canon("https://Ex.COM/p?utm_source=x&b=2&a=1&fbclid=zz#top") ==
+      "https://ex.com/p?a=1&b=2")
+    // param order no longer splits one page into two canonical URLs
+    assert(canon("https://ex.com/p?b=2&a=1") == canon("https://ex.com/p?a=1&b=2"))
+    // all params tracking -> bare path, no dangling '?'
+    assert(canon("https://ex.com/p?utm_campaign=c&gclid=g") == "https://ex.com/p")
+    // no path -> canonical slash; path case preserved
+    assert(canon("HTTPS://EX.com?a=1") == "https://ex.com/?a=1")
+    assert(canon("https://ex.com/CaseSensitive/Path") ==
+      "https://ex.com/CaseSensitive/Path")
+    // non-URLs pass through untouched
+    assert(canon("just text") == "just text")
+  }
 }
