@@ -889,3 +889,112 @@ object StreamingCusum {
         })
   }
 }
+
+/** Per-user verdict emitted by [[StreamingBotScore]] after folding the
+  * batch's events into the user's running cadence state — the same
+  * columns the batch [[graft.operators.EventAnalytics.botScore]] row
+  * carries.
+  */
+final case class BotOut(
+    user_id: Long, n_events: Long, span_s: Long,
+    events_per_minute: java.lang.Double, gap_cv: java.lang.Double,
+    n_types: Long, bot_flag: Boolean)
+
+private[streaming] final case class BotState(
+    n: Long, firstSec: Long, lastSec: Long, lastId: Long,
+    sumG: Long, g2Hi: Long, g2Lo: Long, types: Seq[String])
+
+/** Streaming twin of [[graft.operators.EventAnalytics.botScore]]: the
+  * live bot monitor — per-user cadence state folded online via
+  * `flatMapGroupsWithState` (Update mode), one refreshed verdict row
+  * per user per micro-batch. State per key is six longs plus the
+  * distinct event-type set (bounded by the event-type vocabulary — an
+  * enum in any real schema, never corpus-scaled).
+  *
+  * Exactness: gap moments accumulate as exact integers — Σg in one
+  * long, Σg² in a base-10¹⁸ hi/lo pair (a single long overflows once a
+  * user has ~1000 gaps of a year each) — and the CV readout reassembles
+  * them through the SAME fixed-order double expression as the batch
+  * fold, so on an in-order stream the latest verdict per user is
+  * bit-identical to running the batch operator over the same rows
+  * (spec-proven across micro-batch boundaries). Within a batch events
+  * sort by (second, event_id); a stale event (second below the last
+  * folded) is dropped, the [[StreamingCusum]] contract.
+  */
+object StreamingBotScore {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  private val Base = 1000000000000000000L // 10^18
+
+  private def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  def apply(events: DataFrame, minEvents: Int = 20,
+            cvThreshold: Double = 0.5,
+            userCol: String = "user_id", tsCol: String = "ts",
+            idCol: String = "event_id",
+            typeCol: String = "event_type"): Dataset[BotOut] = {
+    require(minEvents >= 3, "minEvents must be >= 3 (variance needs 2 gaps)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long").as("u"),
+        col(tsCol).cast("long").as("sec"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("ty"))
+      .filter(col("u").isNotNull && col("sec").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[BotState]) => {
+          var st = state.getOption.getOrElse(
+            BotState(0L, 0L, Long.MinValue, Long.MinValue, 0L, 0L, 0L, Nil))
+          var tySet = st.types.toSet
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, id, ty) =>
+            if (st.n == 0L) {
+              st = BotState(1L, sec, sec, id, 0L, 0L, 0L, Nil)
+              tySet = Set(ty)
+            } else if (sec > st.lastSec ||
+              (sec == st.lastSec && id != st.lastId)) {
+              val g = sec - st.lastSec
+              // g² folds into the base-10^18 hi/lo accumulator
+              val g2 = g * g
+              var lo = st.g2Lo + g2
+              var hi = st.g2Hi
+              if (lo >= Base) { hi += lo / Base; lo %= Base }
+              st = BotState(st.n + 1, st.firstSec, sec, id,
+                st.sumG + g, hi, lo, Nil)
+              tySet += ty
+            } // else: stale or duplicate event — dropped, never refolded
+          }
+          state.update(st.copy(types = tySet.toSeq.sorted))
+          if (st.n == 0L) Iterator.empty
+          else {
+            val m = st.n - 1
+            val mD = m.toDouble
+            val span = st.lastSec - st.firstSec
+            val epm: java.lang.Double =
+              if (span > 0) Double.box(r6(st.n.toDouble * 60.0 / span))
+              else null
+            val cv: java.lang.Double =
+              if (m >= 2 && st.sumG > 0) {
+                // exact reassembly, then the batch fold's expression order
+                val g2 = java.math.BigDecimal.valueOf(st.g2Hi)
+                  .multiply(java.math.BigDecimal.valueOf(Base))
+                  .add(java.math.BigDecimal.valueOf(st.g2Lo))
+                val sg = java.math.BigDecimal.valueOf(st.sumG)
+                val varNum = java.math.BigDecimal.valueOf(m).multiply(g2)
+                  .subtract(sg.multiply(sg)).doubleValue
+                val mean = st.sumG.toDouble / mD
+                Double.box(r6(math.sqrt(varNum / (mD * (mD - 1.0))) / mean))
+              } else null
+            val bot = st.n >= minEvents && cv != null && cv < cvThreshold
+            Iterator.single(BotOut(user, st.n, span, epm, cv,
+              tySet.size.toLong, bot))
+          }
+        })
+  }
+}

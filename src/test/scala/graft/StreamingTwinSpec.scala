@@ -246,6 +246,48 @@ class StreamingHoltSpec extends SparkSpecBase {
   }
 }
 
+class StreamingBotScoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming bot verdicts are bit-identical to the batch fold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // same fixtures as the batch spec: a metronome, a bursty human
+    val bot = (0 until 25).map(i => (1L, i.toLong, ts(1000L + i * 60)))
+    val human = (0 until 25).scanLeft((2L, 100L, 1000L)) { case ((u, id, t), i) =>
+      (u, id + 1, t + (if (i % 2 == 0) 10 else 600))
+    }.tail.map { case (u, id, t) => (u, id, ts(t)) }
+    val all = (bot ++ human).map { case (u, id, t) => (u, id, t, s"t${id % 3}") }
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingBotScore(
+        mem.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("sbot").outputMode("update")
+      .start()
+    try {
+      // split in event-time order per user — state carries the fold over
+      val (b1, b2) = all.partition(_._3.getTime < 1000L * 1700)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // latest verdict per user = the row with the full event count
+      val got = spark.sql(
+        """SELECT user_id, n_events, span_s, events_per_minute, gap_cv,
+          |  n_types, bot_flag FROM sbot a
+          |WHERE n_events = (SELECT max(n_events) FROM sbot b
+          |  WHERE b.user_id = a.user_id) ORDER BY user_id""".stripMargin)
+        .collect()
+      val want = graft.operators.EventAnalytics.botScore(
+          all.toDF("user_id", "event_id", "ts", "event_type"))
+        .select("user_id", "n_events", "span_s", "events_per_minute",
+          "gap_cv", "n_types", "bot_flag")
+        .orderBy("user_id").collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    } finally q.stop()
+  }
+}
+
 class StreamingSrmSpec extends SparkSpecBase {
   import spark.implicits._
 
