@@ -2921,6 +2921,41 @@ object SparkEntry {
       Similarity.tripletMining(t(s, dir, "embeddings"), col("vec_id") < 20)
         .orderBy("anchor_id")),
 
+    // ---- Nelson–Aalen cumulative hazard on the KM lifetime
+    //      construction: additive companion to q_kaplan_meier ----
+    "q_nelson_aalen" -> ((s, dir) =>
+      EventAnalytics.nelsonAalen(Tables.events(s, dir)).orderBy("t")),
+
+    // ---- re-randomization test of the click-vs-purchase value gap:
+    //      50 content-addressed relabels, add-one p-value ----
+    "q_perm_test" -> ((s, dir) =>
+      Stats.permutationTest(Tables.events(s, dir), "event_id",
+        "event_type", "value", "click", "purchase")),
+
+    // ---- Unicode-script profile with planted Cyrillic/Han/Arabic
+    //      spans; char-level cross-check for language ID ----
+    "q_script_detect" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 31 === 0,
+            lit(" \u0410\u0411\u0412")).otherwise(lit("")),
+          when(col("doc_id") % 37 === 0,
+            lit(" \u4E00\u4E8C\u4E09")).otherwise(lit("")),
+          when(col("doc_id") % 41 === 0,
+            lit(" \u0627\u0628")).otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(planted).orderBy("doc_id")
+    }),
+
+    // ---- paired t on per-user (engagement, purchases): each user is
+    //      their own control ----
+    "q_paired_t" -> ((s, dir) =>
+      Stats.pairedT(perUserExperiment(s, dir), "x", "purchases")),
+
+    // ---- 2x2 odds ratio: does a deep discount change return odds? ----
+    "q_odds_ratio" -> ((s, dir) =>
+      Stats.oddsRatio(t(s, dir, "lineitem"),
+        col("l_discount") >= 0.05, col("l_returnflag") === "R")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -7941,6 +7976,169 @@ object SparkEntry {
         |  round(p.cos - ng.cos, 6) AS margin
         |FROM p JOIN ng USING (anchor_id)
         |WHERE p.rn = 1 AND ng.rn = 1 ORDER BY anchor_id""".stripMargin,
+
+    // Nelson–Aalen truth: KM's lifetime construction, per-time hazard
+    // terms rounded at 6 dp into exact decimal running sums
+    "q_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS f,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT max(l) AS md FROM u),
+        |lt AS (SELECT l - f AS t,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(SUM(CASE WHEN l <= md - 5 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM u, m GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(SUM(n_events + n_censored) OVER () AS BIGINT)
+        |      - (CAST(SUM(n_events + n_censored) OVER (ORDER BY t)
+        |        AS BIGINT) - (n_events + n_censored)) AS n_risk
+        |  FROM lt),
+        |tm AS (SELECT *,
+        |    CAST(round(CAST(n_events AS DOUBLE) / n_risk, 6)
+        |      AS DECIMAL(18,6)) AS h,
+        |    CAST(round(CAST(n_events AS DOUBLE)
+        |      / CAST(CAST(n_risk AS HUGEINT) * n_risk AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM r)
+        |SELECT t, n_risk, n_events, n_censored,
+        |  CAST(SUM(h) OVER (ORDER BY t) AS DOUBLE) AS cum_hazard,
+        |  CAST(SUM(v) OVER (ORDER BY t) AS DOUBLE) AS cum_hazard_var
+        |FROM tm ORDER BY t""".stripMargin,
+
+    // re-randomization truth: the same content-addressed md5 parity
+    // draw (the aa_calibration rendering), exact decimal value sums,
+    // round-6 deltas before the extreme compare
+    "q_perm_test" ->
+      """WITH rw AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |    event_type AS g, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |ob AS (SELECT
+        |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_1,
+        |    SUM(CASE WHEN g = 'click' THEN v END) AS s1,
+        |    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_2,
+        |    SUM(CASE WHEN g = 'purchase' THEN v END) AS s2
+        |  FROM rw),
+        |od AS (SELECT n_1, n_2,
+        |    round(CAST(s2 AS DOUBLE) / nullif(CAST(n_2 AS DOUBLE), 0.0)
+        |      - CAST(s1 AS DOUBLE) / nullif(CAST(n_1 AS DOUBLE), 0.0), 6)
+        |      AS obs_diff FROM ob),
+        |e AS (SELECT id, v, k FROM rw CROSS JOIN range(1, 51) AS t(k)),
+        |a AS (SELECT k, v,
+        |    CAST(('0x' || substr(md5(id || '#' || CAST(k AS VARCHAR)),
+        |      1, 15)) AS UBIGINT) % 2 AS arm FROM e),
+        |g AS (SELECT k,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN arm = 0 THEN v END) AS sa,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN arm = 1 THEN v END) AS sb
+        |  FROM a GROUP BY k),
+        |d AS (SELECT round(CAST(sb AS DOUBLE)
+        |      / nullif(CAST(nb AS DOUBLE), 0.0)
+        |    - CAST(sa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0.0), 6)
+        |    AS dd FROM g),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+        |    CAST(SUM(CASE WHEN abs(dd) >= abs((SELECT obs_diff FROM od))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme FROM d)
+        |SELECT od.n_1, od.n_2, od.obs_diff, f.n_replicates, f.n_extreme,
+        |  round(CAST(f.n_extreme + 1 AS DOUBLE) / (f.n_replicates + 1), 6)
+        |    AS p_value
+        |FROM od, f""".stripMargin,
+
+    // script-profile truth: identical codepoint-range classes (the
+    // \x{...} syntax both regex engines share), planted via chr(),
+    // global-replace length differences, same dominance precedence
+    "q_script_detect" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 31 = 0 THEN ' ' || chr(1040)
+        |      || chr(1041) || chr(1042) ELSE '' END
+        |    || CASE WHEN doc_id % 37 = 0 THEN ' ' || chr(19968)
+        |      || chr(20108) || chr(19977) ELSE '' END
+        |    || CASE WHEN doc_id % 41 = 0 THEN ' ' || chr(1575)
+        |      || chr(1576) ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+        |  FROM d)
+        |SELECT *, CASE
+        |    WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic) = 0
+        |      THEN 'none'
+        |    WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic)
+        |      THEN 'latin'
+        |    WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han,
+        |      n_arabic) THEN 'cyrillic'
+        |    WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_arabic)
+        |      THEN 'han'
+        |    ELSE 'arabic' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // paired-t truth: exact decimal difference moments, one fixed-order
+    // closing expression
+    "q_paired_t" ->
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchases,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT CAST(CAST(purchases AS DECIMAL(18,2))
+        |    - CAST(x AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS dd FROM pu),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(dd) AS sd,
+        |    SUM(CAST(dd * dd AS DECIMAL(38,4))) AS sd2 FROM d),
+        |f AS (SELECT *, CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_,
+        |    CAST(n * sd2 - CAST(sd * sd AS DECIMAL(38,4)) AS DOUBLE)
+        |      AS varnum FROM a),
+        |z AS (SELECT *, sqrt(varnum / (CAST(n AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))) AS sdd FROM f)
+        |SELECT n, round(mean_, 6) AS mean_diff,
+        |  CASE WHEN n >= 2 THEN round(sdd, 6) END AS sd_diff,
+        |  CASE WHEN n >= 2 AND varnum > 0 THEN
+        |    round(mean_ / (sdd / sqrt(CAST(n AS DOUBLE))), 6) END AS t
+        |FROM z""".stripMargin,
+
+    // odds-ratio truth: four exact cells, double multiplies (never
+    // int64 products), Woolf interval in the same operation order
+    "q_odds_ratio" ->
+      """WITH a AS (SELECT
+        |    CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem),
+        |f AS (SELECT *,
+        |    CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orat,
+        |    sqrt(CAST(1.0 AS DOUBLE) / a + CAST(1.0 AS DOUBLE) / b
+        |      + CAST(1.0 AS DOUBLE) / c + CAST(1.0 AS DOUBLE) / d) AS se
+        |  FROM a)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN round(orat, 6) END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(orat) - CAST(1.959964 AS DOUBLE) * se), 6)
+        |  END AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(orat) + CAST(1.959964 AS DOUBLE) * se), 6)
+        |  END AS ci_hi
+        |FROM f""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -140,6 +140,57 @@ object EventAnalytics {
         col("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator on the same lifetime
+    * construction as [[kaplanMeier]]: H(t) = Σ_{t_j ≤ t} d_j/n_j with
+    * Klein's variance Σ d_j/n_j² — the additive companion to KM's
+    * multiplicative survival (preferred for small risk sets and as the
+    * input to hazard-ratio eyeballing; S(t) ≈ exp(−H(t))). Returns one
+    * row per distinct lifetime (t, n_risk, n_events, n_censored,
+    * cum_hazard, cum_hazard_var).
+    *
+    * Shape: identical to [[kaplanMeier]] — one per-user fold, one
+    * lifetime cell count, cumulative windows over the bounded lifetime
+    * table. Per-time terms are integer ratios rounded at 6 dp into
+    * exact decimal running sums, so no engine or partitioning can move
+    * a bit.
+    */
+  def nelsonAalen(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", censorDays: Int = 5): DataFrame = {
+    require(censorDays >= 0, "censorDays must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val users = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(day).as("_first"), max(day).as("_last"))
+    val maxDay = users.agg(max("_last").as("_m"))
+    val lifetimes = users.crossJoin(broadcast(maxDay))
+      .select((col("_last") - col("_first")).as("t"),
+        (col("_last") <= col("_m") - censorDays).as("_churned"))
+      .groupBy("t")
+      .agg(sum(when(col("_churned"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_churned"), 0L).otherwise(1L)).as("n_censored"))
+    val byT = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    lifetimes
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(all) -
+          (sum(col("n_events") + col("n_censored")).over(byT) -
+            (col("n_events") + col("n_censored"))))
+      .withColumn("_h",
+        round(col("n_events").cast("double") / col("n_risk"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("_v",
+        round(col("n_events").cast("double") /
+          (big(col("n_risk")) * big(col("n_risk"))).cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        sum("_h").over(byT).cast("double").as("cum_hazard"),
+        sum("_v").over(byT).cast("double").as("cum_hazard_var"))
+  }
+
   /** Two-group log-rank test on the same lifetime construction as
     * [[kaplanMeier]]: do users who ever fired `treatEvent` churn on a
     * different schedule than those who never did? At each distinct

@@ -2765,6 +2765,124 @@ object Stats {
         StructField("magnitude", StringType, nullable = false))))
   }
 
+  /** Re-randomization (Monte-Carlo permutation) test for a mean
+    * difference between two cohorts: the observed Δ = mean(g2) −
+    * mean(g1) is compared against `r` content-addressed relabelings of
+    * the pooled units (arm bit = md5(id#k) parity — the
+    * [[graft.operators.Experiment.aaCalibration]] draw, so re-runs
+    * agree and an oracle replays every replicate), and the reported
+    * p-value is the add-one estimate (1 + #{|Δ_k| ≥ |Δ_obs|})/(r+1) —
+    * the distribution-free answer when normal-theory assumptions
+    * behind [[welchT]] are in doubt. Binomial (not fixed-size)
+    * relabeling, as in any streaming re-randomization design.
+    *
+    * Shape: one fold for the observed split, one explode×r fold for
+    * the replicates (the k-keyed exchange collapses map-side to r
+    * rows); means divide exact decimal sums, each Δ quantizes at 6 dp
+    * before the comparison, so the extreme count is engine-exact.
+    */
+  def permutationTest(df: DataFrame, idCol: String, groupCol: String,
+                      valueCol: String, g1: String, g2: String,
+                      r: Int = 50, precision: Int = 18,
+                      scale: Int = 2): DataFrame = {
+    require(r >= 10 && r <= 1000, s"r in [10, 1000], got $r")
+    val g = col(groupCol).cast("string")
+    val rows = df
+      .filter((g === g1 || g === g2) && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"), g.as("_g"),
+        col(valueCol).cast(s"decimal($precision,$scale)").as("_v"))
+      .filter(col("_v").isNotNull)
+    def diff(n1: Column, s1: Column, n2: Column, s2: Column): Column =
+      round(s2.cast("double") / nullif(n2.cast("double"), lit(0.0)) -
+        s1.cast("double") / nullif(n1.cast("double"), lit(0.0)), 6)
+    val obs = rows.agg(
+      sum(when(col("_g") === g1, 1L).otherwise(0L)).as("n_1"),
+      sum(when(col("_g") === g1, col("_v"))).as("_s1"),
+      sum(when(col("_g") === g2, 1L).otherwise(0L)).as("n_2"),
+      sum(when(col("_g") === g2, col("_v"))).as("_s2"))
+      .select(col("n_1"), col("n_2"),
+        diff(col("n_1"), col("_s1"), col("n_2"), col("_s2"))
+          .as("obs_diff"))
+    val armBit = conv(substring(
+      md5(concat(col("_id"), lit("#"), col("_k"))), 1, 15), 16, 10)
+      .cast("decimal(20,0)") % 2
+    val reps = rows
+      .select(col("_id"), col("_v"),
+        explode(sequence(lit(1), lit(r))).as("_k"))
+      .withColumn("_arm", armBit)
+      .groupBy("_k")
+      .agg(
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_arm") === 0, col("_v"))).as("_sa"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_arm") === 1, col("_v"))).as("_sb"))
+      .select(diff(col("_na"), col("_sa"), col("_nb"), col("_sb"))
+        .as("_d"))
+    reps.crossJoin(broadcast(obs))
+      .agg(first("n_1").as("n_1"), first("n_2").as("n_2"),
+        first("obs_diff").as("obs_diff"),
+        count(lit(1)).as("n_replicates"),
+        sum(when(abs(col("_d")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .withColumn("p_value",
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_replicates") + 1), 6))
+  }
+
+  /** Paired t statistic on per-unit (pre, post) pairs — the design
+    * where each unit is its own control (before/after a change, two
+    * model versions on the same prompts). d = post − pre folds through
+    * exact decimal moment sums; t = d̄/(s_d/√n). Returns one row
+    * (n, mean_diff, sd_diff, t); NULL t for constant differences.
+    * ONE map-side-combined aggregation, driver-free, engine-exact up
+    * to the closing fixed-order double expression (6 dp).
+    */
+  def pairedT(df: DataFrame, preCol: String, postCol: String,
+              precision: Int = 18, scale: Int = 2): DataFrame = {
+    val d = (col(postCol).cast(s"decimal($precision,$scale)") -
+      col(preCol).cast(s"decimal($precision,$scale)"))
+      .cast(s"decimal($precision,$scale)")
+    val agg = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .agg(count(lit(1)).as("n"), sum(d).as("_sd"),
+        sum((d * d).cast("decimal(38,4)")).as("_sd2"))
+    val nD = col("n").cast("double")
+    val mean = col("_sd").cast("double") / nD
+    val varNum = (col("n") * col("_sd2") -
+      (col("_sd") * col("_sd")).cast("decimal(38,4)")).cast("double")
+    val sd = sqrt(varNum / (nD * (nD - lit(1.0))))
+    agg.select(col("n"), round(mean, 6).as("mean_diff"),
+      when(col("n") >= 2, round(sd, 6)).as("sd_diff"),
+      when(col("n") >= 2 && varNum > 0,
+        round(mean / (sd / sqrt(nD)), 6)).as("t"))
+  }
+
+  /** 2×2 odds ratio with the Woolf log-interval — the epidemiology/
+    * feature-screen readout (exposure × outcome): OR = ad/bc,
+    * CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)). Any empty cell yields
+    * NULL ratio columns (the caller can Haldane-correct upstream if
+    * they want estimates from sparse tables) — counts always return.
+    * ONE map-side-combined aggregation to four exact integers.
+    */
+  def oddsRatio(df: DataFrame, exposure: Column, outcome: Column,
+                zCrit: Double = 1.959964): DataFrame = {
+    val agg = df.agg(
+      sum(when(exposure && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(exposure && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposure && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    // multiply in doubles, not longs: a·d in int64 overflows at ~3e9²
+    val or = col("a").cast("double") * col("d") /
+      (col("b").cast("double") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(or, 6)).as("odds_ratio"),
+      when(ok, round(exp(log(or) - lit(zCrit) * se), 6)).as("ci_lo"),
+      when(ok, round(exp(log(or) + lit(zCrit) * se), 6)).as("ci_hi"))
+  }
+
   /** Hodges–Lehmann two-sample shift: the MEDIAN of all n₁·n₂ pairwise
     * differences g1 − g2 — the location estimate the Mann–Whitney test
     * inverts to, robust to outliers that wreck a difference of means

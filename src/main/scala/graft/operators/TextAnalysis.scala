@@ -1409,6 +1409,43 @@ object TextAnalysis {
           .as("p_kn"))
   }
 
+  /** Unicode-script profile: per document, the character mass in each
+    * of the four highest-volume web scripts (basic Latin letters,
+    * Cyrillic, CJK unified ideographs, Arabic) and the dominant script
+    * \u2014 the char-level cross-check for an n-gram [[langId]] (language-ID
+    * models are script-blind once text is mojibake'd or mixed; this
+    * catches Cyrillic spam inside an "en" crawl slice). Counts use
+    * explicit codepoint ranges (`\x{...}` class syntax that Java regex
+    * and RE2 read identically \u2014 never named script properties, whose
+    * tables drift across engines and Unicode versions).
+    *
+    * Shape: row-local regex length-difference counting \u2014 no explode,
+    * no shuffle; `greatest`+`when` pick the dominant label with a fixed
+    * precedence order on ties (latin > cyrillic > han > arabic).
+    */
+  def scriptProfile(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val han = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val arab = cnt("[\\x{0600}-\\x{06FF}]")
+    df.filter(t.isNotNull)
+      .select(col(idCol), latin.as("n_latin"), cyr.as("n_cyrillic"),
+        han.as("n_han"), arab.as("n_arabic"))
+      .withColumn("dominant", {
+        val mx = greatest(col("n_latin"), col("n_cyrillic"),
+          col("n_han"), col("n_arabic"))
+        when(mx === 0, lit("none"))
+          .when(col("n_latin") === mx, lit("latin"))
+          .when(col("n_cyrillic") === mx, lit("cyrillic"))
+          .when(col("n_han") === mx, lit("han"))
+          .otherwise(lit("arabic"))
+      })
+  }
+
   /** Dedup-grade URL canonicalization \u2014 [[normalizeUrl]] plus the two
     * transforms crawl dedup needs: tracking parameters dropped
     * (utm_*, fbclid, gclid \u2014 pure analytics noise that splits one page

@@ -882,6 +882,29 @@ class MarkovAttributionSpec extends SparkSpecBase {
     assert(r.getAs[Double]("chi2") == r6(0.25 / 0.583333))
   }
 
+  test("nelsonAalen: hand-derived cumulative hazard and Klein variance") {
+    // lifetimes 10 (2 churn), 20 (1 churn), 100 (censored):
+    //   H = 2/4, then +1/2 -> (0.5, 1.0, 1.0)
+    //   V = 2/16, then +1/4 -> (0.125, 0.375, 0.375)
+    def ev(u: Long, d: String) =
+      (u, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "click")
+    val df = Seq(
+      ev(1, "1970-01-01"), ev(1, "1970-01-11"),
+      ev(2, "1970-01-01"), ev(2, "1970-01-11"),
+      ev(3, "1970-01-01"), ev(3, "1970-01-21"),
+      ev(4, "1970-01-01"), ev(4, "1970-04-11"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.nelsonAalen(df).orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(10L, 20L, 100L))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 2L, 1L))
+    assert(out.map(_.getAs[Double]("cum_hazard")).toSeq ==
+      Seq(0.5, 1.0, 1.0))
+    assert(out.map(_.getAs[Double]("cum_hazard_var")).toSeq ==
+      Seq(0.125, 0.375, 0.375))
+    // survival sanity: exp(-H) tracks the KM curve's direction
+    assert(math.exp(-1.0) < math.exp(-0.5))
+  }
+
   test("botScore: metronome flagged, jittery human and short sessions not") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     // bot: 25 events exactly 60 s apart -> gap variance 0 -> CV 0

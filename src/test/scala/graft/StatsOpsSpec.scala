@@ -889,6 +889,66 @@ class AllocateBudgetSpec extends SparkSpecBase {
     assert(guard.getMessage.contains("pre-bin"))
   }
 
+  test("permutationTest: null difference is never 'significant'; a planted gap is") {
+    // identical distributions: obs_diff = 0, every replicate is at
+    // least as extreme -> add-one p = 1.0
+    val same = (1 to 30).map(i => (i.toLong, "a", 5.0)) ++
+      (31 to 60).map(i => (i.toLong, "b", 5.0))
+    val s = Stats.permutationTest(same.toDF("id", "g", "v"),
+      "id", "g", "v", "a", "b").head()
+    assert(s.getAs[Double]("obs_diff") == 0.0)
+    assert(s.getAs[Double]("p_value") == 1.0)
+    // planted 99-point gap: relabeled replicates mix the two piles, so
+    // essentially none reproduces the observed extreme
+    val gap = (1 to 30).map(i => (i.toLong, "a", 1.0)) ++
+      (31 to 60).map(i => (i.toLong, "b", 100.0))
+    val g = Stats.permutationTest(gap.toDF("id", "g", "v"),
+      "id", "g", "v", "a", "b").head()
+    assert(g.getAs[Double]("obs_diff") == 99.0)
+    assert(g.getAs[Long]("n_replicates") == 50L)
+    assert(g.getAs[Double]("p_value") <= 0.1,
+      s"planted gap must be extreme, got $g")
+  }
+
+  test("pairedT: hand-computed moments; constant differences yield NULL t") {
+    // d = (1, 2, 0): mean 1, sample var 1, t = sqrt(3)
+    val df = Seq((1, 2), (1, 3), (2, 2)).toDF("pre", "post")
+    val r = Stats.pairedT(df, "pre", "post").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mean_diff") == 1.0)
+    assert(r.getAs[Double]("sd_diff") == 1.0)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("t") == r6(1.0 / (1.0 / math.sqrt(3.0))))
+    // constant shift: zero variance -> NULL t, exact mean
+    val const = Seq((1, 3), (5, 7), (2, 4)).toDF("pre", "post")
+    val c = Stats.pairedT(const, "pre", "post").head()
+    assert(c.getAs[Double]("mean_diff") == 2.0)
+    assert(c.isNullAt(c.fieldIndex("t")))
+  }
+
+  test("oddsRatio: textbook 2x2 with Woolf interval; empty cell -> NULLs") {
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false))
+    val df = rows.toDF("e", "y")
+    val r = Stats.oddsRatio(df, col("e"), col("y")).head()
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d")) == ((10L, 20L, 5L, 40L)))
+    assert(r.getAs[Double]("odds_ratio") == 4.0)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val se = math.sqrt(1.0 / 10 + 1.0 / 20 + 1.0 / 5 + 1.0 / 40)
+    assert(r.getAs[Double]("ci_lo") ==
+      r6(math.exp(math.log(4.0) - 1.959964 * se)))
+    assert(r.getAs[Double]("ci_hi") ==
+      r6(math.exp(math.log(4.0) + 1.959964 * se)))
+    // a zero cell: counts return, ratio columns NULL — no task failure
+    val sparse = Seq((true, true), (false, false)).toDF("e", "y")
+    val z = Stats.oddsRatio(sparse, col("e"), col("y")).head()
+    assert(z.getAs[Long]("b") == 0L)
+    assert(z.isNullAt(z.fieldIndex("odds_ratio")))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)

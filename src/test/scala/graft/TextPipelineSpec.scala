@@ -524,6 +524,30 @@ class ScreenOpsSpec extends SparkSpecBase {
       + out(("a", "c")).getAs[Double]("p_kn") == 1.0)
   }
 
+  test("scriptProfile: exact per-script counts and dominance precedence") {
+    val docs = Seq(
+      (1L, "pure ascii words"),
+      (2L, "mix \u0410\u0411\u0412\u0413 ok"), // 4 Cyrillic vs 5 Latin
+      (3L, "\u4E00\u4E8C\u4E09\u56DB\u4E94 cjk"), // 5 Han vs 3 Latin
+      (4L, "\u0627\u0628\u062A\u062B"), // Arabic only
+      (5L, "12345 .,;:!")).toDF("doc_id", "text")   // no script at all
+    val out = TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("dominant") == "latin")
+    assert(out(2L).getAs[Long]("n_cyrillic") == 4L)
+    assert(out(2L).getAs[Long]("n_latin") == 5L)
+    assert(out(2L).getAs[String]("dominant") == "latin")
+    assert(out(3L).getAs[Long]("n_han") == 5L)
+    assert(out(3L).getAs[String]("dominant") == "han")
+    assert(out(4L).getAs[Long]("n_arabic") == 4L)
+    assert(out(4L).getAs[String]("dominant") == "arabic")
+    assert(out(5L).getAs[String]("dominant") == "none")
+    // tie goes to the fixed precedence order (latin first)
+    val tie = Seq((9L, "ab \u0410\u0411")).toDF("doc_id", "text")
+    assert(TextAnalysis.scriptProfile(tie).head()
+      .getAs[String]("dominant") == "latin")
+  }
+
   test("mojibakeScreen: counts damage markers, clean docs never return") {
     val docs = Seq(
       (1L, "clean ascii text"),
