@@ -2956,6 +2956,43 @@ object SparkEntry {
       Stats.oddsRatio(t(s, dir, "lineitem"),
         col("l_discount") >= 0.05, col("l_returnflag") === "R")),
 
+    // ---- Tukey-HSD pairwise table over the three return-flag cohorts:
+    //      which groups differ after the omnibus ANOVA ----
+    "q_tukey_hsd" -> ((s, dir) =>
+      Stats.tukeyHsd(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .orderBy("g1", "g2")),
+
+    // ---- Cronbach's alpha over three per-line "measurements": do
+    //      they measure one construct before averaging them ----
+    "q_cronbach" -> ((s, dir) =>
+      Stats.cronbachAlpha(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").as("i0"),
+          (col("l_discount") * 100).as("i1"),
+          (col("l_tax") * 100).as("i2")),
+        Seq("i0", "i1", "i2"))),
+
+    // ---- Theil T concentration of positive account balances ----
+    "q_theil_index" -> ((s, dir) =>
+      Stats.theilIndex(t(s, dir, "customer"), "c_acctbal")),
+
+    // ---- Chapman capture–recapture estimate of the purchaser
+    //      population from two half-window sightings ----
+    "q_capture_recapture" -> ((s, dir) =>
+      EventAnalytics.captureRecapture(Tables.events(s, dir),
+        col("event_type") === "purchase")),
+
+    // ---- 2-D skyline over (length, distinct-vocab): the Pareto set
+    //      no single quality score can pick; oracle = independent
+    //      NOT-EXISTS dominance formulation ----
+    "q_skyline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("vocab"))
+      Curation.skyline2d(docs, "n_chars", "vocab", "doc_id").orderBy("x")
+    }),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8139,6 +8176,145 @@ object SparkEntry {
         |    round(exp(ln(orat) + CAST(1.959964 AS DOUBLE) * se), 6)
         |  END AS ci_hi
         |FROM f""".stripMargin,
+
+    // Tukey truth: per-group exact decimal moments, round-6 SSE terms
+    // into an exact decimal sum, same closing expression order
+    "q_tukey_hsd" ->
+      """WITH g AS (SELECT l_returnflag AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS s2
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    SUM(CAST(round(CAST(n * s2 - CAST(s * s AS DECIMAL(38,4))
+        |      AS DOUBLE) / n, 6) AS DECIMAL(28,6))) AS sse
+        |  FROM g),
+        |m AS (SELECT CAST(sse AS DOUBLE) / CAST(ntot - k AS DOUBLE)
+        |    AS mse FROM t),
+        |p AS (SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2,
+        |    CAST(b.s AS DOUBLE) / b.n - CAST(a.s AS DOUBLE) / a.n AS d,
+        |    m.mse
+        |  FROM g a, g b, m WHERE a.grp < b.grp)
+        |SELECT g1, g2, n1, n2, round(d, 6) AS mean_diff,
+        |  CASE WHEN mse > 0 THEN round(abs(d) / sqrt(mse
+        |    / CAST(2.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) / n1
+        |    + CAST(1.0 AS DOUBLE) / n2)), 6) END AS q
+        |FROM p ORDER BY g1, g2""".stripMargin,
+
+    // Cronbach truth: one fold of exact decimal moments per item and
+    // for the row total, fixed-order item-variance sum
+    "q_cronbach" ->
+      """WITH it AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS i0,
+        |    CAST(l_discount * 100 AS DECIMAL(18,2)) AS i1,
+        |    CAST(l_tax * 100 AS DECIMAL(18,2)) AS i2 FROM lineitem),
+        |w AS (SELECT *, CAST(i0 + i1 + i2 AS DECIMAL(38,4)) AS tt
+        |  FROM it WHERE i0 IS NOT NULL AND i1 IS NOT NULL
+        |    AND i2 IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(i0) AS s0, SUM(CAST(i0 * i0 AS DECIMAL(38,4))) AS q0,
+        |    SUM(i1) AS s1, SUM(CAST(i1 * i1 AS DECIMAL(38,4))) AS q1,
+        |    SUM(i2) AS s2, SUM(CAST(i2 * i2 AS DECIMAL(38,4))) AS q2,
+        |    SUM(tt) AS st, SUM(CAST(tt * tt AS DECIMAL(38,8))) AS qt
+        |  FROM w),
+        |v AS (SELECT n,
+        |    CAST(n * q0 - CAST(s0 * s0 AS DECIMAL(38,8)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS v0,
+        |    CAST(n * q1 - CAST(s1 * s1 AS DECIMAL(38,8)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS v1,
+        |    CAST(n * q2 - CAST(s2 * s2 AS DECIMAL(38,8)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS v2,
+        |    CAST(n * qt - CAST(st * st AS DECIMAL(38,8)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS vt
+        |  FROM a)
+        |SELECT n, 3 AS k, round(v0 + v1 + v2, 6) AS sum_item_var,
+        |  round(vt, 6) AS total_var,
+        |  CASE WHEN n >= 2 AND vt > 0 THEN round(CAST(1.5 AS DOUBLE)
+        |    * (CAST(1.0 AS DOUBLE) - (v0 + v1 + v2) / vt), 6)
+        |  END AS alpha
+        |FROM v""".stripMargin,
+
+    // Theil truth: same positive filter, per-row 9 dp terms into an
+    // exact decimal sum, one closing division
+    "q_theil_index" ->
+      """WITH r AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(v) AS s
+        |  FROM r WHERE v > 0),
+        |dr AS (SELECT CAST(SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped FROM r),
+        |mu AS (SELECT n, CAST(s AS DOUBLE) / n AS m FROM t),
+        |tm AS (SELECT SUM(CAST(round((CAST(v AS DOUBLE) / mu.m)
+        |    * ln(CAST(v AS DOUBLE) / mu.m), 9) AS DECIMAL(28,9))) AS ts
+        |  FROM r, mu WHERE v > 0)
+        |SELECT mu.n AS n, dr.n_dropped, round(mu.m, 6) AS mean,
+        |  round(CAST(tm.ts AS DOUBLE) / mu.n, 6) AS theil_t
+        |FROM mu, dr, tm""".stripMargin,
+
+    // capture–recapture truth: same midpoint split, Chapman estimator
+    // and Seber variance in the same operation order
+    "q_capture_recapture" ->
+      """WITH sp AS (SELECT
+        |    min(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS lo,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS hi
+        |  FROM events WHERE ts IS NOT NULL),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND d <= (SELECT (lo + hi) // 2 FROM sp)
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND d > (SELECT (lo + hi) // 2 FROM sp)
+        |      THEN 1 ELSE 0 END) AS c2
+        |  FROM (SELECT user_id, event_type,
+        |      date_diff('day', DATE '1970-01-01',
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+        |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * c2) AS BIGINT) AS m FROM u),
+        |f AS (SELECT *,
+        |    (CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+        |      / (CAST(m AS DOUBLE) + 1) - CAST(1.0 AS DOUBLE) AS nhat,
+        |    sqrt((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+        |      * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+        |      * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+        |      / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+        |        * (CAST(m AS DOUBLE) + 2))) AS se
+        |  FROM a)
+        |SELECT n1, n2, m,
+        |  CASE WHEN m > 0 THEN round(nhat, 6) END AS n_hat,
+        |  CASE WHEN m > 0 THEN round(se, 6) END AS se,
+        |  CASE WHEN m > 0 THEN round(nhat - CAST(1.959964 AS DOUBLE)
+        |    * se, 6) END AS ci_lo,
+        |  CASE WHEN m > 0 THEN round(nhat + CAST(1.959964 AS DOUBLE)
+        |    * se, 6) END AS ci_hi
+        |FROM f""".stripMargin,
+
+    // skyline truth: the INDEPENDENT NOT-EXISTS dominance formulation
+    // over per-x maxima — no window, no cumulative trick
+    "q_skyline" ->
+      s"""WITH d AS (SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS y
+        |  FROM documents),
+        |px AS (SELECT x, max(y) AS y FROM d GROUP BY 1),
+        |sky AS (SELECT p.x, p.y FROM px p WHERE NOT EXISTS (
+        |    SELECT 1 FROM px q WHERE q.x >= p.x AND q.y >= p.y
+        |      AND (q.x > p.x OR q.y > p.y)))
+        |SELECT s.x, s.y,
+        |  (SELECT min(doc_id) FROM d
+        |    WHERE d.x = s.x AND d.y = s.y) AS keep_id
+        |FROM sky s ORDER BY s.x""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -240,4 +240,44 @@ object Curation {
     r.curated.unpersist(blocking = false)
     r.packed.unpersist(blocking = false)
   }
+
+  /** 2-D skyline (Pareto front, both dimensions maximized) over INTEGER
+    * criteria — "which documents are not dominated on (length, quality)"
+    * when no single score should pick survivors. A point is dominated
+    * iff another point is ≥ on both dimensions and > on at least one.
+    *
+    * Shape: the corpus first collapses to per-x maxima (one grouped
+    * fold — dominated-on-equal-x rows die there), then one cumulative
+    * window over the BOUNDED distinct-x table finds, for each x, the
+    * best y among strictly larger x (integer x makes `RANGE … −1` mean
+    * exactly "x′ > x", which is why the op requires integral columns)
+    * — never a pairwise dominance join. Returns the skyline points
+    * (x, y, keep_id) with the smallest id among rows attaining each
+    * surviving (x, y).
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq(xCol, yCol).forall { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, "skyline2d needs integral criteria (bin continuous scores first)")
+    val perX = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("x"))
+      // lexicographic struct max: best y, smallest id among attainers
+      .agg(max(struct(col(yCol).cast("long").as("y"),
+        (-col(idCol).cast("long")).as("i"))).as("_m"))
+      .select(col("x"), col("_m.y").as("y"), (-col("_m.i")).as("keep_id"))
+    val strictlyRight = Window.orderBy(col("x"))
+      .rangeBetween(1, Window.unboundedFollowing)
+    perX
+      .withColumn("_bestRight", max("y").over(strictlyRight))
+      .filter(col("_bestRight").isNull || col("y") > col("_bestRight"))
+      .select(col("x"), col("y"), col("keep_id"))
+  }
 }

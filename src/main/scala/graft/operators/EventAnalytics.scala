@@ -140,6 +140,52 @@ object EventAnalytics {
         col("survival"))
   }
 
+  /** Chapman capture–recapture estimate of a population you can only
+    * sample twice (Lincoln–Petersen, bias-corrected): split the stream
+    * at its midpoint, let n₁/n₂ be the users matching `capture` in each
+    * half and m the users in both, then N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * with Seber's variance. The pipeline use: estimate how many
+    * duplicate clusters (or active users, or crawlable hosts) EXIST
+    * from two independent sightings — i.e. what a dedup pass is still
+    * missing. Returns one row (n1, n2, m, n_hat, se, ci_lo, ci_hi);
+    * NULL estimates when m = 0 (no overlap → the method has no
+    * information).
+    *
+    * Shape: one per-user fold (two conditional flags against the
+    * broadcast midpoint), one closing 1-row fold — all exact integers
+    * until the closing fixed-order doubles.
+    */
+  def captureRecapture(events: DataFrame, capture: Column,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       zCrit: Double = 1.959964): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val span = events.filter(col(tsCol).isNotNull)
+      .agg(min(day).as("_lo"), max(day).as("_hi"))
+    val mid = (col("_lo") + col("_hi")).cast("long") / 2
+    val users = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .crossJoin(broadcast(span.select(floor(mid).as("_mid"))))
+      .groupBy(col(userCol))
+      .agg(max(when(capture && day <= col("_mid"), 1L).otherwise(0L))
+        .as("_c1"),
+        max(when(capture && day > col("_mid"), 1L).otherwise(0L))
+          .as("_c2"))
+    val agg = users.agg(
+      sum("_c1").as("n1"), sum("_c2").as("n2"),
+      sum(col("_c1") * col("_c2")).as("m"))
+    val (n1, n2, m) = (col("n1").cast("double"), col("n2").cast("double"),
+      col("m").cast("double"))
+    val nHat = (n1 + 1) * (n2 + 1) / (m + 1) - lit(1.0)
+    val se = sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) /
+      ((m + 1) * (m + 1) * (m + 2)))
+    agg.select(col("n1"), col("n2"), col("m"),
+      when(col("m") > 0, round(nHat, 6)).as("n_hat"),
+      when(col("m") > 0, round(se, 6)).as("se"),
+      when(col("m") > 0, round(nHat - lit(zCrit) * se, 6)).as("ci_lo"),
+      when(col("m") > 0, round(nHat + lit(zCrit) * se, 6)).as("ci_hi"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator on the same lifetime
     * construction as [[kaplanMeier]]: H(t) = Σ_{t_j ≤ t} d_j/n_j with
     * Klein's variance Σ d_j/n_j² — the additive companion to KM's

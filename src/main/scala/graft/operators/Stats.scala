@@ -2857,6 +2857,124 @@ object Stats {
         round(mean / (sd / sqrt(nD)), 6)).as("t"))
   }
 
+  /** Tukey-HSD pairwise table after a significant [[anova]]: for every
+    * group pair, the mean difference and the studentized-range
+    * statistic q = |Δ|/√(MSE/2·(1/nᵢ+1/nⱼ)) against the pooled
+    * within-group variance — WHICH groups differ, where the omnibus F
+    * only says SOME do. Critical q values depend on the studentized
+    * range distribution; compare the emitted q against the caller's
+    * table (k, N−k df).
+    *
+    * Shape: ONE grouped fold to per-group exact decimal moments; the
+    * pair table is a self-join of the bounded group table. Per-group
+    * SSE terms quantize at 6 dp into an exact decimal sum (the KM
+    * convention), the closing q is one fixed-order double expression.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String,
+               precision: Int = 18, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val g = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(v).as("_s"),
+        sum((v * v).cast("decimal(38,4)")).as("_s2"))
+    val ssTerm = round((col("n") * col("_s2") -
+      (col("_s") * col("_s")).cast("decimal(38,4)")).cast("double") /
+      col("n"), 6).cast("decimal(28,6)")
+    val tot = g.agg(sum("n").as("_nTot"), count(lit(1)).as("_k"),
+      sum(ssTerm).as("_sse"))
+    val mse = col("_sse").cast("double") /
+      (col("_nTot") - col("_k")).cast("double")
+    val withMse = g.crossJoin(broadcast(tot))
+    val a = withMse.select(col("grp").as("g1"), col("n").as("n1"),
+      col("_s").as("_s1"), mse.as("_mse"))
+    val b = withMse.select(col("grp").as("g2"), col("n").as("n2"),
+      col("_s").as("_s2b"))
+    val diff = col("_s2b").cast("double") / col("n2") -
+      col("_s1").cast("double") / col("n1")
+    val se = sqrt(col("_mse") / lit(2.0) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    a.join(b, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(diff, 6).as("mean_diff"),
+        when(col("_mse") > 0, round(abs(diff) / se, 6)).as("q"))
+  }
+
+  /** Cronbach's α internal-consistency reliability over k item columns
+    * (annotator scales, multi-probe eval batteries):
+    * α = k/(k−1)·(1 − Σᵢvar(itemᵢ)/var(Σᵢitemᵢ)). The standard "do
+    * these k measurements measure one thing" gate before averaging
+    * them into a single label. Rows with any NULL item drop (listwise,
+    * the [[corrMatrix]] convention). NULL α when the total variance is
+    * zero. ONE map-side-combined fold of exact decimal moments for
+    * every item AND the row total; the closing expression is fixed-
+    * order doubles rounded at 6 dp.
+    */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String],
+                    precision: Int = 18, scale: Int = 2): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha needs at least 2 items")
+    val k = itemCols.size
+    val items = itemCols.map(c =>
+      col(c).cast(s"decimal($precision,$scale)"))
+    val totalCol = items.reduce(_ + _).cast("decimal(38,4)")
+    val kept = df.filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
+    val aggs =
+      Seq(count(lit(1)).as("_n")) ++
+        items.zipWithIndex.flatMap { case (it, i) =>
+          Seq(sum(it).as(s"_s$i"),
+            sum((it * it).cast("decimal(38,4)")).as(s"_q$i"))
+        } ++ Seq(sum(totalCol).as("_st"),
+          sum((totalCol * totalCol).cast("decimal(38,8)")).as("_qt"))
+    val agg = kept.agg(aggs.head, aggs.tail: _*)
+    val nD = col("_n").cast("double")
+    def varOf(s: Column, q: Column): Column =
+      (col("_n") * q - (s * s).cast("decimal(38,8)")).cast("double") /
+        (nD * (nD - lit(1.0)))
+    val itemVarSum = itemCols.indices
+      .map(i => varOf(col(s"_s$i"), col(s"_q$i").cast("decimal(38,8)")))
+      .reduce(_ + _)
+    val totVar = varOf(col("_st").cast("decimal(38,4)"), col("_qt"))
+    agg.select(col("_n").as("n"), lit(k).as("k"),
+      round(itemVarSum, 6).as("sum_item_var"),
+      round(totVar, 6).as("total_var"),
+      when(col("_n") >= 2 && totVar > 0,
+        round(lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - itemVarSum / totVar), 6)).as("alpha"))
+  }
+
+  /** Theil T inequality index over a positive metric:
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — 0 at perfect equality, ln n at
+    * total concentration; the decomposable companion to [[gini]] for
+    * "is our token budget concentrated in a handful of domains".
+    * Non-positive values drop (T is defined on positive quantities —
+    * the count of dropped rows returns so the caller sees the
+    * truncation).
+    *
+    * Shape: one fold for (n, Σx) broadcast back, one per-row term pass
+    * quantized at 9 dp into an exact decimal sum (ln is not correctly
+    * rounded — quantization is what makes the sum engine-exact), one
+    * closing division.
+    */
+  def theilIndex(df: DataFrame, valueCol: String,
+                 precision: Int = 18, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val rows = df.filter(v.isNotNull)
+      .select(v.as("_v"), (v > 0).as("_pos"))
+    val tot = rows.filter(col("_pos"))
+      .agg(count(lit(1)).as("_n"), sum("_v").as("_s"))
+    val dropped = rows.agg(
+      sum(when(!col("_pos"), 1L).otherwise(0L)).as("n_dropped"))
+    val mu = col("_s").cast("double") / col("_n")
+    val ratio = col("_v").cast("double") / col("_mu")
+    val term = round(ratio * log(ratio), 9).cast("decimal(28,9)")
+    rows.filter(col("_pos"))
+      .crossJoin(broadcast(tot.select(col("_n"), mu.as("_mu"))))
+      .agg(first("_n").as("n"),
+        round(first("_mu"), 6).as("mean"),
+        round(sum(term).cast("double") / first("_n"), 6).as("theil_t"))
+      .crossJoin(broadcast(dropped))
+      .select(col("n"), col("n_dropped"), col("mean"), col("theil_t"))
+  }
+
   /** 2×2 odds ratio with the Woolf log-interval — the epidemiology/
     * feature-screen readout (exposure × outcome): OR = ad/bc,
     * CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)). Any empty cell yields

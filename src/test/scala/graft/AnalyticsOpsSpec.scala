@@ -882,6 +882,35 @@ class MarkovAttributionSpec extends SparkSpecBase {
     assert(r.getAs[Double]("chi2") == r6(0.25 / 0.583333))
   }
 
+  test("captureRecapture: Chapman estimate on a hand-built two-sighting split") {
+    // span 0..10 -> mid 5. capture1 = {1,2,3}, capture2 = {3,4}, m = {3}
+    // Chapman: (3+1)(2+1)/(1+1) - 1 = 5; Seber var = 4*3*2*1/(4*3) = 2
+    def ev(u: Long, d: Int, ty: String) =
+      (u, new java.sql.Timestamp(d * 86400000L), ty)
+    val df = Seq(
+      ev(1, 1, "purchase"), ev(2, 2, "purchase"), ev(3, 3, "purchase"),
+      ev(3, 8, "purchase"), ev(4, 9, "purchase"),
+      ev(5, 0, "click"), ev(6, 10, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.captureRecapture(df,
+      col("event_type") === "purchase").head()
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m")) == ((3L, 2L, 1L)))
+    assert(r.getAs[Double]("n_hat") == 5.0)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("se") == r6(math.sqrt(2.0)))
+    // no overlap: the method has no information -> NULL estimates
+    val disjoint = Seq(
+      ev(1, 1, "purchase"), ev(2, 9, "purchase"),
+      ev(5, 0, "click"), ev(6, 10, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val z = EventAnalytics.captureRecapture(disjoint,
+      col("event_type") === "purchase").head()
+    assert(z.getAs[Long]("m") == 0L)
+    assert(z.isNullAt(z.fieldIndex("n_hat")))
+  }
+
   test("nelsonAalen: hand-derived cumulative hazard and Klein variance") {
     // lifetimes 10 (2 churn), 20 (1 churn), 100 (censored):
     //   H = 2/4, then +1/2 -> (0.5, 1.0, 1.0)

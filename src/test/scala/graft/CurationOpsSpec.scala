@@ -538,3 +538,32 @@ class CurationIncrementalSpec extends SparkSpecBase {
     assert(sh.count() == sh.select("id").distinct().count())
   }
 }
+
+/** 2-D skyline (Pareto front) against an exhaustive dominance check. */
+class SkylineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("skyline2d: hand case, per-x pooling, tie-break, integral guard") {
+    // per-x maxima: (1,5) (2,3) (3,4) (4,1); (2,3) is dominated by (3,4)
+    val pts = Seq((10L, 1L, 5L), (11L, 2L, 3L), (12L, 3L, 4L),
+      (13L, 3L, 2L), (14L, 4L, 1L), (15L, 3L, 4L))
+      .toDF("id", "x", "y")
+    val out = graft.operators.Curation.skyline2d(pts, "x", "y", "id")
+      .collect().map(r => r.getAs[Long]("x") ->
+        (r.getAs[Long]("y"), r.getAs[Long]("keep_id"))).toMap
+    assert(out == Map(1L -> ((5L, 10L)), 3L -> ((4L, 12L)),
+      4L -> ((1L, 14L))))
+    // exhaustive cross-check: every emitted point is undominated, and
+    // every omitted per-x maximum is dominated
+    val all = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 1L))
+    def dominated(p: (Long, Long)) = all.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+    assert(all.filterNot(dominated).map(_._1).toSet == out.keySet)
+    // continuous criteria are refused with the binning remedy
+    val dbl = Seq((1L, 1.5, 2.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Curation.skyline2d(dbl, "x", "y", "id")
+    }
+    assert(e.getMessage.contains("bin continuous"))
+  }
+}

@@ -949,6 +949,60 @@ class AllocateBudgetSpec extends SparkSpecBase {
     assert(z.isNullAt(z.fieldIndex("odds_ratio")))
   }
 
+  test("tukeyHsd: hand-computed pooled variance and q statistics") {
+    // a=[1,2,3] b=[4,5,6] c=[1,3,5]: SSE terms 2,2,8 -> MSE = 12/6 = 2
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(1, 3, 5).map(("c", _))).toDF("g", "v")
+    val out = Stats.tukeyHsd(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("g1"), r.getAs[String]("g2")) -> r).toMap
+    assert(out.size == 3)
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val se = math.sqrt(2.0 / 2.0 * (1.0 / 3 + 1.0 / 3))
+    assert(out(("a", "b")).getAs[Double]("mean_diff") == 3.0)
+    assert(out(("a", "b")).getAs[Double]("q") == r6(3.0 / se))
+    assert(out(("a", "c")).getAs[Double]("mean_diff") == 1.0)
+    assert(out(("b", "c")).getAs[Double]("mean_diff") == -2.0)
+    assert(out(("b", "c")).getAs[Double]("q") == r6(2.0 / se))
+  }
+
+  test("cronbachAlpha: perfect consistency, hand case, zero-variance NULL") {
+    // identical items -> alpha exactly 1
+    val perfect = Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b")
+    assert(Stats.cronbachAlpha(perfect, Seq("a", "b"))
+      .head().getAs[Double]("alpha") == 1.0)
+    // items (1,1),(2,1),(3,4): vars 1 and 3, total var 7 ->
+    // alpha = 2*(1 - 4/7) = 0.857143
+    val mixed = Seq((1, 1), (2, 1), (3, 4)).toDF("a", "b")
+    val m = Stats.cronbachAlpha(mixed, Seq("a", "b")).head()
+    assert(m.getAs[Double]("sum_item_var") == 4.0)
+    assert(m.getAs[Double]("total_var") == 7.0)
+    assert(m.getAs[Double]("alpha") == 0.857143)
+    // perfectly anti-correlated: constant total -> NULL alpha, no crash
+    val anti = Seq((1, 3), (2, 2), (3, 1)).toDF("a", "b")
+    val z = Stats.cronbachAlpha(anti, Seq("a", "b")).head()
+    assert(z.getAs[Double]("total_var") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("alpha")))
+  }
+
+  test("theilIndex: zero at equality, hand case, negatives dropped and counted") {
+    val equal = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    val e = Stats.theilIndex(equal, "v").head()
+    assert(e.getAs[Double]("theil_t") == 0.0)
+    // values (1,1,1,9): mu=3; replicate the 9dp-term/6dp-final contract
+    val conc = Seq(1.0, 1.0, 1.0, 9.0, -2.0).toDF("v")
+    val c = Stats.theilIndex(conc, "v").head()
+    assert(c.getAs[Long]("n") == 4L && c.getAs[Long]("n_dropped") == 1L)
+    def r9(v: Double) = BigDecimal(java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP))
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val t1 = r9((1.0 / 3.0) * math.log(1.0 / 3.0))
+    val t9 = r9((9.0 / 3.0) * math.log(9.0 / 3.0))
+    assert(c.getAs[Double]("theil_t") ==
+      r6((t1 * 3 + t9).toDouble / 4.0))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
