@@ -2993,6 +2993,44 @@ object SparkEntry {
       Curation.skyline2d(docs, "n_chars", "vocab", "doc_id").orderBy("x")
     }),
 
+    // ---- personalized PageRank from a 5-part seed set over the
+    //      part->supplier graph: seed-expansion trust propagation ----
+    "q_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      Graph.personalizedPageRank(edges, Seq(1L, 2L, 3L, 4L, 5L),
+        damping = 0.85, iters = 4)
+        .orderBy(col("ppr").desc, col("id")).limit(20)
+    }),
+
+    // ---- distinct-1/2/3 corpus diversity (mode-collapse detector) ----
+    "q_distinct_n" -> ((s, dir) =>
+      TextAnalysis.distinctN(t(s, dir, "documents")).orderBy("n")),
+
+    // ---- term burstiness (Fano factor over per-doc counts, zeros by
+    //      moment algebra): topical terms vs glue ----
+    "q_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(t(s, dir, "documents"))),
+
+    // ---- mean-excess tail table of account balances: EVT diagnostic
+    //      (rising curve = heavy tail) ----
+    "q_mean_excess" -> ((s, dir) =>
+      Distribution.meanExcess(t(s, dir, "customer"), "c_acctbal",
+        Seq(0, 2500, 5000, 7500, 9000)).orderBy("threshold")),
+
+    // ---- sharp RDD at the quantity-25 cutoff, bandwidth 10: local
+    //      linear on each side, effect at the cutoff ----
+    "q_rdd" -> ((s, dir) =>
+      Experiment.regressionDiscontinuity(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", cutoff = 25, bandwidth = 10)),
+
+    // ---- IV/Wald LATE: parity-assigned encouragement Z, self-selected
+    //      conversion D, purchase value Y ----
+    "q_iv_wald" -> ((s, dir) =>
+      Experiment.ivWald(perUserExperiment(s, dir),
+        col("arm") === "A", col("converted") === 1L, "y")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8316,6 +8354,170 @@ object SparkEntry {
         |    WHERE d.x = s.x AND d.y = s.y) AS keep_id
         |FROM sky s ORDER BY s.x""".stripMargin,
 
+    // personalized-PageRank truth: generated unrolled MATERIALIZED
+    // iterations (see pprOracle — teleport constants interpolated from
+    // the operator's own doubles)
+    "q_ppr" -> pprOracle,
+
+    // distinct-n truth: same tokenization, positional zip slices for
+    // the 2-/3-gram projections, exact counts, one rounded division
+    "q_distinct_n" ->
+      s"""WITH tks AS (SELECT $toksSql AS tk FROM documents),
+        |u1 AS (SELECT unnest(tk) AS g FROM tks WHERE len(tk) >= 1),
+        |u2 AS (SELECT w1 || ' ' || w2 AS g FROM (
+        |  SELECT unnest(tk[:-2]) AS w1, unnest(tk[2:]) AS w2
+        |  FROM tks WHERE len(tk) >= 2)),
+        |u3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS g FROM (
+        |  SELECT unnest(tk[:-3]) AS w1, unnest(tk[2:-2]) AS w2,
+        |    unnest(tk[3:]) AS w3
+        |  FROM tks WHERE len(tk) >= 3)),
+        |a1 AS (SELECT 1 AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams FROM u1),
+        |a2 AS (SELECT 2 AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams FROM u2),
+        |a3 AS (SELECT 3 AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams FROM u3),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3)
+        |SELECT n, total_ngrams, distinct_ngrams,
+        |  round(CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6)
+        |    AS distinct_ratio
+        |FROM u ORDER BY n""".stripMargin,
+
+    // burstiness truth: (doc,term) fold, term fold, zeros by moment
+    // algebra against the broadcast N — identical expression order
+    "q_burstiness" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents
+        |  WHERE text IS NOT NULL),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE text IS NOT NULL),
+        |pd AS (SELECT doc_id, unnest(tk) AS term FROM tks),
+        |pdc AS (SELECT doc_id, term, count(*) AS c FROM pd GROUP BY 1, 2),
+        |pt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(count(*) AS BIGINT) AS df,
+        |    SUM(CAST(c AS HUGEINT) * c) AS c2 FROM pdc GROUP BY 1),
+        |f AS (SELECT term, tf, df AS doc_freq,
+        |    CAST(tf AS DOUBLE) / nd.n AS mean_,
+        |    CAST(nd.n * c2 - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+        |      / (CAST(nd.n AS DOUBLE) * (CAST(nd.n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS var_
+        |  FROM pt, nd WHERE nd.n >= 2)
+        |SELECT term, tf, doc_freq, round(mean_, 6) AS mean_count,
+        |  round(var_, 6) AS var_count,
+        |  CASE WHEN mean_ > 0 THEN round(var_ / mean_, 6) END AS fano
+        |FROM f ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    // mean-excess truth: same decimal grid, conditional exact sums,
+    // one rounded division per threshold
+    "q_mean_excess" ->
+      """WITH v AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |g AS (SELECT unnest([CAST(0 AS DECIMAL(18,2)),
+        |    CAST(2500 AS DECIMAL(18,2)), CAST(5000 AS DECIMAL(18,2)),
+        |    CAST(7500 AS DECIMAL(18,2)),
+        |    CAST(9000 AS DECIMAL(18,2))]) AS u),
+        |a AS (SELECT u,
+        |    CAST(SUM(CASE WHEN v > u THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exceed,
+        |    SUM(CASE WHEN v > u THEN CAST(v - u AS DECIMAL(18,2)) END)
+        |      AS s
+        |  FROM v, g GROUP BY 1)
+        |SELECT CAST(u AS DOUBLE) AS threshold, n_exceed,
+        |  CASE WHEN n_exceed > 0
+        |    THEN round(CAST(s AS DOUBLE) / n_exceed, 6) END AS mean_excess
+        |FROM a ORDER BY threshold""".stripMargin,
+
+    // RDD truth: per-side exact decimal moments in [c-h, c) / [c, c+h],
+    // closed-form local-linear fit in the same operation order
+    "q_rdd" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN x >= 15.00 AND x < 25.00 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_l,
+        |    SUM(CASE WHEN x >= 15.00 AND x < 25.00 THEN x END) AS sxl,
+        |    SUM(CASE WHEN x >= 15.00 AND x < 25.00 THEN y END) AS syl,
+        |    SUM(CASE WHEN x >= 15.00 AND x < 25.00
+        |      THEN CAST(x * y AS DECIMAL(38,4)) END) AS sxyl,
+        |    SUM(CASE WHEN x >= 15.00 AND x < 25.00
+        |      THEN CAST(x * x AS DECIMAL(38,4)) END) AS sxxl,
+        |    count(DISTINCT CASE WHEN x >= 15.00 AND x < 25.00 THEN x
+        |      END) AS dxl,
+        |    CAST(SUM(CASE WHEN x >= 25.00 AND x <= 35.00 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_r,
+        |    SUM(CASE WHEN x >= 25.00 AND x <= 35.00 THEN x END) AS sxr,
+        |    SUM(CASE WHEN x >= 25.00 AND x <= 35.00 THEN y END) AS syr,
+        |    SUM(CASE WHEN x >= 25.00 AND x <= 35.00
+        |      THEN CAST(x * y AS DECIMAL(38,4)) END) AS sxyr,
+        |    SUM(CASE WHEN x >= 25.00 AND x <= 35.00
+        |      THEN CAST(x * x AS DECIMAL(38,4)) END) AS sxxr,
+        |    count(DISTINCT CASE WHEN x >= 25.00 AND x <= 35.00 THEN x
+        |      END) AS dxr
+        |  FROM r),
+        |f AS (SELECT *,
+        |    CAST(n_l * sxyl - CAST(sxl * syl AS DECIMAL(38,4)) AS DOUBLE)
+        |      / CAST(n_l * sxxl - CAST(sxl * sxl AS DECIMAL(38,4))
+        |        AS DOUBLE) AS sl,
+        |    CAST(n_r * sxyr - CAST(sxr * syr AS DECIMAL(38,4)) AS DOUBLE)
+        |      / CAST(n_r * sxxr - CAST(sxr * sxr AS DECIMAL(38,4))
+        |        AS DOUBLE) AS sr
+        |  FROM a),
+        |z AS (SELECT *,
+        |    CAST(syl AS DOUBLE) / CAST(n_l AS DOUBLE)
+        |      + sl * (CAST(25.0 AS DOUBLE)
+        |        - CAST(sxl AS DOUBLE) / CAST(n_l AS DOUBLE)) AS yl,
+        |    CAST(syr AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |      + sr * (CAST(25.0 AS DOUBLE)
+        |        - CAST(sxr AS DOUBLE) / CAST(n_r AS DOUBLE)) AS yr
+        |  FROM f)
+        |SELECT n_l, n_r,
+        |  CASE WHEN dxl >= 2 AND dxr >= 2 THEN round(sl, 6) END AS slope_l,
+        |  CASE WHEN dxl >= 2 AND dxr >= 2 THEN round(sr, 6) END AS slope_r,
+        |  CASE WHEN dxl >= 2 AND dxr >= 2 THEN round(yl, 6) END
+        |    AS yhat_left,
+        |  CASE WHEN dxl >= 2 AND dxr >= 2 THEN round(yr, 6) END
+        |    AS yhat_right,
+        |  CASE WHEN dxl >= 2 AND dxr >= 2 THEN round(yr - yl, 6) END
+        |    AS effect
+        |FROM z""".stripMargin,
+
+    // IV/Wald truth: six exact sums, ITT over first stage in the same
+    // operation order, weak-instrument NULL guard
+    "q_iv_wald" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS z,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(SUM(z) AS BIGINT) AS n_z1,
+        |    CAST(SUM(1 - z) AS BIGINT) AS n_z0,
+        |    SUM(CASE WHEN z = 1 THEN y END) AS y1,
+        |    SUM(CASE WHEN z = 0 THEN y END) AS y0,
+        |    CAST(SUM(CASE WHEN z = 1 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN z = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0
+        |  FROM pu),
+        |f AS (SELECT *,
+        |    CAST(y1 AS DOUBLE) / nullif(CAST(n_z1 AS DOUBLE), 0.0)
+        |      - CAST(y0 AS DOUBLE) / nullif(CAST(n_z0 AS DOUBLE), 0.0)
+        |      AS itt,
+        |    CAST(d1 AS DOUBLE) / nullif(CAST(n_z1 AS DOUBLE), 0.0)
+        |      - CAST(d0 AS DOUBLE) / nullif(CAST(n_z0 AS DOUBLE), 0.0)
+        |      AS fs
+        |  FROM a)
+        |SELECT n_z1, n_z0, round(itt, 6) AS itt,
+        |  round(fs, 6) AS first_stage,
+        |  CASE WHEN abs(fs) > CAST(0.0001 AS DOUBLE)
+        |    THEN round(itt / fs, 6) END AS late
+        |FROM f""".stripMargin,
+
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table
     "q_null_pattern" ->
@@ -9675,6 +9877,51 @@ object SparkEntry {
        |  CAST(h4.h AS DOUBLE) AS hub
        |FROM a4 JOIN h4 USING (id)
        |ORDER BY authority DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: 4 unrolled MATERIALIZED iterations.
+    * The teleport constants interpolate from the SAME Scala doubles the
+    * operator uses (1.0 − 0.85 = 0.15000000000000002 — a literal 0.15
+    * would be a different double; the round-trip through toString is
+    * exact).
+    */
+  private def pprOracle: String = {
+    val damping = 0.85
+    val oneMinus = 1.0 - damping
+    val sv = 1.0 / 5
+    val seedList = "1, 2, 3, 4, 5"
+    val steps = (1 to 4).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id,
+         |  SUM(CAST(round(CAST(p.r AS DOUBLE) / dg.deg, 9)
+         |    AS DECIMAL(19,9))) AS inb
+         |  FROM e JOIN dg ON dg.src = e.src
+         |  JOIN $prev p ON p.id = e.src GROUP BY 1),
+         |dang$i AS MATERIALIZED (SELECT coalesce(SUM(p.r),
+         |    CAST(0 AS DECIMAL(19,9))) AS dang
+         |  FROM $prev p WHERE p.id NOT IN (SELECT src FROM dg)),
+         |r$i AS MATERIALIZED (SELECT n.id, CAST(round(
+         |    CAST($oneMinus AS DOUBLE) * s.s + CAST($damping AS DOUBLE)
+         |    * (coalesce(CAST(c$i.inb AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |      + CAST((SELECT dang FROM dang$i) AS DOUBLE) * s.s), 9)
+         |  AS DECIMAL(19,9)) AS r
+         |  FROM n JOIN sv s ON s.id = n.id
+         |  LEFT JOIN c$i ON c$i.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src,
+       |    l_suppkey AS dst
+       |    FROM lineitem WHERE l_orderkey % 13 = 0),
+       |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY 1),
+       |sv AS MATERIALIZED (SELECT id, CASE WHEN id IN ($seedList)
+       |    THEN CAST($sv AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS s
+       |  FROM n),
+       |r0 AS MATERIALIZED (SELECT id,
+       |    CAST(round(s, 9) AS DECIMAL(19,9)) AS r FROM sv),
+       |$steps
+       |SELECT r4.id AS id, CAST(r4.r AS DOUBLE) AS ppr
+       |FROM r4 ORDER BY ppr DESC, id LIMIT 20""".stripMargin
   }
 
   /** Bradley–Terry oracle: the 50 MM iterations unrolled as generated

@@ -92,4 +92,40 @@ object Distribution {
     }.sum
     BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  /** Mean-excess (mean residual life) table — the EVT diagnostic for a
+    * metric's tail: for each threshold u, e(u) = mean(x − u | x > u).
+    * A mean-excess curve that RISES with u is a heavy (Pareto-class)
+    * tail — the "will p999 keep growing as traffic grows" question;
+    * exponential tails plot flat, bounded tails fall. Returns one row
+    * per threshold (threshold, n_exceed, mean_excess; NULL when
+    * nothing exceeds).
+    *
+    * Shape: one pass with |thresholds| conditional exact-decimal sums
+    * (the bounded grid explodes map-side, collapsing to |grid| rows);
+    * each mean is one rounded double division.
+    */
+  def meanExcess(df: DataFrame, valueCol: String,
+                 thresholds: Seq[Double],
+                 precision: Int = 18, scale: Int = 2): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      "1..64 thresholds (a bounded grid)")
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val grid = thresholds.distinct.sorted.map(u =>
+      java.math.BigDecimal.valueOf(u).setScale(scale,
+        java.math.RoundingMode.HALF_UP))
+    df.filter(v.isNotNull)
+      .select(v.as("_v"), explode(lit(grid.toArray)).as("threshold"))
+      .groupBy("threshold")
+      .agg(sum(when(col("_v") > col("threshold"), 1L).otherwise(0L))
+        .as("n_exceed"),
+        sum(when(col("_v") > col("threshold"),
+          (col("_v") - col("threshold"))
+            .cast(s"decimal($precision,$scale)"))).as("_s"))
+      .select(col("threshold").cast("double").as("threshold"),
+        col("n_exceed"),
+        when(col("n_exceed") > 0,
+          round(col("_s").cast("double") / col("n_exceed"), 6))
+          .as("mean_excess"))
+  }
 }

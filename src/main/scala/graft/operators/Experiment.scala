@@ -313,6 +313,101 @@ object Experiment {
       when(ok, zLow > lit(zCrit) && zUp < lit(-zCrit)).as("equivalent"))
   }
 
+  /** Sharp regression-discontinuity estimate: local LINEAR fit on each
+    * side of the cutoff within a rectangular bandwidth, effect =
+    * ŷ₊(c) − ŷ₋(c) — the quasi-experimental readout when treatment
+    * flips at a known threshold of a running variable (spend tiers,
+    * score cutoffs, eligibility rules) and randomization never
+    * happened. Local-linear (not difference-in-means) because the
+    * running variable usually trends through the cutoff; means alone
+    * would book that slope as "effect".
+    *
+    * Shape: ONE fold with per-side exact decimal moments (x, y, xy, x²
+    * within the bandwidth); slopes/intercepts are fixed-order double
+    * expressions over those sums. NULL effect when either side lacks 2
+    * distinct x values (no line to fit).
+    */
+  def regressionDiscontinuity(df: DataFrame, runCol: String,
+                              outcomeCol: String, cutoff: Double,
+                              bandwidth: Double,
+                              precision: Int = 18,
+                              scale: Int = 2): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be positive")
+    val x = col(runCol).cast(s"decimal($precision,$scale)")
+    val y = col(outcomeCol).cast(s"decimal($precision,$scale)")
+    val c = java.math.BigDecimal.valueOf(cutoff)
+    val h = java.math.BigDecimal.valueOf(bandwidth)
+    val inWin = x >= lit(c.subtract(h)) && x <= lit(c.add(h))
+    val right = x >= lit(c)
+    def side(name: String, cond: Column): Seq[Column] = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(cond, x)).as(s"_sx$name"),
+      sum(when(cond, y)).as(s"_sy$name"),
+      sum(when(cond, (x * y).cast("decimal(38,4)"))).as(s"_sxy$name"),
+      sum(when(cond, (x * x).cast("decimal(38,4)"))).as(s"_sxx$name"),
+      count_distinct(when(cond, x)).as(s"_dx$name"))
+    val aggs = side("l", inWin && !right) ++ side("r", inWin && right)
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def fit(s: String): (Column, Column) = {
+      val nD = col(s"n_$s").cast("double")
+      val slopeNum = (col(s"n_$s") * col(s"_sxy$s") -
+        (col(s"_sx$s") * col(s"_sy$s")).cast("decimal(38,4)"))
+        .cast("double")
+      val slopeDen = (col(s"n_$s") * col(s"_sxx$s") -
+        (col(s"_sx$s") * col(s"_sx$s")).cast("decimal(38,4)"))
+        .cast("double")
+      val slope = slopeNum / slopeDen
+      val yhat = col(s"_sy$s").cast("double") / nD +
+        slope * (lit(cutoff) - col(s"_sx$s").cast("double") / nD)
+      (slope, yhat)
+    }
+    val (slopeL, yhatL) = fit("l")
+    val (slopeR, yhatR) = fit("r")
+    val ok = col("_dxl") >= 2 && col("_dxr") >= 2
+    agg.select(col("n_l"), col("n_r"),
+      when(ok, round(slopeL, 6)).as("slope_l"),
+      when(ok, round(slopeR, 6)).as("slope_r"),
+      when(ok, round(yhatL, 6)).as("yhat_left"),
+      when(ok, round(yhatR, 6)).as("yhat_right"),
+      when(ok, round(yhatR - yhatL, 6)).as("effect"))
+  }
+
+  /** Instrumental-variable Wald estimator (the LATE under monotonicity):
+    * (E[Y|Z=1] − E[Y|Z=0]) / (E[D|Z=1] − E[D|Z=0]) — causal readout
+    * when treatment D is self-selected but an encouragement Z was
+    * randomized. The denominator is the first stage; a weak one (near
+    * zero) makes the ratio explode, so it returns NULL below
+    * `minFirstStage` with all the pieces exposed.
+    *
+    * ONE map-side-combined fold to six exact sums; fixed-order closing
+    * doubles at 6 dp.
+    */
+  def ivWald(df: DataFrame, instrument: Column, treatment: Column,
+             outcomeCol: String, minFirstStage: Double = 1e-4,
+             precision: Int = 18, scale: Int = 2): DataFrame = {
+    val y = col(outcomeCol).cast(s"decimal($precision,$scale)")
+    val agg = df.filter(y.isNotNull)
+      .agg(
+        sum(when(instrument, 1L).otherwise(0L)).as("n_z1"),
+        sum(when(!instrument, 1L).otherwise(0L)).as("n_z0"),
+        sum(when(instrument, y)).as("_y1"),
+        sum(when(!instrument, y)).as("_y0"),
+        sum(when(instrument && treatment, 1L).otherwise(0L)).as("_d1"),
+        sum(when(!instrument && treatment, 1L).otherwise(0L)).as("_d0"))
+    val n1 = nullif(col("n_z1").cast("double"), lit(0.0))
+    val n0 = nullif(col("n_z0").cast("double"), lit(0.0))
+    val itt = col("_y1").cast("double") / n1 -
+      col("_y0").cast("double") / n0
+    val firstStage = col("_d1").cast("double") / n1 -
+      col("_d0").cast("double") / n0
+    agg.select(col("n_z1"), col("n_z0"),
+      round(itt, 6).as("itt"),
+      round(firstStage, 6).as("first_stage"),
+      when(abs(firstStage) > lit(minFirstStage),
+        round(itt / firstStage, 6)).as("late"))
+  }
+
   /** Exact Bayesian A/B readout for a binary outcome: with independent
     * Beta(a0, b0) priors on each arm's conversion rate, the posterior
     * probability that arm B beats arm A,

@@ -361,6 +361,68 @@ object Graph {
     * recursion is bit-reproducible from the edge list alone; parallel
     * edges are collapsed first (unweighted HITS).
     */
+  /** Personalized PageRank: power iteration whose teleport mass returns
+    * to a SEED set instead of everywhere — relevance propagation from
+    * known-good nodes (trusted domains, labeled exemplars) through the
+    * link graph, the standard seed-expansion primitive for retrieval
+    * and trust-rank filtering. r ← (1−d)·s + d·(Aᵀr + dangling·s),
+    * s uniform over `seeds`.
+    *
+    * Same loop discipline as [[pageRank]] (one join + one agg per
+    * round, localCheckpoint-truncated lineage) but with the [[hits]]
+    * engine-replay contract: per-edge contributions and the new rank
+    * quantize at 9 dp decimals each round, so an oracle can replay the
+    * whole recursion from the edge list — and the dangling correction
+    * is an exact decimal sum, never a float accumulation.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           damping: Double = 0.85,
+                           iters: Int = 4): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs a seed set")
+    require(iters >= 1 && iters <= 50, "iters in [1, 50]")
+    require(damping > 0 && damping < 1, "damping in (0, 1)")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    nodes.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    outDeg.count()
+    val seedArr = seeds.distinct.sorted
+    val sv = when(col("id").isin(seedArr.map(Long.box): _*),
+      lit(1.0 / seedArr.length)).otherwise(lit(0.0))
+    def quant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c, 9).cast("decimal(19,9)")
+    var ranks = nodes.select(col("id"), quant(sv).as("r"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(outDeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          quant(col("r").cast("double") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("inb"))
+      val dangling = ranks
+        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0).cast("decimal(19,9)")).as("dang"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), quant(
+          lit(1.0 - damping) * sv + lit(damping) *
+            (coalesce(col("inb").cast("double"), lit(0.0)) +
+              col("dang").cast("double") * sv)).as("r"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    val out = ranks.select(col("id"), col("r").cast("double").as("ppr"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    out
+  }
+
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters in [1, 50]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))

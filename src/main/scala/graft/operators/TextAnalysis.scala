@@ -1409,6 +1409,81 @@ object TextAnalysis {
           .as("p_kn"))
   }
 
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2/3): for each
+    * n, the count of distinct n-grams over the count of n-gram tokens
+    * corpus-wide — THE cheap mode-collapse detector for generated
+    * corpora (a model looping on stock phrases craters distinct-2/3
+    * long before any quality classifier notices). Returns one row per
+    * n (n, total_ngrams, distinct_ngrams, distinct_ratio).
+    *
+    * Shape: one corpus pass per n (the n-gram projection is a narrow
+    * codegen transform), each collapsing map-side to an n-gram count
+    * table; the ratio is one rounded double division of exact counts.
+    */
+  def distinctN(df: DataFrame, textCol: String = "text",
+                ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      "n in [1, 8]")
+    val spark = df.sparkSession
+    ns.distinct.sorted.map { n =>
+      val toks = df.select(tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= n)
+      val grams =
+        if (n == 1) toks.select(explode(col("tk")).as("g"))
+        else toks.select(explode(transform(
+          sequence(lit(0), size(col("tk")) - n),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(n))))).as("g"))
+      grams.groupBy("g").agg(count(lit(1)).as("_c"))
+        .agg(sum("_c").cast("long").as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams"), 6).as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Term burstiness (Fano factor / index of dispersion of per-document
+    * counts, zeros included): var(c)/mean(c) over all N docs. Content
+    * words arrive in BURSTS (Fano ≫ 1 — a doc that says "transformer"
+    * once says it ten times); function words are Poisson-ish (≈ 1).
+    * The signal separates topical terms from glue for stopword lists
+    * and keyword extraction without any language resource. Returns the
+    * `topK` most frequent terms (deterministic ties toward the lexical
+    * smaller) with their moments.
+    *
+    * Shape: one (doc, term) fold, one term fold, broadcast N — zeros
+    * never materialize (the moment algebra over docs-containing plus
+    * the known N is exact): mean = Σc/N,
+    * var = (Σc² − (Σc)²/N)/(N−1) from exact integer sums.
+    */
+  def burstiness(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    val nDocs = df.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("_nd"))
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+    val perTerm = perDoc.groupBy("term")
+      .agg(sum("_c").as("tf"), count(lit(1)).as("df"),
+        sum(col("_c").cast("decimal(38,0)") * col("_c")).as("_c2"))
+    val nD = col("_nd").cast("double")
+    val mean = col("tf").cast("double") / nD
+    val varNum = (col("_nd") * col("_c2") -
+      (col("tf").cast("decimal(38,0)") * col("tf"))).cast("double")
+    val variance = varNum / (nD * (nD - lit(1.0)))
+    perTerm.crossJoin(broadcast(nDocs))
+      .filter(col("_nd") >= 2)
+      .select(col("term"), col("tf").cast("long").as("tf"),
+        col("df").as("doc_freq"),
+        round(mean, 6).as("mean_count"),
+        round(variance, 6).as("var_count"),
+        when(mean > 0, round(variance / mean, 6)).as("fano"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Unicode-script profile: per document, the character mass in each
     * of the four highest-volume web scripts (basic Latin letters,
     * Cyrillic, CJK unified ideographs, Arabic) and the dominant script

@@ -477,6 +477,43 @@ class ExperimentSpec extends SparkSpecBase {
     assert(e.getMessage.contains("twoProportionZ"))
   }
 
+  test("regressionDiscontinuity: recovers an exact planted jump on a linear trend") {
+    // y = 2x + 10*[x >= 25]: slopes 2 on both sides, effect exactly 10
+    val df = (15 to 35).map(x =>
+      (x, 2 * x + (if (x >= 25) 10 else 0))).toDF("x", "y")
+    val r = Experiment.regressionDiscontinuity(df, "x", "y",
+      cutoff = 25, bandwidth = 10).head()
+    assert(r.getAs[Long]("n_l") == 10L && r.getAs[Long]("n_r") == 11L)
+    assert(r.getAs[Double]("slope_l") == 2.0)
+    assert(r.getAs[Double]("slope_r") == 2.0)
+    assert(r.getAs[Double]("yhat_left") == 50.0)
+    assert(r.getAs[Double]("yhat_right") == 60.0)
+    assert(r.getAs[Double]("effect") == 10.0)
+    // a side with a single x level cannot fit a line -> NULL effect
+    val flat = Seq((24, 1), (24, 2), (26, 3), (27, 4)).toDF("x", "y")
+    val z = Experiment.regressionDiscontinuity(flat, "x", "y",
+      cutoff = 25, bandwidth = 10).head()
+    assert(z.isNullAt(z.fieldIndex("effect")))
+  }
+
+  test("ivWald: hand LATE; weak first stage refuses a ratio") {
+    // z=1: y mean 15, d rate 1; z=0: y mean 10, d rate 0.5
+    // itt 5, first stage 0.5 -> LATE 10
+    val df = Seq((1L, true, true, 10.0), (2L, true, true, 20.0),
+      (3L, false, false, 10.0), (4L, false, true, 10.0))
+      .toDF("id", "z", "d", "y")
+    val r = Experiment.ivWald(df, col("z"), col("d"), "y").head()
+    assert(r.getAs[Double]("itt") == 5.0)
+    assert(r.getAs[Double]("first_stage") == 0.5)
+    assert(r.getAs[Double]("late") == 10.0)
+    // identical take-up rates: zero first stage -> NULL LATE
+    val weak = Seq((1L, true, true, 10.0), (2L, false, true, 99.0))
+      .toDF("id", "z", "d", "y")
+    val w = Experiment.ivWald(weak, col("z"), col("d"), "y").head()
+    assert(w.getAs[Double]("first_stage") == 0.0)
+    assert(w.isNullAt(w.fieldIndex("late")))
+  }
+
   test("tostEquivalence: identical arms prove equivalence; a real gap fails") {
     // pA = pB = 0.5 at n=1000 each: se = sqrt(2*0.25/1000) = 0.0223607,
     // z_low = 0.05/se = 2.236068 > 1.645, z_up = -2.236068 -> equivalent

@@ -1003,6 +1003,39 @@ class AllocateBudgetSpec extends SparkSpecBase {
       r6((t1 * 3 + t9).toDouble / 4.0))
   }
 
+  test("personalizedPageRank: hand-replayed chain with quantized teleport") {
+    // 1 -> 2 -> 3 (3 dangles), seed = {1}:
+    // r1 = (0.15, 0.85, 0); r2 = (0.15, 0.1275, 0.7225); mass sums to 1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, Seq(1L), iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppr"))
+      .toMap
+    assert(out(1L) == 0.15)
+    assert(out(2L) == 0.1275)
+    assert(out(3L) == 0.7225)
+    assert(out.values.sum == 1.0)
+    // dangling mass returns to the SEED, not uniformly: one more round
+    // moves 3's mass back into 1's teleport share
+    val r3 = Graph.personalizedPageRank(edges, Seq(1L), iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppr"))
+      .toMap
+    assert(r3(1L) > 0.15, s"dangling mass must return to the seed: $r3")
+  }
+
+  test("meanExcess: exact excess means per threshold, empty tail NULL") {
+    val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val out = graft.operators.Distribution
+      .meanExcess(df, "v", Seq(0, 2.5, 5, 20)).collect()
+      .map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(out(0.0).getAs[Long]("n_exceed") == 4L)
+    assert(out(0.0).getAs[Double]("mean_excess") == 4.0)
+    assert(out(2.5).getAs[Long]("n_exceed") == 2L)
+    assert(out(2.5).getAs[Double]("mean_excess") == 4.0)
+    assert(out(5.0).getAs[Double]("mean_excess") == 5.0)
+    assert(out(20.0).getAs[Long]("n_exceed") == 0L)
+    assert(out(20.0).isNullAt(out(20.0).fieldIndex("mean_excess")))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)

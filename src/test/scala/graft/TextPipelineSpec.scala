@@ -524,6 +524,35 @@ class ScreenOpsSpec extends SparkSpecBase {
       + out(("a", "c")).getAs[Double]("p_kn") == 1.0)
   }
 
+  test("distinctN: exact n-gram diversity ratios; short docs filtered per n") {
+    // unigrams 6/3 distinct -> 0.5; bigrams 4/3 -> 0.75; trigrams only
+    // from the first doc (the 2-token doc filters out): 2/2 -> 1.0
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = TextAnalysis.distinctN(docs).collect()
+      .map(r => r.getAs[Int]("n") -> r).toMap
+    assert(out(1).getAs[Long]("total_ngrams") == 6L)
+    assert(out(1).getAs[Long]("distinct_ngrams") == 3L)
+    assert(out(1).getAs[Double]("distinct_ratio") == 0.5)
+    assert(out(2).getAs[Long]("total_ngrams") == 4L)
+    assert(out(2).getAs[Double]("distinct_ratio") == 0.75)
+    assert(out(3).getAs[Long]("total_ngrams") == 2L)
+    assert(out(3).getAs[Double]("distinct_ratio") == 1.0)
+  }
+
+  test("burstiness: bursty terms read Fano >> 1, spread terms ~ Poisson") {
+    // x: 4 occurrences in ONE of 3 docs -> fano 4; y: spread over two
+    // docs one each -> fano 0.5
+    val docs = Seq((1L, "x x x x"), (2L, "y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(docs).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out("x").getAs[Long]("tf") == 4L)
+    assert(out("x").getAs[Long]("doc_freq") == 1L)
+    assert(out("x").getAs[Double]("fano") == 4.0)
+    assert(out("y").getAs[Long]("doc_freq") == 2L)
+    assert(out("y").getAs[Double]("fano") == 0.5)
+  }
+
   test("scriptProfile: exact per-script counts and dominance precedence") {
     val docs = Seq(
       (1L, "pure ascii words"),
