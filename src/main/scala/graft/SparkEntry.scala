@@ -3031,6 +3031,27 @@ object SparkEntry {
       Experiment.ivWald(perUserExperiment(s, dir),
         col("arm") === "A", col("converted") === 1L, "y")),
 
+    // ---- one-sample KS of discount against Uniform(0, 0.1): the
+    //      "is this randomizer actually uniform" gate ----
+    "q_ks_uniform" -> ((s, dir) =>
+      Stats.ksUniform(t(s, dir, "lineitem"), "l_discount", 0.0, 0.1)),
+
+    // ---- Friedman test: per-user event-type value profiles as
+    //      complete blocks, within-block midranks only ----
+    "q_friedman" -> ((s, dir) =>
+      Stats.friedman(Tables.events(s, dir), "user_id", "event_type",
+        "value")),
+
+    // ---- Cochran's Q: did ANY event type change its big-ticket rate
+    //      across the same users (k-way McNemar) ----
+    "q_cochran_q" -> ((s, dir) =>
+      Stats.cochranQ(Tables.events(s, dir), "user_id", "event_type",
+        col("value") >= 50)),
+
+    // ---- Kish effective sample size of the value-weighted corpus ----
+    "q_ess" -> ((s, dir) =>
+      Stats.effectiveSampleSize(Tables.events(s, dir), "value")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8517,6 +8538,117 @@ object SparkEntry {
         |  CASE WHEN abs(fs) > CAST(0.0001 AS DOUBLE)
         |    THEN round(itt / fs, 6) END AS late
         |FROM f""".stripMargin,
+
+    // one-sample-KS truth: distinct-value CDF in exact integers, the
+    // uniform CDF as the same fixed-order double expression
+    "q_ks_uniform" ->
+      """WITH c AS (SELECT CAST(l_discount AS DECIMAL(18,6)) AS v,
+        |    count(*) AS cc
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND CAST(l_discount AS DECIMAL(18,6)) >= 0
+        |    AND CAST(l_discount AS DECIMAL(18,6)) <= 0.1
+        |  GROUP BY 1),
+        |w AS (SELECT v, cc, SUM(cc) OVER (ORDER BY v) AS cum,
+        |    SUM(cc) OVER () AS n FROM c),
+        |s AS (SELECT CAST(n AS BIGINT) AS n,
+        |    CAST(cum AS DOUBLE) / n - (CAST(v AS DOUBLE)
+        |      - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE) AS dp,
+        |    (CAST(v AS DOUBLE) - CAST(0.0 AS DOUBLE))
+        |      / CAST(0.1 AS DOUBLE) - CAST(cum - cc AS DOUBLE) / n AS dm
+        |  FROM w),
+        |f AS (SELECT first(n) AS n, round(max(dp), 6) AS d_plus,
+        |    round(max(dm), 6) AS d_minus FROM s)
+        |SELECT n, d_plus, d_minus,
+        |  greatest(d_plus, d_minus) AS d,
+        |  round(sqrt(CAST(n AS DOUBLE))
+        |    * greatest(d_plus, d_minus), 6) AS sqrt_n_d
+        |FROM f""".stripMargin,
+
+    // Friedman truth: complete blocks, doubled within-block midranks
+    // (RANGE cumulative count = through-tie count), exact integer
+    // statistic with one closing division
+    "q_friedman" ->
+      """WITH cells0 AS (SELECT user_id AS b, event_type AS t,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells0),
+        |comp AS (SELECT b FROM cells0 GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |cells AS (SELECT c.* FROM cells0 c JOIN comp USING (b)),
+        |r AS (SELECT b, t,
+        |    count(*) OVER (PARTITION BY b, v) AS tie,
+        |    count(*) OVER (PARTITION BY b ORDER BY v) AS maxcum
+        |  FROM cells),
+        |r2 AS (SELECT b, t, (maxcum - tie) * 2 + tie + 1 AS rr FROM r),
+        |pt AS (SELECT t, CAST(SUM(rr) AS BIGINT) AS rsum FROM r2
+        |  GROUP BY 1),
+        |a AS (SELECT SUM(CAST(rr AS HUGEINT) * rr) AS a4,
+        |    CAST(count(*) / (SELECT k FROM kk) AS BIGINT) AS n FROM r2),
+        |f AS (SELECT a.n AS n_blocks, (SELECT k FROM kk) AS k, a.a4,
+        |    (SELECT SUM(CAST(rsum - a.n * ((SELECT k FROM kk) + 1)
+        |        AS HUGEINT) * (rsum - a.n * ((SELECT k FROM kk) + 1)))
+        |      FROM pt) AS snum
+        |  FROM a)
+        |SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN CAST(a4 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+        |      * (k + 1) AS DOUBLE) > 0
+        |    THEN round(CAST(k - 1 AS DOUBLE) * CAST(snum AS DOUBLE)
+        |      / CAST(a4 - CAST(n_blocks AS HUGEINT) * k * (k + 1)
+        |        * (k + 1) AS DOUBLE), 6) END AS chi2
+        |FROM f""".stripMargin,
+
+    // Cochran-Q truth: per-cell any-success flags, exact integer G/L
+    // folds, one closing division
+    "q_cochran_q" ->
+      """WITH cells0 AS (SELECT user_id AS b, event_type AS t,
+        |    max(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells0),
+        |comp AS (SELECT b FROM cells0 GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |cells AS (SELECT c.* FROM cells0 c JOIN comp USING (b)),
+        |bl AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(l) AS BIGINT) AS sl,
+        |    SUM(CAST(l AS HUGEINT) * l) AS sl2
+        |  FROM (SELECT b, SUM(y) AS l FROM cells GROUP BY 1)),
+        |tr AS (SELECT CAST(SUM(g) AS BIGINT) AS sg,
+        |    SUM(CAST(g AS HUGEINT) * g) AS sg2
+        |  FROM (SELECT t, SUM(y) AS g FROM cells GROUP BY 1)),
+        |f AS (SELECT bl.n_blocks, (SELECT k FROM kk) AS k,
+        |    CAST((SELECT k FROM kk) - 1 AS HUGEINT)
+        |      * ((SELECT k FROM kk) * tr.sg2
+        |        - CAST(tr.sg AS HUGEINT) * tr.sg) AS qnum,
+        |    CAST((SELECT k FROM kk) AS HUGEINT) * bl.sl - bl.sl2 AS qden
+        |  FROM bl, tr)
+        |SELECT n_blocks, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN CAST(qden AS DOUBLE) > 0
+        |    THEN round(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE), 6)
+        |  END AS q
+        |FROM f""".stripMargin,
+
+    // ESS truth: exact decimal weight sums, two rounded divisions
+    "q_ess" ->
+      """WITH w AS (SELECT CAST(value AS DECIMAL(18,6)) AS w FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN w <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    SUM(CASE WHEN w > 0 THEN w END) AS sw,
+        |    SUM(CASE WHEN w > 0
+        |      THEN CAST(w * w AS DECIMAL(38,12)) END) AS sw2
+        |  FROM w)
+        |SELECT n, n_dropped,
+        |  CASE WHEN n > 0 THEN round(CAST(sw AS DOUBLE)
+        |    * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) END AS ess,
+        |  CASE WHEN n > 0 THEN round(CAST(sw AS DOUBLE)
+        |    * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE) / n, 6)
+        |  END AS ess_ratio
+        |FROM a""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

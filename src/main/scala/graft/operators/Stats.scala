@@ -2975,6 +2975,189 @@ object Stats {
       .select(col("n"), col("n_dropped"), col("mean"), col("theil_t"))
   }
 
+  /** One-sample Kolmogorov–Smirnov distance against Uniform(lo, hi) —
+    * the "is this hash/bucket/score actually uniform" gate ([[ksTest]]
+    * compares two samples; this one compares against the THEORY a
+    * randomizer claims). Handles the discrete-jump convention exactly:
+    * D⁺ = max(F̂(x) − F(x)), D⁻ = max(F(x) − F̂(x⁻)). Returns one row
+    * (n, d_plus, d_minus, d, sqrt_n_d — compare the last against the
+    * 1.358 (5%) / 1.628 (1%) asymptotic points).
+    *
+    * Shape: one fold to the distinct-value table, one cumulative
+    * window over it, one closing fold — exact integer CDF counts, the
+    * theoretical CDF a fixed-order double expression.
+    */
+  def ksUniform(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                precision: Int = 18, scale: Int = 6): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val cells = df.filter(v.isNotNull &&
+        v >= lit(java.math.BigDecimal.valueOf(lo)) &&
+        v <= lit(java.math.BigDecimal.valueOf(hi)))
+      .groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
+    val cum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val n = sum("_c").over(all)
+    val cumC = sum("_c").over(cum)
+    val fHat = cumC.cast("double") / n
+    val fHatPrev = (cumC - col("_c")).cast("double") / n
+    val fTheo = (col("_v").cast("double") - lit(lo)) / lit(hi - lo)
+    val scored = cells.select(n.as("_n"),
+      (fHat - fTheo).as("_dp"), (fTheo - fHatPrev).as("_dm"))
+    scored.agg(first("_n").as("n"),
+      round(max("_dp"), 6).as("d_plus"),
+      round(max("_dm"), 6).as("d_minus"))
+      .withColumn("d", greatest(col("d_plus"), col("d_minus")))
+      .withColumn("sqrt_n_d",
+        round(sqrt(col("n").cast("double")) * col("d"), 6))
+  }
+
+  /** Friedman test (tie-corrected) for k treatments over n complete
+    * blocks — the repeated-measures companion to [[kruskalWallis]]:
+    * every block (user, prompt, document) sees every treatment, and
+    * only WITHIN-block ranks enter, so block-level variation cancels.
+    * Blocks missing any treatment drop (complete-block design);
+    * returns (n_blocks, k, chi2) plus the per-treatment rank sums.
+    *
+    * Exactness: within-block midranks come from the doubled-midrank
+    * identity 2r = 2·(before) + ties + 1 on (block, value) cells —
+    * integers end to end — and the tie-corrected statistic
+    * (k−1)·Σ(R2ⱼ−n(k+1))² / (Σ(2r)² − nk(k+1)²) is ONE double
+    * division of exact decimal folds. Shape: one (block, treat) fold,
+    * one block-keyed window (distributed over blocks), two bounded
+    * folds.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String,
+               precision: Int = 18, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    // persist the cell table: the k-count action and the main fold must
+    // not each re-scan the corpus (the kendallTau lesson, r12)
+    val cellsRaw = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        v.isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatCol).cast("string")
+        .as("_t"))
+      .agg(sum(v).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val kTot = cellsRaw.agg(count_distinct(col("_t"))).head().getLong(0)
+    require(kTot >= 2, "friedman needs at least 2 treatments")
+    // complete blocks only: within-block ranks are incomparable
+    // otherwise
+    val complete = cellsRaw.groupBy("_b")
+      .agg(count(lit(1)).as("_kb"))
+      .filter(col("_kb") === kTot).select("_b")
+    val cells = cellsRaw.join(complete, "_b")
+    // doubled midranks per block over (value) ties
+    val byVal = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tiesW = Window.partitionBy("_b", "_v")
+    val ranked = cells
+      .withColumn("_cum", sum(lit(1L)).over(byVal))
+      .withColumn("_tie", count(lit(1)).over(tiesW))
+      .withColumn("_maxcum", max(col("_cum")).over(tiesW))
+      .withColumn("_2r",
+        (col("_maxcum") - col("_tie")) * 2 + col("_tie") + 1)
+    val perTreat = ranked.groupBy("_t")
+      .agg(sum("_2r").as("_r2"), count(lit(1)).as("_nb"))
+    val a4 = ranked.agg(
+      sum(col("_2r").cast("decimal(38,0)") * col("_2r")).as("_a4"),
+      (count(lit(1)) / kTot).cast("long").as("_n"))
+    val k = lit(kTot)
+    val nB = col("_n")
+    val sNum = sum(((col("_r2") - nB * (k + 1)).cast("decimal(38,0)") *
+      (col("_r2") - nB * (k + 1))).cast("decimal(38,0)"))
+    val agg = perTreat.crossJoin(broadcast(a4))
+      .agg(first("_n").as("n_blocks"), sNum.as("_s"),
+        first("_a4").as("_a4x"))
+    val den = col("_a4x") -
+      (col("n_blocks").cast("decimal(38,0)") * k * (k + 1) * (k + 1))
+    val plan = agg.select(col("n_blocks"), k.as("k"),
+      when(den.cast("double") > 0,
+        round(lit(kTot - 1) * col("_s").cast("double") /
+          den.cast("double"), 6)).as("chi2"))
+    // 1-row materialization so the unpersist below is safe
+    val row = plan.head()
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), plan.schema)
+    } finally cellsRaw.unpersist(blocking = false)
+  }
+
+  /** Cochran's Q for k binary treatments over n complete blocks — the
+    * k-way [[graft.operators.Experiment.mcNemar]]: did ANY of k
+    * classifiers/checklist variants change the pass rate on the same
+    * items. Q = (k−1)·(k·ΣGⱼ² − (ΣG)²) / (k·ΣLᵢ − ΣLᵢ²) over
+    * per-treatment totals G and per-block totals L — all exact
+    * integers until one division; χ²(k−1) under H0. Incomplete blocks
+    * drop. Shape: one (block, treat) fold, then two bounded folds.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+               success: Column): DataFrame = {
+    // same persist + eager-row discipline as [[friedman]]
+    val cellsRaw = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("_b"),
+        col(treatCol).cast("string").as("_t"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val kTot = cellsRaw.agg(count_distinct(col("_t"))).head().getLong(0)
+    require(kTot >= 2, "cochranQ needs at least 2 treatments")
+    val complete = cellsRaw.groupBy("_b").agg(count(lit(1)).as("_kb"))
+      .filter(col("_kb") === kTot).select("_b")
+    val cells = cellsRaw.join(complete, "_b")
+    val perBlock = cells.groupBy("_b").agg(sum("_y").as("_l"))
+    val blockAgg = perBlock.agg(count(lit(1)).as("n_blocks"),
+      sum("_l").as("_sl"),
+      sum(col("_l").cast("decimal(38,0)") * col("_l")).as("_sl2"))
+    val treatAgg = cells.groupBy("_t").agg(sum("_y").as("_g"))
+      .agg(sum("_g").as("_sg"),
+        sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_sg2"))
+    val k = lit(kTot)
+    val qNum = (k - 1).cast("decimal(38,0)") *
+      (k * col("_sg2") - (col("_sg").cast("decimal(38,0)") *
+        col("_sg")).cast("decimal(38,0)"))
+    val qDen = k.cast("decimal(38,0)") * col("_sl") - col("_sl2")
+    val plan = blockAgg.crossJoin(broadcast(treatAgg))
+      .select(col("n_blocks"), k.as("k"),
+        when(qDen.cast("double") > 0,
+          round(qNum.cast("double") / qDen.cast("double"), 6)).as("q"))
+    val row = plan.head()
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), plan.schema)
+    } finally cellsRaw.unpersist(blocking = false)
+  }
+
+  /** Effective sample size of a weighted corpus (Kish):
+    * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
+    * weighted mixture is actually worth. The first number to check
+    * after DSIR/temperature reweighting: an ESS ratio near zero means
+    * a few documents carry the whole distribution. Non-positive
+    * weights drop (and are counted). ONE fold of exact decimal sums,
+    * two rounded closing divisions.
+    */
+  def effectiveSampleSize(df: DataFrame, weightCol: String,
+                          precision: Int = 18,
+                          scale: Int = 6): DataFrame = {
+    val w = col(weightCol).cast(s"decimal($precision,$scale)")
+    val agg = df.filter(w.isNotNull)
+      .agg(sum(when(w > 0, 1L).otherwise(0L)).as("n"),
+        sum(when(w <= 0, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(w > 0, w)).as("_sw"),
+        sum(when(w > 0, (w * w).cast("decimal(38,12)"))).as("_sw2"))
+    val ess = (col("_sw").cast("double") * col("_sw").cast("double")) /
+      col("_sw2").cast("double")
+    agg.select(col("n"), col("n_dropped"),
+      when(col("n") > 0, round(ess, 6)).as("ess"),
+      when(col("n") > 0, round(ess / col("n"), 6)).as("ess_ratio"))
+  }
+
   /** 2×2 odds ratio with the Woolf log-interval — the epidemiology/
     * feature-screen readout (exposure × outcome): OR = ad/bc,
     * CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)). Any empty cell yields

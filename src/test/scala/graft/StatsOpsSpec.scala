@@ -1036,6 +1036,71 @@ class AllocateBudgetSpec extends SparkSpecBase {
     assert(out(20.0).isNullAt(out(20.0).fieldIndex("mean_excess")))
   }
 
+  test("ksUniform: exact discrete-jump distances against the uniform CDF") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // (0.25, 0.5, 0.75) on U(0,1): D+ = 1 - 0.75 = 0.25 at the top
+    // point, D- = 0.25 - 0 at the bottom
+    val df = Seq(0.25, 0.5, 0.75).toDF("v")
+    val r = Stats.ksUniform(df, "v", 0.0, 1.0).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("d_plus") == 0.25)
+    assert(r.getAs[Double]("d_minus") == 0.25)
+    assert(r.getAs[Double]("sqrt_n_d") == r6(math.sqrt(3.0) * 0.25))
+    // the centered lattice is as uniform as 4 points get: D = 1/8
+    val lat = Seq(0.125, 0.375, 0.625, 0.875).toDF("v")
+    assert(Stats.ksUniform(lat, "v", 0.0, 1.0)
+      .head().getAs[Double]("d") == 0.125)
+  }
+
+  test("friedman: textbook maximal-disagreement blocks; incomplete blocks drop") {
+    // 4 complete blocks always ranking a<b<c -> chi2 = 8 (the k=3, n=4
+    // maximum); block 5 lacks b,c and must drop
+    val rows = (1 to 4).flatMap(b =>
+      Seq((b.toLong, "a", 1.0), (b.toLong, "b", 2.0), (b.toLong, "c", 3.0))) :+
+      ((5L, "a", 9.0))
+    val df = rows.toDF("b", "t", "v")
+    val r = Stats.friedman(df, "b", "t", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    // all-tied blocks: zero denominator -> NULL chi2, never a crash
+    val tied = (1 to 3).flatMap(b =>
+      Seq((b.toLong, "a", 1.0), (b.toLong, "b", 1.0))).toDF("b", "t", "v")
+    val z = Stats.friedman(tied, "b", "t", "v").head()
+    assert(z.isNullAt(z.fieldIndex("chi2")))
+  }
+
+  test("cochranQ: textbook 3x4 binary table; incomplete blocks drop") {
+    // y rows (1,1,0),(1,0,0),(1,1,1),(0,0,0): G=(3,2,1), L=(2,1,3,0)
+    // -> Q = 2*(3*14-36)/(3*6-14) = 12/4 = 3
+    val y = Map((1, "a") -> 60, (1, "b") -> 70, (1, "c") -> 10,
+      (2, "a") -> 55, (2, "b") -> 5, (2, "c") -> 5,
+      (3, "a") -> 90, (3, "b") -> 80, (3, "c") -> 70,
+      (4, "a") -> 10, (4, "b") -> 20, (4, "c") -> 30)
+    val rows = y.toSeq.map { case ((b, t), v) => (b.toLong, t, v.toDouble) } :+
+      ((9L, "a", 99.0)) // incomplete block
+    val df = rows.toDF("b", "t", "v")
+    val r = Stats.cochranQ(df, "b", "t", col("v") >= 50).head()
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("q") == 3.0)
+  }
+
+  test("effectiveSampleSize: uniform weights keep full ESS; skew collapses it") {
+    val uni = Seq(1.0, 1.0, 1.0, 1.0).toDF("w")
+    val u = Stats.effectiveSampleSize(uni, "w").head()
+    assert(u.getAs[Double]("ess") == 4.0)
+    assert(u.getAs[Double]("ess_ratio") == 1.0)
+    // one dominant weight: ESS ~ 1; zero/negative weights drop, counted
+    val skew = Seq(10.0, 0.1, 0.0, -3.0).toDF("w")
+    val s = Stats.effectiveSampleSize(skew, "w").head()
+    assert(s.getAs[Long]("n") == 2L && s.getAs[Long]("n_dropped") == 2L)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(s.getAs[Double]("ess") == r6(10.1 * 10.1 / 100.01))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
