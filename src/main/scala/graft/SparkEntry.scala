@@ -3052,6 +3052,28 @@ object SparkEntry {
     "q_ess" -> ((s, dir) =>
       Stats.effectiveSampleSize(Tables.events(s, dir), "value")),
 
+    // ---- ECE/MCE scalar rollup of the calibration table ----
+    "q_ece" -> ((s, dir) =>
+      Eval.expectedCalibrationError(
+        t(s, dir, "lineitem").select(
+          (col("l_discount") * 10).as("score"), col("l_returnflag")),
+        "score", col("l_returnflag") === "R")),
+
+    // ---- one-way ICC(1,1): is quantity variance the ORDER or the
+    //      line (continuous-scale agreement) ----
+    "q_icc" -> ((s, dir) =>
+      Stats.icc(t(s, dir, "lineitem"), "l_orderkey", "l_quantity")),
+
+    // ---- Wald–Wolfowitz runs test on the daily event-count series:
+    //      randomness screen over the pre-aggregated bounded series ----
+    "q_runs_test" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      Stats.runsTest(daily, "d", col("c") >= 333)
+    }),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8649,6 +8671,103 @@ object SparkEntry {
         |    * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE) / n, 6)
         |  END AS ess_ratio
         |FROM a""".stripMargin,
+
+    // ECE truth: same equal-width bins, 6 dp gap terms into an exact
+    // decimal sum, one closing division
+    "q_ece" ->
+      """WITH b AS (SELECT least(CAST(floor(
+        |      CAST(l_discount * 10 AS DECIMAL(9,6)) * 10) AS BIGINT),
+        |      9) AS bin,
+        |    CAST(l_discount * 10 AS DECIMAL(9,6)) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE CAST(l_discount * 10 AS DECIMAL(9,6)) IS NOT NULL),
+        |g AS (SELECT bin, count(*) AS n, SUM(y) AS p, SUM(s) AS c
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT n,
+        |    abs(CAST(p AS DOUBLE) / n - CAST(c AS DOUBLE) / n) AS gap
+        |  FROM g)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  round(CAST(SUM(CAST(round(gap * n, 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE) / SUM(n), 6) AS ece,
+        |  max(round(gap, 6)) AS mce
+        |FROM t""".stripMargin,
+
+    // ICC truth: per-block exact decimal moments, 6 dp between/within
+    // terms into exact decimal sums, k0-corrected closing expression
+    "q_icc" ->
+      """WITH per AS (SELECT l_orderkey AS b,
+        |    CAST(count(*) AS BIGINT) AS ni,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS si,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS qi
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(ni) AS BIGINT) AS n_ratings, SUM(si) AS s,
+        |    SUM(CAST(ni AS HUGEINT) * ni) AS n2,
+        |    SUM(CAST(round(CAST(qi AS DOUBLE)
+        |      - CAST(CAST(si * si AS DECIMAL(38,4)) AS DOUBLE) / ni, 6)
+        |      AS DECIMAL(28,6))) AS ssw,
+        |    SUM(CAST(round(CAST(CAST(si * si AS DECIMAL(38,4))
+        |      AS DOUBLE) / ni, 6) AS DECIMAL(28,6))) AS sb
+        |  FROM per),
+        |f AS (SELECT *,
+        |    (CAST(sb AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n_ratings AS DOUBLE))
+        |      / (CAST(n_blocks AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS msb,
+        |    CAST(ssw AS DOUBLE) / (CAST(n_ratings AS DOUBLE)
+        |      - CAST(n_blocks AS DOUBLE)) AS msw,
+        |    (CAST(n_ratings AS DOUBLE) - CAST(n2 AS DOUBLE)
+        |      / CAST(n_ratings AS DOUBLE))
+        |      / (CAST(n_blocks AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS k0
+        |  FROM a)
+        |SELECT n_blocks, n_ratings,
+        |  CASE WHEN n_blocks >= 2 THEN round(msb, 6) END AS msb,
+        |  CASE WHEN n_ratings > n_blocks THEN round(msw, 6) END AS msw,
+        |  CASE WHEN n_blocks >= 2 AND n_ratings > n_blocks
+        |    AND abs(msb + (k0 - CAST(1.0 AS DOUBLE)) * msw) > 0.0
+        |    THEN round((msb - msw)
+        |      / (msb + (k0 - CAST(1.0 AS DOUBLE)) * msw), 6) END AS icc1
+        |FROM f""".stripMargin,
+
+    // runs-test truth: same daily series, lag sign changes, exact
+    // integer counts into the closing fixed-order doubles
+    "q_runs_test" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |s AS (SELECT d, CASE WHEN c >= 333 THEN 1 ELSE 0 END AS sg,
+        |    lag(CASE WHEN c >= 333 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY d) AS pv
+        |  FROM d),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND pv <> sg THEN 1
+        |      ELSE 0 END) + 1 AS BIGINT) AS runs
+        |  FROM s),
+        |f AS (SELECT *,
+        |    CAST(2.0 AS DOUBLE) * n1 * n0 / (CAST(n1 AS DOUBLE) + n0)
+        |      + CAST(1.0 AS DOUBLE) AS mu,
+        |    CAST(2.0 AS DOUBLE) * n1 * n0 * (CAST(2.0 AS DOUBLE) * n1
+        |      * n0 - (CAST(n1 AS DOUBLE) + n0))
+        |      / ((CAST(n1 AS DOUBLE) + n0) * (CAST(n1 AS DOUBLE) + n0)
+        |        * ((CAST(n1 AS DOUBLE) + n0) - CAST(1.0 AS DOUBLE)))
+        |      AS sig2
+        |  FROM a)
+        |SELECT n1, n0, runs,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN round(mu, 6) END
+        |    AS expected_runs,
+        |  CASE WHEN n1 > 0 AND n0 > 0 AND sig2 > 0
+        |    THEN round((CAST(runs AS DOUBLE) - mu) / sqrt(sig2), 6)
+        |  END AS z
+        |FROM f""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -467,6 +467,35 @@ object Eval {
     }.toSeq.toDF("score", "n", "pos", "raw_rate", "iso_rate")
   }
 
+  /** Expected / Maximum Calibration Error — the scalar the
+    * [[calibration]] table rolls up to and the number every model card
+    * reports: ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |·|.
+    * Same equal-width bins as [[calibration]]. One grouped fold, the
+    * bin gaps quantized at 6 dp into an exact decimal sum, two rounded
+    * outputs.
+    */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+                               label: Column,
+                               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val s = col(scoreCol).cast("decimal(9,6)")
+    val bin = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    val bins = df.filter(s.isNotNull)
+      .select(bin.as("bin"), s.as("_s"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"), sum("_s").as("_c"))
+    val gap = abs(col("_p").cast("double") / col("_n") -
+      col("_c").cast("double") / col("_n"))
+    bins
+      .select(col("_n"), (round(gap * col("_n"), 6))
+        .cast("decimal(28,6)").as("_t"), round(gap, 6).as("_g"))
+      .agg(sum("_n").cast("long").as("n"),
+        count(lit(1)).as("n_bins_used"),
+        round(sum("_t").cast("double") / sum("_n"), 6).as("ece"),
+        max("_g").as("mce"))
+  }
+
   /** Group-fairness readout for a binary classifier gate: per group the
     * selection rate (demographic parity), base rate, TPR and FPR
     * (equalized odds), the parity gap against the overall selection

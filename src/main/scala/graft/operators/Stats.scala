@@ -3134,6 +3134,87 @@ object Stats {
     } finally cellsRaw.unpersist(blocking = false)
   }
 
+  /** One-way intraclass correlation ICC(1,1) — "how much of the rating
+    * variance is the SUBJECT rather than the rater/noise": the
+    * continuous-scale agreement companion to [[cohensKappa]] (labels)
+    * and [[cronbachAlpha]] (items). Unbalanced groups handled by the
+    * standard k₀ correction. Returns (n_blocks, n_ratings, msb, msw,
+    * icc1); NULL icc when the denominator vanishes.
+    *
+    * Shape: one per-block fold of exact decimal moments, per-block
+    * between/within terms quantized at 6 dp into exact decimal sums,
+    * fixed-order closing doubles.
+    */
+  def icc(df: DataFrame, blockCol: String, valueCol: String,
+          precision: Int = 18, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val per = df.filter(col(blockCol).isNotNull && v.isNotNull)
+      .groupBy(col(blockCol).as("_b"))
+      .agg(count(lit(1)).as("_ni"), sum(v).as("_si"),
+        sum((v * v).cast("decimal(38,4)")).as("_qi"))
+      .filter(col("_ni") >= 1)
+    // within term: Qᵢ − Sᵢ²/nᵢ; between raw term: Sᵢ²/nᵢ (SSB closes
+    // against the grand total)
+    val s2n = (col("_si") * col("_si")).cast("decimal(38,4)")
+      .cast("double") / col("_ni")
+    val agg = per.agg(
+      count(lit(1)).as("n_blocks"),
+      sum("_ni").cast("long").as("n_ratings"),
+      sum("_si").as("_s"),
+      sum(col("_ni").cast("decimal(38,0)") * col("_ni")).as("_n2"),
+      sum(round(col("_qi").cast("double") - s2n, 6)
+        .cast("decimal(28,6)")).as("_ssw"),
+      sum(round(s2n, 6).cast("decimal(28,6)")).as("_sb"))
+    val nD = col("n_ratings").cast("double")
+    val nb = col("n_blocks").cast("double")
+    val ssb = col("_sb").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD
+    val msb = ssb / (nb - lit(1.0))
+    val msw = col("_ssw").cast("double") / (nD - nb)
+    val k0 = (nD - col("_n2").cast("double") / nD) / (nb - lit(1.0))
+    val icc1 = (msb - msw) / (msb + (k0 - lit(1.0)) * msw)
+    agg.select(col("n_blocks"), col("n_ratings"),
+      when(col("n_blocks") >= 2, round(msb, 6)).as("msb"),
+      when(col("n_ratings") > col("n_blocks"), round(msw, 6)).as("msw"),
+      when(col("n_blocks") >= 2 && col("n_ratings") > col("n_blocks") &&
+        abs(msb + (k0 - lit(1.0)) * msw) > lit(0.0),
+        round(icc1, 6)).as("icc1"))
+  }
+
+  /** Wald–Wolfowitz runs test on a PRE-AGGREGATED ordered series (the
+    * [[cusum]] contract: the caller collapses the corpus to one row
+    * per t first, so the ordered window runs over a bounded table):
+    * are the above/below-`above` signs randomly interleaved, or does
+    * the sequence trend/cluster? R runs among n₁ above and n₀ below;
+    * z = (R − μ)/σ with μ = 2n₁n₀/n + 1. The cheap shuffle-quality /
+    * trend screen before trusting "randomized" order.
+    *
+    * Exact integers until the closing fixed-order doubles; ties with
+    * the threshold count as above (documented convention).
+    */
+  def runsTest(df: DataFrame, tCol: String, above: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.orderBy(tCol)
+    val signed = df.filter(col(tCol).isNotNull)
+      .select(col(tCol), when(above, 1L).otherwise(0L).as("_s"))
+      .withColumn("_prev", lag(col("_s"), 1).over(byT))
+    val agg = signed.agg(
+      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n0"),
+      (sum(when(col("_prev").isNotNull && col("_prev") =!= col("_s"), 1L)
+        .otherwise(0L)) + 1).cast("long").as("runs"))
+    val n1 = col("n1").cast("double")
+    val n0 = col("n0").cast("double")
+    val n = n1 + n0
+    val mu = lit(2.0) * n1 * n0 / n + lit(1.0)
+    val sig2 = lit(2.0) * n1 * n0 * (lit(2.0) * n1 * n0 - n) /
+      (n * n * (n - lit(1.0)))
+    agg.select(col("n1"), col("n0"), col("runs"),
+      when(col("n1") > 0 && col("n0") > 0, round(mu, 6)).as("expected_runs"),
+      when(col("n1") > 0 && col("n0") > 0 && sig2 > 0,
+        round((col("runs").cast("double") - mu) / sqrt(sig2), 6)).as("z"))
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

@@ -348,6 +348,24 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(d("g2").isNullAt(d("g2").fieldIndex("fpr")))
   }
 
+  test("expectedCalibrationError: hand bins, weighted gap rollup, MCE") {
+    // bin0: conf 0, acc 0.5 (gap 0.5, n=2); bin9: conf 0.95, acc 1
+    // (gap 0.05, n=2) -> ECE = (2*0.5 + 2*0.05)/4 = 0.275, MCE = 0.5
+    val df = Seq((0.0, 1), (0.0, 0), (0.95, 1), (0.95, 1))
+      .toDF("score", "y")
+    val r = Eval.expectedCalibrationError(df, "score", col("y") === 1)
+      .head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_bins_used") == 2L)
+    assert(r.getAs[Double]("ece") == 0.275)
+    assert(r.getAs[Double]("mce") == 0.5)
+    // a perfectly calibrated constant scorer: ECE exactly 0
+    val cal = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "y")
+    assert(Eval.expectedCalibrationError(cal, "score", col("y") === 1)
+      .head().getAs[Double]("ece") == 0.0)
+  }
+
   test("tripletMining: hardest positive is min-cos, hardest negative max-cos, ties to smaller id") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),    // anchor, label A

@@ -1101,6 +1101,39 @@ class AllocateBudgetSpec extends SparkSpecBase {
     assert(s.getAs[Double]("ess") == r6(10.1 * 10.1 / 100.01))
   }
 
+  test("icc: perfect block separation reads 1; pure noise reads the -1/(k-1) floor") {
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0))
+      .toDF("b", "v")
+    val s = Stats.icc(sep, "b", "v").head()
+    assert(s.getAs[Double]("msw") == 0.0)
+    assert(s.getAs[Double]("icc1") == 1.0)
+    // identical block means, all variance within: icc = -1/(k0-1) = -1
+    val noise = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0))
+      .toDF("b", "v")
+    val n = Stats.icc(noise, "b", "v").head()
+    assert(n.getAs[Double]("msb") == 0.0)
+    assert(n.getAs[Double]("icc1") == -1.0)
+  }
+
+  test("runsTest: alternation inflates runs, clustering deflates, exact z") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val alt = Seq((1, 1), (2, 0), (3, 1), (4, 0)).toDF("t", "s")
+    val a = Stats.runsTest(alt, "t", col("s") === 1).head()
+    assert(a.getAs[Long]("runs") == 4L)
+    assert(a.getAs[Double]("expected_runs") == 3.0)
+    val sig = math.sqrt(2.0 * 2 * 2 * (2.0 * 2 * 2 - 4) / (4.0 * 4 * 3))
+    assert(a.getAs[Double]("z") == r6((4.0 - 3.0) / sig))
+    val clu = Seq((1, 1), (2, 1), (3, 0), (4, 0)).toDF("t", "s")
+    val c = Stats.runsTest(clu, "t", col("s") === 1).head()
+    assert(c.getAs[Long]("runs") == 2L)
+    assert(c.getAs[Double]("z") == r6((2.0 - 3.0) / sig))
+    // one-sided series: no variance -> NULL z
+    val one = Seq((1, 1), (2, 1)).toDF("t", "s")
+    val o = Stats.runsTest(one, "t", col("s") === 1).head()
+    assert(o.isNullAt(o.fieldIndex("z")))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
