@@ -3074,6 +3074,34 @@ object SparkEntry {
       Stats.runsTest(daily, "d", col("c") >= 333)
     }),
 
+    // ---- order-statistic median CI (one pass, no resampling) ----
+    "q_median_ci" -> ((s, dir) =>
+      Stats.quantileCI(t(s, dir, "customer"), "c_acctbal")),
+
+    // ---- Jarque–Bera normality screen of quantities ----
+    "q_jarque_bera" -> ((s, dir) =>
+      Stats.jarqueBera(t(s, dir, "lineitem"), "l_quantity")),
+
+    // ---- Ljung–Box portmanteau over the first 5 daily-count ACF
+    //      lags: any autocorrelation left? ----
+    "q_ljung_box" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.ljungBox(daily, "t", "v", maxLag = 5)
+    }),
+
+    // ---- entropy rate of the event-type Markov chain: how scripted
+    //      is the next action given the current one ----
+    "q_entropy_rate" -> ((s, dir) =>
+      EventAnalytics.entropyRate(Tables.events(s, dir))),
+
+    // ---- CART-stump best split of discount against returns ----
+    "q_best_split" -> ((s, dir) =>
+      Classifier.bestSplit(t(s, dir, "lineitem"), "l_discount",
+        col("l_returnflag") === "R")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8768,6 +8796,171 @@ object SparkEntry {
         |    THEN round((CAST(runs AS DOUBLE) - mu) / sqrt(sig2), 6)
         |  END AS z
         |FROM f""".stripMargin,
+
+    // median-CI truth: same exact-decimal point ranks, same normal-
+    // approximated band ranks, order stats off one cumulative window
+    "q_median_ci" ->
+      """WITH c AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS v,
+        |    count(*) AS cc
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM c),
+        |r AS (SELECT g.n,
+        |    greatest(1, least(g.n, CAST(ceil(CAST(0.5 AS DECIMAL(3,2))
+        |      * g.n) AS BIGINT))) AS k1,
+        |    greatest(1, least(g.n, CAST(floor(CAST(0.5 AS DECIMAL(3,2))
+        |      * g.n + 1) AS BIGINT))) AS k2,
+        |    greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * g.n
+        |      - sqrt(g.n * CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |        - CAST(0.5 AS DOUBLE))) * CAST(1.959964 AS DOUBLE))
+        |      AS BIGINT)) AS lo,
+        |    least(g.n, CAST(ceil(CAST(0.5 AS DOUBLE) * g.n
+        |      + sqrt(g.n * CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |        - CAST(0.5 AS DOUBLE))) * CAST(1.959964 AS DOUBLE))
+        |      AS BIGINT)) AS hi
+        |  FROM g),
+        |w AS (SELECT v, SUM(cc) OVER (ORDER BY v) AS cw FROM c),
+        |s AS (SELECT r.n, r.lo, r.hi,
+        |    MIN(CASE WHEN cw >= r.k1 THEN v END) AS p1,
+        |    MIN(CASE WHEN cw >= r.k2 THEN v END) AS p2,
+        |    MIN(CASE WHEN cw >= r.lo THEN v END) AS vlo,
+        |    MIN(CASE WHEN cw >= r.hi THEN v END) AS vhi
+        |  FROM w, r GROUP BY 1, 2, 3)
+        |SELECT n, CAST(0.5 AS DOUBLE) AS q,
+        |  round((CAST(p1 AS DOUBLE) + CAST(p2 AS DOUBLE)) / 2.0, 6)
+        |    AS point,
+        |  lo AS lo_rank, hi AS hi_rank,
+        |  CAST(vlo AS DOUBLE) AS ci_lo, CAST(vhi AS DOUBLE) AS ci_hi
+        |FROM s""".stripMargin,
+
+    // Jarque–Bera truth: one pass of exact decimal power sums, central
+    // moments and the statistic in the same operation order
+    "q_jarque_bera" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS s2,
+        |    SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+        |      AS s3,
+        |    SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |      * CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |      AS DECIMAL(38,8))) AS s4
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM a),
+        |cm AS (SELECT n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - CAST(3.0 AS DOUBLE) * mu * r2
+        |      + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+        |    r4 - CAST(4.0 AS DOUBLE) * mu * r3
+        |      + CAST(6.0 AS DOUBLE) * mu * mu * r2
+        |      - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |f AS (SELECT n, m2, m3 / sqrt(m2 * m2 * m2) AS sk,
+        |    m4 / (m2 * m2) - CAST(3.0 AS DOUBLE) AS ku
+        |  FROM cm)
+        |SELECT n,
+        |  CASE WHEN m2 > 0 THEN round(sk, 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(ku, 6) END AS ex_kurtosis,
+        |  CASE WHEN m2 > 0 AND n >= 4 THEN
+        |    round(CAST(n AS DOUBLE) / CAST(6.0 AS DOUBLE)
+        |      * (sk * sk + ku * ku / CAST(4.0 AS DOUBLE)), 6) END AS jb
+        |FROM f""".stripMargin,
+
+    // Ljung–Box truth: the acf oracle's r_k rolled up with 9 dp terms
+    "q_ljung_box" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t, count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(SUM(v) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS p FROM d),
+        |l AS (SELECT CAST(gs AS BIGINT) AS lag
+        |  FROM generate_series(1, 5) AS t2(gs)),
+        |pr AS (SELECT l.lag, count(*) AS n_pairs,
+        |    CAST(SUM(a.v) AS DOUBLE) AS sa, CAST(SUM(b.v) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS DOUBLE) AS pp
+        |  FROM d a JOIN l ON true JOIN d b ON b.t = a.t + l.lag
+        |  GROUP BY 1),
+        |r AS (SELECT lag,
+        |    CASE WHEN p - s * s / n > 0.0 THEN
+        |      round((pp - s / n * (sa + sb) + n_pairs * (s / n) * (s / n))
+        |        / (p - s * s / n), 6)
+        |    END AS r
+        |  FROM pr, g),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |t AS (SELECT SUM(CAST(round(r * r / (nn.n - lag), 9)
+        |      AS DECIMAL(28,9))) AS ts, CAST(count(*) AS BIGINT) AS nr
+        |  FROM r, nn WHERE r IS NOT NULL)
+        |SELECT nn.n, CAST(5 AS BIGINT) AS max_lag,
+        |  CASE WHEN t.nr >= 5 THEN round(CAST(nn.n AS DOUBLE)
+        |    * (nn.n + 2) * CAST(t.ts AS DOUBLE), 6) END AS q_stat
+        |FROM nn, t""".stripMargin,
+
+    // entropy-rate truth: per-user lead pairs, bounded transition
+    // table, 9 dp terms, exp of the rounded rate
+    "q_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nx
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS a, nx AS b,
+        |    CAST(count(*) AS BIGINT) AS cab
+        |  FROM e WHERE nx IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM p
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(cab) AS BIGINT) AS tot FROM p),
+        |tm AS (SELECT SUM(CAST(round(CAST(cab AS DOUBLE) / tt.tot
+        |      * ln(CAST(ca AS DOUBLE) / cab), 9) AS DECIMAL(28,9))) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_cells
+        |  FROM p JOIN ra USING (a), tt)
+        |SELECT tt.tot AS n_transitions, tm.n_cells,
+        |  round(CAST(tm.s AS DOUBLE), 6) AS entropy_rate_nats,
+        |  round(exp(round(CAST(tm.s AS DOUBLE), 6)), 6) AS perplexity
+        |FROM tt, tm""".stripMargin,
+
+    // best-split truth: distinct-value CDF, the same 9 dp weighted-
+    // impurity expression, argmin with the smaller-split tie-break
+    "q_best_split" ->
+      """WITH c AS (SELECT CAST(l_discount AS DOUBLE) AS v,
+        |    count(*) AS cc,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pp
+        |  FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cc) AS BIGINT) AS n,
+        |    CAST(SUM(pp) AS BIGINT) AS p FROM c),
+        |w AS (SELECT v, CAST(SUM(cc) OVER (ORDER BY v) AS BIGINT) AS nl,
+        |    CAST(SUM(pp) OVER (ORDER BY v) AS BIGINT) AS pl FROM c),
+        |s AS (SELECT v, nl, round(
+        |    CAST(nl AS DOUBLE) / g.n * (CAST(1.0 AS DOUBLE)
+        |      - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+        |      - (CAST(1.0 AS DOUBLE) - CAST(pl AS DOUBLE) / nl)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(pl AS DOUBLE) / nl))
+        |    + CAST(g.n - nl AS DOUBLE) / g.n * (CAST(1.0 AS DOUBLE)
+        |      - (CAST(g.p - pl AS DOUBLE) / (g.n - nl))
+        |        * (CAST(g.p - pl AS DOUBLE) / (g.n - nl))
+        |      - (CAST(1.0 AS DOUBLE) - CAST(g.p - pl AS DOUBLE)
+        |          / (g.n - nl))
+        |        * (CAST(1.0 AS DOUBLE) - CAST(g.p - pl AS DOUBLE)
+        |          / (g.n - nl))), 9) AS gini
+        |  FROM w, g WHERE nl < g.n),
+        |f AS (SELECT v AS split_value, nl AS n_left, gini AS gini_split
+        |  FROM s ORDER BY gini, v LIMIT 1),
+        |b AS (SELECT n, round(CAST(1.0 AS DOUBLE)
+        |    - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+        |    - (CAST(1.0 AS DOUBLE) - CAST(p AS DOUBLE) / n)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(p AS DOUBLE) / n), 9)
+        |    AS gini_base FROM g)
+        |SELECT f.split_value, f.n_left, b.n - f.n_left AS n_right,
+        |  f.gini_split, b.gini_base,
+        |  round(b.gini_base - f.gini_split, 9) AS gini_gain
+        |FROM f, b""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

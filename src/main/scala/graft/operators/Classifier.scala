@@ -115,4 +115,70 @@ object Classifier {
                       w: Array[Double]): DataFrame =
     df.select(col(idCol), marginCol(col(vecCol), w).as("margin"),
       (marginCol(col(vecCol), w) > 0).as("pred"))
+
+  /** Best single split of a numeric feature against a binary label —
+    * the CART stump / feature-screening primitive: over every distinct
+    * feature value v, the weighted Gini impurity of the partition
+    * (x ≤ v | x > v), returning the argmin split with both the split
+    * and baseline impurities (their gap is the feature's one-split
+    * usefulness).
+    *
+    * Shape: one fold to the distinct-value table, cumulative
+    * pos/count windows over it, a TakeOrdered(1) argmin — the corpus
+    * never sorts, candidates = distinct values (pre-bin wide-
+    * cardinality features; the guard names it). Impurities quantize at
+    * 9 dp so the argmin tie-breaks identically (then toward the
+    * smaller split) in any engine.
+    */
+  def bestSplit(df: DataFrame, featureCol: String, label: Column,
+                maxCandidates: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(featureCol).cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(v.as("_v"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(label, 1L).otherwise(0L)).as("_p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = cells.agg(count(lit(1)).as("k"), sum("_c").as("n"),
+        sum("_p").as("p")).head()
+      val (k, n, p) = (g.getLong(0), g.getLong(1), g.getLong(2))
+      require(k <= maxCandidates,
+        s"bestSplit: $k distinct values > maxCandidates=$maxCandidates " +
+          "— bin the feature first (quantile_bins / floor(v/width))")
+      require(k >= 2, "bestSplit needs at least 2 distinct values")
+      val cum = Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def gini(pos: Column, cnt: Column): Column = {
+        val pr = pos.cast("double") / cnt
+        lit(1.0) - pr * pr - (lit(1.0) - pr) * (lit(1.0) - pr)
+      }
+      val nl = sum("_c").over(cum)
+      val pl = sum("_p").over(cum)
+      val nr = lit(n) - nl
+      val pr = lit(p) - pl
+      val weighted = round(
+        nl.cast("double") / lit(n.toDouble) * gini(pl, nl) +
+          nr.cast("double") / lit(n.toDouble) * gini(pr, nr), 9)
+      val base = java.math.BigDecimal.valueOf {
+        val q = p.toDouble / n
+        1.0 - q * q - (1.0 - q) * (1.0 - q)
+      }.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+      val row = cells
+        .withColumn("_nl", nl).withColumn("_gini", weighted)
+        .filter(col("_nl") < n) // the empty right partition is no split
+        .orderBy(col("_gini"), col("_v"))
+        .limit(1)
+        .select(col("_v"), col("_nl"), col("_gini"))
+        .head()
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((row.getDouble(0), row.getLong(1), n - row.getLong(1),
+        row.getDouble(2), base,
+        java.math.BigDecimal.valueOf(base - row.getDouble(2))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue))
+        .toDF("split_value", "n_left", "n_right", "gini_split",
+          "gini_base", "gini_gain")
+    } finally { cells.unpersist(blocking = false) }
+  }
 }

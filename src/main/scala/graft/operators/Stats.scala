@@ -3215,6 +3215,141 @@ object Stats {
         round((col("runs").cast("double") - mu) / sqrt(sig2), 6)).as("z"))
   }
 
+  /** Distribution-free quantile confidence interval from ORDER
+    * STATISTICS (the binomial argument, normal-approximated ranks):
+    * for quantile q, the interval [x₍ₗₒ₎, x₍ₕᵢ₎] with
+    * lo = ⌈nq − z√(nq(1−q))⌉ and hi = ⌈nq + z√(nq(1−q))⌉ covers the
+    * true quantile at ~conf level — no resampling, no normality of the
+    * DATA assumed, and unlike a bootstrap it needs ONE pass. The
+    * point estimate averages the two middle order stats (the
+    * [[hodgesLehmannShift]] convention).
+    *
+    * Shape: one fold to the distinct-value table, one count action for
+    * the ranks, then the three order statistics read off one
+    * cumulative window (conditional mins — never a global row sort).
+    * The table persists across the two uses (kendallTau lesson);
+    * the one-row result materializes eagerly.
+    */
+  def quantileCI(df: DataFrame, valueCol: String, q: Double = 0.5,
+                 zCrit: Double = 1.959964,
+                 precision: Int = 18, scale: Int = 2): DataFrame = {
+    require(q > 0 && q < 1, "q in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cells.agg(sum("_c")).head().getLong(0)
+      require(n >= 2, "quantileCI needs at least 2 rows")
+      // ranks: the point estimate's two middle ranks in exact decimal
+      // (the bootstrap-CI lesson); the z-band ranks via the normal
+      // approximation, clamped into [1, n]
+      val nq = java.math.BigDecimal.valueOf(q)
+        .multiply(java.math.BigDecimal.valueOf(n))
+      val half = math.sqrt(n * q * (1 - q)) * zCrit
+      val k1 = nq.setScale(0, java.math.RoundingMode.CEILING).longValueExact
+        .max(1L).min(n)
+      val k2 = nq.add(java.math.BigDecimal.ONE)
+        .setScale(0, java.math.RoundingMode.FLOOR).longValueExact
+        .max(1L).min(n)
+      val loR = math.max(1L, math.ceil(nq.doubleValue - half).toLong)
+      val hiR = math.min(n, math.ceil(nq.doubleValue + half).toLong)
+      val cum = Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val row = cells.withColumn("_cw", sum("_c").over(cum))
+        .agg(min(when(col("_cw") >= k1, col("_v"))).as("_p1"),
+          min(when(col("_cw") >= k2, col("_v"))).as("_p2"),
+          min(when(col("_cw") >= loR, col("_v"))).as("_lo"),
+          min(when(col("_cw") >= hiR, col("_v"))).as("_hi"))
+        .head()
+      def d(i: Int): Double = row.getDecimal(i).doubleValue
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((n, q, r6((d(0) + d(1)) / 2.0), loR, hiR, d(2), d(3)))
+        .toDF("n", "q", "point", "lo_rank", "hi_rank", "ci_lo", "ci_hi")
+    } finally { cells.unpersist(blocking = false) }
+  }
+
+  /** Jarque–Bera normality screen from one pass of exact decimal power
+    * sums: sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 (population central moments from raw sums), then
+    * JB = n/6·(g₁² + g₂²/4) ~ χ²(2) under normality — the cheap "can I
+    * use z machinery on this metric" gate. Keep `precision/scale`
+    * small enough that Σv⁴ fits decimal(38,8).
+    */
+  def jarqueBera(df: DataFrame, valueCol: String,
+                 precision: Int = 18, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val v2 = (v * v).cast("decimal(38,4)")
+    val agg = df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(v).as("_s1"),
+        sum(v2).as("_s2"),
+        sum((v2 * v).cast("decimal(38,6)")).as("_s3"),
+        sum((v2 * v2).cast("decimal(38,8)")).as("_s4"))
+    val nD = col("n").cast("double")
+    val mu = col("_s1").cast("double") / nD
+    val m2 = col("_s2").cast("double") / nD - mu * mu
+    val m3 = col("_s3").cast("double") / nD -
+      lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4").cast("double") / nD -
+      lit(4.0) * mu * (col("_s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("_s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))
+    agg.select(col("n"),
+      when(m2 > 0, round(skew, 6)).as("skewness"),
+      when(m2 > 0, round(kurt, 6)).as("ex_kurtosis"),
+      when(m2 > 0 && col("n") >= 4, round(jb, 6)).as("jb"))
+  }
+
+  /** Ljung–Box portmanteau test on a PRE-AGGREGATED ordered series
+    * (the [[cusum]]/[[acf]] contract): Q = n(n+2)·Σ_{k≤m} r_k²/(n−k)
+    * over the first m [[acf]] autocorrelations ~ χ²(m) under white
+    * noise — "is there ANY autocorrelation left", the residual check
+    * after a seasonal/Holt fit. Reuses [[acf]]'s exact-moment r_k
+    * (already 6 dp), per-lag terms quantize at 9 dp into an exact
+    * decimal sum, one closing expression. The acf collect is bounded
+    * by `maxLag`; the extra count folds the bounded series once more.
+    */
+  def ljungBox(df: DataFrame, tCol: String, valueCol: String,
+               maxLag: Int, precision: Int = 9,
+               scale: Int = 2): DataFrame = {
+    val rTab = acf(df, tCol, valueCol, maxLag, precision, scale)
+      .collect() // bounded: maxLag rows
+    val n = df
+      .filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(LimbMoments.units(valueCol, precision, scale).as("_u"))
+      .filter(col("_u").isNotNull).count()
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val terms = rTab.flatMap { r =>
+      Option(r.getAs[java.lang.Double]("r")).map { rk =>
+        val k = r.getAs[Long]("lag")
+        r9(rk.doubleValue * rk.doubleValue / (n - k))
+      }
+    }
+    val sum9 = terms.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val q: java.lang.Double =
+      if (terms.length < maxLag) null
+      else java.math.BigDecimal.valueOf(
+        n.toDouble * (n + 2) * sum9.doubleValue)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(n, maxLag.toLong, q)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("max_lag", LongType, nullable = false),
+        StructField("q_stat", DoubleType, nullable = true))))
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

@@ -882,6 +882,43 @@ class MarkovAttributionSpec extends SparkSpecBase {
     assert(r.getAs[Double]("chi2") == r6(0.25 / 0.583333))
   }
 
+  test("entropyRate: deterministic chains read zero; hand mixed case exact") {
+    def ev(u: Long, i: Long, ty: String) =
+      (u, i, new java.sql.Timestamp(i * 60000L), ty)
+    // strict a->b->a->b alternation: next state fully determined
+    val det = Seq(ev(1, 1, "a"), ev(1, 2, "b"), ev(1, 3, "a"),
+      ev(1, 4, "b")).toDF("user_id", "event_id", "ts", "event_type")
+    val d = EventAnalytics.entropyRate(det).head()
+    assert(d.getAs[Double]("entropy_rate_nats") == 0.0)
+    assert(d.getAs[Double]("perplexity") == 1.0)
+    // cells ab:2 ba:1 aa:1 -> H = .5 ln 1.5 + 0 + .25 ln 3 = 0.477386
+    val mix = Seq(ev(1, 1, "a"), ev(1, 2, "b"), ev(1, 3, "a"),
+      ev(1, 4, "b"), ev(2, 1, "a"), ev(2, 2, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val m = EventAnalytics.entropyRate(mix).head()
+    assert(m.getAs[Long]("n_transitions") == 4L)
+    assert(m.getAs[Long]("n_cells") == 3L)
+    assert(m.getAs[Double]("entropy_rate_nats") == 0.477386)
+  }
+
+  test("bestSplit: a perfectly separating value wins with zero impurity") {
+    val rows = (1 to 10).map(_ => (1.0, 0)) ++ (1 to 10).map(_ => (2.0, 1))
+    val df = rows.toDF("x", "y")
+    val r = graft.operators.Classifier.bestSplit(df, "x", col("y") === 1)
+      .head()
+    assert(r.getAs[Double]("split_value") == 1.0)
+    assert(r.getAs[Long]("n_left") == 10L && r.getAs[Long]("n_right") == 10L)
+    assert(r.getAs[Double]("gini_split") == 0.0)
+    assert(r.getAs[Double]("gini_base") == 0.5)
+    assert(r.getAs[Double]("gini_gain") == 0.5)
+    // the candidate guard names the binning remedy
+    val guard = intercept[IllegalArgumentException] {
+      graft.operators.Classifier.bestSplit(df, "x", col("y") === 1,
+        maxCandidates = 1L)
+    }
+    assert(guard.getMessage.contains("bin the feature"))
+  }
+
   test("captureRecapture: Chapman estimate on a hand-built two-sighting split") {
     // span 0..10 -> mid 5. capture1 = {1,2,3}, capture2 = {3,4}, m = {3}
     // Chapman: (3+1)(2+1)/(1+1) - 1 = 5; Seber var = 4*3*2*1/(4*3) = 2
@@ -924,7 +961,7 @@ class MarkovAttributionSpec extends SparkSpecBase {
       ev(4, "1970-01-01"), ev(4, "1970-04-11"))
       .toDF("user_id", "ts", "event_type")
     val out = EventAnalytics.nelsonAalen(df).orderBy("t").collect()
-    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(10L, 20L, 100L))
+    assert(out.map(_.getAs[Int]("t")).toSeq == Seq(10, 20, 100))
     assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 2L, 1L))
     assert(out.map(_.getAs[Double]("cum_hazard")).toSeq ==
       Seq(0.5, 1.0, 1.0))

@@ -1134,6 +1134,51 @@ class AllocateBudgetSpec extends SparkSpecBase {
     assert(o.isNullAt(o.fieldIndex("z")))
   }
 
+  test("quantileCI: order-statistic median band on 1..100") {
+    // point = (x50 + x51)/2 = 50.5; band ranks ceil(50 -/+ 1.96*5) =
+    // 41 and 60 -> CI [41, 60]
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Stats.quantileCI(df, "v").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("point") == 50.5)
+    assert(r.getAs[Long]("lo_rank") == 41L)
+    assert(r.getAs[Long]("hi_rank") == 60L)
+    assert(r.getAs[Double]("ci_lo") == 41.0)
+    assert(r.getAs[Double]("ci_hi") == 60.0)
+  }
+
+  test("jarqueBera: symmetric fixture has zero skew and the exact statistic") {
+    // (1,2,2,3): mu=2, m2=0.5, m3=0, m4=0.5 -> skew 0, ex-kurt -1,
+    // JB = 4/6 * (0 + 1/4) = 1/6
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val r = Stats.jarqueBera(df, "v").head()
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("ex_kurtosis") == -1.0)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("jb") == r6(4.0 / 6.0 * 0.25))
+    // constant column: zero variance -> NULL everything but n
+    val c = Stats.jarqueBera(Seq(5.0, 5.0, 5.0, 5.0).toDF("v"), "v").head()
+    assert(c.isNullAt(c.fieldIndex("jb")))
+  }
+
+  test("ljungBox: replays the acf rollup; a ramp is loudly autocorrelated") {
+    val ramp = (1 to 20).map(t => (t.toLong, t.toDouble)).toDF("t", "v")
+    val r = Stats.ljungBox(ramp, "t", "v", maxLag = 3).head()
+    assert(r.getAs[Long]("n") == 20L)
+    // replay: Q = n(n+2) * sum r9(r_k^2/(n-k)) over the acf op's r
+    val rs = Stats.acf(ramp, "t", "v", 3).collect()
+      .map(x => (x.getAs[Long]("lag"), x.getAs[Double]("r")))
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val s = rs.map { case (k, rk) => r9(rk * rk / (20 - k)) }
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("q_stat") == r6(20.0 * 22 * s.doubleValue))
+    assert(r.getAs[Double]("q_stat") > 10.0, "a ramp must scream")
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
