@@ -3102,6 +3102,28 @@ object SparkEntry {
       Classifier.bestSplit(t(s, dir, "lineitem"), "l_discount",
         col("l_returnflag") === "R")),
 
+    // ---- empirical-Bayes shrinkage of per-source pass rates: small
+    //      sources pull to the beta-binomial prior ----
+    "q_eb_shrinkage" -> ((s, dir) =>
+      Stats.ebShrinkage(t(s, dir, "documents"), "source",
+        col("n_chars") >= 300).orderBy("grp")),
+
+    // ---- Mantel–Haenszel OR + CMH chi2, stratified by ship year:
+    //      the Simpson-proof discount/returns association ----
+    "q_mantel_haenszel" -> ((s, dir) =>
+      Stats.mantelHaenszel(
+        t(s, dir, "lineitem").select(
+          year(col("l_shipdate")).as("yr"),
+          col("l_discount"), col("l_returnflag")),
+        "yr", col("l_discount") >= 0.05, col("l_returnflag") === "R")),
+
+    // ---- Cochran–Armitage: is the return rate MONOTONE in the
+    //      discount tier (ordered dose codes 0..10) ----
+    "q_cochran_armitage" -> ((s, dir) =>
+      Stats.cochranArmitage(t(s, dir, "lineitem"),
+        round(col("l_discount") * 100, 0),
+        col("l_returnflag") === "R")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -8961,6 +8983,110 @@ object SparkEntry {
         |  f.gini_split, b.gini_base,
         |  round(b.gini_base - f.gini_split, 9) AS gini_gain
         |FROM f, b""".stripMargin,
+
+    // EB-shrinkage truth: 9 dp group rates with exact decimal moments
+    // (width-18 operands so the square stays decimal), MoM prior and
+    // shrunk rates in the same operation order
+    "q_eb_shrinkage" ->
+      """WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT CAST(round(CAST(pos AS DOUBLE) / n, 9)
+        |    AS DECIMAL(18,9)) AS r FROM g),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS k, SUM(r) AS sr,
+        |    SUM(r * r) AS sr2 FROM r),
+        |pr AS (SELECT k,
+        |    CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+        |    CAST(k * sr2 - sr * sr AS DOUBLE)
+        |      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS v
+        |  FROM mom),
+        |p2 AS (SELECT k AS n_groups, round(m, 6) AS prior_mean,
+        |    CASE WHEN k >= 2 AND v > 0
+        |      AND m * (CAST(1.0 AS DOUBLE) - m) / v
+        |        - CAST(1.0 AS DOUBLE) > 0
+        |      THEN round((m * (CAST(1.0 AS DOUBLE) - m) / v
+        |        - CAST(1.0 AS DOUBLE)) * m, 6) END AS alpha,
+        |    CASE WHEN k >= 2 AND v > 0
+        |      AND m * (CAST(1.0 AS DOUBLE) - m) / v
+        |        - CAST(1.0 AS DOUBLE) > 0
+        |      THEN round((m * (CAST(1.0 AS DOUBLE) - m) / v
+        |        - CAST(1.0 AS DOUBLE))
+        |        * (CAST(1.0 AS DOUBLE) - m), 6) END AS beta
+        |  FROM pr)
+        |SELECT g.grp, g.n, g.pos,
+        |  round(CAST(g.pos AS DOUBLE) / g.n, 6) AS raw_rate,
+        |  p2.n_groups, p2.prior_mean, p2.alpha, p2.beta,
+        |  round((CAST(g.pos AS DOUBLE) + p2.alpha)
+        |    / (CAST(g.n AS DOUBLE) + p2.alpha + p2.beta), 6)
+        |    AS shrunk_rate
+        |FROM g, p2 ORDER BY g.grp""".stripMargin,
+
+    // MH/CMH truth: per-stratum cells, 9 dp term sums, fixed-order
+    // closing ratio and chi2
+    "q_mantel_haenszel" ->
+      """WITH c AS (SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP))
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT *, CAST(a + b + cc + d AS DOUBLE) AS n FROM c
+        |  WHERE a + b + cc + d > 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(a) AS BIGINT) AS sa,
+        |    SUM(CAST(round(CAST(a AS DOUBLE) * d / n, 9)
+        |      AS DECIMAL(28,9))) AS ad,
+        |    SUM(CAST(round(CAST(b AS DOUBLE) * cc / n, 9)
+        |      AS DECIMAL(28,9))) AS bc,
+        |    SUM(CAST(round(CAST(a + b AS DOUBLE) * (a + cc) / n, 9)
+        |      AS DECIMAL(28,9))) AS e,
+        |    SUM(CAST(round(CAST(a + b AS DOUBLE) * (cc + d) * (a + cc)
+        |      * (b + d) / (n * n * (n - CAST(1.0 AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9))) AS v
+        |  FROM t)
+        |SELECT n_strata,
+        |  CASE WHEN CAST(bc AS DOUBLE) > 0 THEN
+        |    round(CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE), 6)
+        |  END AS or_mh,
+        |  CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+        |    round((CAST(sa AS DOUBLE) - CAST(e AS DOUBLE))
+        |      * (CAST(sa AS DOUBLE) - CAST(e AS DOUBLE))
+        |      / CAST(v AS DOUBLE), 6) END AS chi2_cmh
+        |FROM s2""".stripMargin,
+
+    // Cochran–Armitage truth: integral dose codes, exact integer
+    // sums, same closing contrast
+    "q_cochran_armitage" ->
+      """WITH g AS (SELECT CAST(round(l_discount * 100, 0) AS BIGINT)
+        |      AS s,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS r,
+        |    SUM(CAST(s AS HUGEINT) * g.r) AS sr,
+        |    SUM(CAST(s AS HUGEINT) * g.n) AS sn,
+        |    SUM(CAST(s AS HUGEINT) * s * g.n) AS s2n
+        |  FROM g),
+        |f AS (SELECT *, CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar
+        |  FROM a),
+        |z AS (SELECT *,
+        |    CAST(sr AS DOUBLE) - pbar * CAST(sn AS DOUBLE) AS t,
+        |    pbar * (CAST(1.0 AS DOUBLE) - pbar)
+        |      * (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)) AS vt
+        |  FROM f)
+        |SELECT n_groups, n, r, round(pbar, 6) AS p_bar,
+        |  CASE WHEN vt > 0 THEN round(t / sqrt(vt), 6) END AS z
+        |FROM z""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

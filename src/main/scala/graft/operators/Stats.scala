@@ -3350,6 +3350,130 @@ object Stats {
         StructField("q_stat", DoubleType, nullable = true))))
   }
 
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-group rates — the fix for "this source has 3 documents and a
+    * 100% pass rate": fit Beta(α, β) to the observed group rates, then
+    * report each group's posterior mean (pos+α)/(n+α+β). Small groups
+    * pull hard toward the prior; big groups barely move. THE ranking
+    * you want before sorting sources by quality.
+    *
+    * Exactness: group rates quantize at 9 dp, their moments fold as
+    * exact decimals (rate² is exact at 18 dp), and the MoM prior plus
+    * every shrunk rate is a fixed-order double expression. When the
+    * rate variance carries no signal (v ≤ 0 or the implied α+β ≤ 0 —
+    * under-dispersed flukes), shrunk_rate is NULL and raw survives.
+    * Shape: one grouped fold, one bounded-table fold, broadcast back.
+    */
+  def ebShrinkage(df: DataFrame, groupCol: String,
+                  success: Column): DataFrame = {
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("pos"))
+    // width 18: the rate square must stay a ≤38-digit decimal in EVERY
+    // engine (a wider operand decays to double mid-oracle)
+    val rate = round(col("pos").cast("double") / col("n"), 9)
+      .cast("decimal(18,9)")
+    val mom = g.select(rate.as("_r"))
+      .agg(count(lit(1)).as("_k"), sum("_r").as("_sr"),
+        sum(col("_r") * col("_r")).as("_sr2"))
+    val kD = col("_k").cast("double")
+    val m = col("_sr").cast("double") / kD
+    val v = (col("_k") * col("_sr2") - (col("_sr") * col("_sr")))
+      .cast("double") / (kD * (kD - lit(1.0)))
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = mom.select(col("_k").as("n_groups"),
+      round(m, 6).as("prior_mean"),
+      when(col("_k") >= 2 && v > 0 && ab > 0, round(ab * m, 6))
+        .as("alpha"),
+      when(col("_k") >= 2 && v > 0 && ab > 0,
+        round(ab * (lit(1.0) - m), 6)).as("beta"))
+    g.crossJoin(broadcast(prior))
+      .select(col("grp"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
+        col("n_groups"), col("prior_mean"), col("alpha"), col("beta"),
+        round((col("pos").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")), 6)
+          .as("shrunk_rate"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + the CMH test across strata —
+    * the confounder-adjusted [[oddsRatio]]: each stratum contributes
+    * its own 2×2, so a lurking stratum variable (year, region, source)
+    * cannot manufacture or mask the association (Simpson's reversal is
+    * exactly what this guards). Returns (n_strata, or_mh, chi2_cmh) —
+    * no continuity correction, documented.
+    *
+    * Shape: one grouped fold to per-stratum cells; per-stratum terms
+    * (ad/n, bc/n, E, V) quantize at 9 dp into exact decimal sums; the
+    * closing ratio and χ² are fixed-order doubles.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     exposure: Column, outcome: Column): DataFrame = {
+    val cells = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("_s"))
+      .agg(sum(when(exposure && outcome, 1L).otherwise(0L)).as("_a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).as("_b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).as("_c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("_d"))
+    val n = (col("_a") + col("_b") + col("_c") + col("_d"))
+      .cast("double")
+    def t9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
+    val e = (col("_a") + col("_b")).cast("double") *
+      (col("_a") + col("_c")) / n
+    val v = (col("_a") + col("_b")).cast("double") *
+      (col("_c") + col("_d")) * (col("_a") + col("_c")) *
+      (col("_b") + col("_d")) / (n * n * (n - lit(1.0)))
+    val agg = cells.filter(n > 1)
+      .agg(count(lit(1)).as("n_strata"),
+        sum("_a").cast("long").as("_sa"),
+        sum(t9(col("_a").cast("double") * col("_d") / n)).as("_ad"),
+        sum(t9(col("_b").cast("double") * col("_c") / n)).as("_bc"),
+        sum(t9(e)).as("_e"), sum(t9(v)).as("_v"))
+    val dev = col("_sa").cast("double") - col("_e").cast("double")
+    agg.select(col("n_strata"),
+      when(col("_bc").cast("double") > 0,
+        round(col("_ad").cast("double") / col("_bc").cast("double"), 6))
+        .as("or_mh"),
+      when(col("_v").cast("double") > 0,
+        round(dev * dev / col("_v").cast("double"), 6)).as("chi2_cmh"))
+  }
+
+  /** Cochran–Armitage trend test: IS the success rate monotone in an
+    * ORDERED dose (discount tier, spend band, model-size bucket)? The
+    * χ² independence test ignores order and wastes its power; CA
+    * scores each group and tests the linear contrast:
+    * T = Σsᵢ(rᵢ − nᵢp̄), Var = p̄(1−p̄)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N),
+    * z = T/√Var. `scoreCol` must be integral (the natural dose codes)
+    * so every sum is EXACT until the closing doubles.
+    * ONE grouped fold to the bounded dose table, one closing fold.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      success: Column): DataFrame = {
+    val s = scoreCol.cast("long")
+    val g = df.filter(s.isNotNull)
+      .groupBy(s.as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(success, 1L).otherwise(0L)).as("_r"))
+    val agg = g.agg(count(lit(1)).as("n_groups"),
+      sum("_n").cast("long").as("n"),
+      sum("_r").cast("long").as("r"),
+      sum(col("_s").cast("decimal(38,0)") * col("_r")).as("_sr"),
+      sum(col("_s").cast("decimal(38,0)") * col("_n")).as("_sn"),
+      sum((col("_s").cast("decimal(38,0)") * col("_s"))
+        .cast("decimal(38,0)") * col("_n")).as("_s2n"))
+    val nD = col("n").cast("double")
+    val pBar = col("r").cast("double") / nD
+    val tStat = col("_sr").cast("double") -
+      pBar * col("_sn").cast("double")
+    val varT = pBar * (lit(1.0) - pBar) *
+      (col("_s2n").cast("double") -
+        col("_sn").cast("double") * col("_sn").cast("double") / nD)
+    agg.select(col("n_groups"), col("n"), col("r"),
+      round(pBar, 6).as("p_bar"),
+      when(varT > 0, round(tStat / sqrt(varT), 6)).as("z"))
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

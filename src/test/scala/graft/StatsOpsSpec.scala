@@ -840,6 +840,15 @@ class AllocateBudgetSpec extends SparkSpecBase {
       assert(out(d).getAs[Boolean]("capped"))
     }
   }
+}
+
+/** Hand-derived fixtures for the r13 extended statistics waves: effect
+  * sizes, robust location, nonparametric tests, EB shrinkage, series
+  * diagnostics, graph centrality — every expected constant worked out
+  * on paper from the closed-form definition.
+  */
+class ExtendedStatsSpec extends SparkSpecBase {
+  import spark.implicits._
 
   test("cliffsDelta: textbook ties case, total dominance, and identity") {
     // A=[1,2,3], B=[2,3,4]: wins_a=1 ((3,2)), wins_b=6, ties=2 of 9 pairs
@@ -1177,6 +1186,62 @@ class AllocateBudgetSpec extends SparkSpecBase {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     assert(r.getAs[Double]("q_stat") == r6(20.0 * 22 * s.doubleValue))
     assert(r.getAs[Double]("q_stat") > 10.0, "a ramp must scream")
+  }
+
+  test("ebShrinkage: MoM prior pulls small groups, leaves the mean fixed") {
+    // rates (.5, 0, 1, .5): m=.5, v=1/6 -> alpha=beta=0.25
+    val rows = (1 to 10).map(_ => ("A", 1)) ++ (1 to 10).map(_ => ("A", 0)) ++
+      (1 to 2).map(_ => ("B", 0)) ++ (1 to 20).map(_ => ("C", 1)) ++
+      (1 to 5).map(_ => ("D", 1)) ++ (1 to 5).map(_ => ("D", 0))
+    val out = Stats.ebShrinkage(rows.toDF("g", "y"), "g", col("y") === 1)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("A").getAs[Double]("alpha") == 0.25)
+    assert(out("A").getAs[Double]("beta") == 0.25)
+    // tiny group B (0/2) shrinks hard toward the prior mean 0.5
+    assert(out("B").getAs[Double]("raw_rate") == 0.0)
+    assert(out("B").getAs[Double]("shrunk_rate") == 0.1)
+    // a big group barely moves
+    assert(out("A").getAs[Double]("shrunk_rate") == 0.5)
+    // no rate dispersion: the prior is undefined -> NULL shrunk
+    val flat = Seq(("A", 1), ("A", 0), ("B", 1), ("B", 0)).toDF("g", "y")
+    val f = Stats.ebShrinkage(flat, "g", col("y") === 1)
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("shrunk_rate")))
+  }
+
+  test("mantelHaenszel: hand two-stratum table, pooled OR and CMH chi2") {
+    def stratum(s: Int, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1, 1)) ++ Seq.fill(b)((s, 1, 0)) ++
+        Seq.fill(c)((s, 0, 1)) ++ Seq.fill(d)((s, 0, 0))
+    val df = (stratum(1, 4, 1, 1, 4) ++ stratum(2, 1, 4, 4, 16))
+      .toDF("s", "e", "y")
+    val r = Stats.mantelHaenszel(df, "s", col("e") === 1, col("y") === 1)
+      .head()
+    assert(r.getAs[Long]("n_strata") == 2L)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    // ad/n terms: 1.6 + 0.64; bc/n: 0.1 + 0.64
+    assert(r.getAs[Double]("or_mh") == r6(2.24 / 0.74))
+    val e = r9(2.5).add(r9(1.0)).doubleValue
+    val v = r9(25.0 * 25 / (100 * 9.0)).add(r9(10000 / 15000.0)).doubleValue
+    assert(r.getAs[Double]("chi2_cmh") == r6((5.0 - e) * (5.0 - e) / v))
+  }
+
+  test("cochranArmitage: perfect dose trend; flat rates read zero") {
+    val rows = (1 to 10).map(_ => (0, 0)) ++
+      (1 to 5).map(_ => (1, 1)) ++ (1 to 5).map(_ => (1, 0)) ++
+      (1 to 10).map(_ => (2, 1))
+    val r = Stats.cochranArmitage(rows.toDF("s", "y"), col("s"),
+      col("y") === 1).head()
+    assert(r.getAs[Long]("n") == 30L && r.getAs[Long]("r") == 15L)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("z") == r6(10.0 / math.sqrt(5.0)))
+    val flat = Seq((0, 1), (0, 0), (1, 1), (1, 0)).toDF("s", "y")
+    assert(Stats.cochranArmitage(flat, col("s"), col("y") === 1)
+      .head().getAs[Double]("z") == 0.0)
   }
 
   test("hits: hand-replayed two-iteration star graph") {
