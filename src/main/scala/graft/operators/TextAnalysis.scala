@@ -1392,21 +1392,31 @@ object TextAnalysis {
         col("tk"))
       .select(col("col").as("w1"),
         element_at(col("tk"), col("pos") + 2).as("w2"))
+    // persist the bigram-type table: the three derived folds and the
+    // final join must not EACH re-run the corpus tokenize+explode (the
+    // kendallTau recompute lesson — this was a 4x corpus-scan plan).
+    // The result localCheckpoints eagerly so the persist can release;
+    // callers drop the pinned blocks with Graph.releaseGraph-style
+    // unpersist when done.
     val types = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val left = types.groupBy("w1")
-      .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow"))
-    val right = types.groupBy("w2").agg(count(lit(1)).as("n_prec"))
-    val total = types.agg(count(lit(1)).as("n_types"))
-    val d = lit(discount)
-    types.join(left, "w1").join(right, "w2")
-      .crossJoin(broadcast(total))
-      .select(col("w1"), col("w2"), col("c12"), col("c1"),
-        col("n_follow"), col("n_prec"),
-        round(
-          greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
-            d * col("n_follow").cast("double") / col("c1") *
-              (col("n_prec").cast("double") / col("n_types")), 6)
-          .as("p_kn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val left = types.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow"))
+      val right = types.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+      val total = types.agg(count(lit(1)).as("n_types"))
+      val d = lit(discount)
+      types.join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n_follow"), col("n_prec"),
+          round(
+            greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
+              d * col("n_follow").cast("double") / col("c1") *
+                (col("n_prec").cast("double") / col("n_types")), 6)
+            .as("p_kn"))
+        .localCheckpoint(eager = true)
+    } finally { types.unpersist(blocking = false) }
   }
 
   /** Distinct-n diversity (Li et al. 2016's distinct-1/2/3): for each
@@ -1419,6 +1429,12 @@ object TextAnalysis {
     * Shape: one corpus pass per n (the n-gram projection is a narrow
     * codegen transform), each collapsing map-side to an n-gram count
     * table; the ratio is one rounded double division of exact counts.
+    * Scale note: on a HIGH-ENTROPY corpus the distinct-gram table is
+    * itself corpus-sized (distinct ratio → 1), so the exact count is an
+    * unavoidable full shuffle (measured ~5x wall at 10x docs on random
+    * text). That's intrinsic to exactness — at 100 TB run the HLL
+    * sketch ([[graft.operators.Hll]]) over the same gram projection and
+    * accept ~2% error on the ratio.
     */
   def distinctN(df: DataFrame, textCol: String = "text",
                 ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {

@@ -1305,6 +1305,33 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"the k-term product must stay inside the projection, not explode rows:\n$p")
   }
 
+  test("fairnessGaps: one corpus exchange; windows run on the bounded group table") {
+    val df = spark.range(5000).select(
+      concat(lit("g"), pmod($"id", lit(7))).as("grp"),
+      ($"id" % 3 === 0).as("y"), ($"id" % 2 === 0).as("p"))
+    val p = auditPlan(graft.operators.Eval.fairnessGaps(
+      df, "grp", $"y", $"p"))
+    assert(p.split(java.util.regex.Pattern.quote(
+      "Exchange hashpartitioning(grp")).length <= 2,
+      s"the corpus must fold exactly once on the group key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("entropyRate: the only corpus sort feeds the per-user lag window") {
+    val ev = spark.range(4000).select($"id".as("event_id"),
+      ($"id" % 200).as("user_id"),
+      ($"id" * 1000L).cast("timestamp").as("ts"),
+      concat(lit("t"), pmod($"id", lit(5))).as("event_type"))
+    val p = auditPlan(graft.operators.EventAnalytics.entropyRate(ev))
+    assert(p.contains("Sort [user_id"),
+      s"the lag window must sort within user partitions:\n$p")
+    // the transition/row-total folds and the scalar total must NOT
+    // introduce another corpus-wide sort
+    assert(p.split("Sort \\[user_id").length <= 3,
+      s"only the lag window may sort the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("frequentSequences: Apriori semi-joins broadcast under the trigram count") {
     val ev = spark.range(2000).select($"id".as("event_id"),
       ($"id" % 40).as("user_id"), ($"id" * 1000).cast("timestamp").as("ts"),
