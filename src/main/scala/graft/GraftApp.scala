@@ -42,6 +42,69 @@ object GraftApp {
       .getOrCreate()
   }
 
+  /** The `evalcard` subcommand body, factored for direct spec drive:
+    * fit the deterministic logistic probe on the embeddings table
+    * (x = first 8 dims, y = sign of dim 1 — the q_quality_classifier
+    * construction), score with the calibrated sigmoid, then write the
+    * full model card: calibration bins, threshold sweep, per-class
+    * fairness gaps, isotonic remap, and an `evalcard.json` manifest
+    * with the scalars (n, auc, ece, mce, di_ratio). Every piece is one
+    * of the oracle-gated Eval operators — this just composes them and
+    * persists the evidence.
+    */
+  def runEvalCard(spark: SparkSession, input: String,
+                  out: String): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, input, "embeddings")
+      .filter(abs(element_at(col("embedding"), 1)) > 0.1f)
+      .select(col("vec_id"),
+        col("label").cast("string").as("group"),
+        slice(col("embedding"), 1, 8).cast("array<double>").as("x"),
+        (element_at(col("embedding"), 1) > 0f).cast("double").as("y"))
+    val w = graft.operators.Classifier.fitLogistic(emb, "x", "y",
+      iters = 30, lr = 5.0)
+    val scored = graft.operators.Classifier
+      .predictLogistic(emb, "vec_id", "x", w)
+      .join(emb.select(col("vec_id"), col("group"), col("y")), "vec_id")
+      .select(col("vec_id"), col("group"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"))
+      .persist()
+    try {
+      scored.count()
+      val label = col("y") === 1.0
+      graft.operators.Eval.calibration(scored, "score", label)
+        .write.mode("overwrite").parquet(s"$out/calibration.parquet")
+      graft.operators.Eval.thresholdMetrics(scored, "score", label,
+          (1 to 9).map(_ / 10.0))
+        .write.mode("overwrite").parquet(s"$out/thresholds.parquet")
+      graft.operators.Eval.fairnessGaps(scored, "group", label,
+          col("score") >= 0.5)
+        .write.mode("overwrite").parquet(s"$out/fairness.parquet")
+      graft.operators.Eval.isotonicCalibration(scored, col("score"), label)
+        .write.mode("overwrite").parquet(s"$out/isotonic.parquet")
+      val ece = graft.operators.Eval
+        .expectedCalibrationError(scored, "score", label).head()
+      val auc = graft.operators.EventAnalytics.rocAuc(
+        scored.withColumn("_g", lit("all")), "_g", "score", label)
+        .head().getAs[Double]("auc")
+      val di = spark.read.parquet(s"$out/fairness.parquet")
+        .select("di_ratio").head().getAs[Double]("di_ratio")
+      val manifest = Map(
+        "n" -> ece.getAs[Long]("n").toString,
+        "auc" -> auc.toString,
+        "ece" -> ece.getAs[Double]("ece").toString,
+        "mce" -> ece.getAs[Double]("mce").toString,
+        "di_ratio" -> di.toString)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/evalcard.json"),
+        manifest.map { case (k, v) => s"""  "$k": $v""" }
+          .mkString("{\n", ",\n", "\n}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      manifest
+    } finally scored.unpersist(blocking = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("run")
     val opts = parseArgs(args.drop(1))
@@ -162,6 +225,22 @@ object GraftApp {
           java.nio.file.Paths.get(s"$out/screen.json"),
           manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(s"secrets=$nSecrets canary_hits=$nCanary -> $out")
+      } finally spark.stop()
+      return
+    }
+    if (cmd == "evalcard") {
+      // model-card readout for a classifier over the embeddings table:
+      // fit the logistic probe, then calibration table + ECE/MCE,
+      // threshold sweep, per-class fairness gaps, isotonic remap, AUC —
+      // everything a score gate should publish before it gates anything
+      val input = opts.getOrElse("input",
+        sys.error("evalcard requires --input <dir containing embeddings.parquet>"))
+      val out = opts.getOrElse("output", "evalcard_out")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val m = runEvalCard(spark, input, out)
+        println(s"evalcard: ${m.map { case (k, v) => s"$k=$v" }.mkString(" ")} -> $out")
       } finally spark.stop()
       return
     }

@@ -204,3 +204,30 @@ class ConfigWriteSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
+
+/** End-to-end drive of the `graft evalcard` subcommand body over the
+  * real sf0.001 embeddings drop.
+  */
+class EvalCardSpec extends SparkSpecBase {
+  test("runEvalCard writes the four evidence tables and a sane manifest") {
+    val out = java.nio.file.Files
+      .createTempDirectory("evalcard").toString
+    val m = GraftApp.runEvalCard(spark, "/root/testdata/sf0.001", out)
+    // manifest scalars exist and sit in their legal ranges
+    assert(m("n").toLong > 0L)
+    val auc = m("auc").toDouble
+    assert(auc > 0.5 && auc <= 1.0, s"probe must beat chance: auc=$auc")
+    assert(m("ece").toDouble >= 0.0 && m("ece").toDouble <= 1.0)
+    assert(m("mce").toDouble >= m("ece").toDouble)
+    assert(m("di_ratio").toDouble >= 0.0 && m("di_ratio").toDouble <= 1.0)
+    // the evidence tables landed and are non-empty
+    Seq("calibration", "thresholds", "fairness", "isotonic").foreach { t =>
+      val n = spark.read.parquet(s"$out/$t.parquet").count()
+      assert(n > 0, s"$t must be non-empty")
+    }
+    // the manifest file round-trips
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/evalcard.json")), "UTF-8")
+    assert(json.contains("\"auc\"") && json.contains("\"ece\""))
+  }
+}
