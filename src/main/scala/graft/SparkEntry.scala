@@ -3124,6 +3124,35 @@ object SparkEntry {
         round(col("l_discount") * 100, 0),
         col("l_returnflag") === "R")),
 
+    // ---- seasonal/trend strength of the daily series (Hyndman Fs/Ft
+    //      over the decomposition components) ----
+    "q_seasonal_strength" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      Stats.seasonalStrength(daily, "t", "v", 7)
+    }),
+
+    // ---- partial correlation quantity~price holding discount fixed ----
+    "q_partial_corr" -> ((s, dir) =>
+      Stats.partialCorr(t(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice", "l_discount")),
+
+    // ---- Hill tail index of the top-100 account balances ----
+    "q_hill_alpha" -> ((s, dir) =>
+      Stats.hillAlpha(t(s, dir, "customer"), "c_acctbal", 100)),
+
+    // ---- Benjamini–Yekutieli adjustment of the same per-segment KS
+    //      battery as q_bh_fdr (valid under arbitrary dependence) ----
+    "q_by_fdr" -> ((s, dir) =>
+      Stats.byAdjust(
+        Stats.ksTestBy(
+          Tables.events(s, dir).withColumn("dow",
+            datediff(to_date(col("ts")), lit("1970-01-01")) % 7),
+          "dow", "event_type", "value", "click", "purchase"),
+        "p_approx", 0.05).orderBy("segment")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -9087,6 +9116,163 @@ object SparkEntry {
         |SELECT n_groups, n, r, round(pbar, 6) AS p_bar,
         |  CASE WHEN vt > 0 THEN round(t / sqrt(vt), 6) END AS z
         |FROM z""".stripMargin,
+
+    // seasonal-strength truth: the decompose oracle's component chain
+    // rolled up with exact decimal moments and Hyndman's Fs/Ft
+    "q_seasonal_strength" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |u AS (SELECT t, v,
+        |    CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS uu FROM daily),
+        |w AS (SELECT t, v,
+        |    SUM(uu) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS wsum,
+        |    COUNT(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+        |      3 FOLLOWING) AS wcnt
+        |  FROM u),
+        |tr AS (SELECT t, v, t % 7 AS slot,
+        |    CASE WHEN wcnt = 7
+        |      THEN round(CAST(wsum AS DOUBLE) / 700.0, 6) END AS trend
+        |  FROM w),
+        |det AS (SELECT *, CAST(round(v - trend, 6) AS DECIMAL(18,6)) AS dt
+        |  FROM tr),
+        |sl AS (SELECT slot, round(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 6)
+        |    AS smean
+        |  FROM det WHERE trend IS NOT NULL GROUP BY 1),
+        |c AS (SELECT round(CAST(SUM(CAST(smean AS DECIMAL(18,6)))
+        |    AS DOUBLE) / COUNT(*), 6) AS cc FROM sl),
+        |comp AS (SELECT round(smean - cc, 6) AS seasonal, trend,
+        |    CASE WHEN trend IS NOT NULL
+        |      THEN round(v - trend - round(smean - cc, 6), 6) END AS resid
+        |  FROM det LEFT JOIN sl USING (slot) CROSS JOIN c),
+        |k AS (SELECT CAST(resid AS DECIMAL(18,6)) AS r,
+        |    CAST(seasonal + resid AS DECIMAL(18,6)) AS sr,
+        |    CAST(trend + resid AS DECIMAL(18,6)) AS tr2
+        |  FROM comp WHERE resid IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(r) AS s_r, SUM(CAST(r * r AS DECIMAL(38,12))) AS q_r,
+        |    SUM(sr) AS s_s, SUM(CAST(sr * sr AS DECIMAL(38,12))) AS q_s,
+        |    SUM(tr2) AS s_t, SUM(CAST(tr2 * tr2 AS DECIMAL(38,12))) AS q_t
+        |  FROM k),
+        |f AS (SELECT n,
+        |    CAST(n * q_r - CAST(s_r * s_r AS DECIMAL(38,12)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS vr,
+        |    CAST(n * q_s - CAST(s_s * s_s AS DECIMAL(38,12)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS vs,
+        |    CAST(n * q_t - CAST(s_t * s_t AS DECIMAL(38,12)) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))) AS vt
+        |  FROM a)
+        |SELECT n, round(vr, 6) AS var_resid,
+        |  CASE WHEN n >= 2 AND vs > 0 THEN round(greatest(
+        |    CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - vr / vs), 6)
+        |  END AS f_seasonal,
+        |  CASE WHEN n >= 2 AND vt > 0 THEN round(greatest(
+        |    CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - vr / vt), 6)
+        |  END AS f_trend
+        |FROM f""".stripMargin,
+
+    // partial-correlation truth: the corr-matrix oracle's three 6 dp
+    // coefficients closed with the same fixed-order expression
+    "q_partial_corr" ->
+      """WITH c0 AS (SELECT CAST(l_quantity AS DECIMAL(19,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(19,2)) AS e,
+        |    CAST(l_discount AS DECIMAL(19,2)) AS d
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(SUM(q) AS DOUBLE) AS s_q, CAST(SUM(e) AS DOUBLE) AS s_e,
+        |  CAST(SUM(d) AS DOUBLE) AS s_d,
+        |  CAST(SUM(q * q) AS DOUBLE) AS p_qq,
+        |  CAST(SUM(q * e) AS DOUBLE) AS p_qe,
+        |  CAST(SUM(q * d) AS DOUBLE) AS p_qd,
+        |  CAST(SUM(e * e) AS DOUBLE) AS p_ee,
+        |  CAST(SUM(e * d) AS DOUBLE) AS p_ed,
+        |  CAST(SUM(d * d) AS DOUBLE) AS p_dd
+        |  FROM c0),
+        |r AS (SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * p_qe - s_q * s_e) / (sqrt(n * p_qq - s_q * s_q)
+        |    * sqrt(n * p_ee - s_e * s_e)), 6) AS rxy,
+        |  round((n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q)
+        |    * sqrt(n * p_dd - s_d * s_d)), 6) AS rxz,
+        |  round((n * p_ed - s_e * s_d) / (sqrt(n * p_ee - s_e * s_e)
+        |    * sqrt(n * p_dd - s_d * s_d)), 6) AS ryz
+        |  FROM m)
+        |SELECT n, rxy AS r_xy, rxz AS r_xz, ryz AS r_yz,
+        |  CASE WHEN abs(rxz) < 1.0 AND abs(ryz) < 1.0 THEN
+        |    round((rxy - rxz * ryz) / sqrt((CAST(1.0 AS DOUBLE)
+        |      - rxz * rxz) * (CAST(1.0 AS DOUBLE) - ryz * ryz)), 6)
+        |  END AS r_partial
+        |FROM r""".stripMargin,
+
+    // Hill truth: the same top-(k+1) multiset, 9 dp log terms into an
+    // exact decimal sum
+    "q_hill_alpha" ->
+      """WITH t AS (SELECT CAST(c_acctbal AS DOUBLE) AS v FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND CAST(c_acctbal AS DOUBLE) > 0
+        |  ORDER BY v DESC LIMIT 101),
+        |k1 AS (SELECT min(v) AS xk1 FROM t),
+        |s AS (SELECT SUM(CAST(round(ln(v / (SELECT xk1 FROM k1)), 9)
+        |      AS DECIMAL(28,9))) AS ls
+        |  FROM (SELECT v FROM t ORDER BY v DESC LIMIT 100))
+        |SELECT CAST(100 AS BIGINT) AS k,
+        |  (SELECT xk1 FROM k1) AS x_threshold,
+        |  CASE WHEN CAST(s.ls AS DOUBLE) > 0 THEN
+        |    round(CAST(100.0 AS DOUBLE) / CAST(s.ls AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM s""".stripMargin,
+
+    // BY truth: the bh_fdr oracle chain with the 9 dp harmonic factor
+    "q_by_fdr" ->
+      """WITH c AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR)
+        |      AS segment,
+        |    CAST(value AS DECIMAL(9,2)) AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT segment,
+        |    SUM(c1) OVER (PARTITION BY segment ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY segment ORDER BY v) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY segment) AS n1,
+        |    SUM(c2) OVER (PARTITION BY segment) AS n2
+        |  FROM c),
+        |m AS (SELECT segment,
+        |    MAX(ABS(CAST(cum1 AS HUGEINT) * n2
+        |      - CAST(cum2 AS HUGEINT) * n1)) AS dn,
+        |    CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |dd AS (SELECT segment, n1, n2,
+        |    round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d
+        |  FROM m WHERE n1 > 0 AND n2 > 0),
+        |ks AS (SELECT segment, n1, n2, d,
+        |    round(least(1.0, 2.0 * exp(-2.0 * d * d *
+        |      (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+        |  FROM dd),
+        |pc AS (SELECT p_approx AS p, count(*) AS n FROM ks GROUP BY 1),
+        |w2 AS (SELECT p, CAST(SUM(n) OVER (ORDER BY p) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS m FROM pc),
+        |mm AS (SELECT CAST(MAX(m) AS BIGINT) AS m FROM w2),
+        |h AS (SELECT CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) / gs, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS hm
+        |  FROM generate_series(1, 100000) AS g(gs), mm
+        |  WHERE gs <= mm.m),
+        |rw AS (SELECT p, p * CAST(m AS DOUBLE) * (SELECT hm FROM h) / i
+        |    AS raw FROM w2),
+        |ad AS (SELECT p, round(least(CAST(1 AS DOUBLE),
+        |    MIN(raw) OVER (ORDER BY p DESC)), 6) AS p_adj FROM rw)
+        |SELECT ks.segment, ks.n1, ks.n2, ks.d, ks.p_approx, ad.p_adj,
+        |  ad.p_adj <= 0.05 AS reject
+        |FROM ks JOIN ad ON ks.p_approx = ad.p
+        |ORDER BY segment""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

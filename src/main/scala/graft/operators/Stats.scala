@@ -3474,6 +3474,174 @@ object Stats {
       when(varT > 0, round(tStat / sqrt(varT), 6)).as("z"))
   }
 
+  /** Seasonal and trend STRENGTH of a decomposed series (Hyndman's
+    * Fs/Ft): Fs = max(0, 1 − var(resid)/var(seasonal+resid)),
+    * Ft = max(0, 1 − var(resid)/var(trend+resid)) — the scalar answer
+    * to "does this metric actually have a weekly shape worth modeling"
+    * after [[decomposeSeasonal]] (whose component table this consumes
+    * in ONE aggregation). Components are already 6 dp-quantized, so
+    * their sums fold as exact decimals; the variances and strengths
+    * are fixed-order closing doubles.
+    */
+  def seasonalStrength(df: DataFrame, tCol: String, valueCol: String,
+                       period: Int,
+                       precision: Int = 9, scale: Int = 2): DataFrame = {
+    val comp = decomposeSeasonal(df, tCol, valueCol, period,
+      precision, scale)
+      .filter(col("resid").isNotNull)
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    val agg = comp.agg(count(lit(1)).as("n"),
+      sum(d6(col("resid"))).as("_sr"),
+      sum((d6(col("resid")) * d6(col("resid"))).cast("decimal(38,12)"))
+        .as("_sr2"),
+      sum(d6(col("seasonal") + col("resid"))).as("_ss"),
+      sum((d6(col("seasonal") + col("resid")) *
+        d6(col("seasonal") + col("resid"))).cast("decimal(38,12)"))
+        .as("_ss2"),
+      sum(d6(col("trend") + col("resid"))).as("_st"),
+      sum((d6(col("trend") + col("resid")) *
+        d6(col("trend") + col("resid"))).cast("decimal(38,12)"))
+        .as("_st2"))
+    val nD = col("n").cast("double")
+    def variance(s: Column, q: Column): Column =
+      (col("n") * q - (s * s).cast("decimal(38,12)")).cast("double") /
+        (nD * (nD - lit(1.0)))
+    val vR = variance(col("_sr"), col("_sr2"))
+    val vS = variance(col("_ss"), col("_ss2"))
+    val vT = variance(col("_st"), col("_st2"))
+    agg.select(col("n"), round(vR, 6).as("var_resid"),
+      when(col("n") >= 2 && vS > 0,
+        round(greatest(lit(0.0), lit(1.0) - vR / vS), 6))
+        .as("f_seasonal"),
+      when(col("n") >= 2 && vT > 0,
+        round(greatest(lit(0.0), lit(1.0) - vR / vT), 6))
+        .as("f_trend"))
+  }
+
+  /** First-order partial correlation r_xy·z — the x↔y association with
+    * the confounder z LINEARLY held fixed:
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). The one-control version
+    * of "is this feature correlated with the label or just with
+    * traffic". Consumes [[corrMatrix]]'s three 6 dp coefficients
+    * (bounded collect) and closes with one fixed-order double
+    * expression; NULL when either control correlation is ±1.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val rs = corrMatrix(df, Seq(xCol, yCol, zCol)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.getAs[java.lang.Double]("r")), r.getAs[Long]("n")))
+      .toMap
+    def get(a: String, b: String) =
+      rs.getOrElse((a, b), rs((b, a)))
+    val (rxyO, n) = get(xCol, yCol)
+    val (rxzO, _) = get(xCol, zCol)
+    val (ryzO, _) = get(yCol, zCol)
+    val part: java.lang.Double = (rxyO, rxzO, ryzO) match {
+      case (Some(rxy), Some(rxz), Some(ryz))
+        if math.abs(rxz) < 1.0 && math.abs(ryz) < 1.0 =>
+        java.math.BigDecimal.valueOf(
+          (rxy - rxz * ryz) /
+            math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      case _ => null
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n,
+        rxyO.orNull, rxzO.orNull, ryzO.orNull, part)), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("r_xy", DoubleType, nullable = true),
+        StructField("r_xz", DoubleType, nullable = true),
+        StructField("r_yz", DoubleType, nullable = true),
+        StructField("r_partial", DoubleType, nullable = true))))
+  }
+
+  /** Hill estimator of the power-law tail index over the k largest
+    * values: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — the quantitative "how heavy
+    * is this tail" companion to [[Distribution.meanExcess]]'s shape
+    * diagnostic and [[zipfFit]]'s rank regression (Hill is the MLE on
+    * the tail alone; small α ⇒ whale-dominated metric). Returns
+    * (k, x_threshold, alpha); NULL α when the top values are all tied
+    * with the threshold (zero log-sum).
+    *
+    * Shape: one TakeOrdered(k+1) — the ONLY data that ever leaves the
+    * executors is the k+1 top values (k ≤ 10000 guarded); the log
+    * terms quantize at 9 dp into an exact decimal sum on the driver.
+    */
+  def hillAlpha(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 10000,
+      "k in [2, 10000] — the top-k collect must stay model-sized")
+    val v = col(valueCol).cast("double")
+    val top = df.filter(v.isNotNull && v > 0)
+      .select(v.as("_v")).orderBy(col("_v").desc).limit(k + 1)
+      .collect().map(_.getDouble(0))
+    require(top.length == k + 1,
+      s"hillAlpha: needs at least ${k + 1} positive rows, got ${top.length}")
+    val xk1 = top.last
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val logSum = top.take(k)
+      .map(x => r9(math.log(x / xk1)))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val alpha: java.lang.Double =
+      if (logSum.signum <= 0) null
+      else java.math.BigDecimal.valueOf(k.toDouble / logSum.doubleValue)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(k.toLong, xk1, alpha)), 1),
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("x_threshold", DoubleType, nullable = false),
+        StructField("alpha", DoubleType, nullable = true))))
+  }
+
+  /** Benjamini–Yekutieli FDR adjustment — [[bhAdjust]]'s conservative
+    * sibling that stays valid under ARBITRARY dependence between the
+    * tests (BH assumes independence/PRDS; a battery of overlapping
+    * segments is neither): p_adj = min-from-top of p·m·H(m)/rank with
+    * H(m) the m-th harmonic number. Same distinct-p machinery as
+    * [[bhAdjust]]; H folds as an exact decimal sum of 9 dp-quantized
+    * reciprocals so any engine replays it.
+    */
+  def byAdjust(df: DataFrame, pCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(pCol).isNotNull)
+      .groupBy(col(pCol).cast("double").as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val byP = Window.orderBy("_p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromTop = Window.orderBy(col("_p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val harm = aggregate(sequence(lit(1L), col("_m")),
+      lit(java.math.BigDecimal.ZERO.setScale(9)).cast("decimal(28,9)"),
+      (acc, j) => (acc +
+        round(lit(1.0) / j, 9).cast("decimal(28,9)")).cast("decimal(28,9)"))
+    val adj = counts
+      .withColumn("_i", sum("_n").over(byP))
+      .withColumn("_m", sum("_n").over(all))
+      // the harmonic fold materializes a 1..m sequence per row of the
+      // bounded distinct-p table: refuse silly batteries loudly rather
+      // than OOM (BY is for test batteries, not corpora)
+      .withColumn("_h", when(col("_m") > 100000L,
+        raise_error(lit("byAdjust: battery > 100000 p-values — " +
+          "aggregate tests before adjusting"))).otherwise(harm.cast("double")))
+      .withColumn("_raw",
+        col("_p") * col("_m").cast("double") * col("_h") / col("_i"))
+      .withColumn("p_adj",
+        round(least(lit(1.0), min("_raw").over(fromTop)), 6))
+      .select(col("_p"), col("p_adj"))
+    df.join(broadcast(adj), col(pCol).cast("double") === col("_p"), "left")
+      .drop("_p")
+      .withColumn("reject",
+        when(col("p_adj").isNotNull, col("p_adj") <= alpha))
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

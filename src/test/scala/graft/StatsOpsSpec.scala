@@ -1244,6 +1244,79 @@ class ExtendedStatsSpec extends SparkSpecBase {
       .head().getAs[Double]("z") == 0.0)
   }
 
+  test("seasonalStrength: pure weekly shape vs pure trend") {
+    // v = 10*(t%7): after the centered 7-MA the residual is ~0 and all
+    // structure is seasonal; trend+resid is constant -> NULL f_trend
+    val weekly = (0 to 27).map(t => (t.toLong, (t % 7) * 10.0)).toDF("t", "v")
+    val w = Stats.seasonalStrength(weekly, "t", "v", 7).head()
+    assert(w.getAs[Double]("var_resid") == 0.0)
+    assert(w.getAs[Double]("f_seasonal") == 1.0)
+    assert(w.isNullAt(w.fieldIndex("f_trend")))
+    // v = t: all structure is trend; seasonal+resid constant -> NULL Fs
+    val lin = (0 to 27).map(t => (t.toLong, t.toDouble)).toDF("t", "v")
+    val l = Stats.seasonalStrength(lin, "t", "v", 7).head()
+    assert(l.getAs[Double]("f_trend") == 1.0)
+    assert(l.isNullAt(l.fieldIndex("f_seasonal")))
+  }
+
+  test("partialCorr: controlling the confounder recovers the direct link") {
+    // full factorial grid: x,z independent; y = x + z
+    val rows = for (i <- 0 until 10; j <- 0 until 10)
+      yield (i.toDouble, (i + j).toDouble, j.toDouble)
+    val df = rows.toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    val rxy = r.getAs[Double]("r_xy")
+    assert(rxy < 0.75, s"marginal correlation is diluted by z: $rxy")
+    assert(r.getAs[Double]("r_partial") > 0.999,
+      s"partialling out z must recover ~1: $r")
+    // x == z: the control is collinear -> NULL partial, no crash
+    val col2 = rows.map { case (x, y, _) => (x, y, x) }.toDF("x", "y", "z")
+    val c = Stats.partialCorr(col2, "x", "y", "z").head()
+    assert(c.getAs[Double]("r_xz") == 1.0)
+    assert(c.isNullAt(c.fieldIndex("r_partial")))
+  }
+
+  test("hillAlpha: hand geometric tail; exact-Pareto recovers its index") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    // top3 of {16,8,4,2,1} with k=2: ln(16/4)+ln(8/4) at 9 dp
+    val df = Seq(16.0, 8.0, 4.0, 2.0, 1.0).toDF("v")
+    val r = Stats.hillAlpha(df, "v", 2).head()
+    assert(r.getAs[Double]("x_threshold") == 4.0)
+    val ls = r9(math.log(4.0)).add(r9(math.log(2.0)))
+    assert(r.getAs[Double]("alpha") == r6(2.0 / ls.doubleValue))
+    // exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2) -> alpha ~ 2
+    val par = (1 to 2000).map(i => math.pow(i / 2000.0, -0.5)).toDF("v")
+    val a = Stats.hillAlpha(par, "v", 200).head().getAs[Double]("alpha")
+    assert(math.abs(a - 2.0) < 0.3, s"Hill must recover ~2, got $a")
+    intercept[IllegalArgumentException] {
+      Stats.hillAlpha(df, "v", 10) // needs k+1 positive rows
+    }
+  }
+
+  test("byAdjust: harmonic-inflated BH, never below plain BH") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val df = Seq(0.01, 0.02, 0.04, 0.04).toDF("p")
+    val by = Stats.byAdjust(df, "p", 0.1).collect()
+      .map(r => r.getAs[Double]("p") -> r).toMap
+    val h = Seq(1, 2, 3, 4).map(j => r9(1.0 / j))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue
+    // raw = p*m*H/i is 0.01*4*H/1 = 0.02*4*H/2 = 0.04*4*H/4 for all
+    assert(by(0.01).getAs[Double]("p_adj") == r6(0.01 * 4 * h / 1))
+    assert(by(0.04).getAs[Double]("p_adj") == r6(0.01 * 4 * h / 1))
+    // BY is uniformly more conservative than BH
+    val bh = Stats.bhAdjust(df, "p", 0.1).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Double]("p_adj")).toMap
+    by.foreach { case (p, r) =>
+      assert(r.getAs[Double]("p_adj") >= bh(p) - 1e-9) }
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
