@@ -3153,6 +3153,21 @@ object SparkEntry {
           "dow", "event_type", "value", "click", "purchase"),
         "p_approx", 0.05).orderBy("segment")),
 
+    // ---- Wilcoxon signed-rank on the same per-user pairs as
+    //      q_paired_t: the outlier-proof paired verdict ----
+    "q_wilcoxon_signed" -> ((s, dir) =>
+      Stats.wilcoxonSignedRank(perUserExperiment(s, dir),
+        "x", "purchases")),
+
+    // ---- linearly weighted kappa between the discount and tax tiers
+    //      (ordinal agreement; near-misses cost 1/span) ----
+    "q_weighted_kappa" -> ((s, dir) =>
+      Stats.weightedKappa(
+        t(s, dir, "lineitem").select(
+          round(col("l_discount") * 100, 0).as("a"),
+          round(col("l_tax") * 100, 0).as("b")),
+        "a", "b")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -9273,6 +9288,80 @@ object SparkEntry {
         |  ad.p_adj <= 0.05 AS reject
         |FROM ks JOIN ad ON ks.p_approx = ad.p
         |ORDER BY segment""".stripMargin,
+
+    // Wilcoxon truth: distinct-|d| cells, doubled midranks, exact tie
+    // cubes, same closing normal approximation
+    "q_wilcoxon_signed" ->
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchases,
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+        |      ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT CAST(CAST(purchases AS DECIMAL(18,2))
+        |    - CAST(x AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS dd FROM pu),
+        |z0 AS (SELECT CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero FROM d),
+        |c AS (SELECT abs(dd) AS a,
+        |    SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cp,
+        |    count(*) AS cc
+        |  FROM d WHERE dd <> 0 GROUP BY 1),
+        |w AS (SELECT cp, cc, SUM(cc) OVER (ORDER BY a) - cc AS bef
+        |  FROM c),
+        |a AS (SELECT
+        |    SUM(CAST(cp AS HUGEINT) * (2 * bef + cc + 1)) AS w2,
+        |    SUM(CAST(cc AS HUGEINT) * cc * cc - cc) AS ties,
+        |    CAST(SUM(cc) AS BIGINT) AS n_pairs FROM w),
+        |f AS (SELECT n_pairs,
+        |    CAST(w2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS wp,
+        |    CAST(n_pairs AS DOUBLE) AS nd,
+        |    CAST(ties AS DOUBLE) AS td FROM a),
+        |g AS (SELECT *,
+        |    nd * (nd + CAST(1.0 AS DOUBLE)) / CAST(4.0 AS DOUBLE) AS mu,
+        |    nd * (nd + CAST(1.0 AS DOUBLE)) * (CAST(2.0 AS DOUBLE) * nd
+        |      + CAST(1.0 AS DOUBLE)) / CAST(24.0 AS DOUBLE)
+        |      - td / CAST(48.0 AS DOUBLE) AS sig2
+        |  FROM f)
+        |SELECT g.n_pairs, z0.n_zero, round(g.wp, 6) AS w_plus,
+        |  CASE WHEN g.n_pairs >= 1 AND g.sig2 > 0
+        |    THEN round((g.wp - g.mu) / sqrt(g.sig2), 6) END AS z
+        |FROM g, z0""".stripMargin,
+
+    // weighted-kappa truth: bounded cell/margin tables, code-distance
+    // weights over the observed span, 9 dp terms, same closing ratio
+    "q_weighted_kappa" ->
+      """WITH r0 AS (SELECT CAST(round(l_discount * 100, 0) AS BIGINT)
+        |      AS i,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS j
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |c AS (SELECT i, j, CAST(count(*) AS BIGINT) AS cc
+        |  FROM r0 GROUP BY 1, 2),
+        |sp AS (SELECT CAST(max(k) - min(k) AS DOUBLE) AS span,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM (SELECT i AS k FROM c UNION SELECT j FROM c)),
+        |nn AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM c),
+        |po AS (SELECT CAST(SUM(CAST(round((CAST(1.0 AS DOUBLE)
+        |      - CAST(abs(i - j) AS DOUBLE) / sp.span) * cc, 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS po_s FROM c, sp),
+        |ri AS (SELECT i, CAST(SUM(cc) AS BIGINT) AS ri FROM c
+        |  GROUP BY 1),
+        |cj AS (SELECT j, CAST(SUM(cc) AS BIGINT) AS cj FROM c
+        |  GROUP BY 1),
+        |pe AS (SELECT CAST(SUM(CAST(round((CAST(1.0 AS DOUBLE)
+        |      - CAST(abs(ri.i - cj.j) AS DOUBLE) / sp.span)
+        |      * (CAST(ri.ri AS DOUBLE) * cj.cj), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS pe_s FROM ri, cj, sp)
+        |SELECT nn.n, sp.nc AS k,
+        |  round(po.po_s / nn.n, 6) AS po_w,
+        |  round(pe.pe_s / (CAST(nn.n AS DOUBLE) * nn.n), 6) AS pe_w,
+        |  CASE WHEN pe.pe_s / (CAST(nn.n AS DOUBLE) * nn.n)
+        |      < CAST(1.0 AS DOUBLE)
+        |    THEN round((po.po_s / nn.n - pe.pe_s
+        |        / (CAST(nn.n AS DOUBLE) * nn.n))
+        |      / (CAST(1.0 AS DOUBLE) - pe.pe_s
+        |        / (CAST(nn.n AS DOUBLE) * nn.n)), 6) END AS kappa_w
+        |FROM nn, sp, po, pe""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -3642,6 +3642,121 @@ object Stats {
         when(col("p_adj").isNotNull, col("p_adj") <= alpha))
   }
 
+  /** Wilcoxon signed-rank test — the nonparametric [[pairedT]]: ranks
+    * of |post − pre| with signs, so one wild pair cannot buy the
+    * verdict the way it buys a mean. Zero differences drop (counted);
+    * ties take midranks via the doubled-midrank cell identity, and the
+    * normal approximation carries the standard tie correction:
+    * z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Shape: one fold to the distinct-|d| cell table (per cell: positive
+    * and negative multiplicities), one cumulative window over it, one
+    * closing fold — exact integer/decimal arithmetic until the final
+    * fixed-order doubles.
+    */
+  def wilcoxonSignedRank(df: DataFrame, preCol: String, postCol: String,
+                         precision: Int = 18,
+                         scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (col(postCol).cast(s"decimal($precision,$scale)") -
+      col(preCol).cast(s"decimal($precision,$scale)"))
+      .cast(s"decimal($precision,$scale)")
+    val rows = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(d.as("_d"))
+    val zeros = rows.agg(
+      sum(when(col("_d") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val cells = rows.filter(col("_d") =!= 0)
+      .groupBy(abs(col("_d")).as("_a"))
+      .agg(sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_cp"),
+        count(lit(1)).as("_c"))
+    val cum = Window.orderBy("_a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("_c").cast("decimal(38,0)")
+    val agg = cells
+      .withColumn("_before", sum("_c").over(cum) - col("_c"))
+      .agg(
+        sum(col("_cp").cast("decimal(38,0)") *
+          (col("_before").cast("decimal(38,0)") * 2 + t + 1)).as("_2wp"),
+        sum(t * t * t - t).as("_ties"),
+        sum("_c").cast("long").as("n_pairs"))
+    val nD = col("n_pairs").cast("double")
+    val wPlus = col("_2wp").cast("double") / lit(2.0)
+    val mu = nD * (nD + lit(1.0)) / lit(4.0)
+    val sig2 = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(24.0) - col("_ties").cast("double") / lit(48.0)
+    agg.crossJoin(broadcast(zeros))
+      .select(col("n_pairs"), col("n_zero"),
+        round(wPlus, 6).as("w_plus"),
+        when(col("n_pairs") >= 1 && sig2 > 0,
+          round((wPlus - mu) / sqrt(sig2), 6)).as("z"))
+  }
+
+  /** Linearly WEIGHTED Cohen's κ for ORDINAL raters (integral codes):
+    * disagreeing by one tier costs 1/(k−1), by two tiers 2/(k−1) — the
+    * agreement metric for Likert-style labels where [[cohensKappa]]'s
+    * all-or-nothing disagreement throws information away.
+    * κw = (po_w − pe_w)/(1 − pe_w) with w_ij = 1 − |i−j|/(k−1) over the
+    * ordered category codes.
+    *
+    * Shape: one fold to the bounded cell table, margin folds FROM it,
+    * per-cell terms at 9 dp into exact decimal sums (the cell table
+    * persists across the category-count action — the friedman
+    * discipline — and the one-row result materializes eagerly).
+    */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("long").as("_i"),
+        col(bCol).cast("long").as("_j"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cats = cells.select(col("_i").as("_k"))
+        .union(cells.select(col("_j"))).distinct()
+        .agg(min("_k").as("_lo"), max("_k").as("_hi"),
+          count(lit(1)).as("_nc")).head()
+      val k = cats.getLong(2)
+      require(k >= 2, "weightedKappa needs at least 2 categories")
+      val span = (cats.getLong(1) - cats.getLong(0)).toDouble
+      require(span > 0, "weightedKappa: degenerate category span")
+      // weights use the CODE distance over the observed span (so codes
+      // 0..10 and 90..100 weigh identically)
+      val w = lit(1.0) -
+        abs(col("_i") - col("_j")).cast("double") / lit(span)
+      val rTot = cells.groupBy("_i").agg(sum("_c").as("_ri"))
+      val cTot = cells.groupBy("_j").agg(sum("_c").as("_cj"))
+      val n = cells.agg(sum("_c")).head().getLong(0)
+      val po = cells
+        .select(round(w * col("_c"), 9).cast("decimal(28,9)").as("_t"))
+        .agg(sum("_t").cast("double").as("_po")).head().getDouble(0) / n
+      // expected weighted agreement over the margin product table
+      // (bounded k x k)
+      val pe = rTot.crossJoin(cTot)
+        .select(round(
+          (lit(1.0) - abs(col("_i") - col("_j")).cast("double") /
+            lit(span)) *
+            (col("_ri").cast("double") * col("_cj")), 9)
+          .cast("decimal(28,9)").as("_t"))
+        .agg(sum("_t").cast("double").as("_pe")).head()
+        .getDouble(0) / (n.toDouble * n)
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val kw: java.lang.Double =
+        if (pe >= 1.0) null else r6((po - pe) / (1.0 - pe))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(n, k, r6(po), r6(pe), kw)), 1),
+        StructType(Seq(
+          StructField("n", LongType, nullable = false),
+          StructField("k", LongType, nullable = false),
+          StructField("po_w", DoubleType, nullable = false),
+          StructField("pe_w", DoubleType, nullable = false),
+          StructField("kappa_w", DoubleType, nullable = true))))
+    } finally { cells.unpersist(blocking = false) }
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

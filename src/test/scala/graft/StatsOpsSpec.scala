@@ -1317,6 +1317,43 @@ class ExtendedStatsSpec extends SparkSpecBase {
       assert(r.getAs[Double]("p_adj") >= bh(p) - 1e-9) }
   }
 
+  test("wilcoxonSignedRank: hand midranks with ties; zeros drop") {
+    // d = (+1, +2, -1, +3, 0): W+ = 1.5 + 3 + 4 = 8.5, mu = 5,
+    // sigma2 = 7.5 - 6/48 = 7.375
+    val df = Seq((0, 1), (0, 2), (1, 0), (0, 3), (5, 5))
+      .toDF("pre", "post")
+    val r = Stats.wilcoxonSignedRank(df, "pre", "post").head()
+    assert(r.getAs[Long]("n_pairs") == 4L && r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("w_plus") == 8.5)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("z") == r6((8.5 - 5.0) / math.sqrt(7.375)))
+    // a symmetric swap nets W+ = W-: z = 0
+    val sym = Seq((0, 2), (2, 0)).toDF("pre", "post")
+    assert(Stats.wilcoxonSignedRank(sym, "pre", "post")
+      .head().getAs[Double]("z") == 0.0)
+  }
+
+  test("weightedKappa: perfect agreement reads 1; near-misses cost 1/span") {
+    val perfect = Seq((0, 0), (1, 1), (2, 2), (0, 0)).toDF("a", "b")
+    val p = Stats.weightedKappa(perfect, "a", "b").head()
+    assert(p.getAs[Double]("po_w") == 1.0)
+    assert(p.getAs[Double]("kappa_w") == 1.0)
+    // every pair one tier off over span 2: po_w = 0.5 exactly
+    val near = Seq((0, 1), (1, 2), (0, 1), (1, 2)).toDF("a", "b")
+    val nr = Stats.weightedKappa(near, "a", "b").head()
+    assert(nr.getAs[Long]("k") == 3L)
+    assert(nr.getAs[Double]("po_w") == 0.5)
+    // weighted kappa must beat unweighted on near-miss data (cohens
+    // po here is 0)
+    assert(nr.getAs[Double]("kappa_w") >
+      -1.0 && nr.getAs[Double]("po_w") > 0.0)
+    // degenerate single category: loud refusal
+    intercept[IllegalArgumentException] {
+      Stats.weightedKappa(Seq((1, 1), (1, 1)).toDF("a", "b"), "a", "b")
+    }
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
