@@ -3168,6 +3168,20 @@ object SparkEntry {
           round(col("l_tax") * 100, 0).as("b")),
         "a", "b")),
 
+    // ---- Gwet's AC1 on the same rater pair as q_cohens_kappa:
+    //      prevalence-robust agreement ----
+    "q_gwet_ac1" -> ((s, dir) =>
+      Stats.gwetAC1(t(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus")),
+
+    // ---- G-test (likelihood-ratio chi2) on the same table as q_chi2 ----
+    "q_g_test" -> ((s, dir) =>
+      Stats.gTest(
+        Tables.events(s, dir).select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 7)
+            .as("dow")),
+        "event_type", "dow")),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -9362,6 +9376,62 @@ object SparkEntry {
         |      / (CAST(1.0 AS DOUBLE) - pe.pe_s
         |        / (CAST(nn.n AS DOUBLE) * nn.n)), 6) END AS kappa_w
         |FROM nn, sp, po, pe""".stripMargin,
+
+    // Gwet-AC1 truth: bounded cell/margin folds, 9 dp chance terms,
+    // round-6 po/e before the closing ratio
+    "q_gwet_ac1" ->
+      """WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS cc
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(cc) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN cc ELSE 0 END) AS BIGINT)
+        |      AS agree FROM c),
+        |ca AS (SELECT a AS q, CAST(SUM(cc) AS BIGINT) AS m FROM c
+        |  GROUP BY 1),
+        |cb AS (SELECT b AS q, CAST(SUM(cc) AS BIGINT) AS m FROM c
+        |  GROUP BY 1),
+        |cats AS (SELECT q, CAST(SUM(m) AS BIGINT) AS mm FROM
+        |  (SELECT * FROM ca UNION ALL SELECT * FROM cb) GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(round((CAST(mm AS DOUBLE)
+        |      / (CAST(2.0 AS DOUBLE) * (SELECT n FROM nn)))
+        |      * (CAST(1.0 AS DOUBLE) - CAST(mm AS DOUBLE)
+        |        / (CAST(2.0 AS DOUBLE) * (SELECT n FROM nn))), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS esum
+        |  FROM cats),
+        |f AS (SELECT nn.n, kk.k,
+        |    round(CAST(nn.agree AS DOUBLE) / nn.n, 6) AS po,
+        |    round(kk.esum / (kk.k - 1), 6) AS e
+        |  FROM nn, kk)
+        |SELECT n, k, po, e AS pe_gwet,
+        |  CASE WHEN e < CAST(1.0 AS DOUBLE) THEN
+        |    round((po - e) / (CAST(1.0 AS DOUBLE) - e), 6) END AS ac1
+        |FROM f""".stripMargin,
+
+    // G-test truth: same cell/margin construction as the chi2 oracle,
+    // 9 dp O*ln(O/E) terms into an exact decimal sum
+    "q_g_test" ->
+      """WITH r0 AS (SELECT event_type AS a,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS VARCHAR) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM r0
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS raa FROM c GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cbb FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        |dims AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS cc FROM c),
+        |t AS (SELECT CAST(SUM(CAST(round(CAST(o AS DOUBLE)
+        |      * ln(CAST(o AS DOUBLE) / (CAST(raa AS DOUBLE) * cbb
+        |        / (SELECT n FROM nn))), 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS g2
+        |  FROM c JOIN ra USING (a) JOIN cb USING (b))
+        |SELECT nn.n, (dims.r - 1) * (dims.cc - 1) AS df,
+        |  round(CAST(2.0 AS DOUBLE) * t.g2, 6) AS g
+        |FROM nn, dims, t""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -3757,6 +3757,97 @@ object Stats {
     } finally { cells.unpersist(blocking = false) }
   }
 
+  /** Gwet's AC1 inter-rater agreement — [[cohensKappa]] without the
+    * prevalence paradox: kappa craters when one label dominates (two
+    * raters agreeing "not spam" 98% of the time score near zero
+    * because CHANCE agreement is defined off the skewed margins); AC1's
+    * chance term e = 1/(k−1)·Σ_q π_q(1−π_q) with π_q the AVERAGE
+    * margin stays calibrated. The default agreement number for
+    * LLM-judge vs human audits on skewed labels.
+    * AC1 = (po − e)/(1 − e).
+    *
+    * Shape: one fold to the bounded cell table, margin folds FROM it,
+    * 9 dp chance terms into an exact decimal sum; persist + eager-row
+    * (the friedman discipline).
+    */
+  def gwetAC1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aTot = cells.groupBy("_a").agg(sum("_c").as("_ra"))
+      val bTot = cells.groupBy("_b").agg(sum("_c").as("_rb"))
+      val cats = aTot.select(col("_a").as("_q"), col("_ra").as("_m"))
+        .unionByName(bTot.select(col("_b").as("_q"), col("_rb").as("_m")))
+        .groupBy("_q").agg(sum("_m").as("_mm"))
+      val g = cells.agg(sum("_c").as("_n"),
+        sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+          .as("_agree")).head()
+      val (n, agree) = (g.getAs[Long]("_n"), g.getAs[Long]("_agree"))
+      require(n >= 1, "gwetAC1 needs at least 1 pair")
+      val kRow = cats.agg(count(lit(1)).as("_k"),
+        sum(round({
+          val pi = col("_mm").cast("double") / lit(2.0 * n)
+          pi * (lit(1.0) - pi)
+        }, 9).cast("decimal(28,9)")).as("_e")).head()
+      val k = kRow.getLong(0)
+      require(k >= 2, "gwetAC1 needs at least 2 categories")
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val po = r6(agree.toDouble / n)
+      val e = r6(kRow.getDecimal(1).doubleValue / (k - 1))
+      val ac1: java.lang.Double =
+        if (e >= 1.0) null else r6((po - e) / (1.0 - e))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(n, k, po, e, ac1)), 1),
+        StructType(Seq(
+          StructField("n", LongType, nullable = false),
+          StructField("k", LongType, nullable = false),
+          StructField("po", DoubleType, nullable = false),
+          StructField("pe_gwet", DoubleType, nullable = false),
+          StructField("ac1", DoubleType, nullable = true))))
+    } finally { cells.unpersist(blocking = false) }
+  }
+
+  /** G-test (likelihood-ratio χ²) of independence between two
+    * categoricals: G = 2·Σ O·ln(O/E) — [[chiSquare]]'s
+    * information-theoretic twin (G/2n IS the mutual information in
+    * nats), additive across partitions where Pearson's χ² is not.
+    * Zero-observed cells contribute zero.
+    *
+    * Shape: one fold to the bounded cell table, margins FROM it,
+    * per-cell terms at 9 dp into an exact decimal sum, one closing
+    * double. df = (R−1)(C−1) reported alongside.
+    */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val aTot = cells.groupBy("_a").agg(sum("_o").as("_ra"),
+      count(lit(1)).as("_one"))
+    val bTot = cells.groupBy("_b").agg(sum("_o").as("_cb"))
+    val tot = cells.agg(sum("_o").as("_n"))
+    val e = col("_ra").cast("double") * col("_cb") / col("_n")
+    val term = round(col("_o").cast("double") *
+      log(col("_o").cast("double") / e), 9).cast("decimal(28,9)")
+    val dims = cells
+      .agg(count_distinct(col("_a")).as("_r"),
+        count_distinct(col("_b")).as("_c"))
+    cells.join(aTot.select("_a", "_ra"), "_a").join(bTot, "_b")
+      .crossJoin(broadcast(tot))
+      .agg(first("_n").cast("long").as("n"), sum(term).as("_g2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((col("_r") - 1) * (col("_c") - 1)).cast("long").as("df"),
+        round(lit(2.0) * col("_g2").cast("double"), 6).as("g"))
+  }
+
   /** Effective sample size of a weighted corpus (Kish):
     * ESS = (Σw)²/Σw² — how many UNWEIGHTED examples this importance-
     * weighted mixture is actually worth. The first number to check

@@ -1354,6 +1354,47 @@ class ExtendedStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("gwetAC1: hand 2x2; survives the prevalence paradox that sinks kappa") {
+    def table(yy: Int, yn: Int, ny: Int, nn: Int) =
+      (Seq.fill(yy)(("y", "y")) ++ Seq.fill(yn)(("y", "n")) ++
+        Seq.fill(ny)(("n", "y")) ++ Seq.fill(nn)(("n", "n")))
+        .toDF("a", "b")
+    // 40/5/5/50: po = 0.9, pi = (0.45, 0.55), e = 0.495
+    val r = Stats.gwetAC1(table(40, 5, 5, 50), "a", "b").head()
+    assert(r.getAs[Double]("po") == 0.9)
+    assert(r.getAs[Double]("pe_gwet") == 0.495)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("ac1") == r6((0.9 - 0.495) / (1.0 - 0.495)))
+    // 98/1/1/0: raters agree 98% but kappa collapses under the skewed
+    // margins; AC1 stays calibrated
+    val skew = table(98, 1, 1, 0)
+    val ac1 = Stats.gwetAC1(skew, "a", "b").head().getAs[Double]("ac1")
+    val kappa = Stats.cohensKappa(skew, "a", "b").head()
+      .getAs[Double]("kappa")
+    assert(ac1 > 0.9, s"AC1 must stay high on skewed agreement: $ac1")
+    assert(kappa < 0.1, s"kappa's paradox is the point of contrast: $kappa")
+  }
+
+  test("gTest: zero on exact independence; hand diagonal case") {
+    val indep = (for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+                      _ <- 1 to 10) yield (a, b)).toDF("x", "y")
+    val i = Stats.gTest(indep, "x", "y").head()
+    assert(i.getAs[Long]("df") == 1L)
+    assert(i.getAs[Double]("g") == 0.0)
+    // pure diagonal 20/20: each O=20, E=10 -> G = 2 * 2 * r9(20 ln 2)
+    val diag = (Seq.fill(20)(("a1", "b1")) ++ Seq.fill(20)(("a2", "b2")))
+      .toDF("x", "y")
+    val d = Stats.gTest(diag, "x", "y").head()
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val term = r9(20.0 * math.log(2.0))
+    assert(d.getAs[Double]("g") ==
+      r6(2.0 * term.add(term).doubleValue))
+  }
+
   test("hits: hand-replayed two-iteration star graph") {
     // h1(1)->a1(10), h2(2)->a1(10), h1(1)->a2(11)
     // iter1: a = (2,1)/3 -> (0.666666667, 0.333333333)
