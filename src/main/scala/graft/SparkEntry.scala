@@ -3182,6 +3182,12 @@ object SparkEntry {
             .as("dow")),
         "event_type", "dow")),
 
+    // ---- committed-threshold confusion readout (MCC, balanced
+    //      accuracy, F1) for the discount-as-score gate ----
+    "q_confusion_stats" -> ((s, dir) =>
+      Eval.confusionStats(t(s, dir, "lineitem"), "l_discount",
+        col("l_returnflag") === "R", threshold = 0.05)),
+
     // ---- co-missingness pattern profile over planted null structure
     //      (value nulled on 7-multiples, props on 5-multiples) ----
     "q_null_pattern" -> ((s, dir) => {
@@ -9432,6 +9438,44 @@ object SparkEntry {
         |SELECT nn.n, (dims.r - 1) * (dims.cc - 1) AS df,
         |  round(CAST(2.0 AS DOUBLE) * t.g2, 6) AS g
         |FROM nn, dims, t""".stripMargin,
+
+    // confusion truth: four exact cells, double multiplies, the same
+    // fixed-order closing expressions
+    "q_confusion_stats" ->
+      """WITH a AS (SELECT
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      AND CAST(l_discount AS DOUBLE) >= CAST(0.05 AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R'
+        |      AND CAST(l_discount AS DOUBLE) >= CAST(0.05 AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      AND CAST(l_discount AS DOUBLE) < CAST(0.05 AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R'
+        |      AND CAST(l_discount AS DOUBLE) < CAST(0.05 AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lineitem WHERE l_discount IS NOT NULL),
+        |f AS (SELECT *, CAST(tp AS DOUBLE) AS tpd,
+        |    CAST(fp AS DOUBLE) AS fpd, CAST(fn AS DOUBLE) AS fnd,
+        |    CAST(tn AS DOUBLE) AS tnd FROM a)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(tpd / (tpd + fpd), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(tpd / (tpd + fnd), 6) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0 THEN
+        |    round(CAST(2.0 AS DOUBLE) * tpd
+        |      / (CAST(2.0 AS DOUBLE) * tpd + fpd + fnd), 6) END AS f1,
+        |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+        |    round((tpd / (tpd + fnd) + tnd / (tnd + fpd))
+        |      / CAST(2.0 AS DOUBLE), 6) END AS balanced_accuracy,
+        |  CASE WHEN sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd)
+        |      * (tnd + fnd)) > 0 THEN
+        |    round((tpd * tnd - fpd * fnd) / sqrt((tpd + fpd)
+        |      * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)), 6)
+        |  END AS mcc
+        |FROM f""".stripMargin,
 
     // missingness truth: the same planted null structure, pattern
     // labels enumerated, share off one window over the pattern table

@@ -496,6 +496,44 @@ object Eval {
         max("_g").as("mce"))
   }
 
+  /** Single-threshold confusion summary: the four cells plus the
+    * scalar verdicts a gate decision needs in one row — precision,
+    * recall, F1, BALANCED accuracy (immune to class skew), and the
+    * Matthews correlation coefficient (the only single number that
+    * stays honest when all four cells matter; an MCC near 0 on 95%
+    * accuracy means the classifier learned the prior, not the task).
+    * [[thresholdMetrics]] sweeps thresholds; this is the committed-
+    * threshold readout for the model card. ONE map-side-combined fold
+    * to four exact integers; MCC multiplies in doubles (int64 cell
+    * products overflow at ~3e9²) in a fixed operation order.
+    */
+  def confusionStats(df: DataFrame, scoreCol: String, label: Column,
+                     threshold: Double): DataFrame = {
+    val pred = col(scoreCol).cast("double") >= lit(threshold)
+    val agg = df.filter(col(scoreCol).isNotNull)
+      .agg(
+        sum(when(label && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!label && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(label && !pred, 1L).otherwise(0L)).as("fn"),
+        sum(when(!label && !pred, 1L).otherwise(0L)).as("tn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tn = col("tn").cast("double")
+    val prec = tp / (tp + fp)
+    val rec = tp / (tp + fn)
+    val spec_ = tn / (tn + fp)
+    val f1 = lit(2.0) * tp / (lit(2.0) * tp + fp + fn)
+    val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    val mcc = (tp * tn - fp * fn) / mccDen
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0, round(prec, 6)).as("precision"),
+      when(col("tp") + col("fn") > 0, round(rec, 6)).as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0, round(f1, 6))
+        .as("f1"),
+      when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        round((rec + spec_) / lit(2.0), 6)).as("balanced_accuracy"),
+      when(mccDen > 0, round(mcc, 6)).as("mcc"))
+  }
+
   /** Group-fairness readout for a binary classifier gate: per group the
     * selection rate (demographic parity), base rate, TPR and FPR
     * (equalized odds), the parity gap against the overall selection

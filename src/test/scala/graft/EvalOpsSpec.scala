@@ -366,6 +366,29 @@ class EvalOpsSpec extends SparkSpecBase {
       .head().getAs[Double]("ece") == 0.0)
   }
 
+  test("confusionStats: hand cells; MCC reads zero on a prior-only classifier") {
+    // scores >= 0.5 predict positive: tp=3 fp=1 fn=2 tn=4
+    val df = Seq((0.9, 1), (0.8, 1), (0.6, 1), (0.7, 0), (0.2, 1),
+      (0.1, 1), (0.3, 0), (0.2, 0), (0.4, 0), (0.0, 0))
+      .toDF("s", "y")
+    val r = Eval.confusionStats(df, "s", col("y") === 1, 0.5).head()
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((3L, 1L, 2L, 4L)))
+    assert(r.getAs[Double]("precision") == 0.75)
+    assert(r.getAs[Double]("recall") == 0.6)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Double]("f1") == r6(6.0 / 9.0))
+    assert(r.getAs[Double]("balanced_accuracy") == r6((0.6 + 0.8) / 2))
+    assert(r.getAs[Double]("mcc") ==
+      r6((3.0 * 4 - 1.0 * 2) / math.sqrt(4.0 * 5 * 5 * 6)))
+    // constant positive prediction: high recall, MCC undefined (den 0)
+    val prior = Seq((0.9, 1), (0.9, 1), (0.9, 0)).toDF("s", "y")
+    val p = Eval.confusionStats(prior, "s", col("y") === 1, 0.5).head()
+    assert(p.getAs[Double]("recall") == 1.0)
+    assert(p.isNullAt(p.fieldIndex("mcc")))
+  }
+
   test("tripletMining: hardest positive is min-cos, hardest negative max-cos, ties to smaller id") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),    // anchor, label A
