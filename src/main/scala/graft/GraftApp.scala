@@ -95,10 +95,14 @@ object GraftApp {
         "ece" -> ece.getAs[Double]("ece").toString,
         "mce" -> ece.getAs[Double]("mce").toString,
         "di_ratio" -> di.toString)
+      // NaN/Infinity are not JSON: a degenerate drop (single-class
+      // labels, empty bins) must yield `null`, not an unparseable file
+      def jsonNum(v: String): String =
+        if (v == "NaN" || v.endsWith("Infinity")) "null" else v
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$out/evalcard.json"),
-        manifest.map { case (k, v) => s"""  "$k": $v""" }
+        manifest.map { case (k, v) => s"""  "$k": ${jsonNum(v)}""" }
           .mkString("{\n", ",\n", "\n}\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       manifest

@@ -227,13 +227,16 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // ---- J-class joins + top-k (TPC-H Q3 shape); dims broadcast ----
+    // ---- J-class joins + top-k (TPC-H Q3 shape). No forced broadcast:
+    //      customer⋈orders is FACT-scale (both sides grow with SF), so
+    //      a hint would OOM the driver at 100× — AQE broadcasts the
+    //      filtered side when it measures small, shuffles when not ----
     "q3_top_orders" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(broadcast(cust.join(ord, cust("c_custkey") === ord("o_custkey"))
-          .select("o_orderkey", "o_orderdate")),
+      li.join(cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+          .select("o_orderkey", "o_orderdate"),
           li("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -248,8 +251,10 @@ object SparkEntry {
       val dims = broadcast(t(s, dir, "region")
         .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
         .select("n_nationkey", "r_name"))
-      val cust = broadcast(t(s, dir, "customer").join(dims,
-        col("c_nationkey") === col("n_nationkey")).select("c_custkey", "r_name"))
+      // region⋈nation is constant-cardinality (≤25 rows) — hint it;
+      // customer grows with SF, so its join rides unhinted (AQE)
+      val cust = t(s, dir, "customer").join(dims,
+        col("c_nationkey") === col("n_nationkey")).select("c_custkey", "r_name")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
@@ -1870,25 +1875,28 @@ object SparkEntry {
 
     // ---- TPC-H Q8 shape (national market share): one fact scan feeding
     //      a two-armed star — customer-side nation→region filter and
-    //      supplier-side share nation — every dim broadcast, one agg
-    //      with a null-skipping conditional numerator. The only
+    //      supplier-side share nation — constant dims hinted, SF-scaled
+    //      dims left to AQE, one agg with a null-skipping conditional
+    //      numerator. The big
     //      shuffles are the lineitem⋈orders key exchange and the final
     //      single-key agg ----
     "q8_market_share" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      li.join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
-          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      // hints only on the CONSTANT dims (nation 25, region 5 rows);
+      // part/customer/supplier grow with SF — AQE decides those
+      li.join(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
           col("c_nationkey") === col("cn_key"))
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")
           .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
@@ -1905,15 +1913,16 @@ object SparkEntry {
     }),
 
     // ---- TPC-H Q9 shape (product-type profit by nation and year):
-    //      LIKE-filtered part dim broadcast into the fact, supplier→
+    //      LIKE-filtered part dim joined into the fact (AQE-sized,
+    //      part grows with SF), supplier→
     //      nation broadcast chain, orders re-join for the year; decimal
     //      profit so both engines agree bit-for-bit ----
     "q9_profit_by_nation" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))
-          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        .join(t(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
@@ -2023,10 +2032,10 @@ object SparkEntry {
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .distinct()
-      ps.join(broadcast(t(s, dir, "part")
+      ps.join(t(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO" &&
             col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
-          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
           col("ps_partkey") === col("p_partkey"))
         .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey"),
           col("ps_suppkey") === col("s_suppkey"), "left_anti")
@@ -2043,7 +2052,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+        .join(t(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
           col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -7645,18 +7654,19 @@ object SparkEntry {
     // draws; a unit's weight feeds whichever arm owns it; replicates
     // missing an arm are dropped from the CDF exactly like the operator
     "q_bootstrap_delta" -> {
-      val hash = "CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), " +
-        "1, 15)) AS UBIGINT)"
       s"""WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS id,
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
         |    CAST(TRY_CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
         |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(9,2))
         |      * 100 AS BIGINT) AS u
         |  FROM events GROUP BY user_id),
-        |e AS (SELECT id, arm, u, r FROM pu
-        |  CROSS JOIN range(1, 201) AS t(r) WHERE u IS NOT NULL),
+        |sd AS (SELECT CAST(('0x' || substr(md5(id), 1, 15)) AS UBIGINT)
+        |    AS seed, arm, u FROM pu WHERE u IS NOT NULL),
+        |e AS (SELECT seed, arm, u, r FROM sd
+        |  CROSS JOIN range(1, 201) AS t(r)),
+        |${Stats.BootstrapThresholds.drawSqlCtes("e", Seq("arm", "u"), "seed")},
         |w AS (SELECT arm, u, r,
-        |    ${Stats.BootstrapThresholds.sqlCase(hash)} AS w FROM e),
+        |    ${Stats.BootstrapThresholds.sqlCase("x")} AS w FROM dx5),
         |m AS (SELECT r,
         |    SUM(CASE WHEN arm = 'A' THEN CAST(w AS HUGEINT) * u
         |      ELSE 0 END) AS swxa,
@@ -7696,14 +7706,15 @@ object SparkEntry {
     },
 
     "q_bootstrap_ci" -> {
-      val hash = "CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), " +
-        "1, 15)) AS UBIGINT)"
       s"""WITH v AS (SELECT CAST(event_id AS VARCHAR) AS id,
         |    CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS u
         |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
-        |e AS (SELECT id, u, r FROM v CROSS JOIN range(1, 101) AS t(r)),
-        |w AS (SELECT u, r, ${Stats.BootstrapThresholds.sqlCase(hash)} AS w
-        |  FROM e),
+        |sd AS (SELECT CAST(('0x' || substr(md5(id), 1, 15)) AS UBIGINT)
+        |    AS seed, u FROM v),
+        |e AS (SELECT seed, u, r FROM sd CROSS JOIN range(1, 101) AS t(r)),
+        |${Stats.BootstrapThresholds.drawSqlCtes("e", Seq("u"), "seed")},
+        |w AS (SELECT u, r, ${Stats.BootstrapThresholds.sqlCase("x")} AS w
+        |  FROM dx5),
         |m AS (SELECT r, SUM(CAST(w AS HUGEINT) * u) AS swx,
         |    SUM(CAST(w AS HUGEINT)) AS sw FROM w GROUP BY r),
         |means AS (SELECT round(CAST(swx AS DOUBLE)
@@ -8676,25 +8687,28 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     // one-sample-KS truth: distinct-value CDF in exact integers, the
-    // uniform CDF as the same fixed-order double expression
+    // uniform CDF clamped to [0, 1] outside the support (out-of-range
+    // mass enters the empirical CDF and is counted, never dropped)
     "q_ks_uniform" ->
       """WITH c AS (SELECT CAST(l_discount AS DECIMAL(18,6)) AS v,
         |    count(*) AS cc
         |  FROM lineitem WHERE l_discount IS NOT NULL
-        |    AND CAST(l_discount AS DECIMAL(18,6)) >= 0
-        |    AND CAST(l_discount AS DECIMAL(18,6)) <= 0.1
         |  GROUP BY 1),
         |w AS (SELECT v, cc, SUM(cc) OVER (ORDER BY v) AS cum,
         |    SUM(cc) OVER () AS n FROM c),
         |s AS (SELECT CAST(n AS BIGINT) AS n,
-        |    CAST(cum AS DOUBLE) / n - (CAST(v AS DOUBLE)
-        |      - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE) AS dp,
-        |    (CAST(v AS DOUBLE) - CAST(0.0 AS DOUBLE))
-        |      / CAST(0.1 AS DOUBLE) - CAST(cum - cc AS DOUBLE) / n AS dm
+        |    CAST(cum AS DOUBLE) / n - least(greatest((CAST(v AS DOUBLE)
+        |      - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE), 0.0), 1.0)
+        |      AS dp,
+        |    least(greatest((CAST(v AS DOUBLE) - CAST(0.0 AS DOUBLE))
+        |      / CAST(0.1 AS DOUBLE), 0.0), 1.0)
+        |      - CAST(cum - cc AS DOUBLE) / n AS dm,
+        |    CASE WHEN v < 0 OR v > 0.1 THEN cc ELSE 0 END AS oor
         |  FROM w),
         |f AS (SELECT first(n) AS n, round(max(dp), 6) AS d_plus,
-        |    round(max(dm), 6) AS d_minus FROM s)
-        |SELECT n, d_plus, d_minus,
+        |    round(max(dm), 6) AS d_minus,
+        |    CAST(sum(oor) AS BIGINT) AS n_out_of_range FROM s)
+        |SELECT n, d_plus, d_minus, n_out_of_range,
         |  greatest(d_plus, d_minus) AS d,
         |  round(sqrt(CAST(n AS DOUBLE))
         |    * greatest(d_plus, d_minus), 6) AS sqrt_n_d
@@ -10576,9 +10590,16 @@ object SparkEntry {
     }),
 
     // ---- Heaps'-law vocabulary growth: 20 doc_id-range checkpoints,
-    //      cumulative tokens vs distinct terms, log-log beta fit ----
+    //      cumulative tokens vs distinct terms, log-log beta fit. The
+    //      sf fixtures carry a CONSTANT 31-term vocabulary (vocab_cum
+    //      flat → degenerate ±0 slope), so one synthetic unique token
+    //      per document is planted (mirrored in the oracle) to give the
+    //      fit real vocabulary growth to measure ----
     "q_heaps_law" -> ((s, dir) =>
-      TextAnalysis.heapsCurve(t(s, dir, "documents"), buckets = 20)),
+      TextAnalysis.heapsCurve(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" zztok"), col("doc_id").cast("string"))),
+        buckets = 20)),
 
     // ---- ε-DP p90 of event values via the exponential mechanism
     //      (Gumbel-max over the bounded distinct-value table) ----
@@ -11010,16 +11031,21 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     // Heaps replay: same integer bucket arithmetic (// is exact), same
-    // token mirror, per-point ln rounded 9 into exact decimal moments
+    // token mirror, per-point ln rounded 9 into exact decimal moments.
+    // The planted per-doc token and the `+ 0.0` signed-zero normalizer
+    // mirror the Spark side (see q_heaps_law query comment).
     "q_heaps_law" ->
-      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
-        |    FROM documents WHERE text IS NOT NULL),
+      s"""WITH pd AS (SELECT doc_id,
+        |    text || ' zztok' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+        |    FROM pd WHERE text IS NOT NULL),
         |d AS (SELECT doc_id,
         |    CAST(((doc_id - (SELECT lo FROM b)) * 20) //
         |      ((SELECT hi FROM b) - (SELECT lo FROM b) + 1) AS INTEGER)
         |      + 1 AS bk,
         |    $toksSql AS tk
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM pd WHERE text IS NOT NULL),
         |tok AS (SELECT bk, CAST(sum(len(tk)) AS BIGINT) AS tkn
         |  FROM d GROUP BY 1),
         |tms AS (SELECT DISTINCT bk, unnest(tk) AS term FROM d),
@@ -11044,7 +11070,7 @@ object SparkEntry {
         |  round((CAST(sxy AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
         |    (CAST(sxx AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6) + 0.0
         |    AS heaps_beta
         |FROM pts, fit ORDER BY bucket""".stripMargin,
 
@@ -11661,7 +11687,7 @@ object SparkEntry {
         |      CAST(sum(dx * dy) AS DOUBLE) AS sxy FROM p)
         |SELECT CAST(CAST(mi AS DOUBLE) / 2 AS BIGINT) AS n_edges,
         |  round((m * sxy - sx * sy) /
-        |    (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+        |    (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6) + 0.0
         |    AS assortativity
         |FROM a""".stripMargin,
 
@@ -11902,8 +11928,8 @@ object SparkEntry {
         |      (kd * sxy - sx * sy) /
         |        (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy)) AS rr
         |    FROM a)
-        |SELECT k, round(slope, 6) AS zipf_slope,
-        |  round((sy - slope * sx) / kd, 6) AS intercept,
+        |SELECT k, round(slope, 6) + 0.0 AS zipf_slope,
+        |  round((sy - slope * sx) / kd, 6) + 0.0 AS intercept,
         |  round(rr * rr, 6) AS r_squared
         |FROM f""".stripMargin,
 

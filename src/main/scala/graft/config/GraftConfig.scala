@@ -17,7 +17,31 @@ final case class SideDetails(
     path: String = "",
     user: String = "",
     password: String = "",
-    schema: String = "") {
+    schema: String = "",
+    passfile: String = "") {
+
+  /** Password precedence mirrors the reference (connection.py:290-294):
+    * an explicit `password` wins; otherwise `passfile` is read AT
+    * CONNECT TIME (libpq semantics — the file can rotate between runs).
+    * Both pgpass-style files (`host:port:db:user:password` lines; the
+    * password is the last `:`-field of the first non-comment line) and
+    * plain one-line secret files are accepted.
+    */
+  private[graft] def resolvedPassword: String =
+    if (password.nonEmpty || passfile.isEmpty) password
+    else {
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(passfile))
+        .toArray.toSeq.map(_.toString.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+      lines.headOption match {
+        case Some(l) if l.contains(':') =>
+          // pgpass field split honoring \: escapes
+          l.split("(?<!\\\\):").last.replace("\\:", ":").replace("\\\\", "\\")
+        case Some(l) => l
+        case None => ""
+      }
+    }
 
   def toSide(spark: SparkSession, id: String): Side = databaseType.toLowerCase match {
     case "parquet" | "duckdb" => ParquetSide(spark, path, id)
@@ -25,7 +49,8 @@ final case class SideDetails(
     case t @ ("jdbc" | "postgresql" | "sqlite" | "derby") =>
       val props = new java.util.Properties()
       if (user.nonEmpty) props.setProperty("user", user)
-      if (password.nonEmpty) props.setProperty("password", password)
+      val pw = resolvedPassword
+      if (pw.nonEmpty) props.setProperty("password", pw)
       // postgres organizes user tables under a schema (default public);
       // sqlite/derby-style embedded DBs use no schema filter by default
       val effectiveSchema =
@@ -173,6 +198,10 @@ object GraftConfig {
     def sideBlock(key: String, d: SideDetails): Unit = {
       sb.append(key).append(":\n")
       sb.append("  database_type: ").append(yamlScalar(d.databaseType)).append('\n')
+      // passfile IS written to the YAML (it is a pointer, not a secret —
+      // the reference's dict() deletes only `password`)
+      if (d.passfile.nonEmpty)
+        sb.append("  passfile: ").append(yamlScalar(d.passfile)).append('\n')
       if (d.path.nonEmpty) sb.append("  path: ").append(yamlScalar(d.path)).append('\n')
       if (d.schema.nonEmpty) sb.append("  schema: ").append(yamlScalar(d.schema)).append('\n')
       if (d.user.nonEmpty) sb.append("  user: ").append(yamlScalar(d.user)).append('\n')
@@ -228,7 +257,8 @@ object GraftConfig {
       case m: java.util.Map[_, _] =>
         val mm = m.asInstanceOf[java.util.Map[String, Object]]
         SideDetails(str(mm, "database_type", "parquet"), str(mm, "path"),
-          str(mm, "user"), str(mm, "password"), str(mm, "schema"))
+          str(mm, "user"), str(mm, "password"), str(mm, "schema"),
+          str(mm, "passfile"))
       case _ => throw new IllegalArgumentException(s"missing $k")
     }
     val tableConfigs: Map[String, TableRules] = root.get("table_configs") match {

@@ -460,13 +460,17 @@ object EventAnalytics {
     // interpolated medians are the only non-exact inputs, and rounding
     // them first makes the downstream arithmetic replayable bit-for-bit
     // by any engine whose rounded medians agree
+    // meds/mads are one row per GROUP — unbounded when groupCol is
+    // user-grained — so no forced broadcast hint: AQE broadcasts the
+    // dimension when it fits and falls back to a shuffle join keyed on
+    // the same groupCol when it doesn't.
     val meds = df.groupBy(col(groupCol))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
-    val withMed = df.join(broadcast(meds), Seq(groupCol))
+    val withMed = df.join(meds, Seq(groupCol))
     val mads = withMed
       .groupBy(col(groupCol), col("med"))
       .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"))
-    df.join(broadcast(mads), Seq(groupCol))
+    df.join(mads, Seq(groupCol))
       .withColumn("robust_z",
         when(col("mad") > 0,
           round((col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)))
@@ -559,9 +563,9 @@ object EventAnalytics {
     * each metric is a single division over those integers (lift's
     * numerator/denominator are Long products — bounded by N·n_ab <
     * 2^63 for any corpus this side of 10^9 baskets × 10^9 support —
-    * computed in double to dodge even that). The item-count and
-    * basket-count sides ride as broadcasts (item dimension tables, one
-    * global scalar).
+    * computed in double to dodge even that). The basket-count side is a
+    * hinted one-row broadcast; the item-count dimension joins unhinted
+    * (unbounded vocabulary — AQE broadcasts it only when it fits).
     */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minSupport: Long): DataFrame = {
@@ -573,11 +577,15 @@ object EventAnalytics {
       .select(col("item1").as("antecedent"), col("item2").as("consequent"),
         col("n_baskets"))
       .union(pairs.select(col("item2"), col("item1"), col("n_baskets")))
+    // itemCounts is one row per DISTINCT ITEM — an unbounded vocabulary
+    // at 100× — so no forced broadcast: AQE broadcasts it when it fits,
+    // degrades to a shuffle join when it doesn't. (The basket-count side
+    // stays hinted: it is one scalar row by construction.)
     directed
-      .join(broadcast(itemCounts.select(col("i").as("antecedent"),
-        col("n_item").as("_na"))), Seq("antecedent"))
-      .join(broadcast(itemCounts.select(col("i").as("consequent"),
-        col("n_item").as("_nc"))), Seq("consequent"))
+      .join(itemCounts.select(col("i").as("antecedent"),
+        col("n_item").as("_na")), Seq("antecedent"))
+      .join(itemCounts.select(col("i").as("consequent"),
+        col("n_item").as("_nc")), Seq("consequent"))
       .crossJoin(broadcast(nBaskets))
       .select(col("antecedent"), col("consequent"), col("n_baskets"),
         round(col("n_baskets").cast("double") /
@@ -986,8 +994,10 @@ object EventAnalytics {
           lit(0.0))), 6)))
       .select(col(typeCol), col("dow"), col("hour"), col("_n").as("slot_n"),
         col("slot_mean"), col("slot_std"))
+    // stats is one row per (type, dow, hour) — the type vocabulary is
+    // data-derived and unbounded, so no forced broadcast (AQE sizes it)
     withSlot
-      .join(broadcast(stats), Seq(typeCol, "dow", "hour"))
+      .join(stats, Seq(typeCol, "dow", "hour"))
       .withColumn("z",
         when(col("slot_std") > 0.0,
           round((col(valueCol).cast("double") - col("slot_mean")) / col("slot_std"), 6)))

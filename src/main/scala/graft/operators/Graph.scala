@@ -91,30 +91,53 @@ object Graph {
   def release(df: DataFrame): Unit = Sampling.release(df)
 
   /** Exact triangle count per node over an undirected edge list, by the
-    * standard compact-forward scheme: orient every edge low → high
-    * (kills duplicate orientations and 2/3 of the join space), join the
-    * oriented list with itself on the common lower endpoint to form
-    * wedges (a<b, a<c, b<c), and close each wedge against the edge set.
-    * Returns (id, n_triangles) for nodes in at least one triangle.
+    * compact-forward scheme with DEGREE-ORDERED orientation (Latapy
+    * 2008; the GraphX/Park-Chung discipline): compute each node's
+    * degree once, orient every edge from the (degree, id)-LOWER to the
+    * (degree, id)-higher endpoint, join the oriented list with itself
+    * on the common low endpoint to form wedges, and close each wedge
+    * against the oriented edge set. Returns (id, n_triangles) for
+    * nodes in at least one triangle.
     *
-    * Shape: two shuffle joins on node endpoints plus one bounded
-    * aggregation — the distributed-triangle plan whose cost is
-    * Σ deg(v)² wedges, the known lower bound for exact listing; the
-    * low→high orientation bounds the wedge fan-out by the HIGHER
-    * endpoint's degree ordering (the hub of a star never anchors a
-    * wedge). Deduplicated edges only; no driver state.
+    * Shape: one degree aggregation, two shuffle joins on node
+    * endpoints, one bounded aggregation. Degree ordering — not id
+    * ordering — is what bounds the wedge fan-out: every node's
+    * OUT-degree under (degree, id) orientation is O(√m), so the wedge
+    * count is O(m^1.5) regardless of how ids were assigned. (Id
+    * orientation only bounds a hub that happens to carry the high id;
+    * a 10⁶-degree hub with a LOW id would anchor 10¹² wedges.) A star's
+    * hub has the maximal degree, so every star edge points AT the hub
+    * and the hub anchors zero wedges. Deduplicated edges only; no
+    * driver state.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val wedges = und.select(col("a"), col("b").as("w1"))
-      .join(und.select(col("a"), col("b").as("w2")), "a")
-      .filter(col("w1") < col("w2"))
-    val tris = wedges.join(und.select(col("a").as("w1"), col("b").as("w2")),
-      Seq("w1", "w2"))
-    tris.select(explode(array(col("a"), col("w1"), col("w2"))).as("id"))
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("_deg"))
+    // (degree, id)-oriented edge list (u ≺ v), carrying v's rank so the
+    // wedge join can order its two far endpoints without a third join
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("_deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("_deg").as("_db")), Seq("b"))
+    val aFirst = col("_da") < col("_db") ||
+      (col("_da") === col("_db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("_db")).otherwise(col("_da")).as("_dv"))
+    val wedges = dir.select(col("u"), col("v").as("w1"), col("_dv").as("_d1"))
+      .join(dir.select(col("u"), col("v").as("w2"), col("_dv").as("_d2")), "u")
+      .filter(col("_d1") < col("_d2") ||
+        (col("_d1") === col("_d2") && col("w1") < col("w2")))
+    // w1 ≺ w2 in wedge order, so the closing edge — if present — is
+    // oriented w1 → w2 in the SAME directed list
+    val tris = wedges.join(
+      dir.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+    tris.select(explode(array(col("u"), col("w1"), col("w2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -289,8 +312,10 @@ object Graph {
       .filter(col("deg") <= maxFeatureDegree)
     // prune BEFORE the self-join: a capped feature must never reach the
     // quadratic expansion (joining it away afterwards would already have
-    // paid the d^2 blow-up)
-    val kept = e.join(broadcast(deg), Seq("f"))
+    // paid the d^2 blow-up). No forced broadcast: deg is one row per
+    // DISTINCT FEATURE — corpus-scale at 100× — so a hint here would OOM
+    // the driver instead of degrading; AQE broadcasts it when it fits.
+    val kept = e.join(deg, Seq("f"))
     val pairs = kept.as("a")
       .join(kept.select("f", "ent").as("b"),
         col("a.f") === col("b.f") && col("a.ent") < col("b.ent"))
@@ -339,28 +364,14 @@ object Graph {
         sum(col("dy") * col("dy")).as("_syy"),
         sum(col("dx") * col("dy")).as("_sxy"))
       .select((col("_m") / 2).cast("long").as("n_edges"),
-        round((m * sxy - sx * sy) /
+        // `+ 0.0` signed-zero normalization: a neutral (e.g. degree-
+        // regular) graph leaves a ±ε residue in the Pearson numerator
+        // (NOTES ±0.0 checklist)
+        (round((m * sxy - sx * sy) /
           (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
-          .as("assortativity"))
+          + lit(0.0)).as("assortativity"))
   }
 
-  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
-    * list — the bipartite-flavored complement to [[pageRank]]: an
-    * AUTHORITY is pointed at by good hubs, a HUB points at good
-    * authorities. In a curation pipeline this separates link-farm hubs
-    * from genuinely cited sources before domain-trust weighting.
-    * Returns (id, authority, hub), L1-normalized (each vector sums to
-    * 1 — HITS scores are scale-free, and L1 keeps every step's
-    * normalizer an EXACT decimal sum instead of an L2 sqrt).
-    *
-    * Loop discipline matches [[pageRank]]: each half-step is one join +
-    * one aggregation keyed on the node id, localCheckpoint truncates
-    * lineage per round, previous round's blocks are dropped. Engine
-    * replay: scores quantize to 9 dp decimals after each normalization
-    * (the Bradley–Terry convention), so the whole 2·iters-step
-    * recursion is bit-reproducible from the edge list alone; parallel
-    * edges are collapsed first (unweighted HITS).
-    */
   /** Personalized PageRank: power iteration whose teleport mass returns
     * to a SEED set instead of everywhere — relevance propagation from
     * known-good nodes (trusted domains, labeled exemplars) through the
@@ -368,8 +379,9 @@ object Graph {
     * and trust-rank filtering. r ← (1−d)·s + d·(Aᵀr + dangling·s),
     * s uniform over `seeds`.
     *
-    * Same loop discipline as [[pageRank]] (one join + one agg per
-    * round, localCheckpoint-truncated lineage) but with the [[hits]]
+    * Same loop shape as [[pageRank]] (one join + one agg per round),
+    * with lineage checkpointed every SECOND round (see the loop
+    * comment) and the [[hits]]
     * engine-replay contract: per-edge contributions and the new rank
     * quantize at 9 dp decimals each round, so an oracle can replay the
     * whole recursion from the edge list — and the dangling correction
@@ -395,6 +407,15 @@ object Graph {
       round(c, 9).cast("decimal(19,9)")
     var ranks = nodes.select(col("id"), quant(sv).as("r"))
       .localCheckpoint(eager = true)
+    // checkpoint every SECOND round (plus the final one): the fixed
+    // per-job launch overhead — not data volume — dominates the loop,
+    // so halving eager actions halves it. A skipped round's frame is
+    // lazily persist()ed instead: the next round reads it TWICE
+    // (contribs + dangling), and the cache — populated inside the next
+    // eager job, costing no extra job — keeps that from re-running the
+    // round's join+agg.
+    var lastCkpt = ranks
+    var lastLazy: DataFrame = null
     var it = 0
     while (it < iters) {
       val contribs = e.join(outDeg, "src")
@@ -405,14 +426,22 @@ object Graph {
       val dangling = ranks
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum("r"), lit(0).cast("decimal(19,9)")).as("dang"))
-      val next = nodes.join(contribs, Seq("id"), "left")
+      val nextPlan = nodes.join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), quant(
           lit(1.0 - damping) * sv + lit(damping) *
             (coalesce(col("inb").cast("double"), lit(0.0)) +
               col("dang").cast("double") * sv)).as("r"))
-        .localCheckpoint(eager = true)
-      unpersistCheckpoint(ranks)
+      val materialize = it % 2 == 1 || it == iters - 1
+      val next =
+        if (materialize) nextPlan.localCheckpoint(eager = true)
+        else nextPlan.persist()
+      if (materialize) {
+        // the pair's checkpoint and intermediate cache are now dead
+        unpersistCheckpoint(lastCkpt)
+        if (lastLazy != null) { lastLazy.unpersist(blocking = false); lastLazy = null }
+        lastCkpt = next
+      } else lastLazy = next
       ranks = next
       it += 1
     }
@@ -423,6 +452,28 @@ object Graph {
     out
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * list — the bipartite-flavored complement to [[pageRank]]: an
+    * AUTHORITY is pointed at by good hubs, a HUB points at good
+    * authorities. In a curation pipeline this separates link-farm hubs
+    * from genuinely cited sources before domain-trust weighting.
+    * Returns (id, authority, hub), L1-normalized (each vector sums to
+    * 1 — HITS scores are scale-free, and L1 keeps every step's
+    * normalizer an EXACT decimal sum instead of an L2 sqrt).
+    *
+    * Loop discipline: each half-step is one join + one aggregation
+    * keyed on the node id. Only the HUB half-step checkpoints eagerly —
+    * the authority half-step's sole mid-loop consumer is the hub step
+    * immediately below, so it rides as a lazy persist() whose cache the
+    * hub checkpoint's own job populates: one eager action per round
+    * instead of two (the fixed job-launch overhead was the dominant
+    * cost, not data volume). The final round checkpoints both (the
+    * result join reads authority after the loop). Engine replay:
+    * scores quantize to 9 dp decimals after each normalization
+    * (the Bradley–Terry convention), so the whole 2·iters-step
+    * recursion is bit-reproducible from the edge list alone; parallel
+    * edges are collapsed first (unweighted HITS).
+    */
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters in [1, 50]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -430,15 +481,16 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     nodes.count()
-    def renorm(raw: DataFrame, valCol: String, out: String): DataFrame = {
+    def renorm(raw: DataFrame, valCol: String, out: String,
+               materialize: Boolean): DataFrame = {
       val tot = raw.agg(sum(valCol).as("_t"))
-      nodes.join(raw, Seq("id"), "left")
+      val r = nodes.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(tot))
         .select(col("id"),
           coalesce(round(col(valCol).cast("double") /
             col("_t").cast("double"), 9), lit(0.0))
             .cast("decimal(19,9)").as(out))
-        .localCheckpoint(eager = true)
+      if (materialize) r.localCheckpoint(eager = true) else r.persist()
     }
     var hub = nodes
       .withColumn("h", lit(java.math.BigDecimal.ONE).cast("decimal(19,9)"))
@@ -446,16 +498,19 @@ object Graph {
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
+      val last = it == iters - 1
       val aNext = renorm(
         e.join(hub.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum("h").as("_ar")),
-        "_ar", "a")
-      if (auth != null) unpersistCheckpoint(auth)
-      auth = aNext
+        "_ar", "a", materialize = last)
       val hNext = renorm(
-        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        e.join(aNext.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("_hr")),
-        "_hr", "h")
+        "_hr", "h", materialize = true)
+      // hNext's eager checkpoint just ran: the previous round's lazy
+      // authority cache and the previous hub checkpoint are dead
+      if (auth != null) auth.unpersist(blocking = false)
+      auth = aNext
       unpersistCheckpoint(hub)
       hub = hNext
       it += 1

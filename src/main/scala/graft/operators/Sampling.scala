@@ -284,7 +284,9 @@ object Sampling {
     * domain's size), chosen in md5-of-key order — content-addressed like
     * every sampler here, so the mixture is reproducible anywhere.
     *
-    * Shape: the domain-bounded weights table broadcasts onto the data;
+    * Shape: the per-domain weights table joins onto the data (AQE
+    * broadcasts it when it fits — no forced hint, since the domain
+    * vocabulary is data-derived);
     * the per-domain rank is one shuffle on the domain + within-partition
     * sort. Domains are few and possibly skewed: the biggest domain
     * bounds the sort, which is the inherent cost of exact per-domain
@@ -301,7 +303,10 @@ object Sampling {
       .select(col(domainCol), col("_take"))
     val w = Window.partitionBy(domainCol)
       .orderBy(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), col(keyCol))
-    df.join(broadcast(quota), domainCol)
+    // quota is one row per DISTINCT DOMAIN — millions at web scale — so
+    // no forced broadcast (a hint OOMs the driver instead of degrading);
+    // AQE broadcasts it when it measures small
+    df.join(quota, domainCol)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= col("_take"))
       .drop("_rk", "_take")

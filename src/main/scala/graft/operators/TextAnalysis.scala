@@ -1061,8 +1061,11 @@ object TextAnalysis {
         sum(q9(x * x)).as("_sxx"), sum(q9(y * y)).as("_syy"),
         sum(q9(x * y)).as("_sxy"))
       .select(col("_k").as("k"),
-        round(slope, 6).as("zipf_slope"),
-        round((sy - slope * sx) / k, 6).as("intercept"),
+        // `+ 0.0` signed-zero normalization: a flat-frequency vocabulary
+        // degenerates the slope/intercept to ±ε exactly like
+        // [[heapsCurve]]'s beta (see the NOTES ±0.0 checklist entry)
+        (round(slope, 6) + lit(0.0)).as("zipf_slope"),
+        (round((sy - slope * sx) / k, 6) + lit(0.0)).as("intercept"),
         round(r * r, 6).as("r_squared"))
   }
 
@@ -1196,8 +1199,14 @@ object TextAnalysis {
       col("_sx").cast("double") * col("_sy").cast("double") / nD) /
       (col("_sxx").cast("double") -
         col("_sx").cast("double") * col("_sx").cast("double") / nD)
+    // `+ 0.0` normalizes IEEE signed zero: a flat-vocabulary corpus
+    // leaves a ±ε float residue in the slope numerator, and two engines'
+    // libm can land on OPPOSITE signs of it — round(−ε, 6) is −0.0 in
+    // one and 0.0 in the other. −0.0 + 0.0 = +0.0 in IEEE 754, so both
+    // engines publish the same zero. (Engine-parity checklist: NOTES.)
     pts.select(col("_b").as("bucket"), col("tokens_cum"), col("vocab_cum"))
-      .crossJoin(broadcast(fit.select(round(beta, 6).as("heaps_beta"))))
+      .crossJoin(broadcast(
+        fit.select((round(beta, 6) + lit(0.0)).as("heaps_beta"))))
       .orderBy("bucket")
   }
 

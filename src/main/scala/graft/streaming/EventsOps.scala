@@ -956,7 +956,10 @@ object StreamingBotScore {
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, sec, id, ty) =>
             if (st.n == 0L) {
               st = BotState(1L, sec, sec, id, 0L, 0L, 0L, Nil)
-              tySet = Set(ty)
+              // a null type must NOT count as a distinct type — the
+              // batch botScore's count_distinct ignores nulls, and the
+              // bit-parity contract holds on streams carrying them
+              tySet = if (ty != null) Set(ty) else Set.empty
             } else if (sec > st.lastSec ||
               (sec == st.lastSec && id != st.lastId)) {
               val g = sec - st.lastSec
@@ -967,7 +970,7 @@ object StreamingBotScore {
               if (lo >= Base) { hi += lo / Base; lo %= Base }
               st = BotState(st.n + 1, st.firstSec, sec, id,
                 st.sumG + g, hi, lo, Nil)
-              tySet += ty
+              if (ty != null) tySet += ty
             } // else: stale or duplicate event — dropped, never refolded
           }
           state.update(st.copy(types = tySet.toSeq.sorted))

@@ -98,6 +98,41 @@ class ConfigWriteSpec extends SparkSpecBase {
     assert(env.contains(GraftConfig.envPrefix(p)))
   }
 
+  test("passfile parses, renders, and resolves at connect time; password wins") {
+    val dir = tmpDir
+    // pgpass-style file: the password is the last :-field, \: unescapes
+    val pg = dir.resolve("pgpass")
+    java.nio.file.Files.writeString(pg,
+      "# comment line\nhost:5432:db:me:s3\\:cret\n")
+    val yaml =
+      s"""db1_details:
+         |  database_type: postgresql
+         |  path: jdbc:postgresql://h/db
+         |  user: me
+         |  passfile: $pg
+         |db2_details:
+         |  database_type: parquet
+         |  path: /data
+         |""".stripMargin
+    val cfg = GraftConfig.parse(yaml)
+    assert(cfg.db1Details.passfile == pg.toString)
+    assert(cfg.db1Details.resolvedPassword == "s3:cret")
+    // a plain one-line secret file also works
+    val plain = dir.resolve("plain")
+    java.nio.file.Files.writeString(plain, "  hunter2  \n")
+    assert(cfg.db1Details.copy(passfile = plain.toString)
+      .resolvedPassword == "hunter2")
+    // explicit password wins over passfile (reference connection.py:290-294)
+    assert(cfg.db1Details.copy(password = "direct")
+      .resolvedPassword == "direct")
+    // passfile is a pointer, not a secret: it round-trips through the yaml
+    val out = dir.resolve("out.yaml").toString
+    GraftConfig.write(cfg, out)
+    val rendered = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(rendered.contains(s"passfile: ") && rendered.contains("pgpass"))
+    assert(GraftConfig.load(out).db1Details.passfile == pg.toString)
+  }
+
   test("env upsert replaces existing keys and keeps others") {
     val dir = tmpDir
     val envp = dir.resolve(".env")

@@ -1347,4 +1347,40 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"no sort-merge join may touch the gram table:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("r14 broadcast audit: data-derived dimension frames carry no forced hint") {
+    // counts ResolvedHint(strategy=broadcast) nodes in the ANALYZED plan
+    // — the forced hints a user wrote, before AQE gets any say. The
+    // audited operators join frames keyed by data-derived vocabularies
+    // (features, items, groups, domains, types, p-values); a forced
+    // hint there OOMs the driver at 100× instead of degrading.
+    def forcedHints(df: DataFrame): Int =
+      "(?i)strategy=broadcast".r
+        .findAllIn(df.queryExecution.analyzed.toString).length
+    val inc = spark.range(300).select(($"id" % 40).as("ent"), ($"id" % 17).as("f"))
+    assert(forcedHints(graft.operators.Graph.adamicAdar(inc, "ent", "f", 1L)) == 0,
+      "adamicAdar must not force-broadcast the per-feature degree table")
+    val baskets = spark.range(400).select(($"id" % 50).as("b"), ($"id" % 13).as("i"))
+    // exactly ONE hint survives: the one-row basket-count scalar
+    assert(forcedHints(graft.operators.EventAnalytics
+      .associationRules(baskets, "b", "i", 2L)) == 1,
+      "associationRules may hint only the one-row basket count")
+    val vals = spark.range(500).select(($"id" % 20).as("g"), ($"id" % 7).cast("double").as("v"))
+    assert(forcedHints(graft.operators.EventAnalytics.robustOutliers(vals, "g", "v")) == 0,
+      "robustOutliers must not force-broadcast per-group medians/MADs")
+    val docs = spark.range(300).select(($"id" % 9).cast("string").as("dom"), $"id".as("k"))
+    assert(forcedHints(graft.operators.Sampling
+      .temperatureSample(docs, "dom", "k", 0.7, 100)) == 0,
+      "temperatureSample must not force-broadcast the per-domain quota")
+    val ps = spark.range(60).select(($"id".cast("double") / 100.0).as("p"))
+    assert(forcedHints(graft.operators.Stats.bhAdjust(ps, "p", 0.05)) == 0,
+      "bhAdjust must not force-broadcast the per-p adjustment table")
+    // TPC-H shapes: q3's customer⋈orders side is fact-scale (zero
+    // hints); q8 keeps exactly its three constant dims (nation ×2,
+    // region)
+    assert(forcedHints(graft.SparkEntry.queries("q3_top_orders")(spark, sfDir)) == 0,
+      "q3 must not force-broadcast the customer⋈orders side")
+    assert(forcedHints(graft.SparkEntry.queries("q8_market_share")(spark, sfDir)) == 3,
+      "q8 may hint only nation (×2) and region")
+  }
 }

@@ -1060,6 +1060,17 @@ class ExtendedStatsSpec extends SparkSpecBase {
     val lat = Seq(0.125, 0.375, 0.625, 0.875).toDF("v")
     assert(Stats.ksUniform(lat, "v", 0.0, 1.0)
       .head().getAs[Double]("d") == 0.125)
+    // out-of-support mass is NOT silently dropped: 2 of 4 points above
+    // hi enter the CDF against the clamped F (=1 there). At 2.0:
+    // F(2.0) clamps to 1, F̂(2.0⁻) = 0.5 → D⁻ = 0.5 — the old
+    // conditional-distribution version would have reported a perfect
+    // fit on {0.25, 0.25} alone.
+    val oor = Seq(0.25, 0.25, 2.0, 3.0).toDF("v")
+    val ro = Stats.ksUniform(oor, "v", 0.0, 1.0).head()
+    assert(ro.getAs[Long]("n") == 4L)
+    assert(ro.getAs[Long]("n_out_of_range") == 2L)
+    assert(ro.getAs[Double]("d_minus") == 0.5)
+    assert(ro.getAs[Double]("d") == 0.5)
   }
 
   test("friedman: textbook maximal-disagreement blocks; incomplete blocks drop") {

@@ -62,7 +62,15 @@ def cells_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        if a == b:
+            # Python's == treats -0.0 == 0.0 as true, but the driver's
+            # hash compare does NOT: a DuckDB round() emitting -0.0
+            # where Spark emits 0.0 is a real gate failure (round-13
+            # q_heaps_law). Compare the sign bit on zero cells.
+            if a == 0.0:
+                return math.copysign(1.0, a) == math.copysign(1.0, b)
+            return True
+        return False
     return str(a) == str(b)
 
 
