@@ -453,6 +453,12 @@ object SparkEntry {
       Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("id1", "id2")),
 
+    // ---- LSH banding planner: the (bands, rows) trade-off table for a
+    //      64-perm signature at target J=0.8 vs distractor J=0.3 —
+    //      read before picking minHashLshPairs' banding ----
+    "q_lsh_plan" -> ((s, dir) =>
+      Dedup.lshPlan(s, 64, 0.8, 0.3).orderBy("bands")),
+
     // ---- corpus-level dedup: LSH pairs -> connected components -> one
     //      representative per cluster. Full oracle: DuckDB rebuilds the
     //      exact pair graph and folds components with a recursive CTE ----
@@ -1125,6 +1131,20 @@ object SparkEntry {
         "doc_id", "n_chars", "n_chars", 100000L)
         .select(col("doc_id"), col("n_chars"), col("cum_tokens"))
         .orderBy("cum_tokens", "doc_id")),
+
+    // ---- concat-and-chunk window packing (contrast q_pack_sequences,
+    //      the greedy no-split packer): docs concatenate in id order
+    //      into 256-token context windows; per-doc (bin, offset,
+    //      bin_last, crosses) placement via the same distributed prefix
+    //      sum as q_token_budget (no global window) ----
+    "q_pack_windows" -> ((s, dir) =>
+      Sampling.packWindows(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens")),
+        "doc_id", "n_tokens", 256L)
+        .orderBy("doc_id")),
 
     // ---- linear quality classifier, distributed logistic GD: planted
     //      separable labels (sign of embedding dim 1, margin-filtered at
@@ -4093,6 +4113,25 @@ object SparkEntry {
         |SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // banding-planner truth: same closed-form s-curve per divisor pair
+    // (CAST to DOUBLE everywhere — DuckDB bare literals are DECIMAL and
+    // decimal pow would diverge from the operator's double math)
+    "q_lsh_plan" ->
+      """WITH f AS (SELECT CAST(b AS BIGINT) AS bands,
+        |    CAST(64 // b AS BIGINT) AS rows_per_band
+        |  FROM range(1, 65) t(b) WHERE 64 % b = 0)
+        |SELECT bands, rows_per_band,
+        |  round(pow(CAST(1.0 AS DOUBLE) / CAST(bands AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE) / CAST(rows_per_band AS DOUBLE)), 6)
+        |    AS s_star,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE)
+        |    - pow(CAST(0.8 AS DOUBLE), CAST(rows_per_band AS DOUBLE)),
+        |    CAST(bands AS DOUBLE)), 6) AS p_at_target,
+        |  round(CAST(1.0 AS DOUBLE) - pow(CAST(1.0 AS DOUBLE)
+        |    - pow(CAST(0.3 AS DOUBLE), CAST(rows_per_band AS DOUBLE)),
+        |    CAST(bands AS DOUBLE)), 6) AS p_at_distractor
+        |FROM f ORDER BY bands""".stripMargin,
+
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $jaccardTruthSql,
         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= 0.5
@@ -4676,6 +4715,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_chars, cum_tokens FROM r WHERE cum_tokens <= 100000
         |ORDER BY cum_tokens, doc_id""".stripMargin,
+
+    // window-packing truth: exclusive cumsum over doc_id order, integer
+    // div/mod placements — the engine's distributed prefix sum replays
+    // the identical integer totals
+    "q_pack_windows" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, nt,
+        |    CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM d WHERE nt > 0)
+        |SELECT doc_id, nt AS n_tokens,
+        |  CAST(cb // 256 AS BIGINT) AS bin,
+        |  CAST(cb % 256 AS BIGINT) AS offset,
+        |  CAST((cb + nt - 1) // 256 AS BIGINT) AS bin_last,
+        |  (cb // 256) <> ((cb + nt - 1) // 256) AS crosses_boundary
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // planted k-means truth: cluster index equals the planted group
     // (init order = groups 0..3 of vec_ids 0..3; separation analysis in

@@ -258,6 +258,82 @@ object Sampling {
     spark.createDataFrame(kept, schema).drop("_pid", "_tok")
   }
 
+  /** Concat-and-chunk sequence packing: documents concatenate in
+    * (`idCol` asc) order into fixed `capacity`-token context windows;
+    * each document's placement is the (bin, offset) of its first token
+    * plus the last bin it reaches and whether it crosses a window
+    * boundary — the layout step that turns a curated corpus into
+    * training sequences (GPT-style packing without per-window
+    * shuffling; for shuffled packing feed [[shuffleShard]]'s
+    * (shard, seq) through as the id). Documents SPLIT across window
+    * boundaries here; [[TextAnalysis.packSequences]] is the greedy
+    * no-split variant that opens a fresh sequence instead. Zero-token
+    * documents drop — they occupy no window.
+    *
+    * Scale shape: the [[tokenBudgetSelect]] distributed prefix sum —
+    * one pinned range exchange on the id order
+    * (`localCheckpoint`, see [[budgetSelect]]'s determinism note),
+    * per-partition totals to the driver (one long each), then a narrow
+    * per-partition fold emits each row's exclusive running total. No
+    * global window, no single-task sort. Integer token counts keep
+    * every placement exact, so an engine replaying the same order
+    * reproduces the packing bit-for-bit. Call [[release]] on the result
+    * after the last action to drop the pinned layout.
+    */
+  def packWindows(df: DataFrame, idCol: String, tokensCol: String,
+                  capacity: Long, nPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val n = if (nPartitions > 0) nPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .select(col(idCol), col(tokensCol).cast("long").as("_tok"))
+      .filter(col("_tok").isNotNull && col("_tok") > 0L)
+      .repartitionByRange(n, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parted.groupBy("_pid").agg(sum("_tok").as("_t"))
+      .collect().map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_t")))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).init).toMap
+    val sorted = parted.sortWithinPartitions(col(idCol).asc)
+    val idIdx = sorted.schema.fieldIndex(idCol)
+    val tokIdx = sorted.schema.fieldIndex("_tok")
+    val pidIdx = sorted.schema.fieldIndex("_pid")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema(idIdx),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin_last",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("crosses_boundary",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val offB = spark.sparkContext.broadcast(offsets)
+    val packed = sorted.rdd.mapPartitions { it =>
+      var seeded = false
+      var running = 0L
+      it.map { row =>
+        if (!seeded) {
+          seeded = true
+          running = offB.value.getOrElse(row.getInt(pidIdx), 0L)
+        }
+        val tok = row.getLong(tokIdx)
+        val before = running
+        running += tok
+        val bin = before / capacity
+        val binLast = (before + tok - 1) / capacity
+        Row(row.get(idIdx), tok, bin, before % capacity, binLast,
+          bin != binLast)
+      }
+    }
+    spark.createDataFrame(packed, outSchema)
+  }
+
   /** Temperature-based source mixing (the multi-corpus reweighting used
     * for LLM training mixtures): per-domain weight w_d ∝ n_d^alpha,
     * normalized. alpha = 1 keeps natural proportions, alpha -> 0

@@ -1324,21 +1324,37 @@ object Stats {
     val mix1: Long = 0xF58476D1CE4E5B9L
     val mix2: Long = 0x4D049BB133111EBL
 
-    private def mod60(c: Column): Column =
-      (c % lit(java.math.BigDecimal.valueOf(max))).cast("long")
-    private def mulMod60(x: Column, k: Long): Column =
-      mod60(x.cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(k)))
+    private val mask60 = max - 1 // 2^60 − 1
+    private val mask30 = (1L << 30) - 1
+    // x·k mod 2^60 in pure overflow-safe Long ops (whole-stage-codegen
+    // primitives — the first cut used decimal(38,0) % and the decimal
+    // object math dominated the bootstrap): split both factors into
+    // 30-bit limbs; x·k = 2^60·(xh·kh) + 2^30·(xh·kl + xl·kh) + xl·kl,
+    // so mod 2^60 only the cross term mod 2^30 and the low product
+    // survive. Every intermediate stays < 2^61 — no Long overflow, so
+    // ANSI mode never fires.
+    private def mulMod60(x: Column, k: Long): Column = {
+      val kh = k >>> 30; val kl = k & mask30
+      val xh = shiftright(x, 30)
+      val xl = x.bitwiseAND(lit(mask30))
+      val cross = (xh * lit(kl) + xl * lit(kh)).bitwiseAND(lit(mask30))
+      (xl * lit(kl) + shiftleft(cross, 30)).bitwiseAND(lit(mask60))
+    }
     private def xorShift(x: Column, bits: Int): Column =
       x.bitwiseXOR(shiftright(x, bits))
 
     /** The r-th replicate's 60-bit draw from one per-row seed: md5 was
       * ~the entire bootstrap CPU at R=200 when hashed per
-      * (row, replicate); this expansion is ~10 integer ops.
+      * (row, replicate); this expansion is ~15 primitive long ops
+      * inside whole-stage codegen. Bit-equal to the oracle's HUGEINT
+      * chain (KernelPropertiesSpec replays both against a BigInt
+      * reference).
       */
     def drawColumn(seed: Column, r: Column): Column = {
-      val x0 = mod60(seed.cast("decimal(38,0)") +
-        r.cast("decimal(38,0)") *
-          lit(java.math.BigDecimal.valueOf(weylStep)))
+      // r ≤ 10000 < 2^30, so r·G mod 2^60 is one limb multiply; the
+      // Weyl add then stays < 2^61 before masking
+      val x0 = (seed + mulMod60(r.cast("long"), weylStep))
+        .bitwiseAND(lit(mask60))
       xorShift(
         mulMod60(xorShift(mulMod60(xorShift(x0, 30), mix1), 27), mix2), 31)
     }

@@ -189,4 +189,33 @@ class TextPropertiesSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
+
+  test("bootstrap splitmix-60 draw: limb-multiply Column chain == BigInt reference") {
+    import graft.operators.Stats.{BootstrapThresholds => BT}
+    val m60 = BigInt(1) << 60
+    def ref(seed: Long, r: Long): Long = {
+      def mul(x: BigInt, k: Long): BigInt = (x * k) % m60
+      var x = (BigInt(seed) + mul(BigInt(r), BT.weylStep)) % m60
+      x = mul(x ^ (x >> 30), BT.mix1)
+      x = mul(x ^ (x >> 27), BT.mix2)
+      (x ^ (x >> 31)).toLong
+    }
+    // adversarial seeds: 0, all-ones-60, high/low limb extremes, plus a
+    // spread of md5-like values; r spans the allowed [1, 10000]
+    val seeds = Seq(0L, (1L << 60) - 1, (1L << 30) - 1, 1L << 30,
+      0x7FFFFFFFL << 29, 0xE3779B97F4A7C15L, 123456789L) ++
+      (0 until 50).map(i =>
+        BigInt(1, java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes)).toLong.abs % (1L << 60))
+    val rs = Seq(1L, 2L, 7L, 199L, 200L, 9999L, 10000L)
+    val rows = for (s <- seeds; r <- rs) yield (s, r)
+    val out = rows.toDF("seed", "r")
+      .select($"seed", $"r", BT.drawColumn($"seed", $"r").as("x"))
+      .collect()
+    out.foreach { row =>
+      val (s, r) = (row.getLong(0), row.getLong(1))
+      assert(row.getLong(2) == ref(s, r),
+        s"draw($s, $r): column=${row.getLong(2)} ref=${ref(s, r)}")
+    }
+  }
 }

@@ -29,6 +29,22 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshPlan: divisor table, closed-form s-curve, monotone trade-off") {
+    val plan = Dedup.lshPlan(spark, 64, 0.8, 0.3).orderBy("bands").collect()
+    // d(64) = 7 factorizations: 1,2,4,8,16,32,64 bands
+    assert(plan.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    assert(plan.forall(r => r.getLong(0) * r.getLong(1) == 64L))
+    // closed-form spot check: b=16, r=4 -> s* = (1/16)^(1/4) = 0.5
+    val b16 = plan.find(_.getLong(0) == 16L).get
+    assert(b16.getAs[Double]("s_star") == 0.5)
+    // more bands = more permissive: catch probability at the target
+    // similarity rises with bands, and always dominates the distractor's
+    val catchP = plan.map(_.getAs[Double]("p_at_target")).toSeq
+    assert(catchP == catchP.sorted, s"p_at_target not monotone: $catchP")
+    assert(plan.forall(r =>
+      r.getAs[Double]("p_at_target") >= r.getAs[Double]("p_at_distractor")))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "text", "doc_id", 3)
       .as[(Long, Long, Long)].collect()

@@ -1361,10 +1361,16 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(forcedHints(graft.operators.Graph.adamicAdar(inc, "ent", "f", 1L)) == 0,
       "adamicAdar must not force-broadcast the per-feature degree table")
     val baskets = spark.range(400).select(($"id" % 50).as("b"), ($"id" % 13).as("i"))
-    // exactly ONE hint survives: the one-row basket-count scalar
+    // 5 hint NODES, but only two bounded SOURCES: the one-row basket
+    // count (×1) and the support-bounded Apriori frequent set, whose
+    // single semi-join hint is duplicated by the pair self-join (×2)
+    // and the both-directions union (×2 again) = 4 plan copies. The
+    // unbounded item-count dimension contributes ZERO (that was the
+    // fixed site).
     assert(forcedHints(graft.operators.EventAnalytics
-      .associationRules(baskets, "b", "i", 2L)) == 1,
-      "associationRules may hint only the one-row basket count")
+      .associationRules(baskets, "b", "i", 2L)) == 5,
+      "associationRules may hint only the basket-count scalar and the " +
+        "support-bounded frequent set")
     val vals = spark.range(500).select(($"id" % 20).as("g"), ($"id" % 7).cast("double").as("v"))
     assert(forcedHints(graft.operators.EventAnalytics.robustOutliers(vals, "g", "v")) == 0,
       "robustOutliers must not force-broadcast per-group medians/MADs")

@@ -124,6 +124,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.tokenBudgetSelect(docs, "id", "score", "tokens", 39L).count() == 0)
   }
 
+  test("packWindows places docs in concat order; boundary crossing exact; layout-stable") {
+    import graft.operators.Sampling
+    // capacity 10, id order tokens 4,4,4,8 → exclusive cums 0,4,8,12:
+    // doc 3 starts at offset 8 and spills into bin 1; doc 4 starts in
+    // bin 1 at offset 2 and ends at token 19 (bin 1). A zero-token doc
+    // occupies no window and must drop.
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 8L), (5L, 0L))
+      .toDF("id", "nt")
+    val out = Sampling.packWindows(docs, "id", "nt", 10L)
+      .select("id", "bin", "offset", "bin_last", "crosses_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, false), (2L, 0L, 4L, 0L, false),
+      (3L, 0L, 8L, 1L, true), (4L, 1L, 2L, 1L, false)), s"got $out")
+    // layout-independent: 1 and 7 partitions agree cell-for-cell
+    val one = Sampling.packWindows(docs, "id", "nt", 10L, nPartitions = 1)
+      .orderBy("id").collect().toSeq
+    val many = Sampling.packWindows(docs, "id", "nt", 10L, nPartitions = 7)
+      .orderBy("id").collect().toSeq
+    assert(one == many, s"one=$one many=$many")
+    // a doc longer than the capacity spans multiple whole windows
+    val long = Sampling.packWindows(Seq((1L, 25L)).toDF("id", "nt"),
+      "id", "nt", 10L).head()
+    assert(long.getAs[Long]("bin") == 0L &&
+      long.getAs[Long]("bin_last") == 2L &&
+      long.getAs[Boolean]("crosses_boundary"))
+  }
+
   test("temperature mixing flattens toward uniform as alpha drops") {
     val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
       .zipWithIndex.map(_.swap).toDF("id", "dom")
