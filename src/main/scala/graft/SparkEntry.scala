@@ -629,6 +629,24 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(payloads).orderBy("doc_id")
     }),
 
+    // ---- frame-seek plan from REAL parsed container durations: 5
+    //      midpoint-uniform timestamps per video (integer div — exact),
+    //      non-videos drop with their NULL duration ----
+    "q_frame_timestamps" -> ((s, dir) => {
+      val mp4 = udf((d: Long) => VideoHeader.syntheticMp4(
+        (16 * (d % 60 + 4)).toInt, (16 * (d % 40 + 3)).toInt,
+        d % 9000 + 1000, ((d / 3) % 3 + 1).toInt))
+      val avi = udf((d: Long) => VideoHeader.syntheticAvi(
+        (d % 320 + 16).toInt, (d % 240 + 12).toInt, 40000L,
+        d % 500 + 50, ((d / 3) % 2 + 1).toInt))
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, mp4(col("doc_id")))
+          .when(col("doc_id") % 3 === 1, avi(col("doc_id")))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+      Multimodal.frameTimestamps(Multimodal.decodeVideoMeta(payloads), 5)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- image near-dup via REAL pixel decode (javax.imageio): planted
     //      resized-and-re-encoded twins. Each selected doc gets a
     //      deterministic doc-seeded image, piecewise-constant on the
@@ -4324,6 +4342,21 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN CAST((doc_id // 3) % 2 + 1 AS INTEGER)
         |       END AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame-plan truth: closed-form duration per container class (the
+    // q_video_meta derivation), midpoint-uniform integer timestamps
+    "q_frame_timestamps" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 9000 + 1000
+        |         WHEN doc_id % 3 = 1 THEN 40 * (doc_id % 500 + 50)
+        |         END AS dur
+        |  FROM documents),
+        |f AS (SELECT doc_id, dur, CAST(i AS INTEGER) AS frame_idx
+        |  FROM m CROSS JOIN range(0, 5) t(i)
+        |  WHERE dur IS NOT NULL AND dur > 0)
+        |SELECT doc_id, frame_idx,
+        |  CAST(((2 * frame_idx + 1) * dur) // 10 AS BIGINT) AS ts_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // planted truth: every selected doc pairs with its +10M resized twin
     // at dHash Hamming 0 (cell-aligned pattern, spec-proven exact);

@@ -628,6 +628,30 @@ object Multimodal {
     spark.createDataFrame(rdd, imageExifSchema)
   }
 
+  /** Uniform frame-sampling TIMESTAMP plan over [[decodeVideoMeta]]
+    * output: for each video, the `nFrames` midpoint-uniform seek
+    * points ts_i = ((2i+1)·duration) div (2n) ms — the deterministic
+    * manifest a decode worker applies (frame PIXEL extraction stays
+    * stubbed like [[frameSamples]]; no JVM codec exists here, and the
+    * Spark-side shape — schema, narrow explode, exact integer
+    * timestamp math — is the real deliverable). Midpoint spacing keeps
+    * every seek strictly inside [0, duration) and never lands two
+    * samples on the same keyframe bucket for n ≤ duration. Rows with
+    * NULL or non-positive duration (non-videos, parse failures) drop.
+    * Narrow explode over the metadata table: no shuffle.
+    */
+  def frameTimestamps(meta: DataFrame, nFrames: Int,
+                      idCol: String = "doc_id",
+                      durationCol: String = "duration_ms"): DataFrame = {
+    require(nFrames >= 1 && nFrames <= 10000, "nFrames in [1, 10000]")
+    meta.filter(col(durationCol).isNotNull && col(durationCol) > 0)
+      .select(col(idCol), col(durationCol).cast("long").as("_dur"))
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .select(col(idCol), col("frame_idx").cast("int").as("frame_idx"),
+        expr(s"(2L * frame_idx + 1L) * _dur div ${2L * nFrames}")
+          .as("ts_ms"))
+  }
+
   /** STUB frame sampling: one row per sampled "frame" with a content
     * digest of its byte slice — the Spark plumbing (explode shape, per-
     * frame keys) is real; a codec would replace the digest with pixels.

@@ -135,4 +135,21 @@ class ExifHeaderSpec extends SparkSpecBase {
     assert(out(2L).getString(1) == "png" && out(2L).isNullAt(4))
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(4))
   }
+
+  test("frameTimestamps: midpoint-uniform integer seeks inside [0, dur); non-videos drop") {
+    import spark.implicits._
+    val meta = Seq((1L, Some(1000L)), (2L, Some(7L)), (3L, None),
+      (4L, Some(0L))).toDF("doc_id", "duration_ms")
+    val out = Multimodal.frameTimestamps(meta, 5)
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // dur=1000, n=5 -> exact midpoints 100, 300, 500, 700, 900
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq(100L, 300L, 500L, 700L, 900L))
+    // dur shorter than n: integer div keeps every seek in range and
+    // non-decreasing: (2i+1)*7 div 10 = 0, 2, 3, 4, 6
+    assert(out.filter(_._1 == 2L).map(_._3) == Seq(0L, 2L, 3L, 4L, 6L))
+    // NULL and zero durations emit nothing
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L))
+    // every seek strictly below its duration
+    assert(out.filter(_._1 == 1L).forall(_._3 < 1000L))
+  }
 }

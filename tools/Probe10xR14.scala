@@ -65,6 +65,21 @@ object Probe10xR14 {
     val (b10, r10) = timeMedian3(driveBoot(1000000L))
     println(f"bootstrap 200-rep 1x=100k: $b1%.2f s (R=$r1) 10x=1M: $b10%.2f s " +
       f"(R=$r10) ratio=${b10 / b1}%.2f")
+
+    // packWindows: distributed prefix sum — wall must track rows
+    // linearly (one range exchange + driver offsets + narrow fold),
+    // and the last doc's placement must equal the closed-form total
+    def drivePack(n: Long): Long = {
+      val docs = spark.range(n).select($"id", ($"id" % 997 + 1).as("nt"))
+      val out = graft.operators.Sampling.packWindows(docs, "id", "nt", 2048L)
+      val last = out.agg(max($"bin_last")).head().getLong(0)
+      graft.operators.Sampling.release(out)
+      last
+    }
+    val (p1, l1) = timeMedian3(drivePack(1000000L))
+    val (p10, l10) = timeMedian3(drivePack(10000000L))
+    println(f"packWindows 1x=1M: $p1%.2f s (lastBin=$l1) 10x=10M: $p10%.2f s " +
+      f"(lastBin=$l10) ratio=${p10 / p1}%.2f")
     spark.stop()
   }
 }
