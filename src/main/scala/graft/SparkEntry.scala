@@ -10876,6 +10876,27 @@ object SparkEntry {
       Stats.gini(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")),
 
+    // ---- Atkinson(ε=0.5) inequality of order value: the welfare-
+    //      weighted companion to q_gini/q_theil (√ is IEEE-exact, so
+    //      the index replays bit-for-bit) ----
+    "q_atkinson" -> ((s, dir) =>
+      Stats.atkinsonIndex(t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- Herfindahl-Hirschman concentration of the documents corpus
+    //      over sources: "is the training mix dominated by one
+    //      domain" in one row ----
+    "q_hhi" -> ((s, dir) =>
+      Stats.hhi(t(s, dir, "documents"), "source")),
+
+    // ---- Durbin-Watson lag-1 serial correlation of daily purchase
+    //      revenue: ~2 = independent days, <2 = momentum ----
+    "q_durbin_watson" -> ((s, dir) =>
+      Stats.durbinWatson(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev")),
+        "day", "rev")),
+
     // ---- median/MAD robust z-scores of event values by type (bounded
     //      probe slice so the output stays inspectable) ----
     "q_robust_scale" -> ((s, dir) =>
@@ -12103,6 +12124,61 @@ object SparkEntry {
         |      CAST(n + 1 AS DOUBLE) * CAST(sv AS DOUBLE)) /
         |    (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6) END AS gini
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Atkinson truth: per-row sqrt rounded 9 into exact decimal, same
+    // fixed-order closing doubles as the operator
+    "q_atkinson" ->
+      """WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |p AS (SELECT v FROM r WHERE v > 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(CAST(round(sqrt(CAST(v AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS sq FROM p),
+        |d AS (SELECT CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped FROM r)
+        |SELECT n, n_dropped,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(CAST(1.0 AS DOUBLE)
+        |    - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson
+        |FROM a, d""".stripMargin,
+
+    // HHI truth: 9-dp-quantized shares, exact decimal share-square sum,
+    // normalized form computed from the ROUNDED hhi (operator order)
+    "q_hhi" ->
+      """WITH c AS (SELECT source AS g, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS k FROM c),
+        |s AS (SELECT CAST(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE),
+        |    9) AS DECIMAL(10,9)) AS sh, k FROM c, t)
+        |SELECT k AS n_groups,
+        |  round(CAST(sum(sh * sh) AS DOUBLE), 6) AS hhi,
+        |  CASE WHEN k > 1 THEN round(
+        |    (round(CAST(sum(sh * sh) AS DOUBLE), 6)
+        |      - CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE))
+        |    / (CAST(1.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)
+        |      / CAST(k AS DOUBLE)), 6) END AS hhi_normalized
+        |FROM s GROUP BY k""".stripMargin,
+
+    // Durbin-Watson truth: per-day exact integer units, mean-cancelling
+    // first differences, one closing double division
+    "q_durbin_watson" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS u
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |f AS (SELECT d, u FROM s WHERE d IS NOT NULL AND u IS NOT NULL),
+        |l AS (SELECT u, lag(u) OVER (ORDER BY d) AS p FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS sm,
+        |    sum(CAST(u AS HUGEINT) * u) AS q,
+        |    sum(CASE WHEN p IS NOT NULL
+        |      THEN CAST(u - p AS HUGEINT) * (u - p) ELSE 0 END) AS d2
+        |  FROM l)
+        |SELECT n, round(CAST(n * d2 AS DOUBLE)
+        |  / CAST(n * q - sm * sm AS DOUBLE), 6) AS dw FROM a""".stripMargin,
 
     // two lower inverse-CDF medians (value, then |v − med|), exact
     // decimal deviations, one division per row

@@ -3060,6 +3060,102 @@ object Stats {
       .select(col("n"), col("n_dropped"), col("mean"), col("theil_t"))
   }
 
+  /** Atkinson inequality index at ε = 0.5:
+    * A = 1 − (Σ√x / n)² / μ — 0 at perfect equality, → 1 at total
+    * concentration; the welfare-theoretic companion to [[theilIndex]]
+    * whose ε weights how much the bottom of the distribution matters.
+    * ε is FIXED at 1/2 here because √ is IEEE-exact (a general-ε pow
+    * is not correctly rounded and would poison cross-engine replay);
+    * non-positive values drop with a published count, like Theil.
+    *
+    * Shape: one per-row √ quantized at 9 dp into an exact decimal sum,
+    * one bounded fold, closing fixed-order doubles.
+    */
+  def atkinsonIndex(df: DataFrame, valueCol: String,
+                    precision: Int = 18, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val rows = df.filter(v.isNotNull)
+      .select(v.as("_v"), (v > 0).as("_pos"))
+    val term = round(sqrt(col("_v").cast("double")), 9)
+      .cast("decimal(28,9)")
+    val agg = rows.filter(col("_pos"))
+      .agg(count(lit(1)).as("n"), sum("_v").as("_s"),
+        sum(term).as("_sq"))
+    val dropped = rows.agg(
+      sum(when(!col("_pos"), 1L).otherwise(0L)).as("n_dropped"))
+    val nD = col("n").cast("double")
+    val mu = col("_s").cast("double") / nD
+    val meanSqrt = col("_sq").cast("double") / nD
+    agg.crossJoin(broadcast(dropped))
+      .select(col("n"), col("n_dropped"),
+        round(mu, 6).as("mean"),
+        round(lit(1.0) - meanSqrt * meanSqrt / mu, 6).as("atkinson"))
+  }
+
+  /** Herfindahl–Hirschman concentration index over a categorical
+    * column: HHI = Σ shareᵢ² (1/k uniform → 1 monopolized) plus the
+    * k-normalized form (HHI − 1/k)/(1 − 1/k) — the "is our training
+    * mix dominated by a handful of domains" one-number screen that
+    * [[graft.operators.Sampling.temperatureWeights]] then fixes.
+    *
+    * Exactness: shares quantize at 9 dp, the share² sum folds in exact
+    * decimal, two closing rounded doubles. Shape: one map-side-combined
+    * group count; the scalar total rides back as a one-row broadcast
+    * (the group table itself stays distributed — domains are unbounded).
+    */
+  def hhi(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum("_n").as("_tot"),
+      count(lit(1)).as("_k"))
+    val share = round(col("_n").cast("double") / col("_tot").cast("double"), 9)
+      .cast("decimal(10,9)")
+    val kD = col("n_groups").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select((share * share).as("_s2"), col("_k"))
+      .groupBy(col("_k").as("n_groups"))
+      .agg(round(sum("_s2").cast("double"), 6).as("hhi"))
+      .withColumn("hhi_normalized",
+        when(col("n_groups") > 1,
+          round((col("hhi") - lit(1.0) / kD) / (lit(1.0) - lit(1.0) / kD), 6)))
+  }
+
+  /** Durbin–Watson serial-correlation statistic over a time series
+    * (one row per `tCol` — the [[cusum]]/[[runsTest]] caller contract,
+    * so the ordered window runs over a bounded table):
+    * DW = Σ(uₜ − uₜ₋₁)² / Σ(uₜ − ū)² on canonical integer units —
+    * ≈2 means no lag-1 autocorrelation, →0 positive, →4 negative; the
+    * "are my daily residuals independent" gate before trusting any
+    * i.i.d.-assuming interval on a metric series.
+    *
+    * Exactness: the numerator's mean CANCELS in first differences, so
+    * both moments are exact integer folds — n·Σd² and n·Σu² − (Σu)² —
+    * and the statistic is ONE closing double division.
+    */
+  def durbinWatson(df: DataFrame, tCol: String, valueCol: String,
+                   precision: Int = 18, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = LimbMoments.units(valueCol, precision, scale)
+    val rows = df.filter(col(tCol).isNotNull && u.isNotNull)
+      .select(col(tCol).as("_t"), u.as("_u"))
+    val byT = Window.orderBy("_t")
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val d = rows.withColumn("_prev", lag("_u", 1).over(byT))
+    val agg = d.agg(count(lit(1)).as("n"),
+      sum(col("_u").cast("decimal(38,0)")).as("_s"),
+      sum((col("_u").cast("decimal(38,0)") *
+        col("_u").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_q"),
+      sum(when(col("_prev").isNotNull,
+        ((col("_u") - col("_prev")).cast("decimal(38,0)") *
+          (col("_u") - col("_prev")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).otherwise(dec0)).as("_d2"))
+    val nDec = col("n").cast("decimal(38,0)")
+    agg.select(col("n"),
+      round((nDec * col("_d2")).cast("double") /
+        (nDec * col("_q") - col("_s") * col("_s")).cast("double"), 6)
+        .as("dw"))
+  }
+
   /** One-sample Kolmogorov–Smirnov distance against Uniform(lo, hi) —
     * the "is this hash/bucket/score actually uniform" gate ([[ksTest]]
     * compares two samples; this one compares against the THEORY a

@@ -1012,6 +1012,41 @@ class ExtendedStatsSpec extends SparkSpecBase {
       r6((t1 * 3 + t9).toDouble / 4.0))
   }
 
+  test("atkinsonIndex: zero at equality, hand case (ε=1/2), non-positives counted") {
+    val equal = Seq(4.0, 4.0, 4.0).toDF("v")
+    assert(Stats.atkinsonIndex(equal, "v").head()
+      .getAs[Double]("atkinson") == 0.0)
+    // (1, 4): mu = 2.5, mean-sqrt = 1.5 -> A = 1 - 2.25/2.5 = 0.1
+    val r = Stats.atkinsonIndex(Seq(1.0, 4.0, 0.0).toDF("v"), "v").head()
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_dropped") == 1L)
+    assert(r.getAs[Double]("mean") == 2.5)
+    assert(r.getAs[Double]("atkinson") == 0.1)
+  }
+
+  test("hhi: hand shares, normalized form, single-group NULL") {
+    // counts 3:1 -> shares .75/.25 -> hhi .625, normalized (k=2) .25
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val r = Stats.hhi(df, "g").head()
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Double]("hhi") == 0.625)
+    assert(r.getAs[Double]("hhi_normalized") == 0.25)
+    // a monopolized single group: hhi 1, normalized undefined (NULL)
+    val solo = Stats.hhi(Seq("x", "x").toDF("g"), "g").head()
+    assert(solo.getAs[Double]("hhi") == 1.0)
+    assert(solo.isNullAt(solo.fieldIndex("hhi_normalized")))
+  }
+
+  test("durbinWatson: linear ramp gives 1, alternating series gives 3") {
+    // residuals of a ramp: e = (-1, 0, 1) -> sum d2 = 2, sum e2 = 2 -> DW 1
+    val ramp = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "v")
+    assert(Stats.durbinWatson(ramp, "t", "v").head()
+      .getAs[Double]("dw") == 1.0)
+    // perfect alternation: DW -> 3 on (1,3,1,3)
+    val alt = Seq((1L, 1.0), (2L, 3.0), (3L, 1.0), (4L, 3.0)).toDF("t", "v")
+    assert(Stats.durbinWatson(alt, "t", "v").head()
+      .getAs[Double]("dw") == 3.0)
+  }
+
   test("personalizedPageRank: hand-replayed chain with quantized teleport") {
     // 1 -> 2 -> 3 (3 dangles), seed = {1}:
     // r1 = (0.15, 0.85, 0); r2 = (0.15, 0.1275, 0.7225); mass sums to 1
