@@ -1170,6 +1170,18 @@ object SparkEntry {
     //      driver-gate row asserts the fitted model separates its
     //      training corpus perfectly, which the planted margin makes a
     //      deterministic outcome ----
+    // ---- multinomial Naive Bayes language-ID: fit on the even-id half
+    //      (labels = lang), score the odd-id half; all logs quantized
+    //      at 9 dp so the oracle replays model and argmax exactly ----
+    "q_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Classifier.naiveBayesFit(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      Classifier.naiveBayesScore(model,
+          docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -4692,6 +4704,46 @@ object SparkEntry {
     "q_top_component" ->
       """SELECT * FROM (VALUES ('top_axis_is_0', true),
         |  ('axis0_loading_gt_0.9', true)) AS t(check_name, ok)""".stripMargin,
+
+    // Naive-Bayes truth: full model replay (Laplace-smoothed 9dp log
+    // likelihoods, 9dp log priors, exact decimal per-doc sums, argmax
+    // ties to the lexicographically largest label)
+    "q_naive_bayes" ->
+      s"""WITH tr AS (SELECT lang AS label, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+        |tok AS (SELECT label, unnest($toksSql) AS term FROM tr),
+        |tc AS (SELECT label, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT label, CAST(sum(c) AS BIGINT) AS n FROM tc
+        |  GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tc),
+        |pr AS (SELECT label, CAST(count(*) AS BIGINT) AS docs FROM tr
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(docs) AS BIGINT) AS tot FROM pr),
+        |seen AS (SELECT label, term,
+        |    round(ln((CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        * CAST(v AS DOUBLE))), 9) AS logp
+        |  FROM tc JOIN nl USING (label), vc),
+        |defs AS (SELECT label,
+        |    round(ln(CAST(1.0 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE)
+        |        * CAST(v AS DOUBLE))), 9) AS dflt,
+        |    round(ln(CAST(docs AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+        |      AS lp
+        |  FROM nl JOIN pr USING (label), vc, tt),
+        |te AS (SELECT doc_id, unnest($toksSql) AS term FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |sc AS (SELECT te.doc_id, d.label,
+        |    round(CAST(sum(CAST(coalesce(s.logp, d.dflt)
+        |      AS DECIMAL(28,9))) AS DOUBLE) + d.lp, 6) AS score
+        |  FROM te CROSS JOIN defs d
+        |  LEFT JOIN seen s ON s.label = d.label AND s.term = te.term
+        |  GROUP BY te.doc_id, d.label, d.lp),
+        |r AS (SELECT doc_id, label, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rk
+        |  FROM sc)
+        |SELECT doc_id, label AS predicted, score FROM r WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Tukey fences via quantile_cont (pairs with Spark's exact
     // interpolated percentile); only the boolean flag leaves the query

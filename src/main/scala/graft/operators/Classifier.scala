@@ -181,4 +181,87 @@ object Classifier {
           "gini_base", "gini_gain")
     } finally { cells.unpersist(blocking = false) }
   }
+
+  /** Multinomial Naive Bayes over word tokens — fit. The categorical
+    * sibling of [[fitLogistic]] and the actual shape of fastText-style
+    * language-ID / quality filters: per-class token log-likelihoods
+    * with Laplace smoothing, P(term|label) = (c + α)/(N_label + α·V).
+    * Returns the MODEL as one DataFrame: seen rows (label, term, logp)
+    * plus one default row per label (term NULL) carrying the
+    * unseen-token log-probability and the label's log-prior. The model
+    * is vocab×labels-sized — it stays distributed (localCheckpoint'ed,
+    * never collected); release with [[Sampling.release]] when done.
+    *
+    * Engine replay: every log quantizes at 9 dp; counts, the vocabulary
+    * size, and doc totals are exact integers riding as one-row
+    * broadcasts, so an oracle replays the model bit-for-bit. The
+    * (label, term) count table is persisted across its three derived
+    * folds (the kneser-ney discipline — without it this is a 3× corpus
+    * scan).
+    */
+  def naiveBayesFit(df: DataFrame, textCol: String, labelCol: String,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val base = df.filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        col(textCol).as("_txt"))
+    val tc = base
+      .select(col("label"), explode(TextAnalysis.tokens(col("_txt"))).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nl = tc.groupBy("label").agg(sum("_c").as("_n"))
+      val vc = tc.agg(countDistinct(col("term")).as("_v"))
+      val priors = base.groupBy("label").agg(count(lit(1)).as("_docs"))
+      val tot = priors.agg(sum("_docs").as("_tot"))
+      val aV = lit(alpha) * col("_v").cast("double")
+      val seen = tc.join(nl, "label").crossJoin(broadcast(vc))
+        .select(col("label"), col("term"),
+          round(log((col("_c").cast("double") + lit(alpha)) /
+            (col("_n").cast("double") + aV)), 9).as("logp"),
+          lit(null).cast("double").as("log_prior"))
+      val defaults = nl.crossJoin(broadcast(vc))
+        .join(priors, "label").crossJoin(broadcast(tot))
+        .select(col("label"), lit(null).cast("string").as("term"),
+          round(log(lit(alpha) /
+            (col("_n").cast("double") + aV)), 9).as("logp"),
+          round(log(col("_docs").cast("double") /
+            col("_tot").cast("double")), 9).as("log_prior"))
+      seen.unionByName(defaults).localCheckpoint(eager = true)
+    } finally tc.unpersist(blocking = false)
+  }
+
+  /** Multinomial Naive Bayes — score + argmax. Each document's class
+    * score is log-prior + Σ per-token log-likelihood (unseen tokens
+    * take the label's default); the winner is the max score with ties
+    * to the lexicographically LARGEST label (documented convention —
+    * one struct-max aggregation, no per-doc window). Emits
+    * (id, predicted, score). Documents with no tokens drop.
+    *
+    * Shape: explode tokens ×|labels| (the label alphabet is a one-row-
+    * per-class design table — broadcast is cardinality-safe), one left
+    * join against the seen-term model on (label, term), per-(doc,
+    * label) exact decimal sum of 9-dp log terms, one struct-max fold.
+    */
+  def naiveBayesScore(model: DataFrame, docs: DataFrame,
+                      textCol: String, idCol: String): DataFrame = {
+    val labels = model.filter(col("term").isNull)
+      .select(col("label"), col("logp").as("_def"), col("log_prior"))
+    val seen = model.filter(col("term").isNotNull)
+      .select(col("label"), col("term"), col("logp"))
+    val toks = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    toks.crossJoin(broadcast(labels))
+      .join(seen, Seq("label", "term"), "left")
+      .select(col(idCol), col("label"), col("log_prior"),
+        coalesce(col("logp"), col("_def")).cast("decimal(28,9)").as("_lp"))
+      .groupBy(col(idCol), col("label"), col("log_prior"))
+      .agg(sum("_lp").as("_s"))
+      .select(col(idCol), col("label"),
+        round(col("_s").cast("double") + col("log_prior"), 6).as("_score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_score"), col("label"))).as("_m"))
+      .select(col(idCol), col("_m.label").as("predicted"),
+        col("_m._score").as("score"))
+  }
 }

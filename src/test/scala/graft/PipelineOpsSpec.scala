@@ -29,6 +29,33 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("naiveBayes: hand-derived posteriors, unseen-token default, largest-label ties") {
+    import graft.operators.Classifier
+    // train: L1 = "a a b", L2 = "b b"; V = 2, alpha = 1
+    // P(a|L1) = 3/5, P(b|L1) = 2/5; P(a|L2) = 1/4, P(b|L2) = 3/4
+    val train = Seq(("a a b", "L1"), ("b b", "L2")).toDF("text", "lab")
+    val model = Classifier.naiveBayesFit(train, "text", "lab")
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val seen = model.filter($"term".isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(seen(("L1", "a")) == r9(math.log(3.0 / 5.0)))
+    assert(seen(("L2", "b")) == r9(math.log(3.0 / 4.0)))
+    // "a"-heavy doc goes L1, "b"-heavy goes L2; "c c" is all-unseen and
+    // falls to the prior + defaults — L2's default 1/4 beats L1's 1/5
+    val docs = Seq((1L, "a a"), (2L, "b b b"), (3L, "c c")).toDF("doc_id", "text")
+    val out = Classifier.naiveBayesScore(model, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "L1", 2L -> "L2", 3L -> "L2"), s"got $out")
+    // exact-tie documents break to the lexicographically LARGEST label:
+    // symmetric training makes "a b" score identically under both
+    val sym = Classifier.naiveBayesFit(
+      Seq(("a a b", "L1"), ("b b a", "L2")).toDF("text", "lab"), "text", "lab")
+    val tie = Classifier.naiveBayesScore(sym,
+      Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(tie.getString(1) == "L2")
+  }
+
   test("lshPlan: divisor table, closed-form s-curve, monotone trade-off") {
     val plan = Dedup.lshPlan(spark, 64, 0.8, 0.3).orderBy("bands").collect()
     // d(64) = 7 factorizations: 1,2,4,8,16,32,64 bands
