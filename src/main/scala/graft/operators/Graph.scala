@@ -34,6 +34,15 @@ object Graph {
     withDeg.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
       .localCheckpoint(eager = true)
+    // checkpoint every SECOND round plus the final one (the PPR/HITS
+    // cadence): eager actions are the fixed per-job overhead that
+    // dominates small inputs, and a skipped round's frame rides as a
+    // lazy persist() whose cache the next eager job populates — its two
+    // consumers (contribs + dangling) then share one computation.
+    // localCheckpoint (not persist alone) still does the lineage/
+    // analysis truncation at each materialization point.
+    var lastCkpt = ranks
+    var lastLazy: DataFrame = null
     var it = 0
     while (it < iters) {
       val contribs = withDeg
@@ -46,20 +55,24 @@ object Graph {
       val danglingRow = ranks
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dangling"))
-      // localCheckpoint: truncates lineage AND analysis cost per round
-      // (persist alone leaves the logical plan growing linearly, and
-      // re-analysis was the dominant per-iteration cost on small graphs)
-      val next = nodes.join(contribs, Seq("id"), "left")
+      val nextPlan = nodes.join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(danglingRow))
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
               col("dangling") / lit(n)))
             .as("rank"))
-        .localCheckpoint(eager = true)
-      // `next` is checkpointed, so the previous round's checkpoint RDD is
-      // dead — drop it or executor storage grows linearly with iters
-      unpersistCheckpoint(ranks)
+      val materialize = it % 2 == 1 || it == iters - 1
+      val next =
+        if (materialize) nextPlan.localCheckpoint(eager = true)
+        else nextPlan.persist()
+      if (materialize) {
+        // the pair's checkpoint and bridge cache are now dead — drop
+        // them or executor storage grows linearly with iters
+        unpersistCheckpoint(lastCkpt)
+        if (lastLazy != null) { lastLazy.unpersist(blocking = false); lastLazy = null }
+        lastCkpt = next
+      } else lastLazy = next
       ranks = next
       it += 1
     }
