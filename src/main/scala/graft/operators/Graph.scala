@@ -216,6 +216,13 @@ object Graph {
       .union(und.select(col("b").as("id"))).distinct()
       .withColumn("community", col("id"))
       .localCheckpoint(eager = true)
+    // checkpoint every SECOND round (the pageRank/PPR/HITS cadence):
+    // skipped rounds ride as a lazy persist() — under earlyExit the
+    // convergence count materializes the cache anyway, and both of the
+    // frame's next-round consumers (neighbor votes + self votes) then
+    // share it
+    var lastCkpt = labels
+    var lastLazy: DataFrame = null
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -223,19 +230,26 @@ object Graph {
         .join(labels.select(col("id").as("n"), col("community")), "n")
         .select(col("v"), col("community"))
       val selfVotes = labels.select(col("id").as("v"), col("community"))
-      val next = nbrVotes.union(selfVotes)
+      val nextPlan = nbrVotes.union(selfVotes)
         .groupBy("v", "community").agg(count(lit(1)).as("_c"))
         // argmax by (count desc, label asc) == max of (count, -label)
         .groupBy(col("v").as("id"))
         .agg(max(struct(col("_c"), (-col("community")).as("_neg"))).as("_m"))
         .select(col("id"), (-col("_m._neg")).as("community"))
-        .localCheckpoint(eager = true)
+      val materialize = it % 2 == 1 || it == maxIter - 1
+      val next =
+        if (materialize) nextPlan.localCheckpoint(eager = true)
+        else nextPlan.persist()
       changed =
         if (earlyExit)
           next.join(labels.withColumnRenamed("community", "_old"), "id")
             .filter(col("community") =!= col("_old")).count()
         else 1L
-      unpersistCheckpoint(labels)
+      if (materialize) {
+        unpersistCheckpoint(lastCkpt)
+        if (lastLazy != null) { lastLazy.unpersist(blocking = false); lastLazy = null }
+        lastCkpt = next
+      } else lastLazy = next
       labels = next
       it += 1
     }
