@@ -109,6 +109,32 @@ object GraftApp {
     } finally scored.unpersist(blocking = false)
   }
 
+  /** The `classify` subcommand body, factored for direct spec drive:
+    * fit [[graft.operators.Classifier.naiveBayesFit]] on the rows with
+    * a non-null `labelCol`, score the WHOLE corpus, write
+    * `predictions.parquet` (doc_id, predicted, score) and
+    * `class_summary.parquet` (predicted, n), and return the summary
+    * scalars. The model frame is released before returning.
+    */
+  def runClassify(spark: SparkSession, input: String, out: String,
+                  labelCol: String = "lang"): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, input, "documents")
+    val model = graft.operators.Classifier.naiveBayesFit(
+      docs.filter(col(labelCol).isNotNull), "text", labelCol)
+    try {
+      val preds = graft.operators.Classifier
+        .naiveBayesScore(model, docs, "text", "doc_id")
+      preds.write.mode("overwrite").parquet(s"$out/predictions.parquet")
+      val summary = spark.read.parquet(s"$out/predictions.parquet")
+        .groupBy("predicted").agg(count(lit(1)).as("n"))
+      summary.write.mode("overwrite").parquet(s"$out/class_summary.parquet")
+      val rows = summary.collect() // bounded: one row per class
+      Map("n_scored" -> rows.map(_.getAs[Long]("n")).sum.toString,
+        "n_classes" -> rows.length.toString)
+    } finally graft.operators.Sampling.release(model)
+  }
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("run")
     val opts = parseArgs(args.drop(1))
@@ -245,6 +271,23 @@ object GraftApp {
       try {
         val m = runEvalCard(spark, input, out)
         println(s"evalcard: ${m.map { case (k, v) => s"$k=$v" }.mkString(" ")} -> $out")
+      } finally spark.stop()
+      return
+    }
+    if (cmd == "classify") {
+      // Naive-Bayes corpus classification: fit on the rows whose label
+      // column is set, score EVERY row, write predictions + a per-class
+      // summary — the "propagate the seed labels over the whole corpus"
+      // step (language-ID backfill, weak-label quality tiers)
+      val input = opts.getOrElse("input",
+        sys.error("classify requires --input <dir containing documents.parquet>"))
+      val out = opts.getOrElse("output", "classify_out")
+      val labelCol = opts.getOrElse("label-col", "lang")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val m = runClassify(spark, input, out, labelCol)
+        println(s"classify: ${m.map { case (k, v) => s"$k=$v" }.mkString(" ")} -> $out")
       } finally spark.stop()
       return
     }

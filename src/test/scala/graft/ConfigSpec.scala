@@ -265,4 +265,25 @@ class EvalCardSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$out/evalcard.json")), "UTF-8")
     assert(json.contains("\"auc\"") && json.contains("\"ece\""))
   }
+
+  test("runClassify scores the whole corpus once, labels from the seed alphabet") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("classify").toString
+    val m = GraftApp.runClassify(spark, "/root/testdata/sf0.001", out)
+    val preds = spark.read.parquet(s"$out/predictions.parquet")
+    assert(m("n_scored").toLong == preds.count())
+    // one row per document (no doc scored twice)
+    assert(preds.select("doc_id").distinct().count() == preds.count())
+    // predictions come only from the training label alphabet
+    val langs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("lang").isNotNull)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val predicted = preds.select("predicted").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(predicted.subsetOf(langs), s"$predicted vs $langs")
+    // the summary reconciles with the predictions
+    val sums = spark.read.parquet(s"$out/class_summary.parquet")
+      .agg(sum("n")).head().getLong(0)
+    assert(sums == preds.count())
+  }
 }
