@@ -10949,6 +10949,16 @@ object SparkEntry {
           .agg(sum(col("value").cast("decimal(18,2)")).as("rev")),
         "day", "rev")),
 
+    // ---- Page-Hinkley upward-shift alarm on the same daily revenue
+    //      series (delta 0, lambda 50): the batch replay of a
+    //      sequential drift monitor ----
+    "q_page_hinkley" -> ((s, dir) =>
+      Stats.pageHinkley(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev")),
+        "day", "rev")),
+
     // ---- median/MAD robust z-scores of event values by type (bounded
     //      probe slice so the output stays inspectable) ----
     "q_robust_scale" -> ((s, dir) =>
@@ -12231,6 +12241,29 @@ object SparkEntry {
         |  FROM l)
         |SELECT n, round(CAST(n * d2 AS DOUBLE)
         |  / CAST(n * q - sm * sm AS DOUBLE), 6) AS dw FROM a""".stripMargin,
+
+    // Page-Hinkley truth: 9dp-quantized deviation cumsum, exact running
+    // min, argmax ties to the largest t (the operator's struct-max)
+    "q_page_hinkley" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS t,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |f AS (SELECT t, v FROM s WHERE t IS NOT NULL AND v IS NOT NULL),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM f),
+        |w AS (SELECT t, n,
+        |    sum(CAST(round(CAST(v AS DOUBLE) - mean
+        |      - CAST(0.0 AS DOUBLE), 9) AS DECIMAL(28,9)))
+        |      OVER (ORDER BY t) AS m
+        |  FROM f, st),
+        |p AS (SELECT t, n, CAST(m - min(m) OVER (ORDER BY t)
+        |    AS DECIMAL(29,9)) AS ph FROM w),
+        |r AS (SELECT n, ph, t, row_number() OVER (
+        |    ORDER BY ph DESC, t DESC) AS rk FROM p)
+        |SELECT n, round(CAST(ph AS DOUBLE), 6) AS ph_max, t AS t_at_max,
+        |  round(CAST(ph AS DOUBLE), 6) > CAST(50.0 AS DOUBLE) AS triggered
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // two lower inverse-CDF medians (value, then |v − med|), exact
     // decimal deviations, one division per row

@@ -1641,6 +1641,47 @@ object Stats {
         (col("s_plus") > hDec || col("s_minus") > hDec).as("flag"))
   }
 
+  /** Page–Hinkley mean-shift detector over a time series (one row per
+    * `tCol` — the [[cusum]] caller contract): mₜ = Σᵢ≤ₜ(xᵢ − x̄ − δ),
+    * PHₜ = mₜ − min_{s≤t} mₛ; reports the maximal PH and where it
+    * peaks, plus the λ-threshold verdict — the classic sequential
+    * upward-shift alarm, the batch twin of a streaming drift monitor
+    * replayed over the whole history. Returns one row
+    * (n, ph_max, t_at_max, triggered); argmax ties break to the
+    * LARGEST t (struct-max convention, documented for the oracle).
+    *
+    * Exactness: x̄ is the only division — each deviation term
+    * (x − x̄ − δ) quantizes at 9 dp into an exact decimal cumsum, the
+    * running min and the closing max/argmax fold are exact on those
+    * decimals; λ compares against the 6-dp rounded double.
+    */
+  def pageHinkley(df: DataFrame, tCol: String, valueCol: String,
+                  delta: Double = 0.0, lambda: Double = 50.0,
+                  precision: Int = 18, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val rows = df.filter(col(tCol).isNotNull && v.isNotNull)
+      .select(col(tCol).as("_t"), v.as("_v"))
+    val stats = rows.agg(count(lit(1)).as("_n"), sum("_v").as("_s"))
+    val mean = col("_s").cast("double") / col("_n").cast("double")
+    val term = round(col("_v").cast("double") - col("_mean") - lit(delta), 9)
+      .cast("decimal(28,9)")
+    val byT = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = rows
+      .crossJoin(broadcast(stats.select(col("_n"), mean.as("_mean"))))
+      .withColumn("_m", sum(term).over(byT))
+      .withColumn("_minm", min(col("_m")).over(byT))
+      .withColumn("_ph", (col("_m") - col("_minm")).cast("decimal(29,9)"))
+    walked
+      .agg(first("_n").as("n"),
+        max(struct(col("_ph"), col("_t"))).as("_top"))
+      .select(col("n"),
+        round(col("_top._ph").cast("double"), 6).as("ph_max"),
+        col("_top._t").as("t_at_max"))
+      .withColumn("triggered", col("ph_max") > lambda)
+  }
+
   /** Single-changepoint locator on a PRE-AGGREGATED series (the caller
     * groupBys the corpus to one row per t first, same contract as
     * [[cusum]]/[[decompose]]): the CUSUM-statistic split point

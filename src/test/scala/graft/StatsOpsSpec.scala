@@ -1036,6 +1036,26 @@ class ExtendedStatsSpec extends SparkSpecBase {
     assert(solo.isNullAt(solo.fieldIndex("hhi_normalized")))
   }
 
+  test("pageHinkley: step shift peaks at the end, flat series never triggers") {
+    // step 0->10 at t=4, mean 5: m walks -5,-10,-15,-10,-5,0; running
+    // min pins at -15, so PH peaks at 15 on the last point
+    val step = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0),
+      (4L, 10.0), (5L, 10.0), (6L, 10.0)).toDF("t", "v")
+    val r = Stats.pageHinkley(step, "t", "v", delta = 0.0, lambda = 12.0)
+      .head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ph_max") == 15.0)
+    assert(r.getAs[Long]("t_at_max") == 6L)
+    assert(r.getAs[Boolean]("triggered"))
+    // the default lambda=50 does not fire on the same shift
+    assert(!Stats.pageHinkley(step, "t", "v").head()
+      .getAs[Boolean]("triggered"))
+    // a flat series has PH exactly 0 everywhere
+    val flat = Seq((1L, 3.0), (2L, 3.0), (3L, 3.0)).toDF("t", "v")
+    val f = Stats.pageHinkley(flat, "t", "v").head()
+    assert(f.getAs[Double]("ph_max") == 0.0 && !f.getAs[Boolean]("triggered"))
+  }
+
   test("durbinWatson: linear ramp gives 1, alternating series gives 3") {
     // residuals of a ramp: e = (-1, 0, 1) -> sum d2 = 2, sum e2 = 2 -> DW 1
     val ramp = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "v")
