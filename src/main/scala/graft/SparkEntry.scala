@@ -10928,6 +10928,13 @@ object SparkEntry {
       Stats.gini(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")),
 
+    // ---- Lorenz-curve deciles of order value: the plot-ready
+    //      companion to q_gini (share of total revenue held by the
+    //      poorest k/10 of orders) ----
+    "q_lorenz" -> ((s, dir) =>
+      Stats.lorenzCurve(t(s, dir, "orders"), "o_totalprice", 10)
+        .orderBy("point")),
+
     // ---- Atkinson(ε=0.5) inequality of order value: the welfare-
     //      weighted companion to q_gini/q_theil (√ is IEEE-exact, so
     //      the index replays bit-for-bit) ----
@@ -12186,6 +12193,31 @@ object SparkEntry {
         |      CAST(n + 1 AS DOUBLE) * CAST(sv AS DOUBLE)) /
         |    (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6) END AS gini
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Lorenz truth: distinct-value cumulative masses, integer rank
+    // targets (// is exact), partial spanning block in exact decimal
+    "q_lorenz" ->
+      """WITH c AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    count(*) AS cc FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(o_totalprice AS DECIMAL(18,2)) >= 0
+        |  GROUP BY 1),
+        |w AS (SELECT v, cc,
+        |    SUM(cc) OVER (ORDER BY v) AS cum,
+        |    CAST(SUM(CAST(v * cc AS DECIMAL(38,6))) OVER (ORDER BY v)
+        |      AS DECIMAL(38,6)) AS cumv,
+        |    SUM(cc) OVER () AS n,
+        |    CAST(SUM(CAST(v * cc AS DECIMAL(38,6))) OVER ()
+        |      AS DECIMAL(38,6)) AS tot
+        |  FROM c)
+        |SELECT CAST(k AS BIGINT) AS point,
+        |  CAST((k * n) // 10 AS BIGINT) AS cum_count,
+        |  round(CAST(cumv - CAST(CAST(cum - (k * n) // 10
+        |      AS DECIMAL(20,0)) * v AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM w CROSS JOIN range(1, 11) t(k)
+        |WHERE cum - cc < (k * n) // 10 AND (k * n) // 10 <= cum
+        |ORDER BY point""".stripMargin,
 
     // Atkinson truth: per-row sqrt rounded 9 into exact decimal, same
     // fixed-order closing doubles as the operator

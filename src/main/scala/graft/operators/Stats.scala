@@ -3133,6 +3133,53 @@ object Stats {
         round(lit(1.0) - meanSqrt * meanSqrt / mu, 6).as("atkinson"))
   }
 
+  /** Lorenz-curve checkpoints over a non-negative metric — the
+    * plot-ready companion to [[gini]]: at each population fraction
+    * k/points, the share of the total mass held by the poorest
+    * ⌊k·n/points⌋ rows. Perfect equality reads share = k/points on
+    * every row; concentration bows the curve below the diagonal.
+    * Returns (point, cum_count, cum_share).
+    *
+    * Exactness: ranks are exact integers over the distinct-value
+    * table; a value block spanning a cut contributes a PARTIAL mass
+    * (cumv − (cum − r)·v) computed in exact decimal; each share is one
+    * rounded division. Shape: one map-side-combined distinct-value
+    * fold, cumulative windows over that bounded table, a `points`-row
+    * broadcast probe join. Negative values are excluded (Lorenz is
+    * defined on non-negative quantities); checkpoints whose target
+    * rank ⌊k·n/points⌋ is 0 (n < points/k) are absent from the output.
+    */
+  def lorenzCurve(df: DataFrame, valueCol: String, points: Int = 10,
+                  precision: Int = 18, scale: Int = 2): DataFrame = {
+    require(points >= 2 && points <= 1000, "points in [2, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(s"decimal($precision,$scale)")
+    val cells = df.filter(v.isNotNull && v >= 0)
+      .groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
+    val cum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val mass = (col("_v") * col("_c")).cast("decimal(38,6)")
+    val w = cells
+      .withColumn("_cum", sum("_c").over(cum))
+      .withColumn("_cumv", sum(mass).over(cum))
+      .withColumn("_n", sum("_c").over(all))
+      .withColumn("_tot", sum(mass).over(all))
+    val probes = broadcast(df.sparkSession.range(1, points + 1)
+      .select(col("id").as("point")))
+    w.crossJoin(probes)
+      // `div`, not `/`: Spark's Divide always returns DOUBLE; the rank
+      // must stay an exact integer
+      .withColumn("_r", expr(s"(point * _n) div ${points}L"))
+      .filter(col("_cum") - col("_c") < col("_r") &&
+        col("_r") <= col("_cum"))
+      .select(col("point"), col("_r").as("cum_count"),
+        round((col("_cumv") -
+          ((col("_cum") - col("_r")).cast("decimal(20,0)") * col("_v"))
+            .cast("decimal(38,6)")).cast("double") /
+          col("_tot").cast("double"), 6).as("cum_share"))
+  }
+
   /** Herfindahl–Hirschman concentration index over a categorical
     * column: HHI = Σ shareᵢ² (1/k uniform → 1 monopolized) plus the
     * k-normalized form (HHI − 1/k)/(1 − 1/k) — the "is our training

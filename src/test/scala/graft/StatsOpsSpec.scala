@@ -1036,6 +1036,27 @@ class ExtendedStatsSpec extends SparkSpecBase {
     assert(solo.isNullAt(solo.fieldIndex("hhi_normalized")))
   }
 
+  test("lorenzCurve: diagonal at equality, bowed under concentration, partial blocks exact") {
+    // perfect equality: share at k/10 is exactly k/10
+    val eq = Seq.fill(10)(5.0).toDF("v")
+    val eqPts = Stats.lorenzCurve(eq, "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cum_share")).toMap
+    (1 to 10).foreach(k => assert(eqPts(k.toLong) == k / 10.0))
+    // total concentration: poorest 9 deciles hold nothing
+    val conc = (Seq.fill(9)(0.0) :+ 10.0).toDF("v")
+    val cPts = Stats.lorenzCurve(conc, "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cum_share")).toMap
+    (1 to 9).foreach(k => assert(cPts(k.toLong) == 0.0))
+    assert(cPts(10L) == 1.0)
+    // 3 rows, 10 points: k <= 3 target rank 0 and is absent; k=4 takes
+    // the single poorest row -> 1/6 of the mass
+    val tri = Seq(1.0, 2.0, 3.0).toDF("v")
+    val tPts = Stats.lorenzCurve(tri, "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cum_share")).toMap
+    assert(!tPts.contains(1L) && !tPts.contains(3L))
+    assert(tPts(4L) == 0.166667 && tPts(10L) == 1.0)
+  }
+
   test("pageHinkley: step shift peaks at the end, flat series never triggers") {
     // step 0->10 at t=4, mean 5: m walks -5,-10,-15,-10,-5,0; running
     // min pins at -15, so PH peaks at 15 on the last point
