@@ -10947,6 +10947,11 @@ object SparkEntry {
     "q_hhi" -> ((s, dir) =>
       Stats.hhi(t(s, dir, "documents"), "source")),
 
+    // ---- CR_2 concentration: share of documents held by the two
+    //      largest sources — the headline number next to q_hhi ----
+    "q_concentration" -> ((s, dir) =>
+      Stats.concentrationRatio(t(s, dir, "documents"), "source", 2)),
+
     // ---- Durbin-Watson lag-1 serial correlation of daily purchase
     //      revenue: ~2 = independent days, <2 = momentum ----
     "q_durbin_watson" -> ((s, dir) =>
@@ -12255,6 +12260,20 @@ object SparkEntry {
         |    / (CAST(1.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)
         |      / CAST(k AS DOUBLE)), 6) END AS hhi_normalized
         |FROM s GROUP BY k""".stripMargin,
+
+    // CR_k truth: same (count desc, group asc) cut, one division
+    "q_concentration" ->
+      """WITH c AS (SELECT source AS g, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS k FROM c),
+        |top AS (SELECT CAST(sum(n) AS BIGINT) AS topn FROM (
+        |  SELECT n FROM c ORDER BY n DESC, g ASC LIMIT 2))
+        |SELECT CAST(2 AS INT) AS k, t.k AS n_groups, tot AS n_total,
+        |  topn AS top_n,
+        |  round(CAST(topn AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS top_share
+        |FROM top, t""".stripMargin,
 
     // Durbin-Watson truth: per-day exact integer units, mean-cancelling
     // first differences, one closing double division

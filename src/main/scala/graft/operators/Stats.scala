@@ -3208,6 +3208,34 @@ object Stats {
           round((col("hhi") - lit(1.0) / kD) / (lit(1.0) - lit(1.0) / kD), 6)))
   }
 
+  /** Concentration ratio CR_k: the share of all rows held by the k
+    * largest groups — the "top 4 domains hold X% of the corpus"
+    * headline that [[hhi]] compresses into one index. Ties at the k-th
+    * place break to the lexicographically smallest group (documented;
+    * the oracle's ORDER BY reproduces the cut). Returns one row
+    * (k, n_groups, n_total, top_n, top_share).
+    *
+    * Shape: one map-side-combined group count; the top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * scalar totals ride as a one-row broadcast.
+    */
+  def concentrationRatio(df: DataFrame, groupCol: String,
+                         k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 10000, "k in [1, 10000]")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum("_n").as("_tot"),
+      count(lit(1)).as("_k"))
+    counts.orderBy(col("_n").desc, col("_g").asc).limit(k)
+      .agg(sum("_n").as("_top"))
+      .crossJoin(broadcast(tot))
+      .select(lit(k).as("k"), col("_k").as("n_groups"),
+        col("_tot").cast("long").as("n_total"),
+        col("_top").cast("long").as("top_n"),
+        round(col("_top").cast("double") / col("_tot").cast("double"), 6)
+          .as("top_share"))
+  }
+
   /** Durbin–Watson serial-correlation statistic over a time series
     * (one row per `tCol` — the [[cusum]]/[[runsTest]] caller contract,
     * so the ordered window runs over a bounded table):

@@ -1036,6 +1036,17 @@ class ExtendedStatsSpec extends SparkSpecBase {
     assert(solo.isNullAt(solo.fieldIndex("hhi_normalized")))
   }
 
+  test("concentrationRatio: top-k share on hand counts; k beyond groups saturates at 1") {
+    // counts 3:1:1 -> CR_2 = 4/5
+    val df = Seq("a", "a", "a", "b", "c").toDF("g")
+    val r = Stats.concentrationRatio(df, "g", 2).head()
+    assert(r.getAs[Long]("n_groups") == 3L && r.getAs[Long]("n_total") == 5L)
+    assert(r.getAs[Long]("top_n") == 4L && r.getAs[Double]("top_share") == 0.8)
+    // k >= group count takes everything
+    assert(Stats.concentrationRatio(df, "g", 10).head()
+      .getAs[Double]("top_share") == 1.0)
+  }
+
   test("lorenzCurve: diagonal at equality, bowed under concentration, partial blocks exact") {
     // perfect equality: share at k/10 is exactly k/10
     val eq = Seq.fill(10)(5.0).toDF("v")
