@@ -152,6 +152,27 @@ class SamplingSpec extends SparkSpecBase {
       long.getAs[Boolean]("crosses_boundary"))
   }
 
+  test("packWindows property: matches a sequential reference fold on random corpora") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 400L).map(i => (i, rnd.nextInt(300).toLong))
+      val cap = 64L + trial * 37L
+      // sequential reference: one pass over id order
+      var cum = 0L
+      val expect = docs.filter(_._2 > 0).map { case (id, nt) =>
+        val before = cum; cum += nt
+        (id, nt, before / cap, before % cap, (before + nt - 1) / cap,
+          before / cap != (before + nt - 1) / cap)
+      }
+      val got = Sampling.packWindows(
+          docs.toDF("id", "nt"), "id", "nt", cap, nPartitions = 7)
+        .as[(Long, Long, Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial cap $cap diverged")
+    }
+  }
+
   test("temperature mixing flattens toward uniform as alpha drops") {
     val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
       .zipWithIndex.map(_.swap).toDF("id", "dom")
