@@ -3658,6 +3658,15 @@ object SparkEntry {
     // ---- centroid-based silhouette per label cluster: model-sized
     //      centroid table broadcast over the corpus, kernel distances,
     //      decimal-summed per-label means ----
+    // ---- embedding outlier screen: distance to own label centroid,
+    //      median/MAD robust z within the label — the mislabeled-vector
+    //      QA pass (same quantization ladder as q_silhouette +
+    //      q_robust_outliers) ----
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+          "vec_id", "label", "embedding")
+        .orderBy("vec_id")),
+
     "q_silhouette" -> ((s, dir) =>
       Similarity.silhouette(t(s, dir, "embeddings"), "vec_id", "label",
           "embedding")
@@ -9950,6 +9959,38 @@ object SparkEntry {
     // p·p − 2·p·c + c·c distance (list_dot_product parity with the
     // DotProduct kernel is proven by the cosine oracles), per-point
     // scores rounded then decimal-summed per label
+    // centroid-outlier truth: silhouette's distance ladder (6dp
+    // centroids, list_dot_product distances rounded 6dp), then the
+    // robust-outliers median/MAD replay on the rounded distances
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cx AS (SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |cm AS (SELECT label, i, round(avg(x), 6) AS c FROM cx GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel, list(c ORDER BY i) AS cv
+        |  FROM cm GROUP BY label),
+        |cc AS (SELECT clabel, cv, list_dot_product(cv, cv) AS cdot FROM cent),
+        |d AS (SELECT e.vec_id, e.label,
+        |    round(sqrt(greatest(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, cc.cv) + cc.cdot, 0.0)), 6)
+        |      AS dist
+        |  FROM e JOIN cc ON cc.clabel = e.label),
+        |m AS (SELECT label, round(quantile_cont(dist, 0.5), 6) AS med
+        |  FROM d GROUP BY label),
+        |md AS (SELECT d.label, any_value(m.med) AS med,
+        |    round(quantile_cont(abs(d.dist - m.med), 0.5), 6) AS mad
+        |  FROM d JOIN m USING (label) GROUP BY d.label)
+        |SELECT d.vec_id, d.label, d.dist, md.med, md.mad,
+        |  CASE WHEN md.mad > 0
+        |    THEN round((d.dist - md.med) / (1.4826 * md.mad), 6) END
+        |    AS robust_z,
+        |  COALESCE(abs(CASE WHEN md.mad > 0
+        |    THEN round((d.dist - md.med) / (1.4826 * md.mad), 6) END)
+        |    > 3.5, false) AS is_outlier
+        |FROM d JOIN md USING (label) ORDER BY vec_id""".stripMargin,
+
     "q_silhouette" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

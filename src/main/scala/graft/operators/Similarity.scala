@@ -640,6 +640,53 @@ object Similarity {
           .as("mean_silhouette"))
   }
 
+  /** Embedding outlier screen: each vector's L2 distance to its OWN
+    * label centroid, robust-z-scored within the label (median/MAD —
+    * the [[EventAnalytics.robustOutliers]] discipline, immune to the
+    * outliers it hunts) — the mislabeled-vector / corrupted-embedding
+    * QA pass run before centroids feed anything downstream. Returns
+    * (id, label, dist, med, mad, robust_z, is_outlier).
+    *
+    * Shape: one (label, dim) centroid aggregation (model-sized), the
+    * label-keyed centroid vectors broadcast back (bounded by the class
+    * alphabet — a design table, not a data-derived vocabulary), one
+    * codegen'd distance pass through [[graft.functions.DotProduct]]
+    * (d² = p·p − 2·p·c + c·c), then the two label-keyed percentile
+    * folds and a scoring join — UNHINTED (per-label stats are
+    * data-derived; AQE sizes them). Engine replay: centroids round at
+    * 6 dp before any distance, distances round at 6 dp BEFORE the
+    * median/MAD, med/mad round before the z.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
+                       vecCol: String, k: Double = 3.5): DataFrame = {
+    val cm = labelCentroids(df, labelCol, vecCol)
+      .withColumnRenamed(labelCol, "_clabel")
+    val cent = cm.groupBy("_clabel")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("centroid_val")))),
+        s => s.getField("centroid_val")).as("_cv"))
+      .withColumn("_cc", graft.functions.DotProduct(col("_cv"), col("_cv")))
+    val pts = df.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_pp", graft.functions.DotProduct(col("_v"), col("_v")))
+    val dist = pts.join(broadcast(cent), col(labelCol) === col("_clabel"))
+      .withColumn("dist", round(sqrt(greatest(
+        col("_pp") - lit(2.0) *
+          graft.functions.DotProduct(col("_v"), col("_cv")) + col("_cc"),
+        lit(0.0))), 6))
+      .select(col(idCol), col(labelCol), col("dist"))
+    val meds = dist.groupBy(col(labelCol))
+      .agg(round(expr("percentile(dist, 0.5)"), 6).as("med"))
+    val mads = dist.join(meds, Seq(labelCol))
+      .groupBy(col(labelCol), col("med"))
+      .agg(round(expr("percentile(abs(dist - med), 0.5)"), 6).as("mad"))
+    dist.join(mads, Seq(labelCol))
+      .withColumn("robust_z", when(col("mad") > 0,
+        round((col("dist") - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > k, lit(false)))
+  }
+
   /** Embedding drift between two corpus snapshots: per label, the
     * cosine between the snapshots' class centroids and the L2 shift —
     * the vector-space analogue of the tabular drift summary (a model

@@ -243,6 +243,28 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("centroidOutliers flags the planted far vector, not the tight cluster") {
+    import graft.operators.Similarity
+    // 12 vectors hug (1,0); one sits far out on the same label. The
+    // cluster's member distances have a tiny MAD, so the far point's
+    // robust z explodes; the cluster itself stays unflagged.
+    val tight = (0L until 12L).map(i =>
+      (i, "a", Seq(1.0f + (i % 3) * 0.001f, (i % 2) * 0.001f)))
+    val far = Seq((99L, "a", Seq(9.0f, 9.0f)))
+    val df = (tight ++ far).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "label", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(out(99L), "the planted far vector must flag")
+    assert((0L until 12L).forall(!out(_)), "the tight cluster must not flag")
+    // degenerate: all-identical vectors -> MAD 0 -> z NULL, nothing flags
+    val const = (0L until 5L).map(i => (i, "b", Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val c = Similarity.centroidOutliers(const, "vec_id", "label", "embedding")
+    assert(c.collect().forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
   test("gramMatrix sums exact index-pair products; topComponent finds the planted axis") {
     import graft.operators.Similarity
     // two vectors: (1,2,0) and (3,0,4) -> X'X upper triangle by hand
