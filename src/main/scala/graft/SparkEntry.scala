@@ -24,6 +24,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_diff_rows")(spark, "/root/testdata/sf0.001")
 
+  /** Duplicate-refusing Map builder for the query/oracle registries: a
+    * Scala `Map(...)` literal silently keeps the LAST duplicate key,
+    * which once erased a declared query from the correctness gate
+    * without any signal (NOTES r14). Here a duplicate name is a hard
+    * failure at first access instead of a silent drop.
+    */
+  private[graft] def dmap[V](pairs: (String, V)*): Map[String, V] = {
+    val names = pairs.map(_._1)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty,
+      s"duplicate query name(s) in registry: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
+  /** Disjoint merge for the registry segments — `++` would silently let
+    * a later segment shadow an earlier one across segment boundaries.
+    */
+  private[graft] def dmerge[V](maps: Map[String, V]*): Map[String, V] = {
+    val names = maps.flatMap(_.keys)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty,
+      s"query name(s) collide across registry segments: ${dups.mkString(", ")}")
+    maps.reduce(_ ++ _)
+  }
+
   // ---- shared diff fixtures: two sides derived deterministically from the
   //      same table so drift exists in both directions ----
   private def lineitemSides(s: SparkSession, dir: String): (MemorySide, MemorySide) = {
@@ -208,8 +233,8 @@ object SparkEntry {
     Array.tabulate(4)(_ => Array.tabulate(4)(c =>
       Array.tabulate(8)(p => if (p == c) 10.0 else 0.0)))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map[String, (SparkSession, String) => DataFrame](
+  def queries: Map[String, (SparkSession, String) => DataFrame] = dmerge(
+    dmap[(SparkSession, String) => DataFrame](
     // ---- A1/A-class aggregation (TPC-H Q1 shape); map-side partial aggs,
     //      one shuffle on the two grouping keys ----
     "q1_pricing_summary" -> ((s, dir) => {
@@ -398,12 +423,12 @@ object SparkEntry {
       c.dataDrift("lineitem").get.drop("hashed_row")
         .orderBy("l_orderkey", "l_linenumber", "observed_in")
     })
-  ) ++ pipelineQueries ++ linkageQueries ++ evalQueries
+  ), pipelineQueries, linkageQueries, evalQueries)
 
   /** Training-data pipeline operators (dedup, similarity, text analysis,
     * multimodal, event streams) — first-class alongside the diff surface.
     */
-  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = dmap(
     // ---- token counting (whitespace + BPE-ish regex) ----
     "q_text_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -3738,7 +3763,7 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = dmerge(dmap(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -3874,7 +3899,7 @@ object SparkEntry {
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
         |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin
-  ) ++ pipelineOracles ++ linkageOracles ++ evalOracles
+  ), pipelineOracles, linkageOracles, evalOracles)
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -3960,7 +3985,7 @@ object SparkEntry {
   private val cosSql =
     "list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
 
-  private def pipelineOracles: Map[String, String] = Map(
+  private def pipelineOracles: Map[String, String] = dmap(
     "q_text_tokens" ->
       s"""SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
@@ -10113,7 +10138,7 @@ object SparkEntry {
     * Adamic-Adar link prediction, the materialized inverted index, and
     * tie-aware ROC AUC.
     */
-  private def linkageQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def linkageQueries: Map[String, (SparkSession, String) => DataFrame] = dmap(
     // ---- string-distance expressions vs DuckDB's own independent
     //      damerau_levenshtein / jaro_winkler_similarity: variants are
     //      derived deterministically from the key (swap first two chars /
@@ -10279,7 +10304,7 @@ object SparkEntry {
         "event_type", "dow"))
   )
 
-  private def linkageOracles: Map[String, String] = Map(
+  private def linkageOracles: Map[String, String] = dmap(
     // DuckDB's native damerau_levenshtein / jaro_winkler_similarity are
     // a fully independent implementation of the same public algorithms —
     // byte-level, true-transposition, 0.7-gated prefix boost
@@ -10597,7 +10622,7 @@ object SparkEntry {
     * q_auc: score = l_discount·10 ∈ [0, 1] (11 exact levels), label =
     * `l_returnflag = 'R'`.
     */
-  private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def evalQueries: Map[String, (SparkSession, String) => DataFrame] = dmap(
     // ---- exact Bayesian A/B readout: P(arm B beats arm A) on the
     //      heavy-buyer outcome, Beta(1,1) priors, Cook's closed-form
     //      sum — one corpus fold to 4 counts, bounded driver math ----
@@ -10989,8 +11014,12 @@ object SparkEntry {
       Stats.hhi(t(s, dir, "documents"), "source")),
 
     // ---- CR_2 concentration: share of documents held by the two
-    //      largest sources — the headline number next to q_hhi ----
-    "q_concentration" -> ((s, dir) =>
+    //      largest sources — the headline number next to q_hhi. Named
+    //      q_concentration_RATIO: the bare name belongs to the r13
+    //      per-nation HHI+Gini query, which this entry silently
+    //      shadowed out of the r14 gate until dmerge made duplicate
+    //      names a hard failure ----
+    "q_concentration_ratio" -> ((s, dir) =>
       Stats.concentrationRatio(t(s, dir, "documents"), "source", 2)),
 
     // ---- Durbin-Watson lag-1 serial correlation of daily purchase
@@ -11176,7 +11205,7 @@ object SparkEntry {
        |ORDER BY item""".stripMargin
   }
 
-  private def evalOracles: Map[String, String] = Map(
+  private def evalOracles: Map[String, String] = dmap(
     "q_bradley_terry" -> btOracleSql,
 
     // both SNM passes replayed as ONE unified pass block over a
@@ -12303,7 +12332,7 @@ object SparkEntry {
         |FROM s GROUP BY k""".stripMargin,
 
     // CR_k truth: same (count desc, group asc) cut, one division
-    "q_concentration" ->
+    "q_concentration_ratio" ->
       """WITH c AS (SELECT source AS g, count(*) AS n FROM documents
         |  WHERE source IS NOT NULL GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,

@@ -23,23 +23,50 @@ final case class SideDetails(
   /** Password precedence mirrors the reference (connection.py:290-294):
     * an explicit `password` wins; otherwise `passfile` is read AT
     * CONNECT TIME (libpq semantics — the file can rotate between runs).
-    * Both pgpass-style files (`host:port:db:user:password` lines; the
-    * password is the last `:`-field of the first non-comment line) and
-    * plain one-line secret files are accepted.
+    * Accepted shapes:
+    *
+    *   - pgpass files (`host:port:db:user:password` lines, `*`
+    *     wildcards, `\:`/`\\` escapes): the FIRST line whose four key
+    *     fields all match this side's host/port/database/user is
+    *     selected — a multi-entry pgpass file (the normal use of the
+    *     format) resolves per-connection, exactly as libpq does with
+    *     the path the reference hands it. A key component the JDBC
+    *     URL does not expose (an embedded Derby path has no host) or
+    *     an empty `user` matches any field value.
+    *   - plain one-line secret files (no `:` in the line) — accepted
+    *     as the whole password.
+    *
+    * libpq's permission rule applies: a passfile readable by group or
+    * others is IGNORED with a stderr warning, never silently used
+    * (skipped on filesystems without POSIX permissions).
     */
   private[graft] def resolvedPassword: String =
     if (password.nonEmpty || passfile.isEmpty) password
     else {
-      val lines = java.nio.file.Files
-        .readAllLines(java.nio.file.Paths.get(passfile))
-        .toArray.toSeq.map(_.toString.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-      lines.headOption match {
-        case Some(l) if l.contains(':') =>
-          // pgpass field split honoring \: escapes
-          l.split("(?<!\\\\):").last.replace("\\:", ":").replace("\\\\", "\\")
-        case Some(l) => l
-        case None => ""
+      val p = java.nio.file.Paths.get(passfile)
+      if (!SideDetails.passfilePermissionsOk(p)) {
+        System.err.println(
+          s"WARNING: passfile $passfile has group/other access; " +
+            "permissions should be u=rw (0600) or less — file ignored")
+        ""
+      } else {
+        val lines = java.nio.file.Files.readAllLines(p)
+          .toArray.toSeq.map(_.toString.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+        val entries = lines.flatMap(SideDetails.parsePgpassLine)
+        if (entries.isEmpty)
+          // plain one-line secret file (no pgpass-shaped line at all)
+          lines.headOption.filterNot(_.contains(':')).getOrElse("")
+        else {
+          val (h, pt, db) = SideDetails.jdbcKeyParts(path, databaseType)
+          val u = Option(user).filter(_.nonEmpty)
+          def ok(field: String, actual: Option[String]): Boolean =
+            field == "*" || actual.forall(_ == field)
+          entries.collectFirst {
+            case (fh, fp, fd, fu, pw)
+                if ok(fh, h) && ok(fp, pt) && ok(fd, db) && ok(fu, u) => pw
+          }.getOrElse("")
+        }
       }
     }
 
@@ -57,6 +84,67 @@ final case class SideDetails(
         if (schema.isEmpty && t == "postgresql") "public" else schema
       JdbcSide(spark, path, props, effectiveSchema, id)
     case other => throw new IllegalArgumentException(s"unsupported database_type: $other")
+  }
+}
+
+object SideDetails {
+
+  /** libpq's ~/.pgpass rule: refuse a file readable/writable by group
+    * or others. Non-POSIX filesystems (no permission concept) pass.
+    */
+  private[config] def passfilePermissionsOk(p: java.nio.file.Path): Boolean =
+    try {
+      import java.nio.file.attribute.PosixFilePermission._
+      val perms = java.nio.file.Files.getPosixFilePermissions(p)
+      !Seq(GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
+        OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE).exists(perms.contains)
+    } catch { case _: UnsupportedOperationException => true }
+
+  /** One pgpass line → (host, port, database, user, password), honoring
+    * `\:` and `\\` escapes in every field; None when the line has fewer
+    * than five fields (then it is not pgpass-shaped).
+    */
+  private[config] def parsePgpassLine(
+      line: String): Option[(String, String, String, String, String)] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    // the first four fields end at unescaped ':'; the fifth (password)
+    // is the remainder, so a trailing unescaped ':' stays in it
+    while (i < line.length && fields.size < 4) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < line.length) { sb.append(line.charAt(i + 1)); i += 2 }
+      else if (c == ':') { fields += sb.toString; sb.clear(); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    if (fields.size < 4) None
+    else {
+      sb.clear()
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < line.length) { sb.append(line.charAt(i + 1)); i += 2 }
+        else { sb.append(c); i += 1 }
+      }
+      Some((fields(0), fields(1), fields(2), fields(3), sb.toString))
+    }
+  }
+
+  /** The (host, port, database) key a pgpass entry must match, parsed
+    * from a network-style JDBC URL (`jdbc:postgresql://host[:port]/db`).
+    * Missing components — no explicit port (postgresql defaults to
+    * 5432), or a non-network URL like embedded Derby — come back None
+    * and match any pgpass field.
+    */
+  private[config] def jdbcKeyParts(url: String, databaseType: String)
+      : (Option[String], Option[String], Option[String]) = {
+    val net = "jdbc:[a-z0-9]+://([^/:?;]+)(?::(\\d+))?/([^?;]+).*".r
+    url match {
+      case net(h, p, d) =>
+        val port = Option(p).orElse(
+          if (databaseType.toLowerCase == "postgresql") Some("5432") else None)
+        (Some(h), port, Some(d))
+      case _ => (None, None, None)
+    }
   }
 }
 

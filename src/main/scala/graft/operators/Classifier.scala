@@ -220,8 +220,16 @@ object Classifier {
           round(log((col("_c").cast("double") + lit(alpha)) /
             (col("_n").cast("double") + aV)), 9).as("logp"),
           lit(null).cast("double").as("log_prior"))
-      val defaults = nl.crossJoin(broadcast(vc))
-        .join(priors, "label").crossJoin(broadcast(tot))
+      // defaults derive from PRIORS (every labeled doc counts), not
+      // from token totals: a label whose training docs all tokenize to
+      // zero tokens has no nl row, and an inner join here would
+      // silently drop its prior — making that class unpredictable
+      // forever. Left-join token totals and coalesce N_label to 0 so
+      // the label keeps its prior and its unseen-token default.
+      val defaults = priors
+        .join(nl, Seq("label"), "left")
+        .withColumn("_n", coalesce(col("_n"), lit(0L)))
+        .crossJoin(broadcast(vc)).crossJoin(broadcast(tot))
         .select(col("label"), lit(null).cast("string").as("term"),
           round(log(lit(alpha) /
             (col("_n").cast("double") + aV)), 9).as("logp"),

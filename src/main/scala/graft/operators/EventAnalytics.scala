@@ -440,12 +440,21 @@ object EventAnalytics {
     * there, not infinite.
     *
     * Scale shape: two grouped exact-`percentile` aggregations (the
-    * second on the residuals after a broadcast of the group-bounded
-    * medians) and one broadcast-joined filter pass; nothing global-
-    * sorts the data, and group count bounds every intermediate. Exact
-    * medians are the audit-grade choice at bounded group count; for
-    * monster groups swap `percentile` for `percentile_approx` — same
-    * plan shape, bounded state.
+    * second on the residuals after a join of the group-bounded
+    * medians) and one joined filter pass; nothing global-sorts the
+    * data, and group count bounds every intermediate. Exact
+    * `percentile` holds a value→count map per group in its
+    * aggregation buffer, so the percentile INPUT is pre-quantized at
+    * 6 dp: the buffer is then bounded by (value range × 10⁶) distinct
+    * entries per group — min'd with the group size — instead of one
+    * entry per distinct raw double (a single giant group of
+    * mostly-distinct doubles would otherwise OOM an executor). The
+    * MAD pass inherits the bound: |v − med| is a difference of two
+    * 6 dp values. Same invariant as
+    * [[graft.operators.Similarity.centroidOutliers]], stated there
+    * too. For metrics whose 6 dp-quantized range is still huge, swap
+    * `percentile` for `percentile_approx` — same plan shape, bounded
+    * state.
     *
     * The table is scanned three times per call and that is the floor
     * for this statistic, not an oversight: MAD needs the median first,
@@ -464,12 +473,16 @@ object EventAnalytics {
     // user-grained — so no forced broadcast hint: AQE broadcasts the
     // dimension when it fits and falls back to a shuffle join keyed on
     // the same groupCol when it doesn't.
+    // pre-quantize the percentile inputs at 6 dp (see scaladoc): the
+    // exact-percentile buffer is bounded by distinct QUANTIZED values,
+    // not distinct raw doubles. The published value column stays raw.
     val meds = df.groupBy(col(groupCol))
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+      .agg(round(expr(s"percentile(round($valueCol, 6), 0.5)"), 6).as("med"))
     val withMed = df.join(meds, Seq(groupCol))
     val mads = withMed
       .groupBy(col(groupCol), col("med"))
-      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"))
+      .agg(round(expr(s"percentile(round(abs(round($valueCol, 6) - med), 6), 0.5)"), 6)
+        .as("mad"))
     df.join(mads, Seq(groupCol))
       .withColumn("robust_z",
         when(col("mad") > 0,

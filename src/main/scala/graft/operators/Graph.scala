@@ -254,6 +254,18 @@ object Graph {
       it += 1
     }
     und.unpersist(blocking = false)
+    // early exit can land on a NON-materialized (lazy persist()) round:
+    // a Dataset-level cache that [[Sampling.release]]'s RDD-lineage
+    // walker (LogicalRDD leaves only) cannot unpersist, pinning the
+    // blocks for the session. Honor the release() contract — the
+    // returned frame is always a localCheckpoint — by materializing
+    // the final lazy round and dropping both caches it supersedes.
+    if (lastLazy ne null) {
+      val fin = labels.localCheckpoint(eager = true)
+      lastLazy.unpersist(blocking = false)
+      unpersistCheckpoint(lastCkpt)
+      labels = fin
+    }
     labels
   }
 
@@ -323,7 +335,8 @@ object Graph {
     * both blow that up and carry ≈no signal (1/ln(d) → 0). Dropping
     * them is the same frequent-item prune Apriori uses in
     * [[EventAnalytics.coOccurrence]]. The degree table is feature-
-    * cardinality-sized and broadcast; per-feature 1/ln(deg) is
+    * cardinality-sized and joins back UNHINTED (corpus-scale at 100×;
+    * AQE broadcasts it when it fits); per-feature 1/ln(deg) is
     * quantized to DECIMAL(18,9) before the sum so the score is exact
     * and order-independent (bit-stable under repartitioning).
     * deg ≥ 2 for every surviving pair row (a degree-1 feature has no

@@ -605,6 +605,13 @@ object Similarity {
     * by max(d², 0) before sqrt), per-point silhouettes round at 6 dp,
     * and the per-label mean folds through an exact decimal sum.
     * Requires ≥ 2 distinct labels (b is undefined otherwise).
+    *
+    * CALLER CONTRACT — k-bounded clusters: every point scores against
+    * EVERY centroid (that is what silhouette means), so the centroid
+    * table is crossJoin-broadcast deliberately and the work is
+    * O(points × k). With an unbounded data-derived label column the
+    * statistic itself is quadratic no matter the engine — pass cluster
+    * assignments (k small, a design choice), not raw categories.
     */
   def silhouette(df: DataFrame, idCol: String, labelCol: String,
                  vecCol: String): DataFrame = {
@@ -648,14 +655,21 @@ object Similarity {
     * (id, label, dist, med, mad, robust_z, is_outlier).
     *
     * Shape: one (label, dim) centroid aggregation (model-sized), the
-    * label-keyed centroid vectors broadcast back (bounded by the class
-    * alphabet — a design table, not a data-derived vocabulary), one
-    * codegen'd distance pass through [[graft.functions.DotProduct]]
-    * (d² = p·p − 2·p·c + c·c), then the two label-keyed percentile
-    * folds and a scoring join — UNHINTED (per-label stats are
-    * data-derived; AQE sizes them). Engine replay: centroids round at
-    * 6 dp before any distance, distances round at 6 dp BEFORE the
-    * median/MAD, med/mad round before the z.
+    * label-keyed centroid vectors joined back UNHINTED — `labelCol`
+    * may be data-derived (domain, cluster id), so the centroid table
+    * is unbounded in general; AQE broadcasts it when it fits and
+    * falls back to a shuffle join keyed on the label when it doesn't
+    * (the [[EventAnalytics.robustOutliers]] rule: never force a
+    * broadcast on a data-derived dimension). Then one codegen'd
+    * distance pass through [[graft.functions.DotProduct]]
+    * (d² = p·p − 2·p·c + c·c) and the two label-keyed percentile
+    * folds. The exact `percentile` buffer is BOUNDED BY CONSTRUCTION:
+    * `dist` rounds at 6 dp before either percentile, so the per-group
+    * value→count map holds at most (distance range × 10⁶) distinct
+    * entries — and the MAD pass's |dist − med| input is a difference
+    * of two 6 dp values, bounded the same way. Engine replay:
+    * centroids round at 6 dp before any distance, distances round at
+    * 6 dp BEFORE the median/MAD, med/mad round before the z.
     */
   def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
                        vecCol: String, k: Double = 3.5): DataFrame = {
@@ -669,7 +683,7 @@ object Similarity {
     val pts = df.select(col(idCol), col(labelCol),
       col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_pp", graft.functions.DotProduct(col("_v"), col("_v")))
-    val dist = pts.join(broadcast(cent), col(labelCol) === col("_clabel"))
+    val dist = pts.join(cent, col(labelCol) === col("_clabel"))
       .withColumn("dist", round(sqrt(greatest(
         col("_pp") - lit(2.0) *
           graft.functions.DotProduct(col("_v"), col("_cv")) + col("_cc"),

@@ -2696,8 +2696,10 @@ object Stats {
     * arithmetic on per-group distinct-value tables — the same
     * convention as [[brownForsythe]]); |v − med| is an exact decimal,
     * so MAD is exact too. Two bounded-table window passes + two
-    * broadcast joins back to the rows; the one double division per row
-    * rounds at 6 dp.
+    * UNHINTED equi-joins back to the rows (med/mad are one row per
+    * GROUP — unbounded when groupCol is data-derived; AQE broadcasts
+    * them when they fit, per the repo-wide broadcast audit); the one
+    * double division per row rounds at 6 dp.
     */
   def robustScale(df: DataFrame, idCol: String, groupCol: String,
                   valueCol: String, scale: Int = 2): DataFrame = {
@@ -2716,10 +2718,10 @@ object Stats {
         col(valueCol).cast(s"decimal(18,$scale)").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
     val med = lowerMedian(base, "g", "v", "_med")
-    val dev = base.join(broadcast(med), "g")
+    val dev = base.join(med, "g")
       .withColumn("_ad", abs(col("v") - col("_med")))
     val mad = lowerMedian(dev.select(col("g"), col("_ad")), "g", "_ad", "_mad")
-    dev.join(broadcast(mad), "g")
+    dev.join(mad, "g")
       .select(col("id").as(idCol), col("g").as(groupCol),
         col("v").cast("double").as(valueCol),
         when(col("_mad") > 0, round(
@@ -3127,10 +3129,14 @@ object Stats {
     val nD = col("n").cast("double")
     val mu = col("_s").cast("double") / nD
     val meanSqrt = col("_sq").cast("double") / nD
+    // degenerate case (zero positive values): publish NULLs, not the
+    // NaN that 0/0 double division produces — the oracle's empty-sum
+    // NULLs must replay, and NaN would also leak into JSON readouts
     agg.crossJoin(broadcast(dropped))
       .select(col("n"), col("n_dropped"),
-        round(mu, 6).as("mean"),
-        round(lit(1.0) - meanSqrt * meanSqrt / mu, 6).as("atkinson"))
+        when(col("n") > 0, round(mu, 6)).as("mean"),
+        when(col("n") > 0, round(lit(1.0) - meanSqrt * meanSqrt / mu, 6))
+          .as("atkinson"))
   }
 
   /** Lorenz-curve checkpoints over a non-negative metric — the

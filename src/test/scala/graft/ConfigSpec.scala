@@ -98,12 +98,27 @@ class ConfigWriteSpec extends SparkSpecBase {
     assert(env.contains(GraftConfig.envPrefix(p)))
   }
 
+  private def chmod600(p: java.nio.file.Path): Unit = {
+    import java.nio.file.attribute.PosixFilePermission._
+    java.nio.file.Files.setPosixFilePermissions(p,
+      java.util.EnumSet.of(OWNER_READ, OWNER_WRITE))
+  }
+
   test("passfile parses, renders, and resolves at connect time; password wins") {
     val dir = tmpDir
-    // pgpass-style file: the password is the last :-field, \: unescapes
+    // multi-entry pgpass (the normal use of the format): the FIRST
+    // entry matching host:port:db:user is selected — not the first
+    // line — with '*' wildcards honored and \: unescaped
     val pg = dir.resolve("pgpass")
     java.nio.file.Files.writeString(pg,
-      "# comment line\nhost:5432:db:me:s3\\:cret\n")
+      "# comment line\n" +
+        "otherhost:5432:db:me:WRONG1\n" + // host mismatch
+        "h:5433:db:me:WRONG2\n" +         // port mismatch
+        "h:5432:otherdb:me:WRONG3\n" +    // database mismatch
+        "h:5432:db:someoneelse:WRONG4\n" + // user mismatch
+        "h:5432:db:me:s3\\:cret\n" +      // the matching entry
+        "*:*:*:*:fallback\n")
+    chmod600(pg)
     val yaml =
       s"""db1_details:
          |  database_type: postgresql
@@ -116,12 +131,24 @@ class ConfigWriteSpec extends SparkSpecBase {
          |""".stripMargin
     val cfg = GraftConfig.parse(yaml)
     assert(cfg.db1Details.passfile == pg.toString)
+    // URL has no explicit port: postgresql defaults to 5432 (libpq rule)
     assert(cfg.db1Details.resolvedPassword == "s3:cret")
+    // no exact entry -> the all-wildcard entry catches it
+    assert(cfg.db1Details.copy(user = "nobody").resolvedPassword == "fallback")
     // a plain one-line secret file also works
     val plain = dir.resolve("plain")
     java.nio.file.Files.writeString(plain, "  hunter2  \n")
+    chmod600(plain)
     assert(cfg.db1Details.copy(passfile = plain.toString)
       .resolvedPassword == "hunter2")
+    // libpq permission rule: group/other-readable passfiles are IGNORED
+    val loose = dir.resolve("loose")
+    java.nio.file.Files.writeString(loose, "h:5432:db:me:leaky\n")
+    import java.nio.file.attribute.PosixFilePermission._
+    java.nio.file.Files.setPosixFilePermissions(loose,
+      java.util.EnumSet.of(OWNER_READ, OWNER_WRITE, GROUP_READ))
+    assert(cfg.db1Details.copy(passfile = loose.toString)
+      .resolvedPassword == "")
     // explicit password wins over passfile (reference connection.py:290-294)
     assert(cfg.db1Details.copy(password = "direct")
       .resolvedPassword == "direct")

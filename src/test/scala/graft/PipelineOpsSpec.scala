@@ -56,6 +56,29 @@ class DedupSpec extends SparkSpecBase {
     assert(tie.getString(1) == "L2")
   }
 
+  test("naiveBayes: a label whose docs all tokenize empty keeps its prior") {
+    import graft.operators.Classifier
+    // "!!!" tokenizes to zero tokens: L0 has a prior but NO (label, term)
+    // counts — before r15 the defaults inner join dropped it and the
+    // class was unpredictable forever; defaults now derive from priors
+    val train = Seq(("a a b", "L1"), ("b b", "L2"), ("!!!", "L0"))
+      .toDF("text", "lab")
+    val model = Classifier.naiveBayesFit(train, "text", "lab")
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val defaults = model.filter($"term".isNull).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(defaults.keySet == Set("L0", "L1", "L2"), s"got ${defaults.keySet}")
+    // V = {a, b} = 2; L0: N_label = 0 -> default log(1/(0 + 2)), prior 1/3
+    assert(defaults("L0")._1 == r9(math.log(1.0 / 2.0)))
+    assert(defaults("L0")._2 == r9(math.log(1.0 / 3.0)))
+    // an all-unseen doc scores prior + default per label: L0's default
+    // log(1/2) beats L1's log(1/7) and L2's log(1/6) at equal priors
+    val out = Classifier.naiveBayesScore(model,
+      Seq((1L, "z")).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(out.getString(1) == "L0")
+  }
+
   test("lshPlan: divisor table, closed-form s-curve, monotone trade-off") {
     val plan = Dedup.lshPlan(spark, 64, 0.8, 0.3).orderBy("bands").collect()
     // d(64) = 7 factorizations: 1,2,4,8,16,32,64 bands

@@ -1374,6 +1374,19 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     val vals = spark.range(500).select(($"id" % 20).as("g"), ($"id" % 7).cast("double").as("v"))
     assert(forcedHints(graft.operators.EventAnalytics.robustOutliers(vals, "g", "v")) == 0,
       "robustOutliers must not force-broadcast per-group medians/MADs")
+    // r15: centroidOutliers joins a per-LABEL centroid table — the same
+    // data-derived dimension class (domain, cluster id) as
+    // robustOutliers; the r14 version force-broadcast it
+    val emb = spark.range(60).select($"id".as("vid"),
+      ($"id" % 4).cast("string").as("lab"),
+      array(($"id" % 5).cast("double"), ($"id" % 3).cast("double")).as("vec"))
+    assert(forcedHints(graft.operators.Similarity
+      .centroidOutliers(emb, "vid", "lab", "vec")) == 0,
+      "centroidOutliers must not force-broadcast the per-label centroid table")
+    assert(forcedHints(graft.operators.Stats.robustScale(
+      spark.range(200).select($"id", ($"id" % 11).cast("string").as("g"),
+        ($"id" % 13).cast("double").as("v")), "id", "g", "v")) == 0,
+      "robustScale must not force-broadcast per-group medians/MADs")
     val docs = spark.range(300).select(($"id" % 9).cast("string").as("dom"), $"id".as("k"))
     assert(forcedHints(graft.operators.Sampling
       .temperatureSample(docs, "dom", "k", 0.7, 100)) == 0,

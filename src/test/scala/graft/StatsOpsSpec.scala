@@ -211,6 +211,28 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(p == Map(7L -> 7L, 9L -> 7L))
   }
 
+  test("labelPropagation early exit on a lazy round hands back a localCheckpoint") {
+    // path 0-1-2 stabilizes in round 1 and DETECTS convergence in round 2
+    // — an even round, i.e. the lazy-persist() leg of the
+    // checkpoint-every-2 cadence. The result must still be a
+    // localCheckpoint (LogicalRDD leaf) so Sampling.release's
+    // RDD-lineage walker can free it; the r14 version returned the lazy
+    // Dataset cache, which release() cannot unpersist.
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val lbl = Graph.labelPropagation(path)
+    val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val leaves = lbl.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }
+    assert(leaves.nonEmpty,
+      "early-exit result must be a localCheckpoint, not a lazy cache")
+    graft.operators.Sampling.release(lbl)
+    assert(leaves.forall(_.rdd.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "release() must free the early-exit result's blocks")
+  }
+
   test("kCore peels a chain completely and keeps a clique; empty below k") {
     // 4-clique {0,1,2,3} plus chain 3-4-5-6
     val edges = (for { i <- 0 to 3; j <- (i + 1) to 3 } yield (i.toLong, j.toLong))
@@ -1021,6 +1043,12 @@ class ExtendedStatsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_dropped") == 1L)
     assert(r.getAs[Double]("mean") == 2.5)
     assert(r.getAs[Double]("atkinson") == 0.1)
+    // degenerate case — zero POSITIVE values: NULL mean/atkinson (the
+    // oracle's empty-sum NULLs), never the NaN of a 0/0 double division
+    val deg = Stats.atkinsonIndex(Seq(0.0, -1.0).toDF("v"), "v").head()
+    assert(deg.getAs[Long]("n") == 0L && deg.getAs[Long]("n_dropped") == 2L)
+    assert(deg.isNullAt(deg.fieldIndex("mean")))
+    assert(deg.isNullAt(deg.fieldIndex("atkinson")))
   }
 
   test("hhi: hand shares, normalized form, single-group NULL") {
