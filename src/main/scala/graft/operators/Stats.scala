@@ -1137,53 +1137,58 @@ object Stats {
     // ONE md5 per row, BEFORE the ×R explode; each replicate's draw
     // expands from the seed in ~10 integer ops (drawColumn) — the
     // per-(row, replicate) md5 was ~the entire bootstrap CPU
+    // persisted across its two consumers (replicate fold + point
+    // estimate) so the upstream scan/aggregation runs once
     val seeded = rows.select(col("_u"),
       conv(substring(md5(col("_id")), 1, 15), 16, 10)
         .cast("decimal(20,0)").cast("long").as("_seed"))
-    val reps = seeded
-      .select(col("_seed"), col("_u"),
-        explode(sequence(lit(1), lit(nReplicates))).as("_r"))
-      .withColumn("_w", BootstrapThresholds.weightColumn(
-        BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
-      .groupBy("_r")
-      .agg(sum(col("_w").cast("decimal(38,0)") * col("_u")).as("_swx"),
-        sum(col("_w").cast("decimal(38,0)")).as("_sw"))
-      .collect()
-    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    val means = reps.flatMap { r =>
-      val sw = r.getAs[java.math.BigDecimal]("_sw")
-      // a replicate where every Poisson draw was 0 carries no sample
-      if (sw.signum == 0) None
-      else Some(r6(r.getAs[java.math.BigDecimal]("_swx").doubleValue /
-        (sw.doubleValue * unitsPerValue)))
-    }.sorted
-    require(means.nonEmpty, "bootstrapMeanCI: no non-empty replicates (empty input?)")
-    val rCount = means.length
-    // inverted CDF: smallest mean whose rank reaches the percentile
-    // mass. The rank computes in EXACT decimal: the double product
-    // 0.025 * 200 is 5.000000000000004 and ceils to rank 6 while the
-    // oracle's decimal arithmetic ceils the exact 5.000 to rank 5 —
-    // a one-rank CI shift whenever alpha * R lands on an integer.
-    def pick(p: BigDecimal): Double =
-      means(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
-    val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
-    val base = rows.agg(count(lit(1)).as("_n"),
-      sum(col("_u").cast("decimal(38,0)")).as("_su")).head()
-    val n = base.getAs[Long]("_n")
-    require(n >= 1, "bootstrapMeanCI needs at least 1 row")
-    val mean = r6(base.getAs[java.math.BigDecimal]("_su").doubleValue /
-      (n.toDouble * unitsPerValue))
-    val spark = df.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(n, mean,
-        pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
-      StructType(Seq(
-        StructField("n", LongType, nullable = false),
-        StructField("mean", DoubleType, nullable = false),
-        StructField("lo", DoubleType, nullable = false),
-        StructField("hi", DoubleType, nullable = false),
-        StructField("n_replicates", LongType, nullable = false))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val reps = seeded
+        .select(col("_seed"), col("_u"),
+          explode(sequence(lit(1), lit(nReplicates))).as("_r"))
+        .withColumn("_w", BootstrapThresholds.weightColumn(
+          BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
+        .groupBy("_r")
+        .agg(sum(col("_w").cast("decimal(38,0)") * col("_u")).as("_swx"),
+          sum(col("_w").cast("decimal(38,0)")).as("_sw"))
+        .collect()
+      def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val means = reps.flatMap { r =>
+        val sw = r.getAs[java.math.BigDecimal]("_sw")
+        // a replicate where every Poisson draw was 0 carries no sample
+        if (sw.signum == 0) None
+        else Some(r6(r.getAs[java.math.BigDecimal]("_swx").doubleValue /
+          (sw.doubleValue * unitsPerValue)))
+      }.sorted
+      require(means.nonEmpty, "bootstrapMeanCI: no non-empty replicates (empty input?)")
+      val rCount = means.length
+      // inverted CDF: smallest mean whose rank reaches the percentile
+      // mass. The rank computes in EXACT decimal: the double product
+      // 0.025 * 200 is 5.000000000000004 and ceils to rank 6 while the
+      // oracle's decimal arithmetic ceils the exact 5.000 to rank 5 —
+      // a one-rank CI shift whenever alpha * R lands on an integer.
+      def pick(p: BigDecimal): Double =
+        means(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
+      val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
+      val base = seeded.agg(count(lit(1)).as("_n"),
+        sum(col("_u").cast("decimal(38,0)")).as("_su")).head()
+      val n = base.getAs[Long]("_n")
+      require(n >= 1, "bootstrapMeanCI needs at least 1 row")
+      val mean = r6(base.getAs[java.math.BigDecimal]("_su").doubleValue /
+        (n.toDouble * unitsPerValue))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(n, mean,
+          pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
+        StructType(Seq(
+          StructField("n", LongType, nullable = false),
+          StructField("mean", DoubleType, nullable = false),
+          StructField("lo", DoubleType, nullable = false),
+          StructField("hi", DoubleType, nullable = false),
+          StructField("n_replicates", LongType, nullable = false))))
+    } finally seeded.unpersist(blocking = false)
   }
 
   /** Poisson-bootstrap CI on the DIFFERENCE of two arm means — the CI
@@ -1198,8 +1203,11 @@ object Stats {
     * CI when the metric is lumpy.
     *
     * Scale shape identical to [[bootstrapMeanCI]]: the corpus explodes
-    * ×R but collapses in the SAME map-side-combined aggregation to R
-    * rows; only those R rows collect. Replicates where either arm drew
+    * ×R but collapses in one (replicate, arm)-keyed map-side-combined
+    * aggregation to ≤ 2R rows; only those collect, and the per-arm
+    * totals pair up driver-side. The seeded input is persisted across
+    * the replicate fold and the point-estimate fold so the upstream
+    * per-unit aggregation runs once. Replicates where either arm drew
     * zero total weight are dropped (the delta is undefined there) and
     * the published replicate count reflects it.
     */
@@ -1217,74 +1225,84 @@ object Stats {
       .filter(col("_u").isNotNull)
     val unitsPerValue = math.pow(10, scale)
     // same one-md5-per-row discipline as bootstrapMeanCI: seed before
-    // the explode, expand per replicate with integer ops
+    // the explode, expand per replicate with integer ops. The seeded
+    // frame is PERSISTED across its two consumers (the ×R replicate
+    // fold and the point-estimate base fold) — the input here is
+    // usually itself an aggregation (per-unit outcomes), and without
+    // the cache that upstream shuffle runs twice.
     val seeded = rows.select(col("_arm"), col("_u"),
       conv(substring(md5(col("_id")), 1, 15), 16, 10)
         .cast("decimal(20,0)").cast("long").as("_seed"))
-    val dec0 = lit(0).cast("decimal(38,0)")
-    val reps = seeded
-      .select(col("_seed"), col("_arm"), col("_u"),
-        explode(sequence(lit(1), lit(nReplicates))).as("_r"))
-      .withColumn("_w", BootstrapThresholds.weightColumn(
-        BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
-      .groupBy("_r")
-      .agg(
-        sum(when(col("_arm") === armA,
-          col("_w").cast("decimal(38,0)") * col("_u")).otherwise(dec0))
-          .as("_swxa"),
-        sum(when(col("_arm") === armA, col("_w").cast("decimal(38,0)"))
-          .otherwise(dec0)).as("_swa"),
-        sum(when(col("_arm") === armB,
-          col("_w").cast("decimal(38,0)") * col("_u")).otherwise(dec0))
-          .as("_swxb"),
-        sum(when(col("_arm") === armB, col("_w").cast("decimal(38,0)"))
-          .otherwise(dec0)).as("_swb"))
-      .collect()
-    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    val deltas = reps.flatMap { r =>
-      val swa = r.getAs[java.math.BigDecimal]("_swa")
-      val swb = r.getAs[java.math.BigDecimal]("_swb")
-      if (swa.signum == 0 || swb.signum == 0) None
-      else Some(r6(
-        r.getAs[java.math.BigDecimal]("_swxa").doubleValue /
-          (swa.doubleValue * unitsPerValue) -
-        r.getAs[java.math.BigDecimal]("_swxb").doubleValue /
-          (swb.doubleValue * unitsPerValue)))
-    }.sorted
-    require(deltas.nonEmpty,
-      "bootstrapDeltaCI: no replicate drew both arms (empty arm?)")
-    val rCount = deltas.length
-    // exact-decimal rank, same boundary fix as bootstrapMeanCI: the
-    // double 0.025 * 200 ceils to 6, the oracle's exact 5.000 to 5
-    def pick(p: BigDecimal): Double =
-      deltas(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
-    val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
-    val base = rows.agg(
-      sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("_na"),
-      sum(when(col("_arm") === armA, col("_u").cast("decimal(38,0)"))
-        .otherwise(dec0)).as("_sua"),
-      sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("_nb"),
-      sum(when(col("_arm") === armB, col("_u").cast("decimal(38,0)"))
-        .otherwise(dec0)).as("_sub")).head()
-    val nA = base.getAs[Long]("_na"); val nB = base.getAs[Long]("_nb")
-    require(nA >= 1 && nB >= 1, "bootstrapDeltaCI needs rows in both arms")
-    val delta = r6(
-      base.getAs[java.math.BigDecimal]("_sua").doubleValue /
-        (nA.toDouble * unitsPerValue) -
-      base.getAs[java.math.BigDecimal]("_sub").doubleValue /
-        (nB.toDouble * unitsPerValue))
-    val spark = df.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(nA, nB, delta,
-        pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
-      StructType(Seq(
-        StructField("n_a", LongType, nullable = false),
-        StructField("n_b", LongType, nullable = false),
-        StructField("delta", DoubleType, nullable = false),
-        StructField("lo", DoubleType, nullable = false),
-        StructField("hi", DoubleType, nullable = false),
-        StructField("n_replicates", LongType, nullable = false))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (replicate, arm)-keyed fold — two UNCONDITIONAL exact-decimal
+      // sums instead of four per-row when(arm)-guarded ones (the r14
+      // shape): half the decimal work per exploded row, and the
+      // map-side combine still bounds the shuffle at 2R × partitions
+      // rows. Driver-side pairing of the ≤ 2R collected rows replays
+      // the exact same per-arm decimal totals (decimal sums are
+      // order-independent), so the published interval is unchanged.
+      val reps = seeded
+        .select(col("_seed"), col("_arm"), col("_u"),
+          explode(sequence(lit(1), lit(nReplicates))).as("_r"))
+        .withColumn("_w", BootstrapThresholds.weightColumn(
+          BootstrapThresholds.drawColumn(col("_seed"), col("_r"))))
+        .groupBy("_r", "_arm")
+        .agg(sum(col("_w").cast("decimal(38,0)") * col("_u")).as("_swx"),
+          sum(col("_w").cast("decimal(38,0)")).as("_sw"))
+        .collect()
+      def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val byRep = reps.groupBy(_.getAs[Int]("_r"))
+      val deltas = byRep.values.flatMap { rows =>
+        def armOf(a: String) = rows.find(_.getAs[String]("_arm") == a)
+        (armOf(armA), armOf(armB)) match {
+          case (Some(ra), Some(rb))
+              if ra.getAs[java.math.BigDecimal]("_sw").signum != 0 &&
+                rb.getAs[java.math.BigDecimal]("_sw").signum != 0 =>
+            Some(r6(
+              ra.getAs[java.math.BigDecimal]("_swx").doubleValue /
+                (ra.getAs[java.math.BigDecimal]("_sw").doubleValue * unitsPerValue) -
+              rb.getAs[java.math.BigDecimal]("_swx").doubleValue /
+                (rb.getAs[java.math.BigDecimal]("_sw").doubleValue * unitsPerValue)))
+          case _ => None
+        }
+      }.toArray.sorted
+      require(deltas.nonEmpty,
+        "bootstrapDeltaCI: no replicate drew both arms (empty arm?)")
+      val rCount = deltas.length
+      // exact-decimal rank, same boundary fix as bootstrapMeanCI: the
+      // double 0.025 * 200 ceils to 6, the oracle's exact 5.000 to 5
+      def pick(p: BigDecimal): Double =
+        deltas(math.max(0, (p * rCount).setScale(0, BigDecimal.RoundingMode.CEILING).toInt - 1))
+      val alpha = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
+      val dec0 = lit(0).cast("decimal(38,0)")
+      val base = seeded.agg(
+        sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_arm") === armA, col("_u").cast("decimal(38,0)"))
+          .otherwise(dec0)).as("_sua"),
+        sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_arm") === armB, col("_u").cast("decimal(38,0)"))
+          .otherwise(dec0)).as("_sub")).head()
+      val nA = base.getAs[Long]("_na"); val nB = base.getAs[Long]("_nb")
+      require(nA >= 1 && nB >= 1, "bootstrapDeltaCI needs rows in both arms")
+      val delta = r6(
+        base.getAs[java.math.BigDecimal]("_sua").doubleValue /
+          (nA.toDouble * unitsPerValue) -
+        base.getAs[java.math.BigDecimal]("_sub").doubleValue /
+          (nB.toDouble * unitsPerValue))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(nA, nB, delta,
+          pick(alpha), pick(BigDecimal(1) - alpha), rCount.toLong)), 1),
+        StructType(Seq(
+          StructField("n_a", LongType, nullable = false),
+          StructField("n_b", LongType, nullable = false),
+          StructField("delta", DoubleType, nullable = false),
+          StructField("lo", DoubleType, nullable = false),
+          StructField("hi", DoubleType, nullable = false),
+          StructField("n_replicates", LongType, nullable = false))))
+    } finally seeded.unpersist(blocking = false)
   }
 
   /** Integer Poisson(1) inverse-CDF thresholds at 60-bit precision —
@@ -3149,41 +3167,95 @@ object Stats {
     * Exactness: ranks are exact integers over the distinct-value
     * table; a value block spanning a cut contributes a PARTIAL mass
     * (cumv − (cum − r)·v) computed in exact decimal; each share is one
-    * rounded division. Shape: one map-side-combined distinct-value
-    * fold, cumulative windows over that bounded table, a `points`-row
-    * broadcast probe join. Negative values are excluded (Lorenz is
+    * rounded division. Negative values are excluded (Lorenz is
     * defined on non-negative quantities); checkpoints whose target
     * rank ⌊k·n/points⌋ is 0 (n < points/k) are absent from the output.
+    *
+    * Scale shape — the [[Sampling]] range-exchange prefix sum, NOT a
+    * bare `Window.orderBy` (which funnels the whole table through ONE
+    * task): the distinct-value table of a CONTINUOUS metric is
+    * corpus-sized — nearly one row per order for a price column — so
+    * "distinct values are bounded" is not a real bound here. The table
+    * is range-partitioned on the value (layout pinned by a
+    * localCheckpoint so both passes read the same boundaries), pass 1
+    * collects one (count, mass) pair per partition for exclusive
+    * prefix offsets, pass 2 folds running totals inside each partition
+    * with zero further exchanges. Driver state: one row per PARTITION.
+    * The pinned layout stays cached while the result is consumed —
+    * call [[Sampling.release]] on the result afterwards (the
+    * budget-select/packWindows contract).
     */
   def lorenzCurve(df: DataFrame, valueCol: String, points: Int = 10,
                   precision: Int = 18, scale: Int = 2): DataFrame = {
     require(points >= 2 && points <= 1000, "points in [2, 1000]")
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val v = col(valueCol).cast(s"decimal($precision,$scale)")
     val cells = df.filter(v.isNotNull && v >= 0)
       .groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
-    val cum = Window.orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = cells.repartitionByRange(nPart, col("_v").asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val mass = (col("_v") * col("_c")).cast("decimal(38,6)")
-    val w = cells
-      .withColumn("_cum", sum("_c").over(cum))
-      .withColumn("_cumv", sum(mass).over(cum))
-      .withColumn("_n", sum("_c").over(all))
-      .withColumn("_tot", sum(mass).over(all))
-    val probes = broadcast(df.sparkSession.range(1, points + 1)
+    // pass 1: per-partition (count, mass) totals — partition ids follow
+    // the value order BY CONSTRUCTION of the range exchange, so their
+    // running sums are the exclusive prefix offsets
+    val ptotals = parted.groupBy("_pid")
+      .agg(sum(col("_c")).as("_pc"), sum(mass).as("_pm"))
+      .collect()
+      .map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_pc"),
+        r.getAs[java.math.BigDecimal]("_pm")))
+      .sortBy(_._1)
+    val totalN = ptotals.map(_._2).sum
+    val totalM = ptotals.foldLeft(java.math.BigDecimal.ZERO)(_ add _._3)
+    val cOff: Map[Int, Long] = ptotals.map(_._1)
+      .zip(ptotals.scanLeft(0L)(_ + _._2).init).toMap
+    val mOff: Map[Int, java.math.BigDecimal] = ptotals.map(_._1)
+      .zip(ptotals.scanLeft(java.math.BigDecimal.ZERO)(_ add _._3).init).toMap
+    // pass 2: narrow in-partition sort + one running fold per partition
+    // over the pinned layout (exact decimal adds, order-independent
+    // only in the sense that the fold order IS the value order)
+    val sorted = parted.sortWithinPartitions(col("_v").asc)
+    val vIdx = sorted.schema.fieldIndex("_v")
+    val cIdx = sorted.schema.fieldIndex("_c")
+    val pidIdx = sorted.schema.fieldIndex("_pid")
+    val outSchema = sorted.schema
+      .add("_cum", LongType, nullable = false)
+      .add("_cumv", org.apache.spark.sql.types.DecimalType(38, 6), nullable = false)
+    val cOffB = spark.sparkContext.broadcast(cOff)
+    val mOffB = spark.sparkContext.broadcast(mOff)
+    val cumRdd = sorted.rdd.mapPartitions { it =>
+      var seeded = false
+      var runC = 0L
+      var runM = java.math.BigDecimal.ZERO
+      it.map { row =>
+        if (!seeded) {
+          seeded = true
+          val pid = row.getInt(pidIdx)
+          runC = cOffB.value.getOrElse(pid, 0L)
+          runM = mOffB.value.getOrElse(pid, java.math.BigDecimal.ZERO)
+        }
+        val c = row.getLong(cIdx)
+        runC += c
+        runM = runM.add(row.getDecimal(vIdx)
+          .multiply(java.math.BigDecimal.valueOf(c))).setScale(6)
+        Row.fromSeq(row.toSeq :+ runC :+ runM)
+      }
+    }
+    val w = spark.createDataFrame(cumRdd, outSchema)
+    val probes = broadcast(spark.range(1, points + 1)
       .select(col("id").as("point")))
     w.crossJoin(probes)
       // `div`, not `/`: Spark's Divide always returns DOUBLE; the rank
       // must stay an exact integer
-      .withColumn("_r", expr(s"(point * _n) div ${points}L"))
+      .withColumn("_r", expr(s"(point * ${totalN}L) div ${points}L"))
       .filter(col("_cum") - col("_c") < col("_r") &&
         col("_r") <= col("_cum"))
       .select(col("point"), col("_r").as("cum_count"),
         round((col("_cumv") -
           ((col("_cum") - col("_r")).cast("decimal(20,0)") * col("_v"))
             .cast("decimal(38,6)")).cast("double") /
-          col("_tot").cast("double"), 6).as("cum_share"))
+          lit(totalM.doubleValue), 6).as("cum_share"))
   }
 
   /** Herfindahl–Hirschman concentration index over a categorical

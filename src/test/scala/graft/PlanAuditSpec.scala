@@ -1348,6 +1348,19 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("lorenzCurve runs on the range-exchange prefix sum: no Window node") {
+    // the distinct-value table of a continuous metric is corpus-sized;
+    // a bare Window.orderBy would funnel it through ONE task. r15 moved
+    // lorenzCurve onto the pinned-range-exchange prefix sum — the plan
+    // must contain no Window operator at all.
+    val df = spark.range(2000).select(($"id" % 997).cast("double").as("m"))
+    val out = graft.operators.Stats.lorenzCurve(df, "m", 10)
+    out.collect() // finalize AQE on THIS QueryExecution
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"expected no Window in lorenzCurve plan:\n$p")
+    graft.operators.Sampling.release(out)
+  }
+
   test("r14 broadcast audit: data-derived dimension frames carry no forced hint") {
     // counts ResolvedHint(strategy=broadcast) nodes in the ANALYZED plan
     // — the forced hints a user wrote, before AQE gets any say. The
