@@ -623,6 +623,35 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- semantic diff: rows with no near-neighbor (cos >= 0.9) on the
+    //      other side — q_diff_rows' hash anti-join (J1) generalized to
+    //      embedding space via cross-side LSH-bucket collisions + exact
+    //      cosine verify + anti-join. Planted sides: db1 = the corpus;
+    //      db2 = near-dup twins of vec_id%3==0 (cos ~0.9998 -> matched),
+    //      NEGATED vectors of vec_id%3==1 (cos <= natural ~0.6 vs
+    //      everything -> db2-new), exact copies of vec_id%3==2 (cos 1 ->
+    //      matched); db1's %3==1 rows lose their counterpart -> db1-lost.
+    //      The oracle is EXACT BRUTE FORCE (all-pairs NOT EXISTS in
+    //      DuckDB): at the planted margins (0.9998 / 0.9 / 0.6) the 16x8
+    //      banding misses a true pair w.p. ~1e-21, so the banded result
+    //      IS the brute-force truth, deterministically ----
+    "q_semantic_diff" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val twins = base.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) => x * (lit(1.0) +
+            lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+            .as("v"))
+      val novel = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val copies = base.filter(col("vec_id") % 3 === 2)
+      val db2 = twins.unionByName(novel).unionByName(copies)
+      Similarity.semanticDiff(base, db2, "vec_id", "v", 0.9, 64)
+        .orderBy("observed_in", "vec_id")
+    }),
+
     // ---- multimodal: binary payload + stubbed decode via mapPartitions ----
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeImageMeta(
@@ -4309,6 +4338,32 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id, cosine
         |FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // EXACT BRUTE FORCE truth for the banded semantic diff: all-pairs
+    // NOT EXISTS at cos >= 0.9 over the same planted sides — the banded
+    // Spark plan must reproduce it exactly (planted margins make the
+    // LSH miss probability ~1e-21, a deterministic property of the data)
+    "q_semantic_diff" ->
+      s"""WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |tw AS (SELECT b.vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i -> b.ve[i + 1] * (1.0 +
+        |      0.02 * sin(CAST(i AS DOUBLE) + CAST(b.vec_id AS DOUBLE)))) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 0),
+        |nv AS (SELECT b.vec_id + 2000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |cp AS (SELECT vec_id, ve FROM base WHERE vec_id % 3 = 2),
+        |db2 AS (SELECT * FROM tw UNION ALL SELECT * FROM nv
+        |  UNION ALL SELECT * FROM cp),
+        |lost AS (SELECT a.vec_id FROM base a WHERE NOT EXISTS (
+        |    SELECT 1 FROM db2 b WHERE $cosSql >= 0.9)),
+        |added AS (SELECT a.vec_id FROM db2 a WHERE NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE $cosSql >= 0.9))
+        |SELECT vec_id, 'db1' AS observed_in FROM lost
+        |UNION ALL SELECT vec_id, 'db2' AS observed_in FROM added
+        |ORDER BY observed_in, vec_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -890,33 +890,70 @@ object Similarity {
     * key — but there the pair square IS the true candidate set, the same
     * inherent floor documented for the dense-corpus Jaccard path.
     */
-  private[graft] def lshCandidates(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
-                                   maxBucket: Int, idCol: String, vecCol: String): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+  /** Shared hyperplane-LSH bucketing: each row exploded into its
+    * (table, bucket) keys (plus a refinement `sub` key when any bucket
+    * exceeds `maxBucket`), carrying `extra` pass-through columns. Both
+    * the self-join ANN path ([[lshCandidates]]) and the two-sided
+    * [[semanticDiff]] build their collision joins on top.
+    *
+    * Two refinement modes, because the base bucket count (2^nBits per
+    * table) is FIXED while the corpus is not:
+    *   - `refineAll = false` (the ANN default): only rows in OVERSIZE
+    *     buckets get the sub key — protects against skew (one hot
+    *     bucket) at zero recall cost elsewhere.
+    *   - `refineAll = true` (the diff's mode): when any bucket
+    *     overflows, EVERY row gets the sub key — the effective bit
+    *     count grows ~log₂(corpus/maxBucket), buckets stay
+    *     ~maxBucket-sized, and candidate pairs stay ~LINEAR in corpus
+    *     size where fixed buckets grow them quadratically (every
+    *     bucket fills together under uniform growth, so the
+    *     oversize-only mode never fires). Costs the per-table recall
+    *     factor p^refineBits on every pair — negligible at the
+    *     near-duplicate regime, and the reason the diff documents its
+    *     recall contract.
+    */
+  private[graft] def lshKeyed(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
+                              maxBucket: Int, idCol: String, vecCol: String,
+                              extra: Seq[String] = Nil,
+                              refineAll: Boolean = false): DataFrame = {
+    val keyed = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+      extra.map(col): _*)
     val tableKeys = array((0 until nTables).map(t =>
       hyperplaneKey(col("v"), dim, nBits, seed = 42L + 7919L * t)): _*)
-    def explodeKeys(base: DataFrame, extra: Seq[Column]): DataFrame =
-      base.select(col("id") +: col("v") +: posexplode(tableKeys) +: extra: _*)
+    def explodeKeys(base: DataFrame, more: Seq[Column]): DataFrame =
+      base.select(col("id") +: col("v") +: posexplode(tableKeys) +:
+          (extra.map(col) ++ more): _*)
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val exploded = explodeKeys(keyed, Nil)
     val sizes = exploded.groupBy("t", "bucket").agg(count(lit(1)).as("bn"))
     val maxRow = sizes.agg(max("bn")).collect()(0)
     val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val refined =
-      if (maxN <= maxBucket) exploded.withColumn("sub", lit(0L))
-      else {
-        val refineBits = math.min(16,
-          64 - java.lang.Long.numberOfLeadingZeros((maxN - 1) / maxBucket)).toInt
-        val refineKeys = array((0 until nTables).map(t =>
-          hyperplaneKey(col("v"), dim, refineBits, seed = 104729L + 15485863L * t)): _*)
-        // refine keys ride along from before the explode (computed once
-        // per row, not once per (row, table))
+    if (maxN <= maxBucket) exploded.withColumn("sub", lit(0L))
+    else {
+      val refineBits = math.min(16,
+        64 - java.lang.Long.numberOfLeadingZeros((maxN - 1) / maxBucket)).toInt
+      val refineKeys = array((0 until nTables).map(t =>
+        hyperplaneKey(col("v"), dim, refineBits, seed = 104729L + 15485863L * t)): _*)
+      // refine keys ride along from before the explode (computed once
+      // per row, not once per (row, table))
+      if (refineAll)
+        // no sizes join needed: every row refines, so the sub key comes
+        // straight off the exploded frame — one pass, no extra shuffle
+        explodeKeys(keyed.withColumn("rk", refineKeys), Seq(col("rk")))
+          .withColumn("sub", element_at(col("rk"), col("t") + 1))
+          .drop("rk")
+      else
         explodeKeys(keyed.withColumn("rk", refineKeys), Seq(col("rk")))
           .join(sizes, Seq("t", "bucket"))
           .withColumn("sub", when(col("bn") > maxBucket,
             element_at(col("rk"), col("t") + 1)).otherwise(lit(0L)))
           .drop("rk", "bn")
-      }
+    }
+  }
+
+  private[graft] def lshCandidates(df: DataFrame, dim: Int, nBits: Int, nTables: Int,
+                                   maxBucket: Int, idCol: String, vecCol: String): DataFrame = {
+    val refined = lshKeyed(df, dim, nBits, nTables, maxBucket, idCol, vecCol)
     val l = refined.select(col("t"), col("bucket"), col("sub"),
       col("id").as("query_id"), col("v").as("qv"))
     val r = refined.select(col("t"), col("bucket"), col("sub"),
@@ -936,6 +973,77 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Semantic diff — the drift engine meets the ANN stack: rows on each
+    * side with NO near-neighbor (exact cosine ≥ `minCosine`) on the
+    * OTHER side. Generalizes the canonical-hash anti-join at the heart
+    * of the tabular diff (reference
+    * db_compare_create_tmp_table_merge.sql:29-42, [[graft.operators.HashRunScan]]'s
+    * J1 shape) from "no row with the same hash" to "no row with the
+    * same MEANING": a db2 row with no db1 neighbor is NEW content, a
+    * db1 row with no db2 neighbor is LOST content, and unchanged or
+    * near-duplicate content never appears (a copy is a near-neighbor
+    * of its original). Emits (idCol, observed_in) with observed_in ∈
+    * {"db1", "db2"} — the tabular diff's report shape.
+    *
+    * Scale shape — banded, never all-pairs: both sides hash into the
+    * seeded hyperplane-LSH tables of [[lshKeyed]] (nTables × nBits,
+    * the same machinery as the ANN path, oversize buckets
+    * sub-refined); candidate pairs are CROSS-SIDE bucket collisions
+    * only; each candidate verifies with one exact codegen'd cosine;
+    * matched (side, id) pairs — a bounded distinct — anti-join back.
+    * The collision join is an equi-join on (t, bucket, sub): shuffle-
+    * partitioned by bucket key, neither corpus broadcast, no cartesian
+    * anywhere. Verify cost is O(Σ bucket²), and the base table count
+    * (2^nBits per table) is FIXED — under uniform corpus growth EVERY
+    * bucket fills together, so candidates grow QUADRATICALLY unless
+    * the effective bit count grows with the corpus. This diff
+    * therefore runs [[lshKeyed]] in `refineAll` mode with a tight
+    * `maxBucket` (64, vs the ANN path's skew-only 4096): whenever any
+    * bucket overflows, every row gains a ~log₂(corpus/maxBucket)-bit
+    * sub-key, buckets stay ~maxBucket-sized, and candidate pairs stay
+    * ~linear in corpus size. The cost is the per-table recall factor
+    * p^refineBits on every pair — negligible at the near-duplicate
+    * regime this diff is built for. 10× probe: candidates ×~10 under
+    * refineAll; ×95 with fixed buckets.
+    *
+    * Recall contract, stated rather than hidden: a true neighbor pair
+    * at cosine c collides in one table w.p. (1 − arccos(c)/π)^nBits
+    * and is missed by ALL tables w.p. (1 − that)^nTables. At the
+    * near-duplicate regime this diff is built for (minCosine ≥ 0.9,
+    * real matches near c ≈ 1) the default 16×8 misses a pair w.p.
+    * ~1e-21 — and since every hyperplane is seeded, the outcome is a
+    * deterministic property of the data, not a per-run coin flip. For
+    * thresholds down at 0.6–0.8, read [[Dedup.lshPlan]]'s s-curve
+    * table first and raise nTables / lower nBits.
+    */
+  def semanticDiff(db1: DataFrame, db2: DataFrame, idCol: String,
+                   vecCol: String, minCosine: Double, dim: Int,
+                   nBits: Int = 8, nTables: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    require(minCosine > 0 && minCosine < 1, "minCosine in (0, 1)")
+    def side(df: DataFrame, tag: String) =
+      df.select(lit(tag).as("_side"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+    val u = side(db1, "db1").unionByName(side(db2, "db2"))
+    val refined = lshKeyed(u, dim, nBits, nTables, maxBucket, "id", "v",
+      extra = Seq("_side"), refineAll = true)
+    val l = refined.select(col("t"), col("bucket"), col("sub"),
+      col("_side").as("_ls"), col("id").as("_lid"), col("v").as("_lv"))
+    val r = refined.select(col("t"), col("bucket"), col("sub"),
+      col("_side").as("_rs"), col("v").as("_rv"))
+    // every cross-side collision verifies immediately (one codegen'd
+    // cosine in the join's projection — the lshCandidates convention);
+    // the distinct collapses to matched (side, id), bounded by the
+    // matched row count, BEFORE anything joins back to the corpus
+    val matched = l.join(r, Seq("t", "bucket", "sub"))
+      .filter(col("_ls") =!= col("_rs"))
+      .filter(cosine(col("_lv"), col("_rv")) >= minCosine)
+      .select(col("_ls").as("_side"), col("_lid").as("id"))
+      .distinct()
+    u.join(matched, Seq("_side", "id"), "left_anti")
+      .select(col("id").as(idCol), col("_side").as("observed_in"))
   }
 
   /** Mahalanobis distance scoring over an embedding column — the

@@ -266,6 +266,30 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("semanticDiff: new/lost surface; copies, near-dups and matches never do") {
+    import graft.operators.Similarity
+    // db1: basis vectors e1, e2, e3. db2: a scaled copy of e1 (cos = 1,
+    // LSH buckets are scale-invariant so it ALWAYS collides), e2 itself
+    // under the same id, and a novel e4. Expected: db1-lost = {3} (e3
+    // has no db2 counterpart), db2-new = {30} (e4 matches nothing).
+    val db1 = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "v")
+    val db2 = Seq(
+      (10L, Seq(2.0, 0.0, 0.0, 0.0)), // scaled copy of id 1
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),  // exact copy, same id
+      (30L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val out = Similarity.semanticDiff(db1, db2, "id", "v", 0.9, 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(out == Set(("db1", 3L), ("db2", 30L)), s"got $out")
+    // symmetric on empty sides: everything on the non-empty side is new
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val allNew = Similarity.semanticDiff(empty, db2, "id", "v", 0.9, 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(allNew == Set(("db2", 10L), ("db2", 2L), ("db2", 30L)))
+  }
+
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
     import graft.operators.Similarity
     // 12 vectors hug (1,0); one sits far out on the same label. The
