@@ -291,6 +291,39 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "semdiff") {
+      // semantic drift diff between two embedding snapshots: rows with
+      // no near-neighbor (cosine >= threshold) on the other side — the
+      // tabular diff's anti-join generalized to embedding space (see
+      // operators.Similarity.semanticDiff). Prints per-side counts in
+      // the diff-summary spirit and writes the (id, observed_in) table.
+      val in1 = opts.getOrElse("db1",
+        sys.error("semdiff requires --db1 <dir containing embeddings.parquet>"))
+      val in2 = opts.getOrElse("db2",
+        sys.error("semdiff requires --db2 <dir containing embeddings.parquet>"))
+      val out = opts.getOrElse("output", "semdiff_out")
+      val minCos = opts.get("min-cosine").map(_.toDouble).getOrElse(0.9)
+      val idCol = opts.getOrElse("id-col", "vec_id")
+      val vecCol = opts.getOrElse("vec-col", "embedding")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions._
+        val db1 = Tables.t(spark, in1, "embeddings")
+        val db2 = Tables.t(spark, in2, "embeddings")
+        val dim = db1.select(size(col(vecCol))).head().getInt(0)
+        val diff = graft.operators.Similarity
+          .semanticDiff(db1, db2, idCol, vecCol, minCos, dim)
+        diff.write.mode("overwrite").parquet(s"$out/semantic_diff.parquet")
+        val counts = spark.read.parquet(s"$out/semantic_diff.parquet")
+          .groupBy("observed_in").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"semdiff (cos >= $minCos): " +
+          s"db1-only=${counts.getOrElse("db1", 0L)} " +
+          s"db2-only=${counts.getOrElse("db2", 0L)} -> $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "experiment") {
       // full A/B readout over an events table: SRM gate, the mean
       // readout three ways (z / CUPED / winsorized), ratio CIs (delta
