@@ -614,9 +614,13 @@ object SparkEntry {
     "q_planted_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
         .select("vec_id", "embedding")
-      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      // `_oid` pre-projection: see q_semantic_join — the sibling
+      // col("vec_id") reference resolves laterally to the shifted
+      // alias; key the perturbation on the original id
+      val twins = emb.select(col("vec_id").as("_oid"), col("embedding"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
           .cast("array<float>").as("embedding"))
       Similarity.lshTopK(emb.unionByName(twins), 64, 1, 8, 16)
         .filter(col("rank") === 1)
@@ -638,10 +642,16 @@ object SparkEntry {
     "q_semantic_diff" -> ((s, dir) => {
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // `_oid` pre-projection: a sibling reference to col("vec_id")
+      // resolves laterally to the `... AS vec_id` alias (the shifted
+      // id); the perturbation must key on the ORIGINAL id so the
+      // oracle's `b.vec_id` replays the construction bit-for-bit
+      // (caught by q_semantic_join, which exposes the cosines)
       val twins = base.filter(col("vec_id") % 3 === 0)
-        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        .select(col("vec_id").as("_oid"), col("v"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
           transform(col("v"), (x, i) => x * (lit(1.0) +
-            lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+            lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
             .as("v"))
       val novel = base.filter(col("vec_id") % 3 === 1)
         .select((col("vec_id") + lit(2000000L)).as("vec_id"),
@@ -650,6 +660,59 @@ object SparkEntry {
       val db2 = twins.unionByName(novel).unionByName(copies)
       Similarity.semanticDiff(base, db2, "vec_id", "v", 0.9, 64)
         .orderBy("observed_in", "vec_id")
+    }),
+
+    // ---- semantic join: the diff's constructive twin — every db2 row
+    //      WITH a near-neighbor on db1 aligned to its single best match
+    //      (argmax cosine, ties to the lower id). Same planted sides as
+    //      q_semantic_diff: twins (%3==0, cos ~0.9998) and exact copies
+    //      (%3==2, cos 1) align to their originals; negations (%3==1)
+    //      are absent. Oracle is EXACT BRUTE FORCE (all-pairs argmax in
+    //      DuckDB); at the planted margins the banded argmax reproduces
+    //      it deterministically (the diff's ~1e-21 per-pair bound) ----
+    "q_semantic_join" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // `_oid` pre-projection: referencing col("vec_id") in a sibling of
+      // an `... AS vec_id` alias resolves LATERALLY to the alias (the
+      // shifted id), not the input column — the sin() argument must be
+      // the ORIGINAL id for the oracle's `b.vec_id` to replay it
+      val twins = base.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("_oid"), col("v"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) => x * (lit(1.0) +
+            lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
+            .as("v"))
+      val novel = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val copies = base.filter(col("vec_id") % 3 === 2)
+      val db2 = twins.unionByName(novel).unionByName(copies)
+      Similarity.semanticJoin(base, db2, "vec_id", "v", 0.9, 64)
+        .orderBy("probe_id")
+    }),
+
+    // ---- RFF-MMD kernel two-sample drift between embedding corpora:
+    //      the even/odd split of the same table is the exchangeable
+    //      null (mmd2 ~ the 1/n noise floor); the same split with a
+    //      +0.25 per-coordinate shift on one side must score an order
+    //      of magnitude higher. Weights are md5-derived uniforms (pure
+    //      IEEE arithmetic — both engines derive them bit-identically);
+    //      z quantized at 6 dp and summed as exact decimals, so the
+    //      statistic is row-order-independent and the oracle replays it
+    //      exactly ----
+    "q_mmd_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      val shifted = odd.select(col("vec_id"),
+        transform(col("v"), x => x + lit(0.25)).as("v"))
+      val nullCase = Similarity.mmdDrift(even, odd, "v", 64)
+        .select(lit("null").as("pair"), col("n1"), col("n2"), col("mmd2"))
+      val shiftCase = Similarity.mmdDrift(even, shifted, "v", 64)
+        .select(lit("shifted").as("pair"), col("n1"), col("n2"), col("mmd2"))
+      nullCase.unionByName(shiftCase).orderBy("pair")
     }),
 
     // ---- multimodal: binary payload + stubbed decode via mapPartitions ----
@@ -1121,9 +1184,10 @@ object SparkEntry {
     "q_planted_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
         .select("vec_id", "embedding")
-      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      val twins = emb.select(col("vec_id").as("_oid"), col("embedding"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
           .cast("array<float>").as("embedding"))
       Similarity.ivfTopK(emb.unionByName(twins), 1, nCells = 16, nProbe = 4)
         .filter(col("rank") === 1)
@@ -3788,6 +3852,21 @@ object SparkEntry {
       // labeling), so the fixed-round mode returns the converged result
       Graph.labelPropagation(edges, maxIter = 3, earlyExit = false)
         .orderBy("id")
+    }),
+
+    // ---- seeded uniform random walks (the DeepWalk/node2vec corpus
+    //      generator) over the part->supplier co-occurrence graph folded
+    //      into one id space; md5-indexed neighbor choice makes every
+    //      walk a pure function of (seed, data), so the oracle replays
+    //      the four steps bit-for-bit with unrolled joins ----
+    "q_random_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.randomWalks(edges, starts, walkLength = 4)
+        .orderBy("walk_id", "step", "node")
     })
   )
 
@@ -4364,6 +4443,112 @@ object SparkEntry {
         |SELECT vec_id, 'db1' AS observed_in FROM lost
         |UNION ALL SELECT vec_id, 'db2' AS observed_in FROM added
         |ORDER BY observed_in, vec_id""".stripMargin,
+
+    // EXACT BRUTE FORCE truth for the banded semantic join: all-pairs
+    // argmax cosine at >= 0.9 over the same planted sides (rank-1 per
+    // probe, ties to the lower match id)
+    "q_semantic_join" ->
+      s"""WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |tw AS (SELECT b.vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i -> b.ve[i + 1] * (1.0 +
+        |      0.02 * sin(CAST(i AS DOUBLE) + CAST(b.vec_id AS DOUBLE)))) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 0),
+        |nv AS (SELECT b.vec_id + 2000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |cp AS (SELECT vec_id, ve FROM base WHERE vec_id % 3 = 2),
+        |db2 AS (SELECT * FROM tw UNION ALL SELECT * FROM nv
+        |  UNION ALL SELECT * FROM cp),
+        |scored AS (SELECT a.vec_id AS probe_id, b.vec_id AS match_id,
+        |    $cosSql AS cosine
+        |  FROM db2 a CROSS JOIN base b),
+        |ranked AS (SELECT probe_id, match_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, match_id) AS rk
+        |  FROM scored WHERE cosine >= 0.9)
+        |SELECT probe_id, match_id, cosine FROM ranked WHERE rk = 1
+        |ORDER BY probe_id""".stripMargin,
+
+    // bit-for-bit replay of the seeded walks: the md5-indexed neighbor
+    // choice is a pure function of (seed, data), so four unrolled joins
+    // reproduce the Spark iteration exactly
+    "q_random_walks" -> {
+      def stepCte(k: Int): String =
+        s"""s$k AS (SELECT f.walk_id, n.dst AS node FROM s${k - 1} f
+           |  JOIN nbr n ON n.src = f.node AND n.rnk =
+           |    CAST(CAST(('0x' || substr(md5('rw:7:' ||
+           |      CAST(f.walk_id AS VARCHAR) || ':$k:' ||
+           |      CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+           |      % n.deg)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
+        |    CAST(l_suppkey % 500 AS BIGINT) AS dst FROM lineitem),
+        |nbr AS (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+        |      AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM e),
+        |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e
+        |  WHERE src % 7 = 0),
+        |${stepCte(1)},
+        |${stepCte(2)},
+        |${stepCte(3)},
+        |${stepCte(4)}
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM s4
+        |ORDER BY walk_id, step, node""".stripMargin
+    },
+
+    // bit-for-bit replay of the RFF-MMD statistic: md5-derived uniform
+    // weights (pure IEEE arithmetic, no libm in the derivation), z
+    // quantized at 6 dp and summed as exact decimals, Σ gap² summed as
+    // exact decimals — every float op order mirrored
+    "q_mmd_drift" -> {
+      def zCte(src: String, name: String): String =
+        s"""z$name AS (SELECT j, CAST(round(cos(list_dot_product(ve, wv) + b), 6)
+           |    AS DECIMAL(20,6)) AS z
+           |  FROM $src CROSS JOIN wl JOIN bv USING (j)),
+           |m$name AS (SELECT j, SUM(z) AS s FROM z$name GROUP BY j)""".stripMargin
+      def mmdCte(a: String, b: String, na: String, nb: String, name: String): String =
+        s"""g$name AS (SELECT x.j,
+           |    CAST(x.s AS DOUBLE) / CAST($na.n AS DOUBLE) -
+           |    CAST(y.s AS DOUBLE) / CAST($nb.n AS DOUBLE) AS g
+           |  FROM m$a x JOIN m$b y USING (j), $na, $nb),
+           |r$name AS (SELECT CAST(SUM(CAST(round(g * g, 12) AS DECIMAL(24,12)))
+           |    AS DOUBLE) * 0.125 AS mmd2 FROM g$name)""".stripMargin
+      s"""WITH w AS (SELECT j, i,
+        |    (CAST(('0x' || substr(md5('mmdw:7:' || CAST(j AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR)), 1, 16)) AS UBIGINT)::DOUBLE
+        |      / 18446744073709551616.0 * 2.0 - 1.0) AS wv
+        |  FROM range(16) AS rj(j), range(64) AS ri(i)),
+        |wl AS (SELECT j, list(wv ORDER BY i) AS wv FROM w GROUP BY j),
+        |bv AS (SELECT j,
+        |    CAST(('0x' || substr(md5('mmdb:7:' || CAST(j AS VARCHAR)), 1, 16))
+        |      AS UBIGINT)::DOUBLE
+        |      / 18446744073709551616.0 * 2.0 * pi() AS b
+        |  FROM range(16) AS rj(j)),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |ev AS (SELECT ve FROM v WHERE vec_id % 2 = 0),
+        |od AS (SELECT ve FROM v WHERE vec_id % 2 = 1),
+        |sh AS (SELECT list_transform(ve, x -> x + 0.25) AS ve FROM od),
+        |n1c AS (SELECT count(*) AS n FROM ev),
+        |n2c AS (SELECT count(*) AS n FROM od),
+        |${zCte("ev", "ev")},
+        |${zCte("od", "od")},
+        |${zCte("sh", "sh")},
+        |${mmdCte("ev", "od", "n1c", "n2c", "null")},
+        |${mmdCte("ev", "sh", "n1c", "n2c", "sh")}
+        |SELECT 'null' AS pair, n1c.n AS n1, n2c.n AS n2, mmd2
+        |FROM rnull, n1c, n2c
+        |UNION ALL SELECT 'shifted', n1c.n, n2c.n, mmd2 FROM rsh, n1c, n2c
+        |ORDER BY pair""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -10876,9 +11061,10 @@ object SparkEntry {
     "q_ivf_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
         .select("vec_id", "embedding")
-      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      val twins = emb.select(col("vec_id").as("_oid"), col("embedding"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("vec_id").cast("double"))))
+          x * (lit(1.0) + lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
           .cast("array<float>").as("embedding"))
       val idx = java.nio.file.Files.createTempDirectory("q_ivf_index").toString
       Similarity.buildIvfIndex(emb.unionByName(twins), idx, nCells = 16)

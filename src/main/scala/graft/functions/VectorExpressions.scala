@@ -286,3 +286,65 @@ object HyperplaneKey64 {
   def apply(vec: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(HyperplaneKey64(ColumnBridge.expression(vec), planes))
 }
+
+/** Random Fourier features (Rahimi–Recht, NeurIPS'07): feature `j` of the
+  * result is cos(w_j · x + b_j). Like [[HyperplaneKey64]], the weight
+  * matrix and bias vector are constructor reference objects, not
+  * nFeatures × dim plan literals (the measured Janino-blowup pathology).
+  * Dots fold left-to-right in double with exact float promotion and the
+  * cosine is `java.lang.Math.cos` — the same call Spark's builtin `cos`
+  * compiles to — so an engine replaying the same weights reproduces every
+  * feature bit-exactly (the [[graft.operators.Similarity.mmdDrift]]
+  * oracle contract).
+  */
+case class RffFeatures(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                       weights: Array[Array[Double]], biases: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(weights.length == biases.length, "one bias per feature")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    et match {
+      case DoubleType => while (i < n) { x(i) = v.getDouble(i); i += 1 }
+      case FloatType => while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+      case other => throw new IllegalArgumentException(s"rff_features over $other")
+    }
+    val out = new Array[Double](weights.length)
+    var j = 0
+    while (j < weights.length) {
+      val w = weights(j)
+      val m = math.min(n, w.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += x(i) * w(i); i += 1 }
+      out(j) = java.lang.Math.cos(dot + biases(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("rffFeatures", this, classOf[RffFeatures].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  override def prettyName: String = "rff_features"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): RffFeatures =
+    copy(child = c)
+}
+
+object RffFeatures {
+  def apply(vec: Column, weights: Array[Array[Double]], biases: Array[Double]): Column =
+    ColumnBridge.column(RffFeatures(ColumnBridge.expression(vec), weights, biases))
+}

@@ -562,4 +562,80 @@ object Graph {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Seeded uniform random walks over a directed edge list — the
+    * training-corpus generator for DeepWalk/node2vec-style graph
+    * embeddings (Perozzi et al., KDD 2014: truncated walks are the
+    * "sentences" a skip-gram model trains on; the [[graft.operators.TextAnalysis]]
+    * skip-gram machinery consumes exactly this shape).
+    *
+    * Determinism is the whole design: the step-k choice out of node u
+    * on walk w is neighbor index md5("rw:seed:w:k:u") mod outdeg(u),
+    * with neighbors ranked in ascending dst order — a pure function of
+    * (seed, data), so walks are reproducible across runs, engines and
+    * cluster sizes (the same content-addressed discipline as
+    * [[TextAnalysis.hashBucket]] splits, and what makes the DuckDB
+    * oracle replay the walks bit-for-bit). Walks start one per
+    * `starts` row (walk_id = the start node) and END EARLY at dangling
+    * nodes (no out-edges): the inner join to the degree table drops
+    * them, matching the truncated-walk semantics of the papers.
+    *
+    * Returns (walk_id, step, node), step 0 = the start itself.
+    *
+    * Scale shape: the ranked-neighbor table (src, dst, rnk, deg) is
+    * built once — `row_number` partitioned BY SRC (never a global
+    * window) — and persisted across all steps. Each step is two
+    * equi-joins on the node id (degree lookup to compute the index,
+    * then (src, rnk) lookup to step), both shuffle-partitioned on the
+    * same key, frontier size ≤ |starts| throughout; nothing collects,
+    * nothing broadcasts by force (AQE broadcasts the degree side when
+    * it fits). walkLength is a small constant, so the unioned lineage
+    * stays shallow.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
+                  seed: Long = 7L): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 64,
+      "walkLength in [1, 64] (walks union one frame per step)")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val w = Window.partitionBy("src").orderBy("dst")
+    // localCheckpoint, not bare persist: every step re-reads this table,
+    // and the result frame must stay release()-able (the
+    // labelPropagation early-exit lesson — a returned lazy persist
+    // pins cache blocks the RDD-lineage walker can't find)
+    val nbr = e.select(col("src"), col("dst"),
+        (row_number().over(w) - 1).cast("long").as("rnk"),
+        count(lit(1)).over(Window.partitionBy("src")).as("deg"))
+      .localCheckpoint(eager = true)
+    val degs = nbr.groupBy("src").agg(max("deg").as("deg"))
+      .withColumnRenamed("src", "node")
+    var frontier = starts.select(col("id").cast("long").as("node")).distinct()
+      .withColumn("walk_id", col("node"))
+      .select("walk_id", "node")
+    var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var k = 1
+    while (k <= walkLength) {
+      // index = md5("rw:seed:walk:step:node") first 15 hex digits (60
+      // bits, signed-long safe on both engines) mod out-degree
+      val withIdx = frontier.join(degs, "node")
+        .withColumn("_idx", pmod(
+          conv(substring(md5(concat_ws(":", lit("rw"), lit(seed),
+            col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
+            .cast("long"),
+          col("deg")))
+      // fresh aliases per step: degs and nbr share lineage, so direct
+      // dataset-column references trip the ambiguous-self-join guard
+      val step = nbr.select(col("src").as("_ns"), col("dst").as("_nd"),
+        col("rnk").as("_nr"))
+      val next = withIdx.join(step,
+          col("node") === col("_ns") && col("_idx") === col("_nr"))
+        .select(col("walk_id"), col("_nd").as("node"))
+      acc = acc.unionByName(
+        next.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
+      frontier = next
+      k += 1
+    }
+    acc
+  }
 }

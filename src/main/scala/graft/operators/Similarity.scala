@@ -1046,6 +1046,150 @@ object Similarity {
       .select(col("id").as(idCol), col("_side").as("observed_in"))
   }
 
+  /** Semantic join — [[semanticDiff]]'s constructive twin: for every
+    * `db2` row that HAS a near-neighbor on `db1` (exact cosine ≥
+    * `minCosine`), its single best match (highest cosine, ties broken
+    * by the lower match id). Where the diff reports what DRIFTED, the
+    * join aligns what DIDN'T: snapshot-to-snapshot row alignment in
+    * embedding space, label transfer from a curated corpus to a fresh
+    * crawl, near-dup attribution back to a canonical set. Probes with
+    * no neighbor at the threshold are absent (inner-join semantics —
+    * they are exactly [[semanticDiff]]'s `db2` rows).
+    *
+    * Emits (probe_id, match_id, cosine), one row per matched probe.
+    *
+    * Scale shape — identical to the diff's, and deliberately so: both
+    * sides hash through [[lshKeyed]] in `refineAll` mode (the 10×
+    * probe-verified linear-candidates regime; fixed buckets grow
+    * candidates quadratically under uniform corpus growth), candidates
+    * are cross-side bucket collisions only, each verifies with one
+    * codegen'd cosine, and the argmax is a `row_number` window
+    * partitioned by probe id — shuffle-partitioned on the probe key,
+    * never a global sort, neither corpus broadcast or collected. The
+    * per-probe state is top-1, so the window degenerates to a
+    * streaming max within each partition group.
+    *
+    * Recall contract: same as [[semanticDiff]] — seeded hyperplanes
+    * make a missed true pair a deterministic property of the data with
+    * probability (1 − (1 − arccos(c)/π)^nBits)^nTables per pair
+    * (~1e-21 at the default 16×8 in the near-duplicate regime). For
+    * looser thresholds read [[Dedup.lshPlan]] first. Note the argmax
+    * is over SURVIVING candidates: at near-dup margins the true best
+    * match survives with the same ~1e-21 guarantee, but at loose
+    * thresholds a missed runner-up can promote the next candidate —
+    * size the banding to the threshold, not the default.
+    */
+  def semanticJoin(db1: DataFrame, db2: DataFrame, idCol: String,
+                   vecCol: String, minCosine: Double, dim: Int,
+                   nBits: Int = 8, nTables: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    require(minCosine > 0 && minCosine < 1, "minCosine in (0, 1)")
+    def side(df: DataFrame, tag: String) =
+      df.select(lit(tag).as("_side"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+    // one union through lshKeyed (not one call per side) so both sides
+    // see the SAME refinement-bit decision — split keys would silently
+    // zero the collision set
+    val u = side(db1, "db1").unionByName(side(db2, "db2"))
+    val refined = lshKeyed(u, dim, nBits, nTables, maxBucket, "id", "v",
+      extra = Seq("_side"), refineAll = true)
+    val probe = refined.filter(col("_side") === "db2")
+      .select(col("t"), col("bucket"), col("sub"),
+        col("id").as("probe_id"), col("v").as("_pv"))
+    val build = refined.filter(col("_side") === "db1")
+      .select(col("t"), col("bucket"), col("sub"),
+        col("id").as("match_id"), col("v").as("_bv"))
+    // verify in the collision join's projection (the lshCandidates
+    // convention), dedup the (probe, match) pair across tables BEFORE
+    // the ranking window so each pair ranks once
+    val scored = probe.join(build, Seq("t", "bucket", "sub"))
+      .withColumn("cosine", cosine(col("_pv"), col("_bv")))
+      .filter(col("cosine") >= minCosine)
+      .select("probe_id", "match_id", "cosine")
+      .dropDuplicates("probe_id", "match_id")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select("probe_id", "match_id", "cosine")
+  }
+
+  /** Kernel two-sample drift statistic between two embedding corpora via
+    * random Fourier features (Rahimi–Recht, NeurIPS'07): the plug-in
+    * estimate of MMD² = ||E φ(x) − E φ(y)||² in the feature space
+    * z_j(x) = cos(w_j·x + b_j). Where [[Similarity.labelCentroids]]-style
+    * centroid drift sees only MEAN shift, MMD responds to any moment the
+    * feature map excites (spread, rotation, multi-modality) — the
+    * standard "did the embedding distribution move" monitor between two
+    * snapshot runs, feeding the same report shape as the tabular drift
+    * battery's PSI/KS columns.
+    *
+    * w components are md5-seeded uniforms on [−1/σ, 1/σ] (the
+    * [[planeMatrix]] derivation — pure IEEE arithmetic from the digest,
+    * so both engines derive bit-identical weights without any libm
+    * call), which makes the implied kernel the sinc-product
+    * k(δ) = Π_i sinc(δ_i/σ) — positive-definite (it is the Fourier
+    * transform of the uniform spectral density). Its spectrum is
+    * band-limited, so shifts living entirely above frequency 1/σ are
+    * invisible: σ sets the scale of changes the monitor watches, it is
+    * not a universal-kernel test. b_j uniform on [0, 2π).
+    *
+    * Determinism/parity contract: z is quantized at 6 dp and summed as
+    * exact decimals (the HITS renorm idiom — 6 dp rather than 9
+    * because cos is the one libm call in the pipeline: a last-ulp
+    * cos disagreement between engines flips a 9-dp rounding with
+    * probability ~1e-7 per value, observed once in 32k at the gate,
+    * while the 6-dp grid pushes it to ~1e-10), so per-feature means are
+    * independent of row order and partitioning; the final Σ gap² folds
+    * 16 exact decimal terms. One narrow pass per side (the
+    * [[graft.functions.RffFeatures]] kernel — weights ride as a
+    * reference object, not plan literals), one D-column aggregate,
+    * one-row cross join: nothing shuffles by the corpus, nothing
+    * collects.
+    *
+    * Returns one row (n1, n2, mmd2). The plug-in estimate is a squared
+    * norm, so mmd2 ≥ 0 always, with an O(1/n1 + 1/n2) positive noise
+    * floor under the null — compare against a same-size split of one
+    * corpus (the q_mmd_drift fixture shape), not against zero.
+    */
+  def mmdDrift(db1: DataFrame, db2: DataFrame, vecCol: String, dim: Int,
+               nFeatures: Int = 16, sigma: Double = 1.0,
+               seed: Long = 7L): DataFrame = {
+    require(nFeatures >= 1 && nFeatures <= 64, "nFeatures in [1, 64]")
+    require(sigma > 0, "sigma > 0")
+    import graft.functions.SketchUtil.{md5U64, u64ToDouble}
+    val two64 = math.scalb(1.0, 64)
+    val ws = Array.tabulate(nFeatures, dim) { (j, i) =>
+      (u64ToDouble(md5U64(s"mmdw:$seed:$j:$i")) / two64 * 2.0 - 1.0) / sigma
+    }
+    val bs = Array.tabulate(nFeatures) { j =>
+      u64ToDouble(md5U64(s"mmdb:$seed:$j")) / two64 * 2.0 * math.Pi
+    }
+    def sums(df: DataFrame, nName: String, sPrefix: String): DataFrame = {
+      val z = graft.functions.RffFeatures(col(vecCol), ws, bs)
+      val zq = transform(z, x => round(x, 6).cast("decimal(20,6)"))
+      val aggs = count(lit(1)).as(nName) +:
+        (0 until nFeatures).map(j =>
+          sum(element_at(col("_z"), j + 1)).as(s"$sPrefix$j"))
+      df.select(zq.as("_z")).agg(aggs.head, aggs.tail: _*)
+    }
+    val a = sums(db1, "n1", "_a")
+    val b = sums(db2, "n2", "_b")
+    // decimal(22,12), NOT wider: Spark's decimal `+` grows precision by
+    // one per add, and a 16-term reduce chain starting at (24,12) tops
+    // 38 — allowPrecisionLoss then silently drops the SCALE to 11 dp,
+    // truncating the sum (caught by the oracle at the 1e-12 digit).
+    // 22 + (nFeatures-1) = 37 stays exact; g² ≤ 4 needs one integer
+    // digit, so 10 are ample.
+    val terms = (0 until nFeatures).map { j =>
+      val gap = col(s"_a$j").cast("double") / col("n1").cast("double") -
+        col(s"_b$j").cast("double") / col("n2").cast("double")
+      round(gap * gap, 12).cast("decimal(22,12)")
+    }
+    a.crossJoin(b).select(col("n1"), col("n2"),
+      (terms.reduce(_ + _).cast("double") * lit(2.0 / nFeatures)).as("mmd2"))
+  }
+
   /** Mahalanobis distance scoring over an embedding column — the
     * covariance-aware out-of-distribution screen (a point 3σ out along
     * a tight direction scores far higher than 3σ along a loose one,

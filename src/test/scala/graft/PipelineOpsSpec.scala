@@ -290,6 +290,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(allNew == Set(("db2", 10L), ("db2", 2L), ("db2", 30L)))
   }
 
+  test("semanticJoin: best match per probe, argmax + lower-id ties, no-match absent") {
+    import graft.operators.Similarity
+    // db1: e1 twice (ids 1, 5 — an exact tie at cos 1 for any e1-ish
+    // probe, must resolve to the LOWER id), a slightly-rotated e1
+    // (id 2), and e2 (id 3). db2: a scaled e1 (best = tie -> id 1),
+    // a vector nearer the rotated copy than pure e1 (best = id 2),
+    // and a novel e3 (no match -> absent).
+    val db1 = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (5L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.2, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+    val db2 = Seq(
+      (10L, Seq(3.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(1.0, 0.2, 0.0, 0.0)),
+      (30L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "v")
+    val out = Similarity.semanticJoin(db1, db2, "id", "v", 0.9, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L, 20L -> 2L), s"got $out")
+    // empty build side: nothing matches, nothing crashes
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(Similarity.semanticJoin(empty, db2, "id", "v", 0.9, 4).count() == 0L)
+  }
+
+  test("mmdDrift: near the noise floor on a null split, far above it on a shift") {
+    import graft.operators.Similarity
+    // deterministic 4-d point cloud; sides = even/odd index (same
+    // distribution) vs even/odd-shifted (+1.0 on every coordinate)
+    val pts = (0 until 200).map { i =>
+      (i.toLong, Seq(math.sin(i * 0.7), math.cos(i * 1.3),
+        math.sin(i * 2.1) * 0.5, math.cos(i * 0.4) * 0.25))
+    }.toDF("id", "v")
+    val even = pts.filter($"id" % 2 === 0)
+    val odd = pts.filter($"id" % 2 === 1)
+    val shifted = odd.select($"id",
+      org.apache.spark.sql.functions.transform($"v", x => x + 1.0).as("v"))
+    val nullRow = Similarity.mmdDrift(even, odd, "v", 4).collect()(0)
+    val shiftRow = Similarity.mmdDrift(even, shifted, "v", 4).collect()(0)
+    assert(nullRow.getLong(0) == 100L && nullRow.getLong(1) == 100L)
+    val mNull = nullRow.getDouble(2)
+    val mShift = shiftRow.getDouble(2)
+    assert(mNull >= 0.0 && mShift >= 0.0, "plug-in MMD^2 is a squared norm")
+    assert(mShift > 10 * mNull, s"shift must dominate the null: $mShift vs $mNull")
+    // determinism: same seed, same statistic, bit for bit
+    val again = Similarity.mmdDrift(even, odd, "v", 4).collect()(0).getDouble(2)
+    assert(again == mNull)
+  }
+
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
     import graft.operators.Similarity
     // 12 vectors hug (1,0); one sits far out on the same label. The

@@ -233,6 +233,38 @@ class StatsOpsSpec extends SparkSpecBase {
       "release() must free the early-exit result's blocks")
   }
 
+  test("randomWalks: valid edges, deterministic, truncates at dangling nodes") {
+    // 0 -> {1, 2}; 1 -> {2}; 2 -> {} (dangling). Every walk from 0 or 1
+    // must traverse only real edges and stop the moment it hits 2.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val starts = Seq(0L, 1L).toDF("id")
+    val rows = Graph.randomWalks(edges, starts, walkLength = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = rows.groupBy(_._1).map { case (w, rs) =>
+      w -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    val edgeSet = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    byWalk.foreach { case (w, path) =>
+      assert(path.head == w, "step 0 is the start node")
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)), s"walk $w took non-edge $a->$b")
+        case _         =>
+      }
+      assert(path.last == 2L, "every walk here must end at the sink")
+      assert(path.length <= 4, "walks truncate at the dangling node")
+    }
+    // walk 1 has exactly one possible path: 1 -> 2
+    assert(byWalk(1L) == Seq(1L, 2L))
+    // determinism: a second run reproduces the walks exactly
+    val again = Graph.randomWalks(edges, starts, walkLength = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // a different seed is a different (but still valid) corpus
+    val other = Graph.randomWalks(edges, starts, walkLength = 5, seed = 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    other.foreach { case (_, s, n) => if (s > 0) assert(Set(1L, 2L)(n)) }
+  }
+
   test("kCore peels a chain completely and keeps a clique; empty below k") {
     // 4-clique {0,1,2,3} plus chain 3-4-5-6
     val edges = (for { i <- 0 to 3; j <- (i + 1) to 3 } yield (i.toLong, j.toLong))
