@@ -324,6 +324,48 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "embdrift") {
+      // kernel two-sample drift between two embedding snapshots
+      // (operators.Similarity.mmdDrift): prints the statistic NEXT TO its
+      // null floor — the same-size even/odd split of db1, which is what
+      // "no drift" actually scores (the plug-in MMD² estimate is a
+      // squared norm, so comparing against zero always alarms).
+      val in1 = opts.getOrElse("db1",
+        sys.error("embdrift requires --db1 <dir containing embeddings.parquet>"))
+      val in2 = opts.getOrElse("db2",
+        sys.error("embdrift requires --db2 <dir containing embeddings.parquet>"))
+      val out = opts.getOrElse("output", "embdrift_out")
+      val nFeat = opts.get("features").map(_.toInt).getOrElse(16)
+      val sigma = opts.get("sigma").map(_.toDouble).getOrElse(1.0)
+      val idCol = opts.getOrElse("id-col", "vec_id")
+      val vecCol = opts.getOrElse("vec-col", "embedding")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions._
+        val db1 = Tables.t(spark, in1, "embeddings")
+        val db2 = Tables.t(spark, in2, "embeddings")
+        val dim = db1.select(size(col(vecCol))).head().getInt(0)
+        val drift = graft.operators.Similarity
+          .mmdDrift(db1, db2, vecCol, dim, nFeat, sigma)
+          .select(lit("db1-vs-db2").as("pair"), col("n1"), col("n2"), col("mmd2"))
+        val floor = graft.operators.Similarity
+          .mmdDrift(db1.filter(col(idCol) % 2 === 0),
+            db1.filter(col(idCol) % 2 === 1), vecCol, dim, nFeat, sigma)
+          .select(lit("db1-null-split").as("pair"), col("n1"), col("n2"), col("mmd2"))
+        drift.unionByName(floor)
+          .write.mode("overwrite").parquet(s"$out/embdrift.parquet")
+        val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toMap
+        val (n1, n2, m) = rows("db1-vs-db2")
+        val (_, _, f) = rows("db1-null-split")
+        println(f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
+          f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
+          s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma -> $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "experiment") {
       // full A/B readout over an events table: SRM gate, the mean
       // readout three ways (z / CUPED / winsorized), ratio CIs (delta
