@@ -1152,9 +1152,14 @@ object Similarity {
     * floor under the null — compare against a same-size split of one
     * corpus (the q_mmd_drift fixture shape), not against zero.
     */
-  def mmdDrift(db1: DataFrame, db2: DataFrame, vecCol: String, dim: Int,
-               nFeatures: Int = 16, sigma: Double = 1.0,
-               seed: Long = 7L): DataFrame = {
+  /** The md5-seeded RFF weight matrix and bias vector shared by
+    * [[mmdDrift]], [[rffMeans]] and the streaming twin
+    * ([[graft.streaming.StreamingDrift.streamingMmd]]) — pure IEEE
+    * arithmetic from the digest (no libm), so any engine replaying the
+    * derivation gets bit-identical parameters.
+    */
+  private[graft] def rffParams(dim: Int, nFeatures: Int, sigma: Double,
+                               seed: Long): (Array[Array[Double]], Array[Double]) = {
     require(nFeatures >= 1 && nFeatures <= 64, "nFeatures in [1, 64]")
     require(sigma > 0, "sigma > 0")
     import graft.functions.SketchUtil.{md5U64, u64ToDouble}
@@ -1165,6 +1170,39 @@ object Similarity {
     val bs = Array.tabulate(nFeatures) { j =>
       u64ToDouble(md5U64(s"mmdb:$seed:$j")) / two64 * 2.0 * math.Pi
     }
+    (ws, bs)
+  }
+
+  /** Per-feature RFF means of a static corpus, as the exact doubles the
+    * [[mmdDrift]] gap halves evaluate to (6-dp-quantized z, exact
+    * decimal sums, decimal→double cast, double division) — the
+    * model-sized reference a streaming monitor carries so closed
+    * windows reproduce the batch statistic bit-for-bit. Returns
+    * (means, n).
+    */
+  def rffMeans(df: DataFrame, vecCol: String, dim: Int,
+               nFeatures: Int = 16, sigma: Double = 1.0,
+               seed: Long = 7L): (Array[Double], Long) = {
+    val (ws, bs) = rffParams(dim, nFeatures, sigma, seed)
+    val z = graft.functions.RffFeatures(col(vecCol), ws, bs)
+    val zq = transform(z, x => round(x, 6).cast("decimal(20,6)"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until nFeatures).map(j =>
+        sum(element_at(col("_z"), j + 1)).as(s"s$j"))
+    val row = df.select(zq.as("_z")).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "rffMeans: empty reference")
+    // java BigDecimal.doubleValue + double division — the same two ops
+    // Spark's decimal→double cast and `/` codegen perform in mmdDrift
+    val means = Array.tabulate(nFeatures)(j =>
+      row.getDecimal(j + 1).doubleValue() / n.toDouble)
+    (means, n)
+  }
+
+  def mmdDrift(db1: DataFrame, db2: DataFrame, vecCol: String, dim: Int,
+               nFeatures: Int = 16, sigma: Double = 1.0,
+               seed: Long = 7L): DataFrame = {
+    val (ws, bs) = rffParams(dim, nFeatures, sigma, seed)
     def sums(df: DataFrame, nName: String, sPrefix: String): DataFrame = {
       val z = graft.functions.RffFeatures(col(vecCol), ws, bs)
       val zq = transform(z, x => round(x, 6).cast("decimal(20,6)"))

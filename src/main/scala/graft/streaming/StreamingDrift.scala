@@ -274,4 +274,54 @@ object StreamingDrift {
       .join(refHashes, Seq("hashed_row"), "left_anti")
     Monitor(drift, refHashes)
   }
+
+  /** Streaming RFF-MMD drift: the kernel two-sample statistic of each
+    * event-time window's embeddings against a STATIC reference — the
+    * streaming twin of [[graft.operators.Similarity.mmdDrift]], with
+    * the reference collapsed to model-sized state via
+    * [[graft.operators.Similarity.rffMeans]] (nFeatures doubles,
+    * computed once, riding as plan literals — the psiReference
+    * discipline).
+    *
+    * State contract mirrors [[streamingPsi]]: one
+    * [[graft.functions.RffFeatures]] projection per row, ONE windowed
+    * aggregation holding nFeatures exact decimal sums + a count per
+    * open window (bounded by construction — never per-vector state),
+    * and the MMD² formula evaluates in the projection above it with
+    * the batch operator's exact arithmetic (6-dp z, decimal sums,
+    * decimal(22,12) gap² fold — the under-38 precision rule). A closed
+    * window's mmd2 is bit-identical to
+    * `mmdDrift(windowRows, reference)` on the same rows (spec-proven).
+    *
+    * Emits one row per closed window:
+    * (window_start, window_end, n, mmd2).
+    */
+  def streamingMmd(vecs: DataFrame, tsCol: String, vecCol: String, dim: Int,
+                   refMeans: Seq[Double], windowDuration: String,
+                   lateness: String = "1 hour", nFeatures: Int = 16,
+                   sigma: Double = 1.0, seed: Long = 7L): DataFrame = {
+    require(refMeans.size == nFeatures,
+      s"refMeans must have $nFeatures entries, got ${refMeans.size}")
+    val (ws, bs) = graft.operators.Similarity.rffParams(dim, nFeatures, sigma, seed)
+    val z = graft.functions.RffFeatures(col(vecCol), ws, bs)
+    val zq = transform(z, x => round(x, 6).cast("decimal(20,6)"))
+    val sums = (0 until nFeatures).map(j =>
+      sum(element_at(col("_z"), j + 1)).as(s"_s$j"))
+    val terms = (0 until nFeatures).map { j =>
+      val gap = col(s"_s$j").cast("double") / col("n").cast("double") -
+        lit(refMeans(j))
+      round(gap * gap, 12).cast("decimal(22,12)")
+    }
+    val aggs = count(lit(1)).as("n") +: sums
+    vecs
+      .filter(col(vecCol).isNotNull)
+      .withColumn("_z", zq)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mmd2",
+        terms.reduce(_ + _).cast("double") * lit(2.0 / nFeatures))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("mmd2"))
+  }
 }

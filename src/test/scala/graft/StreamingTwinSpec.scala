@@ -125,6 +125,52 @@ class StreamingPsiWindowSpec extends SparkSpecBase {
   }
 }
 
+class StreamingMmdSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamingMmd matches the batch mmdDrift window by window") {
+    import graft.operators.Similarity
+    // 4-d reference cloud; window A draws from the same generator
+    // (statistic ~ the 1/n floor), window B is shifted (+1 on every
+    // coordinate) and must score far higher — and BOTH closed windows
+    // must equal the batch operator on the same rows bit-for-bit.
+    def vec(i: Int, shift: Double) = Seq(
+      math.sin(i * 0.7) + shift, math.cos(i * 1.3) + shift,
+      math.sin(i * 2.1) * 0.5 + shift, math.cos(i * 0.4) * 0.25 + shift)
+    val ref = (0 until 300).map(i => Tuple1(vec(i, 0.0))).toDF("v")
+    val (refMeans, refN) = Similarity.rffMeans(ref, "v", 4)
+    assert(refN == 300L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    val q = graft.streaming.StreamingDrift.streamingMmd(
+        mem.toDF().toDF("ts", "v"), "ts", "v", 4, refMeans.toSeq, "1 hour",
+        lateness = "1 second")
+      .writeStream.format("memory").queryName("smmd").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val winA = (1000 until 1200).map(i => (ts("2024-01-01 10:00:05"), vec(i, 0.0)))
+      val winB = (2000 until 2200).map(i => (ts("2024-01-01 11:00:05"), vec(i, 1.0)))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), vec(0, 0.0))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, n, mmd2 FROM smmd ORDER BY 1")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Long]("n") == 200L))
+      val mA = rows(0).getAs[Double]("mmd2")
+      val mB = rows(1).getAs[Double]("mmd2")
+      def batchMmd(rows: Seq[(java.sql.Timestamp, Seq[Double])]): Double =
+        Similarity.mmdDrift(rows.map(r => Tuple1(r._2)).toDF("v"), ref, "v", 4)
+          .head().getAs[Double]("mmd2")
+      assert(mA == batchMmd(winA), s"window A: $mA vs ${batchMmd(winA)}")
+      assert(mB == batchMmd(winB), s"window B: $mB vs ${batchMmd(winB)}")
+      assert(mB > 10 * mA, s"shifted window must dominate: $mB vs $mA")
+    } finally q.stop()
+  }
+}
+
 class StreamingEntropySpec extends SparkSpecBase {
   import spark.implicits._
 
