@@ -3867,6 +3867,21 @@ object SparkEntry {
         .filter(col("id") % 7 === 0).distinct()
       Graph.randomWalks(edges, starts, walkLength = 4)
         .orderBy("walk_id", "step", "node")
+    }),
+
+    // ---- the DeepWalk pipeline end-to-end: the seeded walks above piped
+    //      into skip-gram (center, context) pair counts — the training
+    //      corpus a graph-embedding model consumes. One walk-keyed
+    //      window pass, map-side-combined pair aggregation ----
+    "q_walk_skipgrams" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      val walks = Graph.randomWalks(edges, starts, walkLength = 4)
+      Graph.walkContextPairs(walks, window = 2)
+        .orderBy("center", "context")
     })
   )
 
@@ -4092,6 +4107,40 @@ object SparkEntry {
       |  FROM m)""".stripMargin
   private val cosSql =
     "list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
+
+  /** Shared WITH-body replaying Graph.randomWalks' seeded walks over the
+    * q_random_walks fixture (lineitem folded to 500 node ids, starts at
+    * src % 7 == 0, walk length 4, seed 7): ends in a `steps` CTE of
+    * (walk_id, step, node). Used by q_random_walks and q_walk_skipgrams.
+    */
+  private val walkOracleCtes: String = {
+    def stepCte(k: Int): String =
+      s"""s$k AS (SELECT f.walk_id, n.dst AS node FROM s${k - 1} f
+         |  JOIN nbr n ON n.src = f.node AND n.rnk =
+         |    CAST(CAST(('0x' || substr(md5('rw:7:' ||
+         |      CAST(f.walk_id AS VARCHAR) || ':$k:' ||
+         |      CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+         |      % n.deg)""".stripMargin
+    s"""e AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
+      |    CAST(l_suppkey % 500 AS BIGINT) AS dst FROM lineitem),
+      |nbr AS (SELECT src, dst,
+      |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+      |      AS BIGINT) AS rnk,
+      |    count(*) OVER (PARTITION BY src) AS deg
+      |  FROM e),
+      |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e
+      |  WHERE src % 7 = 0),
+      |${stepCte(1)},
+      |${stepCte(2)},
+      |${stepCte(3)},
+      |${stepCte(4)},
+      |steps AS (
+      |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+      |  UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
+      |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
+      |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3
+      |  UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM s4)""".stripMargin
+  }
 
   private def pipelineOracles: Map[String, String] = dmap(
     "q_text_tokens" ->
@@ -4474,34 +4523,25 @@ object SparkEntry {
     // bit-for-bit replay of the seeded walks: the md5-indexed neighbor
     // choice is a pure function of (seed, data), so four unrolled joins
     // reproduce the Spark iteration exactly
-    "q_random_walks" -> {
-      def stepCte(k: Int): String =
-        s"""s$k AS (SELECT f.walk_id, n.dst AS node FROM s${k - 1} f
-           |  JOIN nbr n ON n.src = f.node AND n.rnk =
-           |    CAST(CAST(('0x' || substr(md5('rw:7:' ||
-           |      CAST(f.walk_id AS VARCHAR) || ':$k:' ||
-           |      CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
-           |      % n.deg)""".stripMargin
-      s"""WITH e AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
-        |    CAST(l_suppkey % 500 AS BIGINT) AS dst FROM lineitem),
-        |nbr AS (SELECT src, dst,
-        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
-        |      AS BIGINT) AS rnk,
-        |    count(*) OVER (PARTITION BY src) AS deg
-        |  FROM e),
-        |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e
-        |  WHERE src % 7 = 0),
-        |${stepCte(1)},
-        |${stepCte(2)},
-        |${stepCte(3)},
-        |${stepCte(4)}
-        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
-        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
-        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
-        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3
-        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM s4
-        |ORDER BY walk_id, step, node""".stripMargin
-    },
+    "q_random_walks" ->
+      s"""WITH $walkOracleCtes
+        |SELECT walk_id, step, node FROM steps
+        |ORDER BY walk_id, step, node""".stripMargin,
+
+    // the DeepWalk pipeline's training pairs: the same replayed walks
+    // fed through a walk-keyed lead() window, exactly the q_skipgrams
+    // extraction shape on node sequences
+    "q_walk_skipgrams" ->
+      s"""WITH $walkOracleCtes,
+        |c AS (SELECT node AS center,
+        |    lead(node, 1) OVER win AS c1,
+        |    lead(node, 2) OVER win AS c2
+        |  FROM steps WINDOW win AS (PARTITION BY walk_id ORDER BY step)),
+        |pairs AS (
+        |  SELECT center, c1 AS context FROM c WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL)
+        |SELECT center, context, count(*) AS n FROM pairs
+        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
 
     // bit-for-bit replay of the RFF-MMD statistic: md5-derived uniform
     // weights (pure IEEE arithmetic, no libm in the derivation), z

@@ -638,4 +638,31 @@ object Graph {
     }
     acc
   }
+
+  /** Ordered (center, context) co-occurrence counts over walk sequences —
+    * [[randomWalks]] piped into the word2vec-style pair extraction that
+    * completes the DeepWalk pipeline (Perozzi et al., KDD'14: the walks
+    * are sentences, these pairs are the skip-gram training corpus).
+    * Same shape discipline as [[TextAnalysis.skipGrams]]: the `window`
+    * lead() calls share ONE window spec (a single walk-keyed
+    * shuffle+sort, linear in walk rows regardless of `window`), and the
+    * pair aggregation is map-side combined on observed-pair keys. Only
+    * rightward contexts, orientation preserved — symmetric counts follow
+    * by summing both orientations.
+    */
+  def walkContextPairs(walks: DataFrame, window: Int = 2,
+                       minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("walk_id").orderBy("step")
+    val base = walks.select(col("walk_id"), col("step"), col("node"))
+    val withCtx = (1 to window).foldLeft(base) { (d, k) =>
+      d.withColumn(s"_ctx$k", lead(col("node"), k).over(w))
+    }
+    withCtx
+      .select(col("node").as("center"), explode(array_compact(
+        array((1 to window).map(k => col(s"_ctx$k")): _*))).as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

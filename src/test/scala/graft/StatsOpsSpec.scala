@@ -265,6 +265,20 @@ class StatsOpsSpec extends SparkSpecBase {
     other.foreach { case (_, s, n) => if (s > 0) assert(Set(1L, 2L)(n)) }
   }
 
+  test("walkContextPairs extracts windowed ordered pairs per walk") {
+    // walk 1: 10 -> 20 -> 30; walk 2: 10 -> 20. window=2 rightward pairs:
+    // (10,20)x2, (10,30), (20,30) — no cross-walk pairs.
+    val walks = Seq((1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L),
+      (2L, 0L, 10L), (2L, 1L, 20L)).toDF("walk_id", "step", "node")
+    val got = Graph.walkContextPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+    // minCount prunes the singletons
+    val pruned = Graph.walkContextPairs(walks, window = 2, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((10L, 20L)))
+  }
+
   test("kCore peels a chain completely and keeps a clique; empty below k") {
     // 4-clique {0,1,2,3} plus chain 3-4-5-6
     val edges = (for { i <- 0 to 3; j <- (i + 1) to 3 } yield (i.toLong, j.toLong))
