@@ -1415,4 +1415,37 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(forcedHints(graft.SparkEntry.queries("q8_market_share")(spark, sfDir)) == 3,
       "q8 may hint only nation (×2) and region")
   }
+
+  test("r15 ops: no forced hints, no cartesian corpora, probe-partitioned argmax") {
+    def forcedHints(df: DataFrame): Int =
+      "(?i)strategy=broadcast".r
+        .findAllIn(df.queryExecution.analyzed.toString).length
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    val emb = spark.range(80).select($"id".as("vid"),
+      array(($"id" % 5).cast("double"), ($"id" % 3).cast("double"),
+        ($"id" % 7).cast("double"), lit(1.0)).as("vec"))
+    // semanticJoin: both corpora ride the banded equi-join; the argmax
+    // window partitions by probe id (hash exchange), never a global sort
+    val sj = graft.operators.Similarity.semanticJoin(emb, emb, "vid", "vec", 0.9, 4)
+    assert(forcedHints(sj) == 0, "semanticJoin must not force-broadcast a corpus")
+    val psj = planOf(sj)
+    assert(!psj.contains("CartesianProduct"),
+      s"semanticJoin must never go all-pairs:\n$psj")
+    assert(!psj.contains("rangepartitioning"),
+      s"semanticJoin argmax must be probe-partitioned, not globally sorted:\n$psj")
+    // randomWalks: every step is a node-key equi-join, frontier-bounded
+    val edges = spark.range(300).select(($"id" % 40).as("src"),
+      (($"id" * 7) % 40).as("dst"))
+    val starts = edges.select($"src".as("id")).distinct()
+    val rw = graft.operators.Graph.randomWalks(edges, starts, 3)
+    assert(forcedHints(rw) == 0, "randomWalks must not force-broadcast")
+    assert(!planOf(rw).contains("CartesianProduct"),
+      "randomWalks steps must stay equi-joins")
+    // mmdDrift: each corpus folds to ONE aggregate row before the only
+    // cross join (one-row × one-row — the broadcast scalar idiom)
+    val md = graft.operators.Similarity.mmdDrift(emb, emb, "vec", 4)
+    assert(forcedHints(md) == 0, "mmdDrift must not force-broadcast")
+    val aggCount = "HashAggregate".r.findAllIn(planOf(md)).length
+    assert(aggCount >= 4, "both sides must fold through partial+final aggregation")
+  }
 }
