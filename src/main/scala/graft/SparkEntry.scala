@@ -3882,6 +3882,21 @@ object SparkEntry {
       val walks = Graph.randomWalks(edges, starts, walkLength = 4)
       Graph.walkContextPairs(walks, window = 2)
         .orderBy("center", "context")
+    }),
+
+    // ---- node2vec biased walks (p=2 discourages backtracking, q=4
+    //      keeps the walk in the BFS neighborhood) over the same graph.
+    //      DYADIC weights (0.5 / 1.0 / 0.25) make every cumulative sum
+    //      exact in binary floating point, so the oracle's windowed
+    //      running sums replay the interval selection bit-for-bit ----
+    "q_node2vec_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.node2vecWalks(edges, starts, walkLength = 4, p = 2.0, q = 4.0)
+        .orderBy("walk_id", "step", "node")
     })
   )
 
@@ -4527,6 +4542,44 @@ object SparkEntry {
       s"""WITH $walkOracleCtes
         |SELECT walk_id, step, node FROM steps
         |ORDER BY walk_id, step, node""".stripMargin,
+
+    // node2vec replay: same nbr/start CTEs, per-step candidate weights
+    // (prev-NULL uniform / return 0.5 / distance-1 1.0 / drift 0.25 —
+    // dyadic, so the running sums are exact), interval selection by the
+    // 60-bit md5 uniform times the partition total
+    "q_node2vec_walks" -> {
+      def stepCte(k: Int): String =
+        s"""n2c$k AS (SELECT f.walk_id, f.node AS cur, f.prev,
+           |    n.dst AS cand, n.rnk,
+           |    CASE WHEN f.prev IS NULL THEN 1.0
+           |         WHEN n.dst = f.prev THEN 0.5
+           |         WHEN d.dst IS NOT NULL THEN 1.0
+           |         ELSE 0.25 END AS w
+           |  FROM n2s${k - 1} f JOIN nbr n ON n.src = f.node
+           |  LEFT JOIN e d ON d.src = f.prev AND d.dst = n.dst),
+           |n2t$k AS (SELECT walk_id, cur, cand, w,
+           |    SUM(w) OVER (PARTITION BY walk_id ORDER BY rnk) AS cum,
+           |    CAST(CAST(CAST(('0x' || substr(md5('n2v:7:' ||
+           |        CAST(walk_id AS VARCHAR) || ':$k:' ||
+           |        CAST(cur AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+           |        AS DOUBLE) / 1152921504606846976.0
+           |      * SUM(w) OVER (PARTITION BY walk_id) AS thr
+           |  FROM n2c$k),
+           |n2s$k AS (SELECT walk_id, cand AS node, cur AS prev FROM n2t$k
+           |  WHERE cum > thr AND cum - w <= thr)""".stripMargin
+      s"""WITH $walkOracleCtes,
+        |n2s0 AS (SELECT walk_id, node, CAST(NULL AS BIGINT) AS prev FROM s0),
+        |${stepCte(1)},
+        |${stepCte(2)},
+        |${stepCte(3)},
+        |${stepCte(4)}
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM n2s0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM n2s1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM n2s2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM n2s3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM n2s4
+        |ORDER BY walk_id, step, node""".stripMargin
+    },
 
     // the DeepWalk pipeline's training pairs: the same replayed walks
     // fed through a walk-keyed lead() window, exactly the q_skipgrams

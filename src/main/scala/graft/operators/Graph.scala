@@ -639,6 +639,97 @@ object Graph {
     acc
   }
 
+  /** Seeded node2vec walks (Grover & Leskovec, KDD 2016): second-order
+    * biased walks where the unnormalized weight of stepping from `cur`
+    * to candidate `c`, having arrived from `prev`, is 1/p when c = prev
+    * (return), 1 when prev→c is an edge (stay in the BFS neighborhood),
+    * and 1/q otherwise (DFS drift). p > 1 discourages backtracking;
+    * q < 1 pushes outward. The first step, with no prev, is uniform —
+    * so node2vecWalks(p=1, q=1) visits the same DISTRIBUTION as
+    * [[randomWalks]] (not the same draws: the selection hash differs).
+    *
+    * Determinism: the step draw is u = md5("n2v:seed:walk:k:cur") as a
+    * 60-bit uniform, and the chosen candidate is the unique one whose
+    * cumulative-weight interval [cum − w, cum) (in ascending-dst rank
+    * order) contains u·total — a pure function of (seed, data),
+    * replayable by any engine. With DYADIC weights (p, q powers of two)
+    * every cumulative sum is exact in binary floating point, so the
+    * replay is bit-for-bit regardless of how the other engine
+    * associates the running sum; for non-dyadic p/q the walk is still
+    * deterministic within Spark, but a last-ulp cumulative-sum
+    * disagreement across engines can flip a boundary draw — the
+    * q_node2vec_walks fixture pins p=2, q=4.
+    *
+    * Scale shape: per step, the frontier (≤ |starts| rows) explodes to
+    * its out-neighbors (frontier × avg-degree rows — the inherent
+    * node2vec cost), the distance-1 flag is one LEFT equi-join against
+    * the edge set on (prev, cand), and the selection is a walk-keyed
+    * cumulative window (partition size = one node's out-degree). No
+    * collects, no broadcasts by force, walkLength-bounded lineage.
+    * Dangling nodes truncate the walk (inner join), as in
+    * [[randomWalks]].
+    *
+    * Returns (walk_id, step, node), step 0 = the start.
+    */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
+                    p: Double = 1.0, q: Double = 1.0,
+                    seed: Long = 7L): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 64,
+      "walkLength in [1, 64] (walks union one frame per step)")
+    require(p > 0 && q > 0, "p and q must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val rw = Window.partitionBy("src").orderBy("dst")
+    val nbr = e.select(col("src"), col("dst"),
+        (row_number().over(rw) - 1).cast("long").as("rnk"))
+      .localCheckpoint(eager = true)
+    val wReturn = 1.0 / p
+    val wOut = 1.0 / q
+    var frontier = starts.select(col("id").cast("long").as("node")).distinct()
+      .withColumn("walk_id", col("node"))
+      .withColumn("prev", lit(null).cast("long"))
+      .select("walk_id", "node", "prev")
+    var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var k = 1
+    while (k <= walkLength) {
+      val cand = frontier
+        .join(nbr.select(col("src").as("_ns"), col("dst").as("_cand"),
+          col("rnk").as("_rnk")), col("node") === col("_ns"))
+        .join(e.select(col("src").as("_ps"), col("dst").as("_pd"),
+            lit(1).as("_d1")),
+          col("prev") === col("_ps") && col("_cand") === col("_pd"), "left")
+        .withColumn("_w",
+          when(col("prev").isNull, lit(1.0))
+            .when(col("_cand") === col("prev"), lit(wReturn))
+            .when(col("_d1").isNotNull, lit(1.0))
+            .otherwise(lit(wOut)))
+      // one frontier row per walk per step, so walk_id alone keys the
+      // selection window; partition size = the current node's out-degree
+      val cw = Window.partitionBy("walk_id").orderBy("_rnk")
+      val u = conv(substring(md5(concat_ws(":", lit("n2v"), lit(seed),
+          col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(math.scalb(1.0, 60))
+      val picked = cand
+        .withColumn("_cum", sum(col("_w")).over(
+          cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_tot", sum(col("_w")).over(
+          cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_thr", u * col("_tot"))
+        .filter(col("_cum") > col("_thr") &&
+          col("_cum") - col("_w") <= col("_thr"))
+        // prev BEFORE the node alias: a later col("node") would resolve
+        // laterally to the `_cand AS node` alias (the r15 LCA landmine)
+        .select(col("walk_id"), col("node").as("prev"),
+          col("_cand").as("node"))
+      acc = acc.unionByName(
+        picked.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
+      frontier = picked
+      k += 1
+    }
+    acc
+  }
+
   /** Ordered (center, context) co-occurrence counts over walk sequences —
     * [[randomWalks]] piped into the word2vec-style pair extraction that
     * completes the DeepWalk pipeline (Perozzi et al., KDD'14: the walks

@@ -265,6 +265,31 @@ class StatsOpsSpec extends SparkSpecBase {
     other.foreach { case (_, s, n) => if (s > 0) assert(Set(1L, 2L)(n)) }
   }
 
+  test("node2vecWalks: p/q bias steers the second step; edges stay valid") {
+    // 0 -> 1; 1 -> {0, 2}; 2 -> {} (sink). From 1 (arrived via 0) the
+    // candidates are 0 (return, weight 1/p) and 2 (drift, weight 1/q):
+    // extreme p forces the drift, extreme q forces the return.
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("id")
+    def path(p: Double, q: Double): Seq[Long] =
+      Graph.node2vecWalks(edges, starts, walkLength = 2, p = p, q = q)
+        .collect().sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(path(1e9, 1e-9) == Seq(0L, 1L, 2L), "never-return must drift to 2")
+    assert(path(1e-9, 1e9) == Seq(0L, 1L, 0L), "always-return must go back to 0")
+    // uniform walk stays on real edges and truncates at the sink
+    val rows = Graph.node2vecWalks(edges, starts, walkLength = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val edgeSet = Set((0L, 1L), (1L, 0L), (1L, 2L))
+    rows.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(edgeSet((a, b)), s"non-edge $a->$b")
+      case _         =>
+    }
+    // determinism: bit-identical on a second run
+    val again = Graph.node2vecWalks(edges, starts, walkLength = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("walkContextPairs extracts windowed ordered pairs per walk") {
     // walk 1: 10 -> 20 -> 30; walk 2: 10 -> 20. window=2 rightward pairs:
     // (10,20)x2, (10,30), (20,30) — no cross-walk pairs.
