@@ -366,6 +366,57 @@ object GraftApp {
       } finally spark.stop()
       return
     }
+    if (cmd == "walks") {
+      // export a graph-embedding training corpus: seeded walks over an
+      // edge list projected from any table (uniform DeepWalk by
+      // default, node2vec-biased when --p/--q are given), plus the
+      // skip-gram (center, context) pairs a word2vec-style trainer
+      // consumes (operators.Graph.{randomWalks, node2vecWalks,
+      // walkContextPairs}).
+      val input = opts.getOrElse("input",
+        sys.error("walks requires --input <dir>"))
+      val table = opts.getOrElse("table",
+        sys.error("walks requires --table <name>"))
+      val srcCol = opts.getOrElse("src-col",
+        sys.error("walks requires --src-col"))
+      val dstCol = opts.getOrElse("dst-col",
+        sys.error("walks requires --dst-col"))
+      val out = opts.getOrElse("output", "walks_out")
+      val walkLen = opts.get("length").map(_.toInt).getOrElse(8)
+      val win = opts.get("window").map(_.toInt).getOrElse(2)
+      val seed = opts.get("seed").map(_.toLong).getOrElse(7L)
+      val pq = (opts.get("p").map(_.toDouble), opts.get("q").map(_.toDouble))
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        import org.apache.spark.sql.functions._
+        val edges = Tables.t(spark, input, table)
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+        val starts = edges.select(col("src").as("id")).distinct()
+        val walks = pq match {
+          case (Some(p), q) =>
+            graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
+              p, q.getOrElse(1.0), seed)
+          case (None, Some(q)) =>
+            graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
+              1.0, q, seed)
+          case _ =>
+            graft.operators.Graph.randomWalks(edges, starts, walkLen, seed)
+        }
+        walks.write.mode("overwrite").parquet(s"$out/walks.parquet")
+        val saved = spark.read.parquet(s"$out/walks.parquet")
+        graft.operators.Graph.walkContextPairs(saved, win)
+          .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+        val nWalks = saved.select("walk_id").distinct().count()
+        val nRows = saved.count()
+        val nPairs = spark.read.parquet(s"$out/pairs.parquet").count()
+        println(s"walks: walks=$nWalks rows=$nRows pairs=$nPairs " +
+          s"length=$walkLen window=$win " +
+          s"mode=${if (pq._1.isDefined || pq._2.isDefined) "node2vec" else "uniform"} -> $out")
+      } finally spark.stop()
+      return
+    }
     if (cmd == "experiment") {
       // full A/B readout over an events table: SRM gate, the mean
       // readout three ways (z / CUPED / winsorized), ratio CIs (delta
