@@ -1224,8 +1224,12 @@ object Similarity {
         col(s"_b$j").cast("double") / col("n2").cast("double")
       round(gap * gap, 12).cast("decimal(22,12)")
     }
+    // degenerate sides publish NULL, not NaN (the atkinson discipline:
+    // a 0/0 division must not leak NaN into JSON-ified readouts)
     a.crossJoin(b).select(col("n1"), col("n2"),
-      (terms.reduce(_ + _).cast("double") * lit(2.0 / nFeatures)).as("mmd2"))
+      when(col("n1") > 0 && col("n2") > 0,
+        terms.reduce(_ + _).cast("double") * lit(2.0 / nFeatures))
+        .as("mmd2"))
   }
 
   /** Mahalanobis distance scoring over an embedding column — the

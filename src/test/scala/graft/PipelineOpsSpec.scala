@@ -336,6 +336,10 @@ class SimilaritySpec extends SparkSpecBase {
     // determinism: same seed, same statistic, bit for bit
     val again = Similarity.mmdDrift(even, odd, "v", 4).collect()(0).getDouble(2)
     assert(again == mNull)
+    // degenerate side publishes NULL, never NaN (the atkinson discipline)
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val degen = Similarity.mmdDrift(even, empty, "v", 4).collect()(0)
+    assert(degen.getLong(1) == 0L && degen.isNullAt(2))
   }
 
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
