@@ -692,6 +692,23 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // ---- cell-mass drift localization: both sides assigned to a
+    //      planted 4-cell codebook (10·onehot(vec_id%4) + 1% noise —
+    //      cosine margins make cell = vec_id%4 in closed form, the
+    //      q_kmeans_planted construction), db2 drops the vec_id%8==4
+    //      half of cell 0; the oracle states the counts/shares/psi
+    //      directly ----
+    "q_cell_mass_drift" -> ((s, dir) => {
+      val g = (col("vec_id") % 4).cast("int")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === g, lit(10.0)).otherwise(lit(0.0)) +
+            lit(0.01) * x.cast("double")).as("v"))
+      val db2 = pts.filter(!(col("vec_id") % 8 === 4))
+      val centroids = Array.tabulate(4, 64)((c, j) => if (j == c) 10.0 else 0.0)
+      Similarity.cellMassDrift(pts, db2, "v", centroids).orderBy("cell")
+    }),
+
     // ---- RFF-MMD kernel two-sample drift between embedding corpora:
     //      the even/odd split of the same table is the exchangeable
     //      null (mmd2 ~ the 1/n noise floor); the same split with a
@@ -4595,6 +4612,27 @@ object SparkEntry {
         |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL)
         |SELECT center, context, count(*) AS n FROM pairs
         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // closed-form truth for the cell-mass drift: the planted margins pin
+    // cell = vec_id % 4, so counts/shares/psi compute directly
+    "q_cell_mass_drift" ->
+      """WITH pts AS (SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS cell
+        |  FROM embeddings),
+        |a AS (SELECT cell, count(*) AS n1 FROM pts GROUP BY cell),
+        |b AS (SELECT cell, count(*) AS n2 FROM pts
+        |  WHERE vec_id % 8 <> 4 GROUP BY cell),
+        |j AS (SELECT COALESCE(a.cell, b.cell) AS cell,
+        |    COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+        |  FROM a FULL OUTER JOIN b ON a.cell = b.cell),
+        |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM j),
+        |sh AS (SELECT cell, n1, n2,
+        |    round(CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS share1,
+        |    round(CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) AS share2
+        |  FROM j, t)
+        |SELECT cell, n1, n2, share1, share2,
+        |  round((greatest(share1, 1e-6) - greatest(share2, 1e-6)) *
+        |    ln(greatest(share1, 1e-6) / greatest(share2, 1e-6)), 6) AS psi_term
+        |FROM sh ORDER BY cell""".stripMargin,
 
     // bit-for-bit replay of the RFF-MMD statistic: md5-derived uniform
     // weights (pure IEEE arithmetic, no libm in the derivation), z

@@ -1114,6 +1114,54 @@ object Similarity {
       .select("probe_id", "match_id", "cosine")
   }
 
+  /** WHERE did the embedding distribution move — the drift-localization
+    * companion to [[mmdDrift]]'s single-number alarm: both corpora are
+    * assigned to the cells of a FIXED coarse quantizer (the IVF
+    * machinery — pass [[kmeansFitDistributed]] centroids fit on the
+    * reference, or a planted codebook), and each cell reports its mass
+    * on both sides plus its PSI contribution
+    * (share1 − share2)·ln(share1/share2), ε-floored and 6-dp-quantized
+    * exactly like [[graft.operators.Stats.psi]]'s bins. Big psi_term =
+    * the region of embedding space that gained or lost mass —
+    * actionable in a way the global statistic is not.
+    *
+    * Scale shape: one narrow [[graft.functions.NearestCells]] projection
+    * per side (the centroid matrix rides as a kernel reference object,
+    * never plan literals), one cell-keyed count aggregation per side
+    * (map-side combined, k-bounded keys), a k-row full-outer join, and
+    * one-row totals attached by cross join — nothing shuffles by the
+    * corpora beyond the two bounded aggregations, nothing collects.
+    *
+    * Returns one row per occupied cell:
+    * (cell, n1, n2, share1, share2, psi_term), shares relative to each
+    * side's own total.
+    */
+  def cellMassDrift(db1: DataFrame, db2: DataFrame, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    eps: Double = 1e-6): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(eps > 0, "eps must be positive")
+    def counts(df: DataFrame, n: String) =
+      df.select(element_at(
+          graft.functions.NearestCells(asDouble(col(vecCol)), centroids, 1), 1)
+        .cast("long").as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as(n))
+    val joined = counts(db1, "n1").join(counts(db2, "n2"), Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = joined.agg(sum("n1").as("_t1"), sum("n2").as("_t2"))
+    def floored(c: Column): Column = greatest(c, lit(eps))
+    joined.crossJoin(tot)
+      .withColumn("share1",
+        round(col("n1").cast("double") / col("_t1").cast("double"), 6))
+      .withColumn("share2",
+        round(col("n2").cast("double") / col("_t2").cast("double"), 6))
+      .withColumn("psi_term",
+        round((floored(col("share1")) - floored(col("share2"))) *
+          log(floored(col("share1")) / floored(col("share2"))), 6))
+      .select("cell", "n1", "n2", "share1", "share2", "psi_term")
+  }
+
   /** Kernel two-sample drift statistic between two embedding corpora via
     * random Fourier features (Rahimi–Recht, NeurIPS'07): the plug-in
     * estimate of MMD² = ||E φ(x) − E φ(y)||² in the feature space

@@ -342,6 +342,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(degen.getLong(1) == 0L && degen.isNullAt(2))
   }
 
+  test("cellMassDrift localizes a planted mass shift to its cell") {
+    import graft.operators.Similarity
+    // two clean 2-d clusters around (10,0) and (0,10); db2 drops half of
+    // cluster 0 — cell 0 must carry the big psi_term, cell 1 a small
+    // complementary one (its share rose because totals shrank)
+    val pts = (0L until 100L).map { i =>
+      val c = (i % 2).toInt
+      (i, Seq(if (c == 0) 10.0 + 0.01 * i else 0.3,
+        if (c == 1) 10.0 - 0.01 * i else 0.2))
+    }.toDF("id", "v")
+    val db2 = pts.filter(!($"id" % 4 === 0)) // drops half of cluster 0
+    val cents = Array(Array(10.0, 0.0), Array(0.0, 10.0))
+    val out = Similarity.cellMassDrift(pts, db2, "v", cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(out(0L)._1 == 50L && out(0L)._2 == 25L)
+    assert(out(1L)._1 == 50L && out(1L)._2 == 50L)
+    // both terms positive (PSI terms are), the emptied cell's larger —
+    // with two cells the complement moves too, so only strictly larger
+    assert(out(0L)._3 > 0.05, s"shifted cell must alarm: ${out(0L)._3}")
+    assert(out(1L)._3 > 0.0 && out(0L)._3 > out(1L)._3,
+      s"emptied cell must lead: ${out(0L)._3} vs ${out(1L)._3}")
+    // cells sum to the corpus on both sides
+    assert(out.values.map(_._1).sum == 100L && out.values.map(_._2).sum == 75L)
+  }
+
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
     import graft.operators.Similarity
     // 12 vectors hug (1,0); one sits far out on the same label. The
