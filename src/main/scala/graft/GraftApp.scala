@@ -355,6 +355,20 @@ object GraftApp {
           .select(lit("db1-null-split").as("pair"), col("n1"), col("n2"), col("mmd2"))
         drift.unionByName(floor)
           .write.mode("overwrite").parquet(s"$out/embdrift.parquet")
+        // localization: fit a small coarse quantizer ON DB1 (first-k
+        // deterministic init, two Lloyd rounds) and report per-cell mass
+        // drift — WHERE the distribution moved, next to THAT it moved
+        val nCells = opts.get("cells").map(_.toInt).getOrElse(8)
+        val init = db1.orderBy(idCol).limit(nCells)
+          .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val cents = graft.operators.Similarity
+          .kmeansFitDistributed(db1.select(col(vecCol)), vecCol, init, iters = 2)
+        graft.operators.Similarity.cellMassDrift(db1, db2, vecCol, cents)
+          .write.mode("overwrite").parquet(s"$out/cell_drift.parquet")
+        val topCells = spark.read.parquet(s"$out/cell_drift.parquet")
+          .orderBy(col("psi_term").desc).limit(3).collect()
+          .map(r => f"cell=${r.getLong(0)} psi=${r.getDouble(5)}%.6f")
         val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
           .toMap
@@ -362,7 +376,8 @@ object GraftApp {
         val (_, _, f) = rows("db1-null-split")
         println(f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
           f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
-          s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma -> $out")
+          s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma " +
+          s"top_cells=[${topCells.mkString(", ")}] -> $out")
       } finally spark.stop()
       return
     }
