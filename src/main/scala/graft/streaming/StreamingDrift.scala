@@ -296,6 +296,68 @@ object StreamingDrift {
     * Emits one row per closed window:
     * (window_start, window_end, n, mmd2).
     */
+  /** Streaming cell-mass drift: each event-time window's embeddings are
+    * assigned to a FIXED coarse quantizer and every cell reports its
+    * windowed mass, share and PSI contribution against static reference
+    * shares — the streaming twin of
+    * [[graft.operators.Similarity.cellMassDrift]], and the localization
+    * companion to [[streamingMmd]]'s single-number alarm. Completes the
+    * monitor suite: row novelty ([[monitor]]), numeric shape
+    * ([[streamingPsi]]), categorical mix ([[streamingEntropy]] /
+    * [[streamingJsDivergence]]), embedding global ([[streamingMmd]]),
+    * embedding localized (this).
+    *
+    * State contract mirrors [[streamingPsi]]: the centroid matrix rides
+    * as a kernel reference object and the reference shares as plan
+    * literals (model-sized, computed once from the reference corpus —
+    * e.g. the `share1` column of a batch `cellMassDrift(ref, ref)`);
+    * ONE windowed aggregation holds nCells counters per open window;
+    * shares and the ε-floored 6-dp PSI terms evaluate in the
+    * projection above it, matching the batch operator's arithmetic on
+    * the same rows (spec-proven, PSI terms being symmetric in their
+    * two arguments).
+    *
+    * Emits one row per (closed window, cell):
+    * (window_start, window_end, cell, n, share, psi_term).
+    */
+  def streamingCellDrift(vecs: DataFrame, tsCol: String, vecCol: String,
+                         centroids: Array[Array[Double]],
+                         refShares: Seq[Double], windowDuration: String,
+                         lateness: String = "1 hour",
+                         eps: Double = 1e-6): DataFrame = {
+    val nC = centroids.length
+    require(refShares.size == nC,
+      s"refShares must have one entry per centroid ($nC), got ${refShares.size}")
+    require(eps > 0, "eps must be positive")
+    val counts = (0 until nC).map(k =>
+      sum(when(col("_cell") === k, 1L).otherwise(0L)).as(s"_c$k"))
+    val total = (0 until nC).map(k => col(s"_c$k")).reduce(_ + _)
+    val cellRows = array((0 until nC).map(k =>
+      struct(lit(k.toLong).as("cell"), col(s"_c$k").as("n"),
+        lit(math.max(refShares(k), eps)).as("_ref"))): _*)
+    vecs
+      .filter(col(vecCol).isNotNull)
+      .withColumn("_cell", element_at(
+        graft.functions.NearestCells(
+          graft.operators.Similarity.asDouble(col(vecCol)), centroids, 1), 1)
+        .cast("long"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("_n", total)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("_n"),
+        explode(cellRows).as("_c"))
+      .withColumn("share",
+        round(col("_c.n").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("psi_term",
+        round((greatest(col("share"), lit(eps)) - col("_c._ref")) *
+          log(greatest(col("share"), lit(eps)) / col("_c._ref")), 6))
+      .select(col("window_start"), col("window_end"),
+        col("_c.cell").as("cell"), col("_c.n").as("n"),
+        col("share"), col("psi_term"))
+  }
+
   def streamingMmd(vecs: DataFrame, tsCol: String, vecCol: String, dim: Int,
                    refMeans: Seq[Double], windowDuration: String,
                    lateness: String = "1 hour", nFeatures: Int = 16,

@@ -171,6 +171,58 @@ class StreamingMmdSpec extends SparkSpecBase {
   }
 }
 
+class StreamingCellDriftSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamingCellDrift matches the batch cellMassDrift window by window") {
+    import graft.operators.Similarity
+    // two clean 2-d clusters; reference 50/50. Window A keeps the mix
+    // (psi ~ 0), window B starves cluster 0 (cell 0 must alarm) — and
+    // every closed (window, cell) psi_term must equal the batch
+    // operator oriented (window, reference) on the same rows.
+    def vec(i: Int, c: Int) = Seq(
+      if (c == 0) 10.0 + 0.01 * i else 0.3,
+      if (c == 1) 10.0 - 0.01 * i else 0.2)
+    val ref = (0 until 200).map(i => Tuple1(vec(i, i % 2))).toDF("v")
+    val cents = Array(Array(10.0, 0.0), Array(0.0, 10.0))
+    // reference shares = the batch operator's own rounded shares
+    val refShares = Similarity.cellMassDrift(ref, ref, "v", cents)
+      .orderBy("cell").collect().map(_.getAs[Double]("share1")).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    val q = graft.streaming.StreamingDrift.streamingCellDrift(
+        mem.toDF().toDF("ts", "v"), "ts", "v", cents, refShares, "1 hour",
+        lateness = "1 second")
+      .writeStream.format("memory").queryName("scell").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val winA = (0 until 100).map(i => (ts("2024-01-01 10:00:05"), vec(i, i % 2)))
+      val winB = (0 until 100).map(i =>
+        (ts("2024-01-01 11:00:05"), vec(i, if (i % 10 == 0) 0 else 1)))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), vec(0, 0))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, cell, n, share, psi_term FROM scell ORDER BY 1, 2")
+        .collect()
+      assert(rows.length == 4)
+      def batch(win: Seq[(java.sql.Timestamp, Seq[Double])]): Map[Long, Double] =
+        Similarity.cellMassDrift(win.map(r => Tuple1(r._2)).toDF("v"), ref, "v", cents)
+          .collect().map(r => r.getLong(0) -> r.getAs[Double]("psi_term")).toMap
+      val bA = batch(winA); val bB = batch(winB)
+      assert(rows(0).getAs[Double]("psi_term") == bA(0L))
+      assert(rows(1).getAs[Double]("psi_term") == bA(1L))
+      assert(rows(2).getAs[Double]("psi_term") == bB(0L))
+      assert(rows(3).getAs[Double]("psi_term") == bB(1L))
+      // the starved cell alarms; the steady window stays near zero
+      assert(rows(2).getAs[Double]("psi_term") > 0.2)
+      assert(math.abs(rows(0).getAs[Double]("psi_term")) < 0.01)
+    } finally q.stop()
+  }
+}
+
 class StreamingEntropySpec extends SparkSpecBase {
   import spark.implicits._
 
