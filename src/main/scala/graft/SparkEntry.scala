@@ -709,6 +709,20 @@ object SparkEntry {
       Similarity.cellMassDrift(pts, db2, "v", centroids).orderBy("cell")
     }),
 
+    // ---- per-cell medoid selection over the planted corners: the cell
+    //      is closed-form (vec_id % 4) and the representative is the
+    //      exact argmax cosine to the cell's centroid, tie to lowest id
+    //      — a windowed replay over exact cosines in DuckDB ----
+    "q_cell_medoids" -> ((s, dir) => {
+      val g = (col("vec_id") % 4).cast("int")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === g, lit(10.0)).otherwise(lit(0.0)) +
+            lit(0.01) * x.cast("double")).as("v"))
+      val centroids = Array.tabulate(4, 64)((c, j) => if (j == c) 10.0 else 0.0)
+      Similarity.cellMedoids(pts, "vec_id", "v", centroids).orderBy("cell")
+    }),
+
     // ---- RFF-MMD kernel two-sample drift between embedding corpora:
     //      the even/odd split of the same table is the exchangeable
     //      null (mmd2 ~ the 1/n noise floor); the same split with a
@@ -4612,6 +4626,30 @@ object SparkEntry {
         |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL)
         |SELECT center, context, count(*) AS n FROM pairs
         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // medoid truth: closed-form cells, exact cosine argmax per cell via
+    // a windowed rank (ties to the lower id — the struct-max tie rule)
+    "q_cell_medoids" ->
+      """WITH pts AS (SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS cell,
+        |    list_transform(range(64), j ->
+        |      (CASE WHEN j = vec_id % 4 THEN 10.0 ELSE 0.0 END)
+        |        + 0.01 * CAST(embedding[j + 1] AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |cents AS (SELECT c, list_transform(range(64), j ->
+        |    CASE WHEN j = c THEN 10.0 ELSE 0.0 END) AS cv
+        |  FROM range(4) AS rc(c)),
+        |scored AS (SELECT p.vec_id, p.cell,
+        |    list_dot_product(p.ve, c.cv) /
+        |      (sqrt(list_dot_product(p.ve, p.ve)) *
+        |       sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+        |  FROM pts p JOIN cents c ON c.c = p.cell),
+        |r AS (SELECT cell, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY cosine DESC, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY cell) AS n_members
+        |  FROM scored)
+        |SELECT cell, vec_id AS id, cosine, n_members FROM r WHERE rk = 1
+        |ORDER BY cell""".stripMargin,
 
     // closed-form truth for the cell-mass drift: the planted margins pin
     // cell = vec_id % 4, so counts/shares/psi compute directly

@@ -1114,6 +1114,43 @@ object Similarity {
       .select("probe_id", "match_id", "cosine")
   }
 
+  /** One representative per quantizer cell — the medoid-style selector
+    * behind "give me k diverse exemplars of this corpus" (coreset
+    * seeding, labeling-budget allocation, cluster naming): every vector
+    * is assigned to its nearest centroid ([[graft.functions.NearestCells]],
+    * matrix as a kernel reference object) and each cell keeps the
+    * member MOST ALIGNED with the centroid (max cosine, ties to the
+    * lowest id). Returns (cell, id, cosine, n_members).
+    *
+    * Scale shape: one narrow projection, then a single cell-keyed
+    * aggregation via max_by-style struct ordering — no window, no sort:
+    * the per-cell argmax folds map-side exactly like a max, so the
+    * shuffle carries one candidate struct per (partition, cell), never
+    * the members.
+    */
+  def cellMedoids(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val v = asDouble(col(vecCol))
+    val cents = centroids.map(c => lit(c))
+    val assigned = df.select(col(idCol).cast("long").as("id"),
+        element_at(graft.functions.NearestCells(v, centroids, 1), 1)
+          .cast("long").as("cell"),
+        v.as("_v"))
+      // cosine against the OWN cell's centroid: a model-sized CASE over
+      // centroid literals (k branches, one kernel call each)
+      .withColumn("cosine", (0 until centroids.length).map(k =>
+          when(col("cell") === k, cosine(col("_v"), cents(k))))
+        .reduceRight((w, acc) => w.otherwise(acc)))
+    // argmax as max of (cosine, -id) struct — map-side combinable;
+    // negated id makes the LOWER id win cosine ties under struct max
+    assigned.groupBy("cell")
+      .agg(max(struct(col("cosine"), (-col("id")).as("_nid"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell"), (-col("_best._nid")).as("id"),
+        col("_best.cosine").as("cosine"), col("n_members"))
+  }
+
   /** WHERE did the embedding distribution move — the drift-localization
     * companion to [[mmdDrift]]'s single-number alarm: both corpora are
     * assigned to the cells of a FIXED coarse quantizer (the IVF

@@ -342,6 +342,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(degen.getLong(1) == 0L && degen.isNullAt(2))
   }
 
+  test("cellMedoids picks the most-aligned member per cell, ties to lowest id") {
+    import graft.operators.Similarity
+    // cell 0 around (1,0): id 3 is exactly on-axis (cos 1); ids 1, 5
+    // are slightly rotated. cell 1 around (0,1): ids 2 and 4 tie at
+    // cos 1 — the LOWER id (2) must win.
+    val pts = Seq(
+      (1L, Seq(1.0, 0.1)), (3L, Seq(2.0, 0.0)), (5L, Seq(1.0, 0.2)),
+      (2L, Seq(0.0, 3.0)), (4L, Seq(0.0, 7.0))).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Similarity.cellMedoids(pts, "id", "v", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out == Map(0L -> (3L, 3L), 1L -> (2L, 2L)), s"got $out")
+  }
+
   test("cellMassDrift localizes a planted mass shift to its cell") {
     import graft.operators.Similarity
     // two clean 2-d clusters around (10,0) and (0,10); db2 drops half of
