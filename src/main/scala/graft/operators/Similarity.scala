@@ -1131,6 +1131,14 @@ object Similarity {
   def cellMedoids(df: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    // the per-cell cosine is a CASE over centroid LITERALS — k × dim
+    // plan leaves, the measured Janino blowup once k × dim gets large
+    // (the NearestCells lesson). The quantizers this selector pairs
+    // with are coarse; cap k rather than silently compile for seconds.
+    require(centroids.length <= 256,
+      s"cellMedoids supports <= 256 cells (got ${centroids.length}); " +
+        "for finer quantizers aggregate per cell on a kernel-computed " +
+        "distance instead")
     val v = asDouble(col(vecCol))
     val cents = centroids.map(c => lit(c))
     val assigned = df.select(col(idCol).cast("long").as("id"),
