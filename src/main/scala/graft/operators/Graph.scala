@@ -678,8 +678,12 @@ object Graph {
       "walkLength in [1, 64] (walks union one frame per step)")
     require(p > 0 && q > 0, "p and q must be positive")
     import org.apache.spark.sql.expressions.Window
+    // e is read by the distance-1 flag join EVERY step (walkLength
+    // copies in the final plan): checkpoint it once like nbr, rather
+    // than trusting ReuseExchange to dedupe L distinct() subtrees
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+      .localCheckpoint(eager = true)
     val rw = Window.partitionBy("src").orderBy("dst")
     val nbr = e.select(col("src"), col("dst"),
         (row_number().over(rw) - 1).cast("long").as("rnk"))
