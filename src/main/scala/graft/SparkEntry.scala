@@ -709,6 +709,14 @@ object SparkEntry {
       Similarity.cellMassDrift(pts, db2, "v", centroids).orderBy("cell")
     }),
 
+    // ---- hyperplane-LSH banding planner at the semantic-diff regime
+    //      (target cos 0.9, distractor 0.6): the s-curve table the
+    //      diff/join recall contracts point to; closed-form grid, no
+    //      data scanned ----
+    "q_hyperplane_plan" -> ((s, dir) =>
+      Similarity.hyperplanePlan(s, maxBits = 16, maxTables = 64,
+        target = 0.9, distractor = 0.6).orderBy("n_bits", "n_tables")),
+
     // ---- per-cell medoid selection over the planted corners: the cell
     //      is closed-form (vec_id % 4) and the representative is the
     //      exact argmax cosine to the cell's centroid, tie to lowest id
@@ -4626,6 +4634,23 @@ object SparkEntry {
         |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL)
         |SELECT center, context, count(*) AS n FROM pairs
         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // closed-form replay of the hyperplane s-curve grid (acos/pow/pi
+    // mirrored op for op, 6 dp)
+    "q_hyperplane_plan" ->
+      """WITH bits AS (SELECT CAST(b AS BIGINT) AS n_bits
+        |  FROM range(2, 17) AS t(b)),
+        |tabs AS (SELECT CAST(l AS BIGINT) AS n_tables
+        |  FROM (VALUES (1), (2), (4), (8), (16), (32), (64)) AS v(l)),
+        |g AS (SELECT n_bits, n_tables FROM bits CROSS JOIN tabs)
+        |SELECT n_bits, n_tables,
+        |  round(1.0 - pow(1.0 - pow(1.0 - acos(0.9) / pi(),
+        |    CAST(n_bits AS DOUBLE)), CAST(n_tables AS DOUBLE)), 6)
+        |    AS p_at_target,
+        |  round(1.0 - pow(1.0 - pow(1.0 - acos(0.6) / pi(),
+        |    CAST(n_bits AS DOUBLE)), CAST(n_tables AS DOUBLE)), 6)
+        |    AS p_at_distractor
+        |FROM g ORDER BY n_bits, n_tables""".stripMargin,
 
     // medoid truth: closed-form cells, exact cosine argmax per cell via
     // a windowed rank (ties to the lower id — the struct-max tie rule)

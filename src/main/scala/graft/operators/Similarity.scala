@@ -1114,6 +1114,46 @@ object Similarity {
       .select("probe_id", "match_id", "cosine")
   }
 
+  /** Hyperplane-LSH banding planner — the cosine-space companion to
+    * [[Dedup.lshPlan]], and the table [[semanticDiff]] / [[semanticJoin]] /
+    * [[lshTopK]]'s recall contracts tell the caller to read before
+    * choosing (nBits, nTables) for a threshold outside the near-dup
+    * regime: a pair at cosine c collides in one nBits-bit table with
+    * probability p(c)^nBits, p(c) = 1 − arccos(c)/π (Charikar
+    * STOC'02), and in ≥1 of nTables tables with 1 − (1 − p^nBits)^L.
+    * Emits the full (nBits ∈ [2, maxBits]) × (nTables ∈ powers of two
+    * ≤ maxTables) grid with collision probabilities at the caller's
+    * `target` (recall proxy — want ≈ 1) and `distractor` (candidate-
+    * waste proxy — want ≈ 0) cosines.
+    *
+    * Shape: a driver-built grid bounded by the parameters, never by
+    * data; one narrow projection of closed-form doubles rounded at
+    * 6 dp (the [[Dedup.lshPlan]] conventions).
+    */
+  def hyperplanePlan(spark: org.apache.spark.sql.SparkSession,
+                     maxBits: Int, maxTables: Int,
+                     target: Double, distractor: Double): DataFrame = {
+    require(maxBits >= 2 && maxBits <= 32, "maxBits in [2, 32]")
+    require(maxTables >= 1 && maxTables <= 256, "maxTables in [1, 256]")
+    require(target > -1 && target < 1, "target cosine in (-1, 1)")
+    require(distractor > -1 && distractor < target,
+      "distractor cosine in (-1, target)")
+    import spark.implicits._
+    val tables = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= maxTables).toSeq
+    val grid = for { b <- 2 to maxBits; l <- tables } yield (b.toLong, l)
+    val df = grid.toDF("n_bits", "n_tables")
+    // probabilities computed IN the engine (acos/pow/π), matching the
+    // oracle's arithmetic op for op
+    def pCollide(c: Double): Column = {
+      val p = lit(1.0) - acos(lit(c)) / lit(math.Pi)
+      round(lit(1.0) - pow(lit(1.0) -
+        pow(p, col("n_bits").cast("double")),
+        col("n_tables").cast("double")), 6)
+    }
+    df.withColumn("p_at_target", pCollide(target))
+      .withColumn("p_at_distractor", pCollide(distractor))
+  }
+
   /** One representative per quantizer cell — the medoid-style selector
     * behind "give me k diverse exemplars of this corpus" (coreset
     * seeding, labeling-budget allocation, cluster naming): every vector

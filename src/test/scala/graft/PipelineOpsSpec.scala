@@ -342,6 +342,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(degen.getLong(1) == 0L && degen.isNullAt(2))
   }
 
+  test("hyperplanePlan: s-curve monotone in bits/tables, near-dup regime ~certain") {
+    import graft.operators.Similarity
+    val plan = Similarity.hyperplanePlan(spark, 16, 64, 0.9, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // more tables -> more recall; more bits -> fewer collisions
+    assert(plan((8L, 16L))._1 > plan((8L, 4L))._1)
+    assert(plan((4L, 16L))._2 > plan((8L, 16L))._2)
+    // the semanticDiff default (8 bits x 16 tables): even a pair AT the
+    // 0.9 threshold boundary collides >99% (true near-dups at ~0.9998
+    // are the ~1e-21-miss regime the operator docs state), while the
+    // 0.6 distractor collides substantially less
+    val (t, d) = plan((8L, 16L))
+    assert(t > 0.99, s"boundary-pair recall at the default: $t")
+    assert(d < 0.9 && d < t, s"distractor must collide less: $d vs $t")
+  }
+
   test("cellMedoids picks the most-aligned member per cell, ties to lowest id") {
     import graft.operators.Similarity
     // cell 0 around (1,0): id 3 is exactly on-axis (cos 1); ids 1, 5
