@@ -3923,6 +3923,22 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // ---- edge-weight-proportional walks over the co-occurrence
+    //      MULTIGRAPH (weight = pair multiplicity, so heavily co-bought
+    //      pairs are walked proportionally more): integer weights keep
+    //      the cumulative sums exact, so the oracle's windowed running
+    //      sums replay the interval draws bit-for-bit ----
+    "q_weighted_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"),
+        lit(1L).as("weight"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.weightedWalks(edges, starts, walkLength = 4)
+        .orderBy("walk_id", "step", "node")
+    }),
+
     // ---- node2vec biased walks (p=2 discourages backtracking, q=4
     //      keeps the walk in the BFS neighborhood) over the same graph.
     //      DYADIC weights (0.5 / 1.0 / 0.25) make every cumulative sum
@@ -4581,6 +4597,42 @@ object SparkEntry {
       s"""WITH $walkOracleCtes
         |SELECT walk_id, step, node FROM steps
         |ORDER BY walk_id, step, node""".stripMargin,
+
+    // weighted-walk replay: multiplicity-weighted adjacency, per-step
+    // interval selection over exact integer-valued running sums
+    "q_weighted_walks" -> {
+      def stepCte(k: Int): String =
+        s"""wt$k AS (SELECT f.walk_id, f.node AS cur, n.dst AS cand, n.w,
+           |    SUM(n.w) OVER (PARTITION BY f.walk_id ORDER BY n.rnk) AS cum,
+           |    CAST(CAST(CAST(('0x' || substr(md5('ww:7:' ||
+           |        CAST(f.walk_id AS VARCHAR) || ':$k:' ||
+           |        CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+           |        AS DOUBLE) / 1152921504606846976.0
+           |      * SUM(n.w) OVER (PARTITION BY f.walk_id) AS thr
+           |  FROM ws${k - 1} f JOIN wnbr n ON n.src = f.node),
+           |ws$k AS (SELECT walk_id, cand AS node FROM wt$k
+           |  WHERE cum > thr AND cum - w <= thr)""".stripMargin
+      s"""WITH we AS (SELECT CAST(l_partkey % 500 AS BIGINT) AS src,
+        |    CAST(l_suppkey % 500 AS BIGINT) AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |wnbr AS (SELECT src, dst, w,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+        |      AS BIGINT) AS rnk
+        |  FROM we),
+        |ws0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM we
+        |  WHERE src % 7 = 0),
+        |${stepCte(1)},
+        |${stepCte(2)},
+        |${stepCte(3)},
+        |${stepCte(4)}
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM ws0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM ws1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM ws2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM ws3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM ws4
+        |ORDER BY walk_id, step, node""".stripMargin
+    },
 
     // node2vec replay: same nbr/start CTEs, per-step candidate weights
     // (prev-NULL uniform / return 0.5 / distance-1 1.0 / drift 0.25 —

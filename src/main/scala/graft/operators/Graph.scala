@@ -639,6 +639,71 @@ object Graph {
     acc
   }
 
+  /** Seeded edge-weight-proportional walks — the multigraph member of
+    * the walk family: where [[randomWalks]] steps uniformly over
+    * DISTINCT edges, this steps proportionally to an edge-weight column
+    * (co-occurrence count, click count, interaction strength — parallel
+    * edges fold into their weight sum), which is the walk DeepWalk's
+    * successors actually prescribe for weighted graphs. Selection uses
+    * the [[node2vecWalks]] interval draw: the candidate whose
+    * cumulative-weight interval (in ascending-dst rank order) contains
+    * u·total, u = md5("ww:seed:walk:k:cur") as a 60-bit uniform.
+    *
+    * Parity contract: with INTEGER weights (counts — the natural input)
+    * every cumulative sum is exact in doubles up to 2^53 per prefix, so
+    * the oracle's windowed running sums replay the selection
+    * bit-for-bit; fractional weights stay deterministic within Spark.
+    * Non-positive-weight edges are dropped (they can never be drawn).
+    *
+    * Scale shape: identical to [[randomWalks]] plus the per-step
+    * cumulative window (partition = one node's out-degree); the
+    * weighted adjacency is folded and checkpointed once. Dangling
+    * nodes truncate. Returns (walk_id, step, node).
+    */
+  def weightedWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
+                    weightCol: String = "weight", seed: Long = 7L): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 64,
+      "walkLength in [1, 64] (walks union one frame per step)")
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy("src").orderBy("dst")
+    val nbr = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col(weightCol).cast("double").as("_w"))
+      .filter(col("_w") > 0)
+      .groupBy("src", "dst").agg(sum("_w").as("_w"))
+      .select(col("src"), col("dst"), col("_w"),
+        (row_number().over(rw) - 1).cast("long").as("_rnk"))
+      .localCheckpoint(eager = true)
+    var frontier = starts.select(col("id").cast("long").as("node")).distinct()
+      .withColumn("walk_id", col("node"))
+      .select("walk_id", "node")
+    var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var k = 1
+    while (k <= walkLength) {
+      val cand = frontier.join(
+        nbr.select(col("src").as("_ns"), col("dst").as("_cand"),
+          col("_w"), col("_rnk")), col("node") === col("_ns"))
+      val cw = Window.partitionBy("walk_id").orderBy("_rnk")
+      val u = conv(substring(md5(concat_ws(":", lit("ww"), lit(seed),
+          col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(math.scalb(1.0, 60))
+      val picked = cand
+        .withColumn("_cum", sum(col("_w")).over(
+          cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_tot", sum(col("_w")).over(
+          cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_thr", u * col("_tot"))
+        .filter(col("_cum") > col("_thr") &&
+          col("_cum") - col("_w") <= col("_thr"))
+        .select(col("walk_id"), col("_cand").as("node"))
+      acc = acc.unionByName(
+        picked.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
+      frontier = picked
+      k += 1
+    }
+    acc
+  }
+
   /** Seeded node2vec walks (Grover & Leskovec, KDD 2016): second-order
     * biased walks where the unnormalized weight of stepping from `cur`
     * to candidate `c`, having arrived from `prev`, is 1/p when c = prev

@@ -290,6 +290,30 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("weightedWalks: draws follow edge weights; parallel edges fold") {
+    // 0 -> 1 with weight 999999, 0 -> 2 with weight 1: virtually every
+    // draw must take the heavy edge. Parallel-edge folding: the same
+    // heavy edge given as many rows behaves identically.
+    val heavy = Seq((0L, 1L, 999999L), (0L, 2L, 1L)).toDF("src", "dst", "weight")
+    val first = Graph.weightedWalks(heavy, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    assert(first == Seq(1L), s"heavy edge must win: $first")
+    val folded = Seq((0L, 1L, 500000L), (0L, 1L, 499999L), (0L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val first2 = Graph.weightedWalks(folded, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    assert(first2 == first, "parallel edges must fold to the same draw")
+    // zero/negative weights are never drawn
+    val z = Seq((0L, 1L, 0L), (0L, 2L, 5L)).toDF("src", "dst", "weight")
+    val firstZ = Graph.weightedWalks(z, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    assert(firstZ == Seq(2L))
+    // determinism
+    val again = Graph.weightedWalks(heavy, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    assert(again == first)
+  }
+
   test("walkContextPairs extracts windowed ordered pairs per walk") {
     // walk 1: 10 -> 20 -> 30; walk 2: 10 -> 20. window=2 rightward pairs:
     // (10,20)x2, (10,30), (20,30) — no cross-walk pairs.
