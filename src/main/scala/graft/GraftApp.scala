@@ -409,11 +409,21 @@ object GraftApp {
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"))
         val starts = edges.select(col("src").as("id")).distinct()
-        val walks = pq match {
-          case (Some(p), q) =>
+        val weightCol = opts.get("weight-col")
+        val walks = (pq, weightCol) match {
+          case ((Some(_), _) | (_, Some(_)), Some(_)) =>
+            sys.error("walks: --p/--q and --weight-col are exclusive " +
+              "(second-order bias and edge weights are different walks)")
+          case (_, Some(wc)) =>
+            val weighted = Tables.t(spark, input, table)
+              .select(col(srcCol).cast("long").as("src"),
+                col(dstCol).cast("long").as("dst"), col(wc).as("weight"))
+            graft.operators.Graph.weightedWalks(weighted, starts, walkLen,
+              "weight", seed)
+          case ((Some(p), q), _) =>
             graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
               p, q.getOrElse(1.0), seed)
-          case (None, Some(q)) =>
+          case ((None, Some(q)), _) =>
             graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
               1.0, q, seed)
           case _ =>
@@ -426,9 +436,12 @@ object GraftApp {
         val nWalks = saved.select("walk_id").distinct().count()
         val nRows = saved.count()
         val nPairs = spark.read.parquet(s"$out/pairs.parquet").count()
+        val mode =
+          if (weightCol.isDefined) "weighted"
+          else if (pq._1.isDefined || pq._2.isDefined) "node2vec"
+          else "uniform"
         println(s"walks: walks=$nWalks rows=$nRows pairs=$nPairs " +
-          s"length=$walkLen window=$win " +
-          s"mode=${if (pq._1.isDefined || pq._2.isDefined) "node2vec" else "uniform"} -> $out")
+          s"length=$walkLen window=$win mode=$mode -> $out")
       } finally spark.stop()
       return
     }
