@@ -634,6 +634,12 @@ object Graph {
       acc = acc.unionByName(
         next.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
       frontier = next
+      if (k % 8 == 0 && k < walkLength) {
+        // truncate the unioned lineage every 8 steps (the pageRank
+        // cadence) so the walkLength = 64 bound stays analyzable
+        frontier = frontier.localCheckpoint(eager = true)
+        acc = acc.localCheckpoint(eager = true)
+      }
       k += 1
     }
     acc
@@ -655,10 +661,21 @@ object Graph {
     * bit-for-bit; fractional weights stay deterministic within Spark.
     * Non-positive-weight edges are dropped (they can never be drawn).
     *
-    * Scale shape: identical to [[randomWalks]] plus the per-step
-    * cumulative window (partition = one node's out-degree); the
-    * weighted adjacency is folded and checkpointed once. Dangling
-    * nodes truncate. Returns (walk_id, step, node).
+    * Scale shape — and why this is the cheap member of the biased-walk
+    * family: the weights are STATIC across steps, so the cumulative
+    * interval [cum − w, cum) of each edge (ascending-dst rank order)
+    * and the per-src total are folded into the checkpointed adjacency
+    * ONCE at build time. Each step is then (1) a frontier-sized
+    * equi-join to the per-src totals to form the threshold u·total and
+    * (2) an equi-join on the node id whose residual predicate is the
+    * pure interval filter cum − w ≤ thr < cum — NO per-step window, no
+    * per-walk sort. Candidate rows still stream through the step join
+    * (frontier × out-degree produced rows — on a power-law graph walks
+    * concentrate on hubs, so this is hub-degree-bound per step), but
+    * they are filtered as produced, never sorted or materialized per
+    * partition. The accumulated result and the frontier localCheckpoint
+    * every 8 steps so plan depth stays bounded at walkLength = 64.
+    * Dangling nodes truncate. Returns (walk_id, step, node).
     */
   def weightedWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
                     weightCol: String = "weight", seed: Long = 7L): DataFrame = {
@@ -666,13 +683,21 @@ object Graph {
       "walkLength in [1, 64] (walks union one frame per step)")
     import org.apache.spark.sql.expressions.Window
     val rw = Window.partitionBy("src").orderBy("dst")
+    // _cum is the sequential running sum in rank order — the exact fold
+    // the r15 per-step window computed, now computed once; _tot is the
+    // last cum (max of a non-decreasing prefix), bit-identical to the
+    // old whole-partition window sum, which also folds in row order
     val nbr = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"),
         col(weightCol).cast("double").as("_w"))
       .filter(col("_w") > 0)
       .groupBy("src", "dst").agg(sum("_w").as("_w"))
       .select(col("src"), col("dst"), col("_w"),
-        (row_number().over(rw) - 1).cast("long").as("_rnk"))
+        sum(col("_w")).over(rw.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("_cum"))
+      .localCheckpoint(eager = true)
+    val tots = nbr.groupBy("src").agg(max("_cum").as("_tot"))
+      .withColumnRenamed("src", "_ts")
       .localCheckpoint(eager = true)
     var frontier = starts.select(col("id").cast("long").as("node")).distinct()
       .withColumn("walk_id", col("node"))
@@ -680,25 +705,28 @@ object Graph {
     var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
     var k = 1
     while (k <= walkLength) {
-      val cand = frontier.join(
-        nbr.select(col("src").as("_ns"), col("dst").as("_cand"),
-          col("_w"), col("_rnk")), col("node") === col("_ns"))
-      val cw = Window.partitionBy("walk_id").orderBy("_rnk")
       val u = conv(substring(md5(concat_ws(":", lit("ww"), lit(seed),
           col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(math.scalb(1.0, 60))
-      val picked = cand
-        .withColumn("_cum", sum(col("_w")).over(
-          cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("_tot", sum(col("_w")).over(
-          cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // threshold first (frontier-sized; AQE broadcasts tots when small),
+      // then the interval filter rides the step join as a residual
+      // predicate — evaluated as rows are produced, nothing sorted
+      val withThr = frontier.join(tots, col("node") === col("_ts"))
         .withColumn("_thr", u * col("_tot"))
-        .filter(col("_cum") > col("_thr") &&
-          col("_cum") - col("_w") <= col("_thr"))
+        .select(col("walk_id"), col("node"), col("_thr"))
+      val step = nbr.select(col("src").as("_ns"), col("dst").as("_cand"),
+        col("_w").as("_cw"), col("_cum").as("_cc"))
+      val picked = withThr.join(step,
+          col("node") === col("_ns") && col("_cc") > col("_thr") &&
+            col("_cc") - col("_cw") <= col("_thr"))
         .select(col("walk_id"), col("_cand").as("node"))
       acc = acc.unionByName(
         picked.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
       frontier = picked
+      if (k % 8 == 0 && k < walkLength) {
+        frontier = frontier.localCheckpoint(eager = true)
+        acc = acc.localCheckpoint(eager = true)
+      }
       k += 1
     }
     acc
@@ -725,14 +753,25 @@ object Graph {
     * disagreement across engines can flip a boundary draw — the
     * q_node2vec_walks fixture pins p=2, q=4.
     *
-    * Scale shape: per step, the frontier (≤ |starts| rows) explodes to
-    * its out-neighbors (frontier × avg-degree rows — the inherent
-    * node2vec cost), the distance-1 flag is one LEFT equi-join against
-    * the edge set on (prev, cand), and the selection is a walk-keyed
-    * cumulative window (partition size = one node's out-degree). No
-    * collects, no broadcasts by force, walkLength-bounded lineage.
-    * Dangling nodes truncate the walk (inner join), as in
-    * [[randomWalks]].
+    * Scale shape — the hub-degree contract: per step, the frontier
+    * (≤ |starts| rows) explodes to its out-neighbors, the distance-1
+    * flag is one LEFT equi-join against the edge set on (prev, cand),
+    * and the selection is a walk-keyed cumulative window (partition
+    * size = one node's out-degree). The candidate explosion is
+    * INHERENT to second-order bias — the weight of every out-edge of
+    * `cur` depends on `prev`, so a walk standing on a node of degree d
+    * must materialize and window-sort d candidate rows that step; a
+    * step's cost is Σ_walks outdeg(cur), and on a power-law graph where
+    * walks concentrate on hubs (stationary mass ∝ degree) that is
+    * hub-degree-bound: 10⁶ walks standing on a 10⁷-degree hub is 10¹³
+    * candidate rows in that step. There is no general way out inside
+    * the exact-semantics contract (alias/rejection sampling changes the
+    * draw sequence); for degree-skewed graphs at scale, prefer
+    * [[weightedWalks]] (static intervals, no per-step window) or
+    * [[randomWalks]] (md5-index equi-join, no candidate explosion at
+    * all), or cap hub degree upstream. Dangling nodes truncate the walk
+    * (inner join), as in [[randomWalks]]; acc and frontier
+    * localCheckpoint every 8 steps to bound plan depth.
     *
     * Returns (walk_id, step, node), step 0 = the start.
     */
@@ -794,6 +833,10 @@ object Graph {
       acc = acc.unionByName(
         picked.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
       frontier = picked
+      if (k % 8 == 0 && k < walkLength) {
+        frontier = frontier.localCheckpoint(eager = true)
+        acc = acc.localCheckpoint(eager = true)
+      }
       k += 1
     }
     acc

@@ -1441,6 +1441,18 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(forcedHints(rw) == 0, "randomWalks must not force-broadcast")
     assert(!planOf(rw).contains("CartesianProduct"),
       "randomWalks steps must stay equi-joins")
+    // weightedWalks (r16): the cumulative intervals live in the
+    // checkpointed adjacency, so the step plan must contain NO Window
+    // node at all — each step is an equi-join with a residual interval
+    // filter, never a per-walk cumulative sort
+    val wedges = edges.withColumn("weight", ($"src" % 3) + 1)
+    val ww = graft.operators.Graph.weightedWalks(wedges, starts, 3)
+    val pww = planOf(ww)
+    assert(!pww.contains("Window"),
+      s"weightedWalks must not window per step:\n$pww")
+    assert(!pww.contains("CartesianProduct"),
+      s"weightedWalks steps must stay equi-joins:\n$pww")
+    assert(forcedHints(ww) == 0, "weightedWalks must not force-broadcast")
     // mmdDrift: each corpus folds to ONE aggregate row before the only
     // cross join (one-row × one-row — the broadcast scalar idiom)
     val md = graft.operators.Similarity.mmdDrift(emb, emb, "vec", 4)

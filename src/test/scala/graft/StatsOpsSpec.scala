@@ -314,6 +314,20 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("walks at the walkLength=64 bound complete (8-step checkpoint cadence)") {
+    // the require() allows 64 steps; without the every-8-steps
+    // localCheckpoint the unioned two-joins-per-step lineage would nest
+    // 64 deep and stall the analyzer. A 3-cycle never truncates, so all
+    // three variants must emit exactly 65 steps per walk.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("id")
+    assert(Graph.randomWalks(edges, starts, walkLength = 64).count() == 65L)
+    assert(Graph.weightedWalks(edges.withColumn("weight", lit(2L)),
+      starts, walkLength = 64).count() == 65L)
+    assert(Graph.node2vecWalks(edges, starts, walkLength = 64,
+      p = 2.0, q = 4.0).count() == 65L)
+  }
+
   test("walkContextPairs extracts windowed ordered pairs per walk") {
     // walk 1: 10 -> 20 -> 30; walk 2: 10 -> 20. window=2 rightward pairs:
     // (10,20)x2, (10,30), (20,30) — no cross-walk pairs.
