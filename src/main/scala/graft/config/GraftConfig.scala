@@ -131,17 +131,27 @@ object SideDetails {
 
   /** The (host, port, database) key a pgpass entry must match, parsed
     * from a network-style JDBC URL (`jdbc:postgresql://host[:port]/db`).
-    * Missing components — no explicit port (postgresql defaults to
-    * 5432), or a non-network URL like embedded Derby — come back None
-    * and match any pgpass field.
+    * When the URL has no explicit port, the DIALECT default is
+    * substituted before matching — libpq semantics: a default-port
+    * connection matches the pgpass `5432` entry exactly, it does NOT
+    * take the first entry of any port (so a file listing 5433 before
+    * 5432 still resolves the 5432 credential). The dialect comes from
+    * the URL subprotocol (`jdbc:postgresql:`), falling back to the
+    * config's database_type, so `database_type: jdbc` with a postgres
+    * URL gets the same treatment. Components with no sensible value —
+    * an unknown dialect's port, or a non-network URL like embedded
+    * Derby — come back None and match any pgpass field.
     */
   private[config] def jdbcKeyParts(url: String, databaseType: String)
       : (Option[String], Option[String], Option[String]) = {
-    val net = "jdbc:[a-z0-9]+://([^/:?;]+)(?::(\\d+))?/([^?;]+).*".r
+    val net = "jdbc:([a-z0-9]+)://([^/:?;]+)(?::(\\d+))?/([^?;]+).*".r
+    val defaultPorts = Map("postgresql" -> "5432", "mysql" -> "3306",
+      "mariadb" -> "3306", "sqlserver" -> "1433", "oracle" -> "1521")
     url match {
-      case net(h, p, d) =>
-        val port = Option(p).orElse(
-          if (databaseType.toLowerCase == "postgresql") Some("5432") else None)
+      case net(scheme, h, p, d) =>
+        val dialect =
+          if (defaultPorts.contains(scheme)) scheme else databaseType.toLowerCase
+        val port = Option(p).orElse(defaultPorts.get(dialect))
         (Some(h), port, Some(d))
       case _ => (None, None, None)
     }

@@ -160,6 +160,30 @@ class ConfigWriteSpec extends SparkSpecBase {
     assert(GraftConfig.load(out).db1Details.passfile == pg.toString)
   }
 
+  test("pgpass default-port: 5433 entry before 5432 must not win for a default-port URL") {
+    // libpq substitutes the dialect default (5432) BEFORE matching, so a
+    // portless URL matches the 5432 entry exactly — it never takes the
+    // first entry of any port. r15 verdict item: the generic
+    // `database_type: jdbc` path used to wildcard the missing port and
+    // resolve WRONG_PORT here.
+    val dir = tmpDir
+    val pg = dir.resolve("pgpass")
+    java.nio.file.Files.writeString(pg,
+      "h:5433:db:me:WRONG_PORT\n" +
+        "h:5432:db:me:right\n")
+    chmod600(pg)
+    // dialect inferred from the URL scheme even under database_type: jdbc
+    val d = SideDetails(databaseType = "jdbc",
+      path = "jdbc:postgresql://h/db", user = "me", passfile = pg.toString)
+    assert(d.resolvedPassword == "right")
+    // explicit non-default port still matches its own entry
+    assert(d.copy(path = "jdbc:postgresql://h:5433/db")
+      .resolvedPassword == "WRONG_PORT")
+    // unknown dialect with no port: nothing sensible to substitute —
+    // the port field stays a wildcard match
+    assert(d.copy(path = "jdbc:weirddb://h/db").resolvedPassword == "WRONG_PORT")
+  }
+
   test("env upsert replaces existing keys and keeps others") {
     val dir = tmpDir
     val envp = dir.resolve(".env")
