@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object GraftApp {
 
-  private val flagArgs = Set("--ignore-dates", "--apply", "--validate")
+  private val flagArgs = Set("--ignore-dates", "--apply", "--validate", "--join")
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
@@ -52,6 +52,45 @@ object GraftApp {
     * of the oracle-gated Eval operators — this just composes them and
     * persists the evidence.
     */
+  /** The `graft semdiff` body, session passed in so specs can drive it:
+    * diff mode writes semantic_diff.parquet (rows with no near-neighbor
+    * on the other side), `--join` mode writes semantic_join.parquet
+    * (best db1 match per db2 probe row) — the alignment half of the
+    * semantic pair. Returns the summary line main() prints.
+    */
+  def runSemdiff(spark: SparkSession, in1: String, in2: String, out: String,
+                 minCos: Double = 0.9, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 doJoin: Boolean = false): String = {
+    import org.apache.spark.sql.functions._
+    val db1 = Tables.t(spark, in1, "embeddings")
+    val db2 = Tables.t(spark, in2, "embeddings")
+    // clear empty-corpus message instead of an opaque head() throw
+    val dimProbe = db1.select(size(col(vecCol))).limit(1).collect()
+    if (dimProbe.isEmpty)
+      sys.error(s"semdiff: --db1 corpus at $in1 is empty — nothing to compare")
+    if (db2.limit(1).collect().isEmpty)
+      sys.error(s"semdiff: --db2 corpus at $in2 is empty — nothing to compare")
+    val dim = dimProbe.head.getInt(0)
+    if (doJoin) {
+      val joined = graft.operators.Similarity
+        .semanticJoin(db1, db2, idCol, vecCol, minCos, dim)
+      joined.write.mode("overwrite").parquet(s"$out/semantic_join.parquet")
+      val nMatched = spark.read.parquet(s"$out/semantic_join.parquet").count()
+      val nProbe = db2.count()
+      s"semdiff --join (cos >= $minCos): matched=$nMatched of probe=$nProbe -> $out"
+    } else {
+      val diff = graft.operators.Similarity
+        .semanticDiff(db1, db2, idCol, vecCol, minCos, dim)
+      diff.write.mode("overwrite").parquet(s"$out/semantic_diff.parquet")
+      val counts = spark.read.parquet(s"$out/semantic_diff.parquet")
+        .groupBy("observed_in").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      s"semdiff (cos >= $minCos): db1-only=${counts.getOrElse("db1", 0L)} " +
+        s"db2-only=${counts.getOrElse("db2", 0L)} -> $out"
+    }
+  }
+
   def runEvalCard(spark: SparkSession, input: String,
                   out: String): Map[String, String] = {
     import org.apache.spark.sql.functions._
@@ -305,23 +344,11 @@ object GraftApp {
       val minCos = opts.get("min-cosine").map(_.toDouble).getOrElse(0.9)
       val idCol = opts.getOrElse("id-col", "vec_id")
       val vecCol = opts.getOrElse("vec-col", "embedding")
+      val doJoin = opts.contains("join")
       val spark = buildSession()
       spark.sparkContext.setLogLevel("WARN")
-      try {
-        import org.apache.spark.sql.functions._
-        val db1 = Tables.t(spark, in1, "embeddings")
-        val db2 = Tables.t(spark, in2, "embeddings")
-        val dim = db1.select(size(col(vecCol))).head().getInt(0)
-        val diff = graft.operators.Similarity
-          .semanticDiff(db1, db2, idCol, vecCol, minCos, dim)
-        diff.write.mode("overwrite").parquet(s"$out/semantic_diff.parquet")
-        val counts = spark.read.parquet(s"$out/semantic_diff.parquet")
-          .groupBy("observed_in").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        println(s"semdiff (cos >= $minCos): " +
-          s"db1-only=${counts.getOrElse("db1", 0L)} " +
-          s"db2-only=${counts.getOrElse("db2", 0L)} -> $out")
-      } finally spark.stop()
+      try println(runSemdiff(spark, in1, in2, out, minCos, idCol, vecCol, doJoin))
+      finally spark.stop()
       return
     }
     if (cmd == "embdrift") {
@@ -345,7 +372,14 @@ object GraftApp {
         import org.apache.spark.sql.functions._
         val db1 = Tables.t(spark, in1, "embeddings")
         val db2 = Tables.t(spark, in2, "embeddings")
-        val dim = db1.select(size(col(vecCol))).head().getInt(0)
+        // an empty side is mmdDrift's documented degenerate case (NULL
+        // mmd2): say so up front instead of throwing from head()/getDouble
+        val dimProbe = db1.select(size(col(vecCol))).limit(1).collect()
+        if (dimProbe.isEmpty)
+          sys.error(s"embdrift: --db1 corpus at $in1 is empty — nothing to compare")
+        if (db2.limit(1).collect().isEmpty)
+          sys.error(s"embdrift: --db2 corpus at $in2 is empty — nothing to compare")
+        val dim = dimProbe.head.getInt(0)
         val drift = graft.operators.Similarity
           .mmdDrift(db1, db2, vecCol, dim, nFeat, sigma)
           .select(lit("db1-vs-db2").as("pair"), col("n1"), col("n2"), col("mmd2"))
@@ -369,8 +403,11 @@ object GraftApp {
         val topCells = spark.read.parquet(s"$out/cell_drift.parquet")
           .orderBy(col("psi_term").desc).limit(3).collect()
           .map(r => f"cell=${r.getLong(0)} psi=${r.getDouble(5)}%.6f")
+        // NULL mmd2 can still reach here via a degenerate null split
+        // (single-row db1 -> one split side empty): render NaN, not a throw
         val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
           .toMap
         val (n1, n2, m) = rows("db1-vs-db2")
         val (_, _, f) = rows("db1-null-split")

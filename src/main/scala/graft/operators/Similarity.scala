@@ -1247,44 +1247,6 @@ object Similarity {
       .select("cell", "n1", "n2", "share1", "share2", "psi_term")
   }
 
-  /** Kernel two-sample drift statistic between two embedding corpora via
-    * random Fourier features (Rahimi–Recht, NeurIPS'07): the plug-in
-    * estimate of MMD² = ||E φ(x) − E φ(y)||² in the feature space
-    * z_j(x) = cos(w_j·x + b_j). Where [[Similarity.labelCentroids]]-style
-    * centroid drift sees only MEAN shift, MMD responds to any moment the
-    * feature map excites (spread, rotation, multi-modality) — the
-    * standard "did the embedding distribution move" monitor between two
-    * snapshot runs, feeding the same report shape as the tabular drift
-    * battery's PSI/KS columns.
-    *
-    * w components are md5-seeded uniforms on [−1/σ, 1/σ] (the
-    * [[planeMatrix]] derivation — pure IEEE arithmetic from the digest,
-    * so both engines derive bit-identical weights without any libm
-    * call), which makes the implied kernel the sinc-product
-    * k(δ) = Π_i sinc(δ_i/σ) — positive-definite (it is the Fourier
-    * transform of the uniform spectral density). Its spectrum is
-    * band-limited, so shifts living entirely above frequency 1/σ are
-    * invisible: σ sets the scale of changes the monitor watches, it is
-    * not a universal-kernel test. b_j uniform on [0, 2π).
-    *
-    * Determinism/parity contract: z is quantized at 6 dp and summed as
-    * exact decimals (the HITS renorm idiom — 6 dp rather than 9
-    * because cos is the one libm call in the pipeline: a last-ulp
-    * cos disagreement between engines flips a 9-dp rounding with
-    * probability ~1e-7 per value, observed once in 32k at the gate,
-    * while the 6-dp grid pushes it to ~1e-10), so per-feature means are
-    * independent of row order and partitioning; the final Σ gap² folds
-    * 16 exact decimal terms. One narrow pass per side (the
-    * [[graft.functions.RffFeatures]] kernel — weights ride as a
-    * reference object, not plan literals), one D-column aggregate,
-    * one-row cross join: nothing shuffles by the corpus, nothing
-    * collects.
-    *
-    * Returns one row (n1, n2, mmd2). The plug-in estimate is a squared
-    * norm, so mmd2 ≥ 0 always, with an O(1/n1 + 1/n2) positive noise
-    * floor under the null — compare against a same-size split of one
-    * corpus (the q_mmd_drift fixture shape), not against zero.
-    */
   /** The md5-seeded RFF weight matrix and bias vector shared by
     * [[mmdDrift]], [[rffMeans]] and the streaming twin
     * ([[graft.streaming.StreamingDrift.streamingMmd]]) — pure IEEE
@@ -1332,6 +1294,44 @@ object Similarity {
     (means, n)
   }
 
+  /** Kernel two-sample drift statistic between two embedding corpora via
+    * random Fourier features (Rahimi–Recht, NeurIPS'07): the plug-in
+    * estimate of MMD² = ||E φ(x) − E φ(y)||² in the feature space
+    * z_j(x) = cos(w_j·x + b_j). Where [[Similarity.labelCentroids]]-style
+    * centroid drift sees only MEAN shift, MMD responds to any moment the
+    * feature map excites (spread, rotation, multi-modality) — the
+    * standard "did the embedding distribution move" monitor between two
+    * snapshot runs, feeding the same report shape as the tabular drift
+    * battery's PSI/KS columns.
+    *
+    * w components are md5-seeded uniforms on [−1/σ, 1/σ] (the
+    * [[planeMatrix]] derivation — pure IEEE arithmetic from the digest,
+    * so both engines derive bit-identical weights without any libm
+    * call), which makes the implied kernel the sinc-product
+    * k(δ) = Π_i sinc(δ_i/σ) — positive-definite (it is the Fourier
+    * transform of the uniform spectral density). Its spectrum is
+    * band-limited, so shifts living entirely above frequency 1/σ are
+    * invisible: σ sets the scale of changes the monitor watches, it is
+    * not a universal-kernel test. b_j uniform on [0, 2π).
+    *
+    * Determinism/parity contract: z is quantized at 6 dp and summed as
+    * exact decimals (the HITS renorm idiom — 6 dp rather than 9
+    * because cos is the one libm call in the pipeline: a last-ulp
+    * cos disagreement between engines flips a 9-dp rounding with
+    * probability ~1e-7 per value, observed once in 32k at the gate,
+    * while the 6-dp grid pushes it to ~1e-10), so per-feature means are
+    * independent of row order and partitioning; the final Σ gap² folds
+    * 16 exact decimal terms. One narrow pass per side (the
+    * [[graft.functions.RffFeatures]] kernel — weights ride as a
+    * reference object, not plan literals), one D-column aggregate,
+    * one-row cross join: nothing shuffles by the corpus, nothing
+    * collects.
+    *
+    * Returns one row (n1, n2, mmd2). The plug-in estimate is a squared
+    * norm, so mmd2 ≥ 0 always, with an O(1/n1 + 1/n2) positive noise
+    * floor under the null — compare against a same-size split of one
+    * corpus (the q_mmd_drift fixture shape), not against zero.
+    */
   def mmdDrift(db1: DataFrame, db2: DataFrame, vecCol: String, dim: Int,
                nFeatures: Int = 16, sigma: Double = 1.0,
                seed: Long = 7L): DataFrame = {

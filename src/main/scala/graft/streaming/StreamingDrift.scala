@@ -275,27 +275,6 @@ object StreamingDrift {
     Monitor(drift, refHashes)
   }
 
-  /** Streaming RFF-MMD drift: the kernel two-sample statistic of each
-    * event-time window's embeddings against a STATIC reference — the
-    * streaming twin of [[graft.operators.Similarity.mmdDrift]], with
-    * the reference collapsed to model-sized state via
-    * [[graft.operators.Similarity.rffMeans]] (nFeatures doubles,
-    * computed once, riding as plan literals — the psiReference
-    * discipline).
-    *
-    * State contract mirrors [[streamingPsi]]: one
-    * [[graft.functions.RffFeatures]] projection per row, ONE windowed
-    * aggregation holding nFeatures exact decimal sums + a count per
-    * open window (bounded by construction — never per-vector state),
-    * and the MMD² formula evaluates in the projection above it with
-    * the batch operator's exact arithmetic (6-dp z, decimal sums,
-    * decimal(22,12) gap² fold — the under-38 precision rule). A closed
-    * window's mmd2 is bit-identical to
-    * `mmdDrift(windowRows, reference)` on the same rows (spec-proven).
-    *
-    * Emits one row per closed window:
-    * (window_start, window_end, n, mmd2).
-    */
   /** Streaming cell-mass drift: each event-time window's embeddings are
     * assigned to a FIXED coarse quantizer and every cell reports its
     * windowed mass, share and PSI contribution against static reference
@@ -316,6 +295,14 @@ object StreamingDrift {
     * projection above it, matching the batch operator's arithmetic on
     * the same rows (spec-proven, PSI terms being symmetric in their
     * two arguments).
+    *
+    * Parity note (the precise claim): per closed window the PSI term of
+    * every cell the batch operator EMITS is bit-identical to
+    * `cellMassDrift(windowRows, ref)`. Coverage differs on empty cells:
+    * this operator explodes ALL nC configured cells each window, while
+    * the batch full-outer join omits cells absent from both sides — so
+    * a cell with zero window mass and zero reference share shows up
+    * here as an (ε vs ε, psi 0) row with no batch counterpart.
     *
     * Emits one row per (closed window, cell):
     * (window_start, window_end, cell, n, share, psi_term).
@@ -358,6 +345,27 @@ object StreamingDrift {
         col("share"), col("psi_term"))
   }
 
+  /** Streaming RFF-MMD drift: the kernel two-sample statistic of each
+    * event-time window's embeddings against a STATIC reference — the
+    * streaming twin of [[graft.operators.Similarity.mmdDrift]], with
+    * the reference collapsed to model-sized state via
+    * [[graft.operators.Similarity.rffMeans]] (nFeatures doubles,
+    * computed once, riding as plan literals — the psiReference
+    * discipline).
+    *
+    * State contract mirrors [[streamingPsi]]: one
+    * [[graft.functions.RffFeatures]] projection per row, ONE windowed
+    * aggregation holding nFeatures exact decimal sums + a count per
+    * open window (bounded by construction — never per-vector state),
+    * and the MMD² formula evaluates in the projection above it with
+    * the batch operator's exact arithmetic (6-dp z, decimal sums,
+    * decimal(22,12) gap² fold — the under-38 precision rule). A closed
+    * window's mmd2 is bit-identical to
+    * `mmdDrift(windowRows, reference)` on the same rows (spec-proven).
+    *
+    * Emits one row per closed window:
+    * (window_start, window_end, n, mmd2).
+    */
   def streamingMmd(vecs: DataFrame, tsCol: String, vecCol: String, dim: Int,
                    refMeans: Seq[Double], windowDuration: String,
                    lateness: String = "1 hour", nFeatures: Int = 16,

@@ -317,6 +317,29 @@ class EvalCardSpec extends SparkSpecBase {
     assert(json.contains("\"auc\"") && json.contains("\"ece\""))
   }
 
+  test("runSemdiff --join writes best-match alignment; empty corpus fails clearly") {
+    val out = java.nio.file.Files.createTempDirectory("semdiff").toString
+    // self-join: every probe's best match is itself at cosine 1
+    val msg = GraftApp.runSemdiff(spark, "/root/testdata/sf0.001",
+      "/root/testdata/sf0.001", out, doJoin = true)
+    assert(msg.contains("--join"), msg)
+    val joined = spark.read.parquet(s"$out/semantic_join.parquet")
+    val n = Tables.t(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert(joined.count() == n, "every probe must match (itself) in a self-join")
+    import org.apache.spark.sql.functions._
+    assert(joined.filter(col("probe_id") =!= col("match_id")).count() == 0,
+      "self-join best match must be the row itself")
+    assert(joined.agg(min("cosine")).head().getDouble(0) > 0.999999)
+    // empty side: a clear message, not a Row-accessor throw
+    val empty = java.nio.file.Files.createTempDirectory("semdiff_empty").toString
+    Tables.t(spark, "/root/testdata/sf0.001", "embeddings").limit(0)
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val e = intercept[RuntimeException] {
+      GraftApp.runSemdiff(spark, empty, "/root/testdata/sf0.001", out)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("runClassify scores the whole corpus once, labels from the seed alphabet") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("classify").toString
