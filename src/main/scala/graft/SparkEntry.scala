@@ -709,6 +709,27 @@ object SparkEntry {
       Similarity.cellMassDrift(pts, db2, "v", centroids).orderBy("cell")
     }),
 
+    // ---- cross-snapshot cell matching: snapshot-2's quantizer is a
+    //      PERMUTED, tilted copy of snapshot-1's (cell2 c' sits on
+    //      coordinate perm(c') with a 7:1 two-axis tilt), so the greedy
+    //      centroid-cosine assignment is closed-form — partner cosine
+    //      7/sqrt(50), all cross cosines <= 1/sqrt(50) — and masses are
+    //      the planted-corner counts under each side's own quantizer ----
+    "q_cell_matching" -> ((s, dir) => {
+      val g = (col("vec_id") % 4).cast("int")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === g, lit(10.0)).otherwise(lit(0.0)) +
+            lit(0.01) * x.cast("double")).as("v"))
+      val db2 = pts.filter(!(col("vec_id") % 8 === 4))
+      val cents1 = Array.tabulate(4, 64)((c, j) => if (j == c) 10.0 else 0.0)
+      val perm = Array(2, 0, 3, 1)
+      val cents2 = Array.tabulate(4, 64)((c, j) =>
+        if (j == perm(c)) 7.0 else if (j == (perm(c) + 1) % 4) 1.0 else 0.0)
+      Similarity.cellMatching(pts, db2, "v", cents1, cents2)
+        .orderBy("cell1")
+    }),
+
     // ---- hyperplane-LSH banding planner at the semantic-diff regime
     //      (target cos 0.9, distractor 0.6): the s-curve table the
     //      diff/join recall contracts point to; closed-form grid, no
@@ -4748,6 +4769,25 @@ object SparkEntry {
         |  round((greatest(share1, 1e-6) - greatest(share2, 1e-6)) *
         |    ln(greatest(share1, 1e-6) / greatest(share2, 1e-6)), 6) AS psi_term
         |FROM sh ORDER BY cell""".stripMargin,
+
+    // closed-form replay of the planted cross-snapshot matching: the
+    // greedy assignment collapses to the stated pairs (one 7/sqrt(50)
+    // partner per cell, cross terms <= 1/sqrt(50)), and each side's
+    // masses are the planted-corner counts under its own quantizer
+    "q_cell_matching" ->
+      """WITH m1 AS (SELECT CAST(vec_id % 4 AS BIGINT) AS cell1,
+        |    count(*) AS mass1
+        |  FROM embeddings GROUP BY 1),
+        |m2 AS (SELECT CAST(vec_id % 4 AS BIGINT) AS g, count(*) AS n
+        |  FROM embeddings WHERE vec_id % 8 <> 4 GROUP BY 1),
+        |pairs(c1, c2) AS (VALUES (0, 1), (1, 3), (2, 0), (3, 2))
+        |SELECT m1.cell1, CAST(p.c2 AS BIGINT) AS cell2,
+        |  round(7.0 / sqrt(50.0), 6) AS cosine, m1.mass1, m2.n AS mass2
+        |FROM pairs p
+        |JOIN m1 ON m1.cell1 = p.c1
+        |JOIN m2 ON m2.g = (CASE p.c2 WHEN 0 THEN 2 WHEN 1 THEN 0
+        |  WHEN 2 THEN 3 ELSE 1 END)
+        |ORDER BY cell1""".stripMargin,
 
     // bit-for-bit replay of the RFF-MMD statistic: md5-derived uniform
     // weights (pure IEEE arithmetic, no libm in the derivation), z

@@ -1247,6 +1247,89 @@ object Similarity {
       .select("cell", "n1", "n2", "share1", "share2", "psi_term")
   }
 
+  /** Cross-snapshot cell matching — the missing piece when each snapshot
+    * was quantized INDEPENDENTLY (the realistic monitoring case:
+    * yesterday's k-means and today's k-means share no cell ids), so
+    * [[cellMassDrift]]'s shared-quantizer premise fails and the cells
+    * must be aligned before mass can be compared. Matches cells by
+    * centroid cosine: greedy best-first assignment over the k1×k2
+    * matrix (sort by cosine desc, ties (cell1, cell2) ascending; a pair
+    * is taken when both ends are still free). Greedy rather than
+    * Hungarian by contract: it is deterministic, oracle-replayable, and
+    * EQUAL to the optimal assignment whenever best matches are mutual —
+    * which any pair of quantizers fit on overlapping data satisfies;
+    * when they are not mutual the greedy order IS the documented
+    * semantics.
+    *
+    * Scale shape: the matrix is k1×k2 ≤ 256×256 doubles — model-sized
+    * by the same k ≤ 256 contract as [[cellMedoids]] — computed on the
+    * DRIVER from the centroid arrays (no data touched); the only
+    * distributed work is the two per-snapshot mass aggregations
+    * (cosine-nearest assignment via the codegen
+    * [[graft.functions.NearestCells]] kernel, one map-side-combined
+    * groupBy each), joined to the k-row assignment frame (AQE
+    * broadcasts). Cosines round at 6 dp (HALF_UP, the house grid).
+    *
+    * Returns one row per matched pair (cell1, cell2, cosine, mass1,
+    * mass2) plus one row per UNMATCHED cell on either side (null
+    * partner/cosine, own mass) — an unmatched cell is drift signal in
+    * itself: a mode that appeared or vanished between snapshots.
+    */
+  def cellMatching(db1: DataFrame, db2: DataFrame, vecCol: String,
+                   cents1: Array[Array[Double]],
+                   cents2: Array[Array[Double]]): DataFrame = {
+    require(cents1.nonEmpty && cents2.nonEmpty, "centroids must be non-empty")
+    require(cents1.length <= 256 && cents2.length <= 256,
+      "k <= 256 per side: the k1*k2 cosine matrix is solved on the driver " +
+        "(the cellMedoids model-size contract)")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var dot = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < m) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { aa += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { bb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = for {
+      i <- cents1.indices
+      j <- cents2.indices
+    } yield (i.toLong, j.toLong, r6(cos(cents1(i), cents2(j))))
+    // NaN cosines (a zero centroid) sort last, like the kernel's ordering
+    val ordered = scored.sortBy { case (i, j, c) => (-c, i, j) }(
+      Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Long))
+    val used1 = scala.collection.mutable.Set.empty[Long]
+    val used2 = scala.collection.mutable.Set.empty[Long]
+    val matched = ordered.flatMap { case (i, j, c) =>
+      if (!used1(i) && !used2(j) && !c.isNaN) {
+        used1 += i; used2 += j
+        Some((Option(i), Option(j), Option(c)))
+      } else None
+    }
+    val un1 = cents1.indices.map(_.toLong).filterNot(used1)
+      .map(i => (Option(i), Option.empty[Long], Option.empty[Double]))
+    val un2 = cents2.indices.map(_.toLong).filterNot(used2)
+      .map(j => (Option.empty[Long], Option(j), Option.empty[Double]))
+    val spark = db1.sparkSession
+    import spark.implicits._
+    val pairs = (matched ++ un1 ++ un2)
+      .toDF("cell1", "cell2", "cosine")
+    def mass(df: DataFrame, cents: Array[Array[Double]], cellName: String,
+             massName: String) =
+      df.select(element_at(
+          graft.functions.NearestCells(asDouble(col(vecCol)), cents, 1), 1)
+        .cast("long").as(cellName))
+        .groupBy(cellName).agg(count(lit(1)).as(massName))
+    pairs
+      .join(mass(db1, cents1, "cell1", "_m1"), Seq("cell1"), "left")
+      .join(mass(db2, cents2, "cell2", "_m2"), Seq("cell2"), "left")
+      .select(col("cell1"), col("cell2"), col("cosine"),
+        coalesce(col("_m1"), lit(0L)).as("mass1"),
+        coalesce(col("_m2"), lit(0L)).as("mass2"))
+  }
+
   /** The md5-seeded RFF weight matrix and bias vector shared by
     * [[mmdDrift]], [[rffMeans]] and the streaming twin
     * ([[graft.streaming.StreamingDrift.streamingMmd]]) — pure IEEE

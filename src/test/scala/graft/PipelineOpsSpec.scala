@@ -399,6 +399,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.values.map(_._1).sum == 100L && out.values.map(_._2).sum == 75L)
   }
 
+  test("cellMatching: greedy centroid-cosine assignment, unmatched cells kept") {
+    import graft.operators.Similarity
+    // snapshot 1: two axis clusters; snapshot 2 quantized independently
+    // with SWAPPED, tilted centroids plus one extra cell nothing matches
+    val pts = (0L until 40L).map { i =>
+      val c = (i % 2).toInt
+      (i, Seq(if (c == 0) 10.0 else 0.1, if (c == 1) 10.0 else 0.1, 0.0))
+    }.toDF("id", "v")
+    val db2 = pts.filter($"id" % 2 === 1) // only cluster-1 rows survive
+    val cents1 = Array(Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0))
+    val cents2 = Array(Array(0.0, 7.0, 1.0), // matches cents1(1)
+      Array(7.0, 0.0, 1.0),                  // matches cents1(0)
+      Array(0.0, 0.0, 5.0))                  // the appeared mode
+    val rows = Similarity.cellMatching(pts, db2, "v", cents1, cents2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), r.getLong(3), r.getLong(4)))
+    val matched = rows.filter(r => r._1.isDefined && r._2.isDefined)
+      .map(r => r._1.get -> r._2.get).toMap
+    assert(matched == Map(0L -> 1L, 1L -> 0L), s"got $matched")
+    // partner cosine is 7/sqrt(50) on both pairs, 6-dp rounded
+    rows.filter(_._3.isDefined).foreach { r =>
+      assert(r._3.get == BigDecimal(7.0 / math.sqrt(50.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $r")
+    }
+    // the extra snapshot-2 cell rides along unmatched with its own mass
+    val unmatched = rows.filter(_._1.isEmpty)
+    assert(unmatched.map(_._2).toSeq == Seq(Some(2L)))
+    assert(unmatched.head._4 == 0L, "no snapshot-1 mass on an unmatched-2 cell")
+    // masses: snapshot-1 sides split 20/20; db2 has only cluster 1 (20
+    // rows) and nothing lands in the appeared cell (z component is 0)
+    val m = rows.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(m((Some(0L), Some(1L))) == (20L, 0L))
+    assert(m((Some(1L), Some(0L))) == (20L, 20L))
+    // k > 256 on either side is a contract violation, not a silent collect
+    intercept[IllegalArgumentException] {
+      Similarity.cellMatching(pts, db2, "v",
+        Array.tabulate(257, 2)((_, _) => 1.0), cents2)
+    }
+  }
+
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
     import graft.operators.Similarity
     // 12 vectors hug (1,0); one sits far out on the same label. The
