@@ -1330,6 +1330,95 @@ object Similarity {
         coalesce(col("_m2"), lit(0L)).as("mass2"))
   }
 
+  /** Quantization agreement between two codebooks on the SAME points —
+    * the scalar companion to [[cellMatching]]: where matching says WHICH
+    * cells correspond, this says HOW MUCH the partition itself changed.
+    * Each row is assigned to its cosine-nearest cell under BOTH
+    * codebooks in one pass; from the k1×k2 contingency table the
+    * operator emits the two standard clustering-comparison indices
+    * (Hubert–Arabie adjusted Rand; normalized mutual information,
+    * sqrt normalization) — ARI 1 / NMI 1 means the quantizers induce
+    * the same partition up to relabeling, 0 means chance-level overlap.
+    *
+    * Determinism/parity: ARI's pair counts fold as EXACT decimal Σx²
+    * (Σ C(x,2) = (Σx² − n)/2, the halving applied once on the final
+    * scalar), so the only double arithmetic is the closing ratio —
+    * order-independent and overflow-safe where per-term long x·(x−1)
+    * would wrap — rounded at 9 dp; the NMI terms each round at 9 dp
+    * and fold as exact decimals (the psi discipline for the one libm
+    * call, ln), final at 6 dp. Degenerate inputs publish NULL, not NaN
+    * (the atkinson discipline): a single-cluster side has no pair
+    * structure for ARI and zero entropy for NMI.
+    *
+    * Scale shape: one narrow projection over the corpus (two codegen
+    * [[graft.functions.NearestCells]] kernels per row), ONE
+    * map-side-combined groupBy onto the ≤ 256×256 contingency (bounded,
+    * checkpointed once, re-read by four bounded aggregates), scalars
+    * combined by one-row cross joins — nothing shuffles by the corpus
+    * twice, nothing collects.
+    */
+  def clusterAgreement(df: DataFrame, vecCol: String,
+                       cents1: Array[Array[Double]],
+                       cents2: Array[Array[Double]]): DataFrame = {
+    require(cents1.nonEmpty && cents2.nonEmpty, "centroids must be non-empty")
+    require(cents1.length <= 256 && cents2.length <= 256,
+      "k <= 256 per side: the contingency table is the bounded state " +
+        "(the cellMedoids model-size contract)")
+    // Σ C(x,2) = (Σx² − Σx)/2, with Σx² folded as EXACT decimals and the
+    // halving done once on the final scalar in double: order-independent
+    // (the determinism policy) and overflow-safe where a per-term long
+    // x·(x−1) would wrap beyond ~4e9 rows per cell
+    def sq(c: Column): Column = sum(c.cast("decimal(18,0)") * c.cast("decimal(18,0)"))
+    val assigned = df.filter(col(vecCol).isNotNull).select(
+      element_at(graft.functions.NearestCells(
+        asDouble(col(vecCol)), cents1, 1), 1).cast("long").as("c1"),
+      element_at(graft.functions.NearestCells(
+        asDouble(col(vecCol)), cents2, 1), 1).cast("long").as("c2"))
+    val cont = assigned.groupBy("c1", "c2").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(eager = true)
+    val rows = cont.groupBy("c1").agg(sum("nij").as("ai"))
+    val cols = cont.groupBy("c2").agg(sum("nij").as("bj"))
+    val nS = cont.agg(sum("nij").as("n"), sq(col("nij")).as("qij"))
+    val saS = rows.agg(sq(col("ai")).as("qa"))
+    val sbS = cols.agg(sq(col("bj")).as("qb"))
+    // mutual-information and entropy terms: 9-dp rounds, exact decimal
+    // folds (<= 65536 terms — decimal(30,9) stays far under the cliff)
+    val withMarg = cont.join(rows, "c1").join(cols, "c2")
+      .crossJoin(nS.select(col("n").as("_n")))
+    val miS = withMarg.agg(sum(
+      round((col("nij").cast("double") / col("_n").cast("double")) *
+        log(col("nij").cast("double") * col("_n").cast("double") /
+          (col("ai").cast("double") * col("bj").cast("double"))), 9)
+        .cast("decimal(20,9)")).as("mi"))
+    def entropy(m: DataFrame, c: String, name: String) =
+      m.crossJoin(nS.select(col("n").as("_n"))).agg(sum(
+        round(-(col(c).cast("double") / col("_n").cast("double")) *
+          log(col(c).cast("double") / col("_n").cast("double")), 9)
+          .cast("decimal(20,9)")).as(name))
+    val huS = entropy(rows, "ai", "hu")
+    val hvS = entropy(cols, "bj", "hv")
+    nS.crossJoin(saS).crossJoin(sbS).crossJoin(miS)
+      .crossJoin(huS).crossJoin(hvS)
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("_sij",
+        (col("qij").cast("double") - col("_nd")) / lit(2.0))
+      .withColumn("_sa", (col("qa").cast("double") - col("_nd")) / lit(2.0))
+      .withColumn("_sb", (col("qb").cast("double") - col("_nd")) / lit(2.0))
+      .withColumn("_cn2", (col("_nd") * col("_nd") - col("_nd")) / lit(2.0))
+      .withColumn("_exp", col("_sa") * col("_sb") / col("_cn2"))
+      .withColumn("_den",
+        (col("_sa") + col("_sb")) / lit(2.0) - col("_exp"))
+      .withColumn("_hn",
+        sqrt(col("hu").cast("double") * col("hv").cast("double")))
+      .select(col("n"),
+        round((col("_sij") - col("_exp")) /
+          when(col("_den") === 0.0, lit(null)).otherwise(col("_den")), 9)
+          .as("ari"),
+        round(col("mi").cast("double") /
+          when(col("_hn") === 0.0, lit(null)).otherwise(col("_hn")), 6)
+          .as("nmi"))
+  }
+
   /** The md5-seeded RFF weight matrix and bias vector shared by
     * [[mmdDrift]], [[rffMeans]] and the streaming twin
     * ([[graft.streaming.StreamingDrift.streamingMmd]]) — pure IEEE

@@ -439,6 +439,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("clusterAgreement: identical codebooks score 1/1; merge scores between; " +
+    "single cluster is NULL") {
+    import graft.operators.Similarity
+    // four clean 3-d corner clusters, 10 points each
+    val pts = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(4)(j => if (j == c) 10.0 else 0.1))
+    }.toDF("id", "v")
+    val four = Array.tabulate(4, 4)((c, j) => if (j == c) 10.0 else 0.0)
+    val same = Similarity.clusterAgreement(pts, "v", four, four).head()
+    assert(same.getLong(0) == 40L)
+    assert(same.getDouble(1) == 1.0, s"identical partitions: ARI ${same.get(1)}")
+    assert(same.getDouble(2) == 1.0, s"identical partitions: NMI ${same.get(2)}")
+    // merging two cells: strictly between 0 and 1 on both indices
+    val merged = Array(
+      Array(7.0, 7.0, 0.0, 0.0), Array(0.0, 0.0, 10.0, 0.0),
+      Array(0.0, 0.0, 0.0, 10.0))
+    val m = Similarity.clusterAgreement(pts, "v", four, merged).head()
+    assert(m.getDouble(1) > 0.0 && m.getDouble(1) < 1.0, s"ARI ${m.get(1)}")
+    assert(m.getDouble(2) > 0.0 && m.getDouble(2) < 1.0, s"NMI ${m.get(2)}")
+    // hand-checked Hubert-Arabie value for 4x10 -> {0+1, 2, 3}:
+    // sij = 4*45 = 180, sa = 180, sb = 190+45+45 = 280,
+    // exp = 180*280/780, den = 230 - exp -> ari = (180-exp)/den
+    val exp = 180.0 * 280.0 / 780.0
+    val ari = BigDecimal((180.0 - exp) / (230.0 - exp))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getDouble(1) == ari, s"got ${m.get(1)}, want $ari")
+    // one-cluster degenerate: NULL, never NaN
+    val one = Array(Array(1.0, 1.0, 1.0, 1.0))
+    val d = Similarity.clusterAgreement(pts, "v", one, one).head()
+    assert(d.isNullAt(1) && d.isNullAt(2), s"degenerate must be NULL: $d")
+  }
+
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
     import graft.operators.Similarity
     // 12 vectors hug (1,0); one sits far out on the same label. The
