@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object GraftApp {
 
-  private val flagArgs = Set("--ignore-dates", "--apply", "--validate", "--join")
+  private val flagArgs =
+    Set("--ignore-dates", "--apply", "--validate", "--join", "--match-cells")
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
@@ -403,6 +404,24 @@ object GraftApp {
         val topCells = spark.read.parquet(s"$out/cell_drift.parquet")
           .orderBy(col("psi_term").desc).limit(3).collect()
           .map(r => f"cell=${r.getLong(0)} psi=${r.getDouble(5)}%.6f")
+        // --match-cells: the independent-quantizer path — fit a SECOND
+        // quantizer on db2 alone, align the two codebooks
+        // (Similarity.cellMatching) and score how much the partition
+        // itself moved (Similarity.clusterAgreement on db1's points)
+        val matchLine = if (!opts.contains("match-cells")) "" else {
+          val init2 = db2.orderBy(idCol).limit(nCells)
+            .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
+            .collect().map(_.getSeq[Double](0).toArray)
+          val cents2 = graft.operators.Similarity
+            .kmeansFitDistributed(db2.select(col(vecCol)), vecCol, init2, iters = 2)
+          graft.operators.Similarity.cellMatching(db1, db2, vecCol, cents, cents2)
+            .write.mode("overwrite").parquet(s"$out/cell_matching.parquet")
+          val agree = graft.operators.Similarity
+            .clusterAgreement(db1, vecCol, cents, cents2).head()
+          val fmt = (i: Int) =>
+            if (agree.isNullAt(i)) "null" else f"${agree.getDouble(i)}%.6f"
+          s" cell_match_ari=${fmt(1)} cell_match_nmi=${fmt(2)}"
+        }
         // NULL mmd2 can still reach here via a degenerate null split
         // (single-row db1 -> one split side empty): render NaN, not a throw
         val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
@@ -414,7 +433,7 @@ object GraftApp {
         println(f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
           f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
           s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma " +
-          s"top_cells=[${topCells.mkString(", ")}] -> $out")
+          s"top_cells=[${topCells.mkString(", ")}]$matchLine -> $out")
       } finally spark.stop()
       return
     }
