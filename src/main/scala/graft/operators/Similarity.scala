@@ -1335,10 +1335,15 @@ object Similarity {
     * cells correspond, this says HOW MUCH the partition itself changed.
     * Each row is assigned to its cosine-nearest cell under BOTH
     * codebooks in one pass; from the k1×k2 contingency table the
-    * operator emits the two standard clustering-comparison indices
-    * (Hubert–Arabie adjusted Rand; normalized mutual information,
-    * sqrt normalization) — ARI 1 / NMI 1 means the quantizers induce
-    * the same partition up to relabeling, 0 means chance-level overlap.
+    * operator emits the standard clustering-comparison indices:
+    * Hubert–Arabie adjusted Rand, normalized mutual information (sqrt
+    * normalization), and the V-measure trio (homogeneity,
+    * completeness, V — Rosenberg & Hirschberg, EMNLP'07, all three
+    * derived from the same MI/entropy folds via H(U|V) = H(U) − I).
+    * ARI 1 / NMI 1 means the quantizers induce the same partition up
+    * to relabeling, 0 means chance-level overlap; homogeneity < 1
+    * with completeness ≈ 1 reads "snapshot 2 split cells", the
+    * converse "snapshot 2 merged cells".
     *
     * Determinism/parity: ARI's pair counts fold as EXACT decimal Σx²
     * (Σ C(x,2) = (Σx² − n)/2, the halving applied once on the final
@@ -1410,13 +1415,29 @@ object Similarity {
         (col("_sa") + col("_sb")) / lit(2.0) - col("_exp"))
       .withColumn("_hn",
         sqrt(col("hu").cast("double") * col("hv").cast("double")))
+      .withColumn("_mid", col("mi").cast("double"))
+      .withColumn("_hud", col("hu").cast("double"))
+      .withColumn("_hvd", col("hv").cast("double"))
       .select(col("n"),
         round((col("_sij") - col("_exp")) /
           when(col("_den") === 0.0, lit(null)).otherwise(col("_den")), 9)
           .as("ari"),
-        round(col("mi").cast("double") /
+        round(col("_mid") /
           when(col("_hn") === 0.0, lit(null)).otherwise(col("_hn")), 6)
-          .as("nmi"))
+          .as("nmi"),
+        // the V-measure trio from the same folds: H(U|V) = H(U) − I, so
+        // homogeneity = I/H(U), completeness = I/H(V), V their harmonic
+        // mean = 2I/(H(U)+H(V)); a zero-entropy side is NULL like nmi
+        round(col("_mid") /
+          when(col("_hud") === 0.0, lit(null)).otherwise(col("_hud")), 6)
+          .as("homogeneity"),
+        round(col("_mid") /
+          when(col("_hvd") === 0.0, lit(null)).otherwise(col("_hvd")), 6)
+          .as("completeness"),
+        round(lit(2.0) * col("_mid") /
+          when(col("_hud") + col("_hvd") === 0.0, lit(null))
+            .otherwise(col("_hud") + col("_hvd")), 6)
+          .as("v_measure"))
   }
 
   /** The md5-seeded RFF weight matrix and bias vector shared by

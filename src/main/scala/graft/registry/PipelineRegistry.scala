@@ -4185,7 +4185,10 @@ private[graft] object PipelineRegistry {
         |SELECT n,
         |  round((sij - expv) /
         |    nullif((sa2 + sb2) / 2.0 - expv, 0.0), 9) AS ari,
-        |  round(mid / nullif(sqrt(hud * hvd), 0.0), 6) AS nmi
+        |  round(mid / nullif(sqrt(hud * hvd), 0.0), 6) AS nmi,
+        |  round(mid / nullif(hud, 0.0), 6) AS homogeneity,
+        |  round(mid / nullif(hvd, 0.0), 6) AS completeness,
+        |  round(2.0 * mid / nullif(hud + hvd, 0.0), 6) AS v_measure
         |FROM f2""".stripMargin,
 
     // bit-for-bit replay of the RFF-MMD statistic: md5-derived uniform

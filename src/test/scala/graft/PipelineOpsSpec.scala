@@ -466,10 +466,19 @@ class SimilaritySpec extends SparkSpecBase {
     val ari = BigDecimal((180.0 - exp) / (230.0 - exp))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m.getDouble(1) == ari, s"got ${m.get(1)}, want $ari")
+    // V-measure trio, merge signature: V is determined by U (each U cell
+    // maps wholly into one V cell) so completeness = 1 exactly, while
+    // the merged V cell holds two U cells so homogeneity < 1
+    assert(m.getDouble(4) == 1.0, s"merge keeps completeness 1: ${m.get(4)}")
+    assert(m.getDouble(3) < 1.0, s"merge lowers homogeneity: ${m.get(3)}")
+    assert(m.getDouble(5) > 0.0 && m.getDouble(5) < 1.0, s"V: ${m.get(5)}")
+    assert(same.getDouble(5) == 1.0, "identical partitions: V = 1")
     // one-cluster degenerate: NULL, never NaN
     val one = Array(Array(1.0, 1.0, 1.0, 1.0))
     val d = Similarity.clusterAgreement(pts, "v", one, one).head()
     assert(d.isNullAt(1) && d.isNullAt(2), s"degenerate must be NULL: $d")
+    assert(d.isNullAt(3) && d.isNullAt(4) && d.isNullAt(5),
+      s"degenerate trio must be NULL: $d")
   }
 
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
