@@ -43,16 +43,82 @@ object GraftApp {
       .getOrCreate()
   }
 
-  /** The `evalcard` subcommand body, factored for direct spec drive:
-    * fit the deterministic logistic probe on the embeddings table
-    * (x = first 8 dims, y = sign of dim 1 — the q_quality_classifier
-    * construction), score with the calibrated sigmoid, then write the
-    * full model card: calibration bins, threshold sweep, per-class
-    * fairness gaps, isotonic remap, and an `evalcard.json` manifest
-    * with the scalars (n, auc, ece, mce, di_ratio). Every piece is one
-    * of the oracle-gated Eval operators — this just composes them and
-    * persists the evidence.
+  /** The `graft embdrift` body, session passed in so specs can drive it:
+    * writes embdrift.parquet (MMD² next to its null floor) and
+    * cell_drift.parquet (db1-fit quantizer localization); with
+    * `matchCells` also fits an independent db2 quantizer, writes the
+    * cellMatching alignment and appends the clusterAgreement ARI/NMI.
+    * Returns the summary line main() prints.
     */
+  def runEmbdrift(spark: SparkSession, in1: String, in2: String, out: String,
+                  nFeat: Int = 16, sigma: Double = 1.0,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nCells: Int = 8, matchCells: Boolean = false): String = {
+    import org.apache.spark.sql.functions._
+    val db1 = Tables.t(spark, in1, "embeddings")
+    val db2 = Tables.t(spark, in2, "embeddings")
+    // an empty side is mmdDrift's documented degenerate case (NULL
+    // mmd2): say so up front instead of throwing from head()/getDouble
+    val dimProbe = db1.select(size(col(vecCol))).limit(1).collect()
+    if (dimProbe.isEmpty)
+      sys.error(s"embdrift: --db1 corpus at $in1 is empty — nothing to compare")
+    if (db2.limit(1).collect().isEmpty)
+      sys.error(s"embdrift: --db2 corpus at $in2 is empty — nothing to compare")
+    val dim = dimProbe.head.getInt(0)
+    val drift = graft.operators.Similarity
+      .mmdDrift(db1, db2, vecCol, dim, nFeat, sigma)
+      .select(lit("db1-vs-db2").as("pair"), col("n1"), col("n2"), col("mmd2"))
+    val floor = graft.operators.Similarity
+      .mmdDrift(db1.filter(col(idCol) % 2 === 0),
+        db1.filter(col(idCol) % 2 === 1), vecCol, dim, nFeat, sigma)
+      .select(lit("db1-null-split").as("pair"), col("n1"), col("n2"), col("mmd2"))
+    drift.unionByName(floor)
+      .write.mode("overwrite").parquet(s"$out/embdrift.parquet")
+    // localization: fit a small coarse quantizer ON DB1 (first-k
+    // deterministic init, two Lloyd rounds) and report per-cell mass
+    // drift — WHERE the distribution moved, next to THAT it moved
+    val init = db1.orderBy(idCol).limit(nCells)
+      .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = graft.operators.Similarity
+      .kmeansFitDistributed(db1.select(col(vecCol)), vecCol, init, iters = 2)
+    graft.operators.Similarity.cellMassDrift(db1, db2, vecCol, cents)
+      .write.mode("overwrite").parquet(s"$out/cell_drift.parquet")
+    val topCells = spark.read.parquet(s"$out/cell_drift.parquet")
+      .orderBy(col("psi_term").desc).limit(3).collect()
+      .map(r => f"cell=${r.getLong(0)} psi=${r.getDouble(5)}%.6f")
+    // --match-cells: the independent-quantizer path — fit a SECOND
+    // quantizer on db2 alone, align the two codebooks
+    // (Similarity.cellMatching) and score how much the partition
+    // itself moved (Similarity.clusterAgreement on db1's points)
+    val matchLine = if (!matchCells) "" else {
+      val init2 = db2.orderBy(idCol).limit(nCells)
+        .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cents2 = graft.operators.Similarity
+        .kmeansFitDistributed(db2.select(col(vecCol)), vecCol, init2, iters = 2)
+      graft.operators.Similarity.cellMatching(db1, db2, vecCol, cents, cents2)
+        .write.mode("overwrite").parquet(s"$out/cell_matching.parquet")
+      val agree = graft.operators.Similarity
+        .clusterAgreement(db1, vecCol, cents, cents2).head()
+      val fmt = (i: Int) =>
+        if (agree.isNullAt(i)) "null" else f"${agree.getDouble(i)}%.6f"
+      s" cell_match_ari=${fmt(1)} cell_match_nmi=${fmt(2)}"
+    }
+    // NULL mmd2 can still reach here via a degenerate null split
+    // (single-row db1 -> one split side empty): render NaN, not a throw
+    val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .toMap
+    val (n1, n2, m) = rows("db1-vs-db2")
+    val (_, _, f) = rows("db1-null-split")
+    f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
+      f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
+      s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma " +
+      s"top_cells=[${topCells.mkString(", ")}]$matchLine -> $out"
+  }
+
   /** The `graft semdiff` body, session passed in so specs can drive it:
     * diff mode writes semantic_diff.parquet (rows with no near-neighbor
     * on the other side), `--join` mode writes semantic_join.parquet
@@ -92,6 +158,16 @@ object GraftApp {
     }
   }
 
+  /** The `evalcard` subcommand body, factored for direct spec drive:
+    * fit the deterministic logistic probe on the embeddings table
+    * (x = first 8 dims, y = sign of dim 1 — the q_quality_classifier
+    * construction), score with the calibrated sigmoid, then write the
+    * full model card: calibration bins, threshold sweep, per-class
+    * fairness gaps, isotonic remap, and an `evalcard.json` manifest
+    * with the scalars (n, auc, ece, mce, di_ratio). Every piece is one
+    * of the oracle-gated Eval operators — this just composes them and
+    * persists the evidence.
+    */
   def runEvalCard(spark: SparkSession, input: String,
                   out: String): Map[String, String] = {
     import org.apache.spark.sql.functions._
@@ -367,74 +443,13 @@ object GraftApp {
       val sigma = opts.get("sigma").map(_.toDouble).getOrElse(1.0)
       val idCol = opts.getOrElse("id-col", "vec_id")
       val vecCol = opts.getOrElse("vec-col", "embedding")
+      val nCells = opts.get("cells").map(_.toInt).getOrElse(8)
+      val matchCells = opts.contains("match-cells")
       val spark = buildSession()
       spark.sparkContext.setLogLevel("WARN")
-      try {
-        import org.apache.spark.sql.functions._
-        val db1 = Tables.t(spark, in1, "embeddings")
-        val db2 = Tables.t(spark, in2, "embeddings")
-        // an empty side is mmdDrift's documented degenerate case (NULL
-        // mmd2): say so up front instead of throwing from head()/getDouble
-        val dimProbe = db1.select(size(col(vecCol))).limit(1).collect()
-        if (dimProbe.isEmpty)
-          sys.error(s"embdrift: --db1 corpus at $in1 is empty — nothing to compare")
-        if (db2.limit(1).collect().isEmpty)
-          sys.error(s"embdrift: --db2 corpus at $in2 is empty — nothing to compare")
-        val dim = dimProbe.head.getInt(0)
-        val drift = graft.operators.Similarity
-          .mmdDrift(db1, db2, vecCol, dim, nFeat, sigma)
-          .select(lit("db1-vs-db2").as("pair"), col("n1"), col("n2"), col("mmd2"))
-        val floor = graft.operators.Similarity
-          .mmdDrift(db1.filter(col(idCol) % 2 === 0),
-            db1.filter(col(idCol) % 2 === 1), vecCol, dim, nFeat, sigma)
-          .select(lit("db1-null-split").as("pair"), col("n1"), col("n2"), col("mmd2"))
-        drift.unionByName(floor)
-          .write.mode("overwrite").parquet(s"$out/embdrift.parquet")
-        // localization: fit a small coarse quantizer ON DB1 (first-k
-        // deterministic init, two Lloyd rounds) and report per-cell mass
-        // drift — WHERE the distribution moved, next to THAT it moved
-        val nCells = opts.get("cells").map(_.toInt).getOrElse(8)
-        val init = db1.orderBy(idCol).limit(nCells)
-          .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
-          .collect().map(_.getSeq[Double](0).toArray)
-        val cents = graft.operators.Similarity
-          .kmeansFitDistributed(db1.select(col(vecCol)), vecCol, init, iters = 2)
-        graft.operators.Similarity.cellMassDrift(db1, db2, vecCol, cents)
-          .write.mode("overwrite").parquet(s"$out/cell_drift.parquet")
-        val topCells = spark.read.parquet(s"$out/cell_drift.parquet")
-          .orderBy(col("psi_term").desc).limit(3).collect()
-          .map(r => f"cell=${r.getLong(0)} psi=${r.getDouble(5)}%.6f")
-        // --match-cells: the independent-quantizer path — fit a SECOND
-        // quantizer on db2 alone, align the two codebooks
-        // (Similarity.cellMatching) and score how much the partition
-        // itself moved (Similarity.clusterAgreement on db1's points)
-        val matchLine = if (!opts.contains("match-cells")) "" else {
-          val init2 = db2.orderBy(idCol).limit(nCells)
-            .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
-            .collect().map(_.getSeq[Double](0).toArray)
-          val cents2 = graft.operators.Similarity
-            .kmeansFitDistributed(db2.select(col(vecCol)), vecCol, init2, iters = 2)
-          graft.operators.Similarity.cellMatching(db1, db2, vecCol, cents, cents2)
-            .write.mode("overwrite").parquet(s"$out/cell_matching.parquet")
-          val agree = graft.operators.Similarity
-            .clusterAgreement(db1, vecCol, cents, cents2).head()
-          val fmt = (i: Int) =>
-            if (agree.isNullAt(i)) "null" else f"${agree.getDouble(i)}%.6f"
-          s" cell_match_ari=${fmt(1)} cell_match_nmi=${fmt(2)}"
-        }
-        // NULL mmd2 can still reach here via a degenerate null split
-        // (single-row db1 -> one split side empty): render NaN, not a throw
-        val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
-          .toMap
-        val (n1, n2, m) = rows("db1-vs-db2")
-        val (_, _, f) = rows("db1-null-split")
-        println(f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
-          f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
-          s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma " +
-          s"top_cells=[${topCells.mkString(", ")}]$matchLine -> $out")
-      } finally spark.stop()
+      try println(runEmbdrift(spark, in1, in2, out, nFeat, sigma, idCol,
+        vecCol, nCells, matchCells))
+      finally spark.stop()
       return
     }
     if (cmd == "walks") {

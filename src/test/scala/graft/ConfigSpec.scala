@@ -340,6 +340,34 @@ class EvalCardSpec extends SparkSpecBase {
     assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
+  test("runEmbdrift --match-cells aligns independent quantizers; self-drift is floor-level") {
+    val out = java.nio.file.Files.createTempDirectory("embdrift").toString
+    val msg = GraftApp.runEmbdrift(spark, "/root/testdata/sf0.001",
+      "/root/testdata/sf0.001", out, matchCells = true)
+    // identical corpora: mmd2 = 0 exactly (same decimal sums cancel) and
+    // the independently-fit quantizers coincide -> ARI/NMI 1
+    assert(msg.contains("mmd2=0.000000000"), msg)
+    assert(msg.contains("cell_match_ari=1.000000"), msg)
+    assert(msg.contains("cell_match_nmi=1.000000"), msg)
+    Seq("embdrift", "cell_drift", "cell_matching").foreach { t =>
+      assert(spark.read.parquet(s"$out/$t.parquet").count() > 0, s"$t empty")
+    }
+    // the matching table: every db1 cell matched (8 cells, no unmatched
+    // rows between identical codebooks), cosine 1 at 6 dp
+    val cm = spark.read.parquet(s"$out/cell_matching.parquet")
+    assert(cm.filter("cell1 IS NULL OR cell2 IS NULL").count() == 0)
+    import org.apache.spark.sql.functions._
+    assert(cm.agg(min("cosine")).head().getDouble(0) == 1.0)
+    // empty db1 fails with the clear message
+    val empty = java.nio.file.Files.createTempDirectory("embdrift_e").toString
+    Tables.t(spark, "/root/testdata/sf0.001", "embeddings").limit(0)
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val e = intercept[RuntimeException] {
+      GraftApp.runEmbdrift(spark, empty, "/root/testdata/sf0.001", out)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("runClassify scores the whole corpus once, labels from the seed alphabet") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("classify").toString
