@@ -1460,4 +1460,31 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     val aggCount = "HashAggregate".r.findAllIn(planOf(md)).length
     assert(aggCount >= 4, "both sides must fold through partial+final aggregation")
   }
+
+  test("r16 cell ops: bounded joins, no forced hints, no corpus-scale windows") {
+    def forcedHints(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    val emb = spark.range(60).select($"id".as("vid"),
+      array(($"id" % 5).cast("double"), ($"id" % 3).cast("double"),
+        ($"id" % 7).cast("double"), lit(1.0)).as("vec"))
+    val c1 = Array.tabulate(3, 4)((c, j) => if (j == c) 5.0 else 0.0)
+    val c2 = Array.tabulate(3, 4)((c, j) => if (j == (c + 1) % 3) 5.0 else 0.0)
+    // cellMatching: the pairs frame is k rows, masses are grouped
+    // aggregates — nothing may force a hint or window by the corpus
+    val cm = graft.operators.Similarity.cellMatching(emb, emb, "vec", c1, c2)
+    assert(forcedHints(cm) == 0, "cellMatching must not force-broadcast")
+    assert(!planOf(cm).contains("Window"), s"no windows:\n${planOf(cm)}")
+    // clusterAgreement: the returned plan reads the CHECKPOINTED bounded
+    // contingency (the corpus pass already ran at call time) — only
+    // one-row scalar crosses remain, never a corpus-scale cartesian
+    val ca = graft.operators.Similarity.clusterAgreement(emb, "vec", c1, c2)
+    assert(forcedHints(ca) == 0, "clusterAgreement must not force-broadcast")
+    val pca = planOf(ca)
+    assert(!pca.contains("Window"), s"no windows:\n$pca")
+    assert(pca.contains("Scan ExistingRDD") || pca.contains("LocalTableScan"),
+      s"contingency must come from the checkpoint, not a rescan:\n$pca")
+  }
 }
