@@ -100,6 +100,61 @@ object PqCodes {
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), codebooks))
 }
 
+/** Per-subspace PQ reconstruction error: entry j is the squared L2
+  * distance from the vector's subspace-j sub-vector to its NEAREST
+  * centroid of `codebooks(j)` — the exact quantization error the
+  * [[PqCodes]] assignment incurs (same argmin, same left-fold distance
+  * arithmetic, so error and code always agree). The staleness signal a
+  * PQ index monitor aggregates: when the data distribution drifts off
+  * the codebook, these distances rise before recall visibly degrades.
+  */
+case class PqSubspaceErrors(child: Expression,
+                            codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need >= 1 centroid per subspace")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val errs = new Array[Double](codebooks.length)
+    var off = 0
+    var j = 0
+    while (j < codebooks.length) {
+      val book = codebooks(j)
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val d = PqKernel.sqDist(v, et, off, book(c))
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      errs(j) = bestD
+      off += book.head.length
+      j += 1
+    }
+    new GenericArrayData(errs)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("pqSubErrs", this, classOf[PqSubspaceErrors].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  override def prettyName: String = "pq_subspace_errors"
+  override protected def withNewChildInternal(c: Expression): PqSubspaceErrors =
+    copy(child = c)
+}
+
+object PqSubspaceErrors {
+  def apply(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqSubspaceErrors(ColumnBridge.expression(vec), codebooks))
+}
+
 /** The ADC lookup table of a QUERY vector, flattened row-major:
   * entry j*ksub + c is the exact squared L2 distance from the query's
   * subspace-j sub-vector to centroid c of `codebooks(j)`. Computed once

@@ -239,4 +239,44 @@ object Pq {
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** PQ codebook staleness monitor: per-subspace mean reconstruction
+    * error of a corpus under an EXISTING codebook — the quantization
+    * error [[encode]] silently incurs, surfaced as the signal to refit.
+    * When the embedding distribution drifts off the codebook (new
+    * model version, new data mix), these errors rise BEFORE ANN recall
+    * visibly degrades, and the per-subspace split localizes which
+    * dimensions moved (the [[graft.operators.Similarity.cellMassDrift]]
+    * question asked of the compression layer). Compare against the
+    * same statistic at fit time: the ratio is the staleness.
+    *
+    * Determinism/parity: the per-row error is the
+    * [[graft.functions.PqSubspaceErrors]] kernel (the exact
+    * left-fold argmin distance [[graft.functions.PqCodes]] uses, so
+    * error and code always agree), rounded at 9 dp; rows fold as exact
+    * decimals and the mean is one double division per subspace —
+    * independent of row order and partitioning.
+    *
+    * Scale shape: one narrow codegen pass over the corpus (no shuffle
+    * by data — the only exchange carries m partial decimal sums), one
+    * m-row result. Returns (subspace, n, mse), subspace ascending.
+    */
+  def reconstructionDrift(df: DataFrame, vecCol: String,
+                          codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val errs = graft.functions.PqSubspaceErrors(col(vecCol), codebooks)
+    val aggs = count(lit(1)).as("n") +: (0 until m).map(j =>
+      sum(round(element_at(col("_e"), j + 1), 9).cast("decimal(28,9)"))
+        .as(s"_s$j"))
+    val folded = df.filter(col(vecCol).isNotNull)
+      .select(errs.as("_e"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = array((0 until m).map(j =>
+      struct(lit(j.toLong).as("subspace"),
+        (col(s"_s$j").cast("double") / col("n").cast("double"))
+          .as("mse"))): _*)
+    folded.select(col("n"), explode(rows).as("_r"))
+      .select(col("_r.subspace").as("subspace"), col("n"),
+        round(col("_r.mse"), 9).as("mse"))
+  }
 }

@@ -1048,6 +1048,15 @@ private[graft] object PipelineRegistry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    // ---- PQ codebook staleness: per-subspace mean reconstruction error
+    //      of the planted points under the exact planted codebook — the
+    //      chosen centroid is closed-form (code j = g_j, margins ~2e-4
+    //      vs ~200), so the error is the noise term alone and the oracle
+    //      replays the kernel's left-fold distance op for op ----
+    "q_pq_recon_drift" -> ((s, dir) =>
+      Pq.reconstructionDrift(pqPlantedPoints(s, dir), "v", pqPlantedBooks)
+        .orderBy("subspace")),
+
     // ---- natural-corpus IVF recall measurement vs brute force (the
     //      "measure, don't guess" check the LSH path got via planting;
     //      deterministic: seeded fit sample + Lloyd's ties to lowest cell) ----
@@ -4807,6 +4816,40 @@ private[graft] object PipelineRegistry {
       """SELECT vec_id AS query_id, vec_id % 256 AS neighbor_id
         |FROM embeddings WHERE vec_id >= 320 AND vec_id < 384
         |ORDER BY query_id""".stripMargin,
+
+    // the chosen centroid cancels the planted one-hot exactly as doubles
+    // ((10 + 0.01x) - 10 on the hot coordinate, 0.01x elsewhere), and the
+    // oracle folds the 8 squared diffs in the kernel's exact left order
+    "q_pq_recon_drift" -> {
+      def errExpr(j: Int): String = {
+        val terms = (0 until 8).map { p =>
+          val d = s"((CASE WHEN $p = g$j THEN 10.0 ELSE 0.0 END) + " +
+            s"0.01 * CAST(embedding[${j * 8 + p + 1}] AS DOUBLE) - " +
+            s"(CASE WHEN $p = g$j THEN 10.0 ELSE 0.0 END))"
+          s"($d * $d)"
+        }
+        terms.reduce((a, b) => s"($a + $b)")
+      }
+      val gCols = (0 until 4).map(j =>
+        s"CAST((vec_id >> ${2 * j}) & 3 AS INT) AS g$j").mkString(",\n    ")
+      val eCols = (0 until 4).map(j =>
+        s"CAST(round(${errExpr(j)}, 9) AS DECIMAL(28,9)) AS e$j")
+        .mkString(",\n    ")
+      val sCols = (0 until 4).map(j => s"sum(e$j) AS s$j").mkString(", ")
+      val caseS = (0 until 4).map(j => s"WHEN $j THEN s$j").mkString(" ")
+      s"""WITH g AS (SELECT vec_id, embedding,
+        |    $gCols
+        |  FROM embeddings),
+        |e AS (SELECT
+        |    $eCols
+        |  FROM g),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, $sCols FROM e)
+        |SELECT CAST(j AS BIGINT) AS subspace, n,
+        |  round(CAST((CASE j $caseS END) AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    AS mse
+        |FROM s, (SELECT unnest(range(4)) AS j) sub
+        |ORDER BY subspace""".stripMargin
+    },
 
     "q_ivf_recall" ->
       """SELECT * FROM (VALUES ('ivf_recall_at_5_ge_half', true))

@@ -32,6 +32,36 @@ class PqSpec extends SparkSpecBase {
     assert(tie._2.head == 0, s"midpoint must tie to centroid 0, got ${tie._2}")
   }
 
+  test("reconstructionDrift: on-grid corpus scores 0, drift raises only the moved subspace") {
+    // points exactly ON centroids: reconstruction error is exactly 0
+    val onGrid = Seq(
+      (0L, pointOf(0, 0, 0.0)), (1L, pointOf(0, 1, 0.0)),
+      (2L, pointOf(1, 0, 0.0)), (3L, pointOf(1, 1, 0.0)))
+      .toDF("vec_id", "embedding")
+    val zero = Pq.reconstructionDrift(onGrid, "embedding", planted)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(zero.keySet == Set(0L, 1L) && zero.values.forall(_._1 == 4L))
+    assert(zero.values.forall(_._2 == 0.0), s"on-grid must be exact 0: $zero")
+    // shift ONLY subspace 1's sub-vectors by (1, 1): its mse jumps to
+    // 1+1 = 2 exactly while subspace 0 stays 0 — the per-subspace split
+    // localizes the drift
+    val drifted = onGrid.select(col("vec_id"), array(
+      element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+      element_at(col("embedding"), 3) + 1.0,
+      element_at(col("embedding"), 4) + 1.0).as("embedding"))
+    val d = Pq.reconstructionDrift(drifted, "embedding", planted)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d(0L) == 0.0, s"unmoved subspace must stay 0: $d")
+    assert(d(1L) == 2.0, s"moved subspace must read the planted shift: $d")
+    // error agrees with the encoder's choice: the kernel uses the same
+    // argmin, so a near-tie point scores the distance of the CHOSEN cell
+    val mid = Seq((9L, Seq(2.0, 2.0, 1.0, -1.0))).toDF("vec_id", "embedding")
+    val e = Pq.reconstructionDrift(mid, "embedding", planted)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(0L) == 8.0, s"midpoint distance to either (0,0)/(4,4) is 8: $e")
+    assert(e(1L) == 0.0)
+  }
+
   test("fit recovers well-separated planted centroids from the hash-ordered sample") {
     // 40 points per planted code pair, tiny deterministic jitter
     val rows = for {
