@@ -345,6 +345,54 @@ object StreamingDrift {
         col("share"), col("psi_term"))
   }
 
+  /** Streaming PQ codebook staleness: per-window per-subspace mean
+    * reconstruction error of the embedding stream under a STATIC
+    * codebook — the streaming twin of
+    * [[graft.operators.Pq.reconstructionDrift]], watching the ANN
+    * index's compression layer go stale in flight (error rises before
+    * recall visibly degrades; the subspace split localizes which
+    * dimensions moved).
+    *
+    * State contract mirrors [[streamingMmd]]: one
+    * [[graft.functions.PqSubspaceErrors]] codegen projection per row
+    * (the codebook rides as a kernel reference object), ONE windowed
+    * aggregation holding m exact decimal sums + a count per open
+    * window, and the mean evaluates in the projection above it with
+    * the batch operator's exact arithmetic (9-dp per-row errors,
+    * decimal(28,9) folds, one double division) — a closed window's
+    * mse is bit-identical to `reconstructionDrift(windowRows,
+    * codebooks)` on the same rows (spec-proven).
+    *
+    * Emits one row per (closed window, subspace):
+    * (window_start, window_end, subspace, n, mse).
+    */
+  def streamingPqStaleness(vecs: DataFrame, tsCol: String, vecCol: String,
+                           codebooks: Array[Array[Array[Double]]],
+                           windowDuration: String,
+                           lateness: String = "1 hour"): DataFrame = {
+    val m = codebooks.length
+    val errs = graft.functions.PqSubspaceErrors(col(vecCol), codebooks)
+    val aggs = count(lit(1)).as("n") +: (0 until m).map(j =>
+      sum(round(element_at(col("_e"), j + 1), 9).cast("decimal(28,9)"))
+        .as(s"_s$j"))
+    val rows = array((0 until m).map(j =>
+      struct(lit(j.toLong).as("subspace"),
+        (col(s"_s$j").cast("double") / col("n").cast("double"))
+          .as("mse"))): _*)
+    vecs
+      .filter(col(vecCol).isNotNull)
+      .withColumn("_e", errs)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"),
+        explode(rows).as("_r"))
+      .select(col("window_start"), col("window_end"),
+        col("_r.subspace").as("subspace"), col("n"),
+        round(col("_r.mse"), 9).as("mse"))
+  }
+
   /** Streaming RFF-MMD drift: the kernel two-sample statistic of each
     * event-time window's embeddings against a STATIC reference — the
     * streaming twin of [[graft.operators.Similarity.mmdDrift]], with

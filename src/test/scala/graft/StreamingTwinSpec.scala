@@ -171,6 +171,57 @@ class StreamingMmdSpec extends SparkSpecBase {
   }
 }
 
+class StreamingPqStalenessSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamingPqStaleness matches the batch reconstructionDrift window by window") {
+    import graft.operators.Pq
+    // 2 subspaces x 2 dims on a planted grid; window A sits on-grid
+    // (tiny jitter), window B shifts subspace 1 off the codebook — its
+    // mse must jump while subspace 0 stays put, and every closed
+    // (window, subspace) mse must equal the batch operator bit-for-bit.
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(4.0, 4.0)),
+      Array(Array(1.0, -1.0), Array(-3.0, 5.0)))
+    def vec(i: Int, shift: Double) = Seq(
+      (if (i % 2 == 0) 0.0 else 4.0) + 0.001 * i,
+      (if (i % 2 == 0) 0.0 else 4.0) - 0.001 * i,
+      1.0 + shift, -1.0 + shift)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    val q = graft.streaming.StreamingDrift.streamingPqStaleness(
+        mem.toDF().toDF("ts", "v"), "ts", "v", books, "1 hour",
+        lateness = "1 second")
+      .writeStream.format("memory").queryName("spq").outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val winA = (0 until 80).map(i => (ts("2024-01-01 10:00:05"), vec(i, 0.0)))
+      val winB = (0 until 80).map(i => (ts("2024-01-01 11:00:05"), vec(i, 0.7)))
+      mem.addData(winA ++ winB: _*)
+      mem.addData((ts("2024-01-01 13:00:00"), vec(0, 0.0))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, subspace, n, mse FROM spq ORDER BY 1, 2").collect()
+      assert(rows.length == 4)
+      assert(rows.forall(_.getAs[Long]("n") == 80L))
+      def batch(win: Seq[(java.sql.Timestamp, Seq[Double])]): Map[Long, Double] =
+        Pq.reconstructionDrift(win.map(r => Tuple1(r._2)).toDF("v"), "v", books)
+          .collect().map(r => r.getLong(0) -> r.getAs[Double]("mse")).toMap
+      val bA = batch(winA); val bB = batch(winB)
+      assert(rows(0).getAs[Double]("mse") == bA(0L))
+      assert(rows(1).getAs[Double]("mse") == bA(1L))
+      assert(rows(2).getAs[Double]("mse") == bB(0L))
+      assert(rows(3).getAs[Double]("mse") == bB(1L))
+      // the drift localizes: subspace 1's window-B error dominates both
+      // its window-A self and subspace 0's window-B value
+      assert(bB(1L) > 100 * bA(1L) && bB(1L) > 100 * bB(0L),
+        s"shifted subspace must alarm: $bB vs $bA")
+    } finally q.stop()
+  }
+}
+
 class StreamingCellDriftSpec extends SparkSpecBase {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
