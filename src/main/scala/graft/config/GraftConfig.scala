@@ -145,8 +145,12 @@ object SideDetails {
   private[config] def jdbcKeyParts(url: String, databaseType: String)
       : (Option[String], Option[String], Option[String]) = {
     val net = "jdbc:([a-z0-9]+)://([^/:?;]+)(?::(\\d+))?/([^?;]+).*".r
+    // only dialects whose URL shape the `net` regex can actually parse:
+    // oracle (jdbc:oracle:thin:@//…) and sqlserver (;databaseName=…)
+    // never match it, so listing their ports here would be dead config
+    // promising a substitution that cannot fire
     val defaultPorts = Map("postgresql" -> "5432", "mysql" -> "3306",
-      "mariadb" -> "3306", "sqlserver" -> "1433", "oracle" -> "1521")
+      "mariadb" -> "3306")
     url match {
       case net(scheme, h, p, d) =>
         val dialect =

@@ -1291,8 +1291,11 @@ object Similarity {
       i = 0; while (i < b.length) { bb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(aa) * math.sqrt(bb))
     }
+    // NaN (a zero centroid) must survive to the sort-last/skip logic —
+    // BigDecimal(NaN) would throw, not round
     def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val scored = for {
       i <- cents1.indices
       j <- cents2.indices
@@ -1352,8 +1355,13 @@ object Similarity {
     * would wrap — rounded at 9 dp; the NMI terms each round at 9 dp
     * and fold as exact decimals (the psi discipline for the one libm
     * call, ln), final at 6 dp. Degenerate inputs publish NULL, not NaN
-    * (the atkinson discipline): a single-cluster side has no pair
-    * structure for ARI and zero entropy for NMI.
+    * (the atkinson discipline), across EVERY index: fewer than 2 rows,
+    * or either side collapsing to a single effective cluster (no pair
+    * structure for ARI, zero entropy for NMI). The test is the
+    * integer-exact `max(marginal) == n`, never a float `den == 0`
+    * probe — x − fl(fl(x·x)/x) is nonzero for ~8% of large x, so a
+    * float test would flip the same degenerate input between NULL and
+    * a number across corpus sizes.
     *
     * Scale shape: one narrow projection over the corpus (two codegen
     * [[graft.functions.NearestCells]] kernels per row), ONE
@@ -1384,8 +1392,13 @@ object Similarity {
     val rows = cont.groupBy("c1").agg(sum("nij").as("ai"))
     val cols = cont.groupBy("c2").agg(sum("nij").as("bj"))
     val nS = cont.agg(sum("nij").as("n"), sq(col("nij")).as("qij"))
-    val saS = rows.agg(sq(col("ai")).as("qa"))
-    val sbS = cols.agg(sq(col("bj")).as("qb"))
+    // max marginal alongside the sum of squares: `max(ai) == n` is the
+    // INTEGER-EXACT single-effective-cluster test the degenerate guards
+    // key on (a float `den == 0` test is unstable — x − fl(fl(x·x)/x)
+    // is nonzero for ~8% of large x, so the same degenerate input would
+    // flip between NULL and a number across corpus sizes)
+    val saS = rows.agg(sq(col("ai")).as("qa"), max("ai").as("_ma"))
+    val sbS = cols.agg(sq(col("bj")).as("qb"), max("bj").as("_mb"))
     // mutual-information and entropy terms: 9-dp rounds, exact decimal
     // folds (<= 65536 terms — decimal(30,9) stays far under the cliff)
     val withMarg = cont.join(rows, "c1").join(cols, "c2")
@@ -1410,7 +1423,10 @@ object Similarity {
       .withColumn("_sa", (col("qa").cast("double") - col("_nd")) / lit(2.0))
       .withColumn("_sb", (col("qb").cast("double") - col("_nd")) / lit(2.0))
       .withColumn("_cn2", (col("_nd") * col("_nd") - col("_nd")) / lit(2.0))
-      .withColumn("_exp", col("_sa") * col("_sb") / col("_cn2"))
+      // NULL divisor, not 0: ANSI mode throws DIVIDE_BY_ZERO even for
+      // doubles, and this column evaluates before the degenerate guard
+      .withColumn("_exp", col("_sa") * col("_sb") /
+        when(col("_cn2") === 0.0, lit(null)).otherwise(col("_cn2")))
       .withColumn("_den",
         (col("_sa") + col("_sb")) / lit(2.0) - col("_exp"))
       .withColumn("_hn",
@@ -1418,26 +1434,25 @@ object Similarity {
       .withColumn("_mid", col("mi").cast("double"))
       .withColumn("_hud", col("hu").cast("double"))
       .withColumn("_hvd", col("hv").cast("double"))
+      .withColumn("_degen",
+        coalesce(col("n"), lit(0L)) < 2 ||
+          col("_ma") === col("n") || col("_mb") === col("n"))
       .select(col("n"),
-        round((col("_sij") - col("_exp")) /
-          when(col("_den") === 0.0, lit(null)).otherwise(col("_den")), 9)
+        when(col("_degen") || col("_den") === 0.0, lit(null)).otherwise(
+          round((col("_sij") - col("_exp")) / col("_den"), 9))
           .as("ari"),
-        round(col("_mid") /
-          when(col("_hn") === 0.0, lit(null)).otherwise(col("_hn")), 6)
-          .as("nmi"),
+        when(col("_degen") || col("_hn") === 0.0, lit(null)).otherwise(
+          round(col("_mid") / col("_hn"), 6)).as("nmi"),
         // the V-measure trio from the same folds: H(U|V) = H(U) − I, so
         // homogeneity = I/H(U), completeness = I/H(V), V their harmonic
         // mean = 2I/(H(U)+H(V)); a zero-entropy side is NULL like nmi
-        round(col("_mid") /
-          when(col("_hud") === 0.0, lit(null)).otherwise(col("_hud")), 6)
-          .as("homogeneity"),
-        round(col("_mid") /
-          when(col("_hvd") === 0.0, lit(null)).otherwise(col("_hvd")), 6)
-          .as("completeness"),
-        round(lit(2.0) * col("_mid") /
-          when(col("_hud") + col("_hvd") === 0.0, lit(null))
-            .otherwise(col("_hud") + col("_hvd")), 6)
-          .as("v_measure"))
+        when(col("_degen") || col("_hud") === 0.0, lit(null)).otherwise(
+          round(col("_mid") / col("_hud"), 6)).as("homogeneity"),
+        when(col("_degen") || col("_hvd") === 0.0, lit(null)).otherwise(
+          round(col("_mid") / col("_hvd"), 6)).as("completeness"),
+        when(col("_degen") || col("_hud") + col("_hvd") === 0.0, lit(null))
+          .otherwise(round(lit(2.0) * col("_mid") /
+            (col("_hud") + col("_hvd")), 6)).as("v_measure"))
   }
 
   /** The md5-seeded RFF weight matrix and bias vector shared by

@@ -437,6 +437,13 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.cellMatching(pts, db2, "v",
         Array.tabulate(257, 2)((_, _) => 1.0), cents2)
     }
+    // a zero centroid (NaN cosine against everything) must ride through
+    // as an unmatched cell, not crash the 6-dp round
+    val withZero = cents1 :+ Array(0.0, 0.0, 0.0)
+    val rz = Similarity.cellMatching(pts, db2, "v", withZero, cents2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(rz.exists(r => r._1 == Some(2L) && r._2.isEmpty),
+      s"zero centroid must surface unmatched: ${rz.toSeq}")
   }
 
   test("clusterAgreement: identical codebooks score 1/1; merge scores between; " +
@@ -479,6 +486,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(d.isNullAt(1) && d.isNullAt(2), s"degenerate must be NULL: $d")
     assert(d.isNullAt(3) && d.isNullAt(4) && d.isNullAt(5),
       s"degenerate trio must be NULL: $d")
+    // ONE-SIDED degeneracy (single cluster vs structured) is NULL too —
+    // the formula limit is ~0 but the index is undefined by contract,
+    // and the integer-exact max(marginal)==n test fires regardless of
+    // float cancellation
+    val d1 = Similarity.clusterAgreement(pts, "v", one, four).head()
+    assert((1 to 5).forall(d1.isNullAt), s"one-sided degenerate: $d1")
+    // n = 1: C(n,2) = 0 must yield NULL, never the NaN of 0/0
+    val p1 = Seq((0L, Seq(10.0, 0.1, 0.1, 0.1))).toDF("id", "v")
+    val dn = Similarity.clusterAgreement(p1, "v", four, four).head()
+    assert(dn.getLong(0) == 1L && (1 to 5).forall(dn.isNullAt),
+      s"n=1 must be NULL across all indices: $dn")
   }
 
   test("centroidOutliers flags the planted far vector, not the tight cluster") {
