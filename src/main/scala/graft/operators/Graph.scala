@@ -842,6 +842,36 @@ object Graph {
     acc
   }
 
+  /** Deterministic out-degree cap — the upstream mitigation the
+    * [[node2vecWalks]] hub contract points to, and the neighbor-
+    * sampling idea GraphSAGE institutionalized (Hamilton et al.,
+    * NeurIPS 2017: fixed-size sampled neighborhoods bound per-node
+    * cost on power-law graphs). Each node keeps its `maxDeg` neighbors
+    * with the smallest md5("cap:seed:src:dst") (ties impossible — the
+    * hash input is unique per edge), so the kept set is a pure function
+    * of (seed, data): reproducible across runs and engines, stable
+    * under partitioning, and unbiased in the sense that the hash is
+    * independent of any edge attribute.
+    *
+    * Scale shape: one per-src window over the distinct edge list —
+    * partition size = the node's out-degree, paid ONCE at preprocessing
+    * time (that is the point: a 10⁷-degree hub costs one 10⁷-row sort
+    * here instead of 10⁷ candidate rows per walk per step downstream).
+    * Returns the capped (src, dst) edge list.
+    */
+  def capOutDegree(edges: DataFrame, maxDeg: Int, seed: Long = 7L): DataFrame = {
+    require(maxDeg >= 1, "maxDeg must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val w = Window.partitionBy("src").orderBy(col("_h"))
+    e.withColumn("_h", md5(concat_ws(":", lit("cap"), lit(seed),
+        col("src"), col("dst"))))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxDeg)
+      .select("src", "dst")
+  }
+
   /** Ordered (center, context) co-occurrence counts over walk sequences —
     * [[randomWalks]] piped into the word2vec-style pair extraction that
     * completes the DeepWalk pipeline (Perozzi et al., KDD'14: the walks

@@ -3593,10 +3593,30 @@ private[graft] object PipelineRegistry {
         .filter(col("id") % 7 === 0).distinct()
       Graph.node2vecWalks(edges, starts, walkLength = 4, p = 2.0, q = 4.0)
         .orderBy("walk_id", "step", "node")
+    }),
+
+    // ---- deterministic out-degree cap (the GraphSAGE-style neighbor
+    //      sample the node2vec hub contract points to): keep the maxDeg
+    //      neighbors with smallest md5("cap:seed:src:dst") — a pure
+    //      function of (seed, data) the oracle ranks identically ----
+    "q_degree_cap" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      Graph.capOutDegree(edges, maxDeg = 3).orderBy("src", "dst")
     })
   )
 
   def oracles: Map[String, String] = dmap(
+    // lowercase-hex md5 strings order byte-identically in both engines
+    "q_degree_cap" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
+        |    CAST(l_suppkey % 500 AS BIGINT) AS dst FROM lineitem),
+        |r AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+        |    ORDER BY md5('cap:7:' || CAST(src AS VARCHAR) || ':' ||
+        |      CAST(dst AS VARCHAR))) AS rn
+        |  FROM e)
+        |SELECT src, dst FROM r WHERE rn <= 3 ORDER BY src, dst""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,

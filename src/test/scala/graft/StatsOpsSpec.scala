@@ -314,6 +314,35 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("capOutDegree: deterministic subset with bounded degree, composes with walks") {
+    // one 50-out-degree hub plus a 2-degree node
+    val edges = spark.range(50).select(lit(0L).as("src"), ($"id" + 10L).as("dst"))
+      .unionByName(Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"))
+    val capped = Graph.capOutDegree(edges, maxDeg = 5)
+    val deg = capped.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg(0L) == 5L, s"hub must cap at 5: $deg")
+    assert(deg(1L) == 2L, "under-cap nodes keep all neighbors")
+    // kept edges are real edges, and the choice is seed-deterministic
+    val kept = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.subsetOf(all))
+    val again = Graph.capOutDegree(edges, maxDeg = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == kept, "same seed, same sample")
+    val other = Graph.capOutDegree(edges, maxDeg = 5, seed = 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != kept, "a different seed draws a different sample")
+    // the documented composition: walks over the capped graph are valid
+    val walks = Graph.node2vecWalks(capped, Seq(0L).toDF("id"),
+      walkLength = 2, p = 2.0, q = 4.0)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    walks.sliding(2).foreach {
+      case Seq(a, b) => assert(kept((a, b)), s"walk took uncapped edge $a->$b")
+      case _         =>
+    }
+  }
+
   test("walks at the walkLength=64 bound complete (8-step checkpoint cadence)") {
     // the require() allows 64 steps; without the every-8-steps
     // localCheckpoint the unioned two-joins-per-step lineage would nest
