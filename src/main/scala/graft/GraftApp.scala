@@ -476,9 +476,16 @@ object GraftApp {
       spark.sparkContext.setLogLevel("WARN")
       try {
         import org.apache.spark.sql.functions._
-        val edges = Tables.t(spark, input, table)
+        val rawEdges = Tables.t(spark, input, table)
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"))
+        // --cap N: GraphSAGE-style deterministic neighbor sampling
+        // (Graph.capOutDegree) BEFORE walking — the one-time hub
+        // mitigation the node2vec scale contract prescribes
+        val capN = opts.get("cap").map(_.toInt)
+        val edges = capN.map(c =>
+          graft.operators.Graph.capOutDegree(rawEdges, c, seed))
+          .getOrElse(rawEdges)
         val starts = edges.select(col("src").as("id")).distinct()
         val weightCol = opts.get("weight-col")
         val walks = (pq, weightCol) match {
@@ -486,9 +493,14 @@ object GraftApp {
             sys.error("walks: --p/--q and --weight-col are exclusive " +
               "(second-order bias and edge weights are different walks)")
           case (_, Some(wc)) =>
-            val weighted = Tables.t(spark, input, table)
+            val weighted0 = Tables.t(spark, input, table)
               .select(col(srcCol).cast("long").as("src"),
                 col(dstCol).cast("long").as("dst"), col(wc).as("weight"))
+            // capping a weighted multigraph keeps the kept pairs' full
+            // fold weight: semi-join against the capped DISTINCT edges
+            val weighted = capN.map(_ =>
+              weighted0.join(edges, Seq("src", "dst"), "left_semi"))
+              .getOrElse(weighted0)
             graft.operators.Graph.weightedWalks(weighted, starts, walkLen,
               "weight", seed)
           case ((Some(p), q), _) =>
@@ -511,8 +523,9 @@ object GraftApp {
           if (weightCol.isDefined) "weighted"
           else if (pq._1.isDefined || pq._2.isDefined) "node2vec"
           else "uniform"
+        val capNote = capN.map(c => s" cap=$c").getOrElse("")
         println(s"walks: walks=$nWalks rows=$nRows pairs=$nPairs " +
-          s"length=$walkLen window=$win mode=$mode -> $out")
+          s"length=$walkLen window=$win mode=$mode$capNote -> $out")
       } finally spark.stop()
       return
     }
