@@ -486,7 +486,10 @@ object GraftApp {
         val edges = capN.map(c =>
           graft.operators.Graph.capOutDegree(rawEdges, c, seed))
           .getOrElse(rawEdges)
-        val starts = edges.select(col("src").as("id")).distinct()
+        // starts come from the RAW edge list: capOutDegree keeps >= 1
+        // edge per src, so the start set is identical — and deriving it
+        // from `edges` would re-execute the whole cap plan a second time
+        val starts = rawEdges.select(col("src").as("id")).distinct()
         val weightCol = opts.get("weight-col")
         val walks = (pq, weightCol) match {
           case ((Some(_), _) | (_, Some(_)), Some(_)) =>
@@ -496,11 +499,16 @@ object GraftApp {
             val weighted0 = Tables.t(spark, input, table)
               .select(col(srcCol).cast("long").as("src"),
                 col(dstCol).cast("long").as("dst"), col(wc).as("weight"))
-            // capping a weighted multigraph keeps the kept pairs' full
-            // fold weight: semi-join against the capped DISTINCT edges
-            val weighted = capN.map(_ =>
-              weighted0.join(edges, Seq("src", "dst"), "left_semi"))
-              .getOrElse(weighted0)
+            // cap over the POSITIVE-weight edge set (weightedWalks drops
+            // w <= 0/NULL edges, so capping the raw distinct pairs could
+            // keep only unwalkable edges for a node while discarding its
+            // walkable ones), then semi-join so kept pairs carry their
+            // full fold weight
+            val weighted = capN.map { c =>
+              val walkable = graft.operators.Graph.capOutDegree(
+                weighted0.filter(col("weight").cast("double") > 0), c, seed)
+              weighted0.join(walkable, Seq("src", "dst"), "left_semi")
+            }.getOrElse(weighted0)
             graft.operators.Graph.weightedWalks(weighted, starts, walkLen,
               "weight", seed)
           case ((Some(p), q), _) =>

@@ -857,7 +857,11 @@ object Graph {
     * partition size = the node's out-degree, paid ONCE at preprocessing
     * time (that is the point: a 10⁷-degree hub costs one 10⁷-row sort
     * here instead of 10⁷ candidate rows per walk per step downstream).
-    * Returns the capped (src, dst) edge list.
+    * Returns the capped (src, dst) edge list — already distinct; the
+    * walk functions' own distinct/fold over it is idempotent and runs
+    * over the CAPPED list (≤ maxDeg·|V| rows), not the raw table.
+    * Every src keeps at least one edge, so the source-node set is
+    * unchanged.
     */
   def capOutDegree(edges: DataFrame, maxDeg: Int, seed: Long = 7L): DataFrame = {
     require(maxDeg >= 1, "maxDeg must be >= 1")

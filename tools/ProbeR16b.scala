@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** k-bound probe for the r16 cell ops: cellMatching and clusterAgreement
-  * at the k = 256 contract limit on the sf0.1 embeddings (5000 rows,
+  * at the k = 256 contract limit on the sf0.1 embeddings (2000 rows,
   * 64-dim). The claim under test is the model-size split: the 256×256
   * cosine matrix (matching) and contingency (agreement) stay bounded,
   * so wall should be dominated by the one corpus pass (two NearestCells
