@@ -343,6 +343,24 @@ class StatsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("capping a weighted graph must sample the positive-weight edge set") {
+    // node 0 has 3 zero-weight neighbors and 2 walkable ones; a cap of 2
+    // taken over the RAW pairs could keep only unwalkable edges (the CLI
+    // bug class fixed in r16) — over the positive-weight set, every kept
+    // neighbor is walkable and the walk never starves
+    val weighted = Seq(
+      (0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 0L),
+      (0L, 4L, 5L), (0L, 5L, 7L)).toDF("src", "dst", "weight")
+    val walkable = Graph.capOutDegree(
+      weighted.filter($"weight" > 0), maxDeg = 2)
+    val kept = weighted.join(walkable, Seq("src", "dst"), "left_semi")
+    val dsts = kept.collect().map(_.getLong(1)).toSet
+    assert(dsts == Set(4L, 5L), s"only walkable neighbors kept: $dsts")
+    val w = Graph.weightedWalks(kept, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    assert(w.nonEmpty && Set(4L, 5L)(w.head), s"walk must proceed: $w")
+  }
+
   test("walks at the walkLength=64 bound complete (8-step checkpoint cadence)") {
     // the require() allows 64 steps; without the every-8-steps
     // localCheckpoint the unioned two-joins-per-step lineage would nest
