@@ -55,6 +55,11 @@ object Bench {
     // 0.6 s query as 130 s because nothing recorded contention)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
+    // r17: load sampled at every round boundary (not just before/after
+    // the sweep) so a contention window is attributable to the round it
+    // hit — the r16 q_naive_bayes burst took a separate quiescent rerun
+    // to adjudicate; with per-round load the artifact self-documents it
+    val loadPerRound = scala.collection.mutable.ListBuffer.empty[Double]
     var round = 0
     var roundsDone = 0
     var firstRoundSec = 0.0
@@ -88,7 +93,8 @@ object Bench {
         "\"" + name + "\":[" +
           samples(name).map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadNow%.2f}"""
+      val loadRounds = loadPerRound.map(l => f"$l%.2f").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadNow%.2f,"load_per_round":$loadRounds}"""
     }
     // written after EVERY round (not just at exit): a harness that kills
     // a long multi-round run still finds the last completed round's
@@ -114,6 +120,7 @@ object Bench {
       }
       round += 1
       roundsDone = round
+      loadPerRound += osBean.getSystemLoadAverage
       if (round == 1) firstRoundSec = (System.nanoTime() - benchStart) / 1e9
       persist(render())
     }

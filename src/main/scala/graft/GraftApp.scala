@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions.{col, lit}
 object GraftApp {
 
   private val flagArgs =
-    Set("--ignore-dates", "--apply", "--validate", "--join", "--match-cells")
+    Set("--ignore-dates", "--apply", "--validate", "--join", "--match-cells",
+      "--pairs-symmetric")
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
@@ -53,7 +54,8 @@ object GraftApp {
   def runEmbdrift(spark: SparkSession, in1: String, in2: String, out: String,
                   nFeat: Int = 16, sigma: Double = 1.0,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  nCells: Int = 8, matchCells: Boolean = false): String = {
+                  nCells: Int = 8, matchCells: Boolean = false,
+                  pqCodebooks: Option[String] = None): String = {
     import org.apache.spark.sql.functions._
     val db1 = Tables.t(spark, in1, "embeddings")
     val db2 = Tables.t(spark, in2, "embeddings")
@@ -77,7 +79,9 @@ object GraftApp {
     // localization: fit a small coarse quantizer ON DB1 (first-k
     // deterministic init, two Lloyd rounds) and report per-cell mass
     // drift — WHERE the distribution moved, next to THAT it moved
-    val init = db1.orderBy(idCol).limit(nCells)
+    // NULL embeddings among the first nCells rows would NPE the seed
+    // collect — filter before limiting (both quantizer paths)
+    val init = db1.filter(col(vecCol).isNotNull).orderBy(idCol).limit(nCells)
       .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     val cents = graft.operators.Similarity
@@ -92,7 +96,8 @@ object GraftApp {
     // (Similarity.cellMatching) and score how much the partition
     // itself moved (Similarity.clusterAgreement on db1's points)
     val matchLine = if (!matchCells) "" else {
-      val init2 = db2.orderBy(idCol).limit(nCells)
+      val init2 = db2.filter(col(vecCol).isNotNull).orderBy(idCol)
+        .limit(nCells)
         .select(graft.operators.Similarity.asDouble(col(vecCol)).as("v"))
         .collect().map(_.getSeq[Double](0).toArray)
       val cents2 = graft.operators.Similarity
@@ -105,6 +110,28 @@ object GraftApp {
         if (agree.isNullAt(i)) "null" else f"${agree.getDouble(i)}%.6f"
       s" cell_match_ari=${fmt(1)} cell_match_nmi=${fmt(2)}"
     }
+    // --pq-codebooks: the compression-layer axis — per-subspace mean
+    // reconstruction error of BOTH snapshots under the same saved
+    // codebook (Pq.reconstructionDrift); the db2/db1 ratio per
+    // subspace is the staleness (rises before ANN recall visibly
+    // degrades), so one embdrift run covers every drift axis
+    val pqLine = pqCodebooks.fold("") { path =>
+      val books = graft.operators.Pq.loadCodebooks(spark, path)
+      val base = graft.operators.Pq.reconstructionDrift(db1, vecCol, books)
+        .select(lit("db1").as("side"), col("subspace"), col("n"), col("mse"))
+      val cur = graft.operators.Pq.reconstructionDrift(db2, vecCol, books)
+        .select(lit("db2").as("side"), col("subspace"), col("n"), col("mse"))
+      base.unionByName(cur)
+        .write.mode("overwrite").parquet(s"$out/pq_recon.parquet")
+      val mse = spark.read.parquet(s"$out/pq_recon.parquet").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val ratios = mse.keys.collect { case ("db2", j) =>
+        val b = mse(("db1", j))
+        val c = mse(("db2", j))
+        if (b > 0) c / b else Double.PositiveInfinity
+      }.toSeq
+      f" pq_stale_max=${ratios.max}%.3f pq_subspaces=${ratios.length}"
+    }
     // NULL mmd2 can still reach here via a degenerate null split
     // (single-row db1 -> one split side empty): render NaN, not a throw
     val rows = spark.read.parquet(s"$out/embdrift.parquet").collect()
@@ -116,7 +143,7 @@ object GraftApp {
     f"embdrift: mmd2=$m%.9f null_floor=$f%.9f " +
       f"ratio=${if (f > 0) m / f else Double.PositiveInfinity}%.1f " +
       s"n1=$n1 n2=$n2 features=$nFeat sigma=$sigma " +
-      s"top_cells=[${topCells.mkString(", ")}]$matchLine -> $out"
+      s"top_cells=[${topCells.mkString(", ")}]$matchLine$pqLine -> $out"
   }
 
   /** The `graft semdiff` body, session passed in so specs can drive it:
@@ -445,10 +472,11 @@ object GraftApp {
       val vecCol = opts.getOrElse("vec-col", "embedding")
       val nCells = opts.get("cells").map(_.toInt).getOrElse(8)
       val matchCells = opts.contains("match-cells")
+      val pqBooks = opts.get("pq-codebooks")
       val spark = buildSession()
       spark.sparkContext.setLogLevel("WARN")
       try println(runEmbdrift(spark, in1, in2, out, nFeat, sigma, idCol,
-        vecCol, nCells, matchCells))
+        vecCol, nCells, matchCells, pqBooks))
       finally spark.stop()
       return
     }
@@ -512,28 +540,41 @@ object GraftApp {
             graft.operators.Graph.weightedWalks(weighted, starts, walkLen,
               "weight", seed)
           case ((Some(p), q), _) =>
-            graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
-              p, q.getOrElse(1.0), seed)
+            // node2vec owns its cap (r17): maxDeg composes capOutDegree
+            // into the operator's checkpointed adjacency, so the raw
+            // edge list goes in and the walk runs on the capped graph
+            graft.operators.Graph.node2vecWalks(rawEdges, starts, walkLen,
+              p, q.getOrElse(1.0), seed, maxDeg = capN)
           case ((None, Some(q)), _) =>
-            graft.operators.Graph.node2vecWalks(edges, starts, walkLen,
-              1.0, q, seed)
+            graft.operators.Graph.node2vecWalks(rawEdges, starts, walkLen,
+              1.0, q, seed, maxDeg = capN)
           case _ =>
             graft.operators.Graph.randomWalks(edges, starts, walkLen, seed)
         }
         walks.write.mode("overwrite").parquet(s"$out/walks.parquet")
         val saved = spark.read.parquet(s"$out/walks.parquet")
-        graft.operators.Graph.walkContextPairs(saved, win)
+        // --pairs-symmetric: count both orientations of every window hit
+        // (the trainer's view); --neg-power exports the word2vec
+        // negative-sampling table (unigram^power, default 0.75)
+        val sym = opts.contains("pairs-symmetric")
+        graft.operators.Graph.walkContextPairs(saved, win, symmetric = sym)
           .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+        val negPower = opts.get("neg-power").map(_.toDouble).getOrElse(0.75)
+        graft.operators.Graph.negativeTable(saved, negPower)
+          .write.mode("overwrite").parquet(s"$out/neg_table.parquet")
         val nWalks = saved.select("walk_id").distinct().count()
         val nRows = saved.count()
         val nPairs = spark.read.parquet(s"$out/pairs.parquet").count()
+        val nNeg = spark.read.parquet(s"$out/neg_table.parquet").count()
         val mode =
           if (weightCol.isDefined) "weighted"
           else if (pq._1.isDefined || pq._2.isDefined) "node2vec"
           else "uniform"
         val capNote = capN.map(c => s" cap=$c").getOrElse("")
+        val symNote = if (sym) " pairs=symmetric" else ""
         println(s"walks: walks=$nWalks rows=$nRows pairs=$nPairs " +
-          s"length=$walkLen window=$win mode=$mode$capNote -> $out")
+          s"neg_nodes=$nNeg length=$walkLen window=$win " +
+          s"mode=$mode$capNote$symNote -> $out")
       } finally spark.stop()
       return
     }

@@ -241,7 +241,11 @@ object SparkEntry {
       c.dataDrift("lineitem").get.drop("hashed_row")
         .orderBy("l_orderkey", "l_linenumber", "observed_in")
     })
-  ), PipelineRegistry.queries, LinkageRegistry.queries, EvalRegistry.queries)
+  ), PipelineRegistry.queries, TextRegistry.queries, DedupRegistry.queries,
+    SimilarityRegistry.queries, DriftRegistry.queries,
+    MultimodalRegistry.queries, EventsRegistry.queries, WalksRegistry.queries,
+    StatsRegistry.queries, ExperimentRegistry.queries,
+    LinkageRegistry.queries, EvalRegistry.queries)
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
   def oracleSql: Map[String, String] = dmerge(dmap(
@@ -380,5 +384,9 @@ object SparkEntry {
         |SELECT *, 'db1' AS observed_in FROM d1
         |UNION ALL SELECT *, 'db2' AS observed_in FROM d2
         |ORDER BY l_orderkey, l_linenumber, observed_in""".stripMargin
-  ), PipelineRegistry.oracles, LinkageRegistry.oracles, EvalRegistry.oracles)
+  ), PipelineRegistry.oracles, TextRegistry.oracles, DedupRegistry.oracles,
+    SimilarityRegistry.oracles, DriftRegistry.oracles,
+    MultimodalRegistry.oracles, EventsRegistry.oracles, WalksRegistry.oracles,
+    StatsRegistry.oracles, ExperimentRegistry.oracles,
+    LinkageRegistry.oracles, EvalRegistry.oracles)
 }

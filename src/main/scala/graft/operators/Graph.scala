@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge-list DataFrames. Complements the
@@ -663,30 +663,49 @@ object Graph {
     *
     * Scale shape — and why this is the cheap member of the biased-walk
     * family: the weights are STATIC across steps, so the cumulative
-    * interval [cum − w, cum) of each edge (ascending-dst rank order)
-    * and the per-src total are folded into the checkpointed adjacency
-    * ONCE at build time. Each step is then (1) a frontier-sized
-    * equi-join to the per-src totals to form the threshold u·total and
-    * (2) an equi-join on the node id whose residual predicate is the
-    * pure interval filter cum − w ≤ thr < cum — NO per-step window, no
-    * per-walk sort. Candidate rows still stream through the step join
-    * (frontier × out-degree produced rows — on a power-law graph walks
-    * concentrate on hubs, so this is hub-degree-bound per step), but
-    * they are filtered as produced, never sorted or materialized per
-    * partition. The accumulated result and the frontier localCheckpoint
-    * every 8 steps so plan depth stays bounded at walkLength = 64.
-    * Dangling nodes truncate. Returns (walk_id, step, node).
+    * interval [cum − w, cum) of each edge (ascending-dst rank order),
+    * the per-src total, AND a coarse interval-bucket key (r17) are
+    * folded into the checkpointed adjacency ONCE at build time. Each
+    * edge is exploded to one row per coarse bucket its interval spans
+    * (bucket b covers thresholds in [b·tot/B, (b+1)·tot/B), B = 1024 —
+    * most edges span one bucket, a few span two, a pathologically
+    * heavy edge spans many, total blowup ≤ |E| + B·|V|). Each step is
+    * then (1) a frontier-sized equi-join to the per-src totals to form
+    * the threshold u·total and its bucket, and (2) an equi-join on
+    * (node, bucket) whose residual predicate is the pure interval
+    * filter cum − w ≤ thr < cum — NO per-step window, and candidate
+    * PRODUCTION is ~out-degree/B per walk step instead of the full
+    * out-degree (the r16 shape produced frontier × degree rows and
+    * filtered them; a 10⁶-walk frontier on a 10⁷-degree hub made 10¹³
+    * candidates — now ~10¹⁰). Selection arithmetic is untouched: the
+    * bucket of the chosen edge always contains the threshold's bucket
+    * (floor and the x·B/tot arithmetic are monotone in IEEE doubles,
+    * computed by the same expression on both sides), so the draws are
+    * bit-identical to the unbucketed join. The accumulated result and
+    * the frontier localCheckpoint every 8 steps so plan depth stays
+    * bounded at walkLength = 64. Dangling nodes truncate. Returns
+    * (walk_id, step, node).
     */
   def weightedWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
                     weightCol: String = "weight", seed: Long = 7L): DataFrame = {
     require(walkLength >= 1 && walkLength <= 64,
       "walkLength in [1, 64] (walks union one frame per step)")
     import org.apache.spark.sql.expressions.Window
+    val nBuckets = 1024
+    // bucket of a threshold-space point x in [0, tot]: computed by the
+    // SAME expression on the adjacency and threshold sides — monotone
+    // in x (IEEE *, / and floor are monotone), so lo ≤ thr < cum
+    // implies bkt(lo) ≤ bkt(thr) ≤ bkt(cum) and the selected edge is
+    // always in the threshold's bucket. The clamp handles x = tot
+    // (the last edge's cum) landing on bucket B
+    def bkt(x: Column, tot: Column): Column =
+      least(floor(x * lit(nBuckets.toDouble) / tot),
+        lit((nBuckets - 1).toLong))
     val rw = Window.partitionBy("src").orderBy("dst")
     // _cum is the sequential running sum in rank order — the exact fold
     // the r15 per-step window computed, now computed once; _tot is the
-    // last cum (max of a non-decreasing prefix), bit-identical to the
-    // old whole-partition window sum, which also folds in row order
+    // whole-partition sum, which folds in the same row order and is
+    // bit-identical to the last _cum
     val nbr = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"),
         col(weightCol).cast("double").as("_w"))
@@ -694,9 +713,14 @@ object Graph {
       .groupBy("src", "dst").agg(sum("_w").as("_w"))
       .select(col("src"), col("dst"), col("_w"),
         sum(col("_w")).over(rw.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)).as("_cum"))
+          Window.unboundedPreceding, Window.currentRow)).as("_cum"),
+        sum(col("_w")).over(rw.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("_tot"))
+      .withColumn("_b", explode(sequence(
+        bkt(col("_cum") - col("_w"), col("_tot")),
+        bkt(col("_cum"), col("_tot")))))
       .localCheckpoint(eager = true)
-    val tots = nbr.groupBy("src").agg(max("_cum").as("_tot"))
+    val tots = nbr.groupBy("src").agg(max("_tot").as("_tot"))
       .withColumnRenamed("src", "_ts")
       .localCheckpoint(eager = true)
     var frontier = starts.select(col("id").cast("long").as("node")).distinct()
@@ -708,16 +732,19 @@ object Graph {
       val u = conv(substring(md5(concat_ws(":", lit("ww"), lit(seed),
           col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(math.scalb(1.0, 60))
-      // threshold first (frontier-sized; AQE broadcasts tots when small),
-      // then the interval filter rides the step join as a residual
-      // predicate — evaluated as rows are produced, nothing sorted
+      // threshold + its coarse bucket first (frontier-sized; AQE
+      // broadcasts tots when small), then the interval filter rides the
+      // (node, bucket) step join as a residual predicate — evaluated as
+      // rows are produced, nothing sorted, ~deg/B candidates per step
       val withThr = frontier.join(tots, col("node") === col("_ts"))
         .withColumn("_thr", u * col("_tot"))
-        .select(col("walk_id"), col("node"), col("_thr"))
+        .withColumn("_tb", bkt(col("_thr"), col("_tot")))
+        .select(col("walk_id"), col("node"), col("_thr"), col("_tb"))
       val step = nbr.select(col("src").as("_ns"), col("dst").as("_cand"),
-        col("_w").as("_cw"), col("_cum").as("_cc"))
+        col("_w").as("_cw"), col("_cum").as("_cc"), col("_b").as("_nb"))
       val picked = withThr.join(step,
-          col("node") === col("_ns") && col("_cc") > col("_thr") &&
+          col("node") === col("_ns") && col("_tb") === col("_nb") &&
+            col("_cc") > col("_thr") &&
             col("_cc") - col("_cw") <= col("_thr"))
         .select(col("walk_id"), col("_cand").as("node"))
       acc = acc.unionByName(
@@ -766,27 +793,37 @@ object Graph {
     * hub-degree-bound: 10⁶ walks standing on a 10⁷-degree hub is 10¹³
     * candidate rows in that step. There is no general way out inside
     * the exact-semantics contract (alias/rejection sampling changes the
-    * draw sequence); for degree-skewed graphs at scale, prefer
-    * [[weightedWalks]] (static intervals, no per-step window) or
+    * draw sequence); the shipped mitigation is `maxDeg` (r17): when
+    * set, [[capOutDegree]] folds into the checkpointed adjacency ONCE,
+    * and the walk is the EXACT node2vec walk over the capped graph —
+    * both the step candidates and the distance-1 flag read the capped
+    * edge set (GraphSAGE-style neighbor sampling, Hamilton et al.
+    * NeurIPS 2017), so per-step cost is bounded by maxDeg per walk
+    * regardless of hub degree. For uncapped degree-skewed graphs at
+    * scale, prefer [[weightedWalks]] (static bucketed intervals) or
     * [[randomWalks]] (md5-index equi-join, no candidate explosion at
-    * all), or cap hub degree upstream. Dangling nodes truncate the walk
-    * (inner join), as in [[randomWalks]]; acc and frontier
-    * localCheckpoint every 8 steps to bound plan depth.
+    * all). Dangling nodes truncate the walk (inner join), as in
+    * [[randomWalks]]; acc and frontier localCheckpoint every 8 steps
+    * to bound plan depth.
     *
     * Returns (walk_id, step, node), step 0 = the start.
     */
   def node2vecWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
                     p: Double = 1.0, q: Double = 1.0,
-                    seed: Long = 7L): DataFrame = {
+                    seed: Long = 7L, maxDeg: Option[Int] = None): DataFrame = {
     require(walkLength >= 1 && walkLength <= 64,
       "walkLength in [1, 64] (walks union one frame per step)")
     require(p > 0 && q > 0, "p and q must be positive")
     import org.apache.spark.sql.expressions.Window
     // e is read by the distance-1 flag join EVERY step (walkLength
     // copies in the final plan): checkpoint it once like nbr, rather
-    // than trusting ReuseExchange to dedupe L distinct() subtrees
-    val e = edges.select(col("src").cast("long").as("src"),
+    // than trusting ReuseExchange to dedupe L distinct() subtrees.
+    // With maxDeg, the cap folds in HERE — one per-src window at build
+    // time — and every downstream read (step candidates AND the
+    // distance-1 flag) sees the capped graph
+    val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+    val e = maxDeg.map(m => capOutDegree(e0, m, seed)).getOrElse(e0)
       .localCheckpoint(eager = true)
     val rw = Window.partitionBy("src").orderBy("dst")
     val nbr = e.select(col("src"), col("dst"),
@@ -847,8 +884,10 @@ object Graph {
     * sampling idea GraphSAGE institutionalized (Hamilton et al.,
     * NeurIPS 2017: fixed-size sampled neighborhoods bound per-node
     * cost on power-law graphs). Each node keeps its `maxDeg` neighbors
-    * with the smallest md5("cap:seed:src:dst") (ties impossible — the
-    * hash input is unique per edge), so the kept set is a pure function
+    * with the smallest md5("cap:seed:src:dst"), ties broken by dst
+    * (hash inputs are unique per edge so collisions are astronomically
+    * unlikely, not impossible — the dst tiebreaker makes the kept set
+    * well-defined even then), so the kept set is a pure function
     * of (seed, data): reproducible across runs and engines, stable
     * under partitioning, and unbiased in the sense that the hash is
     * independent of any edge attribute.
@@ -868,7 +907,7 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val w = Window.partitionBy("src").orderBy(col("_h"))
+    val w = Window.partitionBy("src").orderBy(col("_h"), col("dst"))
     e.withColumn("_h", md5(concat_ws(":", lit("cap"), lit(seed),
         col("src"), col("dst"))))
       .withColumn("_r", row_number().over(w))
@@ -883,12 +922,17 @@ object Graph {
     * Same shape discipline as [[TextAnalysis.skipGrams]]: the `window`
     * lead() calls share ONE window spec (a single walk-keyed
     * shuffle+sort, linear in walk rows regardless of `window`), and the
-    * pair aggregation is map-side combined on observed-pair keys. Only
-    * rightward contexts, orientation preserved — symmetric counts follow
-    * by summing both orientations.
+    * pair aggregation is map-side combined on observed-pair keys. By
+    * default only rightward contexts, orientation preserved; with
+    * `symmetric = true` both orientations of every observed pair are
+    * counted (the skip-gram trainer's view: a window hit contributes to
+    * BOTH (center, context) and (context, center)) — done by mirroring
+    * the extracted pair stream before the one aggregation, so the cost
+    * is the same single shuffle on doubled map-side input.
     */
   def walkContextPairs(walks: DataFrame, window: Int = 2,
-                       minCount: Long = 1L): DataFrame = {
+                       minCount: Long = 1L,
+                       symmetric: Boolean = false): DataFrame = {
     require(window >= 1, "window must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("walk_id").orderBy("step")
@@ -896,10 +940,50 @@ object Graph {
     val withCtx = (1 to window).foldLeft(base) { (d, k) =>
       d.withColumn(s"_ctx$k", lead(col("node"), k).over(w))
     }
-    withCtx
+    val oriented = withCtx
       .select(col("node").as("center"), explode(array_compact(
         array((1 to window).map(k => col(s"_ctx$k")): _*))).as("context"))
+    val pairs =
+      if (symmetric) oriented.unionByName(oriented.select(
+        col("context").as("center"), col("center").as("context")))
+      else oriented
+    pairs
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+  }
+
+  /** word2vec negative-sampling table over a walk corpus: the unigram
+    * distribution of node visits raised to `power` (0.75 in Mikolov et
+    * al., NeurIPS 2013 — flattens the head so frequent nodes aren't
+    * drawn quite proportionally) and normalized to probabilities. A
+    * trainer samples negatives from this table; together with
+    * [[walkContextPairs]](symmetric = true) it completes the
+    * DeepWalk/node2vec training-corpus export.
+    *
+    * Determinism across engines: n^0.75 is computed as
+    * sqrt(n · sqrt(n)) — IEEE sqrt is correctly rounded everywhere and
+    * multiplication is one rounding, so the weight is BIT-IDENTICAL in
+    * any engine, where pow() implementations may differ in the last
+    * ulp. Weights round at 9 dp and the normalizer is their EXACT
+    * DECIMAL(38,9) sum (associativity-free), so the emitted
+    * probabilities are replayable bit-for-bit. A non-default `power`
+    * falls back to pow() (deterministic within Spark).
+    *
+    * Scale shape: one map-side-combined count aggregation over walk
+    * rows, one scalar fold, one broadcast-scalar cross join (1 row) —
+    * never a global window. Emits (node, n, prob).
+    */
+  def negativeTable(walks: DataFrame, power: Double = 0.75): DataFrame = {
+    require(power > 0, "power must be positive")
+    val counts = walks.groupBy(col("node"))
+      .agg(count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    val wRaw = if (power == 0.75) sqrt(nd * sqrt(nd)) else pow(nd, lit(power))
+    val weighted = counts.withColumn("_w9", round(wRaw, 9))
+    val tot = weighted.agg(
+      sum(col("_w9").cast("decimal(38,9)")).as("_tot"))
+    weighted.crossJoin(tot)
+      .select(col("node"), col("n"),
+        round(col("_w9") / col("_tot").cast("double"), 9).as("prob"))
   }
 }

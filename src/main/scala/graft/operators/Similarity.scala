@@ -1114,6 +1114,55 @@ object Similarity {
       .select("probe_id", "match_id", "cosine")
   }
 
+  /** Embedding-space corpus dedup with survivorship — the semantic-dedup
+    * stage of a training pipeline as ONE named operator (r17): keep one
+    * representative per near-duplicate embedding cluster. Where
+    * [[semanticDedupCorpus]] needs an equality block column, this is the
+    * unblocked corpus-scale path: banded hyperplane-LSH candidate pairs
+    * (the [[lshKeyed]] refineAll machinery — the 10×-probe-verified
+    * linear-candidates regime), each verified with one exact codegen'd
+    * cosine, clustered by [[Dedup.connectedComponents]] (min-label
+    * propagation with pointer jumping; driver union-find below the
+    * small-graph threshold), and the min-id member of each component
+    * survives. Unpaired rows always survive. Returns the surviving rows
+    * of `df`, schema unchanged — the deduped corpus, SemDeDup-style
+    * (Abbas et al., 2023, arXiv:2303.09540).
+    *
+    * Scale shape: candidates are same-corpus bucket collisions on the
+    * (t, bucket, sub) equi-join — never all-pairs, no cartesian; the
+    * near-dup edge list is a tiny fraction of the corpus and only IT
+    * flows into the component stage; the survivor filter is one
+    * left join back to the corpus. Recall contract as [[semanticDiff]]:
+    * seeded hyperplanes make a missed pair a deterministic property of
+    * the data (~1e-21 per pair at the default 16×8 in the near-dup
+    * regime) — size (nBits, nTables) via [[hyperplanePlan]] for looser
+    * thresholds. Requires long-castable ids (the component labels).
+    */
+  def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, dim: Int,
+                       nBits: Int = 8, nTables: Int = 16,
+                       maxBucket: Int = 64): DataFrame = {
+    require(minCosine > 0 && minCosine < 1, "minCosine in (0, 1)")
+    val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val refined = lshKeyed(keyed, dim, nBits, nTables, maxBucket, "id", "v",
+      refineAll = true)
+    val l = refined.select(col("t"), col("bucket"), col("sub"),
+      col("id").as("id1"), col("v").as("_v1"))
+    val r = refined.select(col("t"), col("bucket"), col("sub"),
+      col("id").as("id2"), col("v").as("_v2"))
+    // verify in the collision join's projection (the lshCandidates
+    // convention); id1 < id2 halves the candidates and the distinct
+    // collapses multi-table collisions before the component stage
+    val pairs = l.join(r, Seq("t", "bucket", "sub"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosine(col("_v1"), col("_v2")) >= minCosine)
+      .select("id1", "id2").distinct()
+    val comps = Dedup.connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .filter(col(idCol) === col("component")).drop("component")
+  }
+
   /** Hyperplane-LSH banding planner — the cosine-space companion to
     * [[Dedup.lshPlan]], and the table [[semanticDiff]] / [[semanticJoin]] /
     * [[lshTopK]]'s recall contracts tell the caller to read before
@@ -1282,11 +1331,16 @@ object Similarity {
     require(cents1.length <= 256 && cents2.length <= 256,
       "k <= 256 per side: the k1*k2 cosine matrix is solved on the driver " +
         "(the cellMedoids model-size contract)")
+    // fail fast on mismatched codebook dimensions — a truncated dot
+    // product over min(len) with full-length norms would silently
+    // deflate every cosine and skew the greedy matching
+    val dims = (cents1 ++ cents2).map(_.length).distinct
+    require(dims.length == 1,
+      s"all centroids must share one dimension, got ${dims.mkString(", ")}")
     def cos(a: Array[Double], b: Array[Double]): Double = {
-      val m = math.min(a.length, b.length)
       var dot = 0.0; var aa = 0.0; var bb = 0.0
       var i = 0
-      while (i < m) { dot += a(i) * b(i); i += 1 }
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
       i = 0; while (i < a.length) { aa += a(i) * a(i); i += 1 }
       i = 0; while (i < b.length) { bb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(aa) * math.sqrt(bb))

@@ -368,6 +368,29 @@ class EvalCardSpec extends SparkSpecBase {
     assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
+  test("runEmbdrift --pq-codebooks adds the compression-layer axis") {
+    val out = java.nio.file.Files.createTempDirectory("embdrift_pq").toString
+    val books = graft.operators.Pq.fit(
+      Tables.t(spark, "/root/testdata/sf0.001", "embeddings"),
+      m = 4, ksub = 8, vecCol = "embedding")
+    val cbPath = java.nio.file.Files.createTempDirectory("cb").toString
+    graft.operators.Pq.saveCodebooks(spark, books, cbPath)
+    val msg = GraftApp.runEmbdrift(spark, "/root/testdata/sf0.001",
+      "/root/testdata/sf0.001", out, pqCodebooks = Some(cbPath))
+    // identical corpora under one codebook: per-subspace MSEs coincide,
+    // so the worst staleness ratio is exactly 1
+    assert(msg.contains("pq_stale_max=1.000"), msg)
+    assert(msg.contains("pq_subspaces=4"), msg)
+    val pr = spark.read.parquet(s"$out/pq_recon.parquet")
+    assert(pr.count() == 8, "4 subspaces x 2 sides")
+    import org.apache.spark.sql.functions._
+    assert(pr.filter(col("mse").isNull).count() == 0)
+    // without the flag the summary says nothing about PQ
+    val msg2 = GraftApp.runEmbdrift(spark, "/root/testdata/sf0.001",
+      "/root/testdata/sf0.001", out)
+    assert(!msg2.contains("pq_stale_max"), msg2)
+  }
+
   test("runClassify scores the whole corpus once, labels from the seed alphabet") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("classify").toString

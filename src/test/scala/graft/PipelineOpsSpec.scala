@@ -314,6 +314,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.semanticJoin(empty, db2, "id", "v", 0.9, 4).count() == 0L)
   }
 
+  test("semanticDedupLsh: min-id survivor per near-dup component, singletons kept") {
+    import graft.operators.Similarity
+    // component {1, 5, 9}: scaled copies of e1 (cos 1 pairwise, min id
+    // 1 survives); component {2, 7}: e2 and a near-dup (7 drops);
+    // singleton 3 (e3) always survives
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (5L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (9L, Seq(3.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (7L, Seq(0.0, 1.0, 0.01, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "v")
+    val kept = Similarity.semanticDedupLsh(corpus, "id", "v", 0.9, 4)
+    assert(kept.columns.toSeq == Seq("id", "v"), "schema unchanged")
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // tightening the threshold past the {2, 7} near-dup margin
+    // (cos ~0.99995) splits that component but the exact scaled copies
+    // (cos = 1) still collapse
+    val tight = Similarity.semanticDedupLsh(corpus, "id", "v", 0.9999999, 4)
+    assert(tight.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 7L))
+  }
+
   test("mmdDrift: near the noise floor on a null split, far above it on a shift") {
     import graft.operators.Similarity
     // deterministic 4-d point cloud; sides = even/odd index (same

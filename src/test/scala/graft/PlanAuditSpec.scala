@@ -1433,6 +1433,21 @@ class AqeSkewJoinSpec extends SparkSpecBase {
       s"semanticJoin must never go all-pairs:\n$psj")
     assert(!psj.contains("rangepartitioning"),
       s"semanticJoin argmax must be probe-partitioned, not globally sorted:\n$psj")
+    // semanticDedupLsh (r17): the candidate-pair stage is the same
+    // (t, bucket, sub) equi-join — audit it directly (the operator
+    // itself runs connected components eagerly, so its final plan is a
+    // LogicalRDD join; the pair stage is where a cartesian could hide)
+    val refined = graft.operators.Similarity.lshKeyed(
+      emb.select($"vid".as("id"), $"vec".as("v")), 4, 8, 16, 64, "id", "v",
+      refineAll = true)
+    val sd = refined.select($"t", $"bucket", $"sub", $"id".as("id1"),
+        $"v".as("v1"))
+      .join(refined.select($"t", $"bucket", $"sub", $"id".as("id2"),
+        $"v".as("v2")), Seq("t", "bucket", "sub"))
+      .filter($"id1" < $"id2")
+    val psd = planOf(sd)
+    assert(!psd.contains("CartesianProduct"),
+      s"semanticDedupLsh pair stage must never go all-pairs:\n$psd")
     // randomWalks: every step is a node-key equi-join, frontier-bounded
     val edges = spark.range(300).select(($"id" % 40).as("src"),
       (($"id" * 7) % 40).as("dst"))
@@ -1444,7 +1459,9 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     // weightedWalks (r16): the cumulative intervals live in the
     // checkpointed adjacency, so the step plan must contain NO Window
     // node at all — each step is an equi-join with a residual interval
-    // filter, never a per-walk cumulative sort
+    // filter, never a per-walk cumulative sort. r17: the join key must
+    // include the coarse interval bucket (_tb = threshold bucket), so
+    // candidate PRODUCTION is ~deg/1024 per walk step, not deg
     val wedges = edges.withColumn("weight", ($"src" % 3) + 1)
     val ww = graft.operators.Graph.weightedWalks(wedges, starts, 3)
     val pww = planOf(ww)
@@ -1453,6 +1470,8 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(!pww.contains("CartesianProduct"),
       s"weightedWalks steps must stay equi-joins:\n$pww")
     assert(forcedHints(ww) == 0, "weightedWalks must not force-broadcast")
+    assert(pww.contains("_tb"),
+      s"weightedWalks step join must carry the interval-bucket key:\n$pww")
     // mmdDrift: each corpus folds to ONE aggregate row before the only
     // cross join (one-row × one-row — the broadcast scalar idiom)
     val md = graft.operators.Similarity.mmdDrift(emb, emb, "vec", 4)

@@ -387,6 +387,88 @@ class StatsOpsSpec extends SparkSpecBase {
     val pruned = Graph.walkContextPairs(walks, window = 2, minCount = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned == Set((10L, 20L)))
+    // symmetric = true counts both orientations of every window hit:
+    // each rightward pair contributes its mirror too
+    val sym = Graph.walkContextPairs(walks, window = 2, symmetric = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sym == Map(
+      (10L, 20L) -> 2L, (20L, 10L) -> 2L,
+      (10L, 30L) -> 1L, (30L, 10L) -> 1L,
+      (20L, 30L) -> 1L, (30L, 20L) -> 1L))
+  }
+
+  test("negativeTable: unigram^0.75 probabilities, exact normalizer") {
+    // visits: node 10 ×4, node 20 ×1 -> weights 4^0.75 = 2sqrt(2), 1.
+    // sqrt(n*sqrt(n)) spells the 3/4 power in correctly-rounded IEEE ops
+    val walks = Seq((1L, 0L, 10L), (1L, 1L, 10L), (1L, 2L, 10L),
+      (2L, 0L, 10L), (2L, 1L, 20L)).toDF("walk_id", "step", "node")
+    val got = Graph.negativeTable(walks).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 4L && got(20L)._1 == 1L)
+    val w10 = math.sqrt(4.0 * math.sqrt(4.0)) // 2.828427125
+    def r9(x: Double) = // Spark's Round: HALF_UP over the decimal repr
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tot = BigDecimal(r9(w10)) + BigDecimal(1.0)
+    assert(got(10L)._2 == r9(r9(w10) / tot.toDouble), s"got $got")
+    assert(got(20L)._2 == r9(1.0 / tot.toDouble))
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-8,
+      "probabilities must sum to ~1")
+    // a non-default power still normalizes
+    val sq = Graph.negativeTable(walks, power = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sq(10L) == 0.8 && sq(20L) == 0.2)
+  }
+
+  test("node2vecWalks maxDeg: in-operator cap == walking the capped graph") {
+    // a 40-out-degree hub: maxDeg=4 inside the operator must produce
+    // EXACTLY the walk over the explicitly pre-capped edge list (same
+    // seed feeds the cap), and every step must traverse capped edges
+    val hub = spark.range(40).select(lit(0L).as("src"), ($"id" + 10L).as("dst"))
+      .unionByName(spark.range(40).select(($"id" + 10L).as("src"),
+        (($"id" + 1L) % 40L + 10L).as("dst")))
+    val starts = Seq(0L).toDF("id")
+    val inOp = Graph.node2vecWalks(hub, starts, walkLength = 4,
+        p = 2.0, q = 4.0, maxDeg = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val preCapped = Graph.node2vecWalks(Graph.capOutDegree(hub, 4),
+        starts, walkLength = 4, p = 2.0, q = 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(inOp.toSeq == preCapped.toSeq,
+      "maxDeg must equal the explicit capOutDegree composition")
+    val kept = Graph.capOutDegree(hub, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    inOp.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(kept((a, b)), s"walk took uncapped edge $a->$b")
+      case _         =>
+    }
+  }
+
+  test("weightedWalks bucketed step join replays the interval draw exactly") {
+    // 600 neighbors with mixed weights: the r17 (node, bucket) join must
+    // pick the SAME neighbor as a driver-side replay of the cumulative
+    // interval selection — the bucket key narrows candidates, never
+    // changes the draw
+    val edges = spark.range(600).select(lit(0L).as("src"),
+      ($"id" + 1L).as("dst"), (($"id" % 7L) + 1L).as("weight"))
+    val got = Graph.weightedWalks(edges, Seq(0L).toDF("id"), walkLength = 1)
+      .filter($"step" === 1).collect().map(_.getLong(2)).toSeq
+    // replay: ascending-dst rank order, exact integer cumsums
+    val ws = (1L to 600L).map(d => d -> (((d - 1) % 7) + 1).toDouble)
+    val tot = ws.map(_._2).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("ww:7:0:1:0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(hex.take(15), 16).toDouble /
+      math.scalb(1.0, 60)
+    val thr = u * tot
+    var cum = 0.0
+    var expect = -1L
+    ws.foreach { case (d, w) =>
+      val lo = cum
+      cum += w
+      if (expect < 0 && cum > thr && lo <= thr) expect = d
+    }
+    assert(got == Seq(expect), s"bucketed draw $got != replay $expect")
   }
 
   test("kCore peels a chain completely and keeps a clique; empty below k") {
