@@ -128,7 +128,11 @@ object GraftApp {
       val ratios = mse.keys.collect { case ("db2", j) =>
         val b = mse(("db1", j))
         val c = mse(("db2", j))
-        if (b > 0) c / b else Double.PositiveInfinity
+        // an exactly-zero baseline (codebook == the data) is stale only
+        // if db2 actually moved off it
+        if (b > 0) c / b
+        else if (c == 0) 1.0
+        else Double.PositiveInfinity
       }.toSeq
       f" pq_stale_max=${ratios.max}%.3f pq_subspaces=${ratios.length}"
     }
@@ -183,6 +187,31 @@ object GraftApp {
       s"semdiff (cos >= $minCos): db1-only=${counts.getOrElse("db1", 0L)} " +
         s"db2-only=${counts.getOrElse("db2", 0L)} -> $out"
     }
+  }
+
+  /** The `graft semdedup` body, session passed in so specs can drive
+    * it: the semantic-dedup stage of a training pipeline as one command
+    * ([[graft.operators.Similarity.semanticDedupLsh]] — banded
+    * hyperplane-LSH pairs → connected components → min-id survivor).
+    * Writes the surviving rows (schema unchanged) to
+    * `deduped.parquet` and returns the summary line main() prints.
+    */
+  def runSemdedup(spark: SparkSession, in: String, out: String,
+                  minCos: Double = 0.95, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): String = {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.t(spark, in, "embeddings")
+    val dimProbe = corpus.select(size(col(vecCol))).limit(1).collect()
+    if (dimProbe.isEmpty)
+      sys.error(s"semdedup: corpus at $in is empty — nothing to dedup")
+    val dim = dimProbe.head.getInt(0)
+    val kept = graft.operators.Similarity
+      .semanticDedupLsh(corpus, idCol, vecCol, minCos, dim)
+    kept.write.mode("overwrite").parquet(s"$out/deduped.parquet")
+    val nKept = spark.read.parquet(s"$out/deduped.parquet").count()
+    val nIn = corpus.count()
+    f"semdedup (cos >= $minCos): kept=$nKept of $nIn " +
+      f"(dropped=${nIn - nKept}, ${100.0 * (nIn - nKept) / math.max(nIn, 1L)}%.2f%%) -> $out"
   }
 
   /** The `evalcard` subcommand body, factored for direct spec drive:
@@ -452,6 +481,22 @@ object GraftApp {
       val spark = buildSession()
       spark.sparkContext.setLogLevel("WARN")
       try println(runSemdiff(spark, in1, in2, out, minCos, idCol, vecCol, doJoin))
+      finally spark.stop()
+      return
+    }
+    if (cmd == "semdedup") {
+      // the semantic-dedup pipeline stage as one command: keep one
+      // representative per near-dup embedding cluster
+      // (operators.Similarity.semanticDedupLsh), write the survivors
+      val in = opts.getOrElse("input",
+        sys.error("semdedup requires --input <dir containing embeddings.parquet>"))
+      val out = opts.getOrElse("output", "semdedup_out")
+      val minCos = opts.get("min-cosine").map(_.toDouble).getOrElse(0.95)
+      val idCol = opts.getOrElse("id-col", "vec_id")
+      val vecCol = opts.getOrElse("vec-col", "embedding")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try println(runSemdedup(spark, in, out, minCos, idCol, vecCol))
       finally spark.stop()
       return
     }

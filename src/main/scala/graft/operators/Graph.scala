@@ -575,10 +575,17 @@ object Graph {
     * (seed, data), so walks are reproducible across runs, engines and
     * cluster sizes (the same content-addressed discipline as
     * [[TextAnalysis.hashBucket]] splits, and what makes the DuckDB
-    * oracle replay the walks bit-for-bit). Walks start one per
-    * `starts` row (walk_id = the start node) and END EARLY at dangling
+    * oracle replay the walks bit-for-bit). Walks END EARLY at dangling
     * nodes (no out-edges): the inner join to the degree table drops
     * them, matching the truncated-walk semantics of the papers.
+    *
+    * `walksPerNode` (r17) is DeepWalk's γ: the papers run several
+    * independent walks per start node, not one. With γ = 1 (default)
+    * walk_id = the start node (the historical contract); with γ > 1,
+    * walk r ∈ [0, γ) from node u gets walk_id = u·γ + r (injective),
+    * and since the step hash is keyed on walk_id, the γ walks from one
+    * node draw independently — more corpus per node at linear cost,
+    * replayable by the same oracle arithmetic.
     *
     * Returns (walk_id, step, node), step 0 = the start itself.
     *
@@ -587,15 +594,17 @@ object Graph {
     * window) — and persisted across all steps. Each step is two
     * equi-joins on the node id (degree lookup to compute the index,
     * then (src, rnk) lookup to step), both shuffle-partitioned on the
-    * same key, frontier size ≤ |starts| throughout; nothing collects,
+    * same key, frontier size ≤ γ·|starts| throughout; nothing collects,
     * nothing broadcasts by force (AQE broadcasts the degree side when
     * it fits). walkLength is a small constant, so the unioned lineage
     * stays shallow.
     */
   def randomWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
-                  seed: Long = 7L): DataFrame = {
+                  seed: Long = 7L, walksPerNode: Int = 1): DataFrame = {
     require(walkLength >= 1 && walkLength <= 64,
       "walkLength in [1, 64] (walks union one frame per step)")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1, 1024]")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
@@ -610,8 +619,11 @@ object Graph {
       .localCheckpoint(eager = true)
     val degs = nbr.groupBy("src").agg(max("deg").as("deg"))
       .withColumnRenamed("src", "node")
-    var frontier = starts.select(col("id").cast("long").as("node")).distinct()
-      .withColumn("walk_id", col("node"))
+    val base = starts.select(col("id").cast("long").as("node")).distinct()
+    var frontier = (if (walksPerNode == 1) base.withColumn("walk_id", col("node"))
+      else base.select(col("node"), explode(sequence(lit(0L),
+          lit(walksPerNode - 1L))).as("_r"))
+        .withColumn("walk_id", col("node") * walksPerNode + col("_r")))
       .select("walk_id", "node")
     var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
     var k = 1
@@ -985,5 +997,40 @@ object Graph {
     weighted.crossJoin(tot)
       .select(col("node"), col("n"),
         round(col("_w9") / col("_tot").cast("double"), 9).as("prob"))
+  }
+
+  /** Shifted positive PMI over (center, context, n) pair counts — the
+    * co-occurrence weighting skip-gram-with-negative-sampling implicitly
+    * factorizes (Levy & Goldberg, NeurIPS 2014: SGNS ≈ factorizing the
+    * PMI matrix shifted by log k). Feeds count-based embeddings (SVD of
+    * the SPPMI matrix) or inspection of what the walk corpus actually
+    * encodes: ppmi = max(0, ln(n·T / (n_center·n_context)) − ln(negK)),
+    * with T the total pair count and the margins exact integer sums.
+    *
+    * Determinism: every log argument is a ratio of EXACT long counts
+    * (cast to double only at the division) with the k shift folded
+    * INSIDE the log (ln(x/k), so both engines take ln of the
+    * bit-identical argument rather than subtracting two ln results);
+    * one ln() per row, rounded at 6 dp — the
+    * [[Similarity.hyperplanePlan]] libm convention.
+    *
+    * Scale shape: two map-side-combined margin aggregations, two
+    * equi-joins back on the pair keys, one broadcast-scalar cross join
+    * (1 row) for T — never a global window or collect. Emits
+    * (center, context, n, ppmi); zero-clipped rows are KEPT (the
+    * sparsity pattern is the signal), filter afterwards if not.
+    */
+  def ppmiPairs(pairs: DataFrame, negK: Double = 1.0): DataFrame = {
+    require(negK >= 1.0, "negK >= 1 (the SGNS negative-sample count)")
+    val tot = pairs.agg(sum(col("n")).as("_T"))
+    val rowm = pairs.groupBy("center").agg(sum("n").as("_nc"))
+    val colm = pairs.groupBy("context").agg(sum("n").as("_nx"))
+    pairs.join(rowm, "center").join(colm, "context").crossJoin(tot)
+      .select(col("center"), col("context"), col("n"),
+        round(greatest(
+          log(col("n").cast("double") * col("_T").cast("double") /
+            (col("_nc").cast("double") * col("_nx").cast("double")) /
+            lit(negK)),
+          lit(0.0)), 6).as("ppmi"))
   }
 }

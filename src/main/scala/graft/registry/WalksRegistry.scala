@@ -194,6 +194,35 @@ private[graft] object WalksRegistry {
     //      sample the node2vec hub contract points to): keep the maxDeg
     //      neighbors with smallest md5("cap:seed:src:dst") — a pure
     //      function of (seed, data) the oracle ranks identically ----
+    // ---- DeepWalk's γ (r17): walksPerNode = 3 independent walks per
+    //      start — walk_id = node·3 + r keys the step hash, so the
+    //      three walks from one node draw independently; the oracle
+    //      replays the same id arithmetic ----
+    "q_walk_corpus" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.randomWalks(edges, starts, walkLength = 4, walksPerNode = 3)
+        .orderBy("walk_id", "step", "node")
+    }),
+
+    // ---- shifted positive PMI over the walk pair counts (r17): the
+    //      matrix SGNS implicitly factorizes (Levy & Goldberg '14),
+    //      negK = 4; exact long margins, ln of the bit-identical
+    //      folded ratio, 6 dp ----
+    "q_ppmi" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      val walks = Graph.randomWalks(edges, starts, walkLength = 4)
+      Graph.ppmiPairs(Graph.walkContextPairs(walks, window = 2), negK = 4.0)
+        .orderBy("center", "context")
+    }),
+
     // ---- node2vec over the CAPPED graph (r17): maxDeg composes
     //      capOutDegree into the operator's checkpointed adjacency, so
     //      the exact second-order walk runs on a bounded-degree graph —
@@ -257,6 +286,60 @@ private[graft] object WalksRegistry {
         |      CAST(dst AS VARCHAR)), dst) AS rn
         |  FROM e)
         |SELECT src, dst FROM r WHERE rn <= 3 ORDER BY src, dst""".stripMargin,
+
+    // γ-walk replay: walk_id = node*3 + r cross-joined starts, the
+    // same md5-indexed step arithmetic keyed on walk_id
+    "q_walk_corpus" -> {
+      def stepCte(k: Int): String =
+        s"""g$k AS (SELECT f.walk_id, n.dst AS node FROM g${k - 1} f
+           |  JOIN gnbr n ON n.src = f.node AND n.rnk =
+           |    CAST(CAST(('0x' || substr(md5('rw:7:' ||
+           |      CAST(f.walk_id AS VARCHAR) || ':$k:' ||
+           |      CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+           |      % n.deg)""".stripMargin
+      s"""WITH ge AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
+        |    CAST(l_suppkey % 500 AS BIGINT) AS dst FROM lineitem),
+        |gnbr AS (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+        |      AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM ge),
+        |g0 AS (SELECT s.src * 3 + r.r AS walk_id, s.src AS node
+        |  FROM (SELECT DISTINCT src FROM ge WHERE src % 7 = 0) s
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r),
+        |${stepCte(1)},
+        |${stepCte(2)},
+        |${stepCte(3)},
+        |${stepCte(4)}
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM g0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM g1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM g2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM g3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM g4
+        |ORDER BY walk_id, step, node""".stripMargin
+    },
+
+    // SPPMI replay: the q_walk_skipgrams pair counts, exact long
+    // margins, ln of the folded ratio (shift inside the log), 6 dp
+    "q_ppmi" ->
+      s"""WITH $walkOracleCtes,
+        |c AS (SELECT node AS center,
+        |    lead(node, 1) OVER win AS c1,
+        |    lead(node, 2) OVER win AS c2
+        |  FROM steps WINDOW win AS (PARTITION BY walk_id ORDER BY step)),
+        |pr AS (
+        |  SELECT center, c1 AS context FROM c WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL),
+        |pc AS (SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2),
+        |tt AS (SELECT SUM(n) AS t FROM pc),
+        |rm AS (SELECT center, SUM(n) AS nc FROM pc GROUP BY center),
+        |cm AS (SELECT context, SUM(n) AS nx FROM pc GROUP BY context)
+        |SELECT p.center, p.context, p.n,
+        |  round(greatest(ln(CAST(p.n AS DOUBLE) * CAST(tt.t AS DOUBLE) /
+        |    (CAST(rm.nc AS DOUBLE) * CAST(cm.nx AS DOUBLE)) / 4.0),
+        |    0.0), 6) AS ppmi
+        |FROM pc p JOIN rm USING (center) JOIN cm USING (context)
+        |CROSS JOIN tt ORDER BY center, context""".stripMargin,
 
     // node2vec replay over the CAPPED adjacency: the md5-ranked cap
     // (dst tiebreaker, as the operator) feeds both the step candidates

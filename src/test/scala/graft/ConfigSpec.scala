@@ -368,6 +368,34 @@ class EvalCardSpec extends SparkSpecBase {
     assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
+  test("runSemdedup keeps one representative per near-dup cluster") {
+    import org.apache.spark.sql.functions._
+    // corpus = embeddings plus an exact copy of every vec_id%5==0 row
+    // under a shifted id: each copy pair collapses to the lower id
+    val base = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val copies = base.filter(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val in = java.nio.file.Files.createTempDirectory("semdedup_in").toString
+    base.unionByName(copies).write.mode("overwrite")
+      .parquet(s"$in/embeddings.parquet")
+    val out = java.nio.file.Files.createTempDirectory("semdedup_out").toString
+    val msg = GraftApp.runSemdedup(spark, in, out, minCos = 0.99)
+    val kept = spark.read.parquet(s"$out/deduped.parquet")
+    val nBase = base.count()
+    val nCopies = copies.count()
+    assert(msg.contains(s"kept=$nBase of ${nBase + nCopies}"), msg)
+    // survivors are exactly the original ids (min id per copy pair)
+    assert(kept.filter(col("vec_id") >= 10000000L).count() == 0)
+    assert(kept.count() == nBase)
+    // empty corpus fails with the clear message
+    val empty = java.nio.file.Files.createTempDirectory("semdedup_e").toString
+    base.limit(0).write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val e = intercept[RuntimeException] {
+      GraftApp.runSemdedup(spark, empty, out)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("runEmbdrift --pq-codebooks adds the compression-layer axis") {
     val out = java.nio.file.Files.createTempDirectory("embdrift_pq").toString
     val books = graft.operators.Pq.fit(

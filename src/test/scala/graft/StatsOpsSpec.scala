@@ -397,6 +397,54 @@ class StatsOpsSpec extends SparkSpecBase {
       (20L, 30L) -> 1L, (30L, 20L) -> 1L))
   }
 
+  test("randomWalks walksPerNode: gamma independent walks per start") {
+    // 3-cycle (never truncates): gamma=4 must yield 4 full walks per
+    // start with distinct ids node*4+r, each a valid edge path, and the
+    // gamma=1 contract (walk_id = node) unchanged
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("id")
+    val rows = Graph.randomWalks(edges, starts, walkLength = 4, walksPerNode = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = rows.groupBy(_._1)
+    assert(byWalk.keySet == Set(0L, 1L, 2L, 3L), s"ids ${byWalk.keySet}")
+    val edgeSet = Set((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+    byWalk.foreach { case (_, rs) =>
+      val path = rs.sortBy(_._2).map(_._3).toSeq
+      assert(path.head == 0L && path.length == 5)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)), s"non-edge $a->$b")
+        case _         =>
+      }
+    }
+    // independence: node 0 has 2 neighbors, so 4 hash-keyed first steps
+    // must not all agree (md5 differs per walk_id; for this fixture the
+    // draws split) — and gamma=1 still labels by the start node
+    val firsts = byWalk.values.map(_.sortBy(_._2).map(_._3).apply(1)).toSet
+    assert(firsts.size > 1, s"walks must draw independently: $firsts")
+    val g1 = Graph.randomWalks(edges, starts, walkLength = 2)
+      .select("walk_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(g1 == Set(0L))
+  }
+
+  test("ppmiPairs: exact-margin SPPMI, zero-clipped rows kept") {
+    // pairs: (a,b)=4, (a,c)=1, (d,c)=1; T=6, row a=5, d=1; col b=4, c=2.
+    // pmi(a,b)=ln(4*6/(5*4)); with negK=2 folded inside the log
+    val pairs = Seq((1L, 2L, 4L), (1L, 3L, 1L), (4L, 3L, 1L))
+      .toDF("center", "context", "n")
+    def exp(n: Long, nc: Long, nx: Long, k: Double) =
+      BigDecimal(math.max(0.0, math.log(n.toDouble * 6.0 / (nc * nx).toDouble / k)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Graph.ppmiPairs(pairs, negK = 2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (4L, 3L)),
+      "zero-clipped rows must be kept")
+    assert(got((1L, 2L)) == exp(4, 5, 4, 2.0))
+    assert(got((1L, 3L)) == exp(1, 5, 2, 2.0))
+    assert(got((4L, 3L)) == exp(1, 1, 2, 2.0))
+    // ln(1*6/(5*2)/2) < 0 -> clipped to exactly 0
+    assert(got((1L, 3L)) == 0.0)
+  }
+
   test("negativeTable: unigram^0.75 probabilities, exact normalizer") {
     // visits: node 10 ×4, node 20 ×1 -> weights 4^0.75 = 2sqrt(2), 1.
     // sqrt(n*sqrt(n)) spells the 3/4 power in correctly-rounded IEEE ops
