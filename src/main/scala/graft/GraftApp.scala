@@ -125,7 +125,9 @@ object GraftApp {
         .write.mode("overwrite").parquet(s"$out/pq_recon.parquet")
       val mse = spark.read.parquet(s"$out/pq_recon.parquet").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
-      val ratios = mse.keys.collect { case ("db2", j) =>
+      // keys is a SET — collect straight off it would dedupe equal
+      // ratios (identical corpora -> all exactly 1.0 -> one element)
+      val ratios = mse.keys.toSeq.collect { case ("db2", j) =>
         val b = mse(("db1", j))
         val c = mse(("db2", j))
         // an exactly-zero baseline (codebook == the data) is stale only
@@ -133,7 +135,7 @@ object GraftApp {
         if (b > 0) c / b
         else if (c == 0) 1.0
         else Double.PositiveInfinity
-      }.toSeq
+      }
       f" pq_stale_max=${ratios.max}%.3f pq_subspaces=${ratios.length}"
     }
     // NULL mmd2 can still reach here via a degenerate null split

@@ -1163,6 +1163,68 @@ object Similarity {
       .filter(col(idCol) === col("component")).drop("component")
   }
 
+  /** Incremental semantic dedup — [[semanticDedupLsh]] for a GROWING
+    * corpus (the [[Dedup.dedupAgainstIndex]] question asked in
+    * embedding space): from a batch of `novel` rows, keep those with
+    * (a) no near-neighbor (exact cosine ≥ `minCosine`) in the existing
+    * `corpus`, and (b) the min-id representative per near-dup component
+    * WITHIN the surviving batch. Returns the surviving `novel` rows,
+    * schema unchanged — exactly what gets appended to the corpus.
+    * Stated caveat: a batch row whose only link to the corpus is
+    * TRANSITIVE (near-dup of a batch row that is itself a corpus
+    * near-dup) survives step (a) by construction — the two-step
+    * definition is what an engine can replay exactly, and at near-dup
+    * thresholds the transitive leak is a margin case.
+    *
+    * Scale shape: ONE union through [[lshKeyed]] in refineAll mode
+    * (split keys would zero the collision set — the [[semanticJoin]]
+    * lesson), so batch-vs-corpus and batch-vs-batch candidates come off
+    * the same hashed table; cross-side collisions verify and fold to a
+    * bounded matched-id set that anti-joins the batch; within-batch
+    * pairs among the remainder flow to [[Dedup.connectedComponents]].
+    * No cartesian anywhere; the corpus is never collected or broadcast.
+    * Recall contract as [[semanticDiff]] (seeded hyperplanes, ~1e-21
+    * per-pair miss at the default 16×8 in the near-dup regime).
+    */
+  def semanticDedupIncrement(novel: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String,
+                             minCosine: Double, dim: Int,
+                             nBits: Int = 8, nTables: Int = 16,
+                             maxBucket: Int = 64): DataFrame = {
+    require(minCosine > 0 && minCosine < 1, "minCosine in (0, 1)")
+    def side(df: DataFrame, tag: String) =
+      df.select(lit(tag).as("_side"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+    val u = side(novel, "new").unionByName(side(corpus, "old"))
+    val refined = lshKeyed(u, dim, nBits, nTables, maxBucket, "id", "v",
+      extra = Seq("_side"), refineAll = true)
+    val nw = refined.filter(col("_side") === "new")
+      .select(col("t"), col("bucket"), col("sub"),
+        col("id").as("_nid"), col("v").as("_nv"))
+    val old = refined.filter(col("_side") === "old")
+      .select(col("t"), col("bucket"), col("sub"), col("v").as("_ov"))
+    // (a) batch rows with a corpus near-neighbor — bounded distinct
+    val dupOfCorpus = nw.join(old, Seq("t", "bucket", "sub"))
+      .filter(cosine(col("_nv"), col("_ov")) >= minCosine)
+      .select(col("_nid").as("id")).distinct()
+    // (b) within-batch components among the remainder, min-id survivor
+    val rem = nw.join(dupOfCorpus.withColumnRenamed("id", "_nid"),
+      Seq("_nid"), "left_anti")
+    val pairs = rem.select(col("t"), col("bucket"), col("sub"),
+        col("_nid").as("id1"), col("_nv").as("_v1"))
+      .join(rem.select(col("t"), col("bucket"), col("sub"),
+        col("_nid").as("id2"), col("_nv").as("_v2")), Seq("t", "bucket", "sub"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosine(col("_v1"), col("_v2")) >= minCosine)
+      .select("id1", "id2").distinct()
+    val comps = Dedup.connectedComponents(pairs)
+    novel
+      .join(dupOfCorpus.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .filter(col(idCol) === col("component")).drop("component")
+  }
+
   /** Hyperplane-LSH banding planner — the cosine-space companion to
     * [[Dedup.lshPlan]], and the table [[semanticDiff]] / [[semanticJoin]] /
     * [[lshTopK]]'s recall contracts tell the caller to read before

@@ -174,6 +174,34 @@ private[graft] object SimilarityRegistry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // ---- incremental semantic dedup (r17): corpus = embeddings; the
+    //      novel batch plants all three fates — twins of %3==0 (+1M,
+    //      corpus near-dups -> dropped), negations of %3==1 (+2M, truly
+    //      novel -> survive), exact copies of those negations (+4M,
+    //      within-batch dups -> min-id +2M survives). Oracle is exact:
+    //      brute-force NOT EXISTS vs corpus, then recursive-CC min-id
+    //      among the remainder ----
+    "q_semantic_dedup_inc" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // `_oid` pre-projection: see q_semantic_join
+      val twins = base.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("_oid"), col("v"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) => x * (lit(1.0) +
+            lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
+            .as("v"))
+      val novelNeg = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val negCopies = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(4000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val batch = twins.unionByName(novelNeg).unionByName(negCopies)
+      Similarity.semanticDedupIncrement(batch, base, "vec_id", "v", 0.9, 64)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
 
     // ---- hyperplane-LSH banding planner at the semantic-diff regime
     //      (target cos 0.9, distractor 0.6): the s-curve table the
@@ -585,6 +613,38 @@ private[graft] object SimilarityRegistry {
         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
         |SELECT c.vec_id FROM corpus c JOIN comp ON comp.id = c.vec_id
         |WHERE comp.component = c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+    // EXACT truth for the incremental dedup: brute-force NOT EXISTS vs
+    // the corpus, then recursive min-label components among the
+    // remaining batch rows, min-id survivor
+    "q_semantic_dedup_inc" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |tw AS (SELECT b.vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i -> b.ve[i + 1] * (1.0 +
+        |      0.02 * sin(CAST(i AS DOUBLE) + CAST(b.vec_id AS DOUBLE)))) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 0),
+        |ng AS (SELECT b.vec_id + 2000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |nc AS (SELECT b.vec_id + 4000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |batch AS (SELECT * FROM tw UNION ALL SELECT * FROM ng
+        |  UNION ALL SELECT * FROM nc),
+        |kept1 AS (SELECT a.vec_id, a.ve FROM batch a WHERE NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE $cosSql >= 0.9)),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM kept1 a
+        |  JOIN kept1 b ON a.vec_id < b.vec_id WHERE $cosSql >= 0.9),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION SELECT id2, id1 FROM p),
+        |reach AS (SELECT vec_id AS id, vec_id AS lab FROM kept1
+        |          UNION SELECT e.a, r.lab FROM edges e
+        |            JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT k.vec_id FROM kept1 k JOIN comp ON comp.id = k.vec_id
+        |WHERE comp.component = k.vec_id ORDER BY k.vec_id""".stripMargin,
 
 
     // closed-form replay of the hyperplane s-curve grid (acos/pow/pi

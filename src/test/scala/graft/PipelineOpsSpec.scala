@@ -338,6 +338,28 @@ class SimilaritySpec extends SparkSpecBase {
       Set(1L, 2L, 3L, 7L))
   }
 
+  test("semanticDedupIncrement: corpus dups drop, batch dups collapse, novel survives") {
+    import graft.operators.Similarity
+    // corpus: e1, e2. batch: scaled e1 (corpus dup -> drops), two copies
+    // of e3 (within-batch dup -> min id 11 survives), e4 (novel)
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+    val batch = Seq(
+      (10L, Seq(3.0, 0.0, 0.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (12L, Seq(0.0, 0.0, 2.0, 0.0)),
+      (13L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val kept = Similarity.semanticDedupIncrement(batch, corpus, "id", "v", 0.9, 4)
+    assert(kept.columns.toSeq == Seq("id", "v"), "schema unchanged")
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    // empty corpus degenerates to semanticDedupLsh on the batch
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val all = Similarity.semanticDedupIncrement(batch, empty, "id", "v", 0.9, 4)
+    assert(all.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L, 13L))
+  }
+
   test("mmdDrift: near the noise floor on a null split, far above it on a shift") {
     import graft.operators.Similarity
     // deterministic 4-d point cloud; sides = even/odd index (same
