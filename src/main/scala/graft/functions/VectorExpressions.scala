@@ -348,3 +348,66 @@ object RffFeatures {
   def apply(vec: Column, weights: Array[Array[Double]], biases: Array[Double]): Column =
     ColumnBridge.column(RffFeatures(ColumnBridge.expression(vec), weights, biases))
 }
+
+/** Affine matrix projection kernel: out_j = (Σ_i (x_i − means_i)·rows_j_i)
+  * · scales_j, rounded at 9 dp. One reference-object codegen kernel (the
+  * [[RffFeatures]] pattern) instead of k×dim plan literals (the measured
+  * Janino-blowup pathology) — the PCA/whitening hot path of
+  * [[graft.operators.Similarity.pcaProject]].
+  */
+case class ProjectVec(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      rows: Array[Array[Double]], means: Array[Double],
+                      scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(rows.length == scales.length, "one scale per output row")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    et match {
+      case DoubleType => while (i < n) { x(i) = v.getDouble(i); i += 1 }
+      case FloatType => while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+      case other => throw new IllegalArgumentException(s"project_vec over $other")
+    }
+    val out = new Array[Double](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      val w = rows(j)
+      val m = math.min(math.min(n, w.length), means.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += (x(i) - means(i)) * w(i); i += 1 }
+      val s = dot * scales(j)
+      out(j) =
+        if (s.isNaN || s.isInfinite) s
+        else BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("projectVec", this, classOf[ProjectVec].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.compute($v);")
+  }
+
+  override def prettyName: String = "project_vec"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ProjectVec =
+    copy(child = c)
+}
+
+object ProjectVec {
+  def apply(vec: Column, rows: Array[Array[Double]], means: Array[Double],
+            scales: Array[Double]): Column =
+    ColumnBridge.column(ProjectVec(ColumnBridge.expression(vec), rows, means, scales))
+}

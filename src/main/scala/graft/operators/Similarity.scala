@@ -567,6 +567,136 @@ object Similarity {
     if (v(lead) < 0) v.map(-_) else v
   }
 
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * d×d matrix (driver-side, model-sized — the [[topComponent]] /
+    * [[cellMatching]] contract class). Returns (eigenvalues,
+    * eigenvectors-as-rows), ordered by eigenvalue desc then original
+    * diagonal index asc; each vector's largest-|coordinate| entry is
+    * made positive (first occurrence on ties). Pure function of the
+    * input matrix: fixed sweep order (p < q row-major), fixed 1e-12
+    * relative off-diagonal threshold, max 64 sweeps — no RNG, no
+    * data-dependent branching beyond the values themselves. An exactly
+    * diagonal input performs ZERO rotations, so axis-aligned fixtures
+    * replay in closed form.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(1e-300,
+      a0.map(_.map(math.abs).max).max)
+    var sweep = 0
+    var changed = true
+    while (sweep < 64 && changed) {
+      changed = false
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-12 * scale) {
+            changed = true
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+                case x   => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(p)(k); val vkq = v(q)(k)
+              v(p)(k) = c * vkp - s * vkq
+              v(q)(k) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val row = v(i)
+      val lead = row.indices.maxBy(j => math.abs(row(j)))
+      if (row(lead) < 0) row.map(-_) else row.clone()
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA projection onto the top-k principal components — the
+    * dimensionality-reduction front end of the ANN stack (project 64-d
+    * embeddings to 8-d before IVF/LSH when recall tolerates it) and
+    * the `whiten` path that equalizes per-component variance before PQ
+    * (whitened subspaces quantize with balanced error). The data-scale
+    * work is [[gramMatrix]]'s single distributed pass (+ one per-dim
+    * mean fold when `center`); the d×d eigen-solve is [[jacobiEigen]]
+    * on the driver (model-sized, deterministic), and the projection is
+    * ONE reference-object codegen kernel per row
+    * ([[graft.functions.ProjectVec]]) — never k×d plan literals.
+    *
+    * `center = false` projects raw second moments (exactly replayable
+    * on axis-aligned fixtures: a diagonal Gram performs zero Jacobi
+    * rotations); `center = true` subtracts the per-dim mean first (the
+    * textbook covariance PCA). `whiten` scales component j by
+    * 1/sqrt(λ_j) (components with λ ≤ 0 scale by 0 — degenerate
+    * directions carry no signal). Emits (idCol, pca array<double>
+    * length k), values rounded at 9 dp in the kernel.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 center: Boolean = true, whiten: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val vd = asDouble(col(vecCol))
+    val rows = gramMatrix(df, vecCol).collect()
+    require(rows.nonEmpty, "empty corpus")
+    val d = rows.map(_.getInt(1)).max + 1
+    require(k <= d, s"k = $k exceeds dimension $d")
+    val n = rows.map(_.getLong(3)).max.toDouble
+    val g = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, x) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      g(i)(j) = x / n; g(j)(i) = x / n
+    }
+    val means =
+      if (!center) new Array[Double](d)
+      else {
+        val sums = df.select(posexplode(vd).as(Seq("_i", "_x")))
+          .groupBy("_i").agg(sum(col("_x").cast("decimal(38,12)")).as("_s"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+        Array.tabulate(d)(i =>
+          sums.get(i).map(_.doubleValue / n).getOrElse(0.0))
+      }
+    if (center) {
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { g(i)(j) -= means(i) * means(j); j += 1 }
+        i += 1
+      }
+    }
+    val (vals, vecs) = jacobiEigen(g)
+    val scales = Array.tabulate(k)(j =>
+      if (!whiten) 1.0
+      else if (vals(j) > 0) 1.0 / math.sqrt(vals(j))
+      else 0.0)
+    df.select(col(idCol),
+      graft.functions.ProjectVec(vd, vecs.take(k), means, scales).as("pca"))
+  }
+
   /** Per-label mean embedding (supervised class centroids — the "one
     * prototype per label" artifact used for nearest-centroid
     * classification and label-noise auditing). One posexplode + one

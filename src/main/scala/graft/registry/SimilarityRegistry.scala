@@ -203,6 +203,24 @@ private[graft] object SimilarityRegistry {
     }),
 
 
+    // ---- PCA projection (r17): axis-aligned planted fixture — vectors
+    //      carry mass only on dim vec_id%4, so the uncentered Gram is
+    //      EXACTLY diagonal, Jacobi performs zero rotations, and the
+    //      top-2 components are the two highest-second-moment axes; the
+    //      oracle ranks the per-dim moments and projects in closed
+    //      form. Exploded to scalars (vec_id, component, value) ----
+    "q_pca_project" -> ((s, dir) => {
+      val g = (col("vec_id") % 4).cast("int")
+      val f = ((col("vec_id") % 10) + 1).cast("double")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          d => when(d === g, f).otherwise(lit(0.0))).as("v"))
+      Similarity.pcaProject(pts, "vec_id", "v", k = 2, center = false)
+        .select(col("vec_id"),
+          posexplode(col("pca")).as(Seq("component", "value")))
+        .orderBy("vec_id", "component")
+    }),
+
     // ---- hyperplane-LSH banding planner at the semantic-diff regime
     //      (target cos 0.9, distractor 0.6): the s-curve table the
     //      diff/join recall contracts point to; closed-form grid, no
@@ -646,6 +664,22 @@ private[graft] object SimilarityRegistry {
         |SELECT k.vec_id FROM kept1 k JOIN comp ON comp.id = k.vec_id
         |WHERE comp.component = k.vec_id ORDER BY k.vec_id""".stripMargin,
 
+
+    // closed-form PCA replay: rank the per-dim second moments (exact
+    // integer sums), top-2 axes are the components, projection is the
+    // row's own mass on the matching axis
+    "q_pca_project" ->
+      """WITH pts AS (SELECT vec_id, CAST(vec_id % 4 AS INT) AS g,
+        |    CAST(vec_id % 10 + 1 AS DOUBLE) AS f FROM embeddings),
+        |mom AS (SELECT g, SUM(f * f) AS s FROM pts GROUP BY g),
+        |rk AS (SELECT g, row_number() OVER (ORDER BY s DESC, g) AS r
+        |  FROM mom),
+        |c AS (SELECT CAST(r - 1 AS INT) AS component, g FROM rk
+        |  WHERE r <= 2)
+        |SELECT p.vec_id, c.component,
+        |  CASE WHEN p.g = c.g THEN p.f ELSE 0.0 END AS value
+        |FROM pts p CROSS JOIN c
+        |ORDER BY vec_id, component""".stripMargin,
 
     // closed-form replay of the hyperplane s-curve grid (acos/pow/pi
     // mirrored op for op, 6 dp)

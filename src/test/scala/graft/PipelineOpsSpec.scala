@@ -338,6 +338,43 @@ class SimilaritySpec extends SparkSpecBase {
       Set(1L, 2L, 3L, 7L))
   }
 
+  test("pcaProject: rotated planted axis recovered; whiten equalizes variance") {
+    import graft.operators.Similarity
+    // points on the diagonal y = x plus small anti-diagonal jitter: the
+    // top component is (1,1)/sqrt(2) (sign convention positive), the
+    // second (1,-1)/sqrt(2) scaled by the jitter — a REAL rotation case
+    // for the Jacobi path (off-diagonal covariance nonzero)
+    // jitter keyed on |i| parity so cov(i, jitter) = 0 exactly — the
+    // principal axes are then exactly (1,1)/sqrt2 and (1,-1)/sqrt2
+    val pts = (-8 to 8).map { i =>
+      val j = 0.25 * (math.abs(i) % 2)
+      (i.toLong + 10L, Seq(i.toDouble + j, i.toDouble - j))
+    }.toDF("id", "v")
+    val proj = Similarity.pcaProject(pts, "id", "v", k = 2, center = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // component 1 ~ sqrt(2)*i, component 2 ~ the +-0.35 jitter
+    val p0 = proj(18L) // i = 8: on-diagonal, jitter 0
+    assert(math.abs(p0(0) - 8 * math.sqrt(2)) < 0.05, s"$p0")
+    assert(math.abs(p0(1)) < 0.5, s"$p0")
+    val p1 = proj(17L) // i = 7: jitter +0.25/-0.25
+    assert(math.abs(p1(1)) > 0.15, "second component carries the jitter")
+    // variance along component 1 >> component 2; whitening equalizes
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val c1 = proj.values.map(_(0)).toSeq
+    val c2 = proj.values.map(_(1)).toSeq
+    assert(variance(c1) > 50 * variance(c2))
+    val white = Similarity.pcaProject(pts, "id", "v", k = 2,
+        center = true, whiten = true)
+      .collect().map(r => r.getSeq[Double](1)).toSeq
+    val w1 = variance(white.map(_(0)))
+    val w2 = variance(white.map(_(1)))
+    assert(math.abs(w1 - 1.0) < 0.05 && math.abs(w2 - 1.0) < 0.05,
+      s"whitened variances $w1 $w2")
+  }
+
   test("semanticDedupIncrement: corpus dups drop, batch dups collapse, novel survives") {
     import graft.operators.Similarity
     // corpus: e1, e2. batch: scaled e1 (corpus dup -> drops), two copies
