@@ -63,4 +63,55 @@ object DedupOps {
       }
       ()
     }
+
+  /** Streaming EMBEDDING ingestion with semantic dedup — the
+    * [[streamingCorpusIngest]] shape for vectors: every micro-batch is
+    * classified against the on-disk embedding corpus with
+    * [[graft.operators.Similarity.semanticDedupIncrement]] (no corpus
+    * near-neighbor + min-id within the batch), decisions land in an
+    * append-only log, and the batch's survivors fold into the corpus so
+    * the NEXT batch deduplicates against them too.
+    *
+    * Same discipline as the text twin: `foreachBatch` (the
+    * classification is batch-relational; streaming state would
+    * re-implement the corpus, unshareable and restart-fragile), and the
+    * corpus append is retry-IDEMPOTENT — survivors anti-join ids already
+    * present, so a replayed batch cannot double-append even when its
+    * vector can't match itself (a zero vector's self-cosine is NaN; the
+    * id check catches what the cosine can't). The corpus parquet must
+    * exist (seed it once). Decision log: (epoch_id, idCol, is_novel).
+    */
+  def streamingSemanticIngest(newVecs: DataFrame, idCol: String,
+                              vecCol: String, minCosine: Double, dim: Int,
+                              corpusPath: String,
+                              decisionsPath: String): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val corpus = spark.read.parquet(corpusPath)
+        val kept = graft.operators.Similarity
+          .semanticDedupIncrement(batch, corpus, idCol, vecCol, minCosine, dim)
+          .persist()
+        try {
+          val fresh = batch
+            .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+            .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+            .persist()
+          // materialize the survivors BEFORE appending to the path the
+          // plan reads from — the cache, not the re-listed directory,
+          // feeds the write
+          fresh.count()
+          batch.select(col(idCol))
+            .withColumn("epoch_id", lit(epochId))
+            .join(kept.select(col(idCol), lit(true).as("_nv")),
+              Seq(idCol), "left")
+            .select(col("epoch_id"), col(idCol),
+              coalesce(col("_nv"), lit(false)).as("is_novel"))
+            .write.mode("append").parquet(decisionsPath)
+          fresh.write.mode("append").parquet(corpusPath)
+          fresh.unpersist(blocking = false)
+        } finally kept.unpersist(blocking = false)
+      }
+      ()
+    }
 }

@@ -81,6 +81,45 @@ class StreamingDedupSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ids == Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
   }
+
+  test("streamingSemanticIngest: corpus grows with survivors, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ssi").toString
+    val corpusPath = s"$dir/corpus"; val decPath = s"$dir/decisions"
+    // seed corpus: e1, e2
+    Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("id", "v").write.parquet(corpusPath)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.DedupOps.streamingSemanticIngest(
+        mem.toDF().toDF("id", "v"), "id", "v", 0.9, 4,
+        corpusPath, decPath)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: novel e3 twice (within-batch dup, min id 10 survives)
+      // plus a scaled copy of corpus e1 (corpus dup)
+      mem.addData(
+        (10L, Seq(0.0, 0.0, 1.0, 0.0)),
+        (12L, Seq(0.0, 0.0, 2.0, 0.0)),
+        (11L, Seq(3.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch-1's SURVIVOR (proves the corpus
+      // grew) plus a replay of id 10 (retry shape)
+      mem.addData(
+        (20L, Seq(0.0, 0.0, 5.0, 0.0)),
+        (10L, Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(decPath).collect()
+      .map(r => (r.getAs[Long]("epoch_id"), r.getAs[Long]("id")) ->
+        r.getAs[Boolean]("is_novel")).toMap
+    assert(dec == Map(
+      (0L, 10L) -> true, (0L, 12L) -> false, (0L, 11L) -> false,
+      (1L, 20L) -> false, (1L, 10L) -> false), s"got $dec")
+    // corpus state: exactly the seed + the one survivor, appended once
+    val ids = spark.read.parquet(corpusPath).groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids == Map(1L -> 1L, 2L -> 1L, 10L -> 1L), s"got $ids")
+  }
 }
 
 class StreamingPsiWindowSpec extends SparkSpecBase {
