@@ -994,7 +994,9 @@ object Graph {
     val weighted = counts.withColumn("_w9", round(wRaw, 9))
     val tot = weighted.agg(
       sum(col("_w9").cast("decimal(38,9)")).as("_tot"))
-    weighted.crossJoin(tot)
+    // explicit broadcast on the ONE-ROW total (the pageRank dangling-mass
+    // idiom): the scalar rides to every partition, never a cartesian
+    weighted.crossJoin(broadcast(tot))
       .select(col("node"), col("n"),
         round(col("_w9") / col("_tot").cast("double"), 9).as("prob"))
   }
@@ -1025,7 +1027,8 @@ object Graph {
     val tot = pairs.agg(sum(col("n")).as("_T"))
     val rowm = pairs.groupBy("center").agg(sum("n").as("_nc"))
     val colm = pairs.groupBy("context").agg(sum("n").as("_nx"))
-    pairs.join(rowm, "center").join(colm, "context").crossJoin(tot)
+    pairs.join(rowm, "center").join(colm, "context")
+      .crossJoin(broadcast(tot))
       .select(col("center"), col("context"), col("n"),
         round(greatest(
           log(col("n").cast("double") * col("_T").cast("double") /

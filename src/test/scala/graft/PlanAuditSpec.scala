@@ -1448,6 +1448,27 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     val psd = planOf(sd)
     assert(!psd.contains("CartesianProduct"),
       s"semanticDedupLsh pair stage must never go all-pairs:\n$psd")
+    // pcaProject (r17): the projection is ONE reference-object kernel —
+    // the plan must carry project_vec and no cartesian (the per-dim
+    // mean / Gram folds happen at CONSTRUCTION time, driver-side)
+    val pca = graft.operators.Similarity.pcaProject(
+      emb.select($"vid", $"vec"), "vid", "vec", 2, center = false)
+    val ppca = planOf(pca)
+    assert(ppca.contains("project_vec"),
+      s"pcaProject must project through the kernel:\n$ppca")
+    assert(!ppca.contains("CartesianProduct"), s"pcaProject cartesian:\n$ppca")
+    // negativeTable / ppmiPairs (r17): the only cross join is the
+    // broadcast ONE-ROW total (the pageRank dangling-mass idiom)
+    val walks = spark.range(60).select(($"id" % 9).as("walk_id"),
+      ($"id" % 7).as("step"), ($"id" % 11).as("node"))
+    val nt = graft.operators.Graph.negativeTable(walks)
+    assert(!planOf(nt).contains("CartesianProduct"),
+      "negativeTable total must broadcast, not cartesian")
+    val pm = graft.operators.Graph.ppmiPairs(
+      walks.select($"walk_id".as("center"), $"step".as("context"),
+        lit(2L).as("n")))
+    assert(!planOf(pm).contains("CartesianProduct"),
+      "ppmiPairs total must broadcast, not cartesian")
     // randomWalks: every step is a node-key equi-join, frontier-bounded
     val edges = spark.range(300).select(($"id" % 40).as("src"),
       (($"id" * 7) % 40).as("dst"))
