@@ -596,7 +596,10 @@ object GraftApp {
             graft.operators.Graph.node2vecWalks(rawEdges, starts, walkLen,
               1.0, q, seed, maxDeg = capN)
           case _ =>
-            graft.operators.Graph.randomWalks(edges, starts, walkLen, seed)
+            // --gamma N: DeepWalk's walks-per-node (uniform mode only —
+            // the biased variants key their hash on walk_id = node)
+            graft.operators.Graph.randomWalks(edges, starts, walkLen, seed,
+              opts.get("gamma").map(_.toInt).getOrElse(1))
         }
         walks.write.mode("overwrite").parquet(s"$out/walks.parquet")
         val saved = spark.read.parquet(s"$out/walks.parquet")
@@ -609,6 +612,14 @@ object GraftApp {
         val negPower = opts.get("neg-power").map(_.toDouble).getOrElse(0.75)
         graft.operators.Graph.negativeTable(saved, negPower)
           .write.mode("overwrite").parquet(s"$out/neg_table.parquet")
+        // --ppmi [K]: the SPPMI matrix over the exported pair counts —
+        // what the SGNS objective implicitly factorizes
+        opts.get("ppmi").foreach { k =>
+          graft.operators.Graph.ppmiPairs(
+              spark.read.parquet(s"$out/pairs.parquet"),
+              negK = k.toDouble)
+            .write.mode("overwrite").parquet(s"$out/ppmi.parquet")
+        }
         val nWalks = saved.select("walk_id").distinct().count()
         val nRows = saved.count()
         val nPairs = spark.read.parquet(s"$out/pairs.parquet").count()
