@@ -203,9 +203,14 @@ object GraftApp {
                   vecCol: String = "embedding"): String = {
     import org.apache.spark.sql.functions._
     val corpus = Tables.t(spark, in, "embeddings")
-    val dimProbe = corpus.select(size(col(vecCol))).limit(1).collect()
+    // probe only NON-NULL vectors: a NULL first embedding would yield a
+    // nonsense dim (the runEmbdrift quantizer-seed lesson) — fail with a
+    // clear message instead of a confusing downstream error
+    val dimProbe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
     if (dimProbe.isEmpty)
-      sys.error(s"semdedup: corpus at $in is empty — nothing to dedup")
+      sys.error(s"semdedup: corpus at $in has no non-null '$vecCol' " +
+        "vectors — nothing to dedup")
     val dim = dimProbe.head.getInt(0)
     val kept = graft.operators.Similarity
       .semanticDedupLsh(corpus, idCol, vecCol, minCos, dim)

@@ -620,10 +620,23 @@ object Graph {
     val degs = nbr.groupBy("src").agg(max("deg").as("deg"))
       .withColumnRenamed("src", "node")
     val base = starts.select(col("id").cast("long").as("node")).distinct()
+    // walk_id = node * walksPerNode + r must not wrap Long: wraparound
+    // would collide walk ids across starts and silently correlate their
+    // draws. Guarded IN the plan (zero extra passes): the branch raises
+    // lazily on the first offending start row. Ordinary dense ids are
+    // nowhere near the bound — it exists for hash-derived node ids.
+    val maxStartId = Long.MaxValue / walksPerNode
     var frontier = (if (walksPerNode == 1) base.withColumn("walk_id", col("node"))
       else base.select(col("node"), explode(sequence(lit(0L),
           lit(walksPerNode - 1L))).as("_r"))
-        .withColumn("walk_id", col("node") * walksPerNode + col("_r")))
+        .withColumn("walk_id",
+          when(abs(col("node")) > lit(maxStartId),
+            raise_error(concat(
+              lit(s"randomWalks: |node id| exceeds ${maxStartId} — " +
+                s"walk_id = node * $walksPerNode + r would overflow Long; " +
+                "renumber node ids densely or lower walksPerNode (node = "),
+              col("node"), lit(")"))).cast("long"))
+            .otherwise(col("node") * walksPerNode + col("_r"))))
       .select("walk_id", "node")
     var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
     var k = 1

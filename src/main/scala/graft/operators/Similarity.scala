@@ -666,6 +666,16 @@ object Similarity {
     val d = rows.map(_.getInt(1)).max + 1
     require(k <= d, s"k = $k exceeds dimension $d")
     val n = rows.map(_.getLong(3)).max.toDouble
+    // fixed-dimension contract: on a ragged corpus (vectors of differing
+    // lengths) per-dim pair counts differ and dividing by one global n
+    // would silently bias the covariance — the Gram's diagonal counts
+    // are already on the driver, so the check is free
+    rows.filter(r => r.getInt(0) == r.getInt(1)).foreach { r =>
+      require(r.getLong(3).toDouble == n,
+        s"pcaProject requires fixed-dimension vectors: dim ${r.getInt(0)} " +
+          s"is present in only ${r.getLong(3)} of ${n.toLong} rows — " +
+          "pad or filter the ragged vectors first")
+    }
     val g = Array.ofDim[Double](d, d)
     rows.foreach { r =>
       val (i, j, x) = (r.getInt(0), r.getInt(1), r.getDouble(2))
