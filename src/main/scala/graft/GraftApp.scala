@@ -221,6 +221,62 @@ object GraftApp {
       f"(dropped=${nIn - nKept}, ${100.0 * (nIn - nKept) / math.max(nIn, 1L)}%.2f%%) -> $out"
   }
 
+  /** The `graft semindex` body, session passed in so specs can drive
+    * it ([[graft.operators.SemanticIndex]]): `build` seeds the
+    * persisted index, `append` folds new vectors in (retry-idempotent,
+    * then re-tightens the refinement — meta-only), `dedup` classifies a
+    * batch against the saved index at batch-sized cost and writes the
+    * survivors to `deduped.parquet` (with `ingest = true` it also
+    * appends them, completing one micro-batch of the streaming shape).
+    */
+  def runSemIndex(spark: SparkSession, mode: String, in: String,
+                  index: String, out: String, minCos: Double = 0.95,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nBits: Int = 8, nTables: Int = 16, maxBucket: Int = 64,
+                  ingest: Boolean = false): String = {
+    // named imports, not the wildcard: functions.mode would shadow the
+    // `mode` parameter
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.operators.SemanticIndex
+    val corpus = Tables.t(spark, in, "embeddings")
+    val dimProbe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    if (dimProbe.isEmpty)
+      sys.error(s"semindex: corpus at $in has no non-null '$vecCol' " +
+        "vectors — nothing to index")
+    val dim = dimProbe.head.getInt(0)
+    mode match {
+      case "build" =>
+        SemanticIndex.build(corpus, idCol, vecCol, dim, index,
+          nBits = nBits, nTables = nTables, maxBucket = maxBucket)
+        val m = SemanticIndex.loadMeta(spark, index)
+        val n = corpus.count()
+        s"semindex build: $n vectors (dim $dim) -> $index " +
+          s"[nBits=${m.nBits} nTables=${m.nTables} refineBits=${m.refineBits}]"
+      case "append" =>
+        val n = corpus.count()
+        SemanticIndex.append(corpus, idCol, vecCol, index)
+        val rb = SemanticIndex.refreshRefineBits(spark, index)
+        s"semindex append: $n candidate vectors folded into $index " +
+          s"(ids already present skipped; refineBits now $rb)"
+      case "dedup" =>
+        val kept = SemanticIndex.dedupAgainstIndex(corpus, idCol, vecCol,
+          minCos, index)
+        kept.write.mode("overwrite").parquet(s"$out/deduped.parquet")
+        val nKept = spark.read.parquet(s"$out/deduped.parquet").count()
+        val nIn = corpus.count()
+        if (ingest)
+          SemanticIndex.append(
+            spark.read.parquet(s"$out/deduped.parquet"), idCol, vecCol, index)
+        f"semindex dedup (cos >= $minCos): kept=$nKept of $nIn " +
+          f"(dropped=${nIn - nKept})" +
+          (if (ingest) s", survivors ingested into $index" else "") +
+          s" -> $out"
+      case other =>
+        sys.error(s"semindex: unknown --mode '$other' (build|append|dedup)")
+    }
+  }
+
   /** The `evalcard` subcommand body, factored for direct spec drive:
     * fit the deterministic logistic probe on the embeddings table
     * (x = first 8 dims, y = sign of dim 1 — the q_quality_classifier
@@ -504,6 +560,34 @@ object GraftApp {
       val spark = buildSession()
       spark.sparkContext.setLogLevel("WARN")
       try println(runSemdedup(spark, in, out, minCos, idCol, vecCol))
+      finally spark.stop()
+      return
+    }
+    if (cmd == "semindex") {
+      // the persisted-hyperplane-LSH-index lifecycle as one command
+      // (operators.SemanticIndex): --mode build seeds the index from a
+      // corpus; --mode append folds new vectors in (retry-idempotent);
+      // --mode dedup classifies a batch against the SAVED index at
+      // batch-sized cost and writes the survivors — with --ingest it
+      // also appends them (the streaming micro-batch step, run once)
+      val mode = opts.getOrElse("mode",
+        sys.error("semindex requires --mode build|append|dedup"))
+      val in = opts.getOrElse("input",
+        sys.error("semindex requires --input <dir containing embeddings.parquet>"))
+      val index = opts.getOrElse("index",
+        sys.error("semindex requires --index <path>"))
+      val out = opts.getOrElse("output", "semindex_out")
+      val minCos = opts.get("min-cosine").map(_.toDouble).getOrElse(0.95)
+      val idCol = opts.getOrElse("id-col", "vec_id")
+      val vecCol = opts.getOrElse("vec-col", "embedding")
+      val nBits = opts.get("nbits").map(_.toInt).getOrElse(8)
+      val nTables = opts.get("ntables").map(_.toInt).getOrElse(16)
+      val maxBucket = opts.get("max-bucket").map(_.toInt).getOrElse(64)
+      val ingest = opts.contains("ingest")
+      val spark = buildSession()
+      spark.sparkContext.setLogLevel("WARN")
+      try println(runSemIndex(spark, mode, in, index, out, minCos, idCol,
+        vecCol, nBits, nTables, maxBucket, ingest))
       finally spark.stop()
       return
     }

@@ -25,10 +25,12 @@ import org.apache.spark.sql.Row
   *     worse (state store is per-query, unshareable, and rebuilt on
   *     every restart — the parquet index is durable and shared).
   *   - Restart safety: Spark may REPLAY the last uncommitted batch after
-  *     a crash. Decisions are keyed by epoch (dedup downstream on
-  *     (epoch_id, new_id) if exact-once matters) and the index append is
-  *     retry-IDEMPOTENT by construction (appendLshIndex anti-joins ids
-  *     already present), so a replayed batch cannot double-append.
+  *     a crash. Decisions are written to an epoch-partitioned directory
+  *     with OVERWRITE (a replay rewrites its own epoch, never appends
+  *     duplicates — exact-once without a reader-side dedup contract)
+  *     and the index append is retry-IDEMPOTENT by construction
+  *     (appendLshIndex anti-joins ids already present), so a replayed
+  *     batch cannot double-append.
   *   - The index must exist (build/save once from the seed corpus); the
   *     meta table pins the banding, so every batch sketches with the
   *     SAME parameters.
@@ -49,11 +51,16 @@ object DedupOps {
         val idx = Dedup.loadLshIndex(spark, indexPath)
         val decisions = Dedup
           .dedupAgainstIndex(batch, textCol, idCol, threshold, idx)
-          .withColumn("epoch_id", lit(epochId))
-          .select("epoch_id", "new_id", "matched_id", "jaccard", "is_novel")
+          .select("new_id", "matched_id", "jaccard", "is_novel")
           .persist() // one classification pass feeds BOTH writes
         try {
-          decisions.write.mode("append").parquet(decisionsPath)
+          // epoch-partitioned OVERWRITE, not a flat append: a replayed
+          // micro-batch rewrites its own epoch directory instead of
+          // appending duplicate (epoch, id) rows — the decision log is
+          // replay-safe like the index append, with no reader-side
+          // dedup contract. epoch_id comes back as a partition column.
+          decisions.write.mode("overwrite")
+            .parquet(s"$decisionsPath/epoch_id=$epochId")
           val novelIds = decisions.filter(col("is_novel"))
             .select(col("new_id"))
           val novelDocs = batch.join(novelIds,
@@ -66,50 +73,53 @@ object DedupOps {
 
   /** Streaming EMBEDDING ingestion with semantic dedup — the
     * [[streamingCorpusIngest]] shape for vectors: every micro-batch is
-    * classified against the on-disk embedding corpus with
-    * [[graft.operators.Similarity.semanticDedupIncrement]] (no corpus
+    * classified against the SAVED hyperplane-LSH index with
+    * [[graft.operators.SemanticIndex.dedupAgainstIndex]] (no corpus
     * near-neighbor + min-id within the batch), decisions land in an
-    * append-only log, and the batch's survivors fold into the corpus so
-    * the NEXT batch deduplicates against them too.
+    * epoch-partitioned log, and the batch's survivors fold into the
+    * on-disk index so the NEXT batch deduplicates against them too.
+    * Per-batch cost is batch-sized: the batch hashes under the index's
+    * pinned planes and broadcasts into the collision join; the corpus is
+    * NEVER re-hashed, and its scan prunes to the bucket directories the
+    * batch touches (r17's version re-hashed the whole corpus parquet
+    * every micro-batch — the index is the fix).
     *
     * Same discipline as the text twin: `foreachBatch` (the
     * classification is batch-relational; streaming state would
-    * re-implement the corpus, unshareable and restart-fragile), and the
-    * corpus append is retry-IDEMPOTENT — survivors anti-join ids already
-    * present, so a replayed batch cannot double-append even when its
-    * vector can't match itself (a zero vector's self-cosine is NaN; the
-    * id check catches what the cosine can't). The corpus parquet must
-    * exist (seed it once). Decision log: (epoch_id, idCol, is_novel).
+    * re-implement the index, unshareable and restart-fragile). Restart
+    * safety end to end: decisions write to `decisionsPath/epoch_id=N`
+    * with OVERWRITE (a replay rewrites its own epoch — no duplicate
+    * rows, no reader-side dedup contract), the classification never
+    * self-matches a replayed id, and the index append anti-joins ids
+    * already present. The index must exist
+    * ([[graft.operators.SemanticIndex.build]] once from the seed
+    * corpus); its meta pins dim and banding, so every batch hashes with
+    * the SAME planes. Decision log: (idCol, is_novel) under the
+    * epoch_id partition column.
     */
   def streamingSemanticIngest(newVecs: DataFrame, idCol: String,
-                              vecCol: String, minCosine: Double, dim: Int,
-                              corpusPath: String,
+                              vecCol: String, minCosine: Double,
+                              indexPath: String,
                               decisionsPath: String): DataStreamWriter[Row] =
     newVecs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        val corpus = spark.read.parquet(corpusPath)
-        val kept = graft.operators.Similarity
-          .semanticDedupIncrement(batch, corpus, idCol, vecCol, minCosine, dim)
+        val kept = graft.operators.SemanticIndex
+          .dedupAgainstIndex(batch, idCol, vecCol, minCosine, indexPath)
           .persist()
         try {
-          val fresh = batch
-            .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
-            .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
-            .persist()
-          // materialize the survivors BEFORE appending to the path the
+          // materialize the survivors BEFORE appending to the index the
           // plan reads from — the cache, not the re-listed directory,
-          // feeds the write
-          fresh.count()
+          // feeds the append
+          kept.count()
           batch.select(col(idCol))
-            .withColumn("epoch_id", lit(epochId))
             .join(kept.select(col(idCol), lit(true).as("_nv")),
               Seq(idCol), "left")
-            .select(col("epoch_id"), col(idCol),
+            .select(col(idCol),
               coalesce(col("_nv"), lit(false)).as("is_novel"))
-            .write.mode("append").parquet(decisionsPath)
-          fresh.write.mode("append").parquet(corpusPath)
-          fresh.unpersist(blocking = false)
+            .write.mode("overwrite")
+            .parquet(s"$decisionsPath/epoch_id=$epochId")
+          graft.operators.SemanticIndex
+            .append(kept, idCol, vecCol, indexPath)
         } finally kept.unpersist(blocking = false)
       }
       ()

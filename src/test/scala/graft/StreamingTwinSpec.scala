@@ -65,7 +65,10 @@ class StreamingDedupSpec extends SparkSpecBase {
         (10L, "spark catalyst optimizer rewrites logical plans into physical ones"))
       q.processAllAvailable()
     } finally q.stop()
+    // epoch_id is a partition column (epoch-overwrite replay safety) —
+    // cast the inferred int to the long the assertions key on
     val dec = spark.read.parquet(decPath)
+      .withColumn("epoch_id", col("epoch_id").cast("long"))
       .collect()
       .map(r => (r.getAs[Long]("epoch_id"), r.getAs[Long]("new_id")) ->
         (Option(r.getAs[java.lang.Long]("matched_id")).map(_.longValue),
@@ -82,17 +85,20 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(ids == Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
   }
 
-  test("streamingSemanticIngest: corpus grows with survivors, replays idempotent") {
+  test("streamingSemanticIngest: index grows with survivors, replays idempotent") {
+    import graft.operators.SemanticIndex
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ssi").toString
-    val corpusPath = s"$dir/corpus"; val decPath = s"$dir/decisions"
-    // seed corpus: e1, e2
-    Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
-      .toDF("id", "v").write.parquet(corpusPath)
+    val idxPath = s"$dir/semindex"; val decPath = s"$dir/decisions"
+    // seed corpus e1, e2 -> saved index (dim and banding pinned in meta)
+    SemanticIndex.build(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+        .toDF("id", "v"),
+      "id", "v", dim = 4, idxPath, nBits = 4, nTables = 8)
     val mem = MemoryStream[(Long, Seq[Double])]
     val q = graft.streaming.DedupOps.streamingSemanticIngest(
-        mem.toDF().toDF("id", "v"), "id", "v", 0.9, 4,
-        corpusPath, decPath)
+        mem.toDF().toDF("id", "v"), "id", "v", 0.9,
+        idxPath, decPath)
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       // batch 1: novel e3 twice (within-batch dup, min id 10 survives)
@@ -102,23 +108,30 @@ class StreamingDedupSpec extends SparkSpecBase {
         (12L, Seq(0.0, 0.0, 2.0, 0.0)),
         (11L, Seq(3.0, 0.0, 0.0, 0.0)))
       q.processAllAvailable()
-      // batch 2: near-dup of batch-1's SURVIVOR (proves the corpus
-      // grew) plus a replay of id 10 (retry shape)
+      // batch 2: near-dup of batch-1's SURVIVOR (proves the index
+      // grew) plus a re-sent id 10 (retry shape). The classification
+      // never matches a row against its OWN indexed id (genuine
+      // replays reproduce their original decisions), so the re-sent 10
+      // beats 20 as the min-id within-batch survivor — and the
+      // idempotent append still refuses to double-insert it
       mem.addData(
         (20L, Seq(0.0, 0.0, 5.0, 0.0)),
         (10L, Seq(0.0, 0.0, 1.0, 0.0)))
       q.processAllAvailable()
     } finally q.stop()
-    val dec = spark.read.parquet(decPath).collect()
+    val dec = spark.read.parquet(decPath)
+      .withColumn("epoch_id", col("epoch_id").cast("long"))
+      .collect()
       .map(r => (r.getAs[Long]("epoch_id"), r.getAs[Long]("id")) ->
         r.getAs[Boolean]("is_novel")).toMap
     assert(dec == Map(
       (0L, 10L) -> true, (0L, 12L) -> false, (0L, 11L) -> false,
-      (1L, 20L) -> false, (1L, 10L) -> false), s"got $dec")
-    // corpus state: exactly the seed + the one survivor, appended once
-    val ids = spark.read.parquet(corpusPath).groupBy("id").count()
+      (1L, 20L) -> false, (1L, 10L) -> true), s"got $dec")
+    // index state: exactly the seed + the one survivor, appended once
+    // (8 key rows each — one per table), never double-appended
+    val ids = spark.read.parquet(s"$idxPath/keys").groupBy("id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ids == Map(1L -> 1L, 2L -> 1L, 10L -> 1L), s"got $ids")
+    assert(ids == Map(1L -> 8L, 2L -> 8L, 10L -> 8L), s"got $ids")
   }
 }
 
