@@ -240,6 +240,110 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** OPQ-lite (whiten-then-quantize): fit [[Similarity.pcaFit]] with
+    * `whiten = true` so the top-k rotated components all carry UNIT
+    * variance, then train the PQ codebooks on those projections. Plain
+    * PQ splits raw dimensions into subspaces as they come, so a
+    * high-variance subspace eats the quantization budget while a
+    * low-variance one wastes its codes; whitening equalizes the
+    * per-subspace energy first — the diagonal special case of OPQ's
+    * learned rotation (Ge et al., CVPR 2013: R optimizing
+    * min Σ‖x − R⁻¹q(Rx)‖²; with R fixed to the whitened PCA basis the
+    * codebook training below is exactly their initialization), traded
+    * here for determinism and one closed-form fit pass.
+    *
+    * Scale shape: the PCA fit adds one distributed Gram pass (dim²
+    * shuffle keys) + the same driver-bounded sample k-means [[fit]]
+    * runs; everything downstream (encode / ADC / recall) reuses the
+    * plain-PQ machinery verbatim on the `pca` column. `k` must split
+    * evenly into `m` subspaces. Returns the transform + codebooks —
+    * both model-sized; persist the codebooks with [[saveCodebooks]]
+    * and re-derive the transform from the (deterministic) fit, or
+    * carry the pair in the job.
+    */
+  def fitWhitened(df: DataFrame, m: Int, ksub: Int, k: Int,
+                  center: Boolean = true, sampleN: Int = 2048,
+                  iters: Int = 10, idCol: String = "vec_id",
+                  vecCol: String = "embedding"):
+      (Similarity.PcaModel, Array[Array[Array[Double]]]) = {
+    require(k % m == 0, s"k = $k must split evenly into $m subspaces")
+    val pca = Similarity.pcaFit(df, vecCol, k, center, whiten = true)
+    val proj = Similarity.pcaApply(df, idCol, vecCol, pca)
+    (pca, fit(proj, m, ksub, sampleN, iters, idCol, "pca"))
+  }
+
+  /** Compress through a [[fitWhitened]] / [[fitRotated]] model: project
+    * (one ProjectVec kernel) then [[encode]] (one PqCodes kernel) — a
+    * single narrow codegen pass, no shuffle. Queries must go through
+    * the SAME transform before [[adcTopK]] (ADC distances live in the
+    * projected space — for [[fitRotated]] that space is an isometry of
+    * the original, for [[fitWhitened]] it is deliberately rescaled).
+    */
+  def encodeWhitened(df: DataFrame, idCol: String, vecCol: String,
+                     pca: Similarity.PcaModel,
+                     codebooks: Array[Array[Array[Double]]]): DataFrame =
+    encode(Similarity.pcaApply(df, idCol, vecCol, pca), idCol, "pca",
+      codebooks)
+
+  /** Eigenvalue allocation (Ge et al., CVPR 2013 §4 parametric OPQ):
+    * partition eigenvalue-descending components into the m subspaces so
+    * the per-subspace log-variance products balance. Greedy balanced
+    * multiway partition: largest item first into the open bucket with
+    * the smallest running size-sum — with sizes log λ SHIFTED to
+    * non-negative (subtract the minimum; valid because every bucket
+    * ends with exactly subdim items, so a constant shift moves all
+    * totals equally — the raw min-log-product rule degenerates on
+    * λ < 1 spectra, e.g. any L2-normalized corpus, where adding a
+    * factor < 1 LOWERS a product and the "smallest" bucket swallows
+    * every large component; probe-measured spread 527 before this
+    * shift). Ties to the lower bucket index. Returns the component
+    * permutation (bucket-concatenated), deterministic.
+    */
+  private[graft] def eigenAllocate(vals: Array[Double], m: Int): Array[Int] = {
+    val subdim = vals.length / m
+    val logs = vals.map(v => math.log(math.max(v, 1e-300)))
+    val sizes = logs.map(_ - logs.min)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val sums = new Array[Double](m)
+    vals.indices.foreach { i =>
+      val best = (0 until m).filter(b => buckets(b).length < subdim)
+        .minBy(b => (sums(b), b))
+      buckets(best) += i
+      sums(best) += sizes(i)
+    }
+    buckets.flatMap(_.toSeq)
+  }
+
+  /** OPQ-lite done RIGHT for retrieval: an ORTHOGONAL rotation — PCA
+    * components permuted by [[eigenAllocate]] so each subspace carries
+    * a balanced slice of the spectrum — with NO variance rescaling,
+    * then PQ on the rotated vectors. Rotation is an isometry, so ADC
+    * distances in the rotated space EQUAL original-space distances and
+    * the retrieval metric is untouched; only the quantization-budget
+    * allocation improves (Ge et al., CVPR 2013: the parametric
+    * initialization of their learned R). Contrast [[fitWhitened]]:
+    * rescaling by 1/sqrt(λ) equalizes per-subspace MSE but warps the
+    * metric — noise directions amplify, and the r18 probe measured
+    * recall@10 FALLING 0.32 → 0.13 on an anisotropic corpus while this
+    * rotation preserves it. Use [[fitWhitened]] when the whitened space
+    * IS the intended metric (Mahalanobis-style semantic dedup);
+    * use this for ANN/ADC retrieval. `k` (≤ dim, divisible by m) keeps
+    * the top-k components — k = dim for a pure re-ordering rotation.
+    */
+  def fitRotated(df: DataFrame, m: Int, ksub: Int, k: Int,
+                 center: Boolean = true, sampleN: Int = 2048,
+                 iters: Int = 10, idCol: String = "vec_id",
+                 vecCol: String = "embedding"):
+      (Similarity.PcaModel, Array[Array[Array[Double]]]) = {
+    require(k % m == 0, s"k = $k must split evenly into $m subspaces")
+    val p0 = Similarity.pcaFit(df, vecCol, k, center, whiten = false)
+    val order = eigenAllocate(p0.values, m)
+    val pca = Similarity.PcaModel(order.map(p0.components),
+      p0.means, order.map(p0.scales), order.map(p0.values))
+    val proj = Similarity.pcaApply(df, idCol, vecCol, pca)
+    (pca, fit(proj, m, ksub, sampleN, iters, idCol, "pca"))
+  }
+
   /** PQ codebook staleness monitor: per-subspace mean reconstruction
     * error of a corpus under an EXISTING codebook — the quantization
     * error [[encode]] silently incurs, surfaced as the signal to refit.

@@ -658,9 +658,32 @@ object Similarity {
     * length k), values rounded at 9 dp in the kernel.
     */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 center: Boolean = true, whiten: Boolean = false): DataFrame = {
+                 center: Boolean = true, whiten: Boolean = false): DataFrame =
+    pcaApply(df, idCol, vecCol, pcaFit(df, vecCol, k, center, whiten))
+
+  /** The fitted PCA/whitening transform: top-k components (rows, in
+    * eigenvalue-descending order under [[jacobiEigen]]'s sign/tie
+    * conventions), the per-dim means subtracted before rotation (all
+    * zero when uncentered), the per-component output scales (1 for
+    * plain PCA, 1/sqrt(λ_j) when whitened), and the eigenvalues
+    * themselves (what [[Pq.fitRotated]]'s eigenvalue allocation
+    * balances). Model-sized (k×d + 3d doubles) — rides in plans as one
+    * reference object and in job handoffs as a plain case class.
+    */
+  case class PcaModel(components: Array[Array[Double]],
+                      means: Array[Double], scales: Array[Double],
+                      values: Array[Double])
+
+  /** Fit the [[pcaProject]] transform WITHOUT projecting — the reusable
+    * half for pipelines that train once and apply elsewhere (e.g.
+    * [[Pq.fitWhitened]]'s whiten-then-quantize, or projecting a query
+    * stream with the corpus' transform). Same machinery and contracts
+    * as [[pcaProject]]: one distributed Gram pass, driver Jacobi,
+    * fixed-dimension requirement.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int,
+             center: Boolean = true, whiten: Boolean = false): PcaModel = {
     require(k >= 1, "k must be >= 1")
-    val vd = asDouble(col(vecCol))
     val rows = gramMatrix(df, vecCol).collect()
     require(rows.nonEmpty, "empty corpus")
     val d = rows.map(_.getInt(1)).max + 1
@@ -684,7 +707,7 @@ object Similarity {
     val means =
       if (!center) new Array[Double](d)
       else {
-        val sums = df.select(posexplode(vd).as(Seq("_i", "_x")))
+        val sums = df.select(posexplode(asDouble(col(vecCol))).as(Seq("_i", "_x")))
           .groupBy("_i").agg(sum(col("_x").cast("decimal(38,12)")).as("_s"))
           .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
         Array.tabulate(d)(i =>
@@ -703,9 +726,18 @@ object Similarity {
       if (!whiten) 1.0
       else if (vals(j) > 0) 1.0 / math.sqrt(vals(j))
       else 0.0)
-    df.select(col(idCol),
-      graft.functions.ProjectVec(vd, vecs.take(k), means, scales).as("pca"))
+    PcaModel(vecs.take(k), means, scales, vals.take(k))
   }
+
+  /** Apply a fitted [[PcaModel]]: (idCol, pca array<double> length k),
+    * one [[graft.functions.ProjectVec]] codegen kernel per row, values
+    * rounded at 9 dp in the kernel.
+    */
+  def pcaApply(df: DataFrame, idCol: String, vecCol: String,
+               model: PcaModel): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ProjectVec(asDouble(col(vecCol)), model.components,
+        model.means, model.scales).as("pca"))
 
   /** Per-label mean embedding (supervised class centroids — the "one
     * prototype per label" artifact used for nearest-centroid

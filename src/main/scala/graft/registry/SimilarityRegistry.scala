@@ -202,6 +202,36 @@ private[graft] object SimilarityRegistry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // ---- incremental semantic dedup against the PERSISTED index (r18):
+    //      the q_semantic_dedup_inc fixture driven through
+    //      SemanticIndex.build + dedupAgainstIndex — per-batch cost is
+    //      batch-sized (the corpus hashes ONCE into the on-disk index;
+    //      the probe scan prunes to touched bucket directories). Same
+    //      exact oracle: the two paths implement one contract ----
+    "q_semantic_dedup_idx" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // `_oid` pre-projection: see q_semantic_join
+      val twins = base.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("_oid"), col("v"))
+        .select((col("_oid") + lit(1000000L)).as("vec_id"),
+          transform(col("v"), (x, i) => x * (lit(1.0) +
+            lit(0.02) * sin(i.cast("double") + col("_oid").cast("double"))))
+            .as("v"))
+      val novelNeg = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val negCopies = base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + lit(4000000L)).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val batch = twins.unionByName(novelNeg).unionByName(negCopies)
+      val idx = java.nio.file.Files
+        .createTempDirectory("q_semantic_dedup_idx").toString
+      SemanticIndex.build(base, "vec_id", "v", dim = 64, idx)
+      SemanticIndex.dedupAgainstIndex(batch, "vec_id", "v", 0.9, idx)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
 
     // ---- PCA projection (r17): axis-aligned planted fixture — vectors
     //      carry mass only on dim vec_id%4, so the uncentered Gram is
@@ -218,6 +248,69 @@ private[graft] object SimilarityRegistry {
       Similarity.pcaProject(pts, "vec_id", "v", k = 2, center = false)
         .select(col("vec_id"),
           posexplode(col("pca")).as(Seq("component", "value")))
+        .orderBy("vec_id", "component")
+    }),
+
+    // ---- OPQ-lite / whitened PQ (r18): the q_pca_project axis-aligned
+    //      fixture extended through fitWhitened — the uncentered Gram is
+    //      exactly diagonal, so the whitening transform is closed-form
+    //      (top-2 axes by second moment, scale 1/sqrt(λ)); each whitened
+    //      subspace then holds ≤ 6 DISTINCT values (five planted f
+    //      magnitudes per axis + 0), so ksub=6 k-means lands centroids
+    //      exactly on them (farthest-point seeds one per value; Lloyd
+    //      over identical points is a fixed point) and the codebook
+    //      RECONSTRUCTION of every row equals its whitened projection.
+    //      Output (vec_id, subspace, value@9dp); the oracle replays the
+    //      moment ranking and f·(1/sqrt(λ)) in closed form ----
+    "q_pq_whitened" -> ((s, dir) => {
+      import s.implicits._
+      val g = (col("vec_id") % 4).cast("int")
+      val f = ((col("vec_id") % 10) + 1).cast("double")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          d => when(d === g, f).otherwise(lit(0.0))).as("v"))
+      val (pca, books) = Pq.fitWhitened(pts, m = 2, ksub = 6, k = 2,
+        center = false, idCol = "vec_id", vecCol = "v")
+      val cb = books.zipWithIndex.flatMap { case (cbk, j) =>
+        cbk.zipWithIndex.map { case (c, code) => (j, code, c(0)) }
+      }.toSeq.toDF("subspace", "code", "cent")
+      Pq.encodeWhitened(pts, "vec_id", "v", pca, books)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .join(broadcast(cb), Seq("subspace", "code"))
+        .select(col("vec_id"), col("subspace"), round(col("cent"), 9).as("value"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // ---- OPQ-lite ROTATED PQ (r18): eigenvalue allocation over the
+    //      axis-planted fixture with STRICTLY distinct per-axis moments
+    //      (magnitude scales with the axis), so the greedy balanced
+    //      partition is closed-form: moment-ranked components deal as
+    //      buckets {rk1, rk4} {rk2, rk3} -> output positions
+    //      [rk1, rk4, rk2, rk3]. Each 2-d subspace holds 11 distinct
+    //      whitening-free projections (5 planted magnitudes per axis +
+    //      origin), ksub=11 k-means lands exactly on them, and the
+    //      reconstruction equals the rotated projection ----
+    "q_pq_rotated" -> ((s, dir) => {
+      import s.implicits._
+      val g = (col("vec_id") % 4).cast("int")
+      val f = (((col("vec_id") % 10) + 1) * ((col("vec_id") % 4) + 1))
+        .cast("double")
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          d => when(d === g, f).otherwise(lit(0.0))).as("v"))
+      val (pca, books) = Pq.fitRotated(pts, m = 2, ksub = 11, k = 4,
+        center = false, idCol = "vec_id", vecCol = "v")
+      val cb = books.zipWithIndex.flatMap { case (cbk, j) =>
+        cbk.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+      }.toSeq.toDF("subspace", "code", "cent")
+      Pq.encodeWhitened(pts, "vec_id", "v", pca, books)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .join(broadcast(cb), Seq("subspace", "code"))
+        .select(col("vec_id"), col("subspace"),
+          posexplode(col("cent")).as(Seq("pos", "cval")))
+        .select(col("vec_id"),
+          (col("subspace") * 2 + col("pos")).cast("int").as("component"),
+          round(col("cval"), 9).as("value"))
         .orderBy("vec_id", "component")
     }),
 
@@ -664,6 +757,39 @@ private[graft] object SimilarityRegistry {
         |SELECT k.vec_id FROM kept1 k JOIN comp ON comp.id = k.vec_id
         |WHERE comp.component = k.vec_id ORDER BY k.vec_id""".stripMargin,
 
+    // the persisted-index path implements the SAME contract as the
+    // in-memory incremental operator, so the exact truth is identical:
+    // brute-force NOT EXISTS vs the corpus, then recursive min-label
+    // components among the remaining batch rows, min-id survivor
+    "q_semantic_dedup_idx" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |tw AS (SELECT b.vec_id + 1000000 AS vec_id,
+        |    list_transform(range(64), i -> b.ve[i + 1] * (1.0 +
+        |      0.02 * sin(CAST(i AS DOUBLE) + CAST(b.vec_id AS DOUBLE)))) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 0),
+        |ng AS (SELECT b.vec_id + 2000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |nc AS (SELECT b.vec_id + 4000000 AS vec_id,
+        |    list_transform(b.ve, x -> -x) AS ve
+        |  FROM base b WHERE b.vec_id % 3 = 1),
+        |batch AS (SELECT * FROM tw UNION ALL SELECT * FROM ng
+        |  UNION ALL SELECT * FROM nc),
+        |kept1 AS (SELECT a.vec_id, a.ve FROM batch a WHERE NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE $cosSql >= 0.9)),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM kept1 a
+        |  JOIN kept1 b ON a.vec_id < b.vec_id WHERE $cosSql >= 0.9),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION SELECT id2, id1 FROM p),
+        |reach AS (SELECT vec_id AS id, vec_id AS lab FROM kept1
+        |          UNION SELECT e.a, r.lab FROM edges e
+        |            JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT k.vec_id FROM kept1 k JOIN comp ON comp.id = k.vec_id
+        |WHERE comp.component = k.vec_id ORDER BY k.vec_id""".stripMargin,
+
 
     // closed-form PCA replay: rank the per-dim second moments (exact
     // integer sums), top-2 axes are the components, projection is the
@@ -679,6 +805,46 @@ private[graft] object SimilarityRegistry {
         |SELECT p.vec_id, c.component,
         |  CASE WHEN p.g = c.g THEN p.f ELSE 0.0 END AS value
         |FROM pts p CROSS JOIN c
+        |ORDER BY vec_id, component""".stripMargin,
+
+    // whitened-PQ truth: the q_pca_project moment ranking picks the two
+    // components; exact-reconstruction means value = f·(1/sqrt(λ)) on
+    // the matching axis (λ = SUM(f²)/n over ALL rows, exact in double
+    // for these integer f), 0 elsewhere — mirrored op for op (multiply
+    // by the reciprocal sqrt, the kernel's arithmetic), 9 dp
+    "q_pq_whitened" ->
+      """WITH pts AS (SELECT vec_id, CAST(vec_id % 4 AS INT) AS g,
+        |    CAST(vec_id % 10 + 1 AS DOUBLE) AS f FROM embeddings),
+        |mom AS (SELECT g, SUM(f * f) / (SELECT COUNT(*) FROM pts) AS lam
+        |  FROM pts GROUP BY g),
+        |rk AS (SELECT g, lam, row_number() OVER (ORDER BY lam DESC, g)
+        |    AS r FROM mom),
+        |c AS (SELECT CAST(r - 1 AS INT) AS subspace, g, lam FROM rk
+        |  WHERE r <= 2)
+        |SELECT p.vec_id, c.subspace,
+        |  round(CASE WHEN p.g = c.g THEN p.f * (1.0 / sqrt(c.lam))
+        |    ELSE 0.0 END, 9) AS value
+        |FROM pts p CROSS JOIN c
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // rotated-PQ truth: distinct per-axis moments make the eigenvalue
+    // allocation closed-form — moment-ranked axes deal into buckets
+    // {rk1, rk4} {rk2, rk3} (greedy balanced partition with strictly
+    // decreasing shifted sizes), exact reconstruction means value = f
+    // on the own axis at its dealt position, 0 elsewhere, 9 dp
+    "q_pq_rotated" ->
+      """WITH pts AS (SELECT vec_id, CAST(vec_id % 4 AS INT) AS g,
+        |    CAST((vec_id % 10 + 1) * (vec_id % 4 + 1) AS DOUBLE) AS f
+        |  FROM embeddings),
+        |mom AS (SELECT g, SUM(f * f) AS s FROM pts GROUP BY g),
+        |rk AS (SELECT g, row_number() OVER (ORDER BY s DESC, g) AS r
+        |  FROM mom),
+        |perm AS (SELECT CAST(CASE r WHEN 1 THEN 0 WHEN 4 THEN 1
+        |    WHEN 2 THEN 2 WHEN 3 THEN 3 END AS INT) AS component, g
+        |  FROM rk)
+        |SELECT p.vec_id, c.component,
+        |  round(CASE WHEN p.g = c.g THEN p.f ELSE 0.0 END, 9) AS value
+        |FROM pts p CROSS JOIN perm c
         |ORDER BY vec_id, component""".stripMargin,
 
     // closed-form replay of the hyperplane s-curve grid (acos/pow/pi

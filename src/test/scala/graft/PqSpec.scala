@@ -79,6 +79,50 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("fitWhitened: axis-planted fixture quantizes whitened projections exactly") {
+    // mass on axis id%2 of 4 dims: axis 1 carries 10x the magnitude, so
+    // raw subspaces are wildly unbalanced; the uncentered Gram is
+    // exactly diagonal -> the whitening transform is closed-form (axes
+    // ranked by second moment, scale 1/sqrt(lambda)) and each whitened
+    // subspace holds 6 distinct values (5 planted f + 0) -> ksub=6
+    // k-means lands centroids exactly on them and the reconstruction
+    // equals the whitened projection
+    val rows = (0 until 40).map { id =>
+      val f = (id % 5 + 1).toDouble * (if (id % 2 == 1) 10.0 else 1.0)
+      (id.toLong, Seq.tabulate(4)(d => if (d == id % 2) f else 0.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (pca, books) = Pq.fitWhitened(df, m = 2, ksub = 6, k = 2,
+      center = false, sampleN = 40)
+    // whitened components carry UNIT second moment: E[p_j^2] = 1
+    val proj = Similarity.pcaApply(df, "vec_id", "embedding", pca)
+      .as[(Long, Seq[Double])].collect().toMap
+    (0 until 2).foreach { j =>
+      val m2 = proj.values.map(p => p(j) * p(j)).sum / proj.size
+      assert(math.abs(m2 - 1.0) < 1e-6, s"component $j second moment $m2")
+    }
+    // encodeWhitened == encode-after-project, and the codebook
+    // reconstruction round-trips every projection exactly
+    val codes = Pq.encodeWhitened(df, "vec_id", "embedding", pca, books)
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaProject = Pq.encode(
+      Similarity.pcaApply(df, "vec_id", "embedding", pca), "vec_id", "pca",
+      books).as[(Long, Seq[Int])].collect().toMap
+    assert(codes == viaProject)
+    rows.foreach { case (id, _) =>
+      val recon = codes(id).zipWithIndex.map { case (c, j) => books(j)(c)(0) }
+      val expect = proj(id)
+      recon.zip(expect).foreach { case (r, e) =>
+        assert(math.abs(r - e) < 1e-9, s"id $id recon $recon vs $expect")
+      }
+    }
+    // k must split into m subspaces
+    val bad = intercept[IllegalArgumentException] {
+      Pq.fitWhitened(df, m = 3, ksub = 2, k = 2)
+    }
+    assert(bad.getMessage.contains("split evenly"))
+  }
+
   test("adcTopK ranks the exact-match class first and breaks in-class ties by id") {
     val corpus = Seq(
       (0L, pointOf(0, 0, 0.0)), (1L, pointOf(0, 0, 0.0)), // same codes: tie
