@@ -940,6 +940,131 @@ object Graph {
       .select("src", "dst")
   }
 
+  /** Seeded TEMPORAL walks — ts-monotone edge traversal (the
+    * continuous-time walk of CTDNE, Nguyen et al., WWW 2018: a walk may
+    * only continue along edges whose timestamp STRICTLY exceeds the
+    * arrival edge's, so every emitted sequence is a temporally valid
+    * path; selection among the valid futures is uniform, their
+    * "unbiased" variant). Input (src, dst, ts) with integer-castable
+    * timestamps; multi-edges with distinct ts are distinct choices.
+    * Returns (walk_id, step, node, ts) — ts is the arrival edge's
+    * timestamp, NULL at step 0. Walks truncate when no strictly-later
+    * out-edge exists.
+    *
+    * Why this does NOT pay the node2vec cost shape (the r17 design
+    * note expected a per-step valid-edge count per (walk, node, t)):
+    * the arrival time is ALWAYS the timestamp of the edge just
+    * traversed, never an arbitrary value — so the valid-future count
+    * is a PER-EDGE property, precomputable once. With each node's
+    * out-edges ranked by (ts, dst) ascending, the valid set after
+    * arriving via timestamp t is the rank SUFFIX [nlo, deg) where
+    * nlo = |out-edges with ts ≤ t|; the adjacency build computes nlo
+    * for every edge in ONE merge window (out-markers and in-edges of
+    * each node sorted together by (ts, out-first); the running
+    * out-count AT an in-edge row is its nlo — no range join, no
+    * per-(walk, t) scan). Each step is then: draw
+    * idx = nlo + (md5("tw:seed:walk:k:node") mod ncnt) and fetch the
+    * edge by an EXACT (src, rnk) equi-join — candidate production is
+    * frontier-sized, independent of hub degree, cheaper even than
+    * [[weightedWalks]]' bucketed join (probe-measured flat).
+    *
+    * `maxDeg` folds a seeded cap into the build exactly as
+    * [[node2vecWalks]]' (md5("tcap:seed:src:dst:ts")-ranked, keeps ≥ 1
+    * edge per src) — here NOT to fix step cost (already flat) but to
+    * bound the one per-src build window: a 10⁹-degree hub sorts in a
+    * single window task, and the cap is the documented mitigation for
+    * that build-time skew (plus the usual corpus-quality control).
+    *
+    * Determinism: pure function of (seed, data) — the md5 draw, the
+    * (ts, dst) rank order, and the cap ranking replay bit-for-bit in
+    * the DuckDB oracle (`q_temporal_walks`).
+    */
+  def temporalWalks(edges: DataFrame, starts: DataFrame, walkLength: Int,
+                    seed: Long = 7L, maxDeg: Option[Int] = None): DataFrame = {
+    require(walkLength >= 1 && walkLength <= 64,
+      "walkLength in [1, 64] (walks union one frame per step)")
+    maxDeg.foreach(d => require(d >= 1, "maxDeg must be >= 1"))
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("ts").cast("long").as("ts")).distinct()
+    val capped = maxDeg match {
+      case None => e0
+      case Some(d) =>
+        val cw = Window.partitionBy("src")
+          .orderBy(col("_h"), col("dst"), col("ts"))
+        e0.withColumn("_h", md5(concat_ws(":", lit("tcap"), lit(seed),
+            col("src"), col("dst"), col("ts"))))
+          .withColumn("_r", row_number().over(cw))
+          .filter(col("_r") <= d)
+          .select("src", "dst", "ts")
+    }
+    // ranked adjacency: per-src (ts, dst)-ascending ranks + out-degree
+    val adj0 = capped.select(col("src"), col("dst"), col("ts"),
+      (row_number().over(Window.partitionBy("src").orderBy("ts", "dst")) - 1)
+        .cast("long").as("rnk"),
+      count(lit(1)).over(Window.partitionBy("src")).cast("long").as("deg"))
+    val degs = capped.groupBy(col("src").as("_dn"))
+      .agg(count(lit(1)).cast("long").as("_ddeg"))
+    // the merge window: each node's OUT-edge timestamps (kind 0) and
+    // IN-edges (kind 1) sorted together by (ts, kind) — out rows with
+    // ts == t precede the in row, so the running out-count AT an
+    // in-edge row is exactly nlo = |out-edges of dst with ts ≤ t|
+    val outRows = capped.select(col("src").as("_n"), col("ts"),
+      lit(0).as("_k"), lit(null).cast("long").as("_es"),
+      lit(null).cast("long").as("_ed"))
+    val inRows = capped.select(col("dst").as("_n"), col("ts"),
+      lit(1).as("_k"), col("src").as("_es"), col("dst").as("_ed"))
+    val mw = Window.partitionBy("_n").orderBy(col("ts"), col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nloTbl = outRows.unionByName(inRows)
+      .withColumn("_nlo",
+        sum(when(col("_k") === 0, 1L).otherwise(0L)).over(mw))
+      .filter(col("_k") === 1)
+      .select(col("_es"), col("_ed"), col("ts").as("_ets"), col("_nlo"))
+    val adj = adj0
+      .join(nloTbl, col("src") === col("_es") && col("dst") === col("_ed") &&
+        col("ts") === col("_ets"))
+      .join(degs, col("dst") === col("_dn"), "left")
+      .select(col("src"), col("rnk"), col("dst"), col("ts"),
+        col("_nlo").as("nlo"),
+        (coalesce(col("_ddeg"), lit(0L)) - col("_nlo")).as("ncnt"))
+      .localCheckpoint(eager = true)
+    val base = starts.select(col("id").cast("long").as("node")).distinct()
+    var frontier = base
+      .join(degs, col("node") === col("_dn"))
+      .select(col("node").as("walk_id"), col("node"),
+        lit(0L).as("lo"), col("_ddeg").as("cnt"))
+    var acc = base.select(col("node").as("walk_id"), lit(0L).as("step"),
+      col("node"), lit(null).cast("long").as("ts"))
+    var k = 1
+    while (k <= walkLength) {
+      val stepAdj = adj.select(col("src").as("_as"), col("rnk").as("_ar"),
+        col("dst").as("_ad"), col("ts").as("_ats"),
+        col("nlo").as("_alo"), col("ncnt").as("_acnt"))
+      val next = frontier.filter(col("cnt") > 0)
+        .withColumn("_idx", col("lo") + pmod(
+          conv(substring(md5(concat_ws(":", lit("tw"), lit(seed),
+            col("walk_id"), lit(k), col("node"))), 1, 15), 16, 10)
+            .cast("long"),
+          col("cnt")))
+        .join(stepAdj,
+          col("node") === col("_as") && col("_idx") === col("_ar"))
+        .select(col("walk_id"), col("_ad").as("node"),
+          col("_alo").as("lo"), col("_acnt").as("cnt"),
+          col("_ats").as("ts"))
+      acc = acc.unionByName(next.select(col("walk_id"),
+        lit(k.toLong).as("step"), col("node"), col("ts")))
+      frontier = next.select("walk_id", "node", "lo", "cnt")
+      if (k % 8 == 0 && k < walkLength) {
+        frontier = frontier.localCheckpoint(eager = true)
+        acc = acc.localCheckpoint(eager = true)
+      }
+      k += 1
+    }
+    acc
+  }
+
   /** Ordered (center, context) co-occurrence counts over walk sequences —
     * [[randomWalks]] piped into the word2vec-style pair extraction that
     * completes the DeepWalk pipeline (Perozzi et al., KDD'14: the walks
@@ -1048,5 +1173,87 @@ object Graph {
             (col("_nc").cast("double") * col("_nx").cast("double")) /
             lit(negK)),
           lit(0.0)), 6).as("ppmi"))
+  }
+
+  /** Count-based node embeddings by truncated eigendecomposition of the
+    * SPPMI matrix — Levy & Goldberg's explicit alternative to trained
+    * SGNS (NeurIPS 2014 §5: W = U_k·Σ_k^{1/2} from the SVD of SPPMI;
+    * for the SYMMETRIC matrix symmetric pair counts produce, the SVD is
+    * the eigendecomposition with singular values |λ|, so the embedding
+    * row is v_j(i)·sqrt(|λ_j|) over the top-k components by |λ|). This
+    * completes walks → context pairs → SPPMI → vectors as one
+    * oracle-gated chain with zero gradient steps.
+    *
+    * BOUNDED-VOCAB CONTRACT: the SPPMI matrix is vocab², solved by
+    * [[Similarity.jacobiEigen]] on the driver — the same model-sized
+    * split as PCA's dim² Gram, except here "model" is the vocabulary.
+    * `maxVocab` (default 4096, = 128 MiB dense) fails fast beyond the
+    * contract; for larger vocabularies factorize the (center, context,
+    * ppmi) table [[ppmiPairs]] emits with a distributed solver instead.
+    * The pair AGGREGATION is fully distributed — only the vocab-sized
+    * matrix ever reaches the driver.
+    *
+    * `pairs` must be symmetric — mirror them first
+    * ([[walkContextPairs]]'s symmetric mode); asymmetric input fails
+    * fast (the 6-dp-rounded matrix is compared entry-for-entry, so the
+    * check is exact, not a tolerance).
+    *
+    * Determinism: SPPMI entries are [[ppmiPairs]]'s 6-dp exact-margin
+    * values; the eigen-solve is the fixed-sweep Jacobi with its
+    * (value desc, index) order re-sorted here by (|λ| desc, original
+    * rank) and the largest-|coord|-positive sign convention; output
+    * values round at 6 dp via exact decimal HALF_UP (no −0.0). Emits
+    * (node, component, value), vocab×k rows.
+    */
+  def sppmiEmbed(pairs: DataFrame, k: Int, negK: Double = 1.0,
+                 maxVocab: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = pairs.sparkSession
+    // vocab bound FIRST (a cheap distinct over the pair keys) so an
+    // over-contract corpus fails before any vocab²-sized collect
+    val vocab = pairs
+      .select(col("center").cast("long").as("v"))
+      .union(pairs.select(col("context").cast("long").as("v")))
+      .distinct().orderBy("v").collect().map(_.getLong(0))
+    require(vocab.length <= maxVocab,
+      s"sppmiEmbed bounded-vocab contract: ${vocab.length} nodes exceed " +
+        s"maxVocab = $maxVocab — factorize the ppmiPairs table with a " +
+        "distributed solver instead")
+    require(k <= vocab.length, s"k = $k exceeds vocab ${vocab.length}")
+    val m = ppmiPairs(pairs, negK)
+      .filter(col("ppmi") > 0)
+      .select(col("center").cast("long"), col("context").cast("long"),
+        col("ppmi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val idx = vocab.zipWithIndex.toMap
+    val d = vocab.length
+    val a = Array.ofDim[Double](d, d)
+    m.foreach { case (c, x, p) => a(idx(c))(idx(x)) = p }
+    var i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        require(a(i)(j) == a(j)(i),
+          s"sppmiEmbed requires symmetric pairs: SPPMI(${vocab(i)}, " +
+            s"${vocab(j)}) = ${a(i)(j)} vs ${a(j)(i)} — mirror the pairs " +
+            "first (walkContextPairs symmetric mode)")
+        j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = Similarity.jacobiEigen(a)
+    // top-k by |λ| (the symmetric-SVD singular order), ties to the
+    // earlier Jacobi rank (which is itself (λ desc, index))
+    val order = vals.indices.sortBy(r => (-math.abs(vals(r)), r)).take(k)
+    val rows = for {
+      (node, ni) <- vocab.zipWithIndex
+      (r, comp) <- order.zipWithIndex
+    } yield {
+      val raw = vecs(r)(ni) * math.sqrt(math.abs(vals(r)))
+      (node, comp,
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("node", "component", "value")
   }
 }

@@ -273,6 +273,45 @@ private[graft] object WalksRegistry {
         (col("l_partkey") % 500).cast("long").as("src"),
         (col("l_suppkey") % 500).cast("long").as("dst"))
       Graph.capOutDegree(edges, maxDeg = 3).orderBy("src", "dst")
+    }),
+
+    // ---- SPPMI -> count-based embeddings (r18): Levy & Goldberg's
+    //      explicit factorization closing walks -> pairs -> SPPMI ->
+    //      vectors. Planted 3-block fixture: nodes 0..29 (lineitem
+    //      orderkey residues), every within-block pair carries count
+    //      2^block, so the margins make SPPMI EXACTLY round6(ln(7/2^b))
+    //      on block b and 0 elsewhere — three rank-1 constant blocks
+    //      with eigenpairs (10·c_b, uniform/sqrt(10)). Top-2 components
+    //      are blocks 0 and 1; every embedding value is sqrt(c_b) (or
+    //      0) in closed form ----
+    "q_sppmi_embed" -> ((s, dir) => {
+      val nodes = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 30).cast("long").as("node")).distinct()
+      val b = nodes.select(col("node"),
+        floor(col("node") / 10).cast("int").as("blk"))
+      val pairs = b.select(col("node").as("center"), col("blk"))
+        .join(b.select(col("node").as("context"), col("blk")), "blk")
+        .select(col("center"), col("context"),
+          pow(lit(2.0), col("blk")).cast("long").as("n"))
+      Graph.sppmiEmbed(pairs, k = 2).orderBy("node", "component")
+    }),
+
+    // ---- temporal (ts-monotone) walks over the CAPPED time-stamped
+    //      supply graph (r18): every step's edge timestamp strictly
+    //      exceeds the arrival edge's; the valid-future count is a
+    //      precomputed per-edge suffix rank, so steps are exact-rank
+    //      equi-joins (no per-(walk, t) candidate scan). Oracle replays
+    //      the md5 cap, the (ts, dst) ranks, the per-edge nlo counts,
+    //      and the modular draw over the suffix ----
+    "q_temporal_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 500).cast("long").as("src"),
+        (col("l_suppkey") % 500).cast("long").as("dst"),
+        (col("l_orderkey") % 100).cast("long").as("ts"))
+      val starts = edges.select(col("src").as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.temporalWalks(edges, starts, walkLength = 4, maxDeg = Some(3))
+        .orderBy("walk_id", "step", "node")
     })
   )
 
@@ -575,6 +614,81 @@ private[graft] object WalksRegistry {
       """SELECT CAST(i AS BIGINT) AS id,
         |  CAST(CASE WHEN i < 5 THEN 0 ELSE 5 END AS BIGINT) AS community
         |FROM (SELECT unnest(range(0, 10)) AS i)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // SPPMI-embedding truth in closed form: block b's SPPMI entry is
+    // round6(ln(7/2^b)) (exact double ratios: 700w/100w² = 7/w), the
+    // block eigenpair is (10·c_b, uniform/sqrt(10)), so value =
+    // round6(sqrt(c_b)) on the own-block component and 0 elsewhere;
+    // top-2 |λ| = blocks 0, 1
+    "q_sppmi_embed" ->
+      """WITH nodes AS (SELECT DISTINCT CAST(l_orderkey % 30 AS BIGINT)
+        |    AS node FROM lineitem),
+        |b AS (SELECT node, CAST(node // 10 AS INT) AS blk FROM nodes),
+        |comp AS (
+        |  SELECT CAST(0 AS INT) AS component, CAST(0 AS INT) AS blk,
+        |    round(sqrt(round(ln(7.0), 6)), 6) AS v
+        |  UNION ALL
+        |  SELECT CAST(1 AS INT), CAST(1 AS INT),
+        |    round(sqrt(round(ln(3.5), 6)), 6))
+        |SELECT nb.node, c.component,
+        |  CASE WHEN nb.blk = c.blk THEN c.v ELSE 0.0 END AS value
+        |FROM b nb CROSS JOIN comp c
+        |ORDER BY node, component""".stripMargin,
+
+    // temporal-walk replay: md5-capped (ts-aware hash) time-stamped
+    // adjacency, (ts, dst) ranks, per-edge nlo via a correlated count
+    // (fixture-sized — the operator's merge window computes the same
+    // thing in one pass), then 4 steps of the modular suffix draw
+    "q_temporal_walks" -> {
+      def stepCte(k: Int): String =
+        s"""ts$k AS (SELECT f.walk_id, a.dst AS node, a.nlo AS lo,
+           |    a.ncnt AS cnt, a.ts
+           |  FROM ts${k - 1} f JOIN tadj a ON a.src = f.node
+           |    AND a.rnk = f.lo +
+           |      (CAST(CAST(('0x' || substr(md5('tw:7:' ||
+           |        CAST(f.walk_id AS VARCHAR) || ':$k:' ||
+           |        CAST(f.node AS VARCHAR)), 1, 15)) AS UBIGINT)
+           |        AS BIGINT) % f.cnt)
+           |  WHERE f.cnt > 0)""".stripMargin
+      s"""WITH te AS (SELECT DISTINCT CAST(l_partkey % 500 AS BIGINT) AS src,
+        |    CAST(l_suppkey % 500 AS BIGINT) AS dst,
+        |    CAST(l_orderkey % 100 AS BIGINT) AS ts FROM lineitem),
+        |tce AS (SELECT src, dst, ts FROM (SELECT src, dst, ts,
+        |    row_number() OVER (PARTITION BY src
+        |      ORDER BY md5('tcap:7:' || CAST(src AS VARCHAR) || ':' ||
+        |        CAST(dst AS VARCHAR) || ':' || CAST(ts AS VARCHAR)),
+        |        dst, ts) AS rn FROM te)
+        |  WHERE rn <= 3),
+        |tnbr AS (SELECT src, dst, ts,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY ts, dst) - 1
+        |      AS BIGINT) AS rnk
+        |  FROM tce),
+        |tdeg AS (SELECT src AS node, count(*) AS deg FROM tce GROUP BY src),
+        |tnlo AS (SELECT e.src, e.dst, e.ts,
+        |    (SELECT count(*) FROM tce o
+        |      WHERE o.src = e.dst AND o.ts <= e.ts) AS nlo
+        |  FROM tce e),
+        |tadj AS (SELECT n.src, n.rnk, n.dst, n.ts, l.nlo,
+        |    COALESCE(d.deg, 0) - l.nlo AS ncnt
+        |  FROM tnbr n
+        |  JOIN tnlo l ON l.src = n.src AND l.dst = n.dst AND l.ts = n.ts
+        |  LEFT JOIN tdeg d ON d.node = n.dst),
+        |ts0 AS (SELECT d.node AS walk_id, d.node, CAST(0 AS BIGINT) AS lo,
+        |    d.deg AS cnt
+        |  FROM tdeg d JOIN (SELECT DISTINCT src FROM te WHERE src % 7 = 0) s
+        |    ON s.src = d.node),
+        |${stepCte(1)},
+        |${stepCte(2)},
+        |${stepCte(3)},
+        |${stepCte(4)}
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node,
+        |  CAST(NULL AS BIGINT) AS ts FROM ts0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node, ts FROM ts1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node, ts FROM ts2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node, ts FROM ts3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node, ts FROM ts4
+        |ORDER BY walk_id, step, node""".stripMargin
+    }
   )
 }

@@ -445,6 +445,96 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(got((1L, 3L)) == 0.0)
   }
 
+  test("temporalWalks: ts-monotone traversal, strict increase, md5 draw") {
+    def u60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16)
+    }
+    // node 2's out-edges ranked by (ts, dst): 5@t1 (rnk 0), 3@t2 (rnk 1),
+    // 6@t2 (rnk 2). Arriving at 2 via t=1 the valid suffix is {3, 6}
+    // (STRICT increase excludes 5@t1); node 3 dangles (truncation);
+    // 6 -> 7 continues at t=5
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 5L, 1L), (2L, 3L, 2L), (2L, 6L, 2L),
+      (6L, 7L, 5L)).toDF("src", "dst", "ts")
+    val starts = Seq(1L).toDF("id")
+    val got = Graph.temporalWalks(edges, starts, walkLength = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // step 1 from start 1: sole edge 1->2@t1 regardless of the draw
+    assert(got((1L, 0L)) == (1L, None) && got((1L, 1L)) == (2L, Some(1L)))
+    // step 2 from 2 with t=1: lo = 1 (one edge with ts <= 1), cnt = 2,
+    // idx = 1 + u60 % 2 -> replayed by hand
+    val idx2 = 1 + (u60("tw:7:1:2:2") % 2)
+    val expect2 = if (idx2 == 1) (3L, Some(2L)) else (6L, Some(2L))
+    assert(got((1L, 2L)) == expect2, s"got $got")
+    // step 3: 3 dangles (walk ends), 6 continues to 7@t5
+    if (expect2._1 == 3L) assert(!got.contains((1L, 3L)))
+    else assert(got((1L, 3L)) == (7L, Some(5L)))
+    // strictness: from start 2 a draw can reach 5 only via the START
+    // position (no arrival time); via 1->2@t1 never. Arriving at 2 with
+    // t=2 leaves NO valid future (both remaining edges are @t2)
+    val fromT2 = Seq((9L, 2L, 2L)).toDF("src", "dst", "ts")
+      .unionByName(edges.filter(col("src") === 2L))
+    val w2 = Graph.temporalWalks(fromT2, Seq(9L).toDF("id"), walkLength = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w2.keySet == Set((9L, 0L), (9L, 1L)),
+      s"t=2 arrival at 2 must truncate (strict increase): $w2")
+    // maxDeg folds the seeded cap into the adjacency: cap node 2 to 1
+    // edge and the kept edge is the md5-minimal one, replayed by hand
+    val capKept = Seq((5L, 1L), (3L, 2L), (6L, 2L)).minBy { case (d, t) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(s"tcap:7:2:$d:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, d, t)
+    }
+    val capped = Graph.temporalWalks(edges, Seq(2L).toDF("id"),
+        walkLength = 1, maxDeg = Some(1))
+      .filter(col("step") === 1L).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(capped == Set(capKept._1 -> capKept._2), s"got $capped")
+  }
+
+  test("sppmiEmbed: planted blocks factor to closed-form components") {
+    // two disjoint constant blocks: {0,1} all pairs (incl. self) n=1,
+    // {2,3} n=4. T=20; SPPMI is round6(ln 5) on block A (1·20/(2·2)),
+    // round6(ln 1.25) on block B (4·20/(8·8)), 0 across. Eigenpairs:
+    // (2c_A, uniform/sqrt2) and (2c_B, uniform/sqrt2) -> embedding
+    // value sqrt(c_b) on the own component, exact 0 elsewhere
+    val pairs = (for {
+      (blk, w) <- Seq(Seq(0L, 1L) -> 1L, Seq(2L, 3L) -> 4L)
+      a <- blk; b <- blk
+    } yield (a, b, w)).toDF("center", "context", "n")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Graph.sppmiEmbed(pairs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 8)
+    val vA = r6(math.sqrt(r6(math.log(5.0))))
+    val vB = r6(math.sqrt(r6(math.log(1.25))))
+    Seq(0L, 1L).foreach { n =>
+      assert(got((n, 0)) == vA, s"block A on comp 0: $got")
+      assert(got((n, 1)) == 0.0, "exact zero off-block (Jacobi never " +
+        "rotates across exactly-zero off-diagonals)")
+    }
+    Seq(2L, 3L).foreach { n =>
+      assert(got((n, 0)) == 0.0)
+      assert(got((n, 1)) == vB, s"block B on comp 1: $got")
+    }
+    // asymmetric pairs fail fast (the 6-dp matrix check is exact)
+    val asym = Seq((0L, 1L, 3L), (1L, 0L, 1L)).toDF("center", "context", "n")
+    val e = intercept[IllegalArgumentException] {
+      Graph.sppmiEmbed(asym, k = 1)
+    }
+    assert(e.getMessage.contains("symmetric"))
+    // bounded-vocab contract fails fast BEFORE the matrix collect
+    val big = intercept[IllegalArgumentException] {
+      Graph.sppmiEmbed(pairs, k = 1, maxVocab = 3)
+    }
+    assert(big.getMessage.contains("bounded-vocab"))
+  }
+
   test("negativeTable: unigram^0.75 probabilities, exact normalizer") {
     // visits: node 10 ×4, node 20 ×1 -> weights 4^0.75 = 2sqrt(2), 1.
     // sqrt(n*sqrt(n)) spells the 3/4 power in correctly-rounded IEEE ops
