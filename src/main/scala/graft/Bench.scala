@@ -45,6 +45,22 @@ object Bench {
     // every query to the SAME smaller round count (never a single-run
     // tail while head queries got three, as the per-query loop did)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    // r18 settle gate: the driver runs the correctness gate immediately
+    // before the bench and its tail contends with round 1 (r17b
+    // load_per_round [5.07, 2.92, 2.97] — round 1 carried the gate
+    // tail, making min-of-3 a repair mechanism). Wait UNCOUNTED until
+    // the 1-minute load decays under the target or the settle budget
+    // runs out; the 1-min average decays with a ~60 s time constant, so
+    // the default 120 s cap covers a 5.1 → 3.5 decay with margin.
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "120").toDouble
+    val settleTarget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_LOAD", "3.5").toDouble
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val settleStart = System.nanoTime()
+    while (osBean0.getSystemLoadAverage > settleTarget &&
+        (System.nanoTime() - settleStart) / 1e9 < settleMax)
+      Thread.sleep(5000)
+    val settleSec = (System.nanoTime() - settleStart) / 1e9
     val benchStart = System.nanoTime()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -94,7 +110,7 @@ object Bench {
           samples(name).map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
       val loadRounds = loadPerRound.map(l => f"$l%.2f").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadNow%.2f,"load_per_round":$loadRounds}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"value_min":$totalMin%.3f,"queries_min":$qsMin,"samples":$qsSamples,"sf":"$sfDir","rounds":$roundsDone,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadNow%.2f,"load_per_round":$loadRounds,"settle_sec":$settleSec%.1f}"""
     }
     // written after EVERY round (not just at exit): a harness that kills
     // a long multi-round run still finds the last completed round's
