@@ -20,7 +20,7 @@ object GraftApp {
 
   private val flagArgs =
     Set("--ignore-dates", "--apply", "--validate", "--join", "--match-cells",
-      "--pairs-symmetric")
+      "--pairs-symmetric", "--ingest")
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 1).collect {
@@ -655,7 +655,22 @@ object GraftApp {
         // from `edges` would re-execute the whole cap plan a second time
         val starts = rawEdges.select(col("src").as("id")).distinct()
         val weightCol = opts.get("weight-col")
-        val walks = (pq, weightCol) match {
+        // --ts-col: temporal (strictly-increasing-timestamp) walks —
+        // exclusive with the other biases; Graph.temporalWalks owns its
+        // cap like node2vec (maxDeg folds into the adjacency build)
+        val tsCol = opts.get("ts-col")
+        if (tsCol.isDefined && (pq._1.isDefined || pq._2.isDefined ||
+            weightCol.isDefined))
+          sys.error("walks: --ts-col is exclusive with --p/--q/--weight-col " +
+            "(temporal validity and the other biases are different walks)")
+        val walks = if (tsCol.isDefined) {
+          val tEdges = Tables.t(spark, input, table).select(
+            col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"),
+            col(tsCol.get).cast("long").as("ts"))
+          graft.operators.Graph.temporalWalks(tEdges, starts, walkLen,
+            seed, maxDeg = capN)
+        } else (pq, weightCol) match {
           case ((Some(_), _) | (_, Some(_)), Some(_)) =>
             sys.error("walks: --p/--q and --weight-col are exclusive " +
               "(second-order bias and edge weights are different walks)")
@@ -714,7 +729,8 @@ object GraftApp {
         val nPairs = spark.read.parquet(s"$out/pairs.parquet").count()
         val nNeg = spark.read.parquet(s"$out/neg_table.parquet").count()
         val mode =
-          if (weightCol.isDefined) "weighted"
+          if (tsCol.isDefined) "temporal"
+          else if (weightCol.isDefined) "weighted"
           else if (pq._1.isDefined || pq._2.isDefined) "node2vec"
           else "uniform"
         val capNote = capN.map(c => s" cap=$c").getOrElse("")

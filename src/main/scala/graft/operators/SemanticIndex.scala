@@ -315,9 +315,21 @@ object SemanticIndex {
     * refresh the refinement, and swap in atomically (the
     * [[Dedup.compactLshIndex]] rename discipline). Corpus-sized — a
     * maintenance operation, not a per-batch step.
+    *
+    * `newNBits` re-shards the directory layout at a wider bucket width
+    * in the same pass — the escape hatch for an index that outgrew its
+    * build-time nBits (see [[build]]'s sizing note: probe flatness needs
+    * 2^nBits ≈ n/maxBucket, and [[refreshRefineBits]] can deepen the
+    * COLLISION arithmetic but not the physical shards). The meta is
+    * rewritten with the new width, so batches hash against it
+    * automatically; bucket keys derive from the same per-bit plane
+    * schedule, so widening is pure re-hashing — no recall change.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val m = loadMeta(spark, path)
+  def compact(spark: SparkSession, path: String,
+              newNBits: Option[Int] = None): Unit = {
+    newNBits.foreach(b => require(b >= 1 && b <= 30, "newNBits in [1, 30]"))
+    val m0 = loadMeta(spark, path)
+    val m = newNBits.fold(m0)(b => m0.copy(nBits = b))
     val vecs = spark.read.parquet(s"$path/keys")
       .select("id", "v").dropDuplicates("id")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -332,6 +344,12 @@ object SemanticIndex {
     require(fs.rename(src, bak), s"compact: cannot set aside $src")
     require(fs.rename(tmp, src), s"compact: cannot swap in $tmp")
     fs.delete(bak, true)
+    // when re-sharding, pin the new width BEFORE the refinement count
+    // (which reloads the meta). A crash between the swap above and this
+    // write leaves keys at the new width under the old meta — probes
+    // would hash to the wrong buckets, so a re-shard compact is an
+    // OFFLINE operation: re-run compact after any crash.
+    if (m.nBits != m0.nBits) writeMeta(spark, m, path)
     refreshRefineBits(spark, path)
   }
 }

@@ -387,13 +387,14 @@ class EvalCardSpec extends SparkSpecBase {
     // survivors are exactly the original ids (min id per copy pair)
     assert(kept.filter(col("vec_id") >= 10000000L).count() == 0)
     assert(kept.count() == nBase)
-    // empty corpus fails with the clear message
+    // empty corpus fails with the clear no-non-null-vectors message
+    // (the r17 null-safe dim probe rewording)
     val empty = java.nio.file.Files.createTempDirectory("semdedup_e").toString
     base.limit(0).write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
     val e = intercept[RuntimeException] {
       GraftApp.runSemdedup(spark, empty, out)
     }
-    assert(e.getMessage.contains("empty"), e.getMessage)
+    assert(e.getMessage.contains("no non-null"), e.getMessage)
   }
 
   test("runEmbdrift --pq-codebooks adds the compression-layer axis") {

@@ -833,6 +833,16 @@ class ZOrderWriteSpec extends SparkSpecBase {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
+        // drain first: task-end events from EARLIER suites/tests arrive
+        // asynchronously and would leak into the counter (measured
+        // cross-suite flake: 4111 decoded rows vs the 4096 bound) —
+        // wait for quiescence, then zero before the measured run
+        var prev0 = -1L
+        var spins0 = 0
+        while (read.get() != prev0 && spins0 < 40) {
+          prev0 = read.get(); Thread.sleep(250); spins0 += 1
+        }
+        read.set(0)
         val diff = new DriftCompare(spark,
           ParquetSide(spark, d1, "db1"), ParquetSide(spark, d2, "db2"), cfg)
           .dataDrift("pts").get

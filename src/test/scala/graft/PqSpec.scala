@@ -123,6 +123,31 @@ class PqSpec extends SparkSpecBase {
     assert(bad.getMessage.contains("split evenly"))
   }
 
+  test("fitRotated: eigenvalue allocation deals the spectrum; rotation is an isometry") {
+    // strictly decreasing sizes deal into buckets {0,3} {1,2}
+    assert(Pq.eigenAllocate(Array(8.0, 4.0, 2.0, 1.0), 2).toSeq == Seq(0, 3, 1, 2))
+    // sub-unit spectrum (any L2-normalized corpus) must deal the same —
+    // the unshifted min-log-product rule would pile everything into one
+    // bucket because adding a factor < 1 lowers a product
+    assert(Pq.eigenAllocate(Array(0.8, 0.4, 0.2, 0.1), 2).toSeq == Seq(0, 3, 1, 2))
+    // rotation preserves norms: no rescaling, full-rank components
+    val rows = (0 until 40).map { id =>
+      val f = (id % 5 + 1).toDouble * (if (id % 2 == 1) 10.0 else 1.0)
+      (id.toLong, Seq.tabulate(4)(d => if (d == id % 2) f else 0.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (rot, _) = Pq.fitRotated(df, m = 2, ksub = 6, k = 4,
+      center = false, sampleN = 40)
+    assert(rot.scales.forall(_ == 1.0), "no rescaling — metric preserved")
+    val proj = Similarity.pcaApply(df, "vec_id", "embedding", rot)
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      val n1 = math.sqrt(proj(id).map(x => x * x).sum)
+      assert(math.abs(n0 - n1) < 1e-6, s"id $id norms $n0 vs $n1")
+    }
+  }
+
   test("adcTopK ranks the exact-match class first and breaks in-class ties by id") {
     val corpus = Seq(
       (0L, pointOf(0, 0, 0.0)), (1L, pointOf(0, 0, 0.0)), // same codes: tie

@@ -132,6 +132,24 @@ class SemanticIndexSpec extends SparkSpecBase {
       .count() == 0L)
   }
 
+  test("compact re-shards to a wider nBits; decisions match a fresh build") {
+    val seed = corpus(0L until 30L)
+    val path = tmp("semidx_reshard"); val fresh = tmp("semidx_fresh6")
+    SemanticIndex.build(seed, "id", "v", dim = 8, path, nBits = 3, nTables = 8)
+    SemanticIndex.compact(spark, path, newNBits = Some(6))
+    assert(SemanticIndex.loadMeta(spark, path).nBits == 6)
+    SemanticIndex.build(seed, "id", "v", dim = 8, fresh, nBits = 6, nTables = 8)
+    val probe = scaled(seed.filter(col("id") % 5 === 0), 5000L, 2.0)
+      .unionByName(corpus(2000L until 2005L)
+        .select(col("id"), transform(col("v"), x => -x).as("v")))
+    val a = SemanticIndex.dedupAgainstIndex(probe, "id", "v", 0.9, path)
+      .select("id").as[Long].collect().sorted
+    val b = SemanticIndex.dedupAgainstIndex(probe, "id", "v", 0.9, fresh)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b), s"resharded ${a.toSeq} vs fresh ${b.toSeq}")
+    assert(a.forall(_ >= 2000L), "scaled copies of the corpus must drop")
+  }
+
   test("plan audit: batch side broadcasts and the keys read is explicit-path pruned") {
     val base = corpus(0L until 40L)
     val path = tmp("semidx_plan")
