@@ -227,7 +227,12 @@ private[graft] object SimilarityRegistry {
       val batch = twins.unionByName(novelNeg).unionByName(negCopies)
       val idx = java.nio.file.Files
         .createTempDirectory("q_semantic_dedup_idx").toString
-      SemanticIndex.build(base, "vec_id", "v", dim = 64, idx)
+      // nBits/nTables sized to the fixture corpus per the build
+      // contract (2^nBits ≈ n/maxBucket) — the default 8/16 writes
+      // 4096 directories for a few hundred vectors; at 8×64 the miss
+      // probability for the planted cos ≥ 0.998 twins is ~1e-8/pair
+      SemanticIndex.build(base, "vec_id", "v", dim = 64, idx,
+        nBits = 6, nTables = 8)
       SemanticIndex.dedupAgainstIndex(batch, "vec_id", "v", 0.9, idx)
         .select("vec_id").orderBy("vec_id")
     }),
