@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-dump tool for the optimization rounds: writes each named query's
+  * `.explain("formatted")` output to `<outDir>/<name>_<tag>.txt` so plan
+  * claims in OPTIMIZATION notes are checkable without running Spark.
+  *
+  * Usage: runMain graft.ExplainQ <tag> <outDir> <query1> [query2 ...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ExplainQ <tag> <outDir> <query...>")
+    val tag = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+            println(s"[explain] wrote $outDir/${name}_$tag.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[explain] $name failed: ${e.getMessage}")
+          }
+        case None => System.err.println(s"[explain] unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

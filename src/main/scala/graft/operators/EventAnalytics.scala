@@ -556,7 +556,16 @@ object EventAnalytics {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
     val freq = bi.groupBy("i").agg(count(lit(1)).as("_s"))
       .filter(col("_s") >= minSupport).select("i")
+    // materialized ONCE (r18): every consumer reuses this table several
+    // times — [[pairCounts]] self-joins it, [[frequentTriples]] reads it
+    // five times (pair stage twice, pair-occurrence stage twice, triple
+    // extension once). Without the checkpoint each appearance re-embeds
+    // the distinct + prune subplan (only leaf exchanges dedupe via
+    // reuse), and the triple query's physical plan grows to ~100
+    // exchanges. O(distinct basket-item) rows — the narrow projection of
+    // the corpus — one eager job, lineage truncated.
     bi.join(broadcast(freq), Seq("i"), "left_semi")
+      .localCheckpoint(eager = true)
   }
 
   /** Unordered within-basket pair counts over an already-pruned
@@ -630,8 +639,13 @@ object EventAnalytics {
                       minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     val bi = prunedBasketItems(df, basketCol, itemCol, minSupport)
+    // materialized ONCE (r18): the frequent-pair set gates three
+    // downstream semi-joins (pair-occurrence + the two Apriori prunes);
+    // each broadcast build would otherwise re-run the quadratic pair
+    // aggregation above its (reused) exchange. Support-bounded rows.
     val pairs = pairCounts(bi).filter(col("n_baskets") >= minSupport)
       .select("item1", "item2")
+      .localCheckpoint(eager = true)
     // occurrences of frequent (a, b) pairs per basket
     val pairOcc = bi.select(col("b"), col("i").as("item1"))
       .join(bi.select(col("b"), col("i").as("item2")), "b")

@@ -138,10 +138,18 @@ object Graph {
       .join(deg.select(col("id").as("b"), col("_deg").as("_db")), Seq("b"))
     val aFirst = col("_da") < col("_db") ||
       (col("_da") === col("_db") && col("a") < col("b"))
+    // materialized ONCE (r18): the oriented list is consumed three times
+    // (both wedge sides + the closing join). Without the checkpoint each
+    // consumer embeds the full upstream plan — for a derived edge list
+    // (e.g. the co-occurrence graph) that triples the degree join and
+    // blows the physical plan to hundreds of operators (planning + AQE
+    // re-optimization cost), with only the leaf exchanges deduped by
+    // reuse. One eager job, O(m) rows, lineage truncated.
     val dir = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("_db")).otherwise(col("_da")).as("_dv"))
+      .localCheckpoint(eager = true)
     val wedges = dir.select(col("u"), col("v").as("w1"), col("_dv").as("_d1"))
       .join(dir.select(col("u"), col("v").as("w2"), col("_dv").as("_d2")), "u")
       .filter(col("_d1") < col("_d2") ||
@@ -355,7 +363,13 @@ object Graph {
     // paid the d^2 blow-up). No forced broadcast: deg is one row per
     // DISTINCT FEATURE — corpus-scale at 100× — so a hint here would OOM
     // the driver instead of degrading; AQE broadcasts it when it fits.
-    val kept = e.join(deg, Seq("f"))
+    // materialized ONCE (r18): the pruned incidence list feeds BOTH
+    // sides of the pair self-join, and the two sides carry different
+    // projections (the b side drops `deg`), so their exchanges do not
+    // canonicalize equal and exchange reuse cannot dedupe them — without
+    // this the distinct + degree-join subplan executes twice. O(|kept|)
+    // rows, one eager job.
+    val kept = e.join(deg, Seq("f")).localCheckpoint(eager = true)
     val pairs = kept.as("a")
       .join(kept.select("f", "ent").as("b"),
         col("a.f") === col("b.f") && col("a.ent") < col("b.ent"))
@@ -1162,10 +1176,18 @@ object Graph {
     */
   def ppmiPairs(pairs: DataFrame, negK: Double = 1.0): DataFrame = {
     require(negK >= 1.0, "negK >= 1 (the SGNS negative-sample count)")
-    val tot = pairs.agg(sum(col("n")).as("_T"))
-    val rowm = pairs.groupBy("center").agg(sum("n").as("_nc"))
-    val colm = pairs.groupBy("context").agg(sum("n").as("_nx"))
-    pairs.join(rowm, "center").join(colm, "context")
+    // materialized ONCE (r18): the pair-count table is consumed FOUR
+    // times (total, row margins, column margins, and the final join
+    // base). Without this, each margin aggregation re-embeds the whole
+    // upstream plan — for walk-derived pairs that is the full walk
+    // replay four times over (only the leaf exchanges dedupe via
+    // reuse). The table is vocabulary²-bounded, far smaller than the
+    // corpus that produced it — exactly the §5 cache-when-reused case.
+    val p = pairs.localCheckpoint(eager = true)
+    val tot = p.agg(sum(col("n")).as("_T"))
+    val rowm = p.groupBy("center").agg(sum("n").as("_nc"))
+    val colm = p.groupBy("context").agg(sum("n").as("_nx"))
+    p.join(rowm, "center").join(colm, "context")
       .crossJoin(broadcast(tot))
       .select(col("center"), col("context"), col("n"),
         round(greatest(
