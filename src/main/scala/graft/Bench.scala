@@ -19,6 +19,27 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: respect the advisory size when coalescing instead of
+      // fanning every post-shuffle stage out to one partition per core
+      // (the Spark-docs-recommended production setting). The default
+      // parallelism-first mode keeps ~32 near-empty reduce partitions
+      // per tiny exchange, and each task pays a fixed shuffle-file +
+      // codegen-class-init cost — thread dumps showed the iterative
+      // graph queries spending their executor time in NIO shuffle-file
+      // map/unmap and generated-class init contention across ~1600
+      // near-empty tasks. Scale-safe: partition count still grows with
+      // data volume (advisory-sized), never pinned to the core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // r18: let AQE re-partition the plans that materialize persist()ed
+      // frames. Off, every cached intermediate (the iterative graph
+      // operators' node/edge/rank state) materializes at the full
+      // spark.sql.shuffle.partitions width and every downstream stage
+      // inherits ~32 near-empty tasks; q_hits measured 1663 tasks /
+      // 287 s of executor time, 88 tasks / 3 s with this on — the
+      // per-task fixed costs (shuffle-file NIO churn, generated-class
+      // init lock) were the whole bill. Scale-safe: cached-plan
+      // partitioning still follows data volume via the advisory size.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,6 +15,11 @@ object Verify {
       // defaults are fine)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // r18: same two AQE settings as Bench (see the comments there) —
+      // coalesce to the advisory size rather than one partition per
+      // core, and let AQE re-partition cached-plan materializations
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -516,13 +516,17 @@ object Graph {
     * normalizer an EXACT decimal sum instead of an L2 sqrt).
     *
     * Loop discipline: each half-step is one join + one aggregation
-    * keyed on the node id. Only the HUB half-step checkpoints eagerly —
-    * the authority half-step's sole mid-loop consumer is the hub step
-    * immediately below, so it rides as a lazy persist() whose cache the
-    * hub checkpoint's own job populates: one eager action per round
-    * instead of two (the fixed job-launch overhead was the dominant
-    * cost, not data volume). The final round checkpoints both (the
-    * result join reads authority after the loop). Engine replay:
+    * keyed on the node id. The hub state checkpoints eagerly every
+    * SECOND round plus the final one (r18 — the pageRank/PPR cadence);
+    * every other half-step rides as a lazy persist() whose cache the
+    * next eager checkpoint's own job populates, so the fixed job-launch
+    * overhead (the dominant cost, not data volume) is paid once per TWO
+    * rounds instead of once per round. The round-0 authority step skips
+    * the hub join entirely: h₀ ≡ 1.000000000, so Σh over in-edges is
+    * the same exact decimal sum of ones — bit-identical, one join and
+    * the initial hub checkpoint job saved. The final round checkpoints
+    * both sides (the result join reads authority after the loop).
+    * Engine replay:
     * scores quantize to 9 dp decimals after each normalization
     * (the Bradley–Terry convention), so the whole 2·iters-step
     * recursion is bit-reproducible from the edge list alone; parallel
@@ -546,26 +550,44 @@ object Graph {
             .cast("decimal(19,9)").as(out))
       if (materialize) r.localCheckpoint(eager = true) else r.persist()
     }
-    var hub = nodes
-      .withColumn("h", lit(java.math.BigDecimal.ONE).cast("decimal(19,9)"))
-      .localCheckpoint(eager = true)
+    // hub == null encodes the implicit all-ones h₀ (see scaladoc): the
+    // round-0 authority sum is an exact decimal sum of ones per in-edge,
+    // identical to joining an all-ones hub vector — no initial
+    // checkpoint job, no round-0 join
+    var hub: DataFrame = null
     var auth: DataFrame = null
+    var lastCkpt: DataFrame = null
+    val lazies = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var it = 0
     while (it < iters) {
       val last = it == iters - 1
-      val aNext = renorm(
-        e.join(hub.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(sum("h").as("_ar")),
-        "_ar", "a", materialize = last)
+      val matH = it % 2 == 1 || last
+      val aRaw =
+        if (hub == null)
+          e.groupBy(col("dst").as("id"))
+            .agg(sum(lit(java.math.BigDecimal.ONE).cast("decimal(19,9)"))
+              .as("_ar"))
+        else e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("_ar"))
+      val aNext = renorm(aRaw, "_ar", "a", materialize = last)
       val hNext = renorm(
         e.join(aNext.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("_hr")),
-        "_hr", "h", materialize = true)
-      // hNext's eager checkpoint just ran: the previous round's lazy
-      // authority cache and the previous hub checkpoint are dead
-      if (auth != null) auth.unpersist(blocking = false)
+        "_hr", "h", materialize = matH)
+      if (!last) {
+        if (!matH) lazies += hNext
+        lazies += aNext
+      }
+      if (matH) {
+        // an eager checkpoint just ran: every lazy frame accumulated
+        // since the previous checkpoint is fully consumed, and the
+        // previous checkpoint itself is dead
+        lazies.foreach(_.unpersist(blocking = false))
+        lazies.clear()
+        if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
+        lastCkpt = hNext
+      }
       auth = aNext
-      unpersistCheckpoint(hub)
       hub = hNext
       it += 1
     }

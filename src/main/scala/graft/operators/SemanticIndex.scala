@@ -145,13 +145,25 @@ object SemanticIndex {
     require(nTables >= 1 && nTables <= 64, "nTables in [1, 64]")
     require(maxBucket >= 1, "maxBucket must be >= 1")
     val m = Meta(dim, nBits, nTables, maxBucket, 0)
+    // hash ONCE into a checkpoint (r18): the key rows feed both the
+    // partitioned write and the refinement count. The previous shape
+    // wrote first and READ THE INDEX BACK to count buckets — a
+    // discovery listing of all nTables·2^nBits directories plus a
+    // re-scan, paid at build time. Counting from the checkpointed
+    // frame is one cached pass; the written bytes are identical.
+    val keyed = keyRows(df, idCol, vecCol, m).localCheckpoint(eager = true)
     // repartition on the partition columns: each (t, bucket) directory is
-    // written by exactly one task — no small-file explosion
-    keyRows(df, idCol, vecCol, m).repartition(col("t"), col("bucket"))
+    // written by exactly one task — no small-file explosion. The count is
+    // pinned to the session's shuffle parallelism (r18): this stage's cost
+    // is FILE CREATION (up to nTables·2^nBits directories), not bytes, so
+    // AQE's byte-based coalescing must not serialize it onto one task
+    // (probe-measured 9.7 s single-task write vs parallel at 32).
+    keyed.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("t"), col("bucket"))
       .write.mode("overwrite").partitionBy("t", "bucket")
       .parquet(s"$path/keys")
     val spark = df.sparkSession
-    val rb = refineBitsFor(spark.read.parquet(s"$path/keys"), maxBucket)
+    val rb = refineBitsFor(keyed, maxBucket)
     writeMeta(spark, m.copy(refineBits = rb), path)
   }
 
@@ -216,7 +228,8 @@ object SemanticIndex {
       .getOrElse(spark.read.parquet(s"$path/keys"))
       .select(col("id")).distinct()
     keyed.join(existing, Seq("id"), "left_anti")
-      .repartition(col("t"), col("bucket"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("t"), col("bucket"))
       .write.mode("append").partitionBy("t", "bucket")
       .parquet(s"$path/keys")
   }
@@ -244,11 +257,17 @@ object SemanticIndex {
     require(minCosine > 0 && minCosine < 1, "minCosine in (0, 1)")
     val spark = batch.sparkSession
     val m = loadMeta(spark, path)
+    // hashed ONCE (r18): bk feeds the touched-set collect, the corpus
+    // collision join's broadcast side, and (via `rem`) both sides of the
+    // within-batch pair join — without the checkpoint each consumer
+    // re-hashes the batch (nTables hyperplane keys per row, the whole
+    // batch-side CPU). Batch-sized, one eager job.
     val bk = keyRows(batch, idCol, vecCol, m)
       .withColumn("bucket", col("bucket").cast("int"))
       .withColumn("sub", subKey(col("rk16"), m.refineBits))
       .select(col("t"), col("bucket"), col("sub"),
         col("id").as("_nid"), col("v").as("_nv"))
+      .localCheckpoint(eager = true)
     // EXPLICIT-PATH pruning, not discovery-then-filter: the touched
     // (t, bucket) set is collected (bounded by batch × nTables distinct
     // pairs, capped at `pruneCap`) and the matching partition
@@ -270,14 +289,23 @@ object SemanticIndex {
     // batch keys — the broadcast side seeds dynamic partition pruning of
     // the (t, bucket)-partitioned scan; exact cosine verifies in the
     // collision join's projection; bounded distinct id set out
+    // materialized ONCE (r18): the duplicate-id set feeds the rem
+    // anti-join AND the final batch anti-join — without the checkpoint
+    // the pruned INDEX SCAN (the probe's only corpus-sized read)
+    // executes once per consumer. Batch-bounded distinct ids.
     val dupOfCorpus = ik.join(broadcast(bk), Seq("t", "bucket", "sub"))
       .filter(col("_iid") =!= col("_nid"))
       .filter(cosine(col("_nv"), col("_iv")) >= minCosine)
       .select(col("_nid").as("_did")).distinct()
+      .localCheckpoint(eager = true)
     // (b) within-batch components among the remainder, min-id survivor —
     // batch-sized self-join on the same keys
+    // materialized ONCE (r18): `rem` feeds both sides of the pair
+    // self-join; without this the corpus-collision anti-join (and its
+    // pruned index scan) executes once per side. Batch-sized.
     val rem = bk.join(dupOfCorpus.withColumnRenamed("_did", "_nid"),
       Seq("_nid"), "left_anti")
+      .localCheckpoint(eager = true)
     val pairs = rem.select(col("t"), col("bucket"), col("sub"),
         col("_nid").as("id1"), col("_nv").as("_v1"))
       .join(rem.select(col("t"), col("bucket"), col("sub"),
@@ -337,7 +365,9 @@ object SemanticIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_keys_compacting")
     val bak = new org.apache.hadoop.fs.Path(s"$path/_keys_backup")
     val fs = src.getFileSystem(conf)
-    keyRows(vecs, "id", "v", m).repartition(col("t"), col("bucket"))
+    keyRows(vecs, "id", "v", m)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("t"), col("bucket"))
       .write.mode("overwrite").partitionBy("t", "bucket")
       .parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true) // stale crash leftovers
