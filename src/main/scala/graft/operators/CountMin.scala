@@ -47,6 +47,23 @@ object CountMin {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[sketch]] from an already key-aggregated (key, count) table: one
+    * md5 set per DISTINCT key weighted by its count, instead of one per
+    * input row — bit-identical counters (the per-bucket sum of row
+    * counts equals the row count per bucket), at hash cost proportional
+    * to key cardinality rather than corpus size (r18; §2.3 aggregate
+    * before the expensive per-row work). Use when a keyed count table
+    * already exists or keys repeat heavily.
+    */
+  def sketchCounted(counts: DataFrame, keyCol: String, cntCol: String,
+                    depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    counts.select(rowBuckets(col(keyCol), depth, width).as("rb"),
+        col(cntCol).as("_c"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"), col("_c"))
+      .groupBy("row", "bucket").agg(sum("_c").as("cnt"))
+  }
+
   /** Equi-join cardinality estimate from two sketches built with the
     * SAME (depth, width, key normalization): |A join B| <= min over
     * rows of the counter inner products (Cormode & Muthukrishnan §4.2 —

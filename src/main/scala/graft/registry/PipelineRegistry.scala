@@ -140,11 +140,24 @@ private[graft] object PipelineRegistry {
     //      orders on the order key; the CMS inner product upper-bounds
     //      the true size from two 4x256 counter tables ----
     "q_join_size_est" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      // r18 restructure, same values (oracle-proven): aggregate each
+      // side to (key, count) ONCE and share that table between the CMS
+      // sketch (sketchCounted — identical counters, one md5 set per
+      // DISTINCT key instead of per row) and the exact join size
+      // (Σ n_li(k)·n_ord(k) ≡ |lineitem ⋈ orders| — multiplicities of a
+      // key multiply under an equi-join), so the fact rows are never
+      // joined row-by-row and the join shuffle carries key counts, not
+      // rows (§2.3 aggregate before you shuffle).
+      val liC = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("_n")).localCheckpoint(eager = true)
+      val ordC = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("_n")).localCheckpoint(eager = true)
       val est = CountMin.joinSizeEstimate(
-        CountMin.sketch(li, "k", 4, 256), CountMin.sketch(ord, "k", 4, 256))
-      val truth = li.join(ord, "k").agg(count(lit(1)).as("true_size"))
+        CountMin.sketchCounted(liC, "k", "_n", 4, 256),
+        CountMin.sketchCounted(ordC, "k", "_n", 4, 256))
+      val truth = liC.select(col("k"), col("_n").as("_nl"))
+        .join(ordC.select(col("k"), col("_n").as("_no")), "k")
+        .agg(coalesce(sum(col("_nl") * col("_no")), lit(0L)).as("true_size"))
       est.crossJoin(truth)
         .withColumn("overestimate", col("join_size_est") - col("true_size"))
     }),
