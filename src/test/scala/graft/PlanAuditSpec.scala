@@ -965,22 +965,27 @@ class AqeSkewJoinSpec extends SparkSpecBase {
   test("coOccurrence prunes infrequent items BEFORE the pair self-join (Apriori)") {
     val baskets = spark.range(30000).select(($"id" % 1000).as("basket"),
       concat(lit("i"), $"id" % 300).as("item"))
-    val df = graft.operators.EventAnalytics.coOccurrence(baskets, "basket", "item", 5)
-    val p = df.queryExecution.executedPlan.toString
-    // the frequent-item prune is a broadcast semi-join on the item and
-    // sits BELOW the basket-keyed pair join: every LeftSemi must appear
-    // after (deeper than) no pair join, i.e. the pair join's inputs
-    // contain the semi — structurally, the plan has both shapes and the
-    // first (outermost) join on the basket key is NOT the semi
-    assert(p.contains("LeftSemi"), s"expected frequent-item semi-join:\n$p")
-    val semiIdx = p.indexOf("LeftSemi")
-    val pairJoinIdx = p.indexOf("Join Inner") match {
-      case -1 => Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-        .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
-      case i => i
+    // r18: the pruned basket-item table is materialized ONCE by an eager
+    // checkpoint before the pair self-join, so the prune's LeftSemi no
+    // longer appears in the final plan — capture the checkpoint's own
+    // executed plan and audit the ordering across the two halves: the
+    // semi-join lives in the construction plan (which contains NO pair
+    // join), and the pair join consumes only the checkpointed RDD.
+    val (df, constructionPlans) = capturingExecutedPlans {
+      graft.operators.EventAnalytics.coOccurrence(baskets, "basket", "item", 5)
     }
-    assert(pairJoinIdx >= 0 && semiIdx > pairJoinIdx,
-      s"expected the item prune nested under the pair join:\n$p")
+    val pruned = constructionPlans.find(_.contains("LeftSemi"))
+      .getOrElse(fail("expected the frequent-item semi-join in the " +
+        s"checkpoint construction plans (${constructionPlans.size} captured)"))
+    // the prune plan must not itself contain the basket-keyed pair join
+    assert(!pruned.contains("item2"),
+      s"the prune must run before any pair expansion:\n$pruned")
+    val p = df.queryExecution.executedPlan.toString
+    val pairJoinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(pairJoinIdx >= 0, s"expected a pair join:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pair join must consume the PRUNED checkpointed table:\n$p")
   }
 
   test("html extraction and url canonicalization are narrow codegen chains: no Exchange, no UDF") {
@@ -1034,18 +1039,63 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     val inc = spark.range(20000).select(
       concat(lit("e"), $"id" % 500).as("ent"),
       concat(lit("f"), $"id" % 400).as("feat"))
-    val df = graft.operators.Graph.adamicAdar(inc, "ent", "feat",
-      minCommon = 2L, maxFeatureDegree = 50L)
+    // r18: the capped incidence list is materialized ONCE by an eager
+    // checkpoint before the pair self-join (the two join sides carry
+    // different projections, so exchange reuse could not dedupe them) —
+    // the degree-cap filter therefore lives in the checkpoint's own
+    // executed plan, and the pair join must consume only the
+    // checkpointed (already-capped) RDD: a capped hub feature still
+    // never reaches the d² pair fan-out.
+    val (df, constructionPlans) = capturingExecutedPlans {
+      graft.operators.Graph.adamicAdar(inc, "ent", "feat",
+        minCommon = 2L, maxFeatureDegree = 50L)
+    }
+    val capped = constructionPlans.find(_.contains("<= 50"))
+      .getOrElse(fail("expected the degree-cap filter in the checkpoint " +
+        s"construction plans (${constructionPlans.size} captured)"))
+    assert(!capped.contains("s2"),
+      s"the cap must run before any pair expansion:\n$capped")
     val p = df.queryExecution.executedPlan.toString
-    // the degree cap must be a filter NESTED UNDER the self-join (its
-    // text appears deeper in the plan than the first join), so a capped
-    // hub feature never reaches the d^2 pair fan-out
-    val capIdx = p.indexOf("<= 50")
     val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
       .map(j => p.indexOf(j)).filter(_ >= 0).minOption.getOrElse(-1)
-    assert(capIdx >= 0, s"expected the degree-cap filter in the plan:\n$p")
-    assert(joinIdx >= 0 && capIdx > joinIdx,
-      s"expected the degree cap below the pair join:\n$p")
+    assert(joinIdx >= 0, s"expected a pair join:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pair join must consume the capped checkpointed table:\n$p")
+  }
+
+  /** Run `body` (an operator whose eager checkpoints execute during
+    * construction) while capturing every executed plan via a
+    * QueryExecutionListener — the r18 audit hook for prunes/joins that
+    * moved inside checkpoint materializations and no longer appear in
+    * the returned frame's plan. Listener delivery is async, so poll
+    * until the captured set is quiescent (bounded).
+    */
+  private def capturingExecutedPlans(body: => DataFrame): (DataFrame, Seq[String]) = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var stable = 0
+      var last = -1
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(150)
+        val n = plans.size()
+        if (n == last && n > 0) stable += 1 else stable = 0
+        last = n
+      }
+      import scala.jdk.CollectionConverters._
+      (df, plans.synchronized { plans.asScala.toVector })
+    } finally spark.listenerManager.unregister(listener)
   }
 
   // local copies of the audit helpers (this suite predates them)
@@ -1384,16 +1434,16 @@ class AqeSkewJoinSpec extends SparkSpecBase {
     assert(forcedHints(graft.operators.Graph.adamicAdar(inc, "ent", "f", 1L)) == 0,
       "adamicAdar must not force-broadcast the per-feature degree table")
     val baskets = spark.range(400).select(($"id" % 50).as("b"), ($"id" % 13).as("i"))
-    // 5 hint NODES, but only two bounded SOURCES: the one-row basket
-    // count (×1) and the support-bounded Apriori frequent set, whose
-    // single semi-join hint is duplicated by the pair self-join (×2)
-    // and the both-directions union (×2 again) = 4 plan copies. The
-    // unbounded item-count dimension contributes ZERO (that was the
-    // fixed site).
+    // exactly ONE hint NODE since r18: the one-row basket-count scalar.
+    // The support-bounded Apriori frequent-set hint (the only other
+    // legal source) now executes inside prunedBasketItems' eager
+    // checkpoint during construction, so it never appears in the result
+    // frame's analyzed plan. The unbounded item-count dimension still
+    // contributes ZERO (that was the fixed site).
     assert(forcedHints(graft.operators.EventAnalytics
-      .associationRules(baskets, "b", "i", 2L)) == 5,
-      "associationRules may hint only the basket-count scalar and the " +
-        "support-bounded frequent set")
+      .associationRules(baskets, "b", "i", 2L)) == 1,
+      "associationRules may hint only the basket-count scalar " +
+        "(the frequent-set hint rides inside the checkpoint construction)")
     val vals = spark.range(500).select(($"id" % 20).as("g"), ($"id" % 7).cast("double").as("v"))
     assert(forcedHints(graft.operators.EventAnalytics.robustOutliers(vals, "g", "v")) == 0,
       "robustOutliers must not force-broadcast per-group medians/MADs")

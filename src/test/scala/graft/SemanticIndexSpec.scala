@@ -155,23 +155,62 @@ class SemanticIndexSpec extends SparkSpecBase {
     val path = tmp("semidx_plan")
     SemanticIndex.build(base, "id", "v", dim = 8, path, nBits = 4, nTables = 8)
     val batch = scaled(base.limit(4), 9000L, 2.0)
-    val plan = SemanticIndex.dedupAgainstIndex(batch, "id", "v", 0.9, path)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "batch keys must broadcast into the collision join")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), "never all-pairs")
-    // the keys scan must read the CONSTRUCTED touched directories (≤
-    // batch × nTables = 32 roots), never a discovery listing of all
-    // 8 × 16 = 128 partition directories — the file index path count is
-    // the witness
-    val scanLine = plan.linesIterator
-      .find(l => l.contains("FileScan parquet") && l.contains("keys"))
-      .getOrElse(fail(s"no keys FileScan in:\n$plan"))
-    val pathCount = "InMemoryFileIndex\\((\\d+) paths\\)".r
-      .findFirstMatchIn(scanLine).map(_.group(1).toInt)
-      .getOrElse(fail(s"no InMemoryFileIndex path count in:\n$scanLine"))
-    assert(pathCount <= 32,
-      s"keys read must be touched-sized (≤ 32 roots), got $pathCount:\n$scanLine")
+    // r18: the collision join and the pruned keys scan now execute
+    // inside the eager dupOfCorpus checkpoint DURING construction (the
+    // index scan runs once, not once per consumer), so the final plan
+    // only shows the checkpoint RDD. Capture every executed plan with a
+    // QueryExecutionListener and audit the one that read the index.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = SemanticIndex.dedupAgainstIndex(batch, "id", "v", 0.9, path)
+      out.count()
+      // the listener bus is async: poll until the collision-join plan
+      // (keys FileScan) has been delivered
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def snapshot(): Seq[String] = {
+        plans.synchronized {
+          scala.jdk.CollectionConverters.ListHasAsScala(plans).asScala.toVector
+        }
+      }
+      def keysScanLine(ps: Seq[String]): Option[String] = ps.iterator
+        .flatMap(_.linesIterator)
+        .find(l => l.contains("FileScan parquet") && l.contains("keys"))
+      var captured = snapshot()
+      while (keysScanLine(captured).isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); captured = snapshot()
+      }
+      assert(captured.exists(p => !p.contains("isFinalPlan=false") ||
+        p.contains("BroadcastHashJoin")), "captured executed plans")
+      val collisionPlan = captured
+        .find(p => p.linesIterator.exists(l =>
+          l.contains("FileScan parquet") && l.contains("keys")))
+        .getOrElse(fail(s"no keys FileScan in any of ${captured.size} plans"))
+      assert(collisionPlan.contains("BroadcastHashJoin"),
+        "batch keys must broadcast into the collision join")
+      captured.foreach { p =>
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), "never all-pairs")
+      }
+      // the keys scan must read the CONSTRUCTED touched directories (≤
+      // batch × nTables = 32 roots), never a discovery listing of all
+      // 8 × 16 = 128 partition directories — the file index path count
+      // is the witness
+      val scanLine = keysScanLine(Seq(collisionPlan)).get
+      val pathCount = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(scanLine).map(_.group(1).toInt)
+        .getOrElse(fail(s"no InMemoryFileIndex path count in:\n$scanLine"))
+      assert(pathCount <= 32,
+        s"keys read must be touched-sized (≤ 32 roots), got $pathCount:\n$scanLine")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
