@@ -370,8 +370,15 @@ object Graph {
     // this the distinct + degree-join subplan executes twice. O(|kept|)
     // rows, one eager job.
     val kept = e.join(deg, Seq("f")).localCheckpoint(eager = true)
-    val pairs = kept.as("a")
-      .join(kept.select("f", "ent").as("b"),
+    // explicit-width repartition on the feature key (r18): the pair
+    // expansion is quadratic in feature degree while the join INPUT is
+    // a few bytes per row, so AQE's byte-based coalescing would run the
+    // whole expansion on one task (probe-measured: a 7.6 s single-task
+    // stage). A user-specified count is exempt from coalescing; both
+    // sides share the distribution, so the join adds no exchange.
+    val np = incidence.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = kept.repartition(np, col("f")).as("a")
+      .join(kept.select("f", "ent").repartition(np, col("f")).as("b"),
         col("a.f") === col("b.f") && col("a.ent") < col("b.ent"))
       .select(col("a.ent").as("s1"), col("b.ent").as("s2"),
         col("a.deg").as("deg"))
