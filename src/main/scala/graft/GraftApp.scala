@@ -30,17 +30,13 @@ object GraftApp {
 
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
+    // r19 (VERDICT item 5): the product CLI now shares the bench/verify
+    // session configuration — including the two AQE settings that remove
+    // the near-empty-task overhead — from the one definition site.
+    GraftSession.builder("graft", cpus)
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
       // tolerate TIMESTAMP(NANOS) parquet (read as nanos-since-epoch long)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
 

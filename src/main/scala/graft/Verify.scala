@@ -7,21 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // r19: shared session config (GraftSession) — identical settings to
+    // the r18 verify, now from the one definition site
+    val spark = GraftSession.builder("graft-verify", cpus)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // local[32] reads single ~40MB parquet files: small split/advisory
-      // sizes keep all cores busy (on a real cluster with many files the
-      // defaults are fine)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      // r18: same two AQE settings as Bench (see the comments there) —
-      // coalesce to the advisory size rather than one partition per
-      // core, and let AQE re-partition cached-plan materializations
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
